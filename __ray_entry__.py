@@ -15,13 +15,37 @@ functions use, or inside the callables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# The driver may import this module from any cwd; make the package importable
+# here and ship it by value inside task/actor closures so Ray workers (whose
+# sys.path we don't control) never need to import it themselves.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+import ocr_platform_ray  # noqa: E402,F401  (import registers portable closures)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline (SURVEY.md §3.1 rebuild shape).
+
+    The sf0.001 driver tables carry no html column (TESTDATA.md), so per
+    FIXTURES.md §4 the flagship runs over the deterministically synthesized
+    Common-Crawl-style pages table (seed 42) — the same generator the golden
+    tests freeze byte-for-byte.  Returns the per-document Dataset with the
+    byte-identical ``extracted_text`` per url."""
+    import ray.data as rd
+
+    from ocr_platform_ray.corpus import make_pages_table
+    from ocr_platform_ray.pipelines.extraction import extraction_pipeline
+
+    pages = rd.from_arrow(make_pages_table(60))
+    return extraction_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,367 @@
+"""The fused per-page extraction operator: decode -> normalize ("correct",
+M1) -> block-structure ("convert-to-html", M2) -> segment (M3), with the
+reference's error semantics (M5: failures short-circuit with the
+best-so-far text and a ``failed_stage`` label, never dropping the row —
+apps/queue/src/pipeline/utils.ts:38-57, pipeline/index.ts:60-104) and flag
+assignment (M8: ``NEEDS_ADDITIONAL_REVIEW`` on failure, ``EMPTY`` on empty
+body — apps/queue/src/queues/page/worker.ts:41-66).
+
+Two payload backends, selected per row by content sniffing (the reference's
+``mode`` engine selection, pipeline/utils.ts:5-8 / E2):
+  * HTML: regex block tokenizer -> boilerplate strip (tag/class/link-density
+    heuristics, the deterministic analogue of the convert-to-html prompt's
+    structure rules, convert-to-html.ts:3-18) -> segmentation into
+    {header, body, footnotes, page_number} (segment.ts:26-37 output shape).
+  * FAKEPDF layout lines: bbox parse -> XY-cut reading-order reconstruction
+    -> same segmentation (north_star's PDF path).
+
+Everything is pure and deterministic: byte-identical output per (html,
+text) input regardless of parallelism, block order, or batch size.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.text import count_words, normalize_text
+from ..schemas import (
+    FLAG_EMPTY,
+    FLAG_NEEDS_REVIEW,
+    STAGE_CONVERT,
+    STAGE_CORRECT,
+    STAGE_SEGMENT,
+)
+from ..corpus import FAKEPDF_MAGIC
+
+# --- compiled parser state (module level: shared by actor + pure fn) -------
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_BLOCK_TOKEN_RE = re.compile(
+    r"<(/?)(h[1-6]|p|div|nav|aside|section|article|header|footer|ul|ol|li|table|tr|td|blockquote|hr|br)\b[^>]*(/?)>",
+    re.I,
+)
+_CLASS_RE = re.compile(r'class\s*=\s*["\']([^"\']*)["\']', re.I)
+_A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_SUP_RE = re.compile(r"<sup\b[^>]*>\s*(\d+)\s*</sup\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_FOOTNOTE_START_RE = re.compile(r"^\(?\d+[.)]\s")
+_BOILER_CLASS_WORDS = ("menu", "share", "ad-", "ads", "banner", "social", "sidebar")
+
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_BOILER_TAGS = {"nav", "aside", "footer"}
+
+
+class _Block:
+    __slots__ = ("tag", "cls", "raw")
+
+    def __init__(self, tag: str, cls: str, raw: str):
+        self.tag = tag
+        self.cls = cls
+        self.raw = raw
+
+
+def _tokenize_blocks(html: str) -> list[_Block]:
+    """Split cleaned HTML into flat leaf blocks.  A stack of open block tags
+    accumulates raw inner HTML; closing (or EOF) emits the block.  Nested
+    children consume their own text (parents keep only directly-owned text).
+    Tolerant of unclosed tags (malformed input must not raise)."""
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(" ", html)
+    blocks: list[_Block] = []
+    # stack entries: [tag, cls, buffer_parts]
+    stack: list[list] = []
+    pos = 0
+    for m in _BLOCK_TOKEN_RE.finditer(html):
+        text_between = html[pos : m.start()]
+        if stack and text_between:
+            stack[-1][2].append(text_between)
+        pos = m.end()
+        closing, tag, selfclose = m.group(1), m.group(2).lower(), m.group(3)
+        if tag == "br":
+            if stack:
+                stack[-1][2].append("\n")
+            continue
+        if tag == "hr":
+            blocks.append(_Block("hr", "", ""))
+            continue
+        if closing:
+            # pop to matching tag (tolerate mismatches)
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    while len(stack) > i:
+                        t, c, parts = stack.pop()
+                        blocks.append(_Block(t, c, "".join(parts)))
+                    break
+        elif selfclose:
+            continue
+        else:
+            cm = _CLASS_RE.search(m.group(0))
+            stack.append([tag, cm.group(1).lower() if cm else "", []])
+    while stack:  # unclosed at EOF
+        t, c, parts = stack.pop()
+        blocks.append(_Block(t, c, "".join(parts)))
+    return blocks
+
+
+def _inline_to_text(raw: str) -> tuple[str, float]:
+    """Resolve inline markup inside a block: <sup>n</sup> -> [^n] footnote
+    marks (convert-to-html.ts:15 contract), <a> text kept but measured for
+    link density.  Returns (clean_text, link_density)."""
+    link_chars = sum(len(_TAG_RE.sub("", g)) for g in _A_TEXT_RE.findall(raw))
+    t = _SUP_RE.sub(lambda m: f"[^{m.group(1)}]", raw)
+    t = _TAG_RE.sub(" ", t)
+    t = normalize_text(t)
+    total = max(1, len(t))
+    return t, min(1.0, link_chars / total)
+
+
+def _is_boiler(tag: str, cls: str, text: str, link_density: float) -> bool:
+    if tag in _BOILER_TAGS:
+        return True
+    if any(w in cls for w in _BOILER_CLASS_WORDS):
+        return True
+    if link_density > 0.5 and len(text) < 400:
+        return True
+    return False
+
+
+def _xycut_order(items: list[tuple[float, float, float, float, str, str]]) -> list[tuple[str, str]]:
+    """Recursive XY-cut reading-order reconstruction over (x0,y0,x1,y1,role,
+    text) boxes: split on the widest horizontal gap first, then vertical,
+    recursing; leaves sorted by (y0, x0).  Deterministic (ties broken by
+    coordinates then text)."""
+
+    def cut(boxes):
+        if len(boxes) <= 1:
+            return list(boxes)
+        # horizontal gaps (project on y)
+        ys = sorted(boxes, key=lambda b: (b[1], b[0], b[5]))
+        best_gap, best_i = 0.0, -1
+        max_y1 = ys[0][3]
+        for i in range(1, len(ys)):
+            gap = ys[i][1] - max_y1
+            if gap > best_gap:
+                best_gap, best_i = gap, i
+            max_y1 = max(max_y1, ys[i][3])
+        if best_gap > 0:
+            return cut(ys[:best_i]) + cut(ys[best_i:])
+        # vertical gaps (project on x)
+        xs = sorted(boxes, key=lambda b: (b[0], b[1], b[5]))
+        best_gap, best_i = 0.0, -1
+        max_x1 = xs[0][2]
+        for i in range(1, len(xs)):
+            gap = xs[i][0] - max_x1
+            if gap > best_gap:
+                best_gap, best_i = gap, i
+            max_x1 = max(max_x1, xs[i][2])
+        if best_gap > 0:
+            return cut(xs[:best_i]) + cut(xs[best_i:])
+        return ys
+    return [(b[4], b[5]) for b in cut(items)]
+
+
+def _parse_fakepdf(payload: str) -> list[tuple[str, str]]:
+    """Parse the mini layout format (``x0 y0 x1 y1 role text`` lines) and
+    return (role, text) in reading order via XY-cut."""
+    boxes = []
+    for line in payload.splitlines():
+        parts = line.split(" ", 5)
+        if len(parts) < 6:
+            continue
+        try:
+            x0, y0, x1, y1 = (float(p) for p in parts[:4])
+        except ValueError:
+            continue
+        boxes.append((x0, y0, x1, y1, parts[4], parts[5]))
+    return _xycut_order(boxes)
+
+
+_EMPTY_RESULT_KEYS = (
+    "header",
+    "body",
+    "footnotes",
+    "page_number",
+    "spans",
+    "total_words",
+    "flags",
+    "failed_stage",
+)
+
+
+def _failed(stage: str, salvage_text: str) -> dict:
+    """M5 semantics: short-circuit with best-so-far text, flag for review."""
+    body = normalize_text(salvage_text or "")
+    return {
+        "header": None,
+        "body": body,
+        "footnotes": None,
+        "page_number": None,
+        "spans": [],
+        "total_words": count_words(body),
+        "flags": [FLAG_NEEDS_REVIEW] + ([FLAG_EMPTY] if not body else []),
+        "failed_stage": stage,
+    }
+
+
+def _segment(roles: list[tuple[str, str]]) -> dict:
+    """M3: assemble {header, body, footnotes, page_number} + spans from an
+    ordered (role, text) block list.  role in {running_head, heading, para,
+    footnote, pageno, hr}.  Rules (deterministic, frozen by goldens):
+      - header = running-head blocks + headings seen before the first body
+        paragraph, joined by '\\n'.
+      - body   = paragraphs and later headings, joined by '\\n\\n'.
+      - footnotes = footnote blocks joined '\\n' (None if none).
+      - page_number = first digit-only pageno block (None if absent).
+      - spans = (kind, byte_start, byte_end) into the utf-8 body."""
+    header_parts: list[str] = []
+    body_parts: list[tuple[str, str]] = []  # (kind, text)
+    footnote_parts: list[str] = []
+    page_number = None
+    in_footnote_zone = False
+    body_started = False
+    for role, text in roles:
+        if role == "hr":
+            in_footnote_zone = True
+            continue
+        if role == "pageno":
+            if page_number is None:
+                try:
+                    page_number = int(text)
+                except ValueError:
+                    pass
+            continue
+        if role == "footnote" or (in_footnote_zone and role == "para"):
+            footnote_parts.append(text)
+            continue
+        if role == "running_head":
+            if not body_started:
+                header_parts.append(text)
+            continue
+        if role == "heading":
+            if body_started:
+                body_parts.append(("heading", text))
+            else:
+                header_parts.append(text)
+            continue
+        # para
+        body_started = True
+        body_parts.append(("para", text))
+
+    spans = []
+    chunks = []
+    offset = 0
+    for kind, text in body_parts:
+        if chunks:
+            offset += 2  # "\n\n" separator
+        b = len(text.encode("utf-8"))
+        spans.append({"kind": kind, "start": offset, "end": offset + b})
+        offset += b
+        chunks.append(text)
+    body = "\n\n".join(chunks)
+    header = "\n".join(header_parts) if header_parts else None
+    footnotes = "\n".join(footnote_parts) if footnote_parts else None
+    total_words = count_words(body) + count_words(footnotes or "")
+    flags = [FLAG_EMPTY] if not body else []
+    return {
+        "header": header,
+        "body": body,
+        "footnotes": footnotes,
+        "page_number": page_number,
+        "spans": spans,
+        "total_words": total_words,
+        "flags": flags,
+        "failed_stage": None,
+    }
+
+
+def extract_page(html: bytes, prior_text: str) -> dict:
+    """Pure fused extraction for one page (M1+M2+M3+M5+M6+M8)."""
+    # ---- stage CORRECT: decode + normalize --------------------------------
+    try:
+        payload = html.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return _failed(STAGE_CORRECT, prior_text)
+
+    # ---- stage CONVERT_TO_HTML: structure ---------------------------------
+    try:
+        if payload.startswith(FAKEPDF_MAGIC.decode()):
+            roles_raw = _parse_fakepdf(payload[len(FAKEPDF_MAGIC) :])
+            roles = []
+            for role, text in roles_raw:
+                text = normalize_text(text)
+                if not text and role != "hr":
+                    continue
+                roles.append(
+                    {
+                        "head": ("heading", text),
+                        "para": ("para", text),
+                        "foot": ("footnote", text),
+                        "pageno": ("pageno", text),
+                    }.get(role, ("para", text))
+                )
+        else:
+            blocks = _tokenize_blocks(payload)
+            roles = []
+            for blk in blocks:
+                if blk.tag == "hr":
+                    roles.append(("hr", ""))
+                    continue
+                text, link_density = _inline_to_text(blk.raw)
+                if not text:
+                    continue
+                if _is_boiler(blk.tag, blk.cls, text, link_density):
+                    continue
+                if "pageno" in blk.cls or (text.isdigit() and len(text) <= 6 and blk.tag == "div"):
+                    roles.append(("pageno", text))
+                elif "header" in blk.cls:
+                    roles.append(("running_head", text))
+                elif blk.tag in _HEADING_TAGS:
+                    roles.append(("heading", text))
+                elif "fn" in blk.cls.split() or _FOOTNOTE_START_RE.match(text):
+                    roles.append(("footnote", text))
+                else:
+                    roles.append(("para", text))
+    except Exception:
+        return _failed(STAGE_CONVERT, prior_text)
+
+    # ---- stage SEGMENT ----------------------------------------------------
+    try:
+        return _segment(roles)
+    except Exception:
+        return _failed(STAGE_SEGMENT, prior_text)
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool stage (T1/T3 pattern: warm state once per actor, work per batch)
+# ---------------------------------------------------------------------------
+_SPAN_T = pa.list_(
+    pa.struct([pa.field("kind", pa.string()), pa.field("start", pa.int64()), pa.field("end", pa.int64())])
+)
+
+
+class ExtractPages:
+    """``ds.map_batches(ExtractPages, batch_format="pyarrow",
+    concurrency=N)`` — input (url, warc_ts, html, text[, lang]) rows, output
+    per-page extraction columns.  The html column is consumed (dropped) here
+    so downstream shuffles move extracted text, not raw bytes (SURVEY.md §4
+    "heavy per-row stages run before the shuffle")."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        priors = batch.column("text").to_pylist()
+        results = [extract_page(h, t) for h, t in zip(htmls, priors)]
+        out = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "header": pa.array([r["header"] for r in results], pa.string()),
+            "body": pa.array([r["body"] for r in results], pa.string()),
+            "footnotes": pa.array([r["footnotes"] for r in results], pa.string()),
+            "page_number": pa.array([r["page_number"] for r in results], pa.int32()),
+            "spans": pa.array([r["spans"] for r in results], _SPAN_T),
+            "total_words": pa.array([r["total_words"] for r in results], pa.int64()),
+            "flags": pa.array([r["flags"] for r in results], pa.list_(pa.string())),
+            "failed_stage": pa.array([r["failed_stage"] for r in results], pa.string()),
+        }
+        return pa.table(out)

@@ -1,0 +1,72 @@
+"""Document reassembly — the one required shuffle (SURVEY.md §4).
+
+``groupby("url").map_groups`` collects every page of a document (the
+analogue of the reference's unique ``(bookId, pdfPageNumber)`` ordering,
+packages/db/prisma/schema.prisma:100), sorts in-group by ``warc_ts``
+(strictly increasing per url = page order, FIXTURES.md §1), and emits:
+
+  * per-doc rows: ``extracted_text`` = pages concatenated in page order with
+    a form-feed separator — the byte-identical artifact of the north rule —
+    plus n_pages / total_words / page_numbers / n_failed_pages (the A1/A3
+    aggregates ride the same shuffle, SURVEY.md §4 "key shuffle decisions"
+    #3).
+  * (``assign_page_idx``) per-page rows with the 0-based ``page_idx`` rank.
+
+Correctness never depends on block arrival order — only on the explicit
+in-group sort (SURVEY.md §7 hard-parts #6)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PAGE_SEP = "\n\x0c\n"  # form feed between pages
+
+
+def page_text(header: str | None, body: str, footnotes: str | None) -> str:
+    """Canonical single-page text layout (frozen by goldens)."""
+    parts = []
+    if header:
+        parts.append(header)
+    parts.append(body or "")
+    if footnotes:
+        parts.append(footnotes)
+    return "\n".join(parts)
+
+
+def _doc_from_group(group: pa.Table) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending")])
+    g = group.take(order)
+    headers = g.column("header").to_pylist()
+    bodies = g.column("body").to_pylist()
+    foots = g.column("footnotes").to_pylist()
+    pagenos = g.column("page_number").to_pylist()
+    failed = g.column("failed_stage").to_pylist()
+    words = g.column("total_words").to_pylist()
+    text = PAGE_SEP.join(page_text(h, b, f) for h, b, f in zip(headers, bodies, foots))
+    return pa.table(
+        {
+            "url": pa.array([g.column("url")[0].as_py()], pa.string()),
+            "extracted_text": pa.array([text], pa.string()),
+            "n_pages": pa.array([len(bodies)], pa.int64()),
+            "total_words": pa.array([sum(words)], pa.int64()),
+            "page_numbers": pa.array([[p for p in pagenos if p is not None]], pa.list_(pa.int32())),
+            "n_failed_pages": pa.array([sum(1 for f in failed if f is not None)], pa.int64()),
+        }
+    )
+
+
+def reassemble_docs(pages_ds):
+    """pages-extraction Dataset -> per-document Dataset (DOC_OUT_SCHEMA)."""
+    return pages_ds.groupby("url").map_groups(_doc_from_group, batch_format="pyarrow")
+
+
+def _rank_group(group: pa.Table) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending")])
+    g = group.take(order)
+    return g.append_column("page_idx", pa.array(range(g.num_rows), pa.int32()))
+
+
+def assign_page_idx(pages_ds):
+    """Add the 0-based per-url ``page_idx`` rank column (FIXTURES.md §3)."""
+    return pages_ds.groupby("url").map_groups(_rank_group, batch_format="pyarrow")

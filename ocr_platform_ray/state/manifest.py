@@ -1,0 +1,118 @@
+"""Checkpoint manifests + partition-granularity resume (SURVEY.md §4).
+
+The reference's durability is a per-row status machine in Postgres
+(``BookStatus`` / ``PageOcrStatus``, packages/db/prisma/schema.prisma:
+133-155): a crashed run resumes because finished pages exist and unfinished
+jobs stay queued.  The batch equivalent: output is partitioned into
+write-once shards keyed by deterministic partition id; a partition is
+either absent (unprocessed) or has an atomically-published output directory
+plus a ``_manifest/part-*.json`` lineage record (input fragments, row
+count, url checksum, wall time).  On restart, committed partitions are
+skipped; incomplete ones (no manifest) are recomputed — idempotent because
+partition ids are deterministic (the reference's unique
+``(bookId, pdfPageNumber)`` idempotence, schema.prisma:100 / D4/D5).
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+one partition = a contiguous group of input fragments, and a url's pages
+never span fragment groups.  The corpus writer (corpus.write_pages_parquet)
+lays shards out url-ranged, which guarantees this; for arbitrary inputs,
+an ingest repartition-by-url-hash pass establishes the invariant first.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import zlib
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _list_fragments(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return [input_path]
+
+
+def completed_parts(output_dir: str) -> dict[int, dict]:
+    """Read committed manifests -> {part_id: manifest}."""
+    out = {}
+    for p in glob.glob(os.path.join(output_dir, "_manifest", "part-*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            out[int(m["part_id"])] = m
+        except (json.JSONDecodeError, KeyError, ValueError):
+            continue  # torn manifest = not committed
+    return out
+
+
+def _url_checksum(part_dir: str) -> tuple[int, int]:
+    """(rows, crc-of-sorted-urls) over a written partition — cheap lineage
+    fingerprint for the manifest."""
+    rows, crc = 0, 0
+    for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+        t = pq.read_table(f, columns=["url"])
+        rows += t.num_rows
+        for u in sorted(t.column("url").to_pylist()):
+            crc = zlib.crc32(u.encode(), crc)
+    return rows, crc
+
+
+def run_with_manifest(
+    input_path: str,
+    output_dir: str,
+    pipeline_fn,
+    *,
+    resume: bool = True,
+    fragments_per_part: int = 8,
+    columns: list[str] | None = None,
+) -> dict:
+    """Run ``pipeline_fn(read_parquet(fragment_group))`` per partition with
+    atomic publish (write to ``part-NNNNN.tmp`` dir, rename) + manifest.
+
+    Returns {"parts", "skipped", "rows", "wall_s"}."""
+    frags = _list_fragments(input_path)
+    groups = [frags[i : i + fragments_per_part] for i in range(0, len(frags), fragments_per_part)]
+    os.makedirs(os.path.join(output_dir, "_manifest"), exist_ok=True)
+    done = completed_parts(output_dir) if resume else {}
+
+    total_rows, skipped = 0, 0
+    t0 = time.monotonic()
+    for pid, group in enumerate(groups):
+        if pid in done and done[pid].get("inputs") == group:
+            total_rows += done[pid]["rows"]
+            skipped += 1
+            continue
+        part_dir = os.path.join(output_dir, f"part-{pid:05d}")
+        tmp_dir = part_dir + ".tmp"
+        for d in (part_dir, tmp_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)  # incomplete earlier attempt -> recompute
+        tp = time.monotonic()
+        ds = rd.read_parquet(group, columns=columns)
+        pipeline_fn(ds).write_parquet(tmp_dir)
+        os.replace(tmp_dir, part_dir)  # atomic publish
+        rows, crc = _url_checksum(part_dir)
+        manifest = {
+            "part_id": pid,
+            "inputs": group,
+            "rows": rows,
+            "url_crc32": crc,
+            "wall_s": round(time.monotonic() - tp, 3),
+        }
+        mpath = os.path.join(output_dir, "_manifest", f"part-{pid:05d}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        total_rows += rows
+    return {
+        "parts": len(groups),
+        "skipped": skipped,
+        "rows": total_rows,
+        "wall_s": round(time.monotonic() - t0, 3),
+    }

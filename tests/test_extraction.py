@@ -1,0 +1,194 @@
+"""Extraction pipeline tests: unit semantics, golden files (byte-identical
+per url), determinism across parallelism, resume (SURVEY.md §5)."""
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from ocr_platform_ray import corpus
+from ocr_platform_ray.corpus import make_pages_table, page_payload
+from ocr_platform_ray.schemas import FLAG_EMPTY, FLAG_NEEDS_REVIEW, STAGE_CORRECT
+from ocr_platform_ray.stages.extract import extract_page
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens", "docs_sha.json")
+N_GOLDEN_URLS = 60
+
+
+def _doc_hashes(df):
+    return {
+        r.url: {
+            "sha256": hashlib.sha256(r.extracted_text.encode()).hexdigest(),
+            "n_pages": int(r.n_pages),
+            "total_words": int(r.total_words),
+            "n_failed_pages": int(r.n_failed_pages),
+        }
+        for r in df.itertuples()
+    }
+
+
+class TestExtractPageUnit:
+    def test_boilerplate_stripped(self):
+        html = b'<html><body><nav class="menu"><a href="/">Home</a></nav><p>real content here</p></body></html>'
+        r = extract_page(html, "")
+        assert r["body"] == "real content here"
+        assert r["failed_stage"] is None
+
+    def test_script_style_removed(self):
+        html = b"<html><script>var x=1;</script><style>.a{}</style><p>keep</p></html>"
+        assert extract_page(html, "")["body"] == "keep"
+
+    def test_header_vs_body(self):
+        html = b'<div class="header">Running Head</div><h1>Title</h1><p>body text</p>'
+        r = extract_page(html, "")
+        assert r["header"] == "Running Head\nTitle"
+        assert r["body"] == "body text"
+
+    def test_heading_after_body_goes_to_body(self):
+        html = b"<p>first</p><h3>Section</h3><p>second</p>"
+        r = extract_page(html, "")
+        assert r["header"] is None
+        assert r["body"] == "first\n\nSection\n\nsecond"
+        assert [s["kind"] for s in r["spans"]] == ["para", "heading", "para"]
+
+    def test_footnotes_after_hr(self):
+        html = b"<p>body</p><hr/><div>(1) a note</div>"
+        r = extract_page(html, "")
+        assert r["body"] == "body"
+        assert r["footnotes"] == "(1) a note"
+
+    def test_footnote_numbering_styles(self):
+        for mark in ["(1)", "1.", "1)"]:
+            html = f"<p>body</p><div>{mark} note text</div>".encode()
+            assert extract_page(html, "")["footnotes"] == f"{mark} note text"
+
+    def test_sup_becomes_marker(self):
+        html = b"<p>claim<sup>2</sup> more</p>"
+        assert extract_page(html, "")["body"] == "claim[^2] more"
+
+    def test_page_number(self):
+        html = b'<p>x</p><div class="pageno">17</div>'
+        assert extract_page(html, "")["page_number"] == 17
+
+    def test_empty_page_flag(self):
+        html = b'<html><nav class="menu"><a href="/">x</a></nav></html>'
+        r = extract_page(html, "")
+        assert r["body"] == ""
+        assert r["flags"] == [FLAG_EMPTY]
+
+    def test_decode_failure_salvages_prior_text(self):
+        r = extract_page(b"<html>\xff\xfe</html>", "prior ocr text")
+        assert r["failed_stage"] == STAGE_CORRECT
+        assert r["body"] == "prior ocr text"
+        assert FLAG_NEEDS_REVIEW in r["flags"]
+
+    def test_link_density_boilerplate(self):
+        links = "".join(f'<a href="/{i}">word</a> ' for i in range(8))
+        html = f"<div>{links}</div><p>real paragraph with enough text</p>".encode()
+        assert extract_page(html, "")["body"] == "real paragraph with enough text"
+
+    def test_spans_are_byte_offsets(self):
+        html = "<p>عربي</p><p>second</p>".encode()
+        r = extract_page(html, "")
+        body_bytes = r["body"].encode("utf-8")
+        for s in r["spans"]:
+            seg = body_bytes[s["start"] : s["end"]].decode("utf-8")
+            assert seg in r["body"]
+        assert r["spans"][0]["end"] == len("عربي".encode("utf-8"))
+
+    def test_fakepdf_reading_order(self):
+        # lines are shuffled in the payload; XY-cut must restore order
+        payload = corpus.FAKEPDF_MAGIC + b"10 100 500 112 para second paragraph\n10 10 400 24 head Title\n10 40 500 52 para first paragraph\n"
+        r = extract_page(payload, "")
+        assert r["header"] == "Title"
+        assert r["body"] == "first paragraph\n\nsecond paragraph"
+
+    def test_malformed_html_tolerated(self):
+        html = b"<html><p>unclosed paragraph<div>and <b>stray"
+        r = extract_page(html, "")
+        assert r["failed_stage"] is None
+        assert "unclosed paragraph" in r["body"]
+
+    def test_pure_determinism(self):
+        html, prior, _ = page_payload(0, 0)
+        assert extract_page(html, prior) == extract_page(html, prior)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelineGolden:
+    def _run(self, n_urls=N_GOLDEN_URLS, **kwargs):
+        import ray.data as rd
+
+        from ocr_platform_ray.pipelines.extraction import extraction_pipeline
+
+        ds = rd.from_arrow(make_pages_table(n_urls))
+        return extraction_pipeline(ds, **kwargs).to_pandas()
+
+    def test_golden_byte_identical(self):
+        got = _doc_hashes = globals()["_doc_hashes"](self._run())
+        with open(GOLDEN_PATH) as f:
+            want = json.load(f)
+        assert got == want
+
+    def test_determinism_across_batch_size_and_input_order(self):
+        import ray.data as rd
+
+        from ocr_platform_ray.pipelines.extraction import extraction_pipeline
+
+        t = make_pages_table(30)
+        a = extraction_pipeline(rd.from_arrow(t), batch_size=7).to_pandas()
+        # reversed input row order + different batch size + actor pool
+        rev = t.take(list(reversed(range(t.num_rows))))
+        b = extraction_pipeline(rd.from_arrow(rev), batch_size=64, concurrency=2).to_pandas()
+        ha, hb = globals()["_doc_hashes"](a), globals()["_doc_hashes"](b)
+        assert ha == hb
+
+    def test_empty_and_failed_pages_not_dropped(self):
+        df = self._run(n_urls=6)
+        by_url = {r.url: r for r in df.itertuples()}
+        assert by_url[corpus.url_for(corpus.URL_MALFORMED)].n_failed_pages >= 1
+        # every url present — error rows flagged, never dropped (M5)
+        assert len(df) == 6
+
+    def test_straggler_page_count(self):
+        df = self._run(n_urls=6)
+        by_url = {r.url: int(r.n_pages) for r in df.itertuples()}
+        assert by_url[corpus.url_for(corpus.URL_STRAGGLER)] == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_manifest_skip_and_recompute(self, tmp_path):
+        from ocr_platform_ray.corpus import write_pages_parquet
+        from ocr_platform_ray.pipelines.extraction import run_extraction
+
+        src = str(tmp_path / "pages")
+        out = str(tmp_path / "out")
+        write_pages_parquet(src, 20, urls_per_shard=5)
+        r1 = run_extraction(src, out)
+        assert r1["skipped"] == 0 and r1["rows"] == 20
+        r2 = run_extraction(src, out)
+        assert r2["skipped"] == r2["parts"] and r2["rows"] == 20
+        # remove one manifest -> exactly that partition recomputes
+        import glob as g
+
+        os.remove(sorted(g.glob(os.path.join(out, "_manifest", "*.json")))[0])
+        r3 = run_extraction(src, out)
+        assert r3["skipped"] == r3["parts"] - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageIdx:
+    def test_rank_matches_warc_ts_order(self):
+        import ray.data as rd
+
+        from ocr_platform_ray.pipelines.extraction import extract_pages_ds
+        from ocr_platform_ray.stages.reassemble import assign_page_idx
+
+        ds = extract_pages_ds(rd.from_arrow(make_pages_table(8)))
+        df = assign_page_idx(ds).to_pandas()
+        for _, grp in df.groupby("url"):
+            grp = grp.sort_values("warc_ts")
+            assert list(grp.page_idx) == list(range(len(grp)))
