@@ -1,0 +1,23 @@
+"""Relational + training-data operators (SURVEY.md §2.4-2.7 and the
+large-scale pipeline extensions: dedup, similarity search, text analysis)."""
+
+from .relational import (  # noqa: F401
+    broadcast_hash_join,
+    bucketed_hash_join,
+    semi_join,
+    anti_join,
+    top_k,
+    paginate,
+    distinct_sorted,
+    pre_aggregate,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_duplicates,
+    simhash_buckets,
+    ngram_jaccard_pairs,
+    embedding_cosine_pairs,
+)
+from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
+from .similarity import knn_brute_force, knn_lsh  # noqa: F401
+from .windows import time_bucket_agg, sessionize  # noqa: F401

@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference only has exact dedup on unique keys (D1/D2,
+packages/db/prisma/schema.prisma:38, create.ts:61-80); the near-dup family
+(MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) is the standard
+web-corpus extension the north rule's 10^12-doc scale requires.
+
+Scale notes (each operator documents its shuffle):
+  * exact: one groupby on a 64-bit content hash; combiner-prunes in-batch
+    duplicates first.
+  * minhash-LSH: map (sig per row, vectorized numpy) -> explode to
+    (band, band_hash) rows -> ONE groupby over band buckets -> candidate
+    pairs verified by signature agreement.  No all-pairs anywhere.
+  * n-gram Jaccard: exact; explode shingles -> groupby shingle -> pairwise
+    counts per posting list -> groupby pair.  Quadratic only within a
+    shingle's posting list — cap hot shingles (stop-shingle cut) like a
+    skewed-key salt.
+  * embedding cosine: blocked matmul against a broadcast normalized matrix
+    (test scale); the documented scale path is LSH bucketing first
+    (similarity.knn_lsh shares the hyperplane code).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+# --------------------------------------------------------------------------
+# Exact dedup (D1/D2)
+# --------------------------------------------------------------------------
+def _sha64(values) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "big") for v in values],
+        dtype=np.uint64,
+    )
+
+
+def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
+    """Keep one representative row per distinct ``content_col`` value — the
+    row with the minimum ``id_col`` (deterministic under any parallelism).
+    Adds ``n_dups`` = group size.  Pattern: content-hash column in a
+    vectorized map_batches, in-batch combiner, then one groupby."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["__h"] = _sha64(batch[content_col].to_numpy())
+        # in-batch combiner: collapse duplicates early, carry partial counts
+        out["n_dups"] = 1
+        agg = {c: "first" for c in out.columns if c not in (id_col, "n_dups", "__h")}
+        agg[id_col] = "min"
+        agg["n_dups"] = "sum"
+        return out.sort_values(id_col).groupby("__h", as_index=False).agg(agg)
+
+    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        rep = g.iloc[[0]].copy()
+        rep["n_dups"] = int(g["n_dups"].sum())
+        return rep.drop(columns=["__h"])
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("__h").map_groups(pick_first, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return np.unique(_sha64(grams))
+
+
+class _MinHashSig:
+    """Per-batch minhash signatures (numpy-vectorized across permutations)."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, shingle_k: int):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k = num_perm, shingle_k
+        self.a, self.b = _minhash_params(num_perm)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in batch[self.text_col]:
+            sh = _shingle_hashes(text, self.k)
+            # (num_perm, n_shingles) universal hash, min over shingles
+            hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+            sigs.append(hv.min(axis=1))
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "sig": sigs})
+
+
+def minhash_lsh_duplicates(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
+    bucket groupby -> candidate pairs -> verify by signature agreement
+    (fraction of equal minhash components estimates Jaccard).
+
+    Returns a pandas DataFrame (id_a, id_b, est_jaccard), id_a < id_b.
+    Candidate generation is one groupby over (band, band_hash) buckets."""
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(
+        _MinHashSig,
+        fn_constructor_args=(text_col, id_col, num_perm, shingle_k),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, band_ids, band_hashes, sigs = [], [], [], []
+        for i, sig in zip(batch[id_col], batch["sig"]):
+            sig = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                ids.append(i)
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(hashlib.sha1(chunk.tobytes()).digest()[:8], "big"))
+                sigs.append(sig)
+        return pd.DataFrame({id_col: ids, "band": band_ids, "bh": band_hashes, "sig": sigs})
+
+    exploded = sig_ds.map_batches(explode_bands, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = list(g["sig"])
+        out_a, out_b, est = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = float(np.mean(np.asarray(sigs[i]) == np.asarray(sigs[j])))
+                if sim >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    est.append(sim)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+
+    pairs = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+    # same pair can surface from multiple bands -> dedupe
+    return (
+        pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"]
+        .max()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_buckets(ds: rd.Dataset, text_col: str, id_col: str, *, n_bands: int = 4) -> rd.Dataset:
+    """64-bit SimHash per row + its 16-bit band keys.  Near-dups share at
+    least one band value when hamming distance <= n_bands - 1 (pigeonhole);
+    downstream: groupby a band column = candidate buckets, no all-pairs."""
+
+    def sim(batch: pd.DataFrame) -> pd.DataFrame:
+        out_h = np.zeros(len(batch), dtype=np.uint64)
+        for r, text in enumerate(batch[text_col]):
+            toks = text.split()
+            if not toks:
+                continue
+            th = _sha64(toks)
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out_h[r] = np.packbits((v > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        res = pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": out_h})
+        for b in range(n_bands):
+            res[f"band{b}"] = (out_h >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+        return res
+
+    return ds.map_batches(sim, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (SQL-oracle-able)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard similarity for every pair sharing at least
+    one shingle: explode (shingle, id, set_size) -> groupby shingle ->
+    pairwise rows per posting list -> groupby pair -> inter / union.
+    Posting lists longer than ``max_posting`` are dropped (stop-shingles;
+    logged in the n_dropped column semantics of the caller)."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, shs, sizes = [], [], []
+        for i, text in zip(batch[id_col], batch[text_col]):
+            sh = _shingle_hashes(text, k)
+            ids.extend([i] * len(sh))
+            shs.extend(sh.tolist())
+            sizes.extend([len(sh)] * len(sh))
+        return pd.DataFrame({id_col: ids, "sh": shs, "size": sizes})
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > max_posting:
+            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sizes = g["size"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "size_a": sizes[ia], "size_b": sizes[ib]}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    pairs = exploded.groupby("sh").map_groups(posting_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")} | {"jaccard": pd.Series(dtype="float64")}
+        )
+    agg = pairs.groupby(["id_a", "id_b"], as_index=False).agg(
+        inter=("size_a", "size"), size_a=("size_a", "first"), size_b=("size_b", "first")
+    )
+    agg["jaccard"] = agg["inter"] / (agg["size_a"] + agg["size_b"] - agg["inter"])
+    out = agg[agg["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    ds: rd.Dataset,
+    emb_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+) -> pd.DataFrame:
+    """Pairs with cosine similarity >= threshold: the full normalized matrix
+    is broadcast once (``ray.put``), each batch does one float64 matmul
+    against it.  Test-scale exact; at corpus scale bucket with
+    similarity.knn_lsh hyperplanes first and run this within buckets."""
+    full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
+    ids = full[id_col].to_numpy()
+    m = np.stack(full[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, m))
+
+    class Block:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ self.m.T
+            qa, qb = np.nonzero(sims >= threshold)
+            bids = batch[id_col].to_numpy()
+            a, b, s = bids[qa], self.ids[qb], sims[qa, qb]
+            keep = a < b  # dedupe + drop self-pairs
+            return pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cosine": s[keep]})
+
+    pairs = ds.map_batches(Block, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,202 @@
+"""Relational operators, Ray-Data-first (SURVEY.md §2.4-2.6).
+
+Join strategy (ray_guide / SURVEY §2.4):
+  * small build side -> broadcast hash join: ``ray.put`` the built lookup
+    ONCE, probe inside ``map_batches`` (J1/J2/J5 — the reference's
+    dict-probe joins, texts.airtable.ts:62-104).
+  * both sides large -> explicit partitioned hash join: add
+    ``bucket = hash(key) % B`` to both sides, co-group per bucket, pandas
+    merge per bucket (portable; ``Dataset.join`` exists in this Ray but the
+    explicit form documents the partitioning and survives API drift).
+  * semi/anti -> broadcast the key set, filter inside ``map_batches``
+    (J4/J6, incl. the ``none:{}`` anti-filter at usul/texts/page.tsx:79-85).
+
+Aggregation at scale: ``pre_aggregate`` computes per-batch partials inside
+``map_batches`` (one row per key per batch) so the shuffle moves partials,
+not rows (ray_guide "Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+# --------------------------------------------------------------------------
+# Broadcast hash join (small build side)
+# --------------------------------------------------------------------------
+class _BroadcastJoin:
+    def __init__(self, small_ref, on: str, how: str, suffix: str):
+        self.small: pd.DataFrame = ray.get(small_ref)
+        self.on, self.how, self.suffix = on, how, suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+
+
+def broadcast_hash_join(
+    large: rd.Dataset,
+    small: rd.Dataset | pd.DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+    suffix: str = "_r",
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Join a large Dataset against a small one without a shuffle: the small
+    side is materialized once into the object store and probed per batch."""
+    small_df = small if isinstance(small, pd.DataFrame) else small.to_pandas()
+    ref = ray.put(small_df)
+    return large.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(ref, on, how, suffix),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned (bucketed) hash join — both sides large
+# --------------------------------------------------------------------------
+def _with_bucket(ds: rd.Dataset, on: str, n_buckets: int, side: str) -> rd.Dataset:
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        # deterministic bucket: hash of the key value modulo B (never Python
+        # hash(), which is salted per process)
+        out["__bucket"] = pd.util.hash_array(batch[on].to_numpy()) % n_buckets
+        out["__side"] = side
+        return out
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def bucketed_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    how: str = "inner",
+    n_buckets: int = 32,
+    right_prefix: str = "r_",
+) -> rd.Dataset:
+    """Explicit partitioned hash join: both sides tagged with
+    ``hash(key) % n_buckets``, unioned, co-grouped per bucket, merged with
+    pandas inside ``map_groups``.  One all-to-all shuffle total.
+
+    Partitioning assumption: a single bucket's rows fit in a worker's heap;
+    for skewed keys raise ``n_buckets`` or salt the hot key upstream."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+    overlap = (set(lcols) & set(rcols)) - {on}
+
+    l = _with_bucket(left, on, n_buckets, "l")
+    r = _with_bucket(right, on, n_buckets, "r")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].drop(columns=["__bucket", "__side"]).dropna(axis=1, how="all")
+        rg = g[g["__side"] == "r"].drop(columns=["__bucket", "__side"]).dropna(axis=1, how="all")
+        lg = lg[[c for c in lcols if c in lg.columns]]
+        rg = rg[[c for c in rcols if c in rg.columns]]
+        rg = rg.rename(columns={c: right_prefix + c for c in overlap})
+        merged = lg.merge(rg, on=on, how=how)
+        return merged
+
+    u = l.union(r)
+    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (broadcast key set)
+# --------------------------------------------------------------------------
+class _KeyFilter:
+    def __init__(self, keys_ref, on: str, keep_in: bool):
+        self.keys = ray.get(keys_ref)
+        self.on, self.keep_in = on, keep_in
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch[self.on].isin(self.keys)
+        return batch[mask if self.keep_in else ~mask]
+
+
+def _key_set_ref(keys: rd.Dataset, on: str):
+    vals = set()
+    for b in keys.select_columns([on]).iter_batches(batch_format="pyarrow"):
+        vals.update(b.column(on).to_pylist())
+    return ray.put(frozenset(vals))
+
+
+def semi_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
+    """Rows of ``ds`` whose key appears in ``keys`` (J6 semi-filter)."""
+    ref = _key_set_ref(keys, on)
+    return ds.map_batches(
+        _KeyFilter, fn_constructor_args=(ref, on, True), batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+def anti_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
+    """Rows of ``ds`` whose key does NOT appear in ``keys`` (the
+    ``AdvancedGenreToBook: {none:{}}`` anti-filter, J6)."""
+    ref = _key_set_ref(keys, on)
+    return ds.map_batches(
+        _KeyFilter, fn_constructor_args=(ref, on, False), batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / pagination / distinct
+# --------------------------------------------------------------------------
+def top_k(ds: rd.Dataset, key: str | list[str], k: int, *, descending: bool = True) -> rd.Dataset:
+    """Top-k (O1): per-batch local top-k prune first so the global sort
+    moves at most k rows per input block, then sort+limit."""
+    keys = [key] if isinstance(key, str) else key
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(keys, ascending=not descending).head(k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas")
+    return pruned.sort(keys, descending=descending).limit(k)
+
+
+def paginate(ds: rd.Dataset, sort_key: str, *, page: int, page_size: int, descending: bool = False) -> pd.DataFrame:
+    """Offset/limit page window (A5, lib/pagination.ts:6-16): sort, then
+    slice [page*size, (page+1)*size) via limit on the sorted stream."""
+    start = page * page_size
+    sorted_ds = ds.sort(sort_key, descending=descending)
+    head = sorted_ds.limit(start + page_size).to_pandas()
+    return head.iloc[start:].reset_index(drop=True)
+
+
+def distinct_sorted(ds: rd.Dataset, col: str) -> pd.DataFrame:
+    """Distinct values of one column (A6): per-batch dedup prunes before the
+    global unique."""
+    def local(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({col: pc.unique(batch.column(col))})
+
+    vals = sorted(ds.select_columns([col]).map_batches(local, batch_format="pyarrow").unique(col))
+    return pd.DataFrame({col: vals})
+
+
+# --------------------------------------------------------------------------
+# Pre-aggregated groupby (combiner pattern)
+# --------------------------------------------------------------------------
+def pre_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    final_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Two-phase aggregate: ``partial_fn`` runs per batch (emit one row per
+    key per batch — the combiner), the tiny partials table is then grouped
+    on the driver by ``final_fn``.  The shuffle payload is |keys| x
+    |batches| rows instead of every input row."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size).to_pandas()
+    return final_fn(partials)

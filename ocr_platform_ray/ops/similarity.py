@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (``ray.put``), each batch does one numpy matmul and emits
+its local top-k per query; the tiny candidate set reduces on the driver.
+``knn_lsh`` is the scale path: random-hyperplane buckets searched with
+multi-probe, trading recall for touching only matching buckets."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BruteForceScore:
+    def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
+        self.q = ray.get(queries_ref)  # (n_queries, dim) normalized
+        self.emb_col, self.id_col, self.k = emb_col, id_col, k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.emb_col])
+        sims = self.q @ m.T  # (n_queries, batch)
+        ids = batch[self.id_col].to_numpy()
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_idx": np.repeat(np.arange(sims.shape[0]), k),
+            self.id_col: ids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+
+def knn_brute_force(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query row.  Returns (query_idx, id, cosine)
+    sorted by (query_idx, -cosine, id).  Per-batch local top-k means the
+    driver-side reduce sees k x n_batches candidates, not the corpus."""
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(q)
+    cand = ds.map_batches(
+        _BruteForceScore,
+        fn_constructor_args=(ref, emb_col, id_col, k),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).to_pandas()
+    out = (
+        cand.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    h = rng.randn(n_planes, dim)
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)).sum(axis=1)
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    dim: int | None = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane signature buckets; only
+    rows whose bucket matches a query bucket (or differs in <= probe_bits
+    bits, multi-probe) are scored.  Same output schema as knn_brute_force;
+    recall < 1 by design — measure against the brute-force baseline."""
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    planes = _hyperplanes(q.shape[1] if dim is None else dim, n_planes)
+    qb = bucket_ids(q, planes)
+    # expand query buckets by multi-probe radius
+    probe: set[int] = set(qb.tolist())
+    if probe_bits >= 1:
+        for b in qb.tolist():
+            for bit in range(n_planes):
+                probe.add(b ^ (1 << bit))
+    probe_ref = ray.put(frozenset(probe))
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+
+    class Probe:
+        def __init__(self):
+            self.probe = ray.get(probe_ref)
+            self.planes = ray.get(planes_ref)
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _as_matrix(batch[emb_col])
+            bk = bucket_ids(m, self.planes)
+            mask = np.fromiter((int(b) in self.probe for b in bk), bool, len(bk))
+            if not mask.any():
+                return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+            m, ids = m[mask], batch[id_col].to_numpy()[mask]
+            sims = self.q @ m.T
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "query_idx": np.repeat(np.arange(sims.shape[0]), kk),
+                    id_col: ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+
+    cand = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    if cand.empty:
+        return cand
+    return (
+        cand.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

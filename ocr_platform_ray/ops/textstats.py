@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data curation: quality stats,
+token counting, language-ID heuristic, document fingerprinting.
+
+All vectorized per batch; langid holds its n-gram profiles as actor state
+(the T3 warm-state pattern)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be with for on at by from as that this it".split()
+)
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
+    """Append quality-signal columns: n_chars, n_tokens (whitespace),
+    n_bpe_tokens (regex pretokenizer), punct_ratio, stopword_ratio,
+    chars_per_token, quality_score (bounded composite)."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        texts = batch[text_col]
+        out["n_chars"] = texts.str.len().astype("int64")
+        toks = texts.str.split()
+        out["n_tokens"] = toks.map(len).astype("int64")
+        out["n_bpe_tokens"] = texts.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+        out["punct_ratio"] = texts.map(
+            lambda t: sum(not c.isalnum() and not c.isspace() for c in t) / max(1, len(t))
+        )
+        out["stopword_ratio"] = toks.map(
+            lambda ws: sum(w.lower() in _STOPWORDS for w in ws) / max(1, len(ws))
+        )
+        out["chars_per_token"] = out["n_chars"] / out["n_tokens"].clip(lower=1)
+        # composite in [0,1]: length sweet spot, not punct-heavy, some stopwords
+        length_score = (out["n_tokens"].clip(0, 400) / 400.0).astype(float)
+        out["quality_score"] = (
+            0.5 * length_score
+            + 0.25 * (1.0 - out["punct_ratio"].clip(0, 1))
+            + 0.25 * out["stopword_ratio"].clip(0, 0.5) * 2.0
+        ).round(6)
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Language ID (character n-gram profile heuristic)
+# --------------------------------------------------------------------------
+_LANG_PROFILES = {
+    # distinctive character evidence per language family (deterministic,
+    # no model download): script ranges + frequent trigrams
+    "ar": {"ranges": [(0x0600, 0x06FF)], "grams": ()},
+    "zh": {"ranges": [(0x4E00, 0x9FFF)], "grams": ()},
+    "en": {"ranges": [], "grams": (" th", "the", "ing", " an", "and")},
+    "es": {"ranges": [], "grams": (" de", "os ", " la", "ión", "que")},
+}
+
+
+class LangId:
+    """Actor-pool stage: score each text against fixed char-ngram profiles,
+    emit predicted lang + confidence.  Stateful setup (profiles) once per
+    actor (__init__), vectorized-ish scoring per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = _LANG_PROFILES
+
+    def _score(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "unknown", 0.0
+        sample = text[:2000]
+        best_lang, best = "unknown", 0.0
+        n = len(sample)
+        for lang, prof in self.profiles.items():
+            script_hits = sum(
+                1 for c in sample if any(lo <= ord(c) <= hi for lo, hi in prof["ranges"])
+            ) if prof["ranges"] else 0
+            gram_hits = sum(sample.count(g) for g in prof["grams"])
+            score = script_hits / n + 3.0 * gram_hits / max(1, n)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang, round(min(1.0, best * 5), 6)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        scored = [self._score(t) for t in batch[self.text_col]]
+        out["pred_lang"] = [s[0] for s in scored]
+        out["lang_confidence"] = [s[1] for s in scored]
+        return out
+
+
+def langid_scores(ds: rd.Dataset, text_col: str = "text", *, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        LangId, fn_constructor_args=(text_col,), batch_format="pandas", concurrency=concurrency
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (rolling hash + winnowing)
+# --------------------------------------------------------------------------
+def doc_fingerprint(ds: rd.Dataset, text_col: str, *, k: int = 8, window: int = 4) -> rd.Dataset:
+    """Winnowing fingerprint: polynomial rolling hash over char k-grams,
+    keep the min hash per sliding window (classic MOSS scheme), emit the
+    sorted distinct fingerprint set + a 64-bit digest of it."""
+    B, M = 131, (1 << 61) - 1
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        digests, fps = [], []
+        for text in batch[text_col]:
+            t = re.sub(r"\s+", " ", text.lower()).strip()
+            if len(t) < k:
+                fps.append([])
+                digests.append(0)
+                continue
+            # rolling polynomial hash over k-grams
+            h = 0
+            power = pow(B, k - 1, M)
+            hashes = np.empty(len(t) - k + 1, dtype=np.uint64)
+            for i, c in enumerate(t):
+                h = (h * B + ord(c)) % M
+                if i >= k - 1:
+                    hashes[i - k + 1] = h
+                    h = (h - ord(t[i - k + 1]) * power) % M
+            # winnowing: min per window of consecutive hashes
+            if len(hashes) <= window:
+                sel = {int(hashes.min())}
+            else:
+                strided = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                sel = set(strided.min(axis=1).tolist())
+            sel = sorted(sel)
+            fps.append(sel)
+            digests.append(
+                int.from_bytes(
+                    hashlib.sha1(np.array(sel, dtype=np.uint64).tobytes()).digest()[:8], "big"
+                )
+            )
+        out["fingerprint"] = fps
+        out["fp_digest"] = np.array(digests, dtype=np.uint64)
+        return out
+
+    return ds.map_batches(fp, batch_format="pandas")

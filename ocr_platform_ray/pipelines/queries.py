@@ -1,0 +1,754 @@
+"""The driver-facing query suite: one entry per operator family from
+SURVEY.md §2 plus the training-data extensions, each with a DuckDB oracle
+where SQL can express it (driver contract in __ray_entry__.py).
+
+Column names in every Ray result match the SQL aliases exactly; float
+aggregates are rounded identically on both sides so the driver's
+order-insensitive value-hash agrees."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_half_away(s: pd.Series, n: int) -> pd.Series:
+    """DuckDB-compatible ROUND (half away from zero; pandas .round() is
+    banker's rounding, which disagrees at exact halves like 5.15625)."""
+    f = 10.0**n
+    x = s.to_numpy(dtype=float)
+    return pd.Series(np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f, index=s.index)
+
+
+def _cents(s: pd.Series) -> np.ndarray:
+    """Exact integer-cents encoding: FLOOR(x*100 + 0.5) on the identical
+    input double gives the identical int on both engines, making money sums
+    order-independent (integer addition is associative; double addition is
+    not, so a parallel sum can differ from DuckDB's sequential sum by just
+    enough to flip the rounded cent)."""
+    return np.floor(s.to_numpy(dtype=float) * 100.0 + 0.5).astype("int64")
+
+
+# ===========================================================================
+# Documents: scalar / text operators (M6, A1-A6 analogues)
+# ===========================================================================
+def q_doc_stats_by_source(sf_dir: str) -> pd.DataFrame:
+    """A1/A4: per-source count + sum + avg, with in-batch pre-aggregation
+    (combiner) so the shuffle moves partials, not rows."""
+    from ..ops.relational import pre_aggregate
+
+    ds = _t(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        g["avg_chars"] = _round_half_away(g["sum_chars"] / g["n_docs"], 4)
+        return g.sort_values("source").reset_index(drop=True)
+
+    return pre_aggregate(ds, ["source"], partial, final)
+
+
+_WORD_SQL_RE = re.compile(r"[a-z0-9]+")
+
+
+def q_word_count_per_doc(sf_dir: str) -> rd.Dataset:
+    """M6 word count, vectorized per batch (the SQL mirror uses the same
+    regex so counts agree exactly)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "total_words": b["text"].map(lambda t: len(_WORD_SQL_RE.findall(t))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(wc, batch_format="pandas")
+
+
+_BPE_SQL_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]")
+
+
+def q_bpe_token_count(sf_dir: str) -> rd.Dataset:
+    """BPE-ish pretokenizer count (training-data token accounting)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_bpe_tokens": b["text"].map(lambda t: len(_BPE_SQL_RE.findall(t))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(tc, batch_format="pandas")
+
+
+def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    from ..ops.relational import pre_aggregate
+
+    ds = _t(sf_dir, "documents", ["lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(n_docs=("lang", "size"))
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        return (
+            p.groupby("lang", as_index=False)
+            .agg(n_docs=("n_docs", "sum"))
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+
+    return pre_aggregate(ds, ["lang"], partial, final)
+
+
+def q_top10_longest_en(sf_dir: str) -> rd.Dataset:
+    """O1 top-k with a deterministic tie-break."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    filtered = ds.map_batches(
+        lambda b: b[b["lang"] == "en"][["doc_id", "n_chars"]], batch_format="pandas"
+    )
+    return filtered.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_quality_stats(sf_dir: str) -> rd.Dataset:
+    """Quality-signal columns (SQL-expressible subset of ops.textstats)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        n_chars = b["text"].str.len().astype("int64")
+        n_tokens = b["text"].map(lambda t: len(t.split(" "))).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_calc": n_chars,
+                "n_ws_tokens": n_tokens,
+                "chars_per_token": _round_half_away(n_chars / n_tokens.clip(lower=1), 4),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+# ===========================================================================
+# Dedup family (D1/D2 + near-dup extensions)
+# ===========================================================================
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """D1: one representative (min doc_id) per distinct text + group size."""
+    from ..ops.dedup import exact_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    return out[["doc_id", "n_dups"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=0.5)
+    out = out.copy()
+    out["jaccard"] = _round_half_away(out["jaccard"], 4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out
+
+
+def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only check: the LSH banding
+    has no SQL equivalent; exactness is cross-checked against
+    q_ngram_jaccard_pairs in tests)."""
+    from ..ops.dedup import minhash_lsh_duplicates
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.5)
+    out = out.copy()
+    out["est_jaccard"] = _round_half_away(out["est_jaccard"], 4)
+    return out
+
+
+def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import simhash_buckets
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_buckets(ds, "text", "doc_id").to_pandas()
+    out["simhash"] = out["simhash"].astype("int64")  # stable arrow type
+    return out[["doc_id", "simhash"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ..ops.textstats import doc_fingerprint
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_fingerprint(ds, "text").to_pandas()
+    out["fp_digest"] = out["fp_digest"].astype("int64")
+    return out[["doc_id", "fp_digest"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_langid_pred(sf_dir: str) -> pd.DataFrame:
+    from ..ops.textstats import langid_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = langid_scores(ds).to_pandas()
+    return out[["doc_id", "pred_lang", "lang_confidence"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# ===========================================================================
+# Joins / aggregates over the TPC-H-ish tables (J1-J6, A1-A6, O1-O5)
+# ===========================================================================
+def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """J2 broadcast join (customer is the small side) + pre-aggregated
+    revenue per market segment."""
+    from ..ops.relational import broadcast_hash_join, pre_aggregate
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_hash_join(
+        orders.map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+        ),
+        cust,
+        "c_custkey",
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_c=_cents(b["o_totalprice"]))
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("rev_c", "size"), rev_c=("rev_c", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum")
+        )
+        g["revenue"] = g["rev_c"] / 100.0
+        return g.drop(columns=["rev_c"]).sort_values("c_mktsegment").reset_index(drop=True)
+
+    return pre_aggregate(joined, ["c_mktsegment"], partial, final)
+
+
+def q_lineitem_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-side join: lineitem x orders via the explicit bucketed hash
+    join, revenue per order priority, shipped before 1996-01-01."""
+    from ..ops.relational import bucketed_hash_join, pre_aggregate
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b[b["l_shipdate"] < pd.Timestamp("1996-01-01")]
+        .assign(rev_c=lambda d: _cents(d["l_extendedprice"] * (1 - d["l_discount"])))
+        .rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "rev_c"]],
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, "o_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev_c", "size"), rev_c=("rev_c", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_c=("rev_c", "sum")
+        )
+        g["revenue"] = g["rev_c"] / 100.0
+        return g.drop(columns=["rev_c"]).sort_values("o_orderpriority").reset_index(drop=True)
+
+    return pre_aggregate(joined, ["o_orderpriority"], partial, final)
+
+
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape (A-cluster): grouped sums/avg with a date filter,
+    fully pre-aggregated in-batch."""
+    from ..ops.relational import pre_aggregate
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["l_shipdate"] <= cutoff].assign(
+            qty_c=lambda d: _cents(d["l_quantity"]),
+            base_c=lambda d: _cents(d["l_extendedprice"]),
+            disc_c=lambda d: _cents(d["l_extendedprice"] * (1 - d["l_discount"])),
+        )
+        return f.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), base_c=("base_c", "sum"), disc_c=("disc_c", "sum"), n=("qty_c", "size")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), base_c=("base_c", "sum"), disc_c=("disc_c", "sum"), n=("n", "sum")
+        )
+        g["sum_qty"] = g["qty_c"] / 100.0
+        g["sum_base_price"] = g["base_c"] / 100.0
+        g["sum_disc_price"] = g["disc_c"] / 100.0
+        g["avg_qty"] = _round_half_away(g["qty_c"] / 100.0 / g["n"], 4)
+        g = g.drop(columns=["qty_c", "base_c", "disc_c"])
+        return g.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    return pre_aggregate(li, ["l_returnflag", "l_linestatus"], partial, final)
+
+
+def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q3 shape: per-order lineitem revenue (pre-aggregated), top 10, then
+    broadcast-join order metadata."""
+    from ..ops.relational import broadcast_hash_join, pre_aggregate
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_c=_cents(b["l_extendedprice"] * (1 - b["l_discount"])))
+        return b.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["revenue"] = g["rev_c"] / 100.0
+        return (
+            g.drop(columns=["rev_c"])
+            .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+
+    top = pre_aggregate(li, ["l_orderkey"], partial, final)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+    out = top.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+        ["l_orderkey", "revenue", "o_orderpriority"]
+    ]
+    return out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+def q_customers_with_orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """J6 semi join + count per nation."""
+    from ..ops.relational import semi_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    matched = semi_join(cust, orders, "c_custkey").to_pandas()
+    out = matched.groupby("c_nationkey", as_index=False).agg(n_customers=("c_custkey", "size"))
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """J6 anti join (the reference's ``none:{}`` filter)."""
+    from ..ops.relational import anti_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    out = anti_join(cust, orders, "c_custkey").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_nationkey": pd.Series(dtype="int64")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_top10_orders(sf_dir: str) -> rd.Dataset:
+    from ..ops.relational import top_k
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # deterministic tie-break on orderkey
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_orders_page3(sf_dir: str) -> pd.DataFrame:
+    """A5 pagination window: page 2 (0-based), 20 rows, ordered by key."""
+    from ..ops.relational import paginate
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return paginate(orders, "o_orderkey", page=2, page_size=20)
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    from ..ops.relational import distinct_sorted
+
+    return distinct_sorted(_t(sf_dir, "events", ["event_type"]), "event_type")
+
+
+# ===========================================================================
+# Events: time windows / sessions / json props (§2.8 + M10/M16 analogues)
+# ===========================================================================
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    from ..ops.windows import time_bucket_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda b: b.assign(value=_cents(b["value"])), batch_format="pandas"
+    )
+    out = time_bucket_agg(ev)
+    out["sum_value"] = out["sum_value"] / 100.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_event_sessions(sf_dir: str) -> pd.DataFrame:
+    from ..ops.windows import sessionize
+
+    out = sessionize(_t(sf_dir, "events", ["user_id", "ts"]))
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+_JSON_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+
+def q_events_json_k(sf_dir: str) -> rd.Dataset:
+    """M10/M16-style field extraction from a JSON props column."""
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+
+    def ext(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "k": b["props"].str.extract(_JSON_K_RE, expand=False).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(ext, batch_format="pandas")
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+def q_knn_cosine_top10(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 neighbours of vec 0 (excluding itself)."""
+    from ..ops.similarity import knn_brute_force
+
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(q.filter(np.array(q.column("vec_id").to_pylist()) == 0)["embedding"][0].as_py())
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] != 0], batch_format="pandas"
+    )
+    out = knn_brute_force(ds, qv, k=10)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    return out.reset_index(drop=True)
+
+
+def q_knn_lsh_top10(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate variant (rows-only; recall measured in
+    tests against the brute-force baseline)."""
+    from ..ops.similarity import knn_lsh
+
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(q.filter(np.array(q.column("vec_id").to_pylist()) == 0)["embedding"][0].as_py())
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] != 0], batch_format="pandas"
+    )
+    out = knn_lsh(ds, qv, k=10)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    return out.reset_index(drop=True)
+
+
+def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup pairs among vec_id < 1500 (cosine >= 0.4)."""
+    from ..ops.dedup import embedding_cosine_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] < 1500], batch_format="pandas"
+    )
+    out = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.4)
+    out = out.copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ===========================================================================
+# Scalar-library queries (M9 slug, M13 hijri)
+# ===========================================================================
+def q_customer_slugs(sf_dir: str) -> rd.Dataset:
+    from ..functions.slug import slugify
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def sl(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": b["c_custkey"], "slug": b["c_name"].map(slugify)})
+
+    return ds.map_batches(sl, batch_format="pandas")
+
+
+def q_hijri_order_years(sf_dir: str) -> rd.Dataset:
+    """M13: hijri year of each order date's Jan-1 (pure integer julian-day
+    arithmetic, mirrored exactly by the SQL oracle)."""
+    from ..functions.hijri import gregorian_to_hijri_year
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def hy(b: pd.DataFrame) -> pd.DataFrame:
+        years = b["o_orderdate"].dt.year
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "hijri_year": years.map(gregorian_to_hijri_year).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(hy, batch_format="pandas")
+
+
+# ===========================================================================
+# Flagship extraction (rows-only: not SQL-expressible)
+# ===========================================================================
+def q_extract_docs(sf_dir: str) -> pd.DataFrame:
+    """The flagship pipeline over the deterministic synthetic pages corpus
+    (sf_dir's tables carry no html; FIXTURES.md §4).  The sha256 column
+    pins the byte-identical invariant into the driver's value-hash."""
+    import hashlib
+
+    from ..corpus import make_pages_table
+    from .extraction import extraction_pipeline
+
+    pages = rd.from_arrow(make_pages_table(60))
+    df = extraction_pipeline(pages).to_pandas()
+    df["text_sha256"] = df["extracted_text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+    out = df[["url", "n_pages", "total_words", "n_failed_pages", "text_sha256"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
+# ===========================================================================
+# Registry + SQL oracles
+# ===========================================================================
+QUERIES = {
+    "doc_stats_by_source": q_doc_stats_by_source,
+    "word_count_per_doc": q_word_count_per_doc,
+    "bpe_token_count": q_bpe_token_count,
+    "lang_distribution": q_lang_distribution,
+    "top10_longest_en": q_top10_longest_en,
+    "quality_stats": q_quality_stats,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "doc_fingerprints": q_doc_fingerprints,
+    "langid_pred": q_langid_pred,
+    "orders_by_segment": q_orders_by_segment,
+    "lineitem_join_revenue": q_lineitem_join_revenue,
+    "tpch_q1": q_tpch_q1,
+    "top_orders_revenue": q_top_orders_revenue,
+    "customers_with_orders_by_nation": q_customers_with_orders_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "top10_orders": q_top10_orders,
+    "orders_page3": q_orders_page3,
+    "distinct_event_types": q_distinct_event_types,
+    "events_hourly": q_events_hourly,
+    "event_sessions": q_event_sessions,
+    "events_json_k": q_events_json_k,
+    "knn_cosine_top10": q_knn_cosine_top10,
+    "knn_lsh_top10": q_knn_lsh_top10,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "customer_slugs": q_customer_slugs,
+    "hijri_order_years": q_hijri_order_years,
+    "extract_docs": q_extract_docs,
+}
+
+# Julian-day + hijri-year arithmetic as SQL (positive operands only, so
+# DuckDB's truncating // equals floor): mirrors functions/hijri.py.
+_HIJRI_SQL = """
+WITH g AS (
+  SELECT o_orderkey, year(o_orderdate) AS gy FROM orders
+), jd AS (
+  SELECT o_orderkey,
+         1 + (153 * 10 + 2) // 5 + 365 * (gy + 4799) + (gy + 4799) // 4
+           - (gy + 4799) // 100 + (gy + 4799) // 400 - 32045 AS j
+  FROM g
+)
+SELECT o_orderkey, CAST((30 * (j - 1948440) + 10646) // 10631 AS BIGINT) AS hijri_year FROM jd
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), short AS (
+  -- docs with fewer than 3 tokens shingle to the whole text
+  SELECT doc_id, text AS g FROM documents
+  WHERE len(string_split(text, ' ')) < 3
+), allg AS (
+  SELECT * FROM grams UNION ALL SELECT * FROM short
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM allg GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM allg x JOIN allg y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+"""
+
+_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+ORACLE_SQL = {
+    "doc_stats_by_source": (
+        "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars "
+        "FROM documents GROUP BY source"
+    ),
+    "word_count_per_doc": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) "
+        "AS total_words FROM documents"
+    ),
+    "bpe_token_count": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) "
+        "AS BIGINT) AS n_bpe_tokens FROM documents"
+    ),
+    "lang_distribution": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+    "top10_longest_en": (
+        "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' "
+        "ORDER BY n_chars DESC, doc_id LIMIT 10"
+    ),
+    "quality_stats": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "ROUND(CAST(length(text) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 4) "
+        "AS chars_per_token FROM documents"
+    ),
+    "exact_dedup_docs": (
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
+    ),
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    # money sums use exact integer cents (FLOOR(x*100+0.5)) so parallel
+    # partial sums agree bit-for-bit with DuckDB's sequential sum
+    "orders_by_segment": (
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "lineitem_join_revenue": (
+        "SELECT o_orderpriority, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate < TIMESTAMP '1996-01-01' GROUP BY o_orderpriority"
+    ),
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS sum_base_price, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100 AS sum_disc_price, "
+        "COUNT(*) AS n, "
+        "ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+        "/ COUNT(*), 4) AS avg_qty "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_orders_revenue": (
+        "SELECT l_orderkey, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100 AS revenue, "
+        "ANY_VALUE(o_orderpriority) AS o_orderpriority "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "customers_with_orders_by_nation": (
+        "SELECT c_nationkey, COUNT(*) AS n_customers FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey"
+    ),
+    "customers_without_orders": (
+        "SELECT c_custkey, c_nationkey FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    ),
+    "top10_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "orders_page3": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_orderkey LIMIT 20 OFFSET 40"
+    ),
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "events_hourly": (
+        "SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
+        "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+    "event_sessions": _SESSIONS_SQL,
+    "events_json_k": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    ),
+    # CAST to DOUBLE[] so DuckDB computes cosine in float64 like numpy
+    "knn_cosine_top10": (
+        "SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+        "FROM embeddings e WHERE e.vec_id <> 0 "
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, "
+        "e.vec_id LIMIT 10"
+    ),
+    "embedding_cosine_pairs": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE a.vec_id < 1500 AND b.vec_id < 1500 "
+        "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+    ),
+    "customer_slugs": (
+        "SELECT c_custkey, trim(lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '-', 'g')), '-') "
+        "AS slug FROM customer"
+    ),
+    "hijri_order_years": _HIJRI_SQL,
+    # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
+    # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs
+}
