@@ -15,14 +15,23 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..stages.extract import ExtractPages
-from ..stages.reassemble import reassemble_docs
+from ..stages.reassemble import reassemble_docs, reassemble_docs_partitioned
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "text"]
 
 
-def read_pages(path: str) -> rd.Dataset:
-    """Column-pruned read of a pages-table parquet directory/file."""
-    return rd.read_parquet(path, columns=PAGE_COLUMNS)
+def read_pages(path: str, *, parallelism: int | None = None) -> rd.Dataset:
+    """Column-pruned read of a pages-table parquet directory/file.
+
+    ``parallelism`` overrides the block count: with fewer input files than
+    CPUs, the default one-block-per-file read caps every downstream
+    ``map_batches`` stage at n_files concurrent tasks — request at least
+    2x the CPU count so the extract stage saturates the node."""
+    if parallelism is None:
+        import ray
+
+        parallelism = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
+    return rd.read_parquet(path, columns=PAGE_COLUMNS, override_num_blocks=parallelism)
 
 
 def extract_pages_ds(
@@ -50,10 +59,18 @@ def extraction_pipeline(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    partitioned_input: bool = False,
 ) -> rd.Dataset:
     """pages Dataset -> per-document Dataset with the byte-identical
-    ``extracted_text`` per url (DOC_OUT_SCHEMA)."""
+    ``extracted_text`` per url (DOC_OUT_SCHEMA).
+
+    ``partitioned_input=True`` selects the shuffle-free reassembly
+    (reassemble_docs_partitioned) — valid only when every input block holds
+    all pages of its urls (url-ranged shard layout, unsplit file reads).
+    Both paths produce byte-identical output (asserted in tests)."""
     extracted = extract_pages_ds(pages, concurrency=concurrency, batch_size=batch_size)
+    if partitioned_input:
+        return reassemble_docs_partitioned(extracted)
     return reassemble_docs(extracted)
 
 

@@ -132,6 +132,21 @@ class TestPipelineGolden:
             want = json.load(f)
         assert got == want
 
+    def test_partitioned_path_byte_identical_to_shuffle_path(self, tmp_path):
+        """reassemble_docs (groupby shuffle) and reassemble_docs_partitioned
+        (shuffle-free, url-range-sharded layout) must agree byte-for-byte."""
+        import ray.data as rd
+
+        from ocr_platform_ray.corpus import write_pages_parquet
+        from ocr_platform_ray.pipelines.extraction import extraction_pipeline, read_pages
+
+        src = str(tmp_path / "pages")
+        n_files = len(write_pages_parquet(src, 40, urls_per_shard=10))
+        a = extraction_pipeline(read_pages(src, parallelism=n_files), partitioned_input=True).to_pandas()
+        b = extraction_pipeline(read_pages(src, parallelism=n_files)).to_pandas()
+        ha, hb = globals()["_doc_hashes"](a), globals()["_doc_hashes"](b)
+        assert ha == hb
+
     def test_determinism_across_batch_size_and_input_order(self):
         import ray.data as rd
 
