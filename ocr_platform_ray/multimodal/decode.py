@@ -1,0 +1,179 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The reference's analogue is the page rasterizer + R2 PNG sink
+(apps/queue/src/lib/ocr.ts:56-85, queues/upload/worker.ts:25-50): binary
+page images flowing between stages.  This container has no image/audio
+codecs, so the DECODE KERNELS are stubbed (deterministic fake decode, or
+``NotImplementedError`` in strict mode) while everything Ray-side is real
+and tested: schema contracts, batch sizing for large binary payloads,
+actor signatures (codec "loaded" once per actor), zero-copy Arrow flow,
+and output layout.
+
+Batch-size guidance baked into the helpers: binary rows are wide, so
+``batch_size`` is small (32) and blocks stay Arrow throughout — at 100 TB
+the object store handles spilling; nothing here materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a codec: derives a (h, w, 3) uint8 array
+    from a seed of the payload bytes.  Replace with PIL/cv2 where
+    available."""
+    seed = int.from_bytes(hashlib.sha1(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+class DecodeImages:
+    """Actor-pool stage: payload binary -> decoded pixel tensor column.
+
+    ``__init__`` is where a real codec/model would load once per actor
+    (T3 pattern).  ``strict=True`` raises NotImplementedError instead of
+    fake-decoding — the marker that a real codec is required."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        # real impl: self.codec = PIL.Image / cv2 imported here, once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("image codec not available in this environment")
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        pixels = [_fake_decode(p, w, h).tobytes() for p, w, h in zip(payloads, ws, hs)]
+        out = batch.drop_columns(["payload"])
+        return out.append_column("pixels", pa.array(pixels, pa.binary()))
+
+
+def decode_images(ds: rd.Dataset, *, concurrency=(1, 8), batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeImages, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+class ResizeImages:
+    """Nearest-neighbour resize over the decoded pixel column (numpy index
+    arithmetic — this part is real, no codec needed)."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = batch.column("pixels").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out = []
+        for p, w, h in zip(pixels, ws, hs):
+            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+            yi = (np.arange(self.out_h) * h // self.out_h)[:, None]
+            xi = (np.arange(self.out_w) * w // self.out_w)[None, :]
+            out.append(img[yi, xi].tobytes())
+        t = batch.drop_columns(["pixels"])
+        t = t.set_column(t.schema.get_field_index("width"), "width", pa.array([self.out_w] * len(out), pa.int32()))
+        t = t.set_column(t.schema.get_field_index("height"), "height", pa.array([self.out_h] * len(out), pa.int32()))
+        return t.append_column("pixels", pa.array(out, pa.binary()))
+
+
+def resize_images(ds: rd.Dataset, out_w: int = 64, out_h: int = 64, *, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_args=(out_w, out_h),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+class ExtractImageFeatures:
+    """Feature extraction over pixels: channel means/std + a 64-bit
+    perceptual-hash-style digest (real numpy math over the fake pixels;
+    swap the digest for a model embedding when a model is available)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = batch.column("pixels").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        means, stds, phashes = [], [], []
+        for p, w, h in zip(pixels, ws, hs):
+            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+            means.append([float(img[..., c].mean()) for c in range(3)])
+            stds.append([float(img[..., c].std()) for c in range(3)])
+            # 8x8 grayscale mean-threshold hash
+            g = img.mean(axis=2)
+            yi = (np.arange(8) * h // 8)[:, None]
+            xi = (np.arange(8) * w // 8)[None, :]
+            small = g[yi, xi]
+            bits = (small > small.mean()).astype(np.uint64).ravel()
+            phashes.append(int((bits << np.arange(64, dtype=np.uint64)).sum()))
+        out = batch.drop_columns(["pixels"])
+        out = out.append_column("channel_mean", pa.array(means, pa.list_(pa.float64())))
+        out = out.append_column("channel_std", pa.array(stds, pa.list_(pa.float64())))
+        out = out.append_column("phash", pa.array(np.array(phashes, dtype=np.uint64).astype(np.int64)))
+        return out
+
+
+def image_features(ds: rd.Dataset, *, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        ExtractImageFeatures, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+    )
+
+
+class SampleFrames:
+    """Video frame sampling: a video payload row explodes to every Nth
+    frame row.  The frame decode is the same stubbed codec; the explode
+    (flat_map-style fan-out inside map_batches) and frame indexing are
+    real."""
+
+    def __init__(self, every_n: int = 10, strict: bool = False):
+        self.every_n = every_n
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("video codec not available in this environment")
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_frames = batch.column("n_frames").to_pylist()
+        o_id, o_frame, o_bytes = [], [], []
+        for mid, p, nf in zip(ids, payloads, n_frames):
+            for f in range(0, nf, self.every_n):
+                o_id.append(mid)
+                o_frame.append(f)
+                o_bytes.append(_fake_decode(p + f.to_bytes(4, "big"), 16, 16).tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.string()),
+                "frame_idx": pa.array(o_frame, pa.int32()),
+                "pixels": pa.array(o_bytes, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: rd.Dataset, every_n: int = 10, *, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_args=(every_n,),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,101 @@
+"""Catalog metadata ingest — the batch rendering of the reference's
+Airtable -> Usul DB workflow (SURVEY.md §3.3):
+
+  read sidecar table -> normalize records (M10) -> exact-dedup on the
+  external ref (D2, create.ts:61-80) -> deterministic unique-slug ranking
+  (D3, services/usul/book.ts:18-31) -> broadcast-join dims -> parse
+  publishing details (M11) -> per-dimension counters (A4) -> write.
+
+The reference's slug-uniqueness probe loop ("try slug, slug-1, slug-2 ...")
+is replaced by one groupby(slug) + in-group rank: deterministic, no probe
+round-trips, identical assignment (first occurrence keeps the bare slug,
+later ones get -1, -2 in created_at order).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ..functions.publishing import parse_publishing_details
+from ..functions.slug import slugify
+
+
+def normalize_records(meta: rd.Dataset) -> rd.Dataset:
+    """M10 record normalizer (texts.airtable.ts:62-107 semantics): strip the
+    leading '*' from transliteration, slugify it, parse the labeled
+    publishing-details string (M11)."""
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        translit = b["transliteration"].str.removeprefix("*")
+        out["transliteration"] = translit
+        out["slug"] = translit.map(slugify)
+        parsed = b["pub_details_raw"].map(parse_publishing_details)
+        for field in ("investigator", "publisher", "edition_number", "publication_year"):
+            out[field] = parsed.map(lambda d, f=field: d[f])
+        return out
+
+    return meta.map_batches(norm, batch_format="pandas")
+
+
+def dedup_external_ref(meta: rd.Dataset) -> rd.Dataset:
+    """D2 idempotent-ingest dedup: one row per external_ref, keeping the
+    earliest created_at (tie-break url) — deterministic under any
+    parallelism."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["created_at", "url"]).head(1)
+
+    return meta.groupby("external_ref").map_groups(pick, batch_format="pandas")
+
+
+def assign_unique_slugs(meta: rd.Dataset) -> rd.Dataset:
+    """D3 slug-uniqueness ranking: within each slug group, rank by
+    (created_at, url); rank 0 keeps the slug, rank k gets ``slug-k``."""
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["created_at", "url"]).reset_index(drop=True)
+        base = g["slug"].iloc[0]
+        g["slug"] = [base if i == 0 else f"{base}-{i}" for i in range(len(g))]
+        return g
+
+    return meta.groupby("slug").map_groups(rank, batch_format="pandas")
+
+
+def genre_counters(meta: rd.Dataset) -> pd.DataFrame:
+    """A4 denormalized counters, recomputed per run instead of mutable
+    increments (create.ts:161-241): explode the genres list, count docs
+    per genre."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = b[["url", "genres"]].explode("genres").dropna(subset=["genres"])
+        return rows.rename(columns={"genres": "genre"})
+
+    exploded = meta.map_batches(explode, batch_format="pandas").to_pandas()
+    out = exploded.groupby("genre", as_index=False).agg(n_books=("url", "nunique"))
+    return out.sort_values("genre").reset_index(drop=True)
+
+
+def validate_splits(meta: rd.Dataset, pages_per_url: pd.DataFrame) -> pd.DataFrame:
+    """M18 page-count invariant: every url's splits ranges must cover
+    exactly [0, n_pages) (apps/web/test.ts:105-131 cross-check).  Returns
+    rows that violate it (empty frame = all consistent)."""
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        spans = b["splits"].map(
+            lambda s: sum(r["end"] - r["start"] + 1 for r in s) if s is not None and len(s) else 0
+        )
+        out = b[["url"]].copy()
+        out["span_pages"] = spans
+        return out
+
+    spans = meta.map_batches(check, batch_format="pandas").to_pandas()
+    merged = spans.merge(pages_per_url, on="url", how="left")
+    bad = merged[merged["span_pages"] != merged["n_pages"]]
+    return bad.reset_index(drop=True)
+
+
+def catalog_ingest(meta: rd.Dataset) -> rd.Dataset:
+    """Full ingest chain (normalize -> dedup -> unique slugs)."""
+    return assign_unique_slugs(dedup_external_ref(normalize_records(meta)))

@@ -536,6 +536,56 @@ def q_extract_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_extract_pages(sf_dir: str) -> pd.DataFrame:
+    """Per-page extraction output with page_idx rank (FIXTURES.md §3 shape;
+    rows-only — deterministic, frozen by the golden tests)."""
+    from ..corpus import make_pages_table
+    from ..stages.reassemble import assign_page_idx
+    from .extraction import extract_pages_ds
+
+    pages = rd.from_arrow(make_pages_table(40))
+    out = assign_page_idx(extract_pages_ds(pages)).to_pandas()
+    out = out[["url", "page_idx", "header", "body", "footnotes", "page_number", "total_words", "failed_stage"]]
+    return out.sort_values(["url", "page_idx"]).reset_index(drop=True)
+
+
+def q_catalog_ingest(sf_dir: str) -> pd.DataFrame:
+    """Catalog metadata ingest chain (M10/M11/D2/D3; rows-only — the
+    sidecar table is synthesized, FIXTURES.md §2)."""
+    from ..corpus import make_docs_meta_table
+    from .catalog import catalog_ingest
+
+    meta = rd.from_arrow(make_docs_meta_table(60))
+    out = catalog_ingest(meta).to_pandas()
+    out = out[["url", "external_ref", "slug", "publisher", "publication_year"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def q_image_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: decode (stub codec) -> resize -> features over
+    a deterministic synthetic image table (rows-only)."""
+    import pyarrow as pa
+
+    from ..multimodal import decode_images, image_features, resize_images
+    from ..multimodal.decode import IMAGE_SCHEMA
+
+    n = 64
+    t = pa.table(
+        {
+            "media_id": pa.array([f"img{i:03d}" for i in range(n)], pa.string()),
+            "payload": pa.array([f"payload-{i}".encode() for i in range(n)], pa.binary()),
+            "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array([32 + (i % 8) * 4 for i in range(n)], pa.int32()),
+            "height": pa.array([24 + (i % 5) * 2 for i in range(n)], pa.int32()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+    ds = resize_images(decode_images(rd.from_arrow(t)), 16, 16)
+    out = image_features(ds).to_pandas()
+    out = out[["media_id", "phash"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -570,6 +620,9 @@ QUERIES = {
     "customer_slugs": q_customer_slugs,
     "hijri_order_years": q_hijri_order_years,
     "extract_docs": q_extract_docs,
+    "extract_pages": q_extract_pages,
+    "catalog_ingest": q_catalog_ingest,
+    "image_features": q_image_features,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
