@@ -116,3 +116,59 @@ def run_with_manifest(
         "rows": total_rows,
         "wall_s": round(time.monotonic() - t0, 3),
     }
+
+
+def _fragment_contains(path: str, urls: set[str]) -> bool:
+    """Check via parquet row-group statistics (no data read) whether a
+    fragment could contain any of the urls."""
+    md = pq.ParquetFile(path).metadata
+    col_idx = next(
+        (i for i in range(md.num_columns) if md.row_group(0).column(i).path_in_schema == "url"),
+        None,
+    )
+    if col_idx is None:
+        return True  # no stats -> assume yes
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(col_idx).statistics
+        if stats is None or stats.min is None:
+            return True
+        if any(stats.min <= u <= stats.max for u in urls):
+            return True
+    return False
+
+
+def redo_urls(
+    input_path: str,
+    output_dir: str,
+    urls: list[str],
+    pipeline_fn,
+    *,
+    fragments_per_part: int = 8,
+    columns: list[str] | None = None,
+) -> dict:
+    """D5 / §3.2 redo semantics: recompute exactly the partitions whose
+    input fragments may contain the given urls (located via parquet
+    row-group stats, no data read), atomically replacing their output
+    shards + manifest lines.  The reference's LIFO-priority redo job
+    becomes 'run the small recompute job first' (O4)."""
+    target = set(urls)
+    frags = _list_fragments(input_path)
+    groups = [frags[i : i + fragments_per_part] for i in range(0, len(frags), fragments_per_part)]
+    invalidated = 0
+    for pid, group in enumerate(groups):
+        if any(_fragment_contains(f, target) for f in group):
+            mpath = os.path.join(output_dir, "_manifest", f"part-{pid:05d}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+                invalidated += 1
+    result = run_with_manifest(
+        input_path,
+        output_dir,
+        pipeline_fn,
+        resume=True,
+        fragments_per_part=fragments_per_part,
+        columns=columns,
+    )
+    result["redone_parts"] = result["parts"] - result["skipped"]
+    result["invalidated"] = invalidated
+    return result
