@@ -37,6 +37,8 @@ _CTRL_RE = re.compile(
 
 def strip_html(text: str) -> str:
     """Remove markup tags, leaving a space at tag boundaries (M7)."""
+    if "<" not in text:
+        return text
     return _TAG_RE.sub(" ", text)
 
 
@@ -50,10 +52,12 @@ def count_words(text: str | None) -> int:
 def normalize_text(text: str) -> str:
     """Deterministic 'correct'-stage normalization (M1): NFC, strip control
     chars and soft hyphens, collapse horizontal whitespace, trim lines."""
-    t = unicodedata.normalize("NFC", text)
-    t = t.replace("­", "")  # soft hyphen
+    # NFC is the identity on ASCII; skipping it is the single biggest win
+    t = text if text.isascii() else unicodedata.normalize("NFC", text).replace("­", "")
     t = _CTRL_RE.sub("", t)
     t = _WS_RE.sub(" ", t)
+    if "\n" not in t:  # common case: single-line block text
+        return t.strip()
     lines = [ln.strip() for ln in t.split("\n")]
     t = "\n".join(lines).strip()
     return _MULTI_NL_RE.sub("\n\n", t)

@@ -536,6 +536,27 @@ def q_extract_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_pushdown_filter_read(sf_dir: str) -> rd.Dataset:
+    """S6 predicate-pushdown read (the Airtable filterByFormula analogue,
+    texts.airtable.ts:41-60): the filter expression is pushed into the
+    parquet scan so non-matching row groups never leave storage."""
+    import pyarrow.compute as pc_
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        filter=(pc_.field("o_orderpriority") == "1-URGENT") & (pc_.field("o_totalprice") > 200000.0),
+    )
+    return ds
+
+
+def q_first_error_event(sf_dir: str) -> pd.DataFrame:
+    """O5 'first unreviewed page' analogue: earliest event of a type."""
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    filt = ev.map_batches(lambda b: b[b["event_type"] == "error"], batch_format="pandas")
+    return filt.sort(["ts", "event_id"]).limit(1).to_pandas()[["event_id", "ts"]]
+
+
 def q_extract_pages(sf_dir: str) -> pd.DataFrame:
     """Per-page extraction output with page_idx rank (FIXTURES.md §3 shape;
     rows-only — deterministic, frozen by the golden tests)."""
@@ -619,6 +640,8 @@ QUERIES = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "customer_slugs": q_customer_slugs,
     "hijri_order_years": q_hijri_order_years,
+    "pushdown_filter_read": q_pushdown_filter_read,
+    "first_error_event": q_first_error_event,
     "extract_docs": q_extract_docs,
     "extract_pages": q_extract_pages,
     "catalog_ingest": q_catalog_ingest,
@@ -802,6 +825,14 @@ ORACLE_SQL = {
         "AS slug FROM customer"
     ),
     "hijri_order_years": _HIJRI_SQL,
+    "pushdown_filter_read": (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0"
+    ),
+    "first_error_event": (
+        "SELECT event_id, ts FROM events WHERE event_type = 'error' "
+        "ORDER BY ts, event_id LIMIT 1"
+    ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs
 }

@@ -108,9 +108,14 @@ def _tokenize_blocks(html: str) -> list[_Block]:
 def _inline_to_text(raw: str) -> tuple[str, float]:
     """Resolve inline markup inside a block: <sup>n</sup> -> [^n] footnote
     marks (convert-to-html.ts:15 contract), <a> text kept but measured for
-    link density.  Returns (clean_text, link_density)."""
-    link_chars = sum(len(_TAG_RE.sub("", g)) for g in _A_TEXT_RE.findall(raw))
-    t = _SUP_RE.sub(lambda m: f"[^{m.group(1)}]", raw)
+    link density.  Returns (clean_text, link_density).  Tag-free blocks
+    (the common case) skip every regex pass."""
+    if "<" not in raw:
+        return normalize_text(raw), 0.0
+    link_chars = (
+        sum(len(_TAG_RE.sub("", g)) for g in _A_TEXT_RE.findall(raw)) if "<a" in raw else 0
+    )
+    t = _SUP_RE.sub(lambda m: f"[^{m.group(1)}]", raw) if "<sup" in raw else raw
     t = _TAG_RE.sub(" ", t)
     t = normalize_text(t)
     total = max(1, len(t))
