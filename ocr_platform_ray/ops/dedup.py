@@ -47,7 +47,7 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        out["__h"] = _sha64(batch[content_col].to_numpy())
+        out["__h"] = _sha64(batch[content_col].to_numpy()).astype("int64")
         # in-batch combiner: collapse duplicates early, carry partial counts
         out["n_dups"] = 1
         agg = {c: "first" for c in out.columns if c not in (id_col, "n_dups", "__h")}
@@ -55,14 +55,29 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
         agg["n_dups"] = "sum"
         return out.sort_values(id_col).groupby("__h", as_index=False).agg(agg)
 
-    def pick_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        rep = g.iloc[[0]].copy()
-        rep["n_dups"] = int(g["n_dups"].sum())
-        return rep.drop(columns=["__h"])
+    from ray.data.aggregate import Min, Sum
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-    return hashed.groupby("__h").map_groups(pick_first, batch_format="pandas")
+    # native vectorized groupby (no per-group Python): hash -> (min id, count)
+    winners = hashed.groupby("__h").aggregate(
+        Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n")
+    ).to_pandas()
+    win_ref = ray.put(
+        {int(h): (int(m), int(n)) for h, m, n in zip(winners["__h"], winners["__min_id"], winners["__n"])}
+    )
+
+    def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        wins = cached_get(win_ref)
+        mask = [wins.get(int(h), (None,))[0] == i for h, i in zip(batch["__h"], batch[id_col])]
+        out = batch[pd.Series(mask, index=batch.index)].copy()
+        out["n_dups"] = [wins[int(h)][1] for h in out["__h"]]
+        return out.drop(columns=["__h"])
+
+    # scale note: the winners map is |distinct contents| entries — broadcast
+    # works to ~10^8; beyond that swap this probe for a bucketed join on __h.
+    return hashed.map_batches(keep_winners, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -125,52 +140,70 @@ def minhash_lsh_duplicates(
     Candidate generation is one groupby over (band, band_hash) buckets."""
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(
-        _MinHashSig,
-        fn_constructor_args=(text_col, id_col, num_perm, shingle_k),
-        batch_format="pandas",
-        concurrency=(1, 8),
+        _MinHashSig(text_col, id_col, num_perm, shingle_k), batch_format="pandas"
     )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for i, sig in zip(batch[id_col], batch["sig"]):
+        # candidate generation carries ONLY (id, band, band_hash) through the
+        # shuffle — signatures stay out of the exchange (object-dtype sig
+        # columns through a groupby cost more than the whole computation)
+        n = len(batch)
+        ids = np.repeat(batch[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands), n)
+        bhs = np.empty(n * bands, dtype=np.int64)
+        for r, sig in enumerate(batch["sig"]):
             sig = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(hashlib.sha1(chunk.tobytes()).digest()[:8], "big"))
-                sigs.append(sig)
-        return pd.DataFrame({id_col: ids, "band": band_ids, "bh": band_hashes, "sig": sigs})
+                bhs[r * bands + b] = int.from_bytes(
+                    hashlib.sha1(chunk.tobytes()).digest()[:8], "big"
+                ) >> 1
+        return pd.DataFrame({id_col: ids, "band": band_ids, "bh": bhs})
 
     exploded = sig_ds.map_batches(explode_bands, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = list(g["sig"])
-        out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sim = float(np.mean(np.asarray(sigs[i]) == np.asarray(sigs[j])))
-                if sim >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    est.append(sim)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+            return pd.DataFrame({"id_a": [], "id_b": [], "n": []})
+        ids = np.sort(g[id_col].to_numpy())
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "n": 1})
 
-    pairs = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
-    # same pair can surface from multiple bands -> dedupe
-    return (
-        pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"]
-        .max()
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    cand = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "est_jaccard": pd.Series(dtype="float64"),
+        }
     )
+    if cand.empty:
+        return empty
+    pairs = cand[["id_a", "id_b"]].drop_duplicates()
+
+    # verification: fetch signatures of involved ids only (rare relative to
+    # the corpus) and compare component-wise.  Scale path: replace this
+    # broadcast fetch with a bucketed join of pairs against sig_ds on id.
+    involved = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
+    inv_ref = ray.put(involved)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        return batch[batch[id_col].isin(cached_get(inv_ref))]
+
+    sig_small = sig_ds.map_batches(pick, batch_format="pandas").to_pandas()
+    sig_map = {i: np.asarray(s, dtype=np.uint64) for i, s in zip(sig_small[id_col], sig_small["sig"])}
+    est = np.array(
+        [float(np.mean(sig_map[a] == sig_map[b])) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    )
+    out = pairs.assign(est_jaccard=est)
+    out = out[out["est_jaccard"] >= threshold]
+    if out.empty:
+        return empty
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -271,11 +304,11 @@ def embedding_cosine_pairs(
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, m))
 
-    class Block:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+    from ..state.broadcast import cached_get
 
+    class Block:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            self.ids, self.m = cached_get(ref)
             q = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             sims = q @ self.m.T
@@ -285,7 +318,7 @@ def embedding_cosine_pairs(
             keep = a < b  # dedupe + drop self-pairs
             return pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cosine": s[keep]})
 
-    pairs = ds.map_batches(Block, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    pairs = ds.map_batches(Block(), batch_format="pandas").to_pandas()
     if pairs.empty:
         return pd.DataFrame(
             {

@@ -31,11 +31,14 @@ import ray.data as rd
 # --------------------------------------------------------------------------
 class _BroadcastJoin:
     def __init__(self, small_ref, on: str, how: str, suffix: str):
-        self.small: pd.DataFrame = ray.get(small_ref)
+        self.small_ref = small_ref
         self.on, self.how, self.suffix = on, how, suffix
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+        from ..state.broadcast import cached_get
+
+        small: pd.DataFrame = cached_get(self.small_ref)
+        return batch.merge(small, on=self.on, how=self.how, suffixes=("", self.suffix))
 
 
 def broadcast_hash_join(
@@ -52,11 +55,7 @@ def broadcast_hash_join(
     small_df = small if isinstance(small, pd.DataFrame) else small.to_pandas()
     ref = ray.put(small_df)
     return large.map_batches(
-        _BroadcastJoin,
-        fn_constructor_args=(ref, on, how, suffix),
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, 8),
+        _BroadcastJoin(ref, on, how, suffix), batch_format="pandas", batch_size=batch_size
     )
 
 
@@ -115,11 +114,13 @@ def bucketed_hash_join(
 # --------------------------------------------------------------------------
 class _KeyFilter:
     def __init__(self, keys_ref, on: str, keep_in: bool):
-        self.keys = ray.get(keys_ref)
+        self.keys_ref = keys_ref
         self.on, self.keep_in = on, keep_in
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mask = batch[self.on].isin(self.keys)
+        from ..state.broadcast import cached_get
+
+        mask = batch[self.on].isin(cached_get(self.keys_ref))
         return batch[mask if self.keep_in else ~mask]
 
 
@@ -133,18 +134,14 @@ def _key_set_ref(keys: rd.Dataset, on: str):
 def semi_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
     """Rows of ``ds`` whose key appears in ``keys`` (J6 semi-filter)."""
     ref = _key_set_ref(keys, on)
-    return ds.map_batches(
-        _KeyFilter, fn_constructor_args=(ref, on, True), batch_format="pandas", concurrency=(1, 8)
-    )
+    return ds.map_batches(_KeyFilter(ref, on, True), batch_format="pandas")
 
 
 def anti_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
     """Rows of ``ds`` whose key does NOT appear in ``keys`` (the
     ``AdvancedGenreToBook: {none:{}}`` anti-filter, J6)."""
     ref = _key_set_ref(keys, on)
-    return ds.map_batches(
-        _KeyFilter, fn_constructor_args=(ref, on, False), batch_format="pandas", concurrency=(1, 8)
-    )
+    return ds.map_batches(_KeyFilter(ref, on, False), batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

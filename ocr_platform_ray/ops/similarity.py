@@ -21,12 +21,15 @@ def _as_matrix(col) -> np.ndarray:
 
 class _BruteForceScore:
     def __init__(self, queries_ref, emb_col: str, id_col: str, k: int):
-        self.q = ray.get(queries_ref)  # (n_queries, dim) normalized
+        self.q_ref = queries_ref
         self.emb_col, self.id_col, self.k = emb_col, id_col, k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        q = cached_get(self.q_ref)  # (n_queries, dim) normalized
         m = _as_matrix(batch[self.emb_col])
-        sims = self.q @ m.T  # (n_queries, batch)
+        sims = q @ m.T  # (n_queries, batch)
         ids = batch[self.id_col].to_numpy()
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -55,10 +58,7 @@ def knn_brute_force(
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     ref = ray.put(q)
     cand = ds.map_batches(
-        _BruteForceScore,
-        fn_constructor_args=(ref, emb_col, id_col, k),
-        batch_format="pandas",
-        concurrency=(1, 8),
+        _BruteForceScore(ref, emb_col, id_col, k), batch_format="pandas"
     ).to_pandas()
     out = (
         cand.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
@@ -112,12 +112,12 @@ def knn_lsh(
     q_ref = ray.put(q)
 
     class Probe:
-        def __init__(self):
-            self.probe = ray.get(probe_ref)
-            self.planes = ray.get(planes_ref)
-            self.q = ray.get(q_ref)
-
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            from ..state.broadcast import cached_get
+
+            self.probe = cached_get(probe_ref)
+            self.planes = cached_get(planes_ref)
+            self.q = cached_get(q_ref)
             m = _as_matrix(batch[emb_col])
             bk = bucket_ids(m, self.planes)
             mask = np.fromiter((int(b) in self.probe for b in bk), bool, len(bk))
@@ -135,7 +135,7 @@ def knn_lsh(
                 }
             )
 
-    cand = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    cand = ds.map_batches(Probe(), batch_format="pandas").to_pandas()
     if cand.empty:
         return cand
     return (

@@ -98,9 +98,7 @@ class LangId:
 
 
 def langid_scores(ds: rd.Dataset, text_col: str = "text", *, concurrency=(1, 8)) -> rd.Dataset:
-    return ds.map_batches(
-        LangId, fn_constructor_args=(text_col,), batch_format="pandas", concurrency=concurrency
-    )
+    return ds.map_batches(LangId(text_col), batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

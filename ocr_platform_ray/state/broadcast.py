@@ -20,6 +20,23 @@ def broadcast(obj: Any) -> "ray.ObjectRef":
     return ray.put(obj)
 
 
+_GET_CACHE: dict = {}
+
+
+def cached_get(ref: "ray.ObjectRef") -> Any:
+    """``ray.get`` with a per-worker deserialization cache.
+
+    Lets STATELESS map_batches stages (plain callable instances — no actor
+    pool, so no per-execution pool spin-up) still pay the broadcast
+    deserialization only once per worker: Ray caches the deserialized task
+    closure per worker, so this module-level dict persists across that
+    closure's batches."""
+    key = ref.hex()
+    if key not in _GET_CACHE:
+        _GET_CACHE[key] = ray.get(ref)
+    return _GET_CACHE[key]
+
+
 class BroadcastLookup:
     """Callable-class template for broadcast-probe stages: resolve the
     ObjectRef once per actor in ``__init__``, probe per batch in
