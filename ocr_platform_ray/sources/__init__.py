@@ -1,0 +1,7 @@
+"""Sources / ingest (SURVEY.md §2.1 S1-S6)."""
+
+from .ingest import (  # noqa: F401
+    ingest_raw_html,
+    page_count_probe,
+    partition_pages_by_url,
+)

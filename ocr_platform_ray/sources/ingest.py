@@ -1,0 +1,103 @@
+"""Ingest jobs: raw files -> pages table, page-count probes, and the
+url-hash repartition that establishes the partitioned layout invariant.
+
+Reference parity (SURVEY.md §2.1):
+  S1  PDF fetch+parse (ocr.ts:20-33)    -> ``ingest_raw_html``: bytes are a
+      binary column from ``read_binary_files`` — no per-row fetch.
+  S2  page-count probe (ocr.ts:35-38)   -> ``page_count_probe``: metadata
+      aggregate (groupby(url).count with in-batch combiner).
+  S7  row sink (page/worker.ts:68-97)   -> ``partition_pages_by_url``:
+      write-once url-hash-partitioned shards.
+
+``partition_pages_by_url`` is the north rule's "explicit repartitioning by
+url hash": ONE all-to-all exchange that lays arbitrary input out so every
+url's pages are colocated in exactly one shard.  After it, the shuffle-free
+extraction path (reassemble_docs_partitioned) and partition-granular
+resume/redo apply to any corpus, and every later stage reuses the same
+partitioning key (SURVEY.md §4 "pick ONE partitioning key").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def ingest_raw_html(paths: list[str] | str, *, default_lang: str = "") -> rd.Dataset:
+    """Raw .html files on disk/object store -> pages-table rows.  The file
+    mtime stands in for ``warc_ts`` (capture time); path is the url key."""
+    import datetime
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        mtimes = [
+            datetime.datetime.utcfromtimestamp(int(os.stat(p).st_mtime)) for p in batch["path"]
+        ]
+        return pd.DataFrame(
+            {
+                "url": ["file://" + p for p in batch["path"]],
+                "warc_ts": mtimes,
+                "html": batch["bytes"],
+                "text": ["" for _ in mtimes],
+                "lang": [default_lang for _ in mtimes],
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pandas")
+
+
+def page_count_probe(pages: rd.Dataset) -> pd.DataFrame:
+    """S2/A3: pages per url, pre-aggregated in-batch so the shuffle moves
+    one partial row per (url, batch) — also the completeness check (M18)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("url", as_index=False).agg(n_pages=("url", "size"))
+
+    partials = pages.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("url", as_index=False).agg(n_pages=("n_pages", "sum"))
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def partition_pages_by_url(
+    pages: rd.Dataset,
+    out_dir: str,
+    *,
+    n_shards: int = 64,
+) -> list[str]:
+    """The ONE ingest shuffle: hash(url) % n_shards -> one parquet shard per
+    bucket, written atomically.  Guarantees every url's pages live in
+    exactly one shard file, so downstream extraction runs shuffle-free and
+    resume/redo operate at shard granularity.
+
+    Skew note: a single url bigger than a worker's heap needs
+    stages.skew.explode_oversized BEFORE this (its chunks share the url and
+    still colocate); hot-url salting is not needed because the invariant is
+    per-url locality, not shard balance — imbalance only costs shard-size
+    variance, bounded by max-url-size."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = pd.util.hash_array(b["url"].to_numpy()) % n_shards
+        return out
+
+    bucketed = pages.map_batches(add_bucket, batch_format="pandas")
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["__shard"].iloc[0])
+        g = g.drop(columns="__shard").sort_values(["url", "warc_ts"])
+        path = os.path.join(out_dir, f"pages-{sid:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pd.DataFrame({"path": [path], "rows": [len(g)]})
+
+    manifest = (
+        bucketed.groupby("__shard").map_groups(write_shard, batch_format="pandas").to_pandas()
+    )
+    return sorted(manifest["path"])
