@@ -39,7 +39,7 @@ from ..corpus import FAKEPDF_MAGIC
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
 _BLOCK_TOKEN_RE = re.compile(
-    r"<(/?)(h[1-6]|p|div|nav|aside|section|article|header|footer|ul|ol|li|table|tr|td|blockquote|hr|br)\b[^>]*(/?)>",
+    r"<(/?)(h[1-6]|p|div|nav|aside|section|article|header|footer|ul|ol|li|table|tr|td|blockquote|hr|br)\b([^>]*?)(/?)>",
     re.I,
 )
 _CLASS_RE = re.compile(r'class\s*=\s*["\']([^"\']*)["\']', re.I)
@@ -72,36 +72,43 @@ def _tokenize_blocks(html: str) -> list[_Block]:
     blocks: list[_Block] = []
     # stack entries: [tag, cls, buffer_parts]
     stack: list[list] = []
-    pos = 0
-    for m in _BLOCK_TOKEN_RE.finditer(html):
-        text_between = html[pos : m.start()]
-        if stack and text_between:
-            stack[-1][2].append(text_between)
-        pos = m.end()
-        closing, tag, selfclose = m.group(1), m.group(2).lower(), m.group(3)
+    # one C-level split instead of a finditer loop with per-match group()
+    # calls: parts = [lead, closing, tag, attrs, selfclose, between, ...]
+    parts = _BLOCK_TOKEN_RE.split(html)
+    i = 1
+    n = len(parts)
+    while i < n:
+        closing, tag, attrs, selfclose = parts[i], parts[i + 1], parts[i + 2], parts[i + 3]
+        text_after = parts[i + 4]
+        i += 5
+        tag = tag.lower()
         if tag == "br":
             if stack:
                 stack[-1][2].append("\n")
-            continue
-        if tag == "hr":
+        elif tag == "hr":
             blocks.append(_Block("hr", "", ""))
-            continue
-        if closing:
+        elif closing:
             # pop to matching tag (tolerate mismatches)
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i][0] == tag:
-                    while len(stack) > i:
-                        t, c, parts = stack.pop()
-                        blocks.append(_Block(t, c, "".join(parts)))
+            for j in range(len(stack) - 1, -1, -1):
+                if stack[j][0] == tag:
+                    while len(stack) > j:
+                        t, c, buf = stack.pop()
+                        blocks.append(_Block(t, c, "".join(buf)))
                     break
         elif selfclose:
-            continue
+            pass
         else:
-            cm = _CLASS_RE.search(m.group(0))
-            stack.append([tag, cm.group(1).lower() if cm else "", []])
+            if attrs and "class" in attrs:
+                cm = _CLASS_RE.search(attrs)
+                cls = cm.group(1).lower() if cm else ""
+            else:
+                cls = ""
+            stack.append([tag, cls, []])
+        if stack and text_after:
+            stack[-1][2].append(text_after)
     while stack:  # unclosed at EOF
-        t, c, parts = stack.pop()
-        blocks.append(_Block(t, c, "".join(parts)))
+        t, c, buf = stack.pop()
+        blocks.append(_Block(t, c, "".join(buf)))
     return blocks
 
 
