@@ -56,16 +56,40 @@ def _doc_from_group(group: pa.Table) -> pa.Table:
     )
 
 
-def reassemble_docs(pages_ds):
+def reassemble_docs(pages_ds, *, n_shards: int = 64):
     """pages-extraction Dataset -> per-document Dataset (DOC_OUT_SCHEMA).
 
-    The general-input path — the one required shuffle (SURVEY.md §4):
-    ``groupby(url)`` guarantees each group is complete regardless of input
-    layout.  (A sort-then-block-scan variant was measured faster but split
-    urls at reduce-block boundaries — kept out for correctness; for
-    url-partitioned layouts use ``reassemble_docs_partitioned``, which is
-    both exact and shuffle-free.)"""
-    return pages_ds.groupby("url").map_groups(_doc_from_group, batch_format="pyarrow")
+    The general-input path — the one required shuffle (SURVEY.md §4),
+    expressed as an explicit url-HASH exchange: a small ``__shard =
+    hash(url) % n_shards`` key is shuffled instead of the url itself, and
+    each shard group (guaranteed to hold every page of its urls) is
+    reassembled with the vectorized block scanner.  Compared to
+    ``groupby("url").map_groups`` this makes n_shards per-group calls
+    instead of one per url (~1.6 ms of table construction each — dominant
+    at millions of urls).
+
+    ``n_shards`` bounds reduce-task granularity: size it ≳ cluster cores;
+    shard payload ≈ corpus_extracted_bytes / n_shards must fit a worker.
+
+    (A sort-then-block-scan variant was measured faster still but split
+    urls at reduce-block boundaries — rejected for correctness.  For
+    url-partitioned layouts use ``reassemble_docs_partitioned``: exact and
+    shuffle-free.)"""
+    import numpy as np
+    import pandas as pd
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        # stay in Arrow: a pandas roundtrip would mangle the nested
+        # spans/flags columns (object-dtype ndarrays)
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        shard = (pd.util.hash_array(urls) % n_shards).astype("int64")
+        return batch.append_column("__shard", pa.array(shard, pa.int64()))
+
+    def shard_docs(group: pa.Table) -> pa.Table:
+        return _docs_from_block(group.drop_columns(["__shard"]))
+
+    sharded = pages_ds.map_batches(add_shard, batch_format="pyarrow")
+    return sharded.groupby("__shard").map_groups(shard_docs, batch_format="pyarrow")
 
 
 def _rank_group(group: pa.Table) -> pa.Table:
