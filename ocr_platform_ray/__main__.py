@@ -1,0 +1,125 @@
+"""CLI entry points — the operational surface a user of the reference's
+queue/HTTP endpoints would switch to (SURVEY.md §3: POST /book/ocr ->
+``extract``; POST /page/:id/ocr redo -> ``redo``; upload/ingest ->
+``repartition``).
+
+    python -m ocr_platform_ray extract --input DIR --output DIR [--no-resume]
+    python -m ocr_platform_ray repartition --input DIR --output DIR [--shards N]
+    python -m ocr_platform_ray redo --input DIR --output DIR --url URL [--url ...]
+    python -m ocr_platform_ray probe --input DIR
+    python -m ocr_platform_ray gen-corpus --output DIR --urls N
+
+Owns the Ray session (guarded init / shutdown) — the only place in the
+package besides bench.py that does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr_platform_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the flagship extraction job (resumable)")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--fragments-per-part", type=int, default=8)
+
+    rp = sub.add_parser("repartition", help="url-hash repartition a pages table")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--output", required=True)
+    rp.add_argument("--shards", type=int, default=64)
+
+    rd_ = sub.add_parser("redo", help="recompute partitions containing the given urls")
+    rd_.add_argument("--input", required=True)
+    rd_.add_argument("--output", required=True)
+    rd_.add_argument("--url", action="append", required=True)
+    rd_.add_argument("--fragments-per-part", type=int, default=8)
+
+    pr = sub.add_parser("probe", help="page counts per url")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--limit", type=int, default=20)
+
+    gc = sub.add_parser("gen-corpus", help="write the deterministic synthetic pages corpus")
+    gc.add_argument("--output", required=True)
+    gc.add_argument("--urls", type=int, default=1000)
+    gc.add_argument("--urls-per-shard", type=int, default=250)
+
+    args = p.parse_args(argv)
+    ray = _ray_session()
+    try:
+        if args.cmd == "extract":
+            from .pipelines.extraction import run_extraction
+
+            res = run_extraction(
+                args.input,
+                args.output,
+                resume=not args.no_resume,
+                fragments_per_part=args.fragments_per_part,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "repartition":
+            import ray.data as rdata
+
+            from .sources.ingest import partition_pages_by_url
+
+            paths = partition_pages_by_url(
+                rdata.read_parquet(args.input), args.output, n_shards=args.shards
+            )
+            print(json.dumps({"shards": len(paths)}))
+        elif args.cmd == "redo":
+            from .pipelines.extraction import PAGE_COLUMNS, extraction_pipeline
+            from .state.manifest import redo_urls
+
+            res = redo_urls(
+                args.input,
+                args.output,
+                args.url,
+                extraction_pipeline,
+                fragments_per_part=args.fragments_per_part,
+                columns=PAGE_COLUMNS,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "probe":
+            import ray.data as rdata
+
+            from .sources.ingest import page_count_probe
+
+            out = page_count_probe(rdata.read_parquet(args.input))
+            print(out.head(args.limit).to_string())
+            print(f"... {len(out)} urls total")
+        elif args.cmd == "gen-corpus":
+            from .corpus import write_pages_parquet
+
+            paths = write_pages_parquet(
+                args.output, args.urls, urls_per_shard=args.urls_per_shard
+            )
+            print(json.dumps({"shards": len(paths), "urls": args.urls}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

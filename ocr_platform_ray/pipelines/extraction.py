@@ -80,15 +80,27 @@ def run_extraction(
     *,
     concurrency: int | tuple[int, int] | None = None,
     resume: bool = True,
+    fragments_per_part: int = 8,
+    max_blob_bytes: int | None = None,
 ) -> dict:
     """Materializing entry point with resumable partitioned output
     (checkpoint manifest, SURVEY.md §4): skips input fragments whose
-    partition is already committed."""
+    partition is already committed.  ``max_blob_bytes`` enables the
+    oversized-payload splitter pre-pass (stages.skew)."""
     from ..state.manifest import run_with_manifest
+
+    def pipe(ds: rd.Dataset) -> rd.Dataset:
+        if max_blob_bytes is not None:
+            from ..stages.skew import explode_oversized
+
+            ds = explode_oversized(ds, max_bytes=max_blob_bytes)
+        return extraction_pipeline(ds, concurrency=concurrency)
 
     return run_with_manifest(
         input_path,
         output_dir,
-        lambda ds: extraction_pipeline(ds, concurrency=concurrency),
+        pipe,
         resume=resume,
+        fragments_per_part=fragments_per_part,
+        columns=PAGE_COLUMNS,
     )
