@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_URLS = int(os.environ.get("BENCH_URLS", "12000"))
+BENCH_URLS = int(os.environ.get("BENCH_URLS", "24000"))
 CORPUS_DIR = f"/tmp/ocr_bench_corpus_{BENCH_URLS}"
 
 # queries worth timing (mix of shuffle-heavy, join, dedup, vector)

@@ -17,6 +17,8 @@ from .dedup import (  # noqa: F401
     simhash_buckets,
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
+    dup_clusters,
+    dedup_keep_representatives,
 )
 from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
 from .similarity import knn_brute_force, knn_lsh  # noqa: F401

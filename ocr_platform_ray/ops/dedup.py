@@ -29,6 +29,10 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+# module-top so pickle-by-value captures it (lazy relative imports fail in
+# workers that can't import the package from disk)
+from ..state.broadcast import cached_get
+
 # --------------------------------------------------------------------------
 # Exact dedup (D1/D2)
 # --------------------------------------------------------------------------
@@ -67,8 +71,6 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     )
 
     def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
         wins = cached_get(win_ref)
         mask = [wins.get(int(h), (None,))[0] == i for h, i in zip(batch["__h"], batch[id_col])]
         out = batch[pd.Series(mask, index=batch.index)].copy()
@@ -188,8 +190,6 @@ def minhash_lsh_duplicates(
     inv_ref = ray.put(involved)
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
         return batch[batch[id_col].isin(cached_get(inv_ref))]
 
     sig_small = sig_ds.map_batches(pick, batch_format="pandas").to_pandas()
@@ -285,6 +285,56 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Duplicate-cluster resolution (pairs -> clusters -> representatives)
+# --------------------------------------------------------------------------
+def dup_clusters(pairs: pd.DataFrame, *, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Connected components over a near-dup pair list -> (id, cluster_id)
+    with cluster_id = min member id (deterministic).
+
+    The pair list is orders of magnitude smaller than the corpus (only
+    near-dups), so union-find on the driver is the right tool here; if the
+    pair set itself outgrew one machine, run rounds of min-label
+    propagation: explode pairs both ways -> groupby(id).min(label) ->
+    rebroadcast until fixpoint (ray_guide near-dup note)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id -> deterministic representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = sorted(set(pairs[id_a]) | set(pairs[id_b]))
+    return pd.DataFrame({"id": ids, "cluster_id": [find(i) for i in ids]})
+
+
+def dedup_keep_representatives(
+    ds: rd.Dataset, pairs: pd.DataFrame, id_col: str
+) -> rd.Dataset:
+    """Drop every near-dup cluster member except the minimum-id
+    representative: broadcast the (small) losers set, filter per batch.
+    Composes with any pair source (minhash / simhash / ngram / cosine)."""
+    if pairs.empty:
+        return ds
+    clusters = dup_clusters(pairs)
+    losers = frozenset(clusters.loc[clusters["id"] != clusters["cluster_id"], "id"])
+    ref = ray.put(losers)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[id_col].isin(cached_get(ref))]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # Embedding cosine near-dup
 # --------------------------------------------------------------------------
 def embedding_cosine_pairs(
@@ -303,8 +353,6 @@ def embedding_cosine_pairs(
     m = np.stack(full[emb_col].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, m))
-
-    from ..state.broadcast import cached_get
 
     class Block:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

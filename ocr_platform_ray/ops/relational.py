@@ -25,6 +25,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+# imported at module top so pickle-by-value captures it — a lazy relative
+# import inside a worker-executed body would fail on workers that cannot
+# import the package from disk (foreign-cwd drivers)
+from ..state.broadcast import cached_get
+
 
 # --------------------------------------------------------------------------
 # Broadcast hash join (small build side)
@@ -35,8 +40,6 @@ class _BroadcastJoin:
         self.on, self.how, self.suffix = on, how, suffix
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
         small: pd.DataFrame = cached_get(self.small_ref)
         return batch.merge(small, on=self.on, how=self.how, suffixes=("", self.suffix))
 
@@ -118,8 +121,6 @@ class _KeyFilter:
         self.on, self.keep_in = on, keep_in
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
         mask = batch[self.on].isin(cached_get(self.keys_ref))
         return batch[mask if self.keep_in else ~mask]
 

@@ -13,6 +13,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..state.broadcast import cached_get
+
 
 def _as_matrix(col) -> np.ndarray:
     m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
@@ -25,8 +27,6 @@ class _BruteForceScore:
         self.emb_col, self.id_col, self.k = emb_col, id_col, k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
         q = cached_get(self.q_ref)  # (n_queries, dim) normalized
         m = _as_matrix(batch[self.emb_col])
         sims = q @ m.T  # (n_queries, batch)
@@ -113,8 +113,6 @@ def knn_lsh(
 
     class Probe:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            from ..state.broadcast import cached_get
-
             self.probe = cached_get(probe_ref)
             self.planes = cached_get(planes_ref)
             self.q = cached_get(q_ref)

@@ -183,6 +183,18 @@ def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_near_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
+    keep the min-id representative per cluster (rows-only: cluster
+    resolution is iterative, not SQL-expressible)."""
+    from ..ops.dedup import dedup_keep_representatives, minhash_lsh_duplicates
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.9)
+    kept = dedup_keep_representatives(ds, pairs, "doc_id").to_pandas()
+    return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -620,6 +632,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "near_dedup_docs": q_near_dedup_docs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprints": q_doc_fingerprints,
     "langid_pred": q_langid_pred,

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..schemas import DOC_OUT_SCHEMA
+
 PAGE_SEP = "\n\x0c\n"  # form feed between pages
 
 
@@ -111,8 +113,6 @@ def _docs_from_block(batch: pa.Table) -> pa.Table:
     (url, warc_ts) first, so output is deterministic).  Builds ONE output
     table from flat Python lists — per-url pa.table construction costs
     ~1.6ms/url, which dominated the stage before this vectorization."""
-    from ..schemas import DOC_OUT_SCHEMA
-
     if batch.num_rows == 0:
         return DOC_OUT_SCHEMA.empty_table()
     order = pc.sort_indices(

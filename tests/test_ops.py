@@ -251,3 +251,29 @@ class TestTextStats:
         out = doc_fingerprint(rd.from_pandas(df), "text").to_pandas().set_index("doc_id")
         assert out.loc[0, "fp_digest"] == out.loc[1, "fp_digest"]  # ws-normalized
         assert out.loc[0, "fp_digest"] != out.loc[2, "fp_digest"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupClusters:
+    def test_transitive_clustering_and_representatives(self, docs_df):
+        from ocr_platform_ray.ops.dedup import dedup_keep_representatives, dup_clusters
+
+        pairs = pd.DataFrame({"id_a": [3, 10, 5, 20], "id_b": [10, 11, 12, 21]})
+        clusters = dup_clusters(pairs)
+        by_id = clusters.set_index("id")["cluster_id"]
+        # transitivity: 3-10 and 10-11 -> one cluster with min-id rep 3
+        assert by_id[3] == by_id[10] == by_id[11] == 3
+        assert by_id[5] == by_id[12] == 5
+        assert by_id[20] == by_id[21] == 20
+
+        ds = rd.from_pandas(docs_df)
+        kept = dedup_keep_representatives(ds, pairs, "doc_id").to_pandas()
+        dropped = set(docs_df.doc_id) - set(kept.doc_id)
+        assert dropped == {10, 11, 12, 21}
+
+    def test_empty_pairs_noop(self, docs_df):
+        from ocr_platform_ray.ops.dedup import dedup_keep_representatives
+
+        ds = rd.from_pandas(docs_df)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        assert dedup_keep_representatives(ds, empty, "doc_id").count() == len(docs_df)
