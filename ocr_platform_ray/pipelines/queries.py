@@ -548,6 +548,40 @@ def q_extract_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_dataset_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment — a training-data staple:
+    split by key arithmetic (stable under any parallelism; mirrored in
+    SQL), then per-split counts."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["doc_id"] % 10
+        split = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+        return pd.DataFrame({"doc_id": b["doc_id"], "split": split})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("split", as_index=False).agg(n_docs=("doc_id", "size"))
+
+    parts = assigned.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("split", as_index=False).agg(n_docs=("n_docs", "sum"))
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def q_union_sources(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union coverage: two filtered streams unioned, then counted."""
+    a = _t(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda b: b[b["lang"] == "en"], batch_format="pandas"
+    )
+    b = _t(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda b: b[b["lang"] == "es"], batch_format="pandas"
+    )
+    u = a.union(b)
+    out = u.to_pandas().groupby("lang", as_index=False).agg(n_docs=("doc_id", "size"))
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_pushdown_filter_read(sf_dir: str) -> rd.Dataset:
     """S6 predicate-pushdown read (the Airtable filterByFormula analogue,
     texts.airtable.ts:41-60): the filter expression is pushed into the
@@ -655,6 +689,8 @@ QUERIES = {
     "hijri_order_years": q_hijri_order_years,
     "pushdown_filter_read": q_pushdown_filter_read,
     "first_error_event": q_first_error_event,
+    "dataset_split": q_dataset_split,
+    "union_sources": q_union_sources,
     "extract_docs": q_extract_docs,
     "extract_pages": q_extract_pages,
     "catalog_ingest": q_catalog_ingest,
@@ -845,6 +881,16 @@ ORACLE_SQL = {
     "first_error_event": (
         "SELECT event_id, ts FROM events WHERE event_type = 'error' "
         "ORDER BY ts, event_id LIMIT 1"
+    ),
+    "dataset_split": (
+        "SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' "
+        "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1"
+    ),
+    "union_sources": (
+        "SELECT lang, COUNT(*) AS n_docs FROM ("
+        "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
+        "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'es') GROUP BY lang"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs
