@@ -44,7 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--input", required=True)
     ex.add_argument("--output", required=True)
     ex.add_argument("--no-resume", action="store_true")
-    ex.add_argument("--fragments-per-part", type=int, default=8)
+    ex.add_argument("--fragments-per-part", type=int, default=64)
+    ex.add_argument(
+        "--partitioned",
+        action="store_true",
+        help="input layout is url-ranged/hash-sharded: shuffle-free reassembly",
+    )
 
     rp = sub.add_parser("repartition", help="url-hash repartition a pages table")
     rp.add_argument("--input", required=True)
@@ -77,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 resume=not args.no_resume,
                 fragments_per_part=args.fragments_per_part,
+                partitioned_input=args.partitioned,
             )
             print(json.dumps(res))
         elif args.cmd == "repartition":

@@ -71,9 +71,16 @@ def run_with_manifest(
     resume: bool = True,
     fragments_per_part: int = 8,
     columns: list[str] | None = None,
+    file_aligned_blocks: bool = False,
 ) -> dict:
     """Run ``pipeline_fn(read_parquet(fragment_group))`` per partition with
     atomic publish (write to ``part-NNNNN.tmp`` dir, rename) + manifest.
+
+    ``file_aligned_blocks=True`` forces one read block per fragment file
+    (``override_num_blocks=len(group)``) — required when ``pipeline_fn``
+    uses the shuffle-free url-partitioned reassembly, whose precondition is
+    that no file is split across blocks.  Size ``fragments_per_part``
+    accordingly (>= cluster cores for full within-part parallelism).
 
     Returns {"parts", "skipped", "rows", "wall_s"}."""
     frags = _list_fragments(input_path)
@@ -94,7 +101,10 @@ def run_with_manifest(
             if os.path.exists(d):
                 shutil.rmtree(d)  # incomplete earlier attempt -> recompute
         tp = time.monotonic()
-        ds = rd.read_parquet(group, columns=columns)
+        read_kwargs: dict = {"columns": columns}
+        if file_aligned_blocks:
+            read_kwargs["override_num_blocks"] = len(group)
+        ds = rd.read_parquet(group, **read_kwargs)
         pipeline_fn(ds).write_parquet(tmp_dir)
         os.replace(tmp_dir, part_dir)  # atomic publish
         rows, crc = _url_checksum(part_dir)
