@@ -21,5 +21,5 @@ from .dedup import (  # noqa: F401
     dedup_keep_representatives,
 )
 from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
-from .similarity import knn_brute_force, knn_lsh  # noqa: F401
+from .similarity import knn_brute_force, knn_lsh, knn_ivf, train_ivf_centroids  # noqa: F401
 from .windows import time_bucket_agg, sessionize  # noqa: F401

@@ -142,3 +142,102 @@ def knn_lsh(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means cells, probe the nearest n_probe
+# ---------------------------------------------------------------------------
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 10,
+    sample_limit: int = 20000,
+    seed: int = 23,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means on a size-capped head sample
+    (fixed seed init, fixed iteration count, cosine/IP metric on normalized
+    vectors).  At corpus scale the sample is a `random_sample(frac, seed)`;
+    training stays driver-side because centroids are tiny."""
+    sample = _as_matrix(ds.limit(sample_limit).to_pandas()[emb_col])
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF ANN: assign every row to its nearest centroid cell, score only
+    rows whose cell is among each query's ``n_probe`` nearest cells.  The
+    centroid matrix is broadcast once; per batch this is two matmuls + a
+    mask.  Same output schema as knn_brute_force; recall grows with
+    n_probe/n_cells (measured against brute force in tests).
+
+    Scale path note: at 10^12 rows the cell assignment becomes a persisted
+    column (partition by cell at ingest) so probing reads only matching
+    partitions; here the filter is computed on the fly."""
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, emb_col=emb_col, n_cells=n_cells)
+    n_probe = min(n_probe, len(centroids))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_cells = frozenset(q_cells.ravel().tolist())
+    cent_ref = ray.put(centroids)
+    cells_ref = ray.put(probe_cells)
+    q_ref = ray.put((q, q_cells))
+
+    class CellProbe:
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cent = cached_get(cent_ref)
+            cells = cached_get(cells_ref)
+            qm, qc = cached_get(q_ref)
+            m = _as_matrix(batch[emb_col])
+            assign = np.argmax(m @ cent.T, axis=1)
+            mask = np.isin(assign, list(cells))
+            if not mask.any():
+                return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+            m, ids, assign = m[mask], batch[id_col].to_numpy()[mask], assign[mask]
+            sims = qm @ m.T  # (nq, n_rows)
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(sims.shape[0]):
+                allowed = np.isin(assign, qc[qi])
+                if not allowed.any():
+                    continue
+                s = sims[qi][allowed]
+                rid = ids[allowed]
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(rid[idx])
+                out_cos.extend(s[idx])
+            return pd.DataFrame({"query_idx": out_q, id_col: out_id, "cosine": out_cos})
+
+    cand = ds.map_batches(CellProbe(), batch_format="pandas").to_pandas()
+    if cand.empty:
+        return cand
+    return (
+        cand.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

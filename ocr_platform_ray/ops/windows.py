@@ -40,6 +40,41 @@ def time_bucket_agg(
     return out.sort_values([key_col, "bucket"]).reset_index(drop=True)
 
 
+def hopping_window_agg(
+    events: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_hours: int = 2,
+    step_hours: int = 1,
+) -> pd.DataFrame:
+    """Hopping (sliding) windows: each event belongs to size/step
+    overlapping windows; the explode happens vectorized per batch (one
+    extra row per hop), then the same combiner pre-aggregation as the
+    tumbling case.  Emits (key, window_start, n_events, sum_value)."""
+    hops = size_hours // step_hours
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[key_col, ts_col, value_col]].copy()
+        b["base"] = b[ts_col].dt.floor(f"{step_hours}h")
+        frames = []
+        for h in range(hops):
+            f = b.copy()
+            f["window_start"] = f["base"] - pd.Timedelta(hours=h * step_hours)
+            frames.append(f)
+        e = pd.concat(frames, ignore_index=True)
+        return e.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum")
+        )
+
+    partials = events.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby([key_col, "window_start"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+    return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
+
+
 def sessionize(
     events: rd.Dataset,
     *,

@@ -425,6 +425,37 @@ def q_event_sessions(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows (2h size, 1h step): each event counted in 2
+    overlapping windows."""
+    from ..ops.windows import hopping_window_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda b: b.assign(value=_cents(b["value"])), batch_format="pandas"
+    )
+    out = hopping_window_agg(ev, size_hours=2, step_hours=1)
+    out["sum_value"] = out["sum_value"] / 100.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN variant (rows-only; recall vs brute force tested)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.similarity import knn_ivf
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(q.filter(np.array(q.column("vec_id").to_pylist()) == 0)["embedding"][0].as_py())
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] != 0], batch_format="pandas"
+    )
+    out = knn_ivf(ds, qv, k=10, n_cells=16, n_probe=6)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    return out.reset_index(drop=True)
+
+
 _JSON_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
 
 
@@ -680,7 +711,9 @@ QUERIES = {
     "orders_page3": q_orders_page3,
     "distinct_event_types": q_distinct_event_types,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "event_sessions": q_event_sessions,
+    "knn_ivf_top10": q_knn_ivf_top10,
     "events_json_k": q_events_json_k,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_lsh_top10": q_knn_lsh_top10,
@@ -848,6 +881,13 @@ ORACLE_SQL = {
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     ),
     "event_sessions": _SESSIONS_SQL,
+    "events_hopping": (
+        "SELECT user_id, date_trunc('hour', ts) - (h.h * INTERVAL 1 HOUR) AS window_start, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value "
+        "FROM events CROSS JOIN (VALUES (0), (1)) AS h(h) "
+        "GROUP BY user_id, window_start"
+    ),
     "events_json_k": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
     ),

@@ -277,3 +277,35 @@ class TestDupClusters:
         ds = rd.from_pandas(docs_df)
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
         assert dedup_keep_representatives(ds, empty, "doc_id").count() == len(docs_df)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self):
+        from ocr_platform_ray.ops.similarity import knn_brute_force, knn_ivf
+
+        rng = np.random.RandomState(29)
+        m = rng.randn(600, 32)
+        df = pd.DataFrame({"vec_id": range(600), "embedding": list(m)})
+        q = m[:4]
+        bf = knn_brute_force(rd.from_pandas(df), q, k=10)
+        iv = knn_ivf(rd.from_pandas(df), q, k=10, n_cells=8, n_probe=4)
+        recalls = []
+        for qi in range(4):
+            want = set(bf[bf.query_idx == qi].vec_id)
+            got = set(iv[iv.query_idx == qi].vec_id)
+            recalls.append(len(want & got) / len(want))
+        assert np.mean(recalls) >= 0.6
+        # query vector itself always lands in its own probed cell
+        for qi in range(4):
+            assert qi in set(iv[iv.query_idx == qi].vec_id)
+
+    def test_ivf_deterministic(self):
+        from ocr_platform_ray.ops.similarity import knn_ivf
+
+        rng = np.random.RandomState(31)
+        m = rng.randn(200, 16)
+        df = pd.DataFrame({"vec_id": range(200), "embedding": list(m)})
+        a = knn_ivf(rd.from_pandas(df), m[0], k=5)
+        b = knn_ivf(rd.from_pandas(df), m[0], k=5)
+        pd.testing.assert_frame_equal(a, b)
