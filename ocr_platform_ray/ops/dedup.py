@@ -67,7 +67,7 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
         Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n")
     ).to_pandas()
     win_ref = ray.put(
-        {int(h): (int(m), int(n)) for h, m, n in zip(winners["__h"], winners["__min_id"], winners["__n"])}
+        {int(h): (m, int(n)) for h, m, n in zip(winners["__h"], winners["__min_id"], winners["__n"])}
     )
 
     def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
@@ -201,8 +201,9 @@ def minhash_lsh_duplicates(
     out = out[out["est_jaccard"] >= threshold]
     if out.empty:
         return empty
-    out["id_a"] = out["id_a"].astype("int64")
-    out["id_b"] = out["id_b"].astype("int64")
+    if pd.api.types.is_numeric_dtype(out["id_a"]):
+        out["id_a"] = out["id_a"].astype("int64")
+        out["id_b"] = out["id_b"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

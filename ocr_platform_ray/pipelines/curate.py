@@ -1,0 +1,78 @@
+"""End-to-end training-data curation — the composition that makes the
+engine useful at 100 TB (task spec: dedup + quality + language + split as
+first-class components):
+
+    pages -> extraction (byte-stable text per url)
+          -> quality stats + language ID (vectorized / warm-state stages)
+          -> quality gate (length + punctuation + langid agreement)
+          -> exact dedup on content hash (keep min-url representative)
+          -> MinHash-LSH near-dedup -> cluster -> keep representatives
+          -> deterministic train/val/test split by url hash
+
+Every stage is a Dataset transform; the only shuffles are the extraction
+reassembly (or none, partitioned layout) and the dedup groupbys — stats,
+langid, filtering, and split assignment are embarrassingly parallel maps.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ..ops.dedup import dedup_keep_representatives, exact_dedup, minhash_lsh_duplicates
+from ..ops.textstats import LangId, add_text_stats
+from .extraction import extraction_pipeline
+
+
+def quality_gate(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "extracted_text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.3,
+) -> rd.Dataset:
+    """Stats + langid + threshold filter.  Adds the signal columns, keeps
+    rows passing the gate (the reference's EMPTY/NEEDS_REVIEW flagging
+    generalized to corpus-quality filtering)."""
+    scored = add_text_stats(docs, text_col)
+    scored = scored.map_batches(LangId(text_col), batch_format="pandas")
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["n_tokens"] >= min_tokens) & (b["punct_ratio"] <= max_punct_ratio)
+        return b[keep]
+
+    return scored.map_batches(gate, batch_format="pandas")
+
+
+def assign_split(docs: rd.Dataset, *, key_col: str = "url") -> rd.Dataset:
+    """Deterministic train/val/test by key hash (stable under reshuffles,
+    re-runs, and parallelism; 8/1/1)."""
+    import numpy as np
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b[key_col].to_numpy()) % 10
+        out = b.copy()
+        out["split"] = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return out
+
+    return docs.map_batches(add, batch_format="pandas")
+
+
+def curate_corpus(
+    pages: rd.Dataset,
+    *,
+    partitioned_input: bool = False,
+    near_dup_threshold: float = 0.9,
+    min_tokens: int = 10,
+) -> rd.Dataset:
+    """The full chain.  Returns curated docs with columns:
+    url, extracted_text, n_pages, total_words, quality signals, pred_lang,
+    split, n_dups (exact-dup group size)."""
+    docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
+    docs = quality_gate(docs, min_tokens=min_tokens)
+    docs = exact_dedup(docs, "extracted_text", "url")
+    pairs = minhash_lsh_duplicates(
+        docs, "extracted_text", "url", threshold=near_dup_threshold
+    )
+    docs = dedup_keep_representatives(docs, pairs, "url")
+    return assign_split(docs)

@@ -684,6 +684,19 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """Full curation chain over the synthetic pages corpus: extract ->
+    quality gate -> exact + near dedup -> split (rows-only; composition of
+    individually-oracled stages)."""
+    from ..corpus import make_pages_table
+    from .curate import curate_corpus
+
+    pages = rd.from_arrow(make_pages_table(60))
+    out = curate_corpus(pages, min_tokens=5).to_pandas()
+    out = out[["url", "n_pages", "total_words", "pred_lang", "split", "n_dups"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -726,6 +739,7 @@ QUERIES = {
     "union_sources": q_union_sources,
     "extract_docs": q_extract_docs,
     "extract_pages": q_extract_pages,
+    "curate_corpus": q_curate_corpus,
     "catalog_ingest": q_catalog_ingest,
     "image_features": q_image_features,
 }

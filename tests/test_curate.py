@@ -1,0 +1,59 @@
+"""End-to-end curation pipeline tests."""
+
+import pytest
+import ray.data as rd
+
+from ocr_platform_ray.corpus import make_pages_table
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate:
+    def test_full_chain_shape_and_determinism(self):
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(40))
+        a = curate_corpus(pages, min_tokens=5).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            curate_corpus(rd.from_arrow(make_pages_table(40)), min_tokens=5)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(a.url) == list(b.url)
+        assert list(a.split) == list(b.split)
+        # schema contract
+        for col in ("url", "extracted_text", "pred_lang", "split", "n_dups", "quality_score"):
+            assert col in a.columns
+        # gate actually filters (empty page url drops out)
+        assert len(a) <= 40
+        assert set(a.split) <= {"train", "val", "test"}
+
+    def test_quality_gate_drops_short_docs(self):
+        from ocr_platform_ray.pipelines.curate import quality_gate
+
+        import pandas as pd
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": ["a", "b"],
+                    "extracted_text": ["tiny", "a much longer document " * 10],
+                }
+            )
+        )
+        out = quality_gate(docs, text_col="extracted_text", min_tokens=10).to_pandas()
+        assert list(out.url) == ["b"]
+
+    def test_split_stable_under_order(self):
+        from ocr_platform_ray.pipelines.curate import assign_split
+
+        import pandas as pd
+
+        df = pd.DataFrame({"url": [f"u{i}" for i in range(50)]})
+        a = assign_split(rd.from_pandas(df)).to_pandas().set_index("url")["split"]
+        b = (
+            assign_split(rd.from_pandas(df.iloc[::-1].reset_index(drop=True)))
+            .to_pandas()
+            .set_index("url")["split"]
+        )
+        assert a.to_dict() == b.to_dict()
