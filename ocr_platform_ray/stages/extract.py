@@ -315,6 +315,14 @@ def extract_page(html: bytes, prior_text: str) -> dict:
                 )
         else:
             blocks = _tokenize_blocks(payload)
+            if not blocks:
+                # E2 fallback chain (pipeline/utils.ts:16-36 semantics): no
+                # block structure recognized at all (plain-text payload) ->
+                # the whole normalized text is the body.  Only fires when
+                # NOTHING was tokenized — recognized-then-dropped
+                # boilerplate still yields an EMPTY page.
+                t = normalize_text(_TAG_RE.sub(" ", payload))
+                return _segment([("para", t)] if t else [])
             roles = []
             for blk in blocks:
                 if blk.tag == "hr":

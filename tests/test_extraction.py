@@ -111,6 +111,15 @@ class TestExtractPageUnit:
         assert r["failed_stage"] is None
         assert "unclosed paragraph" in r["body"]
 
+    def test_plain_text_payload_falls_back_to_body(self):
+        # E2 fallback: no block tags at all -> whole text is the body
+        r = extract_page(b"just plain text with no markup at all", "")
+        assert r["body"] == "just plain text with no markup at all"
+        assert r["flags"] == []
+        # inline-only markup (no block tags) also falls back
+        r2 = extract_page(b"some <b>bold</b> text", "")
+        assert r2["body"] == "some bold text"
+
     def test_pure_determinism(self):
         html, prior, _ = page_payload(0, 0)
         assert extract_page(html, prior) == extract_page(html, prior)
