@@ -25,7 +25,10 @@ _MARKS = "\u0300-\u036F\u0610-\u061A\u064B-\u065F\u0670\u06D6-\u06ED\u08D3-\u08F
 WORD_RE = re.compile(rf"(?:[^\W_]|[{_MARKS}])+", re.UNICODE)
 
 _TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"[ \t\r\f\v]+")
+# matches only whitespace runs that actually need rewriting (a run
+# containing a non-space horizontal ws char, or 2+ spaces) — single spaces
+# between words pass untouched, so most text needs zero replacements
+_WS_RE = re.compile(r"[ \t\r\f\v]*[\t\r\f\v][ \t\r\f\v]*| {2,}")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
 # Unicode category C (control/format) characters that appear in web text,
 # minus \n and \t which we keep: a compiled class is ~10x faster than a

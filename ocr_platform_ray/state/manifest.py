@@ -108,12 +108,18 @@ def run_with_manifest(
         pipeline_fn(ds).write_parquet(tmp_dir)
         os.replace(tmp_dir, part_dir)  # atomic publish
         rows, crc = _url_checksum(part_dir)
+        out_bytes = sum(
+            os.path.getsize(os.path.join(part_dir, f)) for f in os.listdir(part_dir)
+        )
+        wall = time.monotonic() - tp
         manifest = {
             "part_id": pid,
             "inputs": group,
             "rows": rows,
             "url_crc32": crc,
-            "wall_s": round(time.monotonic() - tp, 3),
+            "out_bytes": out_bytes,
+            "wall_s": round(wall, 3),
+            "rows_per_s": round(rows / wall, 1) if wall > 0 else None,
         }
         mpath = os.path.join(output_dir, "_manifest", f"part-{pid:05d}.json")
         with open(mpath + ".tmp", "w") as f:
