@@ -70,6 +70,12 @@ def curate_corpus(
     split, n_dups (exact-dup group size)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
+    # pin ONCE: the dedup stages below consume `docs` several times
+    # (winner aggregate, signature pass, representative filter) and Ray
+    # Datasets re-execute their lineage per consumption — without this the
+    # extraction chain runs 4x.  The pinned table is extracted text only
+    # (a small fraction of input bytes); the object store spills if needed.
+    docs = docs.materialize()
     docs = exact_dedup(docs, "extracted_text", "url")
     pairs = minhash_lsh_duplicates(
         docs, "extracted_text", "url", threshold=near_dup_threshold

@@ -104,6 +104,48 @@ class TestExplodeOversized:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRunExtractionWithSplitter:
+    def test_max_blob_bytes_path(self, tmp_path):
+        """run_extraction with the oversized-blob splitter enabled: a
+        corpus containing a multi-MB page completes and keeps every url."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.corpus import make_pages_rows
+        from ocr_platform_ray.pipelines.extraction import run_extraction
+        from ocr_platform_ray.schemas import PAGES_SCHEMA
+
+        rows = list(make_pages_rows(range(10)))
+        big_html = b"".join(
+            b"<p>chunk %06d filler words here</p>" % i for i in range(120000)
+        )  # ~4.5 MB single page
+        rows.append(
+            {
+                "url": "https://x/huge",
+                "warc_ts": datetime.datetime(2024, 6, 1),
+                "html": big_html,
+                "text": "",
+                "lang": "en",
+            }
+        )
+        src = tmp_path / "pages"
+        src.mkdir()
+        cols = {n: [r[n] for r in rows] for n in PAGES_SCHEMA.names}
+        pq.write_table(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA), src / "pages-0.parquet")
+
+        out = str(tmp_path / "out")
+        res = run_extraction(str(src), out, max_blob_bytes=512 * 1024)
+        assert res["rows"] == 11  # 10 corpus urls + the huge one
+        t = pq.read_table(f"{out}/part-00000", columns=["url", "n_pages", "total_words"])
+        by_url = {u: n for u, n in zip(t.column("url").to_pylist(), t.column("n_pages").to_pylist())}
+        assert by_url["https://x/huge"] > 1  # split into multiple page chunks
+        words = dict(zip(t.column("url").to_pylist(), t.column("total_words").to_pylist()))
+        assert words["https://x/huge"] == 120000 * 5  # nothing lost
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRedo:
     def test_redo_recomputes_only_matching_partitions(self, tmp_path):
         from ocr_platform_ray.corpus import url_for, write_pages_parquet
