@@ -96,6 +96,33 @@ def validate_splits(meta: rd.Dataset, pages_per_url: pd.DataFrame) -> pd.DataFra
     return bad.reset_index(drop=True)
 
 
-def catalog_ingest(meta: rd.Dataset) -> rd.Dataset:
-    """Full ingest chain (normalize -> dedup -> unique slugs)."""
-    return assign_unique_slugs(dedup_external_ref(normalize_records(meta)))
+def merge_with_previous(new_meta: rd.Dataset, prev_meta: rd.Dataset) -> rd.Dataset:
+    """M15 version-normalizer semantics (book-versions.ts:59-145): when a
+    record's url is unchanged from the previous run, carry forward the
+    previous run's derived fields (``splits`` lineage here, the analogue of
+    splitsData/aiSupported) instead of recomputing; new urls keep their own
+    values.  Broadcast join — the previous catalog is a small dimension."""
+    import ray
+
+    from ..state.broadcast import cached_get
+
+    prev = prev_meta.to_pandas()[["url", "splits"]].rename(columns={"splits": "__prev_splits"})
+    ref = ray.put(prev)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        p = cached_get(ref)
+        out = b.merge(p, on="url", how="left")
+        has_prev = out["__prev_splits"].notna()
+        out.loc[has_prev, "splits"] = out.loc[has_prev, "__prev_splits"]
+        return out.drop(columns="__prev_splits")
+
+    return new_meta.map_batches(merge, batch_format="pandas")
+
+
+def catalog_ingest(meta: rd.Dataset, prev_meta: rd.Dataset | None = None) -> rd.Dataset:
+    """Full ingest chain (normalize -> dedup -> unique slugs[, merge with
+    the previous run's catalog])."""
+    out = assign_unique_slugs(dedup_external_ref(normalize_records(meta)))
+    if prev_meta is not None:
+        out = merge_with_previous(out, prev_meta)
+    return out

@@ -81,3 +81,29 @@ class TestCatalog:
         out = catalog_ingest(meta_ds).to_pandas()
         assert out["slug"].is_unique
         assert out["external_ref"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeWithPrevious:
+    def test_prev_splits_carried_forward(self):
+        from ocr_platform_ray.pipelines.catalog import merge_with_previous
+
+        new = pd.DataFrame(
+            {
+                "url": ["u1", "u2", "u3"],
+                "splits": [[{"start": 0, "end": 1}]] * 3,
+            }
+        )
+        prev = pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "splits": [[{"start": 0, "end": 9}], [{"start": 2, "end": 5}]],
+            }
+        )
+        out = merge_with_previous(rd.from_pandas(new), rd.from_pandas(prev)).to_pandas()
+        by_url = out.set_index("url")["splits"]
+        # unchanged urls keep the PREVIOUS run's lineage (M15 semantics)
+        assert list(by_url["u1"])[0]["end"] == 9
+        assert list(by_url["u2"])[0]["start"] == 2
+        # new url keeps its own
+        assert list(by_url["u3"])[0]["end"] == 1
