@@ -21,6 +21,7 @@ text) input regardless of parallelism, block order, or batch size.
 
 from __future__ import annotations
 
+import html as _htmllib
 import re
 
 import pyarrow as pa
@@ -118,12 +119,15 @@ def _inline_to_text(raw: str) -> tuple[str, float]:
     link density.  Returns (clean_text, link_density).  Tag-free blocks
     (the common case) skip every regex pass."""
     if "<" not in raw:
-        return normalize_text(raw), 0.0
+        t = _htmllib.unescape(raw) if "&" in raw else raw
+        return normalize_text(t), 0.0
     link_chars = (
         sum(len(_TAG_RE.sub("", g)) for g in _A_TEXT_RE.findall(raw)) if "<a" in raw else 0
     )
     t = _SUP_RE.sub(lambda m: f"[^{m.group(1)}]", raw) if "<sup" in raw else raw
     t = _TAG_RE.sub(" ", t)
+    if "&" in t:
+        t = _htmllib.unescape(t)  # &amp; / &#39; / named entities
     t = normalize_text(t)
     total = max(1, len(t))
     return t, min(1.0, link_chars / total)
@@ -321,7 +325,10 @@ def extract_page(html: bytes, prior_text: str) -> dict:
                 # the whole normalized text is the body.  Only fires when
                 # NOTHING was tokenized — recognized-then-dropped
                 # boilerplate still yields an EMPTY page.
-                t = normalize_text(_TAG_RE.sub(" ", payload))
+                t = _TAG_RE.sub(" ", payload)
+                if "&" in t:
+                    t = _htmllib.unescape(t)
+                t = normalize_text(t)
                 return _segment([("para", t)] if t else [])
             roles = []
             for blk in blocks:

@@ -111,6 +111,10 @@ class TestExtractPageUnit:
         assert r["failed_stage"] is None
         assert "unclosed paragraph" in r["body"]
 
+    def test_html_entities_decoded(self):
+        r = extract_page(b"<p>Tom &amp; Jerry &#8212; &quot;cartoons&quot;</p>", "")
+        assert r["body"] == 'Tom & Jerry — "cartoons"'
+
     def test_plain_text_payload_falls_back_to_body(self):
         # E2 fallback: no block tags at all -> whole text is the body
         r = extract_page(b"just plain text with no markup at all", "")
