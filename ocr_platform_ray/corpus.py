@@ -106,8 +106,8 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
         html = "<html><body>" + _BOILER_NAV + _BOILER_SCRIPT + "</body></html>"
         return html.encode("utf-8"), "", lang
     if url_idx == URL_MALFORMED and page_idx == 0:
-        # invalid utf-8 -> decode fails -> failed_stage=CORRECT, salvage prior text
-        return b"<html>\xff\xfe\xfa broken</html>", _words(rng, vocab, 12), lang
+        # missing payload -> failed_stage=CORRECT, salvage prior text (M5)
+        return None, _words(rng, vocab, 12), lang
     if url_idx == URL_FAKEPDF:
         payload = _make_fakepdf(rng, vocab, page_idx)
         return payload, _words(rng, vocab, 10), lang

@@ -295,10 +295,15 @@ def _segment(roles: list[tuple[str, str]]) -> dict:
 def extract_page(html: bytes, prior_text: str) -> dict:
     """Pure fused extraction for one page (M1+M2+M3+M5+M6+M8)."""
     # ---- stage CORRECT: decode + normalize --------------------------------
+    # charset chain (real CC pages are mixed-encoding): utf-8 strict, then
+    # latin-1 (total — every byte sequence decodes).  The failure path is a
+    # missing/empty payload: salvage the prior text, flag for review (M5).
+    if not html:
+        return _failed(STAGE_CORRECT, prior_text)
     try:
         payload = html.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
-        return _failed(STAGE_CORRECT, prior_text)
+    except UnicodeDecodeError:
+        payload = html.decode("latin-1")
 
     # ---- stage CONVERT_TO_HTML: structure ---------------------------------
     try:

@@ -78,11 +78,18 @@ class TestExtractPageUnit:
         assert r["body"] == ""
         assert r["flags"] == [FLAG_EMPTY]
 
-    def test_decode_failure_salvages_prior_text(self):
-        r = extract_page(b"<html>\xff\xfe</html>", "prior ocr text")
-        assert r["failed_stage"] == STAGE_CORRECT
-        assert r["body"] == "prior ocr text"
-        assert FLAG_NEEDS_REVIEW in r["flags"]
+    def test_missing_payload_salvages_prior_text(self):
+        for payload in (None, b""):
+            r = extract_page(payload, "prior ocr text")
+            assert r["failed_stage"] == STAGE_CORRECT
+            assert r["body"] == "prior ocr text"
+            assert FLAG_NEEDS_REVIEW in r["flags"]
+
+    def test_latin1_fallback_decoding(self):
+        # bytes invalid as utf-8 decode via latin-1 instead of failing
+        r = extract_page(b"<p>caf\xe9 cr\xe8me</p>", "")
+        assert r["body"] == "café crème"
+        assert r["failed_stage"] is None
 
     def test_link_density_boilerplate(self):
         links = "".join(f'<a href="/{i}">word</a> ' for i in range(8))
