@@ -74,16 +74,32 @@ def _make_fakepdf(rng: random.Random, vocab: list[str], page_idx: int) -> bytes:
     one token per line: ``x0 y0 x1 y1 role text...`` (role: head/para/foot/pageno).
     Lines are emitted in shuffled order; the extractor must reconstruct
     reading order from the coordinates (north_star "XY-cut over bounding
-    boxes")."""
+    boxes").  ~Half the pages are TWO-COLUMN (a vertical gutter between
+    x=300 and x=330): reading order is the whole left column, then the
+    whole right column — only a genuine recursive XY-cut gets this right
+    (a naive y-sort interleaves the columns)."""
     lines = []
-    y = 40
-    lines.append((10, 10, 400, 24, "head", f"Chapter {page_idx + 1}"))
-    for _ in range(rng.randint(2, 4)):
-        txt = _words(rng, vocab, rng.randint(8, 20))
-        lines.append((10, y, 500, y + 12, "para", txt))
-        y += 20
+    two_col = page_idx % 2 == 0  # deterministic alternation -> goldens pin both layouts
+    lines.append((10, 10, 610, 24, "head", f"Chapter {page_idx + 1}"))
+    if two_col:
+        y = 40
+        for c in range(rng.randint(2, 3)):
+            txt = _words(rng, vocab, rng.randint(6, 12))
+            lines.append((10, y, 300, y + 12, "para", f"L{c} " + txt))
+            y += 20
+        y = 44  # right column rows offset so y-sort would interleave
+        for c in range(rng.randint(2, 3)):
+            txt = _words(rng, vocab, rng.randint(6, 12))
+            lines.append((330, y, 610, y + 12, "para", f"R{c} " + txt))
+            y += 20
+    else:
+        y = 40
+        for _ in range(rng.randint(2, 4)):
+            txt = _words(rng, vocab, rng.randint(8, 20))
+            lines.append((10, y, 500, y + 12, "para", txt))
+            y += 20
     if rng.random() < 0.6:
-        lines.append((10, 700, 500, 712, "foot", f"({rng.randint(1,3)}) " + _words(rng, vocab, 6)))
+        lines.append((10, 700, 610, 712, "foot", f"({rng.randint(1,3)}) " + _words(rng, vocab, 6)))
     if rng.random() < 0.7:
         lines.append((280, 760, 300, 772, "pageno", str(page_idx + 1)))
     order = list(range(len(lines)))

@@ -149,31 +149,31 @@ def _xycut_order(items: list[tuple[float, float, float, float, str, str]]) -> li
     recursing; leaves sorted by (y0, x0).  Deterministic (ties broken by
     coordinates then text)."""
 
+    def best_cut(sorted_boxes, lo_idx, hi_idx):
+        """(largest projection gap, split index) for one axis."""
+        best_gap, best_i = 0.0, -1
+        max_hi = sorted_boxes[0][hi_idx]
+        for i in range(1, len(sorted_boxes)):
+            gap = sorted_boxes[i][lo_idx] - max_hi
+            if gap > best_gap:
+                best_gap, best_i = gap, i
+            max_hi = max(max_hi, sorted_boxes[i][hi_idx])
+        return best_gap, best_i
+
     def cut(boxes):
         if len(boxes) <= 1:
             return list(boxes)
-        # horizontal gaps (project on y)
         ys = sorted(boxes, key=lambda b: (b[1], b[0], b[5]))
-        best_gap, best_i = 0.0, -1
-        max_y1 = ys[0][3]
-        for i in range(1, len(ys)):
-            gap = ys[i][1] - max_y1
-            if gap > best_gap:
-                best_gap, best_i = gap, i
-            max_y1 = max(max_y1, ys[i][3])
-        if best_gap > 0:
-            return cut(ys[:best_i]) + cut(ys[best_i:])
-        # vertical gaps (project on x)
         xs = sorted(boxes, key=lambda b: (b[0], b[1], b[5]))
-        best_gap, best_i = 0.0, -1
-        max_x1 = xs[0][2]
-        for i in range(1, len(xs)):
-            gap = xs[i][0] - max_x1
-            if gap > best_gap:
-                best_gap, best_i = gap, i
-            max_x1 = max(max_x1, xs[i][2])
-        if best_gap > 0:
-            return cut(xs[:best_i]) + cut(xs[best_i:])
+        h_gap, h_i = best_cut(ys, 1, 3)  # horizontal cut (project on y)
+        v_gap, v_i = best_cut(xs, 0, 2)  # vertical cut (project on x)
+        # cut at the LARGEST whitespace gap across both axes (ties ->
+        # horizontal): always preferring horizontal would slice two-column
+        # layouts at the 1-line inter-row gap and interleave the columns
+        if h_gap >= v_gap and h_gap > 0:
+            return cut(ys[:h_i]) + cut(ys[h_i:])
+        if v_gap > 0:
+            return cut(xs[:v_i]) + cut(xs[v_i:])
         return ys
     return [(b[4], b[5]) for b in cut(items)]
 

@@ -112,6 +112,20 @@ class TestExtractPageUnit:
         assert r["header"] == "Title"
         assert r["body"] == "first paragraph\n\nsecond paragraph"
 
+    def test_fakepdf_two_column_reading_order(self):
+        # interleaved y-coordinates across two columns: a naive y-sort gives
+        # L1 R1 L2 R2; XY-cut must emit the whole left column first
+        payload = corpus.FAKEPDF_MAGIC + (
+            b"330 44 610 56 para R1 right first\n"
+            b"10 40 300 52 para L1 left first\n"
+            b"330 64 610 76 para R2 right second\n"
+            b"10 60 300 72 para L2 left second\n"
+        )
+        r = extract_page(payload, "")
+        assert r["body"] == (
+            "L1 left first\n\nL2 left second\n\nR1 right first\n\nR2 right second"
+        )
+
     def test_malformed_html_tolerated(self):
         html = b"<html><p>unclosed paragraph<div>and <b>stray"
         r = extract_page(html, "")
