@@ -50,6 +50,7 @@ URL_MALFORMED = 2       # has one undecodable page -> failed_stage=CORRECT
 URL_OVERSIZED = 3       # has one oversized html blob (skew test)
 URL_STRAGGLER = 4       # 10x median page count (straggler test)
 URL_FAKEPDF = 5         # pages carry fake-PDF layout payloads (XY-cut path)
+URL_CP1252 = 6         # page 0 declares windows-1252 (charset-sniff path)
 
 FAKEPDF_MAGIC = b"%FAKEPDF\n"
 
@@ -127,6 +128,13 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
     if url_idx == URL_FAKEPDF:
         payload = _make_fakepdf(rng, vocab, page_idx)
         return payload, _words(rng, vocab, 10), lang
+    if url_idx == URL_CP1252 and page_idx == 0:
+        # declared windows-1252: € (0x80) and é (0xE9) are invalid utf-8
+        html = (
+            '<html><head><meta charset="windows-1252"></head><body>'
+            "<p>Price: 10€ at the café</p></body></html>"
+        )
+        return html.encode("cp1252"), _words(rng, vocab, 8), lang
 
     # --- regular HTML page ------------------------------------------------
     parts = ["<html><head>", _BOILER_STYLE, "</head><body>", _BOILER_NAV]

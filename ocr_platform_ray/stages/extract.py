@@ -48,6 +48,17 @@ _A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
 _SUP_RE = re.compile(r"<sup\b[^>]*>\s*(\d+)\s*</sup\s*>", re.S | re.I)
 _TAG_RE = re.compile(r"<[^>]*>")
 _FOOTNOTE_START_RE = re.compile(r"^\(?\d+[.)]\s")
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.I)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "us-ascii": "ascii",
+}
 _BOILER_CLASS_WORDS = ("menu", "share", "ad-", "ads", "banner", "social", "sidebar")
 
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
@@ -295,15 +306,26 @@ def _segment(roles: list[tuple[str, str]]) -> dict:
 def extract_page(html: bytes, prior_text: str) -> dict:
     """Pure fused extraction for one page (M1+M2+M3+M5+M6+M8)."""
     # ---- stage CORRECT: decode + normalize --------------------------------
-    # charset chain (real CC pages are mixed-encoding): utf-8 strict, then
-    # latin-1 (total — every byte sequence decodes).  The failure path is a
-    # missing/empty payload: salvage the prior text, flag for review (M5).
+    # charset chain (real CC pages are mixed-encoding): declared meta
+    # charset (sniffed from the head bytes) strict, then utf-8 strict,
+    # then latin-1 (total — every byte sequence decodes).  The failure
+    # path is a missing/empty payload: salvage prior text, flag (M5).
     if not html:
         return _failed(STAGE_CORRECT, prior_text)
-    try:
-        payload = html.decode("utf-8")
-    except UnicodeDecodeError:
-        payload = html.decode("latin-1")
+    payload = None
+    m = _CHARSET_RE.search(html[:2048])
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).decode("ascii", "replace").lower())
+        if codec:
+            try:
+                payload = html.decode(codec)
+            except (UnicodeDecodeError, LookupError):
+                payload = None
+    if payload is None:
+        try:
+            payload = html.decode("utf-8")
+        except UnicodeDecodeError:
+            payload = html.decode("latin-1")
 
     # ---- stage CONVERT_TO_HTML: structure ---------------------------------
     try:

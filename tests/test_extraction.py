@@ -85,6 +85,20 @@ class TestExtractPageUnit:
             assert r["body"] == "prior ocr text"
             assert FLAG_NEEDS_REVIEW in r["flags"]
 
+    def test_declared_charset_sniffed(self):
+        html = (
+            '<html><head><meta charset="windows-1252"></head>'
+            "<body><p>Price: 10€ at the café</p></body></html>"
+        ).encode("cp1252")
+        r = extract_page(html, "")
+        assert r["body"] == "Price: 10€ at the café"
+        assert r["failed_stage"] is None
+
+    def test_wrong_declared_charset_falls_through(self):
+        # declares ascii but contains utf-8 bytes -> chain falls to utf-8
+        html = b'<html><head><meta charset="us-ascii"></head><body><p>caf\xc3\xa9</p></body></html>'
+        assert extract_page(html, "")["body"] == "café"
+
     def test_latin1_fallback_decoding(self):
         # bytes invalid as utf-8 decode via latin-1 instead of failing
         r = extract_page(b"<p>caf\xe9 cr\xe8me</p>", "")
