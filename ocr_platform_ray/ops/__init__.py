@@ -4,6 +4,8 @@ large-scale pipeline extensions: dedup, similarity search, text analysis)."""
 from .relational import (  # noqa: F401
     broadcast_hash_join,
     bucketed_hash_join,
+    native_join,
+    salted_groupby_sum,
     semi_join,
     anti_join,
     top_k,

@@ -112,6 +112,60 @@ def bucketed_hash_join(
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def native_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Ray's built-in hash-partitioned ``Dataset.join`` (2.49+) — the
+    same exchange shape as ``bucketed_hash_join`` but implemented by Ray's
+    hash-shuffle aggregators.  Kept alongside the explicit version: the
+    explicit one documents its partitioning and is portable across Ray
+    releases; this one exercises the native path (equivalence tested)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+    )
+
+
+def salted_groupby_sum(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    *,
+    n_salts: int = 16,
+) -> pd.DataFrame:
+    """Skew-safe grouped sum: every row's key is salted with
+    ``hash(row) % n_salts`` so a hot key's rows spread over ``n_salts``
+    reduce partitions; the per-(key, salt) partials then collapse in a
+    second, tiny aggregation.  Use when one key holds a large fraction of
+    all rows (the 10k-page-book / hot-domain case, SURVEY.md §4 skew).
+    Result: (key, sum_<value_col>, n_rows) exact, order-insensitive."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key, value_col]].copy()
+        out["__salt"] = np.arange(len(b)) % n_salts
+        return out.groupby([key, "__salt"], as_index=False).agg(
+            s=(value_col, "sum"), n=(value_col, "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby([key, "__salt"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    final = agg.to_pandas().groupby(key, as_index=False).agg(n_rows=("n", "sum"), s=("s", "sum"))
+    final = final.rename(columns={"s": f"sum_{value_col}"})
+    return final.sort_values(key).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Semi / anti joins (broadcast key set)
 # --------------------------------------------------------------------------

@@ -309,3 +309,41 @@ class TestIVF:
         a = knn_ivf(rd.from_pandas(df), m[0], k=5)
         b = knn_ivf(rd.from_pandas(df), m[0], k=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNativeJoinAndSalt:
+    def test_native_join_matches_bucketed(self):
+        from ocr_platform_ray.ops.relational import bucketed_hash_join, native_join
+
+        rng = np.random.RandomState(41)
+        left = pd.DataFrame({"k": rng.randint(0, 30, 300), "v": rng.randn(300)})
+        right = pd.DataFrame({"k": range(20), "name": [f"n{i}" for i in range(20)]})
+        a = (
+            native_join(rd.from_pandas(left), rd.from_pandas(right), "k", num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        b = (
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", n_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    def test_salted_groupby_sum_exact_under_skew(self):
+        from ocr_platform_ray.ops.relational import salted_groupby_sum
+
+        rng = np.random.RandomState(43)
+        # one hot key holds 90% of rows
+        keys = np.where(rng.rand(5000) < 0.9, 7, rng.randint(0, 20, 5000))
+        df = pd.DataFrame({"k": keys, "v": rng.randn(5000)})
+        got = salted_groupby_sum(rd.from_pandas(df), "k", "v", n_salts=8)
+        want = df.groupby("k", as_index=False).agg(n_rows=("v", "size"), sum_v=("v", "sum"))
+        got = got.set_index("k")
+        want = want.set_index("k")
+        assert got["n_rows"].to_dict() == want["n_rows"].to_dict()
+        for k in want.index:
+            assert abs(got.loc[k, "sum_v"] - want.loc[k, "sum_v"]) < 1e-9
