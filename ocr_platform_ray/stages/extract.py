@@ -124,14 +124,16 @@ def _tokenize_blocks(html: str) -> list[_Block]:
     return blocks
 
 
-def _inline_to_text(raw: str) -> tuple[str, float]:
+def _inline_to_text(raw: str) -> tuple[str, float, float]:
     """Resolve inline markup inside a block: <sup>n</sup> -> [^n] footnote
     marks (convert-to-html.ts:15 contract), <a> text kept but measured for
-    link density.  Returns (clean_text, link_density).  Tag-free blocks
-    (the common case) skip every regex pass."""
+    link density.  Returns (clean_text, link_density, text_density) where
+    text_density = clean chars / raw chars incl. markup — the classic
+    boilerplate signal (north_star "text-density block classification").
+    Tag-free blocks (the common case) skip every regex pass."""
     if "<" not in raw:
         t = _htmllib.unescape(raw) if "&" in raw else raw
-        return normalize_text(t), 0.0
+        return normalize_text(t), 0.0, 1.0
     link_chars = (
         sum(len(_TAG_RE.sub("", g)) for g in _A_TEXT_RE.findall(raw)) if "<a" in raw else 0
     )
@@ -141,15 +143,20 @@ def _inline_to_text(raw: str) -> tuple[str, float]:
         t = _htmllib.unescape(t)  # &amp; / &#39; / named entities
     t = normalize_text(t)
     total = max(1, len(t))
-    return t, min(1.0, link_chars / total)
+    density = len(t) / max(1, len(raw))
+    return t, min(1.0, link_chars / total), density
 
 
-def _is_boiler(tag: str, cls: str, text: str, link_density: float) -> bool:
+def _is_boiler(tag: str, cls: str, text: str, link_density: float, text_density: float) -> bool:
     if tag in _BOILER_TAGS:
         return True
     if any(w in cls for w in _BOILER_CLASS_WORDS):
         return True
     if link_density > 0.5 and len(text) < 400:
+        return True
+    # markup-dominated short block (widgets, buttons, icon rows): almost
+    # all bytes are tags, almost none are text
+    if text_density < 0.1 and len(text) < 80:
         return True
     return False
 
@@ -362,10 +369,10 @@ def extract_page(html: bytes, prior_text: str) -> dict:
                 if blk.tag == "hr":
                     roles.append(("hr", ""))
                     continue
-                text, link_density = _inline_to_text(blk.raw)
+                text, link_density, text_density = _inline_to_text(blk.raw)
                 if not text:
                     continue
-                if _is_boiler(blk.tag, blk.cls, text, link_density):
+                if _is_boiler(blk.tag, blk.cls, text, link_density, text_density):
                     continue
                 if "pageno" in blk.cls or (text.isdigit() and len(text) <= 6 and blk.tag == "div"):
                     roles.append(("pageno", text))

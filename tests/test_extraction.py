@@ -255,3 +255,16 @@ class TestPageIdx:
         for _, grp in df.groupby("url"):
             grp = grp.sort_values("warc_ts")
             assert list(grp.page_idx) == list(range(len(grp)))
+
+
+class TestTextDensity:
+    def test_markup_dominated_block_dropped(self):
+        # tiny text buried in heavy markup -> boilerplate by text density
+        widget = '<div>' + '<span data-x="aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"></span>' * 20 + 'ok</div>'
+        html = (widget + "<p>real paragraph content</p>").encode()
+        r = extract_page(html, "")
+        assert r["body"] == "real paragraph content"
+
+    def test_normal_short_block_kept(self):
+        r = extract_page(b"<p>short</p>", "")
+        assert r["body"] == "short"
