@@ -10,3 +10,9 @@ from .decode import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from .audio import (  # noqa: F401
+    AudioFrameFeatures,
+    DecodeAudio,
+    audio_frame_features,
+    decode_audio,
+)

@@ -659,6 +659,29 @@ def q_catalog_ingest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio plumbing: decode (stub codec) -> frame explode -> per-frame
+    features over a deterministic synthetic clip table (rows-only)."""
+    import pyarrow as pa
+
+    from ..multimodal import audio_frame_features, decode_audio
+    from ..multimodal.audio import AUDIO_SCHEMA
+
+    n = 16
+    t = pa.table(
+        {
+            "media_id": pa.array([f"clip{i:03d}" for i in range(n)], pa.string()),
+            "payload": pa.array([f"audio-{i}".encode() for i in range(n)], pa.binary()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_samples": pa.array([2048 + 512 * (i % 6) for i in range(n)], pa.int64()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    out = audio_frame_features(decode_audio(rd.from_arrow(t))).to_pandas()
+    out = out[["media_id", "frame_idx"]].copy()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_image_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: decode (stub codec) -> resize -> features over
     a deterministic synthetic image table (rows-only)."""
@@ -742,6 +765,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "catalog_ingest": q_catalog_ingest,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -69,3 +69,43 @@ class TestMultimodal:
         assert list(out[out.media_id == "v0"].frame_idx) == [0, 10, 20]
         assert list(out[out.media_id == "v1"].frame_idx) == [0]
         assert all(len(p) == 16 * 16 * 3 for p in out.pixels)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudio:
+    def _clips(self):
+        from ocr_platform_ray.multimodal.audio import AUDIO_SCHEMA
+
+        return pa.table(
+            {
+                "media_id": pa.array(["a0", "a1"], pa.string()),
+                "payload": pa.array([b"clip0", b"clip1"], pa.binary()),
+                "sample_rate": pa.array([16000, 16000], pa.int32()),
+                "n_samples": pa.array([4096, 1500], pa.int64()),
+            },
+            schema=AUDIO_SCHEMA,
+        )
+
+    def test_decode_and_frame_features(self):
+        from ocr_platform_ray.multimodal import audio_frame_features, decode_audio
+
+        out = audio_frame_features(decode_audio(rd.from_arrow(self._clips()))).to_pandas()
+        a0 = out[out.media_id == "a0"]
+        assert list(a0.frame_idx) == list(range(len(a0)))
+        assert len(a0) == 1 + (4096 - 1024) // 512
+        assert len(out[out.media_id == "a1"]) == 1  # 1500 samples -> one frame
+        assert (out.rms > 0).all()
+        assert out.spectral_centroid.between(0, 8000).all()
+
+    def test_strict_mode_raises(self):
+        from ocr_platform_ray.multimodal.audio import DecodeAudio
+
+        with pytest.raises(NotImplementedError):
+            DecodeAudio(strict=True)(self._clips())
+
+    def test_decode_deterministic(self):
+        from ocr_platform_ray.multimodal import decode_audio
+
+        a = decode_audio(rd.from_arrow(self._clips())).to_pandas()
+        b = decode_audio(rd.from_arrow(self._clips())).to_pandas()
+        assert a.iloc[0].pcm == b.iloc[0].pcm
