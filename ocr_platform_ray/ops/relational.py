@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -65,12 +66,16 @@ def broadcast_hash_join(
 # --------------------------------------------------------------------------
 # Partitioned (bucketed) hash join — both sides large
 # --------------------------------------------------------------------------
-def _with_bucket(ds: rd.Dataset, on: str, n_buckets: int, side: str) -> rd.Dataset:
+def _with_bucket(ds: rd.Dataset, on: list[str], n_buckets: int, side: str) -> rd.Dataset:
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        # deterministic bucket: hash of the key value modulo B (never Python
-        # hash(), which is salted per process)
-        out["__bucket"] = pd.util.hash_array(batch[on].to_numpy()) % n_buckets
+        # deterministic bucket: hash of the key value(s) modulo B (never
+        # Python hash(), which is salted per process); composite keys (J3)
+        # combine per-column hashes with xor-shift
+        h = pd.util.hash_array(batch[on[0]].to_numpy())
+        for col in on[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(batch[col].to_numpy())
+        out["__bucket"] = h % n_buckets
         out["__side"] = side
         return out
 
@@ -80,7 +85,7 @@ def _with_bucket(ds: rd.Dataset, on: str, n_buckets: int, side: str) -> rd.Datas
 def bucketed_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    on: str,
+    on: str | list[str],
     *,
     how: str = "inner",
     n_buckets: int = 32,
@@ -92,12 +97,13 @@ def bucketed_hash_join(
 
     Partitioning assumption: a single bucket's rows fit in a worker's heap;
     for skewed keys raise ``n_buckets`` or salt the hot key upstream."""
+    keys = [on] if isinstance(on, str) else list(on)
     lcols = left.schema().names
     rcols = right.schema().names
-    overlap = (set(lcols) & set(rcols)) - {on}
+    overlap = (set(lcols) & set(rcols)) - set(keys)
 
-    l = _with_bucket(left, on, n_buckets, "l")
-    r = _with_bucket(right, on, n_buckets, "r")
+    l = _with_bucket(left, keys, n_buckets, "l")
+    r = _with_bucket(right, keys, n_buckets, "r")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"].drop(columns=["__bucket", "__side"]).dropna(axis=1, how="all")
@@ -105,7 +111,7 @@ def bucketed_hash_join(
         lg = lg[[c for c in lcols if c in lg.columns]]
         rg = rg[[c for c in rcols if c in rg.columns]]
         rg = rg.rename(columns={c: right_prefix + c for c in overlap})
-        merged = lg.merge(rg, on=on, how=how)
+        merged = lg.merge(rg, on=keys, how=how)
         return merged
 
     u = l.union(r)

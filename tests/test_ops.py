@@ -347,3 +347,25 @@ class TestNativeJoinAndSalt:
         assert got["n_rows"].to_dict() == want["n_rows"].to_dict()
         for k in want.index:
             assert abs(got.loc[k, "sum_v"] - want.loc[k, "sum_v"]) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompositeKeyJoin:
+    def test_two_key_join_matches_pandas(self):
+        from ocr_platform_ray.ops.relational import bucketed_hash_join
+
+        rng = np.random.RandomState(47)
+        left = pd.DataFrame(
+            {"a": rng.randint(0, 5, 200), "b": rng.randint(0, 4, 200), "v": rng.randn(200)}
+        )
+        right = pd.DataFrame(
+            {"a": np.repeat(np.arange(5), 4), "b": np.tile(np.arange(4), 5), "name": range(20)}
+        )
+        got = (
+            bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), ["a", "b"], n_buckets=4)
+            .to_pandas()
+            .sort_values(["a", "b", "v"])
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on=["a", "b"]).sort_values(["a", "b", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
