@@ -6,6 +6,7 @@ from .relational import (  # noqa: F401
     bucketed_hash_join,
     native_join,
     salted_groupby_sum,
+    stratified_sample,
     semi_join,
     anti_join,
     top_k,

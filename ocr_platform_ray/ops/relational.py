@@ -241,6 +241,31 @@ def distinct_sorted(ds: rd.Dataset, col: str) -> pd.DataFrame:
     return pd.DataFrame({col: vals})
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+) -> rd.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``knuth_hash(id) < fraction(stratum) * 2^32`` — stable under any
+    parallelism, re-run, or row order (no RNG state), and exactly
+    SQL-mirrorable (pure integer arithmetic).  The training-data
+    'downsample language X to y%' operation; the reference has no sampling
+    operators (SURVEY §2.6), this is an extension."""
+    KNUTH = 2654435761
+    M = 1 << 32
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b[id_col].astype("int64") * KNUTH) % M
+        thresholds = b[strata_col].map(lambda s: int(fractions.get(s, default_fraction) * M))
+        return b[h < thresholds]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Pre-aggregated groupby (combiner pattern)
 # --------------------------------------------------------------------------

@@ -613,6 +613,15 @@ def q_union_sources(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language downsampling (en 50%, es 20%, rest 0%);
+    integer-hash arithmetic mirrored exactly by the SQL oracle."""
+    from ..ops.relational import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", {"en": 0.5, "es": 0.2})
+
+
 def q_pushdown_filter_read(sf_dir: str) -> rd.Dataset:
     """S6 predicate-pushdown read (the Airtable filterByFormula analogue,
     texts.airtable.ts:41-60): the filter expression is pushed into the
@@ -760,6 +769,7 @@ QUERIES = {
     "first_error_event": q_first_error_event,
     "dataset_split": q_dataset_split,
     "union_sources": q_union_sources,
+    "stratified_sample": q_stratified_sample,
     "extract_docs": q_extract_docs,
     "extract_pages": q_extract_pages,
     "curate_corpus": q_curate_corpus,
@@ -969,6 +979,12 @@ ORACLE_SQL = {
         "SELECT lang, COUNT(*) AS n_docs FROM ("
         "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
         "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'es') GROUP BY lang"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "(doc_id * 2654435761) % 4294967296 < "
+        "CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT) "
+        "WHEN 'es' THEN CAST(0.2 * 4294967296 AS BIGINT) ELSE 0 END"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs
