@@ -456,6 +456,35 @@ def q_knn_ivf_top10(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_median_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped median (few groups -> per-group pandas median; the
+    approx-at-scale path would be a mergeable quantile sketch)."""
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_value": [g["value"].median()]}
+        )
+
+    out = ev.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    out["median_value"] = _round_half_away(out["median_value"], 4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact count-distinct per group: in-batch pair dedup (combiner), one
+    shuffle over distinct pairs, then a tiny count."""
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    distinct_pairs = ev.map_batches(pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    out = distinct_pairs.groupby("event_type", as_index=False).agg(n_users=("user_id", "nunique"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _JSON_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
 
 
@@ -760,6 +789,8 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "knn_ivf_top10": q_knn_ivf_top10,
     "events_json_k": q_events_json_k,
+    "median_value_by_type": q_median_value_by_type,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_lsh_top10": q_knn_lsh_top10,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -938,6 +969,13 @@ ORACLE_SQL = {
     ),
     "events_json_k": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
+    ),
+    "median_value_by_type": (
+        "SELECT event_type, ROUND(median(value), 4) AS median_value "
+        "FROM events GROUP BY event_type"
+    ),
+    "distinct_users_by_type": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
     ),
     # CAST to DOUBLE[] so DuckDB computes cosine in float64 like numpy
     "knn_cosine_top10": (
