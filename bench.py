@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "minhash_dup_pairs",
     "knn_cosine_top10",
     "word_count_per_doc",
+    "near_dedup_docs",
+    "stratified_sample",
 ]
 
 

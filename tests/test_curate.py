@@ -57,3 +57,28 @@ class TestCurate:
             .set_index("url")["split"]
         )
         assert a.to_dict() == b.to_dict()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateGolden:
+    def test_curate_chain_golden(self):
+        import hashlib
+        import json
+        import os
+
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        path = os.path.join(os.path.dirname(__file__), "goldens", "curate_sha.json")
+        with open(path) as f:
+            want = json.load(f)
+        df = curate_corpus(rd.from_arrow(make_pages_table(60)), min_tokens=5).to_pandas()
+        got = {
+            r.url: {
+                "split": r.split,
+                "n_dups": int(r.n_dups),
+                "pred_lang": r.pred_lang,
+                "sha256": hashlib.sha256(r.extracted_text.encode()).hexdigest(),
+            }
+            for r in df.itertuples()
+        }
+        assert got == want
