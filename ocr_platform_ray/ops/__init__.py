@@ -22,6 +22,8 @@ from .dedup import (  # noqa: F401
     embedding_cosine_pairs,
     dup_clusters,
     dedup_keep_representatives,
+    repeated_paragraphs,
+    strip_repeated_paragraphs,
 )
 from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
 from .similarity import knn_brute_force, knn_lsh, knn_ivf, train_ivf_centroids  # noqa: F401

@@ -293,6 +293,93 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Paragraph-level (chunk) dedup — repeated-boilerplate removal
+# --------------------------------------------------------------------------
+def repeated_paragraphs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n\n",
+    min_words: int = 3,
+    min_docs: int = 2,
+) -> pd.DataFrame:
+    """Paragraphs occurring in >= min_docs distinct documents (the CCNet-
+    style terminal/boilerplate detector, applied at chunk granularity):
+    explode paragraphs -> (para_hash, id) pairs deduped in-batch -> one
+    groupby over hashes counting distinct docs.  Returns
+    (para_hash, n_docs, example_text)."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes, texts = [], [], []
+        for i, text in zip(b[id_col], b[text_col]):
+            for para in text.split(sep):
+                p = para.strip()
+                if len(p.split()) < min_words:
+                    continue
+                ids.append(i)
+                texts.append(p)
+            hs = _sha64(texts[len(hashes) :])
+            hashes.extend(int(h) for h in hs)
+        out = pd.DataFrame({id_col: ids, "para_hash": hashes, "para_text": texts})
+        return out.drop_duplicates(["para_hash", id_col])  # in-batch combiner
+
+    exploded = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    if exploded.empty:
+        return pd.DataFrame(
+            {
+                "para_hash": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+                "example_text": pd.Series(dtype="object"),
+            }
+        )
+    exploded = exploded.drop_duplicates(["para_hash", id_col])
+    agg = exploded.groupby("para_hash", as_index=False).agg(
+        n_docs=(id_col, "nunique"), example_text=("para_text", "first")
+    )
+    out = agg[agg["n_docs"] >= min_docs]
+    return out.sort_values(["n_docs", "para_hash"], ascending=[False, True]).reset_index(drop=True)
+
+
+def strip_repeated_paragraphs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n\n",
+    min_words: int = 3,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Remove paragraphs that repeat across >= min_docs documents from
+    every document's text (broadcast the repeated-hash set, filter per
+    row's paragraphs).  The cross-document boilerplate cleaner the page-
+    level nav-strip heuristics can't catch."""
+    repeated = repeated_paragraphs(
+        ds, text_col, id_col, sep=sep, min_words=min_words, min_docs=min_docs
+    )
+    bad_ref = ray.put(frozenset(int(h) for h in repeated["para_hash"]))
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        bad = cached_get(bad_ref)
+        out = b.copy()
+        new_texts = []
+        for text in b[text_col]:
+            paras = text.split(sep)
+            keep = []
+            stripped = [p.strip() for p in paras]
+            hashes = _sha64([p for p in stripped])
+            for p, sp, h in zip(paras, stripped, hashes):
+                if len(sp.split()) >= min_words and int(h) in bad:
+                    continue
+                keep.append(p)
+            new_texts.append(sep.join(keep))
+        out[text_col] = new_texts
+        return out
+
+    return ds.map_batches(strip, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
 # Duplicate-cluster resolution (pairs -> clusters -> representatives)
 # --------------------------------------------------------------------------
 def dup_clusters(pairs: pd.DataFrame, *, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:

@@ -195,6 +195,26 @@ def q_near_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level dedup (CCNet-style terminal-boilerplate removal):
+    every doc gets a known footer appended; the op must find exactly the
+    cross-document repeats and stripping must remove them (rows-only —
+    returns per-boiler counts plus the verification row counts)."""
+    from ..ops.dedup import repeated_paragraphs, strip_repeated_paragraphs
+
+    footer = "Subscribe to our newsletter | Terms of service apply"
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.assign(text=b["text"] + "\n\n" + footer), batch_format="pandas"
+    )
+    rep = repeated_paragraphs(ds, "text", "doc_id", min_docs=10)
+    stripped = strip_repeated_paragraphs(ds, "text", "doc_id", min_docs=10).to_pandas()
+    still_contains = int(stripped["text"].str.contains(footer, regex=False).sum())
+    out = rep[["n_docs"]].copy()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["docs_still_containing_footer"] = still_contains
+    return out.reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -772,6 +792,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "near_dedup_docs": q_near_dedup_docs,
+    "repeated_paragraphs": q_repeated_paragraphs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprints": q_doc_fingerprints,
     "langid_pred": q_langid_pred,

@@ -371,3 +371,41 @@ class TestCompositeKeyJoin:
         # the union-based exchange upcasts right-only int columns to float
         # (NaN placeholders on left rows); values must still agree exactly
         pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParagraphDedup:
+    def test_repeated_paragraphs_found_and_stripped(self):
+        from ocr_platform_ray.ops.dedup import repeated_paragraphs, strip_repeated_paragraphs
+
+        boiler = "subscribe to our newsletter today"
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    f"unique content one\n\n{boiler}",
+                    f"other unique text here\n\n{boiler}",
+                    f"{boiler}\n\nthird doc body",
+                    "totally clean document",
+                ],
+            }
+        )
+        rep = repeated_paragraphs(rd.from_pandas(docs), "text", "doc_id")
+        assert len(rep) == 1
+        assert rep.iloc[0].example_text == boiler
+        assert rep.iloc[0].n_docs == 3
+
+        cleaned = strip_repeated_paragraphs(rd.from_pandas(docs), "text", "doc_id").to_pandas()
+        by_id = cleaned.set_index("doc_id")["text"]
+        assert boiler not in by_id[0] and boiler not in by_id[2]
+        assert by_id[0] == "unique content one"
+        assert by_id[3] == "totally clean document"
+
+    def test_within_doc_repeat_not_counted(self):
+        from ocr_platform_ray.ops.dedup import repeated_paragraphs
+
+        docs = pd.DataFrame(
+            {"doc_id": [0], "text": "same para here\n\nsame para here"}
+        )
+        rep = repeated_paragraphs(rd.from_pandas(docs), "text", "doc_id")
+        assert len(rep) == 0  # distinct-doc count, not occurrence count
