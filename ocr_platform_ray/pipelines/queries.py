@@ -505,6 +505,20 @@ def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum ordered by ts (the window-function shape):
+    one shuffle (groupby user), in-group sort, integer-cents cumsum."""
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        g["running_value"] = _cents(g["value"]).cumsum() / 100.0
+        return g[["event_id", "user_id", "running_value"]]
+
+    out = ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 _JSON_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
 
 
@@ -811,6 +825,7 @@ QUERIES = {
     "knn_ivf_top10": q_knn_ivf_top10,
     "events_json_k": q_events_json_k,
     "median_value_by_type": q_median_value_by_type,
+    "running_totals": q_running_totals,
     "distinct_users_by_type": q_distinct_users_by_type,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_lsh_top10": q_knn_lsh_top10,
@@ -994,6 +1009,12 @@ ORACLE_SQL = {
     "median_value_by_type": (
         "SELECT event_type, ROUND(median(value), 4) AS median_value "
         "FROM events GROUP BY event_type"
+    ),
+    "running_totals": (
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 "
+        "AS running_value FROM events"
     ),
     "distinct_users_by_type": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
