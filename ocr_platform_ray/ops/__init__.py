@@ -7,6 +7,7 @@ from .relational import (  # noqa: F401
     native_join,
     salted_groupby_sum,
     stratified_sample,
+    asof_join,
     semi_join,
     anti_join,
     top_k,

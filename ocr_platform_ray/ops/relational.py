@@ -241,6 +241,50 @@ def distinct_sorted(ds: rd.Dataset, col: str) -> pd.DataFrame:
     return pd.DataFrame({col: vals})
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """As-of join (ray_guide pattern): for each left row, the latest right
+    row of the same key with right.ts <= left.ts.  One co-grouping shuffle
+    on the key, then ``pd.merge_asof`` over the ts-sorted group.  Ordering
+    comes from the explicit in-group sort, never arrival order."""
+
+    def tag(ds: rd.Dataset, side: str, cols: list[str]) -> rd.Dataset:
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[cols].copy()
+            out["__side"] = side
+            return out
+
+        return ds.map_batches(add, batch_format="pandas")
+
+    lcols = left.schema().names
+    l = tag(left, "l", lcols)
+    r = tag(right, "r", [key, ts] + [c for c in right_cols if c not in (key, ts)])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].drop(columns="__side").dropna(axis=1, how="all")
+        rg = g[g["__side"] == "r"].drop(columns="__side").dropna(axis=1, how="all")
+        lg = lg[[c for c in lcols if c in lg.columns]].sort_values(ts)
+        if rg.empty:
+            for c in right_cols:
+                if c not in (key, ts):
+                    lg[c + suffix] = pd.NA
+            return lg
+        rg = rg[[c for c in [key, ts] + right_cols if c in rg.columns]].sort_values(ts)
+        return pd.merge_asof(
+            lg, rg.drop(columns=[key]), on=ts, direction="backward", suffixes=("", suffix)
+        )
+
+    u = l.union(r)
+    return u.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def stratified_sample(
     ds: rd.Dataset,
     id_col: str,

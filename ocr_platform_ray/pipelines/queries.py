@@ -505,6 +505,28 @@ def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_asof_last_signup(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each error event, the same user's most recent
+    signup at-or-before it (F-class range join; DuckDB ASOF oracle)."""
+    from ..ops.relational import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    errors = ev.map_batches(
+        lambda b: b[b["event_type"] == "error"][["event_id", "user_id", "ts"]],
+        batch_format="pandas",
+    )
+    signups = ev.map_batches(
+        lambda b: b[b["event_type"] == "signup"].rename(columns={"event_id": "signup_id"})[
+            ["user_id", "ts", "signup_id"]
+        ],
+        batch_format="pandas",
+    )
+    out = asof_join(errors, signups, key="user_id", ts="ts", right_cols=["signup_id"]).to_pandas()
+    out = out[["event_id", "signup_id"]].copy()
+    out["signup_id"] = out["signup_id"].astype("Int64").astype("float64")  # nullable -> NaN
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_running_totals(sf_dir: str) -> pd.DataFrame:
     """Per-user running sum ordered by ts (the window-function shape):
     one shuffle (groupby user), in-group sort, integer-cents cumsum."""
@@ -826,6 +848,7 @@ QUERIES = {
     "events_json_k": q_events_json_k,
     "median_value_by_type": q_median_value_by_type,
     "running_totals": q_running_totals,
+    "asof_last_signup": q_asof_last_signup,
     "distinct_users_by_type": q_distinct_users_by_type,
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_lsh_top10": q_knn_lsh_top10,
@@ -1015,6 +1038,13 @@ ORACLE_SQL = {
         "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 "
         "AS running_value FROM events"
+    ),
+    "asof_last_signup": (
+        "SELECT e.event_id, CAST(s.signup_id AS DOUBLE) AS signup_id "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e "
+        "ASOF LEFT JOIN (SELECT event_id AS signup_id, user_id, ts FROM events "
+        "WHERE event_type = 'signup') s "
+        "ON e.user_id = s.user_id AND e.ts >= s.ts"
     ),
     "distinct_users_by_type": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
