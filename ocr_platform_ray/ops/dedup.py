@@ -67,10 +67,14 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     # materialized: consumed twice (winner aggregate + winner filter) and a
     # lazy Dataset would re-execute its whole lineage per consumption
     hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
-    # native vectorized groupby (no per-group Python): hash -> (min id, count)
-    winners = hashed.groupby("__h").aggregate(
-        Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n")
-    ).to_pandas()
+    # winner reduce over an id-only projection — the exchange moves
+    # (hash, id, count) partials, never the content column
+    winners = (
+        hashed.select_columns(["__h", id_col, "n_dups"])
+        .groupby("__h")
+        .aggregate(Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n"))
+        .to_pandas()
+    )
     win_ref = ray.put(
         {int(h): (m, int(n)) for h, m, n in zip(winners["__h"], winners["__min_id"], winners["__n"])}
     )
@@ -100,8 +104,12 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
+def _shingle_hashes(text: str, k: int, split_mode: str = "ws") -> np.ndarray:
+    """Word-k-gram hashes.  ``split_mode="ws"`` collapses whitespace runs
+    (Python str.split — the right choice for near-dup robustness);
+    ``"space"`` splits on single spaces keeping empty tokens, mirroring
+    DuckDB ``string_split(text, ' ')`` exactly (the oracled ngram query)."""
+    toks = text.split() if split_mode == "ws" else text.split(" ")
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
@@ -171,14 +179,33 @@ def minhash_lsh_duplicates(
 
     exploded = sig_ds.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "n": []})
-        ids = np.sort(g[id_col].to_numpy())
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "n": 1})
+    # candidate pairs: shuffle a bounded shard label (hash-shard exchange,
+    # stages/reassemble.py pattern) instead of grouping per (band, bh)
+    # bucket — per-bucket map_groups costs ~1.6 ms of Python per BUCKET
+    # (millions of buckets at corpus scale); the in-shard self-merge is one
+    # vectorized pandas join per shard.
+    n_shards = 64
 
-    cand = exploded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = (out["bh"].to_numpy(dtype=np.uint64) % n_shards).astype("int64")
+        return out
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # self-join within buckets of this shard: (band, bh) equality,
+        # ordered pairs only; buckets are small by LSH design so the
+        # within-bucket quadratic blowup is bounded
+        m = g.merge(g, on=["band", "bh"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+
+    cand = (
+        exploded.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .to_pandas()
+    )
     empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype="int64"),
@@ -251,6 +278,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    split_mode: str = "space",
 ) -> pd.DataFrame:
     """Exact word-k-gram Jaccard similarity for every pair sharing at least
     one shingle: explode (shingle, id, set_size) -> groupby shingle ->
@@ -258,37 +286,70 @@ def ngram_jaccard_pairs(
     Posting lists longer than ``max_posting`` are dropped (stop-shingles;
     logged in the n_dropped column semantics of the caller)."""
 
+    n_shards = 64
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, shs, sizes = [], [], []
         for i, text in zip(batch[id_col], batch[text_col]):
-            sh = _shingle_hashes(text, k)
+            sh = _shingle_hashes(text, k, split_mode)
             ids.extend([i] * len(sh))
             shs.extend(sh.tolist())
             sizes.extend([len(sh)] * len(sh))
-        return pd.DataFrame({id_col: ids, "sh": shs, "size": sizes})
+        out = pd.DataFrame({id_col: ids, "sh": np.asarray(shs, dtype=np.uint64), "size": sizes})
+        out["__shard"] = (out["sh"].to_numpy() % n_shards).astype("int64")
+        return out
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_posting:
-            return pd.DataFrame({"id_a": [], "id_b": [], "size_a": [], "size_b": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sizes = g["size"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "size_a": sizes[ia], "size_b": sizes[ib]}
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per SHARD (not per shingle): drop singleton
+        and stop-shingle posting lists by a value_counts filter, self-merge
+        on the shingle hash for ordered co-occurrence rows, pre-sum the
+        per-pair intersection counts in-shard (combiner)."""
+        counts = g["sh"].value_counts()
+        keep = counts[(counts >= 2) & (counts <= max_posting)].index
+        g = g[g["sh"].isin(keep)]
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "inter": pd.Series(dtype="int64"),
+                "size_a": pd.Series(dtype="int64"),
+                "size_b": pd.Series(dtype="int64"),
+            }
         )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        part = m.groupby([f"{id_col}_a", f"{id_col}_b"], as_index=False).agg(
+            inter=("sh", "size"), size_a=("size_a", "first"), size_b=("size_b", "first")
+        )
+        return part.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+
+    from .relational import sharded_group_agg
 
     exploded = ds.map_batches(explode, batch_format="pandas")
-    pairs = exploded.groupby("sh").map_groups(posting_pairs, batch_format="pandas").to_pandas()
-    if pairs.empty:
+    partials = exploded.groupby("__shard").map_groups(shard_pairs, batch_format="pandas")
+    # distributed per-pair reduce (a pair's shingles spread over shards):
+    # second hash-shard exchange, then jaccard + threshold filtered inside
+    # map_batches so only qualifying pairs reach the driver
+    agg = sharded_group_agg(
+        partials,
+        ["id_a", "id_b"],
+        {"inter": ("inter", "sum"), "size_a": ("size_a", "min"), "size_b": ("size_b", "min")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        j = b["inter"] / (b["size_a"] + b["size_b"] - b["inter"])
+        out = b.assign(jaccard=j)
+        return out[out["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+
+    out = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")} | {"jaccard": pd.Series(dtype="float64")}
         )
-    agg = pairs.groupby(["id_a", "id_b"], as_index=False).agg(
-        inter=("size_a", "size"), size_a=("size_a", "first"), size_b=("size_b", "first")
-    )
-    agg["jaccard"] = agg["inter"] / (agg["size_a"] + agg["size_b"] - agg["inter"])
-    out = agg[agg["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -305,10 +366,19 @@ def repeated_paragraphs(
     min_docs: int = 2,
 ) -> pd.DataFrame:
     """Paragraphs occurring in >= min_docs distinct documents (the CCNet-
-    style terminal/boilerplate detector, applied at chunk granularity):
-    explode paragraphs -> (para_hash, id) pairs deduped in-batch -> one
-    groupby over hashes counting distinct docs.  Returns
-    (para_hash, n_docs, example_text)."""
+    style terminal/boilerplate detector, applied at chunk granularity).
+    Returns (para_hash, n_docs, example_text), n_docs desc.
+
+    Distributed end-to-end — nothing corpus-proportional touches the
+    driver: explode paragraphs -> (para_hash, id) pairs deduped in-batch
+    (a document lives in one row, so its paragraphs share a batch and the
+    in-batch dedup makes pairs globally distinct) -> native
+    ``groupby(para_hash).aggregate(Count)`` over an id-only projection (the
+    shuffle moves 16 bytes/paragraph, not text) -> only the >= min_docs
+    result (boilerplate-sized) lands on the driver; example texts are then
+    fetched by a second map over the corpus filtered against the broadcast
+    repeated-hash set (min() per hash for determinism)."""
+    from ray.data.aggregate import Count
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes, texts = [], [], []
@@ -319,26 +389,55 @@ def repeated_paragraphs(
                     continue
                 ids.append(i)
                 texts.append(p)
-            hs = _sha64(texts[len(hashes) :])
+            # signed-int64 view: a batch of large uint64 hashes would
+            # otherwise infer a uint64 column in some batches and int64 in
+            # others -> inconsistent block schemas across the exchange
+            hs = _sha64(texts[len(hashes) :]).view(np.int64)
             hashes.extend(int(h) for h in hs)
-        out = pd.DataFrame({id_col: ids, "para_hash": hashes, "para_text": texts})
+        out = pd.DataFrame(
+            {id_col: ids, "para_hash": np.asarray(hashes, dtype=np.int64), "para_text": texts}
+        )
         return out.drop_duplicates(["para_hash", id_col])  # in-batch combiner
 
-    exploded = ds.map_batches(explode, batch_format="pandas").to_pandas()
-    if exploded.empty:
-        return pd.DataFrame(
-            {
-                "para_hash": pd.Series(dtype="int64"),
-                "n_docs": pd.Series(dtype="int64"),
-                "example_text": pd.Series(dtype="object"),
-            }
-        )
-    exploded = exploded.drop_duplicates(["para_hash", id_col])
-    agg = exploded.groupby("para_hash", as_index=False).agg(
-        n_docs=(id_col, "nunique"), example_text=("para_text", "first")
+    empty = pd.DataFrame(
+        {
+            "para_hash": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int64"),
+            "example_text": pd.Series(dtype="object"),
+        }
     )
-    out = agg[agg["n_docs"] >= min_docs]
-    return out.sort_values(["n_docs", "para_hash"], ascending=[False, True]).reset_index(drop=True)
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    counts = (
+        exploded.select_columns(["para_hash"])
+        .groupby("para_hash")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    rep = counts[counts["n_docs"] >= min_docs]
+    if rep.empty:
+        return empty
+    bad_ref = ray.put(frozenset(int(h) for h in rep["para_hash"]))
+
+    def pick_examples(b: pd.DataFrame) -> pd.DataFrame:
+        bad = cached_get(bad_ref)
+        hit = b[b["para_hash"].isin(bad)]
+        # in-batch combiner: one candidate example per hash
+        return hit.groupby("para_hash", as_index=False).agg(example_text=("para_text", "min"))
+
+    examples = (
+        exploded.select_columns(["para_hash", "para_text"])
+        .map_batches(pick_examples, batch_format="pandas")
+        .to_pandas()
+        .groupby("para_hash", as_index=False)
+        .agg(example_text=("example_text", "min"))
+    )
+    out = rep.merge(examples, on="para_hash", how="left")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (
+        out[["para_hash", "n_docs", "example_text"]]
+        .sort_values(["n_docs", "para_hash"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
 
 
 def strip_repeated_paragraphs(
@@ -367,7 +466,7 @@ def strip_repeated_paragraphs(
             paras = text.split(sep)
             keep = []
             stripped = [p.strip() for p in paras]
-            hashes = _sha64([p for p in stripped])
+            hashes = _sha64([p for p in stripped]).view(np.int64)
             for p, sp, h in zip(paras, stripped, hashes):
                 if len(sp.split()) >= min_words and int(h) in bad:
                     continue

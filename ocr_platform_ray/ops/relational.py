@@ -66,6 +66,51 @@ def broadcast_hash_join(
 # --------------------------------------------------------------------------
 # Partitioned (bucketed) hash join — both sides large
 # --------------------------------------------------------------------------
+def _restore_targets(schema: "pa.Schema", names) -> dict[str, str]:
+    """Map integer/bool columns of an Arrow schema to their numpy dtype
+    names.  A two-sided union exchange null-fills each side's exclusive
+    columns, which upcasts int->float / bool->object in pandas batches;
+    after slicing back to one side's rows the nulls are gone and the
+    original dtype can be restored exactly."""
+    targets: dict[str, str] = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name not in names or not isinstance(typ, pa.DataType):
+            continue  # non-Arrow (simple-block) schemas carry Python types
+        if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+            targets[name] = np.dtype(typ.to_pandas_dtype()).name
+    return targets
+
+
+def _pd_dtype(typ) -> str:
+    """Arrow type -> pandas dtype name (object for anything exotic)."""
+    if not isinstance(typ, pa.DataType):
+        return "object"
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        return "datetime64[ns]"
+    if pa.types.is_integer(typ):
+        return np.dtype(typ.to_pandas_dtype()).name
+    if pa.types.is_floating(typ):
+        return "float64"
+    if pa.types.is_boolean(typ):
+        return "bool"
+    return "object"
+
+
+def _typed_empty(schema: "pa.Schema", cols: list[str]) -> pd.DataFrame:
+    types = dict(zip(schema.names, schema.types))
+    return pd.DataFrame({c: pd.Series(dtype=_pd_dtype(types.get(c))) for c in cols})
+
+
+def _restore_dtypes(df: pd.DataFrame, targets: dict[str, str]) -> pd.DataFrame:
+    for c, dt in targets.items():
+        if c in df.columns and str(df[c].dtype) != dt and not df[c].isna().any():
+            try:
+                df[c] = df[c].astype(dt)
+            except (TypeError, ValueError):
+                pass
+    return df
+
+
 def _with_bucket(ds: rd.Dataset, on: list[str], n_buckets: int, side: str) -> rd.Dataset:
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -101,18 +146,31 @@ def bucketed_hash_join(
     lcols = left.schema().names
     rcols = right.schema().names
     overlap = (set(lcols) & set(rcols)) - set(keys)
+    # static column lists + dtype targets: a bucket holding only one side's
+    # rows must still produce the full merged schema (column inference via
+    # dropna silently dropped key columns for one-sided buckets and any
+    # legitimately all-NA column)
+    ltargets = _restore_targets(left.schema(), set(lcols))
+    rtargets = _restore_targets(right.schema(), set(rcols))
 
     l = _with_bucket(left, keys, n_buckets, "l")
     r = _with_bucket(right, keys, n_buckets, "r")
 
+    lschema, rschema = left.schema(), right.schema()
+
+    def _side(g: pd.DataFrame, side: str, cols: list[str], targets, schema) -> pd.DataFrame:
+        # a bucket fed only one side's blocks arrives without the other
+        # side's columns (the union keeps per-block schemas) -> empty side
+        mask = g["__side"] == side
+        if not mask.any() or any(c not in g.columns for c in cols):
+            return _typed_empty(schema, cols)
+        return _restore_dtypes(g.loc[mask, cols].copy(), targets)
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].drop(columns=["__bucket", "__side"]).dropna(axis=1, how="all")
-        rg = g[g["__side"] == "r"].drop(columns=["__bucket", "__side"]).dropna(axis=1, how="all")
-        lg = lg[[c for c in lcols if c in lg.columns]]
-        rg = rg[[c for c in rcols if c in rg.columns]]
+        lg = _side(g, "l", lcols, ltargets, lschema)
+        rg = _side(g, "r", rcols, rtargets, rschema)
         rg = rg.rename(columns={c: right_prefix + c for c in overlap})
-        merged = lg.merge(rg, on=keys, how=how)
-        return merged
+        return lg.merge(rg, on=keys, how=how)
 
     u = l.union(r)
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
@@ -249,40 +307,92 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     suffix: str = "_r",
+    n_shards: int = 64,
 ) -> rd.Dataset:
-    """As-of join (ray_guide pattern): for each left row, the latest right
-    row of the same key with right.ts <= left.ts.  One co-grouping shuffle
-    on the key, then ``pd.merge_asof`` over the ts-sorted group.  Ordering
-    comes from the explicit in-group sort, never arrival order."""
+    """As-of join: for each left row, the latest right row of the same key
+    with right.ts <= left.ts.
+
+    Exchange shape: ONE co-grouping shuffle on ``hash(key) % n_shards`` (the
+    reassemble_docs hash-shard pattern) — n_shards vectorized
+    ``pd.merge_asof(..., by=key)`` calls instead of one Python call per key
+    (~1.6 ms/group table construction dominates at millions of keys).
+    Ordering comes from the explicit in-shard sort, never arrival order.
+
+    Schema is identical across shards and branches: right payload columns
+    keep their own name unless they collide with a left column (then
+    ``+ suffix``), and keys with no right rows fill with the dtype-correct
+    missing value (NaN / NaT / None) under the SAME names."""
+    lcols = left.schema().names
+    rkeep = [key, ts] + [c for c in right_cols if c not in (key, ts)]
+    extra = [c for c in rkeep if c not in (key, ts)]
+    # output name per right payload column: suffix only on collision, in
+    # both the merge_asof branch and the empty-right fill branch
+    out_names = {c: (c + suffix if c in lcols else c) for c in extra}
+    ltargets = _restore_targets(left.schema(), set(lcols))
+    rtargets = _restore_targets(right.schema(), set(rkeep))
+    # dtype-correct fill values for keys that have no right match
+    rschema = right.schema()
+    fills = {}
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in extra:
+            if not isinstance(typ, pa.DataType):
+                fills[name] = None
+            elif pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+                fills[name] = pd.NaT
+            elif pa.types.is_floating(typ) or pa.types.is_integer(typ):
+                fills[name] = np.nan
+            else:
+                fills[name] = None
+    out_cols = lcols + [out_names[c] for c in extra]
+
+    out_dtypes = {}
+    lschema = left.schema()
+    for name, typ in zip(lschema.names, lschema.types):
+        if name in lcols:
+            out_dtypes[name] = _pd_dtype(typ)
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in extra:
+            # fill dtype: ints become float64 (NaN-able), like merge_asof
+            dt = _pd_dtype(typ)
+            out_dtypes[out_names[name]] = "float64" if dt.startswith("int") else dt
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "object")) for c in out_cols})
 
     def tag(ds: rd.Dataset, side: str, cols: list[str]) -> rd.Dataset:
         def add(b: pd.DataFrame) -> pd.DataFrame:
             out = b[cols].copy()
             out["__side"] = side
+            out["__shard"] = (pd.util.hash_array(out[key].to_numpy()) % n_shards).astype("int64")
             return out
 
         return ds.map_batches(add, batch_format="pandas")
 
-    lcols = left.schema().names
     l = tag(left, "l", lcols)
-    r = tag(right, "r", [key, ts] + [c for c in right_cols if c not in (key, ts)])
+    r = tag(right, "r", rkeep)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].drop(columns="__side").dropna(axis=1, how="all")
-        rg = g[g["__side"] == "r"].drop(columns="__side").dropna(axis=1, how="all")
-        lg = lg[[c for c in lcols if c in lg.columns]].sort_values(ts)
-        if rg.empty:
-            for c in right_cols:
-                if c not in (key, ts):
-                    lg[c + suffix] = pd.NA
-            return lg
-        rg = rg[[c for c in [key, ts] + right_cols if c in rg.columns]].sort_values(ts)
-        return pd.merge_asof(
-            lg, rg.drop(columns=[key]), on=ts, direction="backward", suffixes=("", suffix)
-        )
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # shards fed only one side's blocks arrive WITHOUT the other
+        # side's columns (the union keeps per-block schemas) — treat a
+        # missing column set as an empty side
+        lmask = g["__side"] == "l"
+        if not lmask.any() or any(c not in g.columns for c in lcols):
+            # keys present only in the right dataset produce no output rows
+            return _empty_out()
+        lg = _restore_dtypes(g.loc[lmask, lcols].copy(), ltargets)
+        lg = lg.sort_values(ts, kind="mergesort")
+        rmask = g["__side"] == "r"
+        if not rmask.any() or any(c not in g.columns for c in rkeep):
+            for c in extra:
+                lg[out_names[c]] = fills[c]
+            return lg[out_cols]
+        rg = _restore_dtypes(g.loc[rmask, rkeep].copy(), rtargets)
+        rg = rg.rename(columns=out_names).sort_values(ts, kind="mergesort")
+        merged = pd.merge_asof(lg, rg, on=ts, by=key, direction="backward")
+        return merged[out_cols]
 
     u = l.union(r)
-    return u.groupby(key).map_groups(per_key, batch_format="pandas")
+    return u.groupby("__shard").map_groups(per_shard, batch_format="pandas")
 
 
 def stratified_sample(
@@ -308,6 +418,49 @@ def stratified_sample(
         return b[h < thresholds]
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Sharded distributed group-aggregate (the scale-safe combiner finish)
+# --------------------------------------------------------------------------
+def sharded_group_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Distributed exact group-aggregate via the hash-shard exchange
+    (stages/reassemble.py pattern): shuffle a bounded ``hash(keys) %
+    n_shards`` label, then ONE vectorized pandas groupby per shard.
+
+    ``aggs`` maps output alias -> (source column, pandas agg name).
+
+    Why not ``Dataset.groupby().aggregate(Sum…)``: in this Ray version the
+    built-in aggregate executes per GROUP in Python (~2.3 ms/group
+    measured) — 95 k groups took 22 s where this exchange takes ~2 s.  The
+    shard groupby is just as distributed (the driver never sees the
+    partials; each shard holds |rows|/n_shards) and every shard reduce is
+    one vectorized pandas call."""
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b[keys[0]].to_numpy())
+        for k in keys[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(b[k].to_numpy())
+        out = b.copy()
+        out["__shard"] = (h % n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            **{alias: (src, how) for alias, (src, how) in aggs.items()}
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -195,24 +195,54 @@ def q_near_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
-def q_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
-    """Chunk-level dedup (CCNet-style terminal-boilerplate removal):
-    every doc gets a known footer appended; the op must find exactly the
-    cross-document repeats and stripping must remove them (rows-only —
-    returns per-boiler counts plus the verification row counts)."""
-    from ..ops.dedup import repeated_paragraphs, strip_repeated_paragraphs
+_GLOBAL_FOOTER = "Subscribe to our newsletter | Terms of service apply"
 
-    footer = "Subscribe to our newsletter | Terms of service apply"
-    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda b: b.assign(text=b["text"] + "\n\n" + footer), batch_format="pandas"
-    )
-    rep = repeated_paragraphs(ds, "text", "doc_id", min_docs=10)
-    stripped = strip_repeated_paragraphs(ds, "text", "doc_id", min_docs=10).to_pandas()
-    still_contains = int(stripped["text"].str.contains(footer, regex=False).sum())
-    out = rep[["n_docs"]].copy()
+
+def _with_footers(sf_dir: str) -> rd.Dataset:
+    """Documents with a global footer + a per-site (doc_id % 7) footer
+    appended — the boilerplate corpus for the chunk-dedup queries."""
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        site = (b["doc_id"] % 7).astype(str)
+        return b.assign(
+            text=b["text"]
+            + "\n\n"
+            + _GLOBAL_FOOTER
+            + "\n\n"
+            + "Site "
+            + site
+            + " portal - all rights reserved worldwide"
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(add, batch_format="pandas")
+
+
+def q_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Chunk-level dedup (CCNet-style terminal-boilerplate removal): every
+    doc gets a global footer + one of 7 per-site footers appended; the op
+    must find exactly the cross-document repeats with their distinct-doc
+    counts.  Fully distributed (the exploded paragraph set never lands on
+    the driver) and exactly SQL-mirrored (unnest paragraphs + count
+    distinct docs)."""
+    from ..ops.dedup import repeated_paragraphs
+
+    rep = repeated_paragraphs(_with_footers(sf_dir), "text", "doc_id", min_docs=10)
+    out = rep[["example_text", "n_docs"]].rename(columns={"example_text": "para_text"}).copy()
     out["n_docs"] = out["n_docs"].astype("int64")
-    out["docs_still_containing_footer"] = still_contains
-    return out.reset_index(drop=True)
+    return out.sort_values("para_text").reset_index(drop=True)
+
+
+def q_strip_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate STRIP verification: after removing >=10-doc repeated
+    paragraphs, per-doc text lengths (SQL mirror reconstructs the stripped
+    text by filtering the same paragraph set)."""
+    from ..ops.dedup import strip_repeated_paragraphs
+
+    stripped = strip_repeated_paragraphs(
+        _with_footers(sf_dir), "text", "doc_id", min_docs=10
+    ).to_pandas()
+    out = stripped[["doc_id"]].copy()
+    out["n_chars_stripped"] = stripped["text"].str.len().astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
@@ -832,6 +862,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "near_dedup_docs": q_near_dedup_docs,
     "repeated_paragraphs": q_repeated_paragraphs,
+    "strip_repeated_paragraphs": q_strip_repeated_paragraphs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprints": q_doc_fingerprints,
     "langid_pred": q_langid_pred,
@@ -904,9 +935,15 @@ WITH toks AS (
   SELECT * FROM grams UNION ALL SELECT * FROM short
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM allg GROUP BY doc_id
+), posting AS (
+  -- stop-shingle cap: shingles shared by > 1000 docs are excluded from the
+  -- intersection on BOTH engines (the Ray op's max_posting skew control)
+  SELECT g FROM allg GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 1000
 ), inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM allg x JOIN allg y ON x.g = y.g AND x.doc_id < y.doc_id
+  FROM allg x
+  JOIN posting p ON p.g = x.g
+  JOIN allg y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT id_a, id_b,
@@ -915,6 +952,58 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+"""
+
+# Chunk-dedup oracles: paragraphs = '\n\n'-split parts of text + the two
+# appended footers; a paragraph counts when its stripped form has >= 3
+# whitespace tokens; repeated = present in >= 10 distinct docs.  DuckDB
+# string literals don't interpret backslash escapes -> chr(10) newlines.
+_PARA_NL2 = "chr(10) || chr(10)"
+_PARA_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+_PARA_DOCS = f"""
+  SELECT doc_id,
+         text || {_PARA_NL2} || 'Subscribe to our newsletter | Terms of service apply'
+              || {_PARA_NL2} || 'Site ' || CAST(doc_id % 7 AS VARCHAR)
+              || ' portal - all rights reserved worldwide' AS text
+  FROM documents
+"""
+
+_REPEATED_PARAS_SQL = f"""
+WITH docs AS ({_PARA_DOCS}
+), parts AS (
+  SELECT doc_id, unnest(string_split(text, {_PARA_NL2})) AS p FROM docs
+), paras AS (
+  SELECT DISTINCT doc_id, trim(p, {_PARA_WS}) AS para_text FROM parts
+)
+SELECT para_text, COUNT(DISTINCT doc_id) AS n_docs
+FROM paras
+WHERE len(regexp_extract_all(para_text, '\\S+')) >= 3
+GROUP BY para_text
+HAVING COUNT(DISTINCT doc_id) >= 10
+"""
+
+_STRIP_PARAS_SQL = f"""
+WITH docs AS ({_PARA_DOCS}
+), parts AS (
+  SELECT doc_id, unnest(string_split(text, {_PARA_NL2})) AS p,
+         generate_subscripts(string_split(text, {_PARA_NL2}), 1) AS i
+  FROM docs
+), trimmed AS (
+  SELECT doc_id, p, i, trim(p, {_PARA_WS}) AS tp,
+         len(regexp_extract_all(trim(p, {_PARA_WS}), '\\S+')) AS nw
+  FROM parts
+), rep AS (
+  SELECT tp FROM (SELECT DISTINCT doc_id, tp FROM trimmed WHERE nw >= 3)
+  GROUP BY tp HAVING COUNT(*) >= 10
+), kept AS (
+  SELECT doc_id, string_agg(p, {_PARA_NL2} ORDER BY i) AS s
+  FROM trimmed
+  WHERE NOT (nw >= 3 AND tp IN (SELECT tp FROM rep))
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(length(COALESCE(k.s, '')) AS BIGINT) AS n_chars_stripped
+FROM (SELECT DISTINCT doc_id FROM docs) d
+LEFT JOIN kept k USING (doc_id)
 """
 
 _SESSIONS_SQL = """
@@ -964,6 +1053,8 @@ ORACLE_SQL = {
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"
     ),
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "repeated_paragraphs": _REPEATED_PARAS_SQL,
+    "strip_repeated_paragraphs": _STRIP_PARAS_SQL,
     # money sums use exact integer cents (FLOOR(x*100+0.5)) so parallel
     # partial sums agree bit-for-bit with DuckDB's sequential sum
     "orders_by_segment": (

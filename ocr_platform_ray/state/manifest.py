@@ -91,7 +91,14 @@ def run_with_manifest(
     total_rows, skipped = 0, 0
     t0 = time.monotonic()
     for pid, group in enumerate(groups):
-        if pid in done and done[pid].get("inputs") == group:
+        # committed = manifest matches AND the published output directory
+        # still exists — a deleted/lost shard must recompute, not silently
+        # count its manifest rows
+        if (
+            pid in done
+            and done[pid].get("inputs") == group
+            and os.path.isdir(os.path.join(output_dir, f"part-{pid:05d}"))
+        ):
             total_rows += done[pid]["rows"]
             skipped += 1
             continue

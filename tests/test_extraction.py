@@ -241,6 +241,26 @@ class TestResume:
         r3 = run_extraction(src, out)
         assert r3["skipped"] == r3["parts"] - 1
 
+    def test_lost_output_shard_recomputes(self, tmp_path):
+        # a manifest whose part-NNNNN directory vanished must NOT count as
+        # committed (silently reporting its rows) — it recomputes
+        import glob as g
+        import shutil
+
+        from ocr_platform_ray.corpus import write_pages_parquet
+        from ocr_platform_ray.pipelines.extraction import run_extraction
+
+        src = str(tmp_path / "pages")
+        out = str(tmp_path / "out")
+        write_pages_parquet(src, 20, urls_per_shard=5)
+        r1 = run_extraction(src, out)
+        assert r1["skipped"] == 0 and r1["rows"] == 20
+        lost = sorted(g.glob(os.path.join(out, "part-*")))[0]
+        shutil.rmtree(lost)
+        r2 = run_extraction(src, out)
+        assert r2["skipped"] == r2["parts"] - 1 and r2["rows"] == 20
+        assert os.path.isdir(lost)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestPageIdx:

@@ -136,6 +136,27 @@ class TestJoins:
         want = left.merge(right, on="k", how="inner").sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[want.columns], want)
 
+    def test_bucketed_join_one_sided_buckets(self):
+        # keys present on only ONE side must not break a bucket's schema
+        # (the dropna column-inference bug dropped key columns for
+        # one-sided buckets) and all-NA columns must survive
+        from ocr_platform_ray.ops.relational import bucketed_hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 100], "v": [1.0, 2.0, 3.0, 4.0]})
+        right = pd.DataFrame({"k": [2, 3, 999], "name": ["b", "c", "z"], "all_na": [None] * 3})
+        got = (
+            bucketed_hash_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", n_buckets=8, how="inner"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on="k", how="inner").sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        assert "all_na" in got.columns
+        assert got["k"].dtype == np.dtype("int64")
+
     def test_semi_anti_partition(self, tables):
         from ocr_platform_ray.ops.relational import anti_join, semi_join
 
@@ -180,6 +201,111 @@ class TestSimilarity:
         sims = mn @ mn[0]
         want = set(np.argsort(-sims)[:5].tolist())
         assert set(out.vec_id) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def _gt(self, left, right, key, ts, extra):
+        outs = []
+        for k, lg in left.groupby(key):
+            lg = lg.sort_values(ts)
+            rg = right[right[key] == k].sort_values(ts)
+            if rg.empty:
+                m = lg.copy()
+                for c in extra:
+                    m[c] = np.nan
+            else:
+                m = pd.merge_asof(lg, rg.drop(columns=[key]), on=ts, direction="backward")
+            outs.append(m)
+        return pd.concat(outs).sort_values(["ev", ts]).reset_index(drop=True)
+
+    def test_asof_matches_pandas(self):
+        from ocr_platform_ray.ops.relational import asof_join
+
+        rng = np.random.RandomState(11)
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame(
+            {
+                "ev": range(200),
+                "user": rng.randint(0, 12, 200),
+                "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 200), "s"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "user": rng.randint(0, 12, 60),
+                "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 60), "s"),
+                "sid": np.arange(60) + 1000,
+            }
+        ).drop_duplicates(["user", "ts"])
+        got = (
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                key="user", ts="ts", right_cols=["sid"],
+            )
+            .to_pandas()
+            .sort_values(["ev", "ts"])
+            .reset_index(drop=True)
+        )
+        want = self._gt(left, right, "user", "ts", ["sid"])
+        pd.testing.assert_frame_equal(
+            got[["ev", "user", "sid"]], want[["ev", "user", "sid"]], check_dtype=False
+        )
+
+    def test_asof_key_only_in_right_does_not_crash(self):
+        # regression: a key with right rows but NO left rows crashed the
+        # old per-key dropna path (KeyError on the sort column)
+        from ocr_platform_ray.ops.relational import asof_join
+
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame({"ev": [0, 1], "user": [1, 1], "ts": [base, base + pd.Timedelta("1h")]})
+        right = pd.DataFrame(
+            {"user": [1, 2, 3], "ts": [base, base, base], "sid": [10, 20, 30]}
+        )
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="user", ts="ts", right_cols=["sid"]
+        ).to_pandas()
+        assert sorted(got["ev"]) == [0, 1]  # right-only keys emit nothing
+        assert list(got.sort_values("ev")["sid"]) == [10, 10]
+
+    def test_asof_fill_names_consistent_when_right_empty(self):
+        # regression: keys without right rows must fill under the SAME
+        # column name as matched keys (no stray suffix), schema identical
+        from ocr_platform_ray.ops.relational import asof_join
+
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame(
+            {"ev": [0, 1], "user": [1, 2], "ts": [base + pd.Timedelta("1h")] * 2}
+        )
+        right = pd.DataFrame({"user": [1], "ts": [base], "sid": [10]})
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="user", ts="ts", right_cols=["sid"]
+        ).to_pandas()
+        assert "sid" in got.columns and "sid_r" not in got.columns
+        got = got.sort_values("ev")
+        assert got["sid"].tolist()[0] == 10 and pd.isna(got["sid"].tolist()[1])
+
+        # all-left (no right rows at all for any key in some shards)
+        right2 = pd.DataFrame({"user": [99], "ts": [base], "sid": [7]})
+        got2 = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right2), key="user", ts="ts", right_cols=["sid"]
+        ).to_pandas()
+        assert set(got2.columns) == {"ev", "user", "ts", "sid"}
+        assert got2["sid"].isna().all()
+
+    def test_asof_suffix_on_collision(self):
+        from ocr_platform_ray.ops.relational import asof_join
+
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame(
+            {"ev": [0], "user": [1], "ts": [base + pd.Timedelta("1h")], "v": [1.5]}
+        )
+        right = pd.DataFrame({"user": [1], "ts": [base], "v": [9.9]})
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="user", ts="ts", right_cols=["v"]
+        ).to_pandas()
+        assert "v" in got.columns and "v_r" in got.columns
+        assert got["v"].iloc[0] == 1.5 and got["v_r"].iloc[0] == 9.9
 
 
 @pytest.mark.usefixtures("ray_session")
