@@ -32,6 +32,7 @@ import ray.data as rd
 # module-top so pickle-by-value captures it (lazy relative imports fail in
 # workers that can't import the package from disk)
 from ..state.broadcast import cached_get
+from .similarity import _hyperplanes, bucket_ids
 
 # --------------------------------------------------------------------------
 # Exact dedup (D1/D2)
@@ -531,17 +532,123 @@ def dedup_keep_representatives(
 # --------------------------------------------------------------------------
 # Embedding cosine near-dup
 # --------------------------------------------------------------------------
+_EMPTY_COS_PAIRS = {
+    "id_a": "int64",
+    "id_b": "int64",
+    "cosine": "float64",
+}
+
+
+def _cos_pairs_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY_COS_PAIRS.items()})
+
+
 def embedding_cosine_pairs(
     ds: rd.Dataset,
     emb_col: str,
     id_col: str,
     *,
     threshold: float = 0.95,
+    method: str = "auto",
+    n_bands: int = 24,
+    band_bits: int = 16,
+    seed: int = 5,
 ) -> pd.DataFrame:
-    """Pairs with cosine similarity >= threshold: the full normalized matrix
-    is broadcast once (``ray.put``), each batch does one float64 matmul
-    against it.  Test-scale exact; at corpus scale bucket with
-    similarity.knn_lsh hyperplanes first and run this within buckets."""
+    """Pairs with cosine similarity >= threshold.
+
+    ``method="auto"`` routes by threshold: the DEFAULT near-dup regime
+    (threshold >= 0.8) uses the LSH-BUCKETED path — random-hyperplane band
+    signatures, one candidate-pair shuffle over (id, band, bucket), exact
+    cosine verification of the (pair-set-sized) candidates; no full-matrix
+    broadcast anywhere.  Low thresholds (< 0.8, where hyperplane buckets
+    stop pruning — nearly every pair collides somewhere) use the exact
+    blocked-matmul path against a broadcast normalized matrix, which is
+    dense-output anyway at such thresholds.
+
+    LSH recall: a pair agrees on one of ``n_bands`` bands of ``band_bits``
+    sign bits with prob 1-(1-p^bits)^bands, p = 1 - acos(cos)/pi; at the
+    defaults a 0.95-cosine pair is missed with ~1e-2 prob per band
+    structure — raise n_bands for stricter recall; identical-direction
+    vectors (true copies) are ALWAYS found (identical signatures)."""
+    if method == "auto":
+        method = "lsh" if threshold >= 0.8 else "exact"
+    if method == "exact":
+        return _cosine_pairs_exact(ds, emb_col, id_col, threshold=threshold)
+
+    first = ds.take(1)
+    if not first:
+        return _cos_pairs_empty()
+    dim = len(first[0][emb_col])
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    planes_ref = ray.put(planes)
+    n_shards = 64
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = cached_get(planes_ref)
+        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        n = len(batch)
+        bhs = np.empty((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            band_planes = pl[b * band_bits : (b + 1) * band_bits]
+            bhs[:, b] = bucket_ids(m, band_planes).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands), n),
+                "bh": bhs.ravel(),
+            }
+        )
+        out["__shard"] = ((out["bh"].to_numpy(dtype=np.uint64)) % n_shards).astype("int64")
+        return out
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band", "bh"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+
+    cand = (
+        ds.map_batches(sig, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return _cos_pairs_empty()
+    pairs = cand.drop_duplicates()
+
+    # exact verification: fetch ONLY involved embeddings (candidate pairs
+    # are near-dup-sized, orders of magnitude below the corpus); at 10^12
+    # rows swap this broadcast fetch for a bucketed join of pairs against
+    # the embeddings on id.
+    involved = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
+    inv_ref = ray.put(involved)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].isin(cached_get(inv_ref))][[id_col, emb_col]]
+
+    emb = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    mat = np.stack(emb[emb_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pos = {i: r for r, i in enumerate(emb[id_col])}
+    ia = np.fromiter((pos[i] for i in pairs["id_a"]), dtype=np.int64, count=len(pairs))
+    ib = np.fromiter((pos[i] for i in pairs["id_b"]), dtype=np.int64, count=len(pairs))
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    out = pairs.assign(cosine=cos)
+    out = out[out["cosine"] >= threshold]
+    if out.empty:
+        return _cos_pairs_empty()
+    if pd.api.types.is_numeric_dtype(out["id_a"]):
+        out = out.astype({"id_a": "int64", "id_b": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _cosine_pairs_exact(
+    ds: rd.Dataset, emb_col: str, id_col: str, *, threshold: float
+) -> pd.DataFrame:
+    """Exact all-pairs threshold scan: full normalized matrix broadcast
+    once, one float64 matmul per batch.  The low-threshold route (output
+    is dense anyway) and the ground truth the LSH path is tested against."""
     full = ds.select_columns([id_col, emb_col]).to_pandas().sort_values(id_col)
     ids = full[id_col].to_numpy()
     m = np.stack(full[emb_col].to_numpy()).astype(np.float64)
@@ -562,11 +669,5 @@ def embedding_cosine_pairs(
 
     pairs = ds.map_batches(Block(), batch_format="pandas").to_pandas()
     if pairs.empty:
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cosine": pd.Series(dtype="float64"),
-            }
-        )
+        return _cos_pairs_empty()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -156,11 +156,19 @@ def train_ivf_centroids(
     sample_limit: int = 20000,
     seed: int = 23,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: k-means on a size-capped head sample
-    (fixed seed init, fixed iteration count, cosine/IP metric on normalized
-    vectors).  At corpus scale the sample is a `random_sample(frac, seed)`;
-    training stays driver-side because centroids are tiny."""
-    sample = _as_matrix(ds.limit(sample_limit).to_pandas()[emb_col])
+    """Deterministic coarse quantizer: k-means on a size-capped SEEDED
+    RANDOM sample (fixed seed init, fixed iteration count, cosine/IP
+    metric on normalized vectors).  A head `limit()` sample would be
+    biased whenever the input is ordered (by source, by time, …);
+    `random_sample(frac, seed)` draws across all blocks.  Training stays
+    driver-side because centroids are tiny."""
+    n_total = ds.count()
+    if n_total > sample_limit:
+        frac = min(1.0, (1.5 * sample_limit) / n_total)  # oversample, then cap
+        sampled = ds.random_sample(frac, seed=seed).limit(sample_limit)
+    else:
+        sampled = ds
+    sample = _as_matrix(sampled.to_pandas()[emb_col])
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(n_iters):

@@ -18,6 +18,11 @@ _STOPWORDS = frozenset(
 )
 # BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+# punctuation = not alnum and not whitespace; as a regex that is
+# "non-word non-space, plus underscore" (\w = alnum + '_').  Counted with
+# pandas .str.count (C-level) — the per-character Python loop this
+# replaces cost ~1 ms/doc in the curation hot path.
+_PUNCT_RE = re.compile(r"[^\w\s]")
 
 
 def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
@@ -32,9 +37,8 @@ def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
         toks = texts.str.split()
         out["n_tokens"] = toks.map(len).astype("int64")
         out["n_bpe_tokens"] = texts.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
-        out["punct_ratio"] = texts.map(
-            lambda t: sum(not c.isalnum() and not c.isspace() for c in t) / max(1, len(t))
-        )
+        n_punct = texts.str.count(_PUNCT_RE) + texts.str.count("_")
+        out["punct_ratio"] = n_punct / out["n_chars"].clip(lower=1)
         out["stopword_ratio"] = toks.map(
             lambda ws: sum(w.lower() in _STOPWORDS for w in ws) / max(1, len(ws))
         )
@@ -118,10 +122,16 @@ def langid_scores(ds: rd.Dataset, text_col: str = "text", *, concurrency=(1, 8))
 # Document fingerprinting (rolling hash + winnowing)
 # --------------------------------------------------------------------------
 def doc_fingerprint(ds: rd.Dataset, text_col: str, *, k: int = 8, window: int = 4) -> rd.Dataset:
-    """Winnowing fingerprint: polynomial rolling hash over char k-grams,
-    keep the min hash per sliding window (classic MOSS scheme), emit the
-    sorted distinct fingerprint set + a 64-bit digest of it."""
-    B, M = 131, (1 << 61) - 1
+    """Winnowing fingerprint: polynomial hash over char k-grams, keep the
+    min hash per sliding window (classic MOSS scheme), emit the sorted
+    distinct fingerprint set + a 64-bit digest of it.
+
+    Fully vectorized: codepoints via one utf-32 decode, k-gram hashes as a
+    (n, k) sliding-window dot product with natural uint64 wraparound
+    arithmetic (mod 2^64 — deterministic; replaces a per-character Python
+    rolling-hash loop that cost ~1 ms/KB)."""
+    B = np.uint64(131)
+    powers = (B ** np.arange(k - 1, -1, -1, dtype=np.uint64)).astype(np.uint64)
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -132,15 +142,10 @@ def doc_fingerprint(ds: rd.Dataset, text_col: str, *, k: int = 8, window: int = 
                 fps.append([])
                 digests.append(0)
                 continue
-            # rolling polynomial hash over k-grams
-            h = 0
-            power = pow(B, k - 1, M)
-            hashes = np.empty(len(t) - k + 1, dtype=np.uint64)
-            for i, c in enumerate(t):
-                h = (h * B + ord(c)) % M
-                if i >= k - 1:
-                    hashes[i - k + 1] = h
-                    h = (h - ord(t[i - k + 1]) * power) % M
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            with np.errstate(over="ignore"):
+                hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
             # winnowing: min per window of consecutive hashes
             if len(hashes) <= window:
                 sel = {int(hashes.min())}

@@ -645,6 +645,43 @@ def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """LSH-BUCKETED embedding near-dedup (the default >= 0.8 route — no
+    full-matrix broadcast): the corpus is augmented with a scaled copy of
+    every vector (vec_id + 100000, embedding * 0.7 — same direction, so
+    cosine 1.0 and identical hyperplane signatures -> deterministic
+    recall); the op must recover exactly the copy pairs."""
+    from ..ops.dedup import embedding_cosine_pairs
+
+    base = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def copies(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"] + 100000,
+                "embedding": [np.asarray(v, dtype=np.float64) * 0.7 for v in b["embedding"]],
+            }
+        )
+
+    def originals(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": [np.asarray(v, dtype=np.float64) for v in b["embedding"]],
+            }
+        )
+
+    ds = base.map_batches(originals, batch_format="pandas").union(
+        base.map_batches(copies, batch_format="pandas")
+    )
+    out = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95)
+    out = out.copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ===========================================================================
 # Scalar-library queries (M9 slug, M13 hijri)
 # ===========================================================================
@@ -887,6 +924,7 @@ QUERIES = {
     "knn_cosine_top10": q_knn_cosine_top10,
     "knn_lsh_top10": q_knn_lsh_top10,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "customer_slugs": q_customer_slugs,
     "hijri_order_years": q_hijri_order_years,
     "pushdown_filter_read": q_pushdown_filter_read,
@@ -1160,6 +1198,17 @@ ORACLE_SQL = {
         "WHERE a.vec_id < 1500 AND b.vec_id < 1500 "
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+    ),
+    "embedding_near_dup_pairs": (
+        "WITH aug AS ("
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.7) "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine "
+        "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.e, b.e) >= 0.95"
     ),
     "customer_slugs": (
         "SELECT c_custkey, trim(lower(regexp_replace(c_name, '[^a-zA-Z0-9]+', '-', 'g')), '-') "

@@ -100,6 +100,38 @@ class TestDedup:
         want = {(i, j) for i in range(40) for j in range(i + 1, 40) if sims[i, j] >= 0.95}
         assert {(int(r.id_a), int(r.id_b)) for r in out.itertuples()} == want
 
+    def test_embedding_cosine_lsh_matches_exact(self):
+        # the default bucketed (LSH) route must recover the same pairs as
+        # the exact full-matrix route at the near-dup threshold
+        from ocr_platform_ray.ops.dedup import embedding_cosine_pairs
+
+        rng = np.random.RandomState(9)
+        m = rng.randn(120, 24).astype(np.float64)
+        for src, dst in [(2, 50), (7, 51), (11, 52), (30, 53), (44, 54)]:
+            m[dst] = m[src] + 0.01 * rng.randn(24)  # planted near-dups
+        df = pd.DataFrame({"vec_id": range(120), "embedding": list(m)})
+        ds = rd.from_pandas(df)
+        lsh = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95, method="lsh")
+        exact = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95, method="exact")
+        got = {(int(r.id_a), int(r.id_b)) for r in lsh.itertuples()}
+        want = {(int(r.id_a), int(r.id_b)) for r in exact.itertuples()}
+        assert got == want and len(want) >= 5
+        # cosines agree (LSH verifies candidates exactly)
+        merged = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+        assert np.allclose(merged["cosine_l"], merged["cosine_e"])
+
+    def test_embedding_cosine_auto_routing(self):
+        from ocr_platform_ray.ops.dedup import embedding_cosine_pairs
+
+        rng = np.random.RandomState(4)
+        m = rng.randn(30, 8)
+        df = pd.DataFrame({"vec_id": range(30), "embedding": list(m)})
+        ds = rd.from_pandas(df)
+        # low threshold -> exact route; results must match explicit exact
+        auto = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.4, method="auto")
+        exact = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.4, method="exact")
+        pd.testing.assert_frame_equal(auto, exact)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestJoins:
