@@ -734,6 +734,59 @@ def q_extract_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
+    """Real-PDF extraction end-to-end (rows-only: PDF parsing has no SQL
+    analogue): documents' texts are laid out as genuine ISO 32000 PDFs
+    (Flate streams; alternating classic-xref / object-stream / Tm-
+    positioned writer variants), one single-page PDF row per page, 1-3
+    pages per url, then the flagship pipeline (ExtractPages -> reassemble)
+    recovers them.  The sha256 pins byte-identical extraction."""
+    import hashlib
+
+    from ..sources.pdfgen import make_article_pdf
+    from .extraction import extraction_pipeline
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] < 40], batch_format="pandas"
+    )
+
+    def to_pdf_pages(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, text in zip(b["doc_id"], b["text"]):
+            i = int(i)
+            words = text.split()
+            n_pages = i % 3 + 1
+            for p in range(n_pages):
+                chunk = words[p * 30 : (p + 1) * 30] or ["empty", "page", "filler"]
+                paras = [" ".join(chunk[:15]), " ".join(chunk[15:])]
+                paras = [x for x in paras if x]
+                variant = (i + p) % 4
+                pdf = make_article_pdf(
+                    f"Document {i} part {p}",
+                    paras,
+                    page_number=p + 1,
+                    footnote="1. generated fixture" if i % 2 == 0 else None,
+                    use_objstm=variant in (1, 3),
+                    use_tm=variant in (2, 3),
+                )
+                rows.append(
+                    {
+                        "url": f"pdf://doc/{i:04d}",
+                        "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=p),
+                        "html": pdf,
+                        "text": "",
+                        "lang": "en",
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    pages = docs.map_batches(to_pdf_pages, batch_format="pandas")
+    df = extraction_pipeline(pages).to_pandas()
+    df["text_sha256"] = df["extracted_text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+    out = df[["url", "n_pages", "total_words", "n_failed_pages", "text_sha256"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_dataset_split(sf_dir: str) -> rd.Dataset:
     """Deterministic train/val/test assignment — a training-data staple:
     split by key arithmetic (stable under any parallelism; mirrored in
@@ -933,6 +986,7 @@ QUERIES = {
     "union_sources": q_union_sources,
     "stratified_sample": q_stratified_sample,
     "extract_docs": q_extract_docs,
+    "extract_pdf_docs": q_extract_pdf_docs,
     "extract_pages": q_extract_pages,
     "curate_corpus": q_curate_corpus,
     "catalog_ingest": q_catalog_ingest,

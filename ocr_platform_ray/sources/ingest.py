@@ -25,6 +25,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+# module-top so pickle-by-value captures it for worker closures
+from ..stages.pdf import pdf_page_count
+
 
 def ingest_raw_html(paths: list[str] | str, *, default_lang: str = "") -> rd.Dataset:
     """Raw .html files on disk/object store -> pages-table rows.  The file
@@ -60,6 +63,26 @@ def page_count_probe(pages: rd.Dataset) -> pd.DataFrame:
     partials = pages.map_batches(partial, batch_format="pandas").to_pandas()
     out = partials.groupby("url", as_index=False).agg(n_pages=("n_pages", "sum"))
     return out.sort_values("url").reset_index(drop=True)
+
+
+def pdf_blob_page_counts(pages: rd.Dataset, *, payload_col: str = "html") -> rd.Dataset:
+    """S2 for real PDF blobs (reference ocr.ts:35-38 ``getPageCount``):
+    per-row internal page count probed from the byte stream (0 for non-PDF
+    payloads).  Map-only; feeds the S3 oversized-blob explode decision."""
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        for payload in b[payload_col]:
+            if isinstance(payload, (bytes, bytearray)) and payload[:5] == b"%PDF-":
+                try:
+                    counts.append(pdf_page_count(bytes(payload)))
+                except Exception:
+                    counts.append(0)
+            else:
+                counts.append(0)
+        return pd.DataFrame({"url": b["url"], "n_pdf_pages": pd.array(counts, dtype="int64")})
+
+    return pages.map_batches(probe, batch_format="pandas")
 
 
 def partition_pages_by_url(

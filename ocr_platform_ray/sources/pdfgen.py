@@ -1,0 +1,249 @@
+"""Minimal public-spec PDF WRITER — deterministic test-fixture generator.
+
+Produces genuine ISO 32000 PDFs (classic xref table, or object-stream +
+xref-stream layout) so the real byte-stream parser in ``stages/pdf.py``
+has honest inputs without committing binaries.  Covers the features the
+parser must handle: Flate-compressed content streams, literal strings with
+escapes, hex strings, TJ kerning arrays, Td/TD/Tm/T*/'/" positioning, and
+multiple fonts/sizes (role inference input).
+
+Mirrors the capability at reference apps/queue/src/lib/ocr.ts:20-54 (pdf-lib
+document load) from the producing side; everything here is plain public
+PDF syntax."""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _esc(s: str) -> bytes:
+    """Escape a literal PDF string: \\, (, ) — and encode latin-1 (the
+    WinAnsi-ish subset our fixtures use)."""
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").encode("latin-1", "replace")
+    )
+
+
+class _PdfBuilder:
+    def __init__(self):
+        self.objects: dict[int, bytes] = {}
+        self._next = 1
+
+    def add(self, body: bytes) -> int:
+        n = self._next
+        self._next += 1
+        self.objects[n] = body
+        return n
+
+    def reserve(self) -> int:
+        n = self._next
+        self._next += 1
+        return n
+
+    def set(self, n: int, body: bytes) -> None:
+        self.objects[n] = body
+
+    def stream_obj(self, dict_extra: bytes, data: bytes, *, compress: bool = True) -> int:
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        d = b"<< " + filt + dict_extra + b"/Length " + str(len(data)).encode() + b" >>"
+        return self.add(d + b"\nstream\n" + data + b"\nendstream")
+
+    def render(self, root: int, *, use_objstm: bool = False) -> bytes:
+        """Serialize with a classic xref table, or (use_objstm) pack every
+        non-stream object into an /ObjStm and point to it from an
+        xref-stream (no predictor) — both public-spec layouts."""
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        if not use_objstm:
+            offsets = {}
+            for n in sorted(self.objects):
+                offsets[n] = len(out)
+                out += f"{n} 0 obj\n".encode() + self.objects[n] + b"\nendobj\n"
+            xref_at = len(out)
+            size = max(self.objects) + 1
+            out += f"xref\n0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for n in range(1, size):
+                out += f"{offsets.get(n, 0):010d} 00000 n \n".encode()
+            out += (
+                b"trailer\n<< /Size "
+                + str(size).encode()
+                + b" /Root "
+                + str(root).encode()
+                + b" 0 R >>\nstartxref\n"
+                + str(xref_at).encode()
+                + b"\n%%EOF\n"
+            )
+            return bytes(out)
+
+        # object-stream layout: streams stay top-level, dicts go into ObjStm
+        plain = {n: b for n, b in self.objects.items() if b"\nstream\n" not in b}
+        tops = {n: b for n, b in self.objects.items() if n not in plain}
+        parts, offs, pos = [], [], 0
+        for n in sorted(plain):
+            offs.append(f"{n} {pos}".encode())
+            body = plain[n] + b" "
+            parts.append(body)
+            pos += len(body)
+        payload = b" ".join(offs) + b"\n" + b"".join(parts)
+        first = len(b" ".join(offs)) + 1
+        comp = zlib.compress(payload)
+        objstm_n = self._next
+        self._next += 1
+        objstm = (
+            b"<< /Type /ObjStm /N "
+            + str(len(plain)).encode()
+            + b" /First "
+            + str(first).encode()
+            + b" /Filter /FlateDecode /Length "
+            + str(len(comp)).encode()
+            + b" >>\nstream\n"
+            + comp
+            + b"\nendstream"
+        )
+        offsets = {}
+        for n in sorted(tops):
+            offsets[n] = len(out)
+            out += f"{n} 0 obj\n".encode() + tops[n] + b"\nendobj\n"
+        offsets[objstm_n] = len(out)
+        out += f"{objstm_n} 0 obj\n".encode() + objstm + b"\nendobj\n"
+
+        # xref stream: /W [1 4 1]; type 1 = offset, type 2 = (objstm, idx)
+        xref_n = self._next
+        self._next += 1
+        size = xref_n + 1
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(4, "big") + bytes([255])  # obj 0 free
+        for n in range(1, size):
+            if n in offsets:
+                rows += bytes([1]) + offsets[n].to_bytes(4, "big") + bytes([0])
+            elif n in plain:
+                idx = sorted(plain).index(n)
+                rows += bytes([2]) + objstm_n.to_bytes(4, "big") + bytes([idx])
+            else:  # the xref stream itself (type 1, patched below)
+                rows += bytes([1]) + (0).to_bytes(4, "big") + bytes([0])
+        xref_at = len(out)
+        rows[-6:] = bytes([1]) + xref_at.to_bytes(4, "big") + bytes([0])
+        comp_rows = zlib.compress(bytes(rows))
+        out += (
+            f"{xref_n} 0 obj\n".encode()
+            + b"<< /Type /XRef /Size "
+            + str(size).encode()
+            + b" /W [1 4 1] /Root "
+            + str(root).encode()
+            + b" 0 R /Filter /FlateDecode /Length "
+            + str(len(comp_rows)).encode()
+            + b" >>\nstream\n"
+            + comp_rows
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        return bytes(out)
+
+
+def make_pdf(
+    pages: list[list[dict]],
+    *,
+    page_w: float = 612,
+    page_h: float = 792,
+    compress: bool = True,
+    use_objstm: bool = False,
+    use_tm: bool = False,
+) -> bytes:
+    """Build a real multi-page PDF.  Each page is a list of text items:
+    ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
+    "tj": bool (emit as TJ kerning array), "hex": bool (hex string)}``.
+    y is given top-down for fixture convenience and converted to PDF's
+    bottom-up coordinates here."""
+    b = _PdfBuilder()
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    pages_root = b.reserve()
+    kids = []
+    for items in pages:
+        ops = [b"BT"]
+        for it in items:
+            size = it.get("size", 12)
+            x = it["x"]
+            y = page_h - it["y"] - size  # top-down fixture y -> PDF y
+            ops.append(b"/F1 " + f"{size:g}".encode() + b" Tf")
+            if use_tm:
+                ops.append(f"1 0 0 1 {x:g} {y:g}".encode() + b" Tm")
+            else:
+                # absolute positioning per item via Tm is simpler, but Td
+                # coverage matters: emit a Tm reset then a Td move
+                ops.append(b"1 0 0 1 0 0 Tm")
+                ops.append(f"{x:g} {y:g}".encode() + b" Td")
+            t = it["text"]
+            if it.get("hex"):
+                ops.append(b"<" + t.encode("latin-1", "replace").hex().encode() + b"> Tj")
+            elif it.get("tj"):
+                mid = max(1, len(t) // 2)
+                ops.append(
+                    b"[ (" + _esc(t[:mid]) + b") -28 (" + _esc(t[mid:]) + b") ] TJ"
+                )
+            else:
+                ops.append(b"(" + _esc(t) + b") Tj")
+        ops.append(b"ET")
+        content = b.stream_obj(b"", b"\n".join(ops), compress=compress)
+        page = b.add(
+            b"<< /Type /Page /Parent "
+            + str(pages_root).encode()
+            + b" 0 R /MediaBox [0 0 "
+            + f"{page_w:g} {page_h:g}".encode()
+            + b"] /Contents "
+            + str(content).encode()
+            + b" 0 R /Resources << /Font << /F1 "
+            + str(font).encode()
+            + b" 0 R >> >> >>"
+        )
+        kids.append(page)
+    b.set(
+        pages_root,
+        b"<< /Type /Pages /Count "
+        + str(len(kids)).encode()
+        + b" /Kids ["
+        + b" ".join(f"{k} 0 R".encode() for k in kids)
+        + b"] >>",
+    )
+    catalog = b.add(b"<< /Type /Catalog /Pages " + str(pages_root).encode() + b" 0 R >>")
+    return b.render(catalog, use_objstm=use_objstm)
+
+
+def make_article_pdf(
+    title: str,
+    paragraphs: list[str],
+    *,
+    page_number: int | None = None,
+    footnote: str | None = None,
+    use_objstm: bool = False,
+    use_tm: bool = False,
+    compress: bool = True,
+) -> bytes:
+    """One-page article layout: heading (large font), body paragraphs
+    (12 pt, wrapped at 80 chars), optional small-font footnote at the
+    bottom and a centered page number — the shapes the role classifier
+    (heading / para / footnote / pageno) must recover."""
+    items = [{"text": title, "x": 72, "y": 60, "size": 21}]
+    y = 110
+    for i, p in enumerate(paragraphs):
+        words, line, lines = p.split(), "", []
+        for w in words:
+            if len(line) + len(w) + 1 > 80:
+                lines.append(line)
+                line = w
+            else:
+                line = (line + " " + w).strip()
+        if line:
+            lines.append(line)
+        for j, ln in enumerate(lines):
+            items.append({"text": ln, "x": 72, "y": y, "size": 12, "tj": (i + j) % 3 == 0})
+            y += 14
+        y += 12  # paragraph gap
+    if footnote:
+        items.append({"text": footnote, "x": 72, "y": 705, "size": 8})
+    if page_number is not None:
+        items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
+    return make_pdf([items], use_objstm=use_objstm, use_tm=use_tm, compress=compress)

@@ -35,6 +35,7 @@ from ..schemas import (
     STAGE_SEGMENT,
 )
 from ..corpus import FAKEPDF_MAGIC
+from .pdf import pdf_page_boxes
 
 # --- compiled parser state (module level: shared by actor + pure fn) -------
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
@@ -319,6 +320,26 @@ def extract_page(html: bytes, prior_text: str) -> dict:
     # path is a missing/empty payload: salvage prior text, flag (M5).
     if not html:
         return _failed(STAGE_CORRECT, prior_text)
+    # real PDF byte stream (E2 backend sniff on BYTES — a PDF must never
+    # go through charset decoding): public-spec parser -> positioned
+    # boxes -> the same XY-cut + segment path as the layout backend.
+    # Multi-page blobs concatenate pages in page-tree order (normally a
+    # blob is one page — S2/S3 explode multi-page documents upstream).
+    if html[:5] == b"%PDF-":
+        try:
+            roles = []
+            for boxes in pdf_page_boxes(html):
+                for role, text in _xycut_order(boxes):
+                    text = normalize_text(text)
+                    if not text:
+                        continue
+                    roles.append((role, text))
+        except Exception:
+            return _failed(STAGE_CONVERT, prior_text)
+        try:
+            return _segment(roles)
+        except Exception:
+            return _failed(STAGE_SEGMENT, prior_text)
     payload = None
     m = _CHARSET_RE.search(html[:2048])
     if m:

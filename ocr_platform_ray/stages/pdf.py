@@ -1,0 +1,568 @@
+"""Real PDF byte-stream text extraction (public ISO 32000 subset).
+
+Replaces the synthetic FAKEPDF layout format as the PDF backend of
+``extract_page`` — the capability at reference apps/queue/src/lib/ocr.ts:
+20-54 (pdf-lib document load + page iteration), rebuilt as a pure-python
+parser feeding the existing bbox/XY-cut reading-order path:
+
+  object scanner (``N G obj``) -> dict/array/string tokenizer ->
+  FlateDecode streams (zlib) -> /ObjStm expansion -> page tree walk ->
+  content-stream interpreter (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'/\")
+  -> positioned text runs -> line grouping + paragraph merge ->
+  role classification (font size + position) -> XY-cut order.
+
+Supported: classic xref and xref-stream files (the scanner never trusts
+xref offsets — it walks ``obj``..``endobj`` spans directly, which also
+salvages mildly damaged files), FlateDecode and uncompressed streams,
+literal strings with octal/char escapes, hex strings, object streams.
+Not interpreted (documented limits): CID/ToUnicode CMaps (bytes decode as
+WinAnsi/latin-1), encryption, Predictor DecodeParms on CONTENT streams,
+inline images.  Failures raise ValueError — callers (extract_page) map
+that to the M5 short-circuit semantics."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover
+        return f"Ref({self.num})"
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(data: bytes, i: int) -> tuple[str, int]:
+    i += 1  # '/'
+    start = i
+    n = len(data)
+    while i < n and data[i] not in _WS and data[i] not in _DELIM:
+        i += 1
+    raw = data[start:i]
+    if b"#" in raw:  # #xx hex escapes in names
+        out = bytearray()
+        j = 0
+        while j < len(raw):
+            if raw[j : j + 1] == b"#" and j + 2 < len(raw):
+                out.append(int(raw[j + 1 : j + 3], 16))
+                j += 3
+            else:
+                out.append(raw[j])
+                j += 1
+        raw = bytes(out)
+    return raw.decode("latin-1"), i
+
+
+_STR_ESC = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\x0c",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    i += 1  # '('
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _STR_ESC:
+                out += _STR_ESC[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal \d{1,3}
+                oct_digits = bytearray()
+                while i < n and len(oct_digits) < 3 and 0x30 <= data[i] <= 0x37:
+                    oct_digits.append(data[i])
+                    i += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    j = data.index(b">", i)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode()), j + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def parse_value(data: bytes, i: int):
+    """Parse one PDF object value at ``i`` -> (value, next_index)."""
+    i = _skip_ws(data, i)
+    c = data[i : i + 1]
+    if c == b"/":
+        return _parse_name(data, i)
+    if data[i : i + 2] == b"<<":
+        i += 2
+        d: dict = {}
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 2] == b">>":
+                return d, i + 2
+            key, i = _parse_name(data, i)
+            val, i = parse_value(data, i)
+            d[key] = val
+    if c == b"<":
+        return _parse_hex_string(data, i)
+    if c == b"(":
+        return _parse_literal_string(data, i)
+    if c == b"[":
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = parse_value(data, i)
+            arr.append(v)
+    if data[i : i + 4] == b"true":
+        return True, i + 4
+    if data[i : i + 5] == b"false":
+        return False, i + 5
+    if data[i : i + 4] == b"null":
+        return None, i + 4
+    m = _REF_RE.match(data, i)
+    if m:
+        return Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(data, i)
+    if m:
+        tok = m.group(0)
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    raise ValueError(f"pdf: unparseable value at byte {i}: {data[i:i+16]!r}")
+
+
+def _decode_stream(d: dict, raw: bytes) -> bytes:
+    filt = d.get("Filter")
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    for f in filters:
+        if f == "FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(f"pdf: unsupported filter {f}")
+    parms = d.get("DecodeParms")
+    if isinstance(parms, dict) and parms.get("Predictor", 1) > 1:
+        raw = _png_unpredict(raw, parms)
+    return raw
+
+
+def _png_unpredict(data: bytes, parms: dict) -> bytes:
+    """PNG up/sub/paeth predictors (xref streams commonly use Up)."""
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    bpp = max(1, colors * bpc // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
+    """Walk ``N G obj`` .. ``endobj`` spans in file order (never trusting
+    xref offsets — salvages mildly damaged files), returning
+    {num: (value, decoded_stream_or_None)}.  Matches that fall inside a
+    previously-consumed object (e.g. binary stream bytes that happen to
+    contain 'obj') are skipped via the moving cursor."""
+    objects: dict[int, tuple] = {}
+    raw_streams: dict[int, tuple] = {}
+    cursor = 0
+    for m in _OBJ_RE.finditer(data):
+        if m.start() < cursor:
+            continue
+        num = int(m.group(1))
+        i = _skip_ws(data, m.end())
+        try:
+            val, i = parse_value(data, i)
+        except (ValueError, IndexError):
+            cursor = m.end()
+            continue
+        i = _skip_ws(data, i)
+        stream_data = None
+        if data[i : i + 6] == b"stream":
+            i += 6
+            if data[i : i + 2] == b"\r\n":
+                i += 2
+            elif data[i : i + 1] in (b"\n", b"\r"):
+                i += 1
+            length = val.get("Length") if isinstance(val, dict) else None
+            end = -1
+            if isinstance(length, int):
+                cand = i + length
+                if data[cand : cand + 20].lstrip(b"\r\n ").startswith(b"endstream"):
+                    end = cand
+            if end < 0:
+                end = data.find(b"endstream", i)
+                if end < 0:
+                    cursor = i
+                    continue
+                # trailing EOL before the keyword belongs to the marker
+                while end > i and data[end - 1] in (0x0A, 0x0D):
+                    end -= 1
+            stream_data = data[i:end]
+            i = data.find(b"endobj", end)
+            i = i + 6 if i >= 0 else end
+        objects[num] = (val, stream_data)
+        raw_streams[num] = stream_data
+        cursor = i
+    # decode streams (needs the object map for indirect /Length — already
+    # handled above by the endstream search) and expand object streams
+    decoded: dict[int, tuple] = {}
+    for num, (val, sdata) in objects.items():
+        if sdata is not None and isinstance(val, dict):
+            try:
+                sdata = _decode_stream(val, sdata)
+            except (ValueError, zlib.error):
+                sdata = None
+        decoded[num] = (val, sdata)
+    for num, (val, sdata) in list(decoded.items()):
+        if isinstance(val, dict) and val.get("Type") == "ObjStm" and sdata:
+            n_objs = val.get("N", 0)
+            first = val.get("First", 0)
+            i = 0
+            pairs = []
+            for _ in range(n_objs):
+                i = _skip_ws(sdata, i)
+                m1 = _NUM_RE.match(sdata, i)
+                i = _skip_ws(sdata, m1.end())
+                m2 = _NUM_RE.match(sdata, i)
+                i = m2.end()
+                pairs.append((int(m1.group(0)), int(m2.group(0))))
+            for onum, off in pairs:
+                try:
+                    v, _ = parse_value(sdata, first + off)
+                    decoded.setdefault(onum, (v, None))
+                except (ValueError, IndexError):
+                    continue
+    return decoded
+
+
+def _resolve(v, objects):
+    seen = 0
+    while isinstance(v, Ref) and seen < 32:
+        v = objects.get(v.num, (None, None))[0]
+        seen += 1
+    return v
+
+
+class TextRun:
+    __slots__ = ("x", "y", "size", "text")
+
+    def __init__(self, x: float, y: float, size: float, text: str):
+        self.x, self.y, self.size, self.text = x, y, size, text
+
+
+_CS_TOKEN_RE = re.compile(rb"/?[A-Za-z'\"][A-Za-z0-9*'\"]*|\[|\]|\(|<|[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def interpret_content(content: bytes) -> list[TextRun]:
+    """Execute the text-positioning subset of a content stream.  Tracks the
+    text matrix translation + font size; emits one TextRun per show op
+    (Tj / TJ / ' / \"), advancing x by an average-width estimate (enough
+    for reading order; exact glyph metrics aren't needed for text)."""
+    runs: list[TextRun] = []
+    stack: list = []  # operand stack
+    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
+    lm = list(tm)  # line matrix
+    size = 12.0
+    leading = 0.0
+    i, n = 0, len(content)
+
+    def show(txt: bytes):
+        t = txt.decode("latin-1")
+        if t:
+            eff = size * (abs(tm[3]) or 1.0)
+            runs.append(TextRun(tm[4], tm[5], eff, t))
+            tm[4] += 0.5 * eff * len(t)  # average-width advance
+
+    def newline(tx: float, ty: float):
+        # Td: translate the LINE matrix, text matrix restarts there
+        lm[4] += tx * lm[0] + ty * lm[2]
+        lm[5] += tx * lm[1] + ty * lm[3]
+        tm[:] = lm
+
+    while i < n:
+        c = content[i : i + 1]
+        if c in (b"(",):
+            s, i = _parse_literal_string(content, i)
+            stack.append(s)
+            continue
+        if c == b"<" and content[i : i + 2] != b"<<":
+            s, i = _parse_hex_string(content, i)
+            stack.append(s)
+            continue
+        if content[i : i + 2] == b"<<":
+            d, i = parse_value(content, i)
+            stack.append(d)
+            continue
+        m = _CS_TOKEN_RE.match(content, i)
+        if not m:
+            i += 1
+            continue
+        tok = m.group(0)
+        i = m.end()
+        if tok in (b"[", b"]"):
+            stack.append(tok)
+            continue
+        if tok[:1] == b"/":
+            stack.append(tok[1:].decode("latin-1"))
+            continue
+        if tok[:1].isdigit() or tok[:1] in (b"+", b"-", b"."):
+            stack.append(float(tok))
+            continue
+        op = tok
+        try:
+            if op == b"Tf" and len(stack) >= 1:
+                size = float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                newline(float(stack[-2]), float(stack[-1]))
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                newline(float(stack[-2]), float(stack[-1]))
+            elif op == b"TL" and len(stack) >= 1:
+                leading = float(stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                tm[:] = [float(v) for v in stack[-6:]]
+                lm[:] = tm
+            elif op == b"T*":
+                newline(0.0, -leading)
+            elif op == b"BT":
+                tm[:] = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+                lm[:] = tm
+            elif op == b"Tj" and stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+            elif op == b"'" and stack and isinstance(stack[-1], bytes):
+                newline(0.0, -leading)
+                show(stack[-1])
+            elif op == b'"' and stack and isinstance(stack[-1], bytes):
+                newline(0.0, -leading)
+                show(stack[-1])
+            elif op == b"TJ":
+                # collect back to the matching '['
+                j = len(stack) - 1
+                while j >= 0 and stack[j] != b"]":
+                    j -= 1
+                k = j - 1
+                while k >= 0 and stack[k] != b"[":
+                    k -= 1
+                items = stack[k + 1 : j] if k >= 0 else []
+                parts = []
+                for it in items:
+                    if isinstance(it, bytes):
+                        parts.append(it)
+                    elif isinstance(it, float) and it < -180:
+                        parts.append(b" ")  # big negative kern = word gap
+                show(b"".join(parts))
+        except (ValueError, TypeError, IndexError):
+            pass
+        stack.clear()
+    return runs
+
+
+def _pages_in_order(objects: dict) -> list[dict]:
+    """Page dicts in page-tree order (Root -> Pages -> Kids), falling back
+    to file order when the tree is broken."""
+    roots = [v for v, _ in objects.values() if isinstance(v, dict) and v.get("Type") == "Catalog"]
+    ordered: list[dict] = []
+
+    def walk(node):
+        node = _resolve(node, objects)
+        if not isinstance(node, dict) or len(ordered) > 10000:
+            return
+        t = node.get("Type")
+        if t == "Pages":
+            for kid in _resolve(node.get("Kids"), objects) or []:
+                walk(kid)
+        elif t == "Page":
+            ordered.append(node)
+
+    for root in roots:
+        walk(root.get("Pages"))
+    if not ordered:
+        ordered = [
+            v for num, (v, _) in sorted(objects.items())
+            if isinstance(v, dict) and v.get("Type") == "Page"
+        ]
+    return ordered
+
+
+def pdf_page_count(data: bytes) -> int:
+    """S2 page-count probe over a real PDF byte stream."""
+    return len(_pages_in_order(scan_objects(data)))
+
+
+def _page_content(page: dict, objects: dict) -> bytes:
+    contents = page.get("Contents")
+    refs = contents if isinstance(contents, list) else [contents]
+    parts = []
+    for r in refs:
+        if isinstance(r, Ref):
+            val, sdata = objects.get(r.num, (None, None))
+            if sdata is not None:
+                parts.append(sdata)
+    return b"\n".join(parts)
+
+
+def _media_height(page: dict, objects: dict) -> float:
+    mb = _resolve(page.get("MediaBox"), objects)
+    if isinstance(mb, list) and len(mb) == 4:
+        try:
+            return float(mb[3]) - float(mb[1])
+        except (TypeError, ValueError):
+            pass
+    return 792.0
+
+
+def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, str, str]]]:
+    """Parse a PDF -> per page, a list of (x0, y0_top_down, x1, y1, role,
+    text) boxes ready for the XY-cut path: runs grouped into lines, lines
+    merged into paragraph blocks (same left edge + tight leading), roles
+    classified by font size + page position (heading / para / footnote /
+    pageno)."""
+    objects = scan_objects(data)
+    pages = _pages_in_order(objects)
+    if not pages:
+        raise ValueError("pdf: no pages found")
+    out = []
+    for page in pages:
+        h = _media_height(page, objects)
+        runs = interpret_content(_page_content(page, objects))
+        # flip to top-down y (XY-cut sorts top-to-bottom ascending y)
+        lines: dict[tuple[float, float], list[TextRun]] = {}
+        for r in runs:
+            key = (round(h - r.y - r.size, 1), round(r.size, 2))
+            lines.setdefault(key, []).append(r)
+        line_items = []
+        for (ty, sz), rs in lines.items():
+            rs.sort(key=lambda r: r.x)
+            # same-baseline runs merge with a space on small gaps but SPLIT
+            # into separate boxes on column-sized gaps (> 3 em) — joining
+            # across a column gutter would interleave two-column layouts
+            groups: list[list[TextRun]] = [[rs[0]]]
+            for prev, cur in zip(rs, rs[1:]):
+                gap = cur.x - (prev.x + 0.5 * prev.size * len(prev.text))
+                if gap > 3.0 * sz:
+                    groups.append([cur])
+                else:
+                    groups[-1].append(cur)
+            for grp in groups:
+                text = grp[0].text
+                for prev, cur in zip(grp, grp[1:]):
+                    gap = cur.x - (prev.x + 0.5 * prev.size * len(prev.text))
+                    text += (" " if gap > 0.35 * sz else "") + cur.text
+                x0 = grp[0].x
+                x1 = grp[-1].x + 0.5 * sz * len(grp[-1].text)
+                line_items.append([x0, ty, x1, ty + sz, sz, text])
+        if not line_items:
+            out.append([])
+            continue
+        # merge within a COLUMN: sort by (left edge, y) so each column's
+        # lines are consecutive; XY-cut re-establishes reading order over
+        # the merged blocks afterwards
+        line_items.sort(key=lambda it: (it[0], it[1]))
+        sizes = sorted(it[4] for it in line_items)
+        median = sizes[len(sizes) // 2]
+        merged = []
+        for it in line_items:
+            if merged:
+                p = merged[-1]
+                same_col = abs(p[0] - it[0]) < 2.0
+                tight = 0 < (it[1] - p[3]) < 0.75 * it[4] or abs(it[1] - p[3]) < 0.01
+                same_size = abs(p[4] - it[4]) < 0.01
+                if same_col and same_size and tight and abs(it[4] - median) < 0.01:
+                    p[5] += " " + it[5]
+                    p[2] = max(p[2], it[2])
+                    p[3] = it[3]
+                    continue
+            merged.append(list(it))
+        boxes = []
+        for x0, ty, x1, by, sz, text in merged:
+            if text.strip().isdigit() and len(text.strip()) <= 6:
+                role = "pageno"
+            elif sz >= 1.25 * median:
+                role = "heading"
+            elif sz <= 0.8 * median and ty > 0.75 * h:
+                role = "footnote"
+            else:
+                role = "para"
+            boxes.append((x0, ty, x1, by, role, text))
+        out.append(boxes)
+    return out

@@ -1,0 +1,190 @@
+"""Real-PDF byte-stream parsing: writer/parser round trips across layout
+variants, structure recovery (heading/para/footnote/pageno), XY-cut column
+order, page-count probe, error semantics, and the end-to-end pipeline
+(SURVEY.md §5 test strategy; reference capability apps/queue/src/lib/ocr.ts)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from ocr_platform_ray.sources.pdfgen import make_article_pdf, make_pdf
+from ocr_platform_ray.stages.extract import extract_page
+from ocr_platform_ray.stages.pdf import (
+    interpret_content,
+    parse_value,
+    pdf_page_boxes,
+    pdf_page_count,
+    scan_objects,
+)
+
+PARAS = [
+    "This opening paragraph is written to be long enough that the fixture writer wraps it onto "
+    "several lines using its eighty character budget per line of text output.",
+    "A second paragraph follows after a visible gap so the paragraph merge logic has a real "
+    "boundary to preserve between the two blocks of body text.",
+]
+
+
+class TestTokenizer:
+    def test_dict_array_name_ref(self):
+        v, _ = parse_value(b"<< /Type /Page /Nums [1 2.5 /X (s) <414243>] /P 3 0 R >>", 0)
+        assert v["Type"] == "Page"
+        assert v["Nums"][0] == 1 and v["Nums"][1] == 2.5 and v["Nums"][2] == "X"
+        assert v["Nums"][3] == b"s" and v["Nums"][4] == b"ABC"
+        assert v["P"].num == 3
+
+    def test_string_escapes(self):
+        v, _ = parse_value(rb"(a\(b\)c \\ \n \101 end)", 0)
+        assert v == b"a(b)c \\ \n A end"
+
+    def test_name_hex_escape(self):
+        v, _ = parse_value(b"/A#20B", 0)
+        assert v == "A B"
+
+    def test_content_ops(self):
+        runs = interpret_content(
+            b"BT /F1 14 Tf 1 0 0 1 10 700 Tm (Hello) Tj 0 -20 Td (World) Tj ET"
+        )
+        assert [(r.text, r.size) for r in runs] == [("Hello", 14.0), ("World", 14.0)]
+        assert runs[0].y == 700 and runs[1].y == 680
+
+    def test_tj_kern_word_gap(self):
+        runs = interpret_content(b"BT /F1 12 Tf 0 0 Td [ (Hel) -28 (lo) -300 (world) ] TJ ET")
+        assert runs[0].text == "Hello world"  # small kern joins, big kern = space
+
+
+class TestRoundTrip:
+    def _extract(self, **kw):
+        pdf = make_article_pdf("Sample Title", PARAS, page_number=5, footnote="1. note", **kw)
+        assert pdf.startswith(b"%PDF-")
+        return extract_page(pdf, "")
+
+    def test_structure_recovered(self):
+        r = self._extract()
+        assert r["failed_stage"] is None
+        assert r["header"] == "Sample Title"
+        assert r["page_number"] == 5
+        assert r["footnotes"] == "1. note"
+        body_paras = r["body"].split("\n\n")
+        assert len(body_paras) == 2
+        assert body_paras[0] == PARAS[0] and body_paras[1] == PARAS[1]
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"use_objstm": True},
+            {"use_tm": True},
+            {"compress": False},
+            {"use_objstm": True, "use_tm": True},
+        ],
+    )
+    def test_layout_variants_byte_identical(self, kw):
+        base = self._extract()
+        var = self._extract(**kw)
+        for k in ("header", "body", "footnotes", "page_number"):
+            assert var[k] == base[k], k
+
+    def test_deterministic(self):
+        a = self._extract()
+        b = self._extract()
+        assert a == b
+
+    def test_hex_string_payload(self):
+        pdf = make_pdf([[{"text": "Hex run body", "x": 72, "y": 100, "size": 12, "hex": True}]])
+        assert extract_page(pdf, "")["body"] == "Hex run body"
+
+
+class TestLayout:
+    def test_two_columns_not_interleaved(self):
+        items = []
+        for i in range(4):
+            items.append({"text": f"leftcol line {i}", "x": 40, "y": 100 + 14 * i, "size": 12})
+            items.append({"text": f"rightcol line {i}", "x": 320, "y": 100 + 14 * i, "size": 12})
+        body = extract_page(make_pdf([items]), "")["body"]
+        assert "leftcol line 0 leftcol line 1 leftcol line 2 leftcol line 3" in body
+        assert "rightcol line 0 rightcol line 1 rightcol line 2 rightcol line 3" in body
+        assert body.index("leftcol line 3") < body.index("rightcol line 0")
+
+    def test_multipage_in_tree_order(self):
+        pdf = make_pdf(
+            [
+                [{"text": "First page paragraph body", "x": 72, "y": 100, "size": 12}],
+                [{"text": "Second page paragraph body", "x": 72, "y": 100, "size": 12}],
+            ]
+        )
+        assert pdf_page_count(pdf) == 2
+        body = extract_page(pdf, "")["body"]
+        assert body == "First page paragraph body\n\nSecond page paragraph body"
+
+    def test_objstm_scan_finds_packed_objects(self):
+        pdf = make_article_pdf("T", ["body words here ok"], use_objstm=True)
+        objs = scan_objects(pdf)
+        assert any(
+            isinstance(v, dict) and v.get("Type") == "Page" for v, _ in objs.values()
+        )
+
+
+class TestErrors:
+    def test_malformed_salvages_prior_text(self):
+        r = extract_page(b"%PDF-1.5\nnot a real pdf at all", "prior ocr text")
+        assert r["failed_stage"] is not None
+        assert r["body"] == "prior ocr text"
+        assert "NEEDS_ADDITIONAL_REVIEW" in r["flags"]
+
+    def test_truncated_stream(self):
+        pdf = make_article_pdf("T", ["some body text here"])
+        r = extract_page(pdf[: len(pdf) // 2], "")
+        # must not raise — either salvaged failure or partial text
+        assert r["failed_stage"] is None or r["body"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPdfPipeline:
+    def test_extract_pdf_docs_query(self):
+        from ocr_platform_ray.pipelines.queries import q_extract_pdf_docs
+
+        out = q_extract_pdf_docs("/root/testdata/sf0.001")
+        assert len(out) == 40
+        assert (out["n_failed_pages"] == 0).all()
+        assert (out["total_words"] > 0).all()
+        # multi-page urls reassembled (1-3 pages by doc_id % 3 + 1)
+        assert set(out["n_pages"]) == {1, 2, 3}
+        # deterministic across runs
+        out2 = q_extract_pdf_docs("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_pdf_blob_page_count_probe(self):
+        import ray.data as rd
+
+        from ocr_platform_ray.sources.ingest import pdf_blob_page_counts
+
+        pdf2 = make_pdf(
+            [
+                [{"text": "a b c", "x": 72, "y": 100, "size": 12}],
+                [{"text": "d e f", "x": 72, "y": 100, "size": 12}],
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "html": [pdf2, b"<p>not a pdf</p>"],
+            }
+        )
+        out = pdf_blob_page_counts(rd.from_pandas(df)).to_pandas().set_index("url")
+        assert out.loc["u1", "n_pdf_pages"] == 2
+        assert out.loc["u2", "n_pdf_pages"] == 0
+
+
+class TestGolden:
+    def test_pdf_corpus_sha_golden(self):
+        """Byte-identical invariant for the PDF path: extracted text of a
+        fixed fixture hashes to a pinned value (regenerate consciously)."""
+        pdf = make_article_pdf("Golden Fixture", PARAS, page_number=9, footnote="1. golden")
+        r = extract_page(pdf, "")
+        text = "\n".join([r["header"] or "", r["body"], r["footnotes"] or ""])
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        assert sha == GOLDEN_SHA, f"PDF extraction bytes changed: {sha}"
+
+
+GOLDEN_SHA = "cdebf55552676d6243a8a80e571aafc40df789270af33a44a6c37ef81428a585"
