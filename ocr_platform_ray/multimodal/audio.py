@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .codecs import decode_wav
+
 AUDIO_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string()),
@@ -37,19 +39,40 @@ def _fake_pcm(payload: bytes, n_samples: int) -> np.ndarray:
 
 
 class DecodeAudio:
-    """Actor-pool stage: payload -> float32 PCM column.  ``__init__`` is
-    where a real codec (soundfile/ffmpeg) would load once per actor."""
+    """Actor-pool stage: payload -> float32 PCM column.
+
+    RIFF/WAV payloads decode for REAL (vendored PCM parser,
+    multimodal/codecs.py; the container ships no soundfile/ffmpeg for
+    compressed formats).  Other payloads fall back to the deterministic
+    stub, or raise in ``strict`` mode.  The decoded sample count/rate
+    overwrite the metadata columns."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("audio codec not available in this environment")
         payloads = batch.column("payload").to_pylist()
         ns = batch.column("n_samples").to_pylist()
-        pcm = [_fake_pcm(p, int(n)).astype(np.float32).tobytes() for p, n in zip(payloads, ns)]
+        srs = batch.column("sample_rate").to_pylist()
+        pcm, out_n, out_sr = [], [], []
+        for p, n, sr in zip(payloads, ns, srs):
+            if p[:4] == b"RIFF":
+                x, sr = decode_wav(p)
+                n = len(x)
+            elif self.strict:
+                raise NotImplementedError("no codec for non-WAV payload in this environment")
+            else:
+                x = _fake_pcm(p, int(n))
+            pcm.append(x.astype(np.float32).tobytes())
+            out_n.append(int(n))
+            out_sr.append(int(sr))
         out = batch.drop_columns(["payload"])
+        out = out.set_column(
+            out.schema.get_field_index("sample_rate"), "sample_rate", pa.array(out_sr, pa.int32())
+        )
+        out = out.set_column(
+            out.schema.get_field_index("n_samples"), "n_samples", pa.array(out_n, pa.int64())
+        )
         return out.append_column("pcm", pa.array(pcm, pa.binary()))
 
 

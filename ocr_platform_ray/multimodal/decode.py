@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from .codecs import PNG_MAGIC, decode_png
+
 IMAGE_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.string()),
@@ -46,22 +48,39 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 class DecodeImages:
     """Actor-pool stage: payload binary -> decoded pixel tensor column.
 
-    ``__init__`` is where a real codec/model would load once per actor
-    (T3 pattern).  ``strict=True`` raises NotImplementedError instead of
-    fake-decoding — the marker that a real codec is required."""
+    PNG payloads decode for REAL (vendored pure-python codec,
+    multimodal/codecs.py — zlib IDAT + filters 0-4); the decoded
+    dimensions overwrite the metadata width/height.  Other formats
+    (JPEG/WebP need codecs this container lacks) fall back to the
+    deterministic stub, or raise in ``strict`` mode — the marker that a
+    real codec is required."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # real impl: self.codec = PIL.Image / cv2 imported here, once
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("image codec not available in this environment")
         payloads = batch.column("payload").to_pylist()
         ws = batch.column("width").to_pylist()
         hs = batch.column("height").to_pylist()
-        pixels = [_fake_decode(p, w, h).tobytes() for p, w, h in zip(payloads, ws, hs)]
+        pixels, out_w, out_h = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            if p[: len(PNG_MAGIC)] == PNG_MAGIC:
+                img = decode_png(p)
+                h, w = img.shape[:2]
+            elif self.strict:
+                raise NotImplementedError("no codec for non-PNG payload in this environment")
+            else:
+                img = _fake_decode(p, w, h)
+            pixels.append(img.tobytes())
+            out_w.append(w)
+            out_h.append(h)
         out = batch.drop_columns(["payload"])
+        out = out.set_column(
+            out.schema.get_field_index("width"), "width", pa.array(out_w, pa.int32())
+        )
+        out = out.set_column(
+            out.schema.get_field_index("height"), "height", pa.array(out_h, pa.int32())
+        )
         return out.append_column("pixels", pa.array(pixels, pa.binary()))
 
 

@@ -877,20 +877,31 @@ def q_catalog_ingest(sf_dir: str) -> pd.DataFrame:
 
 
 def q_audio_features(sf_dir: str) -> pd.DataFrame:
-    """Audio plumbing: decode (stub codec) -> frame explode -> per-frame
-    features over a deterministic synthetic clip table (rows-only)."""
+    """Audio decode -> frame explode -> per-frame features over REAL WAV
+    payloads (vendored RIFF/PCM16 codec; deterministic synthesized
+    clips — sine + seeded noise).  Rows-only: per-frame RMS/ZCR/centroid
+    have no SQL analogue."""
     import pyarrow as pa
 
     from ..multimodal import audio_frame_features, decode_audio
     from ..multimodal.audio import AUDIO_SCHEMA
+    from ..multimodal.codecs import encode_wav
 
     n = 16
+    payloads, n_samples = [], []
+    for i in range(n):
+        ns = 2048 + 512 * (i % 6)
+        t_ax = np.arange(ns, dtype=np.float64)
+        rng = np.random.RandomState(1000 + i)
+        wave = 0.6 * np.sin(2 * np.pi * (110 + 50 * i) * t_ax / 16000) + 0.05 * rng.randn(ns)
+        payloads.append(encode_wav(wave, 16000))
+        n_samples.append(ns)
     t = pa.table(
         {
             "media_id": pa.array([f"clip{i:03d}" for i in range(n)], pa.string()),
-            "payload": pa.array([f"audio-{i}".encode() for i in range(n)], pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "sample_rate": pa.array([16000] * n, pa.int32()),
-            "n_samples": pa.array([2048 + 512 * (i % 6) for i in range(n)], pa.int64()),
+            "n_samples": pa.array(n_samples, pa.int64()),
         },
         schema=AUDIO_SCHEMA,
     )
@@ -900,21 +911,39 @@ def q_audio_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q_image_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: decode (stub codec) -> resize -> features over
-    a deterministic synthetic image table (rows-only)."""
+    """Multimodal pipeline: decode REAL PNG payloads (vendored pure-python
+    codec — zlib IDAT, gray/RGB/RGBA coverage) -> resize -> features
+    (rows-only: pixel hashing has no SQL analogue)."""
     import pyarrow as pa
 
     from ..multimodal import decode_images, image_features, resize_images
+    from ..multimodal.codecs import encode_png
     from ..multimodal.decode import IMAGE_SCHEMA
 
     n = 64
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        w, h = 32 + (i % 8) * 4, 24 + (i % 5) * 2
+        rng = np.random.RandomState(2000 + i)
+        grad = (np.arange(w) * 255 // max(1, w - 1))[None, :].repeat(h, axis=0).astype(np.uint8)
+        if i % 3 == 0:  # grayscale
+            img = grad
+        elif i % 3 == 1:  # RGB gradient + seeded noise
+            img = np.stack([grad, grad[::-1], rng.randint(0, 256, (h, w), dtype=np.uint8)], axis=2)
+        else:  # RGBA (alpha dropped by the decoder)
+            img = np.stack(
+                [grad, rng.randint(0, 256, (h, w), dtype=np.uint8), grad, grad], axis=2
+            )
+        payloads.append(encode_png(img))
+        ws.append(w)
+        hs.append(h)
     t = pa.table(
         {
             "media_id": pa.array([f"img{i:03d}" for i in range(n)], pa.string()),
-            "payload": pa.array([f"payload-{i}".encode() for i in range(n)], pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["image/png"] * n, pa.string()),
-            "width": pa.array([32 + (i % 8) * 4 for i in range(n)], pa.int32()),
-            "height": pa.array([24 + (i % 5) * 2 for i in range(n)], pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
         },
         schema=IMAGE_SCHEMA,
     )
