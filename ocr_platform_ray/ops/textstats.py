@@ -58,13 +58,51 @@ def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
 # --------------------------------------------------------------------------
 # Language ID (character n-gram profile heuristic)
 # --------------------------------------------------------------------------
-_LANG_PROFILES = {
-    # distinctive character evidence per language family (deterministic,
-    # no model download): script ranges + frequent trigrams
-    "ar": {"ranges": [(0x0600, 0x06FF)], "grams": ()},
-    "zh": {"ranges": [(0x4E00, 0x9FFF)], "grams": ()},
-    "en": {"ranges": [], "grams": (" th", "the", "ing", " an", "and")},
-    "es": {"ranges": [], "grams": (" de", "os ", " la", "ión", "que")},
+# Committed deterministic profile table (no model download, built from
+# public knowledge of script blocks + high-frequency character n-grams).
+# Two evidence kinds per language:
+#   ranges — Unicode codepoint blocks (script-distinct languages; counted
+#            vectorized over the codepoint array).  Languages sharing a
+#            script (ru/uk/bg; ar/fa/ur; zh/ja) are separated by
+#            distinguishing grams on top of the shared range.
+#   grams  — frequent character n-grams incl. word boundaries (Latin-script
+#            languages) or distinguishing letters (shared-script pairs).
+_LANG_PROFILES: dict[str, dict] = {
+    # --- script-distinct -------------------------------------------------
+    "ar": {"ranges": [(0x0600, 0x06FF)], "grams": ("ال", " في", " من")},
+    "fa": {"ranges": [(0x0600, 0x06FF)], "grams": ("پ", "چ", "ژ", "گ", " است", " که")},
+    "zh": {"ranges": [(0x4E00, 0x9FFF)], "grams": ("的", "是", "了")},
+    "ja": {"ranges": [(0x3040, 0x30FF)], "grams": ("の", "に", "は", "を")},
+    "ko": {"ranges": [(0xAC00, 0xD7AF), (0x1100, 0x11FF)], "grams": ()},
+    "ru": {"ranges": [(0x0400, 0x04FF)], "grams": ("ы", "э", " и ", "ть", "ого")},
+    "uk": {"ranges": [(0x0400, 0x04FF)], "grams": ("ї", "є", "і", "ння")},
+    "el": {"ranges": [(0x0370, 0x03FF)], "grams": (" και", " της")},
+    "he": {"ranges": [(0x0590, 0x05FF)], "grams": (" של", " את")},
+    "hi": {"ranges": [(0x0900, 0x097F)], "grams": (" है", " की")},
+    "th": {"ranges": [(0x0E00, 0x0E7F)], "grams": ()},
+    "ta": {"ranges": [(0x0B80, 0x0BFF)], "grams": ()},
+    "bn": {"ranges": [(0x0980, 0x09FF)], "grams": ()},
+    "ka": {"ranges": [(0x10A0, 0x10FF)], "grams": ()},
+    "hy": {"ranges": [(0x0530, 0x058F)], "grams": ()},
+    # --- Latin-script (trigram/stopword profiles) ------------------------
+    "en": {"ranges": [], "grams": (" th", "the", "ing", " an", "and", " of")},
+    "es": {"ranges": [], "grams": (" de", "os ", " la", "ión", "que", " el ")},
+    "fr": {"ranges": [], "grams": (" le", " de", "les", "ent ", " et ", "eau")},
+    "de": {"ranges": [], "grams": ("der", "ich", "sch", "und", "ein", " zu ")},
+    "it": {"ranges": [], "grams": (" di", "che", "zion", "gli ", " il ", "ò ")},
+    "pt": {"ranges": [], "grams": ("ção", "ão ", " não", " um", " de", "os ")},
+    "nl": {"ranges": [], "grams": (" de", "het ", "een ", "ij", " van ", "aa")},
+    "sv": {"ranges": [], "grams": (" och ", " är ", "det ", "ng ", "å")},
+    "da": {"ranges": [], "grams": (" og ", " af ", "det ", "er ", "ø")},
+    "no": {"ranges": [], "grams": (" og ", " av ", "ikke ", "er ", "ø")},
+    "fi": {"ranges": [], "grams": ("ää", "lla", "en ", "ssa", "ja ")},
+    "pl": {"ranges": [], "grams": ("nie", "rz", "ów", "ść", "ą", "ę")},
+    "cs": {"ranges": [], "grams": ("ř", "ě", "ů", " je ", "ou ")},
+    "tr": {"ranges": [], "grams": ("bir ", "lar", "ın", "ş", "ğ", "ı")},
+    "ro": {"ranges": [], "grams": ("ul ", "ă", "ș", "ț", " și ")},
+    "hu": {"ranges": [], "grams": (" az ", "gy", "sz", "ő", "ű", "ek ")},
+    "id": {"ranges": [], "grams": ("ang ", "yang ", " di", "kan ", "nya")},
+    "vi": {"ranges": [], "grams": ("ư", "ơ", "đ", "ạ", "ế", "ậ", "ộ", "ờ", "ẹ", "ả", "nh")},
 }
 
 

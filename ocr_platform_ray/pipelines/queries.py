@@ -645,6 +645,36 @@ def q_embedding_cosine_pairs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_fuzzy_join_typos(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy join (J4 at dataset scale): part names vs typo'd
+    variants (one char replaced by '#' at p_partkey % len), all pairs with
+    levenshtein <= 2 via PassJoin segment blocking + banded-DP verify —
+    exact (oracle: DuckDB levenshtein over the cross join)."""
+    from ..ops.fuzzy import fuzzy_join_lev
+
+    # part names draw from a small colour vocabulary, so lev<=2
+    # cross-pairs are dense — a 400-part slice keeps the oracle's exact
+    # cross join and the verified pair set at demo size
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: b[b["p_partkey"] < 400], batch_format="pandas"
+    )
+    left = part.map_batches(
+        lambda b: pd.DataFrame({"id": b["p_partkey"], "name": b["p_name"]}),
+        batch_format="pandas",
+    )
+
+    def typo(b: pd.DataFrame) -> pd.DataFrame:
+        names = []
+        for pk, s in zip(b["p_partkey"], b["p_name"]):
+            pos = int(pk) % len(s)
+            names.append(s[:pos] + "#" + s[pos + 1 :])
+        return pd.DataFrame({"id": b["p_partkey"], "name": names})
+
+    right = part.map_batches(typo, batch_format="pandas")
+    out = fuzzy_join_lev(left, right, id_col="id", str_col="name", max_dist=2)
+    return out[["id_l", "id_r", "lev_dist"]]
+
+
 def q_embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """LSH-BUCKETED embedding near-dedup (the default >= 0.8 route — no
     full-matrix broadcast): the corpus is augmented with a scaled copy of
@@ -1007,6 +1037,7 @@ QUERIES = {
     "knn_lsh_top10": q_knn_lsh_top10,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "fuzzy_join_typos": q_fuzzy_join_typos,
     "customer_slugs": q_customer_slugs,
     "hijri_order_years": q_hijri_order_years,
     "pushdown_filter_read": q_pushdown_filter_read,
@@ -1281,6 +1312,15 @@ ORACLE_SQL = {
         "WHERE a.vec_id < 1500 AND b.vec_id < 1500 "
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+    ),
+    "fuzzy_join_typos": (
+        "WITH sub AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 400), "
+        "typos AS (SELECT p_partkey AS id_r, "
+        "substr(p_name, 1, p_partkey % length(p_name)) || '#' || "
+        "substr(p_name, (p_partkey % length(p_name)) + 2) AS name FROM sub) "
+        "SELECT a.p_partkey AS id_l, t.id_r, "
+        "CAST(levenshtein(a.p_name, t.name) AS BIGINT) AS lev_dist "
+        "FROM sub a JOIN typos t ON levenshtein(a.p_name, t.name) <= 2"
     ),
     "embedding_near_dup_pairs": (
         "WITH aug AS ("

@@ -400,6 +400,47 @@ class TestTextStats:
         assert langs.loc[0, "pred_lang"] == "en"
         assert langs.loc[1, "pred_lang"] == "ar"
 
+    def test_langid_wide_coverage(self):
+        from ocr_platform_ray.ops.textstats import langid_scores
+
+        samples = {
+            "en": "the quick brown fox jumped over the lazy dog and the cat",
+            "es": "el rápido zorro marrón que salta sobre el perro de la ciudad",
+            "fr": "le renard brun saute par dessus les chiens et les chats du village",
+            "de": "der schnelle braune fuchs springt und ich sehe einen schönen hund",
+            "it": "la volpe che salta sopra il cane pigro di una citta con gli amici",
+            "pt": "a raposa não salta sobre os cães da cidade com atenção e emoção",
+            "nl": "de snelle bruine vos springt over het hek van een groot huis",
+            "sv": "den snabba räven hoppar och det är en fin dag i skogen",
+            "da": "den hurtige ræv hopper over det dovne dyr og er glad af naturen",
+            "no": "reven hopper over hunden og det er ikke en stor sak av naturen",
+            "fi": "nopea kettu hyppää laiskan koiran ylitse metsässä ja pellolla",
+            "pl": "szybki lis przeskakuje nad leniwym psem i nie może się zatrzymać",
+            "cs": "rychlá liška přeskočí přes líného psa a je to krásný den",
+            "tr": "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve bir gün",
+            "ro": "vulpea maro sare peste câinele leneș și este o zi frumoasă",
+            "hu": "a gyors barna róka átugrik az lusta kutya felett egy szép napon",
+            "id": "rubah coklat yang cepat melompati anjing malas di kota kemarin",
+            "vi": "con cáo nâu nhanh nhẹn nhảy qua con chó lười ở thành phố",
+            "ru": "быстрая рыжая лиса прыгает через ленивого пса каждого утра",
+            "uk": "швидка руда лисиця стрибає через ледачого пса щоранку і їсть",
+            "ar": "الثعلب البني السريع يقفز فوق الكلب الكسول في المدينة",
+            "zh": "敏捷的棕色狐狸跳过了懒狗这是一个测试句子",
+            "ja": "すばやい茶色のキツネは怠け者の犬を飛び越えます",
+            "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘습니다",
+            "el": "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί και της πόλης",
+            "he": "השועל החום המהיר קופץ מעל הכלב העצלן של העיר את הבוקר",
+            "hi": "तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और यह एक परीक्षण है",
+            "th": "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ",
+        }
+        df = pd.DataFrame(
+            {"doc_id": range(len(samples)), "text": list(samples.values()),
+             "want": list(samples.keys())}
+        )
+        out = langid_scores(rd.from_pandas(df), "text").to_pandas()
+        wrong = out[out["pred_lang"] != out["want"]][["want", "pred_lang", "text"]]
+        assert wrong.empty, f"langid misses:\n{wrong}"
+
     def test_fingerprint_stable_and_ws_insensitive(self):
         from ocr_platform_ray.ops.textstats import doc_fingerprint
 
@@ -529,6 +570,77 @@ class TestCompositeKeyJoin:
         # the union-based exchange upcasts right-only int columns to float
         # (NaN placeholders on left rows); values must still agree exactly
         pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzyJoin:
+    def test_levenshtein_matches_bruteforce(self):
+        from ocr_platform_ray.ops.fuzzy import levenshtein
+
+        import itertools
+
+        def brute(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                ndp = [i]
+                for j, cb in enumerate(b, 1):
+                    ndp.append(min(dp[j] + 1, ndp[-1] + 1, dp[j - 1] + (ca != cb)))
+                dp = ndp
+            return dp[-1]
+
+        words = ["", "a", "ab", "abc", "abcd", "acbd", "xabc", "abcx", "axc", "zzzz"]
+        for a, b in itertools.product(words, repeat=2):
+            assert levenshtein(a, b) == brute(a, b), (a, b)
+            got = levenshtein(a, b, cutoff=2)
+            want = brute(a, b)
+            assert (got == want) if want <= 2 else (got > 2), (a, b)
+
+    def test_fuzzy_join_exact_vs_bruteforce(self):
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev, levenshtein
+
+        rng = np.random.RandomState(21)
+        base = ["streamer", "streaming", "dataframe", "datafound", "shuffle",
+                "shuffler", "pipeline", "pipelane", "combiner", "operator"]
+        lnames = [base[i % len(base)] + f"-{i:02d}" for i in range(30)]
+        # right: perturbed versions (sub, del, ins) + unrelated
+        rnames = []
+        for i, s in enumerate(lnames):
+            if i % 4 == 0:
+                rnames.append(s[:3] + "#" + s[4:])       # substitution
+            elif i % 4 == 1:
+                rnames.append(s[:5] + s[6:])             # deletion (shift!)
+            elif i % 4 == 2:
+                rnames.append(s[:2] + "zz" + s[2:])      # double insert
+            else:
+                rnames.append("completely-other-" + str(i))
+        left = pd.DataFrame({"id": range(30), "name": lnames})
+        right = pd.DataFrame({"id": range(100, 130), "name": rnames})
+        got = fuzzy_join_lev(
+            rd.from_pandas(left), rd.from_pandas(right), id_col="id", str_col="name", max_dist=2
+        )
+        want = set()
+        for i, a in zip(left["id"], left["name"]):
+            for j, b in zip(right["id"], right["name"]):
+                if levenshtein(a, b, cutoff=2) <= 2:
+                    want.add((i, j))
+        assert {(a, b) for a, b in zip(got["id_l"], got["id_r"])} == want
+        assert len(want) >= 20  # sub/del/ins variants all found
+        # distances correct
+        for _, r in got.iterrows():
+            a = left.set_index("id")["name"][r.id_l]
+            b = right.set_index("id")["name"][r.id_r]
+            assert levenshtein(a, b) == r.lev_dist
+
+    def test_fuzzy_join_command_score_annotation(self):
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
+
+        left = pd.DataFrame({"id": [1], "name": ["alpha beta"]})
+        right = pd.DataFrame({"id": [2], "name": ["alpha bета".replace("е", "e")]})
+        out = fuzzy_join_lev(
+            rd.from_pandas(left), rd.from_pandas(right),
+            id_col="id", str_col="name", max_dist=2, with_command_score=True,
+        )
+        assert "cscore" in out.columns and len(out) == 1
 
 
 @pytest.mark.usefixtures("ray_session")
