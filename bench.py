@@ -102,12 +102,18 @@ def run_once() -> dict:
         trials.append(time.monotonic() - t0)
     extract_s = min(trials)
 
-    # ---- query suite over SF_DIR -----------------------------------------
+    # ---- query suite over SF_DIR (best of 2 per query — same noisy-host
+    # methodology as the headline's best-of-3: min isolates steady-state
+    # from transient shared-host load) --------------------------------------
     q_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _consume(QUERIES[name](SF_DIR))
-        q_times[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        q_times[name] = round(best, 3)
 
     ray.shutdown()
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None

@@ -77,14 +77,18 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
         .to_pandas()
     )
     win_ref = ray.put(
-        {int(h): (m, int(n)) for h, m, n in zip(winners["__h"], winners["__min_id"], winners["__n"])}
+        (
+            pd.Series(winners["__min_id"].to_numpy(), index=winners["__h"].to_numpy()),
+            pd.Series(winners["__n"].to_numpy(), index=winners["__h"].to_numpy()),
+        )
     )
 
     def keep_winners(batch: pd.DataFrame) -> pd.DataFrame:
-        wins = cached_get(win_ref)
-        mask = [wins.get(int(h), (None,))[0] == i for h, i in zip(batch["__h"], batch[id_col])]
-        out = batch[pd.Series(mask, index=batch.index)].copy()
-        out["n_dups"] = [wins[int(h)][1] for h in out["__h"]]
+        win_id, win_n = cached_get(win_ref)
+        h = batch["__h"].to_numpy()
+        mask = win_id.reindex(h).to_numpy() == batch[id_col].to_numpy()
+        out = batch[mask].copy()
+        out["n_dups"] = win_n.reindex(out["__h"].to_numpy()).to_numpy().astype("int64")
         return out.drop(columns=["__h"])
 
     # scale note: the winners map is |distinct contents| entries — broadcast

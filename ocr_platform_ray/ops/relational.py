@@ -176,6 +176,34 @@ def bucketed_hash_join(
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def auto_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    how: str = "inner",
+    broadcast_threshold_rows: int = 2_000_000,
+    n_buckets: int = 64,
+    right_prefix: str = "r_",
+) -> rd.Dataset:
+    """Size-aware join planner (the Spark broadcast-threshold decision):
+    when the BUILD side is small enough to replicate (row-count probe —
+    parquet metadata, no data read), use the shuffle-free broadcast hash
+    join; otherwise the explicit bucketed exchange.  At test scale the
+    dimension side usually broadcasts (saves the 2-3 s AllToAll barrier);
+    at 10^12-row scale the same call plans the exchange.  The two paths
+    are equivalence-tested."""
+    try:
+        n_right = right.count()
+    except Exception:
+        n_right = None
+    if n_right is not None and n_right <= broadcast_threshold_rows:
+        return broadcast_hash_join(left, right, on, how=how, suffix="_r")
+    return bucketed_hash_join(
+        left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
+    )
+
+
 def native_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -477,6 +505,12 @@ def pre_aggregate(
     """Two-phase aggregate: ``partial_fn`` runs per batch (emit one row per
     key per batch — the combiner), the tiny partials table is then grouped
     on the driver by ``final_fn``.  The shuffle payload is |keys| x
-    |batches| rows instead of every input row."""
+    |batches| rows instead of every input row.
+
+    VALID ONLY for small-bounded key spaces (enum-like: priorities,
+    sources, flags) where the partials genuinely fit a single reduce.
+    For high-cardinality keys (orderkey, url, user) the driver finish is
+    the scale bug — use ``sharded_group_agg`` instead (distributed reduce,
+    same combiner input)."""
     partials = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size).to_pandas()
     return final_fn(partials)

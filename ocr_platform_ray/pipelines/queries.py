@@ -306,9 +306,12 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
 
 
 def q_lineitem_join_revenue(sf_dir: str) -> pd.DataFrame:
-    """Large-side join: lineitem x orders via the explicit bucketed hash
-    join, revenue per order priority, shipped before 1996-01-01."""
-    from ..ops.relational import bucketed_hash_join, pre_aggregate
+    """Large-side join: lineitem x orders, revenue per order priority,
+    shipped before 1996-01-01.  Routed through the size-aware planner
+    (auto_join): at bench scale the orders side is under the broadcast
+    threshold, so no AllToAll; at corpus scale the same call plans the
+    bucketed exchange (equivalence-tested against it)."""
+    from ..ops.relational import auto_join, pre_aggregate
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
     li = li.map_batches(
@@ -318,7 +321,7 @@ def q_lineitem_join_revenue(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
     )
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, "o_orderkey")
+    joined = auto_join(li, orders, "o_orderkey", how="inner")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("o_orderpriority", as_index=False).agg(
@@ -372,9 +375,12 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
-    """Q3 shape: per-order lineitem revenue (pre-aggregated), top 10, then
-    broadcast-join order metadata."""
-    from ..ops.relational import broadcast_hash_join, pre_aggregate
+    """Q3 shape: per-order lineitem revenue, top 10, then join order
+    metadata.  The per-orderkey reduce is HIGH-cardinality, so it finishes
+    distributed (sharded_group_agg — never a driver-side merge of a
+    corpus-sized partial set); each reduced shard emits only its local
+    top 10, and the driver sees <= 10 x n_shards candidate rows."""
+    from ..ops.relational import sharded_group_agg
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -382,18 +388,22 @@ def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
         b = b.assign(rev_c=_cents(b["l_extendedprice"] * (1 - b["l_discount"])))
         return b.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
 
-    def final(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
-        g["revenue"] = g["rev_c"] / 100.0
-        return (
-            g.drop(columns=["rev_c"])
-            .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
-            .head(10)
-            .reset_index(drop=True)
-        )
+    partials = li.map_batches(partial, batch_format="pandas")
+    reduced = sharded_group_agg(partials, ["l_orderkey"], {"rev_c": ("rev_c", "sum")})
 
-    top = pre_aggregate(li, ["l_orderkey"], partial, final)
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10)
+
+    cand = reduced.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10).copy()
+    top["revenue"] = top["rev_c"] / 100.0
+    top = top.drop(columns=["rev_c"])
+    keys = frozenset(top["l_orderkey"])
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(lambda b: b[b["o_orderkey"].isin(keys)], batch_format="pandas")
+        .to_pandas()
+    )
     out = top.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
         ["l_orderkey", "revenue", "o_orderpriority"]
     ]

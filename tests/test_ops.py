@@ -189,6 +189,27 @@ class TestJoins:
         assert "all_na" in got.columns
         assert got["k"].dtype == np.dtype("int64")
 
+    def test_auto_join_matches_bucketed(self, tables):
+        # planner equivalence: broadcast route (small side) == exchange
+        from ocr_platform_ray.ops.relational import auto_join, bucketed_hash_join
+
+        left, right = tables
+        l, r = rd.from_pandas(left), rd.from_pandas(right)
+        via_auto = (
+            auto_join(l, r, "k", how="inner").to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        via_exchange = (
+            auto_join(l, r, "k", how="inner", broadcast_threshold_rows=0).to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        via_bucketed = (
+            bucketed_hash_join(l, r, "k", how="inner").to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_auto[via_bucketed.columns], via_bucketed)
+        pd.testing.assert_frame_equal(via_exchange, via_bucketed)
+
     def test_semi_anti_partition(self, tables):
         from ocr_platform_ray.ops.relational import anti_join, semi_join
 
