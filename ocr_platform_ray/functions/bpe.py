@@ -1,0 +1,135 @@
+"""Real byte-pair-encoding tokenizer with a COMMITTED merges table.
+
+The task brief's token-budget accounting wants an actual BPE vocabulary
+applied per batch, not just a pretokenizer regex (`ops/textstats._BPE_RE`
+remains the SQL-oracle-able approximation).  This module implements the
+standard public BPE algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"):
+
+  * training: iteratively merge the most frequent adjacent symbol pair
+    (ties broken lexicographically -> fully deterministic);
+  * encoding: greedy application of the merge table in rank order, with
+    an end-of-word marker so token boundaries respect words.
+
+The committed table (``ocr_platform_ray/data/bpe_merges.txt``) is trained
+by ``tools/train_bpe.py`` on the deterministic sf0.001 documents corpus —
+regenerate consciously; tests pin encode outputs against it.
+
+Per-batch cost: each DISTINCT word is encoded once per batch (word-level
+memo), so the per-row cost is a dict lookup for repeated words — the
+actor-pool (T3) pattern holds the parsed merge table."""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+_EOW = "</w>"
+_WORD_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+_DEFAULT_MERGES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "bpe_merges.txt")
+
+
+def pretokenize(text: str) -> list[str]:
+    """Letter runs / digit runs / single symbols (same class split as the
+    SQL-oracled pretokenizer)."""
+    return _WORD_RE.findall(text)
+
+
+def train_bpe(texts: list[str], n_merges: int = 500) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from a corpus.  Deterministic: the most
+    frequent pair wins, ties by lexicographic pair order."""
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in pretokenize(t.lower()):
+            vocab[tuple(w) + (_EOW,)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for word, n in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest pair among the top count
+        top = max(pairs.values())
+        pair = sorted(p for p, n in pairs.items() if n == top)[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: Counter = Counter()
+        for word, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == pair[0] and word[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# bpe merges (rank order) — trained by tools/train_bpe.py\n")
+        for a, b in merges:
+            f.write(f"{a}\t{b}\n")
+
+
+def load_merges(path: str | None = None) -> list[tuple[str, str]]:
+    path = path or _DEFAULT_MERGES
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.rstrip("\n"):
+                continue
+            a, b = line.rstrip("\n").split("\t")
+            out.append((a, b))
+    return out
+
+
+class BpeTokenizer:
+    """Greedy rank-order BPE encoder over the committed merge table.
+
+    Designed as actor state: parse the table once in ``__init__`` of a
+    map_batches callable class, encode per batch with a per-word memo."""
+
+    def __init__(self, merges: list[tuple[str, str]] | None = None):
+        self.merges = merges if merges is not None else load_merges()
+        self.ranks = {pair: i for i, pair in enumerate(self.merges)}
+        self._memo: dict[str, list[str]] = {}
+
+    def encode_word(self, word: str) -> list[str]:
+        hit = self._memo.get(word)
+        if hit is not None:
+            return hit
+        symbols = list(word) + [_EOW]
+        while len(symbols) > 1:
+            best_rank, best_i = None, -1
+            for i, pair in enumerate(zip(symbols, symbols[1:])):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+        if len(self._memo) < 200_000:  # bound actor memory
+            self._memo[word] = symbols
+        return symbols
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in pretokenize(text.lower()):
+            out.extend(self.encode_word(w))
+        return out
+
+    def count(self, text: str) -> int:
+        n = 0
+        for w in pretokenize(text.lower()):
+            n += len(self.encode_word(w))
+        return n

@@ -98,6 +98,33 @@ def q_bpe_token_count(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(tc, batch_format="pandas")
 
 
+def q_bpe_vocab_token_count(sf_dir: str) -> rd.Dataset:
+    """REAL BPE token counts from the committed merge table
+    (functions/bpe.py + data/bpe_merges.txt) — rows-only: rank-order merge
+    application has no SQL analogue (q_bpe_token_count keeps the oracled
+    pretokenizer approximation).  Actor-pool stage: table parsed once per
+    actor, per-word memo across batches."""
+    from ..functions.bpe import BpeTokenizer
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    class BpeCount:
+        def __init__(self):
+            self.tok = BpeTokenizer()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_vocab_tokens": pd.array(
+                        [self.tok.count(t) for t in b["text"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return ds.map_batches(BpeCount, batch_format="pandas", concurrency=(1, 8))
+
+
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     from ..ops.relational import pre_aggregate
 
@@ -1013,6 +1040,7 @@ QUERIES = {
     "doc_stats_by_source": q_doc_stats_by_source,
     "word_count_per_doc": q_word_count_per_doc,
     "bpe_token_count": q_bpe_token_count,
+    "bpe_vocab_token_count": q_bpe_vocab_token_count,
     "lang_distribution": q_lang_distribution,
     "top10_longest_en": q_top10_longest_en,
     "quality_stats": q_quality_stats,

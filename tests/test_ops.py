@@ -462,6 +462,38 @@ class TestTextStats:
         wrong = out[out["pred_lang"] != out["want"]][["want", "pred_lang", "text"]]
         assert wrong.empty, f"langid misses:\n{wrong}"
 
+    def test_bpe_tokenizer_roundtrip_and_determinism(self):
+        from ocr_platform_ray.functions.bpe import (
+            BpeTokenizer,
+            load_merges,
+            pretokenize,
+            train_bpe,
+        )
+
+        texts = ["the cat sat on the mat", "the bat and the cat", "matter of fact"]
+        merges = train_bpe(texts, n_merges=40)
+        assert merges == train_bpe(texts, n_merges=40)  # deterministic
+        tok = BpeTokenizer(merges)
+        for t in texts:
+            toks = tok.encode(t)
+            # concatenating tokens reconstructs the pretokenized words
+            joined = "".join(toks).replace("</w>", " ").strip()
+            assert joined == " ".join(pretokenize(t.lower()))
+            assert tok.count(t) == len(toks)
+        # committed table loads and merges something (fewer tokens than chars)
+        committed = BpeTokenizer(load_merges())
+        text = "key agg row scan slow fast table value part hash"
+        assert 0 < committed.count(text) < len(text)
+
+    def test_bpe_merge_rank_priority(self):
+        from ocr_platform_ray.functions.bpe import BpeTokenizer
+
+        # 'ab' ranks before 'bc': "abc" must merge a+b first
+        tok = BpeTokenizer([("a", "b"), ("b", "c"), ("ab", "c"), ("abc", "</w>")])
+        assert tok.encode_word("abc") == ["abc</w>"]
+        tok2 = BpeTokenizer([("b", "c")])
+        assert tok2.encode_word("abc") == ["a", "bc", "</w>"]
+
     def test_fingerprint_stable_and_ws_insensitive(self):
         from ocr_platform_ray.ops.textstats import doc_fingerprint
 
