@@ -104,8 +104,25 @@ def run_once() -> dict:
 
     # ---- query suite over SF_DIR (best of 2 per query — same noisy-host
     # methodology as the headline's best-of-3: min isolates steady-state
-    # from transient shared-host load) --------------------------------------
+    # from transient shared-host load).  Scaling children skip it: the
+    # scaling criterion is about the headline pipeline ----------------------
     q_times: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        ray.shutdown()
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+        return {
+            "metric": "extraction_wall_s",
+            "value": round(extract_s, 3),
+            "unit": "sec",
+            "docs_per_s": round(n_docs / extract_s, 1),
+            "pages_per_s": round(n_pages / extract_s, 1),
+            "n_docs": n_docs,
+            "n_pages": n_pages,
+            "queries": q_times,
+            "queries_total_s": 0.0,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+        }
     for name in BENCH_QUERIES:
         best = None
         for _ in range(2):
@@ -164,7 +181,7 @@ def run_scaling() -> dict:
     where cores run at full speed, isolating the pipeline's scaling)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

@@ -28,31 +28,66 @@ _PUNCT_RE = re.compile(r"[^\w\s]")
 def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
     """Append quality-signal columns: n_chars, n_tokens (whitespace),
     n_bpe_tokens (regex pretokenizer), punct_ratio, stopword_ratio,
-    chars_per_token, quality_score (bounded composite)."""
+    chars_per_token, quality_score (bounded composite).
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        texts = batch[text_col]
-        out["n_chars"] = texts.str.len().astype("int64")
-        toks = texts.str.split()
-        out["n_tokens"] = toks.map(len).astype("int64")
-        out["n_bpe_tokens"] = texts.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
-        n_punct = texts.str.count(_PUNCT_RE) + texts.str.count("_")
-        out["punct_ratio"] = n_punct / out["n_chars"].clip(lower=1)
-        out["stopword_ratio"] = toks.map(
-            lambda ws: sum(w.lower() in _STOPWORDS for w in ws) / max(1, len(ws))
-        )
-        out["chars_per_token"] = out["n_chars"] / out["n_tokens"].clip(lower=1)
-        # composite in [0,1]: length sweet spot, not punct-heavy, some stopwords
-        length_score = (out["n_tokens"].clip(0, 400) / 400.0).astype(float)
-        out["quality_score"] = (
+    Arrow-native hot path (zero-copy batches, pyarrow.compute RE2
+    kernels): every count is a C-level kernel; the only numpy step is the
+    per-row stopword reduction over the flattened token list (offsets +
+    cumsum — still vectorized).  This is the curation chain's hottest
+    map stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stop_set = pa.array(sorted(_STOPWORDS), pa.string())
+    # RE2 classes: punctuation = not letter/number/whitespace (the
+    # alnum-complement the per-char Python loop used to compute)
+    punct_pat = r"[^\p{L}\p{N}\s]"
+    bpe_pat = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(col, pattern=r"\S+"), pa.int64())
+        n_bpe = pc.cast(pc.count_substring_regex(col, pattern=bpe_pat), pa.int64())
+        n_punct = pc.count_substring_regex(col, pattern=punct_pat)
+
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        punct_ratio = n_punct.to_numpy(zero_copy_only=False) / np.maximum(nc, 1.0)
+
+        toks = pc.utf8_split_whitespace(col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.utf8_lower(toks.flatten())
+        hits = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy().astype(np.int64) - toks.offsets[0].as_py()
+        cums = np.concatenate([[0], np.cumsum(hits.astype(np.int64))])
+        stop_per_row = cums[offsets[1:]] - cums[offsets[:-1]]
+        stopword_ratio = stop_per_row / np.maximum(nt, 1.0)
+
+        length_score = np.clip(nt, 0, 400) / 400.0
+        quality = np.round(
             0.5 * length_score
-            + 0.25 * (1.0 - out["punct_ratio"].clip(0, 1))
-            + 0.25 * out["stopword_ratio"].clip(0, 0.5) * 2.0
-        ).round(6)
+            + 0.25 * (1.0 - np.clip(punct_ratio, 0, 1))
+            + 0.25 * np.clip(stopword_ratio, 0, 0.5) * 2.0,
+            6,
+        )
+        out = batch
+        for name, arr in (
+            ("n_chars", n_chars),
+            ("n_tokens", n_tokens),
+            ("n_bpe_tokens", n_bpe),
+            ("punct_ratio", pa.array(punct_ratio, pa.float64())),
+            ("stopword_ratio", pa.array(stopword_ratio, pa.float64())),
+            ("chars_per_token", pa.array(nc / np.maximum(nt, 1.0), pa.float64())),
+            ("quality_score", pa.array(quality, pa.float64())),
+        ):
+            out = out.append_column(name, arr)
         return out
 
-    return ds.map_batches(stats, batch_format="pandas")
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
