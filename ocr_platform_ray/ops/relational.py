@@ -56,7 +56,14 @@ def broadcast_hash_join(
 ) -> rd.Dataset:
     """Join a large Dataset against a small one without a shuffle: the small
     side is materialized once into the object store and probed per batch."""
-    small_df = small if isinstance(small, pd.DataFrame) else small.to_pandas()
+    if isinstance(small, pd.DataFrame):
+        small_df = small
+    else:
+        small_df = small.to_pandas()
+        if small_df.shape[1] == 0:
+            # an EMPTY Dataset to_pandas()-es to a frame with no columns —
+            # rebuild the typed empty frame so the merge keeps its schema
+            small_df = _typed_empty(small.schema(), small.schema().names)
     ref = ray.put(small_df)
     return large.map_batches(
         _BroadcastJoin(ref, on, how, suffix), batch_format="pandas", batch_size=batch_size

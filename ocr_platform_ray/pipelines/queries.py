@@ -401,6 +401,90 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(li, ["l_returnflag", "l_linestatus"], partial, final)
 
 
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈
+    region, customer and supplier in the same nation, one region, one
+    order-date year — a 6-table plan composed entirely from the size-aware
+    planner (every dimension side broadcasts at bench scale; the fact
+    stream is never shuffled) + enum-key combiner finish."""
+    from ..ops.relational import auto_join, pre_aggregate
+
+    region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+        lambda b: b[b["r_name"] == "ASIA"], batch_format="pandas"
+    )
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    # nations of the region (tiny): broadcast-join then project
+    nations = auto_join(
+        nation.map_batches(
+            lambda b: b.rename(columns={"n_regionkey": "r_regionkey"}), batch_format="pandas"
+        ),
+        region,
+        "r_regionkey",
+        how="inner",
+    ).map_batches(lambda b: b[["n_nationkey", "n_name"]], batch_format="pandas")
+
+    cust = auto_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: b.rename(columns={"c_nationkey": "n_nationkey"}), batch_format="pandas"
+        ),
+        nations,
+        "n_nationkey",
+        how="inner",
+    )
+    supp = auto_join(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: b.rename(columns={"s_nationkey": "n_nationkey"}), batch_format="pandas"
+        ),
+        nations.map_batches(lambda b: b[["n_nationkey"]], batch_format="pandas"),
+        "n_nationkey",
+        how="inner",
+    ).map_batches(
+        lambda b: b.rename(columns={"n_nationkey": "s_nat"})[["s_suppkey", "s_nat"]],
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b[
+            (b["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["o_orderdate"] < pd.Timestamp("1997-01-01"))
+        ][["o_orderkey", "o_custkey"]],
+        batch_format="pandas",
+    )
+    # orders of region customers, carrying the customer's nation
+    o_c = auto_join(
+        orders.map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+        ),
+        cust,
+        "c_custkey",
+        how="inner",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda b: b.assign(rev_c=_cents(b["l_extendedprice"] * (1 - b["l_discount"])))[
+            ["l_orderkey", "l_suppkey", "rev_c"]
+        ].rename(columns={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey"}),
+        batch_format="pandas",
+    )
+    j = auto_join(li, o_c, "o_orderkey", how="inner")
+    j = auto_join(j, supp, "s_suppkey", how="inner")
+    # Q5 semantics: supplier nation == customer nation
+    j = j.map_batches(lambda b: b[b["s_nat"] == b["n_nationkey"]], batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["revenue"] = g["rev_c"] / 100.0
+        return (
+            g.drop(columns=["rev_c"])
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    return pre_aggregate(j, ["n_name"], partial, final)
+
+
 def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
     """Q3 shape: per-order lineitem revenue, top 10, then join order
     metadata.  The per-orderkey reduce is HIGH-cardinality, so it finishes
@@ -1057,6 +1141,7 @@ QUERIES = {
     "lineitem_join_revenue": q_lineitem_join_revenue,
     "tpch_q1": q_tpch_q1,
     "top_orders_revenue": q_top_orders_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
     "customers_with_orders_by_nation": q_customers_with_orders_by_nation,
     "customers_without_orders": q_customers_without_orders,
     "top10_orders": q_top10_orders,
@@ -1279,6 +1364,20 @@ ORACLE_SQL = {
         "ANY_VALUE(o_orderpriority) AS o_orderpriority "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "revenue_by_nation": (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100 AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
     ),
     "customers_with_orders_by_nation": (
         "SELECT c_nationkey, COUNT(*) AS n_customers FROM customer "
