@@ -137,6 +137,49 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG-sequence "video" container (length-prefixed frames)
+# ---------------------------------------------------------------------------
+# This container stands in for real video formats (no ffmpeg in this
+# environment): magic + frame count + [uint32 length | PNG bytes]*.  The
+# frame decode is the REAL PNG codec above; only the container is local.
+PNGSEQ_MAGIC = b"PNGSEQ1\x00"
+
+
+def encode_png_seq(frames: list[np.ndarray]) -> bytes:
+    out = bytearray(PNGSEQ_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        png = encode_png(f)
+        out += struct.pack("<I", len(png)) + png
+    return bytes(out)
+
+
+def decode_png_seq_frame(data: bytes, idx: int) -> np.ndarray:
+    """Random-access decode of frame ``idx`` (skips other frames by their
+    length prefixes — frame sampling never inflates unsampled frames)."""
+    if data[: len(PNGSEQ_MAGIC)] != PNGSEQ_MAGIC:
+        raise ValueError("pngseq: bad magic")
+    (n,) = struct.unpack_from("<I", data, len(PNGSEQ_MAGIC))
+    if not 0 <= idx < n:
+        raise ValueError(f"pngseq: frame {idx} out of range (n={n})")
+    pos = len(PNGSEQ_MAGIC) + 4
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if i == idx:
+            return decode_png(data[pos : pos + ln])
+        pos += ln
+    raise ValueError("pngseq: truncated")
+
+
+def png_seq_frame_count(data: bytes) -> int:
+    if data[: len(PNGSEQ_MAGIC)] != PNGSEQ_MAGIC:
+        raise ValueError("pngseq: bad magic")
+    (n,) = struct.unpack_from("<I", data, len(PNGSEQ_MAGIC))
+    return n
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM)
 # ---------------------------------------------------------------------------
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from .codecs import PNG_MAGIC, decode_png
+from .codecs import PNG_MAGIC, PNGSEQ_MAGIC, decode_png_seq_frame, decode_png, png_seq_frame_count
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -159,30 +159,42 @@ def image_features(ds: rd.Dataset, *, concurrency=(1, 8)) -> rd.Dataset:
 
 class SampleFrames:
     """Video frame sampling: a video payload row explodes to every Nth
-    frame row.  The frame decode is the same stubbed codec; the explode
-    (flat_map-style fan-out inside map_batches) and frame indexing are
-    real."""
+    frame row.  PNG-sequence containers (multimodal/codecs.py PNGSEQ —
+    the public-PNG-frames stand-in for codec formats this container
+    lacks) decode REAL frames with random access (unsampled frames are
+    skipped by length prefix, never inflated); other payloads fall back
+    to the stub, or raise in strict mode."""
 
     def __init__(self, every_n: int = 10, strict: bool = False):
         self.every_n = every_n
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("video codec not available in this environment")
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         n_frames = batch.column("n_frames").to_pylist()
-        o_id, o_frame, o_bytes = [], [], []
+        o_id, o_frame, o_bytes, o_w, o_h = [], [], [], [], []
         for mid, p, nf in zip(ids, payloads, n_frames):
+            real = p[: len(PNGSEQ_MAGIC)] == PNGSEQ_MAGIC
+            if real:
+                nf = png_seq_frame_count(p)
+            elif self.strict:
+                raise NotImplementedError("no codec for non-PNGSEQ payload in this environment")
             for f in range(0, nf, self.every_n):
+                img = decode_png_seq_frame(p, f) if real else _fake_decode(
+                    p + f.to_bytes(4, "big"), 16, 16
+                )
                 o_id.append(mid)
                 o_frame.append(f)
-                o_bytes.append(_fake_decode(p + f.to_bytes(4, "big"), 16, 16).tobytes())
+                o_bytes.append(img.tobytes())
+                o_h.append(img.shape[0])
+                o_w.append(img.shape[1])
         return pa.table(
             {
                 "media_id": pa.array(o_id, pa.string()),
                 "frame_idx": pa.array(o_frame, pa.int32()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
                 "pixels": pa.array(o_bytes, pa.binary()),
             }
         )

@@ -1104,6 +1104,35 @@ def q_image_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_video_frame_features(sf_dir: str) -> pd.DataFrame:
+    """Video path: PNG-sequence containers (real PNG frame decode with
+    random access) -> every-Nth frame sampling -> per-frame features
+    (rows-only)."""
+    import pyarrow as pa
+
+    from ..multimodal import image_features, sample_frames
+    from ..multimodal.codecs import encode_png_seq
+
+    clips = []
+    for c in range(8):
+        rng = np.random.RandomState(3000 + c)
+        n = 6 + (c % 5)
+        frames = [rng.randint(0, 256, (8, 12, 3), dtype=np.uint8) for _ in range(n)]
+        clips.append(encode_png_seq(frames))
+    t = pa.table(
+        {
+            "media_id": pa.array([f"vid{c:02d}" for c in range(8)], pa.string()),
+            "payload": pa.array(clips, pa.binary()),
+            "n_frames": pa.array([0] * 8, pa.int64()),  # container-derived
+        }
+    )
+    ds = sample_frames(rd.from_arrow(t), every_n=3)
+    out = image_features(ds).to_pandas()
+    out = out[["media_id", "frame_idx", "phash"]].copy()
+    out["frame_idx"] = out["frame_idx"].astype("int64")
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     """Full curation chain over the synthetic pages corpus: extract ->
     quality gate -> exact + near dedup -> split (rows-only; composition of
@@ -1174,6 +1203,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "catalog_ingest": q_catalog_ingest,
     "image_features": q_image_features,
+    "video_frame_features": q_video_frame_features,
     "audio_features": q_audio_features,
 }
 

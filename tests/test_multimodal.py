@@ -222,6 +222,25 @@ class TestMultimodal:
         assert list(out[out.media_id == "v1"].frame_idx) == [0]
         assert all(len(p) == 16 * 16 * 3 for p in out.pixels)
 
+    def test_pngseq_real_frame_sampling(self):
+        from ocr_platform_ray.multimodal import sample_frames
+        from ocr_platform_ray.multimodal.codecs import encode_png_seq
+
+        rng = np.random.RandomState(8)
+        frames = [rng.randint(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(7)]
+        vids = pa.table(
+            {
+                "media_id": pa.array(["clip"], pa.string()),
+                "payload": pa.array([encode_png_seq(frames)], pa.binary()),
+                "n_frames": pa.array([999], pa.int64()),  # wrong on purpose
+            }
+        )
+        out = sample_frames(rd.from_arrow(vids), every_n=3).to_pandas()
+        assert list(out.frame_idx) == [0, 3, 6]  # container-derived count
+        for _, r in out.iterrows():
+            px = np.frombuffer(r.pixels, dtype=np.uint8).reshape(r.height, r.width, 3)
+            assert np.array_equal(px, frames[r.frame_idx])
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAudio:
