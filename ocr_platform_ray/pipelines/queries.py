@@ -642,6 +642,21 @@ def q_median_value_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_approx_median_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-quantile-sketch grouped median (ops/sketch.py) — the
+    approx-at-scale path beside the exact q_median_value_by_type
+    (rows-only: sketch interpolation has no SQL analogue; rank error
+    bounded in tests)."""
+    from ..ops.sketch import grouped_quantile_sketch
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantile_sketch(ev, "event_type", "value", quantile=0.5, k=256)
+    out = out.rename(columns={"q0.5": "approx_median"})
+    out["approx_median"] = _round_half_away(out["approx_median"], 4)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Exact count-distinct per group: in-batch pair dedup (combiner), one
     shuffle over distinct pairs, then a tiny count."""
@@ -1182,6 +1197,7 @@ QUERIES = {
     "knn_ivf_top10": q_knn_ivf_top10,
     "events_json_k": q_events_json_k,
     "median_value_by_type": q_median_value_by_type,
+    "approx_median_value_by_type": q_approx_median_value_by_type,
     "running_totals": q_running_totals,
     "asof_last_signup": q_asof_last_signup,
     "distinct_users_by_type": q_distinct_users_by_type,

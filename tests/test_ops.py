@@ -626,6 +626,80 @@ class TestCompositeKeyJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestQuantileSketch:
+    def test_exact_when_group_fits(self):
+        from ocr_platform_ray.ops.sketch import grouped_quantile_sketch
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({"g": rng.randint(0, 4, 200), "v": rng.randn(200)})
+        out = grouped_quantile_sketch(rd.from_pandas(df), "g", "v", k=512).set_index("g")
+        want = df.groupby("g")["v"].median()
+        for g, m in want.items():
+            assert abs(out.loc[g, "q0.5"] - m) < 1e-12
+            assert out.loc[g, "n"] == (df["g"] == g).sum()
+
+    def test_bounded_error_at_scale(self):
+        from ocr_platform_ray.ops.sketch import grouped_quantile_sketch
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"g": rng.randint(0, 3, 30000), "v": rng.lognormal(0, 1, 30000)})
+        out = grouped_quantile_sketch(
+            rd.from_pandas(df).repartition(8), "g", "v", k=256
+        ).set_index("g")
+        for g, grp in df.groupby("g"):
+            est = out.loc[g, "q0.5"]
+            # rank error bounded: estimate's true rank within 2% of 0.5
+            rank = (grp["v"] < est).mean()
+            assert abs(rank - 0.5) < 0.02, (g, rank)
+
+    def test_merge_associative(self):
+        from ocr_platform_ray.ops.sketch import (
+            merge_sketches,
+            sketch_from_values,
+            sketch_quantile,
+        )
+
+        rng = np.random.RandomState(4)
+        a, b, c = (rng.randn(500) for _ in range(3))
+        k = 128
+        s_ab_c = merge_sketches(
+            [merge_sketches([sketch_from_values(a, k), sketch_from_values(b, k)], k),
+             sketch_from_values(c, k)], k)
+        s_a_bc = merge_sketches(
+            [sketch_from_values(a, k),
+             merge_sketches([sketch_from_values(b, k), sketch_from_values(c, k)], k)], k)
+        exact = np.median(np.concatenate([a, b, c]))
+        assert abs(sketch_quantile(s_ab_c, 0.5) - exact) < 0.05
+        assert abs(sketch_quantile(s_a_bc, 0.5) - exact) < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedClusters:
+    def test_label_propagation_matches_union_find(self):
+        from ocr_platform_ray.ops.dedup import dup_clusters, dup_clusters_distributed
+
+        rng = np.random.RandomState(13)
+        # several random components incl. a long chain (worst diameter)
+        pairs = []
+        base = 0
+        for comp in range(6):
+            size = rng.randint(2, 12)
+            ids = list(range(base, base + size))
+            for a, b in zip(ids, ids[1:]):  # chain
+                pairs.append((a, b))
+            for _ in range(size // 2):  # extra random intra-edges
+                pairs.append((int(rng.choice(ids)), int(rng.choice(ids))))
+            base += size + rng.randint(1, 5)
+        df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        df = df[df.id_a != df.id_b].drop_duplicates().reset_index(drop=True)
+        want = dup_clusters(df).sort_values("id").reset_index(drop=True)
+        got = dup_clusters_distributed(rd.from_pandas(df))
+        pd.testing.assert_frame_equal(
+            got, want.astype({"id": "int64", "cluster_id": "int64"})
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestFuzzyJoin:
     def test_levenshtein_matches_bruteforce(self):
         from ocr_platform_ray.ops.fuzzy import levenshtein
