@@ -2,9 +2,11 @@
 large-scale pipeline extensions: dedup, similarity search, text analysis)."""
 
 from .relational import (  # noqa: F401
+    auto_join,
     broadcast_hash_join,
     bucketed_hash_join,
     native_join,
+    sharded_group_agg,
     salted_groupby_sum,
     stratified_sample,
     asof_join,
@@ -16,6 +18,7 @@ from .relational import (  # noqa: F401
     pre_aggregate,
 )
 from .dedup import (  # noqa: F401
+    dup_clusters_distributed,
     exact_dedup,
     minhash_lsh_duplicates,
     simhash_buckets,
@@ -28,4 +31,6 @@ from .dedup import (  # noqa: F401
 )
 from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
 from .similarity import knn_brute_force, knn_lsh, knn_ivf, train_ivf_centroids  # noqa: F401
-from .windows import time_bucket_agg, sessionize  # noqa: F401
+from .windows import time_bucket_agg, hopping_window_agg, sessionize  # noqa: F401
+from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
+from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
