@@ -8,6 +8,7 @@ queue/HTTP endpoints would switch to (SURVEY.md §3: POST /book/ocr ->
     python -m ocr_platform_ray redo --input DIR --output DIR --url URL [--url ...]
     python -m ocr_platform_ray probe --input DIR
     python -m ocr_platform_ray gen-corpus --output DIR --urls N
+    python -m ocr_platform_ray curate --input DIR --output DIR [--strip-boilerplate]
 
 Owns the Ray session (guarded init / shutdown) — the only place in the
 package besides bench.py that does.
@@ -71,6 +72,16 @@ def main(argv: list[str] | None = None) -> int:
     gc.add_argument("--urls", type=int, default=1000)
     gc.add_argument("--urls-per-shard", type=int, default=250)
 
+    cu = sub.add_parser(
+        "curate", help="full curation chain: extract -> quality -> dedup -> split"
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.9)
+    cu.add_argument("--strip-boilerplate", action="store_true")
+    cu.add_argument("--partitioned", action="store_true")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -122,6 +133,28 @@ def main(argv: list[str] | None = None) -> int:
                 args.output, args.urls, urls_per_shard=args.urls_per_shard
             )
             print(json.dumps({"shards": len(paths), "urls": args.urls}))
+        elif args.cmd == "curate":
+            import ray.data as rdata
+
+            from .pipelines.curate import curate_corpus
+            from .pipelines.extraction import PAGE_COLUMNS
+
+            docs = curate_corpus(
+                rdata.read_parquet(args.input, columns=PAGE_COLUMNS),
+                partitioned_input=args.partitioned,
+                min_tokens=args.min_tokens,
+                near_dup_threshold=args.near_dup_threshold,
+                strip_boilerplate=args.strip_boilerplate,
+            )
+            docs.write_parquet(args.output)
+            import pyarrow.parquet as pq
+            import glob as _g
+
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _g.glob(f"{args.output}/*.parquet")
+            )
+            print(json.dumps({"curated_docs": n, "output": args.output}))
     finally:
         ray.shutdown()
     return 0

@@ -19,7 +19,12 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from ..ops.dedup import dedup_keep_representatives, exact_dedup, minhash_lsh_duplicates
+from ..ops.dedup import (
+    dedup_keep_representatives,
+    exact_dedup,
+    minhash_lsh_duplicates,
+    strip_repeated_paragraphs,
+)
 from ..ops.textstats import LangId, add_text_stats
 from .extraction import extraction_pipeline
 
@@ -64,12 +69,29 @@ def curate_corpus(
     partitioned_input: bool = False,
     near_dup_threshold: float = 0.9,
     min_tokens: int = 10,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 10,
 ) -> rd.Dataset:
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
-    split, n_dups (exact-dup group size)."""
+    split, n_dups (exact-dup group size).
+
+    ``strip_boilerplate`` inserts the cross-document chunk-dedup stage
+    (ops.dedup.strip_repeated_paragraphs) between the quality gate and the
+    doc-level dedups — paragraphs occurring in >= boilerplate_min_docs
+    documents (site footers, nav text the per-page heuristics can't see
+    across documents) are removed before hashing, so shared boilerplate
+    can't mask real near-dups or fake exact ones."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
+    if strip_boilerplate:
+        # line granularity: extracted_text joins headers with '\n' and
+        # pages with the form-feed separator, so a '\n\n' chunk would glue
+        # boilerplate to the next page's first block; a repeated LINE is
+        # the natural cross-document boilerplate unit here
+        docs = strip_repeated_paragraphs(
+            docs, "extracted_text", "url", sep="\n", min_docs=boilerplate_min_docs
+        )
     # pin ONCE: the dedup stages below consume `docs` several times
     # (winner aggregate, signature pass, representative filter) and Ray
     # Datasets re-execute their lineage per consumption — without this the

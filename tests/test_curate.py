@@ -28,6 +28,33 @@ class TestCurate:
         assert len(a) <= 40
         assert set(a.split) <= {"train", "val", "test"}
 
+    def test_strip_boilerplate_stage(self):
+        import pandas as pd
+
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(40))
+        footer = "Subscribe to the site newsletter for updates"
+
+        def add_footer(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["html"] = [
+                (h or b"") + f"<p>{footer}</p>".encode() for h in b["html"]
+            ]
+            return out
+
+        pages = pages.map_batches(add_footer, batch_format="pandas")
+        kept = curate_corpus(
+            pages, min_tokens=5, strip_boilerplate=True, boilerplate_min_docs=5
+        ).to_pandas()
+        assert len(kept) > 0
+        assert not kept["extracted_text"].str.contains(footer, regex=False).any()
+        # without stripping, the footer survives extraction
+        plain = curate_corpus(
+            pages.map_batches(lambda b: b, batch_format="pandas"), min_tokens=5
+        ).to_pandas()
+        assert plain["extracted_text"].str.contains(footer, regex=False).any()
+
     def test_quality_gate_drops_short_docs(self):
         from ocr_platform_ray.pipelines.curate import quality_gate
 
