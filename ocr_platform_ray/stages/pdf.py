@@ -243,7 +243,6 @@ def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     previously-consumed object (e.g. binary stream bytes that happen to
     contain 'obj') are skipped via the moving cursor."""
     objects: dict[int, tuple] = {}
-    raw_streams: dict[int, tuple] = {}
     cursor = 0
     for m in _OBJ_RE.finditer(data):
         if m.start() < cursor:
@@ -281,7 +280,6 @@ def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
             i = data.find(b"endobj", end)
             i = i + 6 if i >= 0 else end
         objects[num] = (val, stream_data)
-        raw_streams[num] = stream_data
         cursor = i
     # decode streams (needs the object map for indirect /Length — already
     # handled above by the endstream search) and expand object streams

@@ -89,3 +89,127 @@ class TestScalarProps:
     def test_gregorian_roundtrip(self, d):
         h = gregorian_to_hijri(d.year, d.month, d.day)
         assert hijri_to_gregorian(*h) == (d.year, d.month, d.day)
+
+
+class TestPdfParserTotal:
+    """The PDF byte-stream path is TOTAL under extract_page: any bytes
+    after a %PDF- magic produce a valid salvaged row, never an exception."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2000), st.text(max_size=100))
+    def test_pdf_prefixed_fuzz_never_raises(self, junk, prior):
+        r = extract_page(b"%PDF-1.5\n" + junk, prior)
+        assert isinstance(r["body"], str)
+        assert r["failed_stage"] in (None, "CONVERT_TO_HTML", "SEGMENT")
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=1000))
+    def test_pdf_fuzz_deterministic(self, junk):
+        payload = b"%PDF-" + junk
+        assert extract_page(payload, "") == extract_page(payload, "")
+
+
+class TestLevenshteinProps:
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=12), st.text(max_size=12))
+    def test_symmetry_and_bounds(self, a, b):
+        from ocr_platform_ray.ops.fuzzy import levenshtein
+
+        d = levenshtein(a, b)
+        assert d == levenshtein(b, a)
+        assert d >= abs(len(a) - len(b))
+        assert d <= max(len(a), len(b))
+        assert (d == 0) == (a == b)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=8), st.text(max_size=8), st.text(max_size=8))
+    def test_triangle_inequality(self, a, b, c):
+        from ocr_platform_ray.ops.fuzzy import levenshtein
+
+        assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=10), st.text(max_size=10), st.integers(min_value=0, max_value=4))
+    def test_cutoff_consistent(self, a, b, k):
+        from ocr_platform_ray.ops.fuzzy import levenshtein
+
+        full = levenshtein(a, b)
+        cut = levenshtein(a, b, cutoff=k)
+        assert (cut == full) if full <= k else (cut > k)
+
+
+class TestSketchProps:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=400),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_quantile_within_range(self, vals, q):
+        import numpy as np
+
+        from ocr_platform_ray.ops.sketch import sketch_from_values, sketch_quantile
+
+        sk = sketch_from_values(np.array(vals), k=64)
+        est = sketch_quantile(sk, q)
+        assert min(vals) - 1e-9 <= est <= max(vals) + 1e-9
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=1, max_size=64))
+    def test_exact_under_k(self, vals):
+        import numpy as np
+
+        from ocr_platform_ray.ops.sketch import sketch_from_values, sketch_quantile
+
+        sk = sketch_from_values(np.array(vals), k=64)
+        assert abs(sketch_quantile(sk, 0.5) - float(np.median(vals))) < 1e-9
+
+
+class TestBpeProps:
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+    def test_encode_reconstructs_pretokens(self, t):
+        from ocr_platform_ray.functions.bpe import BpeTokenizer, load_merges, pretokenize
+
+        tok = BpeTokenizer(load_merges())
+        toks = tok.encode(t)
+        joined = "".join(toks).replace("</w>", " ").strip()
+        assert joined == " ".join(pretokenize(t.lower()))
+
+
+class TestCodecProps:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 3, 4]),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_roundtrip_any_shape(self, h, w, ch, seed):
+        import numpy as np
+
+        from ocr_platform_ray.multimodal.codecs import decode_png, encode_png
+
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.shape == (h, w, 3)
+        if ch == 3:
+            assert np.array_equal(got, img)
+        elif ch == 4:
+            assert np.array_equal(got, img[..., :3])
+        else:
+            assert np.array_equal(got[..., 0], img)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=500),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_roundtrip(self, samples, sr):
+        import numpy as np
+
+        from ocr_platform_ray.multimodal.codecs import decode_wav, encode_wav
+
+        x, got_sr = decode_wav(encode_wav(np.array(samples), sr))
+        assert got_sr == sr and len(x) == len(samples)
+        assert np.abs(x - np.array(samples)).max() < 1e-3
