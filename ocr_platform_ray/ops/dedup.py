@@ -151,13 +151,21 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    verify: str = "broadcast",
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
     bucket groupby -> candidate pairs -> verify by signature agreement
     (fraction of equal minhash components estimates Jaccard).
 
     Returns a pandas DataFrame (id_a, id_b, est_jaccard), id_a < id_b.
-    Candidate generation is one groupby over (band, band_hash) buckets."""
+    Candidate generation is one groupby over (band, band_hash) buckets.
+
+    ``verify``: "broadcast" fetches involved signatures via one broadcast
+    id-set filter (right while the involved-id set fits the object store —
+    near-dup-sized, far below the corpus); "bucketed" joins the pair list
+    against the signature table with the explicit bucketed hash join
+    twice (id_a, then id_b) — no driver-held id set, the path for when
+    even the candidate pairs are corpus-scale (equivalence-tested)."""
     rows_per_band = num_perm // bands
     # materialized: consumed twice (band explode + verification fetch);
     # signatures are num_perm*8 bytes/row — tiny next to the text
@@ -222,9 +230,71 @@ def minhash_lsh_duplicates(
         return empty
     pairs = cand[["id_a", "id_b"]].drop_duplicates()
 
+    if verify == "bucketed":
+        # distributed verification: pairs joined against the signature
+        # table on id_a then id_b (explicit bucketed exchange), signature
+        # agreement computed inside map_batches — nothing id-set-sized on
+        # the driver; only qualifying pairs come back
+        from .relational import bucketed_hash_join
+
+        pairs_ds = rd.from_pandas(pairs)
+        # signatures travel the exchange as fixed-width BYTES (arrow
+        # binary), not object-dtype ndarrays — the union's null-fill for
+        # one-sided buckets would otherwise mix floats into the column
+        sig_a = sig_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id_a": b[id_col],
+                    "sig_a": [np.asarray(s, dtype=np.uint64).tobytes() for s in b["sig"]],
+                }
+            ),
+            batch_format="pandas",
+        )
+        sig_b = sig_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id_b": b[id_col],
+                    "sig_b": [np.asarray(s, dtype=np.uint64).tobytes() for s in b["sig"]],
+                }
+            ),
+            batch_format="pandas",
+        )
+        j = bucketed_hash_join(pairs_ds, sig_a, "id_a", how="inner")
+        j = bucketed_hash_join(j, sig_b, "id_b", how="inner")
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty:
+                return pd.DataFrame(
+                    {
+                        "id_a": pd.Series(dtype="int64"),
+                        "id_b": pd.Series(dtype="int64"),
+                        "est_jaccard": pd.Series(dtype="float64"),
+                    }
+                )
+            est = np.array(
+                [
+                    float(
+                        np.mean(
+                            np.frombuffer(sa, dtype=np.uint64)
+                            == np.frombuffer(sb, dtype=np.uint64)
+                        )
+                    )
+                    for sa, sb in zip(b["sig_a"], b["sig_b"])
+                ]
+            )
+            out = b[["id_a", "id_b"]].assign(est_jaccard=est)
+            return out[out["est_jaccard"] >= threshold]
+
+        out = j.map_batches(score, batch_format="pandas").to_pandas()
+        if out.empty:
+            return empty
+        if pd.api.types.is_numeric_dtype(out["id_a"]):
+            out["id_a"] = out["id_a"].astype("int64")
+            out["id_b"] = out["id_b"].astype("int64")
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     # verification: fetch signatures of involved ids only (rare relative to
-    # the corpus) and compare component-wise.  Scale path: replace this
-    # broadcast fetch with a bucketed join of pairs against sig_ds on id.
+    # the corpus) and compare component-wise.
     involved = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
     inv_ref = ray.put(involved)
 

@@ -84,6 +84,15 @@ class TestDedup:
         ham = bin(int(h[5]) ^ int(h[12])).count("1")
         assert ham <= 16
 
+    def test_minhash_bucketed_verify_matches_broadcast(self, docs_df):
+        from ocr_platform_ray.ops.dedup import minhash_lsh_duplicates
+
+        ds = rd.from_pandas(docs_df)
+        a = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.5, verify="broadcast")
+        b = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.5, verify="bucketed")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
     def test_embedding_cosine_pairs_exact(self):
         from ocr_platform_ray.ops.dedup import embedding_cosine_pairs
 
