@@ -24,7 +24,8 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_URLS = int(os.environ.get("BENCH_URLS", "24000"))
-CORPUS_DIR = f"/tmp/ocr_bench_corpus_{BENCH_URLS}"
+# v2: corpus generator includes the real-PDF url class (regen on change)
+CORPUS_DIR = f"/tmp/ocr_bench_corpus_v2_{BENCH_URLS}"
 
 # queries worth timing (mix of shuffle-heavy, join, dedup, vector)
 BENCH_QUERIES = [

@@ -24,6 +24,12 @@ import random
 
 import pyarrow as pa
 
+# NOTE on import order: stages.extract imports THIS module for
+# FAKEPDF_MAGIC, and sources/__init__ -> ingest -> stages.pdf -> stages
+# __init__ -> extract.  Importing pdfgen here closes that loop; Python
+# resolves it because pdfgen itself imports nothing from the package.
+from .sources.pdfgen import make_article_pdf
+
 SEED = 42
 _BASE_TS = datetime.datetime(2024, 1, 1)
 
@@ -51,8 +57,18 @@ URL_OVERSIZED = 3       # has one oversized html blob (skew test)
 URL_STRAGGLER = 4       # 10x median page count (straggler test)
 URL_FAKEPDF = 5         # pages carry fake-PDF layout payloads (XY-cut path)
 URL_CP1252 = 6         # page 0 declares windows-1252 (charset-sniff path)
+# Recurring class: REAL PDF byte streams (genuine ISO 32000 files from the
+# public-spec writer, alternating classic-xref / ObjStm / Tm variants) —
+# every url with url_idx % 12 == 8, except Arabic-vocab urls (url_idx % 7
+# == 0: the fixture writer's WinAnsi strings can't carry Arabic).
+URL_REALPDF_MOD = 12
+URL_REALPDF_REM = 8
 
 FAKEPDF_MAGIC = b"%FAKEPDF\n"
+
+
+def is_realpdf_url(url_idx: int) -> bool:
+    return url_idx % URL_REALPDF_MOD == URL_REALPDF_REM and url_idx % 7 != 0
 
 
 def url_for(url_idx: int) -> str:
@@ -135,6 +151,20 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
             "<p>Price: 10€ at the café</p></body></html>"
         )
         return html.encode("cp1252"), _words(rng, vocab, 8), lang
+    if is_realpdf_url(url_idx):
+        # genuine PDF byte stream (stages/pdf.py parses it): one article
+        # page per row, writer variant alternates by page index
+        variant = page_idx % 4
+        paras = [_words(rng, vocab, rng.randint(10, 18)) for _ in range(rng.randint(1, 3))]
+        pdf = make_article_pdf(
+            f"Chapter {page_idx + 1}",
+            paras,
+            page_number=page_idx + 1 if rng.random() < 0.7 else None,
+            footnote=("1. " + _words(rng, vocab, 6)) if rng.random() < 0.6 else None,
+            use_objstm=variant in (1, 3),
+            use_tm=variant in (2, 3),
+        )
+        return pdf, _words(rng, vocab, 10), lang
 
     # --- regular HTML page ------------------------------------------------
     parts = ["<html><head>", _BOILER_STYLE, "</head><body>", _BOILER_NAV]

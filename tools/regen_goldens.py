@@ -43,6 +43,24 @@ def main() -> None:
     with open(GOLDEN, "w") as f:
         json.dump(new, f, indent=1, sort_keys=True)
     print(f"regenerated {len(new)} urls; {len(changed)} changed: {changed[:10]}")
+
+    # curate-chain golden (same corpus through the full curation chain)
+    from ocr_platform_ray.pipelines.curate import curate_corpus
+
+    curate_golden = os.path.join(REPO, "tests", "goldens", "curate_sha.json")
+    cdf = curate_corpus(rd.from_arrow(make_pages_table(60)), min_tokens=5).to_pandas()
+    cnew = {
+        r.url: {
+            "split": r.split,
+            "n_dups": int(r.n_dups),
+            "pred_lang": r.pred_lang,
+            "sha256": hashlib.sha256(r.extracted_text.encode()).hexdigest(),
+        }
+        for r in cdf.itertuples()
+    }
+    with open(curate_golden, "w") as f:
+        json.dump(cnew, f, indent=1, sort_keys=True)
+    print(f"regenerated curate golden: {len(cnew)} urls")
     ray.shutdown()
 
 
