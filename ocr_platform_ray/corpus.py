@@ -58,9 +58,10 @@ URL_STRAGGLER = 4       # 10x median page count (straggler test)
 URL_FAKEPDF = 5         # pages carry fake-PDF layout payloads (XY-cut path)
 URL_CP1252 = 6         # page 0 declares windows-1252 (charset-sniff path)
 # Recurring class: REAL PDF byte streams (genuine ISO 32000 files from the
-# public-spec writer, alternating classic-xref / ObjStm / Tm variants) —
-# every url with url_idx % 12 == 8, except Arabic-vocab urls (url_idx % 7
-# == 0: the fixture writer's WinAnsi strings can't carry Arabic).
+# public-spec writer) — every url with url_idx % 12 == 8.  Writer variant
+# alternates per page (classic-xref / ObjStm / Tm / CID); Arabic-vocab
+# urls always use the CID/Identity-H + ToUnicode form (the only way
+# non-Latin text travels through a PDF).
 URL_REALPDF_MOD = 12
 URL_REALPDF_REM = 8
 
@@ -68,7 +69,7 @@ FAKEPDF_MAGIC = b"%FAKEPDF\n"
 
 
 def is_realpdf_url(url_idx: int) -> bool:
-    return url_idx % URL_REALPDF_MOD == URL_REALPDF_REM and url_idx % 7 != 0
+    return url_idx % URL_REALPDF_MOD == URL_REALPDF_REM
 
 
 def url_for(url_idx: int) -> str:
@@ -153,8 +154,9 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
         return html.encode("cp1252"), _words(rng, vocab, 8), lang
     if is_realpdf_url(url_idx):
         # genuine PDF byte stream (stages/pdf.py parses it): one article
-        # page per row, writer variant alternates by page index
-        variant = page_idx % 4
+        # page per row, writer variant alternating by page index; Arabic
+        # text requires the CID/ToUnicode form (WinAnsi can't carry it)
+        variant = page_idx % 5
         paras = [_words(rng, vocab, rng.randint(10, 18)) for _ in range(rng.randint(1, 3))]
         pdf = make_article_pdf(
             f"Chapter {page_idx + 1}",
@@ -163,6 +165,7 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
             footnote=("1. " + _words(rng, vocab, 6)) if rng.random() < 0.6 else None,
             use_objstm=variant in (1, 3),
             use_tm=variant in (2, 3),
+            use_cid=is_ar or variant == 4,
         )
         return pdf, _words(rng, vocab, 10), lang
 

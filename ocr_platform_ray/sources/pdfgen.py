@@ -144,6 +144,26 @@ class _PdfBuilder:
         return bytes(out)
 
 
+def _tounicode_cmap(cid_map: dict[str, int]) -> bytes:
+    """Standard ToUnicode CMap (Adobe-Identity-UCS shape): 2-byte
+    codespace, bfchar sections of <=100 entries (spec limit)."""
+    entries = sorted((cid, ch) for ch, cid in cid_map.items())
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    for i in range(0, len(entries), 100):
+        chunk = entries[i : i + 100]
+        parts.append(f"{len(chunk)} beginbfchar\n".encode())
+        for cid, ch in chunk:
+            dst = ch.encode("utf-16-be").hex()
+            parts.append(f"<{cid:04x}> <{dst}>\n".encode())
+        parts.append(b"endbfchar\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    return b"".join(parts)
+
+
 def make_pdf(
     pages: list[list[dict]],
     *,
@@ -152,14 +172,40 @@ def make_pdf(
     compress: bool = True,
     use_objstm: bool = False,
     use_tm: bool = False,
+    use_cid: bool = False,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
     ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
     "tj": bool (emit as TJ kerning array), "hex": bool (hex string)}``.
     y is given top-down for fixture convenience and converted to PDF's
-    bottom-up coordinates here."""
+    bottom-up coordinates here.
+
+    ``use_cid=True`` emits a Type0 / Identity-H font with a ToUnicode
+    CMap: every unique character gets a CID, show strings are 2-byte hex
+    code sequences — the LaTeX/Word subset-font shape, and the only way
+    non-Latin text travels through a PDF.  Readable back ONLY via the
+    CMap (stages/pdf.py parse_tounicode)."""
     b = _PdfBuilder()
-    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    if use_cid:
+        chars = sorted({ch for items in pages for it in items for ch in it["text"]})
+        cid_map = {ch: i + 1 for i, ch in enumerate(chars)}
+        tounicode = b.stream_obj(b"", _tounicode_cmap(cid_map), compress=compress)
+        desc = b.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FakeCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+        )
+        font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID /Encoding /Identity-H "
+            b"/DescendantFonts [" + str(desc).encode() + b" 0 R] /ToUnicode "
+            + str(tounicode).encode()
+            + b" 0 R >>"
+        )
+
+        def _cid_hex(t: str) -> bytes:
+            return b"<" + "".join(f"{cid_map[ch]:04x}" for ch in t).encode() + b">"
+
+    else:
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
     pages_root = b.reserve()
     kids = []
     for items in pages:
@@ -177,7 +223,15 @@ def make_pdf(
                 ops.append(b"1 0 0 1 0 0 Tm")
                 ops.append(f"{x:g} {y:g}".encode() + b" Td")
             t = it["text"]
-            if it.get("hex"):
+            if use_cid:
+                if it.get("tj"):
+                    mid = max(1, len(t) // 2)
+                    ops.append(
+                        b"[ " + _cid_hex(t[:mid]) + b" -28 " + _cid_hex(t[mid:]) + b" ] TJ"
+                    )
+                else:
+                    ops.append(_cid_hex(t) + b" Tj")
+            elif it.get("hex"):
                 ops.append(b"<" + t.encode("latin-1", "replace").hex().encode() + b"> Tj")
             elif it.get("tj"):
                 mid = max(1, len(t) // 2)
@@ -220,6 +274,7 @@ def make_article_pdf(
     footnote: str | None = None,
     use_objstm: bool = False,
     use_tm: bool = False,
+    use_cid: bool = False,
     compress: bool = True,
 ) -> bytes:
     """One-page article layout: heading (large font), body paragraphs
@@ -246,4 +301,6 @@ def make_article_pdf(
         items.append({"text": footnote, "x": 72, "y": 705, "size": 8})
     if page_number is not None:
         items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
-    return make_pdf([items], use_objstm=use_objstm, use_tm=use_tm, compress=compress)
+    return make_pdf(
+        [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid, compress=compress
+    )

@@ -14,11 +14,15 @@ parser feeding the existing bbox/XY-cut reading-order path:
 Supported: classic xref and xref-stream files (the scanner never trusts
 xref offsets — it walks ``obj``..``endobj`` spans directly, which also
 salvages mildly damaged files), FlateDecode and uncompressed streams,
-literal strings with octal/char escapes, hex strings, object streams.
-Not interpreted (documented limits): CID/ToUnicode CMaps (bytes decode as
-WinAnsi/latin-1), encryption, Predictor DecodeParms on CONTENT streams,
-inline images.  Failures raise ValueError — callers (extract_page) map
-that to the M5 short-circuit semantics."""
+literal strings with octal/char escapes, hex strings, object streams,
+and ToUnicode CMaps (bfchar / bfrange offset + array forms, 1- and
+2-byte code widths) for Type0/CID subset fonts — non-Latin text decodes
+correctly; fonts without a CMap decode as WinAnsi/latin-1.
+Not interpreted (documented limits): encryption, Predictor DecodeParms on
+CONTENT streams, inline images, glyph metrics (x-advance is an
+average-width estimate — enough for reading order).  Failures raise
+ValueError — callers (extract_page) map that to the M5 short-circuit
+semantics."""
 
 from __future__ import annotations
 
@@ -328,14 +332,111 @@ class TextRun:
         self.x, self.y, self.size, self.text = x, y, size, text
 
 
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (the LaTeX/Word subset-font text encoding)
+# ---------------------------------------------------------------------------
+_HEX_ITEM = rb"<([0-9A-Fa-f]+)>"
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_PAIR_RE = re.compile(_HEX_ITEM + rb"\s+" + _HEX_ITEM)
+_HEX_TRIPLE_RE = re.compile(_HEX_ITEM + rb"\s+" + _HEX_ITEM + rb"\s+" + _HEX_ITEM)
+_HEX_ARRAY_RE = re.compile(
+    _HEX_ITEM + rb"\s+" + _HEX_ITEM + rb"\s+\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]"
+)
+
+
+def _u16(hx: bytes) -> str:
+    raw = bytes.fromhex(hx.decode())
+    return raw.decode("utf-16-be", "replace")
+
+
+def parse_tounicode(cmap: bytes):
+    """ToUnicode CMap stream -> (code_width_bytes, {code_int: str}).
+    Supports begincodespacerange (code width), bfchar pairs, and bfrange
+    (offset form and array form) — the subset every PDF producer emits."""
+    width = 1
+    m = _CODESPACE_RE.search(cmap)
+    if m:
+        h = re.search(_HEX_ITEM, m.group(1))
+        if h:
+            width = max(1, len(h.group(1)) // 2)
+    table: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(cmap):
+        for src, dst in _HEX_PAIR_RE.findall(sec.group(1)):
+            table[int(src, 16)] = _u16(dst)
+    for sec in _BFRANGE_RE.finditer(cmap):
+        body = sec.group(1)
+        for lo, hi, arr in _HEX_ARRAY_RE.findall(body):
+            dsts = re.findall(_HEX_ITEM, arr)
+            for i, d in enumerate(dsts):
+                table[int(lo, 16) + i] = _u16(d)
+        # strip array entries before scanning offset-form triples
+        body_wo = _HEX_ARRAY_RE.sub(b"", body)
+        for lo, hi, dst in _HEX_TRIPLE_RE.findall(body_wo):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            if hi_i - lo_i > 65535:
+                continue  # malformed guard
+            for code in range(lo_i, hi_i + 1):
+                table[code] = chr(base + (code - lo_i)) if base + (code - lo_i) <= 0x10FFFF else "�"
+    return width, table
+
+
+def _make_decoder(width: int, table: dict[int, str]):
+    def decode(raw: bytes) -> str:
+        out = []
+        for i in range(0, len(raw) - width + 1, width):
+            code = int.from_bytes(raw[i : i + width], "big")
+            out.append(table.get(code, "�"))
+        return "".join(out)
+
+    return decode
+
+
+def _latin1_decode(raw: bytes) -> str:
+    return raw.decode("latin-1")
+
+
+def page_font_decoders(page: dict, objects: dict):
+    """Per-page {font_resource_name: bytes->str decoder} from /Resources
+    /Font entries carrying a /ToUnicode CMap; fonts without one decode as
+    WinAnsi/latin-1 (the simple-font default)."""
+    decoders: dict[str, object] = {}
+    res = _resolve(page.get("Resources"), objects)
+    fonts = _resolve(res.get("Font"), objects) if isinstance(res, dict) else None
+    if not isinstance(fonts, dict):
+        return decoders
+    for name, fref in fonts.items():
+        font = _resolve(fref, objects)
+        if not isinstance(font, dict):
+            continue
+        tu = font.get("ToUnicode")
+        if isinstance(tu, Ref):
+            _, stream = objects.get(tu.num, (None, None))
+            if stream:
+                try:
+                    width, table = parse_tounicode(stream)
+                    decoders[name] = _make_decoder(width, table)
+                except (ValueError, OverflowError):
+                    continue
+    return decoders
+
+
 _CS_TOKEN_RE = re.compile(rb"/?[A-Za-z'\"][A-Za-z0-9*'\"]*|\[|\]|\(|<|[+-]?(?:\d+\.?\d*|\.\d+)")
 
 
-def interpret_content(content: bytes) -> list[TextRun]:
+def interpret_content(content: bytes, decoders: dict | None = None) -> list[TextRun]:
     """Execute the text-positioning subset of a content stream.  Tracks the
     text matrix translation + font size; emits one TextRun per show op
     (Tj / TJ / ' / \"), advancing x by an average-width estimate (enough
-    for reading order; exact glyph metrics aren't needed for text)."""
+    for reading order; exact glyph metrics aren't needed for text).
+    ``decoders`` maps font resource names to bytes->str decoders (ToUnicode
+    CMaps); fonts without one decode as WinAnsi/latin-1."""
+    decoders = decoders or {}
+    cur_decode = _latin1_decode
     runs: list[TextRun] = []
     stack: list = []  # operand stack
     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
@@ -345,7 +446,7 @@ def interpret_content(content: bytes) -> list[TextRun]:
     i, n = 0, len(content)
 
     def show(txt: bytes):
-        t = txt.decode("latin-1")
+        t = cur_decode(txt)
         if t:
             eff = size * (abs(tm[3]) or 1.0)
             runs.append(TextRun(tm[4], tm[5], eff, t))
@@ -390,6 +491,8 @@ def interpret_content(content: bytes) -> list[TextRun]:
         try:
             if op == b"Tf" and len(stack) >= 1:
                 size = float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    cur_decode = decoders.get(stack[-2], _latin1_decode)
             elif op == b"Td" and len(stack) >= 2:
                 newline(float(stack[-2]), float(stack[-1]))
             elif op == b"TD" and len(stack) >= 2:
@@ -502,7 +605,9 @@ def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, s
     out = []
     for page in pages:
         h = _media_height(page, objects)
-        runs = interpret_content(_page_content(page, objects))
+        runs = interpret_content(
+            _page_content(page, objects), page_font_decoders(page, objects)
+        )
         # flip to top-down y (XY-cut sorts top-to-bottom ascending y)
         lines: dict[tuple[float, float], list[TextRun]] = {}
         for r in runs:
@@ -537,7 +642,8 @@ def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, s
         # the merged blocks afterwards
         line_items.sort(key=lambda it: (it[0], it[1]))
         sizes = sorted(it[4] for it in line_items)
-        median = sizes[len(sizes) // 2]
+        median = sizes[(len(sizes) - 1) // 2]  # lower median: a 2-line page
+        # (heading + one body line) must measure against the BODY size
         merged = []
         for it in line_items:
             if merged:

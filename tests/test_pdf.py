@@ -95,6 +95,65 @@ class TestRoundTrip:
         assert extract_page(pdf, "")["body"] == "Hex run body"
 
 
+class TestCidToUnicode:
+    """Type0 / Identity-H fonts with ToUnicode CMaps — the subset-font
+    shape every LaTeX/Word PDF uses, and the only way non-Latin text
+    travels through a PDF."""
+
+    def test_cid_roundtrip_latin(self):
+        pdf = make_article_pdf("CID Title", PARAS, page_number=3, use_cid=True)
+        base = make_article_pdf("CID Title", PARAS, page_number=3)
+        r, rb = extract_page(pdf, ""), extract_page(base, "")
+        assert r["failed_stage"] is None
+        for k in ("header", "body", "footnotes", "page_number"):
+            assert r[k] == rb[k], k
+
+    def test_cid_arabic_and_greek(self):
+        ar = "كتاب العلم نور المعرفة في التاريخ"
+        gr = "η γρήγορη αλεπού πηδάει ψηλά"
+        pdf = make_pdf(
+            [
+                [
+                    {"text": ar, "x": 72, "y": 100, "size": 12},
+                    {"text": gr, "x": 72, "y": 140, "size": 12},
+                ]
+            ],
+            use_cid=True,
+        )
+        body = extract_page(pdf, "")["body"]
+        assert ar in body and gr in body
+
+    def test_cid_surrogate_pairs(self):
+        t = "emoji 😀 and beyond BMP 𝕏 ok"
+        body = extract_page(
+            make_pdf([[{"text": t, "x": 72, "y": 100, "size": 12}]], use_cid=True), ""
+        )["body"]
+        assert body == t
+
+    def test_cid_tj_and_objstm(self):
+        pdf = make_article_pdf(
+            "T2", ["some body words here ok fine"], use_cid=True, use_objstm=True
+        )
+        r = extract_page(pdf, "")
+        assert r["failed_stage"] is None and "some body words here ok fine" in r["body"]
+
+    def test_parse_tounicode_forms(self):
+        from ocr_platform_ray.stages.pdf import parse_tounicode
+
+        cmap = (
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0001> <0041> <0002> <00416B42> endbfchar\n"
+            b"1 beginbfrange <0010> <0012> <0061> endbfrange\n"
+            b"1 beginbfrange <0020> <0021> [<0042> <0043>] endbfrange\n"
+        )
+        width, table = parse_tounicode(cmap)
+        assert width == 2
+        assert table[1] == "A"
+        assert table[2] == "A歂"  # multi-unit dst
+        assert table[0x10] == "a" and table[0x12] == "c"  # offset range
+        assert table[0x20] == "B" and table[0x21] == "C"  # array range
+
+
 class TestLayout:
     def test_two_columns_not_interleaved(self):
         items = []
