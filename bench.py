@@ -133,6 +133,21 @@ def run_once() -> dict:
             best = dt if best is None else min(best, dt)
         q_times[name] = round(best, 3)
 
+    # round-2 operator additions, timed once (informational — separate
+    # from the tracked queries_total_s series)
+    extra_times: dict[str, float] = {}
+    for name in (
+        "revenue_by_nation",
+        "fuzzy_join_typos",
+        "repeated_paragraphs",
+        "embedding_near_dup_pairs",
+        "extract_pdf_docs",
+        "approx_median_value_by_type",
+    ):
+        t0 = time.monotonic()
+        _consume(QUERIES[name](SF_DIR))
+        extra_times[name] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     return {
@@ -145,6 +160,7 @@ def run_once() -> dict:
         "n_pages": n_pages,
         "queries": q_times,
         "queries_total_s": round(sum(q_times.values()), 3),
+        "extra_queries": extra_times,
         "sf": sf,
         "num_cpus": NUM_CPUS,
     }
