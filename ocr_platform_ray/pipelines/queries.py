@@ -689,8 +689,8 @@ def q_asof_last_signup(sf_dir: str) -> pd.DataFrame:
     )
     out = asof_join(errors, signups, key="user_id", ts="ts", right_cols=["signup_id"]).to_pandas()
     out = out[["event_id", "signup_id"]].copy()
-    # the union exchange upcasts left ints to float (NaN placeholders on
-    # right rows) -> restore exact dtypes for the oracle compare
+    # asof_join restores int dtypes internally; these casts just pin the
+    # exact oracle-compare dtypes (signup_id nullable -> float64 NaN)
     out["event_id"] = out["event_id"].astype("int64")
     out["signup_id"] = out["signup_id"].astype("Int64").astype("float64")  # nullable -> NaN
     return out.sort_values("event_id").reset_index(drop=True)

@@ -65,6 +65,11 @@ def page_count_probe(pages: rd.Dataset) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+# raw-file ingestion is payload-agnostic: extract_page sniffs %PDF- bytes
+# vs HTML per row, so the same reader ingests mixed .html/.pdf trees
+ingest_raw_files = ingest_raw_html
+
+
 def pdf_blob_page_counts(pages: rd.Dataset, *, payload_col: str = "html") -> rd.Dataset:
     """S2 for real PDF blobs (reference ocr.ts:35-38 ``getPageCount``):
     per-row internal page count probed from the byte stream (0 for non-PDF
