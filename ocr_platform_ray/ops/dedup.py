@@ -114,14 +114,37 @@ def _shingle_hashes(text: str, k: int, split_mode: str = "ws") -> np.ndarray:
     (Python str.split — the right choice for near-dup robustness);
     ``"space"`` splits on single spaces keeping empty tokens, mirroring
     DuckDB ``string_split(text, ' ')`` exactly (the oracled ngram query)."""
-    toks = text.split() if split_mode == "ws" else text.split(" ")
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
-        return np.zeros(1, dtype=np.uint64)
-    return np.unique(_sha64(grams))
+    return _shingle_hashes_batch([text], k, split_mode)[0]
+
+
+def _shingle_hashes_batch(texts, k: int, split_mode: str = "ws") -> list[np.ndarray]:
+    """Batch variant: ONE vectorized hash call over every gram of the
+    batch (pd.util.hash_array per row cost ~30us of dispatch each), then
+    per-row unique over the flat result.  Row-for-row identical to
+    ``_shingle_hashes``."""
+    all_grams: list[str] = []
+    counts: list[int] = []
+    for text in texts:
+        toks = text.split() if split_mode == "ws" else text.split(" ")
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not grams:
+            counts.append(-1)
+        else:
+            counts.append(len(grams))
+            all_grams.extend(grams)
+    flat = _sha64(all_grams) if all_grams else np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        if c == -1:
+            out.append(np.zeros(1, dtype=np.uint64))
+        else:
+            out.append(np.unique(flat[pos : pos + c]))
+            pos += c
+    return out
 
 
 class _MinHashSig:
@@ -134,8 +157,8 @@ class _MinHashSig:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = []
-        for text in batch[self.text_col]:
-            sh = _shingle_hashes(text, self.k)
+        shingles = _shingle_hashes_batch(list(batch[self.text_col]), self.k)
+        for sh in shingles:
             # (num_perm, n_shingles) universal hash, min over shingles
             hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
             sigs.append(hv.min(axis=1))
@@ -374,8 +397,8 @@ def ngram_jaccard_pairs(
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, shs, sizes = [], [], []
-        for i, text in zip(batch[id_col], batch[text_col]):
-            sh = _shingle_hashes(text, k, split_mode)
+        shingles = _shingle_hashes_batch(list(batch[text_col]), k, split_mode)
+        for i, sh in zip(batch[id_col], shingles):
             ids.extend([i] * len(sh))
             shs.extend(sh.tolist())
             sizes.extend([len(sh)] * len(sh))

@@ -184,6 +184,56 @@ class TestLayout:
         )
 
 
+class TestPngPredictor:
+    def test_unpredict_matches_png_codec(self):
+        """stages/pdf._png_unpredict (xref/content DecodeParms) must agree
+        with the vendored PNG codec's unfilter on the same filtered rows."""
+        import numpy as np
+
+        from ocr_platform_ray.multimodal.codecs import decode_png, encode_png
+        from ocr_platform_ray.stages.pdf import _png_unpredict
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+        # build per-row-filtered data via the test encoder in
+        # multimodal tests' style: reuse codec output (filter 0) then
+        # predictor-encode rows as Up (ft=2) manually
+        stride = 4 * 3
+        rows = img.reshape(5, stride).astype(np.int64)
+        enc = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(5):
+            enc.append(2)  # Up
+            enc += ((rows[r] - prev) % 256).astype(np.uint8).tobytes()
+            prev = rows[r]
+        out = _png_unpredict(bytes(enc), {"Predictor": 12, "Colors": 3, "Columns": 4})
+        assert np.array_equal(
+            np.frombuffer(out, dtype=np.uint8).reshape(5, stride), img.reshape(5, stride)
+        )
+        # cross-check against the codec's decoder on a filter-0 PNG
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def test_flate_predictor_stream_decodes(self):
+        import struct
+        import zlib
+
+        from ocr_platform_ray.stages.pdf import _decode_stream
+
+        data = bytes(range(16)) * 3  # 48 bytes = 4 rows x 12 cols
+        rows = [data[i : i + 12] for i in range(0, 48, 12)]
+        enc = bytearray()
+        prev = bytes(12)
+        for row in rows:
+            enc.append(2)
+            enc += bytes((a - b) % 256 for a, b in zip(row, prev))
+            prev = row
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {"Predictor": 12, "Columns": 12},
+        }
+        assert _decode_stream(d, zlib.compress(bytes(enc))) == data
+
+
 class TestErrors:
     def test_malformed_salvages_prior_text(self):
         r = extract_page(b"%PDF-1.5\nnot a real pdf at all", "prior ocr text")
