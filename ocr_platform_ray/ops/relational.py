@@ -194,18 +194,24 @@ def auto_join(
     right_prefix: str = "r_",
 ) -> rd.Dataset:
     """Size-aware join planner (the Spark broadcast-threshold decision):
-    when the BUILD side is small enough to replicate (row-count probe —
-    parquet metadata, no data read), use the shuffle-free broadcast hash
-    join; otherwise the explicit bucketed exchange.  At test scale the
-    dimension side usually broadcasts (saves the 2-3 s AllToAll barrier);
-    at 10^12-row scale the same call plans the exchange.  The two paths
-    are equivalence-tested."""
+    when the BUILD side is small enough to replicate, use the shuffle-free
+    broadcast hash join; otherwise the explicit bucketed exchange.  At
+    test scale the dimension side usually broadcasts (saves the 2-3 s
+    AllToAll barrier); at 10^12-row scale the same call plans the
+    exchange.  The two paths are equivalence-tested.
+
+    The probe is ``limit(threshold+1)`` — it short-circuits execution at
+    the threshold AND, when the side fits, already IS the complete build
+    table (one execution total; a separate count() would re-execute a
+    derived build side's whole lineage per consumption)."""
     try:
-        n_right = right.count()
+        head = right.limit(broadcast_threshold_rows + 1).to_pandas()
     except Exception:
-        n_right = None
-    if n_right is not None and n_right <= broadcast_threshold_rows:
-        return broadcast_hash_join(left, right, on, how=how, suffix="_r")
+        head = None
+    if head is not None and len(head) <= broadcast_threshold_rows:
+        if head.shape[1] == 0:  # empty Dataset -> schema-less frame
+            head = _typed_empty(right.schema(), right.schema().names)
+        return broadcast_hash_join(left, head, on, how=how, suffix="_r")
     return bucketed_hash_join(
         left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
     )

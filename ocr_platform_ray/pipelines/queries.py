@@ -422,6 +422,8 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         "r_regionkey",
         how="inner",
     ).map_batches(lambda b: b[["n_nationkey", "n_name"]], batch_format="pandas")
+    # consumed twice (customer + supplier sides): pin the tiny table once
+    nations = nations.materialize()
 
     cust = auto_join(
         _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
