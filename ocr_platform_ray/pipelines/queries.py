@@ -839,8 +839,13 @@ def q_embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    ds = base.map_batches(originals, batch_format="pandas").union(
-        base.map_batches(copies, batch_format="pandas")
+    # pinned once: the op consumes the augmented table three times (dim
+    # probe, signature pass, verification fetch) and embeddings are tiny
+    # relative to text
+    ds = (
+        base.map_batches(originals, batch_format="pandas")
+        .union(base.map_batches(copies, batch_format="pandas"))
+        .materialize()
     )
     out = embedding_cosine_pairs(ds, "embedding", "vec_id", threshold=0.95)
     out = out.copy()
