@@ -1,11 +1,11 @@
-"""Audio binary-column stages (stub codec, real plumbing) — sibling of
-decode.py's image/video stages.
+"""Audio binary-column stages — sibling of decode.py's image/video stages.
 
-A row is (media_id, payload: binary, sample_rate, n_samples).  The PCM
-decode is a deterministic fake (no audio libs in this container; strict
-mode raises); the frame windowing, feature math (RMS energy, zero-crossing
-rate, spectral-centroid-ish moment via numpy FFT), and the explode layout
-are real and tested.
+A row is (media_id, payload: binary, sample_rate, n_samples).  RIFF/WAV
+payloads decode for REAL via the vendored PCM parser (codecs.py); other
+formats (no soundfile/ffmpeg in this container) fall back to a
+deterministic stub or raise in strict mode.  Frame windowing, feature
+math (RMS energy, zero-crossing rate, spectral centroid via numpy FFT),
+and the explode layout are real and tested.
 """
 
 from __future__ import annotations
@@ -13,7 +13,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

@@ -553,8 +553,6 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top10_orders(sf_dir: str) -> rd.Dataset:
-    from ..ops.relational import top_k
-
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     # deterministic tie-break on orderkey
     return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
