@@ -24,18 +24,6 @@ import ray.data as rd
 from .relational import sharded_group_agg
 
 
-def _sum_finish(partials: rd.Dataset, keys: list[str], sum_cols: dict[str, str]) -> pd.DataFrame:
-    """Distributed finish of a combiner pre-aggregation: hash-shard
-    exchange + vectorized per-shard pandas groupby (sharded_group_agg) —
-    the (key × bucket) partial set never lands on the driver un-reduced,
-    and no per-group Python runs (Ray's built-in aggregate is per-group at
-    ~2.3 ms each, pathological at 10^5+ groups)."""
-    out = sharded_group_agg(
-        partials, keys, {alias: (src, "sum") for alias, src in sum_cols.items()}
-    )
-    return out.to_pandas()
-
-
 def time_bucket_agg(
     events: rd.Dataset,
     *,
@@ -43,7 +31,8 @@ def time_bucket_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     freq: str = "h",
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Tumbling-window aggregate: count + sum(value) per (key, time bucket).
     The bucket column is computed vectorized per batch, a combiner
     pre-aggregates in-batch so the shuffle moves partials only, and the
@@ -59,9 +48,14 @@ def time_bucket_agg(
         return g
 
     partials = events.map_batches(partial, batch_format="pandas")
-    out = _sum_finish(
-        partials, [key_col, "bucket"], {"n_events": "n_events", "sum_value": "sum_value"}
+    reduced = sharded_group_agg(
+        partials, [key_col, "bucket"], {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")}
     )
+    if as_dataset:
+        # corpus-scale consumers (write_parquet / further stages): the
+        # (key x bucket) RESULT never lands on the driver
+        return reduced
+    out = reduced.to_pandas()
     return out.sort_values([key_col, "bucket"]).reset_index(drop=True)
 
 
@@ -73,7 +67,8 @@ def hopping_window_agg(
     value_col: str = "value",
     size_hours: int = 2,
     step_hours: int = 1,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Hopping (sliding) windows: each event belongs to size/step
     overlapping windows; the explode happens vectorized per batch (one
     extra row per hop), then the same combiner pre-aggregation + native
@@ -95,9 +90,14 @@ def hopping_window_agg(
         )
 
     partials = events.map_batches(partial, batch_format="pandas")
-    out = _sum_finish(
-        partials, [key_col, "window_start"], {"n_events": "n_events", "sum_value": "sum_value"}
+    reduced = sharded_group_agg(
+        partials,
+        [key_col, "window_start"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
     )
+    if as_dataset:
+        return reduced
+    out = reduced.to_pandas()
     return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
 
 
@@ -108,7 +108,8 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     n_shards: int = 64,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Session windows: ONE shuffle on ``hash(key) % n_shards`` (the
     reassemble_docs shard-exchange — every event of a key lands in the same
     shard), then a single vectorized pandas pass per shard: sort by
@@ -139,10 +140,13 @@ def sessionize(
         return out[[key_col, "session_id", "session_start", "session_end", "n_events"]]
 
     sharded = events.map_batches(add_shard, batch_format="pandas")
+    sessions = sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+    if as_dataset:
+        # at corpus scale the SESSION TABLE itself is corpus-sized —
+        # keep it distributed for write_parquet / downstream stages
+        return sessions
     return (
-        sharded.groupby("__shard")
-        .map_groups(per_shard, batch_format="pandas")
-        .to_pandas()
+        sessions.to_pandas()
         .sort_values([key_col, "session_id"])
         .reset_index(drop=True)
     )

@@ -386,6 +386,29 @@ class TestWindows:
         assert list(u1.n_events) == [2, 2]
         assert len(out[out.user_id == 2]) == 1
 
+    def test_as_dataset_keeps_results_distributed(self):
+        import ray.data as rdm
+
+        from ocr_platform_ray.ops.windows import sessionize, time_bucket_agg
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 5, 200),
+                "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 86400, 200), "s"),
+                "value": rng.randn(200),
+            }
+        )
+        ds = rd.from_pandas(df)
+        agg_ds = time_bucket_agg(ds, as_dataset=True)
+        assert isinstance(agg_ds, rdm.Dataset)
+        got = agg_ds.to_pandas().sort_values(["user_id", "bucket"]).reset_index(drop=True)
+        want = time_bucket_agg(rd.from_pandas(df))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        sess_ds = sessionize(rd.from_pandas(df), as_dataset=True)
+        assert isinstance(sess_ds, rdm.Dataset)
+        assert sess_ds.count() == len(sessionize(rd.from_pandas(df)))
+
     def test_time_bucket_agg_matches_pandas(self):
         from ocr_platform_ray.ops.windows import time_bucket_agg
 
