@@ -47,11 +47,19 @@ def _sha64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
-def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
+def exact_dedup(
+    ds: rd.Dataset, content_col: str, id_col: str, *, winners: str = "broadcast"
+) -> rd.Dataset:
     """Keep one representative row per distinct ``content_col`` value — the
     row with the minimum ``id_col`` (deterministic under any parallelism).
     Adds ``n_dups`` = group size.  Pattern: content-hash column in a
-    vectorized map_batches, in-batch combiner, then one groupby."""
+    vectorized map_batches, in-batch combiner, then one groupby.
+
+    ``winners``: "broadcast" probes a driver-built {hash: (min_id, n)}
+    map (right to ~10^8 distinct contents); "bucketed" joins the winner
+    table back via the explicit bucketed exchange — nothing
+    distinct-content-sized ever lands on the driver (the 10^12-row
+    route; equivalence-tested)."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
@@ -70,12 +78,27 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
     # winner reduce over an id-only projection — the exchange moves
     # (hash, id, count) partials, never the content column
-    winners = (
+    winners_ds = (
         hashed.select_columns(["__h", id_col, "n_dups"])
         .groupby("__h")
         .aggregate(Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n"))
-        .to_pandas()
     )
+    if winners == "bucketed":
+        # distributed winner application: join the winner table back on
+        # the content hash (bucketed exchange), keep rows whose id IS the
+        # group minimum — no driver-held winner map
+        from .relational import bucketed_hash_join
+
+        joined = bucketed_hash_join(hashed, winners_ds, "__h", how="inner")
+
+        def keep_bucketed(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[b[id_col] == b["__min_id"]].copy()
+            out["n_dups"] = out["__n"].astype("int64")
+            return out.drop(columns=["__h", "__min_id", "__n"])
+
+        return joined.map_batches(keep_bucketed, batch_format="pandas")
+
+    winners = winners_ds.to_pandas()
     win_ref = ray.put(
         (
             pd.Series(winners["__min_id"].to_numpy(), index=winners["__h"].to_numpy()),
@@ -514,13 +537,16 @@ def repeated_paragraphs(
         }
     )
     exploded = ds.map_batches(explode, batch_format="pandas")
-    counts = (
+    rep = (
         exploded.select_columns(["para_hash"])
         .groupby("para_hash")
         .aggregate(Count(alias_name="n_docs"))
+        # filter BEFORE the driver: the distinct-paragraph count table is
+        # corpus-proportional; only the >= min_docs (boilerplate-sized)
+        # slice may land driver-side
+        .map_batches(lambda b: b[b["n_docs"] >= min_docs], batch_format="pandas")
         .to_pandas()
     )
-    rep = counts[counts["n_docs"] >= min_docs]
     if rep.empty:
         return empty
     bad_ref = ray.put(frozenset(int(h) for h in rep["para_hash"]))

@@ -84,6 +84,19 @@ class TestDedup:
         ham = bin(int(h[5]) ^ int(h[12])).count("1")
         assert ham <= 16
 
+    def test_exact_dedup_bucketed_winners_matches_broadcast(self, docs_df):
+        from ocr_platform_ray.ops.dedup import exact_dedup
+
+        a = (
+            exact_dedup(rd.from_pandas(docs_df), "text", "doc_id", winners="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            exact_dedup(rd.from_pandas(docs_df), "text", "doc_id", winners="bucketed")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
     def test_minhash_bucketed_verify_matches_broadcast(self, docs_df):
         from ocr_platform_ray.ops.dedup import minhash_lsh_duplicates
 
