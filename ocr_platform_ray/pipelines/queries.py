@@ -365,6 +365,38 @@ def q_lineitem_join_revenue(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(joined, ["o_orderpriority"], partial, final)
 
 
+def q_lineitem_join_revenue_exchange(sf_dir: str) -> pd.DataFrame:
+    """Same result as lineitem_join_revenue but FORCED through the
+    bucketed all-to-all exchange (auto_join with threshold 0) — the J2
+    large-equi-join plan kept under its own oracle now that the default
+    planner broadcasts the orders side at bench scale."""
+    from ..ops.relational import auto_join, pre_aggregate
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b[b["l_shipdate"] < pd.Timestamp("1996-01-01")]
+        .assign(rev_c=lambda d: _cents(d["l_extendedprice"] * (1 - d["l_discount"])))
+        .rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "rev_c"]],
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = auto_join(li, orders, "o_orderkey", how="inner", broadcast_threshold_rows=0)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev_c", "size"), rev_c=("rev_c", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n_items", "sum"), rev_c=("rev_c", "sum")
+        )
+        g["revenue"] = g["rev_c"] / 100.0
+        return g.drop(columns=["rev_c"]).sort_values("o_orderpriority").reset_index(drop=True)
+
+    return pre_aggregate(joined, ["o_orderpriority"], partial, final)
+
+
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape (A-cluster): grouped sums/avg with a date filter,
     fully pre-aggregated in-batch."""
@@ -1188,6 +1220,7 @@ QUERIES = {
     "langid_pred": q_langid_pred,
     "orders_by_segment": q_orders_by_segment,
     "lineitem_join_revenue": q_lineitem_join_revenue,
+    "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
     "tpch_q1": q_tpch_q1,
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1387,6 +1420,13 @@ ORACLE_SQL = {
         "SELECT c_mktsegment, COUNT(*) AS n_orders, "
         "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "lineitem_join_revenue_exchange": (
+        "SELECT o_orderpriority, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 100 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate < TIMESTAMP '1996-01-01' GROUP BY o_orderpriority"
     ),
     "lineitem_join_revenue": (
         "SELECT o_orderpriority, COUNT(*) AS n_items, "
