@@ -181,6 +181,116 @@ def train_ivf_centroids(
     return cent
 
 
+def build_ivf_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Persist the IVF layout: assign every row to its nearest centroid
+    cell and write CELL-PARTITIONED parquet (``cell=N/`` directories) plus
+    ``centroids.npy``.  This is the 10^12-row ANN shape — probing then
+    READS only the matching partitions instead of scanning the corpus
+    (the persisted analogue of knn_ivf's on-the-fly filter).  Returns the
+    centroid matrix."""
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, emb_col=emb_col, n_cells=n_cells)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cent = cached_get(cent_ref)
+        m = _as_matrix(batch[emb_col])
+        out = batch.copy()
+        # plain list<double> in the parquet layout — ndarray cells would
+        # round-trip as Ray's tensor extension type, which reads back
+        # unreliably across blocks
+        out[emb_col] = [np.asarray(v, dtype=np.float64).tolist() for v in batch[emb_col]]
+        out["cell"] = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return out
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    os.makedirs(out_dir, exist_ok=True)
+    assigned.write_parquet(out_dir, partition_cols=["cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def knn_ivf_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """ANN over a persisted IVF index: load centroids, pick each query's
+    ``n_probe`` nearest cells, ``read_parquet`` ONLY those cell
+    partitions (partition pruning — the corpus outside the probed cells
+    is never read), exact cosine within.  Same output schema as
+    knn_brute_force; identical results to ``knn_ivf`` under the same
+    centroids (equivalence-tested)."""
+    import glob as _glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(centroids))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    probe_cells = sorted(set(q_cells.ravel().tolist()))
+    files = [
+        f
+        for c in probe_cells
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not files:
+        return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+    ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    qc_ref = ray.put((q, q_cells, centroids))
+
+    class Probe:
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qm, qc, cent = cached_get(qc_ref)
+            m = _as_matrix(batch[emb_col])
+            # rows in a probed partition may still belong to a cell some
+            # query did NOT probe — re-derive assignment for the per-query
+            # mask (identical argmax to index build: same centroids)
+            assign = np.argmax(m @ cent.T, axis=1)
+            ids = batch[id_col].to_numpy()
+            sims = qm @ m.T
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(sims.shape[0]):
+                allowed = np.isin(assign, qc[qi])
+                if not allowed.any():
+                    continue
+                s = sims[qi][allowed]
+                rid = ids[allowed]
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(rid[idx])
+                out_cos.extend(s[idx])
+            return pd.DataFrame({"query_idx": out_q, id_col: out_id, "cosine": out_cos})
+
+    cand = ds.map_batches(Probe(), batch_format="pandas").to_pandas()
+    if cand.empty:
+        return cand
+    return (
+        cand.sort_values(["query_idx", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def knn_ivf(
     ds: rd.Dataset,
     queries: np.ndarray,

@@ -671,6 +671,38 @@ class TestCompositeKeyJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestIvfPersisted:
+    def test_persisted_index_matches_inline_ivf(self, tmp_path):
+        from ocr_platform_ray.ops.similarity import (
+            build_ivf_index,
+            knn_ivf,
+            knn_ivf_persisted,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(6)
+        m = rng.randn(300, 16)
+        df = pd.DataFrame({"vec_id": range(300), "embedding": list(m)})
+        ds = rd.from_pandas(df)
+        cent = train_ivf_centroids(ds, n_cells=8)
+        idx_dir = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx_dir, n_cells=8, centroids=cent)
+        import os
+
+        cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert len(cells) >= 2  # genuinely partitioned layout
+        q = m[5]
+        inline = knn_ivf(ds, q, k=10, n_probe=3, centroids=cent)
+        persisted = knn_ivf_persisted(idx_dir, q, k=10, n_probe=3)
+        pd.testing.assert_frame_equal(
+            inline.reset_index(drop=True), persisted.reset_index(drop=True), check_dtype=False
+        )
+        # the probe read fewer partitions than exist
+        probed = np.argsort(-(q / np.linalg.norm(q) @ cent.T))[:3]
+        assert len(set(probed)) < len(cells) or len(cells) <= 3
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestQuantileSketch:
     def test_exact_when_group_fits(self):
         from ocr_platform_ray.ops.sketch import grouped_quantile_sketch
