@@ -79,6 +79,12 @@ DOC_OUT_SCHEMA = pa.schema(
         pa.field("total_words", pa.int64()),
         pa.field("page_numbers", pa.list_(pa.int32())),
         pa.field("n_failed_pages", pa.int64()),
+        # per-url span offsets (north rule: "extracted text and span
+        # offsets per url"): byte offset (utf-8) where each page's text
+        # starts inside extracted_text; page i spans
+        # [page_offsets[i], page_offsets[i+1] - len(PAGE_SEP)) — exact
+        # page-level lineage into the concatenated artifact
+        pa.field("page_offsets", pa.list_(pa.int64())),
     ]
 )
 

@@ -45,7 +45,13 @@ def _doc_from_group(group: pa.Table) -> pa.Table:
     pagenos = g.column("page_number").to_pylist()
     failed = g.column("failed_stage").to_pylist()
     words = g.column("total_words").to_pylist()
-    text = PAGE_SEP.join(page_text(h, b, f) for h, b, f in zip(headers, bodies, foots))
+    page_texts = [page_text(h, b, f) for h, b, f in zip(headers, bodies, foots)]
+    text = PAGE_SEP.join(page_texts)
+    sep_bytes = len(PAGE_SEP.encode("utf-8"))
+    offs, pos = [], 0
+    for pt in page_texts:
+        offs.append(pos)
+        pos += len(pt.encode("utf-8")) + sep_bytes
     return pa.table(
         {
             "url": pa.array([g.column("url")[0].as_py()], pa.string()),
@@ -54,6 +60,7 @@ def _doc_from_group(group: pa.Table) -> pa.Table:
             "total_words": pa.array([sum(words)], pa.int64()),
             "page_numbers": pa.array([[p for p in pagenos if p is not None]], pa.list_(pa.int32())),
             "n_failed_pages": pa.array([sum(1 for f in failed if f is not None)], pa.int64()),
+            "page_offsets": pa.array([offs], pa.list_(pa.int64())),
         }
     )
 
@@ -127,19 +134,25 @@ def _docs_from_block(batch: pa.Table) -> pa.Table:
     failed = b.column("failed_stage").to_pylist()
     words = b.column("total_words").to_pylist()
 
-    o_url, o_text, o_np, o_tw, o_pn, o_nf = [], [], [], [], [], []
+    o_url, o_text, o_np, o_tw, o_pn, o_nf, o_off = [], [], [], [], [], [], []
+    sep_bytes = len(PAGE_SEP.encode("utf-8"))
     start = 0
     n = len(urls)
     for i in range(1, n + 1):
         if i == n or urls[i] != urls[start]:
             sl = slice(start, i)
+            page_texts = [
+                page_text(h, bd, f) for h, bd, f in zip(headers[sl], bodies[sl], foots[sl])
+            ]
             o_url.append(urls[start])
-            o_text.append(
-                PAGE_SEP.join(
-                    page_text(h, bd, f)
-                    for h, bd, f in zip(headers[sl], bodies[sl], foots[sl])
-                )
-            )
+            o_text.append(PAGE_SEP.join(page_texts))
+            # per-url span offsets: utf-8 byte offset of each page's start
+            # inside extracted_text (north-rule span lineage)
+            offs, pos = [], 0
+            for pt in page_texts:
+                offs.append(pos)
+                pos += len(pt.encode("utf-8")) + sep_bytes
+            o_off.append(offs)
             o_np.append(i - start)
             o_tw.append(sum(words[sl]))
             o_pn.append([p for p in pagenos[sl] if p is not None])
@@ -153,6 +166,7 @@ def _docs_from_block(batch: pa.Table) -> pa.Table:
             "total_words": pa.array(o_tw, pa.int64()),
             "page_numbers": pa.array(o_pn, pa.list_(pa.int32())),
             "n_failed_pages": pa.array(o_nf, pa.int64()),
+            "page_offsets": pa.array(o_off, pa.list_(pa.int64())),
         }
     )
 

@@ -180,6 +180,33 @@ class TestPipelineGolden:
             want = json.load(f)
         assert got == want
 
+    def test_page_offsets_are_exact_span_lineage(self):
+        """page_offsets[i] is the utf-8 byte offset where page i's text
+        starts inside extracted_text — slicing reconstructs every page."""
+        import ray.data as rd
+
+        from ocr_platform_ray.pipelines.extraction import extraction_pipeline
+        from ocr_platform_ray.stages.reassemble import PAGE_SEP, page_text
+
+        from ocr_platform_ray.pipelines.extraction import extract_pages_ds
+
+        docs = extraction_pipeline(rd.from_arrow(make_pages_table(20))).to_pandas()
+        pages = extract_pages_ds(rd.from_arrow(make_pages_table(20))).to_pandas()
+        sep_b = len(PAGE_SEP.encode("utf-8"))
+        for r in docs.itertuples():
+            raw = r.extracted_text.encode("utf-8")
+            offs = list(r.page_offsets)
+            assert len(offs) == r.n_pages and offs[0] == 0
+            grp = pages[pages.url == r.url].sort_values("warc_ts")
+            texts = [
+                page_text(h, b, f)
+                for h, b, f in zip(grp.header, grp.body, grp.footnotes)
+            ]
+            bounds = offs + [len(raw) + sep_b]
+            for i, t in enumerate(texts):
+                got = raw[bounds[i] : bounds[i + 1] - sep_b].decode("utf-8")
+                assert got == t, (r.url, i)
+
     def test_partitioned_path_byte_identical_to_shuffle_path(self, tmp_path):
         """reassemble_docs (groupby shuffle) and reassemble_docs_partitioned
         (shuffle-free, url-range-sharded layout) must agree byte-for-byte."""
