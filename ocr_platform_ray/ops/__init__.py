@@ -30,7 +30,14 @@ from .dedup import (  # noqa: F401
     strip_repeated_paragraphs,
 )
 from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
-from .similarity import knn_brute_force, knn_lsh, knn_ivf, train_ivf_centroids  # noqa: F401
+from .similarity import (  # noqa: F401
+    build_ivf_index,
+    knn_brute_force,
+    knn_ivf,
+    knn_ivf_persisted,
+    knn_lsh,
+    train_ivf_centroids,
+)
 from .windows import time_bucket_agg, hopping_window_agg, sessionize  # noqa: F401
 from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
