@@ -14,6 +14,7 @@ later ones get -1, -2 in created_at order).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -39,28 +40,52 @@ def normalize_records(meta: rd.Dataset) -> rd.Dataset:
     return meta.map_batches(norm, batch_format="pandas")
 
 
+def _shard_groupby(meta: rd.Dataset, key: str, fn, *, n_shards: int = 64) -> rd.Dataset:
+    """Hash-shard exchange (reassemble pattern): ``fn`` gets each SHARD as
+    one frame holding every row of its keys — one vectorized pandas call
+    per shard instead of ~1.6 ms of per-GROUP Python (a 10^6-slug catalog
+    would spend ~30 min in groupby(key).map_groups)."""
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = (pd.util.hash_array(b[key].to_numpy()) % n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__shard"))
+
+    return (
+        meta.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def dedup_external_ref(meta: rd.Dataset) -> rd.Dataset:
     """D2 idempotent-ingest dedup: one row per external_ref, keeping the
     earliest created_at (tie-break url) — deterministic under any
-    parallelism."""
+    parallelism.  One shard exchange, vectorized first-row-per-key."""
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["created_at", "url"]).head(1)
+        g = g.sort_values(["external_ref", "created_at", "url"], kind="mergesort")
+        return g[~g["external_ref"].duplicated()]
 
-    return meta.groupby("external_ref").map_groups(pick, batch_format="pandas")
+    return _shard_groupby(meta, "external_ref", pick)
 
 
 def assign_unique_slugs(meta: rd.Dataset) -> rd.Dataset:
     """D3 slug-uniqueness ranking: within each slug group, rank by
-    (created_at, url); rank 0 keeps the slug, rank k gets ``slug-k``."""
+    (created_at, url); rank 0 keeps the slug, rank k gets ``slug-k``.
+    One shard exchange; the rank is a vectorized cumcount per slug."""
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["created_at", "url"]).reset_index(drop=True)
-        base = g["slug"].iloc[0]
-        g["slug"] = [base if i == 0 else f"{base}-{i}" for i in range(len(g))]
+        g = g.sort_values(["slug", "created_at", "url"], kind="mergesort")
+        k = g.groupby("slug").cumcount()
+        g = g.copy()
+        g["slug"] = np.where(k == 0, g["slug"], g["slug"] + "-" + k.astype(str))
         return g
 
-    return meta.groupby("slug").map_groups(rank, batch_format="pandas")
+    return _shard_groupby(meta, "slug", rank)
 
 
 def genre_counters(meta: rd.Dataset) -> pd.DataFrame:
