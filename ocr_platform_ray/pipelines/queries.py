@@ -730,15 +730,29 @@ def q_asof_last_signup(sf_dir: str) -> pd.DataFrame:
 
 def q_running_totals(sf_dir: str) -> pd.DataFrame:
     """Per-user running sum ordered by ts (the window-function shape):
-    one shuffle (groupby user), in-group sort, integer-cents cumsum."""
+    ONE hash-shard exchange on the user key, then a vectorized pandas
+    pass per shard (sort by (user, ts, id), per-user cents cumsum) — no
+    per-user Python calls."""
     ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_shards = 64
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).copy()
-        g["running_value"] = _cents(g["value"]).cumsum() / 100.0
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = (pd.util.hash_array(b["user_id"].to_numpy()) % n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        g["__c"] = _cents(g["value"])
+        g["running_value"] = g.groupby("user_id")["__c"].cumsum() / 100.0
         return g[["event_id", "user_id", "running_value"]]
 
-    out = ev.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        ev.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 

@@ -101,15 +101,44 @@ def reassemble_docs(pages_ds, *, n_shards: int = 64):
     return sharded.groupby("__shard").map_groups(shard_docs, batch_format="pyarrow")
 
 
-def _rank_group(group: pa.Table) -> pa.Table:
-    order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending")])
+def _rank_block(group: pa.Table) -> pa.Table:
+    """Vectorized per-url rank within one shard block: sort by
+    (url, warc_ts), page_idx = position within each url run (numpy over
+    run boundaries — no per-url Python)."""
+    import numpy as np
+
+    order = pc.sort_indices(
+        group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+    )
     g = group.take(order)
-    return g.append_column("page_idx", pa.array(range(g.num_rows), pa.int32()))
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    n = len(urls)
+    if n == 0:
+        return g.append_column("page_idx", pa.array([], pa.int32()))
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = urls[1:] != urls[:-1]
+    starts = np.nonzero(new_run)[0]
+    idx = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+    return g.append_column("page_idx", pa.array(idx.astype("int32"), pa.int32()))
 
 
-def assign_page_idx(pages_ds):
-    """Add the 0-based per-url ``page_idx`` rank column (FIXTURES.md §3)."""
-    return pages_ds.groupby("url").map_groups(_rank_group, batch_format="pyarrow")
+def assign_page_idx(pages_ds, *, n_shards: int = 64):
+    """Add the 0-based per-url ``page_idx`` rank column (FIXTURES.md §3).
+    Hash-shard exchange on the url (same pattern as ``reassemble_docs``)
+    — one vectorized rank pass per shard, never per-url Python."""
+    import numpy as np
+    import pandas as pd
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        shard = (pd.util.hash_array(urls) % n_shards).astype("int64")
+        return batch.append_column("__shard", pa.array(shard, pa.int64()))
+
+    def shard_rank(group: pa.Table) -> pa.Table:
+        return _rank_block(group.drop_columns(["__shard"]))
+
+    sharded = pages_ds.map_batches(add_shard, batch_format="pyarrow")
+    return sharded.groupby("__shard").map_groups(shard_rank, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
