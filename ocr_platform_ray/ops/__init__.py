@@ -40,4 +40,5 @@ from .similarity import (  # noqa: F401
 )
 from .windows import time_bucket_agg, hopping_window_agg, sessionize  # noqa: F401
 from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
+from .colocated import colocated_join, partition_by_key  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401

@@ -671,6 +671,38 @@ class TestCompositeKeyJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestColocatedJoin:
+    def test_joins_without_exchange_match_pandas(self, tmp_path):
+        from ocr_platform_ray.ops.colocated import colocated_join, partition_by_key
+
+        rng = np.random.RandomState(8)
+        left = pd.DataFrame({"k": rng.randint(0, 50, 400), "v": rng.randn(400)})
+        right = pd.DataFrame({"k": range(40), "name": [f"n{i}" for i in range(40)]})
+        ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+        partition_by_key(rd.from_pandas(left), ldir, "k", n_shards=8)
+        partition_by_key(rd.from_pandas(right), rdir, "k", n_shards=8)
+        got = (
+            colocated_join(ldir, rdir, how="inner")
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        want = left.merge(right, on="k", how="inner").sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+        # left join keeps unmatched keys
+        got_l = colocated_join(ldir, rdir, how="left").to_pandas()
+        assert len(got_l) == len(left)
+
+    def test_layout_mismatch_refused(self, tmp_path):
+        from ocr_platform_ray.ops.colocated import colocated_join, partition_by_key
+
+        a = pd.DataFrame({"k": range(10), "v": range(10)})
+        d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+        partition_by_key(rd.from_pandas(a), d1, "k", n_shards=8)
+        partition_by_key(rd.from_pandas(a), d2, "k", n_shards=16)
+        with pytest.raises(ValueError, match="layout mismatch"):
+            colocated_join(d1, d2)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestIvfPersisted:
     def test_persisted_index_matches_inline_ivf(self, tmp_path):
         from ocr_platform_ray.ops.similarity import (
