@@ -433,6 +433,46 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(li, ["l_returnflag", "l_linestatus"], partial, final)
 
 
+def q_colocated_orders_join(sf_dir: str) -> pd.DataFrame:
+    """SHUFFLE-FREE co-located join: orders and customer are first laid
+    out by the same hash(c_custkey) % n_shards layout (the one-time
+    partitioning investment), then joined with one map task per shard
+    pair — no exchange anywhere in the join (ops/colocated.py).  Same
+    oracle semantics as orders_by_segment."""
+    import hashlib as _hl
+    import os
+
+    from ..ops.colocated import colocated_join, partition_by_key
+    from ..ops.relational import pre_aggregate
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/colocated_demo_{tag}"
+    ldir, rdir = f"{base}/orders", f"{base}/customer"
+    if not (os.path.exists(f"{ldir}/_layout.json") and os.path.exists(f"{rdir}/_layout.json")):
+        orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+        )
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        partition_by_key(orders, ldir, "c_custkey", n_shards=16)
+        partition_by_key(cust, rdir, "c_custkey", n_shards=16)
+    joined = colocated_join(ldir, rdir, how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_c=_cents(b["o_totalprice"]))
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("rev_c", "size"), rev_c=("rev_c", "sum")
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum")
+        )
+        g["revenue"] = g["rev_c"] / 100.0
+        return g.drop(columns=["rev_c"]).sort_values("c_mktsegment").reset_index(drop=True)
+
+    return pre_aggregate(joined, ["c_mktsegment"], partial, final)
+
+
 def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape: lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈
     region, customer and supplier in the same nation, one region, one
@@ -1233,6 +1273,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "langid_pred": q_langid_pred,
     "orders_by_segment": q_orders_by_segment,
+    "colocated_orders_join": q_colocated_orders_join,
     "lineitem_join_revenue": q_lineitem_join_revenue,
     "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
     "tpch_q1": q_tpch_q1,
@@ -1430,6 +1471,11 @@ ORACLE_SQL = {
     "strip_repeated_paragraphs": _STRIP_PARAS_SQL,
     # money sums use exact integer cents (FLOOR(x*100+0.5)) so parallel
     # partial sums agree bit-for-bit with DuckDB's sequential sum
+    "colocated_orders_join": (
+        "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
     "orders_by_segment": (
         "SELECT c_mktsegment, COUNT(*) AS n_orders, "
         "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
