@@ -9,6 +9,7 @@ queue/HTTP endpoints would switch to (SURVEY.md §3: POST /book/ocr ->
     python -m ocr_platform_ray probe --input DIR
     python -m ocr_platform_ray gen-corpus --output DIR --urls N
     python -m ocr_platform_ray curate --input DIR --output DIR [--strip-boilerplate]
+    python -m ocr_platform_ray status --output DIR
 
 Owns the Ray session (guarded init / shutdown) — the only place in the
 package besides bench.py that does.
@@ -72,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     gc.add_argument("--urls", type=int, default=1000)
     gc.add_argument("--urls-per-shard", type=int, default=250)
 
+    st = sub.add_parser(
+        "status", help="summarize a job's manifest lineage (parts, rows, throughput)"
+    )
+    st.add_argument("--output", required=True)
+
     cu = sub.add_parser(
         "curate", help="full curation chain: extract -> quality -> dedup -> split"
     )
@@ -133,6 +139,30 @@ def main(argv: list[str] | None = None) -> int:
                 args.output, args.urls, urls_per_shard=args.urls_per_shard
             )
             print(json.dumps({"shards": len(paths), "urls": args.urls}))
+        elif args.cmd == "status":
+            from .state.manifest import completed_parts
+
+            parts = completed_parts(args.output)
+            rows = sum(m["rows"] for m in parts.values())
+            out_bytes = sum(m.get("out_bytes", 0) for m in parts.values())
+            walls = [m["wall_s"] for m in parts.values() if m.get("wall_s")]
+            slowest = max(parts.values(), key=lambda m: m.get("wall_s", 0)) if parts else None
+            print(
+                json.dumps(
+                    {
+                        "committed_parts": len(parts),
+                        "rows": rows,
+                        "out_bytes": out_bytes,
+                        "total_wall_s": round(sum(walls), 2),
+                        "mean_rows_per_s": round(rows / max(sum(walls), 1e-9), 1),
+                        "slowest_part": (
+                            {"part_id": slowest["part_id"], "wall_s": slowest["wall_s"]}
+                            if slowest
+                            else None
+                        ),
+                    }
+                )
+            )
         elif args.cmd == "curate":
             import ray.data as rdata
 
