@@ -69,6 +69,89 @@ def levenshtein(a: str, b: str, *, cutoff: int | None = None) -> int:
     return prev[la]
 
 
+def _verify_dists(sa: np.ndarray, sb: np.ndarray, d: int) -> np.ndarray:
+    """Exact distances for candidate string pairs: vectorized equal-length
+    hamming accept first (for hamming <= 2 and equal lengths, lev ==
+    hamming exactly — a single non-substitution op changes length), then
+    the banded DP for the ambiguous remainder only."""
+    la = np.fromiter((len(s) for s in sa), dtype=np.int64, count=len(sa))
+    lb = np.fromiter((len(s) for s in sb), dtype=np.int64, count=len(sb))
+    dist = np.full(len(sa), -1, dtype=np.int64)
+    ham_cap = min(d, 2)
+    eq = la == lb
+    if eq.any():
+        for L in np.unique(la[eq]):
+            sel = np.nonzero(eq & (la == L))[0]
+            if L == 0:
+                dist[sel] = 0
+                continue
+            A = np.frombuffer("".join(sa[sel]).encode("utf-32-le"), dtype=np.uint32).reshape(
+                len(sel), L
+            )
+            B = np.frombuffer("".join(sb[sel]).encode("utf-32-le"), dtype=np.uint32).reshape(
+                len(sel), L
+            )
+            ham = (A != B).sum(axis=1)
+            ok = ham <= ham_cap
+            dist[sel[ok]] = ham[ok]
+    for k in np.nonzero(dist < 0)[0]:
+        dist[k] = levenshtein(sa[k], sb[k], cutoff=d)
+    return dist
+
+
+def _verify_bucketed(
+    cand_ds: rd.Dataset,
+    left: rd.Dataset,
+    right: rd.Dataset,
+    id_col: str,
+    str_col: str,
+    d: int,
+    with_command_score: bool,
+    empty_out: pd.DataFrame,
+) -> pd.DataFrame:
+    """Distributed candidate verification: dedupe pairs with a shard
+    reduce, join the strings back via the bucketed exchange (no driver
+    id-set), verify inside map_batches — only qualifying pairs return."""
+    from .relational import bucketed_hash_join, sharded_group_agg
+
+    dedup = sharded_group_agg(cand_ds, ["id_l", "id_r"], {"__n": ("id_l", "size")})
+    dedup = dedup.map_batches(
+        lambda b: b[["id_l", "id_r"]], batch_format="pandas"
+    )
+    lstr = left.map_batches(
+        lambda b: pd.DataFrame({"id_l": b[id_col], "__s_l": b[str_col]}), batch_format="pandas"
+    )
+    rstr = right.map_batches(
+        lambda b: pd.DataFrame({"id_r": b[id_col], "__s_r": b[str_col]}), batch_format="pandas"
+    )
+    j = bucketed_hash_join(dedup, lstr, "id_l", how="inner")
+    j = bucketed_hash_join(j, rstr, "id_r", how="inner")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return empty_out.copy()
+        sa = b["__s_l"].to_numpy(dtype=object)
+        sb = b["__s_r"].to_numpy(dtype=object)
+        dist = _verify_dists(sa, sb, d)
+        out = b[["id_l", "id_r"]].assign(lev_dist=dist)
+        keep = out["lev_dist"] <= d
+        out = out[keep]
+        if with_command_score:
+            out = out.assign(
+                cscore=[
+                    round(command_score(x, y), 6)
+                    for x, y in zip(sa[keep.to_numpy()], sb[keep.to_numpy()])
+                ]
+            )
+        return out
+
+    out = j.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty_out
+    out = out.astype({"id_l": "int64", "id_r": "int64", "lev_dist": "int64"})
+    return out.sort_values(["id_l", "id_r"]).reset_index(drop=True)
+
+
 def _segments(length: int, d: int) -> list[tuple[int, int]]:
     """PassJoin even partition of a length-`length` string into d+1
     segments -> [(start, seg_len)]; the last ``length % (d+1)`` segments
@@ -93,6 +176,7 @@ def fuzzy_join_lev(
     max_dist: int = 2,
     n_shards: int = 64,
     with_command_score: bool = False,
+    verify: str = "broadcast",
 ) -> pd.DataFrame:
     """All (left, right) pairs with levenshtein <= max_dist, exactly —
     PassJoin blocking + banded-DP verification; no all-pairs scan.
@@ -100,7 +184,13 @@ def fuzzy_join_lev(
 
     ``with_command_score`` annotates each surviving pair with the
     reference's fuzzy scorer (M17 command_score) — the J4 'fuzzy name
-    match' composition at dataset scale."""
+    match' composition at dataset scale.
+
+    ``verify``: "broadcast" fetches involved strings via one id-set
+    filter (pair-set-sized); "bucketed" joins the candidate pairs against
+    each side with the explicit bucketed exchange and verifies inside
+    map_batches — no driver-held id set (the corpus-scale route;
+    equivalence-tested)."""
     d = max_dist
 
     def left_keys(b: pd.DataFrame) -> pd.DataFrame:
@@ -160,12 +250,11 @@ def fuzzy_join_lev(
         out = m[["rid_l", "rid_r"]].drop_duplicates()
         return out.rename(columns={"rid_l": "id_l", "rid_r": "id_r"})
 
-    cand = (
+    cand_ds = (
         lk.union(rk)
         .map_batches(add_shard, batch_format="pandas")
         .groupby("__shard")
         .map_groups(shard_pairs, batch_format="pandas")
-        .to_pandas()
     )
     empty_out = pd.DataFrame(
         {
@@ -174,6 +263,11 @@ def fuzzy_join_lev(
             "lev_dist": pd.Series(dtype="int64"),
         }
     )
+    if verify == "bucketed":
+        return _verify_bucketed(
+            cand_ds, left, right, id_col, str_col, d, with_command_score, empty_out
+        )
+    cand = cand_ds.to_pandas()
     if cand.empty:
         return empty_out
     pairs = cand.drop_duplicates()
@@ -202,34 +296,7 @@ def fuzzy_join_lev(
     )
     sa = np.array([lmap[i] for i in pairs["id_l"]], dtype=object)
     sb = np.array([rmap[i] for i in pairs["id_r"]], dtype=object)
-    la = np.fromiter((len(s) for s in sa), dtype=np.int64, count=len(sa))
-    lb = np.fromiter((len(s) for s in sb), dtype=np.int64, count=len(sb))
-    dist = np.full(len(sa), -1, dtype=np.int64)
-
-    # prefilter: equal lengths -> vectorized hamming.  For equal-length
-    # strings and hamming <= 2, lev == hamming exactly (a single
-    # non-substitution op changes length), so those are final ACCEPTS with
-    # the correct distance; anything else falls through to the DP.
-    ham_cap = min(d, 2)
-    eq = la == lb
-    if eq.any():
-        for L in np.unique(la[eq]):
-            sel = np.nonzero(eq & (la == L))[0]
-            if L == 0:
-                dist[sel] = 0
-                continue
-            A = np.frombuffer("".join(sa[sel]).encode("utf-32-le"), dtype=np.uint32).reshape(
-                len(sel), L
-            )
-            B = np.frombuffer("".join(sb[sel]).encode("utf-32-le"), dtype=np.uint32).reshape(
-                len(sel), L
-            )
-            ham = (A != B).sum(axis=1)
-            ok = ham <= ham_cap
-            dist[sel[ok]] = ham[ok]
-    # remaining pairs: banded DP (only ambiguous ones reach Python)
-    for k in np.nonzero(dist < 0)[0]:
-        dist[k] = levenshtein(sa[k], sb[k], cutoff=d)
+    dist = _verify_dists(sa, sb, d)
     out = pairs.assign(lev_dist=dist)
     out = out[out["lev_dist"] <= d].copy()
     if out.empty:

@@ -867,6 +867,22 @@ class TestFuzzyJoin:
             b = right.set_index("id")["name"][r.id_r]
             assert levenshtein(a, b) == r.lev_dist
 
+    def test_fuzzy_join_bucketed_verify_matches_broadcast(self):
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
+
+        base = ["streamer", "dataframe", "shuffle", "pipeline", "combiner"]
+        lnames = [base[i % len(base)] + f"-{i:02d}" for i in range(20)]
+        rnames = [s[:3] + "#" + s[4:] if i % 2 == 0 else "other-" + str(i)
+                  for i, s in enumerate(lnames)]
+        left = pd.DataFrame({"id": range(20), "name": lnames})
+        right = pd.DataFrame({"id": range(100, 120), "name": rnames})
+        a = fuzzy_join_lev(rd.from_pandas(left), rd.from_pandas(right),
+                           id_col="id", str_col="name", max_dist=2, verify="broadcast")
+        b = fuzzy_join_lev(rd.from_pandas(left), rd.from_pandas(right),
+                           id_col="id", str_col="name", max_dist=2, verify="bucketed")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) >= 10
+
     def test_fuzzy_join_command_score_annotation(self):
         from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
 
