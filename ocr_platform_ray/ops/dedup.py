@@ -71,17 +71,19 @@ def exact_dedup(
         agg["n_dups"] = "sum"
         return out.sort_values(id_col).groupby("__h", as_index=False).agg(agg)
 
-    from ray.data.aggregate import Min, Sum
-
     # materialized: consumed twice (winner aggregate + winner filter) and a
     # lazy Dataset would re-execute its whole lineage per consumption
+    from .relational import sharded_group_agg
+
     hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
     # winner reduce over an id-only projection — the exchange moves
-    # (hash, id, count) partials, never the content column
-    winners_ds = (
-        hashed.select_columns(["__h", id_col, "n_dups"])
-        .groupby("__h")
-        .aggregate(Min(id_col, alias_name="__min_id"), Sum("n_dups", alias_name="__n"))
+    # (hash, id, count) partials, never the content column; the shard
+    # exchange beats Ray's native single-key aggregate ~2x here (measured
+    # 0.9 s vs 2.0 s warm at sf0.1)
+    winners_ds = sharded_group_agg(
+        hashed.select_columns(["__h", id_col, "n_dups"]),
+        ["__h"],
+        {"__min_id": (id_col, "min"), "__n": ("n_dups", "sum")},
     )
     if winners == "bucketed":
         # distributed winner application: join the winner table back on
@@ -508,7 +510,6 @@ def repeated_paragraphs(
     result (boilerplate-sized) lands on the driver; example texts are then
     fetched by a second map over the corpus filtered against the broadcast
     repeated-hash set (min() per hash for determinism)."""
-    from ray.data.aggregate import Count
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, hashes, texts = [], [], []
@@ -536,11 +537,15 @@ def repeated_paragraphs(
             "example_text": pd.Series(dtype="object"),
         }
     )
+    from .relational import sharded_group_agg
+
     exploded = ds.map_batches(explode, batch_format="pandas")
     rep = (
-        exploded.select_columns(["para_hash"])
-        .groupby("para_hash")
-        .aggregate(Count(alias_name="n_docs"))
+        sharded_group_agg(
+            exploded.select_columns(["para_hash"]),
+            ["para_hash"],
+            {"n_docs": ("para_hash", "size")},
+        )
         # filter BEFORE the driver: the distinct-paragraph count table is
         # corpus-proportional; only the >= min_docs (boilerplate-sized)
         # slice may land driver-side
