@@ -3,12 +3,13 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The reference's analogue is the page rasterizer + R2 PNG sink
 (apps/queue/src/lib/ocr.ts:56-85, queues/upload/worker.ts:25-50): binary
-page images flowing between stages.  This container has no image/audio
-codecs, so the DECODE KERNELS are stubbed (deterministic fake decode, or
-``NotImplementedError`` in strict mode) while everything Ray-side is real
-and tested: schema contracts, batch sizing for large binary payloads,
-actor signatures (codec "loaded" once per actor), zero-copy Arrow flow,
-and output layout.
+page images flowing between stages.  PNG payloads (and PNG-seq "video"
+containers) decode for REAL via the vendored pure-python codecs
+(codecs.py — zlib IDAT, filters 0-4); formats needing absent libs
+(JPEG/WebP/ffmpeg codecs) fall back to a deterministic stub or raise in
+``strict`` mode.  Everything Ray-side is real and tested: schema
+contracts, batch sizing for large binary payloads, actor signatures
+(codec state once per actor), zero-copy Arrow flow, and output layout.
 
 Batch-size guidance baked into the helpers: binary rows are wide, so
 ``batch_size`` is small (32) and blocks stay Arrow throughout — at 100 TB

@@ -5,19 +5,25 @@ packages/db/prisma/schema.prisma:38, create.ts:61-80); the near-dup family
 (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) is the standard
 web-corpus extension the north rule's 10^12-doc scale requires.
 
-Scale notes (each operator documents its shuffle):
-  * exact: one groupby on a 64-bit content hash; combiner-prunes in-batch
-    duplicates first.
-  * minhash-LSH: map (sig per row, vectorized numpy) -> explode to
-    (band, band_hash) rows -> ONE groupby over band buckets -> candidate
-    pairs verified by signature agreement.  No all-pairs anywhere.
-  * n-gram Jaccard: exact; explode shingles -> groupby shingle -> pairwise
-    counts per posting list -> groupby pair.  Quadratic only within a
-    shingle's posting list — cap hot shingles (stop-shingle cut) like a
-    skewed-key salt.
-  * embedding cosine: blocked matmul against a broadcast normalized matrix
-    (test scale); the documented scale path is LSH bucketing first
-    (similarity.knn_lsh shares the hyperplane code).
+Scale notes (each operator documents its shuffle; see COVERAGE.md
+"Exchange inventory" for the full table):
+  * exact: one shard-exchange reduce over a (hash, id, count) projection
+    (never the content column); winner application by broadcast map or,
+    for 10^12-row corpora, the bucketed join route.
+  * minhash-LSH: batch-vectorized signatures -> (id, band, band_hash)
+    explode -> shard-exchange self-merge for candidates -> verification
+    by signature agreement (broadcast fetch or bucketed join).  No
+    all-pairs anywhere; signatures never enter the exchange.
+  * n-gram Jaccard: exact; shard-exchange over (id, shingle_hash, size),
+    vectorized in-shard self-merge, distributed per-pair reduce.
+    Quadratic only within a posting list — hot shingles capped
+    (stop-shingle cut, mirrored in the SQL oracle).
+  * chunk dedup: id-only shuffle, >= min_docs filtered before the driver.
+  * embedding cosine: DEFAULT near-dup route is hyperplane-band LSH
+    buckets + exact verification of the candidate pairs; the full-matrix
+    broadcast remains only for dense low-threshold scans.
+  * cluster resolution: driver union-find below pair-list scale,
+    min-label propagation over Datasets above it.
 """
 
 from __future__ import annotations
