@@ -60,10 +60,12 @@ def partition_by_key(
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
     )
-    with open(os.path.join(out_dir, "_layout.json"), "w") as f:
+    lpath = os.path.join(out_dir, "_layout.json")
+    with open(lpath + ".tmp", "w") as f:
         json.dump(
             {"key": key, "n_shards": n_shards, "hash": _HASH_SCHEME, "prefix": prefix}, f
         )
+    os.replace(lpath + ".tmp", lpath)  # atomic publish (readers never see a torn record)
     return sorted(manifest["path"])
 
 
