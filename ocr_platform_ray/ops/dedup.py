@@ -730,15 +730,29 @@ def dup_clusters_distributed(
 
 
 def dedup_keep_representatives(
-    ds: rd.Dataset, pairs: pd.DataFrame, id_col: str
+    ds: rd.Dataset, pairs: pd.DataFrame | rd.Dataset, id_col: str, *, clusters: str = "driver"
 ) -> rd.Dataset:
     """Drop every near-dup cluster member except the minimum-id
     representative: broadcast the (small) losers set, filter per batch.
-    Composes with any pair source (minhash / simhash / ngram / cosine)."""
-    if pairs.empty:
+    Composes with any pair source (minhash / simhash / ngram / cosine).
+
+    ``clusters``: "driver" resolves components with union-find on the
+    driver (right while the pair list fits); "distributed" runs the
+    min-label propagation over Datasets (``dup_clusters_distributed``) —
+    for when even the pair list is corpus-scale.  Either way only the
+    LOSER id set (near-dup-sized) is broadcast."""
+    if isinstance(pairs, pd.DataFrame) and pairs.empty:
         return ds
-    clusters = dup_clusters(pairs)
-    losers = frozenset(clusters.loc[clusters["id"] != clusters["cluster_id"], "id"])
+    if clusters == "distributed":
+        pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_pandas(pairs)
+        lab = dup_clusters_distributed(pairs_ds)
+        losers = frozenset(lab.loc[lab["id"] != lab["cluster_id"], "id"])
+    else:
+        pairs_df = pairs.to_pandas() if isinstance(pairs, rd.Dataset) else pairs
+        if pairs_df.empty:
+            return ds
+        comp = dup_clusters(pairs_df)
+        losers = frozenset(comp.loc[comp["id"] != comp["cluster_id"], "id"])
     ref = ray.put(losers)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:

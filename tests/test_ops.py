@@ -784,6 +784,23 @@ class TestQuantileSketch:
 
 @pytest.mark.usefixtures("ray_session")
 class TestDistributedClusters:
+    def test_keep_representatives_distributed_matches_driver(self, docs_df):
+        from ocr_platform_ray.ops.dedup import dedup_keep_representatives
+
+        pairs = pd.DataFrame({"id_a": [3, 10, 5], "id_b": [10, 11, 12]})
+        a = (
+            dedup_keep_representatives(rd.from_pandas(docs_df), pairs, "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dedup_keep_representatives(
+                rd.from_pandas(docs_df), pairs, "doc_id", clusters="distributed"
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a.doc_id).isdisjoint({10, 11, 12})
+
     def test_label_propagation_matches_union_find(self):
         from ocr_platform_ray.ops.dedup import dup_clusters, dup_clusters_distributed
 
