@@ -24,8 +24,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_URLS = int(os.environ.get("BENCH_URLS", "24000"))
-# v2: corpus generator includes the real-PDF url class (regen on change)
-CORPUS_DIR = f"/tmp/ocr_bench_corpus_v2_{BENCH_URLS}"
+# v3: 750 urls/shard -> 32 file-aligned blocks at the default size (one
+# task per core at 32 CPUs; measured ~15% faster than 96 shards — Ray's
+# per-task overhead dominates below ~1000 urls/task, and MORE shards were
+# strictly slower: 96->2.15s, 192->3.15s, 381->5.98s, 32->1.84s).
+# Includes the real-PDF url class (bump the version on generator change).
+CORPUS_DIR = f"/tmp/ocr_bench_corpus_v3_{BENCH_URLS}"
 
 # queries worth timing (mix of shuffle-heavy, join, dedup, vector)
 BENCH_QUERIES = [
@@ -80,7 +84,7 @@ def run_once() -> dict:
 
     # ---- build (or reuse) the bench corpus, then warm the page cache -----
     if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
-        write_pages_parquet(CORPUS_DIR, BENCH_URLS, urls_per_shard=250)
+        write_pages_parquet(CORPUS_DIR, BENCH_URLS, urls_per_shard=750)
     n_files = len(os.listdir(CORPUS_DIR))
     n_pages = read_pages(CORPUS_DIR).count()  # warm page cache, untimed
 
