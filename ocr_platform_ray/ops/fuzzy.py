@@ -196,6 +196,15 @@ def fuzzy_join_lev(
     def left_keys(b: pd.DataFrame) -> pd.DataFrame:
         ids, lens, segi, segs = [], [], [], []
         for i, s in zip(b[id_col], b[str_col]):
+            if len(s) <= d:
+                # short left string (len <= d): its d+1 segments include a
+                # ZERO-length one, which the pigeonhole argument lets match
+                # anywhere — emit a catch-all block keyed by the length
+                # (right side pairs it with lengths within +-d)
+                ids.append(i)
+                lens.append(len(s))
+                segi.append(-1)
+                segs.append("")
             for si, (pos, ln) in enumerate(_segments(len(s), d)):
                 if ln == 0:
                     continue
@@ -211,6 +220,13 @@ def fuzzy_join_lev(
         ids, lens, segi, segs = [], [], [], []
         for i, s in zip(b[id_col], b[str_col]):
             ls = len(s)
+            # catch-all probes for SHORT left strings (len <= d): any
+            # right within +-d of that length is a candidate
+            for L in range(max(0, ls - d), min(d, ls + d) + 1):
+                ids.append(i)
+                lens.append(L)
+                segi.append(-1)
+                segs.append("")
             for L in range(max(1, ls - d), ls + d + 1):
                 for si, (pos, ln) in enumerate(_segments(L, d)):
                     if ln == 0:

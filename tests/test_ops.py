@@ -884,6 +884,47 @@ class TestFuzzyJoin:
             b = right.set_index("id")["name"][r.id_r]
             assert levenshtein(a, b) == r.lev_dist
 
+    def test_fuzzy_join_empty_and_short_strings(self):
+        # lev("", b) = len(b): empty left strings must match short rights
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev, levenshtein
+
+        left = pd.DataFrame({"id": [0, 1, 2], "name": ["", "ab", "longername"]})
+        right = pd.DataFrame({"id": [10, 11, 12, 13], "name": ["x", "", "abq", "zz"]})
+        got = fuzzy_join_lev(
+            rd.from_pandas(left), rd.from_pandas(right), id_col="id", str_col="name", max_dist=2
+        )
+        want = {
+            (i, j)
+            for i, a in zip(left["id"], left["name"])
+            for j, b in zip(right["id"], right["name"])
+            if levenshtein(a, b) <= 2
+        }
+        assert {(a, b) for a, b in zip(got["id_l"], got["id_r"])} == want
+        assert (0, 11) in want and (0, 10) in want  # empty-empty, empty-short
+
+    def test_fuzzy_join_random_small_strings_exhaustive(self):
+        # seeded randomized sweep over SHORT strings (the pigeonhole edge
+        # regime): blocked join must equal brute force exactly
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev, levenshtein
+
+        rng = np.random.RandomState(17)
+        alpha = "abc"
+        def rand_s():
+            n = rng.randint(0, 6)
+            return "".join(rng.choice(list(alpha)) for _ in range(n))
+        left = pd.DataFrame({"id": range(25), "name": [rand_s() for _ in range(25)]})
+        right = pd.DataFrame({"id": range(100, 125), "name": [rand_s() for _ in range(25)]})
+        got = fuzzy_join_lev(
+            rd.from_pandas(left), rd.from_pandas(right), id_col="id", str_col="name", max_dist=2
+        )
+        want = {
+            (i, j)
+            for i, a in zip(left["id"], left["name"])
+            for j, b in zip(right["id"], right["name"])
+            if levenshtein(a, b) <= 2
+        }
+        assert {(a, b) for a, b in zip(got["id_l"], got["id_r"])} == want
+
     def test_fuzzy_join_bucketed_verify_matches_broadcast(self):
         from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
 
