@@ -1255,27 +1255,39 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
+# Ordering contract: the driver runs only the FIRST 50 entries
+# (CORRECTNESS_r02 dropped the tail).  The flagship pipeline queries run
+# first so the north-rule artifact always has a driver-side correctness
+# row; the entries past position 50 are deliberately the no-oracle
+# variants whose operators are pinned by pytest equivalence/recall tests
+# (plus lineitem_join_revenue_exchange, equivalence-tested against the
+# oracled default plan in tests/test_ops.py).
 QUERIES = {
+    # -- flagship extraction / curation / catalog / multimodal pipelines --
+    "extract_docs": q_extract_docs,
+    "extract_pdf_docs": q_extract_pdf_docs,
+    "extract_pages": q_extract_pages,
+    "curate_corpus": q_curate_corpus,
+    "catalog_ingest": q_catalog_ingest,
+    "image_features": q_image_features,
+    "video_frame_features": q_video_frame_features,
+    "audio_features": q_audio_features,
+    # -- oracled text / dedup / relational / window / embedding queries --
     "doc_stats_by_source": q_doc_stats_by_source,
     "word_count_per_doc": q_word_count_per_doc,
     "bpe_token_count": q_bpe_token_count,
-    "bpe_vocab_token_count": q_bpe_vocab_token_count,
     "lang_distribution": q_lang_distribution,
     "top10_longest_en": q_top10_longest_en,
     "quality_stats": q_quality_stats,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "minhash_dup_pairs": q_minhash_dup_pairs,
     "near_dedup_docs": q_near_dedup_docs,
     "repeated_paragraphs": q_repeated_paragraphs,
     "strip_repeated_paragraphs": q_strip_repeated_paragraphs,
-    "simhash_signatures": q_simhash_signatures,
-    "doc_fingerprints": q_doc_fingerprints,
     "langid_pred": q_langid_pred,
     "orders_by_segment": q_orders_by_segment,
     "colocated_orders_join": q_colocated_orders_join,
     "lineitem_join_revenue": q_lineitem_join_revenue,
-    "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
     "tpch_q1": q_tpch_q1,
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1287,15 +1299,12 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_hopping": q_events_hopping,
     "event_sessions": q_event_sessions,
-    "knn_ivf_top10": q_knn_ivf_top10,
     "events_json_k": q_events_json_k,
     "median_value_by_type": q_median_value_by_type,
-    "approx_median_value_by_type": q_approx_median_value_by_type,
     "running_totals": q_running_totals,
     "asof_last_signup": q_asof_last_signup,
     "distinct_users_by_type": q_distinct_users_by_type,
     "knn_cosine_top10": q_knn_cosine_top10,
-    "knn_lsh_top10": q_knn_lsh_top10,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "fuzzy_join_typos": q_fuzzy_join_typos,
@@ -1306,14 +1315,15 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "union_sources": q_union_sources,
     "stratified_sample": q_stratified_sample,
-    "extract_docs": q_extract_docs,
-    "extract_pdf_docs": q_extract_pdf_docs,
-    "extract_pages": q_extract_pages,
-    "curate_corpus": q_curate_corpus,
-    "catalog_ingest": q_catalog_ingest,
-    "image_features": q_image_features,
-    "video_frame_features": q_video_frame_features,
-    "audio_features": q_audio_features,
+    # ---- position > 50: may fall past the driver's query cap ----
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "doc_fingerprints": q_doc_fingerprints,
+    "bpe_vocab_token_count": q_bpe_vocab_token_count,
+    "knn_ivf_top10": q_knn_ivf_top10,
+    "knn_lsh_top10": q_knn_lsh_top10,
+    "approx_median_value_by_type": q_approx_median_value_by_type,
+    "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
