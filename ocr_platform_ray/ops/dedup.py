@@ -28,7 +28,7 @@ Scale notes (each operator documents its shuffle; see COVERAGE.md
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pandas as pd
@@ -140,6 +140,28 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
+def _band_hashes(sig_mat: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Vectorized band hashing: FNV-1a over each band's uint64 words plus a
+    splitmix64 finalizer, one numpy pass over the whole (n, num_perm)
+    signature matrix (band-hash VERSION 2 — replaces the per-(row, band)
+    hashlib.sha1 loop; bucket IDS changed, bucket MEMBERSHIP did not:
+    equal signature chunks still hash equal, so LSH candidate pairs are
+    unchanged up to 2^-63 collisions).  Layout matches the caller's
+    np.repeat(ids, bands) / np.tile(arange(bands), n) explode: entry
+    ``r * bands + b`` is row r's band b."""
+    chunks = np.ascontiguousarray(sig_mat, dtype=np.uint64).reshape(-1, rows_per_band)
+    h = np.full(len(chunks), 0xCBF29CE484222325, dtype=np.uint64)
+    for c in range(rows_per_band):
+        h ^= chunks[:, c]
+        h *= np.uint64(0x100000001B3)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 def _shingle_hashes(text: str, k: int, split_mode: str = "ws") -> np.ndarray:
     """Word-k-gram hashes.  ``split_mode="ws"`` collapses whitespace runs
     (Python str.split — the right choice for near-dup robustness);
@@ -234,14 +256,8 @@ def minhash_lsh_duplicates(
         n = len(batch)
         ids = np.repeat(batch[id_col].to_numpy(), bands)
         band_ids = np.tile(np.arange(bands), n)
-        bhs = np.empty(n * bands, dtype=np.int64)
-        for r, sig in enumerate(batch["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bhs[r * bands + b] = int.from_bytes(
-                    hashlib.sha1(chunk.tobytes()).digest()[:8], "big"
-                ) >> 1
+        sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+        bhs = _band_hashes(sig_mat, bands, rows_per_band)
         return pd.DataFrame({id_col: ids, "band": band_ids, "bh": bhs})
 
     exploded = sig_ds.map_batches(explode_bands, batch_format="pandas")

@@ -107,7 +107,8 @@ def knn_lsh(
         for b in qb.tolist():
             for bit in range(n_planes):
                 probe.add(b ^ (1 << bit))
-    probe_ref = ray.put(frozenset(probe))
+    # sorted ndarray so the worker-side membership test is one np.isin
+    probe_ref = ray.put(np.array(sorted(probe), dtype=np.uint64))
     planes_ref = ray.put(planes)
     q_ref = ray.put(q)
 
@@ -118,7 +119,7 @@ def knn_lsh(
             self.q = cached_get(q_ref)
             m = _as_matrix(batch[emb_col])
             bk = bucket_ids(m, self.planes)
-            mask = np.fromiter((int(b) in self.probe for b in bk), bool, len(bk))
+            mask = np.isin(bk, self.probe)
             if not mask.any():
                 return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
             m, ids = m[mask], batch[id_col].to_numpy()[mask]

@@ -507,6 +507,33 @@ class TestTextStats:
         wrong = out[out["pred_lang"] != out["want"]][["want", "pred_lang", "text"]]
         assert wrong.empty, f"langid misses:\n{wrong}"
 
+    def test_langid_batch_scorer_matches_per_row(self):
+        """The vectorized _score_batch must agree row-for-row (lang AND
+        rounded confidence) with the per-row reference _score."""
+        from ocr_platform_ray.ops.textstats import LangId
+
+        texts = [
+            "",
+            "   ",
+            "a",
+            "the quick brown fox and the lazy dog " * 100,  # > 2000 chars
+            "كتاب العلم نور المعرفة في التاريخ",
+            "быстрая лиса и ее друг",
+            "швидка лисиця їсть",
+            "敏捷的狐狸是一个测试",
+            "すばやいキツネは犬を飛び越えます",
+            "mixed english text с русскими словами и 中文",
+            "1234567890 !!! ???",
+            "ー" * 3000,
+            "le renard et les chiens de la ville",
+            "ção ão não um de os ",
+        ]
+        li = LangId()
+        langs, confs = li._score_batch(texts)
+        want = [li._score(t) for t in texts]
+        assert langs == [w[0] for w in want]
+        assert confs == [w[1] for w in want]
+
     def test_bpe_tokenizer_roundtrip_and_determinism(self):
         from ocr_platform_ray.functions.bpe import (
             BpeTokenizer,
