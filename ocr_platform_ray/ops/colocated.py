@@ -101,14 +101,23 @@ def colocated_join(
     key = ll["key"]
     lfiles = {_shard_id(p): p for p in glob.glob(os.path.join(left_dir, f"{ll['prefix']}-*.parquet"))}
     rfiles = {_shard_id(p): p for p in glob.glob(os.path.join(right_dir, f"{rl['prefix']}-*.parquet"))}
-    shard_ids = sorted(lfiles) if how == "inner" else sorted(set(lfiles) | set(rfiles))
-    # the right schema, for typed empty sides when a shard exists on one
+    # inner/left are left-driving (right-only shards can emit nothing);
+    # right/outer must ALSO visit right-only shards with a typed-empty
+    # left side, else their right rows are silently dropped
+    if how in ("inner", "left"):
+        shard_ids = sorted(lfiles)
+    elif how in ("right", "outer"):
+        shard_ids = sorted(set(lfiles) | set(rfiles))
+    else:
+        raise ValueError(f"colocated_join: unsupported how={how!r}")
+    # per-side schemas, for typed empty sides when a shard exists on one
     # side only
     r_schema = pq.read_schema(next(iter(rfiles.values()))) if rfiles else None
+    l_schema = pq.read_schema(next(iter(lfiles.values()))) if lfiles else None
     pairs = [
         {"lf": lfiles.get(s, ""), "rf": rfiles.get(s, "")}
         for s in shard_ids
-        if s in lfiles  # left-driving join: right-only shards emit nothing
+        if s in lfiles or how in ("right", "outer")
     ]
     if not pairs:
         return rd.from_items([]).limit(0)
@@ -116,7 +125,12 @@ def colocated_join(
     def join_pair(b: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for lf, rf in zip(b["lf"], b["rf"]):
-            lg = pq.read_table(lf).to_pandas()
+            if lf:
+                lg = pq.read_table(lf).to_pandas()
+            elif l_schema is not None:
+                lg = l_schema.empty_table().to_pandas()
+            else:
+                lg = pd.DataFrame({key: []})
             if rf:
                 rg = pq.read_table(rf).to_pandas()
             elif r_schema is not None:

@@ -283,11 +283,10 @@ def minhash_lsh_duplicates(
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
 
-    cand = (
+    cand_ds = (
         exploded.map_batches(add_shard, batch_format="pandas")
         .groupby("__shard")
         .map_groups(shard_pairs, batch_format="pandas")
-        .to_pandas()
     )
     empty = pd.DataFrame(
         {
@@ -296,18 +295,24 @@ def minhash_lsh_duplicates(
             "est_jaccard": pd.Series(dtype="float64"),
         }
     )
-    if cand.empty:
-        return empty
-    pairs = cand[["id_a", "id_b"]].drop_duplicates()
 
     if verify == "bucketed":
-        # distributed verification: pairs joined against the signature
-        # table on id_a then id_b (explicit bucketed exchange), signature
-        # agreement computed inside map_batches — nothing id-set-sized on
-        # the driver; only qualifying pairs come back
-        from .relational import bucketed_hash_join
+        # fully distributed verification: candidate pairs NEVER land on
+        # the driver — cross-shard dedupe via the shard-exchange reduce
+        # (a pair found in two bands lives in two shards), then the pair
+        # table joined against the signature table on id_a then id_b
+        # (explicit bucketed exchange), signature agreement computed
+        # inside map_batches; only qualifying pairs come back
+        from .relational import bucketed_hash_join, sharded_group_agg
 
-        pairs_ds = rd.from_pandas(pairs)
+        dedup = sharded_group_agg(
+            cand_ds, ["id_a", "id_b"], {"__n": ("id_a", "size")}
+        ).materialize()
+        if dedup.count() == 0:
+            return empty
+        pairs_ds = dedup.map_batches(
+            lambda b: b[["id_a", "id_b"]], batch_format="pandas"
+        )
         # signatures travel the exchange as fixed-width BYTES (arrow
         # binary), not object-dtype ndarrays — the union's null-fill for
         # one-sided buckets would otherwise mix floats into the column
@@ -363,8 +368,13 @@ def minhash_lsh_duplicates(
             out["id_b"] = out["id_b"].astype("int64")
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    # verification: fetch signatures of involved ids only (rare relative to
-    # the corpus) and compare component-wise.
+    # broadcast route: candidate pairs reduce to the driver (right while
+    # the pair list is near-dup-sized), then fetch signatures of involved
+    # ids only and compare component-wise.
+    cand = cand_ds.to_pandas()
+    if cand.empty:
+        return empty
+    pairs = cand[["id_a", "id_b"]].drop_duplicates()
     involved = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
     inv_ref = ray.put(involved)
 
@@ -683,13 +693,19 @@ def dup_clusters_distributed(
     (driver union-find in ``dup_clusters`` is right below that point;
     equivalence-tested against it).
 
-    Each round: every edge proposes its endpoint labels to the other
-    endpoint (edges exploded both directions), then a hash-shard min
-    reduce updates the label table.  Converges in O(cluster diameter)
-    rounds (near-dup clusters are shallow); the driver sees only a
-    changed-count scalar per round.  Returns (id, cluster_id) with
+    Each round: every edge proposes label(src) to dst — labels joined to
+    edges via the BUCKETED hash exchange (nothing vertex-set-sized ever
+    lands on the driver or the object store as one object), then a
+    hash-shard min reduce updates the label table.  Convergence is
+    detected distributedly: labels are monotonically non-increasing
+    (current labels participate in every min), so the TOTAL label sum —
+    a per-shard partial sum reduced to one scalar — is strictly smaller
+    iff any label changed.  Converges in O(cluster diameter) rounds
+    (near-dup clusters are shallow); chains deeper than ``max_rounds``
+    raise RuntimeError rather than silently returning a non-converged
+    (multi-representative) labeling.  Returns (id, cluster_id) with
     cluster_id = min member id, identical to ``dup_clusters``."""
-    from .relational import sharded_group_agg
+    from .relational import bucketed_hash_join, sharded_group_agg
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -712,33 +728,53 @@ def dup_clusters_distributed(
         n_shards=n_shards,
     ).materialize()
 
+    def label_sum(ds: rd.Dataset) -> int:
+        # distributed partial sums; the driver reduces one int per block
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}), batch_format="pandas"
+        ).to_pandas()
+        return int(parts["s"].sum())
+
+    def as_id(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"src": "id"})
+
+    def to_proposal(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["dst"], "label": b["label"]})
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["id", "label"]]
+
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
-        # propose: each edge sends label(src) to dst — labels joined to
-        # edges via broadcast (label table is vertex-set-sized; swap for a
-        # bucketed join if even that outgrows the object store)
-        lab_df = labels.to_pandas()
-        lab_ref = ray.put(pd.Series(lab_df["label"].to_numpy(), index=lab_df["id"].to_numpy()))
-
-        def propose(b: pd.DataFrame) -> pd.DataFrame:
-            lab = cached_get(lab_ref)
-            return pd.DataFrame(
-                {"id": b["dst"], "label": lab.reindex(b["src"].to_numpy()).to_numpy()}
-            )
-
-        proposals = edges.map_batches(propose, batch_format="pandas")
-        current = labels.map_batches(lambda b: b, batch_format="pandas")
-        new_labels = sharded_group_agg(
-            proposals.union(current), ["id"], {"label": ("label", "min")}, n_shards=n_shards
-        ).materialize()
-        changed = int(
-            new_labels.to_pandas()
-            .merge(lab_df, on="id", suffixes=("_new", "_old"))
-            .eval("label_new != label_old")
-            .sum()
+        # label(src) attached to each edge via the bucketed exchange
+        j = bucketed_hash_join(
+            edges.map_batches(as_id, batch_format="pandas"),
+            labels,
+            "id",
+            how="inner",
+            n_buckets=n_shards,
         )
+        proposals = j.map_batches(to_proposal, batch_format="pandas")
+        new_labels = sharded_group_agg(
+            proposals.union(labels.map_batches(project, batch_format="pandas")),
+            ["id"],
+            {"label": ("label", "min")},
+            n_shards=n_shards,
+        ).materialize()
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_distributed: no convergence after {max_rounds} rounds "
+            "(a component's diameter exceeds max_rounds) — raise max_rounds; "
+            "returning partial labels would keep multiple representatives per "
+            "true cluster with no signal"
+        )
     out = labels.to_pandas().rename(columns={"label": "cluster_id"})
     out["id"] = out["id"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")

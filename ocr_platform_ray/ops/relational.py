@@ -203,7 +203,12 @@ def auto_join(
     The probe is ``limit(threshold+1)`` — it short-circuits execution at
     the threshold AND, when the side fits, already IS the complete build
     table (one execution total; a separate count() would re-execute a
-    derived build side's whole lineage per consumption)."""
+    derived build side's whole lineage per consumption).
+
+    Collision naming is route-INDEPENDENT: overlapping non-key right
+    columns are renamed ``right_prefix + name`` on BOTH routes, so the
+    output schema does not flip when the build side crosses the
+    threshold (equivalence-tested with an overlapping column)."""
     try:
         head = right.limit(broadcast_threshold_rows + 1).to_pandas()
     except Exception:
@@ -211,6 +216,10 @@ def auto_join(
     if head is not None and len(head) <= broadcast_threshold_rows:
         if head.shape[1] == 0:  # empty Dataset -> schema-less frame
             head = _typed_empty(right.schema(), right.schema().names)
+        # same collision names as the bucketed route (prefix, not suffix)
+        overlap = (set(left.schema().names) & set(head.columns)) - {on}
+        if overlap:
+            head = head.rename(columns={c: right_prefix + c for c in overlap})
         return broadcast_hash_join(left, head, on, how=how, suffix="_r")
     return bucketed_hash_join(
         left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
@@ -291,17 +300,108 @@ def _key_set_ref(keys: rd.Dataset, on: str):
     return ray.put(frozenset(vals))
 
 
-def semi_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
-    """Rows of ``ds`` whose key appears in ``keys`` (J6 semi-filter)."""
+def _semi_anti_bucketed(
+    ds: rd.Dataset, keys: rd.Dataset, on: str, keep_in: bool, n_buckets: int
+) -> rd.Dataset:
+    """Distributed semi/anti filter: one bucketed exchange on
+    ``hash(key) % n_buckets`` co-grouping data rows with a DEDUPED key
+    projection, then an in-bucket isin (or its complement) — no
+    driver-held key set, the route for a corpus-sized key side.
+
+    Correct because every occurrence of a key value (both sides) lands in
+    the same bucket; a bucket fed no key-side blocks has an empty key set
+    (semi keeps nothing, anti keeps everything)."""
+    dcols = ds.schema().names
+    dtargets = _restore_targets(ds.schema(), set(dcols))
+    dschema = ds.schema()
+
+    def tag_data(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__bucket"] = (pd.util.hash_array(b[on].to_numpy()) % n_buckets).astype("int64")
+        out["__side"] = "l"
+        return out
+
+    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+        # in-batch dedup combiner: the exchange moves distinct keys per batch
+        out = b[[on]].drop_duplicates().rename(columns={on: "__k"})
+        out["__bucket"] = (pd.util.hash_array(out["__k"].to_numpy()) % n_buckets).astype("int64")
+        out["__side"] = "r"
+        return out
+
+    l = ds.map_batches(tag_data, batch_format="pandas")
+    r = keys.select_columns([on]).map_batches(tag_keys, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["__side"] == "l"
+        if not lmask.any() or any(c not in g.columns for c in dcols):
+            return _typed_empty(dschema, dcols)
+        lg = _restore_dtypes(g.loc[lmask, dcols].copy(), dtargets)
+        kvals = g.loc[g["__side"] == "r", "__k"] if "__k" in g.columns else pd.Series([], dtype="object")
+        mask = lg[on].isin(set(kvals))
+        return lg[mask if keep_in else ~mask]
+
+    return l.union(r).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def _semi_anti(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    keep_in: bool,
+    method: str,
+    broadcast_threshold_rows: int,
+    n_buckets: int,
+) -> rd.Dataset:
+    if method == "auto":
+        # mirror auto_join: limit(threshold+1) probes the key side's size
+        # and, when it fits, IS the broadcast table (one execution total)
+        try:
+            head = keys.select_columns([on]).limit(broadcast_threshold_rows + 1).to_pandas()
+        except Exception:
+            head = None
+        if head is not None and len(head) <= broadcast_threshold_rows:
+            vals = frozenset() if head.shape[1] == 0 else frozenset(head[on])
+            ref = ray.put(vals)
+            return ds.map_batches(_KeyFilter(ref, on, keep_in), batch_format="pandas")
+        method = "bucketed"
+    if method == "bucketed":
+        return _semi_anti_bucketed(ds, keys, on, keep_in, n_buckets)
     ref = _key_set_ref(keys, on)
-    return ds.map_batches(_KeyFilter(ref, on, True), batch_format="pandas")
+    return ds.map_batches(_KeyFilter(ref, on, keep_in), batch_format="pandas")
 
 
-def anti_join(ds: rd.Dataset, keys: rd.Dataset, on: str) -> rd.Dataset:
+def semi_join(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    *,
+    method: str = "broadcast",
+    broadcast_threshold_rows: int = 2_000_000,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Rows of ``ds`` whose key appears in ``keys`` (J6 semi-filter).
+
+    ``method``: "broadcast" builds the key set on the driver (right for
+    dim-sized key sides); "bucketed" runs the distributed exchange route
+    (corpus-sized key side, nothing key-set-sized on the driver);
+    "auto" probes the key side with ``limit(threshold+1)`` and picks
+    (the auto_join planner pattern).  Routes are equivalence-tested."""
+    return _semi_anti(ds, keys, on, True, method, broadcast_threshold_rows, n_buckets)
+
+
+def anti_join(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    *,
+    method: str = "broadcast",
+    broadcast_threshold_rows: int = 2_000_000,
+    n_buckets: int = 32,
+) -> rd.Dataset:
     """Rows of ``ds`` whose key does NOT appear in ``keys`` (the
-    ``AdvancedGenreToBook: {none:{}}`` anti-filter, J6)."""
-    ref = _key_set_ref(keys, on)
-    return ds.map_batches(_KeyFilter(ref, on, False), batch_format="pandas")
+    ``AdvancedGenreToBook: {none:{}}`` anti-filter, J6).  Same
+    ``method`` routes as ``semi_join``."""
+    return _semi_anti(ds, keys, on, False, method, broadcast_threshold_rows, n_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -429,8 +529,16 @@ def asof_join(
             return lg[out_cols]
         rg = _restore_dtypes(g.loc[rmask, rkeep].copy(), rtargets)
         rg = rg.rename(columns=out_names).sort_values(ts, kind="mergesort")
-        merged = pd.merge_asof(lg, rg, on=ts, by=key, direction="backward")
-        return merged[out_cols]
+        merged = pd.merge_asof(lg, rg, on=ts, by=key, direction="backward")[out_cols]
+        # cast right payloads to the declared out_dtypes: a shard where
+        # every left row matched keeps int64 payloads while fill/miss
+        # shards emit float64 — without this cast per-block schemas
+        # diverge and Arrow consumers (write_parquet) fail
+        for c in extra:
+            oc = out_names[c]
+            if str(merged[oc].dtype) != out_dtypes[oc]:
+                merged[oc] = merged[oc].astype(out_dtypes[oc])
+        return merged
 
     u = l.union(r)
     return u.groupby("__shard").map_groups(per_shard, batch_format="pandas")

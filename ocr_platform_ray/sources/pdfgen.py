@@ -304,3 +304,129 @@ def make_article_pdf(
     return make_pdf(
         [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid, compress=compress
     )
+
+
+# ---------------------------------------------------------------------------
+# Standard-security-handler ENCRYPTOR (fixture side, ISO 32000-1 §7.6)
+# ---------------------------------------------------------------------------
+# Deliberately independent of stages/pdf.py's decryptor (own RC4, own pad
+# constant) so a round-trip test cannot pass through a shared bug.
+_ENC_PAD = bytes.fromhex(
+    "28bf4e5e4e758a41640 04e56fffa01082e2e00b6d0683e802f0ca9fe6453697a".replace(" ", "")
+)
+
+
+def _enc_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def encrypt_pdf_rc4(pdf: bytes, *, revision: int = 2, permissions: int = -4) -> bytes:
+    """Encrypt a classic-xref PDF (our builder's default layout) with the
+    Standard security handler, EMPTY user and owner passwords:
+    revision=2 -> V1/40-bit RC4, revision=3 -> V2/128-bit RC4.  Stream
+    payloads are RC4'd in place (same length, so object offsets are
+    reused), an /Encrypt dict is appended, and the trailer gains
+    /Encrypt + /ID.  Algorithms 2/3/4/5 of ISO 32000-1 §7.6.3."""
+    import hashlib
+    import re as _re
+
+    assert revision in (2, 3)
+    n = 5 if revision == 2 else 16
+    file_id = hashlib.md5(pdf).digest()
+
+    # Algorithm 3: /O with empty owner+user passwords
+    okey = hashlib.md5(_ENC_PAD).digest()
+    if revision >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o_val = _enc_rc4(okey, _ENC_PAD)
+    if revision >= 3:
+        for i in range(1, 20):
+            o_val = _enc_rc4(bytes(b ^ i for b in okey), o_val)
+
+    # Algorithm 2: file key for the empty user password
+    h = hashlib.md5()
+    h.update(_ENC_PAD)
+    h.update(o_val)
+    h.update((permissions & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    key = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    # Algorithms 4/5: /U
+    if revision == 2:
+        u_val = _enc_rc4(key, _ENC_PAD)
+    else:
+        x = _enc_rc4(key, hashlib.md5(_ENC_PAD + file_id).digest())
+        for i in range(1, 20):
+            x = _enc_rc4(bytes(b ^ i for b in key), x)
+        u_val = x + b"\x00" * 16
+
+    def obj_key(num: int, gen: int = 0) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+
+    # split off the xref/trailer, encrypt every stream payload in place
+    xref_at = pdf.rfind(b"\nxref\n")
+    assert xref_at >= 0, "encrypt_pdf_rc4 expects the classic-xref layout"
+    body = bytearray(pdf[: xref_at + 1])
+    tail = pdf[xref_at + 1 :]
+    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", bytes(body)):
+        num, gen = int(m.group(1)), int(m.group(2))
+        endobj = body.find(b"endobj", m.end())
+        span = bytes(body[m.end() : endobj])
+        sm = _re.search(rb"stream\r?\n", span)
+        if not sm:
+            continue
+        s_start = m.end() + sm.end()
+        s_end = body.find(b"endstream", s_start)
+        while s_end > s_start and body[s_end - 1] in (0x0A, 0x0D):
+            s_end -= 1
+        body[s_start:s_end] = _enc_rc4(obj_key(num, gen), bytes(body[s_start:s_end]))
+
+    # append the /Encrypt dict, rebuild xref + trailer
+    root = int(_re.search(rb"/Root\s+(\d+)\s+\d+\s+R", tail).group(1))
+    enc_num = max(int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj\b", bytes(body))) + 1
+    v = 1 if revision == 2 else 2
+    enc_body = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {revision} "
+        f"/Length {n * 8} /P {permissions} ".encode()
+        + b"/O <" + o_val.hex().encode() + b"> /U <" + u_val.hex().encode() + b"> >>\nendobj\n"
+    )
+    body += enc_body
+    offsets = {
+        int(m.group(1)): m.start()
+        for m in _re.finditer(rb"(\d+)\s+\d+\s+obj\b", bytes(body))
+    }
+    size = max(offsets) + 1
+    out = bytearray(body)
+    xref_pos = len(out)
+    out += f"xref\n0 {size}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, size):
+        out += f"{offsets.get(i, 0):010d} 00000 n \n".encode()
+    idhex = file_id.hex().encode()
+    out += (
+        b"trailer\n<< /Size " + str(size).encode()
+        + b" /Root " + str(root).encode() + b" 0 R"
+        + b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+        + b" /ID [<" + idhex + b"> <" + idhex + b">] >>\nstartxref\n"
+        + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)

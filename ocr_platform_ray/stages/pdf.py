@@ -14,18 +14,24 @@ parser feeding the existing bbox/XY-cut reading-order path:
 Supported: classic xref and xref-stream files (the scanner never trusts
 xref offsets — it walks ``obj``..``endobj`` spans directly, which also
 salvages mildly damaged files), FlateDecode and uncompressed streams,
-literal strings with octal/char escapes, hex strings, object streams,
-and ToUnicode CMaps (bfchar / bfrange offset + array forms, 1- and
+PNG Predictor DecodeParms (sub/up/average/paeth — xref AND content
+streams), literal strings with octal/char escapes, hex strings, object
+streams, ToUnicode CMaps (bfchar / bfrange offset + array forms, 1- and
 2-byte code widths) for Type0/CID subset fonts — non-Latin text decodes
-correctly; fonts without a CMap decode as WinAnsi/latin-1.
-Not interpreted (documented limits): encryption, Predictor DecodeParms on
-CONTENT streams, inline images, glyph metrics (x-advance is an
-average-width estimate — enough for reading order).  Failures raise
-ValueError — callers (extract_page) map that to the M5 short-circuit
-semantics."""
+correctly; fonts without a CMap decode as WinAnsi/latin-1 — and
+RC4-encrypted files under the Standard security handler with an EMPTY
+user password (V 1/2, R 2/3 — ISO 32000-1 §7.6.2-7.6.3 algorithms 2/4/5
+reimplemented; the reference opens encrypted files via pdf-lib's
+``ignoreEncryption: true``, ocr.ts:24).
+Not interpreted (documented limits): AES encryption (V4 /AESV2,
+V5 /AESV3) and non-empty user passwords — these raise ValueError, which
+``extract_page`` maps to the M5 failed-stage salvage row rather than
+crashing the pipeline; likewise inline images and exact glyph metrics
+(x-advance is an average-width estimate — enough for reading order)."""
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -240,6 +246,134 @@ def _png_unpredict(data: bytes, parms: dict) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6): RC4, empty user password
+# ---------------------------------------------------------------------------
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _find_encrypt(data: bytes, objects: dict) -> tuple[object, bytes]:
+    """Locate the /Encrypt entry: classic ``trailer`` dicts first, then
+    xref-stream dicts (/Type /XRef).  Returns (encrypt_ref_or_None,
+    first_file_id_bytes)."""
+    enc_ref, file_id = None, b""
+
+    def absorb(d: dict):
+        nonlocal enc_ref, file_id
+        if "Encrypt" in d:
+            enc_ref = d["Encrypt"]
+        fid = d.get("ID")
+        if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
+            file_id = fid[0]
+
+    for m in re.finditer(rb"trailer", data):
+        try:
+            d, _ = parse_value(data, m.end())
+        except (ValueError, IndexError):
+            continue
+        if isinstance(d, dict):
+            absorb(d)
+    if enc_ref is None:
+        for _, (v, _s) in objects.items():
+            if isinstance(v, dict) and v.get("Type") == "XRef":
+                absorb(v)
+    return enc_ref, file_id
+
+
+def _std_security_key(enc: dict, file_id: bytes) -> bytes:
+    """Algorithm 2: file encryption key for the EMPTY user password."""
+    r = int(enc.get("R", 2))
+    o = enc.get("O", b"")
+    p = int(enc.get("P", -1))
+    n = 5 if r == 2 else max(5, min(16, int(enc.get("Length", 40)) // 8))
+    h = hashlib.md5()
+    h.update(_PW_PAD)  # empty user password, padded
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    if r >= 4 and enc.get("EncryptMetadata", True) is False:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _verify_empty_user_password(key: bytes, enc: dict, file_id: bytes) -> bool:
+    """Algorithms 4/5 check against /U."""
+    r = int(enc.get("R", 2))
+    u = enc.get("U", b"")
+    if not isinstance(u, bytes):
+        return False
+    if r == 2:
+        return _rc4(key, _PW_PAD) == u[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x[:16] == u[:16]
+
+
+def _make_stream_decryptor(data: bytes, objects: dict, gens: dict):
+    """None when the file is unencrypted; a (num, raw)->bytes RC4
+    decryptor when it uses the Standard handler with an empty user
+    password; raises ValueError otherwise (AES / passworded) — the caller
+    maps that to the M5 salvage row."""
+    enc_ref, file_id = _find_encrypt(data, objects)
+    if enc_ref is None:
+        return None, set()
+    enc = enc_ref
+    exclude = set()
+    if isinstance(enc, Ref):
+        exclude.add(enc.num)
+        enc = objects.get(enc.num, (None, None))[0]
+    if not isinstance(enc, dict):
+        raise ValueError("pdf: encrypted (unresolvable /Encrypt dict)")
+    v = int(enc.get("V", 0))
+    if enc.get("Filter") != "Standard" or v not in (1, 2):
+        raise ValueError(
+            f"pdf: unsupported encryption (Filter={enc.get('Filter')!r} V={v})"
+        )
+    key = _std_security_key(enc, file_id)
+    if not _verify_empty_user_password(key, enc, file_id):
+        raise ValueError("pdf: password-protected (non-empty user password)")
+    # xref streams are never encrypted (ISO 32000-1 §7.5.8.2)
+    for num, (val, _s) in objects.items():
+        if isinstance(val, dict) and val.get("Type") == "XRef":
+            exclude.add(num)
+
+    def decrypt(num: int, raw: bytes) -> bytes:
+        gen = gens.get(num, 0)
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        return _rc4(ok, raw)
+
+    return decrypt, exclude
+
+
 def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     """Walk ``N G obj`` .. ``endobj`` spans in file order (never trusting
     xref offsets — salvages mildly damaged files), returning
@@ -247,11 +381,13 @@ def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
     previously-consumed object (e.g. binary stream bytes that happen to
     contain 'obj') are skipped via the moving cursor."""
     objects: dict[int, tuple] = {}
+    gens: dict[int, int] = {}
     cursor = 0
     for m in _OBJ_RE.finditer(data):
         if m.start() < cursor:
             continue
         num = int(m.group(1))
+        gens[num] = int(m.group(2))
         i = _skip_ws(data, m.end())
         try:
             val, i = parse_value(data, i)
@@ -285,11 +421,15 @@ def scan_objects(data: bytes) -> dict[int, tuple[dict | object, bytes | None]]:
             i = i + 6 if i >= 0 else end
         objects[num] = (val, stream_data)
         cursor = i
-    # decode streams (needs the object map for indirect /Length — already
+    # decrypt (Standard-handler RC4, empty user password) then decode
+    # streams (needs the object map for indirect /Length — already
     # handled above by the endstream search) and expand object streams
+    decryptor, no_decrypt = _make_stream_decryptor(data, objects, gens)
     decoded: dict[int, tuple] = {}
     for num, (val, sdata) in objects.items():
         if sdata is not None and isinstance(val, dict):
+            if decryptor is not None and num not in no_decrypt:
+                sdata = decryptor(num, sdata)
             try:
                 sdata = _decode_stream(val, sdata)
             except (ValueError, zlib.error):

@@ -242,6 +242,49 @@ class TestJoins:
         assert set(s["k"]) <= set(right["k"])
         assert set(a["k"]).isdisjoint(set(right["k"]))
 
+    def test_semi_anti_bucketed_matches_broadcast(self, tables):
+        # route equivalence: the distributed bucketed exchange (and the
+        # auto planner forced onto it) must match the broadcast key set
+        from ocr_platform_ray.ops.relational import anti_join, semi_join
+
+        left, right = tables
+        l, r = rd.from_pandas(left), rd.from_pandas(right)
+
+        def norm(df):
+            return df.sort_values(["k", "v"]).reset_index(drop=True)
+
+        for fn in (semi_join, anti_join):
+            base = norm(fn(l, r, "k").to_pandas())
+            buck = norm(fn(l, r, "k", method="bucketed").to_pandas())
+            auto = norm(fn(l, r, "k", method="auto", broadcast_threshold_rows=0).to_pandas())
+            pd.testing.assert_frame_equal(buck[base.columns], base)
+            pd.testing.assert_frame_equal(auto[base.columns], base)
+
+    def test_auto_join_overlap_column_names_stable_across_routes(self):
+        # the broadcast and bucketed routes must agree on collision
+        # naming (r_<col>), so the schema doesn't flip when the build
+        # side crosses the broadcast threshold
+        from ocr_platform_ray.ops.relational import auto_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30], "v": [1.0, 2.0, 3.0]})
+        right = pd.DataFrame({"k": [1, 2, 4], "x": [91, 92, 94], "name": ["a", "b", "d"]})
+        l, r = rd.from_pandas(left), rd.from_pandas(right)
+        via_bcast = (
+            auto_join(l, r, "k", how="inner").to_pandas()
+            .sort_values("k").reset_index(drop=True)
+        )
+        via_exchange = (
+            auto_join(l, r, "k", how="inner", broadcast_threshold_rows=0).to_pandas()
+            .sort_values("k").reset_index(drop=True)
+        )
+        assert set(via_bcast.columns) == {"k", "x", "v", "r_x", "name"}
+        assert set(via_exchange.columns) == set(via_bcast.columns)
+        pd.testing.assert_frame_equal(
+            via_exchange[via_bcast.columns], via_bcast, check_dtype=False
+        )
+        assert via_bcast["x"].tolist() == [10, 20]
+        assert via_bcast["r_x"].tolist() == [91, 92]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
@@ -367,6 +410,37 @@ class TestAsofJoin:
         ).to_pandas()
         assert set(got2.columns) == {"ev", "user", "ts", "sid"}
         assert got2["sid"].isna().all()
+
+    def test_asof_mixed_shards_write_parquet(self, tmp_path):
+        # shards where every left row matches must emit the SAME block
+        # schema (float64 payload) as fill/miss shards — write_parquet
+        # fails on divergent per-block schemas without the cast
+        from ocr_platform_ray.ops.relational import asof_join
+
+        base = pd.Timestamp("2024-01-01")
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {
+                "ev": range(60),
+                "user": rng.randint(0, 30, 60),
+                "ts": base + pd.to_timedelta(rng.randint(3600, 7200, 60), "s"),
+            }
+        )
+        # only half the users have right rows -> some shards all-matched,
+        # some shards fill NaN
+        right = pd.DataFrame(
+            {"user": np.arange(0, 30, 2), "ts": [base] * 15, "sid": np.arange(15) + 100}
+        )
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="user", ts="ts", right_cols=["sid"]
+        )
+        out.write_parquet(str(tmp_path / "asof_out"))
+        back = rd.read_parquet(str(tmp_path / "asof_out")).to_pandas()
+        assert len(back) == 60
+        assert str(back["sid"].dtype) == "float64"
+        matched = back[back["user"] % 2 == 0]
+        assert (matched["sid"] == matched["user"] / 2 + 100).all()
+        assert back[back["user"] % 2 == 1]["sid"].isna().all()
 
     def test_asof_suffix_on_collision(self):
         from ocr_platform_ray.ops.relational import asof_join
@@ -728,6 +802,31 @@ class TestColocatedJoin:
         with pytest.raises(ValueError, match="layout mismatch"):
             colocated_join(d1, d2)
 
+    def test_outer_and_right_keep_right_only_rows(self, tmp_path):
+        # right-only shards must be visited for outer/right joins (were
+        # silently dropped), and unsupported how must be refused
+        from ocr_platform_ray.ops.colocated import colocated_join, partition_by_key
+
+        # disjoint key ranges so some shards exist on only one side
+        left = pd.DataFrame({"k": range(0, 20), "v": range(0, 20)})
+        right = pd.DataFrame({"k": range(10, 30), "name": [f"n{i}" for i in range(10, 30)]})
+        ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+        partition_by_key(rd.from_pandas(left), ldir, "k", n_shards=8)
+        partition_by_key(rd.from_pandas(right), rdir, "k", n_shards=8)
+        for how in ("outer", "right"):
+            got = (
+                colocated_join(ldir, rdir, how=how)
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            want = left.merge(right, on="k", how=how).sort_values("k").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[want.columns].astype({"k": "int64"}), want.astype({"k": "int64"}),
+                check_dtype=False,
+            )
+            assert set(range(20, 30)) <= set(got["k"])  # right-only keys present
+        with pytest.raises(ValueError, match="unsupported how"):
+            colocated_join(ldir, rdir, how="cross")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestIvfPersisted:
@@ -850,6 +949,15 @@ class TestDistributedClusters:
         pd.testing.assert_frame_equal(
             got, want.astype({"id": "int64", "cluster_id": "int64"})
         )
+
+    def test_label_propagation_raises_on_nonconvergence(self):
+        # a chain's diameter exceeds max_rounds -> loud failure, never a
+        # silently multi-representative labeling
+        from ocr_platform_ray.ops.dedup import dup_clusters_distributed
+
+        chain = pd.DataFrame({"id_a": range(0, 9), "id_b": range(1, 10)})
+        with pytest.raises(RuntimeError, match="no convergence"):
+            dup_clusters_distributed(rd.from_pandas(chain), max_rounds=2)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -248,6 +248,56 @@ class TestErrors:
         assert r["failed_stage"] is None or r["body"] == ""
 
 
+class TestEncryption:
+    """Standard-security-handler RC4 with empty user password decrypts for
+    real (fixture encryptor is an independent implementation of ISO
+    32000-1 §7.6.3 algorithms 2-5); AES and passworded files route to M5
+    salvage semantics instead of crashing — parity with the reference's
+    ``ignoreEncryption: true`` tolerance (ocr.ts:24)."""
+
+    def _plain(self):
+        return make_article_pdf("Secret Title", PARAS, footnote="note", page_number=2)
+
+    @pytest.mark.parametrize("rev", [2, 3])
+    def test_rc4_empty_password_decrypts(self, rev):
+        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
+
+        plain = self._plain()
+        enc = encrypt_pdf_rc4(plain, revision=rev)
+        assert enc != plain and b"/Encrypt" in enc
+        assert pdf_page_boxes(enc) == pdf_page_boxes(plain)
+        assert pdf_page_count(enc) == 1
+        # whole extractor path: byte-identical body vs the plain file
+        r_enc, r_plain = extract_page(enc, ""), extract_page(plain, "")
+        assert r_enc["failed_stage"] is None
+        assert r_enc["body"] == r_plain["body"]
+
+    def test_aes_routes_to_salvage(self):
+        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
+
+        enc = encrypt_pdf_rc4(self._plain(), revision=2)
+        aes = enc.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+        with pytest.raises(ValueError, match="unsupported encryption"):
+            pdf_page_boxes(aes)
+        r = extract_page(aes, "prior ocr text")
+        assert r["failed_stage"] is not None
+        assert r["body"] == "prior ocr text"
+
+    def test_nonempty_password_routes_to_salvage(self):
+        import re
+
+        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
+
+        enc = bytearray(encrypt_pdf_rc4(self._plain(), revision=3))
+        m = re.search(rb"/U <([0-9a-f]+)>", bytes(enc))
+        first2 = bytes(enc[m.start(1) : m.start(1) + 2])
+        enc[m.start(1) : m.start(1) + 2] = b"00" if first2 != b"00" else b"11"
+        with pytest.raises(ValueError, match="password-protected"):
+            pdf_page_boxes(bytes(enc))
+        r = extract_page(bytes(enc), "prior")
+        assert r["failed_stage"] is not None and r["body"] == "prior"
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestPdfPipeline:
     def test_extract_pdf_docs_query(self):
