@@ -612,6 +612,47 @@ def sharded_group_agg(
     )
 
 
+def auto_group_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+    finish: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Size-aware FINISH planner for partial aggregates — the ``auto_join``
+    idea applied to reduces.  ``ds`` is a combined-partials table (one row
+    per key per upstream batch); the finish must group all of a key's
+    partials together.
+
+    ``finish="auto"`` probes with ``limit(threshold+1)``: when the partial
+    table fits, the probe already IS the complete partial set and ONE
+    vectorized driver groupby finishes it — saving the ~1.3-2 s AllToAll
+    floor an exchange costs at small scale (measured; see BASELINE.md).
+    Above the threshold it plans ``sharded_group_agg`` — the distributed
+    hash-shard exchange — so the scale path is never lost.  Returns a
+    pandas DataFrame on the driver route and a Dataset on the exchange
+    route (callers normalize); both routes colocate every partial of a
+    key, so any agg spec valid for ``sharded_group_agg`` is valid here
+    (equivalence-tested)."""
+    if finish == "auto":
+        try:
+            head = ds.limit(driver_threshold_rows + 1).to_pandas()
+        except Exception:
+            head = None
+        if head is not None and len(head) <= driver_threshold_rows:
+            finish, ds = "driver", head
+        else:
+            finish = "exchange"
+    if finish == "driver":
+        df = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+        return df.groupby(keys, as_index=False).agg(
+            **{alias: (src, how) for alias, (src, how) in aggs.items()}
+        )
+    return sharded_group_agg(ds, keys, aggs, n_shards=n_shards)
+
+
 # --------------------------------------------------------------------------
 # Pre-aggregated groupby (combiner pattern)
 # --------------------------------------------------------------------------

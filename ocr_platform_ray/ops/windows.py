@@ -8,10 +8,12 @@ from the explicit in-group sort, never block arrival order) is the same one
 document reassembly makes.
 
 Scale shape: the tumbling/hopping aggregates pre-combine per batch (one row
-per (key, bucket) per batch) and finish with the distributed hash-shard
-exchange (ops.relational.sharded_group_agg) — the (key × bucket) partial
-cardinality at corpus scale can exceed one machine, so the finalize must be
-distributed too (only the caller's final result lands on the driver).
+per (key, bucket) per batch) and finish via the size-aware planner
+(ops.relational.auto_group_agg): a driver groupby when the probed partial
+table fits (saves the AllToAll floor at small scale), the distributed
+hash-shard exchange above the threshold — the (key × bucket) partial
+cardinality at corpus scale can exceed one machine, so the scale route
+keeps the finalize distributed.
 ``sessionize``
 shuffles a bounded ``hash(key) % n_shards`` label and runs one vectorized
 pandas pass per shard instead of one Python call per key."""
@@ -21,7 +23,23 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from .relational import sharded_group_agg
+from .relational import auto_group_agg
+
+
+def _normalize_finish(reduced, *, as_dataset: bool, sort_keys: list[str]):
+    """auto_group_agg returns a DataFrame (driver finish) or a Dataset
+    (exchange finish); give the caller whichever shape it asked for."""
+    if isinstance(reduced, pd.DataFrame):
+        if as_dataset:
+            return rd.from_pandas(reduced)
+        out = reduced
+    else:
+        if as_dataset:
+            # corpus-scale consumers (write_parquet / further stages):
+            # the reduced result never lands on the driver
+            return reduced
+        out = reduced.to_pandas()
+    return out.sort_values(sort_keys).reset_index(drop=True)
 
 
 def time_bucket_agg(
@@ -32,12 +50,16 @@ def time_bucket_agg(
     value_col: str = "value",
     freq: str = "h",
     as_dataset: bool = False,
+    finish: str = "auto",
 ) -> pd.DataFrame | rd.Dataset:
     """Tumbling-window aggregate: count + sum(value) per (key, time bucket).
     The bucket column is computed vectorized per batch, a combiner
     pre-aggregates in-batch so the shuffle moves partials only, and the
-    partials are reduced by a distributed hash-shard exchange (the
-    (key × bucket) partial set never lands on the driver un-reduced)."""
+    partials finish via the size-aware planner: driver groupby when the
+    (key × bucket) partial table provably fits (``limit`` probe — saves
+    the AllToAll floor at small scale), distributed hash-shard exchange
+    above the threshold (``finish="exchange"`` forces the scale route;
+    equivalence-tested)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[[key_col, ts_col, value_col]].copy()
@@ -48,15 +70,13 @@ def time_bucket_agg(
         return g
 
     partials = events.map_batches(partial, batch_format="pandas")
-    reduced = sharded_group_agg(
-        partials, [key_col, "bucket"], {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")}
+    reduced = auto_group_agg(
+        partials,
+        [key_col, "bucket"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        finish=finish,
     )
-    if as_dataset:
-        # corpus-scale consumers (write_parquet / further stages): the
-        # (key x bucket) RESULT never lands on the driver
-        return reduced
-    out = reduced.to_pandas()
-    return out.sort_values([key_col, "bucket"]).reset_index(drop=True)
+    return _normalize_finish(reduced, as_dataset=as_dataset, sort_keys=[key_col, "bucket"])
 
 
 def hopping_window_agg(
@@ -68,11 +88,12 @@ def hopping_window_agg(
     size_hours: int = 2,
     step_hours: int = 1,
     as_dataset: bool = False,
+    finish: str = "auto",
 ) -> pd.DataFrame | rd.Dataset:
     """Hopping (sliding) windows: each event belongs to size/step
     overlapping windows; the explode happens vectorized per batch (one
-    extra row per hop), then the same combiner pre-aggregation + native
-    distributed finish as the tumbling case.  Emits
+    extra row per hop), then the same combiner pre-aggregation +
+    size-aware finish as the tumbling case.  Emits
     (key, window_start, n_events, sum_value)."""
     hops = size_hours // step_hours
 
@@ -90,15 +111,15 @@ def hopping_window_agg(
         )
 
     partials = events.map_batches(partial, batch_format="pandas")
-    reduced = sharded_group_agg(
+    reduced = auto_group_agg(
         partials,
         [key_col, "window_start"],
         {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        finish=finish,
     )
-    if as_dataset:
-        return reduced
-    out = reduced.to_pandas()
-    return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
+    return _normalize_finish(
+        reduced, as_dataset=as_dataset, sort_keys=[key_col, "window_start"]
+    )
 
 
 def sessionize(

@@ -559,13 +559,15 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(j, ["n_name"], partial, final)
 
 
-def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
+def q_top_orders_revenue(sf_dir: str, *, finish: str = "auto") -> pd.DataFrame:
     """Q3 shape: per-order lineitem revenue, top 10, then join order
-    metadata.  The per-orderkey reduce is HIGH-cardinality, so it finishes
-    distributed (sharded_group_agg — never a driver-side merge of a
-    corpus-sized partial set); each reduced shard emits only its local
-    top 10, and the driver sees <= 10 x n_shards candidate rows."""
-    from ..ops.relational import sharded_group_agg
+    metadata.  The per-orderkey reduce is HIGH-cardinality, so the finish
+    goes through the size-aware planner (``auto_group_agg``): one driver
+    groupby when the probed partial table fits (saves the AllToAll floor
+    at sf-scale), the distributed shard exchange above the threshold —
+    there each reduced shard emits only its local top 10 and the driver
+    sees <= 10 x n_shards candidate rows.  Routes equivalence-tested."""
+    from ..ops.relational import auto_group_agg
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -574,12 +576,17 @@ def q_top_orders_revenue(sf_dir: str) -> pd.DataFrame:
         return b.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
 
     partials = li.map_batches(partial, batch_format="pandas")
-    reduced = sharded_group_agg(partials, ["l_orderkey"], {"rev_c": ("rev_c", "sum")})
+    reduced = auto_group_agg(
+        partials, ["l_orderkey"], {"rev_c": ("rev_c", "sum")}, finish=finish
+    )
 
     def local_top(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10)
 
-    cand = reduced.map_batches(local_top, batch_format="pandas").to_pandas()
+    if isinstance(reduced, pd.DataFrame):
+        cand = reduced
+    else:
+        cand = reduced.map_batches(local_top, batch_format="pandas").to_pandas()
     top = cand.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10).copy()
     top["revenue"] = top["rev_c"] / 100.0
     top = top.drop(columns=["rev_c"])

@@ -459,6 +459,33 @@ class TestAsofJoin:
 
 @pytest.mark.usefixtures("ray_session")
 class TestWindows:
+    def test_window_finish_routes_equivalent(self):
+        # auto (driver finish at this scale) must equal the forced
+        # distributed exchange route, for tumbling and hopping windows
+        from ocr_platform_ray.ops.windows import hopping_window_agg, time_bucket_agg
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 20, 500),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 86400, 500), "s"),
+                "value": rng.randint(0, 100, 500),
+            }
+        )
+        ds = rd.from_pandas(df)
+        for fn in (time_bucket_agg, hopping_window_agg):
+            auto = fn(ds)
+            exch = fn(ds, finish="exchange")
+            pd.testing.assert_frame_equal(auto, exch[auto.columns], check_dtype=False)
+
+    def test_top_orders_revenue_finish_routes_equivalent(self):
+        from ocr_platform_ray.pipelines.queries import q_top_orders_revenue
+
+        a = q_top_orders_revenue("/root/testdata/sf0.001")
+        b = q_top_orders_revenue("/root/testdata/sf0.001", finish="exchange")
+        pd.testing.assert_frame_equal(a, b)
+
     def test_sessionize_gap_semantics(self):
         from ocr_platform_ray.ops.windows import sessionize
 
