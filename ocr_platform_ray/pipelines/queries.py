@@ -1051,6 +1051,41 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_rasterize_pdf_pages(sf_dir: str) -> pd.DataFrame:
+    """S4 first half (rows-only): render real PDF pages to 2x grayscale
+    pixels (reference ocr.ts:56-71's pdf-to-img step) via the actor-pool
+    raster stage, then report per-page geometry + a sha256 of the PNG
+    payload (pins byte-determinism under any parallelism)."""
+    import hashlib
+
+    from ..sources.pdfgen import make_article_pdf
+    from ..stages.raster import rasterize_pdf_pages
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] < 16], batch_format="pandas"
+    )
+
+    def to_pdf(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, text in zip(b["doc_id"], b["text"]):
+            i = int(i)
+            words = text.split()[:40]
+            pdf = make_article_pdf(
+                f"Raster doc {i}",
+                [" ".join(words[:20]), " ".join(words[20:]) or "filler"],
+                page_number=1,
+                use_objstm=i % 2 == 1,
+            )
+            rows.append({"url": f"pdf://raster/{i:04d}", "html": pdf})
+        return pd.DataFrame(rows)
+
+    pages = rasterize_pdf_pages(docs.map_batches(to_pdf, batch_format="pandas"))
+    df = pages.to_pandas()
+    df["png_sha256"] = df["png"].map(lambda p: hashlib.sha256(bytes(p)).hexdigest())
+    out = df[["url", "page_idx", "width", "height", "ink_ratio", "png_sha256"]]
+    return out.sort_values(["url", "page_idx"]).reset_index(drop=True)
+
+
 def q_dataset_split(sf_dir: str) -> rd.Dataset:
     """Deterministic train/val/test assignment — a training-data staple:
     split by key arithmetic (stable under any parallelism; mirrored in
@@ -1331,6 +1366,7 @@ QUERIES = {
     "knn_lsh_top10": q_knn_lsh_top10,
     "approx_median_value_by_type": q_approx_median_value_by_type,
     "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
+    "rasterize_pdf_pages": q_rasterize_pdf_pages,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -298,8 +298,70 @@ class TestEncryption:
         assert r["failed_stage"] is not None and r["body"] == "prior"
 
 
+class TestRasterize:
+    """S4 first half: page pixels at 2x (reference ocr.ts:56-71).  Geometry
+    is exact (ink lands inside each parsed box's scaled rectangle); glyphs
+    come from the built-in 5x7 font (small caps) or the documented
+    deterministic fallback atlas."""
+
+    def _pdf(self):
+        return make_article_pdf("Raster Title", PARAS, footnote="fn", page_number=4)
+
+    def test_ink_lands_inside_parsed_boxes(self):
+        import numpy as np
+
+        from ocr_platform_ray.stages.raster import rasterize_pdf
+
+        pdf = self._pdf()
+        img = rasterize_pdf(pdf)[0]
+        assert img.shape == (792 * 2, 612 * 2)
+        boxes = pdf_page_boxes(pdf)[0]
+        covered = np.zeros_like(img, dtype=bool)
+        for x0, ty, x1, by, _role, text in boxes:
+            size = by - ty
+            y0, y1 = int(ty * 2), int(by * 2) + 2
+            xs = int(x0 * 2)
+            xe = int((x0 + 0.5 * size * len(text)) * 2) + 2
+            sub = img[y0:y1, xs:xe]
+            assert (sub < 128).mean() > 0.05  # real ink inside the box
+            covered[y0:y1, xs:xe] = True
+        # no stray ink outside any box
+        assert not (img[~covered] < 128).any()
+
+    def test_scale_factor_scales_canvas_and_ink(self):
+        from ocr_platform_ray.stages.raster import rasterize_pdf
+
+        pdf = self._pdf()
+        at1 = rasterize_pdf(pdf, scale=1.0)[0]
+        at2 = rasterize_pdf(pdf, scale=2.0)[0]
+        assert at2.shape == (at1.shape[0] * 2, at1.shape[1] * 2)
+        n1, n2 = (at1 < 128).sum(), (at2 < 128).sum()
+        assert 2.0 < n2 / max(n1, 1) < 8.0  # ~4x ink at 2x scale
+
+    def test_deterministic_and_png_roundtrip(self):
+        import numpy as np
+
+        from ocr_platform_ray.multimodal.codecs import decode_png, encode_png
+        from ocr_platform_ray.stages.raster import rasterize_pdf
+
+        pdf = self._pdf()
+        a, b = rasterize_pdf(pdf)[0], rasterize_pdf(pdf)[0]
+        assert np.array_equal(a, b)
+        back = decode_png(encode_png(a))
+        assert np.array_equal(back[:, :, 0], a)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestPdfPipeline:
+    def test_rasterize_query_deterministic(self):
+        from ocr_platform_ray.pipelines.queries import q_rasterize_pdf_pages
+
+        a = q_rasterize_pdf_pages("/root/testdata/sf0.001")
+        assert len(a) == 16 and (a["width"] == 1224).all()
+        assert (a["ink_ratio"] > 0).all() and not a["png_sha256"].duplicated().all()
+        b = q_rasterize_pdf_pages("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+
     def test_extract_pdf_docs_query(self):
         from ocr_platform_ray.pipelines.queries import q_extract_pdf_docs
 
