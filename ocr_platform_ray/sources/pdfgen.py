@@ -332,91 +332,58 @@ def _enc_rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def encrypt_pdf_rc4(pdf: bytes, *, revision: int = 2, permissions: int = -4) -> bytes:
-    """Encrypt a classic-xref PDF (our builder's default layout) with the
-    Standard security handler, EMPTY user and owner passwords:
-    revision=2 -> V1/40-bit RC4, revision=3 -> V2/128-bit RC4.  Stream
-    payloads are RC4'd in place (same length, so object offsets are
-    reused), an /Encrypt dict is appended, and the trailer gains
-    /Encrypt + /ID.  Algorithms 2/3/4/5 of ISO 32000-1 §7.6.3."""
-    import hashlib
+def _rebuild_encrypted(
+    pdf: bytes, transform, enc_dict: bytes, file_id: bytes, *, permissions: int = -4
+) -> bytes:
+    """Re-emit a classic-xref PDF with every stream payload run through
+    ``transform(num, gen, payload)`` (length may change — /Length values
+    are rewritten), append the /Encrypt object, and rebuild xref +
+    trailer with /Encrypt + /ID.  Offsets are tracked during emission,
+    never re-scanned (binary ciphertext can contain 'N G obj')."""
     import re as _re
 
-    assert revision in (2, 3)
-    n = 5 if revision == 2 else 16
-    file_id = hashlib.md5(pdf).digest()
-
-    # Algorithm 3: /O with empty owner+user passwords
-    okey = hashlib.md5(_ENC_PAD).digest()
-    if revision >= 3:
-        for _ in range(50):
-            okey = hashlib.md5(okey[:n]).digest()
-    okey = okey[:n]
-    o_val = _enc_rc4(okey, _ENC_PAD)
-    if revision >= 3:
-        for i in range(1, 20):
-            o_val = _enc_rc4(bytes(b ^ i for b in okey), o_val)
-
-    # Algorithm 2: file key for the empty user password
-    h = hashlib.md5()
-    h.update(_ENC_PAD)
-    h.update(o_val)
-    h.update((permissions & 0xFFFFFFFF).to_bytes(4, "little"))
-    h.update(file_id)
-    key = h.digest()
-    if revision >= 3:
-        for _ in range(50):
-            key = hashlib.md5(key[:n]).digest()
-    key = key[:n]
-
-    # Algorithms 4/5: /U
-    if revision == 2:
-        u_val = _enc_rc4(key, _ENC_PAD)
-    else:
-        x = _enc_rc4(key, hashlib.md5(_ENC_PAD + file_id).digest())
-        for i in range(1, 20):
-            x = _enc_rc4(bytes(b ^ i for b in key), x)
-        u_val = x + b"\x00" * 16
-
-    def obj_key(num: int, gen: int = 0) -> bytes:
-        return hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        ).digest()[: min(n + 5, 16)]
-
-    # split off the xref/trailer, encrypt every stream payload in place
     xref_at = pdf.rfind(b"\nxref\n")
-    assert xref_at >= 0, "encrypt_pdf_rc4 expects the classic-xref layout"
-    body = bytearray(pdf[: xref_at + 1])
+    assert xref_at >= 0, "fixture encryptors expect the classic-xref layout"
+    src = pdf[: xref_at + 1]
     tail = pdf[xref_at + 1 :]
-    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", bytes(body)):
+    root = int(_re.search(rb"/Root\s+(\d+)\s+\d+\s+R", tail).group(1))
+    first = _re.search(rb"\d+\s+\d+\s+obj\b", src)
+    out = bytearray(src[: first.start()])
+    offsets: dict[int, int] = {}
+    max_num = 0
+    cursor = 0
+    for m in _re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", src):
+        if m.start() < cursor:
+            continue  # digits inside a previous object's binary stream
         num, gen = int(m.group(1)), int(m.group(2))
-        endobj = body.find(b"endobj", m.end())
-        span = bytes(body[m.end() : endobj])
+        max_num = max(max_num, num)
+        endobj = src.find(b"endobj", m.end())
+        cursor = endobj + 6
+        span = src[m.end() : endobj]
+        offsets[num] = len(out)
         sm = _re.search(rb"stream\r?\n", span)
         if not sm:
+            out += src[m.start() : endobj + 6] + b"\n"
             continue
-        s_start = m.end() + sm.end()
-        s_end = body.find(b"endstream", s_start)
-        while s_end > s_start and body[s_end - 1] in (0x0A, 0x0D):
-            s_end -= 1
-        body[s_start:s_end] = _enc_rc4(obj_key(num, gen), bytes(body[s_start:s_end]))
-
-    # append the /Encrypt dict, rebuild xref + trailer
-    root = int(_re.search(rb"/Root\s+(\d+)\s+\d+\s+R", tail).group(1))
-    enc_num = max(int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj\b", bytes(body))) + 1
-    v = 1 if revision == 2 else 2
-    enc_body = (
-        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {revision} "
-        f"/Length {n * 8} /P {permissions} ".encode()
-        + b"/O <" + o_val.hex().encode() + b"> /U <" + u_val.hex().encode() + b"> >>\nendobj\n"
-    )
-    body += enc_body
-    offsets = {
-        int(m.group(1)): m.start()
-        for m in _re.finditer(rb"(\d+)\s+\d+\s+obj\b", bytes(body))
-    }
+        dict_part = span[: sm.start()]
+        payload = span[sm.end() : span.rfind(b"endstream")]
+        while payload[-1:] in (b"\n", b"\r"):
+            payload = payload[:-1]
+        new_payload = transform(num, gen, bytes(payload))
+        new_dict = _re.sub(
+            rb"/Length\s+\d+", b"/Length " + str(len(new_payload)).encode(), dict_part
+        )
+        out += (
+            src[m.start() : m.end()]
+            + new_dict.rstrip()
+            + b"\nstream\n"
+            + new_payload
+            + b"\nendstream\nendobj\n"
+        )
+    enc_num = max_num + 1
+    offsets[enc_num] = len(out)
+    out += f"{enc_num} 0 obj\n".encode() + enc_dict + b"\nendobj\n"
     size = max(offsets) + 1
-    out = bytearray(body)
     xref_pos = len(out)
     out += f"xref\n0 {size}\n".encode() + b"0000000000 65535 f \n"
     for i in range(1, size):
@@ -430,3 +397,129 @@ def encrypt_pdf_rc4(pdf: bytes, *, revision: int = 2, permissions: int = -4) -> 
         + str(xref_pos).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
+
+
+def _legacy_keys(file_id: bytes, revision: int, permissions: int) -> tuple[bytes, bytes, bytes]:
+    """Algorithms 3/2/4/5 for empty owner+user passwords -> (O, U, key).
+    revision 2 -> 40-bit, revision 3/4 -> 128-bit."""
+    import hashlib
+
+    n = 5 if revision == 2 else 16
+    okey = hashlib.md5(_ENC_PAD).digest()
+    if revision >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o_val = _enc_rc4(okey, _ENC_PAD)
+    if revision >= 3:
+        for i in range(1, 20):
+            o_val = _enc_rc4(bytes(b ^ i for b in okey), o_val)
+    h = hashlib.md5()
+    h.update(_ENC_PAD)
+    h.update(o_val)
+    h.update((permissions & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    key = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    if revision == 2:
+        u_val = _enc_rc4(key, _ENC_PAD)
+    else:
+        x = _enc_rc4(key, hashlib.md5(_ENC_PAD + file_id).digest())
+        for i in range(1, 20):
+            x = _enc_rc4(bytes(b ^ i for b in key), x)
+        u_val = x + b"\x00" * 16
+    return o_val, u_val, key
+
+
+def encrypt_pdf_rc4(pdf: bytes, *, revision: int = 2, permissions: int = -4) -> bytes:
+    """Standard security handler, EMPTY passwords, RC4: revision=2 ->
+    V1/40-bit, revision=3 -> V2/128-bit (ISO 32000-1 §7.6.3 alg 2-5;
+    independent of stages/pdf.py's decryptor — own RC4 + pad constant)."""
+    import hashlib
+
+    assert revision in (2, 3)
+    n = 5 if revision == 2 else 16
+    file_id = hashlib.md5(pdf).digest()
+    o_val, u_val, key = _legacy_keys(file_id, revision, permissions)
+
+    def transform(num: int, gen: int, payload: bytes) -> bytes:
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+        return _enc_rc4(ok, payload)
+
+    v = 1 if revision == 2 else 2
+    enc_dict = (
+        f"<< /Filter /Standard /V {v} /R {revision} /Length {n * 8} "
+        f"/P {permissions} ".encode()
+        + b"/O <" + o_val.hex().encode() + b"> /U <" + u_val.hex().encode() + b"> >>"
+    )
+    return _rebuild_encrypted(pdf, transform, enc_dict, file_id, permissions=permissions)
+
+
+def encrypt_pdf_aes128(pdf: bytes, *, permissions: int = -4) -> bytes:
+    """V4 R4 /CFM /AESV2: 128-bit key (R3-style derivation), per-object
+    md5(key + num + gen + "sAlT") keys, 16-byte IV prefix + AES-CBC with
+    PKCS#7 padding.  Uses the vendored FIPS-197 core (KAT-pinned)."""
+    import hashlib
+
+    from ..stages.aes import aes_cbc_encrypt, pkcs7_pad
+
+    file_id = hashlib.md5(pdf).digest()
+    o_val, u_val, key = _legacy_keys(file_id, 4, permissions)
+
+    def transform(num: int, gen: int, payload: bytes) -> bytes:
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + b"sAlT"
+        ).digest()[:16]
+        iv = hashlib.md5(b"iv" + num.to_bytes(4, "big") + file_id).digest()
+        return iv + aes_cbc_encrypt(ok, iv, pkcs7_pad(payload))
+
+    enc_dict = (
+        f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {permissions} ".encode()
+        + b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        + b"/O <" + o_val.hex().encode() + b"> /U <" + u_val.hex().encode() + b"> >>"
+    )
+    return _rebuild_encrypted(pdf, transform, enc_dict, file_id, permissions=permissions)
+
+
+def encrypt_pdf_aes256(pdf: bytes, *, permissions: int = -4) -> bytes:
+    """V5 R6 /CFM /AESV3: one 256-bit file key for every stream, wrapped
+    into /UE (and /OE) via the ISO 32000-2 Algorithm 2.B hardened hash
+    with empty passwords; streams are IV + AES-256-CBC + PKCS#7."""
+    import hashlib
+
+    from ..stages.aes import aes_cbc_encrypt, aes_ecb_encrypt, pkcs7_pad
+    from ..stages.pdf import _hash_r6
+
+    file_id = hashlib.md5(pdf).digest()
+    file_key = hashlib.sha256(pdf + b"filekey").digest()
+    vsalt = hashlib.md5(pdf + b"vs").digest()[:8]
+    ksalt = hashlib.md5(pdf + b"ks").digest()[:8]
+    u_val = _hash_r6(b"", vsalt) + vsalt + ksalt
+    ue = aes_cbc_encrypt(_hash_r6(b"", ksalt), b"\x00" * 16, file_key)
+    ovs = hashlib.md5(pdf + b"ovs").digest()[:8]
+    oks = hashlib.md5(pdf + b"oks").digest()[:8]
+    o_val = _hash_r6(b"", ovs, u_val) + ovs + oks
+    oe = aes_cbc_encrypt(_hash_r6(b"", oks, u_val), b"\x00" * 16, file_key)
+    perms_blob = aes_ecb_encrypt(
+        file_key,
+        (permissions & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"Tadb" + b"\x00" * 4,
+    )
+
+    def transform(num: int, gen: int, payload: bytes) -> bytes:
+        iv = hashlib.md5(b"iv" + num.to_bytes(4, "big") + file_id).digest()
+        return iv + aes_cbc_encrypt(file_key, iv, pkcs7_pad(payload))
+
+    enc_dict = (
+        f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {permissions} ".encode()
+        + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+        + b"/O <" + o_val.hex().encode() + b"> /U <" + u_val.hex().encode() + b"> "
+        + b"/OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode() + b"> "
+        + b"/Perms <" + perms_blob.hex().encode() + b"> >>"
+    )
+    return _rebuild_encrypted(pdf, transform, enc_dict, file_id, permissions=permissions)

@@ -19,21 +19,27 @@ streams), literal strings with octal/char escapes, hex strings, object
 streams, ToUnicode CMaps (bfchar / bfrange offset + array forms, 1- and
 2-byte code widths) for Type0/CID subset fonts — non-Latin text decodes
 correctly; fonts without a CMap decode as WinAnsi/latin-1 — and
-RC4-encrypted files under the Standard security handler with an EMPTY
-user password (V 1/2, R 2/3 — ISO 32000-1 §7.6.2-7.6.3 algorithms 2/4/5
-reimplemented; the reference opens encrypted files via pdf-lib's
-``ignoreEncryption: true``, ocr.ts:24).
-Not interpreted (documented limits): AES encryption (V4 /AESV2,
-V5 /AESV3) and non-empty user passwords — these raise ValueError, which
-``extract_page`` maps to the M5 failed-stage salvage row rather than
-crashing the pipeline; likewise inline images and exact glyph metrics
-(x-advance is an average-width estimate — enough for reading order)."""
+Standard-security-handler encryption with an EMPTY user password:
+RC4 (V 1/2, R 2/3 and V4 /CFM /V2 — ISO 32000-1 §7.6.2-7.6.3 algorithms
+2/4/5 reimplemented), AES-128-CBC (V4 /CFM /AESV2, R4, "sAlT" object
+keys) and AES-256-CBC (V5 /AESV3, R5/R6 — ISO 32000-2 Algorithm 2.B
+hardened hash, /UE key unwrap) on the vendored FIPS-197 core
+(``stages/aes.py``); the reference opens encrypted files via pdf-lib's
+``ignoreEncryption: true`` (ocr.ts:24) — this parser goes further and
+actually decrypts.
+Not interpreted (documented limits): non-empty user passwords and
+non-Standard handlers — these raise ValueError, which ``extract_page``
+maps to the M5 failed-stage salvage row rather than crashing the
+pipeline; likewise inline images and exact glyph metrics (x-advance is
+an average-width estimate — enough for reading order)."""
 
 from __future__ import annotations
 
 import hashlib
 import re
 import zlib
+
+from .aes import aes_cbc_decrypt, aes_cbc_encrypt, pkcs7_unpad
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b"\x00\t\n\x0c\r "
@@ -336,11 +342,39 @@ def _verify_empty_user_password(key: bytes, enc: dict, file_id: bytes) -> bool:
     return x[:16] == u[:16]
 
 
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6).  The 128-bit
+    big-endian "mod 3" equals the byte sum mod 3 (256 ≡ 1 mod 3)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = {0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512}[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aes_stream_decrypt(key: bytes, raw: bytes) -> bytes:
+    """PDF AES stream layout: 16-byte IV prefix + CBC ciphertext with
+    PKCS#7 padding; tolerate ragged tails (salvage spirit)."""
+    if len(raw) < 32:
+        return b""
+    iv, body = raw[:16], raw[16:]
+    body = body[: len(body) - len(body) % 16]
+    return pkcs7_unpad(aes_cbc_decrypt(key, iv, body))
+
+
 def _make_stream_decryptor(data: bytes, objects: dict, gens: dict):
-    """None when the file is unencrypted; a (num, raw)->bytes RC4
-    decryptor when it uses the Standard handler with an empty user
-    password; raises ValueError otherwise (AES / passworded) — the caller
-    maps that to the M5 salvage row."""
+    """None when the file is unencrypted; a (num, raw)->bytes decryptor
+    when it uses the Standard handler with an EMPTY user password —
+    RC4 (V1/V2, R2/R3; V4 /CFM /V2), AES-128-CBC (V4 /CFM /AESV2, R4)
+    or AES-256-CBC (V5 /AESV3, R5/R6); raises ValueError otherwise
+    (passworded / unknown handler) — the caller maps that to the M5
+    salvage row."""
     enc_ref, file_id = _find_encrypt(data, objects)
     if enc_ref is None:
         return None, set()
@@ -352,23 +386,59 @@ def _make_stream_decryptor(data: bytes, objects: dict, gens: dict):
     if not isinstance(enc, dict):
         raise ValueError("pdf: encrypted (unresolvable /Encrypt dict)")
     v = int(enc.get("V", 0))
-    if enc.get("Filter") != "Standard" or v not in (1, 2):
+    if enc.get("Filter") != "Standard" or v not in (1, 2, 4, 5):
         raise ValueError(
             f"pdf: unsupported encryption (Filter={enc.get('Filter')!r} V={v})"
         )
-    key = _std_security_key(enc, file_id)
-    if not _verify_empty_user_password(key, enc, file_id):
-        raise ValueError("pdf: password-protected (non-empty user password)")
     # xref streams are never encrypted (ISO 32000-1 §7.5.8.2)
     for num, (val, _s) in objects.items():
         if isinstance(val, dict) and val.get("Type") == "XRef":
             exclude.add(num)
 
+    if v == 5:
+        # AES-256: SHA-2 password validation, file key unwrapped from /UE
+        r = int(enc.get("R", 6))
+        u, ue = enc.get("U", b""), enc.get("UE", b"")
+        if r not in (5, 6) or len(u) < 48 or len(ue) < 32:
+            raise ValueError(f"pdf: unsupported encryption (V=5 R={r})")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            if _hash_r6(b"", vsalt) != u[:32]:
+                raise ValueError("pdf: password-protected (non-empty user password)")
+            ik = _hash_r6(b"", ksalt)
+        else:  # R5 (deprecated Adobe extension): single SHA-256
+            if hashlib.sha256(vsalt).digest() != u[:32]:
+                raise ValueError("pdf: password-protected (non-empty user password)")
+            ik = hashlib.sha256(ksalt).digest()
+        file_key = aes_cbc_decrypt(ik, b"\x00" * 16, ue[:32])
+
+        def decrypt_v5(num: int, raw: bytes) -> bytes:
+            return _aes_stream_decrypt(file_key, raw)
+
+        return decrypt_v5, exclude
+
+    cfm = "V2"  # RC4 unless a V4 crypt filter says AESV2
+    if v == 4:
+        stmf = enc.get("StmF", "Identity")
+        if stmf == "Identity":
+            return None, set()  # streams pass through untouched
+        cf = enc.get("CF")
+        cfd = cf.get(stmf, cf.get("StdCF", {})) if isinstance(cf, dict) else {}
+        cfm = cfd.get("CFM", "V2") if isinstance(cfd, dict) else "V2"
+        if cfm not in ("V2", "AESV2"):
+            raise ValueError(f"pdf: unsupported crypt filter {cfm!r}")
+    key = _std_security_key(enc, file_id)
+    if not _verify_empty_user_password(key, enc, file_id):
+        raise ValueError("pdf: password-protected (non-empty user password)")
+    salt = b"sAlT" if cfm == "AESV2" else b""
+
     def decrypt(num: int, raw: bytes) -> bytes:
         gen = gens.get(num, 0)
         ok = hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
         ).digest()[: min(len(key) + 5, 16)]
+        if cfm == "AESV2":
+            return _aes_stream_decrypt(ok, raw)
         return _rc4(ok, raw)
 
     return decrypt, exclude

@@ -249,21 +249,60 @@ class TestErrors:
 
 
 class TestEncryption:
-    """Standard-security-handler RC4 with empty user password decrypts for
-    real (fixture encryptor is an independent implementation of ISO
-    32000-1 §7.6.3 algorithms 2-5); AES and passworded files route to M5
-    salvage semantics instead of crashing — parity with the reference's
-    ``ignoreEncryption: true`` tolerance (ocr.ts:24)."""
+    """Standard-security-handler decryption with empty user password —
+    RC4 (V1/V2; fixture encryptor is an independent implementation of ISO
+    32000-1 §7.6.3 algorithms 2-5), AES-128 (V4 /AESV2) and AES-256
+    (V5 R6 /AESV3, Algorithm 2.B) on the FIPS-197-KAT-pinned vendored
+    core; passworded / unknown-handler files route to M5 salvage
+    semantics instead of crashing (the reference only *ignores*
+    encryption — pdf-lib ``ignoreEncryption: true``, ocr.ts:24)."""
 
     def _plain(self):
         return make_article_pdf("Secret Title", PARAS, footnote="note", page_number=2)
 
-    @pytest.mark.parametrize("rev", [2, 3])
-    def test_rc4_empty_password_decrypts(self, rev):
-        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
+    def test_aes_core_fips197_vectors(self):
+        from ocr_platform_ray.stages.aes import (
+            aes_cbc_decrypt,
+            aes_cbc_encrypt,
+            aes_ecb_decrypt,
+            aes_ecb_encrypt,
+        )
 
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        for key_hex, ct_hex in [
+            ("000102030405060708090a0b0c0d0e0f", "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            (
+                "000102030405060708090a0b0c0d0e0f1011121314151617",
+                "dda97ca4864cdfe06eaf70a0ec0d7191",
+            ),
+            (
+                "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+                "8ea2b7ca516745bfeafc49904b496089",
+            ),
+        ]:
+            key = bytes.fromhex(key_hex)
+            assert aes_ecb_encrypt(key, pt).hex() == ct_hex
+            assert aes_ecb_decrypt(key, bytes.fromhex(ct_hex)) == pt
+        data, iv = bytes(range(256)) * 2, bytes(range(16))
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, data)) == data
+
+    @pytest.mark.parametrize("mode", ["rc4r2", "rc4r3", "aes128", "aes256"])
+    def test_empty_password_decrypts(self, mode):
+        from ocr_platform_ray.sources.pdfgen import (
+            encrypt_pdf_aes128,
+            encrypt_pdf_aes256,
+            encrypt_pdf_rc4,
+        )
+
+        fn = {
+            "rc4r2": lambda p: encrypt_pdf_rc4(p, revision=2),
+            "rc4r3": lambda p: encrypt_pdf_rc4(p, revision=3),
+            "aes128": encrypt_pdf_aes128,
+            "aes256": encrypt_pdf_aes256,
+        }[mode]
         plain = self._plain()
-        enc = encrypt_pdf_rc4(plain, revision=rev)
+        enc = fn(plain)
         assert enc != plain and b"/Encrypt" in enc
         assert pdf_page_boxes(enc) == pdf_page_boxes(plain)
         assert pdf_page_count(enc) == 1
@@ -272,23 +311,25 @@ class TestEncryption:
         assert r_enc["failed_stage"] is None
         assert r_enc["body"] == r_plain["body"]
 
-    def test_aes_routes_to_salvage(self):
+    def test_unknown_handler_routes_to_salvage(self):
         from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
 
         enc = encrypt_pdf_rc4(self._plain(), revision=2)
-        aes = enc.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+        weird = enc.replace(b"/V 1 /R 2", b"/V 7 /R 9")
         with pytest.raises(ValueError, match="unsupported encryption"):
-            pdf_page_boxes(aes)
-        r = extract_page(aes, "prior ocr text")
+            pdf_page_boxes(weird)
+        r = extract_page(weird, "prior ocr text")
         assert r["failed_stage"] is not None
         assert r["body"] == "prior ocr text"
 
-    def test_nonempty_password_routes_to_salvage(self):
+    @pytest.mark.parametrize("mode", ["rc4r3", "aes256"])
+    def test_nonempty_password_routes_to_salvage(self, mode):
         import re
 
-        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_rc4
+        from ocr_platform_ray.sources.pdfgen import encrypt_pdf_aes256, encrypt_pdf_rc4
 
-        enc = bytearray(encrypt_pdf_rc4(self._plain(), revision=3))
+        fn = {"rc4r3": lambda p: encrypt_pdf_rc4(p, revision=3), "aes256": encrypt_pdf_aes256}[mode]
+        enc = bytearray(fn(self._plain()))
         m = re.search(rb"/U <([0-9a-f]+)>", bytes(enc))
         first2 = bytes(enc[m.start(1) : m.start(1) + 2])
         enc[m.start(1) : m.start(1) + 2] = b"00" if first2 != b"00" else b"11"
