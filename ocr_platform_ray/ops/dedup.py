@@ -544,7 +544,7 @@ def repeated_paragraphs(
     repeated-hash set (min() per hash for determinism)."""
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes, texts = [], [], []
+        ids, texts = [], []
         for i, text in zip(b[id_col], b[text_col]):
             for para in text.split(sep):
                 p = para.strip()
@@ -552,14 +552,14 @@ def repeated_paragraphs(
                     continue
                 ids.append(i)
                 texts.append(p)
-            # signed-int64 view: a batch of large uint64 hashes would
-            # otherwise infer a uint64 column in some batches and int64 in
-            # others -> inconsistent block schemas across the exchange
-            hs = _sha64(texts[len(hashes) :]).view(np.int64)
-            hashes.extend(int(h) for h in hs)
-        out = pd.DataFrame(
-            {id_col: ids, "para_hash": np.asarray(hashes, dtype=np.int64), "para_text": texts}
-        )
+        # ONE vectorized hash call over every paragraph of the batch
+        # (hash_array costs ~30us of dispatch per call — per-document
+        # calls dominated this stage).  signed-int64 view: a batch of
+        # large uint64 hashes would otherwise infer a uint64 column in
+        # some batches and int64 in others -> inconsistent block schemas
+        # across the exchange.
+        hashes = _sha64(texts).view(np.int64) if texts else np.empty(0, dtype=np.int64)
+        out = pd.DataFrame({id_col: ids, "para_hash": hashes, "para_text": texts})
         return out.drop_duplicates(["para_hash", id_col])  # in-batch combiner
 
     empty = pd.DataFrame(
@@ -631,13 +631,18 @@ def strip_repeated_paragraphs(
     def strip(b: pd.DataFrame) -> pd.DataFrame:
         bad = cached_get(bad_ref)
         out = b.copy()
+        # batch-vectorized: split every doc, hash ALL paragraphs in one
+        # call, then reassemble per doc via offsets
+        para_lists = [text.split(sep) for text in b[text_col]]
+        flat = [p.strip() for paras in para_lists for p in paras]
+        hashes = _sha64(flat).view(np.int64) if flat else np.empty(0, dtype=np.int64)
         new_texts = []
-        for text in b[text_col]:
-            paras = text.split(sep)
+        pos = 0
+        for paras in para_lists:
             keep = []
-            stripped = [p.strip() for p in paras]
-            hashes = _sha64([p for p in stripped]).view(np.int64)
-            for p, sp, h in zip(paras, stripped, hashes):
+            for p in paras:
+                sp, h = flat[pos], hashes[pos]
+                pos += 1
                 if len(sp.split()) >= min_words and int(h) in bad:
                     continue
                 keep.append(p)
