@@ -177,6 +177,8 @@ def fuzzy_join_lev(
     n_shards: int = 64,
     with_command_score: bool = False,
     verify: str = "broadcast",
+    blocking: str = "auto",
+    blocking_threshold_rows: int = 20_000,
 ) -> pd.DataFrame:
     """All (left, right) pairs with levenshtein <= max_dist, exactly —
     PassJoin blocking + banded-DP verification; no all-pairs scan.
@@ -185,6 +187,13 @@ def fuzzy_join_lev(
     ``with_command_score`` annotates each surviving pair with the
     reference's fuzzy scorer (M17 command_score) — the J4 'fuzzy name
     match' composition at dataset scale.
+
+    ``blocking``: "auto" probes both sides with ``limit(threshold+1)``
+    (the auto_join planner idea) — when both fit, the segment/substring
+    key tables build and merge on the driver with ZERO exchanges (the
+    probe heads double as the verification string maps, so the whole
+    join is two bounded executions); above the threshold, the hash-shard
+    "exchange" route.  Routes are equivalence-tested.
 
     ``verify``: "broadcast" fetches involved strings via one id-set
     filter (pair-set-sized); "bucketed" joins the candidate pairs against
@@ -240,6 +249,41 @@ def fuzzy_join_lev(
         out["__side"] = "r"
         return out
 
+    empty_pairs = pd.DataFrame(
+        {"id_l": pd.Series(dtype="int64"), "id_r": pd.Series(dtype="int64")}
+    )
+    pairs = None
+    lmap = rmap = None  # filled by the driver route; fetched otherwise
+    if blocking == "auto":
+        try:
+            lhead = left.limit(blocking_threshold_rows + 1).to_pandas()
+            rhead = right.limit(blocking_threshold_rows + 1).to_pandas()
+        except Exception:
+            lhead = rhead = None
+        small = (
+            lhead is not None
+            and rhead is not None
+            and len(lhead) <= blocking_threshold_rows
+            and len(rhead) <= blocking_threshold_rows
+        )
+        if small:
+            if lhead.shape[1] == 0 or rhead.shape[1] == 0:  # empty side
+                pairs = empty_pairs
+                lmap, rmap = {}, {}
+            else:
+                m = left_keys(lhead).merge(
+                    right_keys(rhead), on=["L", "si", "seg"], suffixes=("_l", "_r")
+                )
+                pairs = (
+                    m[["rid_l", "rid_r"]]
+                    .drop_duplicates()
+                    .rename(columns={"rid_l": "id_l", "rid_r": "id_r"})
+                )
+                lmap = dict(zip(lhead[id_col], lhead[str_col]))
+                rmap = dict(zip(rhead[id_col], rhead[str_col]))
+        else:
+            blocking = "exchange"
+
     lk = left.map_batches(left_keys, batch_format="pandas")
     rk = right.map_batches(right_keys, batch_format="pandas")
 
@@ -266,12 +310,6 @@ def fuzzy_join_lev(
         out = m[["rid_l", "rid_r"]].drop_duplicates()
         return out.rename(columns={"rid_l": "id_l", "rid_r": "id_r"})
 
-    cand_ds = (
-        lk.union(rk)
-        .map_batches(add_shard, batch_format="pandas")
-        .groupby("__shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-    )
     empty_out = pd.DataFrame(
         {
             "id_l": pd.Series(dtype="int64"),
@@ -279,37 +317,53 @@ def fuzzy_join_lev(
             "lev_dist": pd.Series(dtype="int64"),
         }
     )
-    if verify == "bucketed":
-        return _verify_bucketed(
-            cand_ds, left, right, id_col, str_col, d, with_command_score, empty_out
+    if pairs is None:  # exchange blocking route
+        cand_ds = (
+            lk.union(rk)
+            .map_batches(add_shard, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(shard_pairs, batch_format="pandas")
         )
-    cand = cand_ds.to_pandas()
-    if cand.empty:
-        return empty_out
-    pairs = cand.drop_duplicates()
+        if verify == "bucketed":
+            return _verify_bucketed(
+                cand_ds, left, right, id_col, str_col, d, with_command_score, empty_out
+            )
+        cand = cand_ds.to_pandas()
+        if cand.empty:
+            return empty_out
+        pairs = cand.drop_duplicates()
+    else:  # driver blocking route — strings already on hand
+        if pairs.empty:
+            return empty_out
+        if verify == "bucketed":
+            return _verify_bucketed(
+                rd.from_pandas(pairs), left, right, id_col, str_col, d,
+                with_command_score, empty_out,
+            )
 
-    # verification: fetch only involved strings (pair-set-sized); at 10^12
-    # rows this broadcast fetch becomes a bucketed join on id
-    inv_l = frozenset(pairs["id_l"])
-    inv_r = frozenset(pairs["id_r"])
-    l_ref, r_ref = ray.put(inv_l), ray.put(inv_r)
+    if lmap is None:
+        # verification: fetch only involved strings (pair-set-sized); at
+        # 10^12 rows this broadcast fetch becomes a bucketed join on id
+        inv_l = frozenset(pairs["id_l"])
+        inv_r = frozenset(pairs["id_r"])
+        l_ref, r_ref = ray.put(inv_l), ray.put(inv_r)
 
-    def pick(ref):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            return b[b[id_col].isin(cached_get(ref))][[id_col, str_col]]
+        def pick(ref):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b[id_col].isin(cached_get(ref))][[id_col, str_col]]
 
-        return f
+            return f
 
-    lmap = dict(
-        zip(*(lambda df: (df[id_col], df[str_col]))(
-            left.map_batches(pick(l_ref), batch_format="pandas").to_pandas()
-        ))
-    )
-    rmap = dict(
-        zip(*(lambda df: (df[id_col], df[str_col]))(
-            right.map_batches(pick(r_ref), batch_format="pandas").to_pandas()
-        ))
-    )
+        lmap = dict(
+            zip(*(lambda df: (df[id_col], df[str_col]))(
+                left.map_batches(pick(l_ref), batch_format="pandas").to_pandas()
+            ))
+        )
+        rmap = dict(
+            zip(*(lambda df: (df[id_col], df[str_col]))(
+                right.map_batches(pick(r_ref), batch_format="pandas").to_pandas()
+            ))
+        )
     sa = np.array([lmap[i] for i in pairs["id_l"]], dtype=object)
     sb = np.array([rmap[i] for i in pairs["id_r"]], dtype=object)
     dist = _verify_dists(sa, sb, d)

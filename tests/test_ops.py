@@ -1103,6 +1103,28 @@ class TestFuzzyJoin:
         pd.testing.assert_frame_equal(a, b)
         assert len(a) >= 10
 
+    def test_fuzzy_join_blocking_routes_equivalent(self):
+        # driver blocking (auto, small sides) == exchange blocking, for
+        # both verify routes
+        from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
+
+        base = ["streamer", "dataframe", "shuffle", "pipeline", "combiner"]
+        lnames = [base[i % len(base)] + f"-{i:02d}" for i in range(20)]
+        rnames = [s[:3] + "#" + s[4:] if i % 2 == 0 else "other-" + str(i)
+                  for i, s in enumerate(lnames)]
+        left = pd.DataFrame({"id": range(20), "name": lnames})
+        right = pd.DataFrame({"id": range(100, 120), "name": rnames})
+        l, r = rd.from_pandas(left), rd.from_pandas(right)
+        kw = dict(id_col="id", str_col="name", max_dist=2)
+        driver = fuzzy_join_lev(l, r, **kw)  # auto -> driver at this size
+        exch = fuzzy_join_lev(l, r, blocking="exchange", **kw)
+        forced = fuzzy_join_lev(l, r, blocking="auto", blocking_threshold_rows=0, **kw)
+        drv_bucketed = fuzzy_join_lev(l, r, verify="bucketed", **kw)
+        pd.testing.assert_frame_equal(driver, exch)
+        pd.testing.assert_frame_equal(driver, forced)
+        pd.testing.assert_frame_equal(driver, drv_bucketed)
+        assert len(driver) >= 10
+
     def test_fuzzy_join_command_score_annotation(self):
         from ocr_platform_ray.ops.fuzzy import fuzzy_join_lev
 
