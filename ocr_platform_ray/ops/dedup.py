@@ -228,6 +228,8 @@ def minhash_lsh_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.8,
     verify: str = "broadcast",
+    candidates: str = "auto",
+    candidate_threshold_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
     bucket groupby -> candidate pairs -> verify by signature agreement
@@ -235,6 +237,13 @@ def minhash_lsh_duplicates(
 
     Returns a pandas DataFrame (id_a, id_b, est_jaccard), id_a < id_b.
     Candidate generation is one groupby over (band, band_hash) buckets.
+
+    ``candidates``: "auto" probes the exploded (id, band, band_hash)
+    table with ``limit(threshold+1)`` — when it fits, ONE driver-side
+    vectorized self-merge replaces the hash-shard exchange (identical
+    pairs: the merge keys are the same (band, bh) equality); above the
+    threshold the exchange route runs.  ``"exchange"`` forces the scale
+    route (equivalence-tested).
 
     ``verify``: "broadcast" fetches involved signatures via one broadcast
     id-set filter (right while the involved-id set fits the object store —
@@ -283,11 +292,6 @@ def minhash_lsh_duplicates(
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
 
-    cand_ds = (
-        exploded.map_batches(add_shard, batch_format="pandas")
-        .groupby("__shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-    )
     empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype="int64"),
@@ -295,7 +299,31 @@ def minhash_lsh_duplicates(
             "est_jaccard": pd.Series(dtype="float64"),
         }
     )
+    cand_pairs = cand_ds = None
+    if candidates == "auto":
+        try:
+            head = exploded.limit(candidate_threshold_rows + 1).to_pandas()
+        except Exception:
+            head = None
+        if head is not None and len(head) <= candidate_threshold_rows:
+            # the probe head IS the complete exploded table: one global
+            # vectorized self-merge == the per-shard merges unioned
+            cand_pairs = (
+                shard_pairs(head)
+                if head.shape[1] > 0
+                else pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+            )
+    if cand_pairs is None:
+        cand_ds = (
+            exploded.map_batches(add_shard, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(shard_pairs, batch_format="pandas")
+        )
 
+    if verify == "bucketed" and cand_pairs is not None:
+        if cand_pairs.empty:
+            return empty
+        cand_ds = rd.from_pandas(cand_pairs)
     if verify == "bucketed":
         # fully distributed verification: candidate pairs NEVER land on
         # the driver — cross-shard dedupe via the shard-exchange reduce
@@ -371,10 +399,13 @@ def minhash_lsh_duplicates(
     # broadcast route: candidate pairs reduce to the driver (right while
     # the pair list is near-dup-sized), then fetch signatures of involved
     # ids only and compare component-wise.
-    cand = cand_ds.to_pandas()
-    if cand.empty:
+    if cand_pairs is not None:
+        pairs = cand_pairs
+    else:
+        cand = cand_ds.to_pandas()
+        pairs = cand[["id_a", "id_b"]].drop_duplicates() if not cand.empty else cand
+    if pairs.empty:
         return empty
-    pairs = cand[["id_a", "id_b"]].drop_duplicates()
     involved = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
     inv_ref = ray.put(involved)
 
@@ -896,15 +927,26 @@ def embedding_cosine_pairs(
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
 
-    cand = (
-        ds.map_batches(sig, batch_format="pandas")
-        .groupby("__shard")
-        .map_groups(shard_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if cand.empty:
+    sig_keys = ds.map_batches(sig, batch_format="pandas")
+    # size-aware candidate route (same planner as minhash): when the
+    # (id, band, bucket) table fits the probe, one driver self-merge
+    # replaces the shard exchange — identical pairs
+    pairs = None
+    try:
+        head = sig_keys.limit(2_000_000 + 1).to_pandas()
+    except Exception:
+        head = None
+    if head is not None and len(head) <= 2_000_000:
+        pairs = shard_pairs(head) if head.shape[1] > 0 else _cos_pairs_empty()[["id_a", "id_b"]]
+    if pairs is None:
+        pairs = (
+            sig_keys.groupby("__shard")
+            .map_groups(shard_pairs, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates()
+        )
+    if pairs.empty:
         return _cos_pairs_empty()
-    pairs = cand.drop_duplicates()
 
     # exact verification: fetch ONLY involved embeddings (candidate pairs
     # are near-dup-sized, orders of magnitude below the corpus); at 10^12

@@ -97,6 +97,19 @@ class TestDedup:
         )
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
 
+    def test_minhash_candidate_routes_equivalent(self, docs_df):
+        # driver self-merge (auto, small) == forced shard exchange
+        from ocr_platform_ray.ops.dedup import minhash_lsh_duplicates
+
+        ds = rd.from_pandas(docs_df)
+        auto = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.5)
+        exch = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.5, candidates="exchange")
+        forced = minhash_lsh_duplicates(
+            ds, "text", "doc_id", threshold=0.5, candidate_threshold_rows=0
+        )
+        pd.testing.assert_frame_equal(auto, exch)
+        pd.testing.assert_frame_equal(auto, forced)
+
     def test_minhash_bucketed_verify_matches_broadcast(self, docs_df):
         from ocr_platform_ray.ops.dedup import minhash_lsh_duplicates
 
