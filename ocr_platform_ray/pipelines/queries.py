@@ -1032,6 +1032,9 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
                     footnote="1. generated fixture" if i % 2 == 0 else None,
                     use_objstm=variant in (1, 3),
                     use_tm=variant in (2, 3),
+                    # every third url paints its second half via a Form
+                    # XObject (the header/letterhead shape)
+                    use_form_xobj=i % 3 == 1,
                 )
                 rows.append(
                     {

@@ -173,6 +173,7 @@ def make_pdf(
     use_objstm: bool = False,
     use_tm: bool = False,
     use_cid: bool = False,
+    use_form_xobj: bool = False,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
     ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
@@ -184,7 +185,12 @@ def make_pdf(
     CMap: every unique character gets a CID, show strings are 2-byte hex
     code sequences — the LaTeX/Word subset-font shape, and the only way
     non-Latin text travels through a PDF.  Readable back ONLY via the
-    CMap (stages/pdf.py parse_tounicode)."""
+    CMap (stages/pdf.py parse_tounicode).
+
+    ``use_form_xobj=True`` moves the second half of each page's items
+    into a /Form XObject painted via ``/Fx1 Do`` (the header/footer/
+    letterhead shape word processors emit) — readable back only if the
+    parser executes XObject streams."""
     b = _PdfBuilder()
     if use_cid:
         chars = sorted({ch for items in pages for it in items for ch in it["text"]})
@@ -207,8 +213,8 @@ def make_pdf(
     else:
         font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
     pages_root = b.reserve()
-    kids = []
-    for items in pages:
+
+    def text_ops(items: list[dict]) -> list[bytes]:
         ops = [b"BT"]
         for it in items:
             size = it.get("size", 12)
@@ -241,6 +247,29 @@ def make_pdf(
             else:
                 ops.append(b"(" + _esc(t) + b") Tj")
         ops.append(b"ET")
+        return ops
+
+    kids = []
+    for items in pages:
+        if use_form_xobj and len(items) > 1:
+            split = len(items) // 2
+            page_items, form_items = items[:split], items[split:]
+        else:
+            page_items, form_items = items, []
+        ops = text_ops(page_items)
+        xobj_res = b""
+        if form_items:
+            form = b.stream_obj(
+                b"/Type /XObject /Subtype /Form /BBox [0 0 "
+                + f"{page_w:g} {page_h:g}".encode()
+                + b"] /Resources << /Font << /F1 "
+                + str(font).encode()
+                + b" 0 R >> >> ",
+                b"\n".join(text_ops(form_items)),
+                compress=compress,
+            )
+            ops.append(b"/Fx1 Do")
+            xobj_res = b"/XObject << /Fx1 " + str(form).encode() + b" 0 R >> "
         content = b.stream_obj(b"", b"\n".join(ops), compress=compress)
         page = b.add(
             b"<< /Type /Page /Parent "
@@ -251,7 +280,9 @@ def make_pdf(
             + str(content).encode()
             + b" 0 R /Resources << /Font << /F1 "
             + str(font).encode()
-            + b" 0 R >> >> >>"
+            + b" 0 R >> "
+            + xobj_res
+            + b">> >>"
         )
         kids.append(page)
     b.set(
@@ -275,6 +306,7 @@ def make_article_pdf(
     use_objstm: bool = False,
     use_tm: bool = False,
     use_cid: bool = False,
+    use_form_xobj: bool = False,
     compress: bool = True,
 ) -> bytes:
     """One-page article layout: heading (large font), body paragraphs
@@ -302,7 +334,8 @@ def make_article_pdf(
     if page_number is not None:
         items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
     return make_pdf(
-        [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid, compress=compress
+        [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid,
+        use_form_xobj=use_form_xobj, compress=compress,
     )
 
 

@@ -638,13 +638,43 @@ def page_font_decoders(page: dict, objects: dict):
 _CS_TOKEN_RE = re.compile(rb"/?[A-Za-z'\"][A-Za-z0-9*'\"]*|\[|\]|\(|<|[+-]?(?:\d+\.?\d*|\.\d+)")
 
 
-def interpret_content(content: bytes, decoders: dict | None = None) -> list[TextRun]:
+def _page_xobjects(node: dict, objects: dict, fallback_decoders: dict) -> dict:
+    """{resource_name: (content_bytes, decoders)} for the /Form XObjects
+    of a page (or form) /Resources dict — text shown via ``name Do``
+    executes these streams.  A form carrying its own /Resources /Font
+    gets its own decoders; otherwise it inherits the caller's."""
+    out: dict[str, tuple] = {}
+    res = _resolve(node.get("Resources"), objects)
+    xo = _resolve(res.get("XObject"), objects) if isinstance(res, dict) else None
+    if not isinstance(xo, dict):
+        return out
+    for name, ref in xo.items():
+        if not isinstance(ref, Ref):
+            continue
+        val, sdata = objects.get(ref.num, (None, None))
+        if not isinstance(val, dict) or sdata is None or val.get("Subtype") != "Form":
+            continue
+        dec = page_font_decoders(val, objects) or fallback_decoders
+        out[name] = (sdata, dec)
+    return out
+
+
+def interpret_content(
+    content: bytes,
+    decoders: dict | None = None,
+    *,
+    xobjects: dict | None = None,
+    depth: int = 0,
+) -> list[TextRun]:
     """Execute the text-positioning subset of a content stream.  Tracks the
     text matrix translation + font size; emits one TextRun per show op
     (Tj / TJ / ' / \"), advancing x by an average-width estimate (enough
     for reading order; exact glyph metrics aren't needed for text).
     ``decoders`` maps font resource names to bytes->str decoders (ToUnicode
-    CMaps); fonts without one decode as WinAnsi/latin-1."""
+    CMaps); fonts without one decode as WinAnsi/latin-1.  ``xobjects``
+    maps resource names to (content, decoders) Form XObjects executed by
+    the ``Do`` operator (depth-limited; form coordinates are taken as
+    page coordinates — consistent with the interpreter ignoring ``cm``)."""
     decoders = decoders or {}
     cur_decode = _latin1_decode
     runs: list[TextRun] = []
@@ -726,6 +756,15 @@ def interpret_content(content: bytes, decoders: dict | None = None) -> list[Text
             elif op == b'"' and stack and isinstance(stack[-1], bytes):
                 newline(0.0, -leading)
                 show(stack[-1])
+            elif op == b"Do" and stack and isinstance(stack[-1], str):
+                if xobjects and depth < 8:
+                    sub = xobjects.get(stack[-1])
+                    if sub is not None:
+                        runs.extend(
+                            interpret_content(
+                                sub[0], sub[1], xobjects=xobjects, depth=depth + 1
+                            )
+                        )
             elif op == b"TJ":
                 # collect back to the matching '['
                 j = len(stack) - 1
@@ -815,8 +854,11 @@ def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, s
     out = []
     for page in pages:
         h = _media_height(page, objects)
+        decoders = page_font_decoders(page, objects)
         runs = interpret_content(
-            _page_content(page, objects), page_font_decoders(page, objects)
+            _page_content(page, objects),
+            decoders,
+            xobjects=_page_xobjects(page, objects, decoders),
         )
         # flip to top-down y (XY-cut sorts top-to-bottom ascending y)
         lines: dict[tuple[float, float], list[TextRun]] = {}

@@ -339,6 +339,36 @@ class TestEncryption:
         assert r["failed_stage"] is not None and r["body"] == "prior"
 
 
+class TestFormXObject:
+    def test_form_xobject_text_recovered(self):
+        # text painted via `/Fx1 Do` must read back identically to the
+        # same items in the page stream, across writer variants
+        items = [
+            {"text": "Heading Text", "x": 72, "y": 60, "size": 20},
+            {"text": "body line one in the page stream", "x": 72, "y": 110, "size": 12},
+            {"text": "body line two inside the form xobject", "x": 72, "y": 124, "size": 12},
+            {"text": "footer from the form", "x": 72, "y": 700, "size": 9},
+        ]
+        want = sorted(b[5] for b in pdf_page_boxes(make_pdf([items]))[0])
+        for kw in (
+            {"use_form_xobj": True},
+            {"use_form_xobj": True, "use_objstm": True},
+            {"use_form_xobj": True, "use_cid": True},
+            {"use_form_xobj": True, "use_cid": True, "use_objstm": True},
+        ):
+            got = sorted(b[5] for b in pdf_page_boxes(make_pdf([items], **kw))[0])
+            assert got == want, kw
+
+    def test_form_xobject_cycle_is_depth_limited(self):
+        # a form whose stream Do's itself must not recurse forever
+        from ocr_platform_ray.stages.pdf import interpret_content
+
+        content = b"BT /F1 12 Tf (top) Tj ET /Fx1 Do"
+        xobjects = {"Fx1": (b"BT (inner) Tj ET /Fx1 Do", {})}
+        runs = interpret_content(content, {}, xobjects=xobjects)
+        assert 1 <= len(runs) <= 16  # bounded, not infinite
+
+
 class TestRasterize:
     """S4 first half: page pixels at 2x (reference ocr.ts:56-71).  Geometry
     is exact (ink lands inside each parsed box's scaled rectangle); glyphs
