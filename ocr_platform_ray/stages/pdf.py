@@ -636,6 +636,8 @@ def page_font_decoders(page: dict, objects: dict):
 
 
 _CS_TOKEN_RE = re.compile(rb"/?[A-Za-z'\"][A-Za-z0-9*'\"]*|\[|\]|\(|<|[+-]?(?:\d+\.?\d*|\.\d+)")
+# inline-image terminator: whitespace-delimited EI after the binary data
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
 def _page_xobjects(node: dict, objects: dict, fallback_decoders: dict) -> dict:
@@ -718,6 +720,15 @@ def interpret_content(
             continue
         tok = m.group(0)
         i = m.end()
+        if tok == b"BI":
+            # inline image: skip to the EI delimiter past the binary
+            # payload (whose bytes would otherwise derail the tokenizer —
+            # a stray 0x28 would swallow everything to the next 0x29)
+            j = content.find(b"ID", i)
+            e = _INLINE_EI_RE.search(content, j + 2 if j >= 0 else i)
+            i = e.end() if e else n
+            stack.clear()
+            continue
         if tok in (b"[", b"]"):
             stack.append(tok)
             continue

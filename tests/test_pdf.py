@@ -359,6 +359,22 @@ class TestFormXObject:
             got = sorted(b[5] for b in pdf_page_boxes(make_pdf([items], **kw))[0])
             assert got == want, kw
 
+    def test_inline_image_binary_skipped(self):
+        # BI..ID <binary> EI payloads (which may contain parens, 'Tj',
+        # even a glued 'EI') must not derail the tokenizer
+        from ocr_platform_ray.stages.pdf import interpret_content
+
+        payload = bytes([0x28, 0x54, 0x6A, 0x29, 0xFF, 0x00]) + b"EIx" + bytes([0x29, 0x28])
+        content = (
+            b"BT /F1 12 Tf (before image) Tj ET "
+            b"BI /W 4 /H 2 /BPC 8 /CS /G ID " + payload + b"\nEI\n"
+            b"BT /F1 12 Tf 1 0 0 1 10 10 Tm (after image) Tj ET"
+        )
+        assert [r.text for r in interpret_content(content, {})] == [
+            "before image",
+            "after image",
+        ]
+
     def test_form_xobject_cycle_is_depth_limited(self):
         # a form whose stream Do's itself must not recurse forever
         from ocr_platform_ray.stages.pdf import interpret_content
