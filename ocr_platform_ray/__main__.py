@@ -10,6 +10,7 @@ queue/HTTP endpoints would switch to (SURVEY.md §3: POST /book/ocr ->
     python -m ocr_platform_ray gen-corpus --output DIR --urls N
     python -m ocr_platform_ray curate --input DIR --output DIR [--strip-boilerplate]
     python -m ocr_platform_ray status --output DIR
+    python -m ocr_platform_ray rasterize --input DIR --output DIR [--scale 2.0]
 
 Owns the Ray session (guarded init / shutdown) — the only place in the
 package besides bench.py that does.
@@ -87,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--near-dup-threshold", type=float, default=0.9)
     cu.add_argument("--strip-boilerplate", action="store_true")
     cu.add_argument("--partitioned", action="store_true")
+
+    rz = sub.add_parser(
+        "rasterize", help="render PDF pages to PNG pixels (S4; 2x default)"
+    )
+    rz.add_argument("--input", required=True, help="pages parquet (url, html)")
+    rz.add_argument("--output", required=True)
+    rz.add_argument("--scale", type=float, default=2.0)
 
     args = p.parse_args(argv)
     ray = _ray_session()
@@ -185,6 +193,25 @@ def main(argv: list[str] | None = None) -> int:
                 for f in _g.glob(f"{args.output}/*.parquet")
             )
             print(json.dumps({"curated_docs": n, "output": args.output}))
+        elif args.cmd == "rasterize":
+            import ray.data as rdata
+
+            from .stages.raster import rasterize_pdf_pages
+
+            pages = rasterize_pdf_pages(
+                rdata.read_parquet(args.input, columns=["url", "html"]),
+                scale=args.scale,
+            )
+            pages.write_parquet(args.output)
+            import glob as _g
+
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _g.glob(f"{args.output}/*.parquet")
+            )
+            print(json.dumps({"pages": n, "output": args.output, "scale": args.scale}))
     finally:
         ray.shutdown()
     return 0
