@@ -90,6 +90,76 @@ def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def add_repetition_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
+    """Gopher-style within-document repetition signals (Rae et al. 2021's
+    quality filters, the training-data staple the cross-document chunk
+    dedup doesn't cover): per row append
+
+      n_lines            — ``text.split("\\n")`` segments (empties kept)
+      n_distinct_lines   — distinct such segments
+      dup_line_frac      — (n_lines - n_distinct_lines) / n_lines
+      mean_word_len      — mean character length over words split on
+                           ``[ \\n]`` (empties dropped)
+
+    Fully vectorized: Arrow split kernels; per-row distinct counts come
+    from ONE flat hash call + a lexsort boundary count (no per-row
+    Python).  Exactly SQL-mirrorable (string_split / list_distinct /
+    regexp splits) — the oracled ``repetition_stats`` query."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+
+        lines = pc.split_pattern(col, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy().astype(np.int64) - lines.offsets[0].as_py()
+        counts = offs[1:] - offs[:-1]
+        flat = lines.flatten()
+        h = (
+            pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+            if len(flat)
+            else np.empty(0, dtype=np.uint64)
+        )
+        row_ids = np.repeat(np.arange(n), counts)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if len(h):
+            order = np.lexsort((h, row_ids))
+            rr, rh = row_ids[order], h[order]
+            new = np.ones(len(rr), dtype=bool)
+            new[1:] = (rr[1:] != rr[:-1]) | (rh[1:] != rh[:-1])
+            n_distinct = np.bincount(rr[new], minlength=n).astype(np.int64)
+        n_lines = counts
+        dup_frac = (n_lines - n_distinct) / np.maximum(n_lines, 1).astype(np.float64)
+
+        words = pc.split_pattern_regex(col, pattern="[ \n]")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        woffs = words.offsets.to_numpy().astype(np.int64) - words.offsets[0].as_py()
+        wlens = pc.utf8_length(words.flatten()).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum_len = np.concatenate([[0], np.cumsum(wlens)])
+        csum_cnt = np.concatenate([[0], np.cumsum((wlens > 0).astype(np.int64))])
+        sum_len = csum_len[woffs[1:]] - csum_len[woffs[:-1]]
+        n_words = csum_cnt[woffs[1:]] - csum_cnt[woffs[:-1]]
+        mean_wl = sum_len / np.maximum(n_words, 1).astype(np.float64)
+
+        out = batch
+        for name, arr in (
+            ("n_lines", pa.array(n_lines, pa.int64())),
+            ("n_distinct_lines", pa.array(n_distinct, pa.int64())),
+            ("dup_line_frac", pa.array(dup_frac, pa.float64())),
+            ("mean_word_len", pa.array(mean_wl, pa.float64())),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Language ID (character n-gram profile heuristic)
 # --------------------------------------------------------------------------

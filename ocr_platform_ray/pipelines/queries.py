@@ -172,6 +172,20 @@ def q_quality_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pandas")
 
 
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition quality signals (duplicate
+    line fraction, mean word length) — oracled against DuckDB
+    string_split/list_distinct/regexp list arithmetic."""
+    from ..ops.textstats import add_repetition_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = add_repetition_stats(ds, "text").to_pandas()
+    out["dup_line_frac"] = _round_half_away(out["dup_line_frac"], 6)
+    out["mean_word_len"] = _round_half_away(out["mean_word_len"], 6)
+    cols = ["doc_id", "n_lines", "n_distinct_lines", "dup_line_frac", "mean_word_len"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Dedup family (D1/D2 + near-dup extensions)
 # ===========================================================================
@@ -1324,12 +1338,12 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "top10_longest_en": q_top10_longest_en,
     "quality_stats": q_quality_stats,
+    "repetition_stats": q_repetition_stats,
     "exact_dedup_docs": q_exact_dedup_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dedup_docs": q_near_dedup_docs,
     "repeated_paragraphs": q_repeated_paragraphs,
     "strip_repeated_paragraphs": q_strip_repeated_paragraphs,
-    "langid_pred": q_langid_pred,
     "orders_by_segment": q_orders_by_segment,
     "colocated_orders_join": q_colocated_orders_join,
     "lineitem_join_revenue": q_lineitem_join_revenue,
@@ -1370,6 +1384,7 @@ QUERIES = {
     "approx_median_value_by_type": q_approx_median_value_by_type,
     "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
     "rasterize_pdf_pages": q_rasterize_pdf_pages,
+    "langid_pred": q_langid_pred,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -1518,6 +1533,16 @@ ORACLE_SQL = {
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
         "ROUND(CAST(length(text) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 4) "
         "AS chars_per_token FROM documents"
+    ),
+    "repetition_stats": (
+        "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS lines, "
+        "list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS words "
+        "FROM documents) "
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines, "
+        "ROUND((len(lines) - len(list_distinct(lines))) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 6) AS dup_line_frac, "
+        "ROUND(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) / CAST(GREATEST(len(words), 1) AS DOUBLE), 6) AS mean_word_len "
+        "FROM t ORDER BY doc_id"
     ),
     "exact_dedup_docs": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"

@@ -621,6 +621,30 @@ class TestTextStats:
         wrong = out[out["pred_lang"] != out["want"]][["want", "pred_lang", "text"]]
         assert wrong.empty, f"langid misses:\n{wrong}"
 
+    def test_repetition_stats_gopher_signals(self):
+        from ocr_platform_ray.ops.textstats import add_repetition_stats
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "same line\nsame line\nsame line\nunique one",
+                    "all\ndistinct\nlines here",
+                    "",  # one empty line, zero words
+                    "word  word\nword",  # double space -> empty token dropped
+                ],
+            }
+        )
+        out = (
+            add_repetition_stats(rd.from_pandas(df), "text")
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_distinct_lines"] == 2
+        assert abs(out.loc[0, "dup_line_frac"] - 0.5) < 1e-12
+        assert out.loc[1, "dup_line_frac"] == 0.0
+        assert out.loc[2, "n_lines"] == 1 and out.loc[2, "mean_word_len"] == 0.0
+        assert out.loc[3, "mean_word_len"] == 4.0  # 3 words of length 4
+
     def test_langid_batch_scorer_matches_per_row(self):
         """The vectorized _score_batch must agree row-for-row (lang AND
         rounded confidence) with the per-row reference _score."""
