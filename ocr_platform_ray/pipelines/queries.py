@@ -1103,6 +1103,47 @@ def q_rasterize_pdf_pages(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "page_idx"]).reset_index(drop=True)
 
 
+def q_url_canonical_dedup(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization -> url-level dedup (the Common-Crawl dedup
+    precursor): four messy raw spellings per page group (scheme/host
+    case, www, :443, fragments, utm params, query order, trailing
+    slashes) collapse under ``canonicalize_url``; the reduce groups by
+    the canonical key.  SQL-oracled step for step (regexp_replace /
+    list_sort / list_filter mirror)."""
+    from ..functions.url import add_canonical_url
+    from ..ops.relational import auto_group_agg
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        urls = []
+        for i in b["doc_id"]:
+            i = int(i)
+            g = i // 4
+            v = i % 4
+            src = f"site{g % 7}"  # host shared by the whole quadruple
+            if v == 0:
+                u = f"HTTPS://WWW.{src}.com:443/doc/{g}/?b=2&a=1&utm_source=x#top"
+            elif v == 1:
+                u = f"https://{src}.com/doc/{g}?a=1&b=2"
+            elif v == 2:
+                u = f"https://www.{src}.com/doc/{g}/#sec"
+            else:
+                u = f"HTTPS://{src}.COM:443/doc/{g}?utm_campaign=z&a=1&b=2"
+            urls.append(u)
+        return pd.DataFrame({"doc_id": b["doc_id"], "url": urls})
+
+    canon = add_canonical_url(docs.map_batches(synth, batch_format="pandas"), "url")
+    red = auto_group_agg(
+        canon.map_batches(lambda b: b[["canonical_url", "doc_id"]], batch_format="pandas"),
+        ["canonical_url"],
+        {"n_variants": ("doc_id", "size"), "min_doc_id": ("doc_id", "min")},
+    )
+    out = red if isinstance(red, pd.DataFrame) else red.to_pandas()
+    out = out.astype({"n_variants": "int64", "min_doc_id": "int64"})
+    return out.sort_values("canonical_url").reset_index(drop=True)
+
+
 def q_dataset_split(sf_dir: str) -> rd.Dataset:
     """Deterministic train/val/test assignment — a training-data staple:
     split by key arithmetic (stable under any parallelism; mirrored in
@@ -1385,6 +1426,7 @@ QUERIES = {
     "lineitem_join_revenue_exchange": q_lineitem_join_revenue_exchange,
     "rasterize_pdf_pages": q_rasterize_pdf_pages,
     "langid_pred": q_langid_pred,
+    "url_canonical_dedup": q_url_canonical_dedup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -1543,6 +1585,26 @@ ORACLE_SQL = {
         "ROUND((len(lines) - len(list_distinct(lines))) / CAST(GREATEST(len(lines), 1) AS DOUBLE), 6) AS dup_line_frac, "
         "ROUND(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) / CAST(GREATEST(len(words), 1) AS DOUBLE), 6) AS mean_word_len "
         "FROM t ORDER BY doc_id"
+    ),
+    "url_canonical_dedup": (
+        "WITH u AS (SELECT doc_id, 'site' || CAST((doc_id // 4) % 7 AS VARCHAR) AS src, CASE doc_id % 4 "
+        "WHEN 0 THEN 'HTTPS://WWW.' || src || '.com:443/doc/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_source=x#top' "
+        "WHEN 1 THEN 'https://' || src || '.com/doc/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2' "
+        "WHEN 2 THEN 'https://www.' || src || '.com/doc/' || CAST(doc_id // 4 AS VARCHAR) || '/#sec' "
+        "ELSE 'HTTPS://' || src || '.COM:443/doc/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_campaign=z&a=1&b=2' END AS url "
+        "FROM documents), "
+        "s AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u), "
+        "p AS (SELECT doc_id, "
+        "lower(CASE WHEN strpos(nofrag, '?') > 0 THEN substr(nofrag, 1, strpos(nofrag, '?') - 1) ELSE nofrag END) AS rawbase, "
+        "CASE WHEN strpos(nofrag, '?') > 0 THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS q FROM s), "
+        "c AS (SELECT doc_id, "
+        "rtrim(regexp_replace(regexp_replace(rawbase, '^(https?://)www\\.', '\\1'), "
+        "'^(https?://[^/:]+):(443|80)(/|$)', '\\1\\3'), '/') AS base, "
+        "array_to_string(list_sort(list_filter(string_split(q, '&'), "
+        "x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS sq FROM p) "
+        "SELECT base || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canonical_url, "
+        "COUNT(*) AS n_variants, MIN(doc_id) AS min_doc_id "
+        "FROM c GROUP BY 1 ORDER BY 1"
     ),
     "exact_dedup_docs": (
         "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text"

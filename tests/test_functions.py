@@ -116,3 +116,36 @@ class TestMisc:
         scattered = command_score("hxexlxlxo", "hello")
         none = command_score("xyz", "hello")
         assert exact >= prefix > scattered > none == 0.0
+
+
+class TestUrlCanonicalization:
+    def test_canonicalize_rules(self):
+        from ocr_platform_ray.functions.url import canonicalize_url as c
+
+        assert c("HTTPS://WWW.Site.COM:443/a/b/?z=1&a=2&utm_source=x#frag") == (
+            "https://site.com/a/b?a=2&z=1"
+        )
+        assert c("http://x.com:80/") == "http://x.com"
+        assert c("http://x.com:8080/p") == "http://x.com:8080/p"  # non-default kept
+        assert c("https://x.com/p///") == "https://x.com/p"
+        assert c("https://x.com/p?utm_a=1&utm_b=2") == "https://x.com/p"
+        assert c("https://x.com") == "https://x.com"
+        # www only stripped as a host PREFIX
+        assert c("https://notwww.com/www.deep") == "https://notwww.com/www.deep"
+
+    def test_add_canonical_url_matches_scalar(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.url import add_canonical_url, canonicalize_url
+
+        urls = [
+            "HTTPS://WWW.A.COM:443/x/?b=2&a=1&utm_s=x#f",
+            "https://a.com/x?a=1&b=2",
+            "http://b.org:80",
+            "https://c.net/only/",
+            "ftp-ish-not-url",
+        ]
+        df = pd.DataFrame({"i": range(len(urls)), "url": urls})
+        out = add_canonical_url(rd.from_pandas(df), "url").to_pandas().sort_values("i")
+        assert list(out["canonical_url"]) == [canonicalize_url(u) for u in urls]
