@@ -1050,6 +1050,16 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
                     # XObject (the header/letterhead shape)
                     use_form_xobj=i % 3 == 1,
                 )
+                # encrypted url classes (empty user password): the
+                # extractor must DECRYPT these, not salvage them
+                if i % 5 == 2 and variant not in (1, 3):  # classic-xref only
+                    from ..sources.pdfgen import encrypt_pdf_rc4
+
+                    pdf = encrypt_pdf_rc4(pdf, revision=3)
+                elif i % 5 == 4 and variant not in (1, 3):
+                    from ..sources.pdfgen import encrypt_pdf_aes128
+
+                    pdf = encrypt_pdf_aes128(pdf)
                 rows.append(
                     {
                         "url": f"pdf://doc/{i:04d}",

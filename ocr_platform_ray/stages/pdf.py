@@ -200,6 +200,26 @@ def parse_value(data: bytes, i: int):
     raise ValueError(f"pdf: unparseable value at byte {i}: {data[i:i+16]!r}")
 
 
+def _inflate_salvage(raw: bytes) -> bytes:
+    """zlib.decompress, salvaging the successfully-inflated PREFIX of a
+    truncated/corrupt deflate stream (real-world PDFs cut mid-download):
+    decompressobj yields everything decoded before the error instead of
+    throwing the whole stream away."""
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        z = zlib.decompressobj()
+        out = b""
+        try:
+            out = z.decompress(raw)
+            out += z.flush()
+        except zlib.error:
+            pass
+        if out:
+            return out
+        raise
+
+
 def _decode_stream(d: dict, raw: bytes) -> bytes:
     filt = d.get("Filter")
     if filt is None:
@@ -207,7 +227,7 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
     filters = filt if isinstance(filt, list) else [filt]
     for f in filters:
         if f == "FlateDecode":
-            raw = zlib.decompress(raw)
+            raw = _inflate_salvage(raw)
         else:
             raise ValueError(f"pdf: unsupported filter {f}")
     parms = d.get("DecodeParms")
