@@ -95,6 +95,10 @@ def grouped_quantile_sketch(
         rows = []
         for key, g in b.groupby(key_col):
             rows.append({key_col: key, "sk": sketch_from_values(g[value_col].to_numpy(), k)})
+        if not rows:
+            # typed empty (key dtype from the batch itself): a columnless
+            # empty frame diverges the per-block schema downstream
+            return pd.DataFrame({key_col: b[key_col].iloc[:0], "sk": pd.Series(dtype=object)})
         return pd.DataFrame(rows)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -106,6 +110,14 @@ def grouped_quantile_sketch(
                     key_col: key,
                     f"q{quantile}": sketch_quantile(sk, quantile),
                     "n": int(sk["n"]),
+                }
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    key_col: g[key_col].iloc[:0],
+                    f"q{quantile}": pd.Series(dtype="float64"),
+                    "n": pd.Series(dtype="int64"),
                 }
             )
         return pd.DataFrame(rows)
