@@ -149,13 +149,17 @@ def rasterize_boxes(
         ch_w = max(1, int(round(0.5 * size * scale)))
         ch_h = max(1, int(round(size * scale)))
         y0 = int(round(ty * scale))
+        if y0 < 0 or y0 >= H:  # off-canvas box (malformed matrix input)
+            continue
         for i, ch in enumerate(text):
             cp = ord(ch)
             if cp == 0x20:
                 continue
             x = int(round(x0 * scale)) + i * ch_w
-            if x >= W or y0 >= H:
+            if x >= W:
                 break
+            if x < 0:  # clipped left of the canvas; later chars may enter
+                continue
             g = atlas.glyph(cp, ch_w, ch_h)
             gh, gw = min(ch_h, H - y0), min(ch_w, W - x)
             region = page[y0 : y0 + gh, x : x + gw]
