@@ -374,17 +374,10 @@ def minhash_lsh_duplicates(
                         "est_jaccard": pd.Series(dtype="float64"),
                     }
                 )
-            est = np.array(
-                [
-                    float(
-                        np.mean(
-                            np.frombuffer(sa, dtype=np.uint64)
-                            == np.frombuffer(sb, dtype=np.uint64)
-                        )
-                    )
-                    for sa, sb in zip(b["sig_a"], b["sig_b"])
-                ]
-            )
+            # fixed-width signatures: one reshape + one vectorized compare
+            A = np.frombuffer(b"".join(b["sig_a"]), dtype=np.uint64).reshape(len(b), num_perm)
+            B = np.frombuffer(b"".join(b["sig_b"]), dtype=np.uint64).reshape(len(b), num_perm)
+            est = (A == B).mean(axis=1)
             out = b[["id_a", "id_b"]].assign(est_jaccard=est)
             return out[out["est_jaccard"] >= threshold]
 
@@ -484,13 +477,14 @@ def ngram_jaccard_pairs(
     n_shards = 64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, shs, sizes = [], [], []
         shingles = _shingle_hashes_batch(list(batch[text_col]), k, split_mode)
-        for i, sh in zip(batch[id_col], shingles):
-            ids.extend([i] * len(sh))
-            shs.extend(sh.tolist())
-            sizes.extend([len(sh)] * len(sh))
-        out = pd.DataFrame({id_col: ids, "sh": np.asarray(shs, dtype=np.uint64), "size": sizes})
+        counts = np.fromiter((len(sh) for sh in shingles), dtype=np.int64, count=len(shingles))
+        ids = np.repeat(batch[id_col].to_numpy(), counts)
+        sizes = np.repeat(counts, counts)
+        shs = (
+            np.concatenate(shingles) if len(shingles) else np.empty(0, dtype=np.uint64)
+        )
+        out = pd.DataFrame({id_col: ids, "sh": shs, "size": sizes})
         out["__shard"] = (out["sh"].to_numpy() % n_shards).astype("int64")
         return out
 

@@ -560,10 +560,12 @@ def stratified_sample(
     operators (SURVEY §2.6), this is an extension."""
     KNUTH = 2654435761
     M = 1 << 32
+    thr_map = {k: int(v * M) for k, v in fractions.items()}
+    default_thr = int(default_fraction * M)
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         h = (b[id_col].astype("int64") * KNUTH) % M
-        thresholds = b[strata_col].map(lambda s: int(fractions.get(s, default_fraction) * M))
+        thresholds = b[strata_col].map(thr_map).fillna(default_thr)
         return b[h < thresholds]
 
     return ds.map_batches(pick, batch_format="pandas")

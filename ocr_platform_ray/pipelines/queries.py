@@ -70,12 +70,15 @@ def q_word_count_per_doc(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def wc(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"],
-                "total_words": b["text"].map(lambda t: len(_WORD_SQL_RE.findall(t))).astype("int64"),
-            }
-        )
+        # one RE2 kernel over the whole column (same non-overlapping match
+        # count as re.findall for this pattern)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pa.array(b["text"], pa.string()), pattern=r"[a-z0-9]+"
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"doc_id": b["doc_id"], "total_words": n.astype("int64")})
 
     return ds.map_batches(wc, batch_format="pandas")
 
@@ -88,12 +91,13 @@ def q_bpe_token_count(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def tc(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"],
-                "n_bpe_tokens": b["text"].map(lambda t: len(_BPE_SQL_RE.findall(t))).astype("int64"),
-            }
-        )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pa.array(b["text"], pa.string()), pattern=r"[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]"
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_bpe_tokens": n.astype("int64")})
 
     return ds.map_batches(tc, batch_format="pandas")
 
@@ -159,7 +163,8 @@ def q_quality_stats(sf_dir: str) -> rd.Dataset:
 
     def stats(b: pd.DataFrame) -> pd.DataFrame:
         n_chars = b["text"].str.len().astype("int64")
-        n_tokens = b["text"].map(lambda t: len(t.split(" "))).astype("int64")
+        # len(t.split(" ")) == count(" ") + 1, as one C kernel
+        n_tokens = (b["text"].str.count(" ") + 1).astype("int64")
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"],
