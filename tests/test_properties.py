@@ -213,3 +213,66 @@ class TestCodecProps:
         x, got_sr = decode_wav(encode_wav(np.array(samples), sr))
         assert got_sr == sr and len(x) == len(samples)
         assert np.abs(x - np.array(samples)).max() < 1e-3
+
+
+class TestAesProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.binary(min_size=16, max_size=16),
+        st.sampled_from([16, 24, 32]),
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_cbc_roundtrip_any_key_any_length(self, iv, klen, n_blocks, seed):
+        import numpy as np
+
+        from ocr_platform_ray.stages.aes import aes_cbc_decrypt, aes_cbc_encrypt
+
+        rng = np.random.RandomState(seed)
+        key = rng.bytes(klen)
+        data = rng.bytes(16 * n_blocks)
+        assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, data)) == data
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def test_pkcs7_roundtrip(self, data):
+        from ocr_platform_ray.stages.aes import pkcs7_pad, pkcs7_unpad
+
+        padded = pkcs7_pad(data)
+        assert len(padded) % 16 == 0 and len(padded) > len(data)
+        assert pkcs7_unpad(padded) == data
+
+
+class TestUrlProperties:
+    _url = st.builds(
+        lambda scheme, www, host, port, path, params, frag: (
+            scheme + "://" + www + host + port + path
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.sampled_from(["", "www.", "WWW."]),
+        st.from_regex(r"[a-z][a-z0-9\-]{0,10}\.(com|org)", fullmatch=True),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.from_regex(r"(/[a-z0-9]{0,6}){0,3}/?", fullmatch=True),
+        st.lists(st.from_regex(r"(utm_)?[a-z]{1,4}=[a-z0-9]{0,4}", fullmatch=True), max_size=4),
+        st.sampled_from(["", "#frag", "#a/b?c=1"]),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(_url)
+    def test_canonicalize_idempotent(self, url):
+        from ocr_platform_ray.functions.url import canonicalize_url
+
+        c = canonicalize_url(url)
+        assert canonicalize_url(c) == c
+
+    @settings(max_examples=150, deadline=None)
+    @given(_url)
+    def test_canonicalize_insensitive_to_noise(self, url):
+        # fragment and utm params never change the canonical form
+        from ocr_platform_ray.functions.url import canonicalize_url
+
+        base = url.split("#", 1)[0]
+        sep = "&" if "?" in base else "?"
+        assert canonicalize_url(base + sep + "utm_x=1#other") == canonicalize_url(url)
