@@ -122,6 +122,34 @@ def colocated_join(
     if not pairs:
         return rd.from_items([]).limit(0)
 
+    # NaN-fillable columns must carry the SAME dtype in every shard: a
+    # fully-matched shard would keep int64 payloads while a shard with
+    # misses NaN-fills them to float64 — divergent per-block schemas that
+    # Arrow consumers (write_parquet) reject (same class as asof_join)
+    def _nanable(typ) -> str | None:
+        if pa.types.is_integer(typ):
+            return "float64"
+        if pa.types.is_boolean(typ):
+            return "object"
+        return None
+
+    l_names = set(l_schema.names) if l_schema is not None else set()
+    cast_targets: dict[str, str] = {}
+    if r_schema is not None and how in ("left", "outer"):
+        for name, typ in zip(r_schema.names, r_schema.types):
+            if name == key:
+                continue
+            t = _nanable(typ)
+            if t:
+                cast_targets[name + suffix if name in l_names else name] = t
+    if l_schema is not None and how in ("right", "outer"):
+        for name, typ in zip(l_schema.names, l_schema.types):
+            if name == key:
+                continue
+            t = _nanable(typ)
+            if t:
+                cast_targets[name] = t
+
     def join_pair(b: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for lf, rf in zip(b["lf"], b["rf"]):
@@ -137,7 +165,11 @@ def colocated_join(
                 rg = r_schema.empty_table().to_pandas()
             else:
                 rg = pd.DataFrame({key: []})
-            outs.append(lg.merge(rg, on=key, how=how, suffixes=("", suffix)))
+            m = lg.merge(rg, on=key, how=how, suffixes=("", suffix))
+            for col, dt in cast_targets.items():
+                if col in m.columns and str(m[col].dtype) != dt:
+                    m[col] = m[col].astype(dt)
+            outs.append(m)
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
     # one shard pair per task: batch_size=1 + from_items gives each map

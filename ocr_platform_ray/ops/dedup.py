@@ -263,6 +263,14 @@ def minhash_lsh_duplicates(
         # shuffle — signatures stay out of the exchange (object-dtype sig
         # columns through a groupby cost more than the whole computation)
         n = len(batch)
+        if n == 0:  # np.stack needs >= 1 array; keep the typed schema
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].iloc[:0],
+                    "band": pd.Series(dtype="int64"),
+                    "bh": pd.Series(dtype="int64"),
+                }
+            )
         ids = np.repeat(batch[id_col].to_numpy(), bands)
         band_ids = np.tile(np.arange(bands), n)
         sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
@@ -299,13 +307,12 @@ def minhash_lsh_duplicates(
             "est_jaccard": pd.Series(dtype="float64"),
         }
     )
+    from .relational import probe_head
+
     cand_pairs = cand_ds = None
     if candidates == "auto":
-        try:
-            head = exploded.limit(candidate_threshold_rows + 1).to_pandas()
-        except Exception:
-            head = None
-        if head is not None and len(head) <= candidate_threshold_rows:
+        head = probe_head(exploded, candidate_threshold_rows)
+        if head is not None:
             # the probe head IS the complete exploded table: one global
             # vectorized self-merge == the per-shard merges unioned
             cand_pairs = (
@@ -867,6 +874,7 @@ def embedding_cosine_pairs(
     n_bands: int = 24,
     band_bits: int = 16,
     seed: int = 5,
+    candidate_threshold_rows: int = 2_000_000,
 ) -> pd.DataFrame:
     """Pairs with cosine similarity >= threshold.
 
@@ -921,16 +929,15 @@ def embedding_cosine_pairs(
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         return out.rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
 
+    from .relational import probe_head
+
     sig_keys = ds.map_batches(sig, batch_format="pandas")
     # size-aware candidate route (same planner as minhash): when the
     # (id, band, bucket) table fits the probe, one driver self-merge
     # replaces the shard exchange — identical pairs
+    head = probe_head(sig_keys, candidate_threshold_rows)
     pairs = None
-    try:
-        head = sig_keys.limit(2_000_000 + 1).to_pandas()
-    except Exception:
-        head = None
-    if head is not None and len(head) <= 2_000_000:
+    if head is not None:
         pairs = shard_pairs(head) if head.shape[1] > 0 else _cos_pairs_empty()[["id_a", "id_b"]]
     if pairs is None:
         pairs = (

@@ -255,18 +255,11 @@ def fuzzy_join_lev(
     pairs = None
     lmap = rmap = None  # filled by the driver route; fetched otherwise
     if blocking == "auto":
-        try:
-            lhead = left.limit(blocking_threshold_rows + 1).to_pandas()
-            rhead = right.limit(blocking_threshold_rows + 1).to_pandas()
-        except Exception:
-            lhead = rhead = None
-        small = (
-            lhead is not None
-            and rhead is not None
-            and len(lhead) <= blocking_threshold_rows
-            and len(rhead) <= blocking_threshold_rows
-        )
-        if small:
+        from .relational import probe_head
+
+        lhead = probe_head(left, blocking_threshold_rows)
+        rhead = probe_head(right, blocking_threshold_rows) if lhead is not None else None
+        if lhead is not None and rhead is not None:
             if lhead.shape[1] == 0 or rhead.shape[1] == 0:  # empty side
                 pairs = empty_pairs
                 lmap, rmap = {}, {}

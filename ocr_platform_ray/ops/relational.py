@@ -183,6 +183,20 @@ def bucketed_hash_join(
     return u.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def probe_head(ds: rd.Dataset, threshold_rows: int) -> pd.DataFrame | None:
+    """The ``limit(threshold+1)`` size probe shared by every size-aware
+    planner (joins, aggregate finishes, semi/anti, fuzzy blocking, LSH
+    candidates): returns the COMPLETE table as pandas when it holds
+    <= threshold rows — the probe then doubles as the build / partial /
+    key table, one execution total — else None (plan the distributed
+    route).  An empty Dataset to_pandas()-es to a COLUMNLESS frame;
+    callers that need the schema handle ``shape[1] == 0``.  Execution
+    errors propagate: routing them to the exchange path would only
+    re-raise the same error later with less context."""
+    head = ds.limit(threshold_rows + 1).to_pandas()
+    return head if len(head) <= threshold_rows else None
+
+
 def auto_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -209,11 +223,8 @@ def auto_join(
     columns are renamed ``right_prefix + name`` on BOTH routes, so the
     output schema does not flip when the build side crosses the
     threshold (equivalence-tested with an overlapping column)."""
-    try:
-        head = right.limit(broadcast_threshold_rows + 1).to_pandas()
-    except Exception:
-        head = None
-    if head is not None and len(head) <= broadcast_threshold_rows:
+    head = probe_head(right, broadcast_threshold_rows)
+    if head is not None:
         if head.shape[1] == 0:  # empty Dataset -> schema-less frame
             head = _typed_empty(right.schema(), right.schema().names)
         # same collision names as the bucketed route (prefix, not suffix)
@@ -353,13 +364,10 @@ def _semi_anti(
     n_buckets: int,
 ) -> rd.Dataset:
     if method == "auto":
-        # mirror auto_join: limit(threshold+1) probes the key side's size
-        # and, when it fits, IS the broadcast table (one execution total)
-        try:
-            head = keys.select_columns([on]).limit(broadcast_threshold_rows + 1).to_pandas()
-        except Exception:
-            head = None
-        if head is not None and len(head) <= broadcast_threshold_rows:
+        # mirror auto_join: the probe, when it fits, IS the broadcast
+        # key table (one execution total)
+        head = probe_head(keys.select_columns([on]), broadcast_threshold_rows)
+        if head is not None:
             vals = frozenset() if head.shape[1] == 0 else frozenset(head[on])
             ref = ray.put(vals)
             return ds.map_batches(_KeyFilter(ref, on, keep_in), batch_format="pandas")
@@ -639,11 +647,8 @@ def auto_group_agg(
     key, so any agg spec valid for ``sharded_group_agg`` is valid here
     (equivalence-tested)."""
     if finish == "auto":
-        try:
-            head = ds.limit(driver_threshold_rows + 1).to_pandas()
-        except Exception:
-            head = None
-        if head is not None and len(head) <= driver_threshold_rows:
+        head = probe_head(ds, driver_threshold_rows)
+        if head is not None:
             finish, ds = "driver", head
         else:
             finish = "exchange"

@@ -1026,7 +1026,7 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
     recovers them.  The sha256 pins byte-identical extraction."""
     import hashlib
 
-    from ..sources.pdfgen import make_article_pdf
+    from ..sources.pdfgen import encrypt_pdf_aes128, encrypt_pdf_rc4, make_article_pdf
     from .extraction import extraction_pipeline
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1057,13 +1057,12 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
                 )
                 # encrypted url classes (empty user password): the
                 # extractor must DECRYPT these, not salvage them
+                # (encryptors imported at the query level — closure
+                # capture; lazy relative imports fail on pickle-by-value
+                # workers, CLAUDE.md invariant)
                 if i % 5 == 2 and variant not in (1, 3):  # classic-xref only
-                    from ..sources.pdfgen import encrypt_pdf_rc4
-
                     pdf = encrypt_pdf_rc4(pdf, revision=3)
                 elif i % 5 == 4 and variant not in (1, 3):
-                    from ..sources.pdfgen import encrypt_pdf_aes128
-
                     pdf = encrypt_pdf_aes128(pdf)
                 rows.append(
                     {
@@ -1074,6 +1073,16 @@ def q_extract_pdf_docs(sf_dir: str) -> pd.DataFrame:
                         "lang": "en",
                     }
                 )
+        if not rows:  # typed empty: a columnless frame diverges block schemas
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype="object"),
+                    "warc_ts": pd.Series(dtype="datetime64[us]"),
+                    "html": pd.Series(dtype="object"),
+                    "text": pd.Series(dtype="object"),
+                    "lang": pd.Series(dtype="object"),
+                }
+            )
         return pd.DataFrame(rows)
 
     pages = docs.map_batches(to_pdf_pages, batch_format="pandas")
@@ -1109,6 +1118,10 @@ def q_rasterize_pdf_pages(sf_dir: str) -> pd.DataFrame:
                 use_objstm=i % 2 == 1,
             )
             rows.append({"url": f"pdf://raster/{i:04d}", "html": pdf})
+        if not rows:
+            return pd.DataFrame(
+                {"url": pd.Series(dtype="object"), "html": pd.Series(dtype="object")}
+            )
         return pd.DataFrame(rows)
 
     pages = rasterize_pdf_pages(docs.map_batches(to_pdf, batch_format="pandas"))
@@ -1430,7 +1443,12 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "union_sources": q_union_sources,
     "stratified_sample": q_stratified_sample,
-    # ---- position > 50: may fall past the driver's query cap ----
+    # ---- position > 50: may fall past the driver's query cap.  Only
+    # no-oracle variants pinned by pytest live here, with two exceptions
+    # that carry their own pytest oracle evidence instead:
+    # lineitem_join_revenue_exchange (equivalence-tested against the
+    # oracled default plan) and url_canonical_dedup (directly
+    # oracle-compared against DuckDB in tests/test_ops.py). ----
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprints": q_doc_fingerprints,

@@ -15,6 +15,11 @@ from __future__ import annotations
 
 import zlib
 
+# module-top so pickle-by-value captures them: the encryptors run on Ray
+# WORKERS (corpus-builder map_batches closures call them), where a lazy
+# relative import fails when the driver runs from a foreign cwd
+from ..stages.aes import aes_cbc_encrypt, aes_ecb_encrypt, pkcs7_pad
+
 
 def _esc(s: str) -> bytes:
     """Escape a literal PDF string: \\, (, ) — and encode latin-1 (the
@@ -499,8 +504,6 @@ def encrypt_pdf_aes128(pdf: bytes, *, permissions: int = -4) -> bytes:
     PKCS#7 padding.  Uses the vendored FIPS-197 core (KAT-pinned)."""
     import hashlib
 
-    from ..stages.aes import aes_cbc_encrypt, pkcs7_pad
-
     file_id = hashlib.md5(pdf).digest()
     o_val, u_val, key = _legacy_keys(file_id, 4, permissions)
 
@@ -519,14 +522,34 @@ def encrypt_pdf_aes128(pdf: bytes, *, permissions: int = -4) -> bytes:
     return _rebuild_encrypted(pdf, transform, enc_dict, file_id, permissions=permissions)
 
 
+def _enc_hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B, re-derived INDEPENDENTLY of the
+    decryptor's implementation (stages/pdf._hash_r6) so the AES-256
+    round-trip test cannot pass through a shared coding slip: the digest
+    selector here is the true 128-bit big-endian integer mod 3 (the
+    decryptor uses the byte-sum shortcut), and the loop/termination is
+    written from the spec text rather than mirrored.  Only the AES block
+    primitive is shared — it is pinned by FIPS-197 known-answer tests."""
+    import hashlib
+
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        e = aes_cbc_encrypt(k[:16], k[16:32], (password + k + udata) * 64)
+        k = digests[int.from_bytes(e[:16], "big") % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
 def encrypt_pdf_aes256(pdf: bytes, *, permissions: int = -4) -> bytes:
     """V5 R6 /CFM /AESV3: one 256-bit file key for every stream, wrapped
     into /UE (and /OE) via the ISO 32000-2 Algorithm 2.B hardened hash
     with empty passwords; streams are IV + AES-256-CBC + PKCS#7."""
     import hashlib
 
-    from ..stages.aes import aes_cbc_encrypt, aes_ecb_encrypt, pkcs7_pad
-    from ..stages.pdf import _hash_r6
+    _hash_r6 = _enc_hash_r6
 
     file_id = hashlib.md5(pdf).digest()
     file_key = hashlib.sha256(pdf + b"filekey").digest()

@@ -660,11 +660,22 @@ _CS_TOKEN_RE = re.compile(rb"/?[A-Za-z'\"][A-Za-z0-9*'\"]*|\[|\]|\(|<|[+-]?(?:\d
 _INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
+def _has_own_fonts(node: dict, objects: dict) -> bool:
+    res = _resolve(node.get("Resources"), objects)
+    fonts = _resolve(res.get("Font"), objects) if isinstance(res, dict) else None
+    return isinstance(fonts, dict) and bool(fonts)
+
+
 def _page_xobjects(node: dict, objects: dict, fallback_decoders: dict) -> dict:
     """{resource_name: (content_bytes, decoders)} for the /Form XObjects
     of a page (or form) /Resources dict — text shown via ``name Do``
-    executes these streams.  A form carrying its own /Resources /Font
-    gets its own decoders; otherwise it inherits the caller's."""
+    executes these streams.  A form carrying its OWN /Resources /Font
+    dict scopes its decoders to those fonts (even when none has a
+    ToUnicode CMap — an empty decoder map means latin-1, NOT the page's
+    CMaps, which would garble a plain font that shadows a page CID
+    name); a form with no font resources inherits the caller's.  Nested
+    ``Do`` calls resolve against this page-level name map (documented
+    approximation; per-form nested XObject scopes are not walked)."""
     out: dict[str, tuple] = {}
     res = _resolve(node.get("Resources"), objects)
     xo = _resolve(res.get("XObject"), objects) if isinstance(res, dict) else None
@@ -676,7 +687,11 @@ def _page_xobjects(node: dict, objects: dict, fallback_decoders: dict) -> dict:
         val, sdata = objects.get(ref.num, (None, None))
         if not isinstance(val, dict) or sdata is None or val.get("Subtype") != "Form":
             continue
-        dec = page_font_decoders(val, objects) or fallback_decoders
+        dec = (
+            page_font_decoders(val, objects)
+            if _has_own_fonts(val, objects)
+            else fallback_decoders
+        )
         out[name] = (sdata, dec)
     return out
 

@@ -42,3 +42,33 @@ def test_two_process_two_parallelism_byte_identity(tmp_path, ray_session):
     b = _run(6, corpus)
     assert a["n"] == b["n"] == 30
     assert a["digest"] == b["digest"]
+
+
+def test_foreign_cwd_worker_imports(ray_session):
+    """Regression: worker-executed closures (incl. the encrypted-PDF
+    corpus builders) must not need the package importable from the
+    worker's cwd — lazy relative imports inside their bodies break
+    pickle-by-value workers when the driver runs from a foreign cwd."""
+    code = textwrap.dedent("""
+        import ray, json, sys
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, "/root/repo")
+        from ocr_platform_ray.pipelines.queries import (
+            q_extract_pdf_docs, q_rasterize_pdf_pages,
+        )
+        a = q_extract_pdf_docs("/root/testdata/sf0.001")
+        b = q_rasterize_pdf_pages("/root/testdata/sf0.001")
+        print(json.dumps({"pdf_rows": len(a),
+                          "pdf_failed": int(a["n_failed_pages"].sum()),
+                          "raster_rows": len(b)}))
+        ray.shutdown()
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True, cwd="/tmp"
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["pdf_rows"] == 40 and res["pdf_failed"] == 0
+    assert res["raster_rows"] == 16

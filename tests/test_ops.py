@@ -878,8 +878,14 @@ class TestColocatedJoin:
         partition_by_key(rd.from_pandas(left), ldir, "k", n_shards=8)
         partition_by_key(rd.from_pandas(right), rdir, "k", n_shards=8)
         for how in ("outer", "right"):
+            ds = colocated_join(ldir, rdir, how=how)
+            # per-block schemas must agree (int payloads float64-cast in
+            # EVERY shard, not just miss shards) — write_parquet rejects
+            # divergent blocks
+            outdir = str(tmp_path / f"joined_{how}")
+            ds.write_parquet(outdir)
             got = (
-                colocated_join(ldir, rdir, how=how)
+                rd.read_parquet(outdir)
                 .to_pandas().sort_values("k").reset_index(drop=True)
             )
             want = left.merge(right, on="k", how=how).sort_values("k").reset_index(drop=True)
@@ -1210,3 +1216,33 @@ class TestParagraphDedup:
         )
         rep = repeated_paragraphs(rd.from_pandas(docs), "text", "doc_id")
         assert len(rep) == 0  # distinct-doc count, not occurrence count
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTailQueryOracles:
+    """Queries past the driver's 50-entry cap that carry a SQL oracle get
+    their oracle check HERE instead (the external gate never reaches
+    them)."""
+
+    def test_url_canonical_dedup_matches_duckdb(self):
+        import duckdb
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sf = "/root/testdata/sf0.001"
+        got = mod.queries()["url_canonical_dedup"](sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(mod.oracle_sql()["url_canonical_dedup"]).df()
+        g = got.sort_values("canonical_url").reset_index(drop=True)
+        w = want.sort_values("canonical_url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[w.columns], w, check_dtype=False)
+        # both collapse classes present: 3 raw spellings -> 1 canonical,
+        # and the fragment-only variant staying distinct
+        assert set(g["n_variants"]) == {1, 3}

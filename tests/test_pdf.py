@@ -359,6 +359,25 @@ class TestFormXObject:
             got = sorted(b[5] for b in pdf_page_boxes(make_pdf([items], **kw))[0])
             assert got == want, kw
 
+    def test_form_own_plain_font_does_not_inherit_page_cmap(self):
+        # a form with its OWN /Font dict (no ToUnicode) must decode
+        # latin-1, not through a page-level CMap that shares the name
+        from ocr_platform_ray.stages.pdf import Ref, _page_xobjects, interpret_content
+
+        form = ({"Subtype": "Form", "Resources": {"Font": {"F1": Ref(7)}}},
+                b"BT /F1 12 Tf (abc) Tj ET")
+        objects = {5: form, 7: ({"Type": "Font", "Subtype": "Type1"}, None)}
+        page = {"Resources": {"XObject": {"Fx1": Ref(5)}}}
+        page_decoders = {"F1": lambda raw: "CMAPPED"}
+        xobjs = _page_xobjects(page, objects, page_decoders)
+        runs = interpret_content(b"/Fx1 Do", page_decoders, xobjects=xobjs)
+        assert [r.text for r in runs] == ["abc"]
+        # a form with NO font resources inherits the caller's decoders
+        form2 = ({"Subtype": "Form"}, b"BT /F1 12 Tf (abc) Tj ET")
+        xobjs2 = _page_xobjects(page, {5: form2}, page_decoders)
+        runs2 = interpret_content(b"/Fx1 Do", page_decoders, xobjects=xobjs2)
+        assert [r.text for r in runs2] == ["CMAPPED"]
+
     def test_inline_image_binary_skipped(self):
         # BI..ID <binary> EI payloads (which may contain parens, 'Tj',
         # even a glued 'EI') must not derail the tokenizer
