@@ -149,3 +149,45 @@ class TestUrlCanonicalization:
         df = pd.DataFrame({"i": range(len(urls)), "url": urls})
         out = add_canonical_url(rd.from_pandas(df), "url").to_pandas().sort_values("i")
         assert list(out["canonical_url"]) == [canonicalize_url(u) for u in urls]
+
+
+class TestArabicTransliteration:
+    def test_ijmes_romanization_table(self):
+        from ocr_platform_ray.functions.translit import transliterate_arabic as tr
+
+        cases = [
+            ("مُحَمَّد", "muḥammad"),      # shadda gemination
+            ("كِتَاب", "kitāb"),           # kasra + long ā merge
+            ("كتاب", "ktāb"),              # unvocalized -> consonantal
+            ("الكتاب", "al-ktāb"),         # definite article
+            ("العِلْم", "al-ʿilm"),        # ʿayn + sukun
+            ("قُرْآن", "qurʾān"),          # mid-word madda
+            ("شَمْس", "shams"),            # sh digraph
+            ("٠١٢٣", "0123"),              # Arabic-Indic digits
+            ("أَمِير", "ʾamīr"),           # hamza seat + ī merge
+            ("مُصْطَفَى", "muṣṭafā"),      # emphatics + alif maqsura
+            ("مَكْتَبَة", "maktaba"),      # final ta marbuta
+            ("سُورَة", "sūra"),            # ū merge + final ta marbuta
+            ("كُتُبٌ", "kutubun"),         # tanwin
+            ("hello عَرَبِي world", "hello ʿarabī world"),  # mixed passthrough
+        ]
+        for src, want in cases:
+            assert tr(src) == want, (src, tr(src), want)
+
+    def test_latin_text_passthrough_and_canonical_compose(self):
+        from ocr_platform_ray.functions.slug import canonicalize_translit_chars
+        from ocr_platform_ray.functions.translit import transliterate_arabic as tr
+
+        assert tr("plain latin text 123!") == "plain latin text 123!"
+        # composes with the reference's deterministic post-pass (M12)
+        assert canonicalize_translit_chars(tr("عِلْم")) == "ʿilm"
+
+    def test_dataset_operator(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.translit import add_transliteration
+
+        df = pd.DataFrame({"i": [0, 1], "t": ["الكتاب", "hello"]})
+        out = add_transliteration(rd.from_pandas(df), "t").to_pandas().sort_values("i")
+        assert list(out["translit"]) == ["al-ktāb", "hello"]
