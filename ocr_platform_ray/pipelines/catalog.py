@@ -19,19 +19,25 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.publishing import parse_publishing_details
-from ..functions.slug import slugify
+from ..functions.slug import canonicalize_translit_chars, slugify
+from ..functions.translit import transliterate_arabic
 
 
 def normalize_records(meta: rd.Dataset) -> rd.Dataset:
     """M10 record normalizer (texts.airtable.ts:62-107 semantics): strip the
     leading '*' from transliteration, slugify it, parse the labeled
-    publishing-details string (M11)."""
+    publishing-details string (M11), and derive a rule-based IJMES
+    romanization of the Arabic name (M12 — the reference transliterates
+    names at ingest via an LLM; the deterministic romanizer stands in)."""
 
     def norm(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
         translit = b["transliteration"].str.removeprefix("*")
         out["transliteration"] = translit
         out["slug"] = translit.map(slugify)
+        out["name_translit"] = [
+            canonicalize_translit_chars(transliterate_arabic(n)) for n in b["arabic_name"]
+        ]
         parsed = b["pub_details_raw"].map(parse_publishing_details)
         for field in ("investigator", "publisher", "edition_number", "publication_year"):
             out[field] = parsed.map(lambda d, f=field: d[f])
