@@ -274,15 +274,24 @@ class LangId:
         n_max = np.maximum(lens, 1).astype(np.float64)
         names = list(self.profiles)
         scores = np.zeros((n_rows, len(names)), dtype=np.float64)
+        # every script range starts at U+0370+: when the batch holds no
+        # such codepoint, all range hits AND all non-ASCII gram counts are
+        # provably zero — skip those kernels (the common English-corpus
+        # batch runs ~half the kernels and no range scans; equivalence
+        # with the per-row scorer is unchanged and tested)
+        plain = flat.size == 0 or int(flat.max()) < 0x0370
         for j, lang in enumerate(names):
             prof = self.profiles[lang]
             sh = np.zeros(n_rows, dtype=np.int64)
-            for lo, hi in prof["ranges"]:
-                hits = ((flat >= lo) & (flat <= hi)).astype(np.int64)
-                c = np.concatenate([[0], np.cumsum(hits)])
-                sh += c[offsets[1:]] - c[offsets[:-1]]
+            if not plain:
+                for lo, hi in prof["ranges"]:
+                    hits = ((flat >= lo) & (flat <= hi)).astype(np.int64)
+                    c = np.concatenate([[0], np.cumsum(hits)])
+                    sh += c[offsets[1:]] - c[offsets[:-1]]
             gh = np.zeros(n_rows, dtype=np.int64)
             for g in prof["grams"]:
+                if plain and not g.isascii():
+                    continue
                 gh += pc.count_substring(col, pattern=g).to_numpy(zero_copy_only=False)
             # identical op order to _score: (sh / n) + ((3.0 * gh) / max(1, n))
             with np.errstate(divide="ignore", invalid="ignore"):

@@ -671,6 +671,19 @@ class TestTextStats:
         want = [li._score(t) for t in texts]
         assert langs == [w[0] for w in want]
         assert confs == [w[1] for w in want]
+        # the pure-ASCII fast path (range scans + non-ASCII gram kernels
+        # skipped) must also agree row-for-row
+        ascii_texts = [
+            "the quick brown fox and the lazy dog",
+            "der schnelle braune fuchs und ich",
+            "plain words only",
+            "",
+            "1234 !!!",
+        ]
+        langs2, confs2 = li._score_batch(ascii_texts)
+        want2 = [li._score(t) for t in ascii_texts]
+        assert langs2 == [w[0] for w in want2]
+        assert confs2 == [w[1] for w in want2]
 
     def test_bpe_tokenizer_roundtrip_and_determinism(self):
         from ocr_platform_ray.functions.bpe import (
