@@ -11,3 +11,5 @@ from .publishing import parse_publishing_details  # noqa: F401
 from .localization import fold_localized_entries  # noqa: F401
 from .score import command_score  # noqa: F401
 from .validation import empty_to_none  # noqa: F401
+from .url import canonicalize_url, add_canonical_url  # noqa: F401
+from .translit import transliterate_arabic, add_transliteration  # noqa: F401

@@ -2,7 +2,9 @@
 large-scale pipeline extensions: dedup, similarity search, text analysis)."""
 
 from .relational import (  # noqa: F401
+    auto_group_agg,
     auto_join,
+    probe_head,
     broadcast_hash_join,
     bucketed_hash_join,
     native_join,
@@ -29,7 +31,7 @@ from .dedup import (  # noqa: F401
     repeated_paragraphs,
     strip_repeated_paragraphs,
 )
-from .textstats import add_text_stats, langid_scores, doc_fingerprint  # noqa: F401
+from .textstats import add_text_stats, add_repetition_stats, langid_scores, doc_fingerprint  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivf_index,
     knn_brute_force,

@@ -9,4 +9,5 @@ the actor-pool ``map_batches`` wrapper holding compiled parser state.
 """
 
 from .extract import ExtractPages, extract_page  # noqa: F401
+from .raster import RasterizePdfPages, rasterize_pdf, rasterize_pdf_pages  # noqa: F401
 from .reassemble import reassemble_docs  # noqa: F401
