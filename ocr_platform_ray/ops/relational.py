@@ -427,6 +427,71 @@ def top_k(ds: rd.Dataset, key: str | list[str], k: int, *, descending: bool = Tr
     return pruned.sort(keys, descending=descending).limit(k)
 
 
+def grouped_top_k(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_col: str | None = None,
+    finish: str = "auto",
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> rd.Dataset | pd.DataFrame:
+    """Top-k rows PER GROUP with a dense 1-based ``rk`` rank column (the
+    SQL ``row_number() OVER (PARTITION BY ... ORDER BY ...) <= k`` window
+    — e.g. 'best k documents per language by quality score').
+
+    Same two-phase shape as ``top_k``/``auto_group_agg``: a per-batch
+    local prune caps the exchange payload at k rows per (group, batch),
+    then the size-aware finish — driver when the pruned partials fit
+    (saves the AllToAll floor), hash-shard exchange with ONE vectorized
+    sort + head per shard above it (every row of a group lands in one
+    shard, so in-shard ranks are global ranks).  ``tie_col`` (ascending)
+    makes the ranking total — required for a deterministic result."""
+    sort_cols = [*group_cols, order_col] + ([tie_col] if tie_col else [])
+    ascending = [True] * len(group_cols) + [not descending] + ([True] if tie_col else [])
+
+    def local_prune(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(sort_cols, ascending=ascending).groupby(
+            group_cols, sort=False
+        ).head(k)
+
+    def rank_head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending)
+        df["rk"] = df.groupby(group_cols, sort=False).cumcount() + 1
+        return df[df["rk"] <= k].reset_index(drop=True)
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    if finish == "auto":
+        head = probe_head(pruned, driver_threshold_rows)
+        if head is not None:
+            finish, pruned = "driver", head
+        else:
+            finish = "exchange"
+    if finish == "driver":
+        df = pruned if isinstance(pruned, pd.DataFrame) else pruned.to_pandas()
+        return rank_head(df)
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b[group_cols[0]].to_numpy())
+        for c in group_cols[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(b[c].to_numpy())
+        out = b.copy()
+        out["__shard"] = (h % n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_head(g.drop(columns="__shard"))
+
+    return (
+        pruned.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def paginate(ds: rd.Dataset, sort_key: str, *, page: int, page_size: int, descending: bool = False) -> pd.DataFrame:
     """Offset/limit page window (A5, lib/pagination.ts:6-16): sort, then
     slice [page*size, (page+1)*size) via limit on the sorted stream."""

@@ -360,3 +360,42 @@ def doc_fingerprint(ds: rd.Dataset, text_col: str, *, k: int = 8, window: int = 
         return out
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+def token_document_frequency(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    split: str = " ",
+    n_shards: int = 64,
+):
+    """Vocabulary document frequency (df): for every space-delimited token,
+    the number of DISTINCT documents containing it — the corpus-statistics
+    pass behind IDF weighting, stopword induction, and vocabulary builds.
+
+    Combiner shape: each batch emits per-token partial df after an
+    in-batch (doc, token) dedup (pandas hash drop_duplicates + one
+    value_counts — no per-row Python), so the reduce moves |vocab| x
+    |batches| partial rows, not corpus tokens; the size-aware
+    ``auto_group_agg`` finish keeps the scale path.  Returns
+    ``(token, df)`` with ``df >= min_df``; a Dataset on the exchange
+    route, pandas below the driver threshold (callers normalize)."""
+    from .relational import auto_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            b[[id_col, text_col]]
+            .assign(token=b[text_col].str.split(split))
+            .explode("token")[[id_col, "token"]]
+            .drop_duplicates()
+        )
+        vc = pairs["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "df": vc.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    reduced = auto_group_agg(partials, ["token"], {"df": ("df", "sum")}, n_shards=n_shards)
+    if isinstance(reduced, pd.DataFrame):
+        return reduced[reduced["df"] >= min_df].reset_index(drop=True)
+    return reduced.map_batches(lambda b: b[b["df"] >= min_df], batch_format="pandas")

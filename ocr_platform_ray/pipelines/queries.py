@@ -291,6 +291,115 @@ def q_strip_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Training-sequence packing: concatenate every document's pretokenizer
+    stream in doc_id order and assign each doc the 512-token training
+    context holding its first token — a distributed ordered prefix sum
+    (ops/pack.py two-pass range-shard scan), never a global sort."""
+    from ..ops.pack import pack_sequences
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tc(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pa.array(b["text"], pa.string()), pattern=r"[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]"
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens": n.astype("int64")})
+
+    return pack_sequences(
+        ds.map_batches(tc, batch_format="pandas"),
+        key_col="doc_id",
+        count_col="n_tokens",
+        chunk_tokens=512,
+    )
+
+
+def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    deterministic eval slice (doc_id % 97 == 0) and how many distinct
+    grams leak.  4-grams stand in for the usual 13-grams against this
+    corpus's ~31-word vocabulary; the operator is n-agnostic."""
+    from ..ops.decontam import contamination_counts
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.map_batches(lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas")
+    tr = docs.map_batches(lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas")
+    out = contamination_counts(tr, ev, id_col="doc_id", text_col="text", n=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing over deterministically PII-augmented docs: per-doc
+    match count + the redacted text itself (value-hashed by the driver).
+    One RE2 kernel per rule per batch (functions/pii.py)."""
+    from ..functions.pii import redact_pii_batch
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64")
+        s = did.astype(str)
+        t = (
+            b["text"]
+            + (" Contact user" + s + "@mail-example.com now.").where(did % 3 == 0, "")
+            + (" Call 555-" + (did % 10000).astype(str).str.zfill(4) + " today.").where(
+                did % 5 == 0, ""
+            )
+            + (
+                " Origin 10."
+                + (did % 256).astype(str)
+                + "."
+                + ((did * 7) % 256).astype(str)
+                + ".1 logged."
+            ).where(did % 7 == 0, "")
+        )
+        return pd.DataFrame({"doc_id": did, "text": t})
+
+    out = (
+        ds.map_batches(synth, batch_format="pandas")
+        .map_batches(redact_pii_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out[["doc_id", "n_pii", "redacted_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Group-wise top-k (the row_number window): 3 longest docs per
+    language, deterministic doc_id tie-break, size-aware finish."""
+    from ..ops.relational import grouped_top_k
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_top_k(ds, ["lang"], "n_chars", 3, descending=True, tie_col="doc_id")
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["rk"] = out["rk"].astype("int64")
+    return (
+        out[["lang", "doc_id", "n_chars", "rk"]]
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+
+
+def q_token_df(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary document frequency (IDF statistics): tokens appearing in
+    >= 25 distinct docs, via the in-batch (doc, token)-dedup combiner."""
+    from ..ops.textstats import token_document_frequency
+
+    out = token_document_frequency(
+        _t(sf_dir, "documents", ["doc_id", "text"]), min_df=25
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1440,15 +1549,15 @@ QUERIES = {
     "hijri_order_years": q_hijri_order_years,
     "pushdown_filter_read": q_pushdown_filter_read,
     "first_error_event": q_first_error_event,
-    "dataset_split": q_dataset_split,
-    "union_sources": q_union_sources,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate_docs": q_decontaminate_docs,
     "stratified_sample": q_stratified_sample,
     # ---- position > 50: may fall past the driver's query cap.  Only
-    # no-oracle variants pinned by pytest live here, with two exceptions
-    # that carry their own pytest oracle evidence instead:
-    # lineitem_join_revenue_exchange (equivalence-tested against the
-    # oracled default plan) and url_canonical_dedup (directly
-    # oracle-compared against DuckDB in tests/test_ops.py). ----
+    # no-oracle variants pinned by pytest live here, plus oracled entries
+    # that carry their own pytest oracle evidence instead (directly
+    # DuckDB-compared in tests/test_ops.py::TestTailQueryOracles, or —
+    # for lineitem_join_revenue_exchange — equivalence-tested against
+    # the oracled default plan). ----
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_signatures": q_simhash_signatures,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1460,6 +1569,11 @@ QUERIES = {
     "rasterize_pdf_pages": q_rasterize_pdf_pages,
     "langid_pred": q_langid_pred,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "dataset_split": q_dataset_split,
+    "union_sources": q_union_sources,
+    "pii_redact": q_pii_redact,
+    "top3_docs_per_lang": q_top3_docs_per_lang,
+    "token_df": q_token_df,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -1825,6 +1939,71 @@ ORACLE_SQL = {
         "(doc_id * 2654435761) % 4294967296 < "
         "CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT) "
         "WHEN 'es' THEN CAST(0.2 * 4294967296 AS BIGINT) ELSE 0 END"
+    ),
+    "pack_sequences": (
+        "WITH tc AS ("
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) AS BIGINT) AS n_tokens FROM documents"
+        "), pref AS ("
+        "SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS BIGINT) AS start_tok FROM tc) "
+        "SELECT doc_id, n_tokens, start_tok, start_tok // 512 AS chunk_id FROM pref"
+    ),
+    "decontaminate_docs": (
+        # gram convention mirrors _NGRAM_JACCARD_SQL (single-space split,
+        # short docs shingle to the whole text, per-doc DISTINCT), n = 4
+        "WITH toks AS ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents"
+        "), grams AS ("
+        "SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w AS g "
+        "FROM toks a "
+        "JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1 "
+        "JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2 "
+        "JOIN toks d ON a.doc_id = d.doc_id AND d.i = a.i + 3"
+        "), short AS ("
+        "SELECT doc_id, text AS g FROM documents "
+        "WHERE len(string_split(text, ' ')) < 4"
+        "), allg AS (SELECT * FROM grams UNION ALL SELECT * FROM short), "
+        "evalg AS (SELECT DISTINCT g FROM allg WHERE doc_id % 97 = 0) "
+        "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams "
+        "FROM allg t JOIN evalg e ON t.g = e.g "
+        "WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id"
+    ),
+    "pii_redact": (
+        # same synthetic augmentation as q_pii_redact, then the PII_RULES
+        # patterns verbatim (DuckDB's regexp engine is RE2, like Arrow's)
+        "WITH aug AS ("
+        "SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id "
+        "|| '@mail-example.com now.' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' Call 555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.' ELSE '' END "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' Origin 10.' || (doc_id % 256) "
+        "|| '.' || ((doc_id * 7) % 256) || '.1 logged.' ELSE '' END AS t "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+        "+ len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) "
+        "+ len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+        "AS BIGINT) AS n_pii, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b555-[0-9]{4}\\b', '<PHONE>', 'g'), "
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
+        "AS redacted_text FROM aug"
+    ),
+    "top3_docs_per_lang": (
+        "SELECT lang, doc_id, n_chars, rk FROM ("
+        "SELECT lang, doc_id, n_chars, CAST(row_number() OVER ("
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk "
+        "FROM documents) WHERE rk <= 3"
+    ),
+    "token_df": (
+        "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) "
+        "GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 25"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

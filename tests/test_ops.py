@@ -1259,3 +1259,28 @@ class TestTailQueryOracles:
         # both collapse classes present: 3 raw spellings -> 1 canonical,
         # and the fragment-only variant staying distinct
         assert set(g["n_variants"]) == {1, 3}
+
+    @pytest.mark.parametrize(
+        "name",
+        ["dataset_split", "union_sources", "pii_redact", "top3_docs_per_lang", "token_df"],
+    )
+    def test_tail_oracles_match_duckdb(self, name):
+        import duckdb
+
+        from ocr_platform_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = QUERIES[name](sf)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(ORACLE_SQL[name]).df()
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        assert len(g) > 0

@@ -1,0 +1,239 @@
+"""Round-3 training-data operators: sequence packing (distributed ordered
+prefix sum), benchmark decontamination, PII redaction, group-wise top-k,
+and token document frequency."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangePrefixSum:
+    def _naive(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("k").reset_index(drop=True)
+        df["start"] = df["v"].cumsum() - df["v"]
+        return df
+
+    def test_matches_naive_dense_keys(self):
+        from ocr_platform_ray.ops.pack import range_prefix_sum
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"k": np.arange(1000), "v": rng.integers(0, 50, 1000)})
+        got = (
+            range_prefix_sum(rd.from_pandas(df, override_num_blocks=7), "k", "v", n_shards=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = self._naive(df)
+        pd.testing.assert_frame_equal(got[["k", "v", "start"]], want, check_dtype=False)
+
+    def test_matches_naive_sparse_keys_and_underestimated_max(self):
+        from ocr_platform_ray.ops.pack import range_prefix_sum
+
+        # non-dense keys with huge gaps; key_max deliberately too small so
+        # late keys clip into the last shard — skew, never wrong answers
+        rng = np.random.default_rng(11)
+        keys = np.unique(rng.integers(0, 10**9, 500))
+        df = pd.DataFrame({"k": keys, "v": rng.integers(1, 9, len(keys))})
+        got = (
+            range_prefix_sum(
+                rd.from_pandas(df, override_num_blocks=5), "k", "v",
+                n_shards=16, key_max=1000,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "start"]], self._naive(df), check_dtype=False
+        )
+
+    def test_pack_sequences_chunk_assignment(self):
+        from ocr_platform_ray.ops.pack import pack_sequences
+
+        df = pd.DataFrame({"k": [0, 1, 2, 3, 4], "n": [300, 300, 300, 300, 300]})
+        got = (
+            pack_sequences(rd.from_pandas(df), key_col="k", count_col="n", chunk_tokens=512)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # starts 0,300,600,900,1200 -> chunks 0,0,1,1,2
+        assert got["start_tok"].tolist() == [0, 300, 600, 900, 1200]
+        assert got["chunk_id"].tolist() == [0, 0, 1, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontamination:
+    def _corpus(self):
+        eval_docs = pd.DataFrame(
+            {
+                "doc_id": [0, 97],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "short eval doc",
+                ],
+            }
+        )
+        train_docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    # shares "the quick brown fox" and "quick brown fox jumps"
+                    "prefix the quick brown fox jumps suffix words here",
+                    "totally clean training document with no overlap at all",
+                    "short eval doc",  # whole-text gram of a short eval doc
+                    "the quick brown cat sat still",  # 4-gram broken: no hit
+                ],
+            }
+        )
+        return train_docs, eval_docs
+
+    def test_broadcast_counts(self):
+        from ocr_platform_ray.ops.decontam import contamination_counts
+
+        tr, ev = self._corpus()
+        got = (
+            contamination_counts(
+                rd.from_pandas(tr), rd.from_pandas(ev),
+                id_col="doc_id", text_col="text", n=4, method="broadcast",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 3]
+        assert got.set_index("doc_id")["n_shared_grams"].to_dict() == {1: 2, 3: 1}
+
+    def test_bucketed_matches_broadcast(self):
+        from ocr_platform_ray.ops.decontam import contamination_counts
+
+        tr, ev = self._corpus()
+        a = (
+            contamination_counts(
+                rd.from_pandas(tr, override_num_blocks=3),
+                rd.from_pandas(ev, override_num_blocks=2),
+                id_col="doc_id", text_col="text", n=4, method="broadcast",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            contamination_counts(
+                rd.from_pandas(tr, override_num_blocks=3),
+                rd.from_pandas(ev, override_num_blocks=2),
+                id_col="doc_id", text_col="text", n=4, method="bucketed",
+                n_buckets=4, n_shards=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+class TestPIIRules:
+    def test_rules_and_counts(self):
+        from ocr_platform_ray.functions.pii import redact_pii_batch
+
+        b = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "mail a.b-c_d%x+1@sub.example.co.uk then call 555-0199 now",
+                    "server at 192.168.0.1 and 10.0.0.255 responded",
+                    "no pii here at all",
+                ],
+            }
+        )
+        out = redact_pii_batch(b)
+        assert out["n_pii"].tolist() == [2, 2, 0]
+        assert out.loc[0, "redacted_text"] == "mail <EMAIL> then call <PHONE> now"
+        assert out.loc[1, "redacted_text"] == "server at <IP> and <IP> responded"
+        assert out.loc[2, "redacted_text"] == "no pii here at all"
+
+    def test_placeholders_inert_across_rules(self):
+        # placeholders contain no digits or '@': applying one rule cannot
+        # create or destroy another rule's matches (the oracle's premise)
+        from ocr_platform_ray.functions.pii import PII_RULES
+
+        import re
+
+        for _, _, repl in PII_RULES:
+            for _, pat, _ in PII_RULES:
+                assert re.search(pat, repl) is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTopK:
+    def _df(self):
+        rng = np.random.default_rng(3)
+        return pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 300),
+                "x": rng.integers(0, 40, 300),  # heavy score ties
+                "id": np.arange(300),
+            }
+        )
+
+    def _naive(self, df, k):
+        df = df.sort_values(["g", "x", "id"], ascending=[True, False, True]).copy()
+        df["rk"] = df.groupby("g").cumcount() + 1
+        return (
+            df[df["rk"] <= k]
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)[["g", "id", "x", "rk"]]
+        )
+
+    def test_driver_route_matches_naive(self):
+        from ocr_platform_ray.ops.relational import grouped_top_k
+
+        df = self._df()
+        got = grouped_top_k(
+            rd.from_pandas(df, override_num_blocks=6), ["g"], "x", 5, tie_col="id",
+            finish="driver",
+        )
+        got = got.sort_values(["g", "rk"]).reset_index(drop=True)[["g", "id", "x", "rk"]]
+        pd.testing.assert_frame_equal(got, self._naive(df, 5), check_dtype=False)
+
+    def test_exchange_route_matches_driver(self):
+        from ocr_platform_ray.ops.relational import grouped_top_k
+
+        df = self._df()
+        got = (
+            grouped_top_k(
+                rd.from_pandas(df, override_num_blocks=6), ["g"], "x", 5,
+                tie_col="id", finish="exchange", n_shards=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "rk"])
+            .reset_index(drop=True)[["g", "id", "x", "rk"]]
+        )
+        pd.testing.assert_frame_equal(got, self._naive(df, 5), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenDF:
+    def test_distinct_doc_counts(self):
+        from ocr_platform_ray.ops.textstats import token_document_frequency
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apple apple banana",  # apple counted once for doc 0
+                    "apple cherry",
+                    "banana banana",
+                ],
+            }
+        )
+        out = token_document_frequency(
+            rd.from_pandas(df, override_num_blocks=2), min_df=1
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        got = out.set_index("token")["df"].to_dict()
+        assert got == {"apple": 2, "banana": 2, "cherry": 1}
