@@ -4,6 +4,7 @@ large-scale pipeline extensions: dedup, similarity search, text analysis)."""
 from .relational import (  # noqa: F401
     auto_group_agg,
     auto_join,
+    grouped_top_k,
     probe_head,
     broadcast_hash_join,
     bucketed_hash_join,
@@ -31,7 +32,16 @@ from .dedup import (  # noqa: F401
     repeated_paragraphs,
     strip_repeated_paragraphs,
 )
-from .textstats import add_text_stats, add_repetition_stats, langid_scores, doc_fingerprint  # noqa: F401
+from .textstats import (  # noqa: F401
+    add_text_stats,
+    add_repetition_stats,
+    langid_scores,
+    doc_fingerprint,
+    token_document_frequency,
+)
+from .pack import range_prefix_sum, pack_sequences  # noqa: F401
+from .decontam import contamination_counts  # noqa: F401
+from .interval import interval_join  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivf_index,
     knn_brute_force,

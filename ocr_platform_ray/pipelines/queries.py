@@ -400,6 +400,46 @@ def q_token_df(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_error_blast_radius(sf_dir: str) -> pd.DataFrame:
+    """General range join (ops/interval.py): every event within +-5 min of
+    an error event, counted per error — containment against overlapping
+    windows, which no equi-join (and no asof join) can express."""
+    from ..ops.interval import interval_join
+    from ..ops.relational import auto_group_agg
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def mk_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[b["event_type"] == "error"]
+        return pd.DataFrame(
+            {
+                "err_id": e["event_id"].to_numpy(),
+                "w_start": e["ts"] - pd.Timedelta(minutes=5),
+                "w_end": e["ts"] + pd.Timedelta(minutes=5),
+            }
+        )
+
+    intervals = ev.map_batches(mk_intervals, batch_format="pandas")
+    points = ev.map_batches(
+        lambda b: b[["event_id", "ts"]], batch_format="pandas"
+    )
+    pairs = interval_join(
+        points,
+        intervals,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        point_cols=["event_id"],
+        interval_cols=["err_id"],
+        closed="left",
+    )
+    out = auto_group_agg(pairs, ["err_id"], {"n_nearby": ("event_id", "size")})
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["n_nearby"] = out["n_nearby"].astype("int64")
+    return out.sort_values("err_id").reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1574,6 +1614,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "top3_docs_per_lang": q_top3_docs_per_lang,
     "token_df": q_token_df,
+    "error_blast_radius": q_error_blast_radius,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2004,6 +2045,12 @@ ORACLE_SQL = {
         "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ("
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) "
         "GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 25"
+    ),
+    "error_blast_radius": (
+        "SELECT i.event_id AS err_id, CAST(COUNT(*) AS BIGINT) AS n_nearby "
+        "FROM events i JOIN events e "
+        "ON e.ts >= i.ts - INTERVAL 5 MINUTE AND e.ts < i.ts + INTERVAL 5 MINUTE "
+        "WHERE i.event_type = 'error' GROUP BY i.event_id"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

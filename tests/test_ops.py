@@ -1262,7 +1262,14 @@ class TestTailQueryOracles:
 
     @pytest.mark.parametrize(
         "name",
-        ["dataset_split", "union_sources", "pii_redact", "top3_docs_per_lang", "token_df"],
+        [
+            "dataset_split",
+            "union_sources",
+            "pii_redact",
+            "top3_docs_per_lang",
+            "token_df",
+            "error_blast_radius",
+        ],
     )
     def test_tail_oracles_match_duckdb(self, name):
         import duckdb
@@ -1274,9 +1281,10 @@ class TestTailQueryOracles:
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
-        )
+        for t in ("documents", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
         want = con.execute(ORACLE_SQL[name]).df()
         cols = sorted(want.columns)
         assert sorted(got.columns) == cols

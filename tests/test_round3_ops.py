@@ -216,6 +216,71 @@ class TestGroupedTopK:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestIntervalJoin:
+    def _naive(self, pts, ivs, closed="left"):
+        rows = []
+        for _, iv in ivs.iterrows():
+            for _, p in pts.iterrows():
+                hit = (
+                    iv["s"] <= p["t"] <= iv["e"]
+                    if closed == "both"
+                    else iv["s"] <= p["t"] < iv["e"]
+                )
+                if hit:
+                    rows.append((p["pid"], iv["iid"]))
+        return sorted(rows)
+
+    def _run(self, pts, ivs, closed="left", n_buckets=8):
+        from ocr_platform_ray.ops.interval import interval_join
+
+        got = interval_join(
+            rd.from_pandas(pts, override_num_blocks=3),
+            rd.from_pandas(ivs, override_num_blocks=2),
+            point_col="t", start_col="s", end_col="e",
+            point_cols=["pid"], interval_cols=["iid"],
+            closed=closed, n_buckets=n_buckets,
+        ).to_pandas()
+        if got.shape[1] == 0:  # all-empty Dataset -> columnless frame
+            return []
+        return sorted(map(tuple, got[["pid", "iid"]].to_numpy()))
+
+    def test_int_domain_matches_naive(self):
+        rng = np.random.default_rng(5)
+        pts = pd.DataFrame({"pid": np.arange(200), "t": rng.integers(0, 1000, 200)})
+        s = rng.integers(-50, 1000, 60)  # some out-of-domain, some long
+        ln = rng.integers(0, 400, 60)  # spans many buckets
+        ivs = pd.DataFrame({"iid": np.arange(60), "s": s, "e": s + ln})
+        assert self._run(pts, ivs) == self._naive(pts, ivs)
+
+    def test_closed_both_includes_end(self):
+        pts = pd.DataFrame({"pid": [0, 1, 2], "t": [10, 20, 30]})
+        ivs = pd.DataFrame({"iid": [7], "s": [10], "e": [20]})
+        assert self._run(pts, ivs, closed="left") == [(0, 7)]
+        assert self._run(pts, ivs, closed="both") == [(0, 7), (1, 7)]
+
+    def test_datetime_domain(self):
+        base = pd.Timestamp("2024-01-01")
+        pts = pd.DataFrame(
+            {"pid": np.arange(50), "t": base + pd.to_timedelta(np.arange(50) * 7, "min")}
+        )
+        ivs = pd.DataFrame(
+            {
+                "iid": [0, 1],
+                "s": [base + pd.Timedelta(minutes=10), base + pd.Timedelta(hours=3)],
+                "e": [base + pd.Timedelta(minutes=40), base + pd.Timedelta(hours=4)],
+            }
+        )
+        got = self._run(pts, ivs, n_buckets=4)
+        want = self._naive(pts, ivs)
+        assert got == want and len(want) > 0
+
+    def test_no_overlap_and_empty_sides(self):
+        pts = pd.DataFrame({"pid": [0], "t": [5]})
+        ivs = pd.DataFrame({"iid": [0], "s": [100], "e": [200]})
+        assert self._run(pts, ivs) == []
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTokenDF:
     def test_distinct_doc_counts(self):
         from ocr_platform_ray.ops.textstats import token_document_frequency
