@@ -137,7 +137,7 @@ def run_once() -> dict:
             best = dt if best is None else min(best, dt)
         q_times[name] = round(best, 3)
 
-    # round-2 operator additions, timed once (informational — separate
+    # round-2/3 operator additions, timed once (informational — separate
     # from the tracked queries_total_s series)
     extra_times: dict[str, float] = {}
     for name in (
@@ -147,6 +147,12 @@ def run_once() -> dict:
         "embedding_near_dup_pairs",
         "extract_pdf_docs",
         "approx_median_value_by_type",
+        "pack_sequences",
+        "decontaminate_docs",
+        "error_blast_radius",
+        "pii_redact",
+        "top3_docs_per_lang",
+        "token_df",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

@@ -91,7 +91,11 @@ def interval_join(
     out_cols = list(point_cols) + [out_names[c] for c in interval_cols]
 
     if bounds is None:
-        lo, hi = points.min(point_col), points.max(point_col)
+        # one execution for both bounds (ds.min + ds.max would be two)
+        from ray.data.aggregate import Max, Min
+
+        agg = points.aggregate(Min(point_col), Max(point_col))
+        lo, hi = agg[f"min({point_col})"], agg[f"max({point_col})"]
     else:
         lo, hi = bounds
     lo, hi = _scalar_num(lo), _scalar_num(hi)

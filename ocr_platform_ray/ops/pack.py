@@ -57,6 +57,14 @@ def range_prefix_sum(
     Returns ``(key_col, value_col, out_col)`` with
     ``out_col = sum(value of all rows with smaller key)``.
     """
+    # the input is consumed by BOTH passes (plus the key_max scan when
+    # bounds aren't supplied); materialize the two-int64-column projection
+    # once so an expensive upstream (e.g. a tokenizer regex over full
+    # document text) never re-executes — 16 bytes/row streams through the
+    # object store and spills, where recomputing the upstream would not
+    ds = ds.map_batches(
+        lambda b: b[[key_col, value_col]], batch_format="pandas"
+    ).materialize()
     if key_max is None:
         key_max = int(ds.max(key_col))
     span = max(1, (int(key_max) + n_shards) // n_shards)
