@@ -153,6 +153,7 @@ def run_once() -> dict:
         "pii_redact",
         "top3_docs_per_lang",
         "token_df",
+        "epoch_shuffle",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

@@ -45,6 +45,7 @@ def range_prefix_sum(
     n_shards: int = 64,
     key_max: int | None = None,
     out_col: str = "start",
+    carry_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Exclusive prefix sum of ``value_col`` in ``key_col`` order.
 
@@ -54,17 +55,19 @@ def range_prefix_sum(
     ``key_max`` from catalog / parquet metadata at scale; when omitted it
     costs one cheap ``ds.max`` column scan.
 
-    Returns ``(key_col, value_col, out_col)`` with
-    ``out_col = sum(value of all rows with smaller key)``.
+    Returns ``(key_col, value_col, out_col, *carry_cols)`` with
+    ``out_col = sum(value of all rows with smaller key)``;
+    ``carry_cols`` ride along unchanged (they widen the exchange payload
+    — carry ids, not content columns).
     """
+    carry = [c for c in (carry_cols or []) if c not in (key_col, value_col)]
     # the input is consumed by BOTH passes (plus the key_max scan when
     # bounds aren't supplied); materialize the two-int64-column projection
     # once so an expensive upstream (e.g. a tokenizer regex over full
     # document text) never re-executes — 16 bytes/row streams through the
     # object store and spills, where recomputing the upstream would not
-    ds = ds.map_batches(
-        lambda b: b[[key_col, value_col]], batch_format="pandas"
-    ).materialize()
+    keep = [key_col, value_col] + carry
+    ds = ds.map_batches(lambda b: b[keep], batch_format="pandas").materialize()
     if key_max is None:
         key_max = int(ds.max(key_col))
     span = max(1, (int(key_max) + n_shards) // n_shards)
@@ -86,7 +89,7 @@ def range_prefix_sum(
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[[key_col, value_col]].copy()
+        out = b[keep].copy()
         out["__shard"] = _shard_of(out[key_col].to_numpy(dtype="int64"), span, n_shards)
         return out
 
@@ -94,7 +97,7 @@ def range_prefix_sum(
         g = g.sort_values(key_col, kind="stable").reset_index(drop=True)
         v = g[value_col].to_numpy(dtype="int64")
         g[out_col] = offsets[int(g["__shard"].iat[0])] + np.cumsum(v) - v
-        return g[[key_col, value_col, out_col]]
+        return g[[key_col, value_col, out_col, *carry]]
 
     return (
         ds.map_batches(add_shard, batch_format="pandas")

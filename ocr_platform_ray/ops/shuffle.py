@@ -1,0 +1,84 @@
+"""Deterministic epoch shuffle: a reproducible global random ordering of
+the corpus — the 'shuffle the training data each epoch' step, built so
+the SAME (seed, key) always yields the SAME global position regardless of
+parallelism, block structure, or input order.
+
+``Dataset.random_shuffle`` cannot give that guarantee (its result depends
+on block boundaries), so the shuffle key is computed, not drawn:
+
+    shuffle_key = (((key * m1) mod 2^32 + seed) * m2) mod 2^32
+    m1 = 2654435761 (Knuth golden-ratio), m2 = 1597334677
+
+Both multipliers are ODD, so each ``x -> x * m mod 2^32`` step is a
+BIJECTION on 32-bit integers: distinct keys below 2^32 get distinct
+shuffle keys (no tie-break needed).  The seed is SANDWICHED between the
+two multiplies — a seed added after a single multiply only shifts the
+ring, which preserves almost every pairwise order (seed 7 vs 8 gave the
+identical permutation); multiplying the shifted value again turns a +-1
+seed delta into a ~m2-sized rotation that reorders the bulk of the ring.
+The explicit mod between steps keeps every intermediate below 2^63 so a
+SQL oracle mirrors the arithmetic exactly.  The global position is then
+the exclusive prefix COUNT of rows in shuffle_key order — the
+``range_prefix_sum`` two-pass scan (ops/pack.py), NOT a global sort: one
+(shuffle_key, 1) exchange, n_shards scalars on the driver.
+
+Keys >= 2^32 need a 64-bit mix (splitmix64) — same machinery, but the
+32-bit form is kept as the primary because a SQL oracle can mirror it
+exactly (64-bit wrapping arithmetic overflows SQL BIGINTs).
+
+Downstream training-data consumers compose directly: epoch_shuffle ->
+pack_sequences on ``pos`` packs shuffled documents into training
+contexts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .pack import range_prefix_sum
+
+_M1 = np.uint64(2654435761)
+_M2 = np.uint64(1597334677)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def epoch_shuffle(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    seed: int = 0,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Assign every row its position in the seed-determined global random
+    order.  Keys must be unique non-negative integers below 2^32 (the
+    bijectivity domain).  Output: ``(key_col, shuffle_key, pos)`` where
+    ``pos`` is dense 0..n-1 in shuffle_key order."""
+    seed_u = np.uint64(seed % (1 << 32))
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(dtype="int64").astype(np.uint64)
+        # uint64 wrap then mod 2^32 == exact product mod 2^32 (2^32 | 2^64)
+        sk = ((k * _M1 % _MOD32 + seed_u) * _M2) % _MOD32
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(),
+                "shuffle_key": sk.astype("int64"),
+                "__one": np.ones(len(b), dtype="int64"),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    pref = range_prefix_sum(
+        keyed,
+        "shuffle_key",
+        "__one",
+        n_shards=n_shards,
+        key_max=int(_MOD32 - np.uint64(1)),
+        out_col="pos",
+        carry_cols=[key_col],
+    )
+    return pref.map_batches(
+        lambda b: b[[key_col, "shuffle_key", "pos"]], batch_format="pandas"
+    )

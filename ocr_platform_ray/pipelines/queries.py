@@ -440,6 +440,20 @@ def q_error_blast_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("err_id").reset_index(drop=True)
 
 
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch shuffle (ops/shuffle.py): reproducible global
+    random order via the bijective 32-bit Knuth permutation + distributed
+    prefix-count positions — never Dataset.random_shuffle (block-structure
+    dependent) and never a global sort."""
+    from ..ops.shuffle import epoch_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    out = epoch_shuffle(ds, "doc_id", seed=7)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1615,6 +1629,7 @@ QUERIES = {
     "top3_docs_per_lang": q_top3_docs_per_lang,
     "token_df": q_token_df,
     "error_blast_radius": q_error_blast_radius,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2051,6 +2066,15 @@ ORACLE_SQL = {
         "FROM events i JOIN events e "
         "ON e.ts >= i.ts - INTERVAL 5 MINUTE AND e.ts < i.ts + INTERVAL 5 MINUTE "
         "WHERE i.event_type = 'error' GROUP BY i.event_id"
+    ),
+    "epoch_shuffle": (
+        # ((k*m1 mod 2^32 + seed) * m2) mod 2^32 — every intermediate
+        # stays below 2^63, so BIGINT arithmetic mirrors the numpy wrap
+        "WITH sk AS (SELECT doc_id, "
+        "CAST(((doc_id * 2654435761) % 4294967296 + 7) * 1597334677 % 4294967296 "
+        "AS BIGINT) AS shuffle_key FROM documents) "
+        "SELECT doc_id, shuffle_key, "
+        "CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos FROM sk"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

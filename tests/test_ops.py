@@ -1269,6 +1269,7 @@ class TestTailQueryOracles:
             "top3_docs_per_lang",
             "token_df",
             "error_blast_radius",
+            "epoch_shuffle",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -281,6 +281,60 @@ class TestIntervalJoin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestEpochShuffle:
+    def test_dense_permutation_and_seed_sensitivity(self):
+        from ocr_platform_ray.ops.shuffle import epoch_shuffle
+
+        df = pd.DataFrame({"doc_id": np.arange(500)})
+        a = (
+            epoch_shuffle(rd.from_pandas(df, override_num_blocks=5), "doc_id", seed=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # pos is a dense 0..n-1 permutation (bijective shuffle key)
+        assert sorted(a["pos"]) == list(range(500))
+        # stable under a different block structure
+        b = (
+            epoch_shuffle(rd.from_pandas(df, override_num_blocks=13), "doc_id", seed=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+        # a different seed produces a different order (same dense range)
+        c = (
+            epoch_shuffle(rd.from_pandas(df, override_num_blocks=5), "doc_id", seed=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sorted(c["pos"]) == list(range(500))
+        assert not (a["pos"].to_numpy() == c["pos"].to_numpy()).all()
+
+    def test_composes_with_pack_sequences(self):
+        from ocr_platform_ray.ops.pack import pack_sequences
+        from ocr_platform_ray.ops.shuffle import epoch_shuffle
+
+        df = pd.DataFrame({"doc_id": np.arange(40)})
+        shuffled = epoch_shuffle(rd.from_pandas(df), "doc_id", seed=1)
+        counts = shuffled.map_batches(
+            lambda b: pd.DataFrame(
+                {"pos": b["pos"], "n_tokens": np.full(len(b), 100, dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+        packed = (
+            pack_sequences(counts, key_col="pos", count_col="n_tokens", chunk_tokens=300)
+            .to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+        # 100-token docs in shuffled order -> 3 docs per 300-token chunk
+        assert packed["chunk_id"].tolist() == [i // 3 for i in range(40)]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTokenDF:
     def test_distinct_doc_counts(self):
         from ocr_platform_ray.ops.textstats import token_document_frequency
