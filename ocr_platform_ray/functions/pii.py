@@ -4,11 +4,15 @@ pipeline runs (C4, RefinedWeb, Dolma) and the reference does not have.
 
 Every rule is ONE RE2 kernel over the whole Arrow column
 (`pyarrow.compute.replace_substring_regex` / `count_substring_regex`) —
-no per-row Python.  DuckDB's regexp engine is also RE2, so the oracle
-runs the byte-identical patterns: counts are taken per rule on the
-ORIGINAL text (placeholders contain no digits or '@', so the rules cannot
-create or destroy each other's matches), replacements apply in rule
-order.
+no per-row Python.  Rules apply SEQUENTIALLY and each rule's count is
+taken on the text as the PREVIOUS rules left it, so a match nested
+inside an earlier rule's match is neither double-counted nor
+phantom-counted ('1.2.3.4@example.com' is one EMAIL, not an email plus
+an IP — the email replacement removes the inner IP before the IP rule
+runs).  Placeholders contain no digits or '@', so a replacement can
+only DELETE later matches it swallowed, never create new ones.
+DuckDB's regexp engine is also RE2, so the oracle runs the
+byte-identical patterns over the same intermediate texts.
 """
 
 from __future__ import annotations
@@ -33,7 +37,9 @@ def redact_pii_column(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.n
     n = np.zeros(len(texts), dtype="int64")
     out = texts
     for _, pat, repl in PII_RULES:
-        n += pc.count_substring_regex(texts, pattern=pat).to_numpy(zero_copy_only=False)
+        # count on the CURRENT text (prior replacements applied), so a
+        # match swallowed by an earlier rule is not counted twice
+        n += pc.count_substring_regex(out, pattern=pat).to_numpy(zero_copy_only=False)
         out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
     return out, n
 
@@ -43,6 +49,8 @@ def redact_pii_batch(
 ) -> pd.DataFrame:
     redacted, counts = redact_pii_column(pa.array(b[text_col], pa.string()))
     out = b.copy()
-    out[out_col] = redacted.to_pandas()
+    # positional assignment: a pandas Series would index-ALIGN against
+    # b's index and silently NaN-fill on filtered frames
+    out[out_col] = redacted.to_numpy(zero_copy_only=False)
     out["n_pii"] = counts
     return out

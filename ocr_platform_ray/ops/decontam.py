@@ -32,7 +32,13 @@ import ray
 import ray.data as rd
 
 from .dedup import _shingle_hashes_batch
-from .relational import probe_head, sharded_group_agg
+from .relational import (
+    _pd_dtype,
+    _restore_dtypes,
+    _restore_targets,
+    probe_head,
+    sharded_group_agg,
+)
 
 
 def _gram_hash_rows(ds: rd.Dataset, id_col: str, text_col: str, n: int) -> rd.Dataset:
@@ -112,30 +118,47 @@ def contamination_counts(
 
         return train.map_batches(count_shared, batch_format="pandas")
 
-    # bucketed route: co-group train and eval gram hashes by hash range
+    # bucketed route: co-group train and eval gram hashes by hash range.
+    # The eval side carries NO id column — the union null-fills it in
+    # mixed buckets (an int id upcasts to float there; restored below),
+    # which keeps the route id-dtype-agnostic (string urls work too)
     t_rows = _gram_hash_rows(train, id_col, text_col, n).map_batches(
         lambda b: b.assign(__side="t"), batch_format="pandas"
     )
     e_rows = eval_grams.map_batches(
-        lambda b: pd.DataFrame({id_col: np.int64(-1), "gh": b["gh"], "__side": "e"}),
+        lambda b: pd.DataFrame({"gh": b["gh"], "__side": "e"}),
         batch_format="pandas",
     )
+    tschema = train.schema()
+    ttargets = _restore_targets(tschema, {id_col})
+    id_dtype = pd.Series(
+        dtype=_pd_dtype(dict(zip(tschema.names, tschema.types))[id_col])
+    ).dtype
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
         out["__bucket"] = (out["gh"].to_numpy(dtype="int64") % n_buckets + n_buckets) % n_buckets
         return out
 
+    def _empty_partial() -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype=id_dtype), "c": pd.Series(dtype="int64")}
+        )
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # union keeps per-block schemas: a bucket fed only one side's
-        # blocks may lack the other side's rows entirely
+        # blocks may lack the other side's columns entirely
         side = g["__side"].to_numpy()
         ev = np.unique(g.loc[side == "e", "gh"].to_numpy(dtype="int64"))
-        tr = g.loc[side == "t"]
+        tr = g.loc[side == "t"] if id_col in g.columns else g.iloc[0:0]
         if not len(ev) or not len(tr):
-            return pd.DataFrame({id_col: np.empty(0, dtype="int64"), "c": np.empty(0, dtype="int64")})
+            return _empty_partial()
+        tr = _restore_dtypes(tr[[id_col, "gh"]].copy(), ttargets)
         hit = tr.loc[np.isin(tr["gh"].to_numpy(dtype="int64"), ev)]
-        return hit.groupby(id_col, as_index=False).agg(c=("gh", "size"))
+        out = hit.groupby(id_col, as_index=False).agg(c=("gh", "size"))
+        if str(out[id_col].dtype) != str(id_dtype):
+            out[id_col] = out[id_col].astype(id_dtype)
+        return out
 
     partials = (
         t_rows.union(e_rows)

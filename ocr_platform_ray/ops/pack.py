@@ -69,7 +69,9 @@ def range_prefix_sum(
     keep = [key_col, value_col] + carry
     ds = ds.map_batches(lambda b: b[keep], batch_format="pandas").materialize()
     if key_max is None:
-        key_max = int(ds.max(key_col))
+        key_max = ds.max(key_col)  # None when the dataset is empty
+        if key_max is None:
+            key_max = 0
     span = max(1, (int(key_max) + n_shards) // n_shards)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -84,6 +86,8 @@ def range_prefix_sum(
     reduced = auto_group_agg(partials, ["__shard"], {"s": ("s", "sum")})
     if not isinstance(reduced, pd.DataFrame):
         reduced = reduced.to_pandas()  # <= n_shards rows after the finish
+    if reduced.shape[1] == 0:  # empty input -> columnless probe frame
+        reduced = pd.DataFrame({"__shard": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64")})
     totals = np.zeros(n_shards, dtype="int64")
     totals[reduced["__shard"].to_numpy(dtype="int64")] = reduced["s"].to_numpy(dtype="int64")
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))

@@ -118,16 +118,21 @@ def _restore_dtypes(df: pd.DataFrame, targets: dict[str, str]) -> pd.DataFrame:
     return df
 
 
+def _hash_labels(batch: pd.DataFrame, keys: list[str], n: int) -> np.ndarray:
+    """Deterministic shard/bucket label: hash of the key value(s) modulo n
+    (never Python hash(), which is salted per process); composite keys
+    (J3) combine per-column hashes with golden-ratio xor-shift.  The ONE
+    copy of this combine — every exchange operator labels through it."""
+    h = pd.util.hash_array(batch[keys[0]].to_numpy())
+    for col in keys[1:]:
+        h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(batch[col].to_numpy())
+    return h % n
+
+
 def _with_bucket(ds: rd.Dataset, on: list[str], n_buckets: int, side: str) -> rd.Dataset:
     def add(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        # deterministic bucket: hash of the key value(s) modulo B (never
-        # Python hash(), which is salted per process); composite keys (J3)
-        # combine per-column hashes with xor-shift
-        h = pd.util.hash_array(batch[on[0]].to_numpy())
-        for col in on[1:]:
-            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(batch[col].to_numpy())
-        out["__bucket"] = h % n_buckets
+        out["__bucket"] = _hash_labels(batch, on, n_buckets)
         out["__side"] = side
         return out
 
@@ -472,14 +477,15 @@ def grouped_top_k(
             finish = "exchange"
     if finish == "driver":
         df = pruned if isinstance(pruned, pd.DataFrame) else pruned.to_pandas()
+        if df.shape[1] == 0:  # empty Dataset -> columnless probe frame
+            cols = {c: pd.Series(dtype="object") for c in ds.schema().names}
+            cols["rk"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
         return rank_head(df)
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(b[group_cols[0]].to_numpy())
-        for c in group_cols[1:]:
-            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(b[c].to_numpy())
         out = b.copy()
-        out["__shard"] = (h % n_shards).astype("int64")
+        out["__shard"] = _hash_labels(b, group_cols, n_shards).astype("int64")
         return out
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -668,11 +674,8 @@ def sharded_group_agg(
     one vectorized pandas call."""
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(b[keys[0]].to_numpy())
-        for k in keys[1:]:
-            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(b[k].to_numpy())
         out = b.copy()
-        out["__shard"] = (h % n_shards).astype("int64")
+        out["__shard"] = _hash_labels(b, keys, n_shards).astype("int64")
         return out
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -719,6 +722,10 @@ def auto_group_agg(
             finish = "exchange"
     if finish == "driver":
         df = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+        if df.shape[1] == 0:
+            # empty Dataset probes to a COLUMNLESS frame (probe_head
+            # contract) — groupby would KeyError; return a named empty
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in [*keys, *aggs]})
         return df.groupby(keys, as_index=False).agg(
             **{alias: (src, how) for alias, (src, how) in aggs.items()}
         )

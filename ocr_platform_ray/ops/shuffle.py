@@ -16,8 +16,11 @@ two multiplies — a seed added after a single multiply only shifts the
 ring, which preserves almost every pairwise order (seed 7 vs 8 gave the
 identical permutation); multiplying the shifted value again turns a +-1
 seed delta into a ~m2-sized rotation that reorders the bulk of the ring.
-The explicit mod between steps keeps every intermediate below 2^63 so a
-SQL oracle mirrors the arithmetic exactly.  The global position is then
+The numpy path wraps mod 2^64 (exact for all keys below 2^32, since
+2^32 divides 2^64); a BIGINT SQL mirror additionally needs
+``key * m1 < 2^63`` — keys below ~3.47e9 — because SQL integers raise on
+overflow instead of wrapping (the oracle corpus satisfies this; the
+operator itself is exact over the full 32-bit domain).  The global position is then
 the exclusive prefix COUNT of rows in shuffle_key order — the
 ``range_prefix_sum`` two-pass scan (ops/pack.py), NOT a global sort: one
 (shuffle_key, 1) exchange, n_shards scalars on the driver.

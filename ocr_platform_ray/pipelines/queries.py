@@ -2039,16 +2039,20 @@ ORACLE_SQL = {
         "|| CASE WHEN doc_id % 7 = 0 THEN ' Origin 10.' || (doc_id % 256) "
         "|| '.' || ((doc_id * 7) % 256) || '.1 logged.' ELSE '' END AS t "
         "FROM documents) "
+        # sequential semantics: each rule counts on the text as the
+        # previous rules left it (r1 = after email, r2 = after phone)
+        ", r1 AS (SELECT doc_id, t, regexp_replace(t, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 "
+        "FROM aug), r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, "
+        "'\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS t2 FROM r1) "
         "SELECT doc_id, "
         "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
-        "+ len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) "
-        "+ len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+        "+ len(regexp_extract_all(t1, '\\b555-[0-9]{4}\\b')) "
+        "+ len(regexp_extract_all(t2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
         "AS BIGINT) AS n_pii, "
-        "regexp_replace(regexp_replace(regexp_replace(t, "
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-        "'\\b555-[0-9]{4}\\b', '<PHONE>', 'g'), "
+        "regexp_replace(t2, "
         "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
-        "AS redacted_text FROM aug"
+        "AS redacted_text FROM r2"
     ),
     "top3_docs_per_lang": (
         "SELECT lang, doc_id, n_chars, rk FROM ("
@@ -2068,8 +2072,9 @@ ORACLE_SQL = {
         "WHERE i.event_type = 'error' GROUP BY i.event_id"
     ),
     "epoch_shuffle": (
-        # ((k*m1 mod 2^32 + seed) * m2) mod 2^32 — every intermediate
-        # stays below 2^63, so BIGINT arithmetic mirrors the numpy wrap
+        # ((k*m1 mod 2^32 + seed) * m2) mod 2^32 — for keys below ~3.47e9
+        # (k*m1 < 2^63, true of this corpus's ids) every intermediate fits
+        # BIGINT, so SQL arithmetic mirrors the numpy wrap exactly
         "WITH sk AS (SELECT doc_id, "
         "CAST(((doc_id * 2654435761) % 4294967296 + 7) * 1597334677 % 4294967296 "
         "AS BIGINT) AS shuffle_key FROM documents) "

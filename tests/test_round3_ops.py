@@ -107,6 +107,25 @@ class TestDecontamination:
         assert got["doc_id"].tolist() == [1, 3]
         assert got.set_index("doc_id")["n_shared_grams"].to_dict() == {1: 2, 3: 1}
 
+    def test_bucketed_string_ids(self):
+        from ocr_platform_ray.ops.decontam import contamination_counts
+
+        tr, ev = self._corpus()
+        tr = tr.assign(doc_id=tr["doc_id"].map("url-{}".format))
+        got = (
+            contamination_counts(
+                rd.from_pandas(tr, override_num_blocks=3),
+                rd.from_pandas(ev, override_num_blocks=2),
+                id_col="doc_id", text_col="text", n=4, method="bucketed",
+                n_buckets=4, n_shards=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == ["url-1", "url-3"]
+        assert got["n_shared_grams"].tolist() == [2, 1]
+
     def test_bucketed_matches_broadcast(self):
         from ocr_platform_ray.ops.decontam import contamination_counts
 
@@ -154,6 +173,27 @@ class TestPIIRules:
         assert out.loc[0, "redacted_text"] == "mail <EMAIL> then call <PHONE> now"
         assert out.loc[1, "redacted_text"] == "server at <IP> and <IP> responded"
         assert out.loc[2, "redacted_text"] == "no pii here at all"
+
+    def test_non_default_index_assigns_positionally(self):
+        # a filtered frame's surviving index must not NaN the output
+        from ocr_platform_ray.functions.pii import redact_pii_batch
+
+        b = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": ["a@b.co", "x", "c@d.io", "y"]}
+        )
+        out = redact_pii_batch(b[b["doc_id"] % 2 == 0])
+        assert out["redacted_text"].tolist() == ["<EMAIL>", "<EMAIL>"]
+        assert out["n_pii"].tolist() == [1, 1]
+
+    def test_nested_match_counted_once(self):
+        # the IP inside the email local part is swallowed by the email
+        # replacement: one placeholder, one count (sequential semantics)
+        from ocr_platform_ray.functions.pii import redact_pii_batch
+
+        b = pd.DataFrame({"doc_id": [0], "text": ["see 1.2.3.4@example.com now"]})
+        out = redact_pii_batch(b)
+        assert out.loc[0, "redacted_text"] == "see <EMAIL> now"
+        assert out.loc[0, "n_pii"] == 1
 
     def test_placeholders_inert_across_rules(self):
         # placeholders contain no digits or '@': applying one rule cannot
