@@ -54,7 +54,10 @@ def _to_num(arr) -> np.ndarray:
 
 
 def _scalar_num(v) -> int | float:
-    if isinstance(v, (pd.Timestamp, np.datetime64)):
+    import datetime
+
+    # datetime.datetime: parquet row-group statistics yield these
+    if isinstance(v, (pd.Timestamp, np.datetime64, datetime.datetime)):
         return int(pd.Timestamp(v).value)
     return v
 
@@ -72,6 +75,7 @@ def interval_join(
     suffix: str = "_r",
     n_buckets: int = 64,
     bounds: tuple | None = None,
+    bucket_combiner=None,
 ) -> rd.Dataset:
     """Inner range join: one output row per (point, interval) pair with
     start <= point < end (``closed="left"``; "both" makes the end
@@ -82,6 +86,15 @@ def interval_join(
     and MUST cover every point value (pass them from catalog metadata at
     scale); points outside caller-supplied bounds would be clipped into
     edge buckets that their intervals may not replicate to.
+
+    ``bucket_combiner`` is the map-side combine for AGGREGATE consumers:
+    a ``pd.DataFrame -> pd.DataFrame`` applied to each bucket's joined
+    pairs before emission (it also shapes the empty-bucket schema, so it
+    must be dtype-stable on empty input — a vectorized groupby is).  A
+    count-per-interval query passes a per-bucket partial count and
+    reduces ~|pairs| rows leaving the exchange to ~|intervals spanned|
+    partials — at corpus scale the raw pair list of a dense window join
+    must never be materialized just to be counted.
     """
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
@@ -128,9 +141,10 @@ def interval_join(
     itargets = _restore_targets(intervals.schema(), set(ikeep))
 
     def _empty_out() -> pd.DataFrame:
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {c: pd.Series(dtype=out_dtypes.get(c, "object")) for c in out_cols}
         )
+        return bucket_combiner(empty) if bucket_combiner is not None else empty
 
     def tag_points(b: pd.DataFrame) -> pd.DataFrame:
         out = b[pkeep].copy()
@@ -192,6 +206,7 @@ def interval_join(
         iv = ig.iloc[i_idx].reset_index(drop=True)
         for c in interval_cols:
             out[out_names[c]] = iv[c].to_numpy()
-        return out[out_cols]
+        out = out[out_cols]
+        return bucket_combiner(out) if bucket_combiner is not None else out
 
     return p.union(i).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

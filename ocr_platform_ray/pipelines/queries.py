@@ -406,8 +406,13 @@ def q_error_blast_radius(sf_dir: str) -> pd.DataFrame:
     windows, which no equi-join (and no asof join) can express."""
     from ..ops.interval import interval_join
     from ..ops.relational import auto_group_agg
+    from ..sources.ingest import parquet_column_bounds
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    # exact point-domain bounds from parquet row-group statistics — the
+    # catalog-metadata hint that skips interval_join's min/max scan (one
+    # whole Ray execution of the reader lineage)
+    bounds = parquet_column_bounds(f"{sf_dir}/events.parquet", "ts")
 
     def mk_intervals(b: pd.DataFrame) -> pd.DataFrame:
         e = b[b["event_type"] == "error"]
@@ -423,7 +428,11 @@ def q_error_blast_radius(sf_dir: str) -> pd.DataFrame:
     points = ev.map_batches(
         lambda b: b[["event_id", "ts"]], batch_format="pandas"
     )
-    pairs = interval_join(
+    # map-side combine: each bucket emits (err_id, partial count) instead
+    # of the raw pair list — the exchanged/probed payload shrinks from
+    # |pairs| to ~|errors x buckets spanned| (the 100-TB-correct shape
+    # for a count consumer of a dense window join)
+    partials = interval_join(
         points,
         intervals,
         point_col="ts",
@@ -432,8 +441,12 @@ def q_error_blast_radius(sf_dir: str) -> pd.DataFrame:
         point_cols=["event_id"],
         interval_cols=["err_id"],
         closed="left",
+        bounds=bounds,
+        bucket_combiner=lambda pairs: pairs.groupby("err_id", as_index=False).agg(
+            n_nearby=("event_id", "size")
+        ),
     )
-    out = auto_group_agg(pairs, ["err_id"], {"n_nearby": ("event_id", "size")})
+    out = auto_group_agg(partials, ["err_id"], {"n_nearby": ("n_nearby", "sum")})
     if not isinstance(out, pd.DataFrame):
         out = out.to_pandas()
     out["n_nearby"] = out["n_nearby"].astype("int64")

@@ -70,6 +70,30 @@ def page_count_probe(pages: rd.Dataset) -> pd.DataFrame:
 ingest_raw_files = ingest_raw_html
 
 
+def parquet_column_bounds(path: str, column: str):
+    """Exact (min, max) of a parquet column from ROW-GROUP STATISTICS —
+    O(row_groups) driver-side metadata reads, zero Ray executions and zero
+    data pages touched.  The catalog-metadata source for operators that
+    take a ``bounds=`` hint (interval_join, range partitioners): at corpus
+    scale a dedicated min/max scan re-executes the reader lineage, while
+    the footer already carries the answer.  Returns None when any row
+    group lacks statistics for the column (caller falls back to a scan)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+    if column not in idx:
+        return None
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx[column]).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def pdf_blob_page_counts(pages: rd.Dataset, *, payload_col: str = "html") -> rd.Dataset:
     """S2 for real PDF blobs (reference ocr.ts:35-38 ``getPageCount``):
     per-row internal page count probed from the byte stream (0 for non-PDF

@@ -319,6 +319,34 @@ class TestIntervalJoin:
         ivs = pd.DataFrame({"iid": [0], "s": [100], "e": [200]})
         assert self._run(pts, ivs) == []
 
+    def test_bucket_combiner_counts_match_pairs(self):
+        # map-side combine route == count over the raw pair list, incl.
+        # intervals spanning many buckets (their partials must sum)
+        from ocr_platform_ray.ops.interval import interval_join
+
+        rng = np.random.default_rng(11)
+        pts = pd.DataFrame({"pid": np.arange(300), "t": rng.integers(0, 500, 300)})
+        s = rng.integers(0, 500, 40)
+        ivs = pd.DataFrame({"iid": np.arange(40), "s": s, "e": s + rng.integers(1, 300, 40)})
+        want = (
+            pd.DataFrame(self._naive(pts, ivs), columns=["pid", "iid"])
+            .groupby("iid")
+            .size()
+            .to_dict()
+        )
+        got = interval_join(
+            rd.from_pandas(pts, override_num_blocks=3),
+            rd.from_pandas(ivs, override_num_blocks=2),
+            point_col="t", start_col="s", end_col="e",
+            point_cols=["pid"], interval_cols=["iid"],
+            n_buckets=8,
+            bucket_combiner=lambda pairs: pairs.groupby("iid", as_index=False).agg(
+                c=("pid", "size")
+            ),
+        ).to_pandas()
+        got = got.groupby("iid")["c"].sum().to_dict()
+        assert got == want and len(want) > 0
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEpochShuffle:
