@@ -47,6 +47,17 @@ _M2 = np.uint64(1597334677)
 _MOD32 = np.uint64(1) << np.uint64(32)
 
 
+def shuffle_hash(keys: np.ndarray, seed: int) -> np.ndarray:
+    """The seeded 32-bit bijective mix (docstring above) as a reusable
+    kernel: int64 keys in [0, 2^32) -> uint64 shuffle keys in [0, 2^32).
+    Shared by epoch_shuffle (ordering) and ops/mix.py (sampling) so one
+    SQL-mirrorable arithmetic serves every determinism-critical draw."""
+    k = np.asarray(keys, dtype="int64").astype(np.uint64)
+    seed_u = np.uint64(seed % (1 << 32))
+    # uint64 wrap then mod 2^32 == exact product mod 2^32 (2^32 | 2^64)
+    return (k * _M1 % _MOD32 + seed_u) * _M2 % _MOD32
+
+
 def epoch_shuffle(
     ds: rd.Dataset,
     key_col: str,
@@ -58,12 +69,9 @@ def epoch_shuffle(
     order.  Keys must be unique non-negative integers below 2^32 (the
     bijectivity domain).  Output: ``(key_col, shuffle_key, pos)`` where
     ``pos`` is dense 0..n-1 in shuffle_key order."""
-    seed_u = np.uint64(seed % (1 << 32))
 
     def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        k = b[key_col].to_numpy(dtype="int64").astype(np.uint64)
-        # uint64 wrap then mod 2^32 == exact product mod 2^32 (2^32 | 2^64)
-        sk = ((k * _M1 % _MOD32 + seed_u) * _M2) % _MOD32
+        sk = shuffle_hash(b[key_col].to_numpy(dtype="int64"), seed)
         return pd.DataFrame(
             {
                 key_col: b[key_col].to_numpy(),

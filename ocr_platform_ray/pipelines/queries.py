@@ -467,6 +467,21 @@ def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_source_mixture(sf_dir: str) -> pd.DataFrame:
+    """Weighted source mixture (ops/mix.py): per-source sampling weights
+    {2.5, 1.0, 0.25, 0.0} by source-number mod 4 — upsampling with copy
+    indices, unit weight, downsampling, and exclusion in one pass.
+    Map-only, deterministic per (doc_id, seed)."""
+    from ..ops.mix import weighted_source_mixture
+
+    weights = {f"src{i}": [2.5, 1.0, 0.25, 0.0][i % 4] for i in range(256)}
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = weighted_source_mixture(
+        ds, source_col="source", key_col="doc_id", weights=weights, seed=11
+    ).to_pandas()
+    return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1643,6 +1658,7 @@ QUERIES = {
     "token_df": q_token_df,
     "error_blast_radius": q_error_blast_radius,
     "epoch_shuffle": q_epoch_shuffle,
+    "source_mixture": q_source_mixture,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2093,6 +2109,21 @@ ORACLE_SQL = {
         "AS BIGINT) AS shuffle_key FROM documents) "
         "SELECT doc_id, shuffle_key, "
         "CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS pos FROM sk"
+    ),
+    "source_mixture": (
+        # copies = floor(w) + (mix32(doc_id, 11) < floor(frac(w) * 2^32));
+        # the chosen fracs (0.5, 0.25) are exact doubles, so FLOOR makes
+        # the SQL and numpy comparisons bit-identical
+        "WITH w AS (SELECT source, CAST(CASE CAST(substr(source, 4) AS BIGINT) % 4 "
+        "WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.25 ELSE 0.0 END AS DOUBLE) AS wt "
+        "FROM (SELECT DISTINCT source FROM documents)), "
+        "c AS (SELECT d.doc_id, d.source, CAST(FLOOR(w.wt) AS BIGINT) "
+        "+ CASE WHEN CAST(((d.doc_id * 2654435761) % 4294967296 + 11) "
+        "* 1597334677 % 4294967296 AS DOUBLE) "
+        "< FLOOR((w.wt - FLOOR(w.wt)) * 4294967296.0) THEN 1 ELSE 0 END AS copies "
+        "FROM documents d JOIN w USING (source)) "
+        "SELECT c.doc_id, c.source, CAST(u.copy_idx AS BIGINT) AS copy_idx "
+        "FROM c, UNNEST(generate_series(0, c.copies - 1)) AS u(copy_idx)"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

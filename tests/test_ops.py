@@ -1270,6 +1270,7 @@ class TestTailQueryOracles:
             "token_df",
             "error_blast_radius",
             "epoch_shuffle",
+            "source_mixture",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

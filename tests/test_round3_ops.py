@@ -424,3 +424,85 @@ class TestTokenDF:
             out = out.to_pandas()
         got = out.set_index("token")["df"].to_dict()
         assert got == {"apple": 2, "banana": 2, "cherry": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceMixture:
+    def _corpus(self):
+        rng = np.random.default_rng(3)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(400),
+                "source": [f"s{i}" for i in rng.integers(0, 4, 400)],
+            }
+        )
+
+    def test_copy_counts_match_weights(self):
+        from ocr_platform_ray.ops.mix import weighted_source_mixture
+        from ocr_platform_ray.ops.shuffle import shuffle_hash
+
+        df = self._corpus()
+        weights = {"s0": 2.5, "s1": 1.0, "s2": 0.25, "s3": 0.0}
+        out = (
+            weighted_source_mixture(
+                rd.from_pandas(df, override_num_blocks=4),
+                source_col="source", key_col="doc_id", weights=weights, seed=9,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "copy_idx"])
+            .reset_index(drop=True)
+        )
+        # per-row naive expectation from the same hash
+        sk = shuffle_hash(df["doc_id"].to_numpy(), 9).astype("float64")
+        w = df["source"].map(weights).to_numpy(dtype="float64")
+        want = (np.floor(w) + (sk < np.floor((w - np.floor(w)) * 2.0**32))).astype(int)
+        got_counts = out.groupby("doc_id").size()
+        for doc_id, n in zip(df["doc_id"], want):
+            assert got_counts.get(doc_id, 0) == n
+        # copy_idx is dense 0..copies-1 per doc
+        assert (
+            out.groupby("doc_id")["copy_idx"].apply(
+                lambda s: s.tolist() == list(range(len(s)))
+            )
+        ).all()
+        # excluded source emits nothing; upsampled source emits >= 2 each
+        assert not (out["source"] == "s3").any()
+        assert out[out["source"] == "s0"].groupby("doc_id").size().min() >= 2
+
+    def test_deterministic_across_block_structures(self):
+        from ocr_platform_ray.ops.mix import weighted_source_mixture
+
+        df = self._corpus()
+        weights = {"s0": 0.5, "s1": 1.5, "s2": 1.0, "s3": 0.125}
+        runs = []
+        for blocks in (1, 7):
+            runs.append(
+                weighted_source_mixture(
+                    rd.from_pandas(df, override_num_blocks=blocks),
+                    source_col="source", key_col="doc_id", weights=weights, seed=4,
+                )
+                .to_pandas()
+                .sort_values(["doc_id", "copy_idx"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+
+    def test_missing_source_raises(self):
+        from ocr_platform_ray.ops.mix import weighted_source_mixture
+
+        df = self._corpus()
+        with pytest.raises(Exception, match="missing from weights"):
+            weighted_source_mixture(
+                rd.from_pandas(df),
+                source_col="source", key_col="doc_id", weights={"s0": 1.0}, seed=0,
+            ).materialize()
+
+    def test_negative_weight_rejected(self):
+        from ocr_platform_ray.ops.mix import weighted_source_mixture
+
+        with pytest.raises(ValueError, match="must be >= 0"):
+            weighted_source_mixture(
+                rd.from_pandas(self._corpus()),
+                source_col="source", key_col="doc_id",
+                weights={"s0": -0.5}, seed=0,
+            )
