@@ -154,6 +154,8 @@ def run_once() -> dict:
         "top3_docs_per_lang",
         "token_df",
         "epoch_shuffle",
+        "source_mixture",
+        "lm_perplexity",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

@@ -482,6 +482,24 @@ def q_source_mixture(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
 
 
+def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring (ops/lm.py): train an add-0.5
+    bigram LM on the doc_id%10<3 slice, score every doc by average
+    bigram negative log-likelihood.  Count tables and the per-doc reduce
+    flow through the size-aware planners (broadcast here, bucketed
+    exchange at corpus scale)."""
+    from ..ops.lm import ngram_lm_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    train = ds.map_batches(
+        lambda b: b[b["doc_id"] % 10 < 3], batch_format="pandas"
+    )
+    out = ngram_lm_scores(train, ds)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1659,6 +1677,7 @@ QUERIES = {
     "error_blast_radius": q_error_blast_radius,
     "epoch_shuffle": q_epoch_shuffle,
     "source_mixture": q_source_mixture,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2124,6 +2143,28 @@ ORACLE_SQL = {
         "FROM documents d JOIN w USING (source)) "
         "SELECT c.doc_id, c.source, CAST(u.copy_idx AS BIGINT) AS copy_idx "
         "FROM c, UNNEST(generate_series(0, c.copies - 1)) AS u(copy_idx)"
+    ),
+    "lm_perplexity": (
+        # add-0.5 bigram LM trained on doc_id%10<3; avg(ln) is float-
+        # order-sensitive, so the pytest oracle compares with rtol, not
+        # the exact hash gate (query sits past the driver cap)
+        "WITH tr AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '') AS ts FROM documents WHERE doc_id % 10 < 3), "
+        "trbg AS (SELECT ts[u.i] || ' ' || ts[u.i+1] AS bg FROM tr, "
+        "UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
+        "cb AS (SELECT bg, count(*) AS cb FROM trbg GROUP BY bg), "
+        "tru AS (SELECT u.w FROM tr, UNNEST(tr.ts) AS u(w)), "
+        "cu AS (SELECT w, count(*) AS cu FROM tru GROUP BY w), "
+        "v AS (SELECT count(*) AS v FROM cu), "
+        "sc AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "t -> t <> '') AS ts FROM documents), "
+        "scbg AS (SELECT doc_id, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i+1] AS bg "
+        "FROM sc, UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
+        "j AS (SELECT s.doc_id, -ln((COALESCE(cb.cb, 0) + 0.5) / "
+        "(COALESCE(cu.cu, 0) + 0.5 * v.v)) AS nll "
+        "FROM scbg s LEFT JOIN cb USING (bg) LEFT JOIN cu ON s.w1 = cu.w CROSS JOIN v) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(nll) AS avg_nll "
+        "FROM j GROUP BY doc_id"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

@@ -506,3 +506,104 @@ class TestSourceMixture:
                 source_col="source", key_col="doc_id",
                 weights={"s0": -0.5}, seed=0,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramLM:
+    def _naive(self, train_texts, score, alpha=0.5):
+        # pure-python reference LM
+        from collections import Counter
+
+        cu, cb = Counter(), Counter()
+        for t in train_texts:
+            ws = t.lower().split()
+            cu.update(ws)
+            cb.update(zip(ws, ws[1:]))
+        V = len(cu)
+        rows = []
+        for doc_id, t in score:
+            ws = t.lower().split()
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                continue
+            nll = [
+                -np.log((cb.get(p, 0) + alpha) / (cu.get(p[0], 0) + alpha * V))
+                for p in pairs
+            ]
+            rows.append((doc_id, len(pairs), float(np.mean(nll))))
+        return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "avg_nll"])
+
+    def test_matches_naive_with_messy_whitespace(self):
+        from ocr_platform_ray.ops.lm import ngram_lm_scores
+
+        train = ["the cat sat", "  the cat\tran fast ", "a dog sat"]
+        score = [
+            (0, "the cat sat"),          # all seen bigrams
+            (1, " unseen words entirely "),  # all smoothed
+            (2, "one"),                  # < 2 tokens -> absent
+            (3, "\t\n  "),               # whitespace only -> absent
+            (4, "THE CAT ran"),          # case folding
+        ]
+        got = ngram_lm_scores(
+            rd.from_pandas(
+                pd.DataFrame({"doc_id": range(3), "text": train}),
+                override_num_blocks=2,
+            ),
+            rd.from_pandas(
+                pd.DataFrame(score, columns=["doc_id", "text"]),
+                override_num_blocks=3,
+            ),
+        )
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = self._naive(train, score).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+        assert got["doc_id"].tolist() == [0, 1, 4]
+        # seen text scores lower (less surprising) than unseen text
+        s = got.set_index("doc_id")["avg_nll"]
+        assert s[0] < s[1]
+
+    def test_deterministic_across_block_structures(self):
+        from ocr_platform_ray.ops.lm import ngram_lm_scores
+
+        rng = np.random.default_rng(2)
+        vocab = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(60)]
+        df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+        runs = []
+        for blocks in (1, 9):
+            out = ngram_lm_scores(
+                rd.from_pandas(df[df.doc_id % 2 == 0], override_num_blocks=blocks),
+                rd.from_pandas(df, override_num_blocks=blocks),
+            )
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            runs.append(out.sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+
+    def test_oracle_matches_duckdb_rtol(self):
+        # dedicated (not in the generic tail parametrize): avg_nll is a
+        # float column, so sort by doc_id and compare with rtol — the
+        # generic test's sort-by-all-columns could misalign float ties
+        import duckdb
+
+        from ocr_platform_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = QUERIES["lm_perplexity"](sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(ORACLE_SQL["lm_perplexity"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        assert len(g) == len(want) > 0
+        pd.testing.assert_frame_equal(
+            g[want.columns], want, check_dtype=False, rtol=1e-9
+        )
