@@ -64,13 +64,9 @@ def _clean_tokens(texts) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(keep), lens
 
 
-def _bigram_rows(
-    b: pd.DataFrame, text_col: str, id_col: str | None
-) -> pd.DataFrame:
-    """One batch -> (id?, w1, bg) rows, fully vectorized: one lower +
-    one whitespace-split kernel, then Arrow ``take`` with arithmetic
-    index vectors (no per-row Python)."""
-    flat, lens = _clean_tokens(b[text_col])
+def _bigrams_from_flat(flat: pa.Array, lens: np.ndarray):
+    """(flat tokens, per-row counts) -> (w1, 'w1 w2', per-row bigram
+    counts) via Arrow ``take`` with arithmetic index vectors."""
     starts_tok = np.concatenate(([0], np.cumsum(lens)[:-1]))
     nbg = np.maximum(lens - 1, 0)
     total = int(nbg.sum())
@@ -78,16 +74,34 @@ def _bigram_rows(
     idx1 = np.arange(total) - np.repeat(starts, nbg) + np.repeat(starts_tok, nbg)
     w1 = flat.take(pa.array(idx1))
     w2 = flat.take(pa.array(idx1 + 1))
-    bg = pc.binary_join_element_wise(w1, w2, " ")
+    return w1, pc.binary_join_element_wise(w1, w2, " "), nbg
+
+
+def _bigram_rows(
+    b: pd.DataFrame, text_col: str, id_col: str | None
+) -> pd.DataFrame:
+    """One batch -> (id?, w1, bg) rows, fully vectorized: one lower +
+    one whitespace-split kernel, then Arrow ``take`` with arithmetic
+    index vectors (no per-row Python)."""
+    flat, lens = _clean_tokens(b[text_col])
+    w1, bg, nbg = _bigrams_from_flat(flat, lens)
     out = {"w1": w1.to_pandas(), "bg": bg.to_pandas()}
     if id_col is not None:
         out[id_col] = np.repeat(b[id_col].to_numpy(), nbg)
     return pd.DataFrame(out)
 
 
-def _token_rows(b: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    flat, _ = _clean_tokens(b[text_col])
-    return pd.DataFrame({"w": flat.to_pandas()})
+def _count_partials(b: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """ONE tokenize pass -> stacked in-batch partial counts for BOTH
+    count tables: (kind 'u'|'b', k, c).  Training reads the corpus once,
+    not once per table."""
+    flat, lens = _clean_tokens(b[text_col])
+    _, bg, _ = _bigrams_from_flat(flat, lens)
+    pu = pd.DataFrame({"k": flat.to_pandas()}).groupby("k", as_index=False).agg(c=("k", "size"))
+    pu["kind"] = "u"
+    pb = pd.DataFrame({"k": bg.to_pandas()}).groupby("k", as_index=False).agg(c=("k", "size"))
+    pb["kind"] = "b"
+    return pd.concat([pu, pb], ignore_index=True)
 
 
 def ngram_lm_scores(
@@ -104,32 +118,44 @@ def ngram_lm_scores(
     more surprising under the trusted corpus (the CCNet filter key).
     ``alpha`` should be an exact binary fraction (0.5, 0.25) so the SQL
     mirror's doubles match bit-for-bit before the log."""
-    # ---- train: count tables via in-batch combiners -------------------
-    bg_partials = train.map_batches(
-        lambda b: _bigram_rows(b, text_col, None)
-        .groupby("bg", as_index=False)
-        .agg(cb=("bg", "size")),
-        batch_format="pandas",
-    )
-    bg_counts = auto_group_agg(
-        bg_partials, ["bg"], {"cb": ("cb", "sum")},
+    # ---- train: BOTH count tables from one tokenize pass ---------------
+    counts = auto_group_agg(
+        train.map_batches(
+            lambda b: _count_partials(b, text_col), batch_format="pandas"
+        ),
+        ["kind", "k"], {"c": ("c", "sum")},
         driver_threshold_rows=broadcast_threshold_rows,
     )
-    uni_partials = train.map_batches(
-        lambda b: _token_rows(b, text_col).groupby("w", as_index=False).agg(cu=("w", "size")),
-        batch_format="pandas",
-    )
-    uni_counts = auto_group_agg(
-        uni_partials, ["w"], {"cu": ("cu", "sum")},
-        driver_threshold_rows=broadcast_threshold_rows,
-    )
-    if isinstance(uni_counts, pd.DataFrame):
-        vocab = len(uni_counts)
-        uni_counts = rd.from_pandas(uni_counts)
+    if isinstance(counts, pd.DataFrame):
+        uni = counts[counts["kind"] == "u"]
+        vocab = len(uni)
+        uni_counts = rd.from_pandas(
+            uni.rename(columns={"k": "w", "c": "cu"})[["w", "cu"]]
+            if vocab
+            else pd.DataFrame({"w": pd.Series(dtype="object"), "cu": pd.Series(dtype="int64")})
+        )
+        bgf = counts[counts["kind"] == "b"] if vocab else counts.iloc[0:0]
+        bg_counts = rd.from_pandas(
+            bgf.rename(columns={"k": "bg", "c": "cb"})[["bg", "cb"]]
+            if len(bgf)
+            else pd.DataFrame({"bg": pd.Series(dtype="object"), "cb": pd.Series(dtype="int64")})
+        )
     else:
+        # exchange route: the table is consumed three times (vocab count +
+        # two join build sides) — materialize once, never re-run the train
+        counts = counts.materialize()
+        uni_counts = counts.map_batches(
+            lambda b: b[b["kind"] == "u"].rename(columns={"k": "w", "c": "cu"})[["w", "cu"]],
+            batch_format="pandas",
+        )
+        bg_counts = counts.map_batches(
+            lambda b: b[b["kind"] == "b"].rename(columns={"k": "bg", "c": "cb"})[["bg", "cb"]],
+            batch_format="pandas",
+        )
         vocab = uni_counts.count()
-    if isinstance(bg_counts, pd.DataFrame):
-        bg_counts = rd.from_pandas(bg_counts)
+    if vocab == 0:
+        # smoothing denominator would be 0 -> every score -inf; refuse
+        raise ValueError("train corpus has no tokens — cannot train the LM")
 
     # ---- score: explode bigrams, join counts, reduce per doc ----------
     doc_bg = score.map_batches(

@@ -86,8 +86,6 @@ def range_prefix_sum(
     reduced = auto_group_agg(partials, ["__shard"], {"s": ("s", "sum")})
     if not isinstance(reduced, pd.DataFrame):
         reduced = reduced.to_pandas()  # <= n_shards rows after the finish
-    if reduced.shape[1] == 0:  # empty input -> columnless probe frame
-        reduced = pd.DataFrame({"__shard": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64")})
     totals = np.zeros(n_shards, dtype="int64")
     totals[reduced["__shard"].to_numpy(dtype="int64")] = reduced["s"].to_numpy(dtype="int64")
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))

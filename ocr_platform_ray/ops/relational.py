@@ -232,8 +232,13 @@ def auto_join(
     if head is not None:
         if head.shape[1] == 0:  # empty Dataset -> schema-less frame
             head = _typed_empty(right.schema(), right.schema().names)
+        lsch = left.schema()
+        if lsch is None:
+            # empty map-derived left: schema is unknowable and the join
+            # result is empty for the probe-side routes (inner/left)
+            return left
         # same collision names as the bucketed route (prefix, not suffix)
-        overlap = (set(left.schema().names) & set(head.columns)) - {on}
+        overlap = (set(lsch.names) & set(head.columns)) - {on}
         if overlap:
             head = head.rename(columns={c: right_prefix + c for c in overlap})
         return broadcast_hash_join(left, head, on, how=how, suffix="_r")

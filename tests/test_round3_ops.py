@@ -607,3 +607,26 @@ class TestNgramLM:
         pd.testing.assert_frame_equal(
             g[want.columns], want, check_dtype=False, rtol=1e-9
         )
+
+    def test_empty_score_side_returns_empty(self):
+        from ocr_platform_ray.ops.lm import ngram_lm_scores
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "b c d"]})
+        out = ngram_lm_scores(
+            rd.from_pandas(df),
+            rd.from_pandas(df).map_batches(
+                lambda b: b[b["doc_id"] > 99], batch_format="pandas"
+            ),
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0
+        assert set(out.columns) == {"doc_id", "n_bigrams", "avg_nll"}
+
+    def test_tokenless_train_raises(self):
+        from ocr_platform_ray.ops.lm import ngram_lm_scores
+
+        empty_train = pd.DataFrame({"doc_id": [0], "text": ["   \t  "]})
+        score = pd.DataFrame({"doc_id": [0], "text": ["a b"]})
+        with pytest.raises(ValueError, match="no tokens"):
+            ngram_lm_scores(rd.from_pandas(empty_train), rd.from_pandas(score))
