@@ -156,6 +156,7 @@ def run_once() -> dict:
         "epoch_shuffle",
         "source_mixture",
         "lm_perplexity",
+        "training_chunks",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

@@ -1,0 +1,54 @@
+"""Ordered grouped text assembly — the final step of training-data
+layout: after ``epoch_shuffle`` fixes a reproducible global order and
+``pack_sequences`` assigns every document to a fixed-size context, this
+operator materializes each context's actual text (documents joined in
+order with a separator) — the concatenate-then-split packing layout of
+GPT-style pretraining (the "write packed examples" step).
+
+Distributed shape: groups are high-cardinality (one per training
+context), so this is the hash-shard exchange (``_hash_labels`` — the
+same ONE labeling kernel every exchange operator uses): all rows of a
+group colocate in one shard, each shard does ONE vectorized stable sort
+by (group, order) and a per-group join whose cost is the output bytes
+(string assembly is O(bytes) however it is expressed).  Payload is
+(group, order, text) — the text moves exactly once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from .relational import _hash_labels
+
+
+def grouped_ordered_concat(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\n",
+    out_col: str = "chunk_text",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per group: items sorted by ``order_col`` and joined with ``sep``.
+    Output: ``(group_col, n_items, out_col)``.  ``order_col`` must be
+    unique within a group (packing positions are)."""
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[group_col, order_col, text_col]].copy()
+        out["__shard"] = _hash_labels(b, [group_col], n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col], kind="stable")
+        return g.groupby(group_col, as_index=False).agg(
+            n_items=(text_col, "size"), **{out_col: (text_col, sep.join)}
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

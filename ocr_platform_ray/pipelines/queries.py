@@ -500,6 +500,56 @@ def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_training_chunks(sf_dir: str) -> pd.DataFrame:
+    """The full training-data layout composition: epoch_shuffle (seed 7)
+    fixes a reproducible order -> range_prefix_sum over whitespace token
+    counts assigns each doc its context (chunk_tokens=1024) ->
+    grouped_ordered_concat materializes each context's text.  Every stage
+    is the operator's documented distributed shape; text moves once."""
+    from ..ops.chunks import grouped_ordered_concat
+    from ..ops.lm import _clean_tokens
+    from ..ops.pack import range_prefix_sum
+    from ..ops.relational import auto_join
+    from ..ops.shuffle import shuffle_hash
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    # shuffle_key IS the order (pos is just its rank — computing the rank
+    # would cost a whole extra prefix-count pass for nothing: prefix sums
+    # and the final concat order by shuffle_key give the identical layout)
+    def key_and_count(b: pd.DataFrame) -> pd.DataFrame:
+        _, lens = _clean_tokens(b["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "sk": shuffle_hash(b["doc_id"].to_numpy(dtype="int64"), 7).astype("int64"),
+                "n_tokens": lens,
+            }
+        )
+
+    keyed = ds.map_batches(key_and_count, batch_format="pandas")
+    pref = range_prefix_sum(
+        keyed, "sk", "n_tokens", out_col="start_tok", carry_cols=["doc_id"],
+        key_max=(1 << 32) - 1,
+    )
+    packed = pref.map_batches(
+        lambda b: b.assign(
+            chunk_id=b["start_tok"].to_numpy(dtype="int64") // 1024
+        ),
+        batch_format="pandas",
+    )
+    withtext = auto_join(packed, ds, "doc_id")
+    out = grouped_ordered_concat(
+        withtext, group_col="chunk_id", order_col="sk", text_col="text", sep="\n"
+    ).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    return (
+        out[["chunk_id", "n_items", "chunk_text"]]
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_signatures(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_buckets
 
@@ -1684,6 +1734,7 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "source_mixture": q_source_mixture,
     "lm_perplexity": q_lm_perplexity,
+    "training_chunks": q_training_chunks,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2171,6 +2222,26 @@ ORACLE_SQL = {
         "FROM scbg s LEFT JOIN cb USING (bg) LEFT JOIN cu ON s.w1 = cu.w CROSS JOIN v) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(nll) AS avg_nll "
         "FROM j GROUP BY doc_id"
+    ),
+    "training_chunks": (
+        # the full layout composition: epoch shuffle (seed 7) -> exclusive
+        # token prefix sum in shuffled order -> chunk = start // 1024 ->
+        # in-order text assembly.  All-integer + string: exact mirror.
+        "WITH sk AS (SELECT doc_id, text, "
+        "CAST(((doc_id * 2654435761) % 4294967296 + 7) * 1597334677 % 4294967296 "
+        "AS BIGINT) AS shuffle_key FROM documents), "
+        "ord AS (SELECT doc_id, text, "
+        "row_number() OVER (ORDER BY shuffle_key) - 1 AS pos FROM sk), "
+        "tok AS (SELECT doc_id, text, pos, "
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) "
+        "AS n_tokens FROM ord), "
+        "cum AS (SELECT doc_id, text, pos, COALESCE(SUM(n_tokens) OVER "
+        "(ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS start_tok FROM tok) "
+        "SELECT CAST(start_tok // 1024 AS BIGINT) AS chunk_id, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "string_agg(text, chr(10) ORDER BY pos) AS chunk_text "
+        "FROM cum GROUP BY 1"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

@@ -1271,6 +1271,7 @@ class TestTailQueryOracles:
             "error_blast_radius",
             "epoch_shuffle",
             "source_mixture",
+            "training_chunks",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -630,3 +630,54 @@ class TestNgramLM:
         score = pd.DataFrame({"doc_id": [0], "text": ["a b"]})
         with pytest.raises(ValueError, match="no tokens"):
             ngram_lm_scores(rd.from_pandas(empty_train), rd.from_pandas(score))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedOrderedConcat:
+    def test_order_and_separator(self):
+        from ocr_platform_ray.ops.chunks import grouped_ordered_concat
+
+        df = pd.DataFrame(
+            {
+                "chunk_id": [1, 0, 1, 0, 2],
+                "pos": [7, 2, 3, 9, 0],
+                "text": ["b", "x", "a", "y", "solo"],
+            }
+        )
+        got = (
+            grouped_ordered_concat(
+                rd.from_pandas(df, override_num_blocks=3),
+                group_col="chunk_id", order_col="pos", text_col="text",
+                sep="|", n_shards=4,
+            )
+            .to_pandas()
+            .sort_values("chunk_id")
+            .reset_index(drop=True)
+        )
+        assert got["chunk_text"].tolist() == ["x|y", "a|b", "solo"]
+        assert got["n_items"].tolist() == [2, 2, 1]
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.chunks import grouped_ordered_concat
+
+        rng = np.random.default_rng(5)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "chunk_id": rng.integers(0, 40, n),
+                "pos": rng.permutation(n),
+                "text": [f"t{i}" for i in range(n)],
+            }
+        )
+        runs = []
+        for blocks in (1, 11):
+            runs.append(
+                grouped_ordered_concat(
+                    rd.from_pandas(df, override_num_blocks=blocks),
+                    group_col="chunk_id", order_col="pos", text_col="text",
+                )
+                .to_pandas()
+                .sort_values("chunk_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(runs[0], runs[1])
