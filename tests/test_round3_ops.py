@@ -631,6 +631,28 @@ class TestNgramLM:
         with pytest.raises(ValueError, match="no tokens"):
             ngram_lm_scores(rd.from_pandas(empty_train), rd.from_pandas(score))
 
+    def test_exchange_route_matches_broadcast(self):
+        # broadcast_threshold_rows=1 forces every planner off the driver:
+        # exchange count finish, materialized count Datasets, bucketed
+        # joins, exchange per-doc reduce — must equal the default route
+        from ocr_platform_ray.ops.lm import ngram_lm_scores
+
+        rng = np.random.default_rng(8)
+        vocab = np.array(["red", "green", "blue", "cyan", "teal", "plum"])
+        texts = [" ".join(rng.choice(vocab, rng.integers(2, 10))) for _ in range(40)]
+        df = pd.DataFrame({"doc_id": np.arange(40), "text": texts})
+        tr = rd.from_pandas(df[df.doc_id % 3 == 0], override_num_blocks=3)
+        sc = rd.from_pandas(df, override_num_blocks=4)
+
+        def norm(out):
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            return out.sort_values("doc_id").reset_index(drop=True)
+
+        a = norm(ngram_lm_scores(tr, sc))
+        b = norm(ngram_lm_scores(tr, sc, broadcast_threshold_rows=1))
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedOrderedConcat:
