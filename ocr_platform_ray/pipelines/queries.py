@@ -751,13 +751,74 @@ def q_colocated_orders_join(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(joined, ["c_mktsegment"], partial, final)
 
 
-def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+def q_revenue_by_nation(sf_dir: str, *, dims: str = "auto") -> pd.DataFrame:
     """TPC-H Q5 shape: lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈
     region, customer and supplier in the same nation, one region, one
-    order-date year — a 6-table plan composed entirely from the size-aware
-    planner (every dimension side broadcasts at bench scale; the fact
-    stream is never shuffled) + enum-key combiner finish."""
-    from ..ops.relational import auto_join, pre_aggregate
+    order-date year.  ``dims="auto"``: when the parquet footers prove
+    every dimension side small, the dims are read/joined DRIVER-side
+    (zero Ray executions — a chained planner plan costs one serialized
+    probe execution per join) and only the lineitem fact stream runs
+    distributed with two broadcast joins + enum-key combiner finish.
+    Any oversized dim -> the fully planner-composed Dataset plan
+    (``dims="dataset"``; route equivalence-tested)."""
+    from ..ops.relational import auto_join, broadcast_hash_join, pre_aggregate
+    from ..sources.ingest import read_dim_pandas
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["revenue"] = g["rev_c"] / 100.0
+        return (
+            g.drop(columns=["rev_c"])
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    dtabs = None
+    if dims == "auto":
+        dtabs = {
+            name: read_dim_pandas(f"{sf_dir}/{name}.parquet", cols)
+            for name, cols in (
+                ("region", ["r_regionkey", "r_name"]),
+                ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+                ("customer", ["c_custkey", "c_nationkey"]),
+                ("supplier", ["s_suppkey", "s_nationkey"]),
+                ("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            )
+        }
+        if any(v is None for v in dtabs.values()):
+            dtabs = None  # some side outgrew the footer gate -> Dataset plan
+    if dtabs is not None:
+        nations = dtabs["nation"].merge(
+            dtabs["region"][dtabs["region"]["r_name"] == "ASIA"],
+            left_on="n_regionkey", right_on="r_regionkey",
+        )[["n_nationkey", "n_name"]]
+        cust = dtabs["customer"].merge(
+            nations, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "n_nationkey", "n_name"]]
+        supp = dtabs["supplier"].merge(
+            nations[["n_nationkey"]], left_on="s_nationkey", right_on="n_nationkey"
+        ).rename(columns={"n_nationkey": "s_nat"})[["s_suppkey", "s_nat"]]
+        o = dtabs["orders"]
+        o_c = o[
+            (o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (o["o_orderdate"] < pd.Timestamp("1997-01-01"))
+        ][["o_orderkey", "o_custkey"]].merge(
+            cust, left_on="o_custkey", right_on="c_custkey"
+        )[["o_orderkey", "n_nationkey", "n_name"]]
+        li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        li = li.map_batches(
+            lambda b: b.assign(rev_c=_cents(b["l_extendedprice"] * (1 - b["l_discount"])))[
+                ["l_orderkey", "l_suppkey", "rev_c"]
+            ].rename(columns={"l_orderkey": "o_orderkey", "l_suppkey": "s_suppkey"}),
+            batch_format="pandas",
+        )
+        j = broadcast_hash_join(li, o_c, "o_orderkey", how="inner")
+        j = broadcast_hash_join(j, supp, "s_suppkey", how="inner")
+        j = j.map_batches(lambda b: b[b["s_nat"] == b["n_nationkey"]], batch_format="pandas")
+        return pre_aggregate(j, ["n_name"], partial, final)
 
     region = _t(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
         lambda b: b[b["r_name"] == "ASIA"], batch_format="pandas"
@@ -821,19 +882,6 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     j = auto_join(j, supp, "s_suppkey", how="inner")
     # Q5 semantics: supplier nation == customer nation
     j = j.map_batches(lambda b: b[b["s_nat"] == b["n_nationkey"]], batch_format="pandas")
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
-
-    def final(p: pd.DataFrame) -> pd.DataFrame:
-        g = p.groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
-        g["revenue"] = g["rev_c"] / 100.0
-        return (
-            g.drop(columns=["rev_c"])
-            .sort_values(["revenue", "n_name"], ascending=[False, True])
-            .reset_index(drop=True)
-        )
-
     return pre_aggregate(j, ["n_name"], partial, final)
 
 

@@ -4,5 +4,6 @@ from .ingest import (  # noqa: F401
     ingest_raw_html,
     page_count_probe,
     parquet_column_bounds,
+    read_dim_pandas,
     partition_pages_by_url,
 )

@@ -70,6 +70,22 @@ def page_count_probe(pages: rd.Dataset) -> pd.DataFrame:
 ingest_raw_files = ingest_raw_html
 
 
+def read_dim_pandas(
+    path: str, columns: list[str] | None = None, *, max_rows: int = 2_000_000
+) -> pd.DataFrame | None:
+    """Read a DIMENSION table straight to pandas when the parquet footer
+    proves it small — zero Ray executions (vs one probe execution per
+    consuming join).  Returns None above ``max_rows``: the caller falls
+    back to its Dataset plan, so the scale path is never lost.  Only for
+    dim-sided plans (T2/J5 broadcast rule); fact tables always stream."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    if f.metadata.num_rows > max_rows:
+        return None
+    return f.read(columns=columns).to_pandas()
+
+
 def parquet_column_bounds(path: str, column: str):
     """Exact (min, max) of a parquet column from ROW-GROUP STATISTICS —
     O(row_groups) driver-side metadata reads, zero Ray executions and zero

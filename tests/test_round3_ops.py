@@ -703,3 +703,23 @@ class TestGroupedOrderedConcat:
                 .reset_index(drop=True)
             )
         pd.testing.assert_frame_equal(runs[0], runs[1])
+
+@pytest.mark.usefixtures("ray_session")
+class TestRevenueByNationRoutes:
+    def test_driver_dims_route_matches_dataset_plan(self):
+        # dims="auto" reads footer-proven-small dimension tables driver-side
+        # (zero Ray executions) and joins only the lineitem stream; must
+        # equal the fully planner-composed Dataset plan.
+        from ocr_platform_ray.pipelines.queries import q_revenue_by_nation
+
+        sf = "/root/testdata/sf0.001"
+
+        def norm(out):
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            return out.sort_values("n_name").reset_index(drop=True)
+
+        a = norm(q_revenue_by_nation(sf))
+        b = norm(q_revenue_by_nation(sf, dims="dataset"))
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
