@@ -1,0 +1,375 @@
+"""Exact duplicated-substring (token-window) dedup — the ExactSubstr
+family member (Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better", arXiv:2107.06499): any ``width``-token window
+whose content occurs >= ``min_count`` times across the corpus is a
+duplicated span, and spans are measured/removed at TOKEN granularity
+(union of covering windows) — the sub-paragraph complement to
+``ops.dedup``'s document-level (exact/minhash) and paragraph-level
+(repeated_paragraphs) members.  The reference dedups only at document /
+external-ref granularity (packages/db/src/schema/books.ts slug+ref
+uniqueness); this is the training-data extension.
+
+Scale shape (the suffix-array build of the paper re-expressed as Ray
+exchanges): window STRINGS never exist — each batch hashes all its
+tokens in ONE ``pd.util.hash_array`` call and folds token hashes into
+order-sensitive window hashes with ``width`` vectorized passes; only
+(hash, partial-count) rows cross the count exchange.  The duplicated-
+hash table then either returns driver-side (broadcast route, probed
+``<= broadcast_threshold_rows``) or stays a Dataset through a bucketed
+semi join + id-shard exchange (corpus-scale route; routes
+equivalence-tested).  Tokenization is single-space split, mirroring
+DuckDB ``string_split(text, ' ')`` so the SQL oracle groups by the
+window string while this op groups by its hash — identical up to
+2^-63 collisions (the ngram_jaccard_pairs convention).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..state.broadcast import cached_get
+from .relational import _hash_labels, probe_head, semi_join, sharded_group_agg
+
+_FNV = np.uint64(0x100000001B3)
+
+
+def _finalize64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same avalanche as dedup._band_hashes)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _batch_windows(texts, width: int):
+    """All ``width``-token windows of a batch: flat arrays
+    ``(row_idx, pos, window_hash)`` ordered by (row, pos), plus per-row
+    window counts, per-row token offsets and the flat token list.
+
+    One ``pd.util.hash_array`` call over EVERY token of the batch, then
+    ``width`` vectorized multiply-xor passes fold token hashes into
+    window hashes — no per-window Python, no window strings built.
+    int64 view for cross-block schema stability (ops/dedup.py note)."""
+    tok_lists = [t.split(" ") for t in texts]
+    n_toks = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat_toks = [w for toks in tok_lists for w in toks]
+    tok_h = (
+        pd.util.hash_array(np.asarray(flat_toks, dtype=object), categorize=False)
+        if flat_toks
+        else np.empty(0, dtype=np.uint64)
+    )
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(n_toks, out=offs[1:])
+    n_win = np.maximum(n_toks - width + 1, 0)
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_win)
+    win_end = np.cumsum(n_win)
+    pos = np.arange(len(row_idx), dtype=np.int64) - np.repeat(win_end - n_win, n_win)
+    starts = offs[:-1].repeat(n_win) + pos
+    h = np.zeros(len(starts), dtype=np.uint64)
+    for c in range(width):
+        h = h * _FNV ^ tok_h[starts + c]
+    return row_idx, pos, _finalize64(h).view(np.int64), n_win, offs, flat_toks
+
+
+def _coverage_lengths(doc_codes: np.ndarray, pos: np.ndarray, width: int, n_docs: int) -> np.ndarray:
+    """Union length of intervals ``[pos, pos+width)`` per doc, given rows
+    sorted by (doc_codes, pos) with (doc, pos) unique.  Segmented-
+    vectorized: a window past its predecessor contributes
+    ``min(gap, width)`` tokens; the first window of a doc contributes
+    ``width``."""
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(pos) == 0:
+        return out
+    first = np.empty(len(pos), dtype=bool)
+    first[0] = True
+    first[1:] = doc_codes[1:] != doc_codes[:-1]
+    contrib = np.empty(len(pos), dtype=np.int64)
+    contrib[1:] = np.minimum(pos[1:] - pos[:-1], width)
+    contrib[first] = width
+    starts = np.flatnonzero(first)
+    out[doc_codes[starts]] = np.add.reduceat(contrib, starts)
+    return out
+
+
+def duplicated_window_counts(
+    ds: rd.Dataset,
+    text_col: str,
+    *,
+    width: int = 8,
+    min_count: int = 2,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Dataset[(gh, cnt)] of window hashes occurring >= min_count times
+    corpus-wide.  Map-side combiner (in-batch value_counts) so the count
+    exchange moves one row per DISTINCT (batch, hash), then
+    ``sharded_group_agg`` — the driver never sees the count table."""
+
+    def explode_counts(b: pd.DataFrame) -> pd.DataFrame:
+        _, _, gh, _, _, _ = _batch_windows(list(b[text_col]), width)
+        if len(gh) == 0:
+            return pd.DataFrame(
+                {"gh": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+            )
+        vals, counts = np.unique(gh, return_counts=True)
+        return pd.DataFrame({"gh": vals, "cnt": counts.astype(np.int64)})
+
+    return sharded_group_agg(
+        ds.map_batches(explode_counts, batch_format="pandas"),
+        ["gh"],
+        {"cnt": ("cnt", "sum")},
+        n_shards=n_shards,
+    ).map_batches(lambda b: b[b["cnt"] >= min_count], batch_format="pandas")
+
+
+def _resolve_dup_route(counts: rd.Dataset, method: str, threshold: int):
+    """(dup_hash_array | None, counts Dataset).  Array -> broadcast route."""
+    if method == "broadcast":
+        head = counts.to_pandas()
+        return np.sort(head["gh"].to_numpy(dtype=np.int64)) if len(head) else np.empty(0, dtype=np.int64), counts
+    if method == "bucketed":
+        return None, counts
+    head = probe_head(counts, threshold)
+    if head is None:
+        return None, counts
+    if head.shape[1] == 0:  # empty Dataset -> columnless frame
+        return np.empty(0, dtype=np.int64), counts
+    return np.sort(head["gh"].to_numpy(dtype=np.int64)), counts
+
+
+def dup_span_stats(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    width: int = 8,
+    min_count: int = 2,
+    method: str = "auto",
+    broadcast_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per-document duplicated-span statistics: ``(id, n_windows,
+    n_dup_windows, n_dup_tokens)`` where n_dup_tokens is the union
+    coverage of all duplicated windows (the fraction ExactSubstr would
+    cut).  Docs shorter than ``width`` tokens report zeros.
+
+    Broadcast route: ONE count exchange; stats are then map-only against
+    the broadcast duplicated-hash array (np.isin).  Bucketed route: the
+    window list semi-joins the duplicated-hash Dataset on the bucketed
+    exchange, and per-doc coverage reduces on an id-shard exchange —
+    nothing corpus- or dup-table-proportional on the driver."""
+    counts = duplicated_window_counts(
+        ds, text_col, width=width, min_count=min_count, n_shards=n_shards
+    )
+    dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+
+    if dup_arr is not None:
+        dup_ref = ray.put(dup_arr)
+
+        def stats(b: pd.DataFrame) -> pd.DataFrame:
+            dup = cached_get(dup_ref)
+            row_idx, pos, gh, n_win, _, _ = _batch_windows(list(b[text_col]), width)
+            is_dup = np.isin(gh, dup)
+            n = len(b)
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "n_windows": n_win,
+                    "n_dup_windows": np.bincount(
+                        row_idx[is_dup], minlength=n
+                    ).astype(np.int64),
+                    "n_dup_tokens": _coverage_lengths(
+                        row_idx[is_dup], pos[is_dup], width, n
+                    ),
+                }
+            )
+
+        return ds.map_batches(stats, batch_format="pandas")
+
+    # ---- bucketed (corpus-scale duplicated-hash table) route ----
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        row_idx, pos, gh, _, _, _ = _batch_windows(list(b[text_col]), width)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy()[row_idx], "pos": pos, "gh": gh}
+        )
+
+    def base(b: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, n_win, _, _ = _batch_windows(list(b[text_col]), width)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "n_windows": n_win})
+
+    windows = ds.map_batches(explode, batch_format="pandas")
+    marked = semi_join(
+        windows, counts.select_columns(["gh"]), "gh", method="bucketed"
+    ).select_columns([id_col, "pos"])
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = _hash_labels(b, [id_col], n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        codes, uniques = pd.factorize(g[id_col], sort=True)
+        cov = _coverage_lengths(
+            codes, g["pos"].to_numpy(dtype=np.int64), width, len(uniques)
+        )
+        return pd.DataFrame(
+            {
+                id_col: uniques,
+                "n_dup_windows": np.bincount(codes, minlength=len(uniques)).astype(
+                    np.int64
+                ),
+                "n_dup_tokens": cov,
+            }
+        )
+
+    dup_stats = (
+        marked.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    from .relational import auto_join
+
+    joined = auto_join(
+        ds.map_batches(base, batch_format="pandas"),
+        dup_stats,
+        id_col,
+        how="left",
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, "n_windows"]].copy()
+        for c in ("n_dup_windows", "n_dup_tokens"):
+            out[c] = b[c].fillna(0).astype("int64") if c in b else np.int64(0)
+        return out
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def strip_duplicated_spans(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    width: int = 8,
+    min_count: int = 2,
+    method: str = "auto",
+    broadcast_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Remove every token covered by a duplicated window from each
+    document (ExactSubstr cut at token granularity), preserving the
+    single-space join of the survivors.  Same two routes as
+    ``dup_span_stats``; the bucketed route co-locates each doc's text
+    with its duplicated-window positions on one id-shard exchange (both
+    sides projected to an identical (id, pos, text) schema — the
+    union-of-schemas caution from asof_join/join_bucket)."""
+    counts = duplicated_window_counts(
+        ds, text_col, width=width, min_count=min_count, n_shards=n_shards
+    )
+    dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+
+    def _strip_rows(texts, dup_pos_per_row, out_texts):
+        """Rebuild each text keeping tokens outside the covered union.
+        dup_pos_per_row yields (tokens, sorted dup window starts)."""
+        for toks, starts in dup_pos_per_row:
+            if len(starts) == 0:
+                out_texts.append(" ".join(toks))
+                continue
+            delta = np.zeros(len(toks) + width + 1, dtype=np.int64)
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, starts + width, -1)
+            covered = np.cumsum(delta[: len(toks)]) > 0
+            out_texts.append(" ".join([t for t, c in zip(toks, covered) if not c]))
+
+    if dup_arr is not None:
+        dup_ref = ray.put(dup_arr)
+
+        def strip(b: pd.DataFrame) -> pd.DataFrame:
+            dup = cached_get(dup_ref)
+            texts = list(b[text_col])
+            row_idx, pos, gh, _, offs, flat_toks = _batch_windows(texts, width)
+            is_dup = np.isin(gh, dup)
+            d_row, d_pos = row_idx[is_dup], pos[is_dup]
+            row_starts = np.searchsorted(d_row, np.arange(len(texts) + 1))
+            out_texts: list[str] = []
+            _strip_rows(
+                texts,
+                (
+                    (
+                        flat_toks[offs[i] : offs[i + 1]],
+                        d_pos[row_starts[i] : row_starts[i + 1]],
+                    )
+                    for i in range(len(texts))
+                ),
+                out_texts,
+            )
+            out = b.copy()
+            out[text_col] = out_texts
+            return out
+
+        return ds.map_batches(strip, batch_format="pandas")
+
+    # ---- bucketed route: dup positions + doc text meet on an id shard ----
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        row_idx, pos, gh, _, _, _ = _batch_windows(list(b[text_col]), width)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy()[row_idx], "pos": pos, "gh": gh}
+        )
+
+    marked = (
+        semi_join(
+            ds.map_batches(explode, batch_format="pandas"),
+            counts.select_columns(["gh"]),
+            "gh",
+            method="bucketed",
+        )
+        .select_columns([id_col, "pos"])
+        .map_batches(
+            lambda b: b.assign(**{text_col: ""}), batch_format="pandas"
+        )
+    )
+    docs = ds.map_batches(
+        lambda b: b[[id_col, text_col]].assign(pos=np.int64(-1))[
+            [id_col, "pos", text_col]
+        ],
+        batch_format="pandas",
+    )
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, "pos", text_col]].copy()
+        out["__shard"] = _hash_labels(out, [id_col], n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy() == -1
+        doc_rows = g[is_doc]
+        win = g[~is_doc].sort_values([id_col, "pos"], kind="mergesort")
+        pos_by_id = {
+            i: sub.to_numpy(dtype=np.int64)
+            for i, sub in win.groupby(id_col)["pos"]
+        }
+        texts = list(doc_rows[text_col])
+        out_texts: list[str] = []
+        empty = np.empty(0, dtype=np.int64)
+        _strip_rows(
+            texts,
+            (
+                (t.split(" "), pos_by_id.get(i, empty))
+                for i, t in zip(doc_rows[id_col], texts)
+            ),
+            out_texts,
+        )
+        return pd.DataFrame({id_col: doc_rows[id_col].to_numpy(), text_col: out_texts})
+
+    return (
+        marked.union(docs)
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

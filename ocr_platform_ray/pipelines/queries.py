@@ -1687,6 +1687,32 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_dup_span_stats(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span statistics (Lee et al. 2021):
+    per-doc count of 8-token windows whose content repeats corpus-wide,
+    plus the token-union coverage those windows would cut.  All-integer
+    output; the SQL mirror groups by the window STRING where the op
+    groups by its 64-bit hash (identical up to collisions — the
+    ngram_jaccard_pairs convention)."""
+    from ..ops.spans import dup_span_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_stats(ds, "text", "doc_id", width=8, min_count=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr CUT verification: every token covered by a duplicated
+    8-window removed, survivors re-joined — full stripped text compared
+    against the SQL reconstruction (string_agg over non-covered token
+    positions)."""
+    from ..ops.spans import strip_duplicated_spans
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = strip_duplicated_spans(ds, "text", "doc_id", width=8, min_count=2).to_pandas()
+    return out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -1783,6 +1809,8 @@ QUERIES = {
     "source_mixture": q_source_mixture,
     "lm_perplexity": q_lm_perplexity,
     "training_chunks": q_training_chunks,
+    "dup_span_stats": q_dup_span_stats,
+    "strip_dup_spans": q_strip_dup_spans,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2290,6 +2318,53 @@ ORACLE_SQL = {
         "CAST(count(*) AS BIGINT) AS n_items, "
         "string_agg(text, chr(10) ORDER BY pos) AS chunk_text "
         "FROM cum GROUP BY 1"
+    ),
+    "dup_span_stats": (
+        # ExactSubstr stats: 8-token windows (slice pos:pos+7 is 1-based
+        # inclusive = 8 tokens), duplicated = content count >= 2 corpus-
+        # wide, n_dup_tokens = distinct covered token positions.  Groups
+        # by the window STRING; the op groups by its hash.
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "winpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos "
+        "FROM toks), "
+        "grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g "
+        "FROM winpos), "
+        "dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+        "marked AS (SELECT doc_id, pos, (g IN (SELECT g FROM dupg)) AS is_dup "
+        "FROM grams), "
+        "cover AS (SELECT doc_id, COUNT(DISTINCT p) AS n_dup_tokens FROM "
+        "(SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p "
+        "FROM marked WHERE is_dup) GROUP BY doc_id), "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_windows, "
+        "SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows "
+        "FROM marked GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows, "
+        "CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
+        "CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id "
+        "LEFT JOIN cover c ON d.doc_id = c.doc_id"
+    ),
+    "strip_dup_spans": (
+        # ExactSubstr cut: drop every token position covered by a
+        # duplicated window, string_agg the survivors in order.
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "winpos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos "
+        "FROM toks), "
+        "grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g "
+        "FROM winpos), "
+        "dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+        "covered AS (SELECT DISTINCT doc_id, p FROM "
+        "(SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p "
+        "FROM grams WHERE g IN (SELECT g FROM dupg))), "
+        "tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS tp "
+        "FROM toks), "
+        "kept AS (SELECT tokpos.doc_id, tok, tp FROM tokpos "
+        "LEFT JOIN covered ON covered.doc_id = tokpos.doc_id AND covered.p = tokpos.tp "
+        "WHERE covered.p IS NULL), "
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.text, '') AS text "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs

@@ -1272,6 +1272,8 @@ class TestTailQueryOracles:
             "epoch_shuffle",
             "source_mixture",
             "training_chunks",
+            "dup_span_stats",
+            "strip_dup_spans",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -723,3 +723,142 @@ class TestRevenueByNationRoutes:
         b = norm(q_revenue_by_nation(sf, dims="dataset"))
         assert len(a) > 0
         pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpans:
+    """ExactSubstr-style duplicated token-window spans (ops/spans.py)."""
+
+    W, MC = 3, 2
+
+    def _corpus(self, n=60, seed=0):
+        rng = np.random.default_rng(seed)
+        vocab = np.array(list("abcdefgh"))
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(1, 12))) for _ in range(n)
+        ]
+        for i in range(0, n, 7):  # shared 5-token phrase -> real dup spans
+            texts[i] = texts[i] + " x y z w v"
+        return pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+
+    def _naive(self, df):
+        from collections import Counter
+
+        cnt, wins = Counter(), {}
+        for i, t in zip(df.doc_id, df.text):
+            toks = t.split(" ")
+            ws = [
+                " ".join(toks[j : j + self.W])
+                for j in range(len(toks) - self.W + 1)
+            ]
+            wins[i] = (toks, ws)
+            cnt.update(ws)
+        dup = {g for g, c in cnt.items() if c >= self.MC}
+        rows, stripped = [], []
+        for i in df.doc_id:
+            toks, ws = wins[i]
+            dpos = [j for j, g in enumerate(ws) if g in dup]
+            covered = set()
+            for j in dpos:
+                covered.update(range(j, j + self.W))
+            rows.append((i, len(ws), len(dpos), len(covered)))
+            stripped.append(
+                (i, " ".join(t for j, t in enumerate(toks) if j not in covered))
+            )
+        return (
+            pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_windows", "n_dup_windows", "n_dup_tokens"],
+            ),
+            pd.DataFrame(stripped, columns=["doc_id", "text"]),
+        )
+
+    @pytest.mark.parametrize("method", ["broadcast", "bucketed"])
+    def test_stats_and_strip_match_naive(self, method):
+        from ocr_platform_ray.ops.spans import (
+            dup_span_stats,
+            strip_duplicated_spans,
+        )
+
+        df = self._corpus()
+        want_stats, want_strip = self._naive(df)
+        got = (
+            dup_span_stats(
+                rd.from_pandas(df, override_num_blocks=5),
+                "text", "doc_id", width=self.W, min_count=self.MC, method=method,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want_stats.columns], want_stats, check_dtype=False
+        )
+        assert (got["n_dup_windows"] > 0).any()  # corpus really has dups
+        gs = (
+            strip_duplicated_spans(
+                rd.from_pandas(df, override_num_blocks=5),
+                "text", "doc_id", width=self.W, min_count=self.MC, method=method,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(gs[want_strip.columns], want_strip)
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.spans import dup_span_stats
+
+        df = self._corpus(n=90, seed=3)
+        runs = []
+        for blocks in (1, 13):
+            runs.append(
+                dup_span_stats(
+                    rd.from_pandas(df, override_num_blocks=blocks),
+                    "text", "doc_id", width=self.W, min_count=self.MC,
+                )
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+
+    def test_short_docs_and_within_doc_repeats(self):
+        from ocr_platform_ray.ops.spans import (
+            dup_span_stats,
+            strip_duplicated_spans,
+        )
+
+        # doc 0: shorter than width (zero windows, survives strip intact);
+        # doc 1: repeats its own trigram twice (within-doc dup counts);
+        # doc 2: unique
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b", "p q r s p q r", "u v w x y"],
+            }
+        )
+        want_stats, want_strip = self._naive(df)
+        assert want_stats.loc[1, "n_dup_windows"] == 2  # sanity of the fixture
+        got = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           width=self.W, min_count=self.MC)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want_stats.columns], want_stats, check_dtype=False
+        )
+        gs = (
+            strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                   width=self.W, min_count=self.MC)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert gs.loc[0, "text"] == "a b"
+        pd.testing.assert_frame_equal(gs[want_strip.columns], want_strip)
+
+    def test_no_duplicates_is_identity(self):
+        from ocr_platform_ray.ops.spans import strip_duplicated_spans
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["one two three four", "five six seven eight"]}
+        )
+        gs = (
+            strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                   width=self.W, min_count=self.MC)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert gs["text"].tolist() == df["text"].tolist()
