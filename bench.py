@@ -157,6 +157,8 @@ def run_once() -> dict:
         "source_mixture",
         "lm_perplexity",
         "training_chunks",
+        "dup_span_stats",
+        "strip_dup_spans",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
