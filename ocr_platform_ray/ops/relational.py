@@ -503,6 +503,60 @@ def grouped_top_k(
     )
 
 
+def grouped_rank_buckets(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_cols: list[str],
+    *,
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    out_col: str = "bucket",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per-group rank-quantile bucket assignment: row bucket =
+    ``n_buckets * rank // group_size`` with rank ordered by
+    ``order_cols`` (the SQL ``(n * (row_number() OVER (...) - 1)) //
+    count(*) OVER (...)`` window) — the CCNet head/middle/tail
+    perplexity split (Wenzek et al. 2020, CCNet §3.3) when grouped by
+    language and ordered by LM score.  ``order_cols`` must end in a
+    unique tiebreaker (e.g. the id column) for a deterministic, total
+    order.
+
+    Unlike ``grouped_top_k`` there is no local prune (every row needs
+    its global in-group rank), so the one hash-shard exchange moves the
+    full projection; per-shard work is one vectorized sort + cumcount +
+    transform("size").  Partitioning assumption: a GROUP must fit one
+    shard — right for per-language slices at web-crawl skew up to the
+    dominant language; past that, compute cutoff VALUES with
+    ``ops.sketch.grouped_quantile_sketch`` and assign buckets by
+    comparison instead (approximate, map-only)."""
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    label_arr = np.asarray(labels, dtype=object) if labels is not None else None
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = _hash_labels(b, group_cols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*group_cols, *order_cols], kind="mergesort"
+        )
+        grp = g.groupby(group_cols, sort=False)
+        rank = grp.cumcount().to_numpy(dtype=np.int64)
+        size = grp[order_cols[0]].transform("size").to_numpy(dtype=np.int64)
+        idx = (n_buckets * rank) // size
+        g[out_col] = label_arr[idx] if label_arr is not None else idx
+        return g.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def paginate(ds: rd.Dataset, sort_key: str, *, page: int, page_size: int, descending: bool = False) -> pd.DataFrame:
     """Offset/limit page window (A5, lib/pagination.ts:6-16): sort, then
     slice [page*size, (page+1)*size) via limit on the sorted stream."""

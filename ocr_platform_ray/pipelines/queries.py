@@ -1687,6 +1687,43 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_ccnet_ppl_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus partition (Wenzek et al. 2020 §3.3): every doc
+    assigned head/middle/tail by its PER-LANGUAGE perplexity tercile
+    under the distributed bigram LM (same train split as lm_perplexity),
+    via `grouped_rank_buckets` — rank window on one lang-shard exchange,
+    ties broken by doc_id."""
+    from ..ops.lm import ngram_lm_scores
+    from ..ops.relational import auto_join, grouped_rank_buckets
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    train = ds.map_batches(
+        lambda b: b[b["doc_id"] % 10 < 3], batch_format="pandas"
+    )
+    scores = ngram_lm_scores(train, ds)
+    if isinstance(scores, pd.DataFrame):
+        scores = rd.from_pandas(scores)
+    scored = auto_join(
+        scores.select_columns(["doc_id", "avg_nll"]),
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
+        "doc_id",
+        how="inner",
+    )
+    out = grouped_rank_buckets(
+        scored,
+        ["lang"],
+        ["avg_nll", "doc_id"],
+        n_buckets=3,
+        labels=["head", "middle", "tail"],
+        out_col="ppl_bucket",
+    ).to_pandas()
+    return (
+        out[["doc_id", "lang", "ppl_bucket"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_dup_span_stats(sf_dir: str) -> pd.DataFrame:
     """ExactSubstr-style duplicated-span statistics (Lee et al. 2021):
     per-doc count of 8-token windows whose content repeats corpus-wide,
@@ -1811,6 +1848,7 @@ QUERIES = {
     "training_chunks": q_training_chunks,
     "dup_span_stats": q_dup_span_stats,
     "strip_dup_spans": q_strip_dup_spans,
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -1934,6 +1972,28 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, session_id
 """
+
+# add-0.5 bigram LM trained on doc_id%10<3 (ops/lm.py mirror) — shared by
+# lm_perplexity and the ccnet_ppl_buckets window over it
+_LM_PPL_SQL = (
+    "WITH tr AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "t -> t <> '') AS ts FROM documents WHERE doc_id % 10 < 3), "
+    "trbg AS (SELECT ts[u.i] || ' ' || ts[u.i+1] AS bg FROM tr, "
+    "UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
+    "cb AS (SELECT bg, count(*) AS cb FROM trbg GROUP BY bg), "
+    "tru AS (SELECT u.w FROM tr, UNNEST(tr.ts) AS u(w)), "
+    "cu AS (SELECT w, count(*) AS cu FROM tru GROUP BY w), "
+    "v AS (SELECT count(*) AS v FROM cu), "
+    "sc AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "t -> t <> '') AS ts FROM documents), "
+    "scbg AS (SELECT doc_id, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i+1] AS bg "
+    "FROM sc, UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
+    "j AS (SELECT s.doc_id, -ln((COALESCE(cb.cb, 0) + 0.5) / "
+    "(COALESCE(cu.cu, 0) + 0.5 * v.v)) AS nll "
+    "FROM scbg s LEFT JOIN cb USING (bg) LEFT JOIN cu ON s.w1 = cu.w CROSS JOIN v) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(nll) AS avg_nll "
+    "FROM j GROUP BY doc_id"
+)
 
 ORACLE_SQL = {
     "doc_stats_by_source": (
@@ -2277,27 +2337,22 @@ ORACLE_SQL = {
         "SELECT c.doc_id, c.source, CAST(u.copy_idx AS BIGINT) AS copy_idx "
         "FROM c, UNNEST(generate_series(0, c.copies - 1)) AS u(copy_idx)"
     ),
-    "lm_perplexity": (
-        # add-0.5 bigram LM trained on doc_id%10<3; avg(ln) is float-
-        # order-sensitive, so the pytest oracle compares with rtol, not
-        # the exact hash gate (query sits past the driver cap)
-        "WITH tr AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-        "t -> t <> '') AS ts FROM documents WHERE doc_id % 10 < 3), "
-        "trbg AS (SELECT ts[u.i] || ' ' || ts[u.i+1] AS bg FROM tr, "
-        "UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
-        "cb AS (SELECT bg, count(*) AS cb FROM trbg GROUP BY bg), "
-        "tru AS (SELECT u.w FROM tr, UNNEST(tr.ts) AS u(w)), "
-        "cu AS (SELECT w, count(*) AS cu FROM tru GROUP BY w), "
-        "v AS (SELECT count(*) AS v FROM cu), "
-        "sc AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-        "t -> t <> '') AS ts FROM documents), "
-        "scbg AS (SELECT doc_id, ts[u.i] AS w1, ts[u.i] || ' ' || ts[u.i+1] AS bg "
-        "FROM sc, UNNEST(generate_series(1, len(ts)-1)) AS u(i)), "
-        "j AS (SELECT s.doc_id, -ln((COALESCE(cb.cb, 0) + 0.5) / "
-        "(COALESCE(cu.cu, 0) + 0.5 * v.v)) AS nll "
-        "FROM scbg s LEFT JOIN cb USING (bg) LEFT JOIN cu ON s.w1 = cu.w CROSS JOIN v) "
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, avg(nll) AS avg_nll "
-        "FROM j GROUP BY doc_id"
+    # avg(ln) is float-order-sensitive, so the pytest oracle compares
+    # with rtol, not the exact hash gate (query sits past the driver cap)
+    "lm_perplexity": _LM_PPL_SQL,
+    "ccnet_ppl_buckets": (
+        # CCNet §3.3 head/middle/tail: per-language rank terciles over
+        # the bigram-LM score.  Bucket indices are integer window math
+        # over the float rank order (ties broken by doc_id) — exact
+        # unless two DISTINCT texts tie to within one ulp of avg_nll.
+        f"WITH s AS ({_LM_PPL_SQL}), "
+        "l AS (SELECT s.doc_id, d.lang, s.avg_nll FROM s "
+        "JOIN documents d ON s.doc_id = d.doc_id), "
+        "r AS (SELECT doc_id, lang, "
+        "row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) - 1 AS rk, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM l) "
+        "SELECT doc_id, lang, CASE (3 * rk) // n WHEN 0 THEN 'head' "
+        "WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM r"
     ),
     "training_chunks": (
         # the full layout composition: epoch shuffle (seed 7) -> exclusive

@@ -1274,6 +1274,7 @@ class TestTailQueryOracles:
             "training_chunks",
             "dup_span_stats",
             "strip_dup_spans",
+            "ccnet_ppl_buckets",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

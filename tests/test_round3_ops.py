@@ -862,3 +862,79 @@ class TestDupSpans:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert gs["text"].tolist() == df["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedRankBuckets:
+    """Per-group rank-quantile buckets (CCNet head/middle/tail window)."""
+
+    def _naive(self, df, n_buckets, labels):
+        df = df.sort_values(["grp", "score", "id"]).reset_index(drop=True)
+        rank = df.groupby("grp").cumcount()
+        size = df.groupby("grp")["score"].transform("size")
+        return df.assign(bucket=[labels[i] for i in (n_buckets * rank) // size])
+
+    def test_matches_naive_and_balanced(self):
+        from ocr_platform_ray.ops.relational import grouped_rank_buckets
+
+        rng = np.random.default_rng(11)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n),
+                "grp": rng.choice(list("abc"), n),
+                "score": rng.normal(size=n).round(3),  # rounded -> real ties
+            }
+        )
+        labels = ["head", "middle", "tail"]
+        want = self._naive(df, 3, labels)
+        got = (
+            grouped_rank_buckets(
+                rd.from_pandas(df, override_num_blocks=7),
+                ["grp"], ["score", "id"], n_buckets=3, labels=labels,
+            )
+            .to_pandas()
+            .sort_values(["grp", "score", "id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # rank-quantile buckets are balanced within 1 per group by
+        # construction — the property the CCNet split relies on
+        sizes = got.groupby(["grp", "bucket"]).size()
+        for g in "abc":
+            per = sizes[g]
+            assert per.max() - per.min() <= 1
+
+    def test_integer_buckets_and_block_independence(self):
+        from ocr_platform_ray.ops.relational import grouped_rank_buckets
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(150),
+                "grp": rng.choice(["x", "y"], 150),
+                "score": rng.integers(0, 20, 150),
+            }
+        )
+        runs = []
+        for blocks in (1, 9):
+            runs.append(
+                grouped_rank_buckets(
+                    rd.from_pandas(df, override_num_blocks=blocks),
+                    ["grp"], ["score", "id"], n_buckets=4,
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+        assert set(runs[0]["bucket"]) == {0, 1, 2, 3}
+
+    def test_bad_labels_raise(self):
+        from ocr_platform_ray.ops.relational import grouped_rank_buckets
+
+        with pytest.raises(ValueError, match="labels"):
+            grouped_rank_buckets(
+                rd.from_pandas(pd.DataFrame({"grp": ["a"], "score": [1], "id": [0]})),
+                ["grp"], ["score", "id"], n_buckets=3, labels=["only", "two"],
+            )
