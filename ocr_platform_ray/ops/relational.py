@@ -231,7 +231,15 @@ def auto_join(
     head = probe_head(right, broadcast_threshold_rows)
     if head is not None:
         if head.shape[1] == 0:  # empty Dataset -> schema-less frame
-            head = _typed_empty(right.schema(), right.schema().names)
+            rsch = right.schema()
+            if rsch is None:
+                # EMPTY map-derived right: even its column names are
+                # unknowable.  A left join keeps every left row (callers
+                # must tolerate the absent right columns, exactly as
+                # bucketed shard groups fed one side's blocks already
+                # require); an inner join is empty.
+                return left if how == "left" else left.limit(0)
+            head = _typed_empty(rsch, rsch.names)
         lsch = left.schema()
         if lsch is None:
             # empty map-derived left: schema is unknowable and the join

@@ -30,7 +30,13 @@ import ray
 import ray.data as rd
 
 from ..state.broadcast import cached_get
-from .relational import _hash_labels, probe_head, semi_join, sharded_group_agg
+from .relational import (
+    _hash_labels,
+    auto_join,
+    probe_head,
+    semi_join,
+    sharded_group_agg,
+)
 
 _FNV = np.uint64(0x100000001B3)
 
@@ -44,6 +50,17 @@ def _finalize64(h: np.ndarray) -> np.ndarray:
     h *= np.uint64(0x94D049BB133111EB)
     h ^= h >> np.uint64(31)
     return h
+
+
+def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED array via searchsorted —
+    O(n log m).  (np.isin cannot exploit sortedness: its sort kind
+    re-sorts the concatenation on every call.)"""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[idx] == values
 
 
 def _batch_windows(texts, width: int):
@@ -173,7 +190,7 @@ def dup_span_stats(
         def stats(b: pd.DataFrame) -> pd.DataFrame:
             dup = cached_get(dup_ref)
             row_idx, pos, gh, n_win, _, _ = _batch_windows(list(b[text_col]), width)
-            is_dup = np.isin(gh, dup)
+            is_dup = _in_sorted(dup, gh)
             n = len(b)
             return pd.DataFrame(
                 {
@@ -198,8 +215,17 @@ def dup_span_stats(
         )
 
     def base(b: pd.DataFrame) -> pd.DataFrame:
-        _, _, _, n_win, _, _ = _batch_windows(list(b[text_col]), width)
-        return pd.DataFrame({id_col: b[id_col].to_numpy(), "n_windows": n_win})
+        # pure length arithmetic — t.count(' ') + 1 == len(t.split(' '));
+        # no reason to re-hash the corpus just for per-row window counts
+        n_toks = np.fromiter(
+            (t.count(" ") + 1 for t in b[text_col]), dtype=np.int64, count=len(b)
+        )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_windows": np.maximum(n_toks - width + 1, 0),
+            }
+        )
 
     windows = ds.map_batches(explode, batch_format="pandas")
     marked = semi_join(
@@ -232,8 +258,6 @@ def dup_span_stats(
         .groupby("__shard")
         .map_groups(per_shard, batch_format="pandas")
     )
-    from .relational import auto_join
-
     joined = auto_join(
         ds.map_batches(base, batch_format="pandas"),
         dup_stats,
@@ -264,11 +288,13 @@ def strip_duplicated_spans(
 ) -> rd.Dataset:
     """Remove every token covered by a duplicated window from each
     document (ExactSubstr cut at token granularity), preserving the
-    single-space join of the survivors.  Same two routes as
-    ``dup_span_stats``; the bucketed route co-locates each doc's text
-    with its duplicated-window positions on one id-shard exchange (both
-    sides projected to an identical (id, pos, text) schema — the
-    union-of-schemas caution from asof_join/join_bucket)."""
+    single-space join of the survivors.  Output schema equals the input
+    schema on BOTH routes (the auto_join route-independence convention).
+    Bucketed route: each doc's text meets its duplicated-window
+    positions on one id-shard exchange (both sides projected to an
+    identical (id, pos, text) schema — the union-of-schemas caution
+    from asof_join/join_bucket); any other input columns are then
+    joined back dtype-exact via one more bucketed exchange."""
     counts = duplicated_window_counts(
         ds, text_col, width=width, min_count=min_count, n_shards=n_shards
     )
@@ -294,7 +320,7 @@ def strip_duplicated_spans(
             dup = cached_get(dup_ref)
             texts = list(b[text_col])
             row_idx, pos, gh, _, offs, flat_toks = _batch_windows(texts, width)
-            is_dup = np.isin(gh, dup)
+            is_dup = _in_sorted(dup, gh)
             d_row, d_pos = row_idx[is_dup], pos[is_dup]
             row_starts = np.searchsorted(d_row, np.arange(len(texts) + 1))
             out_texts: list[str] = []
@@ -367,9 +393,22 @@ def strip_duplicated_spans(
         )
         return pd.DataFrame({id_col: doc_rows[id_col].to_numpy(), text_col: out_texts})
 
-    return (
+    stripped = (
         marked.union(docs)
         .map_batches(add_shard, batch_format="pandas")
         .groupby("__shard")
         .map_groups(per_shard, batch_format="pandas")
     )
+    # route-independent output schema (the auto_join convention): the
+    # exchange carried only (id, pos, text), so any other input columns
+    # are joined back — one more bucketed exchange at corpus scale,
+    # which is what keeps dtypes exact (a null-filled union would upcast
+    # every int payload column to float in the marked rows' blocks)
+    sch = ds.schema()
+    orig_cols = sch.names if sch is not None else [id_col, text_col]
+    extra = [c for c in orig_cols if c not in (id_col, text_col)]
+    if not extra:
+        return stripped.map_batches(lambda b: b[orig_cols], batch_format="pandas")
+    rest = ds.select_columns([id_col, *extra])
+    joined = auto_join(rest, stripped, id_col, how="inner")
+    return joined.map_batches(lambda b: b[orig_cols], batch_format="pandas")

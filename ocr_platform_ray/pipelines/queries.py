@@ -1709,10 +1709,19 @@ def q_ccnet_ppl_buckets(sf_dir: str) -> pd.DataFrame:
         "doc_id",
         how="inner",
     )
+    # rank by the HALF-AWAY-ROUNDED score (9 dp, DuckDB ROUND mirror):
+    # cross-engine float sums differ by ulps, and identical-text docs
+    # must TIE (doc_id-broken) on both engines or a pair straddling a
+    # tercile boundary flips its bucket — rounding collapses ulp noise
+    # into the same tie on both sides
+    scored = scored.map_batches(
+        lambda b: b.assign(nll_r=_round_half_away(b["avg_nll"], 9)),
+        batch_format="pandas",
+    )
     out = grouped_rank_buckets(
         scored,
         ["lang"],
-        ["avg_nll", "doc_id"],
+        ["nll_r", "doc_id"],
         n_buckets=3,
         labels=["head", "middle", "tail"],
         out_col="ppl_bucket",
@@ -2343,13 +2352,15 @@ ORACLE_SQL = {
     "ccnet_ppl_buckets": (
         # CCNet §3.3 head/middle/tail: per-language rank terciles over
         # the bigram-LM score.  Bucket indices are integer window math
-        # over the float rank order (ties broken by doc_id) — exact
-        # unless two DISTINCT texts tie to within one ulp of avg_nll.
+        # over the rank of ROUND(avg_nll, 9) — rounding collapses the
+        # ulp-level differences of cross-engine (and parallel-order)
+        # float summation into identical ties, broken by doc_id on both
+        # engines, so the label assignment is exact.
         f"WITH s AS ({_LM_PPL_SQL}), "
         "l AS (SELECT s.doc_id, d.lang, s.avg_nll FROM s "
         "JOIN documents d ON s.doc_id = d.doc_id), "
         "r AS (SELECT doc_id, lang, "
-        "row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) - 1 AS rk, "
+        "row_number() OVER (PARTITION BY lang ORDER BY round(avg_nll, 9), doc_id) - 1 AS rk, "
         "COUNT(*) OVER (PARTITION BY lang) AS n FROM l) "
         "SELECT doc_id, lang, CASE (3 * rk) // n WHEN 0 THEN 'head' "
         "WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM r"

@@ -938,3 +938,75 @@ class TestGroupedRankBuckets:
                 rd.from_pandas(pd.DataFrame({"grp": ["a"], "score": [1], "id": [0]})),
                 ["grp"], ["score", "id"], n_buckets=3, labels=["only", "two"],
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpansRegressions:
+    """Review-pass regressions: dup-free corpora on the forced-bucketed
+    route, and route-independent strip output schema."""
+
+    def test_bucketed_stats_on_dup_free_corpus(self):
+        from ocr_platform_ray.ops.spans import dup_span_stats
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["one two three four", "five six seven eight"]}
+        )
+        got = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           width=3, min_count=2, method="bucketed")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["n_windows"].tolist() == [2, 2]
+        assert got["n_dup_windows"].tolist() == [0, 0]
+        assert got["n_dup_tokens"].tolist() == [0, 0]
+
+    def test_strip_schema_route_independent(self):
+        from ocr_platform_ray.ops.spans import strip_duplicated_spans
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6),
+                "lang": ["en", "de", "en", "de", "en", "de"],
+                "n_chars": np.arange(6) * 10,
+                "text": ["a b c d e"] * 3 + ["p q r", "s t u", "v w x"],
+            }
+        )
+        outs = {}
+        for method in ("broadcast", "bucketed"):
+            out = (
+                strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                       width=3, min_count=2, method=method)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            assert list(out.columns) == list(df.columns)
+            assert str(out["n_chars"].dtype) == "int64"  # no NaN upcast
+            outs[method] = out
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["bucketed"])
+        assert outs["broadcast"].loc[0, "text"] == ""  # triplicate doc fully cut
+
+
+class TestNewTailOraclesSf001:
+    """The three newest tail queries also DuckDB-compared at sf0.01
+    (their COVERAGE rows claim both scale factors)."""
+
+    @pytest.mark.parametrize(
+        "name", ["dup_span_stats", "strip_dup_spans", "ccnet_ppl_buckets"]
+    )
+    def test_matches_duckdb_sf001(self, name, ray_session):
+        import duckdb
+
+        from ocr_platform_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = QUERIES[name](sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(ORACLE_SQL[name]).df()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        assert len(g) == len(want) > 0
+        pd.testing.assert_frame_equal(g[want.columns], want, check_dtype=False)
