@@ -159,6 +159,7 @@ def run_once() -> dict:
         "training_chunks",
         "dup_span_stats",
         "strip_dup_spans",
+        "ccnet_ppl_buckets",
     ):
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
