@@ -25,6 +25,7 @@ from ..ops.dedup import (
     minhash_lsh_duplicates,
     strip_repeated_paragraphs,
 )
+from ..ops.spans import strip_duplicated_spans
 from ..ops.textstats import LangId, add_text_stats
 from .extraction import extraction_pipeline
 
@@ -71,6 +72,9 @@ def curate_corpus(
     min_tokens: int = 10,
     strip_boilerplate: bool = False,
     boilerplate_min_docs: int = 10,
+    cut_dup_spans: bool = False,
+    dup_span_width: int = 8,
+    dup_span_min_count: int = 2,
 ) -> rd.Dataset:
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
@@ -81,7 +85,17 @@ def curate_corpus(
     doc-level dedups — paragraphs occurring in >= boilerplate_min_docs
     documents (site footers, nav text the per-page heuristics can't see
     across documents) are removed before hashing, so shared boilerplate
-    can't mask real near-dups or fake exact ones."""
+    can't mask real near-dups or fake exact ones.
+
+    ``cut_dup_spans`` appends the ExactSubstr stage
+    (ops.spans.strip_duplicated_spans) AFTER document-level dedup — the
+    RefinedWeb/Lee-et-al ordering: fuzzy dedup first removes whole
+    near-duplicate documents, then repeated >= width-token windows
+    surviving ACROSS the kept representatives are cut at token
+    granularity.  Tokenization is single-space split, so a window may
+    span line boundaries via newline-bearing tokens — exact-content
+    semantics either way; untouched documents round-trip
+    byte-identically (split(' ')/join(' ') is the identity)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
     if strip_boilerplate:
@@ -103,4 +117,12 @@ def curate_corpus(
         docs, "extracted_text", "url", threshold=near_dup_threshold
     )
     docs = dedup_keep_representatives(docs, pairs, "url")
+    if cut_dup_spans:
+        docs = strip_duplicated_spans(
+            docs,
+            "extracted_text",
+            "url",
+            width=dup_span_width,
+            min_count=dup_span_min_count,
+        )
     return assign_split(docs)

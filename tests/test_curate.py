@@ -55,6 +55,44 @@ class TestCurate:
         ).to_pandas()
         assert plain["extracted_text"].str.contains(footer, regex=False).any()
 
+    def test_cut_dup_spans_stage(self):
+        # ExactSubstr stage (RefinedWeb ordering: after doc-level dedup):
+        # a 10-word phrase shared across every doc must be cut from the
+        # kept representatives.  The phrase's FIRST word can glue to
+        # doc-varying text via a '\n' token, so assert on the interior
+        # 8-word subphrase (every interior word is covered by a
+        # fully-inside duplicated window).
+        import pandas as pd
+
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        phrase = "all rights reserved by the original publisher of this work"
+        interior = " ".join(phrase.split(" ")[1:9])
+
+        def add_phrase(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["html"] = [
+                (h or b"") + f"<p>{phrase}</p>".encode() for h in b["html"]
+            ]
+            return out
+
+        pages = rd.from_arrow(make_pages_table(40)).map_batches(
+            add_phrase, batch_format="pandas"
+        )
+        kept = curate_corpus(
+            pages, min_tokens=5, cut_dup_spans=True, dup_span_width=5
+        ).to_pandas()
+        assert len(kept) > 0
+        assert not kept["extracted_text"].str.contains(interior, regex=False).any()
+        # without the stage the phrase survives curation
+        plain = curate_corpus(
+            rd.from_arrow(make_pages_table(40)).map_batches(
+                add_phrase, batch_format="pandas"
+            ),
+            min_tokens=5,
+        ).to_pandas()
+        assert plain["extracted_text"].str.contains(interior, regex=False).any()
+
     def test_quality_gate_drops_short_docs(self):
         from ocr_platform_ray.pipelines.curate import quality_gate
 
