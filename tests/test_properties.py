@@ -276,3 +276,66 @@ class TestUrlProperties:
         base = url.split("#", 1)[0]
         sep = "&" if "?" in base else "?"
         assert canonicalize_url(base + sep + "utm_x=1#other") == canonicalize_url(url)
+
+
+class TestDupSpanKernelProps:
+    """Pure-kernel invariants of ops/spans.py (no Ray): window-hash
+    grouping must equal window-STRING grouping, coverage must equal the
+    naive interval union, and stats/strip must agree token-for-token."""
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def test_stats_strip_coverage_consistency(self, texts, width):
+        import numpy as np
+
+        from ocr_platform_ray.ops.spans import (
+            _batch_windows,
+            _coverage_lengths,
+            _in_sorted,
+        )
+
+        row_idx, pos, gh, n_win, offs, flat_toks = _batch_windows(texts, width)
+
+        # naive model over window STRINGS (the tiny alphabet forces real
+        # duplicates; a 64-bit hash collision would need ~2^32 windows)
+        from collections import Counter
+
+        win_strings = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            for j in range(max(len(toks) - width + 1, 0)):
+                win_strings.append((i, j, " ".join(toks[j : j + width])))
+        assert len(win_strings) == len(gh)
+        cnt = Counter(s for _, _, s in win_strings)
+
+        # hash grouping == string grouping (same multiset of group sizes
+        # AND same per-window duplicated flag)
+        hcnt = Counter(gh.tolist())
+        want_dup = np.array([cnt[s] >= 2 for _, _, s in win_strings])
+        got_dup = np.array([hcnt[h] >= 2 for h in gh.tolist()])
+        assert (want_dup == got_dup).all()
+
+        # coverage == naive interval union of duplicated windows
+        dup_sorted = np.sort(np.unique(gh[got_dup])) if got_dup.any() else np.empty(0, dtype=np.int64)
+        is_dup = _in_sorted(dup_sorted, gh)
+        cov = _coverage_lengths(row_idx[is_dup], pos[is_dup], width, len(texts))
+        for i, t in enumerate(texts):
+            covered = set()
+            for r, j, s in win_strings:
+                if r == i and cnt[s] >= 2:
+                    covered.update(range(j, j + width))
+            assert cov[i] == len(covered)
+            # stats/strip agreement: stripping removes EXACTLY the
+            # covered tokens
+            toks = t.split(" ")
+            kept = [tok for j, tok in enumerate(toks) if j not in covered]
+            assert len(toks) - cov[i] == len(kept)
