@@ -87,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-tokens", type=int, default=10)
     cu.add_argument("--near-dup-threshold", type=float, default=0.9)
     cu.add_argument("--strip-boilerplate", action="store_true")
+    cu.add_argument(
+        "--cut-dup-spans",
+        action="store_true",
+        help="ExactSubstr stage after doc dedup: cut repeated token windows",
+    )
+    cu.add_argument("--dup-span-width", type=int, default=8)
     cu.add_argument("--partitioned", action="store_true")
 
     rz = sub.add_parser(
@@ -183,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,
                 strip_boilerplate=args.strip_boilerplate,
+                cut_dup_spans=args.cut_dup_spans,
+                dup_span_width=args.dup_span_width,
             )
             docs.write_parquet(args.output)
             import pyarrow.parquet as pq
