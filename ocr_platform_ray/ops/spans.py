@@ -52,6 +52,61 @@ def _finalize64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+_BLOOM_K = 4
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_indices(gh: np.ndarray, m_bits: int):
+    """k=4 double-hashed bit positions per 64-bit window hash (Kirsch &
+    Mitzenmacher 2006: h1 + i*h2 preserves the Bloom false-positive
+    bound).  gh is the already-avalanched window hash (int64 view)."""
+    h1 = gh.view(np.uint64)
+    h2 = h1 * _GOLD
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)  # odd -> full-period stride
+    m = np.uint64(m_bits)
+    return [((h1 + np.uint64(i) * h2) % m) for i in range(_BLOOM_K)]
+
+
+def build_dup_bloom(counts: rd.Dataset, *, m_bits: int = 1 << 23) -> np.ndarray:
+    """Bloom bitmap (uint64 words) over a duplicated-window-hash Dataset —
+    the Dolma-style fixed-memory dedup structure (Soldaini et al. 2024;
+    CCNet uses the same idea for paragraph hashes): broadcast state is
+    ``m_bits/8`` BYTES no matter how many duplicated hashes exist, at the
+    price of a false-positive rate ~(1-e^{-kn/m})^k (over-flagging only —
+    a true duplicated window is NEVER missed).  Build is distributed: one
+    per-batch partial bitmap, OR-streamed on the driver (traffic =
+    n_blocks x m/8; the accumulator itself is fixed-size)."""
+    n_words = m_bits // 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        gh = b["gh"].to_numpy(dtype=np.int64)
+        for idx in _bloom_indices(gh, m_bits):
+            np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for batch in counts.select_columns(["gh"]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for raw in batch["bits"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    return acc
+
+
+def _bloom_test(bits: np.ndarray, gh: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized k-probe membership test against a Bloom bitmap."""
+    if len(gh) == 0:
+        return np.zeros(0, dtype=bool)
+    hit = np.ones(len(gh), dtype=bool)
+    for idx in _bloom_indices(gh, m_bits):
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
 def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Membership of ``values`` in a SORTED array via searchsorted —
     O(n log m).  (np.isin cannot exploit sortedness: its sort kind
@@ -168,6 +223,7 @@ def dup_span_stats(
     method: str = "auto",
     broadcast_threshold_rows: int = 2_000_000,
     n_shards: int = 64,
+    bloom_bits: int = 1 << 23,
 ) -> rd.Dataset:
     """Per-document duplicated-span statistics: ``(id, n_windows,
     n_dup_windows, n_dup_tokens)`` where n_dup_tokens is the union
@@ -175,22 +231,33 @@ def dup_span_stats(
     cut).  Docs shorter than ``width`` tokens report zeros.
 
     Broadcast route: ONE count exchange; stats are then map-only against
-    the broadcast duplicated-hash array (np.isin).  Bucketed route: the
+    the sorted broadcast duplicated-hash array.  Bucketed route: the
     window list semi-joins the duplicated-hash Dataset on the bucketed
     exchange, and per-doc coverage reduces on an id-shard exchange —
-    nothing corpus- or dup-table-proportional on the driver."""
+    nothing corpus- or dup-table-proportional on the driver.
+    ``method="bloom"``: map-only like broadcast, but the broadcast state
+    is a FIXED-SIZE Bloom bitmap (``bloom_bits/8`` bytes however large
+    the duplicated-hash table grows — the Dolma/CCNet structure); counts
+    may OVERCOUNT at the Bloom false-positive rate, never undercount."""
     counts = duplicated_window_counts(
         ds, text_col, width=width, min_count=min_count, n_shards=n_shards
     )
-    dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+    dup_ref = bits_ref = None
+    if method == "bloom":
+        bits_ref = ray.put(build_dup_bloom(counts, m_bits=bloom_bits))
+    else:
+        dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+        if dup_arr is not None:
+            dup_ref = ray.put(dup_arr)
 
-    if dup_arr is not None:
-        dup_ref = ray.put(dup_arr)
+    if dup_ref is not None or bits_ref is not None:
 
         def stats(b: pd.DataFrame) -> pd.DataFrame:
-            dup = cached_get(dup_ref)
             row_idx, pos, gh, n_win, _, _ = _batch_windows(list(b[text_col]), width)
-            is_dup = _in_sorted(dup, gh)
+            if bits_ref is not None:
+                is_dup = _bloom_test(cached_get(bits_ref), gh, bloom_bits)
+            else:
+                is_dup = _in_sorted(cached_get(dup_ref), gh)
             n = len(b)
             return pd.DataFrame(
                 {
@@ -285,20 +352,29 @@ def strip_duplicated_spans(
     method: str = "auto",
     broadcast_threshold_rows: int = 2_000_000,
     n_shards: int = 64,
+    bloom_bits: int = 1 << 23,
 ) -> rd.Dataset:
     """Remove every token covered by a duplicated window from each
     document (ExactSubstr cut at token granularity), preserving the
     single-space join of the survivors.  Output schema equals the input
-    schema on BOTH routes (the auto_join route-independence convention).
+    schema on ALL routes (the auto_join route-independence convention).
     Bucketed route: each doc's text meets its duplicated-window
     positions on one id-shard exchange (both sides projected to an
     identical (id, pos, text) schema — the union-of-schemas caution
     from asof_join/join_bucket); any other input columns are then
-    joined back dtype-exact via one more bucketed exchange."""
+    joined back dtype-exact via one more bucketed exchange.
+    ``method="bloom"``: map-only strip against a fixed-size Bloom
+    bitmap (see ``dup_span_stats``) — may OVER-cut at the false-positive
+    rate, never misses a truly duplicated window."""
     counts = duplicated_window_counts(
         ds, text_col, width=width, min_count=min_count, n_shards=n_shards
     )
-    dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+    dup_arr = None
+    bits_ref = None
+    if method == "bloom":
+        bits_ref = ray.put(build_dup_bloom(counts, m_bits=bloom_bits))
+    else:
+        dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
 
     def _strip_rows(texts, dup_pos_per_row, out_texts):
         """Rebuild each text keeping tokens outside the covered union.
@@ -313,14 +389,16 @@ def strip_duplicated_spans(
             covered = np.cumsum(delta[: len(toks)]) > 0
             out_texts.append(" ".join([t for t, c in zip(toks, covered) if not c]))
 
-    if dup_arr is not None:
-        dup_ref = ray.put(dup_arr)
+    if dup_arr is not None or bits_ref is not None:
+        dup_ref = ray.put(dup_arr) if dup_arr is not None else None
 
         def strip(b: pd.DataFrame) -> pd.DataFrame:
-            dup = cached_get(dup_ref)
             texts = list(b[text_col])
             row_idx, pos, gh, _, offs, flat_toks = _batch_windows(texts, width)
-            is_dup = _in_sorted(dup, gh)
+            if bits_ref is not None:
+                is_dup = _bloom_test(cached_get(bits_ref), gh, bloom_bits)
+            else:
+                is_dup = _in_sorted(cached_get(dup_ref), gh)
             d_row, d_pos = row_idx[is_dup], pos[is_dup]
             row_starts = np.searchsorted(d_row, np.arange(len(texts) + 1))
             out_texts: list[str] = []

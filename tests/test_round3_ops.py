@@ -1010,3 +1010,82 @@ class TestNewTailOraclesSf001:
         g = got.sort_values("doc_id").reset_index(drop=True)
         assert len(g) == len(want) > 0
         pd.testing.assert_frame_equal(g[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanBloom:
+    """Fixed-memory Bloom route (Dolma-style): exact-equal at a low
+    false-positive rate, never-undercount at a forced-high one."""
+
+    def _corpus(self):
+        rng = np.random.default_rng(2)
+        vocab = np.array(list("abcdefgh"))
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 12))) for _ in range(50)]
+        for i in range(0, 50, 6):
+            texts[i] = texts[i] + " x y z w v"
+        return pd.DataFrame({"doc_id": np.arange(50), "text": texts})
+
+    def test_large_bitmap_matches_exact(self):
+        from ocr_platform_ray.ops.spans import (
+            dup_span_stats,
+            strip_duplicated_spans,
+        )
+
+        df = self._corpus()
+        kw = dict(width=3, min_count=2)
+        exact = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           method="broadcast", **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        bloom = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           method="bloom", bloom_bits=1 << 20, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bloom[exact.columns], exact)
+        se = (
+            strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                   method="broadcast", **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        sb = (
+            strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                   method="bloom", bloom_bits=1 << 20, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(sb[se.columns], se)
+
+    def test_tiny_bitmap_never_undercounts(self):
+        # 128 bits for dozens of dup hashes -> false positives certain;
+        # the Bloom guarantee is one-sided: flags must be a SUPERSET
+        from ocr_platform_ray.ops.spans import dup_span_stats
+
+        df = self._corpus()
+        kw = dict(width=3, min_count=2)
+        exact = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           method="broadcast", **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        bloom = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           method="bloom", bloom_bits=128, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert (bloom["n_dup_windows"] >= exact["n_dup_windows"]).all()
+        assert (bloom["n_dup_tokens"] >= exact["n_dup_tokens"]).all()
+        assert (bloom["n_dup_windows"] > exact["n_dup_windows"]).any()  # fp real
+
+    def test_dup_free_corpus_is_identity(self):
+        from ocr_platform_ray.ops.spans import strip_duplicated_spans
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["one two three four", "five six seven eight"]}
+        )
+        out = (
+            strip_duplicated_spans(rd.from_pandas(df), "text", "doc_id",
+                                   width=3, min_count=2, method="bloom")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["text"].tolist() == df["text"].tolist()
