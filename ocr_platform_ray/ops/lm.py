@@ -40,10 +40,15 @@ integer-exact hash gate (see tests).
 
 from __future__ import annotations
 
+import json
+import os
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from .relational import auto_group_agg, auto_join
@@ -104,21 +109,69 @@ def _count_partials(b: pd.DataFrame, text_col: str) -> pd.DataFrame:
     return pd.concat([pu, pb], ignore_index=True)
 
 
-def ngram_lm_scores(
+@dataclass
+class NgramLM:
+    """Handle to a trained bigram LM: the two count Datasets + vocab
+    size.  Train once (`train_ngram_lm`), persist (`save_ngram_lm`) and
+    score many corpora from the load (`load_ngram_lm`) without paying
+    the train pass again — the same persisted-artifact shape as
+    `ops.similarity.build_ivf_index`, and the actual CCNet deployment
+    pattern (the trusted-corpus LM is trained once per language, then
+    every crawl snapshot is scored against it)."""
+
+    uni_counts: rd.Dataset  # (w, cu)
+    bg_counts: rd.Dataset  # (bg, cb)
+    vocab: int
+    alpha: float = 0.5
+
+
+_UNI_SCHEMA = pa.schema([("w", pa.string()), ("cu", pa.int64())])
+_BG_SCHEMA = pa.schema([("bg", pa.string()), ("cb", pa.int64())])
+
+
+def save_ngram_lm(lm: NgramLM, out_dir: str) -> dict:
+    """Persist the count tables as parquet + a meta sidecar.  Tables are
+    written distributed (`write_parquet`); an empty table still gets one
+    typed empty fragment so `load_ngram_lm` round-trips any LM."""
+    meta = {"vocab": lm.vocab, "alpha": lm.alpha}
+    for name, ds_, schema in (
+        ("uni", lm.uni_counts, _UNI_SCHEMA),
+        ("bg", lm.bg_counts, _BG_SCHEMA),
+    ):
+        d = os.path.join(out_dir, name)
+        os.makedirs(d, exist_ok=True)
+        ds_.write_parquet(d)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
+    with open(os.path.join(out_dir, "lm_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_ngram_lm(out_dir: str) -> NgramLM:
+    """Lazy handle over a persisted LM — the count tables are
+    `read_parquet` Datasets, so scoring streams them straight into the
+    size-aware joins (broadcast when small, bucketed exchange above)."""
+    with open(os.path.join(out_dir, "lm_meta.json")) as f:
+        meta = json.load(f)
+    return NgramLM(
+        uni_counts=rd.read_parquet(os.path.join(out_dir, "uni")),
+        bg_counts=rd.read_parquet(os.path.join(out_dir, "bg")),
+        vocab=int(meta["vocab"]),
+        alpha=float(meta["alpha"]),
+    )
+
+
+def train_ngram_lm(
     train: rd.Dataset,
-    score: rd.Dataset,
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
     alpha: float = 0.5,
     broadcast_threshold_rows: int = 2_000_000,
-) -> rd.Dataset | pd.DataFrame:
-    """Per-doc average bigram negative log-likelihood under the train-set
-    LM.  Output: ``(id_col, n_bigrams, avg_nll)`` — higher avg_nll =
-    more surprising under the trusted corpus (the CCNet filter key).
-    ``alpha`` should be an exact binary fraction (0.5, 0.25) so the SQL
-    mirror's doubles match bit-for-bit before the log."""
-    # ---- train: BOTH count tables from one tokenize pass ---------------
+) -> NgramLM:
+    """Train the add-alpha bigram LM: BOTH count tables from one
+    tokenize pass (in-batch combiner + size-aware finish).  Raises on a
+    token-free train corpus (the smoothing denominator would be 0)."""
     counts = auto_group_agg(
         train.map_batches(
             lambda b: _count_partials(b, text_col), batch_format="pandas"
@@ -156,7 +209,23 @@ def ngram_lm_scores(
     if vocab == 0:
         # smoothing denominator would be 0 -> every score -inf; refuse
         raise ValueError("train corpus has no tokens — cannot train the LM")
+    return NgramLM(
+        uni_counts=uni_counts, bg_counts=bg_counts, vocab=vocab, alpha=alpha
+    )
 
+
+def score_with_ngram_lm(
+    score: rd.Dataset,
+    lm: NgramLM,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_threshold_rows: int = 2_000_000,
+) -> rd.Dataset | pd.DataFrame:
+    """Score a corpus against a trained (possibly loaded) LM — the
+    score-many half of the train-once workflow; no train pass runs."""
+    uni_counts, bg_counts, vocab = lm.uni_counts, lm.bg_counts, lm.vocab
+    alpha = lm.alpha
     # ---- score: explode bigrams, join counts, reduce per doc ----------
     doc_bg = score.map_batches(
         lambda b: _bigram_rows(b, text_col, id_col), batch_format="pandas"
@@ -203,3 +272,34 @@ def ngram_lm_scores(
     if isinstance(red, pd.DataFrame):
         return finish(red)
     return red.map_batches(finish, batch_format="pandas")
+
+
+def ngram_lm_scores(
+    train: rd.Dataset,
+    score: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> rd.Dataset | pd.DataFrame:
+    """Per-doc average bigram negative log-likelihood under the train-set
+    LM.  Output: ``(id_col, n_bigrams, avg_nll)`` — higher avg_nll =
+    more surprising under the trusted corpus (the CCNet filter key).
+    ``alpha`` should be an exact binary fraction (0.5, 0.25) so the SQL
+    mirror's doubles match bit-for-bit before the log.  Composition of
+    `train_ngram_lm` + `score_with_ngram_lm` (persist the handle with
+    `save_ngram_lm` to amortize the train pass across corpora)."""
+    lm = train_ngram_lm(
+        train,
+        text_col=text_col,
+        alpha=alpha,
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )
+    return score_with_ngram_lm(
+        score,
+        lm,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )

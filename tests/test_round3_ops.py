@@ -1089,3 +1089,56 @@ class TestDupSpanBloom:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert out["text"].tolist() == df["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPersistedLM:
+    def test_save_load_score_matches_inline(self, tmp_path):
+        from ocr_platform_ray.ops.lm import (
+            load_ngram_lm,
+            ngram_lm_scores,
+            save_ngram_lm,
+            score_with_ngram_lm,
+            train_ngram_lm,
+        )
+
+        rng = np.random.default_rng(9)
+        vocab = np.array(["red", "green", "blue", "cyan", "teal", "plum"])
+        texts = [" ".join(rng.choice(vocab, rng.integers(2, 10))) for _ in range(60)]
+        df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+        tr = rd.from_pandas(df[df.doc_id % 3 == 0], override_num_blocks=3)
+        sc = rd.from_pandas(df, override_num_blocks=4)
+
+        def norm(out):
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            return out.sort_values("doc_id").reset_index(drop=True)
+
+        inline = norm(ngram_lm_scores(tr, sc))
+        lm = train_ngram_lm(tr)
+        save_ngram_lm(lm, str(tmp_path / "lm"))
+        loaded = load_ngram_lm(str(tmp_path / "lm"))
+        assert loaded.vocab == lm.vocab
+        persisted = norm(score_with_ngram_lm(sc, loaded))
+        pd.testing.assert_frame_equal(persisted[inline.columns], inline, check_dtype=False)
+
+    def test_empty_bigram_table_round_trips(self, tmp_path):
+        # single-token docs: unigrams exist, bigram table is EMPTY —
+        # save must still leave a typed fragment for load
+        from ocr_platform_ray.ops.lm import (
+            load_ngram_lm,
+            save_ngram_lm,
+            score_with_ngram_lm,
+            train_ngram_lm,
+        )
+
+        tr = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": ["solo", "word"]}))
+        lm = train_ngram_lm(tr)
+        save_ngram_lm(lm, str(tmp_path / "lm"))
+        loaded = load_ngram_lm(str(tmp_path / "lm"))
+        sc = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["solo word pair"]}))
+        out = score_with_ngram_lm(sc, loaded)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert out["n_bigrams"].tolist() == [2]
+        assert np.isfinite(out["avg_nll"]).all()
