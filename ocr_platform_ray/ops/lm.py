@@ -140,6 +140,12 @@ def save_ngram_lm(lm: NgramLM, out_dir: str) -> dict:
     ):
         d = os.path.join(out_dir, name)
         os.makedirs(d, exist_ok=True)
+        # clear any previous generation first: write_parquet appends
+        # uniquely-named fragments, so a re-save into the same dir would
+        # silently MERGE stale counts with new ones (double-counted LM)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(d, f))
         ds_.write_parquet(d)
         if not any(f.endswith(".parquet") for f in os.listdir(d)):
             pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))

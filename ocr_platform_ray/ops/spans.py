@@ -76,8 +76,13 @@ def build_dup_bloom(counts: rd.Dataset, *, m_bits: int = 1 << 23) -> np.ndarray:
     price of a false-positive rate ~(1-e^{-kn/m})^k (over-flagging only —
     a true duplicated window is NEVER missed).  Build is distributed: one
     per-batch partial bitmap, OR-streamed on the driver (traffic =
-    n_blocks x m/8; the accumulator itself is fixed-size)."""
-    n_words = m_bits // 64
+    n_blocks x m/8; the accumulator itself is fixed-size).
+
+    ``m_bits`` is rounded UP to a whole number of 64-bit words (min 64);
+    ``_bloom_test`` derives the modulus from the bitmap length, so build
+    and probe can never disagree about the index range."""
+    n_words = (max(m_bits, 64) + 63) // 64
+    m_bits = n_words * 64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(n_words, dtype=np.uint64)
@@ -96,10 +101,12 @@ def build_dup_bloom(counts: rd.Dataset, *, m_bits: int = 1 << 23) -> np.ndarray:
     return acc
 
 
-def _bloom_test(bits: np.ndarray, gh: np.ndarray, m_bits: int) -> np.ndarray:
-    """Vectorized k-probe membership test against a Bloom bitmap."""
+def _bloom_test(bits: np.ndarray, gh: np.ndarray) -> np.ndarray:
+    """Vectorized k-probe membership test against a Bloom bitmap (the
+    modulus is the bitmap's own length — no way to drift from build)."""
     if len(gh) == 0:
         return np.zeros(0, dtype=bool)
+    m_bits = bits.size * 64
     hit = np.ones(len(gh), dtype=bool)
     for idx in _bloom_indices(gh, m_bits):
         word = bits[(idx >> np.uint64(6)).astype(np.int64)]
@@ -198,19 +205,46 @@ def duplicated_window_counts(
     ).map_batches(lambda b: b[b["cnt"] >= min_count], batch_format="pandas")
 
 
-def _resolve_dup_route(counts: rd.Dataset, method: str, threshold: int):
-    """(dup_hash_array | None, counts Dataset).  Array -> broadcast route."""
+def _resolve_dup_route(
+    counts: rd.Dataset, method: str, threshold: int, bloom_bits: int
+):
+    """Shared route planner for stats/strip.  Returns ``(member, counts)``
+    where ``member`` is a worker-side membership closure ``gh -> bool[]``
+    over the duplicated-hash set (broadcast sorted array, or Bloom
+    bitmap for ``method="bloom"``), or None -> the caller must run the
+    distributed bucketed route."""
+    if method == "bloom":
+        bits_ref = ray.put(build_dup_bloom(counts, m_bits=bloom_bits))
+
+        def member(gh: np.ndarray) -> np.ndarray:
+            return _bloom_test(cached_get(bits_ref), gh)
+
+        return member, counts
+    dup_arr = None
     if method == "broadcast":
         head = counts.to_pandas()
-        return np.sort(head["gh"].to_numpy(dtype=np.int64)) if len(head) else np.empty(0, dtype=np.int64), counts
-    if method == "bucketed":
+        dup_arr = (
+            np.sort(head["gh"].to_numpy(dtype=np.int64))
+            if len(head)
+            else np.empty(0, dtype=np.int64)
+        )
+    elif method == "bucketed":
         return None, counts
-    head = probe_head(counts, threshold)
-    if head is None:
-        return None, counts
-    if head.shape[1] == 0:  # empty Dataset -> columnless frame
-        return np.empty(0, dtype=np.int64), counts
-    return np.sort(head["gh"].to_numpy(dtype=np.int64)), counts
+    else:  # auto: limit-probe the duplicated-hash table
+        head = probe_head(counts, threshold)
+        if head is None:
+            return None, counts
+        dup_arr = (
+            np.empty(0, dtype=np.int64)
+            if head.shape[1] == 0  # empty Dataset -> columnless frame
+            else np.sort(head["gh"].to_numpy(dtype=np.int64))
+        )
+    dup_ref = ray.put(dup_arr)
+
+    def member(gh: np.ndarray) -> np.ndarray:
+        return _in_sorted(cached_get(dup_ref), gh)
+
+    return member, counts
 
 
 def dup_span_stats(
@@ -242,22 +276,15 @@ def dup_span_stats(
     counts = duplicated_window_counts(
         ds, text_col, width=width, min_count=min_count, n_shards=n_shards
     )
-    dup_ref = bits_ref = None
-    if method == "bloom":
-        bits_ref = ray.put(build_dup_bloom(counts, m_bits=bloom_bits))
-    else:
-        dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
-        if dup_arr is not None:
-            dup_ref = ray.put(dup_arr)
+    member, counts = _resolve_dup_route(
+        counts, method, broadcast_threshold_rows, bloom_bits
+    )
 
-    if dup_ref is not None or bits_ref is not None:
+    if member is not None:
 
         def stats(b: pd.DataFrame) -> pd.DataFrame:
             row_idx, pos, gh, n_win, _, _ = _batch_windows(list(b[text_col]), width)
-            if bits_ref is not None:
-                is_dup = _bloom_test(cached_get(bits_ref), gh, bloom_bits)
-            else:
-                is_dup = _in_sorted(cached_get(dup_ref), gh)
+            is_dup = member(gh)
             n = len(b)
             return pd.DataFrame(
                 {
@@ -369,12 +396,9 @@ def strip_duplicated_spans(
     counts = duplicated_window_counts(
         ds, text_col, width=width, min_count=min_count, n_shards=n_shards
     )
-    dup_arr = None
-    bits_ref = None
-    if method == "bloom":
-        bits_ref = ray.put(build_dup_bloom(counts, m_bits=bloom_bits))
-    else:
-        dup_arr, counts = _resolve_dup_route(counts, method, broadcast_threshold_rows)
+    member, counts = _resolve_dup_route(
+        counts, method, broadcast_threshold_rows, bloom_bits
+    )
 
     def _strip_rows(texts, dup_pos_per_row, out_texts):
         """Rebuild each text keeping tokens outside the covered union.
@@ -389,16 +413,12 @@ def strip_duplicated_spans(
             covered = np.cumsum(delta[: len(toks)]) > 0
             out_texts.append(" ".join([t for t, c in zip(toks, covered) if not c]))
 
-    if dup_arr is not None or bits_ref is not None:
-        dup_ref = ray.put(dup_arr) if dup_arr is not None else None
+    if member is not None:
 
         def strip(b: pd.DataFrame) -> pd.DataFrame:
             texts = list(b[text_col])
             row_idx, pos, gh, _, offs, flat_toks = _batch_windows(texts, width)
-            if bits_ref is not None:
-                is_dup = _bloom_test(cached_get(bits_ref), gh, bloom_bits)
-            else:
-                is_dup = _in_sorted(cached_get(dup_ref), gh)
+            is_dup = member(gh)
             d_row, d_pos = row_idx[is_dup], pos[is_dup]
             row_starts = np.searchsorted(d_row, np.arange(len(texts) + 1))
             out_texts: list[str] = []

@@ -118,6 +118,11 @@ def curate_corpus(
     )
     docs = dedup_keep_representatives(docs, pairs, "url")
     if cut_dup_spans:
+        # pin again: the span stage consumes the post-dedup docs 2-4x
+        # (window counts + strip map; twice more on the bucketed route)
+        # and each consumption would re-run the dedup filter lineage —
+        # same hazard as the pin above
+        docs = docs.materialize()
         docs = strip_duplicated_spans(
             docs,
             "extracted_text",

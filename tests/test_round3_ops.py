@@ -1142,3 +1142,40 @@ class TestPersistedLM:
             out = out.to_pandas()
         assert out["n_bigrams"].tolist() == [2]
         assert np.isfinite(out["avg_nll"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions2:
+    def test_non_word_aligned_bloom_bits(self):
+        # bloom_bits not a multiple of 64 (and tiny) must round up to
+        # whole words, not crash build/probe with IndexError
+        from ocr_platform_ray.ops.spans import dup_span_stats
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["a b c d a b c", "a b c x y z w"]}
+        )
+        out = (
+            dup_span_stats(rd.from_pandas(df), "text", "doc_id",
+                           width=3, min_count=2, method="bloom", bloom_bits=100)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert (out["n_dup_windows"] >= 0).all() and len(out) == 2
+
+    def test_lm_resave_does_not_merge_stale_fragments(self, tmp_path):
+        from ocr_platform_ray.ops.lm import (
+            load_ngram_lm,
+            save_ngram_lm,
+            train_ngram_lm,
+        )
+
+        d = str(tmp_path / "lm")
+        tr = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "b c d"]})
+        )
+        lm = train_ngram_lm(tr)
+        save_ngram_lm(lm, d)
+        save_ngram_lm(lm, d)  # re-save into the SAME dir
+        loaded = load_ngram_lm(d)
+        uni = loaded.uni_counts.to_pandas().sort_values("w").reset_index(drop=True)
+        # counts must equal ONE generation (b and c appear twice in train)
+        assert uni.set_index("w")["cu"].to_dict() == {"a": 1, "b": 2, "c": 2, "d": 1}
