@@ -137,8 +137,9 @@ def run_once() -> dict:
             best = dt if best is None else min(best, dt)
         q_times[name] = round(best, 3)
 
-    # round-2/3 operator additions, timed once (informational — separate
-    # from the tracked queries_total_s series)
+    # round-2/3 operator additions, best-of-2 (informational — separate
+    # from the tracked queries_total_s series; single-shot readings were
+    # dominated by host-load noise on this shared sandbox)
     extra_times: dict[str, float] = {}
     for name in (
         "revenue_by_nation",
@@ -161,9 +162,13 @@ def run_once() -> dict:
         "strip_dup_spans",
         "ccnet_ppl_buckets",
     ):
-        t0 = time.monotonic()
-        _consume(QUERIES[name](SF_DIR))
-        extra_times[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        extra_times[name] = round(best, 3)
 
     ray.shutdown()
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
