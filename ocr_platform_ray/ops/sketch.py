@@ -135,3 +135,187 @@ def grouped_quantile_sketch(
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — corpus-scale
+# COUNT(DISTINCT) without a distinct shuffle: per-batch register partials
+# (2^p bytes each, p=12 -> 4 KB), elementwise-max merge (associative and
+# commutative, so the estimate is block-structure independent), relative
+# error ~1.04/sqrt(2^p) ~ 1.6%.  The exact `distinct_sorted` /
+# `distinct_users_by_type` stay the oracles; this is what replaces them
+# when the distinct set itself no longer fits an exchange.
+# ---------------------------------------------------------------------------
+def _hll_registers(values, p: int) -> np.ndarray:
+    """Register array (uint8, 2^p entries) for one batch of values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return regs
+    h = pd.util.hash_array(arr, categorize=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    bits = h & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading zeros within the (64-p)-bit suffix + 1; frexp gives
+    # floor(log2) exactly for every value (the exponent is exact even
+    # where the mantissa rounds)
+    rho = np.full(arr.size, 64 - p + 1, dtype=np.uint8)
+    nz = bits != 0
+    if nz.any():
+        _, e = np.frexp(bits[nz].astype(np.float64))
+        rho[nz] = (64 - p) - (e - 1)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the linear-counting small-range
+    correction (64-bit hash -> no large-range correction needed)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col): map-only partials, fixed-size
+    driver merge (one 2^p-byte register array per batch streams through
+    `iter_batches`; the accumulator never grows)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"regs": [_hll_registers(b[col], p).tobytes()]})
+
+    acc = np.zeros(1 << p, dtype=np.uint8)
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for raw in batch["regs"]:
+            np.maximum(acc, np.frombuffer(raw, dtype=np.uint8), out=acc)
+    return int(round(_hll_estimate(acc)))
+
+
+def approx_distinct_by(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    *,
+    p: int = 12,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Grouped approximate distinct: per-batch per-group register
+    partials, hash-shard exchange on the key, per-shard elementwise-max
+    merge; the driver sees (key, estimate) rows only."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {key_col: key, "regs": _hll_registers(g[col], p).tobytes()}
+            for key, g in b.groupby(key_col)
+        ]
+        if not rows:
+            return pd.DataFrame(
+                {key_col: b[key_col].iloc[:0], "regs": pd.Series(dtype=object)}
+            )
+        return pd.DataFrame(rows)
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = (
+            pd.util.hash_array(out[key_col].to_numpy()) % n_shards
+        ).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(key_col):
+            acc = np.zeros(1 << p, dtype=np.uint8)
+            for raw in grp["regs"]:
+                np.maximum(acc, np.frombuffer(raw, dtype=np.uint8), out=acc)
+            rows.append({key_col: key, "approx_distinct": int(round(_hll_estimate(acc)))})
+        if not rows:
+            return pd.DataFrame(
+                {key_col: g[key_col].iloc[:0], "approx_distinct": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeable form per
+# Agarwal et al. 2012) — the most frequent tokens/domains/values at
+# corpus scale without a full groupby: per-batch exact counts collapse
+# into a k-entry summary whose counts are LOWER bounds with guaranteed
+# error <= total_decrement <= n/(k+1).  Any value with true frequency
+# > n/(k+1) is guaranteed present.
+# ---------------------------------------------------------------------------
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    *,
+    k: int = 1024,
+    top: int | None = None,
+) -> pd.DataFrame:
+    """(value, count_lb, count_ub) for the at-most-k tracked values,
+    count_lb descending.  Merge is the streaming Misra-Gries reduction:
+    sum per-batch exact counts into the summary; past k entries,
+    subtract the (k+1)-th largest count from everything and drop the
+    non-positive — the classic decrement step, applied per merge, keeps
+    the summary k-bounded and the total decrement (= the shared error
+    bound reported as count_ub - count_lb) <= n/(k+1).
+
+    Positioning: this is the ZERO-shuffle summary — per-batch combiner
+    rows stream through a fixed-size driver reduce (the auto_group_agg
+    driver-finish shape), no exchange at any scale.  When exact counts
+    over a corpus-scale value domain are required, that is
+    `sharded_group_agg` / `token_document_frequency`'s exchange, not a
+    sketch."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts()
+        return pd.DataFrame({"v": vc.index, "c": vc.to_numpy(dtype=np.int64)})
+
+    acc: pd.Series | None = None
+    dec_total = 0
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        # iter_batches may coalesce several block-partials into one batch,
+        # so a value can repeat WITHIN the batch — reduce before merging
+        s = batch.groupby("v")["c"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+        if len(acc) > k:
+            cuts = np.sort(acc.to_numpy())[::-1]
+            dec = int(cuts[k])  # the (k+1)-th largest
+            dec_total += dec
+            acc = acc - dec
+            acc = acc[acc > 0]
+    if acc is None or not len(acc):
+        return pd.DataFrame(
+            {
+                "v": pd.Series(dtype="object"),
+                "count_lb": pd.Series(dtype="int64"),
+                "count_ub": pd.Series(dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "v": acc.index,
+            "count_lb": acc.to_numpy(dtype=np.int64),
+            "count_ub": acc.to_numpy(dtype=np.int64) + dec_total,
+        }
+    )
+    out = out.sort_values(["count_lb", "v"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    return out.head(top) if top else out

@@ -1759,6 +1759,37 @@ def q_strip_dup_spans(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-count sketch over events.user_id — the
+    map-only COUNT(DISTINCT) for when the distinct set outgrows an
+    exchange (4 KB of broadcast-free state at p=12; ~1.6% stderr).
+    Rows-only: estimates have no SQL equivalent; the error bound vs the
+    exact count is pinned in pytest."""
+    from ..ops.sketch import approx_distinct
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
+
+
+def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over every whitespace token of the
+    documents corpus — most-frequent-vocabulary WITHOUT a token shuffle
+    (zero-exchange summary; counts are lb/ub-bounded, guarantee pinned
+    in pytest against exact DuckDB counts)."""
+    from ..ops.sketch import heavy_hitters
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for text in b["text"] for t in text.split(" ")]
+        return pd.DataFrame({"tok": toks})
+
+    out = heavy_hitters(
+        docs.map_batches(explode, batch_format="pandas"), "tok", k=4096, top=20
+    )
+    return out.rename(columns={"v": "tok"}).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -1858,6 +1889,8 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "strip_dup_spans": q_strip_dup_spans,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+    "approx_distinct_users": q_approx_distinct_users,
+    "top_tokens_sketch": q_top_tokens_sketch,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

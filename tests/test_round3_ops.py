@@ -1179,3 +1179,120 @@ class TestReviewRegressions2:
         uni = loaded.uni_counts.to_pandas().sort_values("w").reset_index(drop=True)
         # counts must equal ONE generation (b and c appear twice in train)
         assert uni.set_index("w")["cu"].to_dict() == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLL:
+    @pytest.mark.parametrize("true_n", [100, 5_000, 60_000])
+    def test_error_within_bound(self, true_n):
+        from ocr_platform_ray.ops.sketch import approx_distinct
+
+        # duplicated values: 3 copies of each of true_n distinct ids
+        vals = np.tile(np.arange(true_n, dtype=np.int64), 3)
+        rng = np.random.default_rng(1)
+        rng.shuffle(vals)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}), override_num_blocks=7)
+        est = approx_distinct(ds, "v", p=12)
+        # 1.04/sqrt(4096) ~ 1.6% standard error; allow 5 sigma
+        assert abs(est - true_n) / true_n < 0.08
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.sketch import approx_distinct
+
+        vals = np.arange(3000, dtype=np.int64) % 1100
+        ests = [
+            approx_distinct(
+                rd.from_pandas(pd.DataFrame({"v": vals}), override_num_blocks=nb),
+                "v",
+            )
+            for nb in (1, 13)
+        ]
+        assert ests[0] == ests[1]  # register max is associative+commutative
+
+    def test_grouped_matches_ungrouped(self):
+        from ocr_platform_ray.ops.sketch import approx_distinct, approx_distinct_by
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["x", "y"], 4000),
+                "v": rng.integers(0, 900, 4000),
+            }
+        )
+        got = approx_distinct_by(rd.from_pandas(df, override_num_blocks=5), "k", "v")
+        for key in ("x", "y"):
+            solo = approx_distinct(
+                rd.from_pandas(df[df.k == key]), "v"
+            )
+            assert got.set_index("k").loc[key, "approx_distinct"] == solo
+            true = df[df.k == key]["v"].nunique()
+            assert abs(solo - true) / true < 0.08
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_zipf_recovers_top_and_bounds_hold(self):
+        from ocr_platform_ray.ops.sketch import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        # zipf-ish: value i drawn with weight 1/(i+1)
+        weights = 1.0 / (np.arange(2000) + 1)
+        vals = rng.choice(2000, size=60_000, p=weights / weights.sum())
+        df = pd.DataFrame({"v": [f"tok{v}" for v in vals]})
+        true = df["v"].value_counts()
+        out = heavy_hitters(
+            rd.from_pandas(df, override_num_blocks=9), "v", k=256
+        ).set_index("v")
+        n = len(df)
+        # guarantee: anything with true count > n/(k+1) is present
+        for v, c in true.items():
+            if c > n / 257:
+                assert v in out.index, v
+        # bounds: lb <= true <= ub for every reported value
+        for v in out.index:
+            assert out.loc[v, "count_lb"] <= true[v] <= out.loc[v, "count_ub"]
+        # the unambiguous head is recovered in order
+        top5 = list(out.head(5).index)
+        assert top5 == list(true.head(5).index)
+
+    def test_small_domain_is_exact(self):
+        from ocr_platform_ray.ops.sketch import heavy_hitters
+
+        df = pd.DataFrame({"v": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
+        out = heavy_hitters(rd.from_pandas(df, override_num_blocks=3), "v", k=16)
+        assert out["count_lb"].tolist() == out["count_ub"].tolist() == [5, 3, 2]
+        assert out["v"].tolist() == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketchQueries:
+    """The two no-oracle sketch queries, pinned against exact answers."""
+
+    def test_approx_distinct_users_near_exact(self):
+        import duckdb
+
+        from ocr_platform_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = int(QUERIES["approx_distinct_users"](sf)["n_users_approx"].iloc[0])
+        true = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(got - true) / true < 0.08
+
+    def test_top_tokens_sketch_bounds_and_head(self):
+        import duckdb
+
+        from ocr_platform_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = QUERIES["top_tokens_sketch"](sf).set_index("tok")
+        true = duckdb.sql(
+            f"""SELECT u.tok, count(*) AS c FROM
+            (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM read_parquet('{sf}/documents.parquet')) u
+            GROUP BY u.tok ORDER BY c DESC, u.tok"""
+        ).df().set_index("tok")
+        for tok in got.index:
+            assert got.loc[tok, "count_lb"] <= true.loc[tok, "c"] <= got.loc[tok, "count_ub"]
+        assert list(got.head(5).index) == list(true.head(5).index)
