@@ -161,6 +161,8 @@ def run_once() -> dict:
         "dup_span_stats",
         "strip_dup_spans",
         "ccnet_ppl_buckets",
+        "approx_distinct_users",
+        "top_tokens_sketch",
     ):
         best = None
         for _ in range(2):
