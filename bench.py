@@ -128,14 +128,17 @@ def run_once() -> dict:
             "sf": sf,
             "num_cpus": NUM_CPUS,
         }
-    for name in BENCH_QUERIES:
+    def _best_of(n: int, name: str) -> float:
         best = None
-        for _ in range(2):
+        for _ in range(n):
             t0 = time.monotonic()
             _consume(QUERIES[name](SF_DIR))
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        q_times[name] = round(best, 3)
+        return round(best, 3)
+
+    for name in BENCH_QUERIES:
+        q_times[name] = _best_of(2, name)
 
     # round-2/3 operator additions, best-of-2 (informational — separate
     # from the tracked queries_total_s series; single-shot readings were
@@ -164,13 +167,7 @@ def run_once() -> dict:
         "approx_distinct_users",
         "top_tokens_sketch",
     ):
-        best = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            _consume(QUERIES[name](SF_DIR))
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        extra_times[name] = round(best, 3)
+        extra_times[name] = _best_of(2, name)
 
     ray.shutdown()
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None

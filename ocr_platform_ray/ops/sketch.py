@@ -146,24 +146,39 @@ def grouped_quantile_sketch(
 # `distinct_users_by_type` stay the oracles; this is what replaces them
 # when the distinct set itself no longer fits an exchange.
 # ---------------------------------------------------------------------------
+def _floor_log2_u64(v: np.ndarray) -> np.ndarray:
+    """Exact floor(log2) of nonzero uint64 values — six vectorized
+    shift/compare passes (a float conversion rounds values near powers
+    of two and biases the rank for suffixes wider than 53 bits)."""
+    v = v.copy()
+    fl = np.zeros(len(v), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1) << np.uint64(shift)
+        fl[m] += shift
+        v[m] >>= np.uint64(shift)
+    return fl
+
+
 def _hll_registers(values, p: int) -> np.ndarray:
-    """Register array (uint8, 2^p entries) for one batch of values."""
+    """Register array (uint8, 2^p entries) for one batch of values.
+    Numeric columns hash through pandas' native path (the object-dtype
+    fallback measured ~50x slower per batch)."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    arr = np.asarray(values, dtype=object)
+    arr = values.to_numpy() if isinstance(values, pd.Series) else np.asarray(values)
     if arr.size == 0:
         return regs
-    h = pd.util.hash_array(arr, categorize=False)
+    if arr.dtype == object:
+        h = pd.util.hash_array(arr, categorize=False)
+    else:
+        h = pd.util.hash_array(arr)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     bits = h & np.uint64((1 << (64 - p)) - 1)
-    # rho = leading zeros within the (64-p)-bit suffix + 1; frexp gives
-    # floor(log2) exactly for every value (the exponent is exact even
-    # where the mantissa rounds)
+    # rho = leading zeros within the (64-p)-bit suffix + 1
     rho = np.full(arr.size, 64 - p + 1, dtype=np.uint8)
     nz = bits != 0
     if nz.any():
-        _, e = np.frexp(bits[nz].astype(np.float64))
-        rho[nz] = (64 - p) - (e - 1)
+        rho[nz] = (64 - p) - _floor_log2_u64(bits[nz])
     np.maximum.at(regs, idx, rho)
     return regs
 
@@ -291,9 +306,11 @@ def heavy_hitters(
         partial, batch_format="pandas"
     ).iter_batches(batch_format="pandas"):
         # iter_batches may coalesce several block-partials into one batch,
-        # so a value can repeat WITHIN the batch — reduce before merging
+        # so a value can repeat WITHIN the batch — reduce before merging.
+        # Cast straight back to int64: Series.add(fill_value=) promotes
+        # to float64, whose 2^53 precision cliff has no place in counts.
         s = batch.groupby("v")["c"].sum()
-        acc = s if acc is None else acc.add(s, fill_value=0)
+        acc = s if acc is None else acc.add(s, fill_value=0).astype("int64")
         if len(acc) > k:
             cuts = np.sort(acc.to_numpy())[::-1]
             dec = int(cuts[k])  # the (k+1)-th largest
@@ -318,4 +335,4 @@ def heavy_hitters(
     out = out.sort_values(["count_lb", "v"], ascending=[False, True]).reset_index(
         drop=True
     )
-    return out.head(top) if top else out
+    return out.head(top) if top is not None else out

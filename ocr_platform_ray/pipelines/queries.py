@@ -1781,8 +1781,15 @@ def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
     docs = _t(sf_dir, "documents", ["text"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        toks = [t for text in b["text"] for t in text.split(" ")]
-        return pd.DataFrame({"tok": toks})
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # Arrow split+flatten: split_pattern(' ') keeps empty strings,
+        # matching str.split(' ') / DuckDB string_split exactly
+        toks = pc.list_flatten(
+            pc.split_pattern(pa.array(b["text"], pa.string()), " ")
+        )
+        return pd.DataFrame({"tok": toks.to_pandas()})
 
     out = heavy_hitters(
         docs.map_batches(explode, batch_format="pandas"), "tok", k=4096, top=20
