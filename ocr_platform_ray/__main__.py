@@ -181,10 +181,19 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rdata
 
             from .pipelines.curate import curate_corpus
-            from .pipelines.extraction import PAGE_COLUMNS
+            from .pipelines.extraction import PAGE_COLUMNS, read_pages_file_aligned
 
+            # --partitioned selects the shuffle-free reassembly, whose
+            # precondition is a FILE-ALIGNED read (an unaligned read can
+            # split one file's pages across blocks and emit a straddling
+            # url as two doc rows — found at 192k-url scale: 94 dup docs)
+            pages_in = (
+                read_pages_file_aligned(args.input)
+                if args.partitioned
+                else rdata.read_parquet(args.input, columns=PAGE_COLUMNS)
+            )
             docs = curate_corpus(
-                rdata.read_parquet(args.input, columns=PAGE_COLUMNS),
+                pages_in,
                 partitioned_input=args.partitioned,
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,

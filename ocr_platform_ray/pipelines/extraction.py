@@ -34,6 +34,24 @@ def read_pages(path: str, *, parallelism: int | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=PAGE_COLUMNS, override_num_blocks=parallelism)
 
 
+def read_pages_file_aligned(path: str) -> rd.Dataset:
+    """Read a url-partitioned pages layout with EXACTLY one block per
+    file — the read shape ``reassemble_docs_partitioned``'s precondition
+    requires.  An unaligned read (Ray's default splits big files across
+    blocks) silently assembles a block-straddling url into TWO doc rows;
+    every consumer of ``partitioned_input=True`` must read through here
+    (or run_with_manifest's file_aligned_blocks, which does the same)."""
+    import os
+
+    if os.path.isdir(path):
+        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    else:
+        n_files = 1
+    return rd.read_parquet(
+        path, columns=PAGE_COLUMNS, override_num_blocks=max(n_files, 1)
+    )
+
+
 def extract_pages_ds(
     pages: rd.Dataset,
     *,

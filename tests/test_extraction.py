@@ -315,3 +315,44 @@ class TestTextDensity:
     def test_normal_short_block_kept(self):
         r = extract_page(b"<p>short</p>", "")
         assert r["body"] == "short"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFileAlignedRead:
+    """reassemble_docs_partitioned's precondition: an UNALIGNED read can
+    split one file's pages across blocks, silently assembling a
+    straddling url into two doc rows (caught at 192k-url scale — 94 dup
+    docs).  read_pages_file_aligned is the required read shape."""
+
+    def test_unaligned_read_duplicates_and_aligned_read_does_not(self, tmp_path):
+        import ray.data as rdata
+
+        from ocr_platform_ray.corpus import write_pages_parquet
+        from ocr_platform_ray.pipelines.extraction import (
+            PAGE_COLUMNS,
+            extraction_pipeline,
+            read_pages_file_aligned,
+        )
+
+        d = str(tmp_path / "pages")
+        write_pages_parquet(d, 200, urls_per_shard=100)
+
+        # the hazard: force block splits within files
+        split = rdata.read_parquet(d, columns=PAGE_COLUMNS, override_num_blocks=16)
+        docs_bad = extraction_pipeline(split, partitioned_input=True).to_pandas()
+        assert (docs_bad["url"].value_counts() > 1).any()  # corpus exercises it
+
+        # the fix: file-aligned read -> unique urls, byte-identical to the
+        # shuffle path
+        docs_ok = (
+            extraction_pipeline(read_pages_file_aligned(d), partitioned_input=True)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert docs_ok["url"].is_unique
+        shuffle = (
+            extraction_pipeline(
+                rdata.read_parquet(d, columns=PAGE_COLUMNS, override_num_blocks=16)
+            )
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert docs_ok["extracted_text"].tolist() == shuffle["extracted_text"].tolist()
