@@ -94,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     cu.add_argument("--dup-span-width", type=int, default=8)
     cu.add_argument("--partitioned", action="store_true")
+    cu.add_argument(
+        "--verify-unique",
+        action="store_true",
+        help="post-hoc EXACT url-uniqueness audit of the output "
+        "(one url-column scan; the check that catches a violated "
+        "partitioned-read precondition)",
+    )
 
     rz = sub.add_parser(
         "rasterize", help="render PDF pages to PNG pixels (S4; 2x default)"
@@ -209,7 +216,16 @@ def main(argv: list[str] | None = None) -> int:
                 pq.ParquetFile(f).metadata.num_rows
                 for f in _g.glob(f"{args.output}/*.parquet")
             )
-            print(json.dumps({"curated_docs": n, "output": args.output}))
+            res = {"curated_docs": n, "output": args.output}
+            if args.verify_unique:
+                import duckdb
+
+                nd = duckdb.sql(
+                    f"SELECT count(DISTINCT url) FROM read_parquet('{args.output}/*.parquet')"
+                ).fetchone()[0]
+                res["distinct_urls"] = int(nd)
+                res["unique_ok"] = bool(nd == n)
+            print(json.dumps(res))
         elif args.cmd == "rasterize":
             import ray.data as rdata
 
