@@ -9,10 +9,18 @@ sh/gh), short/long vowels and tanwīn, shadda gemination (doubles the
 previous consonant unit), the definite-article rule (word-initial ال ->
 "al-"), tāʾ marbūṭa -> "a", Arabic-Indic digits and punctuation.
 
-Documented limits (the LLM's share of the task, deliberately out of
-scope per SURVEY M12): unvocalized text romanizes consonantally (كتاب ->
-"ktāb"; with vowels كِتَاب -> "kitāb"), no sun-letter assimilation
-(الشمس -> "al-shms", not "ash-shams"), no morphological iʿrāb.  Fully
+Round-4 additions (the reference LLM's rule-expressible share,
+transliterate.ts:121-146): SUN-LETTER ASSIMILATION (الشمس -> "ash-shms",
+vocalized اَلشَّمْس -> "ash-shams" — the article's lām assimilates into
+t/th/d/dh/r/z/s/sh/ṣ/ḍ/ṭ/ẓ/l/n and a following shadda geminate merges
+into the article), VOCALIZED-ARTICLE detection (اَلْكِتَاب parses as
+al- + kitāb; hamzat-wasl seat ٱ handled), and TANWĪN-ON-ALIF (كتابًا /
+كتاباً -> "ktāban": the alif seat of fathatan is silent in either
+codepoint order).
+
+Documented limits (the LLM's lexical share, deliberately out of scope
+per SURVEY M12): unvocalized text romanizes consonantally (كتاب ->
+"ktāb"; with vowels كِتَاب -> "kitāb"), no morphological iʿrāb.  Fully
 deterministic and composes with ``canonicalize_translit_chars`` (the
 reference's post-pass)."""
 
@@ -44,21 +52,56 @@ _DIGITS = {chr(0x0660 + i): str(i) for i in range(10)}
 _MAP.update(_DIGITS)
 _SHADDA = "ّ"
 _TA_MARBUTA = "ة"
-_ARABIC_LETTER = set(_MAP) | {_SHADDA, _TA_MARBUTA, "ا", "آ"}
+_WASLA = "ٱ"  # hamzat-wasl alif
+_ARABIC_LETTER = set(_MAP) | {_SHADDA, _TA_MARBUTA, "ا", "آ", _WASLA}
 _VOWEL_UNITS = frozenset({"", "a", "i", "u", "ā", "ī", "ū", "an", "in", "un", "al-"})
+# sun letters BY ROMANIZED UNIT: the article's lām assimilates into these
+_SUN_UNITS = frozenset({"t", "th", "d", "dh", "r", "z", "s", "sh", "ṣ", "ḍ", "ṭ", "ẓ", "l", "n"})
+
+
+def _parse_article(word: str) -> int:
+    """Length of a word-initial definite article (plain ال, vocalized
+    اَلْ, or wasla-seated ٱل); 0 when the word doesn't start with one or
+    nothing follows it."""
+    if not word or word[0] not in ("ا", _WASLA):
+        return 0
+    j = 1
+    if j < len(word) and word[j] == "َ":  # fatha on the seat
+        j += 1
+    if j >= len(word) or word[j] != "ل":
+        return 0
+    j += 1
+    if j < len(word) and word[j] == "ْ":  # sukun on the lām
+        j += 1
+    return j if j < len(word) else 0
+
+
+def _assimilate_sun(out: list[str]) -> None:
+    """al- + sun letter -> a<sun>- (ash-shams class); a shadda geminate
+    on the sun letter merges into the article (one copy survives)."""
+    for j in range(1, len(out)):
+        u = out[j]
+        if u in _VOWEL_UNITS:
+            continue
+        if u in _SUN_UNITS:
+            out[0] = "a" + u + "-"
+            if j + 1 < len(out) and out[j + 1] == u:
+                del out[j]  # geminate's first copy belongs to the article
+        return
 
 
 def _romanize_word(word: str) -> str:
     out: list[str] = []
     i = 0
-    # definite article: word-initial ال -> "al-"
-    if word.startswith("ال") and len(word) > 2:
+    # definite article: word-initial ال / اَلْ / ٱل -> "al-"
+    art = _parse_article(word)
+    if art:
         out.append("al-")
-        i = 2
+        i = art
     elif word.startswith("آ"):
         out.append("ā")  # word-initial madda
         i = 1
-    elif word.startswith("ا"):
+    elif word[0] in ("ا", _WASLA):
         out.append("a")  # bare word-initial alif is a vowel seat, not ā
         i = 1
     while i < len(word):
@@ -81,7 +124,9 @@ def _romanize_word(word: str) -> str:
             continue
         # long vowels: short sign + matching seat letter merge (a+ا=ā,
         # i+ي=ī, u+و=ū); bare seats are ā / y / w
-        if ch in ("ا", "ى"):  # alif / alif maqsura
+        if ch in ("ا", "ى", _WASLA):  # alif / alif maqsura / hamzat wasl
+            if out and out[-1] == "an":
+                continue  # tanwin seat (كتابًا): the alif is silent
             if out and out[-1] == "a":
                 out[-1] = "ā"
             else:
@@ -102,7 +147,12 @@ def _romanize_word(word: str) -> str:
         if ch == "آ":
             out.append("ʾā")  # mid-word madda
             continue
+        if ch == "ً" and out and out[-1] == "ā":
+            out[-1] = "an"  # seat-first order (كتاباً): ā was the seat
+            continue
         out.append(_MAP.get(ch, ch))
+    if out and out[0] == "al-":
+        _assimilate_sun(out)
     return "".join(out)
 
 

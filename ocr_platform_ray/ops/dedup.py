@@ -94,17 +94,21 @@ def exact_dedup(
     if winners == "bucketed":
         # distributed winner application: join the winner table back on
         # the content hash (bucketed exchange), keep rows whose id IS the
-        # group minimum — no driver-held winner map
-        from .relational import bucketed_hash_join
+        # group minimum — no driver-held winner map.  List columns (span
+        # lineage etc.) ride the exchange frozen to bytes.
+        from .relational import bucketed_hash_join, freeze_list_columns, thaw_list_columns
 
-        joined = bucketed_hash_join(hashed, winners_ds, "__h", how="inner")
+        frozen, spec = freeze_list_columns(hashed)
+        joined = bucketed_hash_join(frozen, winners_ds, "__h", how="inner")
 
         def keep_bucketed(b: pd.DataFrame) -> pd.DataFrame:
             out = b[b[id_col] == b["__min_id"]].copy()
             out["n_dups"] = out["__n"].astype("int64")
             return out.drop(columns=["__h", "__min_id", "__n"])
 
-        return joined.map_batches(keep_bucketed, batch_format="pandas")
+        return thaw_list_columns(
+            joined.map_batches(keep_bucketed, batch_format="pandas"), spec
+        )
 
     winners = winners_ds.to_pandas()
     win_ref = ray.put(
@@ -230,7 +234,8 @@ def minhash_lsh_duplicates(
     verify: str = "broadcast",
     candidates: str = "auto",
     candidate_threshold_rows: int = 2_000_000,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
     bucket groupby -> candidate pairs -> verify by signature agreement
     (fraction of equal minhash components estimates Jaccard).
@@ -250,7 +255,14 @@ def minhash_lsh_duplicates(
     near-dup-sized, far below the corpus); "bucketed" joins the pair list
     against the signature table with the explicit bucketed hash join
     twice (id_a, then id_b) — no driver-held id set, the path for when
-    even the candidate pairs are corpus-scale (equivalence-tested)."""
+    even the candidate pairs are corpus-scale (equivalence-tested).
+
+    ``as_dataset=True`` forces the bucketed verify and returns the pair
+    table as a DATASET — the qualifying pairs never land on the driver,
+    composing with ``dedup_keep_representatives(clusters="auto"/"distributed")``
+    for a fully driver-free dedup chain."""
+    if as_dataset:
+        verify = "bucketed"
     rows_per_band = num_perm // bands
     # materialized: consumed twice (band explode + verification fetch);
     # signatures are num_perm*8 bytes/row — tiny next to the text
@@ -329,7 +341,7 @@ def minhash_lsh_duplicates(
 
     if verify == "bucketed" and cand_pairs is not None:
         if cand_pairs.empty:
-            return empty
+            return rd.from_pandas(empty) if as_dataset else empty
         cand_ds = rd.from_pandas(cand_pairs)
     if verify == "bucketed":
         # fully distributed verification: candidate pairs NEVER land on
@@ -344,7 +356,7 @@ def minhash_lsh_duplicates(
             cand_ds, ["id_a", "id_b"], {"__n": ("id_a", "size")}
         ).materialize()
         if dedup.count() == 0:
-            return empty
+            return rd.from_pandas(empty) if as_dataset else empty
         pairs_ds = dedup.map_batches(
             lambda b: b[["id_a", "id_b"]], batch_format="pandas"
         )
@@ -388,7 +400,10 @@ def minhash_lsh_duplicates(
             out = b[["id_a", "id_b"]].assign(est_jaccard=est)
             return out[out["est_jaccard"] >= threshold]
 
-        out = j.map_batches(score, batch_format="pandas").to_pandas()
+        scored = j.map_batches(score, batch_format="pandas")
+        if as_dataset:
+            return scored
+        out = scored.to_pandas()
         if out.empty:
             return empty
         if pd.api.types.is_numeric_dtype(out["id_a"]):
@@ -724,7 +739,8 @@ def dup_clusters_distributed(
     id_b: str = "id_b",
     max_rounds: int = 50,
     n_shards: int = 64,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """Connected components by MIN-LABEL PROPAGATION over Ray Datasets —
     the scale path when even the near-dup PAIR LIST outgrows one machine
     (driver union-find in ``dup_clusters`` is right below that point;
@@ -734,14 +750,22 @@ def dup_clusters_distributed(
     edges via the BUCKETED hash exchange (nothing vertex-set-sized ever
     lands on the driver or the object store as one object), then a
     hash-shard min reduce updates the label table.  Convergence is
-    detected distributedly: labels are monotonically non-increasing
-    (current labels participate in every min), so the TOTAL label sum —
-    a per-shard partial sum reduced to one scalar — is strictly smaller
-    iff any label changed.  Converges in O(cluster diameter) rounds
+    detected distributedly and EXACTLY for any id dtype (ints or url
+    strings): the per-shard reduce sees both the proposals and the
+    current label of every id in the shard, so it emits a per-row
+    0/1 ``__changed`` flag alongside the new min — the driver reduces
+    one partial-sum int per block.  Converges in O(cluster diameter) rounds
     (near-dup clusters are shallow); chains deeper than ``max_rounds``
     raise RuntimeError rather than silently returning a non-converged
     (multi-representative) labeling.  Returns (id, cluster_id) with
-    cluster_id = min member id, identical to ``dup_clusters``."""
+    cluster_id = min member id, identical to ``dup_clusters``.
+
+    ``as_dataset=True`` keeps the label table a DATASET end-to-end —
+    nothing vertex-set-sized ever ``to_pandas()``-es to the driver (the
+    convergence check already reduces one int per block); this is the
+    route ``dedup_keep_representatives(clusters="auto")`` takes past its
+    probe threshold, where the labels feed a bucketed anti-join instead
+    of a broadcast loser set."""
     from .relational import bucketed_hash_join, sharded_group_agg
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -765,23 +789,46 @@ def dup_clusters_distributed(
         n_shards=n_shards,
     ).materialize()
 
-    def label_sum(ds: rd.Dataset) -> int:
-        # distributed partial sums; the driver reduces one int per block
-        parts = ds.map_batches(
-            lambda b: pd.DataFrame({"s": [int(b["label"].sum())]}), batch_format="pandas"
-        ).to_pandas()
-        return int(parts["s"].sum())
-
     def as_id(b: pd.DataFrame) -> pd.DataFrame:
         return b.rename(columns={"src": "id"})
 
     def to_proposal(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"id": b["dst"], "label": b["label"]})
+        # proposals vs current labels distinguished by __cur so the
+        # per-shard reduce can flag changes; IDENTICAL columns on both
+        # union sides (a one-sided shard never sees a missing column)
+        return pd.DataFrame({"id": b["dst"], "label": b["label"], "__cur": 0})
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["id", "label"]].copy()
+        out["__cur"] = 1
+        return out
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = (pd.util.hash_array(b["id"].to_numpy()) % n_shards).astype("int64")
+        return out
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # new label = min over proposals-and-current; changed flag from
+        # comparing against the current label (every id has exactly one:
+        # init_labels covers every vertex) — exact for any id dtype
+        gg = g.groupby("id", as_index=False)["label"].min()
+        old = g.loc[g["__cur"] == 1, ["id", "label"]].rename(columns={"label": "__old"})
+        m = gg.merge(old, on="id", how="left")
+        m["__changed"] = (m["label"] != m["__old"]).astype("int64")
+        return m[["id", "label", "__changed"]]
+
+    def count_changed(ds: rd.Dataset) -> int:
+        # distributed partial sums; the driver reduces one int per block
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["__changed"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return int(parts["s"].sum())
+
+    def drop_flag(b: pd.DataFrame) -> pd.DataFrame:
         return b[["id", "label"]]
 
-    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_rounds):
         # label(src) attached to each edge via the bucketed exchange
@@ -793,18 +840,17 @@ def dup_clusters_distributed(
             n_buckets=n_shards,
         )
         proposals = j.map_batches(to_proposal, batch_format="pandas")
-        new_labels = sharded_group_agg(
-            proposals.union(labels.map_batches(project, batch_format="pandas")),
-            ["id"],
-            {"label": ("label", "min")},
-            n_shards=n_shards,
-        ).materialize()
-        new_sum = label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
+        flagged = (
+            proposals.union(labels.map_batches(project, batch_format="pandas"))
+            .map_batches(add_shard, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(min_reduce, batch_format="pandas")
+            .materialize()
+        )
+        labels = flagged.map_batches(drop_flag, batch_format="pandas")
+        if count_changed(flagged) == 0:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"dup_clusters_distributed: no convergence after {max_rounds} rounds "
@@ -812,37 +858,88 @@ def dup_clusters_distributed(
             "returning partial labels would keep multiple representatives per "
             "true cluster with no signal"
         )
+    if as_dataset:
+        # keep dtypes as the exchange produced them (string ids stay
+        # strings); the driver never holds the vertex set
+        return labels.map_batches(
+            lambda b: b.rename(columns={"label": "cluster_id"}), batch_format="pandas"
+        )
     out = labels.to_pandas().rename(columns={"label": "cluster_id"})
     out["id"] = out["id"].astype("int64")
     out["cluster_id"] = out["cluster_id"].astype("int64")
     return out.sort_values("id").reset_index(drop=True)
 
 
+def _losers_pairs_df(pairs_df: pd.DataFrame) -> frozenset:
+    comp = dup_clusters(pairs_df)
+    return frozenset(comp.loc[comp["id"] != comp["cluster_id"], "id"])
+
+
 def dedup_keep_representatives(
-    ds: rd.Dataset, pairs: pd.DataFrame | rd.Dataset, id_col: str, *, clusters: str = "driver"
+    ds: rd.Dataset,
+    pairs: pd.DataFrame | rd.Dataset,
+    id_col: str,
+    *,
+    clusters: str = "driver",
+    driver_threshold_rows: int = 2_000_000,
+    n_buckets: int = 32,
 ) -> rd.Dataset:
     """Drop every near-dup cluster member except the minimum-id
-    representative: broadcast the (small) losers set, filter per batch.
-    Composes with any pair source (minhash / simhash / ngram / cosine).
+    representative.  Composes with any pair source (minhash / simhash /
+    ngram / cosine).
 
-    ``clusters``: "driver" resolves components with union-find on the
-    driver (right while the pair list fits); "distributed" runs the
-    min-label propagation over Datasets (``dup_clusters_distributed``) —
-    for when even the pair list is corpus-scale.  Either way only the
-    LOSER id set (near-dup-sized) is broadcast."""
+    ``clusters`` routes the component resolution:
+      * "driver" — union-find on the driver, loser set broadcast
+        (right while the pair list fits one machine).
+      * "distributed" — min-label propagation over Datasets
+        (``dup_clusters_distributed(as_dataset=True)``); labels never
+        land on the driver, and the losers are dropped via the BUCKETED
+        anti-join exchange instead of a broadcast set — the route for
+        corpus-scale dup rates where the pair list / loser set are
+        themselves corpus-sized.
+      * "auto" — ``probe_head`` on the pair list (the house size-aware
+        planner pattern): a pandas pair list or one under
+        ``driver_threshold_rows`` takes the driver route (the probe IS
+        the pair table, one execution); past the threshold the
+        distributed route runs.  Routes are equivalence-tested."""
+    from .relational import anti_join, probe_head
+
     if isinstance(pairs, pd.DataFrame) and pairs.empty:
         return ds
+    if clusters == "auto":
+        if isinstance(pairs, pd.DataFrame):
+            clusters = "driver"
+        else:
+            head = probe_head(pairs, driver_threshold_rows)
+            if head is not None:
+                if head.shape[1] == 0 or head.empty:  # empty pair Dataset
+                    return ds
+                pairs = head
+                clusters = "driver"
+            else:
+                clusters = "distributed"
     if clusters == "distributed":
         pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_pandas(pairs)
-        lab = dup_clusters_distributed(pairs_ds)
-        losers = frozenset(lab.loc[lab["id"] != lab["cluster_id"], "id"])
-    else:
-        pairs_df = pairs.to_pandas() if isinstance(pairs, rd.Dataset) else pairs
-        if pairs_df.empty:
+        # empty pair list -> nothing to drop (and a map-derived empty
+        # Dataset has no schema for the exchange to plan over)
+        if len(pairs_ds.limit(1).take_all()) == 0:
             return ds
-        comp = dup_clusters(pairs_df)
-        losers = frozenset(comp.loc[comp["id"] != comp["cluster_id"], "id"])
-    ref = ray.put(losers)
+        labels = dup_clusters_distributed(pairs_ds, as_dataset=True)
+
+        def losers_only(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: b.loc[b["id"] != b["cluster_id"], "id"]})
+
+        losers_ds = labels.map_batches(losers_only, batch_format="pandas")
+        from .relational import freeze_list_columns, thaw_list_columns
+
+        frozen, spec = freeze_list_columns(ds)
+        kept = anti_join(frozen, losers_ds, id_col, method="bucketed", n_buckets=n_buckets)
+        return thaw_list_columns(kept, spec)
+
+    pairs_df = pairs.to_pandas() if isinstance(pairs, rd.Dataset) else pairs
+    if pairs_df.empty:
+        return ds
+    ref = ray.put(_losers_pairs_df(pairs_df))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[~batch[id_col].isin(cached_get(ref))]

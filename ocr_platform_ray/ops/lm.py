@@ -72,6 +72,12 @@ def _clean_tokens(texts) -> tuple[pa.Array, np.ndarray]:
 def _bigrams_from_flat(flat: pa.Array, lens: np.ndarray):
     """(flat tokens, per-row counts) -> (w1, 'w1 w2', per-row bigram
     counts) via Arrow ``take`` with arithmetic index vectors."""
+    if lens.size == 0:
+        # zero-row batch (Ray may deliver one depending on lineage shape):
+        # the index arithmetic below broadcasts (1,) against (0,) — return
+        # typed empties instead, matching the repo's other batch guards
+        empty = pa.array([], pa.string())
+        return empty, empty, np.zeros(0, dtype="int64")
     starts_tok = np.concatenate(([0], np.cumsum(lens)[:-1]))
     nbg = np.maximum(lens - 1, 0)
     total = int(nbg.sum())
@@ -132,25 +138,45 @@ _BG_SCHEMA = pa.schema([("bg", pa.string()), ("cb", pa.int64())])
 def save_ngram_lm(lm: NgramLM, out_dir: str) -> dict:
     """Persist the count tables as parquet + a meta sidecar.  Tables are
     written distributed (`write_parquet`); an empty table still gets one
-    typed empty fragment so `load_ngram_lm` round-trips any LM."""
+    typed empty fragment so `load_ngram_lm` round-trips any LM.
+
+    Re-saves are ATOMIC per table: each generation is written to a temp
+    sibling directory and renamed over the old one only after the write
+    completed — a failure mid-save never destroys (or half-merges with)
+    the previous persisted generation (train-once/score-many durability;
+    write_parquet into a live dir would append uniquely-named fragments
+    and silently double-count)."""
+    import shutil
+
     meta = {"vocab": lm.vocab, "alpha": lm.alpha}
     for name, ds_, schema in (
         ("uni", lm.uni_counts, _UNI_SCHEMA),
         ("bg", lm.bg_counts, _BG_SCHEMA),
     ):
         d = os.path.join(out_dir, name)
-        os.makedirs(d, exist_ok=True)
-        # clear any previous generation first: write_parquet appends
-        # uniquely-named fragments, so a re-save into the same dir would
-        # silently MERGE stale counts with new ones (double-counted LM)
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                os.remove(os.path.join(d, f))
-        ds_.write_parquet(d)
-        if not any(f.endswith(".parquet") for f in os.listdir(d)):
-            pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
-    with open(os.path.join(out_dir, "lm_meta.json"), "w") as f:
+        tmp = d + ".tmp"
+        if os.path.exists(tmp):  # stale from an interrupted save
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        ds_.write_parquet(tmp)
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            pq.write_table(schema.empty_table(), os.path.join(tmp, "empty.parquet"))
+        # swap: the previous generation stays readable until the new one
+        # is complete; the only non-crash-safe window is between the two
+        # renames, which leaves <d>.old to recover from
+        if os.path.exists(d):
+            old = d + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, d)
+    tmp_meta = os.path.join(out_dir, "lm_meta.json.tmp")
+    with open(tmp_meta, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(out_dir, "lm_meta.json"))
     return meta
 
 

@@ -118,6 +118,59 @@ def _restore_dtypes(df: pd.DataFrame, targets: dict[str, str]) -> pd.DataFrame:
     return df
 
 
+def freeze_list_columns(ds: rd.Dataset) -> tuple[rd.Dataset, dict[str, "np.dtype"]]:
+    """Serialize variable-length LIST columns (Arrow ``list<T>`` — span
+    lineage like page_offsets, embeddings, …) to per-row BYTES so wide
+    rows can ride the pandas union/sort exchanges: Ray renders list
+    columns as tensor-extension arrays in pandas blocks, and pandas
+    concat of RAGGED tensor-extension chunks (what an AllToAll barrier
+    does between blocks) raises TypeError.  Bytes columns are
+    exchange-stable and round-trip exactly (dtype kept in the spec).
+    Returns ``(frozen_ds, spec)``; ``spec`` empty -> ds returned as-is.
+    Thaw with ``thaw_list_columns`` after the exchange."""
+    from ray.air.util.tensor_extensions.pandas import TensorDtype
+
+    schema = ds.schema()
+    spec: dict[str, np.dtype] = {}
+    if schema is not None:
+        for name, typ in zip(schema.names, schema.types):
+            if isinstance(typ, pa.ExtensionType) and hasattr(typ, "scalar_type"):
+                # Ray's Arrow tensor extension types (fixed and variable
+                # shaped, v1/v2) — the pandas-side offenders' source
+                spec[name] = np.dtype(typ.scalar_type.to_pandas_dtype())
+            elif isinstance(typ, pa.DataType):
+                if pa.types.is_list(typ) or pa.types.is_large_list(typ) or pa.types.is_fixed_size_list(typ):
+                    spec[name] = np.dtype(typ.value_type.to_pandas_dtype())
+            elif isinstance(typ, TensorDtype):
+                # pandas-block schemas render list columns as the Ray
+                # tensor extension dtype
+                spec[name] = np.dtype(typ.element_dtype)
+    if not spec:
+        return ds, spec
+
+    def freeze(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c, dt in spec.items():
+            out[c] = [np.asarray(v, dtype=dt).tobytes() for v in b[c]]
+        return out
+
+    return ds.map_batches(freeze, batch_format="pandas"), spec
+
+
+def thaw_list_columns(ds: rd.Dataset, spec: dict[str, "np.dtype"]) -> rd.Dataset:
+    """Inverse of ``freeze_list_columns`` (exact: dtype from the spec)."""
+    if not spec:
+        return ds
+
+    def thaw(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c, dt in spec.items():
+            out[c] = [np.frombuffer(v, dtype=dt) for v in b[c]]
+        return out
+
+    return ds.map_batches(thaw, batch_format="pandas")
+
+
 def _hash_labels(batch: pd.DataFrame, keys: list[str], n: int) -> np.ndarray:
     """Deterministic shard/bucket label: hash of the key value(s) modulo n
     (never Python hash(), which is salted per process); composite keys
@@ -491,9 +544,11 @@ def grouped_top_k(
     if finish == "driver":
         df = pruned if isinstance(pruned, pd.DataFrame) else pruned.to_pandas()
         if df.shape[1] == 0:  # empty Dataset -> columnless probe frame
-            cols = {c: pd.Series(dtype="object") for c in ds.schema().names}
-            cols["rk"] = pd.Series(dtype="int64")
-            return pd.DataFrame(cols)
+            # typed per-column dtypes (route-independent schema: the
+            # exchange route's empty output carries real dtypes too)
+            out = _typed_empty(ds.schema(), list(ds.schema().names))
+            out["rk"] = pd.Series(dtype="int64")
+            return out
         return rank_head(df)
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
@@ -520,6 +575,9 @@ def grouped_rank_buckets(
     labels: list[str] | None = None,
     out_col: str = "bucket",
     n_shards: int = 64,
+    method: str = "exact",
+    group_row_threshold: int = 5_000_000,
+    sketch_k: int = 4096,
 ) -> rd.Dataset:
     """Per-group rank-quantile bucket assignment: row bucket =
     ``n_buckets * rank // group_size`` with rank ordered by
@@ -530,17 +588,72 @@ def grouped_rank_buckets(
     unique tiebreaker (e.g. the id column) for a deterministic, total
     order.
 
-    Unlike ``grouped_top_k`` there is no local prune (every row needs
-    its global in-group rank), so the one hash-shard exchange moves the
-    full projection; per-shard work is one vectorized sort + cumcount +
-    transform("size").  Partitioning assumption: a GROUP must fit one
-    shard — right for per-language slices at web-crawl skew up to the
-    dominant language; past that, compute cutoff VALUES with
-    ``ops.sketch.grouped_quantile_sketch`` and assign buckets by
-    comparison instead (approximate, map-only)."""
+    ``method``:
+      * "exact" — one hash-shard exchange moves the full projection
+        (no local prune: every row needs its global in-group rank);
+        per-shard work is one vectorized sort + cumcount +
+        transform("size").  Partitioning assumption: a GROUP fits one
+        shard — at web-crawl skew the dominant language (~40-50% of a
+        crawl) breaks this.
+      * "sketch" — the scale route: per-group bucket-CUTOFF values from
+        one mergeable quantile sketch pass
+        (``ops.sketch.grouped_sketches``, k anchors/group), then a
+        MAP-ONLY searchsorted assignment against the broadcast cutoff
+        table ({n_groups × (n_buckets-1)} floats).  No group ever
+        co-locates; one combiner-style exchange of k-anchor partials.
+        Approximate at the bucket BOUNDARIES only: rank error O(n/k)
+        rows per cutoff (exact while a group's count <= k), and rows
+        with values EQUAL to a cutoff all land in the higher bucket
+        (a value split cannot honor a rank tiebreaker).  Requires a
+        numeric ``order_cols[0]`` and a single group column.
+      * "auto" — probes per-group row counts with one partial-count map
+        (driver reduces (group, n) partials, group-cardinality-sized);
+        any group past ``group_row_threshold`` -> "sketch", else
+        "exact"."""
     if labels is not None and len(labels) != n_buckets:
         raise ValueError("labels must have n_buckets entries")
     label_arr = np.asarray(labels, dtype=object) if labels is not None else None
+
+    if method == "auto":
+        def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.groupby(group_cols, as_index=False).agg(__n=(order_cols[0], "size"))
+            return out
+
+        sizes = (
+            ds.map_batches(count_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby(group_cols, as_index=False)["__n"].sum()
+        )
+        biggest = int(sizes["__n"].max()) if len(sizes) else 0
+        method = "sketch" if biggest > group_row_threshold else "exact"
+
+    if method == "sketch":
+        if len(group_cols) != 1:
+            raise ValueError("sketch route supports a single group column")
+        from .sketch import grouped_sketches, sketch_quantile
+
+        key = group_cols[0]
+        merged = grouped_sketches(ds, key, order_cols[0], k=sketch_k, n_shards=n_shards)
+        cutoffs = {
+            row[key]: np.asarray(
+                [sketch_quantile(row["sk"], (i + 1) / n_buckets) for i in range(n_buckets - 1)],
+                dtype=np.float64,
+            )
+            for _, row in merged.iterrows()
+        }
+        cut_ref = ray.put(cutoffs)
+
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            cuts = cached_get(cut_ref)
+            out = b.copy()
+            idx = np.zeros(len(b), dtype=np.int64)
+            vals = b[order_cols[0]].to_numpy(dtype=np.float64)
+            for g, gidx in b.groupby(key).indices.items():
+                idx[gidx] = np.searchsorted(cuts[g], vals[gidx], side="right")
+            out[out_col] = label_arr[idx] if label_arr is not None else idx
+            return out
+
+        return ds.map_batches(assign, batch_format="pandas")
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()

@@ -77,19 +77,21 @@ def sketch_quantile(sketch: dict, q: float) -> float:
     return float(np.interp(target, mid, v))
 
 
-def grouped_quantile_sketch(
+def grouped_sketches(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
     *,
-    quantile: float = 0.5,
     k: int = 256,
     n_shards: int = 64,
 ) -> pd.DataFrame:
-    """Approximate grouped quantile via mergeable sketches: per-batch
+    """Per-group MERGED sketch table ``(key, sk, n)``: per-batch
     per-group partials (combiner), hash-shard exchange on the key,
-    per-shard merge, driver sees (key, q_value, n) only.  Exact while a
-    group's count <= k; error O(1/k) in rank beyond."""
+    per-shard merge — only one k-anchor sketch per GROUP reaches the
+    driver (group cardinality is the small dimension here — languages,
+    event types — never the row count).  Shared by
+    ``grouped_quantile_sketch`` and the ``grouped_rank_buckets`` sketch
+    route, which reads several quantiles from one sketch."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -105,18 +107,12 @@ def grouped_quantile_sketch(
         rows = []
         for key, grp in g.groupby(key_col):
             sk = merge_sketches(list(grp["sk"]), k)
-            rows.append(
-                {
-                    key_col: key,
-                    f"q{quantile}": sketch_quantile(sk, quantile),
-                    "n": int(sk["n"]),
-                }
-            )
+            rows.append({key_col: key, "sk": sk, "n": int(sk["n"])})
         if not rows:
             return pd.DataFrame(
                 {
                     key_col: g[key_col].iloc[:0],
-                    f"q{quantile}": pd.Series(dtype="float64"),
+                    "sk": pd.Series(dtype=object),
                     "n": pd.Series(dtype="int64"),
                 }
             )
@@ -135,6 +131,32 @@ def grouped_quantile_sketch(
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_quantile_sketch(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    quantile: float = 0.5,
+    k: int = 256,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Approximate grouped quantile via mergeable sketches (one merged
+    sketch per group through ``grouped_sketches``; driver reads the
+    quantile).  Exact while a group's count <= k; error O(1/k) in rank
+    beyond."""
+    merged = grouped_sketches(ds, key_col, value_col, k=k, n_shards=n_shards)
+    out = pd.DataFrame(
+        {
+            key_col: merged[key_col],
+            f"q{quantile}": pd.Series(
+                [sketch_quantile(s, quantile) for s in merged["sk"]], dtype="float64"
+            ).to_numpy(),
+            "n": merged["n"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -274,50 +296,97 @@ def approx_distinct_by(
 # error <= total_decrement <= n/(k+1).  Any value with true frequency
 # > n/(k+1) is guaranteed present.
 # ---------------------------------------------------------------------------
+def _mg_merge(df: pd.DataFrame, k: int) -> tuple[pd.Series, int]:
+    """Merge a pile of MG summary rows ``(v, c, __d)`` — ``__d`` rows
+    (v = NaN) carry upstream decrement totals — into one k-bounded
+    summary: ONE vectorized groupby sum, then at most one decrement
+    step (summed exact partials need only one (k+1)-th-largest cut to
+    re-bound, unlike the streaming variant's per-merge cuts).  Returns
+    (summary counts indexed by value, accumulated decrement).  MG
+    summaries are mergeable (Agarwal et al. 2012): each decrement of
+    d removes >= (k+1)*d stream weight, so the TOTAL decrement across
+    any merge tree is <= n/(k+1)."""
+    d_in = int(df["__d"].sum())
+    real = df[df["v"].notna()]
+    s = real.groupby("v")["c"].sum()
+    if len(s) > k:
+        cuts = np.sort(s.to_numpy())[::-1]
+        dec = int(cuts[k])  # the (k+1)-th largest
+        d_in += dec
+        s = s - dec
+        s = s[s > 0]
+    return s.astype("int64"), d_in
+
+
 def heavy_hitters(
     ds: rd.Dataset,
     col: str,
     *,
     k: int = 1024,
     top: int | None = None,
+    merge_batch_rows: int = 65536,
 ) -> pd.DataFrame:
     """(value, count_lb, count_ub) for the at-most-k tracked values,
-    count_lb descending.  Merge is the streaming Misra-Gries reduction:
-    sum per-batch exact counts into the summary; past k entries,
-    subtract the (k+1)-th largest count from everything and drop the
-    non-positive — the classic decrement step, applied per merge, keeps
-    the summary k-bounded and the total decrement (= the shared error
-    bound reported as count_ub - count_lb) <= n/(k+1).
+    count_lb descending.  Misra-Gries: per-batch exact counts collapse
+    through decrement steps ((k+1)-th largest subtracted, non-positive
+    dropped) that keep every summary k-bounded; the total decrement
+    (the shared error bound reported as count_ub - count_lb) is
+    <= n/(k+1).
 
-    Positioning: this is the ZERO-shuffle summary — per-batch combiner
-    rows stream through a fixed-size driver reduce (the auto_group_agg
-    driver-finish shape), no exchange at any scale.  When exact counts
-    over a corpus-scale value domain are required, that is
-    `sharded_group_agg` / `token_document_frequency`'s exchange, not a
-    sketch."""
+    Shape: per-batch combiner partials -> a MAP-SIDE merge layer
+    (``map_batches`` over ~``merge_batch_rows`` partial rows per task —
+    a tree reduce with NO exchange: summaries are mergeable, so
+    arbitrary stream partitions merge associatively) -> the driver
+    reduces the surviving k-bounded summaries (n_partial_rows /
+    merge_batch_rows of them, each <= k+1 rows) in one vectorized
+    groupby.  Still ZERO-shuffle at any scale, but the driver's serial
+    work is summary-sized, not stream-sized.  When exact counts over a
+    corpus-scale value domain are required, that is `sharded_group_agg`
+    / `token_document_frequency`'s exchange, not a sketch."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = b[col].value_counts()
-        return pd.DataFrame({"v": vc.index, "c": vc.to_numpy(dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "v": vc.index,
+                "c": vc.to_numpy(dtype=np.int64),
+                "__d": np.zeros(len(vc), dtype=np.int64),
+            }
+        )
 
-    acc: pd.Series | None = None
-    dec_total = 0
-    for batch in ds.select_columns([col]).map_batches(
-        partial, batch_format="pandas"
-    ).iter_batches(batch_format="pandas"):
-        # iter_batches may coalesce several block-partials into one batch,
-        # so a value can repeat WITHIN the batch — reduce before merging.
-        # Cast straight back to int64: Series.add(fill_value=) promotes
-        # to float64, whose 2^53 precision cliff has no place in counts.
-        s = batch.groupby("v")["c"].sum()
-        acc = s if acc is None else acc.add(s, fill_value=0).astype("int64")
-        if len(acc) > k:
-            cuts = np.sort(acc.to_numpy())[::-1]
-            dec = int(cuts[k])  # the (k+1)-th largest
-            dec_total += dec
-            acc = acc - dec
-            acc = acc[acc > 0]
-    if acc is None or not len(acc):
+    def merge_layer(b: pd.DataFrame) -> pd.DataFrame:
+        s, d = _mg_merge(b, k)
+        out = pd.DataFrame(
+            {
+                "v": s.index.to_numpy(dtype=object),
+                "c": s.to_numpy(dtype=np.int64),
+                "__d": np.zeros(len(s), dtype=np.int64),
+            }
+        )
+        if d:
+            # decrement marker row (v = None) — rides to the next merge
+            out = pd.concat(
+                [out, pd.DataFrame({"v": [None], "c": [0], "__d": [d]})],
+                ignore_index=True,
+            )
+        return out
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(merge_layer, batch_format="pandas", batch_size=merge_batch_rows)
+        .to_pandas()
+    )
+    if merged.empty:
+        return pd.DataFrame(
+            {
+                "v": pd.Series(dtype="object"),
+                "count_lb": pd.Series(dtype="int64"),
+                "count_ub": pd.Series(dtype="int64"),
+            }
+        )
+    acc, dec_total = _mg_merge(merged, k)
+    if not len(acc):
         return pd.DataFrame(
             {
                 "v": pd.Series(dtype="object"),

@@ -75,6 +75,7 @@ def curate_corpus(
     cut_dup_spans: bool = False,
     dup_span_width: int = 8,
     dup_span_min_count: int = 2,
+    scale_routes: bool = False,
 ) -> rd.Dataset:
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
@@ -95,7 +96,17 @@ def curate_corpus(
     granularity.  Tokenization is single-space split, so a window may
     span line boundaries via newline-bearing tokens — exact-content
     semantics either way; untouched documents round-trip
-    byte-identically (split(' ')/join(' ') is the identity)."""
+    byte-identically (split(' ')/join(' ') is the identity).
+
+    ``scale_routes=True`` forces every dedup stage onto its fully
+    DISTRIBUTED route — bucketed exact-dedup winners, Dataset-native
+    minhash pair verification, label-propagation clusters + bucketed
+    anti-join loser drop — so nothing corpus-growth-sized (winner map,
+    pair list, loser set) ever lands on the driver.  The default lets
+    the size-aware planners probe (``clusters="auto"`` on the
+    representative filter: driver union-find while the pair list fits,
+    the distributed chain past the threshold).  Routes are
+    equivalence-tested (same curated rows either way)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
     if strip_boilerplate:
@@ -112,11 +123,19 @@ def curate_corpus(
     # extraction chain runs 4x.  The pinned table is extracted text only
     # (a small fraction of input bytes); the object store spills if needed.
     docs = docs.materialize()
-    docs = exact_dedup(docs, "extracted_text", "url")
-    pairs = minhash_lsh_duplicates(
-        docs, "extracted_text", "url", threshold=near_dup_threshold
+    docs = exact_dedup(
+        docs, "extracted_text", "url", winners="bucketed" if scale_routes else "broadcast"
     )
-    docs = dedup_keep_representatives(docs, pairs, "url")
+    pairs = minhash_lsh_duplicates(
+        docs,
+        "extracted_text",
+        "url",
+        threshold=near_dup_threshold,
+        as_dataset=scale_routes,
+    )
+    docs = dedup_keep_representatives(
+        docs, pairs, "url", clusters="distributed" if scale_routes else "auto"
+    )
     if cut_dup_spans:
         # pin again: the span stage consumes the post-dedup docs 2-4x
         # (window counts + strip map; twice more on the bucketed route)

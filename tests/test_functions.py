@@ -174,6 +174,26 @@ class TestArabicTransliteration:
         for src, want in cases:
             assert tr(src) == want, (src, tr(src), want)
 
+    def test_sun_letter_assimilation_and_vocalization(self):
+        # round-4 rules (reference transliterate.ts:121-146 share):
+        # sun-letter assimilation, vocalized article, tanwin-on-alif
+        from ocr_platform_ray.functions.translit import transliterate_arabic as tr
+
+        cases = [
+            ("الشمس", "ash-shms"),         # unvocalized sun letter
+            ("اَلشَّمْس", "ash-shams"),    # vocalized + shadda geminate merge
+            ("الرَّحِيم", "ar-raḥīm"),     # r sun letter
+            ("النُّور", "an-nūr"),         # n sun letter
+            ("التِّين", "at-tīn"),         # t sun letter
+            ("القَمَر", "al-qamar"),       # moon letter: NO assimilation
+            ("اَلْكِتَاب", "al-kitāb"),    # fully vocalized article
+            ("ٱلْكِتَاب", "al-kitāb"),     # hamzat-wasl article seat
+            ("كِتَابًا", "kitāban"),       # tanwin on alif (sign-first)
+            ("كِتَاباً", "kitāban"),       # tanwin on alif (seat-first)
+        ]
+        for src, want in cases:
+            assert tr(src) == want, (src, tr(src), want)
+
     def test_latin_text_passthrough_and_canonical_compose(self):
         from ocr_platform_ray.functions.slug import canonicalize_translit_chars
         from ocr_platform_ray.functions.translit import transliterate_arabic as tr
