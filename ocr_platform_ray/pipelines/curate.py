@@ -26,6 +26,7 @@ from ..ops.dedup import (
     strip_repeated_paragraphs,
 )
 from ..ops.spans import strip_duplicated_spans
+from ..state.manifest import checkpoint_dataset
 from ..ops.textstats import LangId, add_text_stats
 from .extraction import extraction_pipeline
 
@@ -76,6 +77,7 @@ def curate_corpus(
     dup_span_width: int = 8,
     dup_span_min_count: int = 2,
     scale_routes: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
@@ -106,7 +108,17 @@ def curate_corpus(
     the size-aware planners probe (``clusters="auto"`` on the
     representative filter: driver union-find while the pair list fits,
     the distributed chain past the threshold).  Routes are
-    equivalence-tested (same curated rows either way)."""
+    equivalence-tested (same curated rows either way).
+
+    ``checkpoint_dir`` upgrades the chain's lineage pins to DURABLE
+    manifest-committed parquet checkpoints
+    (``state.manifest.checkpoint_dataset``): the gated-docs and
+    post-dedup stages each commit atomically, a SIGKILLed run resumes
+    at the last committed stage (byte-identical output, tested), and at
+    100 TB the pinned intermediate survives driver loss instead of
+    dying with the object store.  Use a fresh directory per input
+    corpus version — stage params are recorded and checked, input
+    identity is the caller's contract (same as run_with_manifest)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
     if strip_boilerplate:
@@ -122,7 +134,17 @@ def curate_corpus(
     # Datasets re-execute their lineage per consumption — without this the
     # extraction chain runs 4x.  The pinned table is extracted text only
     # (a small fraction of input bytes); the object store spills if needed.
-    docs = docs.materialize()
+    # With checkpoint_dir the pin is a durable parquet commit instead.
+    stage_params = {
+        "min_tokens": min_tokens,
+        "strip_boilerplate": strip_boilerplate,
+        "boilerplate_min_docs": boilerplate_min_docs,
+        "partitioned_input": partitioned_input,
+    }
+    if checkpoint_dir is not None:
+        docs = checkpoint_dataset(docs, checkpoint_dir, "gated", params=stage_params)
+    else:
+        docs = docs.materialize()
     docs = exact_dedup(
         docs, "extracted_text", "url", winners="bucketed" if scale_routes else "broadcast"
     )
@@ -136,12 +158,26 @@ def curate_corpus(
     docs = dedup_keep_representatives(
         docs, pairs, "url", clusters="distributed" if scale_routes else "auto"
     )
-    if cut_dup_spans:
+    if checkpoint_dir is not None:
+        # durable post-dedup commit: downstream consumers re-read
+        # parquet; a killed run resumes here
+        docs = checkpoint_dataset(
+            docs,
+            checkpoint_dir,
+            "deduped",
+            params={
+                **stage_params,
+                "near_dup_threshold": near_dup_threshold,
+                "scale_routes": scale_routes,
+            },
+        )
+    elif cut_dup_spans:
         # pin again: the span stage consumes the post-dedup docs 2-4x
         # (window counts + strip map; twice more on the bucketed route)
         # and each consumption would re-run the dedup filter lineage —
         # same hazard as the pin above
         docs = docs.materialize()
+    if cut_dup_spans:
         docs = strip_duplicated_spans(
             docs,
             "extracted_text",

@@ -141,6 +141,63 @@ def run_with_manifest(
     }
 
 
+def checkpoint_dataset(
+    ds: rd.Dataset,
+    root: str,
+    name: str,
+    *,
+    params: dict | None = None,
+) -> rd.Dataset:
+    """Stage-granularity checkpoint — the curation-chain analogue of the
+    partition manifest (same commit discipline: atomic tmp-dir rename +
+    a marker written last).  Writes the stage output ONCE to
+    ``<root>/<name>`` and hands back a ``read_parquet`` Dataset, so
+
+      * downstream consumptions re-read parquet instead of re-executing
+        the whole upstream lineage (the ``.materialize()`` lineage pin,
+        made DURABLE — at 100 TB a pinned object-store copy dies with
+        the job; a committed parquet checkpoint does not), and
+      * a killed run resumes at the last committed stage: a marker whose
+        ``params`` match means skip, anything else (missing marker, torn
+        write, changed params) recomputes.
+
+    ``params`` must capture every argument that shapes the stage's
+    OUTPUT; input-corpus identity is the caller's contract (use a fresh
+    ``root`` per corpus version, exactly like ``run_with_manifest``'s
+    output_dir).  Ragged list columns are frozen to per-row bytes for
+    the write and thawed on read (Ray tensor-extension parquet
+    round-trips are not stable); the dtype spec rides in the marker."""
+    from ..ops.relational import freeze_list_columns, thaw_list_columns
+
+    import numpy as np
+
+    d = os.path.join(root, name)
+    marker = os.path.join(root, name + ".json")
+    params = params or {}
+    if os.path.exists(marker) and os.path.isdir(d):
+        try:
+            with open(marker) as f:
+                m = json.load(f)
+        except json.JSONDecodeError:
+            m = None  # torn marker -> recompute
+        if m is not None and m.get("params") == params:
+            spec = {c: np.dtype(t) for c, t in m.get("spec", {}).items()}
+            return thaw_list_columns(rd.read_parquet(d), spec)
+    tmp = d + ".tmp"
+    for p in (tmp, d):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.makedirs(root, exist_ok=True)
+    frozen, spec = freeze_list_columns(ds)
+    frozen.write_parquet(tmp)
+    os.replace(tmp, d)  # atomic publish; marker committed last
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"params": params, "spec": {c: t.name for c, t in spec.items()}}, f)
+    os.replace(mtmp, marker)
+    return thaw_list_columns(rd.read_parquet(d), spec)
+
+
 def _fragment_contains(path: str, urls: set[str]) -> bool:
     """Check via parquet row-group statistics (no data read) whether a
     fragment could contain any of the urls."""

@@ -167,6 +167,109 @@ class TestFreezeThaw:
         assert spec == {} and same is ds
 
 
+class TestCurateCheckpointResume:
+    """checkpoint_dir: the curation chain's lineage pins become durable
+    manifest-committed parquet stages; a SIGKILLed run resumes at the
+    last committed stage and the final output is byte-identical to the
+    uncheckpointed chain."""
+
+    CHILD = """
+import ray, json, sys, hashlib
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+import ray.data as rd
+from ocr_platform_ray.corpus import make_pages_table
+from ocr_platform_ray.pipelines.curate import curate_corpus
+
+ckpt = sys.argv[1] if sys.argv[1] != "-" else None
+df = curate_corpus(
+    rd.from_arrow(make_pages_table(60)), min_tokens=5, cut_dup_spans=True,
+    checkpoint_dir=ckpt,
+).to_pandas().sort_values("url")
+h = hashlib.sha256()
+for r in df.itertuples():
+    h.update(f"{r.url}|{r.split}|{r.n_dups}|".encode())
+    h.update(r.extracted_text.encode())
+with open(sys.argv[2], "w") as f:
+    json.dump({"digest": h.hexdigest(), "n": len(df)}, f)
+ray.shutdown()
+"""
+
+    def _spawn(self, ckpt, result_path):
+        import subprocess
+        import sys
+
+        return subprocess.Popen(
+            [sys.executable, "-c", self.CHILD, ckpt or "-", result_path],
+            cwd="/tmp",
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def test_sigkill_resume_byte_identical(self, tmp_path, ray_session):
+        import json
+        import os
+        import signal
+        import time
+
+        ckpt = str(tmp_path / "ckpt")
+        want_file = str(tmp_path / "want.json")
+        got_file = str(tmp_path / "got.json")
+
+        # reference digest: the plain (uncheckpointed) chain
+        p = self._spawn(None, want_file)
+        assert p.wait(timeout=300) == 0
+        want = json.load(open(want_file))
+
+        # run WITH checkpoints; SIGKILL as soon as the first stage commits
+        p = self._spawn(ckpt, got_file)
+        gated_marker = os.path.join(ckpt, "gated.json")
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if os.path.exists(gated_marker):
+                break
+            if p.poll() is not None:
+                break
+            time.sleep(0.05)
+        assert os.path.exists(gated_marker), "gated stage never committed"
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=60)
+        assert not os.path.exists(got_file), "child finished before the kill"
+
+        gated_mtime = os.path.getmtime(os.path.join(ckpt, "gated"))
+
+        # resume: must skip the committed stage and finish byte-identical
+        p = self._spawn(ckpt, got_file)
+        assert p.wait(timeout=300) == 0
+        got = json.load(open(got_file))
+        assert got == want
+        # the committed stage was NOT recomputed
+        assert os.path.getmtime(os.path.join(ckpt, "gated")) == gated_mtime
+
+    def test_param_change_invalidates_checkpoint(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        ckpt = str(tmp_path / "ckpt")
+        a = curate_corpus(
+            rd.from_arrow(make_pages_table(40)), min_tokens=5, checkpoint_dir=ckpt
+        ).to_pandas()
+        # different gate params -> stale checkpoint must recompute, and the
+        # result must match a fresh uncheckpointed run with those params
+        b = curate_corpus(
+            rd.from_arrow(make_pages_table(40)), min_tokens=80, checkpoint_dir=ckpt
+        ).to_pandas()
+        c = curate_corpus(
+            rd.from_arrow(make_pages_table(40)), min_tokens=80
+        ).to_pandas()
+        assert sorted(b.url) == sorted(c.url)
+        assert len(b) != len(a)  # the new gate actually filtered differently
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestRankBucketsSketch:
     @staticmethod
