@@ -29,7 +29,8 @@ BENCH_URLS = int(os.environ.get("BENCH_URLS", "24000"))
 # per-task overhead dominates below ~1000 urls/task, and MORE shards were
 # strictly slower: 96->2.15s, 192->3.15s, 381->5.98s, 32->1.84s).
 # Includes the real-PDF url class (bump the version on generator change).
-CORPUS_DIR = f"/tmp/ocr_bench_corpus_v3_{BENCH_URLS}"
+# v4: PDF writer variants extended with LZWDecode + DCT-image pages.
+CORPUS_DIR = f"/tmp/ocr_bench_corpus_v4_{BENCH_URLS}"
 
 # queries worth timing (mix of shuffle-heavy, join, dedup, vector)
 BENCH_QUERIES = [

@@ -156,7 +156,7 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
         # genuine PDF byte stream (stages/pdf.py parses it): one article
         # page per row, writer variant alternating by page index; Arabic
         # text requires the CID/ToUnicode form (WinAnsi can't carry it)
-        variant = page_idx % 5
+        variant = page_idx % 7
         paras = [_words(rng, vocab, rng.randint(10, 18)) for _ in range(rng.randint(1, 3))]
         pdf = make_article_pdf(
             f"Chapter {page_idx + 1}",
@@ -166,6 +166,8 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
             use_objstm=variant in (1, 3),
             use_tm=variant in (2, 3),
             use_cid=is_ar or variant == 4,
+            use_lzw=variant == 5,
+            dct_image=variant == 6,
         )
         return pdf, _words(rng, vocab, 10), lang
 

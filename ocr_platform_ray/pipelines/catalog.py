@@ -127,6 +127,100 @@ def validate_splits(meta: rd.Dataset, pages_per_url: pd.DataFrame) -> pd.DataFra
     return bad.reset_index(drop=True)
 
 
+def merge_documents(
+    docs: rd.Dataset,
+    plan: pd.DataFrame,
+    *,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """PDF merge + ``splitsData`` builder — the batch rendering of the
+    reference's multi-volume merge (apps/web/src/hooks/useMergePdf.ts:5-28):
+    concatenate N PARSED source documents per plan row into one merged
+    document and emit the ``[{start, end}]`` page-span lineage the
+    reference builds while copying pages (1-based inclusive, per source,
+    exactly its splitsData shape).  Round-trips ``validate_splits``.
+
+    ``plan`` columns: ``merged_url`` (output document id), ``url``
+    (source volume), ``seq`` (volume order).  Returns ONLY the merged
+    documents (union with untouched docs is the caller's choice), with
+    the extraction schema plus ``splits``:
+
+      * extracted_text — sources joined with the page separator, so the
+        merged text is byte-identical to extracting the concatenated
+        volume (page-count conservation is property-tested)
+      * n_pages / total_words / n_failed_pages summed; page_numbers
+        concatenated; page_offsets rebased to merged-text byte offsets
+      * splits — [{"start": s, "end": e}] per source volume
+
+    Ray shape: the plan is a dimension table (one row per VOLUME, not
+    per page) -> broadcast tag map-side; ONE merged-url hash-shard
+    exchange co-locates each merged document's volumes; per-shard
+    assembly is a single pass over (merged_url, seq)-sorted rows (the
+    ``_docs_from_block`` pattern).  Partitioning assumption: one merged
+    document's volumes fit one shard — volumes per book are few by
+    construction."""
+    import ray
+
+    from ..stages.reassemble import PAGE_SEP
+    from ..state.broadcast import cached_get
+
+    need = {"merged_url", "url", "seq"}
+    if not need <= set(plan.columns):
+        raise ValueError(f"plan needs columns {sorted(need)}")
+    plan_ref = ray.put(plan[["merged_url", "url", "seq"]])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        p = cached_get(plan_ref)
+        out = b.merge(p, on="url", how="inner")
+        out["__shard"] = (
+            pd.util.hash_array(out["merged_url"].to_numpy()) % n_shards
+        ).astype("int64")
+        return out
+
+    sep_bytes = len(PAGE_SEP.encode("utf-8"))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["merged_url", "seq"], kind="mergesort")
+        o_url, o_text, o_np, o_tw, o_pn, o_nf, o_off, o_splits = ([] for _ in range(8))
+        for murl, grp in g.groupby("merged_url", sort=False):
+            texts = list(grp["extracted_text"])
+            o_url.append(murl)
+            o_text.append(PAGE_SEP.join(texts))
+            o_np.append(int(grp["n_pages"].sum()))
+            o_tw.append(int(grp["total_words"].sum()))
+            o_nf.append(int(grp["n_failed_pages"].sum()))
+            o_pn.append(
+                np.concatenate([np.asarray(p, dtype=np.int32) for p in grp["page_numbers"]])
+            )
+            offs, splits = [], []
+            shift, page_cursor = 0, 0
+            for text, src_off, n_p in zip(texts, grp["page_offsets"], grp["n_pages"]):
+                offs.append(np.asarray(src_off, dtype=np.int64) + shift)
+                shift += len(text.encode("utf-8")) + sep_bytes
+                splits.append({"start": page_cursor + 1, "end": page_cursor + int(n_p)})
+                page_cursor += int(n_p)
+            o_off.append(np.concatenate(offs) if offs else np.zeros(0, dtype=np.int64))
+            o_splits.append(splits)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(o_url, dtype="object"),
+                "extracted_text": pd.Series(o_text, dtype="object"),
+                "n_pages": pd.Series(o_np, dtype="int64"),
+                "total_words": pd.Series(o_tw, dtype="int64"),
+                "page_numbers": pd.Series(o_pn, dtype="object"),
+                "n_failed_pages": pd.Series(o_nf, dtype="int64"),
+                "page_offsets": pd.Series(o_off, dtype="object"),
+                "splits": pd.Series(o_splits, dtype="object"),
+            }
+        )
+
+    return (
+        docs.map_batches(tag, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 def merge_with_previous(new_meta: rd.Dataset, prev_meta: rd.Dataset) -> rd.Dataset:
     """M15 version-normalizer semantics (book-versions.ts:59-145): when a
     record's url is unchanged from the previous run, carry forward the

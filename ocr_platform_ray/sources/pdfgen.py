@@ -29,6 +29,59 @@ def _esc(s: str) -> bytes:
     )
 
 
+def lzw_compress(data: bytes, early: int = 1) -> bytes:
+    """Independent LZW ENCODER (ISO 32000-1 §7.4.4, EarlyChange default)
+    for fixture streams — own table/width logic so the round-trip test
+    against ``stages/pdf._lzw_decode`` cannot pass through a shared bug."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # clear table
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # decoder grows its width when its table hits 2^width - early;
+        # its table lags this encoder's next_code by exactly one entry
+        if next_code - 1 >= (1 << width) - early and width < 12:
+            width += 1
+        w = c
+        if next_code >= (1 << 12) - early:
+            # 12-bit table exhausted: clear and restart (spec behavior)
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# deterministic junk "JPEG" for DCTDecode image XObjects: a real SOI/EOI
+# envelope around noise — the parser must SKIP it (unsupported image
+# codec), not fail the page
+_FAKE_JPEG = bytes.fromhex("ffd8ffe000104a46494600") + bytes(range(256)) * 4 + bytes.fromhex("ffd9")
+
+
 class _PdfBuilder:
     def __init__(self):
         self.objects: dict[int, bytes] = {}
@@ -48,8 +101,13 @@ class _PdfBuilder:
     def set(self, n: int, body: bytes) -> None:
         self.objects[n] = body
 
-    def stream_obj(self, dict_extra: bytes, data: bytes, *, compress: bool = True) -> int:
-        if compress:
+    def stream_obj(
+        self, dict_extra: bytes, data: bytes, *, compress: bool = True, use_lzw: bool = False
+    ) -> int:
+        if use_lzw:
+            data = lzw_compress(data)
+            filt = b"/Filter /LZWDecode "
+        elif compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
         else:
@@ -179,6 +237,8 @@ def make_pdf(
     use_tm: bool = False,
     use_cid: bool = False,
     use_form_xobj: bool = False,
+    use_lzw: bool = False,
+    dct_image: bool = False,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
     ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
@@ -195,7 +255,12 @@ def make_pdf(
     ``use_form_xobj=True`` moves the second half of each page's items
     into a /Form XObject painted via ``/Fx1 Do`` (the header/footer/
     letterhead shape word processors emit) — readable back only if the
-    parser executes XObject streams."""
+    parser executes XObject streams.
+
+    ``use_lzw=True`` LZW-encodes the content streams (legacy writers);
+    ``dct_image=True`` embeds a DCTDecode image XObject painted before
+    the text on every page (the scanned-book shape) — the parser must
+    salvage the page's text around the undecodable image, not fail."""
     b = _PdfBuilder()
     if use_cid:
         chars = sorted({ch for items in pages for it in items for ch in it["text"]})
@@ -254,6 +319,15 @@ def make_pdf(
         ops.append(b"ET")
         return ops
 
+    image = None
+    if dct_image:
+        image = b.add(
+            b"<< /Type /XObject /Subtype /Image /Width 32 /Height 32 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length " + str(len(_FAKE_JPEG)).encode() + b" >>\nstream\n"
+            + _FAKE_JPEG
+            + b"\nendstream"
+        )
     kids = []
     for items in pages:
         if use_form_xobj and len(items) > 1:
@@ -262,7 +336,12 @@ def make_pdf(
         else:
             page_items, form_items = items, []
         ops = text_ops(page_items)
-        xobj_res = b""
+        xobjs: list[bytes] = []
+        if image is not None:
+            # paint the image BEFORE the text so the interpreter must
+            # pass over the undecodable XObject and keep going
+            ops.insert(0, b"q 150 0 0 150 400 80 cm /Im1 Do Q")
+            xobjs.append(b"/Im1 " + str(image).encode() + b" 0 R")
         if form_items:
             form = b.stream_obj(
                 b"/Type /XObject /Subtype /Form /BBox [0 0 "
@@ -274,8 +353,9 @@ def make_pdf(
                 compress=compress,
             )
             ops.append(b"/Fx1 Do")
-            xobj_res = b"/XObject << /Fx1 " + str(form).encode() + b" 0 R >> "
-        content = b.stream_obj(b"", b"\n".join(ops), compress=compress)
+            xobjs.append(b"/Fx1 " + str(form).encode() + b" 0 R")
+        xobj_res = (b"/XObject << " + b" ".join(xobjs) + b" >> ") if xobjs else b""
+        content = b.stream_obj(b"", b"\n".join(ops), compress=compress, use_lzw=use_lzw)
         page = b.add(
             b"<< /Type /Page /Parent "
             + str(pages_root).encode()
@@ -312,6 +392,8 @@ def make_article_pdf(
     use_tm: bool = False,
     use_cid: bool = False,
     use_form_xobj: bool = False,
+    use_lzw: bool = False,
+    dct_image: bool = False,
     compress: bool = True,
 ) -> bytes:
     """One-page article layout: heading (large font), body paragraphs
@@ -340,7 +422,8 @@ def make_article_pdf(
         items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
     return make_pdf(
         [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid,
-        use_form_xobj=use_form_xobj, compress=compress,
+        use_form_xobj=use_form_xobj, use_lzw=use_lzw, dct_image=dct_image,
+        compress=compress,
     )
 
 

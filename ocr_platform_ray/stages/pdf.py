@@ -220,19 +220,69 @@ def _inflate_salvage(raw: bytes) -> bytes:
         raise
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000-1 §7.4.4 — TIFF-style variable-width LZW):
+    9..12-bit codes MSB-first, 256 = clear-table, 257 = EOD; code width
+    grows one bit early per /EarlyChange (default 1).  Scalar loop — LZW
+    appears in legacy text streams only, never in hot batch paths."""
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    width = 9
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                raise ValueError("pdf: corrupt LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << width) - early and width < 12:
+                width += 1  # EarlyChange: grow one code early (default)
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes) -> bytes:
     filt = d.get("Filter")
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
-    for f in filters:
+    parms_all = d.get("DecodeParms")
+    parms_list = (
+        parms_all
+        if isinstance(parms_all, list)
+        else [parms_all] * len(filters)
+    )
+    for f, parms in zip(filters, parms_list):
         if f == "FlateDecode":
             raw = _inflate_salvage(raw)
+        elif f == "LZWDecode":
+            early = parms.get("EarlyChange", 1) if isinstance(parms, dict) else 1
+            raw = _lzw_decode(raw, early)
         else:
+            # image codecs (DCTDecode/JPXDecode/CCITT/JBIG2) and exotic
+            # text filters: the OBJECT survives with sdata=None — pages
+            # salvage the text around such XObjects instead of failing
             raise ValueError(f"pdf: unsupported filter {f}")
-    parms = d.get("DecodeParms")
-    if isinstance(parms, dict) and parms.get("Predictor", 1) > 1:
-        raw = _png_unpredict(raw, parms)
+        if isinstance(parms, dict) and parms.get("Predictor", 1) > 1:
+            raw = _png_unpredict(raw, parms)
     return raw
 
 

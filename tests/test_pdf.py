@@ -515,3 +515,52 @@ class TestGolden:
 
 
 GOLDEN_SHA = "cdebf55552676d6243a8a80e571aafc40df789270af33a44a6c37ef81428a585"
+
+
+class TestLzwAndImageSalvage:
+    """Round-4 filter coverage: LZWDecode text streams (ISO 32000-1
+    §7.4.4) and text salvage around DCTDecode image XObjects."""
+
+    def test_lzw_decoder_known_answer(self):
+        # hand-derived from the public algorithm: "ABABABA" encodes to
+        # codes (256, 65, 66, 258, 260, 257), all 9-bit MSB-first
+        from ocr_platform_ray.stages.pdf import _lzw_decode
+
+        kat = bytes([0x80, 0x10, 0x48, 0x50, 0x28, 0x24, 0x04])
+        assert _lzw_decode(kat) == b"ABABABA"
+
+    def test_lzw_roundtrip_independent_encoder(self):
+        # fixture encoder and parser decoder are deliberately independent
+        # implementations; cover width growth 9->12 and the table-clear
+        import random
+
+        from ocr_platform_ray.sources.pdfgen import lzw_compress
+        from ocr_platform_ray.stages.pdf import _lzw_decode
+
+        random.seed(3)
+        blobs = [
+            b"",
+            b"A",
+            b"AAAAABBBBB" * 3,
+            bytes(random.randrange(256) for _ in range(60000)),
+            ("the quick brown fox " * 800).encode(),
+            bytes(range(256)) * 40,
+        ]
+        for blob in blobs:
+            assert _lzw_decode(lzw_compress(blob)) == blob
+
+    def test_lzw_and_dct_pages_extract_byte_identical(self):
+        from ocr_platform_ray.stages.pdf import pdf_page_count
+
+        paras = ["hello world paragraph body text here comes more prose"]
+        base = extract_page(make_article_pdf("Chapter 1", paras, page_number=1), "")
+        for kw in (
+            {"use_lzw": True},
+            {"dct_image": True},
+            {"use_lzw": True, "dct_image": True},
+        ):
+            pdf = make_article_pdf("Chapter 1", paras, page_number=1, **kw)
+            r = extract_page(pdf, "")
+            assert r["failed_stage"] is None, kw
+            assert r["body"] == base["body"] and r["header"] == base["header"], kw
+            assert pdf_page_count(pdf) == 1

@@ -167,6 +167,101 @@ class TestFreezeThaw:
         assert spec == {} and same is ds
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestMergeDocuments:
+    """PDF merge + splitsData builder (reference useMergePdf.ts:5-28)."""
+
+    @staticmethod
+    def _docs():
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.extraction import extraction_pipeline
+
+        return (
+            extraction_pipeline(rd.from_arrow(make_pages_table(40)))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    def test_merge_splits_and_conservation(self):
+        from ocr_platform_ray.pipelines.catalog import merge_documents, validate_splits
+        from ocr_platform_ray.stages.reassemble import PAGE_SEP
+
+        docs = self._docs()
+        vols = list(docs["url"].iloc[:6])
+        plan = pd.DataFrame(
+            {
+                "merged_url": ["m://book1"] * 3 + ["m://book2"] * 3,
+                "url": vols,
+                "seq": [0, 1, 2, 0, 1, 2],
+            }
+        )
+        merged_ds = merge_documents(rd.from_pandas(docs), plan)
+        merged = merged_ds.to_pandas().sort_values("url").reset_index(drop=True)
+        assert list(merged["url"]) == ["m://book1", "m://book2"]
+        src = docs.set_index("url")
+        for murl, group in plan.groupby("merged_url"):
+            row = merged[merged["url"] == murl].iloc[0]
+            parts = [src.loc[u] for u in group.sort_values("seq")["url"]]
+            # text = sources joined with the page separator (byte-identical
+            # to extracting the concatenated volume)
+            assert row["extracted_text"] == PAGE_SEP.join(p["extracted_text"] for p in parts)
+            # page-count conservation: splits cover exactly [1, n_pages]
+            assert row["n_pages"] == sum(p["n_pages"] for p in parts)
+            spans = row["splits"]
+            assert spans[0]["start"] == 1
+            assert spans[-1]["end"] == row["n_pages"]
+            for a, b in zip(spans, spans[1:]):
+                assert b["start"] == a["end"] + 1
+            # one offset per page, all within the text, strictly increasing
+            offs = np.asarray(row["page_offsets"])
+            assert len(offs) == row["n_pages"]
+            assert (np.diff(offs) > 0).all()
+            assert offs[-1] < len(row["extracted_text"].encode())
+            # rebased offsets slice back to each source's first page text
+            first_pages = [
+                p["extracted_text"].split(PAGE_SEP)[0].encode() for p in parts
+            ]
+            text_b = row["extracted_text"].encode()
+            cursor = 0
+            for p, fp in zip(parts, first_pages):
+                start = int(offs[cursor])
+                assert text_b[start : start + len(fp)] == fp
+                cursor += int(p["n_pages"])
+        # validate_splits round trip: zero violations
+        pages_per_url = merged[["url", "n_pages"]]
+        meta = merged[["url", "splits"]]
+        bad = validate_splits(rd.from_pandas(meta), pages_per_url)
+        assert bad.empty
+
+    def test_page_count_conservation_property(self):
+        # randomized plans over the whole corpus: merged page totals always
+        # equal source totals and validate_splits never fires
+        from ocr_platform_ray.pipelines.catalog import merge_documents, validate_splits
+
+        docs = self._docs()
+        rng = np.random.RandomState(5)
+        urls = list(docs["url"])
+        rng.shuffle(urls)
+        rows = []
+        i = 0
+        b = 0
+        while i < len(urls):
+            size = int(rng.randint(1, 5))
+            for s, u in enumerate(urls[i : i + size]):
+                rows.append({"merged_url": f"m://b{b}", "url": u, "seq": s})
+            i += size
+            b += 1
+        plan = pd.DataFrame(rows)
+        merged = merge_documents(rd.from_pandas(docs), plan).to_pandas()
+        assert merged["n_pages"].sum() == docs["n_pages"].sum()
+        assert merged["total_words"].sum() == docs["total_words"].sum()
+        bad = validate_splits(
+            rd.from_pandas(merged[["url", "splits"]]), merged[["url", "n_pages"]]
+        )
+        assert bad.empty
+
+
 class TestCurateCheckpointResume:
     """checkpoint_dir: the curation chain's lineage pins become durable
     manifest-committed parquet stages; a SIGKILLed run resumes at the
