@@ -108,10 +108,12 @@ def run_once() -> dict:
         trials.append(time.monotonic() - t0)
     extract_s = min(trials)
 
-    # ---- query suite over SF_DIR (best of 2 per query — same noisy-host
-    # methodology as the headline's best-of-3: min isolates steady-state
-    # from transient shared-host load).  Scaling children skip it: the
-    # scaling criterion is about the headline pipeline ----------------------
+    # ---- query suite over SF_DIR (TRACKED slice best of 3, extras best
+    # of 2 — same noisy-host methodology as the headline: min isolates
+    # steady-state from transient shared-host load; r3's driver snapshot
+    # read flat purely from neighbor load on code-unchanged queries).
+    # Scaling children skip it: the scaling criterion is about the
+    # headline pipeline --------------------------------------------------
     q_times: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES"):
         ray.shutdown()
@@ -139,7 +141,7 @@ def run_once() -> dict:
         return round(best, 3)
 
     for name in BENCH_QUERIES:
-        q_times[name] = _best_of(2, name)
+        q_times[name] = _best_of(3, name)
 
     # round-2/3 operator additions, best-of-2 (informational — separate
     # from the tracked queries_total_s series; single-shot readings were

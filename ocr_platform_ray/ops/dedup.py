@@ -79,19 +79,18 @@ def exact_dedup(
 
     # materialized: consumed twice (winner aggregate + winner filter) and a
     # lazy Dataset would re-execute its whole lineage per consumption
-    from .relational import sharded_group_agg
+    from .relational import auto_group_agg, sharded_group_agg
 
     hashed = ds.map_batches(add_hash, batch_format="pandas").materialize()
     # winner reduce over an id-only projection — the exchange moves
     # (hash, id, count) partials, never the content column; the shard
     # exchange beats Ray's native single-key aggregate ~2x here (measured
     # 0.9 s vs 2.0 s warm at sf0.1)
-    winners_ds = sharded_group_agg(
-        hashed.select_columns(["__h", id_col, "n_dups"]),
-        ["__h"],
-        {"__min_id": (id_col, "min"), "__n": ("n_dups", "sum")},
-    )
+    winner_aggs = {"__min_id": (id_col, "min"), "__n": ("n_dups", "sum")}
     if winners == "bucketed":
+        winners_ds = sharded_group_agg(
+            hashed.select_columns(["__h", id_col, "n_dups"]), ["__h"], winner_aggs
+        )
         # distributed winner application: join the winner table back on
         # the content hash (bucketed exchange), keep rows whose id IS the
         # group minimum — no driver-held winner map.  List columns (span
@@ -110,7 +109,14 @@ def exact_dedup(
             joined.map_batches(keep_bucketed, batch_format="pandas"), spec
         )
 
-    winners = winners_ds.to_pandas()
+    # broadcast route: size-aware FINISH (auto_group_agg) — the combined
+    # partials usually fit the driver probe at which point one vectorized
+    # groupby replaces the ~1.3-2 s AllToAll exchange floor; past the
+    # threshold the same call plans the hash-shard exchange
+    win = auto_group_agg(
+        hashed.select_columns(["__h", id_col, "n_dups"]), ["__h"], winner_aggs
+    )
+    winners = win if isinstance(win, pd.DataFrame) else win.to_pandas()
     win_ref = ray.put(
         (
             pd.Series(winners["__min_id"].to_numpy(), index=winners["__h"].to_numpy()),

@@ -221,6 +221,157 @@ def build_ivf_index(
     return centroids
 
 
+def _assign_cells(ds: rd.Dataset, centroids: np.ndarray, emb_col: str) -> rd.Dataset:
+    """Map-only cell assignment against broadcast centroids (shared by the
+    one-shot build and the incremental indexer).  Embeddings are stored as
+    plain list<double> — ndarray cells would round-trip as Ray's tensor
+    extension type, which reads back unreliably across blocks."""
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cent = cached_get(cent_ref)
+        m = _as_matrix(batch[emb_col])
+        out = batch.copy()
+        out[emb_col] = [np.asarray(v, dtype=np.float64).tolist() for v in batch[emb_col]]
+        out["cell"] = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def _index_units(src_dir: str) -> list[tuple[str, list[str], str]]:
+    """Source units for incremental indexing: a ``run_with_manifest``
+    output contributes one unit per committed ``part-*`` directory
+    (fingerprint = its manifest's rows+url_crc32 — exact under redo);
+    a plain parquet directory contributes one unit per fragment file
+    (fingerprint = file size)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    units: list[tuple[str, list[str], str]] = []
+    part_dirs = sorted(_glob.glob(os.path.join(src_dir, "part-*")))
+    part_dirs = [d for d in part_dirs if os.path.isdir(d) and not d.endswith(".tmp")]
+    if part_dirs:
+        for d in part_dirs:
+            name = os.path.basename(d)
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            mpath = os.path.join(src_dir, "_manifest", name + ".json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    m = _json.load(f)
+                fp = f"crc:{m.get('url_crc32')}:rows:{m.get('rows')}"
+            else:
+                fp = "sizes:" + ",".join(str(os.path.getsize(f)) for f in files)
+            units.append((name, files, fp))
+        return units
+    for f in sorted(_glob.glob(os.path.join(src_dir, "*.parquet"))):
+        units.append(
+            (os.path.splitext(os.path.basename(f))[0], [f], f"size:{os.path.getsize(f)}")
+        )
+    return units
+
+
+def index_new_partitions(
+    src_dir: str,
+    index_dir: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+) -> dict:
+    """Incremental IVF index maintenance — the batch rendering of the
+    reference's per-ingest search reindex (apps/web/src/lib/
+    usul-pipeline.ts:187-204): instead of notifying an indexer per
+    document, each call indexes exactly the source partitions that are
+    NEW or CHANGED since the last call (redo'd partitions re-index; the
+    fingerprint comes from the source's own manifest when present) and
+    atomically publishes one cell-partitioned subtree per source
+    partition under ``<index_dir>/parts/<unit>/cell=N/``.
+
+    Centroids train ONCE on the first call and FREEZE (standard IVF
+    discipline — incremental adds assign against the existing centroids,
+    so committed cells are never invalidated; retrain = build a fresh
+    index directory).  ``knn_ivf_persisted`` probes the incremental
+    layout with the same cell pruning.  Composes with
+    ``state.manifest.run_with_manifest`` outputs directly."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+
+    units = _index_units(src_dir)
+    man_dir = os.path.join(index_dir, "_manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    done: dict[str, str] = {}
+    for p in _glob.glob(os.path.join(man_dir, "*.json")):
+        try:
+            with open(p) as f:
+                m = _json.load(f)
+            done[m["unit"]] = m["fingerprint"]
+        except (_json.JSONDecodeError, KeyError):
+            continue
+    new = [
+        (name, files, fp)
+        for name, files, fp in units
+        if done.get(name) != fp
+        or not os.path.isdir(os.path.join(index_dir, "parts", name))
+    ]
+
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cpath):
+        centroids = np.load(cpath)
+    else:
+        if not units:
+            raise ValueError(f"index_new_partitions: no source units in {src_dir}")
+        all_files = [f for _, files, _ in units for f in files]
+        centroids = train_ivf_centroids(
+            rd.read_parquet(all_files, columns=[id_col, emb_col]),
+            emb_col=emb_col,
+            n_cells=n_cells,
+        )
+        np.save(cpath, centroids)
+
+    rows = 0
+    for name, files, fp in new:
+        ds = rd.read_parquet(files, columns=[id_col, emb_col])
+        assigned = _assign_cells(ds, centroids, emb_col)
+        dest = os.path.join(index_dir, "parts", name)
+        tmp = dest + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        assigned.write_parquet(tmp, partition_cols=["cell"])
+        if os.path.exists(dest):  # redo: replace the old subtree
+            old = dest + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(dest, old)
+            os.rename(tmp, dest)
+            shutil.rmtree(old)
+        else:
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(tmp, dest)
+        # rows counted from fragment metadata (no data read)
+        import pyarrow.parquet as pq
+
+        unit_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True)
+        )
+        rows += unit_rows
+        mpath = os.path.join(man_dir, name + ".json")
+        with open(mpath + ".tmp", "w") as f:
+            _json.dump({"unit": name, "fingerprint": fp, "rows": unit_rows}, f)
+        os.replace(mpath + ".tmp", mpath)
+    return {
+        "units": len(units),
+        "indexed": len(new),
+        "skipped": len(units) - len(new),
+        "rows_indexed": rows,
+    }
+
+
 def knn_ivf_persisted(
     index_dir: str,
     queries: np.ndarray,
@@ -250,7 +401,13 @@ def knn_ivf_persisted(
     files = [
         f
         for c in probe_cells
-        for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+        for pat in (
+            os.path.join(index_dir, f"cell={c}", "*.parquet"),
+            # incremental layout (index_new_partitions): one subtree per
+            # source partition, same cell pruning
+            os.path.join(index_dir, "parts", "*", f"cell={c}", "*.parquet"),
+        )
+        for f in sorted(_glob.glob(pat))
     ]
     if not files:
         return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
