@@ -1771,6 +1771,42 @@ def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_users_approx": [approx_distinct(ev, "user_id")]})
 
 
+def q_merge_volumes(sf_dir: str) -> pd.DataFrame:
+    """Multi-volume PDF merge with splitsData lineage (reference
+    useMergePdf.ts:5-28; rows-only — the merge of parsed PDFs has no SQL
+    analogue): parse the corpus' single-page volumes, merge every 3
+    consecutive documents into one book, emit per-source [{start,end}]
+    page spans.  Page-count conservation + splits coverage are pinned by
+    pytest (TestMergeDocuments) and re-asserted here in-query so the
+    driver's rows-only check still exercises the invariant."""
+    from ..corpus import make_pages_table
+    from .catalog import merge_documents, validate_splits
+    from .extraction import extraction_pipeline
+
+    docs = extraction_pipeline(rd.from_arrow(make_pages_table(60))).materialize()
+    urls = sorted(r["url"] for r in docs.select_columns(["url"]).take_all())
+    plan = pd.DataFrame(
+        {
+            "merged_url": [f"merged://book{i // 3}" for i in range(len(urls))],
+            "url": urls,
+            "seq": [i % 3 for i in range(len(urls))],
+        }
+    )
+    merged = merge_documents(docs, plan).to_pandas()
+    bad = validate_splits(
+        rd.from_pandas(merged[["url", "splits"]]), merged[["url", "n_pages"]]
+    )
+    if not bad.empty:
+        raise AssertionError(f"splits/page-count mismatch for {list(bad['url'])}")
+    out = merged.copy()
+    out["n_volumes"] = out["splits"].map(len)
+    out["splits"] = out["splits"].map(
+        lambda s: ";".join(f"{r['start']}-{r['end']}" for r in s)
+    )
+    out = out[["url", "n_pages", "total_words", "n_volumes", "splits"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries heavy hitters over every whitespace token of the
     documents corpus — most-frequent-vocabulary WITHOUT a token shuffle
@@ -1898,6 +1934,7 @@ QUERIES = {
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "approx_distinct_users": q_approx_distinct_users,
     "top_tokens_sketch": q_top_tokens_sketch,
+    "merge_volumes": q_merge_volumes,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
