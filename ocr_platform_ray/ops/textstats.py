@@ -399,3 +399,210 @@ def token_document_frequency(
     if isinstance(reduced, pd.DataFrame):
         return reduced[reduced["df"] >= min_df].reset_index(drop=True)
     return reduced.map_batches(lambda b: b[b["df"] >= min_df], batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-filter rule bundle (Rae et al. 2021, arXiv:2112.11446
+# Appendix A1.1 — the published web-text document filters)
+# --------------------------------------------------------------------------
+# Signals the existing add_text_stats/add_repetition_stats don't cover,
+# with the exact published thresholds as a map-only gate.  Every signal is
+# an RE2 kernel (pyarrow.compute) over the batch — DuckDB's regex engine
+# is RE2 too, so each column is SQL-mirrorable pattern-for-pattern
+# (regexp_extract_all / list_filter), the `gopher_quality` tail oracle.
+
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_SYMBOL_PAT = r"#|\.\.\.|…"
+_GOPHER_BULLET_PAT = r"^\s*[•‣▪*-]"
+_GOPHER_ELLIPSIS_PAT = r"(\.\.\.|…)\s*$"
+
+# published thresholds (Rae 2021 A1.1); dup_line_frac's 0.30 is from the
+# repetition table of the same appendix
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_required_words": 2,
+    "max_dup_line_frac": 0.30,
+}
+
+
+def _per_row_fracs(list_arr, flat_bool, n_rows):
+    """Fraction of true flags per list row (offsets + cumsum — the
+    stopword_ratio pattern)."""
+    offs = list_arr.offsets.to_numpy().astype(np.int64) - list_arr.offsets[0].as_py()
+    cums = np.concatenate([[0], np.cumsum(flat_bool.astype(np.int64))])
+    per_row = cums[offs[1:]] - cums[offs[:-1]]
+    counts = offs[1:] - offs[:-1]
+    return per_row, counts
+
+
+def add_gopher_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append the Gopher document-quality signals:
+
+      n_words             — RE2 ``\\S+`` token count
+      mean_word_len_ws    — mean character length over those tokens
+      symbol_word_ratio   — (# + ellipsis occurrences) / n_words
+      bullet_line_frac    — lines starting with a bullet glyph
+      ellipsis_line_frac  — lines ending with an ellipsis
+      alpha_word_frac     — words containing at least one letter
+      n_required_words    — how many of Gopher's 8 English function
+                            words appear (whole-word, case-folded)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+
+        # words: split on \s+ runs then drop empties (a leading/trailing
+        # whitespace leaves empty segments) — elementwise equal to DuckDB
+        # regexp_extract_all(text, '\S+'), RE2 on both engines
+        toks = pc.split_pattern_regex(col, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = flat_len > 0
+        offs = toks.offsets.to_numpy().astype(np.int64) - toks.offsets[0].as_py()
+        c_cnt = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        c_len = np.concatenate([[0], np.cumsum(flat_len)])
+        n_words = c_cnt[offs[1:]] - c_cnt[offs[:-1]]
+        sum_len = c_len[offs[1:]] - c_len[offs[:-1]]  # empties add 0
+        mean_wl = sum_len / np.maximum(n_words, 1).astype(np.float64)
+
+        alpha = pc.match_substring_regex(flat, pattern=r"\p{L}").to_numpy(
+            zero_copy_only=False
+        )
+        a_c = np.concatenate([[0], np.cumsum(alpha.astype(np.int64))])
+        alpha_per_row = a_c[offs[1:]] - a_c[offs[:-1]]
+        alpha_frac = alpha_per_row / np.maximum(n_words, 1).astype(np.float64)
+
+        n_sym = pc.count_substring_regex(col, pattern=_GOPHER_SYMBOL_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        sym_ratio = n_sym / np.maximum(n_words, 1).astype(np.float64)
+
+        lines = pc.split_pattern(col, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lflat = lines.flatten()
+        bullet = pc.match_substring_regex(lflat, pattern=_GOPHER_BULLET_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        ell = pc.match_substring_regex(lflat, pattern=_GOPHER_ELLIPSIS_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        b_per, l_cnt = _per_row_fracs(lines, bullet, n)
+        e_per, _ = _per_row_fracs(lines, ell, n)
+        bullet_frac = b_per / np.maximum(l_cnt, 1).astype(np.float64)
+        ell_frac = e_per / np.maximum(l_cnt, 1).astype(np.float64)
+
+        low = pc.utf8_lower(col)
+        req = np.zeros(n, dtype=np.int64)
+        for w in _GOPHER_REQUIRED:
+            hit = pc.match_substring_regex(low, pattern=rf"\b{w}\b").to_numpy(
+                zero_copy_only=False
+            )
+            req += hit.astype(np.int64)
+
+        out = batch
+        for name, arr in (
+            ("n_words", pa.array(n_words, pa.int64())),
+            ("mean_word_len_ws", pa.array(mean_wl, pa.float64())),
+            ("symbol_word_ratio", pa.array(sym_ratio, pa.float64())),
+            ("bullet_line_frac", pa.array(bullet_frac, pa.float64())),
+            ("ellipsis_line_frac", pa.array(ell_frac, pa.float64())),
+            ("alpha_word_frac", pa.array(alpha_frac, pa.float64())),
+            ("n_required_words", pa.array(req, pa.int64())),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def gopher_quality_gate(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    thresholds: dict | None = None,
+    filter_rows: bool = False,
+) -> rd.Dataset:
+    """The Gopher rule bundle as a gate: ``add_gopher_stats`` +
+    ``add_repetition_stats`` (for dup_line_frac), then a map-only boolean
+    ``gopher_pass`` against the published thresholds — or the filtered
+    corpus with ``filter_rows=True``.  Zero exchanges end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = dict(GOPHER_THRESHOLDS)
+    if thresholds:
+        t.update(thresholds)
+    staged = add_repetition_stats(add_gopher_stats(ds, text_col), text_col)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        def col(name):
+            c = batch.column(name)
+            return (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c).to_numpy(
+                zero_copy_only=False
+            )
+
+        ok = (
+            (col("n_words") >= t["min_words"])
+            & (col("n_words") <= t["max_words"])
+            & (col("mean_word_len_ws") >= t["min_mean_word_len"])
+            & (col("mean_word_len_ws") <= t["max_mean_word_len"])
+            & (col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
+            & (col("bullet_line_frac") <= t["max_bullet_line_frac"])
+            & (col("ellipsis_line_frac") <= t["max_ellipsis_line_frac"])
+            & (col("alpha_word_frac") >= t["min_alpha_word_frac"])
+            & (col("n_required_words") >= t["min_required_words"])
+            & (col("dup_line_frac") <= t["max_dup_line_frac"])
+        )
+        out = batch.append_column("gopher_pass", pa.array(ok, pa.bool_()))
+        if filter_rows:
+            out = out.filter(pa.array(ok))
+        return out
+
+    return staged.map_batches(gate, batch_format="pyarrow")
+
+
+def add_compression_ratio(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append zlib compressibility signals: ``n_bytes`` (utf-8),
+    ``n_zlib_bytes`` (zlib level 6), ``compression_ratio`` =
+    compressed/raw.  Machine-generated / highly repetitive text
+    compresses far below natural prose, making the ratio a cheap
+    crawl-filter signal.  Map-only; each row is one zlib C call (work
+    proportional to the text, dispatch negligible)."""
+    import pyarrow as pa
+    import zlib
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = [t.encode("utf-8") if t is not None else b"" for t in col.to_pylist()]
+        n_bytes = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+        n_z = np.fromiter(
+            (len(zlib.compress(b, 6)) for b in raw), dtype=np.int64, count=len(raw)
+        )
+        ratio = n_z / np.maximum(n_bytes, 1).astype(np.float64)
+        out = batch
+        for name, arr in (
+            ("n_bytes", pa.array(n_bytes, pa.int64())),
+            ("n_zlib_bytes", pa.array(n_z, pa.int64())),
+            ("compression_ratio", pa.array(ratio, pa.float64())),
+        ):
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -1833,6 +1833,73 @@ def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"v": "tok"}).reset_index(drop=True)
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher document-quality rule bundle (Rae et al. 2021 A1.1): every
+    published signal computed as an RE2 Arrow kernel, plus the pass flag
+    against the published thresholds.  DuckDB's regex engine is RE2 too,
+    so the oracle mirrors each signal pattern-for-pattern
+    (regexp_extract_all / list_filter); pytest TestTailQueryOracles."""
+    from ..ops.textstats import gopher_quality_gate
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_quality_gate(ds, "text").to_pandas()
+    for c in (
+        "mean_word_len_ws",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "dup_line_frac",
+    ):
+        out[c] = _round_half_away(out[c], 6)
+    out["gopher_pass"] = out["gopher_pass"].astype("int64")
+    cols = [
+        "doc_id",
+        "n_words",
+        "mean_word_len_ws",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_required_words",
+        "dup_line_frac",
+        "gopher_pass",
+    ]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval over the documents corpus for a fixed query string
+    (Robertson/Okapi k1=1.2 b=0.75, Lucene's idf = ln(1+(N-df+.5)/(df+.5));
+    term stats + scoring distributed, vectors/tokens never leave their
+    batch).  Exact SQL mirror in DuckDB; pytest TestTailQueryOracles."""
+    from ..ops.search import bm25_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(
+        ds, "table scan merge window", id_col="doc_id", text_col="text", k=10
+    )
+    out["score"] = _round_half_away(out["score"], 6)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib compression ratio — the compressibility quality
+    signal (highly repetitive machine text compresses far below natural
+    prose; used as a web-crawl filter signal).  Rows-only: DuckDB has no
+    zlib; pinned by a direct-zlib equivalence + monotonicity pytest."""
+    from ..ops.textstats import add_compression_ratio
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = add_compression_ratio(ds, "text").to_pandas()
+    out["compression_ratio"] = _round_half_away(out["compression_ratio"], 6)
+    return (
+        out[["doc_id", "n_bytes", "n_zlib_bytes", "compression_ratio"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -1935,6 +2002,9 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "top_tokens_sketch": q_top_tokens_sketch,
     "merge_volumes": q_merge_volumes,
+    "gopher_quality": q_gopher_quality,
+    "bm25_top10": q_bm25_top10,
+    "compression_ratio": q_compression_ratio,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2509,6 +2579,74 @@ ORACLE_SQL = {
         "SELECT d.doc_id, COALESCE(a.text, '') AS text "
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
     ),
+    "gopher_quality": (
+        # Each signal mirrors the Arrow RE2 kernel pattern-for-pattern
+        # (DuckDB's regex engine is RE2 too).  The pass flag compares the
+        # UNROUNDED doubles, exactly like the Ray side.
+        "WITH base AS (SELECT doc_id, text, "
+        r"regexp_extract_all(text, '\S+') AS toks, "
+        "string_split(text, chr(10)) AS lines FROM documents), "
+        "w AS (SELECT doc_id, text, lines, "
+        "CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) "
+        "/ GREATEST(len(toks), 1) AS mwl, "
+        r"CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) "
+        "/ GREATEST(len(toks), 1) AS swr, "
+        r"CAST(len(list_filter(toks, t -> regexp_matches(t, '\p{L}'))) AS DOUBLE) "
+        "/ GREATEST(len(toks), 1) AS awf, "
+        r"CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[•‣▪*-]'))) "
+        "AS DOUBLE) / GREATEST(len(lines), 1) AS blf, "
+        r"CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) "
+        "AS DOUBLE) / GREATEST(len(lines), 1) AS elf, "
+        "CAST("
+        + " + ".join(
+            rf"CASE WHEN regexp_matches(lower(text), '\b{w}\b') THEN 1 ELSE 0 END"
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        )
+        + " AS BIGINT) AS n_required_words, "
+        "CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) "
+        "/ GREATEST(len(lines), 1) AS dlf "
+        "FROM base) "
+        "SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len_ws, "
+        "ROUND(swr, 6) AS symbol_word_ratio, ROUND(blf, 6) AS bullet_line_frac, "
+        "ROUND(elf, 6) AS ellipsis_line_frac, ROUND(awf, 6) AS alpha_word_frac, "
+        "n_required_words, ROUND(dlf, 6) AS dup_line_frac, "
+        "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10 "
+        "AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8 "
+        "AND n_required_words >= 2 AND dlf <= 0.30 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS gopher_pass FROM w ORDER BY doc_id"
+    ),
+    "bm25_top10": (
+        # BM25 (Lucene idf, (k1+1) numerator omitted on both sides) for
+        # the fixed query terms; tokenization = string_split(lower, ' ')
+        # with empties kept in dl, exactly the Ray projection.  The
+        # per-doc term sum adds left-to-right in the same term order.
+        "WITH tok AS (SELECT doc_id, "
+        "CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl, "
+        + ", ".join(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t = '{term}')) AS DOUBLE) AS tf_{j}"
+            for j, term in enumerate(("table", "scan", "merge", "window"))
+        )
+        + " FROM documents), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "SUM(dl) / COUNT(*) AS avgdl, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{j}"
+            for j in range(4)
+        )
+        + " FROM tok), "
+        "scored AS (SELECT doc_id, "
+        + " + ".join(
+            f"ln(1 + (n - df_{j} + 0.5) / (df_{j} + 0.5)) * tf_{j} "
+            f"/ (tf_{j} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+            for j in range(4)
+        )
+        + " AS score FROM tok, stats) "
+        "SELECT doc_id, ROUND(score, 6) AS score FROM scored WHERE score > 0 "
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
-    # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs
+    # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,
+    # compression_ratio (no zlib in SQL; direct-zlib pytest equivalence)
 }

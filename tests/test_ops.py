@@ -1275,6 +1275,8 @@ class TestTailQueryOracles:
             "dup_span_stats",
             "strip_dup_spans",
             "ccnet_ppl_buckets",
+            "gopher_quality",
+            "bm25_top10",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -519,3 +519,187 @@ class TestCurateScaleRoutes:
                     assert np.array_equal(np.asarray(x), np.asarray(y)), c
                 else:
                     assert x == y, c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherGate:
+    """Rule-bundle unit tests: one crafted doc per rule, exercising both
+    sides of every published threshold (the sf-corpus oracle check lives
+    in TestTailQueryOracles::gopher_quality)."""
+
+    GOOD = (
+        "We have found that the results of this work align with the other "
+        "reports and that most of the documents pass these checks with no "
+        "trouble at all because they have normal prose sentences. "
+    ) * 3  # ~60 words, all rules satisfied
+
+    def _gate(self, texts):
+        from ocr_platform_ray.ops.textstats import gopher_quality_gate
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        return gopher_quality_gate(ds, "text").to_pandas().sort_values("doc_id")
+
+    def test_each_rule_flips_the_gate(self):
+        short = "the small doc that we have with only a few of these words"
+        long_words = " ".join(["antidisestablishmentarianism"] * 60) + " the of and that"
+        symbols = self.GOOD + " " + " ".join(["#"] * 30)
+        bullets = "\n".join(f"- item {i} of the list that we have" for i in range(20))
+        ellipses = "\n".join(
+            f"the sentence {i} of this doc that we have trails off..." for i in range(10)
+        )
+        numeric = self.GOOD + " " + " ".join(str(i) for i in range(200))
+        no_required = " ".join(f"w{i}" for i in range(60))
+        dup_lines = "\n".join(["the same line that we have of this"] * 20)
+
+        out = self._gate(
+            [self.GOOD, short, long_words, symbols, bullets, ellipses, numeric, no_required, dup_lines]
+        ).set_index("doc_id")
+        assert bool(out.loc[0, "gopher_pass"])
+        assert not bool(out.loc[1, "gopher_pass"])  # < 50 words
+        assert not bool(out.loc[2, "gopher_pass"])  # mean word len > 10
+        assert not bool(out.loc[3, "gopher_pass"])  # symbol ratio > 0.1
+        assert out.loc[4, "bullet_line_frac"] == 1.0 and not bool(out.loc[4, "gopher_pass"])
+        assert out.loc[5, "ellipsis_line_frac"] == 1.0 and not bool(out.loc[5, "gopher_pass"])
+        assert not bool(out.loc[6, "gopher_pass"])  # alpha word frac < 0.8
+        assert out.loc[7, "n_required_words"] == 0 and not bool(out.loc[7, "gopher_pass"])
+        assert out.loc[8, "dup_line_frac"] > 0.3 and not bool(out.loc[8, "gopher_pass"])
+
+    def test_filter_rows_and_custom_thresholds(self):
+        from ocr_platform_ray.ops.textstats import gopher_quality_gate
+
+        texts = [self.GOOD, "tiny doc"]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+        kept = gopher_quality_gate(ds, "text", filter_rows=True).to_pandas()
+        assert list(kept["doc_id"]) == [0]
+        # loosening min_words lets the tiny doc through the length rule
+        loose = gopher_quality_gate(
+            ds, "text", thresholds={"min_words": 1, "min_required_words": 0}
+        ).to_pandas()
+        assert bool(loose.set_index("doc_id").loc[1, "n_words"] == 2)
+
+    def test_block_structure_independent(self):
+        texts = [self.GOOD, "tiny", self.GOOD + " extra..."] * 7
+        a = self._gate(texts)
+        from ocr_platform_ray.ops.textstats import gopher_quality_gate
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(5)
+        b = gopher_quality_gate(ds, "text").to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def _naive(self, docs, query, k1=1.2, b=0.75):
+        import math
+
+        terms = []
+        for t in query.lower().split(" "):
+            if t and t not in terms:
+                terms.append(t)
+        toks = {i: d.lower().split(" ") for i, d in docs.items()}
+        dl = {i: len(t) for i, t in toks.items()}
+        n = len(docs)
+        avgdl = sum(dl.values()) / n
+        scores = {}
+        for term in terms:
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    scores[i] = scores.get(i, 0.0) + idf * tf / (
+                        tf + k1 * (1 - b + b * dl[i] / avgdl)
+                    )
+        return scores
+
+    def test_matches_naive_reference(self):
+        from ocr_platform_ray.ops.search import bm25_topk
+
+        docs = {
+            0: "the table scan runs a full table scan over the table",
+            1: "merge join beats hash join when inputs sort",
+            2: "window functions partition the scan output",
+            3: "nothing relevant here at all",
+            4: "table",
+            5: "scan scan scan scan scan scan scan scan scan scan",
+        }
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(3)
+        got = bm25_topk(ds, "table scan merge window", k=4)
+        want = self._naive(docs, "table scan merge window")
+        order = sorted(want, key=lambda i: (-want[i], i))[:4]
+        assert list(got["doc_id"]) == order
+        for _, row in got.iterrows():
+            assert abs(row["score"] - want[row["doc_id"]]) < 1e-12
+
+    def test_local_prune_keeps_global_topk_across_blocks(self):
+        from ocr_platform_ray.ops.search import bm25_topk
+
+        # 40 docs with strictly increasing tf of the query term, spread
+        # over many blocks: global top-3 must surface regardless of
+        # which block pruned what
+        docs = {i: ("hit " * (i + 1)).strip() + " filler words" for i in range(40)}
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(8)
+        got = bm25_topk(ds, "hit", k=3)
+        assert len(got) == 3
+        naive = self._naive(docs, "hit")
+        assert list(got["doc_id"]) == sorted(naive, key=lambda i: (-naive[i], i))[:3]
+
+    def test_empty_query_and_no_match(self):
+        from ocr_platform_ray.ops.search import bm25_topk
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["abc def"]}))
+        assert len(bm25_topk(ds, "   ")) == 0
+        assert len(bm25_topk(ds, "zzz qqq")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressionRatio:
+    def test_direct_zlib_equivalence_and_monotonicity(self):
+        import zlib
+
+        from ocr_platform_ray.ops.textstats import add_compression_ratio
+
+        prose = (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "apprentice journalists watched from behind a dusty wooden fence "
+            "and quietly debated whether morning trains would arrive before "
+            "the harvest festival opened its gates to every curious visitor "
+        ) * 3
+        texts = [
+            "abc " * 200,  # highly repetitive
+            prose,  # natural-ish prose, long enough to beat header overhead
+            _sha_noise(800),  # incompressible pseudo-random text
+            "",
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(4), "text": texts}))
+        out = add_compression_ratio(ds, "text").to_pandas().sort_values("doc_id")
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            assert out.loc[i, "n_bytes"] == len(raw)
+            assert out.loc[i, "n_zlib_bytes"] == len(zlib.compress(raw, 6))
+        # repetitive text compresses well below prose; prose below noise
+        assert (
+            out.loc[0, "compression_ratio"]
+            < out.loc[1, "compression_ratio"]
+            < out.loc[2, "compression_ratio"]
+        )
+
+
+def _sha_noise(n: int) -> str:
+    """Deterministic incompressible text: a sha256 chain rendered as
+    printable chars (no periodicity for zlib to exploit)."""
+    import hashlib
+
+    out, seed = [], b"noise"
+    while sum(len(c) for c in out) < n:
+        seed = hashlib.sha256(seed).digest()
+        out.append("".join(chr(33 + (b % 90)) for b in seed))
+    return "".join(out)[:n]
