@@ -105,7 +105,8 @@ def bm25_topk(
         return pd.DataFrame([row])
 
     stats = proj.map_batches(partial, batch_format="pandas").to_pandas()
-    n_docs = int(stats["n"].sum())
+    # an all-empty input can skip the partial fn entirely -> column-less frame
+    n_docs = int(stats["n"].sum()) if "n" in stats.columns else 0
     if n_docs == 0:
         return pd.DataFrame({id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     avgdl = float(stats["sum_dl"].sum()) / n_docs

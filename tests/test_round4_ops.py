@@ -658,6 +658,10 @@ class TestBM25:
         ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["abc def"]}))
         assert len(bm25_topk(ds, "   ")) == 0
         assert len(bm25_topk(ds, "zzz qqq")) == 0
+        # an all-empty corpus (filter drops everything) must not crash:
+        # Ray can skip the stats partial entirely on empty blocks
+        empty = ds.filter(lambda r: False)
+        assert len(bm25_topk(empty, "abc")) == 0
 
 
 @pytest.mark.usefixtures("ray_session")
