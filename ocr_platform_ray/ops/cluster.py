@@ -1,0 +1,254 @@
+"""Distributed k-means over an embedding column, and SemDeDup semantic
+near-deduplication (Abbas et al. 2023, arXiv:2303.09540) built on it.
+
+Scale shape:
+- ``kmeans_fit`` runs Lloyd iterations with MAP-SIDE partial sums: each
+  iteration is one pass over the corpus where every batch emits k rows
+  (cluster, count, vector sum); the driver reduces k x n_blocks tiny
+  partials and updates k x dim centroids.  Vectors never cross an
+  exchange; centroids broadcast via ``ray.put`` once per iteration.
+- ``semdedup`` is the paper's trick made explicit: pairwise cosine
+  comparison happens ONLY within a k-means cluster, never corpus-wide.
+  Rows move exactly once through one hash-shard exchange on the cluster
+  label (the ``sharded_group_agg`` house pattern — NOT per-group
+  ``map_groups``, whose per-group Python overhead dominates at large k);
+  each shard resolves its clusters with one G x G matmul + vectorized
+  min-label propagation per cluster.  Choose k so corpus_size / k
+  keeps G x G affordable (the paper uses k ~ sqrt-corpus-sized, e.g.
+  50k clusters for LAION-440M).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..state.broadcast import cached_get
+from .similarity import _as_matrix
+
+
+def _init_centroids(
+    ds: rd.Dataset, emb_col: str, k: int, seed: int, sample_limit: int
+) -> np.ndarray:
+    """Seeded-random-sample init (the train_ivf_centroids sampling rule:
+    a head limit() would bias toward the first blocks)."""
+    n_total = ds.count()
+    if n_total > sample_limit:
+        frac = min(1.0, (1.5 * sample_limit) / n_total)
+        sampled = ds.random_sample(frac, seed=seed).limit(sample_limit)
+    else:
+        sampled = ds
+    sample = _as_matrix(sampled.to_pandas()[emb_col])
+    rng = np.random.RandomState(seed)
+    kk = min(k, len(sample))
+    # greedy farthest-point init (deterministic k-means++ flavor): a
+    # plain random draw can seed two centroids inside one tight cluster,
+    # which Lloyd cannot escape
+    first = int(rng.randint(len(sample)))
+    chosen = [first]
+    best_sim = sample @ sample[first]
+    for _ in range(kk - 1):
+        nxt = int(np.argmin(best_sim))  # least similar to any chosen seed
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, sample @ sample[nxt])
+    return sample[chosen].copy()
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    k: int = 16,
+    n_iters: int = 10,
+    seed: int = 23,
+    init: np.ndarray | None = None,
+    sample_limit: int = 20000,
+) -> np.ndarray:
+    """Spherical k-means (cosine / inner product on normalized vectors)
+    over the FULL dataset — unlike train_ivf_centroids' sample-side
+    training, every Lloyd iteration assigns every row.  Deterministic:
+    seeded init, fixed iteration count, ties to the lowest cluster id
+    (np.argmax).  Returns the (k, dim) centroid matrix."""
+    cent = (
+        np.asarray(init, dtype=np.float64)
+        if init is not None
+        else _init_centroids(ds, emb_col, k, seed, sample_limit)
+    )
+    kk = len(cent)
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:  # empty block: np.stack would raise
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series(dtype="int64"),
+                        "count": pd.Series(dtype="int64"),
+                        "vsum": pd.Series(dtype="object"),
+                    }
+                )
+            c = cached_get(ref)
+            m = _as_matrix(b[emb_col])
+            a = np.argmax(m @ c.T, axis=1)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(kk, dtype=np.int64),
+                    "count": counts,
+                    "vsum": [row.tolist() for row in sums],
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = cent.copy()
+        g = parts.groupby("cluster")
+        for cid, grp in g:
+            n = int(grp["count"].sum())
+            if n == 0:
+                continue  # empty cluster keeps its old centroid
+            v = np.sum(np.stack([np.asarray(x) for x in grp["vsum"]]), axis=0)
+            new[int(cid)] = v / max(np.linalg.norm(v), 1e-12)
+        cent = new
+    return cent
+
+
+def assign_clusters(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Map-only: (id, cluster, centroid_sim) against broadcast centroids."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=b[id_col].dtype if id_col in b else "int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "centroid_sim": pd.Series(dtype="float64"),
+                }
+            )
+        c = cached_get(ref)
+        m = _as_matrix(b[emb_col])
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "cluster": a.astype(np.int64),
+                "centroid_sim": sims[np.arange(len(a)), a],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def _resolve_cluster(ids, m, csim, threshold):
+    """One cluster: connected components over cosine > threshold via
+    vectorized min-label propagation; keep, per component, the row
+    FARTHEST from the centroid (lowest centroid_sim — the SemDeDup
+    keep rule), ties to the lowest id.  Returns kept positions."""
+    G = len(ids)
+    if G == 1:
+        return np.array([0])
+    adj = (m @ m.T) > threshold
+    np.fill_diagonal(adj, True)
+    labels = np.arange(G)
+    for _ in range(G):
+        # min label over neighbors, fully vectorized: mask non-edges to G
+        nb = np.where(adj, labels[None, :], G)
+        new = nb.min(axis=1)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    keep = []
+    order = np.lexsort((ids, csim))  # ascending centroid_sim, then id
+    seen = set()
+    for pos in order:
+        c = labels[pos]
+        if c not in seen:
+            seen.add(c)
+            keep.append(pos)
+    return np.asarray(sorted(keep))
+
+
+def semdedup(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 16,
+    n_iters: int = 10,
+    seed: int = 23,
+    centroids: np.ndarray | None = None,
+    n_shards: int = 32,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup removal where the
+    quadratic pairwise step is confined to k-means clusters.  Returns
+    (id, cluster, centroid_sim) for the KEPT rows: per duplicate
+    component (cosine > threshold, within-cluster), the row farthest
+    from its centroid survives — the paper's keep-low-centroid-similarity
+    rule, deterministic via the (centroid_sim, id) order."""
+    if centroids is None:
+        centroids = kmeans_fit(
+            ds, emb_col=emb_col, k=k, n_iters=n_iters, seed=seed
+        )
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=b[id_col].dtype if id_col in b else "int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "centroid_sim": pd.Series(dtype="float64"),
+                    "__vec": pd.Series(dtype="object"),
+                    "__shard": pd.Series(dtype="int64"),
+                }
+            )
+        c = cached_get(ref)
+        m = _as_matrix(b[emb_col])
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "cluster": a.astype(np.int64),
+                "centroid_sim": sims[np.arange(len(a)), a],
+                "__vec": [row.tolist() for row in m],  # normalized, moves once
+                "__shard": (a % n_shards).astype(np.int64),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("cluster"):
+            ids = grp[id_col].to_numpy()
+            m = np.stack([np.asarray(v) for v in grp["__vec"]])
+            csim = grp["centroid_sim"].to_numpy()
+            kept = _resolve_cluster(ids, m, csim, threshold)
+            outs.append(grp.iloc[kept][[id_col, "cluster", "centroid_sim"]])
+        if not outs:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=g[id_col].dtype),
+                    "cluster": pd.Series(dtype="int64"),
+                    "centroid_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )

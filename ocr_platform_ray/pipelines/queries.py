@@ -1900,6 +1900,48 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dedup over the
+    embeddings table — k-means confines the quadratic pairwise cosine
+    step to clusters; per duplicate component the row farthest from its
+    centroid survives.  Rows-only (k-means is iterative, not
+    SQL-expressible); planted-dup recovery, keep-rule and determinism
+    are pinned in pytest (TestKmeansSemdedup)."""
+    from ..ops.cluster import semdedup
+
+    base = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # the corpus has no natural near-dups (max pair cosine ~0.48): plant a
+    # HALVED copy of every vector, the embedding_near_dup_pairs planting
+    # convention but with a power-of-two scale — 0.5x scaling is exact in
+    # IEEE, so the copy normalizes to the bitwise-identical unit vector:
+    # same cluster, same centroid_sim, cosine 1.0.  The keep rule's
+    # (centroid_sim, id) tie break must then keep exactly the ORIGINALS.
+    def copies(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"] + 100000,
+                "embedding": [
+                    (np.asarray(v, dtype=np.float64) * 0.5).tolist()
+                    for v in b["embedding"]
+                ],
+            }
+        )
+
+    ds = base.union(base.map_batches(copies, batch_format="pandas"))
+    kept = semdedup(
+        ds, emb_col="embedding", id_col="vec_id", threshold=0.97, k=8, n_iters=5
+    ).to_pandas()
+    if (kept["vec_id"] >= 100000).any():
+        raise AssertionError("a planted copy survived semdedup")
+    kept["centroid_sim"] = _round_half_away(kept["centroid_sim"], 6)
+    return (
+        kept[["vec_id", "cluster", "centroid_sim"]]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2005,6 +2047,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "bm25_top10": q_bm25_top10,
     "compression_ratio": q_compression_ratio,
+    "semdedup_embeddings": q_semdedup_embeddings,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

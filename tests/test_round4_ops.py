@@ -707,3 +707,79 @@ def _sha_noise(n: int) -> str:
         seed = hashlib.sha256(seed).digest()
         out.append("".join(chr(33 + (b % 90)) for b in seed))
     return "".join(out)[:n]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeansSemdedup:
+    @staticmethod
+    def _blobs(n_per=20, dups=0, seed=5, dim=8):
+        """3 well-separated blobs on the sphere; optionally plant `dups`
+        groups of 3 near-identical vectors inside blob 0."""
+        rng = np.random.RandomState(seed)
+        centers = np.eye(3, dim) * 10.0
+        rows, ids = [], []
+        i = 0
+        for b in range(3):
+            for _ in range(n_per):
+                v = centers[b] + rng.randn(dim) * 0.3
+                rows.append(v / np.linalg.norm(v))
+                ids.append(i)
+                i += 1
+        for d in range(dups):
+            v = centers[0] + rng.randn(dim) * 0.3
+            for j in range(3):
+                w = v + rng.randn(dim) * 1e-4  # near-identical triple
+                rows.append(w / np.linalg.norm(w))
+                ids.append(i)
+                i += 1
+        return pd.DataFrame(
+            {"vec_id": ids, "embedding": [r.tolist() for r in rows]}
+        )
+
+    def test_kmeans_recovers_blobs_and_block_independent(self):
+        from ocr_platform_ray.ops.cluster import assign_clusters, kmeans_fit
+
+        df = self._blobs()
+        ds = rd.from_pandas(df)
+        cent = kmeans_fit(ds, k=3, n_iters=5, seed=7)
+        a = assign_clusters(ds, cent).to_pandas().sort_values("vec_id")
+        # the 3 blobs map to 3 distinct clusters, each pure
+        groups = [set(a["cluster"][i * 20 : (i + 1) * 20]) for i in range(3)]
+        assert all(len(g) == 1 for g in groups)
+        assert len(set.union(*groups)) == 3
+        # block structure changes partial-sum ORDER only: same assignment,
+        # centroids equal to float tolerance
+        cent2 = kmeans_fit(ds.repartition(7), k=3, n_iters=5, seed=7)
+        assert np.allclose(cent, cent2, atol=1e-9)
+        a2 = assign_clusters(ds.repartition(7), cent2).to_pandas().sort_values("vec_id")
+        assert list(a["cluster"]) == list(a2["cluster"])
+
+    def test_semdedup_removes_planted_groups_keeps_farthest(self):
+        from ocr_platform_ray.ops.cluster import semdedup
+
+        df = self._blobs(dups=4)  # 60 blob points + 4 planted triples
+        ds = rd.from_pandas(df).repartition(5)
+        kept = semdedup(ds, threshold=0.99995, k=3, n_iters=5, seed=7).to_pandas()
+        # each planted triple collapses to ONE survivor; blob points are
+        # non-dup at this threshold (0.3 sigma noise -> cos ~0.993,
+        # planted 1e-4 noise -> cos ~1-1e-9)
+        assert len(kept) == 60 + 4
+        planted = kept[kept["vec_id"] >= 60]
+        assert len(planted) == 4
+        # survivor = farthest from centroid (lowest centroid_sim) in its triple
+        from ocr_platform_ray.ops.cluster import assign_clusters, kmeans_fit
+
+        cent = kmeans_fit(rd.from_pandas(df), k=3, n_iters=5, seed=7)
+        allrows = assign_clusters(rd.from_pandas(df), cent).to_pandas()
+        for g0 in range(4):
+            trip = allrows[(allrows["vec_id"] >= 60 + 3 * g0) & (allrows["vec_id"] < 63 + 3 * g0)]
+            want = trip.sort_values(["centroid_sim", "vec_id"]).iloc[0]["vec_id"]
+            got = planted[(planted["vec_id"] >= 60 + 3 * g0) & (planted["vec_id"] < 63 + 3 * g0)]
+            assert list(got["vec_id"]) == [want]
+
+    def test_semdedup_identity_above_one(self):
+        from ocr_platform_ray.ops.cluster import semdedup
+
+        df = self._blobs(dups=2)
+        kept = semdedup(rd.from_pandas(df), threshold=1.01, k=3, n_iters=3, seed=7)
+        assert kept.count() == len(df)
