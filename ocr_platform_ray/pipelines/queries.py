@@ -1957,7 +1957,11 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
 # lm_perplexity, at rtol 1e-9 in tests/test_round3_ops.py::TestNgramLM
 # (exact value-hash comparison does not apply to order-sensitive float
 # averages).  Nothing oracled may move past position 50 without adding
-# its pytest oracle test.
+# its pytest oracle test.  Round-4 tail additions follow the same rule:
+# gopher_quality / bm25_top10 are SQL-oracled in TestTailQueryOracles;
+# merge_volumes / compression_ratio / semdedup_embeddings are no-oracle
+# and pinned by TestMergeDocuments / TestCompressionRatio /
+# TestKmeansSemdedup (plus in-query invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
