@@ -58,3 +58,6 @@ from .windows import time_bucket_agg, hopping_window_agg, sessionize  # noqa: F4
 from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
 from .colocated import colocated_join, partition_by_key  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
+from .search import bm25_topk  # noqa: F401
+from .cluster import kmeans_fit, semdedup  # noqa: F401
+from .c4 import c4_clean, c4_span_dedup  # noqa: F401

@@ -1942,6 +1942,81 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# The synthetic documents corpus is a space-joined word stream (no
+# punctuation, no newlines) — C4's line rules would be vacuous on it.
+# Both C4 queries therefore first inject deterministic structure with
+# three LITERAL replaces (left-to-right non-overlapping in pandas and
+# DuckDB alike, so the SQL mirror is exact): "merge" ends a line with a
+# period, "window"/"join" end sentences mid-line.
+def _c4_structure(b: pd.DataFrame) -> pd.DataFrame:
+    out = b.copy()
+    t = out["text"].str.replace(" merge ", " merge.\n", regex=False)
+    t = t.str.replace(" window ", " window! ", regex=False)
+    out["text"] = t.str.replace(" join ", " join? ", regex=False)
+    return out
+
+
+_C4_STRUCTURE_SQL = (
+    "replace(replace(replace(text, ' merge ', ' merge.' || chr(10)), "
+    "' window ', ' window! '), ' join ', ' join? ')"
+)
+
+
+def q_c4_clean(sf_dir: str) -> pd.DataFrame:
+    """C4 line+page cleaning rules (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >= 5 words and no "javascript";
+    page passes with >= 3 sentences and no "lorem ipsum" / "{".  Map-only
+    Arrow RE2 kernels; DuckDB oracle mirrors every pattern (both engines
+    are RE2); pytest TestTailQueryOracles."""
+    from ..ops.c4 import c4_clean
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _c4_structure, batch_format="pandas"
+    )
+    out = c4_clean(ds, "text").to_pandas()
+    out["c4_pass"] = out["c4_pass"].astype("int64")
+    cols = ["doc_id", "c4_text", "c4_n_lines_kept", "c4_n_sentences", "c4_pass"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_c4_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4's corpus-level rule: all but one occurrence of any 3-sentence
+    span removed (deterministic min-(id,pos) winner).  The documents
+    corpus has no natural 3-sentence dups, so a doc is planted whose text
+    repeats another doc's leading sentences — the clone must come back
+    stripped while every original doc returns byte-identical (asserted
+    in-query).  Rows-only: pinned by TestC4SpanDedup (naive-reference
+    equality on both routes, block-structure independence)."""
+    from ..ops.c4 import c4_span_dedup
+
+    base = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _c4_structure, batch_format="pandas"
+    )
+
+    def clones(b: pd.DataFrame) -> pd.DataFrame:
+        # clone id is ABOVE every real id -> originals win the (id, pos) tie
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"] + 1_000_000, "text": b["text"]}
+        )
+
+    ds = base.union(base.map_batches(clones, batch_format="pandas"))
+    out = c4_span_dedup(ds, "text", "doc_id").to_pandas()
+    out["n_chars"] = out["text"].str.len().astype("int64")
+    out = out[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+    # invariant (coverage monotonicity): a clone's losing-span set is a
+    # superset of its original's (every span the original lost, the clone
+    # loses to the same winner; every span the original WON, the clone
+    # loses to the original), so clone chars <= original chars everywhere
+    # and strictly less in aggregate
+    orig = out[out["doc_id"] < 1_000_000].reset_index(drop=True)
+    clone = out[out["doc_id"] >= 1_000_000].reset_index(drop=True)
+    if not (clone["n_chars"].values <= orig["n_chars"].values).all():
+        raise AssertionError("a clone kept text its original lost")
+    if not clone["n_chars"].sum() < orig["n_chars"].sum():
+        raise AssertionError("no clone lost any span to its original")
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -1958,10 +2033,11 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
 # (exact value-hash comparison does not apply to order-sensitive float
 # averages).  Nothing oracled may move past position 50 without adding
 # its pytest oracle test.  Round-4 tail additions follow the same rule:
-# gopher_quality / bm25_top10 are SQL-oracled in TestTailQueryOracles;
-# merge_volumes / compression_ratio / semdedup_embeddings are no-oracle
-# and pinned by TestMergeDocuments / TestCompressionRatio /
-# TestKmeansSemdedup (plus in-query invariant asserts).
+# gopher_quality / bm25_top10 / c4_clean are SQL-oracled in
+# TestTailQueryOracles; merge_volumes / compression_ratio /
+# semdedup_embeddings / c4_span_dedup are no-oracle and pinned by
+# TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
+# TestC4SpanDedup (plus in-query invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2052,6 +2128,8 @@ QUERIES = {
     "bm25_top10": q_bm25_top10,
     "compression_ratio": q_compression_ratio,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "c4_clean": q_c4_clean,
+    "c4_span_dedup": q_c4_span_dedup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2693,7 +2771,36 @@ ORACLE_SQL = {
         "SELECT doc_id, ROUND(score, 6) AS score FROM scored WHERE score > 0 "
         "ORDER BY score DESC, doc_id LIMIT 10"
     ),
+    "c4_clean": (
+        # C4 line rules mirrored pattern-for-pattern (RE2 on both engines):
+        # terminal punctuation, >= 5 \S+ words, no "javascript" word;
+        # page rules: >= 3 sentence-enders in the CLEANED text, no
+        # "lorem ipsum" (casefolded), no "{".
+        "WITH structured AS (SELECT doc_id, "
+        + _C4_STRUCTURE_SQL
+        + " AS text FROM documents), "
+        "kept AS (SELECT doc_id, text, "
+        "list_filter(string_split(text, chr(10)), l -> "
+        "regexp_matches(l, '[.!?\"]\\s*$') "
+        "AND len(regexp_extract_all(l, '\\S+')) >= 5 "
+        "AND NOT regexp_matches(l, '(?i)\\bjavascript\\b')) AS klines "
+        "FROM structured), "
+        # array_to_string on an EMPTY list is NULL in DuckDB, not '' --
+        # coalesce to match the Ray side's empty string
+        "built AS (SELECT doc_id, text, "
+        "COALESCE(array_to_string(klines, chr(10)), '') AS c4_text, "
+        "CAST(len(klines) AS BIGINT) AS c4_n_lines_kept, "
+        "CAST(len(regexp_extract_all(COALESCE(array_to_string(klines, "
+        "chr(10)), ''), '[.!?]')) AS BIGINT) AS c4_n_sentences FROM kept) "
+        "SELECT doc_id, c4_text, c4_n_lines_kept, c4_n_sentences, "
+        "CAST(CASE WHEN c4_n_sentences >= 3 "
+        "AND NOT contains(lower(text), 'lorem ipsum') "
+        "AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS c4_pass "
+        "FROM built ORDER BY doc_id"
+    ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,
-    # compression_ratio (no zlib in SQL; direct-zlib pytest equivalence)
+    # compression_ratio (no zlib in SQL; direct-zlib pytest equivalence),
+    # c4_span_dedup (corpus-level 3-sentence-span dedup; naive-reference
+    # pytest equality in TestC4SpanDedup)
 }

@@ -1277,6 +1277,7 @@ class TestTailQueryOracles:
             "ccnet_ppl_buckets",
             "gopher_quality",
             "bm25_top10",
+            "c4_clean",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -783,3 +783,189 @@ class TestKmeansSemdedup:
         df = self._blobs(dups=2)
         kept = semdedup(rd.from_pandas(df), threshold=1.01, k=3, n_iters=3, seed=7)
         assert kept.count() == len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4Clean:
+    """C4 §2.2 line+page rules, one crafted doc per rule (the sf-corpus
+    oracle check lives in TestTailQueryOracles::c4_clean)."""
+
+    GOOD = (
+        "This is a fine first sentence that ends properly.\n"
+        "Here is another long line that also terminates with a mark!\n"
+        "Does the third line of this page end with a question mark?"
+    )
+
+    def _clean(self, texts, **kw):
+        from ocr_platform_ray.ops.c4 import c4_clean
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        return c4_clean(ds, "text", **kw).to_pandas().sort_values("doc_id")
+
+    def test_line_rules(self):
+        out = self._clean(
+            [
+                self.GOOD,
+                "this long line has plenty of words but no terminal mark\n"
+                "Short line ends.\n"
+                "You must enable JavaScript to view this page properly.",
+            ]
+        ).set_index("doc_id")
+        assert out.loc[0, "c4_n_lines_kept"] == 3 and out.loc[0, "c4_text"] == self.GOOD
+        # no terminal punct / < 5 words / javascript word -> all dropped
+        assert out.loc[1, "c4_n_lines_kept"] == 0 and out.loc[1, "c4_text"] == ""
+
+    def test_page_rules_and_filter(self):
+        lorem = self.GOOD + "\nAnd lorem ipsum filler text was pasted right here."
+        brace = self.GOOD + "\nA code sample function() { with a brace follows here."
+        two_sent = "Only one fine sentence sits on this page here.\nAnd a second one right after it!"
+        out = self._clean([self.GOOD, lorem, brace, two_sent]).set_index("doc_id")
+        assert bool(out.loc[0, "c4_pass"])
+        assert not bool(out.loc[1, "c4_pass"])  # lorem ipsum
+        assert not bool(out.loc[2, "c4_pass"])  # curly brace
+        assert out.loc[3, "c4_n_sentences"] == 2 and not bool(out.loc[3, "c4_pass"])
+        kept = self._clean([self.GOOD, lorem, brace, two_sent], filter_rows=True)
+        assert list(kept["doc_id"]) == [0]
+
+    def test_blocklist(self):
+        bad = self.GOOD + "\nThe forbidden zorblax word appears in this long line."
+        out = self._clean([self.GOOD, bad], blocklist=("zorblax",)).set_index("doc_id")
+        assert bool(out.loc[0, "c4_pass"]) and not bool(out.loc[1, "c4_pass"])
+
+    def test_block_structure_independent(self):
+        texts = [self.GOOD, "short", self.GOOD + "\nExtra unterminated tail line here"] * 7
+        a = self._clean(texts)
+        from ocr_platform_ray.ops.c4 import c4_clean
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(5)
+        b = c4_clean(ds, "text").to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4SpanDedup:
+    """Corpus-level 3-sentence-span dedup vs a naive single-process
+    reference (same winner rule), on both exchange routes."""
+
+    WIDTH = 3
+
+    def _naive(self, docs, width=3):
+        import re
+
+        from ocr_platform_ray.ops.c4 import _split_sentences
+
+        WS = re.compile(r"\s+")
+        occ, sent_map = {}, {}
+        for i, t in zip(docs["doc_id"], docs["text"]):
+            sents = _split_sentences(t)
+            sent_map[i] = sents
+            norm = [WS.sub(" ", s.strip()).lower() for s in sents]
+            for p in range(max(0, len(sents) - width + 1)):
+                occ.setdefault(tuple(norm[p : p + width]), []).append((i, p))
+        losers: dict = {}
+        for lst in occ.values():
+            if len(lst) >= 2:
+                for i, p in sorted(lst)[1:]:
+                    losers.setdefault(i, []).append(p)
+        out = []
+        for i, t in zip(docs["doc_id"], docs["text"]):
+            st = losers.get(i)
+            if not st:
+                out.append(t)
+                continue
+            sents = sent_map[i]
+            cov = np.zeros(len(sents), bool)
+            for p in st:
+                cov[p : p + width] = True
+            out.append("".join(s for s, c in zip(sents, cov) if not c))
+        return out
+
+    def _corpus(self, n=200, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+        def sent():
+            return (
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8)))
+                + rng.choice([".", "!", "?"])
+                + " "
+            )
+
+        shared = [sent() for _ in range(6)]
+        texts = []
+        for _ in range(n):
+            parts = [sent() for _ in range(rng.randint(1, 8))]
+            if rng.random() < 0.4:
+                k = rng.randint(0, 3)
+                parts[rng.randint(0, len(parts) - 1) : 0] = shared[k : k + 3]
+            texts.append("".join(parts))
+        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+    @pytest.mark.parametrize("method", ["broadcast", "bucketed"])
+    def test_matches_naive_reference(self, method):
+        from ocr_platform_ray.ops.c4 import c4_span_dedup
+
+        docs = self._corpus()
+        want = self._naive(docs)
+        got = (
+            c4_span_dedup(rd.from_pandas(docs).repartition(7), "text", "doc_id", method=method)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(got["text"]) == want
+
+    def test_auto_route_and_extra_columns(self):
+        from ocr_platform_ray.ops.c4 import c4_span_dedup
+
+        docs = self._corpus(80).assign(lang="en", score=np.arange(80, dtype=np.int64))
+        got = (
+            c4_span_dedup(rd.from_pandas(docs).repartition(3), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["doc_id", "text", "lang", "score"]
+        assert got["score"].dtype == np.int64 and list(got["score"]) == list(range(80))
+        assert list(got["text"]) == self._naive(docs)
+
+    def test_untouched_corpus_byte_identical(self):
+        from ocr_platform_ray.ops.c4 import c4_span_dedup
+
+        # all-unique sentences, including a whitespace-only tail that naive
+        # reconstruction would drop — pass-through must be byte-exact
+        texts = [
+            "Alpha beta gamma delta. Epsilon zeta eta theta! Iota kappa question?   ",
+            "Completely different first one. Another unique second one! A third unique one? tail",
+        ]
+        docs = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64), "text": texts})
+        for method in ("broadcast", "bucketed"):
+            got = (
+                c4_span_dedup(rd.from_pandas(docs), "text", "doc_id", method=method)
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            assert list(got["text"]) == texts
+
+    def test_winner_is_min_id_then_pos(self):
+        from ocr_platform_ray.ops.c4 import c4_span_dedup
+
+        span = "One shared sentence here. Two shared sentences here! Three shared sentences here? "
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([5, 9], dtype=np.int64),
+                "text": ["Unique lead sentence for five. " + span, span + "Unique tail for nine."],
+            }
+        )
+        got = (
+            c4_span_dedup(rd.from_pandas(docs), "text", "doc_id", method="broadcast")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 5 holds the span at pos 1, doc 9 at pos 0: (5, 1) < (9, 0)
+        assert got.loc[5, "text"] == docs.set_index("doc_id").loc[5, "text"]
+        # the surviving chunk keeps its leading inter-sentence space
+        assert got.loc[9, "text"] == " Unique tail for nine."
