@@ -2017,6 +2017,49 @@ def q_c4_span_dedup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    distributions fit on a target sample vs the full raw corpus, every
+    doc weighted by its log importance ratio, top-60 selected
+    (deterministic highest-weight mode).  The synthetic corpus draws
+    every lang from ONE vocabulary (no real distribution shift exists),
+    so a DIALECT domain is planted deterministically — docs with
+    doc_id % 7 == 0 get every token suffixed (the semdedup planted-copy
+    convention) — and the target sample is the first half of the dialect
+    BY ID RULE; selection itself sees text alone.  Rows-only (hashed
+    features aren't SQL-expressible); naive-reference equality +
+    block-independence pinned in TestDsir, plus the in-query retrieval
+    invariant: every selected doc must come from the planted domain."""
+    from ..ops.dsir import dsir_fit, dsir_resample
+
+    base = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        mask = out["doc_id"].to_numpy() % 7 == 0
+        out.loc[mask, "text"] = [
+            " ".join(w + "x" for w in t.split()) for t in out.loc[mask, "text"]
+        ]
+        return out
+
+    docs = base.map_batches(plant, batch_format="pandas")
+    # half the dialect docs (Ray's expr filter can't parse a modulo —
+    # use a vectorized batch filter)
+    target = docs.map_batches(
+        lambda b: b[b["doc_id"] % 14 == 0], batch_format="pandas"
+    )
+    lr = dsir_fit(target, docs, "text", buckets=10_000)
+    sel = dsir_resample(docs, "text", "doc_id", lr, 60, gumbel=False).to_pandas()
+    if not (sel["doc_id"].to_numpy() % 7 == 0).all():
+        raise AssertionError("DSIR selected a document outside the target domain")
+    # the UNSEEN dialect half (id % 14 != 0) must be retrieved too —
+    # generalization beyond the literal target sample
+    if not (sel["doc_id"].to_numpy() % 14 != 0).any():
+        raise AssertionError("DSIR only re-selected the target sample itself")
+    sel["dsir_logw"] = _round_half_away(sel["dsir_logw"], 6)
+    return sel[["doc_id", "dsir_logw"]].sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2035,9 +2078,10 @@ def q_c4_span_dedup(sf_dir: str) -> pd.DataFrame:
 # its pytest oracle test.  Round-4 tail additions follow the same rule:
 # gopher_quality / bm25_top10 / c4_clean are SQL-oracled in
 # TestTailQueryOracles; merge_volumes / compression_ratio /
-# semdedup_embeddings / c4_span_dedup are no-oracle and pinned by
-# TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
-# TestC4SpanDedup (plus in-query invariant asserts).
+# semdedup_embeddings / c4_span_dedup / dsir_select are no-oracle and
+# pinned by TestMergeDocuments / TestCompressionRatio /
+# TestKmeansSemdedup / TestC4SpanDedup / TestDsir (plus in-query
+# invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2130,6 +2174,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "c4_clean": q_c4_clean,
     "c4_span_dedup": q_c4_span_dedup,
+    "dsir_select": q_dsir_select,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -969,3 +969,103 @@ class TestC4SpanDedup:
         assert got.loc[5, "text"] == docs.set_index("doc_id").loc[5, "text"]
         # the surviving chunk keeps its leading inter-sentence space
         assert got.loc[9, "text"] == " Unique tail for nine."
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsir:
+    """DSIR (Xie et al. 2023) importance resampling: naive-reference
+    weight equality, block independence, Gumbel determinism, retrieval
+    direction."""
+
+    def _corpora(self, seed=3, n_raw=300):
+        import random
+
+        rng = random.Random(seed)
+        sci = ["theorem", "proof", "lemma", "matrix", "vector", "integral"]
+        web = ["click", "here", "subscribe", "deal", "shop", "free"]
+
+        def doc(vocab, n=40):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        target = pd.DataFrame(
+            {"doc_id": np.arange(50, dtype=np.int64), "text": [doc(sci) for _ in range(50)]}
+        )
+        raw = pd.DataFrame(
+            {
+                "doc_id": np.arange(n_raw, dtype=np.int64),
+                "text": [doc(sci) if i % 5 == 0 else doc(web) for i in range(n_raw)],
+            }
+        )
+        return target, raw
+
+    def test_weights_match_naive_and_block_independent(self):
+        from ocr_platform_ray.ops.dsir import (
+            _gram_buckets_batch,
+            dsir_fit,
+            dsir_log_weights,
+        )
+
+        target, raw = self._corpora()
+        lr = dsir_fit(rd.from_pandas(target), rd.from_pandas(raw).repartition(4))
+        assert lr.shape == (10_000,) and np.isfinite(lr).all()
+        got = (
+            dsir_log_weights(rd.from_pandas(raw).repartition(4), "text", lr)
+            .to_pandas()
+            .sort_values("doc_id")["dsir_logw"]
+            .to_numpy()
+        )
+        flat, counts = _gram_buckets_batch(list(raw["text"]), len(lr))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        want = np.array(
+            [lr[flat[offs[i] : offs[i + 1]]].sum() for i in range(len(raw))]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        # exact equality across block structures (reduceat segments are
+        # computed independently per row)
+        other = (
+            dsir_log_weights(rd.from_pandas(raw).repartition(11), "text", lr)
+            .to_pandas()
+            .sort_values("doc_id")["dsir_logw"]
+            .to_numpy()
+        )
+        assert (got == other).all()
+        # direction: target-like docs weigh higher
+        sci_mask = raw["doc_id"].to_numpy() % 5 == 0
+        assert got[sci_mask].min() > got[~sci_mask].max()
+
+    def test_resample_deterministic_and_enriched(self):
+        from ocr_platform_ray.ops.dsir import dsir_fit, dsir_resample
+
+        target, raw = self._corpora()
+        lr = dsir_fit(rd.from_pandas(target), rd.from_pandas(raw))
+        a = dsir_resample(
+            rd.from_pandas(raw).repartition(4), "text", "doc_id", lr, 50, seed=5
+        ).to_pandas()
+        b = dsir_resample(
+            rd.from_pandas(raw).repartition(9), "text", "doc_id", lr, 50, seed=5
+        ).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert len(a) == 50
+        # every selected doc is target-like (base rate 20%)
+        assert (a["doc_id"].to_numpy() % 5 == 0).all()
+        # a different seed moves the Gumbel keys (weights tie within the
+        # sci class, so the chosen subset changes)
+        c = dsir_resample(
+            rd.from_pandas(raw), "text", "doc_id", lr, 50, seed=6
+        ).to_pandas()
+        assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+    def test_empty_and_zero_gram_docs(self):
+        from ocr_platform_ray.ops.dsir import dsir_fit, dsir_log_weights
+
+        target, raw = self._corpora()
+        raw2 = pd.concat(
+            [raw, pd.DataFrame({"doc_id": [9000], "text": [""]})], ignore_index=True
+        )
+        lr = dsir_fit(rd.from_pandas(target), rd.from_pandas(raw2))
+        w = (
+            dsir_log_weights(rd.from_pandas(raw2).repartition(3), "text", lr)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert w.loc[9000, "dsir_logw"] == 0.0
