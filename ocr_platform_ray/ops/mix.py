@@ -56,11 +56,14 @@ def weighted_source_mixture(
     wmap = {s: float(w) for s, w in weights.items()}
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
-        w = b[source_col].map(wmap)
-        if w.isna().any():
-            missing = sorted(b.loc[w.isna(), source_col].unique())
+        # vectorized lookup: unique + inverse indices, then a dim-sized
+        # LUT (Series.map dispatches per element under the hood)
+        cats, inv = np.unique(b[source_col].to_numpy(), return_inverse=True)
+        lut = np.array([wmap.get(c, np.nan) for c in cats], dtype="float64")
+        if np.isnan(lut).any():
+            missing = sorted(cats[np.isnan(lut)].tolist())
             raise KeyError(f"sources missing from weights: {missing}")
-        wv = w.to_numpy(dtype="float64")
+        wv = lut[inv]
         n_full = np.floor(wv)
         # threshold in integer hash space; frac is an exact double, and
         # floor() makes the numpy and SQL comparisons bit-identical
