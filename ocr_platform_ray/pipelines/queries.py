@@ -2060,6 +2060,56 @@ def q_dsir_select(sf_dir: str) -> pd.DataFrame:
     return sel[["doc_id", "dsir_logw"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filter (fastText-style hashed-n-gram logistic
+    regression, Joulin 2016 / the DCLM-baseline classifier): train on
+    labelled seed halves, score the whole corpus map-only.  "Low
+    quality" is planted deterministically (docs with doc_id % 5 == 0 get
+    every 3rd word replaced by '###' — the corpus has no natural quality
+    split); seeds come from doc_id < 250 ONLY, and the invariant below
+    requires perfect separation on the UNSEEN id half.  Rows-only
+    (iterative GD isn't SQL-expressible); separation/determinism/
+    block-independence pinned in TestLogregClassifier."""
+    from ..ops.classifier import logreg_fit, logreg_score
+
+    base = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        mask = out["doc_id"].to_numpy() % 5 == 0
+        out.loc[mask, "text"] = [
+            " ".join(w if j % 3 else "###" for j, w in enumerate(t.split()))
+            for t in out.loc[mask, "text"]
+        ]
+        return out
+
+    docs = base.map_batches(plant, batch_format="pandas")
+
+    def half(pred):
+        return docs.map_batches(
+            lambda b, p=pred: b[p(b["doc_id"].to_numpy())], batch_format="pandas"
+        )
+
+    pos = half(lambda i: (i < 250) & (i % 5 != 0))
+    neg = half(lambda i: (i < 250) & (i % 5 == 0))
+    w = logreg_fit(pos, neg, "text", n_iters=20)
+    scored = logreg_score(docs, "text", w).to_pandas()
+    unseen = scored[scored["doc_id"] >= 250]
+    lo = unseen[unseen["doc_id"] % 5 == 0]["quality_score"]
+    hi = unseen[unseen["doc_id"] % 5 != 0]["quality_score"]
+    if not float(lo.max()) < float(hi.min()):
+        raise AssertionError(
+            f"classifier failed to separate the unseen half: "
+            f"max(bad)={lo.max()} >= min(good)={hi.min()}"
+        )
+    scored["quality_score"] = _round_half_away(scored["quality_score"], 6)
+    return (
+        scored[["doc_id", "quality_score"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2078,10 +2128,10 @@ def q_dsir_select(sf_dir: str) -> pd.DataFrame:
 # its pytest oracle test.  Round-4 tail additions follow the same rule:
 # gopher_quality / bm25_top10 / c4_clean are SQL-oracled in
 # TestTailQueryOracles; merge_volumes / compression_ratio /
-# semdedup_embeddings / c4_span_dedup / dsir_select are no-oracle and
-# pinned by TestMergeDocuments / TestCompressionRatio /
-# TestKmeansSemdedup / TestC4SpanDedup / TestDsir (plus in-query
-# invariant asserts).
+# semdedup_embeddings / c4_span_dedup / dsir_select /
+# quality_classifier are no-oracle and pinned by TestMergeDocuments /
+# TestCompressionRatio / TestKmeansSemdedup / TestC4SpanDedup /
+# TestDsir / TestLogregClassifier (plus in-query invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2175,6 +2225,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "c4_span_dedup": q_c4_span_dedup,
     "dsir_select": q_dsir_select,
+    "quality_classifier": q_quality_classifier,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

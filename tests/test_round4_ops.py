@@ -1069,3 +1069,99 @@ class TestDsir:
             .set_index("doc_id")
         )
         assert w.loc[9000, "dsir_logw"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogregClassifier:
+    """fastText-style hashed-n-gram logistic regression (Joulin 2016):
+    separation on held-out docs, bit-reproducible fits, block-exact
+    scoring, loss direction."""
+
+    def _seed_corpora(self, seed=3, n=60):
+        import random
+
+        rng = random.Random(seed)
+        good = ["theorem", "proof", "lemma", "matrix", "vector", "integral"]
+        bad = ["click", "here", "subscribe", "deal", "shop", "free"]
+
+        def doc(vocab, m=40):
+            return " ".join(rng.choice(vocab) for _ in range(m))
+
+        pos = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": [doc(good) for _ in range(n)]}
+        )
+        neg = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": [doc(bad) for _ in range(n)]}
+        )
+        test = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "text": [doc(good) if i % 2 == 0 else doc(bad) for i in range(40)],
+            }
+        )
+        return pos, neg, test
+
+    def test_separates_held_out_docs(self):
+        from ocr_platform_ray.ops.classifier import logreg_fit, logreg_score
+
+        pos, neg, test = self._seed_corpora()
+        w = logreg_fit(rd.from_pandas(pos).repartition(3), rd.from_pandas(neg).repartition(3))
+        s = (
+            logreg_score(rd.from_pandas(test).repartition(4), "text", w)
+            .to_pandas()
+            .sort_values("doc_id")["quality_score"]
+            .to_numpy()
+        )
+        assert s[::2].min() > 0.5 > s[1::2].max()
+
+    def test_bit_reproducible_fit_and_block_exact_score(self):
+        from ocr_platform_ray.ops.classifier import logreg_fit, logreg_score
+
+        pos, neg, test = self._seed_corpora()
+        w1 = logreg_fit(
+            rd.from_pandas(pos).repartition(3), rd.from_pandas(neg).repartition(3), n_iters=4
+        )
+        w2 = logreg_fit(
+            rd.from_pandas(pos).repartition(3), rd.from_pandas(neg).repartition(3), n_iters=4
+        )
+        assert (w1 == w2).all()  # content-sorted partial reduce
+        a = (
+            logreg_score(rd.from_pandas(test).repartition(2), "text", w1)
+            .to_pandas()
+            .sort_values("doc_id")["quality_score"]
+            .to_numpy()
+        )
+        b = (
+            logreg_score(rd.from_pandas(test).repartition(9), "text", w1)
+            .to_pandas()
+            .sort_values("doc_id")["quality_score"]
+            .to_numpy()
+        )
+        assert (a == b).all()  # reduceat segments are per-row independent
+
+    def test_more_iters_improves_margin_and_empty_doc_is_neutral(self):
+        from ocr_platform_ray.ops.classifier import logreg_fit, logreg_score
+
+        pos, neg, test = self._seed_corpora()
+        w_short = logreg_fit(rd.from_pandas(pos), rd.from_pandas(neg), n_iters=2)
+        w_long = logreg_fit(rd.from_pandas(pos), rd.from_pandas(neg), n_iters=20)
+
+        def margin(w):
+            s = (
+                logreg_score(rd.from_pandas(test), "text", w)
+                .to_pandas()
+                .sort_values("doc_id")["quality_score"]
+                .to_numpy()
+            )
+            return s[::2].min() - s[1::2].max()
+
+        assert margin(w_long) > margin(w_short)
+        # a gram-less doc scores sigmoid(bias) — near 0.5 on balanced seeds
+        s0 = (
+            logreg_score(
+                rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [""]})), "text", w_long
+            )
+            .to_pandas()["quality_score"]
+            .iloc[0]
+        )
+        assert 0.4 < s0 < 0.6
