@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--near-dup-threshold", type=float, default=0.9)
     cu.add_argument("--strip-boilerplate", action="store_true")
     cu.add_argument(
+        "--gopher", action="store_true", help="Gopher rule bundle before dedup"
+    )
+    cu.add_argument(
         "--cut-dup-spans",
         action="store_true",
         help="ExactSubstr stage after doc dedup: cut repeated token windows",
@@ -203,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
                 pages_in,
                 partitioned_input=args.partitioned,
                 min_tokens=args.min_tokens,
+                gopher=args.gopher,
                 near_dup_threshold=args.near_dup_threshold,
                 strip_boilerplate=args.strip_boilerplate,
                 cut_dup_spans=args.cut_dup_spans,

@@ -27,7 +27,7 @@ from ..ops.dedup import (
 )
 from ..ops.spans import strip_duplicated_spans
 from ..state.manifest import checkpoint_dataset
-from ..ops.textstats import LangId, add_text_stats
+from ..ops.textstats import LangId, add_text_stats, gopher_quality_gate
 from .extraction import extraction_pipeline
 
 
@@ -65,12 +65,30 @@ def assign_split(docs: rd.Dataset, *, key_col: str = "url") -> rd.Dataset:
     return docs.map_batches(add, batch_format="pandas")
 
 
+_GOPHER_SIGNAL_COLS = [
+    "n_words",
+    "mean_word_len_ws",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "n_required_words",
+    "n_lines",
+    "n_distinct_lines",
+    "dup_line_frac",
+    "mean_word_len",
+    "gopher_pass",
+]
+
+
 def curate_corpus(
     pages: rd.Dataset,
     *,
     partitioned_input: bool = False,
     near_dup_threshold: float = 0.9,
     min_tokens: int = 10,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
     strip_boilerplate: bool = False,
     boilerplate_min_docs: int = 10,
     cut_dup_spans: bool = False,
@@ -82,6 +100,12 @@ def curate_corpus(
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
     split, n_dups (exact-dup group size).
+
+    ``gopher=True`` inserts the published Gopher rule bundle
+    (ops.textstats.gopher_quality_gate, Rae 2021 A1.1) after the basic
+    quality gate — rules-before-dedup, the RefinedWeb ordering; pass
+    ``gopher_thresholds`` to adjust the published cutoffs.  Output
+    schema is unchanged (signal columns dropped after filtering).
 
     ``strip_boilerplate`` inserts the cross-document chunk-dedup stage
     (ops.dedup.strip_repeated_paragraphs) between the quality gate and the
@@ -121,6 +145,14 @@ def curate_corpus(
     identity is the caller's contract (same as run_with_manifest)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     docs = quality_gate(docs, min_tokens=min_tokens)
+    if gopher:
+        # the published Gopher rule bundle as an extra document gate
+        # (RefinedWeb ordering: rules before dedup).  Signal columns are
+        # dropped after filtering so the chain's output schema is
+        # identical with the stage on or off.
+        docs = gopher_quality_gate(
+            docs, "extracted_text", thresholds=gopher_thresholds, filter_rows=True
+        ).drop_columns(_GOPHER_SIGNAL_COLS)
     if strip_boilerplate:
         # line granularity: extracted_text joins headers with '\n' and
         # pages with the form-feed separator, so a '\n\n' chunk would glue
@@ -137,6 +169,8 @@ def curate_corpus(
     # With checkpoint_dir the pin is a durable parquet commit instead.
     stage_params = {
         "min_tokens": min_tokens,
+        "gopher": gopher,
+        "gopher_thresholds": gopher_thresholds,
         "strip_boilerplate": strip_boilerplate,
         "boilerplate_min_docs": boilerplate_min_docs,
         "partitioned_input": partitioned_input,

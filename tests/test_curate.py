@@ -1,5 +1,6 @@
 """End-to-end curation pipeline tests."""
 
+import pandas as pd
 import pytest
 import ray.data as rd
 
@@ -147,3 +148,44 @@ class TestCurateGolden:
             for r in df.itertuples()
         }
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateGopherStage:
+    def test_gopher_stage_filters_schema_stable(self):
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(120))
+        base = (
+            curate_corpus(pages).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        gated = (
+            curate_corpus(pages, gopher=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(gated.columns) == list(base.columns)
+        assert 0 < len(gated) < len(base)
+        assert set(gated["url"]).issubset(set(base["url"]))
+        # fully loose thresholds -> the stage is a byte-identical no-op
+        loose = dict(
+            min_words=0,
+            max_words=10**9,
+            min_mean_word_len=0,
+            max_mean_word_len=100,
+            max_symbol_word_ratio=1.0,
+            max_bullet_line_frac=1.0,
+            max_ellipsis_line_frac=1.0,
+            min_alpha_word_frac=0.0,
+            min_required_words=0,
+            max_dup_line_frac=1.0,
+        )
+        same = (
+            curate_corpus(pages, gopher=True, gopher_thresholds=loose)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(same, base)
