@@ -169,6 +169,10 @@ def run_once() -> dict:
         "ccnet_ppl_buckets",
         "approx_distinct_users",
         "top_tokens_sketch",
+        # round-4 operator additions
+        "gopher_quality",
+        "bm25_top10",
+        "c4_clean",
     ):
         extra_times[name] = _best_of(2, name)
 
