@@ -91,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
         "--gopher", action="store_true", help="Gopher rule bundle before dedup"
     )
     cu.add_argument(
+        "--scale-routes",
+        action="store_true",
+        help="force every dedup stage onto its fully distributed route",
+    )
+    cu.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="durable manifest-committed stage checkpoints (SIGKILL-resumable)",
+    )
+    cu.add_argument(
         "--cut-dup-spans",
         action="store_true",
         help="ExactSubstr stage after doc dedup: cut repeated token windows",
@@ -211,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                 strip_boilerplate=args.strip_boilerplate,
                 cut_dup_spans=args.cut_dup_spans,
                 dup_span_width=args.dup_span_width,
+                scale_routes=args.scale_routes,
+                checkpoint_dir=args.checkpoint_dir,
             )
             docs.write_parquet(args.output)
             import pyarrow.parquet as pq

@@ -26,7 +26,7 @@ from ..ops.dedup import (
     strip_repeated_paragraphs,
 )
 from ..ops.spans import strip_duplicated_spans
-from ..state.manifest import checkpoint_dataset
+from ..state.manifest import checkpoint_dataset, checkpoint_lookup
 from ..ops.textstats import LangId, add_text_stats, gopher_quality_gate
 from .extraction import extraction_pipeline
 
@@ -175,37 +175,51 @@ def curate_corpus(
         "boilerplate_min_docs": boilerplate_min_docs,
         "partitioned_input": partitioned_input,
     }
-    if checkpoint_dir is not None:
-        docs = checkpoint_dataset(docs, checkpoint_dir, "gated", params=stage_params)
+    dedup_params = {
+        **stage_params,
+        "near_dup_threshold": near_dup_threshold,
+        "scale_routes": scale_routes,
+    }
+    # consult the post-dedup marker BEFORE building the dedup stages:
+    # their construction is itself eager (size probes, label-propagation
+    # rounds), so checkpoint_dataset alone cannot prevent a resumed run
+    # from re-running them — measured: a fully-committed 192k rerun still
+    # executed 12 dedup datasets before this lookup existed
+    deduped_hit = (
+        checkpoint_lookup(checkpoint_dir, "deduped", params=dedup_params)
+        if checkpoint_dir is not None
+        else None
+    )
+    if deduped_hit is not None:
+        docs = deduped_hit
     else:
-        docs = docs.materialize()
-    docs = exact_dedup(
-        docs, "extracted_text", "url", winners="bucketed" if scale_routes else "broadcast"
-    )
-    pairs = minhash_lsh_duplicates(
-        docs,
-        "extracted_text",
-        "url",
-        threshold=near_dup_threshold,
-        as_dataset=scale_routes,
-    )
-    docs = dedup_keep_representatives(
-        docs, pairs, "url", clusters="distributed" if scale_routes else "auto"
-    )
-    if checkpoint_dir is not None:
+        if checkpoint_dir is not None:
+            docs = checkpoint_dataset(
+                docs, checkpoint_dir, "gated", params=stage_params
+            )
+        else:
+            docs = docs.materialize()
+        docs = exact_dedup(
+            docs,
+            "extracted_text",
+            "url",
+            winners="bucketed" if scale_routes else "broadcast",
+        )
+        pairs = minhash_lsh_duplicates(
+            docs,
+            "extracted_text",
+            "url",
+            threshold=near_dup_threshold,
+            as_dataset=scale_routes,
+        )
+        docs = dedup_keep_representatives(
+            docs, pairs, "url", clusters="distributed" if scale_routes else "auto"
+        )
+    if checkpoint_dir is not None and deduped_hit is None:
         # durable post-dedup commit: downstream consumers re-read
         # parquet; a killed run resumes here
-        docs = checkpoint_dataset(
-            docs,
-            checkpoint_dir,
-            "deduped",
-            params={
-                **stage_params,
-                "near_dup_threshold": near_dup_threshold,
-                "scale_routes": scale_routes,
-            },
-        )
-    elif cut_dup_spans:
+        docs = checkpoint_dataset(docs, checkpoint_dir, "deduped", params=dedup_params)
+    elif checkpoint_dir is None and cut_dup_spans:
         # pin again: the span stage consumes the post-dedup docs 2-4x
         # (window counts + strip map; twice more on the bucketed route)
         # and each consumption would re-run the dedup filter lineage —

@@ -141,6 +141,36 @@ def run_with_manifest(
     }
 
 
+def checkpoint_lookup(
+    root: str,
+    name: str,
+    *,
+    params: dict | None = None,
+) -> rd.Dataset | None:
+    """Return the committed checkpoint Dataset when the marker exists and
+    its recorded params match, else None.  Callers whose stage
+    CONSTRUCTION is itself eager (size probes, propagation rounds — the
+    curation dedup chain) must consult this BEFORE building the stage:
+    ``checkpoint_dataset`` can skip execution of a lazy upstream, but it
+    cannot un-run work that executed while the plan was being built."""
+    import numpy as np
+
+    from ..ops.relational import thaw_list_columns
+
+    d = os.path.join(root, name)
+    marker = os.path.join(root, name + ".json")
+    if os.path.exists(marker) and os.path.isdir(d):
+        try:
+            with open(marker) as f:
+                m = json.load(f)
+        except json.JSONDecodeError:
+            m = None  # torn marker -> recompute
+        if m is not None and m.get("params") == (params or {}):
+            spec = {c: np.dtype(t) for c, t in m.get("spec", {}).items()}
+            return thaw_list_columns(rd.read_parquet(d), spec)
+    return None
+
+
 def checkpoint_dataset(
     ds: rd.Dataset,
     root: str,
@@ -171,18 +201,12 @@ def checkpoint_dataset(
 
     import numpy as np
 
+    hit = checkpoint_lookup(root, name, params=params)
+    if hit is not None:
+        return hit
     d = os.path.join(root, name)
     marker = os.path.join(root, name + ".json")
     params = params or {}
-    if os.path.exists(marker) and os.path.isdir(d):
-        try:
-            with open(marker) as f:
-                m = json.load(f)
-        except json.JSONDecodeError:
-            m = None  # torn marker -> recompute
-        if m is not None and m.get("params") == params:
-            spec = {c: np.dtype(t) for c, t in m.get("spec", {}).items()}
-            return thaw_list_columns(rd.read_parquet(d), spec)
     tmp = d + ".tmp"
     for p in (tmp, d):
         if os.path.exists(p):

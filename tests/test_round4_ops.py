@@ -1165,3 +1165,49 @@ class TestLogregClassifier:
             .iloc[0]
         )
         assert 0.4 < s0 < 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointLookupShortCircuit:
+    """The post-dedup marker must be consulted BEFORE the dedup stages are
+    BUILT: their construction is eager (size probes, label-propagation
+    rounds), so a resumed run used to re-execute them all — measured 12
+    dataset executions / 462 s on a fully-committed 192k rerun vs 1
+    execution / 8 s after the fix."""
+
+    def test_resume_reads_deduped_without_touching_upstream(self, tmp_path):
+        import os
+        import shutil
+
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        ck = str(tmp_path / "ck")
+        pages = rd.from_arrow(make_pages_table(60))
+        out1 = (
+            curate_corpus(pages, checkpoint_dir=ck, scale_routes=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+        # resume with (a) the GATED checkpoint destroyed and (b) a poisoned
+        # input whose execution raises: only a run that short-circuits on
+        # the deduped marker — never rebuilding the gated stage or the
+        # eager dedup stages — can succeed
+        shutil.rmtree(os.path.join(ck, "gated"))
+        os.remove(os.path.join(ck, "gated.json"))
+
+        def boom(b: pd.DataFrame) -> pd.DataFrame:
+            raise RuntimeError("upstream lineage must not execute on resume")
+
+        poisoned = rd.from_arrow(make_pages_table(60)).map_batches(
+            boom, batch_format="pandas"
+        )
+        out2 = (
+            curate_corpus(poisoned, checkpoint_dir=ck, scale_routes=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out1, out2)
