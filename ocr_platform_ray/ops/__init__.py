@@ -34,6 +34,7 @@ from .dedup import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     add_text_stats,
+    dedup_doc_lines,
     add_repetition_stats,
     langid_scores,
     doc_fingerprint,

@@ -2110,6 +2110,35 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_dedup_doc_lines(sf_dir: str) -> pd.DataFrame:
+    """Within-document duplicate-line removal (RefinedWeb line-wise
+    correction): keep each line's first occurrence per doc.  Uses the
+    c4 structure injection (the corpus has no newlines) plus a planted
+    repeat of the first line.  Full SQL mirror (unnest +
+    generate_subscripts + row_number + ordered string_agg); pytest
+    TestTailQueryOracles."""
+    from ..ops.textstats import dedup_doc_lines
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _c4_structure, batch_format="pandas"
+    )
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        first = out["text"].str.split("\n").str[0]
+        out["text"] = out["text"] + "\n" + first + "\n" + first
+        return out
+
+    out = dedup_doc_lines(ds.map_batches(plant, batch_format="pandas"), "text").to_pandas()
+    out = out.rename(columns={"text": "clean_text"})
+    out["n_clean_chars"] = out["clean_text"].str.len().astype("int64")
+    return (
+        out[["doc_id", "clean_text", "n_clean_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2126,7 +2155,7 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
 # (exact value-hash comparison does not apply to order-sensitive float
 # averages).  Nothing oracled may move past position 50 without adding
 # its pytest oracle test.  Round-4 tail additions follow the same rule:
-# gopher_quality / bm25_top10 / c4_clean are SQL-oracled in
+# gopher_quality / bm25_top10 / c4_clean / dedup_doc_lines are SQL-oracled in
 # TestTailQueryOracles; merge_volumes / compression_ratio /
 # semdedup_embeddings / c4_span_dedup / dsir_select /
 # quality_classifier are no-oracle and pinned by TestMergeDocuments /
@@ -2226,6 +2255,7 @@ QUERIES = {
     "c4_span_dedup": q_c4_span_dedup,
     "dsir_select": q_dsir_select,
     "quality_classifier": q_quality_classifier,
+    "dedup_doc_lines": q_dedup_doc_lines,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -2893,6 +2923,23 @@ ORACLE_SQL = {
         "AND NOT contains(lower(text), 'lorem ipsum') "
         "AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS c4_pass "
         "FROM built ORDER BY doc_id"
+    ),
+    "dedup_doc_lines": (
+        # same structure injection + planted repeat of line 0, then keep
+        # each line's first occurrence per doc in original order
+        "WITH structured AS (SELECT doc_id, "
+        + _C4_STRUCTURE_SQL
+        + " AS text FROM documents), "
+        "planted AS (SELECT doc_id, text || chr(10) || "
+        "string_split(text, chr(10))[1] || chr(10) || "
+        "string_split(text, chr(10))[1] AS text FROM structured), "
+        "exploded AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+        "generate_subscripts(string_split(text, chr(10)), 1) AS i FROM planted), "
+        "firsts AS (SELECT doc_id, line, i, "
+        "row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn FROM exploded) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text, "
+        "CAST(length(string_agg(line, chr(10) ORDER BY i)) AS BIGINT) AS n_clean_chars "
+        "FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

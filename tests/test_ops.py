@@ -1278,6 +1278,7 @@ class TestTailQueryOracles:
             "gopher_quality",
             "bm25_top10",
             "c4_clean",
+            "dedup_doc_lines",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -1211,3 +1211,31 @@ class TestCheckpointLookupShortCircuit:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out1, out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupDocLines:
+    def test_keeps_first_occurrence_in_order(self):
+        from ocr_platform_ray.ops.textstats import dedup_doc_lines
+
+        texts = [
+            "a\nb\na\nc\nb\nd",
+            "same\nsame\nsame",
+            "",
+            "only",
+            "x\n\ny\n\nx",  # empty lines dedup too
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        out = dedup_doc_lines(ds, "text").to_pandas().sort_values("doc_id")
+        assert list(out["text"]) == ["a\nb\nc\nd", "same", "", "only", "x\n\ny"]
+
+    def test_block_structure_independent_and_cross_doc_blind(self):
+        from ocr_platform_ray.ops.textstats import dedup_doc_lines
+
+        # the same line in DIFFERENT docs is untouched (within-doc only)
+        texts = ["shared\nu1", "shared\nu2"] * 9
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(5)
+        out = dedup_doc_lines(ds, "text").to_pandas().sort_values("doc_id")
+        assert list(out["text"]) == texts
