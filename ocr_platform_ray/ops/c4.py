@@ -219,10 +219,11 @@ def c4_span_dedup(
     occurrence keeps its sentences; every other occurrence has the
     span's sentences removed (union coverage across a document's losing
     spans, the strip_duplicated_spans delta trick).  Output schema ==
-    input schema with ``text_col`` rewritten; row order within blocks is
-    preserved on the broadcast route and restored per shard on the
-    bucketed route (byte-identical outputs route-to-route,
-    equivalence-tested).
+    input schema with ``text_col`` rewritten; ROW CONTENT is
+    route-identical (equivalence-tested), but row ORDER is only
+    preserved on the broadcast route — the bucketed route emits rows in
+    shard/group order (the strip_duplicated_spans convention; sort by
+    id downstream if order matters).
 
     Scale shape: the span exchange carries only (gh, id, pos) — text
     never rides it.  ``method="auto"`` probes the loser list with

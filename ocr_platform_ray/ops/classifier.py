@@ -43,18 +43,24 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return out
 
 
-def _row_scores(texts, w: np.ndarray) -> np.ndarray:
-    """sigmoid(bias + sum(w[bucket]) / n_grams) per row — reduceat
-    segment sums, independent per row (block-structure exact)."""
-    buckets = len(w) - 1
-    flat, counts = _gram_buckets_batch(texts, buckets)
-    z = np.full(len(texts), w[-1], dtype=np.float64)
+def _scores_from_buckets(
+    flat: np.ndarray, counts: np.ndarray, w: np.ndarray
+) -> np.ndarray:
+    """sigmoid(bias + sum(w[bucket]) / n_grams) per row from an already
+    featurized batch — reduceat segment sums, independent per row
+    (block-structure exact)."""
+    z = np.full(len(counts), w[-1], dtype=np.float64)
     nz = counts > 0
     if flat.size:
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
         seg = np.add.reduceat(w[flat], offs[nz])
         z[nz] += seg / counts[nz]
     return _sigmoid(z)
+
+
+def _row_scores(texts, w: np.ndarray) -> np.ndarray:
+    flat, counts = _gram_buckets_batch(texts, len(w) - 1)
+    return _scores_from_buckets(flat, counts, w)
 
 
 def logreg_fit(
@@ -92,8 +98,10 @@ def logreg_fit(
             wv = cached_get(ref)
             texts = list(b["__text"])
             y = b["__y"].to_numpy(dtype=np.float64)
+            # featurize ONCE per batch per iteration; scores reuse the
+            # same (flat, counts) — the hash pass dominates the cost
             flat, counts = _gram_buckets_batch(texts, buckets)
-            p = _row_scores(texts, wv)
+            p = _scores_from_buckets(flat, counts, wv)
             err = p - y  # dL/dz per row
             g = np.zeros(buckets + 1, dtype=np.float64)
             if flat.size:

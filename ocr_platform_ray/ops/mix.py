@@ -56,12 +56,16 @@ def weighted_source_mixture(
     wmap = {s: float(w) for s, w in weights.items()}
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
-        # vectorized lookup: unique + inverse indices, then a dim-sized
-        # LUT (Series.map dispatches per element under the hood)
-        cats, inv = np.unique(b[source_col].to_numpy(), return_inverse=True)
-        lut = np.array([wmap.get(c, np.nan) for c in cats], dtype="float64")
+        # vectorized lookup: factorize + a dim-sized LUT (Series.map
+        # dispatches per element under the hood; np.unique would raise
+        # TypeError on a None/mixed source before the diagnostic below)
+        inv, cats = pd.factorize(b[source_col], use_na_sentinel=False)
+        lut = np.array(
+            [wmap.get(c, np.nan) if isinstance(c, str) else np.nan for c in cats],
+            dtype="float64",
+        )
         if np.isnan(lut).any():
-            missing = sorted(cats[np.isnan(lut)].tolist())
+            missing = sorted(str(c) for c in cats[np.isnan(lut)])
             raise KeyError(f"sources missing from weights: {missing}")
         wv = lut[inv]
         n_full = np.floor(wv)

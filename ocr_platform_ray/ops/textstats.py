@@ -418,6 +418,25 @@ _GOPHER_ELLIPSIS_PAT = r"(\.\.\.|…)\s*$"
 
 # published thresholds (Rae 2021 A1.1); dup_line_frac's 0.30 is from the
 # repetition table of the same appendix
+# every column the gopher_quality_gate STAGED pipeline appends
+# (add_gopher_stats + add_repetition_stats + the pass flag) — consumers
+# that filter-then-drop (pipelines/curate.py) import THIS list so a new
+# signal column can never silently leak into their output schema
+GOPHER_SIGNAL_COLS = [
+    "n_words",
+    "mean_word_len_ws",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "n_required_words",
+    "n_lines",
+    "n_distinct_lines",
+    "dup_line_frac",
+    "mean_word_len",
+    "gopher_pass",
+]
+
 GOPHER_THRESHOLDS = {
     "min_words": 50,
     "max_words": 100_000,

@@ -27,7 +27,12 @@ from ..ops.dedup import (
 )
 from ..ops.spans import strip_duplicated_spans
 from ..state.manifest import checkpoint_dataset, checkpoint_lookup
-from ..ops.textstats import LangId, add_text_stats, gopher_quality_gate
+from ..ops.textstats import (
+    GOPHER_SIGNAL_COLS,
+    LangId,
+    add_text_stats,
+    gopher_quality_gate,
+)
 from .extraction import extraction_pipeline
 
 
@@ -63,22 +68,6 @@ def assign_split(docs: rd.Dataset, *, key_col: str = "url") -> rd.Dataset:
         return out
 
     return docs.map_batches(add, batch_format="pandas")
-
-
-_GOPHER_SIGNAL_COLS = [
-    "n_words",
-    "mean_word_len_ws",
-    "symbol_word_ratio",
-    "bullet_line_frac",
-    "ellipsis_line_frac",
-    "alpha_word_frac",
-    "n_required_words",
-    "n_lines",
-    "n_distinct_lines",
-    "dup_line_frac",
-    "mean_word_len",
-    "gopher_pass",
-]
 
 
 def curate_corpus(
@@ -152,7 +141,7 @@ def curate_corpus(
         # identical with the stage on or off.
         docs = gopher_quality_gate(
             docs, "extracted_text", thresholds=gopher_thresholds, filter_rows=True
-        ).drop_columns(_GOPHER_SIGNAL_COLS)
+        ).drop_columns(GOPHER_SIGNAL_COLS)
     if strip_boilerplate:
         # line granularity: extracted_text joins headers with '\n' and
         # pages with the form-feed separator, so a '\n\n' chunk would glue
