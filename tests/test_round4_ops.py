@@ -1239,3 +1239,72 @@ class TestDedupDocLines:
         ).repartition(5)
         out = dedup_doc_lines(ds, "text").to_pandas().sort_values("doc_id")
         assert list(out["text"]) == texts
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4Properties:
+    """Property invariants for the cleaning ops (hypothesis; few examples
+    per property — each runs a real Dataset execution)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(
+        st.text(alphabet="ab .!?\n{Jjvscript", max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(_texts)
+    def test_c4_clean_idempotent_and_line_subset(self, texts):
+        from ocr_platform_ray.ops.c4 import c4_clean
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        once = c4_clean(ds, "text").to_pandas().sort_values("doc_id")
+        # every kept line is one of the input's lines, in order
+        for t, c in zip(texts, once["c4_text"]):
+            src = t.split("\n")
+            kept = c.split("\n") if c else []
+            it = iter(src)
+            assert all(any(line == s for s in it) for line in kept)
+        # cleaning its own output changes nothing (idempotence)
+        again = (
+            c4_clean(
+                rd.from_pandas(
+                    pd.DataFrame(
+                        {"doc_id": range(len(texts)), "text": list(once["c4_text"])}
+                    )
+                ),
+                "text",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(again["c4_text"]) == list(once["c4_text"])
+
+    @settings(
+        max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(_texts)
+    def test_dedup_doc_lines_idempotent_and_distinct(self, texts):
+        from ocr_platform_ray.ops.textstats import dedup_doc_lines
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        once = dedup_doc_lines(ds, "text").to_pandas().sort_values("doc_id")
+        for c in once["text"]:
+            lines = c.split("\n")
+            assert len(lines) == len(set(lines))  # all distinct after one pass
+        again = (
+            dedup_doc_lines(
+                rd.from_pandas(
+                    pd.DataFrame({"doc_id": range(len(texts)), "text": list(once["text"])})
+                ),
+                "text",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(again["text"]) == list(once["text"])
