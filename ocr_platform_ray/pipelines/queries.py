@@ -2139,6 +2139,51 @@ def q_dedup_doc_lines(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental exact dedup against persisted state (the continuous-
+    ingestion lifecycle): day1 = even doc_ids, day2 = all docs — day2
+    must accept exactly the odd ids whose TEXT wasn't accepted on day1,
+    and replaying day1 must be a pure read with the identical result
+    (asserted in-query).  Rows-only (stateful multi-run lifecycle isn't
+    SQL-expressible); full semantics pinned in TestIncrementalDedup."""
+    import shutil
+    import tempfile
+
+    from ..ops.incremental import incremental_exact_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    day1 = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    sd = tempfile.mkdtemp(prefix="inc_dedup_q_", dir="/tmp")
+    try:
+        s1 = incremental_exact_dedup(
+            day1, "text", "doc_id", sd, ingest_id="day1"
+        ).to_pandas()
+        s2 = incremental_exact_dedup(
+            docs, "text", "doc_id", sd, ingest_id="day2"
+        ).to_pandas()
+        r1 = incremental_exact_dedup(
+            day1, "text", "doc_id", sd, ingest_id="day1"
+        ).to_pandas()
+        a = s1.sort_values("doc_id").reset_index(drop=True)
+        b = r1.sort_values("doc_id").reset_index(drop=True)
+        if not a.equals(b[a.columns]):
+            raise AssertionError("day1 replay was not identical")
+        if set(s2["text"]) & set(s1["text"]):
+            raise AssertionError("day2 re-accepted content committed on day1")
+        out = pd.concat(
+            [a.assign(ingest="day1"), s2.assign(ingest="day2")], ignore_index=True
+        )
+        return (
+            out[["ingest", "doc_id", "n_dups"]]
+            .sort_values(["ingest", "doc_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2158,9 +2203,10 @@ def q_dedup_doc_lines(sf_dir: str) -> pd.DataFrame:
 # gopher_quality / bm25_top10 / c4_clean / dedup_doc_lines are SQL-oracled in
 # TestTailQueryOracles; merge_volumes / compression_ratio /
 # semdedup_embeddings / c4_span_dedup / dsir_select /
-# quality_classifier are no-oracle and pinned by TestMergeDocuments /
-# TestCompressionRatio / TestKmeansSemdedup / TestC4SpanDedup /
-# TestDsir / TestLogregClassifier (plus in-query invariant asserts).
+# quality_classifier / incremental_dedup are no-oracle and pinned by
+# TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
+# TestC4SpanDedup / TestDsir / TestLogregClassifier /
+# TestIncrementalDedup (plus in-query invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2256,6 +2302,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "quality_classifier": q_quality_classifier,
     "dedup_doc_lines": q_dedup_doc_lines,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

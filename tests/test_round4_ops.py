@@ -1308,3 +1308,114 @@ class TestC4Properties:
             .sort_values("doc_id")
         )
         assert list(again["text"]) == list(once["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    """incremental_exact_dedup: arrival-order precedence across committed
+    ingests, idempotent replay, torn-ingest invisibility, layout guard."""
+
+    def _inc(self, ids, texts):
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "text": texts})
+        ).repartition(3)
+
+    def test_two_increments_semantics_and_replay(self, tmp_path):
+        from ocr_platform_ray.ops.dedup import exact_dedup
+        from ocr_platform_ray.ops.incremental import (
+            committed_ingests,
+            incremental_exact_dedup,
+        )
+
+        sd = str(tmp_path / "state")
+        inc1 = self._inc(range(10), [f"t{i % 6}" for i in range(10)])
+        inc2 = self._inc(range(100, 110), [f"t{i % 8}" for i in range(10)])
+        s1 = (
+            incremental_exact_dedup(inc1, "text", "doc_id", sd, ingest_id="day1")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(s1["doc_id"]) == [0, 1, 2, 3, 4, 5]
+        assert list(s1["n_dups"]) == [2, 2, 2, 2, 1, 1]  # in-increment counts
+        s2 = (
+            incremental_exact_dedup(inc2, "text", "doc_id", sd, ingest_id="day2")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # t0-t5 already accepted on day1 -> only the genuinely new survive,
+        # even though day2's ids are all higher (arrival order, not id)
+        assert sorted(s2["text"]) == ["t6", "t7"]
+        assert committed_ingests(sd) == ["day1", "day2"]
+        # replay of a committed ingest is a pure read, identical result
+        r1 = (
+            incremental_exact_dedup(inc1, "text", "doc_id", sd, ingest_id="day1")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        pd.testing.assert_frame_equal(
+            r1.reset_index(drop=True)[sorted(r1.columns)],
+            s1.reset_index(drop=True)[sorted(s1.columns)],
+        )
+        # cumulative content set == one-shot exact dedup over the union
+        union = exact_dedup(
+            self._inc(list(range(10)) + list(range(100, 110)),
+                      [f"t{i % 6}" for i in range(10)] + [f"t{i % 8}" for i in range(10)]),
+            "text",
+            "doc_id",
+        ).to_pandas()
+        assert sorted(set(s1["text"]) | set(s2["text"])) == sorted(union["text"])
+
+    def test_torn_ingest_is_invisible_and_overwritten(self, tmp_path):
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.ops.incremental import incremental_exact_dedup
+
+        sd = str(tmp_path / "state")
+        inc1 = self._inc(range(6), [f"t{i}" for i in range(6)])
+        incremental_exact_dedup(inc1, "text", "doc_id", sd, ingest_id="day1")
+        # simulate a SIGKILLed "day2": bucket files written, NO marker —
+        # poison every bucket with hashes matching day2's content
+        from ocr_platform_ray.ops.dedup import _sha64
+
+        hs = _sha64(np.array(["u0", "u1"], dtype=object)).astype("int64")
+        for h in hs:
+            b = int(np.uint64(h) % np.uint64(64))
+            bdir = os.path.join(sd, "buckets", f"b{b:03d}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(
+                pa.table({"h": pa.array([h], pa.int64())}),
+                os.path.join(bdir, "day2.parquet"),
+            )
+        # the retry must ACCEPT u0/u1 (the torn files are uncommitted) and
+        # overwrite them
+        s2 = (
+            incremental_exact_dedup(
+                self._inc([50, 51], ["u0", "u1"]), "text", "doc_id", sd, ingest_id="day2"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert sorted(s2["text"]) == ["u0", "u1"]
+        # and day3 must now see u0/u1 as known
+        s3 = (
+            incremental_exact_dedup(
+                self._inc([60, 61], ["u0", "v9"]), "text", "doc_id", sd, ingest_id="day3"
+            )
+            .to_pandas()
+        )
+        assert sorted(s3["text"]) == ["v9"]
+
+    def test_bucket_layout_guard(self, tmp_path):
+        from ocr_platform_ray.ops.incremental import incremental_exact_dedup
+
+        sd = str(tmp_path / "state")
+        inc = self._inc(range(3), ["a", "b", "c"])
+        incremental_exact_dedup(inc, "text", "doc_id", sd, ingest_id="d1")
+        with pytest.raises(ValueError, match="n_buckets"):
+            incremental_exact_dedup(
+                inc, "text", "doc_id", sd, ingest_id="d2", n_buckets=8
+            )
