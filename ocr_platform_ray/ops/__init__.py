@@ -64,4 +64,8 @@ from .cluster import kmeans_fit, semdedup  # noqa: F401
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401
 from .classifier import logreg_fit, logreg_score  # noqa: F401
-from .incremental import incremental_exact_dedup, committed_ingests  # noqa: F401
+from .incremental import (  # noqa: F401
+    committed_ingests,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+)

@@ -73,6 +73,70 @@ def committed_ingests(state_dir: str) -> list[str]:
     return [name for _, name in sorted(out)]
 
 
+def _replay_or_precheck(
+    state_dir: str, ingest_id: str, layout: dict
+) -> tuple[rd.Dataset | None, set[str]]:
+    """Shared ingest preamble: return (committed replay, None) or
+    (None, committed ingest set) after validating the ingest id and that
+    ``layout`` (n_buckets + operator params baked into the state's
+    identity) matches every prior committed marker."""
+    if "/" in ingest_id or not ingest_id:
+        raise ValueError(f"ingest_id must be a non-empty path segment: {ingest_id!r}")
+    marker = _marker_path(state_dir, ingest_id)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        spec = {c: np.dtype(t) for c, t in m.get("spec", {}).items()}
+        return thaw_list_columns(
+            rd.read_parquet(_survivors_dir(state_dir, ingest_id)), spec
+        ), set()
+    committed = set(committed_ingests(state_dir))
+    for prior in committed:
+        with open(_marker_path(state_dir, prior)) as f:
+            got = json.load(f).get("layout")
+        if got != layout:
+            raise ValueError(
+                f"state {state_dir!r} was built with layout={got}; got {layout}"
+            )
+        break
+    return None, committed
+
+
+def _commit_ingest(
+    survivors: rd.Dataset,
+    state_dir: str,
+    ingest_id: str,
+    spec: dict,
+    layout: dict,
+    n_committed: int,
+) -> rd.Dataset:
+    """Durable survivors + commit marker LAST (the checkpoint_dataset
+    discipline): a kill anywhere before the marker leaves no committed
+    trace."""
+    sdir = _survivors_dir(state_dir, ingest_id)
+    marker = _marker_path(state_dir, ingest_id)
+    os.makedirs(os.path.join(state_dir, "ingests"), exist_ok=True)
+    tmp = sdir + ".tmp"
+    for p in (tmp, sdir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    survivors.write_parquet(tmp)
+    os.replace(tmp, sdir)
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(
+            {
+                "seq": n_committed,
+                "layout": layout,
+                "spec": {c: t.name for c, t in spec.items()},
+            },
+            f,
+        )
+    os.replace(mtmp, marker)
+    spec_np = {c: np.dtype(t.name) for c, t in spec.items()}
+    return thaw_list_columns(rd.read_parquet(sdir), spec_np)
+
+
 def incremental_exact_dedup(
     ds: rd.Dataset,
     content_col: str,
@@ -86,30 +150,11 @@ def incremental_exact_dedup(
     docstring), append the survivors' hashes, commit, and return the
     survivors (full input schema + ``n_dups`` = in-increment duplicate
     count).  Replaying a committed ``ingest_id`` is a read."""
-    if "/" in ingest_id or not ingest_id:
-        raise ValueError(f"ingest_id must be a non-empty path segment: {ingest_id!r}")
-
+    layout = {"op": "exact", "n_buckets": n_buckets}
+    replay, committed = _replay_or_precheck(state_dir, ingest_id, layout)
+    if replay is not None:
+        return replay
     marker = _marker_path(state_dir, ingest_id)
-    sdir = _survivors_dir(state_dir, ingest_id)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            m = json.load(f)
-        spec = {c: np.dtype(t) for c, t in m.get("spec", {}).items()}
-        return thaw_list_columns(rd.read_parquet(sdir), spec)
-
-    committed = set(committed_ingests(state_dir))
-    # bucket layout is part of the state's identity: a different
-    # n_buckets would route hashes past their recorded bucket and
-    # silently re-admit known content
-    for prior in committed:
-        with open(_marker_path(state_dir, prior)) as f:
-            nb = json.load(f).get("n_buckets")
-        if nb != n_buckets:
-            raise ValueError(
-                f"state {state_dir!r} was built with n_buckets={nb}; "
-                f"got {n_buckets}"
-            )
-        break
 
     # in-batch combiner (the exact_dedup pattern): hash, collapse
     # duplicates early, carry partial counts
@@ -158,25 +203,170 @@ def incremental_exact_dedup(
         return g.drop(columns=["__h"])
 
     survivors = hashed.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+    return _commit_ingest(
+        survivors, state_dir, ingest_id, spec, layout, len(committed)
+    )
 
-    # durable survivors + commit marker LAST (the checkpoint_dataset
-    # discipline): a kill anywhere above leaves no committed trace
-    os.makedirs(os.path.join(state_dir, "ingests"), exist_ok=True)
-    tmp = sdir + ".tmp"
-    for p in (tmp, sdir):
-        if os.path.exists(p):
-            shutil.rmtree(p)
-    survivors.write_parquet(tmp)
-    os.replace(tmp, sdir)
-    mtmp = marker + ".tmp"
-    with open(mtmp, "w") as f:
-        json.dump(
+
+def incremental_minhash_dedup(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    *,
+    ingest_id: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Incremental NEAR-dedup (MinHash-LSH) against persisted state —
+    ``incremental_exact_dedup``'s semantics with band-bucket state: a
+    row survives iff it is the in-increment representative
+    (``minhash_lsh_duplicates`` + ``dedup_keep_representatives``,
+    min-id) AND no committed document shares an LSH band with estimated
+    Jaccard >= ``threshold`` (old data wins).
+
+    State layout: one parquet per (bucket, ingest) holding
+    (band, bh, id, sig-bytes) for every ACCEPTED document's bands,
+    bucketed by ``hash(band, bh) % n_buckets`` — candidate verification
+    happens ENTIRELY inside the bucket task against the stored
+    signatures (no extra exchange for the old side; the signature is
+    duplicated per band in state, a deliberate bands-x space-for-
+    locality trade documented here).  Commit/replay/torn-ingest
+    discipline is shared with the exact variant (driver marker last,
+    idempotent per-(bucket, ingest) files).  Use a state_dir per
+    operator — exact and minhash state don't mix (layout-guarded)."""
+    from .dedup import _band_hashes, _MinHashSig, dedup_keep_representatives, minhash_lsh_duplicates
+    from .relational import anti_join
+
+    layout = {
+        "op": "minhash",
+        "n_buckets": n_buckets,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "threshold": threshold,
+    }
+    replay, committed = _replay_or_precheck(state_dir, ingest_id, layout)
+    if replay is not None:
+        return replay
+
+    # ---- phase 0: in-increment near-dedup (existing machinery) ----
+    pairs = minhash_lsh_duplicates(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs) if len(pairs) else None
+    reps = (
+        dedup_keep_representatives(ds, pairs, id_col, clusters="auto")
+        if pairs is not None
+        else ds
+    )
+    frozen, spec = freeze_list_columns(reps)
+    frozen = frozen.materialize()  # consumed by sig pass + survivor filter
+
+    rows_per_band = num_perm // bands
+    sigger = _MinHashSig(text_col, id_col, num_perm, shingle_k)
+
+    def explode_with_sig(b: pd.DataFrame) -> pd.DataFrame:
+        sig = sigger(b)
+        n = len(sig)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: sig[id_col].iloc[:0],
+                    "band": pd.Series(dtype="int64"),
+                    "bh": pd.Series(dtype="int64"),
+                    "sig": pd.Series(dtype="object"),
+                    "__b": pd.Series(dtype="int64"),
+                }
+            )
+        sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in sig["sig"]])
+        bhs = _band_hashes(sig_mat, bands, rows_per_band).astype(np.uint64)
+        out = pd.DataFrame(
             {
-                "seq": len(committed),
-                "n_buckets": n_buckets,
-                "spec": {c: t.name for c, t in spec.items()},
-            },
-            f,
+                id_col: np.repeat(sig[id_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "bh": bhs.astype("int64"),
+                "sig": [r.tobytes() for r in np.repeat(sig_mat, bands, axis=0)],
+            }
         )
-    os.replace(mtmp, marker)
-    return thaw_list_columns(rd.read_parquet(sdir), spec)
+        # bucket on (band, bh) jointly so a band's bucket is stable
+        key = bhs * np.uint64(0x9E3779B97F4A7C15) + out["band"].to_numpy().astype(
+            np.uint64
+        )
+        out["__b"] = (key % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    exploded = frozen.select_columns([id_col, text_col]).map_batches(
+        explode_with_sig, batch_format="pandas"
+    ).materialize()  # consumed twice: match phase + state append
+
+    def _read_bucket_state(b: int) -> pd.DataFrame | None:
+        bdir = _bucket_dir(state_dir, b)
+        frames = []
+        for p in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+            if os.path.basename(p)[: -len(".parquet")] in committed:
+                frames.append(pq.read_table(p).to_pandas())
+        return pd.concat(frames, ignore_index=True) if frames else None
+
+    # ---- phase 1: matched new ids (id-only output per bucket) ----
+    def per_bucket_match(g: pd.DataFrame) -> pd.DataFrame:
+        old = _read_bucket_state(int(g["__b"].iloc[0]))
+        if old is None or len(old) == 0:
+            return pd.DataFrame({id_col: g[id_col].iloc[:0]})
+        m = g.merge(old, on=["band", "bh"], suffixes=("_new", "_old"))
+        if len(m) == 0:
+            return pd.DataFrame({id_col: g[id_col].iloc[:0]})
+        a = np.frombuffer(b"".join(m["sig_new"]), dtype=np.uint64).reshape(
+            len(m), num_perm
+        )
+        bb = np.frombuffer(b"".join(m["sig_old"]), dtype=np.uint64).reshape(
+            len(m), num_perm
+        )
+        est = (a == bb).mean(axis=1)
+        hit = m.loc[est >= threshold, f"{id_col}_new"].drop_duplicates()
+        return pd.DataFrame({id_col: hit.to_numpy()})
+
+    matched = exploded.groupby("__b").map_groups(
+        per_bucket_match, batch_format="pandas"
+    )
+    survivors = anti_join(frozen, matched, id_col, method="auto")
+    survivors = survivors.materialize()  # consumed by commit + state append
+
+    # ---- phase 2: append surviving docs' band entries to state ----
+    from .relational import semi_join
+
+    surviving_bands = semi_join(
+        exploded, survivors.select_columns([id_col]), id_col, method="auto"
+    )
+
+    def per_bucket_append(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        bdir = _bucket_dir(state_dir, b)
+        os.makedirs(bdir, exist_ok=True)
+        out = g.sort_values([id_col, "band"])[["band", "bh", id_col, "sig"]]
+        t = pa.table(
+            {
+                "band": pa.array(out["band"].to_numpy(), pa.int64()),
+                "bh": pa.array(out["bh"].to_numpy(), pa.int64()),
+                id_col: pa.array(out[id_col].to_list()),
+                "sig": pa.array(out["sig"].to_list(), pa.binary()),
+            }
+        )
+        tmp = os.path.join(bdir, f".{ingest_id}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(bdir, f"{ingest_id}.parquet"))
+        return pd.DataFrame({"__b": [b]})
+
+    # the append pass is side-effecting; drain it fully before committing
+    surviving_bands.groupby("__b").map_groups(
+        per_bucket_append, batch_format="pandas"
+    ).count()
+
+    return _commit_ingest(
+        survivors, state_dir, ingest_id, spec, layout, len(committed)
+    )

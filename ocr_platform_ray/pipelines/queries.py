@@ -2184,6 +2184,64 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(sd, ignore_errors=True)
 
 
+def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental MinHash near-dedup against persisted band-bucket
+    state: day1 = even-id docs; day2 = odd-id docs PLUS a one-word
+    tweak of every day1 doc (a NEAR dup, exact hashing would miss it) —
+    day2 must drop every tweak and accept the genuine odds, and a day1
+    replay must be a pure read (asserted in-query).  Rows-only;
+    lifecycle pinned in TestIncrementalMinhash."""
+    import shutil
+    import tempfile
+
+    from ..ops.incremental import incremental_minhash_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    day1 = docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas")
+
+    # the tweak APPENDS one word: true jaccard (n-2)/(n-1) >= 0.89 even
+    # for the corpus's 10-word minimum, a >= 5-sigma margin over the 0.7
+    # verify threshold at 64 permutations (replacing a word instead
+    # would push short docs' similarity below ANY sane threshold)
+    def day2_batch(b: pd.DataFrame) -> pd.DataFrame:
+        odd = b[b["doc_id"] % 2 == 1]
+        ev = b[b["doc_id"] % 2 == 0]
+        tweaks = pd.DataFrame(
+            {
+                "doc_id": ev["doc_id"].to_numpy() + 1_000_000,
+                "text": [t + " TWEAKED" for t in ev["text"]],
+            }
+        )
+        return pd.concat([odd, tweaks], ignore_index=True)
+
+    day2 = docs.map_batches(day2_batch, batch_format="pandas")
+    sd = tempfile.mkdtemp(prefix="inc_mh_q_", dir="/tmp")
+    try:
+        s1 = incremental_minhash_dedup(
+            day1, "text", "doc_id", sd, ingest_id="day1", threshold=0.7
+        ).to_pandas()
+        s2 = incremental_minhash_dedup(
+            day2, "text", "doc_id", sd, ingest_id="day2", threshold=0.7
+        ).to_pandas()
+        if (s2["doc_id"] >= 1_000_000).any():
+            raise AssertionError("a near-dup tweak of committed content survived")
+        r1 = incremental_minhash_dedup(
+            day1, "text", "doc_id", sd, ingest_id="day1", threshold=0.7
+        ).to_pandas()
+        if sorted(r1["doc_id"]) != sorted(s1["doc_id"]):
+            raise AssertionError("day1 replay was not identical")
+        out = pd.concat(
+            [
+                s1.assign(ingest="day1")[["ingest", "doc_id"]],
+                s2.assign(ingest="day2")[["ingest", "doc_id"]],
+            ],
+            ignore_index=True,
+        )
+        return out.sort_values(["ingest", "doc_id"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2203,10 +2261,12 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 # gopher_quality / bm25_top10 / c4_clean / dedup_doc_lines are SQL-oracled in
 # TestTailQueryOracles; merge_volumes / compression_ratio /
 # semdedup_embeddings / c4_span_dedup / dsir_select /
-# quality_classifier / incremental_dedup are no-oracle and pinned by
+# quality_classifier / incremental_dedup / incremental_near_dedup are
+# no-oracle and pinned by
 # TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
 # TestC4SpanDedup / TestDsir / TestLogregClassifier /
-# TestIncrementalDedup (plus in-query invariant asserts).
+# TestIncrementalDedup / TestIncrementalMinhash (plus in-query
+# invariant asserts).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2303,6 +2363,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "dedup_doc_lines": q_dedup_doc_lines,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dedup": q_incremental_near_dedup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

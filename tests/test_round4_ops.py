@@ -1419,3 +1419,84 @@ class TestIncrementalDedup:
             incremental_exact_dedup(
                 inc, "text", "doc_id", sd, ingest_id="d2", n_buckets=8
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalMinhash:
+    """incremental_minhash_dedup: near-dups (not just exact) blocked
+    across ingests, in-increment representatives, replay, layout guard."""
+
+    def _mk(self, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(50)]
+
+        def doc(n=60):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        def tweak(t):
+            toks = t.split()
+            toks[3] = "CHANGED"
+            return " ".join(toks)
+
+        return doc, tweak
+
+    def test_lifecycle(self, tmp_path):
+        from ocr_platform_ray.ops.incremental import incremental_minhash_dedup
+
+        doc, tweak = self._mk()
+        sd = str(tmp_path / "state")
+        base = [doc() for _ in range(8)]
+        fresh = [doc() for _ in range(2)]
+        inc1 = pd.DataFrame(
+            {"doc_id": np.arange(8, dtype=np.int64), "text": base}
+        )
+        inc2 = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, 107, dtype=np.int64),
+                "text": [tweak(base[i]) for i in range(4)]
+                + fresh
+                + [tweak(fresh[0])],
+            }
+        )
+        s1 = incremental_minhash_dedup(
+            rd.from_pandas(inc1).repartition(3), "text", "doc_id", sd, ingest_id="d1"
+        ).to_pandas()
+        assert sorted(s1["doc_id"]) == list(range(8))
+        s2 = incremental_minhash_dedup(
+            rd.from_pandas(inc2).repartition(3), "text", "doc_id", sd, ingest_id="d2"
+        ).to_pandas()
+        # 100-103 are NEAR (not exact) dups of committed docs -> dropped;
+        # 106 loses to 104 within the increment (min id)
+        assert sorted(s2["doc_id"]) == [104, 105]
+        # replay is a pure read
+        r2 = incremental_minhash_dedup(
+            rd.from_pandas(inc2), "text", "doc_id", sd, ingest_id="d2"
+        ).to_pandas()
+        assert sorted(r2["doc_id"]) == [104, 105]
+        # a near-dup of a d2 SURVIVOR is blocked on d3
+        inc3 = pd.DataFrame(
+            {
+                "doc_id": np.array([200, 201], dtype=np.int64),
+                "text": [tweak(fresh[1]), doc()],
+            }
+        )
+        s3 = incremental_minhash_dedup(
+            rd.from_pandas(inc3), "text", "doc_id", sd, ingest_id="d3"
+        ).to_pandas()
+        assert sorted(s3["doc_id"]) == [201]
+
+    def test_layout_guard_across_params(self, tmp_path):
+        from ocr_platform_ray.ops.incremental import incremental_minhash_dedup
+
+        doc, _ = self._mk()
+        sd = str(tmp_path / "state")
+        inc = rd.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": [doc() for _ in range(3)]})
+        )
+        incremental_minhash_dedup(inc, "text", "doc_id", sd, ingest_id="d1")
+        with pytest.raises(ValueError, match="layout"):
+            incremental_minhash_dedup(
+                inc, "text", "doc_id", sd, ingest_id="d2", threshold=0.5
+            )
