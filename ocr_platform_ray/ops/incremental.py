@@ -28,6 +28,12 @@ Scale shape:
 Compaction of the per-ingest bucket files (many small ingests -> merge
 a bucket's files into one) is deliberately out of scope here; buckets
 stay correct regardless, only read fan-in grows with ingest count.
+
+Multi-node note: bucket tasks read and write state with plain
+filesystem calls, so ``state_dir`` must be storage every worker sees —
+a shared filesystem or (swapping the os/glob/pq calls for fsspec) an
+object store.  Single atomic-rename visibility is the only filesystem
+semantic relied on.
 """
 
 from __future__ import annotations
