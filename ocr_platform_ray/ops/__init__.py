@@ -49,6 +49,9 @@ from .decontam import contamination_counts  # noqa: F401
 from .interval import interval_join  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivf_index,
+    knn_pq,
+    pq_encode,
+    train_pq,
     knn_brute_force,
     knn_ivf,
     knn_ivf_persisted,

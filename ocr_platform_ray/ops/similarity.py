@@ -517,3 +517,154 @@ def knn_ivf(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the 100 TB embedding-storage shape: vectors
+# compress to m bytes (dim x 8 bytes -> m), and queries score the CODES
+# via per-subspace lookup tables (ADC), never touching raw vectors.
+# --------------------------------------------------------------------------
+def train_pq(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 10,
+    sample_limit: int = 20000,
+    seed: int = 29,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a seeded size-capped sample (the
+    train_ivf_centroids sampling rule): the normalized vectors split into
+    ``m`` equal subspaces, each gets an L2 k-means with ``n_codes``
+    centroids.  Returns the (m, n_codes, dim/m) codebook tensor
+    (driver-side — m*256*dsub floats is tiny)."""
+    n_total = ds.count()
+    if n_total > sample_limit:
+        frac = min(1.0, (1.5 * sample_limit) / n_total)
+        sampled = ds.random_sample(frac, seed=seed).limit(sample_limit)
+    else:
+        sampled = ds
+    sample = _as_matrix(sampled.to_pandas()[emb_col])
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(n_codes, len(sample)), dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=books.shape[1], replace=False)].copy()
+        for _ in range(n_iters):
+            # L2 assignment: argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+            d = sub @ cent.T - 0.5 * (cent**2).sum(axis=1)[None, :]
+            a = np.argmax(d, axis=1)
+            for c in range(len(cent)):
+                members = sub[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 code matrix: per subspace, L2-nearest codebook entry.
+
+    The argmax rounds to 12 decimals first: BLAS matmul kernels vary
+    with the MATRIX SHAPE, so an exact tie (duplicate centroids happen
+    on low-entropy data) could otherwise break differently per block
+    size — encoding must be a pure function of the vector."""
+    n, m = mat.shape[0], books.shape[0]
+    dsub = books.shape[2]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d = sub @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = np.argmax(np.round(d, 12), axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    codebooks: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Map-only encode: every row becomes (id, ``pq_code`` = m bytes).
+    The codebook tensor broadcasts once via ``ray.put``; raw vectors
+    never leave their block again — downstream search reads codes only
+    (dim*8 bytes -> m bytes per vector, e.g. 64x at dim=64, m=8)."""
+    ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        books = cached_get(ref)
+        if len(b) == 0:
+            return pd.DataFrame({id_col: b[id_col].iloc[:0], "pq_code": pd.Series(dtype="object")})
+        mat = _as_matrix(b[emb_col])
+        codes = _pq_codes(mat, books)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "pq_code": [r.tobytes() for r in codes]}
+        )
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+def knn_pq(
+    codes_ds: rd.Dataset,
+    queries: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pd.DataFrame:
+    """Approximate inner-product top-k over PQ codes (asymmetric distance
+    computation): each query builds one (m, n_codes) lookup table of
+    subspace inner products; a row's score is m table gathers summed —
+    no vector math per row, codes never decode.  Same local top-k prune
+    + driver finish as knn_brute_force; same output schema with
+    ``adc_ip`` in place of ``cosine`` (recall < 1 by design — measured
+    against the brute-force baseline in tests)."""
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    m, n_codes, dsub = codebooks.shape
+    # (n_queries, m, n_codes) inner-product tables
+    luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), m, dsub), codebooks)
+    lut_ref = ray.put(np.ascontiguousarray(luts))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        tables = cached_get(lut_ref)
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "query_idx": pd.Series(dtype="int64"),
+                    id_col: b[id_col].iloc[:0],
+                    "adc_ip": pd.Series(dtype="float64"),
+                }
+            )
+        codes = np.frombuffer(b"".join(b["pq_code"]), dtype=np.uint8).reshape(n, m)
+        ids = b[id_col].to_numpy()
+        out_rows = []
+        j_idx = np.arange(m)
+        for qi in range(tables.shape[0]):
+            sims = tables[qi][j_idx[None, :], codes].sum(axis=1)  # (n,)
+            kk = min(k, n)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_rows.append(
+                pd.DataFrame(
+                    {"query_idx": qi, id_col: ids[idx], "adc_ip": sims[idx]}
+                )
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    cand = codes_ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["query_idx", "adc_ip", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -2242,6 +2242,34 @@ def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(sd, ignore_errors=True)
 
 
+def q_knn_pq_top10(sf_dir: str) -> pd.DataFrame:
+    """Product-quantized ANN (Jegou 2011): vectors encoded to 16 bytes
+    (32x compression at dim 64), queries score codes via per-subspace
+    ADC lookup tables — raw vectors never touched after the encode pass.
+    Rows-only (approximate by design); in-query recall@10 floor vs the
+    exact brute force, full recall/determinism pins in TestProductQuant."""
+    import pyarrow.parquet as pq
+
+    from ..ops.similarity import knn_brute_force, knn_pq, pq_encode, train_pq
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(
+        q.filter(np.array(q.column("vec_id").to_pylist()) == 0)["embedding"][0].as_py()
+    )
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] != 0], batch_format="pandas"
+    )
+    books = train_pq(ds, m=16, n_codes=256)
+    approx = knn_pq(pq_encode(ds, books), qv, books, k=10)
+    exact = knn_brute_force(ds, qv, k=10)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    if recall < 0.5:
+        raise AssertionError(f"PQ recall@10 {recall} below floor 0.5")
+    out = approx[["vec_id", "adc_ip"]].copy()
+    out["adc_ip"] = _round_half_away(out["adc_ip"], 4)
+    return out.reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2266,7 +2294,9 @@ def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
 # TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
 # TestC4SpanDedup / TestDsir / TestLogregClassifier /
 # TestIncrementalDedup / TestIncrementalMinhash (plus in-query
-# invariant asserts).
+# invariant asserts); knn_pq_top10 follows knn_lsh_top10's rule
+# (approximate by design, recall-floored in-query, pinned by
+# TestProductQuant).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2364,6 +2394,7 @@ QUERIES = {
     "dedup_doc_lines": q_dedup_doc_lines,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dedup": q_incremental_near_dedup,
+    "knn_pq_top10": q_knn_pq_top10,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
