@@ -49,6 +49,8 @@ from .decontam import contamination_counts  # noqa: F401
 from .interval import interval_join  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivf_index,
+    build_ivf_pq_index,
+    knn_ivf_pq,
     knn_pq,
     pq_encode,
     train_pq,

@@ -668,3 +668,150 @@ def knn_pq(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def build_ivf_pq_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 256,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ — the canonical huge-corpus ANN composition: coarse
+    centroids route queries to cells (partition-pruned READS), product
+    quantization stores each vector as ``m`` bytes inside its cell.  One
+    map pass assigns the cell AND encodes; the persisted layout is
+    cell-partitioned parquet of (id, pq_code, cell_id) — raw vectors are
+    not stored at all.  Returns (centroids, codebooks)."""
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, emb_col=emb_col, n_cells=n_cells)
+    if codebooks is None:
+        codebooks = train_pq(ds, emb_col=emb_col, m=m, n_codes=n_codes)
+    ref = ray.put((centroids, np.ascontiguousarray(codebooks)))
+
+    def assign_encode(batch: pd.DataFrame) -> pd.DataFrame:
+        cent, books = cached_get(ref)
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].iloc[:0],
+                    "pq_code": pd.Series(dtype="object"),
+                    "cell_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                }
+            )
+        mat = _as_matrix(batch[emb_col])
+        cells = np.argmax(np.round(mat @ cent.T, 12), axis=1).astype(np.int64)
+        codes = _pq_codes(mat, books)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "pq_code": [r.tobytes() for r in codes],
+                # partition_cols consumes "cell"; "cell_id" stays IN the
+                # files so the probe can restrict rows per query
+                "cell_id": cells,
+                "cell": cells,
+            }
+        )
+
+    encoded = ds.map_batches(assign_encode, batch_format="pandas")
+    os.makedirs(out_dir, exist_ok=True)
+    encoded.write_parquet(out_dir, partition_cols=["cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(out_dir, "codebooks.npy"), codebooks)
+    return centroids, codebooks
+
+
+def knn_ivf_pq(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """ANN over a persisted IVF-PQ index: pick each query's ``n_probe``
+    nearest cells, read ONLY those cell partitions' (id, code, cell)
+    rows, ADC-score codes against per-query lookup tables restricted to
+    the query's own probed cells.  With ``n_probe == n_cells`` this
+    equals the full-scan ``knn_pq`` under the same codebooks
+    (equivalence-tested); smaller probes trade recall for reads."""
+    import glob as _glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(centroids))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    probe_cells = sorted(set(q_cells.ravel().tolist()))
+    files = [
+        f
+        for c in probe_cells
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not files:
+        return pd.DataFrame({"query_idx": [], id_col: [], "adc_ip": []})
+    mq, n_codes, dsub = books.shape
+    luts = np.einsum("qjd,jcd->qjc", q.reshape(len(q), mq, dsub), books)
+    ref = ray.put((np.ascontiguousarray(luts), q_cells))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        tables, qc = cached_get(ref)
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "query_idx": pd.Series(dtype="int64"),
+                    id_col: b[id_col].iloc[:0],
+                    "adc_ip": pd.Series(dtype="float64"),
+                }
+            )
+        codes = np.frombuffer(b"".join(b["pq_code"]), dtype=np.uint8).reshape(n, mq)
+        ids = b[id_col].to_numpy()
+        cells = b["cell_id"].to_numpy()
+        j_idx = np.arange(mq)
+        out_rows = []
+        for qi in range(tables.shape[0]):
+            mask = np.isin(cells, qc[qi])
+            if not mask.any():
+                continue
+            sims = tables[qi][j_idx[None, :], codes[mask]].sum(axis=1)
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_rows.append(
+                pd.DataFrame(
+                    {"query_idx": qi, id_col: ids[mask][idx], "adc_ip": sims[idx]}
+                )
+            )
+        if not out_rows:
+            return pd.DataFrame(
+                {
+                    "query_idx": pd.Series(dtype="int64"),
+                    id_col: b[id_col].iloc[:0],
+                    "adc_ip": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    cand = (
+        rd.read_parquet(files, columns=[id_col, "pq_code", "cell_id"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["query_idx", "adc_ip", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

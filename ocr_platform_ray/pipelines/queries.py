@@ -2270,6 +2270,42 @@ def q_knn_pq_top10(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_knn_ivf_pq_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ANN (Jegou 2011): the huge-corpus composition — coarse
+    cells give partition-pruned READS (only n_probe of n_cells cell
+    directories are opened), PQ codes give 32x storage compression, ADC
+    scores the codes inside the probed cells only.  Rows-only
+    (approximate by design); in-query recall@10 floor vs exact brute
+    force; full-probe==flat-PQ equivalence pinned in TestIvfPq."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..ops.similarity import build_ivf_pq_index, knn_brute_force, knn_ivf_pq
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qv = np.asarray(
+        q.filter(np.array(q.column("vec_id").to_pylist()) == 0)["embedding"][0].as_py()
+    )
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] != 0], batch_format="pandas"
+    )
+    idx = tempfile.mkdtemp(prefix="ivfpq_q_", dir="/tmp")
+    try:
+        build_ivf_pq_index(ds, idx, n_cells=16, m=16, n_codes=256)
+        approx = knn_ivf_pq(idx, qv, k=10, n_probe=8)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    exact = knn_brute_force(ds, qv, k=10)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    if recall < 0.5:
+        raise AssertionError(f"IVF-PQ recall@10 {recall} below floor 0.5")
+    out = approx[["vec_id", "adc_ip"]].copy()
+    out["adc_ip"] = _round_half_away(out["adc_ip"], 4)
+    return out.reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2294,9 +2330,9 @@ def q_knn_pq_top10(sf_dir: str) -> pd.DataFrame:
 # TestMergeDocuments / TestCompressionRatio / TestKmeansSemdedup /
 # TestC4SpanDedup / TestDsir / TestLogregClassifier /
 # TestIncrementalDedup / TestIncrementalMinhash (plus in-query
-# invariant asserts); knn_pq_top10 follows knn_lsh_top10's rule
-# (approximate by design, recall-floored in-query, pinned by
-# TestProductQuant).
+# invariant asserts); knn_pq_top10 / knn_ivf_pq_top10 follow
+# knn_lsh_top10's rule (approximate by design, recall-floored in-query,
+# pinned by TestProductQuant / TestIvfPq).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2395,6 +2431,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_dedup": q_incremental_near_dedup,
     "knn_pq_top10": q_knn_pq_top10,
+    "knn_ivf_pq_top10": q_knn_ivf_pq_top10,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
