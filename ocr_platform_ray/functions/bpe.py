@@ -44,6 +44,15 @@ def train_bpe(texts: list[str], n_merges: int = 500) -> list[tuple[str, str]]:
     for t in texts:
         for w in pretokenize(t.lower()):
             vocab[tuple(w) + (_EOW,)] += 1
+    return merge_loop(vocab, n_merges)
+
+
+def merge_loop(vocab: Counter, n_merges: int) -> list[tuple[str, str]]:
+    """The Sennrich 2016 merge iteration over a WORD-FREQUENCY vocabulary
+    (``{symbol tuple: count}``).  Split out of ``train_bpe`` so the
+    distributed trainer (``ops/bpe_train.py``) can feed it a histogram
+    reduced across the corpus — BPE training only ever needs the word
+    histogram, never the corpus itself."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()

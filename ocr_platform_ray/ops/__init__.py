@@ -43,7 +43,7 @@ from .textstats import (  # noqa: F401
 from .pack import range_prefix_sum, pack_sequences  # noqa: F401
 from .chunks import grouped_ordered_concat  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
-from .mix import weighted_source_mixture  # noqa: F401
+from .mix import token_budget_sample, weighted_source_mixture  # noqa: F401
 from .shuffle import epoch_shuffle, shuffle_hash  # noqa: F401
 from .decontam import contamination_counts  # noqa: F401
 from .interval import interval_join  # noqa: F401
@@ -69,6 +69,7 @@ from .cluster import kmeans_fit, semdedup  # noqa: F401
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401
 from .classifier import logreg_fit, logreg_score  # noqa: F401
+from .bpe_train import bpe_train_distributed, word_histogram  # noqa: F401
 from .incremental import (  # noqa: F401
     committed_ingests,
     incremental_exact_dedup,

@@ -27,8 +27,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
+from ..state.broadcast import cached_get
+from .relational import auto_group_agg
 from .shuffle import shuffle_hash
 
 _MOD32F = float(1 << 32)
@@ -81,3 +84,101 @@ def weighted_source_mixture(
         return rep
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+def token_budget_sample(
+    ds: rd.Dataset,
+    *,
+    source_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int | None],
+    seed: int = 0,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per-source TOKEN-budget sampling: keep each source's documents in
+    the seeded epoch-shuffle order until that source's cumulative token
+    count reaches its budget — the 'fill each mixture bucket to N tokens'
+    step training recipes run after the proportion math (the token-count
+    dual of ``weighted_source_mixture``'s per-doc rates).
+
+    A doc is kept iff its INCLUSIVE per-source prefix sum of
+    ``token_col`` in ``(shuffle_hash(key), )`` order is <= the source's
+    budget — so the same (corpus, seed) always fills a bucket with the
+    same documents regardless of parallelism, block structure, or input
+    order, and a SQL window function mirrors it exactly
+    (``SUM(tokens) OVER (PARTITION BY source ORDER BY shuffle_key)``).
+
+    Scale shape: the grouped form of the ``range_prefix_sum`` two-pass
+    scan.  The shuffle key lives in [0, 2^32), so range shards need NO
+    key-max scan; pass A reduces per-(source, shard) partial sums
+    (<= sources x n_shards rows) through ``auto_group_agg``; the driver
+    turns them into an exclusive offset table (dim-sized, broadcast);
+    pass B is ONE (key, source, tokens, sk) exchange grouped by range
+    shard — a shard task sorts its slice, adds its offsets, and filters
+    against the budget locally.  Document text never moves.
+
+    ``budgets`` must cover every source (silent drops hide mixture bugs
+    — the ``weighted_source_mixture`` rule); ``None`` means unlimited,
+    ``0`` excludes a source.  Output: ``(key_col, source_col, token_col,
+    cum_tokens)`` for kept rows; semi-join on ``key_col`` to recover
+    payload columns."""
+    for s, v in budgets.items():
+        if v is not None and not (v >= 0):
+            raise ValueError(f"budget for {s!r} must be >= 0 or None, got {v}")
+    span = (1 << 32) // n_shards + 1
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        sk = shuffle_hash(b[key_col].to_numpy(dtype="int64"), seed).astype("int64")
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy(),
+                source_col: b[source_col].to_numpy(),
+                token_col: b[token_col].to_numpy(dtype="int64"),
+                "__sk": sk,
+                "__kshard": sk // span,
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pandas").materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([source_col, "__kshard"], as_index=False).agg(
+            s=(token_col, "sum")
+        )
+
+    reduced = auto_group_agg(
+        keyed.map_batches(partial, batch_format="pandas"),
+        [source_col, "__kshard"],
+        {"s": ("s", "sum")},
+    )
+    if not isinstance(reduced, pd.DataFrame):
+        reduced = reduced.to_pandas()  # <= sources x n_shards rows
+    missing = sorted(set(reduced[source_col]) - set(budgets)) if len(reduced) else []
+    if missing:
+        raise KeyError(f"sources missing from budgets: {missing}")
+    offsets: dict[tuple[str, int], int] = {}
+    for src, grp in reduced.groupby(source_col):
+        g = grp.sort_values("__kshard")
+        run = np.concatenate(([0], np.cumsum(g["s"].to_numpy(dtype="int64"))[:-1]))
+        for sh, off in zip(g["__kshard"].to_numpy(dtype="int64"), run):
+            offsets[(src, int(sh))] = int(off)
+    limits = {s: (np.inf if v is None else int(v)) for s, v in budgets.items()}
+    ref = ray.put((offsets, limits))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        offs, lims = cached_get(ref)
+        sh = int(g["__kshard"].iat[0])
+        g = g.sort_values([source_col, "__sk"], kind="stable").reset_index(drop=True)
+        v = g[token_col].to_numpy(dtype="int64")
+        cum = np.empty(len(g), dtype="int64")
+        keep = np.empty(len(g), dtype=bool)
+        for src, idx in g.groupby(source_col, sort=False).indices.items():
+            c = np.cumsum(v[idx]) + offs.get((src, sh), 0)
+            cum[idx] = c
+            keep[idx] = c <= lims[src]
+        out = g.loc[keep, [key_col, source_col, token_col]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return keyed.groupby("__kshard").map_groups(per_shard, batch_format="pandas")

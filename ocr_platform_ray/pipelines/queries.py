@@ -2306,6 +2306,92 @@ def q_knn_ivf_pq_top10(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_bpe_train_token_count(sf_dir: str) -> pd.DataFrame:
+    """Full tokenizer LIFECYCLE on the engine (Sennrich 2016): learn the
+    merge table from the corpus itself (distributed word histogram ->
+    driver merge loop, ops/bpe_train.py), then encode with it.  Rows-only
+    (learned merges have no SQL analogue); in-query invariants: the
+    learned-tokenizer count per doc is bounded by the merge-free
+    symbol count above and the word count below, and unpruned training
+    is block-structure independent (pinned in TestBpeTrainDistributed)."""
+    from ..functions.bpe import BpeTokenizer, pretokenize
+    from ..ops.bpe_train import bpe_train_distributed
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train_distributed(ds, "text", n_merges=200, max_words=50_000)
+    merges_list = [tuple(m) for m in merges]
+
+    class LearnedCount:
+        def __init__(self):
+            self.tok = BpeTokenizer(merges_list)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            n_tok, n_sym, n_words = [], [], []
+            for t in b["text"]:
+                words = pretokenize(str(t).lower())
+                n_words.append(len(words))
+                n_sym.append(sum(len(w) + 1 for w in words))
+                n_tok.append(self.tok.count(str(t)))
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_learned_tokens": pd.array(n_tok, dtype="int64"),
+                    "n_sym": pd.array(n_sym, dtype="int64"),
+                    "n_words": pd.array(n_words, dtype="int64"),
+                }
+            )
+
+    out = (
+        ds.map_batches(LearnedCount, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bad = out[(out.n_learned_tokens > out.n_sym) | (out.n_learned_tokens < out.n_words)]
+    if len(bad):
+        raise AssertionError(f"learned token counts out of bounds: {bad.head()}")
+    return out[["doc_id", "n_learned_tokens"]]
+
+
+def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-budget fill (ops/mix.py::token_budget_sample):
+    each source's docs are taken in the seeded epoch-shuffle order until
+    the source's token budget is reached.  Budgets by formula so the SQL
+    window-function mirror states the identical rule: srcN gets
+    200*(1+N%4) whitespace tokens, every fifth source is excluded (0)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.mix import token_budget_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def add_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        n = pc.list_value_length(
+            pc.split_pattern(pa.array(b["text"], pa.string()), " ")
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(),
+                "n_tokens": n.astype("int64"),
+            }
+        )
+
+    budgets = {
+        f"src{i}": (0 if i % 5 == 0 else 200 * (1 + i % 4)) for i in range(20)
+    }
+    out = token_budget_sample(
+        ds.map_batches(add_tokens, batch_format="pandas"),
+        source_col="source",
+        key_col="doc_id",
+        token_col="n_tokens",
+        budgets=budgets,
+        seed=13,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2332,7 +2418,11 @@ def q_knn_ivf_pq_top10(sf_dir: str) -> pd.DataFrame:
 # TestIncrementalDedup / TestIncrementalMinhash (plus in-query
 # invariant asserts); knn_pq_top10 / knn_ivf_pq_top10 follow
 # knn_lsh_top10's rule (approximate by design, recall-floored in-query,
-# pinned by TestProductQuant / TestIvfPq).
+# pinned by TestProductQuant / TestIvfPq); bpe_train_token_count is
+# no-oracle (learned merges aren't SQL-expressible; bounds asserted
+# in-query, serial==distributed pinned by TestBpeTrainDistributed);
+# token_budget_mix is SQL-oracled in TestTailQueryOracles (window-
+# function mirror of the grouped prefix-sum fill).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2432,6 +2522,8 @@ QUERIES = {
     "incremental_near_dedup": q_incremental_near_dedup,
     "knn_pq_top10": q_knn_pq_top10,
     "knn_ivf_pq_top10": q_knn_ivf_pq_top10,
+    "bpe_train_token_count": q_bpe_train_token_count,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -3116,6 +3208,22 @@ ORACLE_SQL = {
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text, "
         "CAST(length(string_agg(line, chr(10) ORDER BY i)) AS BIGINT) AS n_clean_chars "
         "FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "token_budget_mix": (
+        # the shuffle_hash arithmetic (seed 13) + one window function:
+        # keep while the per-source running token total fits the budget
+        # formula (srcN -> 200*(1+N%4); every fifth source excluded)
+        "WITH t AS (SELECT doc_id, source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(((doc_id * 2654435761) % 4294967296 + 13) * 1597334677 "
+        "% 4294967296 AS BIGINT) AS sk, "
+        "CAST(substr(source, 4) AS INT) AS num FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, num, "
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY sk) AS BIGINT) "
+        "AS cum_tokens FROM t) "
+        "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+        "WHERE cum_tokens <= CASE WHEN num % 5 = 0 THEN 0 "
+        "ELSE 200 * (1 + num % 4) END ORDER BY doc_id"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

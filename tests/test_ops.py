@@ -1279,6 +1279,7 @@ class TestTailQueryOracles:
             "bm25_top10",
             "c4_clean",
             "dedup_doc_lines",
+            "token_budget_mix",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

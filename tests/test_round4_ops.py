@@ -1659,3 +1659,169 @@ class TestIvfPq:
         ]
         # 6/16 cells probed on uniform-random vectors (worst case): measured ~0.8
         assert np.mean(recs) >= 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeTrainDistributed:
+    """Distributed BPE training: unpruned == the serial trainer exactly,
+    block-structure independent, prunes deterministic, empty-safe."""
+
+    CORPUS = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a dog and a cat and a bird 123 !",
+        "lowering the token count lowers the cost",
+        "",
+    ]
+
+    def test_unpruned_equals_serial_and_block_independent(self):
+        from ocr_platform_ray.functions.bpe import train_bpe
+        from ocr_platform_ray.ops.bpe_train import bpe_train_distributed
+
+        serial = train_bpe(self.CORPUS, n_merges=40)
+        df = pd.DataFrame({"text": self.CORPUS})
+        for parts in (1, 4):
+            got = bpe_train_distributed(
+                rd.from_pandas(df).repartition(parts), "text", n_merges=40
+            )
+            assert got == serial
+
+    def test_histogram_prunes_deterministic(self):
+        from ocr_platform_ray.ops.bpe_train import word_histogram
+
+        ds = rd.from_pandas(pd.DataFrame({"text": self.CORPUS})).repartition(3)
+        full = word_histogram(ds, "text")
+        # exact counts: "the" appears 6 times across the corpus
+        assert int(full.set_index("word").loc["the", "n"]) == 6
+        pruned = word_histogram(ds, "text", min_count=2)
+        assert set(pruned["word"]) == set(full[full["n"] >= 2]["word"])
+        top = word_histogram(ds, "text", max_words=3)
+        expect = full.sort_values(["n", "word"], ascending=[False, True]).head(3)
+        assert list(top["word"]) == list(expect["word"])
+        # exchange route (threshold 0 forces sharded_group_agg) == driver route
+        top_ex = word_histogram(ds, "text", max_words=3, driver_threshold_rows=0)
+        assert list(top_ex["word"]) == list(top["word"])
+        assert list(top_ex["n"]) == list(top["n"])
+
+    def test_exchange_route_merges_equal(self):
+        from ocr_platform_ray.ops.bpe_train import bpe_train_distributed
+
+        ds = rd.from_pandas(pd.DataFrame({"text": self.CORPUS})).repartition(3)
+        a = bpe_train_distributed(ds, "text", n_merges=25)
+        b = bpe_train_distributed(ds, "text", n_merges=25, driver_threshold_rows=0)
+        assert a == b
+
+    def test_empty_and_roundtrip_encode(self):
+        from ocr_platform_ray.functions.bpe import BpeTokenizer
+        from ocr_platform_ray.ops.bpe_train import bpe_train_distributed
+
+        empty = rd.from_pandas(pd.DataFrame({"text": pd.Series(dtype="object")}))
+        assert bpe_train_distributed(empty, "text", n_merges=10) == []
+        merges = bpe_train_distributed(
+            rd.from_pandas(pd.DataFrame({"text": self.CORPUS})), "text", n_merges=60
+        )
+        tok = BpeTokenizer(merges)
+        # with enough merges every full word (+ eow) becomes one token
+        assert tok.encode("the cat") == ["the</w>", "cat</w>"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenBudgetSample:
+    """Per-source token-budget sampling: naive-reference equality,
+    block-structure independence, budget edge semantics."""
+
+    def _corpus(self, n=200):
+        rng = np.random.RandomState(3)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": rng.choice(["web", "books", "code"], size=n),
+                "n_tokens": rng.randint(1, 50, size=n).astype(np.int64),
+            }
+        )
+
+    @staticmethod
+    def _naive(df, budgets, seed):
+        from ocr_platform_ray.ops.shuffle import shuffle_hash
+
+        d = df.copy()
+        d["sk"] = shuffle_hash(d["doc_id"].to_numpy(), seed).astype("int64")
+        d = d.sort_values(["source", "sk"])
+        d["cum_tokens"] = d.groupby("source")["n_tokens"].cumsum()
+        lim = d["source"].map(
+            lambda s: np.inf if budgets[s] is None else budgets[s]
+        )
+        return (
+            d[d["cum_tokens"] <= lim][["doc_id", "source", "n_tokens", "cum_tokens"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_naive_equal_and_block_independent(self):
+        from ocr_platform_ray.ops.mix import token_budget_sample
+
+        df = self._corpus()
+        budgets = {"web": 800, "books": 300, "code": 0, "unused": 10}
+        want = self._naive(df, budgets, seed=5)
+        assert len(want) > 0 and set(want["source"]) == {"web", "books"}
+        for parts in (1, 7):
+            got = (
+                token_budget_sample(
+                    rd.from_pandas(df).repartition(parts),
+                    source_col="source",
+                    key_col="doc_id",
+                    token_col="n_tokens",
+                    budgets=budgets,
+                    seed=5,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_none_unlimited_zero_excludes_missing_raises(self):
+        from ocr_platform_ray.ops.mix import token_budget_sample
+
+        df = self._corpus(60)
+        ds = rd.from_pandas(df)
+        got = token_budget_sample(
+            ds,
+            source_col="source",
+            key_col="doc_id",
+            token_col="n_tokens",
+            budgets={"web": None, "books": None, "code": 0},
+        ).to_pandas()
+        keep = set(df[df.source != "code"]["doc_id"])
+        assert set(got["doc_id"]) == keep
+        with pytest.raises(KeyError, match="missing from budgets"):
+            token_budget_sample(
+                ds,
+                source_col="source",
+                key_col="doc_id",
+                token_col="n_tokens",
+                budgets={"web": 100},
+            ).to_pandas()
+        with pytest.raises(ValueError, match="must be >= 0"):
+            token_budget_sample(
+                ds,
+                source_col="source",
+                key_col="doc_id",
+                token_col="n_tokens",
+                budgets={"web": -1, "books": 1, "code": 1},
+            )
+
+    def test_seed_changes_fill_same_budget_different_docs(self):
+        from ocr_platform_ray.ops.mix import token_budget_sample
+
+        df = self._corpus()
+        ds = rd.from_pandas(df)
+        kw = dict(
+            source_col="source", key_col="doc_id", token_col="n_tokens",
+            budgets={"web": 400, "books": 400, "code": 400},
+        )
+        a = token_budget_sample(ds, seed=1, **kw).to_pandas()
+        b = token_budget_sample(ds, seed=2, **kw).to_pandas()
+        for g in (a, b):  # budget respected per source
+            assert (g.groupby("source")["cum_tokens"].max() <= 400).all()
+        assert set(a["doc_id"]) != set(b["doc_id"])
