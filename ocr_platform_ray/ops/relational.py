@@ -915,6 +915,82 @@ def auto_group_agg(
 # --------------------------------------------------------------------------
 # Pre-aggregated groupby (combiner pattern)
 # --------------------------------------------------------------------------
+def rollup_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(k1, k2, …)``: every prefix grouping level plus
+    the grand total, with rolled-up key columns emitted as NULL exactly
+    like SQL.  Only MERGEABLE aggregates are accepted ("sum", "count",
+    "min", "max") — that is what makes the rollup one pass:
+
+    Scale shape: the input is scanned ONCE into per-batch combiner
+    partials at the finest level; the finest level finishes through the
+    size-aware planner (``auto_group_agg`` — driver groupby under the
+    probe threshold, hash-shard exchange above), and each coarser level
+    re-aggregates the PREVIOUS level's result (cardinality only shrinks
+    going coarser, and mergeable aggs compose), so no level re-scans the
+    input or the partials.  The returned table is one row per group per
+    level — aggregate-sized by construction (the concat is driver-side
+    because each level already passed its own size-aware finish; a
+    corpus-cardinality finest level would need its own write, not a
+    rollup display)."""
+    if not keys:
+        raise ValueError("rollup_agg needs at least one key")
+    bad = {how for _, how in aggs.values()} - {"sum", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"non-mergeable aggs not supported in rollup: {bad}")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False, dropna=False).agg(
+            **{
+                alias: (src, "size" if how == "count" else how)
+                for alias, (src, how) in aggs.items()
+            }
+        )
+
+    # merging partials: counts become sums, min/max stay themselves
+    merge = {
+        alias: (alias, "sum" if how in ("sum", "count") else how)
+        for alias, (_, how) in aggs.items()
+    }
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    levels: list[pd.DataFrame] = []
+    cur = auto_group_agg(
+        partials, keys, merge, driver_threshold_rows=driver_threshold_rows, n_shards=n_shards
+    )
+    for i in range(len(keys), -1, -1):
+        lvl_keys = keys[:i]
+        if i < len(keys):
+            src = cur if isinstance(cur, rd.Dataset) else rd.from_pandas(cur)
+            if lvl_keys:
+                cur = auto_group_agg(
+                    src, lvl_keys, merge,
+                    driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+                )
+            else:
+                # grand total: one constant group (a single reduced row)
+                withk = src.map_batches(
+                    lambda b: b.assign(__all=0), batch_format="pandas"
+                )
+                cur = auto_group_agg(
+                    withk, ["__all"], merge,
+                    driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+                )
+        out = cur.to_pandas() if isinstance(cur, rd.Dataset) else cur.copy()
+        if "__all" in out.columns:
+            out = out.drop(columns="__all")
+        for k in keys[i:]:
+            out[k] = None  # SQL ROLLUP's NULL for rolled-up columns
+        levels.append(out[keys + list(aggs)])
+    return pd.concat(levels, ignore_index=True)
+
+
 def pre_aggregate(
     ds: rd.Dataset,
     keys: list[str],

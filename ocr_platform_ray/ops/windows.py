@@ -122,6 +122,63 @@ def hopping_window_agg(
     )
 
 
+def grouped_shift(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    shifts: dict[str, tuple[str, int]],
+    columns: list[str] | None = None,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """LAG/LEAD over partitions (``LAG(col, n) OVER (PARTITION BY key
+    ORDER BY ...)``): the window-function primitive behind inter-event
+    gaps, previous-value deltas and next-row peeks.
+
+    ``shifts`` maps output column -> (source column, n): n > 0 is LAG(n)
+    (value from n rows earlier in the group), n < 0 is LEAD(-n).  Rows
+    with no neighbor (the first/last of each group) get NaN/NaT, exactly
+    like SQL's NULL.
+
+    Scale shape (the ``sessionize`` pattern): ONE bounded
+    ``hash(key) % n_shards`` exchange co-locates each key's rows, then a
+    single vectorized pandas pass per shard — mergesort by
+    (key, *order_cols) and ``groupby(key).shift(n)``, a cython kernel, no
+    per-key Python.  Order inside a group must be made deterministic by
+    ``order_cols`` (include a tiebreaker id column when the primary order
+    key can repeat), which also makes the result independent of block
+    structure and input order."""
+    src_cols = [s for s, _ in shifts.values()]
+    keep = columns if columns is not None else list(
+        dict.fromkeys([key_col, *order_cols, *src_cols])
+    )
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        out["__shard"] = (
+            pd.util.hash_array(out[key_col].to_numpy()) % n_shards
+        ).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        gb = g.groupby(key_col, sort=False)
+        for out_col, (src, n) in shifts.items():
+            g[out_col] = gb[src].shift(n)
+        return g.drop(columns="__shard")
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    shifted = sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+    if as_dataset:
+        return shifted
+    return (
+        shifted.to_pandas()
+        .sort_values([key_col, *order_cols])
+        .reset_index(drop=True)
+    )
+
+
 def sessionize(
     events: rd.Dataset,
     *,

@@ -675,6 +675,30 @@ def q_lineitem_join_revenue_exchange(sf_dir: str) -> pd.DataFrame:
     return pre_aggregate(joined, ["o_orderpriority"], partial, final)
 
 
+def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(status, priority)`` — subtotals at every prefix
+    level plus the grand total from ONE input scan: the finest level
+    finishes size-aware, each coarser level re-aggregates the previous
+    one (mergeable aggs compose; `ops/relational.rollup_agg`).  Money as
+    integer cents so the parallel sums match DuckDB exactly."""
+    from ..ops.relational import rollup_agg
+
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(cents=_cents(b["o_totalprice"]))
+
+    out = rollup_agg(
+        orders.map_batches(cents, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    return (
+        out.sort_values(["o_orderstatus", "o_orderpriority", "n_orders"])
+        .reset_index(drop=True)
+    )
+
+
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape (A-cluster): grouped sums/avg with a date filter,
     fully pre-aggregated in-batch."""
@@ -957,6 +981,45 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_custdist_left_join(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape — the LEFT OUTER join the inner-join suite never
+    exercises: order counts per customer INCLUDING the zero-order
+    customers, then the distribution of customers per count.
+
+    Scale shape: orders are filtered + combiner-pre-aggregated to one
+    (custkey, count) row per key BEFORE the join (the per-key table is
+    what joins, never the raw orders), the left join runs through the
+    size-aware planner (broadcast under the probe threshold, bucketed
+    exchange above — ``how="left"`` is route-equivalence-tested in
+    TestJoins), and the final distribution is a tiny combiner groupby."""
+    from ..ops.relational import auto_group_agg, auto_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["o_orderpriority"] != "1-URGENT"]
+        g = f.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"o_custkey": "c_custkey", "size": "c_count"})
+
+    counts = auto_group_agg(
+        orders.map_batches(count_partial, batch_format="pandas"),
+        ["c_custkey"],
+        {"c_count": ("c_count", "sum")},
+    )
+    if isinstance(counts, pd.DataFrame):
+        counts = rd.from_pandas(counts)
+    joined = auto_join(cust, counts, "c_custkey", how="left").to_pandas()
+    # unmatched customers: NULL count -> 0 (SQL's COUNT over no rows)
+    joined["c_count"] = joined["c_count"].fillna(0).astype("int64")
+    dist = joined.groupby("c_count", as_index=False).size()
+    dist = dist.rename(columns={"size": "custdist"})
+    return (
+        dist.sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
 def q_top10_orders(sf_dir: str) -> rd.Dataset:
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     # deterministic tie-break on orderkey
@@ -1127,6 +1190,36 @@ def q_running_totals(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """LAG/LEAD window functions (``LAG(ts) OVER (PARTITION BY user
+    ORDER BY ts, id)``): per-user gap since the previous event in exact
+    microseconds plus the next event's id — `ops/windows.grouped_shift`,
+    one bounded hash-shard exchange, vectorized cython shift per shard.
+    First events (no predecessor) are dropped like the SQL's
+    ``WHERE prev_ts IS NOT NULL``; the lead of a last event is -1 on both
+    engines (COALESCE)."""
+    from ..ops.windows import grouped_shift
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = grouped_shift(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        shifts={"prev_ts": ("ts", 1), "next_id": ("event_id", -1)},
+    )
+    out = out[out["prev_ts"].notna()].copy()
+    # integer microseconds: exact on both engines (float seconds are not)
+    out["gap_us"] = (
+        (out["ts"] - out["prev_ts"]).to_numpy().astype("timedelta64[us]").astype("int64")
+    )
+    out["next_id"] = out["next_id"].fillna(-1).astype("int64")
+    return (
+        out[["event_id", "user_id", "gap_us", "next_id"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
 
 
 _JSON_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
@@ -2422,7 +2515,10 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
 # no-oracle (learned merges aren't SQL-expressible; bounds asserted
 # in-query, serial==distributed pinned by TestBpeTrainDistributed);
 # token_budget_mix is SQL-oracled in TestTailQueryOracles (window-
-# function mirror of the grouped prefix-sum fill).
+# function mirror of the grouped prefix-sum fill); event_gaps /
+# custdist_left_join / orders_rollup are SQL-oracled in
+# TestTailQueryOracles (LAG+LEAD window, TPC-H Q13 left-outer-join
+# distribution, GROUP BY ROLLUP).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2524,6 +2620,11 @@ QUERIES = {
     "knn_ivf_pq_top10": q_knn_ivf_pq_top10,
     "bpe_train_token_count": q_bpe_train_token_count,
     "token_budget_mix": q_token_budget_mix,
+    # round-4 session-2 tail additions (same contract: each SQL-oracled
+    # entry is DuckDB-compared directly in TestTailQueryOracles)
+    "event_gaps": q_event_gaps,
+    "custdist_left_join": q_custdist_left_join,
+    "orders_rollup": q_orders_rollup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -3224,6 +3325,30 @@ ORACLE_SQL = {
         "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
         "WHERE cum_tokens <= CASE WHEN num % 5 = 0 THEN 0 "
         "ELSE 200 * (1 + num % 4) END ORDER BY doc_id"
+    ),
+    "event_gaps": (
+        "WITH w AS (SELECT event_id, user_id, ts, "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts, "
+        "COALESCE(LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) "
+        "AS next_id FROM events) "
+        "SELECT event_id, user_id, "
+        "date_diff('microsecond', prev_ts, ts) AS gap_us, next_id "
+        "FROM w WHERE prev_ts IS NOT NULL"
+    ),
+    "custdist_left_join": (
+        # TPC-H Q13 shape: zero-order customers kept by the LEFT OUTER join
+        "WITH per_cust AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+        "SELECT c_count, COUNT(*) AS custdist FROM per_cust "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "orders_rollup": (
+        # CAST the sum: DuckDB's SUM(BIGINT) is HUGEINT, which pandas
+        # renders as float64 — the value-hash gate compares strings
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

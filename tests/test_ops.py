@@ -224,6 +224,32 @@ class TestJoins:
         assert "all_na" in got.columns
         assert got["k"].dtype == np.dtype("int64")
 
+    def test_left_outer_join_routes_match_pandas(self, tables):
+        # how="left" must keep unmatched left rows (NaN right columns) on
+        # BOTH planner routes — the TPC-H Q13 (custdist) join shape
+        from ocr_platform_ray.ops.relational import auto_join
+
+        left, right = tables  # left has k in [0,20); right only [0,15)
+        want = (
+            left.merge(right, on="k", how="left")
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert want["name"].isna().any()  # fixture really exercises unmatched
+        for thresh in (2_000_000, 0):  # broadcast route, then bucketed
+            got = (
+                auto_join(
+                    rd.from_pandas(left), rd.from_pandas(right), "k",
+                    how="left", broadcast_threshold_rows=thresh,
+                )
+                .to_pandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[want.columns], want, check_dtype=False
+            )
+
     def test_auto_join_matches_bucketed(self, tables):
         # planner equivalence: broadcast route (small side) == exchange
         from ocr_platform_ray.ops.relational import auto_join, bucketed_hash_join
@@ -535,6 +561,45 @@ class TestWindows:
         sess_ds = sessionize(rd.from_pandas(df), as_dataset=True)
         assert isinstance(sess_ds, rdm.Dataset)
         assert sess_ds.count() == len(sessionize(rd.from_pandas(df)))
+
+    def test_grouped_shift_matches_pandas(self):
+        # LAG/LEAD vs the pandas ground truth, with repeated order keys
+        # broken by the id tiebreaker, independent of block structure
+        from ocr_platform_ray.ops.windows import grouped_shift
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(400),
+                "user_id": rng.randint(0, 12, 400),
+                # coarse ts so ties happen and the tiebreaker matters
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 50, 400), "min"),
+                "value": rng.randn(400),
+            }
+        )
+        shifts = {
+            "prev_value": ("value", 1),
+            "prev2_ts": ("ts", 2),
+            "next_id": ("event_id", -1),
+        }
+        want = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        gb = want.groupby("user_id", sort=False)
+        for out_col, (src, n) in shifts.items():
+            want[out_col] = gb[src].shift(n)
+        want = want.reset_index(drop=True)
+        for nblocks in (1, 7):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            got = grouped_shift(
+                ds,
+                key_col="user_id",
+                order_cols=["ts", "event_id"],
+                shifts=shifts,
+                n_shards=5,
+            ).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[want.columns.tolist()], want, check_dtype=False
+            )
 
     def test_time_bucket_agg_matches_pandas(self):
         from ocr_platform_ray.ops.windows import time_bucket_agg
@@ -1232,6 +1297,56 @@ class TestParagraphDedup:
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_rollup_matches_pandas_levels(self):
+        from ocr_platform_ray.ops.relational import rollup_agg
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], 300),
+                "b": rng.choice(["p", "q"], 300),
+                "v": rng.randint(0, 100, 300),
+            }
+        )
+        got = rollup_agg(
+            rd.from_pandas(df).repartition(5),
+            ["a", "b"],
+            {"n": ("v", "count"), "s": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+        )
+        frames = []
+        for lvl in (["a", "b"], ["a"], []):
+            if lvl:
+                g = df.groupby(lvl, as_index=False).agg(
+                    n=("v", "size"), s=("v", "sum"), lo=("v", "min"), hi=("v", "max")
+                )
+            else:
+                g = pd.DataFrame(
+                    {"n": [len(df)], "s": [df.v.sum()], "lo": [df.v.min()], "hi": [df.v.max()]}
+                )
+            for k in ("a", "b"):
+                if k not in g.columns:
+                    g[k] = None
+            frames.append(g[["a", "b", "n", "s", "lo", "hi"]])
+        want = pd.concat(frames, ignore_index=True)
+        cols = ["a", "b", "n", "s", "lo", "hi"]
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        # grand total present exactly once
+        assert ((g["a"].isna()) & (g["b"].isna())).sum() == 1
+
+    def test_rollup_rejects_non_mergeable(self):
+        from ocr_platform_ray.ops.relational import rollup_agg
+
+        ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1.0]}))
+        with pytest.raises(ValueError, match="non-mergeable"):
+            rollup_agg(ds, ["a"], {"m": ("v", "mean")})
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTailQueryOracles:
     """Queries past the driver's 50-entry cap that carry a SQL oracle get
     their oracle check HERE instead (the external gate never reaches
@@ -1280,6 +1395,9 @@ class TestTailQueryOracles:
             "c4_clean",
             "dedup_doc_lines",
             "token_budget_mix",
+            "event_gaps",
+            "custdist_left_join",
+            "orders_rollup",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -1292,7 +1410,7 @@ class TestTailQueryOracles:
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         con = duckdb.connect()
-        for t in ("documents", "events"):
+        for t in ("documents", "events", "orders", "customer"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
