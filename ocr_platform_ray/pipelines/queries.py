@@ -2446,6 +2446,62 @@ def q_bpe_train_token_count(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_learned_tokens"]]
 
 
+def q_unigram_token_count(sf_dir: str) -> pd.DataFrame:
+    """The SECOND standard subword tokenizer lifecycle (Kudo 2018
+    unigram LM, ops/unigram.py): train the piece vocab from the corpus
+    itself — ONE word-histogram pass, EM + pruning on the pruned
+    histogram — then Viterbi-encode map-only vs the broadcast piece
+    table.  Rows-only (an EM-learned vocab has no SQL analogue);
+    in-query invariants: per-doc piece counts bounded by word count
+    below and symbol count above, multi-char pieces actually learned
+    (corpus-level compression), trainer pinned block-structure
+    independent in TestUnigram."""
+    from ..ops.unigram import UnigramTokenizer, unigram_train_distributed
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    vocab = unigram_train_distributed(
+        ds, "text", vocab_size=400, max_piece_len=6, seed_size=2000,
+        max_words=20_000,
+    )
+    if not any(len(p) > 1 for p in vocab):
+        raise AssertionError("unigram trainer learned no multi-char pieces")
+
+    class PieceCount:
+        def __init__(self):
+            self.tok = UnigramTokenizer(vocab, max_piece_len=6)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.bpe import pretokenize
+
+            n_tok, n_sym, n_words = [], [], []
+            for t in b["text"]:
+                words = pretokenize(str(t).lower())
+                n_words.append(len(words))
+                n_sym.append(sum(len(w) for w in words))
+                n_tok.append(self.tok.count(str(t)))
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_pieces": pd.array(n_tok, dtype="int64"),
+                    "n_sym": pd.array(n_sym, dtype="int64"),
+                    "n_words": pd.array(n_words, dtype="int64"),
+                }
+            )
+
+    out = (
+        ds.map_batches(PieceCount, batch_format="pandas", concurrency=(1, 8))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bad = out[(out.n_pieces > out.n_sym) | (out.n_pieces < out.n_words)]
+    if len(bad):
+        raise AssertionError(f"piece counts out of bounds: {bad.head()}")
+    if not (out.n_pieces.sum() < out.n_sym.sum()):
+        raise AssertionError("no corpus-level compression from learned pieces")
+    return out[["doc_id", "n_pieces"]]
+
+
 def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
     """Per-source token-budget fill (ops/mix.py::token_budget_sample):
     each source's docs are taken in the seeded epoch-shuffle order until
@@ -2625,6 +2681,9 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "custdist_left_join": q_custdist_left_join,
     "orders_rollup": q_orders_rollup,
+    # no-oracle (EM-learned vocab; bounds + compression asserted in-query,
+    # serial==distributed + Viterbi optimality pinned by TestUnigram)
+    "unigram_token_count": q_unigram_token_count,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

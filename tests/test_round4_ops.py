@@ -1825,3 +1825,121 @@ class TestTokenBudgetSample:
         for g in (a, b):  # budget respected per source
             assert (g.groupby("source")["cum_tokens"].max() <= 400).all()
         assert set(a["doc_id"]) != set(b["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnigram:
+    """Unigram-LM tokenizer (Kudo 2018): serial == distributed, Viterbi
+    optimality vs brute force, block independence, planted-piece
+    recovery + compression, unknown-char fallback, empty-safe."""
+
+    CORPUS = [
+        "interchange interlock international internet",
+        "interstate internal interview interact interchange",
+        "unlock undo unplug unfold unlock undo",
+        "relock redo replug refold relock redo interchange",
+        "",
+    ]
+
+    def test_serial_equals_distributed_and_block_independent(self):
+        from ocr_platform_ray.ops.unigram import (
+            unigram_train,
+            unigram_train_distributed,
+        )
+
+        kw = dict(vocab_size=60, max_piece_len=6, seed_size=300, n_sub_iters=2)
+        serial = unigram_train(self.CORPUS, **kw)
+        df = pd.DataFrame({"text": self.CORPUS})
+        for parts in (1, 4):
+            got = unigram_train_distributed(
+                rd.from_pandas(df).repartition(parts), "text", **kw
+            )
+            assert set(got) == set(serial)
+            for p in serial:
+                assert abs(got[p] - serial[p]) < 1e-12
+
+    def test_exchange_finish_route_equal(self):
+        from ocr_platform_ray.ops.unigram import (
+            unigram_train,
+            unigram_train_distributed,
+        )
+
+        kw = dict(vocab_size=60, max_piece_len=6, seed_size=300, n_sub_iters=2)
+        serial = unigram_train(self.CORPUS, **kw)
+        got = unigram_train_distributed(
+            rd.from_pandas(pd.DataFrame({"text": self.CORPUS})).repartition(3),
+            "text",
+            driver_threshold_rows=0,  # force the hash-shard histogram finish
+            **kw,
+        )
+        assert set(got) == set(serial)
+        for p in serial:
+            assert abs(got[p] - serial[p]) < 1e-12
+
+    def test_viterbi_optimal_vs_bruteforce(self):
+        import itertools
+        import math
+
+        from ocr_platform_ray.ops.unigram import UnigramTokenizer
+
+        rng = np.random.RandomState(5)
+        pieces = ["a", "b", "c", "ab", "bc", "abc", "ca", "bca"]
+        logp = {p: float(lp) for p, lp in zip(pieces, -rng.rand(len(pieces)) * 4 - 1)}
+        tok = UnigramTokenizer(logp, max_piece_len=3)
+
+        def brute_best(word):
+            # enumerate all segmentations via cut masks
+            L = len(word)
+            best = None
+            for mask in itertools.product([0, 1], repeat=L - 1):
+                cuts = [0] + [i + 1 for i, m in enumerate(mask) if m] + [L]
+                segs = [word[cuts[k]: cuts[k + 1]] for k in range(len(cuts) - 1)]
+                if any(s not in logp for s in segs):
+                    continue
+                score = sum(logp[s] for s in segs)
+                if best is None or score > best:
+                    best = score
+            return best
+
+        for word in ["abc", "abca", "bcabc", "aabbcc", "cabcab"]:
+            want = brute_best(word)
+            got = tok.encode_word(word)
+            score = sum(logp.get(s, tok.unk) for s in got)
+            assert want is not None
+            assert "".join(got) == word
+            assert math.isclose(score, want, rel_tol=0, abs_tol=1e-12)
+
+    def test_planted_pieces_recovered_and_compress(self):
+        from ocr_platform_ray.ops.unigram import (
+            UnigramTokenizer,
+            unigram_train_distributed,
+        )
+
+        # corpus = concatenations of two 4-char morphemes
+        words = ["wxyz", "qrst", "wxyzqrst", "qrstwxyz", "wxyzwxyz"]
+        texts = [" ".join(words) for _ in range(10)]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+        vocab = unigram_train_distributed(
+            ds, "text", vocab_size=12, max_piece_len=4, seed_size=100
+        )
+        assert "wxyz" in vocab and "qrst" in vocab
+        tok = UnigramTokenizer(vocab, max_piece_len=4)
+        assert tok.encode_word("wxyzqrst") == ["wxyz", "qrst"]
+        n_chars = sum(len(w) for w in words)
+        assert sum(len(tok.encode_word(w)) for w in words) < n_chars / 2
+
+    def test_unknown_char_fallback_and_empty(self):
+        import ray.data as rdm
+
+        from ocr_platform_ray.ops.unigram import (
+            UnigramTokenizer,
+            unigram_train_distributed,
+        )
+
+        vocab = {"a": -1.0, "b": -1.0, "ab": -0.5}
+        tok = UnigramTokenizer(vocab, max_piece_len=2)
+        assert tok.encode_word("axb") == ["a", "x", "b"]  # x unseen
+        assert "".join(tok.encode("ab zq")) == "abzq"
+        empty = rdm.from_pandas(pd.DataFrame({"text": pd.Series(dtype="object")}))
+        assert unigram_train_distributed(empty, "text") == {}
+        assert UnigramTokenizer({}).encode_word("ab") == ["a", "b"]
