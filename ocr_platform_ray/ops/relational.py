@@ -55,7 +55,14 @@ def broadcast_hash_join(
     batch_size: int = 65536,
 ) -> rd.Dataset:
     """Join a large Dataset against a small one without a shuffle: the small
-    side is materialized once into the object store and probed per batch."""
+    side is materialized once into the object store and probed per batch.
+    ``how`` is restricted to the probe-side forms: a "right"/"outer" join
+    would emit an unmatched SMALL row once per probed batch (use the
+    bucketed exchange — `auto_join` routes those automatically)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast route supports how='inner'/'left' only, got {how!r}"
+        )
     if isinstance(small, pd.DataFrame):
         small_df = small
     else:
@@ -280,7 +287,17 @@ def auto_join(
     Collision naming is route-INDEPENDENT: overlapping non-key right
     columns are renamed ``right_prefix + name`` on BOTH routes, so the
     output schema does not flip when the build side crosses the
-    threshold (equivalence-tested with an overlapping column)."""
+    threshold (equivalence-tested with an overlapping column).
+
+    ``how="right"`` / ``how="outer"`` always plan the bucketed exchange:
+    the broadcast route merges the build side against each streaming
+    left BATCH, so a right row with no left match would be emitted once
+    per batch — only the exchange, where each right row lives in exactly
+    one bucket, can emit it exactly once."""
+    if how in ("right", "outer"):
+        return bucketed_hash_join(
+            left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
+        )
     head = probe_head(right, broadcast_threshold_rows)
     if head is not None:
         if head.shape[1] == 0:  # empty Dataset -> schema-less frame
@@ -306,6 +323,78 @@ def auto_join(
     return bucketed_hash_join(
         left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
     )
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    k: int = 256,
+    max_hot: int = 16,
+    n_buckets: int = 64,
+    right_prefix: str = "r_",
+) -> rd.Dataset:
+    """Skew-aware hybrid equi-join: the documented failure mode of
+    ``bucketed_hash_join`` is a HOT KEY — one join key carrying a large
+    fraction of the fact side lands its entire volume in a single bucket
+    task.  This planner routes hot-key rows down the broadcast path
+    (their matching right rows replicate to every left block, so the hot
+    bucket never forms) and the cold remainder down the normal bucketed
+    exchange; the two outputs union.  Exact for ``how="inner"/"left"``:
+    each left row takes exactly one path, and right rows may serve both.
+
+    Hot keys are auto-detected with the zero-shuffle Misra-Gries sketch
+    (`ops/sketch.heavy_hitters`, top ``max_hot`` of ``k`` tracked — over-
+    selection is harmless, it only widens the broadcast slice) or passed
+    explicitly.  Partitioning assumptions: the hot-key SLICE of the
+    right side is dimension-sized (true for fact-side skew — few hot
+    keys x bounded right rows per key), and the two left filters re-scan
+    the left lineage (cheap over a parquet read; checkpoint expensive
+    lineage first)."""
+    from .sketch import heavy_hitters  # driver-side planning only
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports how='inner'/'left' only, got {how!r}")
+    if hot_keys is None:
+        hh = heavy_hitters(left.select_columns([on]), on, k=k)
+        hot_keys = list(hh["v"].head(max_hot))
+    hot = set(hot_keys)
+    if not hot:
+        return bucketed_hash_join(
+            left, right, on, how=how, n_buckets=n_buckets, right_prefix=right_prefix
+        )
+
+    def split(want_hot: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = b[on].isin(hot)
+            return b[m] if want_hot else b[~m]
+
+        return f
+
+    left_hot = left.map_batches(split(True), batch_format="pandas")
+    left_cold = left.map_batches(split(False), batch_format="pandas")
+    right_hot = right.map_batches(split(True), batch_format="pandas").to_pandas()
+    if right_hot.shape[1] == 0:  # all-empty blocks lose their columns
+        right_hot = _typed_empty(right.schema(), right.schema().names)
+    # collision naming identical to auto_join's routes so the union's
+    # schema is path-independent
+    lnames = set(left.schema().names)
+    overlap = (lnames & set(right_hot.columns)) - {on}
+    if overlap:
+        right_hot = right_hot.rename(columns={c: right_prefix + c for c in overlap})
+    hot_out = broadcast_hash_join(left_hot, right_hot, on, how=how)
+    cold_out = bucketed_hash_join(
+        left_cold,
+        right.map_batches(split(False), batch_format="pandas"),
+        on,
+        how=how,
+        n_buckets=n_buckets,
+        right_prefix=right_prefix,
+    )
+    return hot_out.union(cold_out)
 
 
 def native_join(

@@ -1020,6 +1020,46 @@ def q_custdist_left_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_full_outer_orders(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join (the one join form the broadcast probe can never
+    express — unmatched build rows must be emitted exactly once, so
+    `auto_join` routes it to the bucketed exchange unconditionally):
+    customers restricted to every third key vs per-customer order
+    counts, classified by which side matched.  Presence is detected on
+    never-null payload columns (c_nationkey / n_ord) on both engines."""
+    from ..ops.relational import auto_group_agg, auto_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_custkey"] % 3 == 0], batch_format="pandas"
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"o_custkey": "c_custkey", "size": "n_ord"})
+
+    counts = auto_group_agg(
+        orders.map_batches(count_partial, batch_format="pandas"),
+        ["c_custkey"],
+        {"n_ord": ("n_ord", "sum")},
+    )
+    if isinstance(counts, pd.DataFrame):
+        counts = rd.from_pandas(counts)
+    j = auto_join(cust, counts, "c_custkey", how="outer").to_pandas()
+    side = np.where(
+        j["c_nationkey"].isna(),
+        "order_only",
+        np.where(j["n_ord"].isna(), "cust_only", "both"),
+    )
+    out = (
+        pd.DataFrame({"side": side})
+        .groupby("side", as_index=False)
+        .size()
+        .rename(columns={"size": "n_rows"})
+    )
+    return out.sort_values("side").reset_index(drop=True)
+
+
 def q_top10_orders(sf_dir: str) -> rd.Dataset:
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     # deterministic tie-break on orderkey
@@ -2574,7 +2614,7 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
 # function mirror of the grouped prefix-sum fill); event_gaps /
 # custdist_left_join / orders_rollup are SQL-oracled in
 # TestTailQueryOracles (LAG+LEAD window, TPC-H Q13 left-outer-join
-# distribution, GROUP BY ROLLUP).
+# distribution, GROUP BY ROLLUP, FULL OUTER JOIN).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2681,6 +2721,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "custdist_left_join": q_custdist_left_join,
     "orders_rollup": q_orders_rollup,
+    "full_outer_orders": q_full_outer_orders,
     # no-oracle (EM-learned vocab; bounds + compression asserted in-query,
     # serial==distributed + Viterbi optimality pinned by TestUnigram)
     "unigram_token_count": q_unigram_token_count,
@@ -3401,6 +3442,13 @@ ORACLE_SQL = {
         "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
         "SELECT c_count, COUNT(*) AS custdist FROM per_cust "
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "full_outer_orders": (
+        "WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 0), "
+        "o AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_ord FROM orders GROUP BY o_custkey) "
+        "SELECT CASE WHEN c.c_nationkey IS NULL THEN 'order_only' "
+        "WHEN o.n_ord IS NULL THEN 'cust_only' ELSE 'both' END AS side, "
+        "COUNT(*) AS n_rows FROM c FULL OUTER JOIN o USING (c_custkey) GROUP BY side"
     ),
     "orders_rollup": (
         # CAST the sum: DuckDB's SUM(BIGINT) is HUGEINT, which pandas

@@ -250,6 +250,67 @@ class TestJoins:
                 got[want.columns], want, check_dtype=False
             )
 
+    def test_full_and_right_outer_join_match_pandas(self, tables):
+        # outer joins only exist on the bucketed exchange (a broadcast
+        # probe would emit unmatched small rows once per batch); auto_join
+        # must route them there even when the right side is tiny
+        from ocr_platform_ray.ops.relational import auto_join, broadcast_hash_join
+
+        left, right = tables
+        # make BOTH sides have unmatched keys
+        right = pd.concat(
+            [right, pd.DataFrame({"k": [97, 98], "name": ["x97", "x98"]})],
+            ignore_index=True,
+        )
+        for how in ("outer", "right"):
+            want = (
+                left.merge(right, on="k", how=how)
+                .sort_values(["k", "v", "name"])
+                .reset_index(drop=True)
+            )
+            got = (
+                auto_join(rd.from_pandas(left), rd.from_pandas(right), "k", how=how)
+                .to_pandas()
+                .sort_values(["k", "v", "name"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+            # unmatched right keys present exactly once
+            assert (got["k"] == 97).sum() == 1 and (got["k"] == 98).sum() == 1
+        with pytest.raises(ValueError, match="broadcast route"):
+            broadcast_hash_join(rd.from_pandas(left), right, "k", how="outer")
+
+    def test_skew_join_equals_bucketed_on_hot_key(self):
+        # 90%-hot-key fact side: the hybrid (hot keys broadcast, cold
+        # bucketed) must equal the plain exchange exactly, with hot keys
+        # auto-detected or given
+        from ocr_platform_ray.ops.relational import bucketed_hash_join, skew_join
+
+        rng = np.random.RandomState(23)
+        k = np.where(rng.rand(3000) < 0.9, 7, rng.randint(0, 40, 3000))
+        left = pd.DataFrame({"k": k, "v": np.arange(3000)})
+        right = pd.DataFrame(
+            {"k": range(40), "name": [f"n{i}" for i in range(40)], "v": range(40)}
+        )
+        l, r = rd.from_pandas(left).repartition(6), rd.from_pandas(right)
+        for how in ("inner", "left"):
+            want = (
+                bucketed_hash_join(l, r, "k", how=how)
+                .to_pandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            for hot in (None, [7]):
+                got = (
+                    skew_join(l, r, "k", how=how, hot_keys=hot, max_hot=4)
+                    .to_pandas()
+                    .sort_values(["k", "v"])
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(
+                    got[want.columns], want, check_dtype=False
+                )
+
     def test_auto_join_matches_bucketed(self, tables):
         # planner equivalence: broadcast route (small side) == exchange
         from ocr_platform_ray.ops.relational import auto_join, bucketed_hash_join
@@ -1398,6 +1459,7 @@ class TestTailQueryOracles:
             "event_gaps",
             "custdist_left_join",
             "orders_rollup",
+            "full_outer_orders",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
