@@ -1080,6 +1080,111 @@ def rollup_agg(
     return pd.concat(levels, ignore_index=True)
 
 
+def pivot_agg(
+    ds: rd.Dataset,
+    index: str,
+    pivot_col: str,
+    value_col: str,
+    how: str = "sum",
+    *,
+    values: list | None = None,
+    fill_value=None,
+    prefix: str = "",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Wide (pivoted) aggregate — ``SUM/COUNT(CASE WHEN pivot = v THEN …)``
+    per index key, one output column per pivot value.  Mergeable aggs
+    only ("sum"/"count"/"min"/"max"), same reason as `rollup_agg`.
+
+    Scale shape: one in-batch combiner to (index, pivot, partial) rows,
+    then ONE hash-shard exchange on the INDEX key and a vectorized
+    per-shard reduce + pivot.  The pivot DOMAIN must be enum-bounded
+    (that is what makes a wide layout sane); pass ``values`` to fix the
+    column set statically — when omitted it is probed from a first pass
+    over the combined partials (the partials table is materialized so
+    the probe does not re-scan the input).  Index cardinality is
+    unbounded: index keys stay sharded, the wide table never lands on
+    the driver."""
+    if how not in ("sum", "count", "min", "max"):
+        raise ValueError(f"non-mergeable agg not supported in pivot: {how!r}")
+    merge_how = "sum" if how in ("sum", "count") else how
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([index, pivot_col], as_index=False).agg(
+            __v=(value_col, "size" if how == "count" else how)
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if values is None:
+        partials = partials.materialize()  # consumed by probe + pivot
+        dom = auto_group_agg(partials, [pivot_col], {"__v": ("__v", "sum")})
+        if isinstance(dom, rd.Dataset):
+            dom = dom.to_pandas()  # enum-bounded by the pivot contract
+        values = sorted(dom[pivot_col].tolist())
+    cols = [f"{prefix}{v}" for v in values]
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__shard"] = _hash_labels(b, [index], n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby([index, pivot_col], as_index=False)["__v"].agg(merge_how)
+        t = t[t[pivot_col].isin(values)]
+        w = t.pivot(index=index, columns=pivot_col, values="__v")
+        w = w.reindex(columns=values)
+        if fill_value is not None:
+            w = w.fillna(fill_value)
+        w.columns = cols
+        return w.reset_index()
+
+    return (
+        partials.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def dataset_set_op(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    cols: list[str],
+    op: str,
+    *,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over
+    arbitrary column tuples.  Both sides project to ``cols`` and
+    dedupe IN BATCH (the combiner), a side tag rides a single
+    hash-shard exchange on the full tuple (both blocks carry the
+    identical projected schema, so one-sided shards are safe), and each
+    shard resolves presence with one vectorized indicator merge."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+
+    def prep(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[cols].drop_duplicates().copy()
+            out["__side"] = np.int64(side)
+            out["__shard"] = _hash_labels(out, cols, n_shards).astype("int64")
+            return out
+
+        return f
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, cols].drop_duplicates()
+        r = g.loc[g["__side"] == 1, cols].drop_duplicates()
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        want = "both" if op == "intersect" else "left_only"
+        return m.loc[m["_merge"] == want, cols]
+
+    u = a.map_batches(prep(0), batch_format="pandas").union(
+        b.map_batches(prep(1), batch_format="pandas")
+    )
+    return u.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+
+
 def pre_aggregate(
     ds: rd.Dataset,
     keys: list[str],

@@ -93,3 +93,39 @@ def epoch_shuffle(
     return pref.map_batches(
         lambda b: b[[key_col, "shuffle_key", "pos"]], batch_format="pandas"
     )
+
+
+def grouped_sample_k(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    k: int,
+    *,
+    id_col: str,
+    seed: int = 0,
+    finish: str = "auto",
+    n_shards: int = 64,
+):
+    """Deterministic k-per-group sample WITHOUT replacement (the exact-k
+    dual of the fraction-based `stratified_sample`): rows rank by the
+    seeded bijective shuffle hash of their id — uniform, reproducible
+    across block structure, and SQL-mirrorable (the token_budget_mix
+    arithmetic) — and the k smallest per group survive via
+    `ops/relational.grouped_top_k` (local prune caps the exchange at k
+    rows per (group, batch); size-aware finish).  Output = input columns
+    + ``sk`` (the draw) + ``rk`` (1-based rank within the group)."""
+    from .relational import grouped_top_k  # driver-side composition
+
+    def add_sk(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["sk"] = shuffle_hash(b[id_col].to_numpy(), seed).astype("int64")
+        return out
+
+    return grouped_top_k(
+        ds.map_batches(add_sk, batch_format="pandas"),
+        group_cols,
+        "sk",
+        k,
+        descending=False,
+        finish=finish,
+        n_shards=n_shards,
+    )

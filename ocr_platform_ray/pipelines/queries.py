@@ -699,6 +699,74 @@ def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_orders_pivot(sf_dir: str) -> pd.DataFrame:
+    """Wide (pivoted) aggregate — ``COUNT(CASE WHEN status = v THEN 1
+    END)`` per priority, one column per status (`ops/relational.
+    pivot_agg`: in-batch combiner + ONE index-shard exchange +
+    vectorized per-shard pivot; the static ``values`` list keeps the
+    column set route-independent)."""
+    from ..ops.relational import pivot_agg
+
+    orders = _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = pivot_agg(
+        orders,
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_orderstatus",
+        how="count",
+        values=["F", "O", "P"],
+        fill_value=0,
+        prefix="n_",
+    ).to_pandas()
+    for c in ("n_F", "n_O", "n_P"):
+        out[c] = out[c].astype("int64")  # SQL COUNT is BIGINT, never NULL
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_custkey_set_ops(sf_dir: str) -> pd.DataFrame:
+    """SQL set operators (INTERSECT / EXCEPT, distinct semantics) as ONE
+    hash-shard exchange each (`ops/relational.dataset_set_op`): customer
+    keys that placed orders AND hold a rich account, and those that
+    placed orders but do NOT."""
+    from ..ops.relational import dataset_set_op
+
+    a = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "custkey"}), batch_format="pandas"
+    )
+    rich = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.loc[b["c_acctbal"] > 5000, ["c_custkey"]].rename(
+            columns={"c_custkey": "custkey"}
+        ),
+        batch_format="pandas",
+    )
+    frames = []
+    for op in ("intersect", "except"):
+        part = dataset_set_op(a, rich, ["custkey"], op).to_pandas()
+        part["op"] = op
+        frames.append(part)
+    out = pd.concat(frames, ignore_index=True)
+    return out[["op", "custkey"]].sort_values(["op", "custkey"]).reset_index(drop=True)
+
+
+def q_stratified_k_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-k-per-group deterministic sampling (the fixed-count dual of
+    the fraction-based stratified_sample): 3 docs per language by the
+    seeded bijective shuffle hash — `ops/shuffle.grouped_sample_k`, the
+    same SQL-mirrorable arithmetic as token_budget_mix, local-prune +
+    size-aware finish."""
+    from ..ops.shuffle import grouped_sample_k
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    out = grouped_sample_k(docs, ["lang"], 3, id_col="doc_id", seed=13)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return (
+        out[["doc_id", "lang", "sk", "rk"]]
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+
+
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape (A-cluster): grouped sums/avg with a date filter,
     fully pre-aggregated in-batch."""
@@ -2614,7 +2682,8 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
 # function mirror of the grouped prefix-sum fill); event_gaps /
 # custdist_left_join / orders_rollup are SQL-oracled in
 # TestTailQueryOracles (LAG+LEAD window, TPC-H Q13 left-outer-join
-# distribution, GROUP BY ROLLUP, FULL OUTER JOIN).
+# distribution, GROUP BY ROLLUP, FULL OUTER JOIN, pivot/conditional
+# aggregation, INTERSECT/EXCEPT, exact-k-per-group sampling).
 QUERIES = {
     # -- flagship extraction / curation / catalog / multimodal pipelines --
     "extract_docs": q_extract_docs,
@@ -2722,6 +2791,9 @@ QUERIES = {
     "custdist_left_join": q_custdist_left_join,
     "orders_rollup": q_orders_rollup,
     "full_outer_orders": q_full_outer_orders,
+    "orders_pivot": q_orders_pivot,
+    "custkey_set_ops": q_custkey_set_ops,
+    "stratified_k_sample": q_stratified_k_sample,
     # no-oracle (EM-learned vocab; bounds + compression asserted in-query,
     # serial==distributed + Viterbi optimality pinned by TestUnigram)
     "unigram_token_count": q_unigram_token_count,
@@ -3449,6 +3521,32 @@ ORACLE_SQL = {
         "SELECT CASE WHEN c.c_nationkey IS NULL THEN 'order_only' "
         "WHEN o.n_ord IS NULL THEN 'cust_only' ELSE 'both' END AS side, "
         "COUNT(*) AS n_rows FROM c FULL OUTER JOIN o USING (c_custkey) GROUP BY side"
+    ),
+    "orders_pivot": (
+        "SELECT o_orderpriority, "
+        "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F, "
+        "COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O, "
+        "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "custkey_set_ops": (
+        "SELECT 'intersect' AS op, custkey FROM "
+        "(SELECT o_custkey AS custkey FROM orders INTERSECT "
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+        "UNION ALL "
+        "SELECT 'except' AS op, custkey FROM "
+        "(SELECT o_custkey AS custkey FROM orders EXCEPT "
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"
+    ),
+    "stratified_k_sample": (
+        # the token_budget_mix shuffle-hash arithmetic (seed 13) + one
+        # row_number window per language
+        "WITH t AS (SELECT doc_id, lang, "
+        "CAST(((doc_id * 2654435761) % 4294967296 + 13) * 1597334677 "
+        "% 4294967296 AS BIGINT) AS sk FROM documents) "
+        "SELECT doc_id, lang, sk, CAST(row_number() OVER "
+        "(PARTITION BY lang ORDER BY sk) AS BIGINT) AS rk "
+        "FROM t QUALIFY rk <= 3"
     ),
     "orders_rollup": (
         # CAST the sum: DuckDB's SUM(BIGINT) is HUGEINT, which pandas

@@ -1406,6 +1406,83 @@ class TestRollup:
         with pytest.raises(ValueError, match="non-mergeable"):
             rollup_agg(ds, ["a"], {"m": ("v", "mean")})
 
+    def test_pivot_matches_pandas(self):
+        from ocr_platform_ray.ops.relational import pivot_agg
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {
+                "idx": rng.randint(0, 30, 400),
+                "p": rng.choice(["a", "b", "c"], 400),
+                "v": rng.randint(0, 50, 400),
+            }
+        )
+        want = (
+            df.pivot_table(index="idx", columns="p", values="v",
+                           aggfunc="sum", fill_value=0)
+            .reindex(columns=["a", "b", "c"], fill_value=0)
+            .reset_index()
+        )
+        want.columns = ["idx", "s_a", "s_b", "s_c"]
+        for values in (["a", "b", "c"], None):  # static + probed domain
+            got = (
+                pivot_agg(
+                    rd.from_pandas(df).repartition(5), "idx", "p", "v",
+                    how="sum", values=values, fill_value=0, prefix="s_",
+                )
+                .to_pandas()
+                .sort_values("idx")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got.sort_values("idx").reset_index(drop=True)[want.columns],
+                want.sort_values("idx").reset_index(drop=True),
+                check_dtype=False,
+            )
+
+    def test_set_ops_match_pandas(self):
+        from ocr_platform_ray.ops.relational import dataset_set_op
+
+        a = pd.DataFrame({"k": [1, 1, 2, 3, 5, 5], "g": list("xxyyzz")})
+        b = pd.DataFrame({"k": [2, 3, 3, 9], "g": list("yyyz")})
+        da, db = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
+        inter = (
+            dataset_set_op(da, db, ["k", "g"], "intersect")
+            .to_pandas().sort_values(["k", "g"]).reset_index(drop=True)
+        )
+        assert inter.to_records(index=False).tolist() == [(2, "y"), (3, "y")]
+        exc = (
+            dataset_set_op(da, db, ["k", "g"], "except")
+            .to_pandas().sort_values(["k", "g"]).reset_index(drop=True)
+        )
+        assert exc.to_records(index=False).tolist() == [(1, "x"), (5, "z")]
+        with pytest.raises(ValueError, match="op must be"):
+            dataset_set_op(da, db, ["k"], "union")
+
+    def test_grouped_sample_k_deterministic(self):
+        from ocr_platform_ray.ops.shuffle import grouped_sample_k, shuffle_hash
+
+        rng = np.random.RandomState(31)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(500), "g": rng.choice(["a", "b", "c"], 500)}
+        )
+        # ground truth: k smallest shuffle hashes per group
+        t = df.assign(sk=shuffle_hash(df["doc_id"].to_numpy(), 7).astype("int64"))
+        want = (
+            t.sort_values(["g", "sk"]).groupby("g").head(4)
+            .sort_values(["g", "sk"]).reset_index(drop=True)
+        )
+        for parts in (1, 6):
+            got = grouped_sample_k(
+                rd.from_pandas(df).repartition(parts), ["g"], 4,
+                id_col="doc_id", seed=7,
+            )
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            got = got.sort_values(["g", "sk"]).reset_index(drop=True)
+            assert got["doc_id"].tolist() == want["doc_id"].tolist()
+            assert (got.groupby("g")["rk"].max() == 4).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestTailQueryOracles:
@@ -1460,6 +1537,9 @@ class TestTailQueryOracles:
             "custdist_left_join",
             "orders_rollup",
             "full_outer_orders",
+            "orders_pivot",
+            "custkey_set_ops",
+            "stratified_k_sample",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
