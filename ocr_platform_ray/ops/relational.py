@@ -1027,7 +1027,11 @@ def rollup_agg(
     level — aggregate-sized by construction (the concat is driver-side
     because each level already passed its own size-aware finish; a
     corpus-cardinality finest level would need its own write, not a
-    rollup display)."""
+    rollup display).
+
+    Empty-input edge: returns ZERO rows (SQL's ROLLUP over an empty
+    table still emits the one grand-total row with COUNT 0 — callers
+    needing that row over possibly-empty inputs should synthesize it)."""
     if not keys:
         raise ValueError("rollup_agg needs at least one key")
     bad = {how for _, how in aggs.values()} - {"sum", "count", "min", "max"}
