@@ -112,7 +112,11 @@ def grouped_sample_k(
     arithmetic) — and the k smallest per group survive via
     `ops/relational.grouped_top_k` (local prune caps the exchange at k
     rows per (group, batch); size-aware finish).  Output = input columns
-    + ``sk`` (the draw) + ``rk`` (1-based rank within the group)."""
+    + ``sk`` (the draw) + ``rk`` (1-based rank within the group).
+
+    Determinism requires ``id_col`` values unique per row (the draw is a
+    bijection of the id, so distinct ids can never tie; duplicate ids
+    would rank arbitrarily among themselves)."""
     from .relational import grouped_top_k  # driver-side composition
 
     def add_sk(b: pd.DataFrame) -> pd.DataFrame:

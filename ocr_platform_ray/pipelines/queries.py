@@ -699,6 +699,52 @@ def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) rewritten as an aggregate
+    semi-join: ``EXISTS (lineitem with l_shipdate > o_orderdate + 60d)``
+    needs only each order's MAX ship date — one combiner-pre-aggregated
+    max per key (auto_group_agg), one size-aware join, a map-side
+    filter, and an enum-sized count.  The corpus-scale lineitem rows
+    never ride the join."""
+    from ..ops.relational import auto_group_agg, auto_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def mx_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", as_index=False).agg(max_ship=("l_shipdate", "max"))
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    mx = auto_group_agg(
+        li.map_batches(mx_partial, batch_format="pandas"),
+        ["o_orderkey"],
+        {"max_ship": ("max_ship", "max")},
+    )
+    if isinstance(mx, pd.DataFrame):
+        mx = rd.from_pandas(mx)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = auto_join(orders, mx, "o_orderkey", how="inner")
+
+    def late_partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["max_ship"] > b["o_orderdate"] + pd.Timedelta(days=60)]
+        return f.groupby("o_orderpriority", as_index=False).size()
+
+    parts = j.map_batches(late_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["size"].sum()
+    out = out.rename(columns={"size": "n_late"})
+    out["n_late"] = out["n_late"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_documents_profile(sf_dir: str) -> pd.DataFrame:
+    """One-pass column profiling (`ops/profile.dataset_profile` — the
+    engine's ANALYZE): per-column min/max/null-count/row-count from one
+    fixed-size partial per (column, batch), zero exchanges."""
+    from ..ops.profile import dataset_profile
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return dataset_profile(ds, ["doc_id", "lang", "n_chars", "source"])
+
+
 def q_orders_pivot(sf_dir: str) -> pd.DataFrame:
     """Wide (pivoted) aggregate — ``COUNT(CASE WHEN status = v THEN 1
     END)`` per priority, one column per status (`ops/relational.
@@ -2794,6 +2840,8 @@ QUERIES = {
     "orders_pivot": q_orders_pivot,
     "custkey_set_ops": q_custkey_set_ops,
     "stratified_k_sample": q_stratified_k_sample,
+    "late_orders_by_priority": q_late_orders_by_priority,
+    "documents_profile": q_documents_profile,
     # no-oracle (EM-learned vocab; bounds + compression asserted in-query,
     # serial==distributed + Viterbi optimality pinned by TestUnigram)
     "unigram_token_count": q_unigram_token_count,
@@ -3521,6 +3569,26 @@ ORACLE_SQL = {
         "SELECT CASE WHEN c.c_nationkey IS NULL THEN 'order_only' "
         "WHEN o.n_ord IS NULL THEN 'cust_only' ELSE 'both' END AS side, "
         "COUNT(*) AS n_rows FROM c FULL OUTER JOIN o USING (c_custkey) GROUP BY side"
+    ),
+    "late_orders_by_priority": (
+        # correlated EXISTS, rewritten Ray-side as max-per-key semi-join
+        "SELECT o_orderpriority, COUNT(*) AS n_late FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+    "documents_profile": (
+        "SELECT 'doc_id' AS col, CAST(MIN(doc_id) AS VARCHAR) AS min_v, "
+        "CAST(MAX(doc_id) AS VARCHAR) AS max_v, "
+        "COUNT(*) - COUNT(doc_id) AS n_null, COUNT(*) AS n_rows FROM documents "
+        "UNION ALL SELECT 'lang', MIN(lang), MAX(lang), "
+        "COUNT(*) - COUNT(lang), COUNT(*) FROM documents "
+        "UNION ALL SELECT 'n_chars', CAST(MIN(n_chars) AS VARCHAR), "
+        "CAST(MAX(n_chars) AS VARCHAR), COUNT(*) - COUNT(n_chars), COUNT(*) "
+        "FROM documents "
+        "UNION ALL SELECT 'source', MIN(source), MAX(source), "
+        "COUNT(*) - COUNT(source), COUNT(*) FROM documents"
     ),
     "orders_pivot": (
         "SELECT o_orderpriority, "

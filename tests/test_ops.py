@@ -1459,6 +1459,32 @@ class TestRollup:
         with pytest.raises(ValueError, match="op must be"):
             dataset_set_op(da, db, ["k"], "union")
 
+    def test_dataset_profile_matches_pandas(self):
+        from ocr_platform_ray.ops.profile import dataset_profile
+
+        df = pd.DataFrame(
+            {
+                "i": [3, 1, None, 7],
+                "s": ["b", None, "a", "c"],
+                "z": [None, None, None, None],
+            }
+        )
+        for parts in (1, 3):
+            got = dataset_profile(rd.from_pandas(df).repartition(parts), ["i", "s", "z"])
+            got = got.set_index("col")
+            assert got.loc["i", "min_v"] == "1" and got.loc["i", "max_v"] == "7"
+            assert got.loc["i", "n_null"] == 1
+            assert got.loc["s", "min_v"] == "a" and got.loc["s", "max_v"] == "c"
+            assert got.loc["z", "min_v"] is None and got.loc["z", "n_null"] == 4
+            assert (got["n_rows"] == 4).all()
+
+    def test_dataset_profile_empty(self):
+        from ocr_platform_ray.ops.profile import dataset_profile
+
+        empty = rd.from_pandas(pd.DataFrame({"i": pd.Series(dtype="int64")}))
+        got = dataset_profile(empty, ["i"])
+        assert got.loc[0, "n_rows"] == 0 and got.loc[0, "min_v"] is None
+
     def test_grouped_sample_k_deterministic(self):
         from ocr_platform_ray.ops.shuffle import grouped_sample_k, shuffle_hash
 
@@ -1540,6 +1566,8 @@ class TestTailQueryOracles:
             "orders_pivot",
             "custkey_set_ops",
             "stratified_k_sample",
+            "late_orders_by_priority",
+            "documents_profile",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -1552,7 +1580,7 @@ class TestTailQueryOracles:
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         con = duckdb.connect()
-        for t in ("documents", "events", "orders", "customer"):
+        for t in ("documents", "events", "orders", "customer", "lineitem"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
