@@ -60,7 +60,12 @@ from .similarity import (  # noqa: F401
     knn_lsh,
     train_ivf_centroids,
 )
-from .windows import time_bucket_agg, hopping_window_agg, sessionize  # noqa: F401
+from .windows import (  # noqa: F401
+    grouped_rolling_agg,
+    hopping_window_agg,
+    sessionize,
+    time_bucket_agg,
+)
 from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
 from .colocated import colocated_join, partition_by_key  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401

@@ -20,10 +20,11 @@ pandas pass per shard instead of one Python call per key."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relational import auto_group_agg
+from .relational import _typed_empty, auto_group_agg
 
 
 def _normalize_finish(reduced, *, as_dataset: bool, sort_keys: list[str]):
@@ -177,6 +178,90 @@ def grouped_shift(
         .sort_values([key_col, *order_cols])
         .reset_index(drop=True)
     )
+
+
+def grouped_rolling_agg(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1h",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Event-time RANGE-frame rolling aggregate per key — the SQL window
+    ``SUM(v)/COUNT(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW)`` (moving 1-hour revenue, rate
+    limiting, trailing activity counts).
+
+    Emits ONE row per distinct (key, ts): SQL RANGE frames treat rows with
+    equal ts as peers sharing one window value, so pre-collapsing them is
+    lossless — ``roll_n`` / ``roll_value`` are the event count / value sum
+    over ``[ts - window, ts]`` (both boundaries inclusive, exactly the SQL
+    frame), ``n_at_ts`` the events collapsed into the row.
+
+    Scale shape: a per-batch combiner pre-aggregates to (key, ts) partials
+    so the ONE bounded ``hash(key) % n_shards`` exchange moves partials,
+    not events; each shard runs a single vectorized pass — merge partials
+    (vectorized groupby), mergesort by (key, ts), window WIDTHS from the
+    cython per-key time-rolling count (``closed="both"`` = RANGE boundary
+    semantics), window SUMS as int64 prefix-sum differences.  Integer
+    ``value_col`` (e.g. the cents encoding) stays exact integer arithmetic
+    end to end — no float accumulation regardless of window population.
+    No key ever needs to fit in one block beyond its (key, ts)-distinct
+    partials, and the output is block-structure independent."""
+    w = pd.Timedelta(window)
+    out_cols = [key_col, ts_col, "n_at_ts", "roll_n", "roll_value"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[[key_col, ts_col, value_col]].groupby(
+            [key_col, ts_col], as_index=False
+        ).agg(n_at_ts=(value_col, "size"), v_at_ts=(value_col, "sum"))
+        g["__shard"] = (
+            pd.util.hash_array(g[key_col].to_numpy()) % n_shards
+        ).astype("int64")
+        return g
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key_col, ts_col], as_index=False).agg(
+            n_at_ts=("n_at_ts", "sum"), v_at_ts=("v_at_ts", "sum")
+        )
+        g = g.sort_values([key_col, ts_col], kind="mergesort").reset_index(drop=True)
+        # rows in [ts - w, ts] per key: (key, ts) is unique here, so the
+        # count IS the frame width (float return, but exact small ints)
+        win_rows = (
+            g.groupby(key_col, sort=False)
+            .rolling(w, on=ts_col, closed="both")["n_at_ts"]
+            .count()
+            .to_numpy()
+            .astype("int64")
+        )
+        hi = np.arange(1, len(g) + 1, dtype="int64")
+        lo = hi - win_rows
+        cn = np.concatenate([[0], np.cumsum(g["n_at_ts"].to_numpy(dtype="int64"))])
+        cv = np.concatenate(
+            [np.zeros(1, dtype=g["v_at_ts"].to_numpy().dtype),
+             np.cumsum(g["v_at_ts"].to_numpy())]
+        )
+        out = g[[key_col, ts_col, "n_at_ts"]].copy()
+        out["roll_n"] = cn[hi] - cn[lo]
+        out["roll_value"] = cv[hi] - cv[lo]
+        return out
+
+    sharded = ds.map_batches(partial, batch_format="pandas")
+    rolled = sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+    if as_dataset:
+        return rolled
+    pdf = rolled.to_pandas()
+    if len(pdf) == 0:
+        sch = ds.schema()
+        pdf = _typed_empty(sch, [key_col, ts_col])
+        for c in ("n_at_ts", "roll_n"):
+            pdf[c] = pd.Series(dtype="int64")
+        pdf["roll_value"] = pd.Series(dtype=_typed_empty(sch, [value_col])[value_col].dtype)
+        return pdf[out_cols]
+    return pdf.sort_values([key_col, ts_col]).reset_index(drop=True)
 
 
 def sessionize(

@@ -1318,6 +1318,26 @@ def q_asof_last_signup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_rolling_1h_value(sf_dir: str) -> pd.DataFrame:
+    """Event-time RANGE-frame moving window: trailing 1-hour event count +
+    value sum per user (`SUM/COUNT OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`), one row
+    per distinct (user_id, ts) peer class — `ops/windows.grouped_rolling_agg`,
+    oracle-compared in tests/test_ops.py::TestTailQueryOracles."""
+    from ..ops.windows import grouped_rolling_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda b: b.assign(value=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_rolling_agg(
+        ev, key_col="user_id", ts_col="ts", value_col="value", window="1h"
+    )
+    out["roll_value"] = out["roll_value"] / 100.0
+    out["n_at_ts"] = out["n_at_ts"].astype("int64")
+    out["roll_n"] = out["roll_n"].astype("int64")
+    return out
+
+
 def q_running_totals(sf_dir: str) -> pd.DataFrame:
     """Per-user running sum ordered by ts (the window-function shape):
     ONE hash-shard exchange on the user key, then a vectorized pandas
@@ -2834,6 +2854,7 @@ QUERIES = {
     # round-4 session-2 tail additions (same contract: each SQL-oracled
     # entry is DuckDB-compared directly in TestTailQueryOracles)
     "event_gaps": q_event_gaps,
+    "rolling_1h_value": q_rolling_1h_value,
     "custdist_left_join": q_custdist_left_join,
     "orders_rollup": q_orders_rollup,
     "full_outer_orders": q_full_outer_orders,
@@ -3577,6 +3598,19 @@ ORACLE_SQL = {
         "WHERE l.l_orderkey = o.o_orderkey "
         "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
         "GROUP BY o_orderpriority"
+    ),
+    "rolling_1h_value": (
+        # pre-collapse ts peers (RANGE frames give peers identical window
+        # values, so the collapse is lossless), then the RANGE window; the
+        # window sum rides exact integer cents on both engines
+        "WITH e AS (SELECT user_id, ts, COUNT(*) AS n_at_ts, "
+        "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM events GROUP BY user_id, ts) "
+        "SELECT user_id, ts, n_at_ts, "
+        "CAST(SUM(n_at_ts) OVER w AS BIGINT) AS roll_n, "
+        "CAST(SUM(cents) OVER w AS DOUBLE) / 100 AS roll_value "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
     ),
     "documents_profile": (
         "SELECT 'doc_id' AS col, CAST(MIN(doc_id) AS VARCHAR) AS min_v, "

@@ -586,6 +586,87 @@ class TestWindows:
         b = q_top_orders_revenue("/root/testdata/sf0.001", finish="exchange")
         pd.testing.assert_frame_equal(a, b)
 
+    def test_grouped_rolling_agg_matches_naive_sql_range_frame(self):
+        # RANGE BETWEEN w PRECEDING AND CURRENT ROW semantics: boundary
+        # row (exactly ts - w) IN the frame, ts peers collapse to one row,
+        # per-key isolation; checked against an O(n^2) reference on data
+        # with planted ties and exact-boundary gaps
+        from ocr_platform_ray.ops.windows import grouped_rolling_agg
+
+        rng = np.random.RandomState(7)
+        n = 400
+        base = pd.Timestamp("2024-01-01")
+        # coarse second grid => plenty of exact ties and exact 1h gaps
+        secs = rng.choice([0, 900, 1800, 3600, 4500, 7200], n)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, n),
+                "ts": base + pd.to_timedelta(secs, "s"),
+                "v": rng.randint(-50, 100, n).astype("int64"),
+            }
+        )
+        w = pd.Timedelta("1h")
+        got = grouped_rolling_agg(
+            rd.from_pandas(df), key_col="k", ts_col="ts", value_col="v", window="1h"
+        )
+        rows = []
+        for (k, t), grp in df.groupby(["k", "ts"]):
+            sel = df[(df.k == k) & (df.ts <= t) & (df.ts >= t - w)]
+            rows.append((k, t, len(grp), len(sel), sel.v.sum()))
+        want = pd.DataFrame(
+            rows, columns=["k", "ts", "n_at_ts", "roll_n", "roll_value"]
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # boundary inclusion actually exercised: some frame spans the full
+        # [t-1h, t] window with both endpoints populated
+        assert (got.roll_n > got.n_at_ts).any()
+
+    def test_grouped_rolling_agg_block_structure_independent(self):
+        from ocr_platform_ray.ops.windows import grouped_rolling_agg
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 300),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 7200, 300), "s"),
+                "v": rng.randint(0, 1000, 300).astype("int64"),
+            }
+        )
+        outs = []
+        for nb in (1, 7):
+            ds = rd.from_pandas(df).repartition(nb)
+            outs.append(
+                grouped_rolling_agg(
+                    ds, key_col="k", ts_col="ts", value_col="v", window="30min"
+                )
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # dataset route == pandas route
+        as_ds = grouped_rolling_agg(
+            rd.from_pandas(df), key_col="k", ts_col="ts", value_col="v",
+            window="30min", as_dataset=True,
+        ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            outs[0], as_ds[outs[0].columns], check_dtype=False
+        )
+
+    def test_grouped_rolling_agg_empty_input(self):
+        from ocr_platform_ray.ops.windows import grouped_rolling_agg
+
+        df = pd.DataFrame(
+            {
+                "k": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "v": pd.Series([], dtype="int64"),
+            }
+        )
+        out = grouped_rolling_agg(
+            rd.from_pandas(df), key_col="k", ts_col="ts", value_col="v", window="1h"
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["k", "ts", "n_at_ts", "roll_n", "roll_value"]
+
     def test_sessionize_gap_semantics(self):
         from ocr_platform_ray.ops.windows import sessionize
 
@@ -1560,6 +1641,7 @@ class TestTailQueryOracles:
             "dedup_doc_lines",
             "token_budget_mix",
             "event_gaps",
+            "rolling_1h_value",
             "custdist_left_join",
             "orders_rollup",
             "full_outer_orders",
