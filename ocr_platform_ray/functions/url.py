@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -68,3 +69,85 @@ def add_canonical_url(
         return out
 
     return ds.map_batches(canon, batch_format="pandas")
+
+
+# RefinedWeb-style URL filtering (Penedo et al. 2023 arXiv:2306.01116
+# §3.1.2 / App. G.1: a domain blocklist plus a soft word-score over the
+# URL string).  Weights are INTEGERS (the paper's fractional weights
+# scaled x100) so the score sum is exact integer arithmetic on any
+# engine — fully SQL-mirrorable.  Occurrence counting is non-overlapping
+# substring count over the lowercased URL (pandas str.count == the SQL
+# (len - len(replace))/len(word) identity).
+DEFAULT_URL_BLOCKLIST = frozenset({"freebet-casino.com", "spam-mall.net"})
+DEFAULT_URL_WORD_WEIGHTS = {
+    "casino": 50,
+    "webcam": 50,
+    "torrent": 40,
+    "sex": 60,
+    "free": 25,
+    "download": 25,
+}
+
+_HOST_RE = re.compile(r"^https?://([^/:?#]+)")
+
+
+def add_url_quality(
+    ds: rd.Dataset,
+    url_col: str,
+    *,
+    blocklist: frozenset[str] | set[str] = DEFAULT_URL_BLOCKLIST,
+    word_weights: dict[str, int] | None = None,
+    score_col: str = "url_score",
+    blocked_col: str = "url_blocked",
+) -> rd.Dataset:
+    """Append the soft banned-word score (integer; sum over words of
+    weight x non-overlapping occurrences in the lowercased URL) and the
+    domain-blocklist flag (host with any ``www.`` prefix stripped,
+    matched exactly or as a suffix domain).  MAP-ONLY: the blocklist and
+    weight table are dim-sized closure state; each word is ONE vectorized
+    ``str.count`` kernel per batch, never a per-row Python loop."""
+    ww = DEFAULT_URL_WORD_WEIGHTS if word_weights is None else word_weights
+    bl = frozenset(blocklist)
+    suffixes = tuple("." + d for d in sorted(bl))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        lu = b[url_col].str.lower()
+        total = np.zeros(len(b), dtype="int64")
+        for w, wt in ww.items():
+            total += lu.str.count(re.escape(w)).to_numpy(dtype="int64") * wt
+        host = lu.str.extract(_HOST_RE, expand=False).fillna("")
+        host = host.str.replace(r"^www\.", "", regex=True)
+        blocked = host.isin(bl).to_numpy()
+        if suffixes:
+            blocked |= host.str.endswith(suffixes).to_numpy()
+        out[score_col] = total
+        out[blocked_col] = blocked
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def url_quality_filter(
+    ds: rd.Dataset,
+    url_col: str,
+    *,
+    threshold: int = 100,
+    blocklist: frozenset[str] | set[str] = DEFAULT_URL_BLOCKLIST,
+    word_weights: dict[str, int] | None = None,
+    score_col: str = "url_score",
+) -> rd.Dataset:
+    """Keep rows whose URL is not domain-blocklisted and whose soft
+    word score stays BELOW ``threshold`` (RefinedWeb drops at the
+    threshold).  The score column is kept for downstream audit; the
+    blocklist flag is dropped (it is always False on kept rows)."""
+    scored = add_url_quality(
+        ds, url_col, blocklist=blocklist, word_weights=word_weights,
+        score_col=score_col, blocked_col="__blocked",
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[(~b["__blocked"]) & (b[score_col] < threshold)]
+        return k.drop(columns="__blocked")
+
+    return scored.map_batches(keep, batch_format="pandas")

@@ -5,6 +5,7 @@ from .relational import (  # noqa: F401
     auto_group_agg,
     auto_join,
     grouped_top_k,
+    cube_agg,
     probe_head,
     broadcast_hash_join,
     bucketed_hash_join,
@@ -43,7 +44,7 @@ from .textstats import (  # noqa: F401
 from .pack import range_prefix_sum, pack_sequences  # noqa: F401
 from .chunks import grouped_ordered_concat  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
-from .mix import token_budget_sample, weighted_source_mixture  # noqa: F401
+from .mix import temperature_sample, token_budget_sample, weighted_source_mixture  # noqa: F401
 from .shuffle import epoch_shuffle, shuffle_hash  # noqa: F401
 from .decontam import contamination_counts  # noqa: F401
 from .interval import interval_join  # noqa: F401
@@ -57,10 +58,12 @@ from .similarity import (  # noqa: F401
     knn_brute_force,
     knn_ivf,
     knn_ivf_persisted,
+    knn_join,
     knn_lsh,
     train_ivf_centroids,
 )
 from .windows import (  # noqa: F401
+    grouped_rank,
     grouped_rolling_agg,
     hopping_window_agg,
     sessionize,

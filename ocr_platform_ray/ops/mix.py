@@ -182,3 +182,67 @@ def token_budget_sample(
         return out
 
     return keyed.groupby("__kshard").map_groups(per_shard, batch_format="pandas")
+
+
+def temperature_sample(
+    ds: rd.Dataset,
+    *,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Temperature-scaled source rebalancing (Conneau & Lample 2019 /
+    XLM-R arXiv:1911.02116 §3.1; the exponential-smoothing mixture every
+    multilingual/multi-source recipe runs): resample so source
+    proportions follow ``p_l^alpha`` instead of the raw ``p_l`` —
+    ``alpha=1`` keeps the natural distribution, ``alpha -> 0`` flattens
+    it toward uniform.  This is the DOWNSAMPLE-ONLY form: per-source
+    keep rate ``r_l = (n_min / n_l)^(1 - alpha)``, so the smallest
+    source keeps everything (rate exactly 1.0) and no document is ever
+    upsampled — compose with ``weighted_source_mixture`` for epoch-level
+    upsampling.
+
+    The keep decision is the house deterministic draw
+    (``shuffle_hash(key, seed) < floor(r_l * 2^32)``), so the same
+    (corpus, alpha, seed) keeps the same documents under any
+    parallelism, block structure, or input order, and a SQL oracle
+    mirrors it exactly: counts are integers, ``n_min/n_l`` is one
+    correctly-rounded double division, and ``POWER`` maps to the same
+    libm ``pow`` in numpy and DuckDB.
+
+    Scale shape: ONE dim-sized count reduce (per-batch combiner ->
+    ``auto_group_agg``), then a MAP-ONLY filter with the dim-sized rate
+    table in the closure — document payloads never move."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(source_col, as_index=False).agg(n=(key_col, "size"))
+
+    counts = auto_group_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        [source_col],
+        {"n": ("n", "sum")},
+    )
+    if not isinstance(counts, pd.DataFrame):
+        counts = counts.to_pandas()  # dim-sized: one row per source
+    if len(counts) == 0:
+        return ds
+    n = counts["n"].to_numpy(dtype="float64")
+    rates = np.power(float(n.min()) / n, 1.0 - alpha)
+    thr = {
+        s: float(np.floor(r * _MOD32F))
+        for s, r in zip(counts[source_col], rates)
+    }
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        inv, cats = pd.factorize(b[source_col], use_na_sentinel=False)
+        lut = np.array([thr.get(c, np.nan) for c in cats], dtype="float64")
+        if np.isnan(lut).any():
+            missing = sorted(str(c) for c in cats[np.isnan(lut)])
+            raise KeyError(f"sources absent from the count pass: {missing}")
+        sk = shuffle_hash(b[key_col].to_numpy(dtype="int64"), seed)
+        return b[sk.astype("float64") < lut[inv]]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -1084,6 +1084,72 @@ def rollup_agg(
     return pd.concat(levels, ignore_index=True)
 
 
+def cube_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(k1, k2, …)``: every SUBSET of the keys (2^n
+    grouping levels incl. the grand total), rolled-up columns NULL
+    exactly like SQL.  Mergeable aggregates only, same reason as
+    `rollup_agg`.
+
+    Scale shape: the input is scanned ONCE into combiner partials at the
+    finest level; the finest level finishes through the size-aware
+    planner, and every coarser subset re-aggregates the FINEST level's
+    result (mergeable aggs compose; subset cardinality only shrinks), so
+    no level re-scans the input.  2^n stays small because a CUBE is a
+    display/report shape — n is the handful of report dimensions, never
+    a wide key list.  Empty input returns zero rows (same edge rule as
+    `rollup_agg`)."""
+    if not keys:
+        raise ValueError("cube_agg needs at least one key")
+    bad = {how for _, how in aggs.values()} - {"sum", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"non-mergeable aggs not supported in cube: {bad}")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False, dropna=False).agg(
+            **{
+                alias: (src, "size" if how == "count" else how)
+                for alias, (src, how) in aggs.items()
+            }
+        )
+
+    merge = {
+        alias: (alias, "sum" if how in ("sum", "count") else how)
+        for alias, (_, how) in aggs.items()
+    }
+    finest = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), keys, merge,
+        driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+    )
+    finest_df = finest.to_pandas() if isinstance(finest, rd.Dataset) else finest
+    levels: list[pd.DataFrame] = []
+    for mask in range(1 << len(keys)):
+        sub = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if len(sub) == len(keys):
+            out = finest_df.copy()
+        elif len(finest_df) == 0:
+            continue
+        elif sub:
+            out = finest_df.groupby(sub, as_index=False, dropna=False).agg(
+                **{a: (a, how) for a, (_, how) in merge.items()}
+            )
+        else:
+            out = finest_df.agg(
+                {a: how for a, (_, how) in merge.items()}
+            ).to_frame().T
+        for k in keys:
+            if k not in sub:
+                out[k] = None
+        levels.append(out[keys + list(aggs)])
+    return pd.concat(levels, ignore_index=True) if levels else finest_df
+
+
 def pivot_agg(
     ds: rd.Dataset,
     index: str,

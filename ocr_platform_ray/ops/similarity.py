@@ -69,6 +69,95 @@ def knn_brute_force(
     return out
 
 
+class _JoinScore:
+    """Per-batch exact scorer for ``knn_join``: one matmul of the
+    broadcast (normalized) query matrix against the batch, local top-k
+    per query — the exchange payload is <= n_queries x k rows per batch,
+    never the corpus."""
+
+    def __init__(self, q_ref, emb_col: str, right_id_col: str, q_out_col: str, k: int):
+        self.q_ref = q_ref
+        self.emb_col, self.right_id_col = emb_col, right_id_col
+        self.q_out_col, self.k = q_out_col, k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q = cached_get(self.q_ref)  # (nq,), (nq, dim) normalized
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    self.q_out_col: pd.Series(dtype=q_ids.dtype),
+                    self.right_id_col: batch[self.right_id_col],
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        m = _as_matrix(batch[self.emb_col])
+        sims = q @ m.T  # (nq, batch)
+        ids = batch[self.right_id_col].to_numpy()
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        return pd.DataFrame(
+            {
+                self.q_out_col: np.repeat(q_ids, k),
+                self.right_id_col: ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+        )
+
+
+def knn_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    k: int = 10,
+    q_out_col: str = "q_id",
+    max_left_rows: int = 2_000_000,
+    finish: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Top-k VECTOR JOIN: for every row of ``left`` (the probe/query
+    side), the ``k`` nearest rows of ``right`` by cosine — the batch
+    form of `knn_brute_force` (retrieval eval sets, hard-negative
+    mining, cross-corpus linking).  Output columns: ``(q_out_col,
+    right_id_col, cosine, rk)`` with ``rk`` the dense 1-based rank per
+    query, ties broken ascending by ``right_id_col`` — the SQL
+    ``ROW_NUMBER() OVER (PARTITION BY q ORDER BY cosine DESC, id)``.
+
+    Scale shape: broadcast-small-side (T2).  The probe side is collected
+    ONCE and ships via ``ray.put`` (guarded by ``max_left_rows`` — a
+    corpus-sized probe set should be chunked by the caller and the
+    results unioned; each chunk is an independent map-only pass).  The
+    corpus side streams through one ``map_batches`` matmul emitting
+    local top-k partials, and the per-query global top-k finishes
+    through ``grouped_top_k``'s size-aware planner (driver reduce when
+    the nq x k x n_batches candidates fit, hash-shard exchange above) —
+    the corpus embeddings themselves never move."""
+    from .relational import grouped_top_k
+
+    ldf = (
+        left.select_columns([left_id_col, emb_col])
+        .limit(max_left_rows + 1)
+        .to_pandas()
+    )
+    if len(ldf) > max_left_rows:
+        raise ValueError(
+            f"knn_join probe side exceeds max_left_rows={max_left_rows}; "
+            "chunk the probe set and union the per-chunk results"
+        )
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in ldf[emb_col]])
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((ldf[left_id_col].to_numpy(), q))
+    cand = right.map_batches(
+        _JoinScore(q_ref, emb_col, right_id_col, q_out_col, k),
+        batch_format="pandas",
+    )
+    return grouped_top_k(
+        cand, [q_out_col], "cosine", k,
+        descending=True, tie_col=right_id_col, finish=finish,
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     h = rng.randn(n_planes, dim)

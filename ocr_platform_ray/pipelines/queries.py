@@ -2715,6 +2715,117 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_knn_join_top5(sf_dir: str) -> pd.DataFrame:
+    """Batch top-k VECTOR JOIN (`ops/similarity.knn_join`): for each of
+    the 20 probe vectors (vec_id < 20), the 5 nearest corpus vectors
+    (vec_id >= 20) by cosine with their rank — the retrieval-eval /
+    hard-negative-mining shape.  Full SQL oracle (list_cosine_similarity
+    + ROW_NUMBER window) in tests/test_ops.py::TestTailQueryOracles."""
+    from ..ops.similarity import knn_join
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    left = emb.map_batches(lambda b: b[b["vec_id"] < 20], batch_format="pandas")
+    right = emb.map_batches(lambda b: b[b["vec_id"] >= 20], batch_format="pandas")
+    out = knn_join(left, right, k=5, q_out_col="q_id")
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out = out[["q_id", "vec_id", "cosine", "rk"]].copy()
+    out["cosine"] = _round_half_away(out["cosine"], 4)
+    out["rk"] = out["rk"].astype("int64")
+    return out.sort_values(["q_id", "rk"]).reset_index(drop=True)
+
+
+def q_value_rank_in_type(sf_dir: str) -> pd.DataFrame:
+    """RANK / DENSE_RANK window functions (`ops/windows.grouped_rank`):
+    each event's competition and dense rank of `value` within its
+    event_type, descending — exact integer output, deterministic with
+    no tiebreaker because ranks are a pure function of the value
+    multiset.  Full SQL window oracle in TestTailQueryOracles."""
+    from ..ops.windows import grouped_rank
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_rank(
+        ev,
+        key_cols=["event_type"],
+        order_col="value",
+        descending=True,
+        carry_cols=["event_id"],
+    )
+    return out[["event_id", "event_type", "value", "rnk", "drnk"]]
+
+
+def q_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled source rebalancing (`ops/mix.temperature_sample`,
+    Conneau & Lample 2019 alpha=0.5): per-source keep rate
+    (n_min/n_l)^0.5, deterministic shuffle-hash draw — the smallest
+    source keeps everything, larger sources downsample toward the
+    flattened distribution.  Full SQL oracle (COUNT + POWER + the
+    shuffle-hash arithmetic mirror) in TestTailQueryOracles."""
+    from ..ops.mix import temperature_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = temperature_sample(
+        docs, source_col="source", key_col="doc_id", alpha=0.5, seed=13
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_url_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style URL filtering (Penedo 2023 §3.1.2:
+    `functions/url.url_quality_filter`): domain blocklist + integer soft
+    banned-word score over deterministically synthesized URLs; kept rows
+    with their scores.  Full SQL oracle (regexp host extraction +
+    substring-count arithmetic) in TestTailQueryOracles."""
+    from ..functions.url import url_quality_filter
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        tmpl = (
+            "https://site{g}.com/article/{g}",
+            "https://freebet-casino.com/promo/{g}",
+            "https://site{g}.com/free-download/{g}",
+            "https://news{g}.com/casino-webcam/{g}",
+            "https://blog{g}.net/torrent-free-fun/{g}",
+        )
+        urls = [
+            tmpl[int(i) % 5].format(g=int(i) // 5) for i in b["doc_id"]
+        ]
+        return pd.DataFrame({"doc_id": b["doc_id"], "url": urls})
+
+    kept = url_quality_filter(
+        docs.map_batches(synth, batch_format="pandas"), "url", threshold=90
+    ).to_pandas()
+    kept["url_score"] = kept["url_score"].astype("int64")
+    return kept.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_orders_cube(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(o_orderstatus, o_orderpriority)`` — all four
+    grouping levels from one input scan (`ops/relational.cube_agg`);
+    sums ride exact integer cents.  Full SQL CUBE oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import cube_agg
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.assign(cents=_cents(b["o_totalprice"])), batch_format="pandas"
+    )
+    out = cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("cents", "count"), "cents": ("cents", "sum")},
+    )
+    out["total_price"] = out["cents"].astype("float64") / 100.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out.drop(columns="cents")
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2866,6 +2977,12 @@ QUERIES = {
     # no-oracle (EM-learned vocab; bounds + compression asserted in-query,
     # serial==distributed + Viterbi optimality pinned by TestUnigram)
     "unigram_token_count": q_unigram_token_count,
+    # round-4 session-3 tail additions (same TestTailQueryOracles contract)
+    "knn_join_top5": q_knn_join_top5,
+    "value_rank_in_type": q_value_rank_in_type,
+    "temperature_mix": q_temperature_mix,
+    "url_quality_filter": q_url_quality_filter,
+    "orders_cube": q_orders_cube,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -3656,6 +3773,75 @@ ORACLE_SQL = {
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
         "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    "knn_join_top5": (
+        # batch top-k vector join; both engines rank on the unrounded
+        # float64 cosine (the knn_cosine_top10 precedent), ties broken by
+        # vec_id, display value rounded at 4dp
+        "WITH l AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings WHERE vec_id < 20), "
+        "r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings WHERE vec_id >= 20), "
+        "s AS (SELECT l.q_id, r.vec_id, "
+        "list_cosine_similarity(l.e, r.e) AS c FROM l CROSS JOIN r), "
+        "rk AS (SELECT q_id, vec_id, c, ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY c DESC, vec_id) AS rk FROM s) "
+        "SELECT q_id, vec_id, ROUND(c, 4) AS cosine, CAST(rk AS BIGINT) AS rk "
+        "FROM rk WHERE rk <= 5"
+    ),
+    "value_rank_in_type": (
+        "SELECT event_id, event_type, value, "
+        "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk "
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"
+    ),
+    "temperature_mix": (
+        # keep rate r_l = (n_min/n_l)^(1-alpha), alpha=0.5: counts are
+        # exact integers, the division is one correctly-rounded double
+        # op, and POWER is the same libm pow in numpy and DuckDB, so
+        # floor(r * 2^32) is bit-identical; the draw is the shared
+        # shuffle-hash arithmetic mirror (seed 13)
+        "WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), "
+        "m AS (SELECT MIN(n) AS mn FROM c), "
+        "r AS (SELECT c.source, FLOOR(POWER(CAST(m.mn AS DOUBLE) / "
+        "CAST(c.n AS DOUBLE), 0.5) * 4294967296.0) AS thr FROM c, m) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) "
+        "WHERE CAST(((d.doc_id * 2654435761) % 4294967296 + 13) "
+        "* 1597334677 % 4294967296 AS DOUBLE) < r.thr"
+    ),
+    "url_quality_filter": (
+        # synthesized URLs (5 deterministic classes per doc_id), then the
+        # RefinedWeb gate: host (www-stripped) not blocklisted AND the
+        # integer word score < 90; occurrences via the non-overlapping
+        # (len - len(replace))/len(word) identity = pandas str.count
+        "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
+        "WHEN 0 THEN 'https://site' || (doc_id // 5) || '.com/article/' || (doc_id // 5) "
+        "WHEN 1 THEN 'https://freebet-casino.com/promo/' || (doc_id // 5) "
+        "WHEN 2 THEN 'https://site' || (doc_id // 5) || '.com/free-download/' || (doc_id // 5) "
+        "WHEN 3 THEN 'https://news' || (doc_id // 5) || '.com/casino-webcam/' || (doc_id // 5) "
+        "ELSE 'https://blog' || (doc_id // 5) || '.net/torrent-free-fun/' || (doc_id // 5) "
+        "END AS url FROM documents), "
+        "s AS (SELECT doc_id, url, lower(url) AS lu, "
+        "regexp_replace(regexp_extract(lower(url), '^https?://([^/:?#]+)', 1), "
+        "'^www\\.', '') AS host FROM u), "
+        "sc AS (SELECT doc_id, url, host, CAST("
+        "(length(lu) - length(replace(lu, 'casino', ''))) / 6 * 50 + "
+        "(length(lu) - length(replace(lu, 'webcam', ''))) / 6 * 50 + "
+        "(length(lu) - length(replace(lu, 'torrent', ''))) / 7 * 40 + "
+        "(length(lu) - length(replace(lu, 'sex', ''))) / 3 * 60 + "
+        "(length(lu) - length(replace(lu, 'free', ''))) / 4 * 25 + "
+        "(length(lu) - length(replace(lu, 'download', ''))) / 8 * 25 "
+        "AS BIGINT) AS url_score FROM s) "
+        "SELECT doc_id, url, url_score FROM sc "
+        "WHERE url_score < 90 AND host NOT IN ('freebet-casino.com', 'spam-mall.net') "
+        "AND NOT (host LIKE '%.freebet-casino.com' OR host LIKE '%.spam-mall.net')"
+    ),
+    "orders_cube": (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS total_price "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

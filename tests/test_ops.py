@@ -1650,6 +1650,11 @@ class TestTailQueryOracles:
             "stratified_k_sample",
             "late_orders_by_priority",
             "documents_profile",
+            "knn_join_top5",
+            "value_rank_in_type",
+            "temperature_mix",
+            "url_quality_filter",
+            "orders_cube",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -1662,7 +1667,7 @@ class TestTailQueryOracles:
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         con = duckdb.connect()
-        for t in ("documents", "events", "orders", "customer", "lineitem"):
+        for t in ("documents", "events", "orders", "customer", "lineitem", "embeddings"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
@@ -1673,3 +1678,267 @@ class TestTailQueryOracles:
         w = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
         assert len(g) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnJoin:
+    def _emb(self, n=80, dim=12, seed=5):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype="int64"),
+                "embedding": list(rng.randn(n, dim)),
+            }
+        )
+
+    def test_matches_brute_force_per_query(self):
+        from ocr_platform_ray.ops.similarity import knn_brute_force, knn_join
+
+        df = self._emb()
+        left, right = df[df.vec_id < 6], df[df.vec_id >= 6]
+        got = knn_join(
+            rd.from_pandas(left), rd.from_pandas(right), k=4, q_out_col="q_id"
+        )
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        got = got.sort_values(["q_id", "rk"]).reset_index(drop=True)
+        # per-query brute force over the same corpus = the join's rows
+        q = np.stack(left["embedding"].to_numpy())
+        bf = knn_brute_force(rd.from_pandas(right), q, k=4)
+        bf["q_id"] = left["vec_id"].to_numpy()[bf["query_idx"].to_numpy()]
+        bf = bf.sort_values(["q_id", "cosine", "vec_id"], ascending=[True, False, True])
+        bf["rk"] = bf.groupby("q_id").cumcount() + 1
+        want = bf[["q_id", "vec_id", "cosine", "rk"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["q_id", "vec_id", "cosine", "rk"]], want, check_dtype=False
+        )
+
+    def test_finish_routes_equal_and_block_independent(self):
+        from ocr_platform_ray.ops.similarity import knn_join
+
+        df = self._emb(n=60)
+        left, right = df[df.vec_id < 5], df[df.vec_id >= 5]
+        outs = []
+        for finish, nb in (("driver", 1), ("exchange", 7)):
+            o = knn_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right).repartition(nb),
+                k=3,
+                finish=finish,
+            )
+            if not isinstance(o, pd.DataFrame):
+                o = o.to_pandas()
+            outs.append(
+                o[["q_id", "vec_id", "cosine", "rk"]]
+                .sort_values(["q_id", "rk"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+
+    def test_max_left_rows_guard(self):
+        from ocr_platform_ray.ops.similarity import knn_join
+
+        df = self._emb(n=30)
+        with pytest.raises(ValueError, match="max_left_rows"):
+            knn_join(
+                rd.from_pandas(df), rd.from_pandas(df), k=2, max_left_rows=10
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedRank:
+    def test_rank_and_dense_rank_match_pandas(self):
+        from ocr_platform_ray.ops.windows import grouped_rank
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 6, 300),
+                "id": np.arange(300, dtype="int64"),
+                # coarse grid => plenty of in-group ties
+                "v": rng.randint(0, 25, 300).astype("int64"),
+            }
+        )
+        for descending in (False, True):
+            got = grouped_rank(
+                rd.from_pandas(df).repartition(5),
+                key_cols=["k"],
+                order_col="v",
+                descending=descending,
+                carry_cols=["id"],
+            ).sort_values("id").reset_index(drop=True)
+            exp = df.sort_values("id").reset_index(drop=True).copy()
+            gb = exp.groupby("k")["v"]
+            exp["rnk"] = gb.rank(method="min", ascending=not descending).astype("int64")
+            exp["drnk"] = gb.rank(method="dense", ascending=not descending).astype("int64")
+            pd.testing.assert_frame_equal(
+                got[["k", "id", "v", "rnk", "drnk"]],
+                exp[["k", "id", "v", "rnk", "drnk"]],
+                check_dtype=False,
+            )
+        # ties actually exercised: some rank is shared
+        assert (got.groupby(["k", "rnk"]).size() > 1).any()
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.windows import grouped_rank
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, 200),
+                "id": np.arange(200, dtype="int64"),
+                "v": rng.randn(200),
+            }
+        )
+        outs = [
+            grouped_rank(
+                rd.from_pandas(df).repartition(nb),
+                key_cols=["k"],
+                order_col="v",
+                carry_cols=["id"],
+            ).sort_values("id").reset_index(drop=True)
+            for nb in (1, 9)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTemperatureSample:
+    def _corpus(self):
+        rows = []
+        k = 0
+        for s, n in (("big", 4000), ("mid", 1000), ("small", 250)):
+            for _ in range(n):
+                rows.append((k, s))
+                k += 1
+        return pd.DataFrame(rows, columns=["doc_id", "source"])
+
+    def test_matches_naive_reference_and_keeps_smallest(self):
+        from ocr_platform_ray.ops.mix import temperature_sample
+        from ocr_platform_ray.ops.shuffle import shuffle_hash
+
+        df = self._corpus()
+        got = temperature_sample(
+            rd.from_pandas(df).repartition(6),
+            source_col="source",
+            key_col="doc_id",
+            alpha=0.5,
+            seed=3,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        counts = df.groupby("source")["doc_id"].size()
+        n_min = float(counts.min())
+        keep = np.zeros(len(df), dtype=bool)
+        sk = shuffle_hash(df["doc_id"].to_numpy(dtype="int64"), 3).astype("float64")
+        for s, n in counts.items():
+            thr = np.floor((n_min / float(n)) ** 0.5 * 2**32)
+            keep |= (df["source"] == s).to_numpy() & (sk < thr)
+        want = df[keep].sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        # the smallest source keeps EVERY row (rate exactly 1.0)
+        assert (got["source"] == "small").sum() == 250
+        # larger sources downsample toward sqrt proportions
+        kept_big = (got["source"] == "big").sum()
+        assert 0.15 * 4000 < kept_big < 0.35 * 4000
+
+    def test_alpha_one_is_identity_and_block_independent(self):
+        from ocr_platform_ray.ops.mix import temperature_sample
+
+        df = self._corpus().iloc[:800]
+        full = temperature_sample(
+            rd.from_pandas(df),
+            source_col="source",
+            key_col="doc_id",
+            alpha=1.0,
+            seed=7,
+        ).to_pandas()
+        assert len(full) == len(df)
+        outs = [
+            temperature_sample(
+                rd.from_pandas(df).repartition(nb),
+                source_col="source",
+                key_col="doc_id",
+                alpha=0.3,
+                seed=7,
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for nb in (1, 8)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUrlQualityFilter:
+    def test_blocklist_threshold_and_scores(self):
+        from ocr_platform_ray.functions.url import add_url_quality, url_quality_filter
+
+        df = pd.DataFrame(
+            {
+                "id": np.arange(7, dtype="int64"),
+                "url": [
+                    "https://example.com/a",                      # clean
+                    "https://freebet-casino.com/x",               # blocked exact
+                    "https://www.freebet-casino.com/x",           # blocked via www strip
+                    "https://promo.spam-mall.net/y",              # blocked subdomain
+                    "https://ok.com/free-download/z",             # 50 -> kept
+                    "https://ok.com/casino-webcam",               # 100 -> dropped
+                    "HTTPS://OK.com/FREE-free-sex",               # 25+25+60=110 -> dropped
+                ],
+            }
+        )
+        scored = add_url_quality(rd.from_pandas(df), "url").to_pandas()
+        scored = scored.sort_values("id").reset_index(drop=True)
+        # "freebet-casino" scores free(25) + casino(50) = 75
+        assert scored["url_score"].tolist() == [0, 75, 75, 0, 50, 100, 110]
+        assert scored["url_blocked"].tolist() == [
+            False, True, True, True, False, False, False,
+        ]
+        kept = url_quality_filter(
+            rd.from_pandas(df).repartition(3), "url", threshold=100
+        ).to_pandas().sort_values("id")
+        # RefinedWeb drops AT the threshold: score 100 is out at threshold=100
+        assert kept["id"].tolist() == [0, 4]
+        assert list(kept.columns) == ["id", "url", "url_score"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCubeAgg:
+    def test_matches_pandas_all_levels(self):
+        from ocr_platform_ray.ops.relational import cube_agg
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], 500),
+                "b": rng.choice(["p", "q"], 500),
+                "v": rng.randint(0, 100, 500).astype("int64"),
+            }
+        )
+        got = cube_agg(
+            rd.from_pandas(df).repartition(4),
+            ["a", "b"],
+            {"n": ("v", "count"), "s": ("v", "sum")},
+        )
+        levels = []
+        fine = df.groupby(["a", "b"], as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        la = df.groupby("a", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        la["b"] = None
+        lb = df.groupby("b", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        lb["a"] = None
+        tot = pd.DataFrame({"a": [None], "b": [None], "n": [len(df)], "s": [df.v.sum()]})
+        want = pd.concat([fine, la, lb, tot], ignore_index=True)[
+            ["a", "b", "n", "s"]
+        ]
+        key = lambda d: d.astype({"n": "int64", "s": "int64"}).sort_values(
+            ["a", "b", "n"], na_position="last"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(key(got[["a", "b", "n", "s"]]), key(want))
+
+    def test_rejects_non_mergeable_and_empty_input(self):
+        from ocr_platform_ray.ops.relational import cube_agg
+
+        df = pd.DataFrame({"a": ["x"], "v": [1]})
+        with pytest.raises(ValueError, match="mergeable"):
+            cube_agg(rd.from_pandas(df), ["a"], {"m": ("v", "mean")})
+        empty = pd.DataFrame({"a": pd.Series(dtype="object"), "v": pd.Series(dtype="int64")})
+        out = cube_agg(rd.from_pandas(empty), ["a"], {"n": ("v", "count")})
+        assert len(out) == 0
+        assert list(out.columns) == ["a", "n"]
