@@ -5,6 +5,9 @@ from .relational import (  # noqa: F401
     auto_group_agg,
     auto_join,
     grouped_top_k,
+    grouped_percentile_exact,
+    grouped_mode,
+    grouped_first_last,
     cube_agg,
     probe_head,
     broadcast_hash_join,
@@ -63,6 +66,7 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from .windows import (  # noqa: F401
+    grouped_ntile,
     grouped_rank,
     grouped_rolling_agg,
     hopping_window_agg,
@@ -74,6 +78,7 @@ from .colocated import colocated_join, partition_by_key  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .cluster import kmeans_fit, semdedup  # noqa: F401
+from .profile import dataset_profile, grouped_histogram  # noqa: F401
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401
 from .classifier import logreg_fit, logreg_score  # noqa: F401

@@ -12,8 +12,11 @@ half stays SQL-oracle-comparable."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from .relational import auto_group_agg
 
 
 def _render(v) -> str | None:
@@ -90,3 +93,60 @@ def dataset_profile(
     g["n_null"] = g["n_null"].astype("int64")
     g["n_rows"] = g["n_rows"].astype("int64")
     return g.reset_index(drop=True)
+
+
+def grouped_histogram(
+    ds: "rd.Dataset",
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+    bin_col: str = "bin",
+    count_col: str = "n",
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+):
+    """Fixed-width histogram of ``value_col`` over ``[lo, hi)``,
+    optionally per group — the distribution pass behind quality-score
+    cutoffs and skew audits.  Bin assignment is ``min(floor((v - lo) /
+    w), n_bins - 1)`` with ``w = (hi - lo) / n_bins`` — every step one
+    IEEE double op, so a SQL mirror computes the identical bin (the
+    LEAST guard absorbs the one-ulp case where ``(v - lo) / w`` rounds
+    up to ``n_bins`` at the top edge).  Rows outside ``[lo, hi)`` and
+    NaNs are dropped (SQL: a WHERE clause).  Only observed bins are
+    emitted, matching a GROUP BY.
+
+    Scale shape: map-side combiner (one (group, bin, n) row per group x
+    bin per batch — bounded by n_bins x |groups|) + the size-aware
+    `auto_group_agg` finish; the values themselves never move."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    gcols = list(group_cols or [])
+    w = (hi - lo) / n_bins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(dtype="float64")
+        keep = (v >= lo) & (v < hi)  # NaN compares False on both sides
+        sub = b.loc[keep, gcols].copy() if gcols else pd.DataFrame(index=b.index[keep])
+        sub[bin_col] = np.minimum(
+            np.floor((v[keep] - lo) / w), n_bins - 1
+        ).astype("int64")
+        return sub.groupby([*gcols, bin_col], as_index=False).agg(
+            **{count_col: (bin_col, "size")}
+        )
+
+    reduced = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [*gcols, bin_col],
+        {count_col: (count_col, "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(reduced, pd.DataFrame):
+        reduced = reduced.to_pandas()
+    reduced[count_col] = reduced[count_col].astype("int64")
+    return reduced.sort_values([*gcols, bin_col]).reset_index(drop=True)

@@ -767,6 +767,171 @@ def grouped_rank_buckets(
     )
 
 
+def grouped_percentile_exact(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    n_shards: int = 64,
+    q_col: str = "q",
+) -> pd.DataFrame:
+    """EXACT per-group discrete percentiles: for each quantile ``q`` the
+    element at 1-based sorted position ``max(1, ceil(q * m))`` — the SQL
+    ``quantile_disc`` convention, mirrorable exactly with a ROW_NUMBER
+    window (``rn = GREATEST(1, CEIL(q * cnt))``).  Ties in the value
+    need no tiebreaker: the POSITION selects a value, and equal values
+    at the boundary give the same answer under any tie order, so the
+    result is deterministic by construction.  ``ceil(q*m)`` is the same
+    IEEE double multiply in numpy and SQL, so the selected index is
+    bit-identical across engines.
+
+    Complement to `ops/sketch.grouped_quantile_sketch` (the bounded-
+    error, fixed-memory route): exact answers need each group's rows
+    co-located, so this is ONE bounded ``hash(group) % n_shards``
+    exchange with a vectorized sort + take per shard.  Same skew caveat
+    as `grouped_rank_buckets`'s exact route — a dominant group lands in
+    one shard; at corpus scale prefer the sketch."""
+    keep = list(dict.fromkeys([*group_cols, value_col]))
+    qarr = np.asarray(qs, dtype="float64")
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        out["__shard"] = _hash_labels(b, group_cols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*group_cols, value_col], kind="mergesort"
+        )
+        grp = g.groupby(group_cols, sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        m = grp[value_col].transform("size").to_numpy(dtype="float64")
+        outs = []
+        for q in qarr:
+            idx = np.maximum(1.0, np.ceil(q * m))
+            sel = g[rn == idx].copy()
+            sel[q_col] = q
+            outs.append(sel)
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()  # result is |groups| x |qs| rows — dim-sized
+    )
+    return out.sort_values(
+        [*group_cols, q_col], kind="mergesort"
+    ).reset_index(drop=True)[[*group_cols, q_col, value_col]]
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    count_col: str = "n",
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+    finish: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Most frequent value per group (the SQL ``mode()`` aggregate) with
+    a DETERMINISTIC tie rule: among equal counts, the smallest value —
+    mirrorable as ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC,
+    v) = 1`` over the count table (plain SQL ``mode()`` leaves ties
+    engine-defined, so the explicit rule is what makes the operator
+    oracle-comparable).  Returns (group, value, n).
+
+    Pure composition of the house reduces — nothing new to shuffle: a
+    per-batch (group, value) count combiner finishes through
+    `auto_group_agg` (0 exchanges below the probe threshold), then the
+    argmax-per-group is `grouped_top_k(k=1)` on the counts (local prune
+    caps its exchange at one row per (group, batch))."""
+    keyc = [*group_cols, value_col]
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keyc, as_index=False).agg(**{count_col: (value_col, "size")})
+
+    counts = auto_group_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        keyc,
+        {count_col: (count_col, "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if isinstance(counts, pd.DataFrame):
+        # driver finish: the complete count table is already here — one
+        # vectorized sort + head, no extra execution
+        return (
+            counts.sort_values(
+                [*group_cols, count_col, value_col],
+                ascending=[True] * len(group_cols) + [False, True],
+            )
+            .groupby(group_cols, sort=False)
+            .head(1)
+            .reset_index(drop=True)
+        )
+    out = grouped_top_k(
+        counts, group_cols, count_col, 1,
+        descending=True, tie_col=value_col, finish=finish,
+        driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+    )
+    if isinstance(out, pd.DataFrame):
+        return out.drop(columns="rk").reset_index(drop=True)
+    return out.drop_columns(["rk"])
+
+
+def grouped_first_last(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    tie_col: str,
+    carry_cols: list[str] | None = None,
+    which_col: str = "which",
+    finish: str = "auto",
+    driver_threshold_rows: int = 2_000_000,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE per group in LONG form: for each group,
+    the row with the minimal and the maximal ``(order_col, tie_col)``,
+    tagged ``which in {'first', 'last'}`` — session entry/exit events,
+    earliest/latest order per customer.  ``tie_col`` makes both
+    orderings total (LAST = ``ORDER BY o DESC, tie ASC``), so the
+    result is deterministic and mirrorable as two ROW_NUMBER CTEs
+    UNION ALL.
+
+    Pure composition: two `grouped_top_k(k=1)` passes over the same
+    projection (each caps its exchange payload at one row per (group,
+    batch) via the local prune); the long output needs no join between
+    the two sides."""
+    proj_cols = list(dict.fromkeys([*group_cols, order_col, tie_col, *(carry_cols or [])]))
+    proj = ds.select_columns(proj_cols)
+    sides = []
+    for tag, desc in (("first", False), ("last", True)):
+        side = grouped_top_k(
+            proj, group_cols, order_col, 1,
+            descending=desc, tie_col=tie_col, finish=finish,
+            driver_threshold_rows=driver_threshold_rows,
+        )
+        if isinstance(side, pd.DataFrame):
+            side = side.drop(columns="rk")
+            side[which_col] = tag
+            sides.append(rd.from_pandas(side) if as_dataset else side)
+        else:
+            side = side.drop_columns(["rk"]).map_batches(
+                lambda b, t=tag: b.assign(**{which_col: t}), batch_format="pandas"
+            )
+            sides.append(side if as_dataset else side.to_pandas())
+    if as_dataset:
+        return sides[0].union(sides[1])
+    out = pd.concat(sides, ignore_index=True)
+    return out.sort_values(
+        [*group_cols, which_col], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def paginate(ds: rd.Dataset, sort_key: str, *, page: int, page_size: int, descending: bool = False) -> pd.DataFrame:
     """Offset/limit page window (A5, lib/pagination.ts:6-16): sort, then
     slice [page*size, (page+1)*size) via limit on the sorted stream."""

@@ -321,6 +321,70 @@ def grouped_rank(
     return out.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
+def grouped_ntile(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    n: int,
+    tie_col: str,
+    carry_cols: list[str] | None = None,
+    ntile_col: str = "nt",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """``NTILE(n) OVER (PARTITION BY key ORDER BY v, tie)``: split every
+    partition into ``n`` buckets as equal as possible — the first
+    ``m % n`` buckets get ``ceil(m/n)`` rows, the rest ``floor(m/n)``
+    (the SQL-standard rule).  NTILE depends on the exact row order, so
+    ``tie_col`` is REQUIRED to make the ordering total and the result
+    deterministic under any block structure (the `grouped_top_k`
+    tie contract).
+
+    Scale shape (the `grouped_rank` pattern): project, ONE bounded
+    ``hash(key) % n_shards`` exchange co-locates each partition, then a
+    single vectorized pass per shard — sort, cumcount, and the bucket
+    formula in numpy; no per-key Python."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    keep = list(dict.fromkeys([*key_cols, order_col, tie_col, *(carry_cols or [])]))
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        h = pd.util.hash_array(out[key_cols[0]].to_numpy())
+        for c in key_cols[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
+                out[c].to_numpy()
+            )
+        out["__shard"] = (h % n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, order_col, tie_col], kind="mergesort"
+        )
+        grp = g.groupby(key_cols, sort=False)
+        i = grp.cumcount().to_numpy()
+        m = grp[order_col].transform("size").to_numpy()
+        q, r = m // n, m % n
+        big = q + 1
+        cutoff = big * r  # rows below this index sit in the big buckets
+        qd = np.maximum(q, 1)  # q == 0 only where i < cutoff == m
+        g[ntile_col] = (
+            np.where(i < cutoff, i // big, r + (i - cutoff) // qd) + 1
+        ).astype("int64")
+        return g
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    tiled = sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+    if as_dataset:
+        return tiled
+    out = tiled.to_pandas()
+    return out.sort_values(
+        [*key_cols, order_col, tie_col], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def sessionize(
     events: rd.Dataset,
     *,

@@ -2826,6 +2826,82 @@ def q_orders_cube(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_value_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) window (`ops/windows.grouped_ntile`): quartile bucket of
+    every event's value within its event_type, ordered (value, event_id)
+    so the tiling is total and deterministic.  Full SQL NTILE oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_ntile
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_ntile(
+        ev, key_cols=["event_type"], order_col="value", n=4, tie_col="event_id"
+    )
+    out["nt"] = out["nt"].astype("int64")
+    return out[["event_id", "event_type", "value", "nt"]]
+
+
+def q_first_last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE in long form
+    (`ops/relational.grouped_first_last`): each user's earliest and
+    latest event by (ts, event_id), tagged 'first'/'last' — the session
+    entry/exit shape.  Full SQL oracle (two ROW_NUMBER CTEs UNION ALL)
+    in TestTailQueryOracles."""
+    from ..ops.relational import grouped_first_last
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_first_last(
+        ev, ["user_id"], "ts", tie_col="event_id", carry_cols=["value"]
+    )
+    return out[["user_id", "which", "ts", "event_id", "value"]]
+
+
+def q_value_percentiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group discrete percentiles
+    (`ops/relational.grouped_percentile_exact`): the p25/p50/p90 value
+    per event_type via the quantile_disc position rule (element at
+    max(1, ceil(q*m))) — bit-identical index selection across engines.
+    Full SQL ROW_NUMBER-position oracle in TestTailQueryOracles."""
+    from ..ops.relational import grouped_percentile_exact
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_percentile_exact(ev, ["event_type"], "value", [0.25, 0.5, 0.9])
+    return out[["event_type", "q", "value"]]
+
+
+def q_mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
+    """Deterministic MODE aggregate (`ops/relational.grouped_mode`): the
+    most frequent o_orderpriority per o_orderstatus, ties to the
+    smallest value — the count-table + top-1 composition.  Full SQL
+    oracle (GROUP BY counts + QUALIFY ROW_NUMBER) in
+    TestTailQueryOracles."""
+    from ..ops.relational import grouped_mode
+
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    out = grouped_mode(orders, ["o_orderstatus"], "o_orderpriority")
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)[
+        ["o_orderstatus", "o_orderpriority", "n"]
+    ]
+
+
+def q_orders_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width price histogram per order status
+    (`ops/profile.grouped_histogram`): 20 bins over [0, 500000) — bin
+    assignment is the identical IEEE floor arithmetic in numpy and SQL.
+    Full SQL arithmetic-mirror oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_histogram
+
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    out = grouped_histogram(
+        orders, "o_totalprice", lo=0.0, hi=500_000.0, n_bins=20,
+        group_cols=["o_orderstatus"],
+    )
+    return out[["o_orderstatus", "bin", "n"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -2983,6 +3059,11 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "url_quality_filter": q_url_quality_filter,
     "orders_cube": q_orders_cube,
+    "event_value_ntile": q_event_value_ntile,
+    "first_last_event_per_user": q_first_last_event_per_user,
+    "value_percentiles_by_type": q_value_percentiles_by_type,
+    "mode_priority_by_status": q_mode_priority_by_status,
+    "orders_price_histogram": q_orders_price_histogram,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -3842,6 +3923,47 @@ ORACLE_SQL = {
         "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
         "AS total_price "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "event_value_ntile": (
+        "SELECT event_id, event_type, value, "
+        "CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) "
+        "AS BIGINT) AS nt FROM events"
+    ),
+    "first_last_event_per_user": (
+        "WITH f AS (SELECT user_id, ts, event_id, value, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+        "l AS (SELECT user_id, ts, event_id, value, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn FROM events) "
+        "SELECT user_id, 'first' AS which, ts, event_id, value FROM f WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT user_id, 'last' AS which, ts, event_id, value FROM l WHERE rn = 1"
+    ),
+    "value_percentiles_by_type": (
+        # the quantile_disc position rule: element at max(1, ceil(q*m));
+        # ceil(q*m) is the same IEEE double multiply in numpy and DuckDB,
+        # and selecting by POSITION makes value ties irrelevant
+        "WITH r AS (SELECT event_type, value, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+        "COUNT(*) OVER (PARTITION BY event_type) AS m FROM events) "
+        "SELECT event_type, q, value FROM r "
+        "CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.9]) AS q) qs "
+        "WHERE rn = GREATEST(1, CEIL(q * m))"
+    ),
+    "mode_priority_by_status": (
+        "WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2) "
+        "SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n FROM c "
+        "QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) = 1"
+    ),
+    "orders_price_histogram": (
+        # identical IEEE arithmetic: w = (500000-0)/20 = 25000.0 exactly;
+        # LEAST absorbs the one-ulp top-edge case like the numpy side
+        "SELECT o_orderstatus, "
+        "CAST(LEAST(FLOOR((o_totalprice - 0.0) / 25000.0), 19) AS BIGINT) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0 "
+        "GROUP BY 1, 2"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

@@ -1655,6 +1655,11 @@ class TestTailQueryOracles:
             "temperature_mix",
             "url_quality_filter",
             "orders_cube",
+            "event_value_ntile",
+            "first_last_event_per_user",
+            "value_percentiles_by_type",
+            "mode_priority_by_status",
+            "orders_price_histogram",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -1942,3 +1947,240 @@ class TestCubeAgg:
         out = cube_agg(rd.from_pandas(empty), ["a"], {"n": ("v", "count")})
         assert len(out) == 0
         assert list(out.columns) == ["a", "n"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedNtile:
+    def _df(self, n=400, seed=3):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, n),
+                "id": np.arange(n, dtype="int64"),
+                "v": rng.randint(0, 30, n).astype("int64"),  # real ties
+            }
+        )
+
+    def test_matches_sql_rule_and_block_independent(self):
+        import duckdb
+
+        from ocr_platform_ray.ops.windows import grouped_ntile
+
+        df = self._df()
+        outs = []
+        for nb in (1, 7):
+            o = grouped_ntile(
+                rd.from_pandas(df).repartition(nb),
+                key_cols=["k"],
+                order_col="v",
+                n=4,
+                tie_col="id",
+            ).sort_values("id").reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, id, v, CAST(NTILE(4) OVER "
+            "(PARTITION BY k ORDER BY v, id) AS BIGINT) AS nt FROM t "
+            "ORDER BY id"
+        ).df()
+        got = outs[0].sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "id", "v", "nt"]], want[["k", "id", "v", "nt"]],
+            check_dtype=False,
+        )
+
+    def test_bucket_sizes_as_equal_as_possible(self):
+        from ocr_platform_ray.ops.windows import grouped_ntile
+
+        # m=10 over n=4 -> sizes 3,3,2,2
+        df = pd.DataFrame(
+            {"k": ["a"] * 10, "id": np.arange(10, dtype="int64"),
+             "v": np.arange(10, dtype="int64")}
+        )
+        out = grouped_ntile(
+            rd.from_pandas(df), key_cols=["k"], order_col="v", n=4, tie_col="id"
+        )
+        assert out["nt"].value_counts().sort_index().tolist() == [3, 3, 2, 2]
+        with pytest.raises(ValueError, match="n must be"):
+            grouped_ntile(
+                rd.from_pandas(df), key_cols=["k"], order_col="v", n=0, tie_col="id"
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedPercentileExact:
+    def test_matches_duckdb_position_rule(self):
+        import duckdb
+
+        from ocr_platform_ray.ops.relational import grouped_percentile_exact
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 500),
+                "v": np.round(rng.randn(500) * 10, 3),
+            }
+        )
+        got = grouped_percentile_exact(
+            rd.from_pandas(df).repartition(6), ["k"], "v", [0.25, 0.5, 0.9]
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "WITH r AS (SELECT k, v, ROW_NUMBER() OVER "
+            "(PARTITION BY k ORDER BY v) AS rn, "
+            "COUNT(*) OVER (PARTITION BY k) AS m FROM t) "
+            "SELECT k, q, v FROM r CROSS JOIN "
+            "(SELECT UNNEST([0.25, 0.5, 0.9]) AS q) qs "
+            "WHERE rn = GREATEST(1, CEIL(q * m)) ORDER BY k, q"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_single_row_group_and_q_extremes(self):
+        from ocr_platform_ray.ops.relational import grouped_percentile_exact
+
+        df = pd.DataFrame({"k": ["x", "y", "y"], "v": [5.0, 1.0, 2.0]})
+        out = grouped_percentile_exact(
+            rd.from_pandas(df), ["k"], "v", [0.01, 1.0]
+        )
+        # q=0.01 -> position max(1, ceil(...)) = 1 (the min); q=1.0 -> the max
+        assert out[(out.k == "x")]["v"].tolist() == [5.0, 5.0]
+        assert out[(out.k == "y") & (out.q == 0.01)]["v"].tolist() == [1.0]
+        assert out[(out.k == "y") & (out.q == 1.0)]["v"].tolist() == [2.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMode:
+    def test_deterministic_tie_rule_and_routes(self):
+        from ocr_platform_ray.ops.relational import grouped_mode
+
+        # group a: clear winner; group b: tie between 'p' and 'q' -> 'p'
+        df = pd.DataFrame(
+            {
+                "k": ["a"] * 5 + ["b"] * 4,
+                "v": ["x", "x", "x", "y", "z", "q", "q", "p", "p"],
+            }
+        )
+        for finish in ("auto", "exchange"):
+            out = grouped_mode(
+                rd.from_pandas(df).repartition(3), ["k"], "v", finish=finish
+            )
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            out = out.sort_values("k").reset_index(drop=True)
+            assert out["v"].tolist() == ["x", "p"]
+            assert out["n"].tolist() == [3, 2]
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.relational import grouped_mode
+
+        rng = np.random.RandomState(8)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 10, 600),
+                "v": rng.randint(0, 7, 600),
+            }
+        )
+        outs = []
+        for nb in (1, 9):
+            o = grouped_mode(rd.from_pandas(df).repartition(nb), ["k"], "v")
+            if not isinstance(o, pd.DataFrame):
+                o = o.to_pandas()
+            outs.append(o.sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedFirstLast:
+    def test_matches_pandas_and_ties(self):
+        from ocr_platform_ray.ops.relational import grouped_first_last
+
+        rng = np.random.RandomState(6)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, 300),
+                "o": rng.randint(0, 20, 300).astype("int64"),  # order ties
+                "id": np.arange(300, dtype="int64"),
+                "val": rng.randn(300),
+            }
+        )
+        got = grouped_first_last(
+            rd.from_pandas(df).repartition(5), ["k"], "o",
+            tie_col="id", carry_cols=["val"],
+        )
+        rows = []
+        for tag, asc in (("first", True), ("last", False)):
+            s = df.sort_values(["o", "id"], ascending=[asc, True])
+            pick = s.groupby("k", sort=True).head(1).copy()
+            pick["which"] = tag
+            rows.append(pick)
+        want = (
+            pd.concat(rows, ignore_index=True)
+            .sort_values(["k", "which"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "o", "id", "val", "which"]].reset_index(drop=True),
+            want[["k", "o", "id", "val", "which"]],
+            check_dtype=False,
+        )
+
+    def test_as_dataset_union(self):
+        from ocr_platform_ray.ops.relational import grouped_first_last
+
+        df = pd.DataFrame(
+            {"k": [1, 1, 2], "o": [3, 1, 9], "id": [0, 1, 2]}
+        )
+        out = grouped_first_last(
+            rd.from_pandas(df), ["k"], "o", tie_col="id", as_dataset=True
+        )
+        assert isinstance(out, rd.Dataset)
+        pdf = out.to_pandas().sort_values(["k", "which"]).reset_index(drop=True)
+        assert pdf[pdf.k == 1]["o"].tolist() == [1, 3]  # first=1, last=3
+        assert len(pdf) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedHistogram:
+    def test_matches_numpy_and_edges(self):
+        from ocr_platform_ray.ops.profile import grouped_histogram
+
+        rng = np.random.RandomState(12)
+        v = np.concatenate(
+            [rng.uniform(-5, 105, 800), [0.0, 99.9999, 100.0, np.nan]]
+        )
+        df = pd.DataFrame(
+            {"g": rng.choice(["a", "b"], len(v)), "v": v}
+        )
+        out = grouped_histogram(
+            rd.from_pandas(df).repartition(4), "v",
+            lo=0.0, hi=100.0, n_bins=10, group_cols=["g"],
+        )
+        inb = df[(df.v >= 0) & (df.v < 100)].copy()
+        inb["bin"] = np.minimum(np.floor(inb.v / 10.0), 9).astype("int64")
+        want = (
+            inb.groupby(["g", "bin"], as_index=False)
+            .agg(n=("bin", "size"))
+            .sort_values(["g", "bin"])
+            .reset_index(drop=True)
+        )
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+        # totals conserve the in-range count (NaN + out-of-range dropped)
+        assert out["n"].sum() == len(inb)
+
+    def test_ungrouped_and_validation(self):
+        from ocr_platform_ray.ops.profile import grouped_histogram
+
+        df = pd.DataFrame({"v": [0.5, 1.5, 1.6, 2.5]})
+        out = grouped_histogram(rd.from_pandas(df), "v", lo=0.0, hi=3.0, n_bins=3)
+        assert out["bin"].tolist() == [0, 1, 2] and out["n"].tolist() == [1, 2, 1]
+        with pytest.raises(ValueError, match="hi > lo"):
+            grouped_histogram(rd.from_pandas(df), "v", lo=1.0, hi=1.0, n_bins=3)
+        with pytest.raises(ValueError, match="n_bins"):
+            grouped_histogram(rd.from_pandas(df), "v", lo=0.0, hi=1.0, n_bins=0)
