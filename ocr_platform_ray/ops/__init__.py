@@ -66,9 +66,11 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from .windows import (  # noqa: F401
+    grouped_cumsum,
     grouped_ntile,
     grouped_rank,
     grouped_rolling_agg,
+    grouped_rolling_rows,
     hopping_window_agg,
     sessionize,
     time_bucket_agg,

@@ -273,6 +273,7 @@ def grouped_rank(
     carry_cols: list[str] | None = None,
     rank_col: str = "rnk",
     dense_col: str | None = "drnk",
+    pct: bool = False,
     n_shards: int = 64,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
@@ -284,6 +285,12 @@ def grouped_rank(
     ranks here are a pure function of the VALUE multiset, so ties need
     no tiebreaker column and the result is deterministic under any
     block structure or input order by construction.
+
+    ``pct=True`` adds the relative forms — ``prnk`` = PERCENT_RANK
+    (``(rank-1)/(m-1)``, 0 for a single-row partition) and ``cume`` =
+    CUME_DIST (``max-rank/m``) — computed with the exact SQL-standard
+    formulas (one IEEE subtract + divide, so a SQL oracle matches
+    bit-for-bit).
 
     Scale shape (the ``grouped_shift`` pattern): project to
     (keys, order, carry), ONE bounded ``hash(key) % n_shards`` exchange
@@ -310,6 +317,14 @@ def grouped_rank(
             g[dense_col] = gb.rank(
                 method="dense", ascending=not descending
             ).astype("int64")
+        if pct:
+            m = gb.transform("size").to_numpy(dtype="float64")
+            rk = g[rank_col].to_numpy(dtype="float64")
+            mx = gb.rank(method="max", ascending=not descending).to_numpy(
+                dtype="float64"
+            )
+            g["prnk"] = np.where(m > 1.0, (rk - 1.0) / (m - 1.0), 0.0)
+            g["cume"] = mx / m
         return g
 
     sharded = ds.map_batches(add_shard, batch_format="pandas")
@@ -383,6 +398,120 @@ def grouped_ntile(
     return out.sort_values(
         [*key_cols, order_col, tie_col], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def _keyed_window(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    keep: list[str],
+    per_shard,
+    n_shards: int,
+    as_dataset: bool,
+    sort_cols: list[str],
+):
+    """Shared scaffold for ordered per-key window ops: project, ONE
+    bounded ``hash(key) % n_shards`` exchange, one vectorized pass per
+    shard (the `grouped_rank`/`grouped_shift` shape)."""
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        h = pd.util.hash_array(out[key_cols[0]].to_numpy())
+        for c in key_cols[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
+                out[c].to_numpy()
+            )
+        out["__shard"] = (h % n_shards).astype("int64")
+        return out
+
+    res = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    if as_dataset:
+        return res
+    return res.to_pandas().sort_values(
+        sort_cols, kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def grouped_cumsum(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    carry_cols: list[str] | None = None,
+    out_col: str = "running",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Running total per key (``SUM(v) OVER (PARTITION BY key ORDER BY
+    o, tie ROWS UNBOUNDED PRECEDING)``) — cumulative spend, tokens seen
+    so far, inventory level.  ``tie_col`` makes the accumulation order
+    total, so the result is deterministic under any block structure;
+    for an exact SQL mirror run it on INTEGER values (the repo's
+    cents/microseconds convention) — float running sums are
+    order-EXECUTION-dependent in any engine.
+
+    Scale shape: ONE bounded hash-shard exchange, then a single
+    vectorized sort + cython ``groupby().cumsum`` per shard."""
+    keep = list(dict.fromkeys([*key_cols, order_col, tie_col, value_col,
+                               *(carry_cols or [])]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, order_col, tie_col], kind="mergesort"
+        )
+        g[out_col] = g.groupby(key_cols, sort=False)[value_col].cumsum()
+        return g
+
+    return _keyed_window(
+        ds, key_cols, keep, per_shard, n_shards, as_dataset,
+        [*key_cols, order_col, tie_col],
+    )
+
+
+def grouped_rolling_rows(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    window: int,
+    carry_cols: list[str] | None = None,
+    out_col: str = "roll",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """ROW-frame rolling sum per key (``SUM(v) OVER (PARTITION BY key
+    ORDER BY o, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``)
+    — the count-based sibling of `grouped_rolling_agg`'s time-RANGE
+    frame.  Computed as the prefix-sum difference ``cs[i] -
+    cs[i-window]`` (one cumsum + one shift per shard — O(rows), not
+    O(rows x window)); same integer-values-for-exact-SQL contract as
+    `grouped_cumsum`."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    keep = list(dict.fromkeys([*key_cols, order_col, tie_col, value_col,
+                               *(carry_cols or [])]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, order_col, tie_col], kind="mergesort"
+        )
+        grp = g.groupby(key_cols, sort=False)
+        cs = grp[value_col].cumsum()
+        lag = cs.groupby([g[c] for c in key_cols], sort=False).shift(window)
+        g[out_col] = cs - lag.fillna(0)
+        return g
+
+    return _keyed_window(
+        ds, key_cols, keep, per_shard, n_shards, as_dataset,
+        [*key_cols, order_col, tie_col],
+    )
 
 
 def sessionize(

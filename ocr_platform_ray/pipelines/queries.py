@@ -2902,6 +2902,59 @@ def q_orders_price_histogram(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderstatus", "bin", "n"]]
 
 
+def q_running_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """Running total window (`ops/windows.grouped_cumsum`): each user's
+    cumulative event value in (ts, event_id) order, summed in exact
+    integer cents so the accumulation is order-independent.  Full SQL
+    ``SUM() OVER (... ROWS UNBOUNDED PRECEDING)`` oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_cumsum
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        lambda b: b.assign(cents=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_cumsum(
+        ev, key_cols=["user_id"], order_col="ts", tie_col="event_id",
+        value_col="cents",
+    )
+    out["running_value"] = out["running"].astype("float64") / 100.0
+    return out[["user_id", "ts", "event_id", "running_value"]]
+
+
+def q_rolling3_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """ROW-frame rolling window (`ops/windows.grouped_rolling_rows`):
+    each user's trailing-3-event value sum in (ts, event_id) order via
+    the O(rows) prefix-sum difference, exact integer cents.  Full SQL
+    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_rolling_rows
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        lambda b: b.assign(cents=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_rolling_rows(
+        ev, key_cols=["user_id"], order_col="ts", tie_col="event_id",
+        value_col="cents", window=3,
+    )
+    out["roll_value"] = out["roll"].astype("float64") / 100.0
+    return out[["user_id", "ts", "event_id", "roll_value"]]
+
+
+def q_value_pctrank_in_type(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK / CUME_DIST windows (`ops/windows.grouped_rank`
+    with ``pct=True``): each event's relative rank of value within its
+    event_type — the exact SQL-standard formulas, bit-identical IEEE
+    arithmetic.  Full SQL window oracle in TestTailQueryOracles."""
+    from ..ops.windows import grouped_rank
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_rank(
+        ev, key_cols=["event_type"], order_col="value",
+        carry_cols=["event_id"], pct=True,
+    )
+    return out[["event_id", "event_type", "value", "prnk", "cume"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3064,6 +3117,9 @@ QUERIES = {
     "value_percentiles_by_type": q_value_percentiles_by_type,
     "mode_priority_by_status": q_mode_priority_by_status,
     "orders_price_histogram": q_orders_price_histogram,
+    "running_value_by_user": q_running_value_by_user,
+    "rolling3_value_by_user": q_rolling3_value_by_user,
+    "value_pctrank_in_type": q_value_pctrank_in_type,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -3964,6 +4020,26 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
         "WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0 "
         "GROUP BY 1, 2"
+    ),
+    "running_value_by_user": (
+        # integer-cents running sum (associative), displayed /100.0
+        "SELECT user_id, ts, event_id, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_value "
+        "FROM events"
+    ),
+    "rolling3_value_by_user": (
+        "SELECT user_id, ts, event_id, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 "
+        "AS roll_value FROM events"
+    ),
+    "value_pctrank_in_type": (
+        "SELECT event_id, event_type, value, "
+        "PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cume "
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value)"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

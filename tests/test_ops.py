@@ -1660,6 +1660,9 @@ class TestTailQueryOracles:
             "value_percentiles_by_type",
             "mode_priority_by_status",
             "orders_price_histogram",
+            "running_value_by_user",
+            "rolling3_value_by_user",
+            "value_pctrank_in_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2184,3 +2187,94 @@ class TestGroupedHistogram:
             grouped_histogram(rd.from_pandas(df), "v", lo=1.0, hi=1.0, n_bins=3)
         with pytest.raises(ValueError, match="n_bins"):
             grouped_histogram(rd.from_pandas(df), "v", lo=0.0, hi=1.0, n_bins=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCumsumRolling:
+    def _df(self, n=300, seed=15):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "k": rng.randint(0, 6, n),
+                "o": rng.randint(0, 40, n).astype("int64"),  # order ties
+                "id": np.arange(n, dtype="int64"),
+                "v": rng.randint(-5, 50, n).astype("int64"),
+            }
+        )
+
+    def test_cumsum_matches_pandas_and_blocks(self):
+        from ocr_platform_ray.ops.windows import grouped_cumsum
+
+        df = self._df()
+        outs = []
+        for nb in (1, 7):
+            o = grouped_cumsum(
+                rd.from_pandas(df).repartition(nb),
+                key_cols=["k"], order_col="o", tie_col="id", value_col="v",
+            ).sort_values("id").reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        exp = df.sort_values(["k", "o", "id"]).copy()
+        exp["running"] = exp.groupby("k")["v"].cumsum()
+        exp = exp.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            outs[0][["k", "o", "id", "v", "running"]],
+            exp[["k", "o", "id", "v", "running"]],
+            check_dtype=False,
+        )
+
+    def test_rolling_rows_matches_pandas_rolling(self):
+        from ocr_platform_ray.ops.windows import grouped_rolling_rows
+
+        df = self._df(seed=16)
+        got = grouped_rolling_rows(
+            rd.from_pandas(df).repartition(5),
+            key_cols=["k"], order_col="o", tie_col="id", value_col="v",
+            window=3,
+        ).sort_values("id").reset_index(drop=True)
+        exp = df.sort_values(["k", "o", "id"]).copy()
+        exp["roll"] = (
+            exp.groupby("k")["v"]
+            .rolling(3, min_periods=1).sum()
+            .reset_index(level=0, drop=True)
+        )
+        exp = exp.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "o", "id", "v", "roll"]],
+            exp[["k", "o", "id", "v", "roll"]],
+            check_dtype=False,
+        )
+        with pytest.raises(ValueError, match="window"):
+            grouped_rolling_rows(
+                rd.from_pandas(df), key_cols=["k"], order_col="o",
+                tie_col="id", value_col="v", window=0,
+            )
+
+    def test_pct_rank_formulas(self):
+        import duckdb
+
+        from ocr_platform_ray.ops.windows import grouped_rank
+
+        df = self._df(seed=17)
+        got = grouped_rank(
+            rd.from_pandas(df).repartition(4),
+            key_cols=["k"], order_col="v", carry_cols=["id"], pct=True,
+        ).sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, id, v, PERCENT_RANK() OVER w AS prnk, "
+            "CUME_DIST() OVER w AS cume FROM t "
+            "WINDOW w AS (PARTITION BY k ORDER BY v) ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["k", "id", "v", "prnk", "cume"]].reset_index(drop=True),
+            want[["k", "id", "v", "prnk", "cume"]],
+            check_dtype=False,
+        )
+        # single-row partition: PERCENT_RANK = 0
+        one = grouped_rank(
+            rd.from_pandas(pd.DataFrame({"k": [9], "v": [1.0], "id": [0]})),
+            key_cols=["k"], order_col="v", carry_cols=["id"], pct=True,
+        )
+        assert one["prnk"].tolist() == [0.0] and one["cume"].tolist() == [1.0]
