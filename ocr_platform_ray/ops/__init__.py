@@ -29,6 +29,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_duplicates,
     simhash_buckets,
+    simhash_near_dup_pairs,
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
     dup_clusters,

@@ -483,6 +483,154 @@ def simhash_buckets(ds: rd.Dataset, text_col: str, id_col: str, *, n_bands: int 
     return ds.map_batches(sim, batch_format="pandas", batch_size=1024)
 
 
+# byte-LUT popcount (numpy 1.x has no bitwise_count): view the uint64
+# lanes as bytes, table-lookup each byte's bit count, sum per lane
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+
+
+def simhash_near_dup_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_posting: int = 1000,
+    pairs_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """End-to-end SimHash near-duplicate pairs (Manku, Jain & Das Sarma
+    2007, "Detecting near-duplicates for web crawling": split the
+    fingerprint into bands; hamming distance <= n_bands - 1 forces at
+    least one identical band by pigeonhole, so band-equality candidates
+    have COMPLETE recall at that radius).  Returns ``(id_a, id_b,
+    hamming)`` for every pair with XOR-popcount distance <=
+    ``max_hamming`` that shares a non-skew band bucket.
+
+    Scale shape: candidates and verification FUSE — the 64-bit
+    fingerprint is 8 bytes, so unlike the MinHash route it rides the
+    band exchange and each shard verifies its own candidates (one
+    vectorized self-merge + XOR popcount; no signature join-back).
+    Buckets holding more than ``max_posting`` ids are dropped before the
+    merge (the `ngram_jaccard_pairs` skew control — a degenerate band
+    value, e.g. all-empty documents, would otherwise go quadratic); the
+    cross-band pair dedupe finishes size-aware (driver drop_duplicates
+    below the probe threshold, one more shard exchange above)."""
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs 0 <= max_hamming <= n_bands-1 "
+            f"= {n_bands - 1}, got {max_hamming}"
+        )
+    sig_ds = simhash_buckets(ds, text_col, id_col, n_bands=n_bands)
+    band_cols = [f"band{b}" for b in range(n_bands)]
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].iloc[:0],
+                    "sim": pd.Series(dtype="uint64"),
+                    "bi": pd.Series(dtype="int64"),
+                    "bv": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.tile(b[id_col].to_numpy(), n_bands),
+                "sim": np.tile(b["simhash"].to_numpy(dtype=np.uint64), n_bands),
+                "bi": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+                "bv": np.concatenate(
+                    [b[c].to_numpy(dtype=np.int64) for c in band_cols]
+                ),
+            }
+        )
+
+    exploded = sig_ds.map_batches(explode, batch_format="pandas")
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        key = out["bv"].to_numpy(dtype=np.uint64) * np.uint64(n_bands) + out[
+            "bi"
+        ].to_numpy(dtype=np.uint64)
+        out["__shard"] = (key % n_shards).astype("int64")
+        return out
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": g[id_col].iloc[:0],
+                "id_b": g[id_col].iloc[:0],
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+        g = g.drop(columns="__shard", errors="ignore")
+        # skew control: a bucket is entirely within this shard, so the
+        # in-shard posting count IS the global bucket size
+        sizes = g.groupby(["bi", "bv"])[id_col].transform("size")
+        g = g[sizes <= max_posting]
+        if g.empty:
+            return empty
+        m = g.merge(g, on=["bi", "bv"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        x = m["sim_a"].to_numpy(dtype=np.uint64) ^ m["sim_b"].to_numpy(
+            dtype=np.uint64
+        )
+        m = m.assign(hamming=_popcount64(x))
+        m = m[m["hamming"] <= max_hamming]
+        out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]].rename(
+            columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    from .relational import probe_head, sharded_group_agg
+
+    head = probe_head(exploded, pairs_threshold_rows)
+    if head is not None:
+        # the probe IS the complete exploded table: one global self-merge
+        # == the per-shard merges unioned (buckets never split)
+        pairs = (
+            shard_pairs(head)
+            if head.shape[1] > 0
+            else pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        )
+        pairs = pairs.drop_duplicates(["id_a", "id_b"])
+        pairs["hamming"] = pairs["hamming"].astype("int64")
+        pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return rd.from_pandas(pairs) if as_dataset else pairs
+    cand = (
+        exploded.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )
+    # cross-band dedupe: a pair found in two bands lives in two shards;
+    # hamming is a pure function of the pair, so min == the single value
+    deduped = sharded_group_agg(
+        cand, ["id_a", "id_b"], {"hamming": ("hamming", "min")},
+        n_shards=n_shards,
+    )
+    if as_dataset:
+        return deduped
+    out = deduped.to_pandas()
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (SQL-oracle-able)
 # --------------------------------------------------------------------------

@@ -2955,6 +2955,51 @@ def q_value_pctrank_in_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "prnk", "cume"]]
 
 
+def q_simhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end SimHash near-dup pairs (Manku 2007;
+    `ops/dedup.simhash_near_dup_pairs`): documents plus 20 planted
+    verbatim copies (ids offset by 10^9 — identical fingerprints, so the
+    pigeonhole guarantee makes their recovery unconditional); rows-only
+    with both invariants asserted in-query — all 20 planted pairs
+    recovered at hamming 0, and every reported pair within the verify
+    radius.  Near-radius (0 < hamming <= k) behavior is pinned by the
+    brute-force-equality pytest (TestSimhashNearDup)."""
+    from ..ops.dedup import simhash_near_dup_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        near = b[b["doc_id"] < 20]
+        if len(near) == 0:
+            return b
+        mut = pd.DataFrame(
+            {
+                "doc_id": near["doc_id"].to_numpy() + 1_000_000_000,
+                "text": near["text"].to_numpy(),
+            }
+        )
+        return pd.concat([b, mut], ignore_index=True)
+
+    planted = docs.map_batches(plant, batch_format="pandas")
+    out = simhash_near_dup_pairs(
+        planted, "text", "doc_id", max_hamming=3, n_bands=4
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    assert (out["hamming"] <= 3).all(), "pair beyond the verify radius"
+    found = {
+        (a, b): h for a, b, h in zip(out["id_a"], out["id_b"], out["hamming"])
+    }
+    missing = [
+        i for i in range(20)
+        if found.get((i, i + 1_000_000_000)) != 0
+    ]
+    assert not missing, f"planted copies not recovered at hamming 0: {missing}"
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3120,6 +3165,9 @@ QUERIES = {
     "running_value_by_user": q_running_value_by_user,
     "rolling3_value_by_user": q_rolling3_value_by_user,
     "value_pctrank_in_type": q_value_pctrank_in_type,
+    # no-oracle (sha-based fingerprints; planted-copy recall + radius bound
+    # asserted in-query, brute-force equality in TestSimhashNearDup)
+    "simhash_near_dup_docs": q_simhash_near_dup_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

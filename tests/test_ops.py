@@ -2278,3 +2278,85 @@ class TestGroupedCumsumRolling:
             key_cols=["k"], order_col="v", carry_cols=["id"], pct=True,
         )
         assert one["prnk"].tolist() == [0.0] and one["cume"].tolist() == [1.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashNearDup:
+    def _corpus(self, seed=21):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(300)]
+        rows = []
+        for i in range(60):
+            toks = list(rng.choice(vocab, 40))
+            rows.append((i, " ".join(toks)))
+            if i < 15:
+                # near copy: replace 1-2 tokens (may or may not stay
+                # within the radius — brute force decides)
+                mut = list(toks)
+                for j in range(rng.randint(1, 3)):
+                    mut[rng.randint(0, 40)] = f"x{i}_{j}"
+                rows.append((1000 + i, " ".join(mut)))
+            if i < 5:
+                rows.append((2000 + i, " ".join(toks)))  # exact copy
+        return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def _brute(self, df, k):
+        from ocr_platform_ray.ops.dedup import _popcount64, simhash_buckets
+
+        sig = simhash_buckets(
+            rd.from_pandas(df), "text", "doc_id"
+        ).to_pandas().sort_values("doc_id")
+        ids = sig["doc_id"].to_numpy()
+        h = sig["simhash"].to_numpy(dtype=np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            x = h[i] ^ h[i + 1:]
+            hd = _popcount64(x.astype(np.uint64))
+            for j, d in enumerate(hd):
+                if d <= k:
+                    a, b = ids[i], ids[i + 1 + j]
+                    rows.append((min(a, b), max(a, b), int(d)))
+        return (
+            pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    def test_matches_brute_force_both_routes(self):
+        from ocr_platform_ray.ops.dedup import simhash_near_dup_pairs
+
+        df = self._corpus()
+        want = self._brute(df, 3)
+        assert len(want) >= 5  # exact copies guarantee pairs exist
+        for thr in (2_000_000, 0):  # driver probe route / exchange route
+            got = simhash_near_dup_pairs(
+                rd.from_pandas(df).repartition(4), "text", "doc_id",
+                max_hamming=3, n_bands=4, pairs_threshold_rows=thr,
+            )
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_max_posting_drops_degenerate_bucket(self):
+        from ocr_platform_ray.ops.dedup import simhash_near_dup_pairs
+
+        # 30 identical docs -> one bucket of 30 > max_posting=10 -> dropped
+        df = pd.DataFrame(
+            {"doc_id": np.arange(30, dtype="int64"), "text": ["same text"] * 30}
+        )
+        out = simhash_near_dup_pairs(
+            rd.from_pandas(df), "text", "doc_id", max_posting=10
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0
+
+    def test_radius_validation(self):
+        from ocr_platform_ray.ops.dedup import simhash_near_dup_pairs
+
+        df = pd.DataFrame({"doc_id": [1], "text": ["a"]})
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_near_dup_pairs(
+                rd.from_pandas(df), "text", "doc_id", max_hamming=4, n_bands=4
+            )
