@@ -773,18 +773,23 @@ def grouped_percentile_exact(
     value_col: str,
     qs: list[float],
     *,
+    interpolation: str = "disc",
     n_shards: int = 64,
     q_col: str = "q",
 ) -> pd.DataFrame:
-    """EXACT per-group discrete percentiles: for each quantile ``q`` the
-    element at 1-based sorted position ``max(1, ceil(q * m))`` — the SQL
-    ``quantile_disc`` convention, mirrorable exactly with a ROW_NUMBER
-    window (``rn = GREATEST(1, CEIL(q * cnt))``).  Ties in the value
-    need no tiebreaker: the POSITION selects a value, and equal values
-    at the boundary give the same answer under any tie order, so the
-    result is deterministic by construction.  ``ceil(q*m)`` is the same
-    IEEE double multiply in numpy and SQL, so the selected index is
-    bit-identical across engines.
+    """EXACT per-group percentiles.  ``interpolation="disc"`` returns
+    for each quantile ``q`` the element at 1-based sorted position
+    ``max(1, ceil(q * m))`` — the SQL ``quantile_disc`` convention,
+    mirrorable exactly with a ROW_NUMBER window (``rn = GREATEST(1,
+    CEIL(q * cnt))``).  ``interpolation="linear"`` returns the
+    PERCENTILE_CONT / ``quantile_cont`` lerp — position ``q * (m - 1)``
+    (0-based), ``v[lo] * (1 - frac) + frac * v[lo+1]`` — the identical
+    IEEE sequence DuckDB executes (the two-products form, NOT the
+    one-subtraction form, which differs by one ulp on some inputs),
+    verified bit-exact.  Ties in the
+    value need no tiebreaker: POSITIONS select values, and equal values
+    at a boundary give the same answer under any tie order, so the
+    result is deterministic by construction.
 
     Complement to `ops/sketch.grouped_quantile_sketch` (the bounded-
     error, fixed-memory route): exact answers need each group's rows
@@ -792,6 +797,8 @@ def grouped_percentile_exact(
     exchange with a vectorized sort + take per shard.  Same skew caveat
     as `grouped_rank_buckets`'s exact route — a dominant group lands in
     one shard; at corpus scale prefer the sketch."""
+    if interpolation not in ("disc", "linear"):
+        raise ValueError(f"interpolation must be 'disc' or 'linear', got {interpolation!r}")
     keep = list(dict.fromkeys([*group_cols, value_col]))
     qarr = np.asarray(qs, dtype="float64")
 
@@ -805,12 +812,26 @@ def grouped_percentile_exact(
             [*group_cols, value_col], kind="mergesort"
         )
         grp = g.groupby(group_cols, sort=False)
-        rn = grp.cumcount().to_numpy() + 1
+        rn = grp.cumcount().to_numpy()  # 0-based
         m = grp[value_col].transform("size").to_numpy(dtype="float64")
         outs = []
         for q in qarr:
-            idx = np.maximum(1.0, np.ceil(q * m))
-            sel = g[rn == idx].copy()
+            if interpolation == "disc":
+                idx = np.maximum(1.0, np.ceil(q * m))
+                sel = g[rn + 1 == idx].copy()
+            else:
+                pos = q * (m - 1.0)
+                lo = np.floor(pos)
+                # one row per group at lo and at min(lo+1, m-1); both
+                # masks preserve group order, so positional alignment
+                # between the two selections is exact
+                sel = g[rn == lo].copy()
+                hi = g.loc[
+                    rn == np.minimum(lo + 1.0, m - 1.0), value_col
+                ].to_numpy(dtype="float64")
+                vlo = sel[value_col].to_numpy(dtype="float64")
+                frac = (pos - lo)[rn == lo]
+                sel[value_col] = vlo * (1.0 - frac) + frac * hi
             sel[q_col] = q
             outs.append(sel)
         return pd.concat(outs, ignore_index=True)

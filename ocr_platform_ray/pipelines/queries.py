@@ -2955,6 +2955,20 @@ def q_value_pctrank_in_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "prnk", "cume"]]
 
 
+def q_pctcont_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """PERCENTILE_CONT / quantile_cont (the interpolated form of
+    `ops/relational.grouped_percentile_exact`): linear lerp at position
+    q*(m-1) — the identical IEEE sequence DuckDB executes, bit-exact.
+    Full SQL quantile_cont oracle in TestTailQueryOracles."""
+    from ..ops.relational import grouped_percentile_exact
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_percentile_exact(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.9], interpolation="linear"
+    )
+    return out[["event_type", "q", "value"]]
+
+
 def q_simhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
     """End-to-end SimHash near-dup pairs (Manku 2007;
     `ops/dedup.simhash_near_dup_pairs`): documents plus 20 planted
@@ -3165,6 +3179,7 @@ QUERIES = {
     "running_value_by_user": q_running_value_by_user,
     "rolling3_value_by_user": q_rolling3_value_by_user,
     "value_pctrank_in_type": q_value_pctrank_in_type,
+    "pctcont_value_by_type": q_pctcont_value_by_type,
     # no-oracle (sha-based fingerprints; planted-copy recall + radius bound
     # asserted in-query, brute-force equality in TestSimhashNearDup)
     "simhash_near_dup_docs": q_simhash_near_dup_docs,
@@ -4088,6 +4103,14 @@ ORACLE_SQL = {
         "SELECT event_id, event_type, value, "
         "PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cume "
         "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value)"
+    ),
+    "pctcont_value_by_type": (
+        "SELECT event_type, 0.25 AS q, quantile_cont(value, 0.25) AS value "
+        "FROM events GROUP BY event_type UNION ALL "
+        "SELECT event_type, 0.5 AS q, quantile_cont(value, 0.5) AS value "
+        "FROM events GROUP BY event_type UNION ALL "
+        "SELECT event_type, 0.9 AS q, quantile_cont(value, 0.9) AS value "
+        "FROM events GROUP BY event_type"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

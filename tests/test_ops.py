@@ -1663,6 +1663,7 @@ class TestTailQueryOracles:
             "running_value_by_user",
             "rolling3_value_by_user",
             "value_pctrank_in_type",
+            "pctcont_value_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2055,6 +2056,53 @@ class TestGroupedPercentileExact:
         assert out[(out.k == "x")]["v"].tolist() == [5.0, 5.0]
         assert out[(out.k == "y") & (out.q == 0.01)]["v"].tolist() == [1.0]
         assert out[(out.k == "y") & (out.q == 1.0)]["v"].tolist() == [2.0]
+
+    def test_linear_matches_duckdb_quantile_cont(self):
+        import duckdb
+
+        from ocr_platform_ray.ops.relational import grouped_percentile_exact
+
+        rng = np.random.RandomState(23)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 400),
+                "v": np.round(rng.randn(400) * 10, 3),
+            }
+        )
+        got = grouped_percentile_exact(
+            rd.from_pandas(df).repartition(5), ["k"], "v",
+            [0.25, 0.5, 0.9, 0.13], interpolation="linear",
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            " UNION ALL ".join(
+                f"SELECT k, {q} AS q, quantile_cont(v, {q}) AS v "
+                "FROM t GROUP BY k"
+                for q in (0.25, 0.5, 0.9, 0.13)
+            )
+            + " ORDER BY k, q"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.sort_values(["k", "q"]).reset_index(drop=True),
+            want.sort_values(["k", "q"]).reset_index(drop=True),
+            check_dtype=False,
+        )
+        # bit-exact, not approx: compare with zero tolerance
+        assert (
+            got.sort_values(["k", "q"])["v"].to_numpy()
+            == want.sort_values(["k", "q"])["v"].to_numpy()
+        ).all()
+        # single-row group: lerp degenerates to the value
+        one = grouped_percentile_exact(
+            rd.from_pandas(pd.DataFrame({"k": ["z"], "v": [7.5]})),
+            ["k"], "v", [0.3, 0.9], interpolation="linear",
+        )
+        assert one["v"].tolist() == [7.5, 7.5]
+        with pytest.raises(ValueError, match="interpolation"):
+            grouped_percentile_exact(
+                rd.from_pandas(df), ["k"], "v", [0.5], interpolation="nearest"
+            )
 
 
 @pytest.mark.usefixtures("ray_session")
