@@ -173,6 +173,9 @@ def run_once() -> dict:
         "gopher_quality",
         "bm25_top10",
         "c4_clean",
+        "token_budget_mix",
+        "event_gaps",
+        "running_value_by_user",
     ):
         extra_times[name] = _best_of(2, name)
 
