@@ -2955,6 +2955,118 @@ def q_value_pctrank_in_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "prnk", "cume"]]
 
 
+def q_tpch_q3_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to this schema's columns
+    (o_orderpriority for the absent o_shippriority): BUILDING-segment
+    customers' orders placed before 1995-03-15 with items shipped after
+    it — three-table join pipeline (customer semi-filter broadcast,
+    lineitem x orders size-aware), revenue in exact integer cents,
+    global top-10 through the local-prune top_k (all-ascending keys via
+    negated revenue so the tiebreak is total).  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import auto_join, auto_group_agg, semi_join, top_k
+
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b[b["c_mktsegment"] == "BUILDING"][["c_custkey"]],
+        batch_format="pandas",
+    )
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b[b["o_orderdate"] < cutoff].rename(
+            columns={"o_custkey": "c_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = semi_join(orders, cust, "c_custkey")
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda b: b[b["l_shipdate"] > cutoff]
+        .assign(rev_c=lambda d: _cents(d["l_extendedprice"] * (1 - d["l_discount"])))
+        .rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "rev_c"]],
+        batch_format="pandas",
+    )
+    joined = auto_join(li, orders, "o_orderkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(rev_c=("rev_c", "sum"))
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    src = rd.from_pandas(agg) if isinstance(agg, pd.DataFrame) else agg
+    src = src.map_batches(
+        lambda b: b.assign(neg_rev=-b["rev_c"].astype("int64")),
+        batch_format="pandas",
+    )
+    out = top_k(
+        src, ["neg_rev", "o_orderdate", "o_orderkey"], 10, descending=False
+    ).to_pandas()
+    out["revenue"] = out["rev_c"].astype("float64") / 100.0
+    return out[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]].reset_index(
+        drop=True
+    )
+
+
+def q_tpch_q10_returned(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue):
+    lineitem(l_returnflag='R') pre-aggregated per order BEFORE the join
+    (raw items never ride it), size-aware join to orders for the
+    custkey, per-customer reduce, global top-20, then the dim-sized
+    name lookup joins the 20-row result.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import auto_join, auto_group_agg, top_k
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b[b["l_returnflag"] == "R"]
+        .assign(rev_c=lambda d: _cents(d["l_extendedprice"] * (1 - d["l_discount"])))
+        .rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "rev_c"]],
+        batch_format="pandas",
+    )
+
+    def per_order(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    per_ord = auto_group_agg(
+        li.map_batches(per_order, batch_format="pandas"),
+        ["o_orderkey"], {"rev_c": ("rev_c", "sum")},
+    )
+    per_ord_ds = rd.from_pandas(per_ord) if isinstance(per_ord, pd.DataFrame) else per_ord
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = auto_join(per_ord_ds, orders, "o_orderkey", how="inner")
+
+    def per_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    agg = auto_group_agg(
+        joined.map_batches(per_cust, batch_format="pandas"),
+        ["o_custkey"], {"rev_c": ("rev_c", "sum")},
+    )
+    src = rd.from_pandas(agg) if isinstance(agg, pd.DataFrame) else agg
+    src = src.map_batches(
+        lambda b: b.assign(neg_rev=-b["rev_c"].astype("int64")),
+        batch_format="pandas",
+    )
+    top = top_k(src, ["neg_rev", "o_custkey"], 20, descending=False).to_pandas()
+    names = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b[b["c_custkey"].isin(set(top["o_custkey"]))],
+        batch_format="pandas",
+    ).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out["revenue"] = out["rev_c"].astype("float64") / 100.0
+    out = out.sort_values(["neg_rev", "o_custkey"]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue"]]
+
+
 def q_pctcont_value_by_type(sf_dir: str) -> pd.DataFrame:
     """PERCENTILE_CONT / quantile_cont (the interpolated form of
     `ops/relational.grouped_percentile_exact`): linear lerp at position
@@ -3180,6 +3292,8 @@ QUERIES = {
     "rolling3_value_by_user": q_rolling3_value_by_user,
     "value_pctrank_in_type": q_value_pctrank_in_type,
     "pctcont_value_by_type": q_pctcont_value_by_type,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q10_returned": q_tpch_q10_returned,
     # no-oracle (sha-based fingerprints; planted-copy recall + radius bound
     # asserted in-query, brute-force equality in TestSimhashNearDup)
     "simhash_near_dup_docs": q_simhash_near_dup_docs,
@@ -4111,6 +4225,29 @@ ORACLE_SQL = {
         "FROM events GROUP BY event_type UNION ALL "
         "SELECT event_type, 0.9 AS q, quantile_cont(value, 0.9) AS value "
         "FROM events GROUP BY event_type"
+    ),
+    "tpch_q3_shipping": (
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+        "AS rev_c FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'), "
+        "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15') "
+        "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+        "CAST(SUM(rev_c) AS DOUBLE) / 100 AS revenue "
+        "FROM li JOIN o ON li.l_orderkey = o.o_orderkey "
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY SUM(rev_c) DESC, o_orderdate, o_orderkey LIMIT 10"
+    ),
+    "tpch_q10_returned": (
+        "WITH li AS (SELECT l_orderkey, "
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+        "AS rev_c FROM lineitem WHERE l_returnflag = 'R'), "
+        "pc AS (SELECT o_custkey, SUM(rev_c) AS rc FROM li "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey) "
+        "SELECT c_custkey, c_name, CAST(rc AS DOUBLE) / 100 AS revenue "
+        "FROM pc JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY rc DESC, c_custkey LIMIT 20"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

@@ -1664,6 +1664,8 @@ class TestTailQueryOracles:
             "rolling3_value_by_user",
             "value_pctrank_in_type",
             "pctcont_value_by_type",
+            "tpch_q3_shipping",
+            "tpch_q10_returned",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
