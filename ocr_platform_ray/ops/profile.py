@@ -95,6 +95,159 @@ def dataset_profile(
     return g.reset_index(drop=True)
 
 
+def _scaled_int(x: np.ndarray, scale: int) -> np.ndarray:
+    """Half-away-from-zero integer scaling (the repo's integer-cents
+    contract; np.rint would be banker's rounding and disagree with SQL's
+    FLOOR(v*scale + 0.5) at exact halves)."""
+    a = np.asarray(x, dtype="float64")
+    return np.copysign(np.floor(np.abs(a) * scale + 0.5), a).astype("int64")
+
+
+def grouped_moments(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str],
+    *,
+    scale: int = 100,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group VAR_SAMP / STDDEV_SAMP / AVG — the dispersion
+    aggregates behind quality-score audits, exactly SQL-mirrorable.
+
+    Floats don't sum associatively, so the sums are taken over SCALED
+    INTEGERS (``round(v * scale)`` as int64 — the repo's integer-cents
+    contract): n, Σv and Σv² are then order- and block-structure
+    independent, and only the FINAL expressions touch doubles — each one
+    an IEEE op a SQL oracle repeats verbatim::
+
+        mean   = (Σv / n) / scale
+        var    = (Σv² − Σv·Σv/n) / (n−1) / scale²
+        stddev = sqrt(var)
+
+    Domain bound (documented, asserted per batch): |round(v·scale)| must
+    stay below 2³¹ and Σv² below 2⁶³ — i.e. scaled values to ~2e9 with
+    corpus sizes to ~1e9 rows at |v·scale| ≤ 3e6.  Beyond that, raise
+    ``scale`` precision down or split the reduce per partition.
+
+    Scale shape: map-side combiner (one (group, n, s, s2) row per group
+    per batch) + the size-aware ``auto_group_agg`` finish — the values
+    never move.  Groups with a single row get NaN variance (SQL's NULL).
+    """
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = _scaled_int(b[value_col].to_numpy(), scale)
+        if len(v) and int(np.abs(v).max()) >= (1 << 31):
+            raise ValueError(
+                f"scaled |{value_col}| exceeds the 2^31 exact-sum domain"
+            )
+        sub = b[gcols].copy()
+        sub["__v"] = v
+        sub["__v2"] = v * v
+        return sub.groupby(gcols, as_index=False).agg(
+            n=("__v", "size"), s=("__v", "sum"), s2=("__v2", "sum")
+        )
+
+    reduced = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        gcols,
+        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(reduced, pd.DataFrame):
+        reduced = reduced.to_pandas()
+    n = reduced["n"].to_numpy(dtype="float64")
+    s = reduced["s"].to_numpy(dtype="float64")
+    s2 = reduced["s2"].to_numpy(dtype="float64")
+    out = reduced[gcols].copy()
+    out["n"] = reduced["n"].astype("int64")
+    out["mean_v"] = (s / n) / float(scale)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (s2 - s * s / n) / (n - 1.0) / float(scale * scale)
+        var = np.where(n > 1.0, var, np.nan)
+        out["var_v"] = var
+        out["stddev_v"] = np.sqrt(var)
+    return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_corr(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    *,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group Pearson CORR / COVAR_SAMP via the same
+    scaled-integer-sum contract as `grouped_moments`: n, Σx, Σy, Σxy,
+    Σx², Σy² are exact int64 sums of ``round(v · scale)`` values, and the
+    final doubles repeat SQL's expression verbatim::
+
+        covar = (Σxy − Σx·Σy/n) / (n−1) / (x_scale·y_scale)
+        corr  = (Σxy − Σx·Σy/n)
+                / (sqrt(Σx² − Σx²/n) · sqrt(Σy² − Σy²/n))
+
+    Domain bound: |x·x_scale| · |y·y_scale| · n_rows and each squared
+    sum must stay below 2⁶³ (asserted per batch at 2³¹ per value).  Pick
+    scales so the LARGER column stays small — corr is scale-invariant up
+    to the sqrt rounding, which the SQL mirror repeats anyway.
+
+    Scale shape: one fixed-width combiner row per (group, batch) + the
+    size-aware finish; values never move.  Degenerate groups (n < 2 or a
+    zero-variance side) get NaN corr, matching SQL NULL."""
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = _scaled_int(b[x_col].to_numpy(), x_scale)
+        y = _scaled_int(b[y_col].to_numpy(), y_scale)
+        for v, c in ((x, x_col), (y, y_col)):
+            if len(v) and int(np.abs(v).max()) >= (1 << 31):
+                raise ValueError(f"scaled |{c}| exceeds the 2^31 exact-sum domain")
+        sub = b[gcols].copy()
+        sub["__x"], sub["__y"] = x, y
+        sub["__xy"], sub["__xx"], sub["__yy"] = x * y, x * x, y * y
+        return sub.groupby(gcols, as_index=False).agg(
+            n=("__x", "size"),
+            sx=("__x", "sum"),
+            sy=("__y", "sum"),
+            sxy=("__xy", "sum"),
+            sxx=("__xx", "sum"),
+            syy=("__yy", "sum"),
+        )
+
+    reduced = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        gcols,
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(reduced, pd.DataFrame):
+        reduced = reduced.to_pandas()
+    n = reduced["n"].to_numpy(dtype="float64")
+    sx = reduced["sx"].to_numpy(dtype="float64")
+    sy = reduced["sy"].to_numpy(dtype="float64")
+    sxy = reduced["sxy"].to_numpy(dtype="float64")
+    sxx = reduced["sxx"].to_numpy(dtype="float64")
+    syy = reduced["syy"].to_numpy(dtype="float64")
+    out = reduced[gcols].copy()
+    out["n"] = reduced["n"].astype("int64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = sxy - sx * sy / n
+        out["covar_xy"] = np.where(
+            n > 1.0, num / (n - 1.0) / float(x_scale * y_scale), np.nan
+        )
+        den = np.sqrt(sxx - sx * sx / n) * np.sqrt(syy - sy * sy / n)
+        corr = num / den
+        out["corr_xy"] = np.where((n > 1.0) & (den > 0.0), corr, np.nan)
+    return out.sort_values(gcols).reset_index(drop=True)
+
+
 def grouped_histogram(
     ds: "rd.Dataset",
     value_col: str,

@@ -1336,6 +1336,159 @@ def cube_agg(
     return pd.concat(levels, ignore_index=True) if levels else finest_df
 
 
+def grouping_sets_agg(
+    ds: rd.Dataset,
+    sets: list[list[str]],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS ((…), (…), …)``: the general form behind
+    ROLLUP and CUBE — an arbitrary list of grouping-key subsets from ONE
+    input scan, rolled-up key columns NULL exactly like SQL.  Mergeable
+    aggregates only ("sum", "count", "min", "max"), same reason as
+    `rollup_agg`: mergeability is what lets every requested set
+    re-aggregate the FINEST level (the union of all set columns) instead
+    of re-scanning the input.
+
+    Scale shape: identical to `cube_agg` — one combiner pass at the
+    finest level, the size-aware `auto_group_agg` finish, then one
+    driver-side shrink per requested set (each set's cardinality is ≤
+    the finest level's, which already passed its own size probe).
+    Duplicate sets are emitted once per occurrence, matching SQL.  Empty
+    input returns zero rows (`rollup_agg`'s edge rule)."""
+    if not sets:
+        raise ValueError("grouping_sets_agg needs at least one set")
+    keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in keys:
+                keys.append(k)
+    if not keys:
+        raise ValueError("at least one set must name a column")
+    bad = {how for _, how in aggs.values()} - {"sum", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"non-mergeable aggs not supported in grouping sets: {bad}")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False, dropna=False).agg(
+            **{
+                alias: (src, "size" if how == "count" else how)
+                for alias, (src, how) in aggs.items()
+            }
+        )
+
+    merge = {
+        alias: (alias, "sum" if how in ("sum", "count") else how)
+        for alias, (_, how) in aggs.items()
+    }
+    finest = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), keys, merge,
+        driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+    )
+    finest_df = finest.to_pandas() if isinstance(finest, rd.Dataset) else finest
+    levels: list[pd.DataFrame] = []
+    for sub in sets:
+        if list(sub) == keys:
+            out = finest_df.copy()
+        elif len(finest_df) == 0:
+            continue
+        elif sub:
+            out = finest_df.groupby(list(sub), as_index=False, dropna=False).agg(
+                **{a: (a, how) for a, (_, how) in merge.items()}
+            )
+        else:
+            out = finest_df.agg(
+                {a: how for a, (_, how) in merge.items()}
+            ).to_frame().T
+        for k in keys:
+            if k not in sub:
+                out[k] = None
+        levels.append(out[keys + list(aggs)])
+    return (
+        pd.concat(levels, ignore_index=True)
+        if levels
+        else finest_df.reindex(columns=keys + list(aggs))
+    )
+
+
+def grouped_string_agg(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+    out_col: str = "agg_v",
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """SQL's ordered ``string_agg(value, sep ORDER BY …)`` per group —
+    the list/sequence-building aggregate (user event timelines, ordered
+    citation lists).  ``order_cols`` must make the within-group order
+    TOTAL (include a unique tiebreaker) or the concatenation is not
+    deterministic.
+
+    Scale shape: the hash-shard exchange (`sharded_group_agg` pattern) —
+    rows shuffle once by ``hash(group) % n_shards``, then ONE vectorized
+    sort + groupby-join per shard.  A group's output string is
+    proportional to the group by semantics (it IS the concatenation), so
+    the natural unit stays the shard, never the driver.  Non-string
+    value columns are rendered via pandas ``astype(str)``."""
+    gcols, ocols = list(group_cols), list(order_cols)
+    need = [*gcols, *ocols, value_col]
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[need].copy()
+        out["__shard"] = _hash_labels(b, gcols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*gcols, *ocols], kind="mergesort")
+        v = g[value_col]
+        if v.dtype != object:
+            v = v.astype(str)
+        g = g.assign(**{"__v": v})
+        return g.groupby(gcols, as_index=False).agg(
+            **{out_col: ("__v", sep.join)}
+        )
+
+    return (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def unpivot_columns(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_col: str = "measure",
+    value_col: str = "val",
+) -> rd.Dataset:
+    """SQL ``UNPIVOT`` / ``melt``: widen-by-rows — one output row per
+    (input row, value column), carrying ``id_cols`` plus the source
+    column's NAME in ``var_col`` and its value in ``value_col``.  The
+    inverse of `pivot_agg`'s layout.
+
+    Scale shape: map-only (zero exchanges) — each batch melts
+    independently with one vectorized ``pd.melt``; output row order
+    within a batch is column-major (all of value_cols[0] first),
+    deterministic.  Value columns must share a common dtype family (SQL
+    UNPIVOT's requirement); pandas upcasts mixed numerics to float64."""
+    idc, vc = list(id_cols), list(value_cols)
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(
+            b[idc + vc], id_vars=idc, value_vars=vc,
+            var_name=var_col, value_name=value_col,
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
 def pivot_agg(
     ds: rd.Dataset,
     index: str,

@@ -133,3 +133,50 @@ def grouped_sample_k(
         finish=finish,
         n_shards=n_shards,
     )
+
+
+def weighted_sample_k(
+    ds: rd.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement, exact-k (Efraimidis &
+    Spirakis 2006): each row draws ``key = u ** (1 / w)`` with ``u`` a
+    deterministic uniform from the seeded bijective shuffle hash of its
+    id, and the k LARGEST keys win — equivalent to sequential
+    weighted draws without replacement.  The importance-weighted cousin
+    of `grouped_sample_k` (uniform): the 'oversample high-quality docs
+    into the training mix' primitive.
+
+    Determinism + SQL mirror: ``u = (shuffle_hash(id) + 0.5) / 2^32``
+    (never 0), ``key`` via the same libm ``pow`` DuckDB calls, ties
+    broken by id — so a POWER + ORDER BY + LIMIT oracle reproduces the
+    selection bit-for-bit.  Rows with non-positive or NaN weight are
+    dropped (SQL: ``WHERE w > 0``); ``id_col`` values must be unique
+    non-negative ints below 2^32 (the bijectivity domain).
+
+    Scale shape: map-only draw + `ops/relational.top_k`'s local-prune
+    global top-k — at most k rows per input block reach the final sort;
+    weights and payloads never shuffle."""
+    from .relational import top_k  # driver-side composition
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(dtype="float64")
+        keep = w > 0  # NaN compares False
+        out = b.loc[keep].copy()
+        u = (
+            shuffle_hash(out[id_col].to_numpy(), seed).astype("float64") + 0.5
+        ) / 4294967296.0
+        # negated so one ASCENDING composite sort gives (key DESC, id ASC)
+        out["neg_key"] = -np.power(u, 1.0 / w[keep])
+        return out
+
+    return top_k(
+        ds.map_batches(add_key, batch_format="pandas"),
+        ["neg_key", id_col],
+        k,
+        descending=False,
+    )

@@ -3126,6 +3126,112 @@ def q_simhash_near_dup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_value_stddev_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped VAR_SAMP / STDDEV_SAMP (`ops/profile.grouped_moments`):
+    integer-cents Σv / Σv² combiner partials + the size-aware finish, the
+    final doubles repeating the SQL expression verbatim.  Full SQL oracle
+    in TestTailQueryOracles."""
+    from ..ops.profile import grouped_moments
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_moments(ev, "value", ["event_type"], scale=100)
+    return out[["event_type", "n", "mean_v", "var_v", "stddev_v"]]
+
+
+def q_qty_discount_corr(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped Pearson CORR / COVAR_SAMP
+    (`ops/profile.grouped_corr`): scaled-integer cross-moment sums per
+    (group, batch), final doubles identical to the SQL mirror's
+    expression.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_corr
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+    out = grouped_corr(
+        li, "l_quantity", "l_discount", ["l_returnflag"], x_scale=100, y_scale=100
+    )
+    return out[["l_returnflag", "n", "covar_xy", "corr_xy"]]
+
+
+def q_user_event_seq(sf_dir: str) -> pd.DataFrame:
+    """Ordered ``string_agg`` per group (`ops/relational.
+    grouped_string_agg`): each user's event-type sequence in (ts,
+    event_id) order — one hash-shard exchange, one vectorized sort +
+    join per shard.  Full SQL string_agg oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import grouped_string_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    out = grouped_string_agg(
+        ev, ["user_id"], "event_type", ["ts", "event_id"], sep=",", out_col="types_seq"
+    )
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return df[["user_id", "types_seq"]].sort_values("user_id").reset_index(drop=True)
+
+
+def q_lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """SQL ``UNPIVOT`` / melt (`ops/relational.unpivot_columns`):
+    lineitem's four measures to long form, map-only.  Limited to the
+    first 3000 orderkeys to keep the oracle comparison display-sized.
+    Full SQL UNION-ALL mirror in TestTailQueryOracles."""
+    from ..ops.relational import unpivot_columns
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(
+        lambda b: b[b["l_orderkey"] < 3000], batch_format="pandas"
+    )
+    out = unpivot_columns(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="measure",
+        value_col="val",
+    )
+    df = out.to_pandas()
+    return df.sort_values(["l_orderkey", "l_linenumber", "measure"]).reset_index(
+        drop=True
+    )
+
+
+def q_orders_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS`` (`ops/relational.grouping_sets_agg`):
+    an arbitrary (non-prefix) list of grouping subsets — here
+    ((status, priority), (priority), ()) — from ONE input scan; each set
+    re-aggregates the finest level.  Money as integer cents.  Full SQL
+    GROUPING SETS oracle in TestTailQueryOracles."""
+    from ..ops.relational import grouping_sets_agg
+
+    orders = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(cents=_cents(b["o_totalprice"]))
+
+    out = grouping_sets_agg(
+        orders.map_batches(cents, batch_format="pandas"),
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority", "n_orders"]
+    ).reset_index(drop=True)
+
+
+def q_weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement
+    (`ops/shuffle.weighted_sample_k`, Efraimidis-Spirakis): top-100
+    documents by ``u^(1/n_chars)`` with u from the seeded bijective
+    shuffle hash — deterministic, map-only draw + local-prune top-k.
+    Full SQL POWER + ORDER BY + LIMIT oracle in TestTailQueryOracles."""
+    from ..ops.shuffle import weighted_sample_k
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample_k(docs, "doc_id", "n_chars", 100, seed=7)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return df[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3297,6 +3403,13 @@ QUERIES = {
     # no-oracle (sha-based fingerprints; planted-copy recall + radius bound
     # asserted in-query, brute-force equality in TestSimhashNearDup)
     "simhash_near_dup_docs": q_simhash_near_dup_docs,
+    # round-4 session-4 tail additions (same TestTailQueryOracles contract)
+    "value_stddev_by_type": q_value_stddev_by_type,
+    "qty_discount_corr": q_qty_discount_corr,
+    "user_event_seq": q_user_event_seq,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "orders_grouping_sets": q_orders_grouping_sets,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4248,6 +4361,81 @@ ORACLE_SQL = {
         "SELECT c_custkey, c_name, CAST(rc AS DOUBLE) / 100 AS revenue "
         "FROM pc JOIN customer ON o_custkey = c_custkey "
         "ORDER BY rc DESC, c_custkey LIMIT 20"
+    ),
+    "value_stddev_by_type": (
+        # integer-cents Σv/Σv² (half-away rounding = the op's _scaled_int),
+        # final doubles repeat the op's IEEE sequence verbatim; v*v and
+        # the sums CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+        "WITH c AS (SELECT event_type, "
+        "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+        "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS v FROM events), "
+        "a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+        "CAST(SUM(v * v) AS BIGINT) AS s2 FROM c GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_v, "
+        "CASE WHEN n > 1 THEN ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+        "/ 10000.0 END AS var_v, "
+        "CASE WHEN n > 1 THEN SQRT(((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+        "/ 10000.0) END AS stddev_v "
+        "FROM a"
+    ),
+    "qty_discount_corr": (
+        # scaled-integer cross-moment sums (x = quantity*100, y =
+        # discount*100, both non-negative in TPC-H), identical final
+        # double expression incl. the sqrt rounding
+        "WITH c AS (SELECT l_returnflag, "
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x, "
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y FROM lineitem), "
+        "a AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM c GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "CASE WHEN n > 1 THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * "
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) "
+        "/ 10000.0 END AS covar_xy, "
+        "CASE WHEN n > 1 AND SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * "
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE) - "
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0 "
+        "THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) "
+        "END AS corr_xy "
+        "FROM a"
+    ),
+    "user_event_seq": (
+        "SELECT user_id, "
+        "string_agg(event_type, ',' ORDER BY ts, event_id) AS types_seq "
+        "FROM events GROUP BY user_id"
+    ),
+    "lineitem_unpivot": (
+        "SELECT l_orderkey, l_linenumber, m AS measure, v AS val "
+        "FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, "
+        "l_quantity AS v FROM lineitem UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice "
+        "FROM lineitem UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+        "FROM lineitem UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) "
+        "WHERE l_orderkey < 3000"
+    ),
+    "orders_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents FROM orders GROUP BY GROUPING SETS "
+        "((o_orderstatus, o_orderpriority), (o_orderpriority), ())"
+    ),
+    "weighted_doc_sample": (
+        # Efraimidis-Spirakis keys: u from the shared shuffle-hash
+        # arithmetic (seed 7), POWER is the same libm pow in numpy and
+        # DuckDB (the temperature_mix precedent), ties by doc_id
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
+        "ORDER BY POWER((CAST(((doc_id * 2654435761) % 4294967296 + 7) "
+        "* 1597334677 % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0, "
+        "1.0 / n_chars) DESC, doc_id LIMIT 100"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

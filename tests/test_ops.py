@@ -1666,6 +1666,12 @@ class TestTailQueryOracles:
             "pctcont_value_by_type",
             "tpch_q3_shipping",
             "tpch_q10_returned",
+            "value_stddev_by_type",
+            "qty_discount_corr",
+            "user_event_seq",
+            "lineitem_unpivot",
+            "orders_grouping_sets",
+            "weighted_doc_sample",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2410,3 +2416,248 @@ class TestSimhashNearDup:
             simhash_near_dup_pairs(
                 rd.from_pandas(df), "text", "doc_id", max_hamming=4, n_bands=4
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMoments:
+    def _df(self, n=400, seed=3):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "g": rng.choice(list("abcd"), n),
+                "v": np.round(rng.randn(n) * 40 + 10, 2),
+            }
+        )
+
+    def test_matches_pandas_and_block_independent(self):
+        from ocr_platform_ray.ops.profile import grouped_moments
+
+        df = self._df()
+        outs = []
+        for nb in (1, 7):
+            out = grouped_moments(
+                rd.from_pandas(df).repartition(nb), "v", ["g"], scale=100
+            )
+            outs.append(out.reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        want = df.groupby("g")["v"].agg(["count", "mean", "var", "std"])
+        got = outs[0].set_index("g")
+        assert (got["n"] == want["count"]).all()
+        np.testing.assert_allclose(got["mean_v"], want["mean"], rtol=1e-9)
+        np.testing.assert_allclose(got["var_v"], want["var"], rtol=1e-9)
+        np.testing.assert_allclose(got["stddev_v"], want["std"], rtol=1e-9)
+
+    def test_single_row_group_nan_variance(self):
+        from ocr_platform_ray.ops.profile import grouped_moments
+
+        df = pd.DataFrame({"g": ["x", "y", "y"], "v": [5.0, 1.0, 3.0]})
+        out = grouped_moments(rd.from_pandas(df), "v", ["g"]).set_index("g")
+        assert np.isnan(out.loc["x", "var_v"]) and np.isnan(out.loc["x", "stddev_v"])
+        assert out.loc["x", "mean_v"] == 5.0
+        assert out.loc["y", "var_v"] == pytest.approx(2.0)
+
+    def test_domain_bound_raises(self):
+        from ocr_platform_ray.ops.profile import grouped_moments
+
+        df = pd.DataFrame({"g": ["a"], "v": [1e12]})
+        with pytest.raises((ValueError, Exception), match="2\\^31|exact-sum"):
+            grouped_moments(rd.from_pandas(df), "v", ["g"], scale=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCorr:
+    def test_matches_pandas_and_degenerate_groups(self):
+        from ocr_platform_ray.ops.profile import grouped_corr
+
+        rng = np.random.RandomState(11)
+        n = 300
+        x = np.round(rng.rand(n) * 50, 2)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(list("ab"), n),
+                "x": x,
+                "y": np.round(x * 0.6 + rng.randn(n) * 3, 2),
+            }
+        )
+        # degenerate groups: single row, and zero-variance x
+        df = pd.concat(
+            [
+                df,
+                pd.DataFrame(
+                    {"g": ["solo", "flat", "flat"], "x": [1.0, 2.0, 2.0], "y": [1.0, 3.0, 9.0]}
+                ),
+            ],
+            ignore_index=True,
+        )
+        out = grouped_corr(
+            rd.from_pandas(df).repartition(5), "x", "y", ["g"]
+        ).set_index("g")
+        for g in ("a", "b"):
+            sub = df[df.g == g]
+            assert out.loc[g, "covar_xy"] == pytest.approx(sub["x"].cov(sub["y"]), rel=1e-9)
+            assert out.loc[g, "corr_xy"] == pytest.approx(sub["x"].corr(sub["y"]), rel=1e-9)
+        assert np.isnan(out.loc["solo", "corr_xy"])
+        assert np.isnan(out.loc["flat", "corr_xy"])  # zero-variance side
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedStringAgg:
+    def test_order_ties_and_block_independence(self):
+        from ocr_platform_ray.ops.relational import grouped_string_agg
+
+        df = pd.DataFrame(
+            {
+                "g": ["u1", "u1", "u1", "u2", "u2"],
+                "t": [2, 1, 1, 5, 4],
+                "id": [10, 12, 11, 20, 21],
+                "val": ["c", "b", "a", "x", "y"],
+            }
+        )
+        outs = []
+        for nb in (1, 4):
+            out = grouped_string_agg(
+                rd.from_pandas(df).repartition(nb), ["g"], "val", ["t", "id"],
+                sep="|", out_col="seq",
+            )
+            outs.append(
+                out.to_pandas().sort_values("g").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0].set_index("g")["seq"]
+        # t=1 ties broken by id: 11('a') before 12('b'), then t=2('c')
+        assert got["u1"] == "a|b|c"
+        assert got["u2"] == "y|x"
+
+    def test_non_string_values_rendered(self):
+        from ocr_platform_ray.ops.relational import grouped_string_agg
+
+        df = pd.DataFrame({"g": [1, 1], "o": [1, 2], "v": [10, 20]})
+        out = grouped_string_agg(
+            rd.from_pandas(df), ["g"], "v", ["o"], out_col="s"
+        ).to_pandas()
+        assert out["s"].iloc[0] == "10,20"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivot:
+    def test_matches_pandas_melt(self):
+        from ocr_platform_ray.ops.relational import unpivot_columns
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(50, dtype="int64"),
+                "a": rng.rand(50),
+                "b": rng.rand(50),
+                "c": rng.rand(50),
+            }
+        )
+        out = unpivot_columns(
+            rd.from_pandas(df).repartition(3), ["id"], ["a", "b", "c"]
+        ).to_pandas()
+        want = pd.melt(
+            df, id_vars=["id"], value_vars=["a", "b", "c"],
+            var_name="measure", value_name="val",
+        )
+        key = ["id", "measure"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+        )
+        assert len(out) == 150
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupingSets:
+    def _df(self, n=200, seed=9):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "s": rng.choice(list("PQ"), n),
+                "p": rng.choice(["hi", "lo", "mid"], n),
+                "v": rng.randint(0, 100, n).astype("int64"),
+            }
+        )
+
+    def test_matches_pandas_all_sets(self):
+        from ocr_platform_ray.ops.relational import grouping_sets_agg
+
+        df = self._df()
+        sets = [["s", "p"], ["p"], []]
+        out = grouping_sets_agg(
+            rd.from_pandas(df).repartition(4), sets,
+            {"n": ("v", "count"), "sv": ("v", "sum")},
+        )
+        want_parts = []
+        for sub in sets:
+            if sub:
+                w = df.groupby(sub, as_index=False).agg(n=("v", "size"), sv=("v", "sum"))
+            else:
+                w = pd.DataFrame({"n": [len(df)], "sv": [df["v"].sum()]})
+            for k in ("s", "p"):
+                if k not in sub:
+                    w[k] = None
+            want_parts.append(w[["s", "p", "n", "sv"]])
+        want = pd.concat(want_parts, ignore_index=True)
+        key = ["s", "p", "n"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_rejects_non_mergeable_and_empty(self):
+        from ocr_platform_ray.ops.relational import grouping_sets_agg
+
+        df = self._df(20)
+        with pytest.raises(ValueError, match="non-mergeable"):
+            grouping_sets_agg(
+                rd.from_pandas(df), [["s"]], {"m": ("v", "mean")}
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            grouping_sets_agg(rd.from_pandas(df), [], {"n": ("v", "count")})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSampleK:
+    def test_matches_naive_reference_and_block_independent(self):
+        from ocr_platform_ray.ops.shuffle import shuffle_hash, weighted_sample_k
+
+        rng = np.random.RandomState(21)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(500, dtype="int64"),
+                "w": rng.randint(-5, 1000, 500).astype("float64"),
+            }
+        )
+        outs = []
+        for nb in (1, 6):
+            out = weighted_sample_k(
+                rd.from_pandas(df).repartition(nb), "id", "w", 40, seed=3
+            )
+            o = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+            outs.append(o[["id", "w"]].sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # naive reference: same draw over the full frame
+        pos = df[df.w > 0]
+        u = (shuffle_hash(pos["id"].to_numpy(), 3).astype("float64") + 0.5) / 2**32
+        key = np.power(u, 1.0 / pos["w"].to_numpy())
+        order = np.lexsort((pos["id"].to_numpy(), -key))
+        want = set(pos["id"].to_numpy()[order[:40]])
+        assert set(outs[0]["id"]) == want
+        # non-positive weights never selected
+        assert (outs[0]["w"] > 0).all()
+
+    def test_weight_bias(self):
+        from ocr_platform_ray.ops.shuffle import weighted_sample_k
+
+        # one heavy row among uniform light rows is (nearly) always kept
+        df = pd.DataFrame(
+            {"id": np.arange(200, dtype="int64"), "w": [1.0] * 199 + [100000.0]}
+        )
+        hits = 0
+        for seed in range(5):
+            out = weighted_sample_k(rd.from_pandas(df), "id", "w", 10, seed=seed)
+            o = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+            hits += int(199 in set(o["id"]))
+        assert hits == 5
