@@ -1,0 +1,156 @@
+"""MERGE INTO / upsert against a hash-partitioned parquet target — the
+lakehouse CDC primitive: apply a batch of keyed changes (update matched
+keys, insert new ones) while rewriting ONLY the partitions that contain
+a changed key.  The reference's catalog merge-with-previous
+(``pipelines/catalog.py::normalize_versions``, reference
+`usul-pipeline.ts` upsert-by-slug semantics) generalized to an engine
+operator over arbitrary keyed tables.
+
+Target layout: ``part_K.parquet`` single files, one per partition, with
+``K = shuffle_hash(key, seed=0) % n_partitions`` — the repo's shared
+bijective draw (ops/shuffle.py), so partition routing is deterministic,
+SQL-mirrorable, and stable across runs.  One file per partition keeps
+replacement ATOMIC with plain ``os.replace``; size n_partitions so a
+partition is a healthy parquet file (hundreds of MB), the same knob as
+every bucketed exchange here.
+
+Scale shape:
+- the updates move through ONE hash-shard exchange (groupby partition);
+  each partition task touches ONLY its own target file — read, anti-set
+  on key, concat, write temp, atomic replace.  Untouched partitions are
+  never opened: a 100 TB target with a 0.1 % daily change set rewrites
+  0.1 %-ish of its files (whatever partitions the changed keys hash to).
+- commit discipline: each partition replace is atomic; a crash mid-merge
+  leaves SOME partitions merged, which the idempotent rerun converges
+  (applying the same updates twice is a no-op — upsert is idempotent).
+  For all-or-nothing visibility compose with ``state/manifest.py``'s
+  marker pattern at the caller.
+
+Multi-node note: partition tasks use plain filesystem calls, so
+``target_dir`` must be storage every worker sees (the
+ops/incremental.py rule); atomic single-file rename is the only
+filesystem semantic relied on.
+
+Keys must be unique within the target (the upsert invariant — enforced
+opportunistically per partition) and unique within one updates batch
+(enforced; collapse duplicates upstream with e.g. grouped_top_k k=1).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .shuffle import shuffle_hash
+
+
+def _part_path(target_dir: str, k: int) -> str:
+    return os.path.join(target_dir, f"part_{k:05d}.parquet")
+
+
+def _partition_of(keys, n_partitions: int):
+    return (shuffle_hash(keys, 0) % n_partitions).astype("int64")
+
+
+def write_merge_target(
+    ds: rd.Dataset,
+    target_dir: str,
+    key_col: str,
+    *,
+    n_partitions: int = 64,
+) -> None:
+    """Materialize ``ds`` as a merge target: one parquet file per key
+    partition.  One hash-shard exchange; each partition task writes its
+    own file (empty partitions get no file — `merge_into` treats a
+    missing file as an empty partition)."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__part"] = _partition_of(b[key_col].to_numpy(), n_partitions)
+        return out
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__part"].iloc[0])
+        body = g.drop(columns="__part").sort_values(key_col, kind="mergesort")
+        tmp = _part_path(target_dir, k) + ".tmp"
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, _part_path(target_dir, k))
+        return pd.DataFrame({"part": [k], "n": [len(g)]})
+
+    (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(write_part, batch_format="pandas")
+        .materialize()
+    )
+
+
+def merge_into(
+    target_dir: str,
+    updates: rd.Dataset,
+    key_col: str,
+    *,
+    n_partitions: int = 64,
+) -> pd.DataFrame:
+    """Upsert ``updates`` into the target: rows whose key exists are
+    REPLACED, new keys are INSERTED.  Updates' schema must equal the
+    target's.  Returns a small per-partition report (partition, rows
+    before, updated, inserted) — aggregate-sized, driver-safe.
+
+    Only partitions containing an updated key are rewritten (atomic
+    per-file replace); every other file's bytes are untouched."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__part"] = _partition_of(b[key_col].to_numpy(), n_partitions)
+        return out
+
+    def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__part"].iloc[0])
+        up = g.drop(columns="__part")
+        if up[key_col].duplicated().any():
+            raise ValueError(
+                f"duplicate keys in updates for partition {k}; collapse upstream"
+            )
+        path = _part_path(target_dir, k)
+        if os.path.exists(path):
+            cur = pq.read_table(path).to_pandas()
+        else:
+            cur = up.iloc[0:0]
+        upd_keys = set(up[key_col].to_numpy())
+        kept = cur[~cur[key_col].isin(upd_keys)]
+        n_updated = len(cur) - len(kept)
+        merged = pd.concat([kept, up[cur.columns] if len(cur.columns) else up],
+                           ignore_index=True)
+        merged = merged.sort_values(key_col, kind="mergesort")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "part": [k],
+                "n_before": [len(cur)],
+                "n_updated": [n_updated],
+                "n_inserted": [len(up) - n_updated],
+            }
+        )
+
+    report = (
+        updates.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return report.sort_values("part").reset_index(drop=True)
+
+
+def read_merge_target(target_dir: str, *, columns: list[str] | None = None) -> rd.Dataset:
+    """Read the target back as a Dataset (one block per partition file)."""
+    files = sorted(glob.glob(os.path.join(target_dir, "part_*.parquet")))
+    return rd.read_parquet(files, columns=columns)

@@ -3232,6 +3232,42 @@ def q_weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_merge_upsert_orders(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / upsert (`ops/upsert.merge_into`): a hash-partitioned
+    parquet target built from orders takes a change batch (10%% of keys
+    updated, 1%% new keys inserted); only partitions holding a changed
+    key rewrite (atomic per-file replace).  Full SQL anti+union mirror
+    in TestTailQueryOracles; partition-untouched and idempotence
+    invariants pinned by TestMergeInto."""
+    import tempfile
+
+    from ..ops.upsert import merge_into, read_merge_target, write_merge_target
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    orders = _t(sf_dir, "orders", cols)
+    with tempfile.TemporaryDirectory(prefix="merge_upsert_") as td:
+        write_merge_target(orders, td, "o_orderkey", n_partitions=16)
+
+        def changes(b: pd.DataFrame) -> pd.DataFrame:
+            upd = b[b["o_orderkey"] % 10 == 0].copy()
+            upd["o_totalprice"] = upd["o_totalprice"] + 1000.0
+            upd["o_orderstatus"] = "U"
+            new = b[b["o_orderkey"] % 100 == 0].copy()
+            new["o_orderkey"] = new["o_orderkey"] + 10_000_000
+            new["o_totalprice"] = 1.0
+            new["o_orderstatus"] = "N"
+            return pd.concat([upd, new], ignore_index=True)[cols]
+
+        merge_into(
+            td,
+            orders.map_batches(changes, batch_format="pandas"),
+            "o_orderkey",
+            n_partitions=16,
+        )
+        out = read_merge_target(td).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3410,6 +3446,7 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "orders_grouping_sets": q_orders_grouping_sets,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "merge_upsert_orders": q_merge_upsert_orders,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4436,6 +4473,19 @@ ORACLE_SQL = {
         "ORDER BY POWER((CAST(((doc_id * 2654435761) % 4294967296 + 7) "
         "* 1597334677 % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0, "
         "1.0 / n_chars) DESC, doc_id LIMIT 100"
+    ),
+    "merge_upsert_orders": (
+        # MERGE semantics as anti+union: unchanged base rows, the
+        # updated 10%, the inserted 1% (same double arithmetic)
+        "WITH upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, "
+        "'U' AS o_orderstatus FROM orders WHERE o_orderkey % 10 = 0), "
+        "nw AS (SELECT o_orderkey + 10000000 AS o_orderkey, "
+        "1.0 AS o_totalprice, 'N' AS o_orderstatus FROM orders "
+        "WHERE o_orderkey % 100 = 0), "
+        "base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_orderkey % 10 != 0) "
+        "SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL "
+        "SELECT * FROM nw"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

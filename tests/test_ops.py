@@ -1672,6 +1672,7 @@ class TestTailQueryOracles:
             "lineitem_unpivot",
             "orders_grouping_sets",
             "weighted_doc_sample",
+            "merge_upsert_orders",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2661,3 +2662,106 @@ class TestWeightedSampleK:
             o = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
             hits += int(199 in set(o["id"]))
         assert hits == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeInto:
+    def _target(self, tmp, n=300, n_parts=8):
+        from ocr_platform_ray.ops.upsert import write_merge_target
+
+        df = pd.DataFrame(
+            {
+                "k": np.arange(n, dtype="int64"),
+                "v": np.arange(n, dtype="float64") * 1.5,
+                "s": ["base"] * n,
+            }
+        )
+        write_merge_target(rd.from_pandas(df), tmp, "k", n_partitions=n_parts)
+        return df
+
+    def test_upsert_semantics_and_report(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import merge_into, read_merge_target
+
+        td = str(tmp_path / "t")
+        df = self._target(td)
+        upd = pd.DataFrame(
+            {
+                "k": [5, 10, 999, 1000],
+                "v": [50.0, 100.0, 9.0, 10.0],
+                "s": ["upd", "upd", "new", "new"],
+            }
+        )
+        report = merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        assert report["n_updated"].sum() == 2
+        assert report["n_inserted"].sum() == 2
+        got = read_merge_target(td).to_pandas().sort_values("k").reset_index(drop=True)
+        want = pd.concat(
+            [df[~df.k.isin([5, 10])], upd], ignore_index=True
+        ).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    def test_untouched_partitions_byte_identical(self, tmp_path):
+        import glob
+        import hashlib
+
+        from ocr_platform_ray.ops.upsert import merge_into, _partition_of
+
+        td = str(tmp_path / "t")
+        self._target(td)
+        before = {
+            p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(td + "/part_*.parquet")
+        }
+        upd = pd.DataFrame({"k": [7], "v": [0.0], "s": ["upd"]})
+        touched = int(_partition_of(np.array([7], dtype="int64"), 8)[0])
+        merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        after = {
+            p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(td + "/part_*.parquet")
+        }
+        changed = {p for p in before if before[p] != after[p]}
+        assert changed == {f"{td}/part_{touched:05d}.parquet"}
+
+    def test_idempotent_rerun(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import merge_into, read_merge_target
+
+        td = str(tmp_path / "t")
+        self._target(td)
+        upd = pd.DataFrame({"k": [3, 777], "v": [1.0, 2.0], "s": ["u", "n"]})
+        merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        first = read_merge_target(td).to_pandas().sort_values("k").reset_index(drop=True)
+        rep2 = merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        second = read_merge_target(td).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(first, second)
+        assert rep2["n_inserted"].sum() == 0  # both keys now exist -> updates
+
+    def test_duplicate_update_keys_raise(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import merge_into
+
+        td = str(tmp_path / "t")
+        self._target(td)
+        upd = pd.DataFrame({"k": [4, 4], "v": [1.0, 2.0], "s": ["a", "b"]})
+        with pytest.raises(Exception, match="duplicate keys"):
+            merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+
+    def test_insert_into_missing_partition_file(self, tmp_path):
+        import glob
+
+        from ocr_platform_ray.ops.upsert import (
+            merge_into,
+            read_merge_target,
+            write_merge_target,
+        )
+
+        td = str(tmp_path / "t")
+        # tiny target: only a couple of partitions materialize
+        df = pd.DataFrame({"k": np.array([0, 1], dtype="int64"), "v": [0.0, 1.0]})
+        write_merge_target(rd.from_pandas(df), td, "k", n_partitions=32)
+        n_files = len(glob.glob(td + "/part_*.parquet"))
+        assert n_files < 32
+        upd = pd.DataFrame({"k": np.arange(100, 164, dtype="int64"),
+                            "v": np.zeros(64)})
+        rep = merge_into(td, rd.from_pandas(upd), "k", n_partitions=32)
+        assert rep["n_inserted"].sum() == 64
+        got = read_merge_target(td).to_pandas()
+        assert len(got) == 66
