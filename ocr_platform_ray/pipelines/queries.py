@@ -3268,6 +3268,50 @@ def q_merge_upsert_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_clustered_range_scan(sf_dir: str) -> pd.DataFrame:
+    """Zone-map data skipping (`ops/layout.cluster_write` /
+    `pruned_read`): orders written range-clustered on o_totalprice (16
+    quantile-balanced files + per-file min/max manifest), then a range
+    scan opens ONLY the intersecting files — asserted in-query — with
+    the residual predicate applied map-side so the result is exact.
+    Full SQL BETWEEN oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.layout import cluster_write, plan_pruned_read, pruned_read
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    lo, hi = 100_000.0, 150_000.0
+    with tempfile.TemporaryDirectory(prefix="cluster_scan_") as td:
+        cluster_write(orders, "o_totalprice", td, n_files=16)
+        files, total = plan_pruned_read(td, lo, hi)
+        assert 0 < len(files) < total, (
+            f"zone map failed to prune: {len(files)}/{total} files selected"
+        )
+        scan = pruned_read(td, "o_totalprice", lo=lo, hi=hi)
+
+        def cents(b: pd.DataFrame) -> pd.DataFrame:
+            return b[["o_orderstatus"]].assign(cents=_cents(b["o_totalprice"]))
+
+        from ..ops.relational import auto_group_agg
+
+        partials = scan.map_batches(cents, batch_format="pandas").map_batches(
+            lambda b: b.groupby("o_orderstatus", as_index=False).agg(
+                n_orders=("cents", "size"), sum_cents=("cents", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["o_orderstatus"],
+            {"n_orders": ("n_orders", "sum"), "sum_cents": ("sum_cents", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3447,6 +3491,7 @@ QUERIES = {
     "orders_grouping_sets": q_orders_grouping_sets,
     "weighted_doc_sample": q_weighted_doc_sample,
     "merge_upsert_orders": q_merge_upsert_orders,
+    "clustered_range_scan": q_clustered_range_scan,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4486,6 +4531,13 @@ ORACLE_SQL = {
         "WHERE o_orderkey % 10 != 0) "
         "SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL "
         "SELECT * FROM nw"
+    ),
+    "clustered_range_scan": (
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents FROM orders "
+        "WHERE o_totalprice BETWEEN 100000.0 AND 150000.0 "
+        "GROUP BY o_orderstatus"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,
