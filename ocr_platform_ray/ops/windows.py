@@ -481,20 +481,25 @@ def grouped_rolling_rows(
     tie_col: str,
     value_col: str,
     window: int,
+    following: int = 0,
     carry_cols: list[str] | None = None,
     out_col: str = "roll",
     n_shards: int = 64,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
     """ROW-frame rolling sum per key (``SUM(v) OVER (PARTITION BY key
-    ORDER BY o, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``)
+    ORDER BY o, tie ROWS BETWEEN window-1 PRECEDING AND following
+    FOLLOWING)`` — ``following=0`` is the trailing CURRENT ROW frame)
     — the count-based sibling of `grouped_rolling_agg`'s time-RANGE
-    frame.  Computed as the prefix-sum difference ``cs[i] -
-    cs[i-window]`` (one cumsum + one shift per shard — O(rows), not
-    O(rows x window)); same integer-values-for-exact-SQL contract as
-    `grouped_cumsum`."""
+    frame.  Computed as the prefix-sum difference ``cs[i+following] -
+    cs[i-window]`` with the leading edge clamped to the partition total
+    (SQL's frame truncation at the partition tail) — one cumsum + two
+    shifts per shard, O(rows) not O(rows x frame); same
+    integer-values-for-exact-SQL contract as `grouped_cumsum`."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if following < 0:
+        raise ValueError(f"following must be >= 0, got {following}")
     keep = list(dict.fromkeys([*key_cols, order_col, tie_col, value_col,
                                *(carry_cols or [])]))
 
@@ -504,8 +509,16 @@ def grouped_rolling_rows(
         )
         grp = g.groupby(key_cols, sort=False)
         cs = grp[value_col].cumsum()
-        lag = cs.groupby([g[c] for c in key_cols], sort=False).shift(window)
-        g[out_col] = cs - lag.fillna(0)
+        gcs = cs.groupby([g[c] for c in key_cols], sort=False)
+        if following > 0:
+            # frame's leading edge: cs at i+following, clamped to the
+            # partition total past the tail (last cumsum == group sum)
+            hi = gcs.shift(-following)
+            hi = hi.fillna(grp[value_col].transform("sum"))
+        else:
+            hi = cs
+        lag = gcs.shift(window)  # cs[i-window], the frame's trailing edge
+        g[out_col] = hi - lag.fillna(0)
         return g
 
     return _keyed_window(

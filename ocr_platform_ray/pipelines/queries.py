@@ -3312,6 +3312,27 @@ def q_clustered_range_scan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_centered_roll_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """General ROWS frame with a FOLLOWING bound
+    (`ops/windows.grouped_rolling_rows(following=2)`): each user's
+    centered 5-event value sum (2 preceding .. 2 following) in (ts,
+    event_id) order — prefix-sum difference with the leading edge
+    clamped at the partition tail, exact integer cents.  Full SQL
+    ``ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING`` oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_rolling_rows
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        lambda b: b.assign(cents=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_rolling_rows(
+        ev, key_cols=["user_id"], order_col="ts", tie_col="event_id",
+        value_col="cents", window=3, following=2,
+    )
+    out["roll_value"] = out["roll"].astype("float64") / 100.0
+    return out[["user_id", "ts", "event_id", "roll_value"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3492,6 +3513,7 @@ QUERIES = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "merge_upsert_orders": q_merge_upsert_orders,
     "clustered_range_scan": q_clustered_range_scan,
+    "centered_roll_value_by_user": q_centered_roll_value_by_user,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4538,6 +4560,13 @@ ORACLE_SQL = {
         "AS sum_cents FROM orders "
         "WHERE o_totalprice BETWEEN 100000.0 AND 150000.0 "
         "GROUP BY o_orderstatus"
+    ),
+    "centered_roll_value_by_user": (
+        "SELECT user_id, ts, event_id, "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) / 100 "
+        "AS roll_value FROM events"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

@@ -1674,6 +1674,7 @@ class TestTailQueryOracles:
             "weighted_doc_sample",
             "merge_upsert_orders",
             "clustered_range_scan",
+            "centered_roll_value_by_user",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2836,3 +2837,50 @@ class TestClusterWrite:
         df = pd.DataFrame({"id": [1, 2], "v": [1.0, np.nan]})
         with pytest.raises(Exception, match="NaN"):
             cluster_write(rd.from_pandas(df), "v", str(tmp_path / "c"), n_files=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingFollowing:
+    def test_centered_frame_matches_pandas_and_blocks(self):
+        from ocr_platform_ray.ops.windows import grouped_rolling_rows
+
+        rng = np.random.RandomState(8)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(list("ab"), 60),
+                "o": rng.permutation(60),
+                "t": np.arange(60, dtype="int64"),
+                "v": rng.randint(0, 50, 60).astype("int64"),
+            }
+        )
+        outs = []
+        for nb in (1, 5):
+            out = grouped_rolling_rows(
+                rd.from_pandas(df).repartition(nb),
+                key_cols=["k"], order_col="o", tie_col="t",
+                value_col="v", window=3, following=2,
+            )
+            outs.append(
+                out.sort_values(["k", "o", "t"]).reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        want = (
+            df.sort_values(["k", "o", "t"])
+            .groupby("k")["v"]
+            .transform(lambda s: s.rolling(5, center=True, min_periods=1).sum())
+        )
+        got = outs[0].set_index(["k", "o", "t"])["roll"]
+        want_df = df.sort_values(["k", "o", "t"]).assign(roll=want).set_index(
+            ["k", "o", "t"]
+        )["roll"]
+        pd.testing.assert_series_equal(got, want_df, check_dtype=False)
+
+    def test_following_validation(self):
+        from ocr_platform_ray.ops.windows import grouped_rolling_rows
+
+        df = pd.DataFrame({"k": ["a"], "o": [1], "t": [1], "v": [1]})
+        with pytest.raises(ValueError, match="following"):
+            grouped_rolling_rows(
+                rd.from_pandas(df), key_cols=["k"], order_col="o",
+                tie_col="t", value_col="v", window=2, following=-1,
+            )
