@@ -1489,6 +1489,48 @@ def unpivot_columns(
     return ds.map_batches(melt, batch_format="pandas")
 
 
+def explode_list_column(
+    ds: rd.Dataset,
+    list_col: str,
+    id_cols: list[str],
+    *,
+    pos_col: str = "pos",
+    out_col: str = "x",
+) -> rd.Dataset:
+    """SQL ``UNNEST`` with ordinality: one output row per list element,
+    carrying ``id_cols``, the element's 1-based position and value —
+    the long-form view of an embedding / token-list column.
+
+    Scale shape: map-only, zero-copy Arrow — ``list_flatten`` +
+    ``list_value_length`` kernels; repeats via one ``np.repeat`` per
+    batch, positions via the flat arange-minus-starts identity (the
+    `_shingle_hashes_batch` pattern) — no per-row Python.  Null/empty
+    lists produce no rows (SQL UNNEST)."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        chunks = t.column(list_col).chunks
+        # unwrap Ray's tensor extension (a pandas round-trip upstream
+        # re-types fixed-length lists) back to its list storage
+        chunks = [c.storage if isinstance(c, pa.ExtensionArray) else c for c in chunks]
+        if chunks:
+            col = pa.concat_arrays(chunks)
+        else:
+            col = pa.array([], pa.list_(pa.float64()))
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype("int64")  # null list -> 0
+        flat = pc.list_flatten(col)
+        idx = np.repeat(np.arange(len(t), dtype="int64"), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(int(lens.sum()), dtype="int64") - np.repeat(starts, lens) + 1
+        cols = {c: t.column(c).take(pa.array(idx)) for c in id_cols}
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[out_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def pivot_agg(
     ds: rd.Dataset,
     index: str,

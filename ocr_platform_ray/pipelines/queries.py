@@ -3333,6 +3333,26 @@ def q_centered_roll_value_by_user(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "ts", "event_id", "roll_value"]]
 
 
+def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
+    """SQL ``UNNEST`` with ordinality (`ops/relational.
+    explode_list_column`): the embedding list column to long form —
+    map-only zero-copy Arrow flatten, no exchange.  Full SQL unnest +
+    generate_subscripts oracle in TestTailQueryOracles."""
+    from ..ops.relational import explode_list_column
+
+    import pyarrow.compute as pc
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 50)), batch_format="pyarrow"
+    )
+    out = explode_list_column(emb, "embedding", ["vec_id"], pos_col="pos", out_col="x")
+    return (
+        out.to_pandas()
+        .sort_values(["vec_id", "pos"])
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -3514,6 +3534,7 @@ QUERIES = {
     "merge_upsert_orders": q_merge_upsert_orders,
     "clustered_range_scan": q_clustered_range_scan,
     "centered_roll_value_by_user": q_centered_roll_value_by_user,
+    "embedding_unnest": q_embedding_unnest,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4567,6 +4588,10 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) / 100 "
         "AS roll_value FROM events"
+    ),
+    "embedding_unnest": (
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+        "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

@@ -1675,6 +1675,7 @@ class TestTailQueryOracles:
             "merge_upsert_orders",
             "clustered_range_scan",
             "centered_roll_value_by_user",
+            "embedding_unnest",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2884,3 +2885,46 @@ class TestRollingFollowing:
                 rd.from_pandas(df), key_cols=["k"], order_col="o",
                 tie_col="t", value_col="v", window=2, following=-1,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExplodeList:
+    def test_matches_manual_and_handles_empty_null(self):
+        import pyarrow as pa
+
+        from ocr_platform_ray.ops.relational import explode_list_column
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lst": pa.array(
+                    [[10.0, 11.0], [], None, [40.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        out = explode_list_column(
+            rd.from_arrow(t), "lst", ["id"]
+        ).to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+        want = pd.DataFrame(
+            {"id": [1, 1, 4], "pos": [1, 2, 1], "x": [10.0, 11.0, 40.0]}
+        )
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    def test_block_independent(self):
+        from ocr_platform_ray.ops.relational import explode_list_column
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(100, dtype="int64"),
+                "lst": [list(rng.rand(rng.randint(0, 5))) for _ in range(100)],
+            }
+        )
+        outs = []
+        for nb in (1, 7):
+            o = explode_list_column(
+                rd.from_pandas(df).repartition(nb), "lst", ["id"]
+            ).to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
