@@ -176,6 +176,11 @@ def run_once() -> dict:
         "token_budget_mix",
         "event_gaps",
         "running_value_by_user",
+        # round-4 session-4 additions
+        "value_stddev_by_type",
+        "merge_upsert_orders",
+        "clustered_range_scan",
+        "weighted_doc_sample",
     ):
         extra_times[name] = _best_of(2, name)
 

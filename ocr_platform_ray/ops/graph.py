@@ -1,0 +1,157 @@
+"""Graph operators over edge tables — the link-graph half of a
+web-crawl pipeline (Common Crawl ships harmonic-centrality/PageRank
+ranks next to its text): connected components and PageRank over a
+``(src, dst)`` edge Dataset.
+
+Scale shape:
+- `connected_components` is min-label propagation — the machinery
+  `ops/dedup.dup_clusters_distributed` already proves out (bucketed
+  label⋈edge exchange per round, distributed exact convergence check,
+  labels never driver-sized) — re-exposed with graph naming so callers
+  outside dedup find it.
+- `pagerank` is the standard power iteration expressed as Dataset
+  passes: per iteration the per-edge weights broadcast once (`ray.put`)
+  and ONE map pass over the (src, dst) projection emits (dst, partial)
+  combiner rows into a size-aware grouped finish — O(n_iter)
+  executions, which IS PageRank's distributed cost (every engine pays
+  the per-iteration exchange).  The rank table itself is node-sized and
+  driver-resident by contract (the report-output rule) — a corpus
+  whose VERTEX set outgrows one machine needs the label-table-as-
+  Dataset treatment `dup_clusters_distributed(as_dataset=True)` proves
+  out, deliberately not duplicated here.  Float contributions sum in
+  block order, so ranks are reproducible to ~1e-12 but not bit-stable
+  across block structures (the lm_perplexity float rule — tests
+  compare at rtol).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..state.broadcast import cached_get
+from .dedup import dup_clusters_distributed
+from .relational import auto_group_agg
+
+
+def connected_components(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_rounds: int = 50,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Connected components of an undirected edge list: (id,
+    cluster_id) with cluster_id = min member id.  Isolated nodes (in
+    neither column) don't appear — union a (node, node) self-edge list
+    to force them in."""
+    return dup_clusters_distributed(
+        edges,
+        id_a=src_col,
+        id_b=dst_col,
+        max_rounds=max_rounds,
+        n_shards=n_shards,
+        as_dataset=as_dataset,
+    )
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """PageRank over a directed edge list (uniform teleport, dangling
+    mass redistributed uniformly — the standard formulation):
+
+        r'(v) = (1-d)/N + d * (Σ_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    Parallel edges count once per occurrence (weight by multiplicity);
+    self-loops are legal.  Returns (node, rank) for every node
+    appearing in either column; ranks sum to 1.
+
+    The rank table is returned as pandas — node-count-sized, the same
+    contract as the other rank/report outputs; at true corpus scale
+    compose the final iteration with ``write_parquet`` instead."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    proj = edges.map_batches(
+        lambda b: b[[src_col, dst_col]], batch_format="pandas"
+    ).materialize()  # consumed once per iteration + degree/node passes
+
+    # nodes = distinct(src) ∪ distinct(dst): per-batch unique combiner,
+    # size-aware finish on the stacked projection
+    def stack(b: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate([b[src_col].to_numpy(), b[dst_col].to_numpy()])
+        )
+        return pd.DataFrame({"node": vals})
+
+    nodes = auto_group_agg(
+        proj.map_batches(stack, batch_format="pandas"),
+        ["node"],
+        {"__one": ("node", "count")},
+        n_shards=n_shards,
+    )
+    if not isinstance(nodes, pd.DataFrame):
+        nodes = nodes.to_pandas()
+    nodes = nodes[["node"]].sort_values("node").reset_index(drop=True)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "rank": pd.Series(dtype="float64")})
+
+    deg = auto_group_agg(
+        proj.map_batches(
+            lambda b: b.groupby(src_col, as_index=False).agg(outdeg=(src_col, "size")),
+            batch_format="pandas",
+        ),
+        [src_col],
+        {"outdeg": ("outdeg", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(deg, pd.DataFrame):
+        deg = deg.to_pandas()
+
+    ranks = nodes.assign(rank=1.0 / n)
+    for _ in range(n_iter):
+        rd_tab = ranks.merge(deg, left_on="node", right_on=src_col, how="left")
+        dangling = float(rd_tab.loc[rd_tab["outdeg"].isna(), "rank"].sum())
+        sending = rd_tab[rd_tab["outdeg"].notna()]
+        # per-edge weights broadcast ONCE per iteration (`ray.put`, the
+        # T2 pattern) — each batch looks its sources up and emits
+        # (dst, partial-sum) combiner rows; the grouped finish is
+        # size-aware.  One map execution per iteration instead of a
+        # join + agg chain (measured 3-4x fewer executions).
+        wser = pd.Series(
+            (sending["rank"] / sending["outdeg"]).to_numpy(),
+            index=sending["node"].to_numpy(),
+        )
+        wref = ray.put(wser)
+
+        def contrib_partial(b: pd.DataFrame, _wref=wref) -> pd.DataFrame:
+            w = b[src_col].map(cached_get(_wref))
+            sub = pd.DataFrame({dst_col: b[dst_col], "c": w}).dropna()
+            return sub.groupby(dst_col, as_index=False).agg(c=("c", "sum"))
+
+        summed = auto_group_agg(
+            proj.map_batches(contrib_partial, batch_format="pandas"),
+            [dst_col],
+            {"c": ("c", "sum")},
+            n_shards=n_shards,
+        )
+        if not isinstance(summed, pd.DataFrame):
+            summed = summed.to_pandas()
+        merged = nodes.merge(summed, left_on="node", right_on=dst_col, how="left")
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = nodes.assign(
+            rank=base + damping * merged["c"].fillna(0.0).to_numpy()
+        )
+    return ranks.reset_index(drop=True)

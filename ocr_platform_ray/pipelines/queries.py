@@ -3333,6 +3333,66 @@ def q_centered_roll_value_by_user(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "ts", "event_id", "roll_value"]]
 
 
+def q_link_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over a synthesized doc link graph (`ops/graph.pagerank`
+    — the Common-Crawl-style centrality prior next to the text): every
+    doc links to its deterministic successor, every 10th doc also links
+    to hub doc 0.  Rows-only (float power iteration has no SQL
+    equivalent; numpy-reference rtol equality in TestGraph); rank-mass
+    conservation and the hub's top rank asserted in-query."""
+    from ..ops.graph import pagerank
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        succ = pd.DataFrame({"src": ids, "dst": (ids * 7 + 3) % 1000})
+        hub = pd.DataFrame({"src": ids[ids % 10 == 0], "dst": 0})
+        return pd.concat([succ, hub], ignore_index=True)
+
+    out = pagerank(
+        docs.map_batches(links, batch_format="pandas"), n_iter=8
+    )
+    assert abs(out["rank"].sum() - 1.0) < 1e-9, "rank mass not conserved"
+    top = out.sort_values("rank", ascending=False)["node"].iloc[0]
+    assert top == 0, f"hub doc should rank first, got {top}"
+    out = out.rename(columns={"node": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tpch_q6_forecast(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure predicate + one
+    global sum — map-only integer-cents combiner partials, one scalar
+    reduce; the discount product stays exact because cents x discount
+    percent is integer arithmetic.  Full SQL oracle in
+    TestTailQueryOracles."""
+    li = _t(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["l_shipdate"]
+        keep = (
+            (sd >= pd.Timestamp("1996-01-01"))
+            & (sd < pd.Timestamp("1997-01-01"))
+            & (b["l_discount"] >= 0.05)
+            & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24)
+        )
+        sub = b[keep]
+        # cents * whole-percent discount: exact int64 product
+        cents = _cents(sub["l_extendedprice"]).astype("int64")
+        disc_pct = np.copysign(
+            np.floor(np.abs(sub["l_discount"].to_numpy()) * 100 + 0.5),
+            sub["l_discount"].to_numpy(),
+        ).astype("int64")
+        return pd.DataFrame({"rev_cp": [int((cents * disc_pct).sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue": [parts["rev_cp"].sum() / 10000.0]})
+
+
 def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     """SQL ``UNNEST`` with ordinality (`ops/relational.
     explode_list_column`): the embedding list column to long form —
@@ -3535,6 +3595,10 @@ QUERIES = {
     "clustered_range_scan": q_clustered_range_scan,
     "centered_roll_value_by_user": q_centered_roll_value_by_user,
     "embedding_unnest": q_embedding_unnest,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    # no-oracle (float power iteration; numpy-reference rtol equality +
+    # hub/mass invariants in TestGraph and in-query)
+    "link_pagerank": q_link_pagerank,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4592,6 +4656,15 @@ ORACLE_SQL = {
     "embedding_unnest": (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
         "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
+    ),
+    "tpch_q6_forecast": (
+        # cents x whole-percent discount = exact integer sum; one final
+        # double division on both engines
+        "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 "
+        "AS revenue FROM lineitem "
+        "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

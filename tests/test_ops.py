@@ -1676,6 +1676,7 @@ class TestTailQueryOracles:
             "clustered_range_scan",
             "centered_roll_value_by_user",
             "embedding_unnest",
+            "tpch_q6_forecast",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -2928,3 +2929,78 @@ class TestExplodeList:
             ).to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
             outs.append(o)
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraph:
+    def test_connected_components_forest(self):
+        from ocr_platform_ray.ops.graph import connected_components
+
+        edges = pd.DataFrame(
+            {
+                "src": [1, 2, 3, 10, 11, 20],
+                "dst": [2, 3, 4, 11, 12, 20],  # chain, chain, self-loop
+            }
+        )
+        out = connected_components(rd.from_pandas(edges).repartition(3))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        labels = out.set_index(out.columns[0])[out.columns[1]]
+        assert all(labels[v] == 1 for v in (1, 2, 3, 4))
+        assert all(labels[v] == 10 for v in (10, 11, 12))
+        assert labels[20] == 20
+
+    def _rank_reference(self, edges, n_nodes, damping, n_iter):
+        nodes = np.arange(n_nodes)
+        out_deg = np.zeros(n_nodes)
+        for s in edges["src"]:
+            out_deg[s] += 1
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(n_iter):
+            contrib = np.zeros(n_nodes)
+            w = np.where(out_deg > 0, r / np.maximum(out_deg, 1), 0.0)
+            for s, d in zip(edges["src"], edges["dst"]):
+                contrib[d] += w[s]
+            dangling = r[out_deg == 0].sum()
+            r = (1 - damping) / n_nodes + damping * (contrib + dangling / n_nodes)
+        return r
+
+    def test_pagerank_matches_power_iteration(self):
+        from ocr_platform_ray.ops.graph import pagerank
+
+        rng = np.random.RandomState(7)
+        n = 40
+        edges = pd.DataFrame(
+            {
+                "src": rng.randint(0, n, 200),
+                "dst": rng.randint(0, n, 200),
+            }
+        )
+        # ensure every node appears (dangling nodes still ranked)
+        edges = pd.concat(
+            [edges, pd.DataFrame({"src": [0] * n, "dst": np.arange(n)})],
+            ignore_index=True,
+        )
+        got = pagerank(
+            rd.from_pandas(edges).repartition(4), n_iter=15, damping=0.85
+        ).sort_values("node").reset_index(drop=True)
+        want = self._rank_reference(edges, n, 0.85, 15)
+        assert got["rank"].sum() == pytest.approx(1.0, rel=1e-9)
+        np.testing.assert_allclose(got["rank"].to_numpy(), want, rtol=1e-9)
+
+    def test_pagerank_hub_and_validation(self):
+        from ocr_platform_ray.ops.graph import pagerank
+
+        n = 30
+        # every node links to node 0 (hub) and its successor
+        edges = pd.DataFrame(
+            {
+                "src": list(range(1, n)) + list(range(1, n)),
+                "dst": [0] * (n - 1) + [(i + 1) % n for i in range(1, n)],
+            }
+        )
+        out = pagerank(rd.from_pandas(edges), n_iter=10)
+        top = out.sort_values("rank", ascending=False)["node"].iloc[0]
+        assert top == 0
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(rd.from_pandas(edges), damping=1.5)
