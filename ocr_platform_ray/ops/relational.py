@@ -514,6 +514,69 @@ def _semi_anti_bucketed(
     return l.union(r).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def _semi_anti_bloom(
+    ds: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    keep_in: bool,
+    n_buckets: int,
+    m_bits: int,
+) -> rd.Dataset:
+    """Bloom-prefiltered semi/anti (the Dolma fixed-memory idea applied
+    to join pushdown): a ``m_bits/8``-byte bitmap over the key side
+    broadcasts once, and the map-side prefilter resolves most rows
+    WITHOUT any exchange — semi drops definite non-members (a Bloom
+    negative is exact), anti KEEPS them outright — so the exact bucketed
+    finish moves only the Bloom-positive sliver (true matches + the
+    ~(1-e^{-kn/m})^k false-positive rate).  Exact by construction at any
+    false-positive rate.
+
+    The anti route scans ``ds`` twice (definite keeps + candidates) —
+    two source scans beat one corpus-wide exchange whenever the key side
+    is too big to broadcast; materialize upstream if the input lineage
+    is expensive."""
+    from .spans import _bloom_indices, _bloom_test
+
+    n_words = (max(m_bits, 64) + 63) // 64
+    m_bits = n_words * 64
+
+    def bloom_partial(b: pd.DataFrame, _idx=_bloom_indices) -> pd.DataFrame:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        gh = pd.util.hash_array(b[on].to_numpy()).view(np.int64)
+        for idx in _idx(gh, m_bits):
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for batch in (
+        keys.select_columns([on])
+        .map_batches(bloom_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        for raw in batch["bits"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    ref = ray.put(acc)
+
+    def prefilter(keep_hits: bool):
+        def f(b: pd.DataFrame, _test=_bloom_test) -> pd.DataFrame:
+            gh = pd.util.hash_array(b[on].to_numpy()).view(np.int64)
+            hit = _test(cached_get(ref), gh)
+            return b[hit if keep_hits else ~hit]
+
+        return f
+
+    candidates = ds.map_batches(prefilter(True), batch_format="pandas")
+    if keep_in:
+        return _semi_anti_bucketed(candidates, keys, on, True, n_buckets)
+    definite = ds.map_batches(prefilter(False), batch_format="pandas")
+    survivors = _semi_anti_bucketed(candidates, keys, on, False, n_buckets)
+    return definite.union(survivors)
+
+
 def _semi_anti(
     ds: rd.Dataset,
     keys: rd.Dataset,
@@ -534,6 +597,8 @@ def _semi_anti(
         method = "bucketed"
     if method == "bucketed":
         return _semi_anti_bucketed(ds, keys, on, keep_in, n_buckets)
+    if method == "bloom":
+        return _semi_anti_bloom(ds, keys, on, keep_in, n_buckets, 1 << 23)
     ref = _key_set_ref(keys, on)
     return ds.map_batches(_KeyFilter(ref, on, keep_in), batch_format="pandas")
 
@@ -982,10 +1047,16 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: "pd.Timedelta | None" = None,
     n_shards: int = 64,
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row of the same key
-    with right.ts <= left.ts.
+    with right.ts <= left.ts (``direction="backward"``, the default) —
+    or the earliest with right.ts >= left.ts (``"forward"``), or the
+    closest either way (``"nearest"``, ties to backward like pandas).
+    ``tolerance`` (a Timedelta) bounds the match distance; beyond it the
+    row fills with the missing value, matching ``pd.merge_asof``.
 
     Exchange shape: ONE co-grouping shuffle on ``hash(key) % n_shards`` (the
     reassemble_docs hash-shard pattern) — n_shards vectorized
@@ -1063,7 +1134,9 @@ def asof_join(
             return lg[out_cols]
         rg = _restore_dtypes(g.loc[rmask, rkeep].copy(), rtargets)
         rg = rg.rename(columns=out_names).sort_values(ts, kind="mergesort")
-        merged = pd.merge_asof(lg, rg, on=ts, by=key, direction="backward")[out_cols]
+        merged = pd.merge_asof(
+            lg, rg, on=ts, by=key, direction=direction, tolerance=tolerance
+        )[out_cols]
         # cast right payloads to the declared out_dtypes: a shard where
         # every left row matched keeps int64 payloads while fill/miss
         # shards emit float64 — without this cast per-block schemas

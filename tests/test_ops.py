@@ -3004,3 +3004,123 @@ class TestGraph:
         assert top == 0
         with pytest.raises(ValueError, match="damping"):
             pagerank(rd.from_pandas(edges), damping=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofDirections:
+    def _sides(self, seed=17):
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.choice(list("abc"), 60),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10000, 60), unit="s"),
+                "lv": np.arange(60, dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.choice(list("abc"), 40),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10000, 40), unit="s"),
+                "rv": np.arange(40, dtype="int64") * 10,
+            }
+        )
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["forward", "nearest"])
+    def test_direction_matches_pandas(self, direction):
+        from ocr_platform_ray.ops.relational import asof_join
+
+        left, right = self._sides()
+        got = (
+            asof_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                key="k", ts="ts", right_cols=["k", "ts", "rv"],
+                direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lv"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction=direction,
+        ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]],
+            check_dtype=False,
+        )
+
+    def test_tolerance_bounds_matches(self):
+        from ocr_platform_ray.ops.relational import asof_join
+
+        left, right = self._sides(seed=23)
+        tol = pd.Timedelta(seconds=500)
+        got = (
+            asof_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(2),
+                key="k", ts="ts", right_cols=["k", "ts", "rv"],
+                tolerance=tol,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lv"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="backward", tolerance=tol,
+        ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]],
+            check_dtype=False,
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiAnti:
+    def _sides(self, seed=31):
+        rng = np.random.RandomState(seed)
+        data = pd.DataFrame(
+            {
+                "k": rng.randint(0, 1000, 800).astype("int64"),
+                "v": rng.rand(800),
+            }
+        )
+        keys = pd.DataFrame({"k": rng.randint(0, 1000, 120).astype("int64")})
+        return data, keys
+
+    @pytest.mark.parametrize("op", ["semi", "anti"])
+    def test_bloom_route_equals_broadcast(self, op):
+        from ocr_platform_ray.ops.relational import anti_join, semi_join
+
+        fn = semi_join if op == "semi" else anti_join
+        data, keys = self._sides()
+        outs = []
+        for method in ("broadcast", "bloom"):
+            o = fn(
+                rd.from_pandas(data).repartition(5),
+                rd.from_pandas(keys).repartition(3),
+                "k",
+                method=method,
+            ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # sanity: both classes of row present
+        inset = set(keys["k"])
+        if op == "semi":
+            assert set(outs[0]["k"]).issubset(inset)
+        else:
+            assert not (set(outs[0]["k"]) & inset)
+
+    def test_bloom_string_keys(self):
+        from ocr_platform_ray.ops.relational import semi_join
+
+        data = pd.DataFrame({"k": [f"url{i}" for i in range(200)], "v": range(200)})
+        keys = pd.DataFrame({"k": [f"url{i}" for i in range(0, 200, 7)]})
+        out = semi_join(
+            rd.from_pandas(data), rd.from_pandas(keys), "k", method="bloom"
+        ).to_pandas()
+        assert sorted(out["k"]) == sorted(keys["k"])
