@@ -29,6 +29,67 @@ def _esc(s: str) -> bytes:
     )
 
 
+def ahx_encode(data: bytes) -> bytes:
+    """Independent ASCIIHexDecode encoder (§7.4.2): hex digits in
+    64-char lines + the ``>`` EOD (the line breaks exercise the
+    decoder's whitespace rule)."""
+    h = data.hex().encode("ascii")
+    lines = [h[i : i + 64] for i in range(0, len(h), 64)]
+    return b"\n".join(lines) + b">"
+
+
+def a85_encode(data: bytes) -> bytes:
+    """Independent ASCII85Decode encoder (§7.4.3), written from the
+    spec so a round-trip against ``stages/pdf._a85_decode`` cannot pass
+    through a shared bug: 4-byte groups to 5 base-85 chars (``!``..``u``),
+    the all-zero group emitted as ``z``, a final partial group of n
+    bytes as n+1 chars from the zero-padded group, ``~>`` EOD."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if v == 0 and pad == 0:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 33 + v % 85
+            v //= 85
+        out += digits[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def rle_compress(data: bytes) -> bytes:
+    """Independent RunLengthDecode encoder (§7.4.5): repeat runs (>= 3,
+    <= 128) as [257-len, byte], literals (<= 128) as [len-1, bytes...],
+    128 EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            if lit_start < i:
+                lit = data[lit_start:i]
+                for j in range(0, len(lit), 128):
+                    part = lit[j : j + 128]
+                    out += bytes([len(part) - 1]) + part
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    if lit_start < i:
+        lit = data[lit_start:i]
+        for j in range(0, len(lit), 128):
+            part = lit[j : j + 128]
+            out += bytes([len(part) - 1]) + part
+    return bytes(out) + b"\x80"
+
+
 def lzw_compress(data: bytes, early: int = 1) -> bytes:
     """Independent LZW ENCODER (ISO 32000-1 §7.4.4, EarlyChange default)
     for fixture streams — own table/width logic so the round-trip test
@@ -102,16 +163,44 @@ class _PdfBuilder:
         self.objects[n] = body
 
     def stream_obj(
-        self, dict_extra: bytes, data: bytes, *, compress: bool = True, use_lzw: bool = False
+        self,
+        dict_extra: bytes,
+        data: bytes,
+        *,
+        compress: bool = True,
+        use_lzw: bool = False,
+        use_rle: bool = False,
+        ascii_wrap: str | None = None,
     ) -> int:
-        if use_lzw:
+        if use_rle:
+            data = rle_compress(data)
+            filt = b"/Filter /RunLengthDecode "
+            names = [b"/RunLengthDecode"]
+        elif use_lzw:
             data = lzw_compress(data)
             filt = b"/Filter /LZWDecode "
+            names = [b"/LZWDecode"]
         elif compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
+            names = [b"/FlateDecode"]
         else:
             filt = b""
+            names = []
+        if ascii_wrap:
+            # cascade: the ascii filter is applied LAST on encode, so it
+            # comes FIRST in the /Filter array on decode
+            enc, name = {
+                "a85": (a85_encode, b"/ASCII85Decode"),
+                "ahx": (ahx_encode, b"/ASCIIHexDecode"),
+            }[ascii_wrap]
+            data = enc(data)
+            names = [name] + names
+            filt = (
+                b"/Filter [" + b" ".join(names) + b"] "
+                if len(names) > 1
+                else b"/Filter " + names[0] + b" "
+            )
         d = b"<< " + filt + dict_extra + b"/Length " + str(len(data)).encode() + b" >>"
         return self.add(d + b"\nstream\n" + data + b"\nendstream")
 
@@ -238,6 +327,8 @@ def make_pdf(
     use_cid: bool = False,
     use_form_xobj: bool = False,
     use_lzw: bool = False,
+    use_rle: bool = False,
+    ascii_wrap: str | None = None,
     dct_image: bool = False,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
@@ -258,6 +349,9 @@ def make_pdf(
     parser executes XObject streams.
 
     ``use_lzw=True`` LZW-encodes the content streams (legacy writers);
+    ``use_rle=True`` RunLength-encodes them; ``ascii_wrap="a85"/"ahx"``
+    wraps the (compressed) stream in ASCII85/ASCIIHex — a two-filter
+    cascade exercising the /Filter array path;
     ``dct_image=True`` embeds a DCTDecode image XObject painted before
     the text on every page (the scanned-book shape) — the parser must
     salvage the page's text around the undecodable image, not fail."""
@@ -355,7 +449,10 @@ def make_pdf(
             ops.append(b"/Fx1 Do")
             xobjs.append(b"/Fx1 " + str(form).encode() + b" 0 R")
         xobj_res = (b"/XObject << " + b" ".join(xobjs) + b" >> ") if xobjs else b""
-        content = b.stream_obj(b"", b"\n".join(ops), compress=compress, use_lzw=use_lzw)
+        content = b.stream_obj(
+            b"", b"\n".join(ops), compress=compress, use_lzw=use_lzw,
+            use_rle=use_rle, ascii_wrap=ascii_wrap,
+        )
         page = b.add(
             b"<< /Type /Page /Parent "
             + str(pages_root).encode()
@@ -393,6 +490,8 @@ def make_article_pdf(
     use_cid: bool = False,
     use_form_xobj: bool = False,
     use_lzw: bool = False,
+    use_rle: bool = False,
+    ascii_wrap: str | None = None,
     dct_image: bool = False,
     compress: bool = True,
 ) -> bytes:
@@ -422,8 +521,8 @@ def make_article_pdf(
         items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
     return make_pdf(
         [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid,
-        use_form_xobj=use_form_xobj, use_lzw=use_lzw, dct_image=dct_image,
-        compress=compress,
+        use_form_xobj=use_form_xobj, use_lzw=use_lzw, use_rle=use_rle,
+        ascii_wrap=ascii_wrap, dct_image=dct_image, compress=compress,
     )
 
 

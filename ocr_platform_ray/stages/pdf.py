@@ -13,7 +13,9 @@ parser feeding the existing bbox/XY-cut reading-order path:
 
 Supported: classic xref and xref-stream files (the scanner never trusts
 xref offsets — it walks ``obj``..``endobj`` spans directly, which also
-salvages mildly damaged files), FlateDecode and uncompressed streams,
+salvages mildly damaged files), FlateDecode / LZWDecode /
+ASCIIHexDecode / ASCII85Decode / RunLengthDecode (incl. cascades) and
+uncompressed streams,
 PNG Predictor DecodeParms (sub/up/average/paeth — xref AND content
 streams), literal strings with octal/char escapes, hex strings, object
 streams, ToUnicode CMaps (bfchar / bfrange offset + array forms, 1- and
@@ -35,6 +37,7 @@ an average-width estimate — enough for reading order)."""
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import re
 import zlib
@@ -259,6 +262,49 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): whitespace ignored, ``>``
+    is EOD, an odd trailing digit pads with 0."""
+    s = bytes(data).translate(None, _WS + b"\v")
+    end = s.find(b">")
+    if end != -1:
+        s = s[:end]
+    if len(s) % 2:
+        s += b"0"
+    return bytes.fromhex(s.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (ISO 32000-1 §7.4.3): whitespace ignored, ``z`` =
+    four zero bytes, ``~>`` is EOD, partial final group of n chars
+    yields n-1 bytes (base64.a85decode implements exactly this group
+    arithmetic; framing/whitespace handled here)."""
+    s = bytes(data).translate(None, _WS + b"\v")
+    end = s.find(b"~>")
+    if end != -1:
+        s = s[:end]
+    return base64.a85decode(s)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5): length byte L — 0..127
+    copies the next L+1 bytes, 129..255 repeats the next byte 257-L
+    times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        if L == 128:
+            break
+        if L < 128:
+            out += data[i + 1 : i + 2 + L]
+            i += 2 + L
+        else:
+            out += data[i + 1 : i + 2] * (257 - L)
+            i += 2
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes) -> bytes:
     filt = d.get("Filter")
     if filt is None:
@@ -276,6 +322,12 @@ def _decode_stream(d: dict, raw: bytes) -> bytes:
         elif f == "LZWDecode":
             early = parms.get("EarlyChange", 1) if isinstance(parms, dict) else 1
             raw = _lzw_decode(raw, early)
+        elif f == "ASCIIHexDecode":
+            raw = _ahx_decode(raw)
+        elif f == "ASCII85Decode":
+            raw = _a85_decode(raw)
+        elif f == "RunLengthDecode":
+            raw = _rle_decode(raw)
         else:
             # image codecs (DCTDecode/JPXDecode/CCITT/JBIG2) and exotic
             # text filters: the OBJECT survives with sdata=None — pages

@@ -564,3 +564,60 @@ class TestLzwAndImageSalvage:
             assert r["failed_stage"] is None, kw
             assert r["body"] == base["body"] and r["header"] == base["header"], kw
             assert pdf_page_count(pdf) == 1
+
+
+class TestAsciiAndRleFilters:
+    def test_kat_known_answers(self):
+        from ocr_platform_ray.stages.pdf import _a85_decode, _ahx_decode, _rle_decode
+
+        # ISO 32000 / Adobe examples and hand-checked vectors
+        assert _ahx_decode(b"48 65 6C6C 6F>") == b"Hello"
+        assert _ahx_decode(b"48656C6C6F2") == b"Hello " == b"Hello\x20"  # odd digit pads 0
+        # Wikipedia Ascii85 worked examples: "Man " / "sure"
+        assert _a85_decode(b"9jqo^~>") == b"Man "
+        assert _a85_decode(b"F*2M7~>") == b"sure"
+        assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+        # whitespace inside the stream is ignored (PDF allows line breaks)
+        assert _a85_decode(b"9jq\no^ F*2M7~>") == b"Man sure"
+        assert _rle_decode(b"\x02abc\xfeZ\x80") == b"abc" + b"Z" * 3
+
+    def test_roundtrip_independent_encoders(self):
+        import random
+
+        from ocr_platform_ray.sources.pdfgen import a85_encode, ahx_encode, rle_compress
+        from ocr_platform_ray.stages.pdf import _a85_decode, _ahx_decode, _rle_decode
+
+        random.seed(9)
+        blobs = [
+            b"",
+            b"A",
+            b"\x00\x00\x00\x00",  # the a85 'z' group
+            b"\x00" * 9,  # z groups + partial zero tail
+            bytes(random.randrange(256) for _ in range(5000)),
+            b"run" + b"X" * 500 + b"tail",
+            ("prose " * 300).encode(),
+        ]
+        for blob in blobs:
+            assert _ahx_decode(ahx_encode(blob)) == blob
+            assert _a85_decode(a85_encode(blob)) == blob
+            assert _rle_decode(rle_compress(blob)) == blob
+
+    def test_filtered_pages_extract_byte_identical(self):
+        from ocr_platform_ray.stages.extract import extract_page
+        from ocr_platform_ray.sources.pdfgen import make_article_pdf
+        from ocr_platform_ray.stages.pdf import pdf_page_count
+
+        paras = ["hello world paragraph body text here comes more prose"]
+        base = extract_page(make_article_pdf("Chapter 1", paras, page_number=1), "")
+        for kw in (
+            {"use_rle": True},                      # RunLength alone
+            {"ascii_wrap": "ahx"},                  # [ASCIIHex, Flate] cascade
+            {"ascii_wrap": "a85"},                  # [ASCII85, Flate] cascade
+            {"ascii_wrap": "a85", "use_lzw": True}, # [ASCII85, LZW] cascade
+            {"ascii_wrap": "ahx", "compress": False},  # ASCIIHex alone
+        ):
+            pdf = make_article_pdf("Chapter 1", paras, page_number=1, **kw)
+            r = extract_page(pdf, "")
+            assert r["failed_stage"] is None, kw
+            assert r["body"] == base["body"] and r["header"] == base["header"], kw
+            assert pdf_page_count(pdf) == 1
