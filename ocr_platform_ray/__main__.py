@@ -122,6 +122,13 @@ def main(argv: list[str] | None = None) -> int:
     rz.add_argument("--output", required=True)
     rz.add_argument("--scale", type=float, default=2.0)
 
+    cs = sub.add_parser(
+        "compact-state",
+        help="merge incremental-dedup bucket state files (run quiesced "
+        "between ingests; crash-safe, idempotent)",
+    )
+    cs.add_argument("--state-dir", required=True)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -261,6 +268,20 @@ def main(argv: list[str] | None = None) -> int:
                 for f in _g.glob(f"{args.output}/*.parquet")
             )
             print(json.dumps({"pages": n, "output": args.output, "scale": args.scale}))
+        elif args.cmd == "compact-state":
+            from .ops.incremental import compact_bucket_state
+
+            rep = compact_bucket_state(args.state_dir)
+            print(
+                json.dumps(
+                    {
+                        "buckets": int(len(rep)),
+                        "files_before": int(rep["files_before"].sum()) if len(rep) else 0,
+                        "files_after": int(rep["files_after"].sum()) if len(rep) else 0,
+                        "rows": int(rep["n_rows"].sum()) if len(rep) else 0,
+                    }
+                )
+            )
     finally:
         ray.shutdown()
     return 0

@@ -128,6 +128,27 @@ def _commit_ingest(
         if os.path.exists(p):
             shutil.rmtree(p)
     survivors.write_parquet(tmp)
+    if not glob.glob(os.path.join(tmp, "*.parquet")):
+        # a fully-duplicate increment has ZERO survivors: write_parquet
+        # emits no files (and may not even create the dir) — commit an
+        # explicit empty fragment so the marker still lands and replay
+        # reads an empty, correctly-typed table
+        os.makedirs(tmp, exist_ok=True)
+        schema = survivors.schema()
+        if schema is not None and schema.names:
+            fields = []
+            for n, t in zip(schema.names, schema.types):
+                if not isinstance(t, pa.DataType):
+                    # pandas-block schema: numpy dtypes; object -> string
+                    try:
+                        t = pa.from_numpy_dtype(t)
+                    except (pa.ArrowNotImplementedError, TypeError):
+                        t = pa.string()
+                fields.append((n, t))
+            empty = pa.schema(fields).empty_table()
+        else:
+            empty = pa.table({"__empty": pa.array([], pa.int64())})
+        pq.write_table(empty, os.path.join(tmp, "empty.parquet"))
     os.replace(tmp, sdir)
     mtmp = marker + ".tmp"
     with open(mtmp, "w") as f:

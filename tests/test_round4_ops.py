@@ -2052,3 +2052,35 @@ class TestCompactBucketState:
 
         rep = compact_bucket_state(str(tmp_path / "nothing"))
         assert len(rep) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullyDuplicateIncrement:
+    def test_all_dup_increment_commits_and_replays(self, tmp_path):
+        from ocr_platform_ray.ops.incremental import (
+            committed_ingests,
+            incremental_exact_dedup,
+        )
+
+        sd = str(tmp_path / "state")
+        mk = lambda ids: rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": np.array(ids, dtype=np.int64),
+                 "text": [f"t{i % 4}" for i in range(len(ids))]}
+            )
+        )
+        s1 = incremental_exact_dedup(mk(range(8)), "text", "doc_id", sd, ingest_id="day1")
+        assert s1.count() == 4
+        # day2 is 100% duplicates of day1 -> zero survivors, but the
+        # ingest must still COMMIT (and replay as an empty read)
+        s2 = incremental_exact_dedup(mk(range(100, 108)), "text", "doc_id", sd, ingest_id="day2")
+        assert s2.count() == 0
+        assert committed_ingests(sd) == ["day1", "day2"]
+        replay = incremental_exact_dedup(mk(range(100, 108)), "text", "doc_id", sd, ingest_id="day2")
+        assert replay.count() == 0
+        # day3 continues normally on top of the empty commit
+        s3 = incremental_exact_dedup(
+            rd.from_pandas(pd.DataFrame({"doc_id": np.array([500], dtype=np.int64), "text": ["fresh"]})),
+            "text", "doc_id", sd, ingest_id="day3",
+        )
+        assert s3.count() == 1
