@@ -405,3 +405,66 @@ def heavy_hitters(
         drop=True
     )
     return out.head(top) if top is not None else out
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates)
+# --------------------------------------------------------------------------
+_CM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cm_rows(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices via Kirsch-Mitzenmacher double hashing
+    (h1 + i*h2 — the Bloom-filter identity preserves the CM bound)."""
+    h1 = h.view(np.uint64)
+    h2 = h1 * _CM_GOLD
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)
+    w = np.uint64(width)
+    return np.stack([((h1 + np.uint64(i) * h2) % w) for i in range(depth)])
+
+
+def count_min_build(
+    ds: rd.Dataset, col: str, *, width: int = 2048, depth: int = 4
+) -> dict:
+    """Count-Min sketch of the value frequencies in ``col`` (Cormode &
+    Muthukrishnan 2005): point estimates obey ``true <= est <= true +
+    (e/width) * N`` with prob. ``1 - e^-depth`` — the fixed-memory
+    point-frequency complement to the Misra-Gries heavy-hitter TOP-K
+    (`heavy_hitters` finds the keys; this answers 'how often does key X
+    occur' for ANY key without holding the key space).
+
+    Scale shape: counters are mergeable sums — one (depth x width)
+    int64 partial per batch, streamed and summed on the driver exactly
+    like `approx_distinct`'s register merge (the accumulator is
+    depth x width x 8 bytes, fixed).  Values never move."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros((depth, width), dtype=np.int64)
+        h = pd.util.hash_array(b[col].to_numpy())
+        rows = _cm_rows(h, width, depth)
+        for i in range(depth):
+            np.add.at(m[i], rows[i].astype(np.int64), 1)
+        return pd.DataFrame({"m": [m.tobytes()], "n": [len(b)]})
+
+    acc = np.zeros((depth, width), dtype=np.int64)
+    n = 0
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for raw, bn in zip(batch["m"], batch["n"]):
+            acc += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+            n += int(bn)
+    return {"m": acc, "width": width, "depth": depth, "n": n}
+
+
+def count_min_query(cm: dict, values) -> np.ndarray:
+    """Point-frequency estimates for ``values`` (vectorized min over the
+    depth rows).  Overestimates only — never below the true count."""
+    vals = np.asarray(values)
+    h = pd.util.hash_array(vals)
+    rows = _cm_rows(h, cm["width"], cm["depth"])
+    ests = np.stack(
+        [cm["m"][i][rows[i].astype(np.int64)] for i in range(cm["depth"])]
+    )
+    return ests.min(axis=0)

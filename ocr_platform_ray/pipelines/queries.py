@@ -3361,6 +3361,42 @@ def q_link_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
+    """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
+    / `count_min_query`): per-user event counts from a fixed-memory
+    mergeable sketch.  Rows-only (estimates have no SQL equivalent);
+    the CM guarantees — never-underestimate and the (e/width)·N
+    overestimate bound vs the exact distributed counts — are asserted
+    in-query; error-bound pytest in TestCountMin."""
+    from ..ops.relational import auto_group_agg
+    from ..ops.sketch import count_min_build, count_min_query
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    cm = count_min_build(ev, "user_id", width=4096, depth=4)
+    exact = auto_group_agg(
+        ev.map_batches(
+            lambda b: b.groupby("user_id", as_index=False).agg(n=("user_id", "size")),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"n": ("n", "sum")},
+    )
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    exact = exact.sort_values("user_id").reset_index(drop=True)
+    est = count_min_query(cm, exact["user_id"].to_numpy())
+    true = exact["n"].to_numpy()
+    assert (est >= true).all(), "count-min underestimated"
+    assert (est - true <= (np.e / 4096) * cm["n"]).all(), "CM bound violated"
+    return pd.DataFrame(
+        {
+            "user_id": exact["user_id"].astype("int64"),
+            "n_exact": true.astype("int64"),
+            "n_est": est.astype("int64"),
+        }
+    )
+
+
 def q_tpch_q6_forecast(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6 (forecasting revenue change): pure predicate + one
     global sum — map-only integer-cents combiner partials, one scalar
@@ -3599,6 +3635,9 @@ QUERIES = {
     # no-oracle (float power iteration; numpy-reference rtol equality +
     # hub/mass invariants in TestGraph and in-query)
     "link_pagerank": q_link_pagerank,
+    # no-oracle (sketch estimates; CM bounds asserted in-query vs the
+    # exact distributed counts, error-bound pytest in TestCountMin)
+    "cm_user_freq": q_cm_user_freq,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

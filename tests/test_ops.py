@@ -3124,3 +3124,39 @@ class TestBloomSemiAnti:
             rd.from_pandas(data), rd.from_pandas(keys), "k", method="bloom"
         ).to_pandas()
         assert sorted(out["k"]) == sorted(keys["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMin:
+    def test_bounds_and_block_independence(self):
+        from ocr_platform_ray.ops.sketch import count_min_build, count_min_query
+
+        rng = np.random.RandomState(5)
+        vals = rng.zipf(1.5, 20000)
+        vals = vals[vals < 5000].astype("int64")
+        df = pd.DataFrame({"v": vals})
+        cms = [
+            count_min_build(rd.from_pandas(df).repartition(nb), "v",
+                            width=1024, depth=4)
+            for nb in (1, 7)
+        ]
+        np.testing.assert_array_equal(cms[0]["m"], cms[1]["m"])
+        exact = df["v"].value_counts()
+        keys = exact.index.to_numpy()[:50]
+        est = count_min_query(cms[0], keys)
+        true = exact.to_numpy()[:50]
+        assert (est >= true).all()  # CM never underestimates
+        eps_bound = (np.e / 1024) * len(df)
+        assert (est - true <= eps_bound).all()
+        # heavy keys should estimate nearly exactly
+        assert est[0] == true[0]
+
+    def test_unseen_keys_small(self):
+        from ocr_platform_ray.ops.sketch import count_min_build, count_min_query
+
+        df = pd.DataFrame({"v": np.arange(1000, dtype="int64") % 10})
+        cm = count_min_build(rd.from_pandas(df), "v", width=2048, depth=4)
+        unseen = count_min_query(cm, np.arange(10_000, 10_050, dtype="int64"))
+        assert (unseen <= (np.e / 2048) * 1000).all()
+        seen = count_min_query(cm, np.arange(10, dtype="int64"))
+        assert (seen >= 100).all()

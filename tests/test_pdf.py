@@ -621,3 +621,43 @@ class TestAsciiAndRleFilters:
             assert r["failed_stage"] is None, kw
             assert r["body"] == base["body"] and r["header"] == base["header"], kw
             assert pdf_page_count(pdf) == 1
+
+
+class TestCodecProperties:
+    """Hypothesis roundtrips for the stream-filter codec pairs — any
+    byte string must survive encoder->decoder bit-exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(max_size=4000))
+    @settings(max_examples=60, deadline=None)
+    def test_ascii85_roundtrip(self, blob):
+        from ocr_platform_ray.sources.pdfgen import a85_encode
+        from ocr_platform_ray.stages.pdf import _a85_decode
+
+        assert _a85_decode(a85_encode(blob)) == blob
+
+    @given(st.binary(max_size=4000))
+    @settings(max_examples=60, deadline=None)
+    def test_asciihex_roundtrip(self, blob):
+        from ocr_platform_ray.sources.pdfgen import ahx_encode
+        from ocr_platform_ray.stages.pdf import _ahx_decode
+
+        assert _ahx_decode(ahx_encode(blob)) == blob
+
+    @given(st.binary(max_size=4000))
+    @settings(max_examples=60, deadline=None)
+    def test_rle_roundtrip_and_never_expands_runs(self, blob):
+        from ocr_platform_ray.sources.pdfgen import rle_compress
+        from ocr_platform_ray.stages.pdf import _rle_decode
+
+        assert _rle_decode(rle_compress(blob)) == blob
+
+    @given(st.binary(max_size=2000))
+    @settings(max_examples=40, deadline=None)
+    def test_lzw_roundtrip_property(self, blob):
+        from ocr_platform_ray.sources.pdfgen import lzw_compress
+        from ocr_platform_ray.stages.pdf import _lzw_decode
+
+        assert _lzw_decode(lzw_compress(blob)) == blob
