@@ -162,3 +162,155 @@ def pruned_read(
     return rd.read_parquet(files, columns=columns).map_batches(
         residual, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-column clustering
+# --------------------------------------------------------------------------
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton-interleave two uint16 rank arrays into uint32 z-values
+    (bit i of a -> bit 2i, bit i of b -> bit 2i+1) — vectorized via the
+    standard mask-shift spreading identity."""
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint32)
+        x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+        x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+        x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+        x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+        return x
+
+    return spread(a) | (spread(b) << np.uint32(1))
+
+
+def zorder_write(
+    ds: rd.Dataset,
+    cols: list[str],
+    out_dir: str,
+    *,
+    n_files: int = 32,
+    sketch_k: int = 4096,
+) -> pd.DataFrame:
+    """Write ``ds`` Z-ORDER clustered on two columns (the lakehouse
+    multi-dimension layout): each column quantile-normalizes to a
+    16-bit rank through its own mergeable sketch, ranks Morton-
+    interleave to a 32-bit z-value, and files own contiguous z-ranges —
+    so a box predicate on EITHER column (or both) prunes files.  The
+    zone map records per-file min/max of BOTH original columns.
+
+    Scale shape: one sketch reduce per column (k-anchor partials, the
+    `cluster_write` shape) + ONE range exchange on the z-value; z-range
+    cutoffs are the uniform grid (quantile ranks make z near-uniform —
+    imbalance affects only file sizes, never correctness).  NaNs are
+    rejected like `cluster_write`."""
+    if len(cols) != 2:
+        raise ValueError(f"zorder_write clusters exactly 2 columns, got {cols}")
+    os.makedirs(out_dir, exist_ok=True)
+    # per-column rank cutoffs: 2^16 - 1 quantiles is overkill — k anchors
+    # bound resolution anyway; use min(sketch_k, 4096) cutoff points and
+    # scale the searchsorted rank up to 16 bits
+    anchors: dict[str, np.ndarray] = {}
+    for c in cols:
+        cuts = _cutoffs_from_sketch(ds, c, min(sketch_k, 4096), sketch_k)
+        anchors[c] = cuts
+
+    def rank16(v: np.ndarray, cuts: np.ndarray) -> np.ndarray:
+        if cuts.size == 0:
+            return np.zeros(len(v), dtype=np.uint16)
+        r = np.searchsorted(cuts, v, side="right").astype(np.float64)
+        return np.minimum(r * 65535.0 / cuts.size, 65535.0).astype(np.uint16)
+
+    grid = np.arange(1, n_files, dtype=np.uint64) * (np.uint64(1) << np.uint64(32)) // np.uint64(n_files)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        va = b[cols[0]].to_numpy(dtype="float64")
+        vb = b[cols[1]].to_numpy(dtype="float64")
+        if np.isnan(va).any() or np.isnan(vb).any():
+            raise ValueError(f"NaN in z-order columns {cols}")
+        z = _interleave16(rank16(va, anchors[cols[0]]), rank16(vb, anchors[cols[1]]))
+        out = b.copy()
+        out["__z"] = z.astype("int64")
+        out["__bucket"] = np.searchsorted(grid, z.astype(np.uint64), side="right").astype("int64")
+        return out
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__bucket"].iloc[0])
+        body = g.sort_values("__z", kind="mergesort").drop(columns=["__z", "__bucket"])
+        fname = f"zorder_{k:05d}.parquet"
+        tmp = os.path.join(out_dir, fname + ".tmp")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(out_dir, fname))
+        row = {"file": fname, "n_rows": len(body)}
+        for c in cols:
+            v = body[c].to_numpy(dtype="float64")
+            row[f"min_{c}"], row[f"max_{c}"] = float(v.min()), float(v.max())
+        return pd.DataFrame([row])
+
+    zonemap = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
+    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
+    return zonemap
+
+
+def zorder_pruned_read(
+    out_dir: str,
+    box: dict,
+    *,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Exact box scan over a `zorder_write` layout: ``box`` maps column
+    -> (lo, hi) (either bound None for unbounded); files whose zone
+    intersects EVERY constraint are read, the residual predicate runs
+    map-side — exact at any zone granularity."""
+    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
+    keep = np.ones(len(zm), dtype=bool)
+    for c, (lo, hi) in box.items():
+        if lo is not None:
+            keep &= zm[f"max_{c}"].to_numpy() >= lo
+        if hi is not None:
+            keep &= zm[f"min_{c}"].to_numpy() <= hi
+    files = [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]]
+    need = list(box)
+    if columns is not None:
+        columns = list(dict.fromkeys([*columns, *need]))
+    if not files:
+        if len(zm) == 0:
+            raise ValueError(f"empty z-order layout at {out_dir}")
+        schema = pq.read_schema(os.path.join(out_dir, zm["file"].iloc[0]))
+        names = [n for n in schema.names if columns is None or n in columns]
+        return rd.from_pandas(schema.empty_table().select(names).to_pandas())
+
+    def residual(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.ones(len(b), dtype=bool)
+        for c, (lo, hi) in box.items():
+            v = b[c].to_numpy(dtype="float64")
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v <= hi
+        return b[m]
+
+    return rd.read_parquet(files, columns=columns).map_batches(
+        residual, batch_format="pandas"
+    )
+
+
+def zorder_plan(out_dir: str, box: dict) -> tuple[list[str], int]:
+    """Planning evidence for `zorder_pruned_read`: (selected files,
+    total files)."""
+    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
+    keep = np.ones(len(zm), dtype=bool)
+    for c, (lo, hi) in box.items():
+        if lo is not None:
+            keep &= zm[f"max_{c}"].to_numpy() >= lo
+        if hi is not None:
+            keep &= zm[f"min_{c}"].to_numpy() <= hi
+    return [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]], len(zm)

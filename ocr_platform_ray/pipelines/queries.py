@@ -3361,6 +3361,46 @@ def q_link_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
+    """Z-order 2-D data skipping (`ops/layout.zorder_write` /
+    `zorder_pruned_read`): lineitem clustered on (extendedprice,
+    quantity) — a box predicate on BOTH dimensions opens only the
+    intersecting files (asserted in-query), residual map-side, result
+    exact.  Full SQL two-BETWEEN oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.layout import zorder_plan, zorder_pruned_read, zorder_write
+    from ..ops.relational import auto_group_agg
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    box = {"l_extendedprice": (20_000.0, 40_000.0), "l_quantity": (10.0, 30.0)}
+    with tempfile.TemporaryDirectory(prefix="zorder_scan_") as td:
+        zorder_write(li, ["l_extendedprice", "l_quantity"], td, n_files=16)
+        files, total = zorder_plan(td, box)
+        assert 0 < len(files) < total, (
+            f"z-order failed to prune: {len(files)}/{total}"
+        )
+        scan = zorder_pruned_read(td, box)
+        partials = scan.map_batches(
+            lambda b: b.assign(
+                qty_c=_cents(b["l_quantity"])
+            ).groupby("l_returnflag", as_index=False).agg(
+                n_items=("qty_c", "size"), sum_qty_c=("qty_c", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["l_returnflag"],
+            {"n_items": ("n_items", "sum"), "sum_qty_c": ("sum_qty_c", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
     / `count_min_query`): per-user event counts from a fixed-memory
@@ -3638,6 +3678,7 @@ QUERIES = {
     # no-oracle (sketch estimates; CM bounds asserted in-query vs the
     # exact distributed counts, error-bound pytest in TestCountMin)
     "cm_user_freq": q_cm_user_freq,
+    "zorder_box_scan": q_zorder_box_scan,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4695,6 +4736,14 @@ ORACLE_SQL = {
     "embedding_unnest": (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
         "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
+    ),
+    "zorder_box_scan": (
+        "SELECT l_returnflag, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty_c FROM lineitem "
+        "WHERE l_extendedprice BETWEEN 20000.0 AND 40000.0 "
+        "AND l_quantity BETWEEN 10.0 AND 30.0 "
+        "GROUP BY l_returnflag"
     ),
     "tpch_q6_forecast": (
         # cents x whole-percent discount = exact integer sum; one final

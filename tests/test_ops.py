@@ -1677,6 +1677,7 @@ class TestTailQueryOracles:
             "centered_roll_value_by_user",
             "embedding_unnest",
             "tpch_q6_forecast",
+            "zorder_box_scan",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3160,3 +3161,71 @@ class TestCountMin:
         assert (unseen <= (np.e / 2048) * 1000).all()
         seen = count_min_query(cm, np.arange(10, dtype="int64"))
         assert (seen >= 100).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZOrder:
+    def _df(self, n=3000, seed=41):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "a": np.round(rng.rand(n) * 1000, 2),
+                "b": np.round(rng.randn(n) * 50 + 200, 2),
+            }
+        )
+
+    def test_interleave_known_answers(self):
+        from ocr_platform_ray.ops.layout import _interleave16
+
+        a = np.array([0b1, 0b0, 0b11], dtype=np.uint16)
+        b = np.array([0b0, 0b1, 0b10], dtype=np.uint16)
+        z = _interleave16(a, b)
+        # a occupies even bits, b odd bits: (a=11,b=10) -> 1101
+        assert list(z) == [0b01, 0b10, 0b1101]
+
+    def test_roundtrip_and_both_dims_prune(self, tmp_path):
+        from ocr_platform_ray.ops.layout import (
+            zorder_plan,
+            zorder_pruned_read,
+            zorder_write,
+        )
+
+        td = str(tmp_path / "z")
+        df = self._df()
+        zm = zorder_write(rd.from_pandas(df).repartition(4), ["a", "b"], td, n_files=16)
+        assert zm["n_rows"].sum() == len(df)
+        # full read back = input
+        back = zorder_pruned_read(td, {"a": (None, None)}).to_pandas()
+        assert sorted(back["id"]) == sorted(df["id"])
+        # a narrow box on EACH dimension alone prunes files
+        for c in ("a", "b"):
+            lo, hi = float(df[c].quantile(0.45)), float(df[c].quantile(0.55))
+            files, total = zorder_plan(td, {c: (lo, hi)})
+            assert 0 < len(files) < total, (c, len(files), total)
+            got = zorder_pruned_read(td, {c: (lo, hi)}).to_pandas()
+            want = df[(df[c] >= lo) & (df[c] <= hi)]
+            assert sorted(got["id"]) == sorted(want["id"])
+        # a 2-D box prunes at least as hard as either single dim
+        box = {
+            "a": (float(df.a.quantile(0.4)), float(df.a.quantile(0.6))),
+            "b": (float(df.b.quantile(0.4)), float(df.b.quantile(0.6))),
+        }
+        files2, total = zorder_plan(td, box)
+        got = zorder_pruned_read(td, box).to_pandas()
+        want = df[
+            (df.a >= box["a"][0]) & (df.a <= box["a"][1])
+            & (df.b >= box["b"][0]) & (df.b <= box["b"][1])
+        ]
+        assert sorted(got["id"]) == sorted(want["id"])
+        assert len(files2) < total
+
+    def test_validation(self, tmp_path):
+        from ocr_platform_ray.ops.layout import zorder_write
+
+        df = self._df(50)
+        with pytest.raises(ValueError, match="exactly 2"):
+            zorder_write(rd.from_pandas(df), ["a"], str(tmp_path / "z1"))
+        df.loc[0, "a"] = np.nan
+        with pytest.raises(Exception, match="NaN"):
+            zorder_write(rd.from_pandas(df), ["a", "b"], str(tmp_path / "z2"))
