@@ -180,3 +180,45 @@ def weighted_sample_k(
         k,
         descending=False,
     )
+
+
+def grouped_weighted_sample_k(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    finish: str = "auto",
+    n_shards: int = 64,
+):
+    """`weighted_sample_k` per group: k weighted draws without
+    replacement within EACH group (the 'per-source quality-weighted
+    subsample' step of a mixture build).  Same Efraimidis-Spirakis key
+    and SQL-mirror contract; the finish is `grouped_top_k`'s size-aware
+    local-prune (≤ k rows per (group, batch) ride the exchange).
+    Output gains ``neg_key`` (the negated draw) and ``rk`` (1-based
+    rank within the group)."""
+    from .relational import grouped_top_k  # driver-side composition
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(dtype="float64")
+        keep = w > 0
+        out = b.loc[keep].copy()
+        u = (
+            shuffle_hash(out[id_col].to_numpy(), seed).astype("float64") + 0.5
+        ) / 4294967296.0
+        out["neg_key"] = -np.power(u, 1.0 / w[keep])
+        return out
+
+    return grouped_top_k(
+        ds.map_batches(add_key, batch_format="pandas"),
+        group_cols,
+        "neg_key",
+        k,
+        descending=False,
+        tie_col=id_col,
+        finish=finish,
+        n_shards=n_shards,
+    )

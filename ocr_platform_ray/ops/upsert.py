@@ -97,14 +97,21 @@ def merge_into(
     key_col: str,
     *,
     n_partitions: int = 64,
+    allow_new_columns: bool = False,
 ) -> pd.DataFrame:
     """Upsert ``updates`` into the target: rows whose key exists are
     REPLACED, new keys are INSERTED.  Updates' schema must equal the
-    target's.  Returns a small per-partition report (partition, rows
-    before, updated, inserted) — aggregate-sized, driver-safe.
+    target's — unless ``allow_new_columns=True`` (additive schema
+    evolution: update-only columns are ADDED to each touched partition,
+    existing rows backfill null; partitions never touched by an update
+    keep their old schema until first touched, and `read_merge_target`
+    unifies the union schema at scan time).  Dropping or re-typing
+    columns is NOT evolution — it's a rewrite; do it explicitly.
 
-    Only partitions containing an updated key are rewritten (atomic
-    per-file replace); every other file's bytes are untouched."""
+    Returns a small per-partition report (partition, rows before,
+    updated, inserted) — aggregate-sized, driver-safe.  Only partitions
+    containing an updated key are rewritten (atomic per-file replace);
+    every other file's bytes are untouched."""
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -126,8 +133,21 @@ def merge_into(
         upd_keys = set(up[key_col].to_numpy())
         kept = cur[~cur[key_col].isin(upd_keys)]
         n_updated = len(cur) - len(kept)
-        merged = pd.concat([kept, up[cur.columns] if len(cur.columns) else up],
-                           ignore_index=True)
+        new_cols = [c for c in up.columns if c not in cur.columns]
+        if new_cols and not allow_new_columns:
+            raise ValueError(
+                f"updates add columns {new_cols} to partition {k}; pass "
+                "allow_new_columns=True for additive schema evolution"
+            )
+        lost = [c for c in cur.columns if c not in up.columns]
+        if lost:
+            raise ValueError(
+                f"updates are missing target columns {lost} for partition "
+                f"{k}; evolution is additive-only"
+            )
+        cols = list(cur.columns) + (new_cols if allow_new_columns else [])
+        merged = pd.concat([kept, up.reindex(columns=cols)], ignore_index=True)
+        merged = merged.reindex(columns=cols)
         merged = merged.sort_values(key_col, kind="mergesort")
         tmp = path + ".tmp"
         pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
@@ -151,6 +171,18 @@ def merge_into(
 
 
 def read_merge_target(target_dir: str, *, columns: list[str] | None = None) -> rd.Dataset:
-    """Read the target back as a Dataset (one block per partition file)."""
+    """Read the target back as a Dataset (one block per partition file).
+    After additive schema evolution some partitions may lack the newer
+    columns — the scan unifies to the union schema (missing columns
+    null), so consumers always see one stable schema."""
     files = sorted(glob.glob(os.path.join(target_dir, "part_*.parquet")))
-    return rd.read_parquet(files, columns=columns)
+    schemas = [pq.read_schema(f) for f in files]
+    names = list(dict.fromkeys(n for s in schemas for n in s.names))
+    if all(s.names == schemas[0].names for s in schemas):
+        return rd.read_parquet(files, columns=columns)
+    fields: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            fields.setdefault(f.name, f.type)
+    unified = pa.schema([(n, fields[n]) for n in names])
+    return rd.read_parquet(files, columns=columns, schema=unified)

@@ -3401,6 +3401,28 @@ def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_weighted_lang_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-group weighted sampling without replacement
+    (`ops/shuffle.grouped_weighted_sample_k`): 20 n_chars-weighted
+    draws per language — Efraimidis-Spirakis keys, size-aware grouped
+    top-k finish.  Full SQL QUALIFY + POWER oracle in
+    TestTailQueryOracles."""
+    from ..ops.shuffle import grouped_weighted_sample_k
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_weighted_sample_k(
+        docs, ["lang"], "doc_id", "n_chars", 20, seed=11
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["rk"] = out["rk"].astype("int64")
+    return (
+        out[["lang", "doc_id", "n_chars", "rk"]]
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+
+
 def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
     / `count_min_query`): per-user event counts from a fixed-memory
@@ -3679,6 +3701,7 @@ QUERIES = {
     # exact distributed counts, error-bound pytest in TestCountMin)
     "cm_user_freq": q_cm_user_freq,
     "zorder_box_scan": q_zorder_box_scan,
+    "weighted_lang_sample": q_weighted_lang_sample,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4736,6 +4759,16 @@ ORACLE_SQL = {
     "embedding_unnest": (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
         "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
+    ),
+    "weighted_lang_sample": (
+        # per-language Efraimidis-Spirakis draws: the shared shuffle-hash
+        # arithmetic (seed 11) + POWER keys, ROW_NUMBER within language
+        "SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY POWER((CAST(((doc_id * 2654435761) "
+        "% 4294967296 + 11) * 1597334677 % 4294967296 AS DOUBLE) + 0.5) "
+        "/ 4294967296.0, 1.0 / n_chars) DESC, doc_id) AS rk "
+        "FROM documents WHERE n_chars > 0) WHERE rk <= 20"
     ),
     "zorder_box_scan": (
         "SELECT l_returnflag, COUNT(*) AS n_items, "

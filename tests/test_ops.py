@@ -1678,6 +1678,7 @@ class TestTailQueryOracles:
             "embedding_unnest",
             "tpch_q6_forecast",
             "zorder_box_scan",
+            "weighted_lang_sample",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3229,3 +3230,84 @@ class TestZOrder:
         df.loc[0, "a"] = np.nan
         with pytest.raises(Exception, match="NaN"):
             zorder_write(rd.from_pandas(df), ["a", "b"], str(tmp_path / "z2"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeSchemaEvolution:
+    def test_additive_column_and_unified_read(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import (
+            merge_into,
+            read_merge_target,
+            write_merge_target,
+        )
+
+        td = str(tmp_path / "t")
+        base = pd.DataFrame(
+            {"k": np.arange(40, dtype="int64"), "v": np.arange(40, dtype="float64")}
+        )
+        write_merge_target(rd.from_pandas(base), td, "k", n_partitions=8)
+        upd = pd.DataFrame(
+            {"k": np.array([3, 999], dtype="int64"), "v": [30.0, 1.0],
+             "quality": [0.9, 0.5]}
+        )
+        # rejected without the flag
+        with pytest.raises(Exception, match="allow_new_columns"):
+            merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        merge_into(
+            td, rd.from_pandas(upd), "k", n_partitions=8, allow_new_columns=True
+        )
+        got = read_merge_target(td).to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got.columns) == ["k", "v", "quality"]
+        assert len(got) == 41
+        g = got.set_index("k")
+        assert g.loc[3, "quality"] == 0.9 and g.loc[999, "quality"] == 0.5
+        # untouched rows backfill null
+        assert g["quality"].isna().sum() == 39
+
+    def test_missing_target_columns_rejected(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import merge_into, write_merge_target
+
+        td = str(tmp_path / "t")
+        base = pd.DataFrame(
+            {"k": np.arange(10, dtype="int64"), "v": np.zeros(10), "s": ["x"] * 10}
+        )
+        write_merge_target(rd.from_pandas(base), td, "k", n_partitions=4)
+        upd = pd.DataFrame({"k": [1], "v": [9.0]})  # lacks 's'
+        with pytest.raises(Exception, match="additive-only"):
+            merge_into(td, rd.from_pandas(upd), "k", n_partitions=4)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedWeightedSample:
+    def test_matches_naive_per_group_and_blocks(self):
+        from ocr_platform_ray.ops.shuffle import (
+            grouped_weighted_sample_k,
+            shuffle_hash,
+        )
+
+        rng = np.random.RandomState(13)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(list("pq"), 400),
+                "id": np.arange(400, dtype="int64"),
+                "w": rng.randint(1, 500, 400).astype("float64"),
+            }
+        )
+        outs = []
+        for nb in (1, 6):
+            o = grouped_weighted_sample_k(
+                rd.from_pandas(df).repartition(nb), ["g"], "id", "w", 15, seed=2
+            )
+            if not isinstance(o, pd.DataFrame):
+                o = o.to_pandas()
+            outs.append(
+                o[["g", "id", "rk"]].sort_values(["g", "rk"]).reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        u = (shuffle_hash(df["id"].to_numpy(), 2).astype("float64") + 0.5) / 2**32
+        df["key"] = np.power(u, 1.0 / df["w"].to_numpy())
+        for g, sub in df.groupby("g"):
+            order = sub.sort_values(["key", "id"], ascending=[False, True])
+            want = list(order["id"].iloc[:15])
+            got = list(outs[0][outs[0].g == g].sort_values("rk")["id"])
+            assert got == want, g
