@@ -314,3 +314,126 @@ def zorder_plan(out_dir: str, box: dict) -> tuple[list[str], int]:
         if hi is not None:
             keep &= zm[f"min_{c}"].to_numpy() <= hi
     return [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]], len(zm)
+
+
+# --------------------------------------------------------------------------
+# String-key clustering (url-range layout + prefix-pruned scans)
+# --------------------------------------------------------------------------
+def _string_cutoffs(ds: rd.Dataset, col: str, n_files: int, sample_per_batch: int = 512) -> list[str]:
+    """Range cutoffs for a STRING column via a deterministic uniform
+    sample (the sketch only sums floats): each batch contributes its
+    ``sample_per_batch`` smallest ``shuffle_hash(row_index-free content
+    hash)`` rows — an order/block-independent uniform sample — and the
+    driver takes quantiles of the bounded sample (≤ samples x
+    n_batches, each a short string)."""
+    from .shuffle import shuffle_hash
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[col].astype(str)
+        h = pd.util.hash_array(vals.to_numpy()).astype("uint64")
+        draw = shuffle_hash((h % np.uint64(1 << 32)).astype("int64"), 1)
+        idx = np.argsort(draw, kind="stable")[:sample_per_batch]
+        return pd.DataFrame({col: vals.to_numpy()[idx], "__d": draw[idx].astype("int64")})
+
+    samp = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("__d")
+        .head(max(n_files * 256, 4096))  # globally-smallest draws = uniform
+    )
+    vals = sorted(samp[col].to_numpy())
+    if not vals:
+        return []
+    cuts = [vals[(i * len(vals)) // n_files] for i in range(1, n_files)]
+    return sorted(set(cuts))
+
+
+def cluster_write_str(
+    ds: rd.Dataset,
+    value_col: str,
+    out_dir: str,
+    *,
+    n_files: int = 32,
+) -> pd.DataFrame:
+    """`cluster_write` for STRING keys — the url-range layout: files own
+    lexicographic key ranges (per-file min/max strings in the zone
+    map), so a host/prefix scan opens only the files whose range
+    intersects ``[prefix, prefix + chr(0x10FFFF))``.  Cutoffs come from
+    a deterministic bounded uniform sample (no string arithmetic in a
+    sketch); balance — and the exact file boundaries — depend on the
+    sample (and hence block structure), scan EXACTNESS never does (the
+    zone map records what was written, the residual runs map-side)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cutoffs = _string_cutoffs(ds, value_col, n_files)
+    cut_arr = np.array(cutoffs, dtype=object)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].astype(str).to_numpy()
+        out = b.copy()
+        out["__bucket"] = np.searchsorted(cut_arr, v, side="right").astype("int64")
+        return out
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__bucket"].iloc[0])
+        body = g.drop(columns="__bucket").sort_values(value_col, kind="mergesort")
+        fname = f"strcluster_{k:05d}.parquet"
+        tmp = os.path.join(out_dir, fname + ".tmp")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(out_dir, fname))
+        v = body[value_col].to_numpy()
+        return pd.DataFrame(
+            {"file": [fname], "vmin": [str(v[0])], "vmax": [str(v[-1])],
+             "n_rows": [len(body)]}
+        )
+
+    zonemap = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vmin")
+        .reset_index(drop=True)
+    )
+    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
+    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
+    return zonemap
+
+
+def prefix_pruned_read(
+    out_dir: str,
+    value_col: str,
+    prefix: str,
+    *,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Exact prefix scan (``value_col.startswith(prefix)``) over a
+    `cluster_write_str` layout: zone pruning on the lexicographic range
+    + a map-side startswith residual."""
+    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
+    hi = prefix + chr(0x10FFFF)
+    keep = (zm["vmax"].to_numpy() >= prefix) & (zm["vmin"].to_numpy() <= hi)
+    files = [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]]
+    if columns is not None and value_col not in columns:
+        columns = [*columns, value_col]
+    if not files:
+        if len(zm) == 0:
+            raise ValueError(f"empty string-clustered layout at {out_dir}")
+        schema = pq.read_schema(os.path.join(out_dir, zm["file"].iloc[0]))
+        names = [n for n in schema.names if columns is None or n in columns]
+        return rd.from_pandas(schema.empty_table().select(names).to_pandas())
+
+    def residual(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[value_col].astype(str).str.startswith(prefix)]
+
+    return rd.read_parquet(files, columns=columns).map_batches(
+        residual, batch_format="pandas"
+    )
+
+
+def prefix_plan(out_dir: str, prefix: str) -> tuple[list[str], int]:
+    """Planning evidence for `prefix_pruned_read`."""
+    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
+    hi = prefix + chr(0x10FFFF)
+    keep = (zm["vmax"].to_numpy() >= prefix) & (zm["vmin"].to_numpy() <= hi)
+    return [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]], len(zm)

@@ -3423,6 +3423,43 @@ def q_weighted_lang_sample(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_url_prefix_scan(sf_dir: str) -> pd.DataFrame:
+    """URL-range clustered layout + prefix-pruned scan
+    (`ops/layout.cluster_write_str` / `prefix_pruned_read`): documents
+    keyed by deterministically synthesized urls (the url_quality_filter
+    classes) are written lexicographically range-clustered; a host
+    prefix scan opens only intersecting files (asserted in-query) and
+    counts per url class.  Full SQL LIKE-prefix oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.layout import cluster_write_str, prefix_plan, prefix_pruned_read
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        tmpl = (
+            "https://site{g}.com/article/{g}",
+            "https://freebet-casino.com/promo/{g}",
+            "https://site{g}.com/free-download/{g}",
+            "https://news{g}.com/casino-webcam/{g}",
+            "https://blog{g}.net/torrent-free-fun/{g}",
+        )
+        urls = [tmpl[int(i) % 5].format(g=int(i) // 5) for i in b["doc_id"]]
+        return pd.DataFrame({"doc_id": b["doc_id"], "url": urls})
+
+    prefix = "https://site1"
+    with tempfile.TemporaryDirectory(prefix="url_cluster_") as td:
+        cluster_write_str(
+            docs.map_batches(synth, batch_format="pandas"), "url", td, n_files=16
+        )
+        files, total = prefix_plan(td, prefix)
+        assert 0 < len(files) < total, f"prefix pruning failed: {len(files)}/{total}"
+        got = prefix_pruned_read(td, "url", prefix).to_pandas()
+    got["doc_id"] = got["doc_id"].astype("int64")
+    return got.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
     / `count_min_query`): per-user event counts from a fixed-memory
@@ -3702,6 +3739,7 @@ QUERIES = {
     "cm_user_freq": q_cm_user_freq,
     "zorder_box_scan": q_zorder_box_scan,
     "weighted_lang_sample": q_weighted_lang_sample,
+    "url_prefix_scan": q_url_prefix_scan,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4759,6 +4797,18 @@ ORACLE_SQL = {
     "embedding_unnest": (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
         "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
+    ),
+    "url_prefix_scan": (
+        # same url synthesis as url_quality_filter; prefix scan == LIKE
+        # 'prefix%' (the prefix contains no LIKE wildcards)
+        "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
+        "WHEN 0 THEN 'https://site' || (doc_id // 5) || '.com/article/' || (doc_id // 5) "
+        "WHEN 1 THEN 'https://freebet-casino.com/promo/' || (doc_id // 5) "
+        "WHEN 2 THEN 'https://site' || (doc_id // 5) || '.com/free-download/' || (doc_id // 5) "
+        "WHEN 3 THEN 'https://news' || (doc_id // 5) || '.com/casino-webcam/' || (doc_id // 5) "
+        "ELSE 'https://blog' || (doc_id // 5) || '.net/torrent-free-fun/' || (doc_id // 5) "
+        "END AS url FROM documents) "
+        "SELECT doc_id, url FROM u WHERE url LIKE 'https://site1%'"
     ),
     "weighted_lang_sample": (
         # per-language Efraimidis-Spirakis draws: the shared shuffle-hash

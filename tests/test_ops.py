@@ -1679,6 +1679,7 @@ class TestTailQueryOracles:
             "tpch_q6_forecast",
             "zorder_box_scan",
             "weighted_lang_sample",
+            "url_prefix_scan",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3311,3 +3312,49 @@ class TestGroupedWeightedSample:
             want = list(order["id"].iloc[:15])
             got = list(outs[0][outs[0].g == g].sort_values("rk")["id"])
             assert got == want, g
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStringCluster:
+    def _df(self, n=1200, seed=3):
+        rng = np.random.RandomState(seed)
+        hosts = [f"https://site{h}.com/" for h in range(40)]
+        return pd.DataFrame(
+            {
+                "url": [
+                    hosts[rng.randint(0, 40)] + f"page/{i}" for i in range(n)
+                ],
+                "val": rng.rand(n),
+            }
+        )
+
+    def test_roundtrip_and_prefix_prunes(self, tmp_path):
+        from ocr_platform_ray.ops.layout import (
+            cluster_write_str,
+            prefix_plan,
+            prefix_pruned_read,
+        )
+
+        td = str(tmp_path / "s")
+        df = self._df()
+        zm = cluster_write_str(rd.from_pandas(df).repartition(4), "url", td, n_files=16)
+        assert zm["n_rows"].sum() == len(df)
+        # full scan back
+        back = prefix_pruned_read(td, "url", "").to_pandas()
+        assert sorted(back["url"]) == sorted(df["url"])
+        # one host's prefix scan: exact and pruned
+        prefix = "https://site7.com/"
+        files, total = prefix_plan(td, prefix)
+        assert 0 < len(files) < total
+        got = prefix_pruned_read(td, "url", prefix).to_pandas()
+        want = df[df["url"].str.startswith(prefix)]
+        assert sorted(got["url"]) == sorted(want["url"]) and len(want) > 0
+
+    def test_unmatched_prefix_empty_typed(self, tmp_path):
+        from ocr_platform_ray.ops.layout import cluster_write_str, prefix_pruned_read
+
+        td = str(tmp_path / "s")
+        cluster_write_str(rd.from_pandas(self._df(200)), "url", td, n_files=4)
+        ds = prefix_pruned_read(td, "url", "zzz://nothing")
+        assert ds.count() == 0
+        assert "val" in ds.schema().names
