@@ -31,7 +31,6 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..state.broadcast import cached_get
 from .dedup import dup_clusters_distributed
 from .relational import auto_group_agg
 
@@ -137,7 +136,10 @@ def pagerank(
         wref = ray.put(wser)
 
         def contrib_partial(b: pd.DataFrame, _wref=wref) -> pd.DataFrame:
-            w = b[src_col].map(cached_get(_wref))
+            # plain ray.get, NOT cached_get: the weights change every
+            # iteration and _GET_CACHE never evicts — caching would
+            # accumulate n_iter node-sized Series per worker
+            w = b[src_col].map(ray.get(_wref))
             sub = pd.DataFrame({dst_col: b[dst_col], "c": w}).dropna()
             return sub.groupby(dst_col, as_index=False).agg(c=("c", "sum"))
 

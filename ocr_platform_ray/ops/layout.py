@@ -43,12 +43,31 @@ def _cutoffs_from_sketch(ds: rd.Dataset, value_col: str, n_files: int, k: int) -
     tagged = ds.map_batches(
         lambda b: b[[value_col]].assign(__all=0), batch_format="pandas"
     )
-    merged = grouped_sketches(tagged, "__all", value_col, k=k)
+    try:
+        merged = grouped_sketches(tagged, "__all", value_col, k=k)
+    except KeyError:
+        # a fully-empty dataset reduces to a columnless frame inside the
+        # sketch's final sort; empty cutoffs let the writer epilogue
+        # raise its clear empty-input error
+        return np.array([], dtype="float64")
     if len(merged) == 0:
         return np.array([], dtype="float64")
     sk = merged["sk"].iloc[0]
     qs = [sketch_quantile(sk, i / n_files) for i in range(1, n_files)]
     return np.unique(np.asarray(qs, dtype="float64"))
+
+
+def _finish_zonemap(raw: pd.DataFrame, sort_col: str, out_dir: str, what: str) -> pd.DataFrame:
+    """Shared writer epilogue: reject empty input with a clear error
+    (zero rows reduce to a columnless frame whose sort would KeyError),
+    sort, and atomically commit the zone map."""
+    if len(raw) == 0 or sort_col not in raw.columns:
+        raise ValueError(f"{what}: input dataset is empty; nothing to cluster")
+    zonemap = raw.sort_values(sort_col).reset_index(drop=True)
+    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
+    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
+    return zonemap
 
 
 def cluster_write(
@@ -92,18 +111,13 @@ def cluster_write(
             }
         )
 
-    zonemap = (
+    raw = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
-        .sort_values("vmin")
-        .reset_index(drop=True)
     )
-    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
-    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
-    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
-    return zonemap
+    return _finish_zonemap(raw, "vmin", out_dir, "cluster_write")
 
 
 def plan_pruned_read(
@@ -246,18 +260,13 @@ def zorder_write(
             row[f"min_{c}"], row[f"max_{c}"] = float(v.min()), float(v.max())
         return pd.DataFrame([row])
 
-    zonemap = (
+    raw = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
-        .sort_values("file")
-        .reset_index(drop=True)
     )
-    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
-    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
-    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
-    return zonemap
+    return _finish_zonemap(raw, "file", out_dir, "zorder_write")
 
 
 def zorder_pruned_read(
@@ -270,20 +279,14 @@ def zorder_pruned_read(
     -> (lo, hi) (either bound None for unbounded); files whose zone
     intersects EVERY constraint are read, the residual predicate runs
     map-side — exact at any zone granularity."""
-    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
-    keep = np.ones(len(zm), dtype=bool)
-    for c, (lo, hi) in box.items():
-        if lo is not None:
-            keep &= zm[f"max_{c}"].to_numpy() >= lo
-        if hi is not None:
-            keep &= zm[f"min_{c}"].to_numpy() <= hi
-    files = [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]]
+    files, total = zorder_plan(out_dir, box)
     need = list(box)
     if columns is not None:
         columns = list(dict.fromkeys([*columns, *need]))
     if not files:
-        if len(zm) == 0:
+        if total == 0:
             raise ValueError(f"empty z-order layout at {out_dir}")
+        zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
         schema = pq.read_schema(os.path.join(out_dir, zm["file"].iloc[0]))
         names = [n for n in schema.names if columns is None or n in columns]
         return rd.from_pandas(schema.empty_table().select(names).to_pandas())
@@ -386,18 +389,13 @@ def cluster_write_str(
              "n_rows": [len(body)]}
         )
 
-    zonemap = (
+    raw = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(write_bucket, batch_format="pandas")
         .to_pandas()
-        .sort_values("vmin")
-        .reset_index(drop=True)
     )
-    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
-    pq.write_table(pa.Table.from_pandas(zonemap, preserve_index=False), tmp)
-    os.replace(tmp, os.path.join(out_dir, _ZONEMAP))
-    return zonemap
+    return _finish_zonemap(raw, "vmin", out_dir, "cluster_write_str")
 
 
 def prefix_pruned_read(
@@ -410,15 +408,13 @@ def prefix_pruned_read(
     """Exact prefix scan (``value_col.startswith(prefix)``) over a
     `cluster_write_str` layout: zone pruning on the lexicographic range
     + a map-side startswith residual."""
-    zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
-    hi = prefix + chr(0x10FFFF)
-    keep = (zm["vmax"].to_numpy() >= prefix) & (zm["vmin"].to_numpy() <= hi)
-    files = [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]]
+    files, total = prefix_plan(out_dir, prefix)
     if columns is not None and value_col not in columns:
         columns = [*columns, value_col]
     if not files:
-        if len(zm) == 0:
+        if total == 0:
             raise ValueError(f"empty string-clustered layout at {out_dir}")
+        zm = pq.read_table(os.path.join(out_dir, _ZONEMAP)).to_pandas()
         schema = pq.read_schema(os.path.join(out_dir, zm["file"].iloc[0]))
         names = [n for n in schema.names if columns is None or n in columns]
         return rd.from_pandas(schema.empty_table().select(names).to_pandas())

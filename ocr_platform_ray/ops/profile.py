@@ -145,19 +145,32 @@ def grouped_moments(
         sub = b[gcols].copy()
         sub["__v"] = v
         sub["__v2"] = v * v
+        sub["__av"] = np.abs(v)
         return sub.groupby(gcols, as_index=False).agg(
-            n=("__v", "size"), s=("__v", "sum"), s2=("__v2", "sum")
+            n=("__v", "size"), s=("__v", "sum"), s2=("__v2", "sum"),
+            mx=("__av", "max"),
         )
 
     reduced = auto_group_agg(
         ds.map_batches(partial, batch_format="pandas"),
         gcols,
-        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum")},
+        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum"),
+         "mx": ("mx", "max")},
         driver_threshold_rows=driver_threshold_rows,
         n_shards=n_shards,
     )
     if not isinstance(reduced, pd.DataFrame):
         reduced = reduced.to_pandas()
+    # complete overflow guard: n·max² upper-bounds Σv², so this exact
+    # Python-int check catches every case where the int64 sums could
+    # have wrapped silently (the per-batch 2^31 assert alone does not)
+    for _, r in reduced.iterrows():
+        if int(r["n"]) * int(r["mx"]) ** 2 >= (1 << 63):
+            raise ValueError(
+                f"Σv² domain exceeded for a {gcols} group "
+                f"(n={int(r['n'])}, max|v·scale|={int(r['mx'])}); "
+                "reduce `scale`"
+            )
     n = reduced["n"].to_numpy(dtype="float64")
     s = reduced["s"].to_numpy(dtype="float64")
     s2 = reduced["s2"].to_numpy(dtype="float64")
@@ -211,6 +224,7 @@ def grouped_corr(
         sub = b[gcols].copy()
         sub["__x"], sub["__y"] = x, y
         sub["__xy"], sub["__xx"], sub["__yy"] = x * y, x * x, y * y
+        sub["__ax"], sub["__ay"] = np.abs(x), np.abs(y)
         return sub.groupby(gcols, as_index=False).agg(
             n=("__x", "size"),
             sx=("__x", "sum"),
@@ -218,17 +232,31 @@ def grouped_corr(
             sxy=("__xy", "sum"),
             sxx=("__xx", "sum"),
             syy=("__yy", "sum"),
+            mxx=("__ax", "max"),
+            mxy=("__ay", "max"),
         )
 
+    aggs = {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    aggs.update({"mxx": ("mxx", "max"), "mxy": ("mxy", "max")})
     reduced = auto_group_agg(
         ds.map_batches(partial, batch_format="pandas"),
         gcols,
-        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")},
+        aggs,
         driver_threshold_rows=driver_threshold_rows,
         n_shards=n_shards,
     )
     if not isinstance(reduced, pd.DataFrame):
         reduced = reduced.to_pandas()
+    # complete overflow guard (see grouped_moments): n·max² / n·mx·my
+    # upper-bound every squared/cross sum
+    for _, r in reduced.iterrows():
+        n_, ax, ay = int(r["n"]), int(r["mxx"]), int(r["mxy"])
+        if max(n_ * ax * ax, n_ * ay * ay, n_ * ax * ay) >= (1 << 63):
+            raise ValueError(
+                f"cross-moment domain exceeded for a {gcols} group "
+                f"(n={n_}, max|x·scale|={ax}, max|y·scale|={ay}); "
+                "reduce the scales"
+            )
     n = reduced["n"].to_numpy(dtype="float64")
     sx = reduced["sx"].to_numpy(dtype="float64")
     sy = reduced["sy"].to_numpy(dtype="float64")

@@ -535,30 +535,15 @@ def _semi_anti_bloom(
     two source scans beat one corpus-wide exchange whenever the key side
     is too big to broadcast; materialize upstream if the input lineage
     is expensive."""
-    from .spans import _bloom_indices, _bloom_test
+    from .spans import _bloom_test, build_dup_bloom
 
-    n_words = (max(m_bits, 64) + 63) // 64
-    m_bits = n_words * 64
-
-    def bloom_partial(b: pd.DataFrame, _idx=_bloom_indices) -> pd.DataFrame:
-        bits = np.zeros(n_words, dtype=np.uint64)
-        gh = pd.util.hash_array(b[on].to_numpy()).view(np.int64)
-        for idx in _idx(gh, m_bits):
-            np.bitwise_or.at(
-                bits,
-                (idx >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (idx & np.uint64(63)),
-            )
-        return pd.DataFrame({"bits": [bits.tobytes()]})
-
-    acc = np.zeros(n_words, dtype=np.uint64)
-    for batch in (
-        keys.select_columns([on])
-        .map_batches(bloom_partial, batch_format="pandas")
-        .iter_batches(batch_format="pandas")
-    ):
-        for raw in batch["bits"]:
-            acc |= np.frombuffer(raw, dtype=np.uint64)
+    gh_keys = keys.select_columns([on]).map_batches(
+        lambda b: pd.DataFrame(
+            {"gh": pd.util.hash_array(b[on].to_numpy()).view(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    acc = build_dup_bloom(gh_keys, m_bits=m_bits)
     ref = ray.put(acc)
 
     def prefilter(keep_hits: bool):
@@ -585,6 +570,7 @@ def _semi_anti(
     method: str,
     broadcast_threshold_rows: int,
     n_buckets: int,
+    bloom_m_bits: int = 1 << 23,
 ) -> rd.Dataset:
     if method == "auto":
         # mirror auto_join: the probe, when it fits, IS the broadcast
@@ -598,7 +584,7 @@ def _semi_anti(
     if method == "bucketed":
         return _semi_anti_bucketed(ds, keys, on, keep_in, n_buckets)
     if method == "bloom":
-        return _semi_anti_bloom(ds, keys, on, keep_in, n_buckets, 1 << 23)
+        return _semi_anti_bloom(ds, keys, on, keep_in, n_buckets, bloom_m_bits)
     ref = _key_set_ref(keys, on)
     return ds.map_batches(_KeyFilter(ref, on, keep_in), batch_format="pandas")
 
@@ -611,15 +597,22 @@ def semi_join(
     method: str = "broadcast",
     broadcast_threshold_rows: int = 2_000_000,
     n_buckets: int = 32,
+    bloom_m_bits: int = 1 << 23,
 ) -> rd.Dataset:
     """Rows of ``ds`` whose key appears in ``keys`` (J6 semi-filter).
 
     ``method``: "broadcast" builds the key set on the driver (right for
     dim-sized key sides); "bucketed" runs the distributed exchange route
     (corpus-sized key side, nothing key-set-sized on the driver);
-    "auto" probes the key side with ``limit(threshold+1)`` and picks
-    (the auto_join planner pattern).  Routes are equivalence-tested."""
-    return _semi_anti(ds, keys, on, True, method, broadcast_threshold_rows, n_buckets)
+    "bloom" prefilters with a fixed ``bloom_m_bits``-bit bitmap (size it
+    to ~10x the expected distinct keys or the prefilter saturates and
+    degrades to bucketed-plus-overhead); "auto" probes the key side
+    with ``limit(threshold+1)`` and picks (the auto_join planner
+    pattern).  Routes are equivalence-tested."""
+    return _semi_anti(
+        ds, keys, on, True, method, broadcast_threshold_rows, n_buckets,
+        bloom_m_bits,
+    )
 
 
 def anti_join(
@@ -630,11 +623,15 @@ def anti_join(
     method: str = "broadcast",
     broadcast_threshold_rows: int = 2_000_000,
     n_buckets: int = 32,
+    bloom_m_bits: int = 1 << 23,
 ) -> rd.Dataset:
     """Rows of ``ds`` whose key does NOT appear in ``keys`` (the
     ``AdvancedGenreToBook: {none:{}}`` anti-filter, J6).  Same
     ``method`` routes as ``semi_join``."""
-    return _semi_anti(ds, keys, on, False, method, broadcast_threshold_rows, n_buckets)
+    return _semi_anti(
+        ds, keys, on, False, method, broadcast_threshold_rows, n_buckets,
+        bloom_m_bits,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1500,7 +1497,9 @@ def grouped_string_agg(
     the list/sequence-building aggregate (user event timelines, ordered
     citation lists).  ``order_cols`` must make the within-group order
     TOTAL (include a unique tiebreaker) or the concatenation is not
-    deterministic.
+    deterministic.  NULL values are skipped (SQL string_agg semantics;
+    a group holding ONLY nulls yields no row, where SQL yields NULL);
+    NULL group keys form one group like SQL GROUP BY.
 
     Scale shape: the hash-shard exchange (`sharded_group_agg` pattern) —
     rows shuffle once by ``hash(group) % n_shards``, then ONE vectorized
@@ -1518,11 +1517,12 @@ def grouped_string_agg(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([*gcols, *ocols], kind="mergesort")
-        v = g[value_col]
-        if v.dtype != object:
-            v = v.astype(str)
-        g = g.assign(**{"__v": v})
-        return g.groupby(gcols, as_index=False).agg(
+        # SQL string_agg skips NULL VALUES (a group of only nulls gets
+        # no row here vs SQL's NULL — documented divergence) but GROUP
+        # BY keeps NULL KEYS as one group (dropna=False)
+        g = g[g[value_col].notna()]
+        g = g.assign(**{"__v": g[value_col].astype(str)})
+        return g.groupby(gcols, as_index=False, dropna=False).agg(
             **{out_col: ("__v", sep.join)}
         )
 

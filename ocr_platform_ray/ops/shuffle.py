@@ -135,6 +135,24 @@ def grouped_sample_k(
     )
 
 
+def _es_neg_key(
+    b: pd.DataFrame, id_col: str, weight_col: str, seed: int
+) -> pd.DataFrame:
+    """The Efraimidis-Spirakis draw shared by the global and grouped
+    samplers (ONE copy so the SQL-oracle arithmetic cannot drift):
+    drops non-positive/NaN weights, adds ``neg_key = -u^(1/w)`` with u
+    from the seeded bijective shuffle hash (negated so one ASCENDING
+    composite sort gives key DESC, id ASC)."""
+    w = b[weight_col].to_numpy(dtype="float64")
+    keep = w > 0  # NaN compares False
+    out = b.loc[keep].copy()
+    u = (
+        shuffle_hash(out[id_col].to_numpy(), seed).astype("float64") + 0.5
+    ) / 4294967296.0
+    out["neg_key"] = -np.power(u, 1.0 / w[keep])
+    return out
+
+
 def weighted_sample_k(
     ds: rd.Dataset,
     id_col: str,
@@ -164,15 +182,7 @@ def weighted_sample_k(
     from .relational import top_k  # driver-side composition
 
     def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        w = b[weight_col].to_numpy(dtype="float64")
-        keep = w > 0  # NaN compares False
-        out = b.loc[keep].copy()
-        u = (
-            shuffle_hash(out[id_col].to_numpy(), seed).astype("float64") + 0.5
-        ) / 4294967296.0
-        # negated so one ASCENDING composite sort gives (key DESC, id ASC)
-        out["neg_key"] = -np.power(u, 1.0 / w[keep])
-        return out
+        return _es_neg_key(b, id_col, weight_col, seed)
 
     return top_k(
         ds.map_batches(add_key, batch_format="pandas"),
@@ -203,14 +213,7 @@ def grouped_weighted_sample_k(
     from .relational import grouped_top_k  # driver-side composition
 
     def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        w = b[weight_col].to_numpy(dtype="float64")
-        keep = w > 0
-        out = b.loc[keep].copy()
-        u = (
-            shuffle_hash(out[id_col].to_numpy(), seed).astype("float64") + 0.5
-        ) / 4294967296.0
-        out["neg_key"] = -np.power(u, 1.0 / w[keep])
-        return out
+        return _es_neg_key(b, id_col, weight_col, seed)
 
     return grouped_top_k(
         ds.map_batches(add_key, batch_format="pandas"),

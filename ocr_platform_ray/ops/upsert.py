@@ -176,6 +176,11 @@ def read_merge_target(target_dir: str, *, columns: list[str] | None = None) -> r
     columns — the scan unifies to the union schema (missing columns
     null), so consumers always see one stable schema."""
     files = sorted(glob.glob(os.path.join(target_dir, "part_*.parquet")))
+    if not files:
+        raise ValueError(
+            f"merge target at {target_dir!r} has no partitions "
+            "(empty source, or never written)"
+        )
     schemas = [pq.read_schema(f) for f in files]
     names = list(dict.fromkeys(n for s in schemas for n in s.names))
     if all(s.names == schemas[0].names for s in schemas):

@@ -3486,7 +3486,11 @@ def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     est = count_min_query(cm, exact["user_id"].to_numpy())
     true = exact["n"].to_numpy()
     assert (est >= true).all(), "count-min underestimated"
-    assert (est - true <= (np.e / 4096) * cm["n"]).all(), "CM bound violated"
+    # the (e/width)·N bound is PER-KEY probabilistic (holds with prob
+    # 1 - e^-depth ≈ 98.2% at depth 4) — assert the violating FRACTION,
+    # not every key, so the query scales to any sf / key cardinality
+    viol = float(np.mean(est - true > (np.e / 4096) * cm["n"]))
+    assert viol <= 0.02, f"CM bound violated for {viol:.1%} of keys"
     return pd.DataFrame(
         {
             "user_id": exact["user_id"].astype("int64"),

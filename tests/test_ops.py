@@ -3358,3 +3358,68 @@ class TestStringCluster:
         ds = prefix_pruned_read(td, "url", "zzz://nothing")
         assert ds.count() == 0
         assert "val" in ds.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS4:
+    def test_moments_overflow_detected(self):
+        from ocr_platform_ray.ops.profile import grouped_moments
+
+        # per-value fine (< 2^31) but n*max^2 over 2^63: must RAISE, not wrap
+        df = pd.DataFrame({"g": ["a"] * 10, "v": [2.0e7] * 10})  # cents = 2e9
+        with pytest.raises(Exception, match="domain"):
+            grouped_moments(rd.from_pandas(df), "v", ["g"], scale=100)
+
+    def test_corr_overflow_detected(self):
+        from ocr_platform_ray.ops.profile import grouped_corr
+
+        df = pd.DataFrame(
+            {"g": ["a"] * 10, "x": [2.0e7] * 10, "y": [2.0e7] * 10}
+        )
+        with pytest.raises(Exception, match="domain"):
+            grouped_corr(rd.from_pandas(df), "x", "y", ["g"])
+
+    def test_string_agg_null_keys_and_values(self):
+        from ocr_platform_ray.ops.relational import grouped_string_agg
+
+        df = pd.DataFrame(
+            {
+                "g": ["a", "a", None, None, "b"],
+                "o": [1, 2, 1, 2, 1],
+                "v": ["x", None, "p", "q", 7],
+            }
+        )
+        out = grouped_string_agg(
+            rd.from_pandas(df), ["g"], "v", ["o"], out_col="s"
+        ).to_pandas()
+        got = {("<null>" if pd.isna(k) else k): v for k, v in zip(out["g"], out["s"])}
+        assert got["a"] == "x"          # null VALUE skipped
+        assert got["<null>"] == "p,q"   # null KEY kept as one group
+        assert got["b"] == "7"          # non-string rendered
+
+    def test_cluster_write_empty_input_clear_error(self, tmp_path):
+        from ocr_platform_ray.ops.layout import cluster_write
+
+        empty = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                              "v": pd.Series(dtype="float64")})
+        with pytest.raises(Exception, match="empty"):
+            cluster_write(rd.from_pandas(empty), "v", str(tmp_path / "c"))
+
+    def test_read_merge_target_empty_clear_error(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import read_merge_target
+
+        d = tmp_path / "t"
+        d.mkdir()
+        with pytest.raises(ValueError, match="no partitions"):
+            read_merge_target(str(d))
+
+    def test_bloom_m_bits_knob(self):
+        from ocr_platform_ray.ops.relational import semi_join
+
+        data = pd.DataFrame({"k": np.arange(300, dtype="int64")})
+        keys = pd.DataFrame({"k": np.arange(0, 300, 3, dtype="int64")})
+        out = semi_join(
+            rd.from_pandas(data), rd.from_pandas(keys), "k",
+            method="bloom", bloom_m_bits=1 << 12,
+        ).to_pandas()
+        assert sorted(out["k"]) == sorted(keys["k"])
