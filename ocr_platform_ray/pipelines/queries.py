@@ -3460,6 +3460,131 @@ def q_url_prefix_scan(sf_dir: str) -> pd.DataFrame:
     return got.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_tpch_q14_promo(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to the
+    dim-sized part table (broadcast — the fact stream never shuffles),
+    CASE-split integer-cents sums, one final float expression repeated
+    verbatim by the oracle.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_join
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas",
+    )
+
+    def window(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["l_shipdate"]
+        return b[(sd >= pd.Timestamp("1996-03-01")) & (sd < pd.Timestamp("1996-04-01"))]
+
+    joined = auto_join(li.map_batches(window, batch_format="pandas"), part, "l_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev_c = _cents(b["l_extendedprice"] * (1 - b["l_discount"])).astype("int64")
+        promo = rev_c[(b["p_type"] == "PROMO").to_numpy()]
+        return pd.DataFrame(
+            {"promo_c": [int(promo.sum())], "total_c": [int(rev_c.sum())]}
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_c, total_c = int(parts["promo_c"].sum()), int(parts["total_c"].sum())
+    return pd.DataFrame(
+        {"promo_revenue": [100.0 * float(promo_c) / float(total_c)]}
+    )
+
+
+def q_tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier quarter revenue via
+    combiner partials + the size-aware finish, the max filter, and a
+    dim-sized supplier join on the (tiny) winner set.  Full SQL oracle
+    in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["l_shipdate"]
+        sub = b[(sd >= pd.Timestamp("1996-01-01")) & (sd < pd.Timestamp("1996-04-01"))]
+        rev_c = _cents(sub["l_extendedprice"] * (1 - sub["l_discount"])).astype("int64")
+        return pd.DataFrame({"l_suppkey": sub["l_suppkey"], "rev_c": rev_c}).groupby(
+            "l_suppkey", as_index=False
+        ).agg(rev_c=("rev_c", "sum"))
+
+    rev = auto_group_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    if not isinstance(rev, pd.DataFrame):
+        rev = rev.to_pandas()
+    top = rev[rev["rev_c"] == rev["rev_c"].max()]
+    out = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = out["rev_c"].astype("float64") / 100.0
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 (large-volume customers): per-order quantity sums via
+    combiner partials + the size-aware finish, the >300 filter (a tiny
+    winner set), then size-aware joins to orders and the customer dim;
+    top-100 by (totalprice desc, orderdate, orderkey) through the
+    local-prune top_k.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join, top_k
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = _cents(b["l_quantity"]).astype("int64")
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"], "qty_c": q}).groupby(
+            "l_orderkey", as_index=False
+        ).agg(qty_c=("qty_c", "sum"))
+
+    sums = auto_group_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_orderkey"],
+        {"qty_c": ("qty_c", "sum")},
+    )
+    if not isinstance(sums, pd.DataFrame):
+        sums = sums.to_pandas()
+    big = sums[sums["qty_c"] > 300 * 100].rename(columns={"l_orderkey": "o_orderkey"})
+    joined = auto_join(orders, rd.from_pandas(big), "o_orderkey")
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["neg_price_c"] = -_cents(b["o_totalprice"]).astype("int64")
+        return out
+
+    top = top_k(
+        joined.map_batches(keys, batch_format="pandas"),
+        ["neg_price_c", "o_orderdate", "o_orderkey"],
+        100,
+        descending=False,
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["qty_c"].astype("float64") / 100.0
+    return (
+        out[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+        .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                     ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+
+
 def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
     / `count_min_query`): per-user event counts from a fixed-memory
@@ -3744,6 +3869,9 @@ QUERIES = {
     "zorder_box_scan": q_zorder_box_scan,
     "weighted_lang_sample": q_weighted_lang_sample,
     "url_prefix_scan": q_url_prefix_scan,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4801,6 +4929,34 @@ ORACLE_SQL = {
     "embedding_unnest": (
         "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
         "unnest(embedding) AS x FROM embeddings WHERE vec_id < 50"
+    ),
+    "tpch_q14_promo": (
+        "WITH j AS (SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+        "* 100 + 0.5) AS BIGINT) AS rev_c, p_type FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01') "
+        "SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c "
+        "ELSE 0 END) AS DOUBLE) / CAST(SUM(rev_c) AS DOUBLE) AS promo_revenue "
+        "FROM j"
+    ),
+    "tpch_q15_top_supplier": (
+        "WITH r AS (SELECT l_suppkey, CAST(SUM(CAST(FLOOR(l_extendedprice "
+        "* (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c "
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 100 AS total_revenue "
+        "FROM r JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE rev_c = (SELECT MAX(rev_c) FROM r) ORDER BY s_suppkey"
+    ),
+    "tpch_q18_large_orders": (
+        "WITH q AS (SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity * 100 "
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS qty_c FROM lineitem GROUP BY l_orderkey) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(qty_c AS DOUBLE) / 100 AS sum_qty "
+        "FROM q JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey WHERE qty_c > 30000 "
+        "ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, "
+        "o_orderdate, o_orderkey LIMIT 100"
     ),
     "url_prefix_scan": (
         # same url synthesis as url_quality_filter; prefix scan == LIKE

@@ -1680,6 +1680,9 @@ class TestTailQueryOracles:
             "zorder_box_scan",
             "weighted_lang_sample",
             "url_prefix_scan",
+            "tpch_q14_promo",
+            "tpch_q15_top_supplier",
+            "tpch_q18_large_orders",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -1692,7 +1695,10 @@ class TestTailQueryOracles:
         if not isinstance(got, pd.DataFrame):
             got = got.to_pandas()
         con = duckdb.connect()
-        for t in ("documents", "events", "orders", "customer", "lineitem", "embeddings"):
+        for t in (
+            "documents", "events", "orders", "customer", "lineitem",
+            "embeddings", "part", "supplier", "nation", "region",
+        ):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
