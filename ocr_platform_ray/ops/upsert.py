@@ -112,6 +112,10 @@ def merge_into(
     updated, inserted) — aggregate-sized, driver-safe.  Only partitions
     containing an updated key are rewritten (atomic per-file replace);
     every other file's bytes are untouched."""
+    if os.path.exists(os.path.join(target_dir, "_versions")):
+        raise ValueError(
+            f"{target_dir!r} is a VERSIONED target; use versioned_merge_into"
+        )
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -175,6 +179,10 @@ def read_merge_target(target_dir: str, *, columns: list[str] | None = None) -> r
     After additive schema evolution some partitions may lack the newer
     columns — the scan unifies to the union schema (missing columns
     null), so consumers always see one stable schema."""
+    if os.path.exists(os.path.join(target_dir, "_versions")):
+        raise ValueError(
+            f"{target_dir!r} is a VERSIONED target; use versioned_read"
+        )
     files = sorted(glob.glob(os.path.join(target_dir, "part_*.parquet")))
     if not files:
         raise ValueError(
@@ -191,3 +199,200 @@ def read_merge_target(target_dir: str, *, columns: list[str] | None = None) -> r
             fields.setdefault(f.name, f.type)
     unified = pa.schema([(n, fields[n]) for n in names])
     return rd.read_parquet(files, columns=columns, schema=unified)
+
+
+# --------------------------------------------------------------------------
+# Versioned merge target (snapshot isolation + time travel)
+# --------------------------------------------------------------------------
+# Layout: part files are immutable and version-suffixed
+# (part_K-v000N.parquet); _versions/v000N.json maps partition -> file for
+# that snapshot; _versions/CURRENT names the live manifest (atomic
+# replace).  A merge writes NEW files + a NEW manifest and swaps CURRENT
+# last, so readers pinning a manifest never see a torn target (the
+# in-place layout above documents exactly that partial-merge window —
+# this is the isolation upgrade), old snapshots stay readable
+# (time travel), and a crash before the swap leaves only orphan files
+# that `vacuum_versions` removes.
+
+
+def _versions_dir(target_dir: str) -> str:
+    return os.path.join(target_dir, "_versions")
+
+
+def _manifest_path(target_dir: str, tag: str) -> str:
+    return os.path.join(_versions_dir(target_dir), tag + ".json")
+
+
+def _current_version(target_dir: str) -> str | None:
+    cur = os.path.join(_versions_dir(target_dir), "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return f.read().strip()
+
+
+def _read_manifest(target_dir: str, tag: str) -> dict:
+    import json
+
+    with open(_manifest_path(target_dir, tag)) as f:
+        return json.load(f)
+
+
+def _commit_manifest(target_dir: str, seq: int, parts: dict) -> str:
+    import json
+
+    tag = f"v{seq:05d}"
+    os.makedirs(_versions_dir(target_dir), exist_ok=True)
+    mtmp = _manifest_path(target_dir, tag) + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"seq": seq, "parts": parts}, f, sort_keys=True)
+    os.replace(mtmp, _manifest_path(target_dir, tag))
+    ctmp = os.path.join(_versions_dir(target_dir), "CURRENT.tmp")
+    with open(ctmp, "w") as f:
+        f.write(tag)
+    os.replace(ctmp, os.path.join(_versions_dir(target_dir), "CURRENT"))
+    return tag
+
+
+def versioned_write_target(
+    ds: rd.Dataset,
+    target_dir: str,
+    key_col: str,
+    *,
+    n_partitions: int = 64,
+) -> str:
+    """Materialize ``ds`` as snapshot v00001 of a versioned merge
+    target.  Returns the version tag."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__part"] = _partition_of(b[key_col].to_numpy(), n_partitions)
+        return out
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__part"].iloc[0])
+        fname = f"part_{k:05d}-v00001.parquet"
+        body = g.drop(columns="__part").sort_values(key_col, kind="mergesort")
+        tmp = os.path.join(target_dir, fname + ".tmp")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(target_dir, fname))
+        return pd.DataFrame({"part": [k], "file": [fname]})
+
+    rep = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(write_part, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = (
+        {str(int(p)): f for p, f in zip(rep["part"], rep["file"])}
+        if len(rep)
+        else {}
+    )
+    return _commit_manifest(target_dir, 1, parts)
+
+
+def versioned_merge_into(
+    target_dir: str,
+    updates: rd.Dataset,
+    key_col: str,
+    *,
+    n_partitions: int = 64,
+) -> str:
+    """Upsert with SNAPSHOT ISOLATION: touched partitions are written as
+    NEW immutable files, the new manifest carries untouched entries
+    forward, and the CURRENT pointer swaps last — concurrent readers on
+    any pinned version are never affected, every prior snapshot stays
+    readable, a pre-swap crash leaves only orphans.  Returns the new
+    version tag.  Update semantics (replace matched keys, insert new,
+    unique keys per batch) match `merge_into`."""
+    cur = _current_version(target_dir)
+    if cur is None:
+        raise ValueError(f"{target_dir!r} is not a versioned target")
+    man = _read_manifest(target_dir, cur)
+    seq = int(man["seq"]) + 1
+    old_parts: dict = man["parts"]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["__part"] = _partition_of(b[key_col].to_numpy(), n_partitions)
+        return out
+
+    def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__part"].iloc[0])
+        up = g.drop(columns="__part")
+        if up[key_col].duplicated().any():
+            raise ValueError(f"duplicate keys in updates for partition {k}")
+        old = old_parts.get(str(k))
+        cur_df = (
+            pq.read_table(os.path.join(target_dir, old)).to_pandas()
+            if old
+            else up.iloc[0:0]
+        )
+        kept = cur_df[~cur_df[key_col].isin(set(up[key_col].to_numpy()))]
+        merged = pd.concat(
+            [kept, up[cur_df.columns] if len(cur_df.columns) else up],
+            ignore_index=True,
+        ).sort_values(key_col, kind="mergesort")
+        fname = f"part_{k:05d}-v{seq:05d}.parquet"
+        tmp = os.path.join(target_dir, fname + ".tmp")
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(target_dir, fname))
+        return pd.DataFrame({"part": [k], "file": [fname]})
+
+    rep = (
+        updates.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = dict(old_parts)
+    for p, f in zip(rep.get("part", []), rep.get("file", [])):
+        parts[str(int(p))] = f
+    return _commit_manifest(target_dir, seq, parts)
+
+
+def versioned_read(
+    target_dir: str,
+    *,
+    version: str | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Read a snapshot (CURRENT by default, or any retained version tag
+    — time travel)."""
+    tag = version or _current_version(target_dir)
+    if tag is None:
+        raise ValueError(f"{target_dir!r} is not a versioned target")
+    man = _read_manifest(target_dir, tag)
+    files = [os.path.join(target_dir, f) for f in sorted(man["parts"].values())]
+    if not files:
+        raise ValueError(f"snapshot {tag} of {target_dir!r} is empty")
+    return rd.read_parquet(files, columns=columns)
+
+
+def list_versions(target_dir: str) -> list[str]:
+    return sorted(
+        os.path.basename(p)[: -len(".json")]
+        for p in glob.glob(os.path.join(_versions_dir(target_dir), "v*.json"))
+    )
+
+
+def vacuum_versions(target_dir: str, *, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots: their manifests
+    are removed and any part file no retained manifest references —
+    including orphans from pre-swap crashes — is deleted.  Returns
+    {"dropped_versions", "deleted_files"}."""
+    vs = list_versions(target_dir)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    referenced = set()
+    for tag in keep:
+        referenced.update(_read_manifest(target_dir, tag)["parts"].values())
+    deleted = []
+    for p in glob.glob(os.path.join(target_dir, "part_*.parquet")):
+        if os.path.basename(p) not in referenced:
+            os.remove(p)
+            deleted.append(os.path.basename(p))
+    for tag in drop:
+        os.remove(_manifest_path(target_dir, tag))
+    return {"dropped_versions": drop, "deleted_files": sorted(deleted)}

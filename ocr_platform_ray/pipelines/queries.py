@@ -3585,6 +3585,51 @@ def q_tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_versioned_upsert_orders(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-isolated MERGE with time travel
+    (`ops/upsert.versioned_merge_into`): the merge_upsert_orders change
+    set applied to a VERSIONED target — new immutable files + manifest
+    swap, so v1 stays readable (time-travel identity asserted
+    in-query).  The post-merge snapshot carries the same full anti+union
+    SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.upsert import (
+        versioned_merge_into,
+        versioned_read,
+        versioned_write_target,
+    )
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    orders = _t(sf_dir, "orders", cols)
+    with tempfile.TemporaryDirectory(prefix="vmerge_") as td:
+        v1 = versioned_write_target(orders, td, "o_orderkey", n_partitions=16)
+
+        def changes(b: pd.DataFrame) -> pd.DataFrame:
+            upd = b[b["o_orderkey"] % 10 == 0].copy()
+            upd["o_totalprice"] = upd["o_totalprice"] + 1000.0
+            upd["o_orderstatus"] = "U"
+            new = b[b["o_orderkey"] % 100 == 0].copy()
+            new["o_orderkey"] = new["o_orderkey"] + 10_000_000
+            new["o_totalprice"] = 1.0
+            new["o_orderstatus"] = "N"
+            return pd.concat([upd, new], ignore_index=True)[cols]
+
+        versioned_merge_into(
+            td, orders.map_batches(changes, batch_format="pandas"),
+            "o_orderkey", n_partitions=16,
+        )
+        out = versioned_read(td).to_pandas()
+        # time travel: v1 must still equal the ORIGINAL table exactly
+        old = versioned_read(td, version=v1).to_pandas()
+        want = orders.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            old.sort_values("o_orderkey").reset_index(drop=True)[cols],
+            want[cols],
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_cm_user_freq(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency estimates (`ops/sketch.count_min_build`
     / `count_min_query`): per-user event counts from a fixed-memory
@@ -3872,6 +3917,7 @@ QUERIES = {
     "tpch_q14_promo": q_tpch_q14_promo,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "versioned_upsert_orders": q_versioned_upsert_orders,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -4957,6 +5003,19 @@ ORACLE_SQL = {
         "JOIN customer ON o_custkey = c_custkey WHERE qty_c > 30000 "
         "ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, "
         "o_orderdate, o_orderkey LIMIT 100"
+    ),
+    "versioned_upsert_orders": (
+        # identical final state to merge_upsert_orders (the change set
+        # is the same; only the storage layout differs)
+        "WITH upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, "
+        "'U' AS o_orderstatus FROM orders WHERE o_orderkey % 10 = 0), "
+        "nw AS (SELECT o_orderkey + 10000000 AS o_orderkey, "
+        "1.0 AS o_totalprice, 'N' AS o_orderstatus FROM orders "
+        "WHERE o_orderkey % 100 = 0), "
+        "base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_orderkey % 10 != 0) "
+        "SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL "
+        "SELECT * FROM nw"
     ),
     "url_prefix_scan": (
         # same url synthesis as url_quality_filter; prefix scan == LIKE

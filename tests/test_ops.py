@@ -1683,6 +1683,7 @@ class TestTailQueryOracles:
             "tpch_q14_promo",
             "tpch_q15_top_supplier",
             "tpch_q18_large_orders",
+            "versioned_upsert_orders",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3429,3 +3430,85 @@ class TestReviewFixesS4:
             method="bloom", bloom_m_bits=1 << 12,
         ).to_pandas()
         assert sorted(out["k"]) == sorted(keys["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVersionedMerge:
+    def _base(self, n=200):
+        return pd.DataFrame(
+            {
+                "k": np.arange(n, dtype="int64"),
+                "v": np.arange(n, dtype="float64"),
+            }
+        )
+
+    def test_time_travel_and_snapshot_isolation(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import (
+            list_versions,
+            versioned_merge_into,
+            versioned_read,
+            versioned_write_target,
+        )
+
+        td = str(tmp_path / "vt")
+        df = self._base()
+        v1 = versioned_write_target(rd.from_pandas(df), td, "k", n_partitions=8)
+        assert v1 == "v00001"
+        upd = pd.DataFrame({"k": [5, 999], "v": [500.0, 9.0]})
+        v2 = versioned_merge_into(td, rd.from_pandas(upd), "k", n_partitions=8)
+        assert list_versions(td) == ["v00001", "v00002"]
+        # v2 sees the merge
+        cur = versioned_read(td).to_pandas().set_index("k")
+        assert cur.loc[5, "v"] == 500.0 and cur.loc[999, "v"] == 9.0
+        # v1 (time travel) is byte-semantically the original
+        old = versioned_read(td, version=v1).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(old, df, check_dtype=False)
+
+    def test_vacuum_drops_old_and_orphans(self, tmp_path):
+        import glob as g
+
+        from ocr_platform_ray.ops.upsert import (
+            list_versions,
+            vacuum_versions,
+            versioned_merge_into,
+            versioned_read,
+            versioned_write_target,
+        )
+
+        td = str(tmp_path / "vt")
+        versioned_write_target(rd.from_pandas(self._base()), td, "k", n_partitions=4)
+        for i in range(3):
+            versioned_merge_into(
+                td, rd.from_pandas(pd.DataFrame({"k": [i], "v": [-1.0 * i]})),
+                "k", n_partitions=4,
+            )
+        # plant an orphan (a pre-swap crash leftover)
+        open(td + "/part_00000-v99999.parquet", "wb").write(b"junk")
+        rep = vacuum_versions(td, keep_last=2)
+        assert rep["dropped_versions"] == ["v00001", "v00002"]
+        assert "part_00000-v99999.parquet" in rep["deleted_files"]
+        assert list_versions(td) == ["v00003", "v00004"]
+        # both retained versions still read
+        for tag in ("v00003", "v00004"):
+            assert versioned_read(td, version=tag).count() == 200
+        # every remaining file is referenced
+        manifests = set()
+        from ocr_platform_ray.ops.upsert import _read_manifest
+        for tag in ("v00003", "v00004"):
+            manifests.update(_read_manifest(td, tag)["parts"].values())
+        on_disk = {p.split("/")[-1] for p in g.glob(td + "/part_*.parquet")}
+        assert on_disk == manifests
+
+    def test_mixing_apis_guarded(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import (
+            merge_into,
+            read_merge_target,
+            versioned_write_target,
+        )
+
+        td = str(tmp_path / "vt")
+        versioned_write_target(rd.from_pandas(self._base(20)), td, "k", n_partitions=2)
+        with pytest.raises(ValueError, match="VERSIONED"):
+            merge_into(td, rd.from_pandas(pd.DataFrame({"k": [1], "v": [0.0]})), "k")
+        with pytest.raises(ValueError, match="VERSIONED"):
+            read_merge_target(td)
