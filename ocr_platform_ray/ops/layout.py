@@ -433,3 +433,85 @@ def prefix_plan(out_dir: str, prefix: str) -> tuple[list[str], int]:
     hi = prefix + chr(0x10FFFF)
     keep = (zm["vmax"].to_numpy() >= prefix) & (zm["vmin"].to_numpy() <= hi)
     return [os.path.join(out_dir, f) for f in zm.loc[keep, "file"]], len(zm)
+
+
+# --------------------------------------------------------------------------
+# Zero-shuffle merge join over co-clustered layouts
+# --------------------------------------------------------------------------
+def clustered_join_plan(dir_left: str, dir_right: str) -> list[tuple[str, list[str]]]:
+    """Pair each left file with the right files whose zone overlaps it —
+    the join's entire 'exchange', computed driver-side from two
+    n_files-row zone maps."""
+    zl = pq.read_table(os.path.join(dir_left, _ZONEMAP)).to_pandas()
+    zr = pq.read_table(os.path.join(dir_right, _ZONEMAP)).to_pandas()
+    pairs = []
+    for _, l in zl.iterrows():
+        rs = zr[(zr["vmax"] >= l["vmin"]) & (zr["vmin"] <= l["vmax"])]
+        pairs.append(
+            (
+                os.path.join(dir_left, l["file"]),
+                [os.path.join(dir_right, f) for f in rs["file"]],
+            )
+        )
+    return pairs
+
+
+def clustered_merge_join(
+    dir_left: str,
+    dir_right: str,
+    key_col: str,
+    *,
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> rd.Dataset:
+    """Equi-join two `cluster_write` layouts CLUSTERED ON THE SAME KEY
+    COLUMN with ZERO exchange — the storage-order join: each task owns
+    one left file and reads only the right files whose zone overlaps it
+    (planned driver-side from the two zone maps).  Correct because a
+    key value lives in exactly ONE file per layout (range buckets are
+    disjoint), so every (left row, right row) pair meets in exactly one
+    task — the layouts' cutoffs need NOT match.
+
+    ``how``: "inner" or "left".  Overlapping non-key right columns are
+    renamed ``right_prefix + name`` (the `auto_join` collision rule).
+    The complement to `ops/colocated.py`'s hash-layout join, for
+    range-clustered storage."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    pairs = clustered_join_plan(dir_left, dir_right)
+    if not pairs:
+        raise ValueError("left layout is empty")
+    plan = pd.DataFrame(
+        {
+            "lf": [p[0] for p in pairs],
+            "rfs": ["\x00".join(p[1]) for p in pairs],
+        }
+    )
+
+    def join_task(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lf, rfs in zip(b["lf"], b["rfs"]):
+            lt = pq.read_table(lf).to_pandas()
+            rlist = [f for f in rfs.split("\x00") if f]
+            if rlist:
+                rt = pd.concat(
+                    [pq.read_table(f).to_pandas() for f in rlist],
+                    ignore_index=True,
+                )
+            else:
+                rt = None
+            if rt is None or len(rt) == 0:
+                if how == "left":
+                    outs.append(lt)
+                continue
+            overlap = (set(lt.columns) & set(rt.columns)) - {key_col}
+            if overlap:
+                rt = rt.rename(columns={c: right_prefix + c for c in overlap})
+            outs.append(lt.merge(rt, on=key_col, how=how, sort=False))
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return rd.from_pandas(plan).repartition(len(plan)).map_batches(
+        join_task, batch_format="pandas"
+    )

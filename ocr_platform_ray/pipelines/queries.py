@@ -3585,6 +3585,54 @@ def q_tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_clustered_merge_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Zero-shuffle storage-order join
+    (`ops/layout.clustered_merge_join`): lineitem and orders each
+    written range-clustered on the order key (different file counts —
+    the cutoffs need not match), then joined with NO exchange (each
+    task = one left file + its zone-overlapping right files) and
+    reduced to quantity cents per order status.  Full SQL join+GROUP BY
+    oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.layout import cluster_write, clustered_merge_join
+    from ..ops.relational import auto_group_agg
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "qty_c": _cents(b["l_quantity"])}
+        ),
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"okey": b["o_orderkey"], "o_orderstatus": b["o_orderstatus"]}
+        ),
+        batch_format="pandas",
+    )
+    with tempfile.TemporaryDirectory(prefix="cmj_") as td:
+        dl, dr = f"{td}/li", f"{td}/ord"
+        cluster_write(li, "okey", dl, n_files=12)
+        cluster_write(orders, "okey", dr, n_files=8)
+        joined = clustered_merge_join(dl, dr, "okey")
+        partials = joined.map_batches(
+            lambda b: b.groupby("o_orderstatus", as_index=False).agg(
+                n_items=("qty_c", "size"), sum_qty_c=("qty_c", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["o_orderstatus"],
+            {"n_items": ("n_items", "sum"), "sum_qty_c": ("sum_qty_c", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty_c"] = out["sum_qty_c"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_versioned_upsert_orders(sf_dir: str) -> pd.DataFrame:
     """Snapshot-isolated MERGE with time travel
     (`ops/upsert.versioned_merge_into`): the merge_upsert_orders change
@@ -3918,6 +3966,7 @@ QUERIES = {
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "versioned_upsert_orders": q_versioned_upsert_orders,
+    "clustered_merge_join_revenue": q_clustered_merge_join_revenue,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5003,6 +5052,12 @@ ORACLE_SQL = {
         "JOIN customer ON o_custkey = c_custkey WHERE qty_c > 30000 "
         "ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, "
         "o_orderdate, o_orderkey LIMIT 100"
+    ),
+    "clustered_merge_join_revenue": (
+        "SELECT o_orderstatus, COUNT(*) AS n_items, "
+        "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty_c FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderstatus"
     ),
     "versioned_upsert_orders": (
         # identical final state to merge_upsert_orders (the change set

@@ -1684,6 +1684,7 @@ class TestTailQueryOracles:
             "tpch_q15_top_supplier",
             "tpch_q18_large_orders",
             "versioned_upsert_orders",
+            "clustered_merge_join_revenue",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3512,3 +3513,66 @@ class TestVersionedMerge:
             merge_into(td, rd.from_pandas(pd.DataFrame({"k": [1], "v": [0.0]})), "k")
         with pytest.raises(ValueError, match="VERSIONED"):
             read_merge_target(td)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusteredMergeJoin:
+    def _layouts(self, tmp_path, seed=7):
+        from ocr_platform_ray.ops.layout import cluster_write
+
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame(
+            {
+                "key": rng.randint(0, 500, 600).astype("int64"),
+                "lv": np.arange(600, dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": rng.randint(0, 500, 300).astype("int64"),
+                "rv": np.arange(300, dtype="int64") * 10,
+            }
+        )
+        dl, dr = str(tmp_path / "L"), str(tmp_path / "R")
+        # deliberately DIFFERENT file counts -> different cutoffs
+        cluster_write(rd.from_pandas(left), "key", dl, n_files=8)
+        cluster_write(rd.from_pandas(right), "key", dr, n_files=5)
+        return left, right, dl, dr
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_pandas_merge(self, tmp_path, how):
+        from ocr_platform_ray.ops.layout import clustered_merge_join
+
+        left, right, dl, dr = self._layouts(tmp_path)
+        got = (
+            clustered_merge_join(dl, dr, "key", how=how)
+            .to_pandas()
+            .sort_values(["key", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="key", how=how)
+            .sort_values(["key", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["key", "lv", "rv"]], want[["key", "lv", "rv"]], check_dtype=False
+        )
+
+    def test_collision_rename_and_plan(self, tmp_path):
+        from ocr_platform_ray.ops.layout import (
+            cluster_write,
+            clustered_join_plan,
+            clustered_merge_join,
+        )
+
+        l = pd.DataFrame({"key": np.arange(50, dtype="int64"), "v": np.ones(50)})
+        r = pd.DataFrame({"key": np.arange(50, dtype="int64"), "v": np.zeros(50)})
+        dl, dr = str(tmp_path / "L"), str(tmp_path / "R")
+        cluster_write(rd.from_pandas(l), "key", dl, n_files=4)
+        cluster_write(rd.from_pandas(r), "key", dr, n_files=4)
+        out = clustered_merge_join(dl, dr, "key").to_pandas()
+        assert set(out.columns) == {"key", "v", "r_v"}
+        # plan pairs each left file with only overlapping right files
+        pairs = clustered_join_plan(dl, dr)
+        assert all(len(rfs) < 4 or len(pairs) == 1 for _, rfs in pairs)
