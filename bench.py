@@ -181,6 +181,8 @@ def run_once() -> dict:
         "merge_upsert_orders",
         "clustered_range_scan",
         "weighted_doc_sample",
+        "tpch_q18_large_orders",
+        "clustered_merge_join_revenue",
     ):
         extra_times[name] = _best_of(2, name)
 
