@@ -8,6 +8,10 @@ from .relational import (  # noqa: F401
     grouped_percentile_exact,
     grouped_mode,
     grouped_first_last,
+    grouped_string_agg,
+    grouping_sets_agg,
+    unpivot_columns,
+    explode_list_column,
     cube_agg,
     probe_head,
     broadcast_hash_join,
@@ -49,7 +53,13 @@ from .pack import range_prefix_sum, pack_sequences  # noqa: F401
 from .chunks import grouped_ordered_concat  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
 from .mix import temperature_sample, token_budget_sample, weighted_source_mixture  # noqa: F401
-from .shuffle import epoch_shuffle, shuffle_hash  # noqa: F401
+from .shuffle import (  # noqa: F401
+    epoch_shuffle,
+    grouped_sample_k,
+    grouped_weighted_sample_k,
+    shuffle_hash,
+    weighted_sample_k,
+)
 from .decontam import contamination_counts  # noqa: F401
 from .interval import interval_join  # noqa: F401
 from .similarity import (  # noqa: F401
@@ -81,13 +91,45 @@ from .colocated import colocated_join, partition_by_key  # noqa: F401
 from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .cluster import kmeans_fit, semdedup  # noqa: F401
-from .profile import dataset_profile, grouped_histogram  # noqa: F401
+from .profile import (  # noqa: F401
+    dataset_profile,
+    grouped_corr,
+    grouped_histogram,
+    grouped_moments,
+)
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401
 from .classifier import logreg_fit, logreg_score  # noqa: F401
 from .bpe_train import bpe_train_distributed, word_histogram  # noqa: F401
 from .incremental import (  # noqa: F401
     committed_ingests,
+    compact_bucket_state,
     incremental_exact_dedup,
     incremental_minhash_dedup,
 )
+from .sketch import (  # noqa: F401
+    approx_distinct,
+    approx_distinct_by,
+    count_min_build,
+    count_min_query,
+    heavy_hitters,
+)
+from .layout import (  # noqa: F401
+    cluster_write,
+    cluster_write_str,
+    clustered_merge_join,
+    prefix_pruned_read,
+    pruned_read,
+    zorder_pruned_read,
+    zorder_write,
+)
+from .upsert import (  # noqa: F401
+    merge_into,
+    read_merge_target,
+    vacuum_versions,
+    versioned_merge_into,
+    versioned_read,
+    versioned_write_target,
+    write_merge_target,
+)
+from .graph import connected_components, pagerank  # noqa: F401
