@@ -576,3 +576,57 @@ def sessionize(
         .sort_values([key_col, "session_id"])
         .reset_index(drop=True)
     )
+
+
+def grouped_share(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "share",
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> "rd.Dataset":
+    """``RATIO_TO_REPORT``: each row's share of its group's total —
+    ``v / SUM(v) OVER (PARTITION BY key)``.  ``value_col`` must be
+    INTEGER (the repo's cents contract) so the group totals are exact
+    and the one final double division is bit-identical to SQL's.
+
+    Scale shape: the totals are a combiner reduce through the
+    size-aware `auto_group_agg` finish (one (group, total) row per
+    group), then ONE broadcast map adds the share — rows never shuffle.
+    Groups summing to zero yield NaN (SQL: NULL from 0/0)."""
+    import ray
+
+    from ..state.broadcast import cached_get  # driver-side composition
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(key_cols, as_index=False).agg(t=(value_col, "sum"))
+
+    totals = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_cols,
+        {"t": ("t", "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(totals, pd.DataFrame):
+        totals = totals.to_pandas()
+    tser = totals.set_index(key_cols)["t"]
+    ref = ray.put(tser)
+
+    def add_share(b: pd.DataFrame) -> pd.DataFrame:
+        t = cached_get(ref)
+        idx = (
+            pd.MultiIndex.from_frame(b[key_cols])
+            if len(key_cols) > 1
+            else b[key_cols[0]]
+        )
+        denom = t.reindex(idx).to_numpy(dtype="float64")
+        out = b.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = b[value_col].to_numpy(dtype="float64") / denom
+        out[out_col] = np.where(denom != 0.0, share, np.nan)
+        return out
+
+    return ds.map_batches(add_share, batch_format="pandas")

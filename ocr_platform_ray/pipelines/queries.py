@@ -3585,6 +3585,25 @@ def q_tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_value_share_in_type(sf_dir: str) -> pd.DataFrame:
+    """RATIO_TO_REPORT window (`ops/windows.grouped_share`): each
+    event's share of its event_type's total value — exact integer-cents
+    group totals through the size-aware finish, one broadcast map adds
+    the single double division (rows never shuffle).  Full SQL window
+    oracle in TestTailQueryOracles."""
+    from ..ops.windows import grouped_share
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: b.assign(cents=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_share(ev, ["event_type"], "cents").to_pandas()
+    return (
+        out[["event_id", "event_type", "share"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_clustered_merge_join_revenue(sf_dir: str) -> pd.DataFrame:
     """Zero-shuffle storage-order join
     (`ops/layout.clustered_merge_join`): lineitem and orders each
@@ -3967,6 +3986,7 @@ QUERIES = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "versioned_upsert_orders": q_versioned_upsert_orders,
     "clustered_merge_join_revenue": q_clustered_merge_join_revenue,
+    "value_share_in_type": q_value_share_in_type,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5052,6 +5072,17 @@ ORACLE_SQL = {
         "JOIN customer ON o_custkey = c_custkey WHERE qty_c > 30000 "
         "ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, "
         "o_orderdate, o_orderkey LIMIT 100"
+    ),
+    "value_share_in_type": (
+        # integer-cents totals (exact on both engines), one double
+        # division — events.value can be negative, hence the CASE cents
+        "SELECT event_id, event_type, "
+        "CAST(CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+        "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS DOUBLE) / "
+        "CAST(SUM(CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+        "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT)) "
+        "OVER (PARTITION BY event_type) AS DOUBLE) AS share "
+        "FROM events"
     ),
     "clustered_merge_join_revenue": (
         "SELECT o_orderstatus, COUNT(*) AS n_items, "

@@ -1685,6 +1685,7 @@ class TestTailQueryOracles:
             "tpch_q18_large_orders",
             "versioned_upsert_orders",
             "clustered_merge_join_revenue",
+            "value_share_in_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
@@ -3576,3 +3577,37 @@ class TestClusteredMergeJoin:
         # plan pairs each left file with only overlapping right files
         pairs = clustered_join_plan(dl, dr)
         assert all(len(rfs) < 4 or len(pairs) == 1 for _, rfs in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedShare:
+    def test_matches_pandas_and_blocks(self):
+        from ocr_platform_ray.ops.windows import grouped_share
+
+        rng = np.random.RandomState(19)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(list("abc"), 200),
+                "c": rng.randint(0, 1000, 200).astype("int64"),
+            }
+        )
+        outs = []
+        for nb in (1, 6):
+            o = grouped_share(
+                rd.from_pandas(df).repartition(nb), ["g"], "c"
+            ).to_pandas().sort_values(["g", "c"]).reset_index(drop=True)
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        want = df.assign(share=df["c"] / df.groupby("g")["c"].transform("sum"))
+        got = outs[0]
+        w = want.sort_values(["g", "c"]).reset_index(drop=True)
+        np.testing.assert_allclose(got["share"], w["share"], rtol=1e-12)
+
+    def test_zero_total_group_nan(self):
+        from ocr_platform_ray.ops.windows import grouped_share
+
+        df = pd.DataFrame({"g": ["z", "z", "a"], "c": [0, 0, 5]})
+        out = grouped_share(rd.from_pandas(df), ["g"], "c").to_pandas()
+        z = out[out.g == "z"]["share"]
+        assert z.isna().all()
+        assert (out[out.g == "a"]["share"] == 1.0).all()
