@@ -88,7 +88,17 @@ from .windows import (  # noqa: F401
 )
 from .fuzzy import fuzzy_join_lev, levenshtein  # noqa: F401
 from .colocated import colocated_join, partition_by_key  # noqa: F401
-from .sketch import grouped_quantile_sketch, sketch_from_values, merge_sketches, sketch_quantile  # noqa: F401
+from .sketch import (  # noqa: F401
+    approx_distinct,
+    approx_distinct_by,
+    count_min_build,
+    count_min_query,
+    grouped_quantile_sketch,
+    heavy_hitters,
+    merge_sketches,
+    sketch_from_values,
+    sketch_quantile,
+)
 from .search import bm25_topk  # noqa: F401
 from .cluster import kmeans_fit, semdedup  # noqa: F401
 from .profile import (  # noqa: F401
@@ -106,13 +116,6 @@ from .incremental import (  # noqa: F401
     compact_bucket_state,
     incremental_exact_dedup,
     incremental_minhash_dedup,
-)
-from .sketch import (  # noqa: F401
-    approx_distinct,
-    approx_distinct_by,
-    count_min_build,
-    count_min_query,
-    heavy_hitters,
 )
 from .layout import (  # noqa: F401
     cluster_write,

@@ -441,16 +441,28 @@ def prefix_plan(out_dir: str, prefix: str) -> tuple[list[str], int]:
 def clustered_join_plan(dir_left: str, dir_right: str) -> list[tuple[str, list[str]]]:
     """Pair each left file with the right files whose zone overlaps it —
     the join's entire 'exchange', computed driver-side from two
-    n_files-row zone maps."""
+    n_files-row zone maps in O((L+R) log R): ranges are DISJOINT and
+    vmin-sorted, so vmax is sorted too and each overlap set is one
+    contiguous searchsorted slice (the iterrows-per-left-file form is
+    O(L*R) — minutes at the module's own 100k-file motivation)."""
     zl = pq.read_table(os.path.join(dir_left, _ZONEMAP)).to_pandas()
-    zr = pq.read_table(os.path.join(dir_right, _ZONEMAP)).to_pandas()
+    zr = (
+        pq.read_table(os.path.join(dir_right, _ZONEMAP))
+        .to_pandas()
+        .sort_values("vmin")
+        .reset_index(drop=True)
+    )
+    r_vmin = zr["vmin"].to_numpy(dtype="float64")
+    r_vmax = zr["vmax"].to_numpy(dtype="float64")
+    r_files = zr["file"].to_numpy()
+    lo_idx = np.searchsorted(r_vmax, zl["vmin"].to_numpy(dtype="float64"), side="left")
+    hi_idx = np.searchsorted(r_vmin, zl["vmax"].to_numpy(dtype="float64"), side="right")
     pairs = []
-    for _, l in zl.iterrows():
-        rs = zr[(zr["vmax"] >= l["vmin"]) & (zr["vmin"] <= l["vmax"])]
+    for lf, a, b in zip(zl["file"], lo_idx, hi_idx):
         pairs.append(
             (
-                os.path.join(dir_left, l["file"]),
-                [os.path.join(dir_right, f) for f in rs["file"]],
+                os.path.join(dir_left, lf),
+                [os.path.join(dir_right, f) for f in r_files[a:b]],
             )
         )
     return pairs
@@ -478,9 +490,37 @@ def clustered_merge_join(
     range-clustered storage."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
+    from .relational import _pd_dtype  # driver-side composition
+
     pairs = clustered_join_plan(dir_left, dir_right)
     if not pairs:
         raise ValueError("left layout is empty")
+    # declared output schema (the asof_join rule): every block — incl.
+    # left files with NO overlapping right file — carries the same
+    # columns and dtypes, so downstream selects never hit a
+    # missing-column block (the union-schema pitfall CLAUDE.md pins)
+    lsch = pq.read_schema(pairs[0][0])
+    zr = pq.read_table(os.path.join(dir_right, _ZONEMAP)).to_pandas()
+    rsch = pq.read_schema(os.path.join(dir_right, zr["file"].iloc[0]))
+    lcols = list(lsch.names)
+    rename = {
+        c: (right_prefix + c if c in lcols else c)
+        for c in rsch.names
+        if c != key_col
+    }
+    out_cols = lcols + [rename[c] for c in rsch.names if c != key_col]
+    out_dtypes: dict[str, str] = {}
+    for n, t in zip(lsch.names, lsch.types):
+        out_dtypes[n] = _pd_dtype(t)
+    for n, t in zip(rsch.names, rsch.types):
+        if n != key_col:
+            dt = _pd_dtype(t)
+            # left-join misses fill NaN: integer right payloads become
+            # float64 on EVERY block so per-block schemas agree
+            out_dtypes[rename[n]] = (
+                "float64" if how == "left" and dt.startswith("int") else dt
+            )
+
     plan = pd.DataFrame(
         {
             "lf": [p[0] for p in pairs],
@@ -488,28 +528,43 @@ def clustered_merge_join(
         }
     )
 
+    def _conform(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=out_dtypes[c]) for c in out_cols}
+            )
+        df = df.reindex(columns=out_cols)
+        for c, dt in out_dtypes.items():
+            if str(df[c].dtype) != dt:
+                try:
+                    df[c] = df[c].astype(dt)
+                except (ValueError, TypeError):
+                    # int target with NaN misses (how="left" keeps those
+                    # declared float64, so this only guards exotic types)
+                    pass
+        return df
+
     def join_task(b: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for lf, rfs in zip(b["lf"], b["rfs"]):
             lt = pq.read_table(lf).to_pandas()
             rlist = [f for f in rfs.split("\x00") if f]
-            if rlist:
-                rt = pd.concat(
+            rt = (
+                pd.concat(
                     [pq.read_table(f).to_pandas() for f in rlist],
                     ignore_index=True,
                 )
-            else:
-                rt = None
+                if rlist
+                else None
+            )
             if rt is None or len(rt) == 0:
                 if how == "left":
-                    outs.append(lt)
+                    outs.append(_conform(lt))
                 continue
-            overlap = (set(lt.columns) & set(rt.columns)) - {key_col}
-            if overlap:
-                rt = rt.rename(columns={c: right_prefix + c for c in overlap})
-            outs.append(lt.merge(rt, on=key_col, how=how, sort=False))
+            rt = rt.rename(columns=rename)
+            outs.append(_conform(lt.merge(rt, on=key_col, how=how, sort=False)))
         if not outs:
-            return pd.DataFrame()
+            return _conform(pd.DataFrame())
         return pd.concat(outs, ignore_index=True)
 
     return rd.from_pandas(plan).repartition(len(plan)).map_batches(

@@ -238,14 +238,16 @@ def _read_manifest(target_dir: str, tag: str) -> dict:
         return json.load(f)
 
 
-def _commit_manifest(target_dir: str, seq: int, parts: dict) -> str:
+def _commit_manifest(
+    target_dir: str, seq: int, parts: dict, layout: dict
+) -> str:
     import json
 
     tag = f"v{seq:05d}"
     os.makedirs(_versions_dir(target_dir), exist_ok=True)
     mtmp = _manifest_path(target_dir, tag) + ".tmp"
     with open(mtmp, "w") as f:
-        json.dump({"seq": seq, "parts": parts}, f, sort_keys=True)
+        json.dump({"seq": seq, "parts": parts, "layout": layout}, f, sort_keys=True)
     os.replace(mtmp, _manifest_path(target_dir, tag))
     ctmp = os.path.join(_versions_dir(target_dir), "CURRENT.tmp")
     with open(ctmp, "w") as f:
@@ -262,7 +264,9 @@ def versioned_write_target(
     n_partitions: int = 64,
 ) -> str:
     """Materialize ``ds`` as snapshot v00001 of a versioned merge
-    target.  Returns the version tag."""
+    target.  ``n_partitions`` (and ``key_col``) are recorded in the
+    manifest — merges resolve them from there, so the partition routing
+    can never silently drift.  Returns the version tag."""
     os.makedirs(target_dir, exist_ok=True)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
@@ -290,7 +294,10 @@ def versioned_write_target(
         if len(rep)
         else {}
     )
-    return _commit_manifest(target_dir, 1, parts)
+    return _commit_manifest(
+        target_dir, 1, parts,
+        {"key_col": key_col, "n_partitions": n_partitions},
+    )
 
 
 def versioned_merge_into(
@@ -298,19 +305,36 @@ def versioned_merge_into(
     updates: rd.Dataset,
     key_col: str,
     *,
-    n_partitions: int = 64,
+    n_partitions: int | None = None,
 ) -> str:
     """Upsert with SNAPSHOT ISOLATION: touched partitions are written as
     NEW immutable files, the new manifest carries untouched entries
     forward, and the CURRENT pointer swaps last — concurrent readers on
     any pinned version are never affected, every prior snapshot stays
-    readable, a pre-swap crash leaves only orphans.  Returns the new
-    version tag.  Update semantics (replace matched keys, insert new,
-    unique keys per batch) match `merge_into`."""
+    readable, a pre-swap crash leaves only orphans (manifests newer
+    than CURRENT and .tmp part files — `vacuum_versions` removes both).
+    Returns the new version tag.  Update semantics (replace matched
+    keys, insert new, unique keys per batch, schemas must match — no
+    evolution on the versioned layout yet) match `merge_into`.
+
+    The partition count and key column come FROM THE MANIFEST (recorded
+    at write) — passing a conflicting ``n_partitions`` raises instead
+    of silently routing keys to the wrong partition."""
     cur = _current_version(target_dir)
     if cur is None:
         raise ValueError(f"{target_dir!r} is not a versioned target")
     man = _read_manifest(target_dir, cur)
+    layout = man.get("layout", {})
+    man_parts = layout.get("n_partitions")
+    if n_partitions is not None and man_parts is not None and n_partitions != man_parts:
+        raise ValueError(
+            f"target was written with n_partitions={man_parts}; got {n_partitions}"
+        )
+    n_partitions = man_parts if man_parts is not None else (n_partitions or 64)
+    if layout.get("key_col") not in (None, key_col):
+        raise ValueError(
+            f"target was written keyed on {layout['key_col']!r}; got {key_col!r}"
+        )
     seq = int(man["seq"]) + 1
     old_parts: dict = man["parts"]
 
@@ -330,9 +354,20 @@ def versioned_merge_into(
             if old
             else up.iloc[0:0]
         )
+        new_cols = [c for c in up.columns if c not in cur_df.columns]
+        if new_cols:
+            raise ValueError(
+                f"updates add columns {new_cols} (partition {k}); schema "
+                "evolution is not supported on versioned targets yet"
+            )
+        lost = [c for c in cur_df.columns if c not in up.columns]
+        if lost:
+            raise ValueError(
+                f"updates are missing target columns {lost} (partition {k})"
+            )
         kept = cur_df[~cur_df[key_col].isin(set(up[key_col].to_numpy()))]
         merged = pd.concat(
-            [kept, up[cur_df.columns] if len(cur_df.columns) else up],
+            [kept, up[list(cur_df.columns)]],
             ignore_index=True,
         ).sort_values(key_col, kind="mergesort")
         fname = f"part_{k:05d}-v{seq:05d}.parquet"
@@ -350,7 +385,10 @@ def versioned_merge_into(
     parts = dict(old_parts)
     for p, f in zip(rep.get("part", []), rep.get("file", [])):
         parts[str(int(p))] = f
-    return _commit_manifest(target_dir, seq, parts)
+    return _commit_manifest(
+        target_dir, seq, parts,
+        {"key_col": key_col, "n_partitions": n_partitions},
+    )
 
 
 def versioned_read(
@@ -379,20 +417,34 @@ def list_versions(target_dir: str) -> list[str]:
 
 
 def vacuum_versions(target_dir: str, *, keep_last: int = 2) -> dict:
-    """Drop all but the newest ``keep_last`` snapshots: their manifests
-    are removed and any part file no retained manifest references —
-    including orphans from pre-swap crashes — is deleted.  Returns
+    """Drop all but the newest ``keep_last`` COMMITTED snapshots.
+    Committed = at or before CURRENT; a manifest NEWER than CURRENT is
+    pre-swap crash debris and is dropped regardless (it was never
+    visible), so the live snapshot can never be vacuumed away.  Part
+    files no retained manifest references — including ``.tmp``
+    leftovers from crashed writes — are deleted.  Returns
     {"dropped_versions", "deleted_files"}."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    cur = _current_version(target_dir)
+    if cur is None:
+        raise ValueError(f"{target_dir!r} is not a versioned target")
     vs = list_versions(target_dir)
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    committed = [v for v in vs if v <= cur]  # zero-padded tags sort correctly
+    orphan_manifests = [v for v in vs if v > cur]
+    keep = committed[-keep_last:]
+    drop = committed[: -keep_last] + orphan_manifests
+    assert cur in keep
     referenced = set()
     for tag in keep:
         referenced.update(_read_manifest(target_dir, tag)["parts"].values())
     deleted = []
-    for p in glob.glob(os.path.join(target_dir, "part_*.parquet")):
+    for p in glob.glob(os.path.join(target_dir, "part_*.parquet")) + glob.glob(
+        os.path.join(target_dir, "part_*.parquet.tmp")
+    ):
         if os.path.basename(p) not in referenced:
             os.remove(p)
             deleted.append(os.path.basename(p))
     for tag in drop:
         os.remove(_manifest_path(target_dir, tag))
-    return {"dropped_versions": drop, "deleted_files": sorted(deleted)}
+    return {"dropped_versions": sorted(drop), "deleted_files": sorted(deleted)}

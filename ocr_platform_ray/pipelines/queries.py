@@ -3523,7 +3523,17 @@ def q_tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         {"rev_c": ("rev_c", "sum")},
     )
     if not isinstance(rev, pd.DataFrame):
-        rev = rev.to_pandas()
+        # exchange route: find the max with a scalar map-reduce, filter
+        # MAP-SIDE, and pull only the (tiny) winner set to the driver
+        mx = int(
+            rev.map_batches(
+                lambda b: pd.DataFrame({"m": [b["rev_c"].max()]}),
+                batch_format="pandas",
+            ).to_pandas()["m"].max()
+        )
+        rev = rev.map_batches(
+            lambda b, _m=mx: b[b["rev_c"] == _m], batch_format="pandas"
+        ).to_pandas()
     top = rev[rev["rev_c"] == rev["rev_c"].max()]
     out = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
     out["total_revenue"] = out["rev_c"].astype("float64") / 100.0
@@ -3560,7 +3570,12 @@ def q_tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
         {"qty_c": ("qty_c", "sum")},
     )
     if not isinstance(sums, pd.DataFrame):
-        sums = sums.to_pandas()
+        # exchange route: the per-order table is corpus-cardinality —
+        # apply the >300 filter MAP-SIDE so only the tiny winner set
+        # ever reaches the driver
+        sums = sums.map_batches(
+            lambda b: b[b["qty_c"] > 300 * 100], batch_format="pandas"
+        ).to_pandas()
     big = sums[sums["qty_c"] > 300 * 100].rename(columns={"l_orderkey": "o_orderkey"})
     joined = auto_join(orders, rd.from_pandas(big), "o_orderkey")
 
@@ -5075,12 +5090,12 @@ ORACLE_SQL = {
     ),
     "value_share_in_type": (
         # integer-cents totals (exact on both engines), one double
-        # division — events.value can be negative, hence the CASE cents
+        # division; plain FLOOR(v*100+0.5) mirrors _cents exactly —
+        # including its half-UP behavior on negatives (every other
+        # events-value oracle uses the same form)
         "SELECT event_id, event_type, "
-        "CAST(CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
-        "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS DOUBLE) / "
-        "CAST(SUM(CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
-        "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT)) "
+        "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / "
+        "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
         "OVER (PARTITION BY event_type) AS DOUBLE) AS share "
         "FROM events"
     ),

@@ -3611,3 +3611,97 @@ class TestGroupedShare:
         z = out[out.g == "z"]["share"]
         assert z.isna().all()
         assert (out[out.g == "a"]["share"] == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS4b:
+    def test_vacuum_never_drops_current_and_cleans_orphan_manifests(self, tmp_path):
+        import json
+
+        from ocr_platform_ray.ops.upsert import (
+            list_versions,
+            vacuum_versions,
+            versioned_merge_into,
+            versioned_read,
+            versioned_write_target,
+        )
+
+        td = str(tmp_path / "vt")
+        base = pd.DataFrame({"k": np.arange(50, dtype="int64"), "v": np.zeros(50)})
+        versioned_write_target(rd.from_pandas(base), td, "k", n_partitions=4)
+        versioned_merge_into(td, rd.from_pandas(pd.DataFrame({"k": [1], "v": [9.0]})), "k")
+        # simulate a pre-swap crash: a manifest NEWER than CURRENT
+        with open(td + "/_versions/v00003.json", "w") as f:
+            json.dump({"seq": 3, "parts": {}, "layout": {}}, f)
+        # and a torn part write
+        open(td + "/part_00001-v00003.parquet.tmp", "wb").write(b"x")
+        rep = vacuum_versions(td, keep_last=1)
+        assert "v00003" in rep["dropped_versions"]  # orphan manifest gone
+        assert "part_00001-v00003.parquet.tmp" in rep["deleted_files"]
+        assert list_versions(td) == ["v00002"]  # CURRENT survived
+        cur = versioned_read(td).to_pandas().set_index("k")
+        assert len(cur) == 50 and cur.loc[1, "v"] == 9.0
+        with pytest.raises(ValueError, match="keep_last"):
+            vacuum_versions(td, keep_last=0)
+
+    def test_versioned_merge_schema_and_partition_guards(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import (
+            versioned_merge_into,
+            versioned_write_target,
+        )
+
+        td = str(tmp_path / "vt")
+        base = pd.DataFrame(
+            {"k": np.arange(30, dtype="int64"), "v": np.zeros(30), "s": ["x"] * 30}
+        )
+        versioned_write_target(rd.from_pandas(base), td, "k", n_partitions=4)
+        # new column: clear rejection, not silent drop
+        with pytest.raises(Exception, match="add columns"):
+            versioned_merge_into(
+                td,
+                rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0], "s": ["y"], "extra": [0]})),
+                "k",
+            )
+        # missing column: clear rejection, not a worker KeyError
+        with pytest.raises(Exception, match="missing target columns"):
+            versioned_merge_into(
+                td, rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]})), "k"
+            )
+        # conflicting n_partitions: rejected instead of duplicating keys
+        with pytest.raises(ValueError, match="n_partitions"):
+            versioned_merge_into(
+                td,
+                rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0], "s": ["y"]})),
+                "k", n_partitions=64,
+            )
+        # omitted n_partitions resolves from the manifest (no dup keys)
+        from ocr_platform_ray.ops.upsert import versioned_read
+
+        versioned_merge_into(
+            td, rd.from_pandas(pd.DataFrame({"k": [1], "v": [5.0], "s": ["y"]})), "k"
+        )
+        got = versioned_read(td).to_pandas()
+        assert len(got) == 30 and (got["k"].value_counts() == 1).all()
+
+    def test_clustered_join_gap_blocks_keep_schema(self, tmp_path):
+        from ocr_platform_ray.ops.layout import cluster_write, clustered_merge_join
+
+        # right layout only covers LOW keys: high-key left files have no
+        # overlapping right file at all
+        left = pd.DataFrame(
+            {"key": np.arange(0, 400, dtype="int64"), "lv": np.arange(400, dtype="int64")}
+        )
+        right = pd.DataFrame(
+            {"key": np.arange(0, 100, dtype="int64"), "rv": np.arange(100, dtype="int64")}
+        )
+        dl, dr = str(tmp_path / "L"), str(tmp_path / "R")
+        cluster_write(rd.from_pandas(left), "key", dl, n_files=8)
+        cluster_write(rd.from_pandas(right), "key", dr, n_files=3)
+        for how in ("inner", "left"):
+            out = clustered_merge_join(dl, dr, "key", how=how)
+            df = out.to_pandas()
+            assert list(df.columns) == ["key", "lv", "rv"]
+            want = left.merge(right, on="key", how=how)
+            assert len(df) == len(want)
+            if how == "left":
+                assert df["rv"].isna().sum() == 300  # gap rows kept, typed
