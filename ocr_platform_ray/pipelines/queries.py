@@ -3804,6 +3804,53 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
+    """Crawl-archive ingestion route (sources/warc.py): the synthetic pages
+    corpus is serialized to sharded ``.warc.gz`` files (gzip member per
+    record, revisit records for missing payloads — the Common-Crawl layout),
+    read back with ``read_warc``, and run through the flagship extraction
+    pipeline.  No SQL analogue (container-format parse); the in-query assert
+    pins the route invariant: byte-identical extracted text vs the parquet
+    route on the same content (WARC carries no prior-text column, so both
+    routes run with ``text`` cleared)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    import pyarrow as pa
+
+    from ..corpus import make_pages_table
+    from ..sources.warc import read_warc, write_pages_warc
+    from .extraction import extraction_pipeline
+
+    t = make_pages_table(40)
+    t = t.set_column(
+        t.schema.get_field_index("text"), "text", pa.array([""] * len(t), pa.string())
+    )
+    out_dir = _os.path.join(tempfile.gettempdir(), "ocr_ray_warc_fixture_40")
+    paths = write_pages_warc(out_dir, t, urls_per_shard=8)
+
+    direct = extraction_pipeline(rd.from_arrow(t)).to_pandas()
+    via_warc = extraction_pipeline(read_warc(paths)).to_pandas()
+    direct = direct.sort_values("url").reset_index(drop=True)
+    via_warc = via_warc.sort_values("url").reset_index(drop=True)
+    assert list(direct["url"]) == list(via_warc["url"]), "WARC route lost/added urls"
+    assert (direct["extracted_text"] == via_warc["extracted_text"]).all(), (
+        "WARC route extraction not byte-identical to parquet route"
+    )
+    sha = via_warc["extracted_text"].map(
+        lambda s: hashlib.sha256(s.encode()).hexdigest()
+    )
+    return pd.DataFrame(
+        {
+            "url": via_warc["url"],
+            "n_pages": via_warc["n_pages"],
+            "total_words": via_warc["total_words"],
+            "text_sha256": sha,
+        }
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -4002,6 +4049,10 @@ QUERIES = {
     "versioned_upsert_orders": q_versioned_upsert_orders,
     "clustered_merge_join_revenue": q_clustered_merge_join_revenue,
     "value_share_in_type": q_value_share_in_type,
+    # round-4 session-5 tail additions
+    # no-oracle (container-format parse; parquet-route byte-identity
+    # asserted in-query, roundtrips pinned by TestWarcSource)
+    "warc_extract_docs": q_warc_extract_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -7,3 +7,10 @@ from .ingest import (  # noqa: F401
     read_dim_pandas,
     partition_pages_by_url,
 )
+from .warc import (  # noqa: F401
+    read_warc,
+    read_wet,
+    write_pages_warc,
+    write_warc,
+    write_wet_dataset,
+)
