@@ -136,3 +136,4 @@ from .upsert import (  # noqa: F401
     write_merge_target,
 )
 from .graph import connected_components, pagerank  # noqa: F401
+from .diff import diff_summary, snapshot_diff  # noqa: F401

@@ -3804,6 +3804,31 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_crawl_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot CDC (ops/diff.py): two crawl snapshots derived
+    deterministically from the documents table — old drops doc_id%11==3,
+    new drops doc_id%13==5 and re-crawls doc_id%7==0 with changed text —
+    diffed into added/removed/changed rows.  Payloads never ride the
+    exchange (hash projection); FULL SQL oracle (FULL OUTER JOIN mirror)."""
+    from ..ops.diff import snapshot_diff
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    old = docs.map_batches(
+        lambda b: b[b["doc_id"] % 11 != 3], batch_format="pandas"
+    )
+
+    def mk_new(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 13 != 5].copy()
+        m = b["doc_id"] % 7 == 0
+        b.loc[m, "text"] = b.loc[m, "text"] + " v2"
+        return b
+
+    new = docs.map_batches(mk_new, batch_format="pandas")
+    out = snapshot_diff(old, new, "doc_id", ["text"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     """Crawl-archive ingestion route (sources/warc.py): the synthetic pages
     corpus is serialized to sharded ``.warc.gz`` files (gzip member per
@@ -4053,6 +4078,7 @@ QUERIES = {
     # no-oracle (container-format parse; parquet-route byte-identity
     # asserted in-query, roundtrips pinned by TestWarcSource)
     "warc_extract_docs": q_warc_extract_docs,
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5208,9 +5234,22 @@ ORACLE_SQL = {
         "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ),
+    "crawl_snapshot_diff": (
+        # the two snapshots are pure functions of the documents table; the
+        # diff is the FULL OUTER JOIN with the unchanged class dropped
+        "WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3), "
+        "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 5) "
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS change "
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
+        "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"
+    ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,
     # compression_ratio (no zlib in SQL; direct-zlib pytest equivalence),
     # c4_span_dedup (corpus-level 3-sentence-span dedup; naive-reference
-    # pytest equality in TestC4SpanDedup)
+    # pytest equality in TestC4SpanDedup), warc_extract_docs (container
+    # format parse; parquet-route byte-identity asserted in-query)
 }

@@ -1686,6 +1686,7 @@ class TestTailQueryOracles:
             "versioned_upsert_orders",
             "clustered_merge_join_revenue",
             "value_share_in_type",
+            "crawl_snapshot_diff",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
