@@ -26,6 +26,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import ray
@@ -157,3 +159,106 @@ def pagerank(
             rank=base + damping * merged["c"].fillna(0.0).to_numpy()
         )
     return ranks.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Link extraction: raw pages -> host-level edge table
+# ---------------------------------------------------------------------------
+
+_HREF_DQ = re.compile(r'href\s*=\s*"([^"]*)"', re.IGNORECASE)
+_HREF_SQ = re.compile(r"href\s*=\s*'([^']*)'", re.IGNORECASE)
+_SCHEME_HOST = re.compile(r"^[a-z]+://([^/]+)", re.IGNORECASE)
+_PROTO_REL_HOST = re.compile(r"^//([^/]+)")
+# a closing " and ' before the row separator: an unbalanced quote in one
+# page's html can never extend a match across the row boundary
+_ROW_SEP = "\"'\x00\"'"
+
+
+def _flat_findall(rx: "re.Pattern", htmls: pd.Series) -> tuple[np.ndarray, list[str]]:
+    """ONE compiled-regex pass over the batch's concatenated html (the
+    _shingle_hashes_batch rule — no per-row re loop): returns (row index
+    per match, matched group values)."""
+    parts = htmls.tolist()
+    flat = _ROW_SEP.join(parts)
+    starts = np.zeros(len(parts), dtype=np.int64)
+    if len(parts) > 1:
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+        starts[1:] = np.cumsum(lens[:-1] + len(_ROW_SEP))
+    rows, vals = [], []
+    for m in rx.finditer(flat):
+        rows.append(m.start())
+        vals.append(m.group(1))
+    row_idx = np.searchsorted(starts, np.asarray(rows, dtype=np.int64), side="right") - 1
+    return row_idx, vals
+
+
+def extract_host_links(
+    pages: rd.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    finish: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Anchor-href extraction over raw pages -> host-level weighted edge
+    table ``(src_host, dst_host, n_links)`` — the input side of
+    ``pagerank`` / ``connected_components`` for a crawl corpus.
+
+    Resolution rules (the SQL-mirrorable subset of RFC 3986 reference
+    resolution, applied at HOST granularity):
+      absolute http(s) link -> its host; protocol-relative ``//h/...``
+      -> its host; fragment-only / mailto: / javascript: -> dropped;
+      anything else (relative path) -> the page's own host.
+
+    Scale shape: MAP-ONLY extraction — per batch, html decodes once and
+    BOTH quote-style regexes run as one compiled pass over the
+    concatenated batch text; matches classify vectorized; per-batch
+    (src,dst) combiner partials feed the size-aware grouped finish
+    (auto_group_agg).  Raw html never rides an exchange."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_host": pd.Series([], dtype=object),
+                "dst_host": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        htmls = b[html_col]
+        if htmls.dtype == object and len(htmls) and isinstance(htmls.iloc[0], (bytes, bytearray)):
+            htmls = htmls.str.decode("utf-8", errors="replace")
+        htmls = htmls.fillna("").astype(str)
+        src_hosts = (
+            b[url_col].astype(str).str.extract(_SCHEME_HOST, expand=False).fillna("")
+        )
+        frames = []
+        for rx in (_HREF_DQ, _HREF_SQ):
+            row_idx, vals = _flat_findall(rx, htmls)
+            if not vals:
+                continue
+            links = pd.Series(vals, dtype=object)
+            src = src_hosts.to_numpy()[row_idx]
+            low = links.str.lower()
+            is_abs = low.str.startswith(("http://", "https://"))
+            is_proto = links.str.startswith("//")
+            is_drop = low.str.startswith(("#", "mailto:", "javascript:"))
+            # COPY: a bare pd.Series(src) would view src's buffer and the
+            # masked assignments below would overwrite the src column too
+            dst = pd.Series(src.copy(), dtype=object)  # relative -> own host
+            dst[is_abs] = links[is_abs].str.extract(_SCHEME_HOST, expand=False)
+            dst[is_proto] = links[is_proto].str.extract(_PROTO_REL_HOST, expand=False)
+            dst[is_drop] = None
+            keep = dst.notna() & (dst != "")
+            frames.append(pd.DataFrame({"src_host": src[keep.to_numpy()], "dst_host": dst[keep]}))
+        if not frames:
+            return empty
+        allm = pd.concat(frames, ignore_index=True)
+        out = allm.groupby(["src_host", "dst_host"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = pages.map_batches(partial, batch_format="pandas")
+    out = auto_group_agg(
+        partials, ["src_host", "dst_host"], {"n_links": ("n", "sum")}, finish=finish
+    )
+    return out

@@ -3829,6 +3829,42 @@ def q_crawl_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_host_links(sf_dir: str) -> pd.DataFrame:
+    """Link-graph extraction (ops/graph.py::extract_host_links): anchor
+    hrefs pulled from synthetic link-bearing pages (a pure function of
+    doc_id, reproduced verbatim in the SQL oracle) and aggregated to the
+    weighted host-level edge table — the input side of pagerank.  FULL SQL
+    oracle: regexp_extract_all + host classification mirror."""
+    from ..ops.graph import extract_host_links
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        url = "https://h" + (i % 13).astype(str) + ".example/p/" + i.astype(str)
+        html = (
+            '<html><body><p>intro</p><a href="https://h'
+            + ((i * 3 + 1) % 17).astype(str)
+            + '.example/a">x</a>'
+        )
+        html = html + np.where(
+            i % 4 == 0,
+            "<a href='//h" + ((i * 5 + 2) % 17).astype(str) + ".example/b'>y</a>",
+            "",
+        )
+        html = html + np.where(i % 3 == 0, '<a href="/local/page">z</a>', "")
+        html = html + np.where(i % 6 == 0, '<a href="mailto:a@b.c">m</a>', "")
+        html = html + "</body></html>"
+        return pd.DataFrame({"url": url, "html": html})
+
+    pages = docs.map_batches(mk_pages, batch_format="pandas")
+    out = extract_host_links(pages)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["n_links"] = out["n_links"].astype("int64")
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
 def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     """Crawl-archive ingestion route (sources/warc.py): the synthetic pages
     corpus is serialized to sharded ``.warc.gz`` files (gzip member per
@@ -4079,6 +4115,7 @@ QUERIES = {
     # asserted in-query, roundtrips pinned by TestWarcSource)
     "warc_extract_docs": q_warc_extract_docs,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "host_links": q_host_links,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5245,6 +5282,30 @@ ORACLE_SQL = {
         "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS change "
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
         "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text"
+    ),
+    "host_links": (
+        # the link-bearing pages are a pure function of doc_id (mirrored
+        # from q_host_links); extraction = regexp_extract_all per quote
+        # style, host classification per the op's resolution rules
+        "WITH pages AS (SELECT "
+        "'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        "'<html><body><p>intro</p><a href=\"https://h' || CAST((doc_id*3+1) % 17 AS VARCHAR) || '.example/a\">x</a>' "
+        "|| CASE WHEN doc_id % 4 = 0 THEN '<a href=''//h' || CAST((doc_id*5+2) % 17 AS VARCHAR) || '.example/b''>y</a>' ELSE '' END "
+        "|| CASE WHEN doc_id % 3 = 0 THEN '<a href=\"/local/page\">z</a>' ELSE '' END "
+        "|| CASE WHEN doc_id % 6 = 0 THEN '<a href=\"mailto:a@b.c\">m</a>' ELSE '' END "
+        "|| '</body></html>' AS html FROM documents), "
+        "links AS ("
+        "SELECT url, unnest(regexp_extract_all(html, 'href\\s*=\\s*\"([^\"]*)\"', 1)) AS l FROM pages "
+        "UNION ALL "
+        "SELECT url, unnest(regexp_extract_all(html, 'href\\s*=\\s*''([^'']*)''', 1)) AS l FROM pages), "
+        "cls AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host, "
+        "CASE WHEN lower(l) LIKE 'http://%' OR lower(l) LIKE 'https://%' "
+        "THEN regexp_extract(l, '^[a-z]+://([^/]+)', 1) "
+        "WHEN l LIKE '//%' THEN regexp_extract(l, '^//([^/]+)', 1) "
+        "WHEN lower(l) LIKE '#%' OR lower(l) LIKE 'mailto:%' OR lower(l) LIKE 'javascript:%' THEN NULL "
+        "ELSE regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS dst_host FROM links) "
+        "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
+        "WHERE dst_host IS NOT NULL AND dst_host <> '' GROUP BY src_host, dst_host"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

@@ -1687,6 +1687,7 @@ class TestTailQueryOracles:
             "clustered_merge_join_revenue",
             "value_share_in_type",
             "crawl_snapshot_diff",
+            "host_links",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -132,3 +132,110 @@ class TestSnapshotDiff:
         want = self._want(old, new)
         counts = want[want.change != "unchanged"]["change"].value_counts()
         assert dict(zip(s["change"], s["n"])) == counts.to_dict()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractHostLinks:
+    def _pages(self):
+        rows = [
+            # absolute, protocol-relative, relative, dropped schemes
+            ("https://a.com/p/1",
+             '<a href="https://b.com/x">1</a><a href=\'//c.com/y\'>2</a>'
+             '<a href="/rel">3</a><a href="#frag">4</a>'
+             '<a href="mailto:z@q.c">5</a><a href="JavaScript:void(0)">6</a>'),
+            ("https://a.com/p/2", '<a href="https://b.com/z">1</a><a href="https://b.com/w">2</a>'),
+            ("https://b.com/p/3", "<p>no links</p>"),
+            ("https://d.com/p/4", '<a HREF = "http://A-host.net/q">caps attr</a>'),
+        ]
+        return pd.DataFrame({"url": [r[0] for r in rows], "html": [r[1] for r in rows]})
+
+    def _truth(self):
+        return {
+            ("a.com", "b.com"): 3,
+            ("a.com", "c.com"): 1,
+            ("a.com", "a.com"): 1,
+            ("d.com", "A-host.net"): 1,
+        }
+
+    def test_matches_truth(self):
+        from ocr_platform_ray.ops.graph import extract_host_links
+
+        out = extract_host_links(rd.from_pandas(self._pages()))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        got = {
+            (s, d): int(n)
+            for s, d, n in zip(out["src_host"], out["dst_host"], out["n_links"])
+        }
+        assert got == self._truth()
+
+    def test_bytes_html_and_block_independence(self):
+        from ocr_platform_ray.ops.graph import extract_host_links
+
+        df = self._pages()
+        df["html"] = df["html"].str.encode("utf-8")
+        outs = []
+        for nb in (1, 4):
+            o = extract_host_links(rd.from_pandas(df).repartition(nb))
+            if not isinstance(o, pd.DataFrame):
+                o = o.to_pandas()
+            outs.append(
+                o.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = {
+            (s, d): int(n)
+            for s, d, n in zip(
+                outs[0]["src_host"], outs[0]["dst_host"], outs[0]["n_links"]
+            )
+        }
+        assert got == self._truth()
+
+    def test_unbalanced_quote_does_not_cross_rows(self):
+        from ocr_platform_ray.ops.graph import extract_host_links
+
+        df = pd.DataFrame(
+            {
+                "url": ["https://x.com/1", "https://y.com/2"],
+                "html": [
+                    '<a href="https://never-closed.com/oops',  # unterminated
+                    '<a href="https://z.com/ok">fine</a>',
+                ],
+            }
+        )
+        out = extract_host_links(rd.from_pandas(df))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        got = set(zip(out["src_host"], out["dst_host"]))
+        # the unterminated href must not swallow row 2's html; row 2's
+        # link still extracts and attributes to y.com
+        assert ("y.com", "z.com") in got
+        assert not any(s == "x.com" and "z.com" in d for s, d in got)
+
+    def test_feeds_pagerank(self):
+        from ocr_platform_ray.ops.graph import extract_host_links, pagerank
+
+        out = extract_host_links(rd.from_pandas(self._pages()))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        edges = out.loc[out.index.repeat(out["n_links"])][["src_host", "dst_host"]]
+        ranks = pagerank(
+            rd.from_pandas(edges.reset_index(drop=True)),
+            "src_host",
+            "dst_host",
+            n_iter=15,
+        )
+        assert abs(ranks["rank"].sum() - 1.0) < 1e-9
+        # b.com gets 3 of a.com's 5 out-links, c.com 1 -> b.com ranks higher
+        r = dict(zip(ranks["node"], ranks["rank"]))
+        assert r["b.com"] > r["c.com"]
+
+    def test_empty_and_linkless(self):
+        from ocr_platform_ray.ops.graph import extract_host_links
+
+        df = pd.DataFrame({"url": ["https://a.com/1"], "html": ["<p>none</p>"]})
+        out = extract_host_links(rd.from_pandas(df))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0
+        assert sorted(out.columns) == ["dst_host", "n_links", "src_host"]
