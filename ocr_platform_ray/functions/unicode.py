@@ -1,0 +1,138 @@
+"""Unicode text repair: canonical normalization and mojibake recovery —
+the cleanup pass every web-crawl corpus needs before dedup/tokenization
+(mixed NFC/NFD spellings of the same word defeat exact dedup and split
+token statistics; mis-decoded UTF-8 ("cafÃ©") poisons language ID).
+
+Reference parity: the reference normalizes titles/names before matching
+(``apps/web/src/lib/slug.ts``, the fuzzy matcher's strip-diacritics in
+``functions/score.py``'s source); this is the corpus-scale generalization
+using the standard algorithms (UAX #15 normalization forms; the
+encode-roundtrip mojibake heuristic popularized by the public ftfy
+library's "fix encoding" pass — implemented from the principle, not the
+library).
+
+Scale shape: MAP-ONLY, no state.
+* Normalization uses CPython's ``unicodedata`` (UCD-exact): per batch a
+  ``unicodedata.is_normalized`` scan (a C-level quick-check that answers
+  YES for the overwhelmingly-common already-normalized row without
+  allocating) selects the rows that actually re-normalize.  The Arrow
+  ``utf8_normalize`` kernel is deliberately NOT used: on the pinned
+  pyarrow (16.1) its NFC/NFKC forms fail to recompose (composed input
+  comes back decomposed — verified by probe; DuckDB and CPython agree
+  with UAX #15, Arrow disagrees).
+* Mojibake repair is two-phase: a vectorized detector (one compiled-regex
+  pass for UTF-8-as-latin1 lead-byte signatures — Ã/Â/â/Å… followed by a
+  continuation-range char) selects the rare affected rows; only those go
+  through the per-row encode-roundtrip (cp1252 with a latin-1 fallback
+  for its five unmapped byte slots, then strict utf-8 decode — a failed
+  roundtrip leaves the row untouched).  Clean corpora pay only the regex
+  scan.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+import unicodedata
+
+import pandas as pd
+import ray.data as rd
+
+_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+# UTF-8 multibyte lead bytes read as latin-1/cp1252: U+00C2-U+00C5 (Â Ã Ä Å),
+# U+00E2 (â), U+00C6/U+00D0... — keep to the high-precision core: the lead
+# char followed by a typical continuation char (latin-1 0x80-0xBF range or
+# the cp1252 remappings of those bytes).
+_CONT = (
+    "-¿€‚ƒ„…†‡ˆ‰"
+    "Š‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+MOJIBAKE_RE = re.compile(f"[Â-ÅâÃ][{_CONT}]")
+
+
+def normalize_text(
+    ds: rd.Dataset, col: str, *, form: str = "NFC", out_col: str | None = None
+) -> rd.Dataset:
+    """Apply a UAX #15 normalization form to a string column (in place by
+    default).  ``is_normalized`` quick-check per row (C call, no
+    allocation), ``normalize`` only on the rows that need it."""
+    if form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS}, got {form!r}")
+    target = out_col or col
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out[target] = [
+            v if unicodedata.is_normalized(form, v) else unicodedata.normalize(form, v)
+            for v in b[col].astype(str)
+        ]
+        return out
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+def _cp1252_latin1_fallback(exc: UnicodeError):
+    """cp1252 leaves five byte slots unmapped (0x81 0x8D 0x8F 0x90 0x9D);
+    real mojibake carries them as the raw C1 control chars.  Encode those
+    back to their byte value (the latin-1 identity) — any char > 0xFF
+    means the text never was a mis-decoded byte stream, so re-raise."""
+    if isinstance(exc, UnicodeEncodeError):
+        chunk = exc.object[exc.start : exc.end]
+        if all(ord(c) <= 0xFF for c in chunk):
+            return bytes(ord(c) for c in chunk), exc.end
+    raise exc
+
+
+def _ensure_handler() -> None:
+    """Idempotent error-handler registration, called at use time: the
+    package ships pickle-by-value, so module-top side effects do NOT
+    replay on workers — only function bodies do (same reason the module
+    avoids lazy relative imports)."""
+    try:
+        codecs.lookup_error("ocr_ray_latin1_fallback")
+    except LookupError:
+        codecs.register_error("ocr_ray_latin1_fallback", _cp1252_latin1_fallback)
+
+
+def _repair_one(s: str) -> str:
+    """Encode-roundtrip repair, up to 3 passes (double-encoded input needs
+    two).  Any failure leaves the input unchanged — never lossy."""
+    _ensure_handler()
+    cur = s
+    for _ in range(3):
+        if not MOJIBAKE_RE.search(cur):
+            break
+        try:
+            raw = cur.encode("cp1252", errors="ocr_ray_latin1_fallback")
+            fixed = raw.decode("utf-8")
+        except UnicodeError:
+            break
+        if fixed == cur:
+            break
+        cur = fixed
+    return cur
+
+
+def fix_mojibake(
+    ds: rd.Dataset, col: str, *, out_col: str | None = None, flag_col: str | None = None
+) -> rd.Dataset:
+    """Repair UTF-8-decoded-as-latin1/cp1252 text.  Detection is one
+    vectorized regex pass; repair touches only flagged rows.  With
+    ``flag_col``, a boolean column records which rows were modified."""
+    target = out_col or col
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        s = b[col].astype(str)
+        hit = s.str.contains(MOJIBAKE_RE)
+        vals = s.copy()
+        if hit.any():
+            vals.loc[hit] = [_repair_one(v) for v in s.loc[hit]]
+        out[target] = vals
+        if flag_col is not None:
+            out[flag_col] = (vals != s).to_numpy()
+        return out
+
+    return ds.map_batches(fix, batch_format="pandas")

@@ -3865,6 +3865,32 @@ def q_host_links(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
+def q_nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
+    """UAX #15 canonical normalization (functions/unicode.py): documents
+    text augmented with decomposed sequences (e + combining acute, u +
+    combining diaeresis) and NFC-normalized via the vectorized Arrow
+    kernel.  FULL SQL oracle: DuckDB nfc_normalize over the identical
+    augmentation (both engines implement UAX #15 — composed output and
+    codepoint lengths must agree exactly)."""
+    from ..functions.unicode import normalize_text
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "text": b["text"] + " cafe\u0301 u\u0308ber"}
+        )
+
+    ds = docs.map_batches(aug, batch_format="pandas")
+    out = normalize_text(ds, "text", form="NFC", out_col="text_nfc").to_pandas()
+    out["n_chars_nfc"] = out["text_nfc"].str.len().astype("int64")
+    return (
+        out[["doc_id", "text_nfc", "n_chars_nfc"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     """Crawl-archive ingestion route (sources/warc.py): the synthetic pages
     corpus is serialized to sharded ``.warc.gz`` files (gzip member per
@@ -4116,6 +4142,7 @@ QUERIES = {
     "warc_extract_docs": q_warc_extract_docs,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "host_links": q_host_links,
+    "nfc_normalized_docs": q_nfc_normalized_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5306,6 +5333,12 @@ ORACLE_SQL = {
         "ELSE regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS dst_host FROM links) "
         "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
         "WHERE dst_host IS NOT NULL AND dst_host <> '' GROUP BY src_host, dst_host"
+    ),
+    "nfc_normalized_docs": (
+        "SELECT doc_id, "
+        "nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber') AS text_nfc, "
+        "CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber')) AS BIGINT) "
+        "AS n_chars_nfc FROM documents"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

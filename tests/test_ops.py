@@ -1688,6 +1688,7 @@ class TestTailQueryOracles:
             "value_share_in_type",
             "crawl_snapshot_diff",
             "host_links",
+            "nfc_normalized_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

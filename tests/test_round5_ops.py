@@ -239,3 +239,78 @@ class TestExtractHostLinks:
             out = out.to_pandas()
         assert len(out) == 0
         assert sorted(out.columns) == ["dst_host", "n_links", "src_host"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnicodeRepair:
+    def test_nfc_composes_and_is_idempotent(self):
+        import unicodedata
+
+        from ocr_platform_ray.functions.unicode import normalize_text
+
+        dec = "café über آ"  # e+acute, u+diaeresis, alef+madda
+        df = pd.DataFrame({"t": [dec, "plain ascii", "café"]})
+        out = normalize_text(rd.from_pandas(df), "t").to_pandas()
+        assert out["t"][0] == unicodedata.normalize("NFC", dec)
+        assert "́" not in out["t"][0] and "é" in out["t"][0]
+        assert out["t"][0].endswith("آ")  # alef-madda composed
+        assert out["t"][1] == "plain ascii"
+        assert out["t"][2] == "café"
+        # idempotent
+        out2 = normalize_text(rd.from_pandas(out), "t").to_pandas()
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_nfkd_and_out_col_and_bad_form(self):
+        from ocr_platform_ray.functions.unicode import normalize_text
+
+        df = pd.DataFrame({"t": ["ﬁne ½"]})  # fi-ligature, 1/2
+        out = normalize_text(rd.from_pandas(df), "t", form="NFKD", out_col="t2").to_pandas()
+        assert out["t2"][0].startswith("fine")
+        assert out["t"][0] == "ﬁne ½"  # original kept
+        with pytest.raises(ValueError, match="form"):
+            normalize_text(rd.from_pandas(df), "t", form="nfc")
+
+    def test_mojibake_repair(self):
+        from ocr_platform_ray.functions.unicode import fix_mojibake
+
+        cases = {
+            "cafÃ©": "café",
+            "naÃ¯ve rÃ©sumÃ©": "naïve résumé",
+            "smart â€œquotesâ€\x9d and â€“ dash": "smart “quotes” and – dash",
+            "â‚¬ 99": "€ 99",
+        }
+        clean = [
+            "already clean café",
+            "À bientôt",  # legit lead-like char, no continuation after
+            "Ärzte in Österreich",
+            "plain",
+        ]
+        df = pd.DataFrame({"text": list(cases) + clean})
+        out = fix_mojibake(
+            rd.from_pandas(df), "text", flag_col="fixed"
+        ).to_pandas()
+        got = dict(zip(df["text"], out["text"]))
+        for bad, want in cases.items():
+            assert got[bad] == want, (bad, got[bad])
+        for c in clean:
+            assert got[c] == c
+        assert set(out[out["fixed"]]["text"]) == set(cases.values())
+
+    def test_double_encoded_mojibake(self):
+        from ocr_platform_ray.functions.unicode import fix_mojibake
+
+        once = "café".encode("utf-8").decode("cp1252")
+        twice = once.encode("utf-8").decode("cp1252")
+        df = pd.DataFrame({"text": [twice]})
+        out = fix_mojibake(rd.from_pandas(df), "text").to_pandas()
+        assert out["text"][0] == "café"
+
+    def test_unrepairable_left_untouched(self):
+        from ocr_platform_ray.functions.unicode import fix_mojibake
+
+        # contains the signature but does not decode as utf-8 -> unchanged
+        s = "Ã¯Ã" + chr(0x2603)
+        df = pd.DataFrame({"text": [s]})
+        out = fix_mojibake(rd.from_pandas(df), "text", flag_col="f").to_pandas()
+        assert out["text"][0] == s
+        assert not out["f"][0]
