@@ -3804,6 +3804,221 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_tpch_q7_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): lineitem ⋈ supplier
+    ⋈ orders ⋈ customer with nation playing TWO roles (supplier side and
+    customer side), the (a,b)|(b,a) pair filter, revenue per
+    (supp_nation, cust_nation, year).  Dims resolve driver-side
+    (read_dim_pandas footer gate); the fact stream takes one broadcast
+    join (supplier side) and one size-aware join (orders side); year
+    extraction and the pair predicate are vectorized map-side.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join, broadcast_hash_join
+    from ..sources.ingest import read_dim_pandas
+
+    nat = read_dim_pandas(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"])
+    pair = nat[nat["n_name"].isin(["NATION_3", "NATION_7"])]
+    keys = set(pair["n_nationkey"])
+    names = dict(zip(pair["n_nationkey"], pair["n_name"]))
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b[b["s_nationkey"].isin(keys)].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
+        batch_format="pandas",
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_nationkey"].isin(keys)].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = auto_join(orders, cust, "o_custkey", how="inner").map_batches(
+        lambda b: b[["o_orderkey", "c_nationkey"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-12-31")
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] <= hi)]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "l_year": b["l_shipdate"].dt.year.astype("int64"),
+                "rev_c": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pandas")
+    li = broadcast_hash_join(li, supp, "l_suppkey", how="inner")
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "s_nationkey" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "c_nationkey": pd.Series([], dtype="int64"),
+                    "l_year": pd.Series([], dtype="int64"),
+                    "rev_c": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b[b["s_nationkey"] != b["c_nationkey"]]  # the (a,b)|(b,a) filter
+        return b.groupby(
+            ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+        ).agg(rev_c=("rev_c", "sum"))
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["s_nationkey", "c_nationkey", "l_year"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    out = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    out["supp_nation"] = out["s_nationkey"].map(names)
+    out["cust_nation"] = out["c_nationkey"].map(names)
+    out["revenue"] = out["rev_c"].astype("float64") / 100.0
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q19_disjunctive(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive brand/size/quantity
+    predicates) adapted to this schema (no p_container/l_shipinstruct):
+    three OR-branches over (p_brand, p_size range, l_quantity range).
+    The part side prunes map-only to the branch union and broadcasts;
+    the branch disjunction evaluates vectorized per batch; one scalar
+    integer-cents reduce.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import broadcast_hash_join
+
+    branches = [
+        ("Brand#12", 10, 30, 1.0, 20.0),
+        ("Brand#23", 1, 40, 10.0, 35.0),
+        ("Brand#15", 5, 50, 20.0, 50.0),
+    ]
+
+    def part_prep(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, slo, shi, _, _ in branches:
+            keep |= (
+                (b["p_brand"] == brand) & (b["p_size"] >= slo) & (b["p_size"] <= shi)
+            ).to_numpy()
+        return b[keep][["p_partkey", "p_brand"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        )
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_prep, batch_format="pandas"
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_quantity": b["l_quantity"],
+                "rev_c": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pandas")
+    joined = broadcast_hash_join(li, part, "l_partkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, _, _, qlo, qhi in branches:
+            keep |= (
+                (b["p_brand"] == brand)
+                & (b["l_quantity"] >= qlo)
+                & (b["l_quantity"] <= qhi)
+            ).to_numpy()
+        if len(b) == 0 or "rev_c" not in b.columns:
+            return pd.DataFrame({"rev_c": [0]})
+        return pd.DataFrame({"rev_c": [int(b.loc[keep, "rev_c"].sum())]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue": [float(parts["rev_c"].sum()) / 100.0]})
+
+
+def q_tpch_q22_balance(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 (global-market customers) adapted (cntrycode :=
+    nationkey): positive-balance customers above the GLOBAL average
+    balance with no RECENT orders (none since 2000-01-01 — the fixture's
+    order coverage makes the classic no-orders-ever set empty), counted
+    per cntrycode.  The average is an
+    exact integer-cents (sum, n) combiner scalar; the above-average test
+    is the integer cross-product acct_c * n > sum_c (no float compare);
+    ordersless-ness via the house anti_join.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import anti_join, auto_group_agg
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b[b["c_acctbal"] > 0.0]
+        return pd.DataFrame(
+            {"s": [int(_cents(pos["c_acctbal"]).sum())], "n": [len(pos)]}
+        )
+
+    bal = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    s, n = int(bal["s"].sum()), int(bal["n"].sum())
+
+    def above_avg(b: pd.DataFrame) -> pd.DataFrame:
+        acct_c = _cents(b["c_acctbal"]).astype("int64")
+        out = b[acct_c * n > s].copy()
+        out["acct_c"] = acct_c[(acct_c * n > s)]
+        return out[["c_custkey", "c_nationkey", "acct_c"]]
+
+    rich = cust.map_batches(above_avg, batch_format="pandas")
+    recent = pd.Timestamp("2000-01-01")
+    ordered = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b[b["o_orderdate"] >= recent][["o_custkey"]].rename(
+            columns={"o_custkey": "c_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    no_orders = anti_join(rich, ordered, "c_custkey", method="auto")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "c_nationkey" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype="int64"),
+                    "numcust": pd.Series([], dtype="int64"),
+                    "bal_c": pd.Series([], dtype="int64"),
+                }
+            )
+        return b.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "count"), bal_c=("acct_c", "sum")
+        )
+
+    agg = auto_group_agg(
+        no_orders.map_batches(partial, batch_format="pandas"),
+        ["c_nationkey"],
+        {"numcust": ("numcust", "sum"), "bal_c": ("bal_c", "sum")},
+    )
+    out = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    out["cntrycode"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["bal_c"].astype("float64") / 100.0
+    return (
+        out[["cntrycode", "numcust", "totacctbal"]]
+        .sort_values("cntrycode")
+        .reset_index(drop=True)
+    )
+
+
 def q_crawl_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Snapshot CDC (ops/diff.py): two crawl snapshots derived
     deterministically from the documents table — old drops doc_id%11==3,
@@ -4136,13 +4351,17 @@ QUERIES = {
     "versioned_upsert_orders": q_versioned_upsert_orders,
     "clustered_merge_join_revenue": q_clustered_merge_join_revenue,
     "value_share_in_type": q_value_share_in_type,
-    # round-4 session-5 tail additions
+    # round-4 session-5 tail additions (SQL-oracled entries are
+    # DuckDB-compared in TestTailQueryOracles per the contract above)
     # no-oracle (container-format parse; parquet-route byte-identity
     # asserted in-query, roundtrips pinned by TestWarcSource)
     "warc_extract_docs": q_warc_extract_docs,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "host_links": q_host_links,
     "nfc_normalized_docs": q_nfc_normalized_docs,
+    "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+    "tpch_q22_balance": q_tpch_q22_balance,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5333,6 +5552,48 @@ ORACLE_SQL = {
         "ELSE regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS dst_host FROM links) "
         "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
         "WHERE dst_host IS NOT NULL AND dst_host <> '' GROUP BY src_host, dst_host"
+    ),
+    "tpch_q7_volume": (
+        "WITH pair AS (SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_name IN ('NATION_3', 'NATION_7')), "
+        "li AS (SELECT l_orderkey, l_suppkey, year(l_shipdate) AS l_year, "
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c "
+        "FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' "
+        "AND TIMESTAMP '1997-12-31'), "
+        "o AS (SELECT o_orderkey, c_nationkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN pair pc ON c_nationkey = pc.n_nationkey), "
+        "s AS (SELECT s_suppkey, s_nationkey FROM supplier "
+        "JOIN pair ps ON s_nationkey = ps.n_nationkey) "
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year, "
+        "CAST(SUM(rev_c) AS DOUBLE) / 100 AS revenue "
+        "FROM li JOIN s ON li.l_suppkey = s.s_suppkey "
+        "JOIN o ON li.l_orderkey = o.o_orderkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON o.c_nationkey = n2.n_nationkey "
+        "WHERE s.s_nationkey <> o.c_nationkey "
+        "GROUP BY n1.n_name, n2.n_name, l_year"
+    ),
+    "tpch_q19_disjunctive": (
+        "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+        "AS BIGINT)) AS DOUBLE) / 100 AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 10 AND 35) "
+        "OR (p_brand = 'Brand#15' AND p_size BETWEEN 5 AND 50 AND l_quantity BETWEEN 20 AND 50)"
+    ),
+    "tpch_q22_balance": (
+        "WITH avgc AS (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS s, "
+        "COUNT(*) AS n FROM customer WHERE c_acctbal > 0.0), "
+        "rich AS (SELECT c_custkey, c_nationkey, "
+        "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_c "
+        "FROM customer, avgc WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * n > s "
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01')) "
+        "SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, "
+        "CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
+        "FROM rich GROUP BY c_nationkey"
     ),
     "nfc_normalized_docs": (
         "SELECT doc_id, "

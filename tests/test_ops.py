@@ -1689,6 +1689,9 @@ class TestTailQueryOracles:
             "crawl_snapshot_diff",
             "host_links",
             "nfc_normalized_docs",
+            "tpch_q7_volume",
+            "tpch_q19_disjunctive",
+            "tpch_q22_balance",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
