@@ -14,4 +14,5 @@ from .validation import empty_to_none  # noqa: F401
 from .url import canonicalize_url, add_canonical_url  # noqa: F401
 from .translit import transliterate_arabic, add_transliteration  # noqa: F401
 from .pii import redact_pii_batch, redact_pii_column, PII_RULES  # noqa: F401
-from .unicode import fix_mojibake, normalize_text  # noqa: F401
+from .unicode import fix_mojibake, unicode_normalize  # noqa: F401
+from .robots import parse_robots_rules, robots_filter  # noqa: F401

@@ -52,7 +52,7 @@ _CONT = (
 MOJIBAKE_RE = re.compile(f"[Â-ÅâÃ][{_CONT}]")
 
 
-def normalize_text(
+def unicode_normalize(
     ds: rd.Dataset, col: str, *, form: str = "NFC", out_col: str | None = None
 ) -> rd.Dataset:
     """Apply a UAX #15 normalization form to a string column (in place by

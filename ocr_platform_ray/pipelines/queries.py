@@ -3804,6 +3804,49 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_robots_filtered_urls(sf_dir: str) -> pd.DataFrame:
+    """RFC 9309 crawl-policy gate (functions/robots.py): synthetic urls
+    over 13 hosts (paths a pure function of doc_id), robots.txt on the
+    even hosts (Disallow /private/ with a longer Allow /private/p1
+    override — exercising longest-match + allow-tie precedence — plus
+    Disallow /tmp), odd hosts ungoverned.  The op PARSES real robots.txt
+    text; the SQL oracle mirrors the parsed rule table and the
+    longest-prefix decision with a window function."""
+    from ..functions.robots import robots_filter
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        seg = np.select(
+            [i % 4 == 0, i % 4 == 1, i % 4 == 2],
+            ["private/", "public/", "tmp/x"],
+            "",
+        )
+        url = (
+            "https://h" + (i % 13).astype(str) + ".example/" + seg + "p" + i.astype(str)
+        )
+        return pd.DataFrame({"doc_id": i, "url": url})
+
+    pages = docs.map_batches(mk, batch_format="pandas")
+    robots = pd.DataFrame(
+        {
+            "host": [f"h{k}.example" for k in range(0, 13, 2)],
+            "robots_txt": [
+                "# crawl policy\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/p1\n"
+                "Disallow: /tmp\n"
+            ]
+            * 7,
+        }
+    )
+    out = robots_filter(pages, robots).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_tpch_q7_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q7 (volume shipping between two nations): lineitem ⋈ supplier
     ⋈ orders ⋈ customer with nation playing TWO roles (supplier side and
@@ -4087,7 +4130,7 @@ def q_nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
     kernel.  FULL SQL oracle: DuckDB nfc_normalize over the identical
     augmentation (both engines implement UAX #15 — composed output and
     codepoint lengths must agree exactly)."""
-    from ..functions.unicode import normalize_text
+    from ..functions.unicode import unicode_normalize
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -4097,7 +4140,7 @@ def q_nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
         )
 
     ds = docs.map_batches(aug, batch_format="pandas")
-    out = normalize_text(ds, "text", form="NFC", out_col="text_nfc").to_pandas()
+    out = unicode_normalize(ds, "text", form="NFC", out_col="text_nfc").to_pandas()
     out["n_chars_nfc"] = out["text_nfc"].str.len().astype("int64")
     return (
         out[["doc_id", "text_nfc", "n_chars_nfc"]]
@@ -4362,6 +4405,7 @@ QUERIES = {
     "tpch_q7_volume": q_tpch_q7_volume,
     "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "tpch_q22_balance": q_tpch_q22_balance,
+    "robots_filtered_urls": q_robots_filtered_urls,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5594,6 +5638,31 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "robots_filtered_urls": (
+        # the rule table below IS what parse_robots_rules extracts from the
+        # fixture robots.txt; decision = longest prefix, Allow wins ties
+        "WITH urls AS (SELECT doc_id, "
+        "'h' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host, "
+        "'/' || CASE doc_id % 4 WHEN 0 THEN 'private/' WHEN 1 THEN 'public/' "
+        "WHEN 2 THEN 'tmp/x' ELSE '' END || 'p' || CAST(doc_id AS VARCHAR) AS path, "
+        "'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/' || "
+        "CASE doc_id % 4 WHEN 0 THEN 'private/' WHEN 1 THEN 'public/' "
+        "WHEN 2 THEN 'tmp/x' ELSE '' END || 'p' || CAST(doc_id AS VARCHAR) AS url "
+        "FROM documents), "
+        "rules AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host, "
+        "r.allow, r.prefix FROM "
+        "(SELECT DISTINCT doc_id % 13 AS k FROM documents WHERE (doc_id % 13) % 2 = 0) h, "
+        "(VALUES (FALSE, '/private/'), (TRUE, '/private/p1'), (FALSE, '/tmp')) "
+        "r(allow, prefix)), "
+        "m AS (SELECT u.doc_id, r.allow, length(r.prefix) AS l FROM urls u "
+        "JOIN rules r ON u.host = r.host "
+        "AND left(u.path, length(r.prefix)) = r.prefix), "
+        "best AS (SELECT doc_id, allow FROM "
+        "(SELECT doc_id, allow, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM m) WHERE rn = 1) "
+        "SELECT u.doc_id, u.url FROM urls u LEFT JOIN best b USING (doc_id) "
+        "WHERE COALESCE(b.allow, TRUE)"
     ),
     "nfc_normalized_docs": (
         "SELECT doc_id, "

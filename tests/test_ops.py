@@ -1692,6 +1692,7 @@ class TestTailQueryOracles:
             "tpch_q7_volume",
             "tpch_q19_disjunctive",
             "tpch_q22_balance",
+            "robots_filtered_urls",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -246,29 +246,29 @@ class TestUnicodeRepair:
     def test_nfc_composes_and_is_idempotent(self):
         import unicodedata
 
-        from ocr_platform_ray.functions.unicode import normalize_text
+        from ocr_platform_ray.functions.unicode import unicode_normalize
 
         dec = "café über آ"  # e+acute, u+diaeresis, alef+madda
         df = pd.DataFrame({"t": [dec, "plain ascii", "café"]})
-        out = normalize_text(rd.from_pandas(df), "t").to_pandas()
+        out = unicode_normalize(rd.from_pandas(df), "t").to_pandas()
         assert out["t"][0] == unicodedata.normalize("NFC", dec)
         assert "́" not in out["t"][0] and "é" in out["t"][0]
         assert out["t"][0].endswith("آ")  # alef-madda composed
         assert out["t"][1] == "plain ascii"
         assert out["t"][2] == "café"
         # idempotent
-        out2 = normalize_text(rd.from_pandas(out), "t").to_pandas()
+        out2 = unicode_normalize(rd.from_pandas(out), "t").to_pandas()
         pd.testing.assert_frame_equal(out, out2)
 
     def test_nfkd_and_out_col_and_bad_form(self):
-        from ocr_platform_ray.functions.unicode import normalize_text
+        from ocr_platform_ray.functions.unicode import unicode_normalize
 
         df = pd.DataFrame({"t": ["ﬁne ½"]})  # fi-ligature, 1/2
-        out = normalize_text(rd.from_pandas(df), "t", form="NFKD", out_col="t2").to_pandas()
+        out = unicode_normalize(rd.from_pandas(df), "t", form="NFKD", out_col="t2").to_pandas()
         assert out["t2"][0].startswith("fine")
         assert out["t"][0] == "ﬁne ½"  # original kept
         with pytest.raises(ValueError, match="form"):
-            normalize_text(rd.from_pandas(df), "t", form="nfc")
+            unicode_normalize(rd.from_pandas(df), "t", form="nfc")
 
     def test_mojibake_repair(self):
         from ocr_platform_ray.functions.unicode import fix_mojibake
@@ -314,3 +314,83 @@ class TestUnicodeRepair:
         out = fix_mojibake(rd.from_pandas(df), "text", flag_col="f").to_pandas()
         assert out["text"][0] == s
         assert not out["f"][0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsFilter:
+    ROBOTS = (
+        "# comment line\n"
+        "User-agent: GoodBot\n"
+        "Disallow: /good-secret/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open\n"
+        "Disallow: /wild*/x\n"   # wildcard rule: dropped
+        "Disallow:\n"            # empty: allow-all, no rule
+        "Crawl-delay: 10\n"      # non-rule directive ignored
+    )
+
+    def test_group_selection_named_vs_star(self):
+        from ocr_platform_ray.functions.robots import parse_robots_rules
+
+        star = parse_robots_rules(self.ROBOTS, agent="*")
+        assert star == [(False, "/private/"), (True, "/private/open")]
+        named = parse_robots_rules(self.ROBOTS, agent="goodbot")
+        # named group wins; * group does NOT also apply (RFC 9309)
+        assert named == [(False, "/good-secret/")]
+        other = parse_robots_rules(self.ROBOTS, agent="OtherBot")
+        assert other == star
+
+    def test_consecutive_agents_share_group(self):
+        from ocr_platform_ray.functions.robots import parse_robots_rules
+
+        txt = "User-agent: A\nUser-agent: B\nDisallow: /x/\n"
+        assert parse_robots_rules(txt, agent="b") == [(False, "/x/")]
+
+    def test_rule_before_any_group_ignored(self):
+        from ocr_platform_ray.functions.robots import parse_robots_rules
+
+        assert parse_robots_rules("Disallow: /x/\n") == []
+
+    def test_decision_longest_match_allow_ties(self):
+        from ocr_platform_ray.functions.robots import _decide
+
+        rules = [(False, "/a/"), (True, "/a/b"), (False, "/a/b")]
+        assert _decide("/a/c", rules) is False
+        assert _decide("/a/bq", rules) is True  # allow wins the length tie
+        assert _decide("/elsewhere", rules) is True  # no match = allow
+
+    def test_filter_end_to_end_and_annotation(self):
+        from ocr_platform_ray.functions.robots import robots_filter
+
+        pages = pd.DataFrame(
+            {
+                "url": [
+                    "https://gov.example/private/x",
+                    "https://gov.example/private/open/doc",
+                    "https://gov.example/pub",
+                    "https://free.example/private/x",  # no robots -> allowed
+                    "https://gov.example",  # empty path -> "/"
+                ]
+            }
+        )
+        robots = pd.DataFrame(
+            {"host": ["gov.example"], "robots_txt": [self.ROBOTS]}
+        )
+        kept = robots_filter(rd.from_pandas(pages), robots).to_pandas()
+        assert sorted(kept["url"]) == sorted(
+            [
+                "https://gov.example/private/open/doc",
+                "https://gov.example/pub",
+                "https://free.example/private/x",
+                "https://gov.example",
+            ]
+        )
+        ann = robots_filter(
+            rd.from_pandas(pages).repartition(3), robots, keep_col="crawlable"
+        ).to_pandas()
+        assert len(ann) == len(pages)
+        flags = ann.set_index("url")["crawlable"].to_dict()
+        assert not flags["https://gov.example/private/x"]
+        assert flags["https://gov.example/pub"]
