@@ -3804,6 +3804,39 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_card_pii_stats(sf_dir: str) -> pd.DataFrame:
+    """Luhn-validated credit-card detection (functions/pii.py): documents
+    augmented with a valid test PAN (doc_id%5) and a Luhn-invalid digit
+    run (doc_id%7); per-doc candidate and valid-card counts.  FULL SQL
+    oracle: identical RE2 candidate pattern + the ISO/IEC 7812 checksum
+    as a list_transform lambda (redaction surgery itself is pinned by
+    TestCardRedaction)."""
+    from ..functions.pii import redact_cards_batch
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        t = b["text"].astype(str)
+        t = t + np.where(i % 5 == 0, " pay 4111-1111-1111-1111 today", "")
+        t = t + np.where(i % 7 == 0, " ref 1234 5678 9012 3456 code", "")
+        return pd.DataFrame({"doc_id": i, "text": t})
+
+    out = (
+        docs.map_batches(aug, batch_format="pandas")
+        .map_batches(redact_cards_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    # the planted valid PAN must be gone from every redacted %5 row
+    planted = out[out["doc_id"] % 5 == 0]
+    assert not planted["redacted_text"].str.contains("4111-1111").any()
+    return (
+        out[["doc_id", "n_card_candidates", "n_cards"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_robots_filtered_urls(sf_dir: str) -> pd.DataFrame:
     """RFC 9309 crawl-policy gate (functions/robots.py): synthetic urls
     over 13 hosts (paths a pure function of doc_id), robots.txt on the
@@ -4406,6 +4439,7 @@ QUERIES = {
     "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "tpch_q22_balance": q_tpch_q22_balance,
     "robots_filtered_urls": q_robots_filtered_urls,
+    "card_pii_stats": q_card_pii_stats,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5638,6 +5672,29 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "card_pii_stats": (
+        # identical RE2 candidate pattern; Luhn as a digit-list lambda —
+        # doubling from the right excluding the check digit:
+        # (length - i) % 2 = 1  <=>  even position from the right
+        "WITH aug AS (SELECT doc_id, text || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' pay 4111-1111-1111-1111 today' ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' ref 1234 5678 9012 3456 code' ELSE '' END AS text "
+        "FROM documents), "
+        "cand AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '\\b\\d(?:[ -]?\\d){12,18}\\b')) AS m FROM aug), "
+        "d2 AS (SELECT doc_id, regexp_replace(m, '[ -]', '', 'g') AS ds FROM cand "
+        "WHERE length(regexp_replace(m, '[ -]', '', 'g')) BETWEEN 13 AND 19), "
+        "luhn AS (SELECT doc_id, ds, "
+        "list_sum(list_transform(generate_series(1, length(ds)), i -> "
+        "CASE WHEN (length(ds) - i) % 2 = 1 THEN "
+        "CASE WHEN 2 * CAST(substr(ds, i, 1) AS INTEGER) > 9 "
+        "THEN 2 * CAST(substr(ds, i, 1) AS INTEGER) - 9 "
+        "ELSE 2 * CAST(substr(ds, i, 1) AS INTEGER) END "
+        "ELSE CAST(substr(ds, i, 1) AS INTEGER) END)) AS s FROM d2) "
+        "SELECT a.doc_id, CAST(COUNT(l.ds) AS BIGINT) AS n_card_candidates, "
+        "CAST(COUNT(l.ds) FILTER (l.s % 10 = 0) AS BIGINT) AS n_cards "
+        "FROM aug a LEFT JOIN luhn l USING (doc_id) GROUP BY a.doc_id"
     ),
     "robots_filtered_urls": (
         # the rule table below IS what parse_robots_rules extracts from the

@@ -1693,6 +1693,7 @@ class TestTailQueryOracles:
             "tpch_q19_disjunctive",
             "tpch_q22_balance",
             "robots_filtered_urls",
+            "card_pii_stats",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -394,3 +394,63 @@ class TestRobotsFilter:
         flags = ann.set_index("url")["crawlable"].to_dict()
         assert not flags["https://gov.example/private/x"]
         assert flags["https://gov.example/pub"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCardRedaction:
+    def test_valid_cards_redacted_invalid_kept(self):
+        from ocr_platform_ray.functions.pii import redact_cards_batch
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "pay 4111-1111-1111-1111 now",        # valid Visa test PAN
+                    "amex 3782 822463 10005 ok",          # valid 15-digit
+                    "order 1234 5678 9012 3456 shipped",  # Luhn-invalid
+                    "short 123456789 id",                 # too few digits
+                    "clean text with no numbers",
+                ]
+            }
+        )
+        out = redact_cards_batch(df)
+        assert out["redacted_text"][0] == "pay <CARD> now"
+        assert out["redacted_text"][1] == "amex <CARD> ok"
+        assert out["redacted_text"][2] == df["text"][2]  # invalid untouched
+        assert out["redacted_text"][3] == df["text"][3]
+        assert out["n_cards"].tolist() == [1, 1, 0, 0, 0]
+        assert out["n_card_candidates"].tolist() == [1, 1, 1, 0, 0]
+
+    def test_multiple_cards_and_block_independence(self):
+        import ray.data as rd
+
+        from ocr_platform_ray.functions.pii import redact_cards_batch
+
+        rows = [
+            {"text": "a 4111111111111111 b 5500-0000-0000-0004 c"},
+            {"text": "none"},
+        ] * 5
+        outs = []
+        for nb in (1, 4):
+            o = (
+                rd.from_items(rows)
+                .repartition(nb)
+                .map_batches(redact_cards_batch, batch_format="pandas")
+                .to_pandas()
+                .sort_values("text")
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        both = outs[0][outs[0]["n_cards"] == 2]
+        assert len(both) == 5
+        assert (both["redacted_text"] == "a <CARD> b <CARD> c").all()
+
+    def test_luhn_reference_values(self):
+        from ocr_platform_ray.functions.pii import luhn_valid
+
+        # published test numbers (public ISO/IEC 7812 examples)
+        assert luhn_valid("79927398713")
+        assert not luhn_valid("79927398710")
+        assert luhn_valid("4111111111111111")
+        assert luhn_valid("5500000000000004")
+        assert not luhn_valid("4111111111111112")
