@@ -129,6 +129,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     cs.add_argument("--state-dir", required=True)
 
+    cp = sub.add_parser(
+        "compact",
+        help="bin-pack a directory's small parquet fragments into "
+        "~target-size files (name-order preserved, idempotent)",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=256)
+    cp.add_argument(
+        "--delete-inputs", action="store_true",
+        help="remove fragments after every output committed",
+    )
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -268,6 +281,16 @@ def main(argv: list[str] | None = None) -> int:
                 for f in _g.glob(f"{args.output}/*.parquet")
             )
             print(json.dumps({"pages": n, "output": args.output, "scale": args.scale}))
+        elif args.cmd == "compact":
+            from .ops.layout import compact_parquet_dir
+
+            written = compact_parquet_dir(
+                args.input,
+                args.output,
+                target_bytes=args.target_mb << 20,
+                delete_inputs=args.delete_inputs,
+            )
+            print(json.dumps({"files_written": len(written)}))
         elif args.cmd == "compact-state":
             from .ops.incremental import compact_bucket_state
 

@@ -119,6 +119,7 @@ from .incremental import (  # noqa: F401
 )
 from .layout import (  # noqa: F401
     cluster_write,
+    compact_parquet_dir,
     cluster_write_str,
     clustered_merge_join,
     prefix_pruned_read,

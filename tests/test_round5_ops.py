@@ -454,3 +454,92 @@ class TestCardRedaction:
         assert luhn_valid("4111111111111111")
         assert luhn_valid("5500000000000004")
         assert not luhn_valid("4111111111111112")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompactParquetDir:
+    def _frags(self, tmp_path, n=12, rows=50):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "frags"
+        d.mkdir()
+        for i in range(n):
+            t = pa.table(
+                {
+                    "k": np.arange(i * rows, (i + 1) * rows, dtype="int64"),
+                    "v": [f"r{i}-{j}" for j in range(rows)],
+                }
+            )
+            pq.write_table(t, str(d / f"part-{i:04d}.parquet"))
+        return str(d)
+
+    def _read_all(self, d):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        return pd.concat(
+            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        )
+
+    def test_roundtrip_and_grouping(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.ops.layout import compact_parquet_dir, plan_compaction
+
+        src = self._frags(tmp_path)
+        sz = os.path.getsize(os.path.join(src, "part-0000.parquet"))
+        target = int(sz * 3.5)  # ~3-4 fragments per group
+        groups = plan_compaction(src, target_bytes=target)
+        assert all(
+            sum(os.path.getsize(f) for f in g) <= target or len(g) == 1
+            for g in groups
+        )
+        # groups are contiguous name runs
+        flat = [f for g in groups for f in g]
+        assert flat == sorted(flat)
+        out = str(tmp_path / "compacted")
+        written = compact_parquet_dir(src, out, target_bytes=target)
+        assert len(written) == len(groups) < 12
+        pd.testing.assert_frame_equal(self._read_all(out), self._read_all(src))
+
+    def test_idempotent_rerun_and_delete_inputs(self, tmp_path):
+        import glob
+        import os
+
+        from ocr_platform_ray.ops.layout import compact_parquet_dir
+
+        src = self._frags(tmp_path, n=6)
+        want = self._read_all(src)
+        out = str(tmp_path / "c")
+        w1 = compact_parquet_dir(src, out, target_bytes=1 << 16)
+        bytes1 = {p: open(p, "rb").read() for p in w1}
+        w2 = compact_parquet_dir(src, out, target_bytes=1 << 16)
+        assert w2 == w1
+        assert {p: open(p, "rb").read() for p in w2} == bytes1
+        compact_parquet_dir(src, out, target_bytes=1 << 16, delete_inputs=True)
+        assert glob.glob(f"{src}/*.parquet") == []
+        pd.testing.assert_frame_equal(self._read_all(out), want)
+
+    def test_same_dir_and_empty_rejected(self, tmp_path):
+        from ocr_platform_ray.ops.layout import compact_parquet_dir
+
+        src = self._frags(tmp_path, n=2)
+        with pytest.raises(ValueError, match="differ"):
+            compact_parquet_dir(src, src)
+        empty = tmp_path / "none"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no parquet"):
+            compact_parquet_dir(str(empty), str(tmp_path / "o"))
+
+    def test_oversized_single_file_own_group(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.ops.layout import plan_compaction
+
+        src = self._frags(tmp_path, n=3, rows=500)
+        big = os.path.getsize(os.path.join(src, "part-0000.parquet"))
+        groups = plan_compaction(src, target_bytes=big // 2)
+        assert [len(g) for g in groups] == [1, 1, 1]
