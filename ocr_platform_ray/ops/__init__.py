@@ -4,6 +4,7 @@ large-scale pipeline extensions: dedup, similarity search, text analysis)."""
 from .relational import (  # noqa: F401
     auto_group_agg,
     auto_join,
+    explain_routes,
     grouped_top_k,
     grouped_percentile_exact,
     grouped_mode,

@@ -1072,6 +1072,9 @@ def dedup_keep_representatives(
                 clusters = "driver"
             else:
                 clusters = "distributed"
+        from .relational import _log_route
+
+        _log_route("dedup_keep_representatives", clusters)
     if clusters == "distributed":
         pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_pandas(pairs)
         # empty pair list -> nothing to drop (and a map-derived empty

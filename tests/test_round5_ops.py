@@ -543,3 +543,69 @@ class TestCompactParquetDir:
         big = os.path.getsize(os.path.join(src, "part-0000.parquet"))
         groups = plan_compaction(src, target_bytes=big // 2)
         assert [len(g) for g in groups] == [1, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExplainRoutes:
+    def test_join_and_agg_routes_logged(self):
+        from ocr_platform_ray.ops.relational import (
+            auto_group_agg,
+            auto_join,
+            explain_routes,
+            semi_join,
+        )
+
+        left = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(100, dtype="int64"), "v": 1})
+        )
+        right = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(10, dtype="int64"), "w": 2})
+        )
+        with explain_routes() as log:
+            auto_join(left, right, "k").to_pandas()
+            auto_join(left, right, "k", broadcast_threshold_rows=3).to_pandas()
+            auto_join(left, right, "k", how="outer").to_pandas()
+            semi_join(left, right, "k", method="auto").to_pandas()
+            parts = left.map_batches(
+                lambda b: b.groupby("k", as_index=False).agg(n=("v", "sum")),
+                batch_format="pandas",
+            )
+            auto_group_agg(parts, ["k"], {"n": ("n", "sum")})
+        routes = [(e["op"], e["route"]) for e in log]
+        assert routes == [
+            ("auto_join", "broadcast"),
+            ("auto_join", "bucketed"),
+            ("auto_join", "bucketed"),
+            ("semi_join", "broadcast"),
+            ("auto_group_agg", "driver"),
+        ]
+        assert log[0]["build_rows"] == 10
+        assert "reason" in log[1]
+
+    def test_nested_and_disabled(self):
+        from ocr_platform_ray.ops.relational import _log_route, explain_routes
+
+        _log_route("x", "y")  # no active log: must be a no-op
+        with explain_routes() as outer:
+            _log_route("a", "r1")
+            with explain_routes() as inner:
+                _log_route("b", "r2")
+            _log_route("c", "r3")
+        assert [e["op"] for e in outer] == ["a", "c"]
+        assert [e["op"] for e in inner] == ["b"]
+
+    def test_dedup_representatives_route_logged(self):
+        from ocr_platform_ray.ops.dedup import dedup_keep_representatives
+        from ocr_platform_ray.ops.relational import explain_routes
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"id": np.arange(20, dtype="int64"), "t": "x"})
+        )
+        pairs = rd.from_pandas(
+            pd.DataFrame({"id_a": [0, 1], "id_b": [5, 6]})
+        )
+        with explain_routes() as log:
+            dedup_keep_representatives(ds, pairs, "id", clusters="auto").to_pandas()
+        assert ("dedup_keep_representatives", "driver") in [
+            (e["op"], e["route"]) for e in log
+        ]
