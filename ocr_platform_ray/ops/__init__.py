@@ -107,6 +107,7 @@ from .profile import (  # noqa: F401
     grouped_corr,
     grouped_histogram,
     grouped_moments,
+    key_skew_profile,
 )
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401

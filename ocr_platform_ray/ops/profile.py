@@ -331,3 +331,89 @@ def grouped_histogram(
         reduced = reduced.to_pandas()
     reduced[count_col] = reduced[count_col].astype("int64")
     return reduced.sort_values([*gcols, bin_col]).reset_index(drop=True)
+
+
+def key_skew_profile(
+    ds: rd.Dataset,
+    key_cols: str | list[str],
+    *,
+    top: int = 10,
+    method: str = "exact",
+    hot_fraction: float = 0.01,
+    mg_k: int = 4096,
+) -> dict:
+    """Pre-shuffle skew diagnostic: would a groupby/join on ``key_cols``
+    hot-spot one shard?  Returns ``{"n_rows", "n_keys", "max_count",
+    "mean_count", "max_fraction", "top" (DataFrame value/count desc,
+    ties to smallest value), "recommendation"}``.
+
+    The operational complement of ``explain_routes``: planners tell you
+    which route ran; this tells you whether the KEY DISTRIBUTION will
+    sink the exchange route (CLAUDE.md's documented failure mode — one
+    bucket holding a hot key's whole group).
+
+    ``method="exact"``: per-batch combiner counts -> the size-aware
+    finish (key-cardinality-sized, exact — also SQL-mirrorable).
+    ``method="sketch"``: zero-exchange Misra-Gries (``heavy_hitters``)
+    for corpora whose DISTINCT KEY SET outgrows the exchange budget —
+    max_count/top become lower/upper-bounded estimates and n_keys is
+    not reported (None).
+
+    ``recommendation``: "broadcast-hot-keys" when the hottest key holds
+    > ``hot_fraction`` of all rows (the ``skew_join``/salting regime),
+    else "hash-partition" (uniform enough for the standard exchange)."""
+    from .relational import auto_group_agg
+    from .sketch import heavy_hitters
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    if method == "sketch":
+        if len(keys) != 1:
+            raise ValueError("sketch route profiles a single key column")
+        hh = heavy_hitters(ds, keys[0], k=mg_k, top=top)
+        n_rows = int(ds.count())
+        max_count = int(hh["count_ub"].max()) if len(hh) else 0
+        top_df = hh.rename(columns={"count_ub": "count", "v": keys[0]})[
+            [keys[0], "count"]
+        ]
+        result = {
+            "n_rows": n_rows,
+            "n_keys": None,
+            "max_count": max_count,
+            "mean_count": None,
+            "max_fraction": max_count / n_rows if n_rows else 0.0,
+            "top": top_df,
+        }
+    else:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {**{k: pd.Series([], dtype=object) for k in keys},
+                     "__n": pd.Series([], dtype="int64")}
+                )
+            return b.groupby(keys, as_index=False).size().rename(columns={"size": "__n"})
+
+        counts = auto_group_agg(
+            ds.map_batches(partial, batch_format="pandas"), keys, {"count": ("__n", "sum")}
+        )
+        cdf = counts if isinstance(counts, pd.DataFrame) else counts.to_pandas()
+        n_rows = int(cdf["count"].sum())
+        n_keys = int(len(cdf))
+        max_count = int(cdf["count"].max()) if n_keys else 0
+        top_df = (
+            cdf.sort_values(["count", *keys], ascending=[False] + [True] * len(keys))
+            .head(top)
+            .reset_index(drop=True)
+        )
+        result = {
+            "n_rows": n_rows,
+            "n_keys": n_keys,
+            "max_count": max_count,
+            "mean_count": n_rows / n_keys if n_keys else 0.0,
+            "max_fraction": max_count / n_rows if n_rows else 0.0,
+            "top": top_df,
+        }
+    result["recommendation"] = (
+        "broadcast-hot-keys" if result["max_fraction"] > hot_fraction else "hash-partition"
+    )
+    return result

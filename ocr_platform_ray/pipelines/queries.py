@@ -3804,6 +3804,24 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Pre-shuffle skew diagnostic (ops/profile.py::key_skew_profile,
+    exact route): hottest event users + corpus totals — the answer to
+    'can user_id hash-partition safely?'.  FULL SQL oracle (GROUP BY +
+    ORDER BY count DESC with the smallest-key tiebreak + totals)."""
+    from ..ops.profile import key_skew_profile
+
+    events = _t(sf_dir, "events", ["user_id"])
+    prof = key_skew_profile(events, "user_id", top=10)
+    out = prof["top"].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["count"] = out["count"].astype("int64")
+    out["n_rows"] = int(prof["n_rows"])
+    out["n_keys"] = int(prof["n_keys"])
+    assert prof["recommendation"] in ("broadcast-hot-keys", "hash-partition")
+    return out.reset_index(drop=True)
+
+
 def q_card_pii_stats(sf_dir: str) -> pd.DataFrame:
     """Luhn-validated credit-card detection (functions/pii.py): documents
     augmented with a valid test PAN (doc_id%5) and a Luhn-invalid digit
@@ -4440,6 +4458,7 @@ QUERIES = {
     "tpch_q22_balance": q_tpch_q22_balance,
     "robots_filtered_urls": q_robots_filtered_urls,
     "card_pii_stats": q_card_pii_stats,
+    "event_key_skew": q_event_key_skew,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5672,6 +5691,14 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "event_key_skew": (
+        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS count "
+        "FROM events GROUP BY user_id), "
+        "t AS (SELECT CAST(SUM(count) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys FROM c) "
+        "SELECT user_id, count, n_rows, n_keys FROM c, t "
+        "ORDER BY count DESC, user_id LIMIT 10"
     ),
     "card_pii_stats": (
         # identical RE2 candidate pattern; Luhn as a digit-list lambda —

@@ -1694,6 +1694,7 @@ class TestTailQueryOracles:
             "tpch_q22_balance",
             "robots_filtered_urls",
             "card_pii_stats",
+            "event_key_skew",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

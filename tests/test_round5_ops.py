@@ -609,3 +609,55 @@ class TestExplainRoutes:
         assert ("dedup_keep_representatives", "driver") in [
             (e["op"], e["route"]) for e in log
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeySkewProfile:
+    def _skewed(self):
+        keys = np.concatenate(
+            [np.zeros(500, dtype="int64"), np.arange(1, 101, dtype="int64").repeat(5)]
+        )
+        return pd.DataFrame({"k": keys, "v": 1.0})
+
+    def test_exact_matches_pandas(self):
+        from ocr_platform_ray.ops.profile import key_skew_profile
+
+        df = self._skewed()
+        prof = key_skew_profile(rd.from_pandas(df).repartition(5), "k", top=3)
+        vc = df["k"].value_counts()
+        assert prof["n_rows"] == len(df)
+        assert prof["n_keys"] == df["k"].nunique()
+        assert prof["max_count"] == int(vc.max())
+        assert prof["max_fraction"] == vc.max() / len(df)
+        assert prof["top"]["k"].tolist()[0] == 0
+        assert prof["top"]["count"].tolist() == [500, 5, 5]
+        assert prof["recommendation"] == "broadcast-hot-keys"
+
+    def test_uniform_recommends_hash_partition(self):
+        from ocr_platform_ray.ops.profile import key_skew_profile
+
+        df = pd.DataFrame({"k": np.arange(1000, dtype="int64") % 200})
+        prof = key_skew_profile(rd.from_pandas(df), "k")
+        assert prof["recommendation"] == "hash-partition"
+        assert prof["mean_count"] == 5.0
+
+    def test_sketch_route_bounds_exact(self):
+        from ocr_platform_ray.ops.profile import key_skew_profile
+
+        df = self._skewed()
+        prof = key_skew_profile(
+            rd.from_pandas(df).repartition(4), "k", top=3, method="sketch"
+        )
+        # MG upper bound never underestimates the true hot count
+        assert prof["max_count"] >= 500
+        assert prof["n_keys"] is None
+        assert prof["recommendation"] == "broadcast-hot-keys"
+        assert prof["top"].iloc[0]["k"] == 0
+
+    def test_multi_key(self):
+        from ocr_platform_ray.ops.profile import key_skew_profile
+
+        df = pd.DataFrame({"a": [1, 1, 1, 2], "b": ["x", "x", "y", "y"]})
+        prof = key_skew_profile(rd.from_pandas(df), ["a", "b"], top=2)
+        assert prof["n_keys"] == 3
+        assert prof["top"].iloc[0][["a", "b"]].tolist() == [1, "x"]
