@@ -3804,6 +3804,29 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_orders_footer_stats(sf_dir: str) -> pd.DataFrame:
+    """Aggregate pushdown to parquet footers (sources/ingest.py::
+    parquet_stats_agg): COUNT + MIN/MAX of o_totalprice and o_orderdate
+    answered from row-group statistics — ZERO data pages read.  FULL SQL
+    oracle (the equivalent full-scan aggregate must agree exactly)."""
+    from ..sources.ingest import parquet_stats_agg
+
+    out = parquet_stats_agg(
+        f"{sf_dir}/orders.parquet", ["o_totalprice", "o_orderdate"]
+    )
+    assert out is not None, "orders footer lacks statistics"
+    out = out.rename(
+        columns={
+            "o_totalprice_min": "min_price",
+            "o_totalprice_max": "max_price",
+            "o_orderdate_min": "min_date",
+            "o_orderdate_max": "max_date",
+        }
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["n_rows", "min_price", "max_price", "min_date", "max_date"]]
+
+
 def q_event_key_skew(sf_dir: str) -> pd.DataFrame:
     """Pre-shuffle skew diagnostic (ops/profile.py::key_skew_profile,
     exact route): hottest event users + corpus totals — the answer to
@@ -4459,6 +4482,7 @@ QUERIES = {
     "robots_filtered_urls": q_robots_filtered_urls,
     "card_pii_stats": q_card_pii_stats,
     "event_key_skew": q_event_key_skew,
+    "orders_footer_stats": q_orders_footer_stats,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5691,6 +5715,11 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "orders_footer_stats": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, "
+        "MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date FROM orders"
     ),
     "event_key_skew": (
         "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS count "

@@ -4,6 +4,7 @@ from .ingest import (  # noqa: F401
     ingest_raw_html,
     page_count_probe,
     parquet_column_bounds,
+    parquet_stats_agg,
     read_dim_pandas,
     partition_pages_by_url,
 )

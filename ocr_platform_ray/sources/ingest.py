@@ -169,3 +169,79 @@ def partition_pages_by_url(
         bucketed.groupby("__shard").map_groups(write_shard, batch_format="pandas").to_pandas()
     )
     return sorted(manifest["path"])
+
+
+def parquet_stats_agg(
+    path: str | list[str], columns: list[str]
+) -> pd.DataFrame | None:
+    """COUNT / per-column MIN / MAX / null count answered from parquet
+    FOOTERS ONLY — zero data pages read, the aggregate-pushdown
+    optimization every lakehouse scan planner applies.  One Ray task per
+    file batch reads metadata; the driver merges file-count-sized
+    partials.  Returns one row (n_rows, {col}_min, {col}_max,
+    {col}_nulls per column), or None when any row group lacks
+    statistics for a requested column (caller falls back to a real
+    scan).  String stats are REFUSED (footers may store truncated
+    min/max for long strings — correct only for numeric / temporal /
+    boolean columns)."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd_
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            paths = sorted(
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            )
+        else:
+            paths = [path]
+    else:
+        paths = list(path)
+    if not paths:
+        raise ValueError("parquet_stats_agg: no input files")
+
+    def footer_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p in b["path"]:
+            meta = pq_.ParquetFile(p).metadata
+            idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+            rec: dict = {"n_rows": meta.num_rows, "ok": True}
+            for c in columns:
+                if c not in idx:
+                    rec["ok"] = False
+                    break
+                phys = meta.schema.column(idx[c]).physical_type
+                if phys == "BYTE_ARRAY" and "DECIMAL" not in str(
+                    meta.schema.column(idx[c]).logical_type
+                ):
+                    rec["ok"] = False  # possibly-truncated string stats
+                    break
+                lo = hi = None
+                nulls = 0
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                    nulls += st.null_count or 0
+                if lo is None:
+                    rec["ok"] = False
+                    break
+                rec[f"{c}_min"], rec[f"{c}_max"], rec[f"{c}_nulls"] = lo, hi, nulls
+            rows.append(rec)
+        return pd.DataFrame(rows)
+
+    parts = (
+        rd_.from_items([{"path": p} for p in paths])
+        .map_batches(footer_partial, batch_size=64, batch_format="pandas")
+        .to_pandas()
+    )
+    if not bool(parts["ok"].all()):
+        return None
+    out = {"n_rows": int(parts["n_rows"].sum())}
+    for c in columns:
+        out[f"{c}_min"] = parts[f"{c}_min"].min()
+        out[f"{c}_max"] = parts[f"{c}_max"].max()
+        out[f"{c}_nulls"] = int(parts[f"{c}_nulls"].sum())
+    return pd.DataFrame([out])

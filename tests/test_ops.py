@@ -1695,6 +1695,7 @@ class TestTailQueryOracles:
             "robots_filtered_urls",
             "card_pii_stats",
             "event_key_skew",
+            "orders_footer_stats",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -661,3 +661,60 @@ class TestKeySkewProfile:
         prof = key_skew_profile(rd.from_pandas(df), ["a", "b"], top=2)
         assert prof["n_keys"] == 3
         assert prof["top"].iloc[0][["a", "b"]].tolist() == [1, "x"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParquetStatsAgg:
+    def test_multi_file_dir_exact(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.sources.ingest import parquet_stats_agg
+
+        rng = np.random.RandomState(3)
+        frames = []
+        for i in range(4):
+            df = pd.DataFrame(
+                {"x": rng.randn(200) * (i + 1), "n": rng.randint(0, 1000, 200)}
+            )
+            if i == 2:
+                df.loc[5:9, "x"] = np.nan
+            frames.append(df)
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                str(tmp_path / f"f{i}.parquet"),
+            )
+        allf = pd.concat(frames, ignore_index=True)
+        out = parquet_stats_agg(str(tmp_path), ["x", "n"])
+        assert out is not None
+        assert int(out["n_rows"][0]) == 800
+        assert out["x_min"][0] == allf["x"].min()
+        assert out["x_max"][0] == allf["x"].max()
+        assert int(out["x_nulls"][0]) == 5
+        assert int(out["n_min"][0]) == int(allf["n"].min())
+
+    def test_string_columns_refused(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.sources.ingest import parquet_stats_agg
+
+        pq.write_table(
+            pa.table({"s": ["abc", "zzz"], "i": [1, 2]}), str(tmp_path / "a.parquet")
+        )
+        assert parquet_stats_agg(str(tmp_path / "a.parquet"), ["s"]) is None
+        out = parquet_stats_agg(str(tmp_path / "a.parquet"), ["i"])
+        assert int(out["i_max"][0]) == 2
+
+    def test_missing_column_and_empty(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.sources.ingest import parquet_stats_agg
+
+        pq.write_table(pa.table({"i": [1]}), str(tmp_path / "a.parquet"))
+        assert parquet_stats_agg(str(tmp_path / "a.parquet"), ["nope"]) is None
+        empty = tmp_path / "none"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no input"):
+            parquet_stats_agg(str(empty), ["i"])
