@@ -226,7 +226,10 @@ def extract_host_links(
         if len(b) == 0:
             return empty
         htmls = b[html_col]
-        if htmls.dtype == object and len(htmls) and isinstance(htmls.iloc[0], (bytes, bytearray)):
+        # sample a NON-NULL value: a None in row 0 (e.g. a revisit record
+        # from read_warc) must not skip the bytes decode for the rest
+        sample = htmls.dropna()
+        if len(sample) and isinstance(sample.iloc[0], (bytes, bytearray)):
             htmls = htmls.str.decode("utf-8", errors="replace")
         htmls = htmls.fillna("").astype(str)
         src_hosts = (

@@ -386,7 +386,9 @@ def key_skew_profile(
         }
     else:
         def partial(b: pd.DataFrame) -> pd.DataFrame:
-            if len(b) == 0:
+            if len(b) == 0 and not all(k in b.columns for k in keys):
+                # column-less empty block; a TYPED empty falls through to
+                # the groupby (keeps key dtypes route-consistent)
                 return pd.DataFrame(
                     {**{k: pd.Series([], dtype=object) for k in keys},
                      "__n": pd.Series([], dtype="int64")}

@@ -718,3 +718,30 @@ class TestParquetStatsAgg:
         empty.mkdir()
         with pytest.raises(ValueError, match="no input"):
             parquet_stats_agg(str(empty), ["i"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS5:
+    def test_host_links_null_first_row_bytes(self):
+        from ocr_platform_ray.ops.graph import extract_host_links
+
+        df = pd.DataFrame(
+            {
+                "url": ["https://a.com/1", "https://a.com/2"],
+                "html": [None, '<a href="https://b.com/x">y</a>'.encode()],
+            }
+        )
+        out = extract_host_links(rd.from_pandas(df))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert list(zip(out["src_host"], out["dst_host"])) == [("a.com", "b.com")]
+
+    def test_key_skew_typed_empty_block(self):
+        from ocr_platform_ray.ops.profile import key_skew_profile
+
+        df = pd.DataFrame({"k": np.arange(10, dtype="int64")})
+        ds = rd.from_pandas(df).union(
+            rd.from_pandas(df.iloc[:0])  # typed zero-row block
+        )
+        prof = key_skew_profile(ds, "k")
+        assert prof["n_rows"] == 10 and prof["n_keys"] == 10
