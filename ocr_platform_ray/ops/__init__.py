@@ -43,6 +43,7 @@ from .dedup import (  # noqa: F401
     strip_repeated_paragraphs,
 )
 from .textstats import (  # noqa: F401
+    add_script_ratios,
     add_text_stats,
     dedup_doc_lines,
     add_repetition_stats,

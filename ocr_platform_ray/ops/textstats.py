@@ -670,3 +670,56 @@ def dedup_doc_lines(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return batch.set_column(i, text_col, out_col)
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Script composition (per-doc codepoint-class ratios)
+# ---------------------------------------------------------------------------
+# Explicit CODEPOINT RANGES (not Unicode script properties) so a SQL
+# oracle over the identical character classes is exact.  (lo, hi)
+# inclusive; class order fixed.
+SCRIPT_CLASSES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("latin", [(0x41, 0x5A), (0x61, 0x7A)]),
+    ("digit", [(0x30, 0x39)]),
+    ("arabic", [(0x0600, 0x06FF)]),
+    ("cyrillic", [(0x0400, 0x04FF)]),
+    ("cjk", [(0x4E00, 0x9FFF)]),
+]
+
+
+def add_script_ratios(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-doc script-composition signal (mixed-script detection — a
+    spam/mojibake tell the published quality filters don't capture):
+    ``n_chars`` plus one raw ``{class}_ratio`` per SCRIPT_CLASSES entry
+    (callers round for SQL comparison).
+
+    Fully vectorized, MAP-ONLY: the batch's texts decode to ONE uint32
+    codepoint array (utf-32-le reinterpret — no per-char Python), each
+    class tests membership via one searchsorted over its range
+    boundaries, and per-row counts come from one bincount over
+    codepoint row-ids (robust to zero-length rows anywhere)."""
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        texts = b[text_col].fillna("").astype(str)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        out["n_chars"] = lens
+        if len(b) == 0 or int(lens.sum()) == 0:
+            for name, _ in SCRIPT_CLASSES:
+                out[f"{name}_ratio"] = np.zeros(len(b), dtype="float64")
+            return out
+        flat = "".join(texts.tolist())
+        cps = np.frombuffer(flat.encode("utf-32-le"), dtype="<u4")
+        row_id = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        safe = np.maximum(lens, 1).astype("float64")
+        for name, ranges in SCRIPT_CLASSES:
+            bounds = np.fromiter(
+                (x for lo, hi in ranges for x in (lo, hi + 1)), dtype=np.uint32
+            )
+            # odd searchsorted slot <=> codepoint inside one of the ranges
+            inside = np.searchsorted(bounds, cps, side="right") % 2 == 1
+            per_row = np.bincount(row_id[inside], minlength=len(texts))
+            out[f"{name}_ratio"] = per_row / safe
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")

@@ -3804,6 +3804,25 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_script_ratio_docs(sf_dir: str) -> pd.DataFrame:
+    """Script-composition signal (ops/textstats.py::add_script_ratios):
+    per-doc codepoint-class ratios over explicit ranges (latin / digit /
+    arabic / cyrillic / cjk).  FULL SQL oracle: the identical character
+    classes counted with regexp_extract_all, ratios rounded half-away
+    on both engines."""
+    from ..ops.textstats import SCRIPT_CLASSES, add_script_ratios
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = add_script_ratios(docs).to_pandas()
+    cols = ["doc_id", "n_chars"]
+    for name, _ in SCRIPT_CLASSES:
+        c = f"{name}_ratio"
+        out[c] = _round_half_away(out[c], 4)
+        cols.append(c)
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_orders_footer_stats(sf_dir: str) -> pd.DataFrame:
     """Aggregate pushdown to parquet footers (sources/ingest.py::
     parquet_stats_agg): COUNT + MIN/MAX of o_totalprice and o_orderdate
@@ -4483,6 +4502,7 @@ QUERIES = {
     "card_pii_stats": q_card_pii_stats,
     "event_key_skew": q_event_key_skew,
     "orders_footer_stats": q_orders_footer_stats,
+    "script_ratio_docs": q_script_ratio_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5715,6 +5735,20 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "script_ratio_docs": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) "
+        "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 4) AS latin_ratio, "
+        "ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) "
+        "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 4) AS digit_ratio, "
+        "ROUND(CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS DOUBLE) "
+        "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 4) AS arabic_ratio, "
+        "ROUND(CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS DOUBLE) "
+        "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 4) AS cyrillic_ratio, "
+        "ROUND(CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE) "
+        "/ CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 4) AS cjk_ratio "
+        "FROM documents"
     ),
     "orders_footer_stats": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "

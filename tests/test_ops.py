@@ -1696,6 +1696,7 @@ class TestTailQueryOracles:
             "card_pii_stats",
             "event_key_skew",
             "orders_footer_stats",
+            "script_ratio_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

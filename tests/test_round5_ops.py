@@ -745,3 +745,50 @@ class TestReviewFixesS5:
         )
         prof = key_skew_profile(ds, "k")
         assert prof["n_rows"] == 10 and prof["n_keys"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScriptRatios:
+    def test_known_composition(self):
+        from ocr_platform_ray.ops.textstats import add_script_ratios
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "abcd12",              # 4/6 latin, 2/6 digit
+                    "كتاب",                # all arabic
+                    "мир мир",             # cyrillic + space
+                    "漢字abc",              # cjk + latin
+                    "",                    # empty -> all zero
+                    "!!!",                 # none of the classes
+                ]
+            }
+        )
+        out = add_script_ratios(rd.from_pandas(df)).to_pandas()
+        assert out["n_chars"].tolist() == [6, 4, 7, 5, 0, 3]
+        assert abs(out["latin_ratio"][0] - 4 / 6) < 1e-12
+        assert abs(out["digit_ratio"][0] - 2 / 6) < 1e-12
+        assert out["arabic_ratio"][1] == 1.0
+        assert abs(out["cyrillic_ratio"][2] - 6 / 7) < 1e-12
+        assert abs(out["cjk_ratio"][3] - 2 / 5) < 1e-12
+        assert abs(out["latin_ratio"][3] - 3 / 5) < 1e-12
+        assert out.loc[4, [c for c in out.columns if c.endswith("_ratio")]].sum() == 0
+        assert out.loc[5, [c for c in out.columns if c.endswith("_ratio")]].sum() == 0
+
+    def test_empty_rows_anywhere_and_block_independence(self):
+        from ocr_platform_ray.ops.textstats import add_script_ratios
+
+        df = pd.DataFrame({"text": ["", "abc", "", "", "xyz9", ""]})
+        outs = []
+        for nb in (1, 3):
+            o = (
+                add_script_ratios(rd.from_pandas(df).repartition(nb))
+                .to_pandas()
+                .sort_values("text")
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0].set_index("text")
+        assert got.loc["abc", "latin_ratio"] == 1.0
+        assert got.loc["xyz9", "digit_ratio"] == 0.25
