@@ -52,7 +52,7 @@ from .textstats import (  # noqa: F401
     token_document_frequency,
 )
 from .pack import range_prefix_sum, pack_sequences  # noqa: F401
-from .chunks import grouped_ordered_concat  # noqa: F401
+from .chunks import grouped_ordered_concat, sliding_token_windows  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
 from .mix import temperature_sample, token_budget_sample, weighted_source_mixture  # noqa: F401
 from .shuffle import (  # noqa: F401

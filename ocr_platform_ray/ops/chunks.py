@@ -52,3 +52,49 @@ def grouped_ordered_concat(
         .groupby("__shard")
         .map_groups(per_shard, batch_format="pandas")
     )
+
+
+def sliding_token_windows(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    size: int,
+    stride: int,
+) -> rd.Dataset:
+    """Overlapping token-window chunking — the long-document treatment
+    for training/eval when truncation loses content (the HF
+    ``return_overflowing_tokens`` stride pattern): each document emits
+    windows of ``size`` whitespace tokens starting every ``stride``
+    tokens (``(id, win_idx, win_text, n_tokens)``; the tail window is
+    shorter; zero-token docs emit nothing).
+
+    MAP-ONLY flat_map shape: no exchange — window construction is
+    output-sized by definition (each output window's text must be
+    assembled), so the per-window join IS the floor; tokenization is
+    one split per row.  Output rows carry window provenance so a
+    downstream dedup/score can map back to (doc, offset)."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, texts, ntoks = [], [], [], []
+        tok_lists = b[text_col].fillna("").astype(str).str.split()
+        for rid, toks in zip(b[id_col], tok_lists):
+            n = len(toks)
+            for w, start in enumerate(range(0, n, stride)):
+                win = toks[start : start + size]
+                ids.append(rid)
+                idxs.append(w)
+                texts.append(" ".join(win))
+                ntoks.append(len(win))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype=b[id_col].dtype if len(ids) else object),
+                "win_idx": pd.Series(idxs, dtype="int64"),
+                "win_text": pd.Series(texts, dtype=object),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pandas")

@@ -3804,6 +3804,20 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Overlapping token-window chunking (ops/chunks.py::
+    sliding_token_windows, size=40 stride=20 — 50% overlap).  FULL SQL
+    oracle: generate_series starts + list_slice window assembly."""
+    from ..ops.chunks import sliding_token_windows
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = sliding_token_windows(
+        docs, "text", "doc_id", size=40, stride=20
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
+
+
 def q_script_ratio_docs(sf_dir: str) -> pd.DataFrame:
     """Script-composition signal (ops/textstats.py::add_script_ratios):
     per-doc codepoint-class ratios over explicit ranges (latin / digit /
@@ -4503,6 +4517,7 @@ QUERIES = {
     "event_key_skew": q_event_key_skew,
     "orders_footer_stats": q_orders_footer_stats,
     "script_ratio_docs": q_script_ratio_docs,
+    "doc_sliding_windows": q_doc_sliding_windows,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5735,6 +5750,18 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS numcust, "
         "CAST(SUM(acct_c) AS DOUBLE) / 100 AS totacctbal "
         "FROM rich GROUP BY c_nationkey"
+    ),
+    "doc_sliding_windows": (
+        # whitespace tokens; starts every 20; 1-indexed inclusive
+        # list_slice mirrors tokens[start : start+40]
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ts "
+        "FROM documents), "
+        "w AS (SELECT doc_id, ts, u.s AS start FROM toks, "
+        "UNNEST(generate_series(0, len(ts) - 1, 20)) AS u(s) WHERE len(ts) > 0) "
+        "SELECT doc_id, CAST(start / 20 AS BIGINT) AS win_idx, "
+        "array_to_string(list_slice(ts, start + 1, start + 40), ' ') AS win_text, "
+        "CAST(LEAST(40, len(ts) - start) AS BIGINT) AS n_tokens FROM w"
     ),
     "script_ratio_docs": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

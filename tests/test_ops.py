@@ -1697,6 +1697,7 @@ class TestTailQueryOracles:
             "event_key_skew",
             "orders_footer_stats",
             "script_ratio_docs",
+            "doc_sliding_windows",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

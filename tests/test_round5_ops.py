@@ -792,3 +792,54 @@ class TestScriptRatios:
         got = outs[0].set_index("text")
         assert got.loc["abc", "latin_ratio"] == 1.0
         assert got.loc["xyz9", "digit_ratio"] == 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlidingWindows:
+    def test_window_rule(self):
+        from ocr_platform_ray.ops.chunks import sliding_token_windows
+
+        df = pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # 10 toks
+                    "a b c",                                # shorter than size
+                    "",                                     # zero windows
+                ],
+            }
+        )
+        out = (
+            sliding_token_windows(rd.from_pandas(df), "text", "id", size=4, stride=3)
+            .to_pandas()
+            .sort_values(["id", "win_idx"])
+            .reset_index(drop=True)
+        )
+        w1 = out[out["id"] == 1]
+        assert w1["win_text"].tolist() == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+        ]
+        assert w1["n_tokens"].tolist() == [4, 4, 4, 1]
+        assert out[out["id"] == 2]["win_text"].tolist() == ["a b c"]
+        assert (out["id"] == 3).sum() == 0
+
+    def test_block_independence_and_validation(self):
+        from ocr_platform_ray.ops.chunks import sliding_token_windows
+
+        df = pd.DataFrame(
+            {"id": range(20), "text": [" ".join(["w"] * (i % 7)) for i in range(20)]}
+        )
+        outs = []
+        for nb in (1, 5):
+            o = (
+                sliding_token_windows(
+                    rd.from_pandas(df).repartition(nb), "text", "id", size=3, stride=2
+                )
+                .to_pandas()
+                .sort_values(["id", "win_idx"])
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        with pytest.raises(ValueError, match="stride"):
+            sliding_token_windows(rd.from_pandas(df), "text", "id", size=3, stride=0)
