@@ -1,0 +1,142 @@
+"""Continuous crawl-corpus maintenance: WARC increments in, deduped
+extracted documents out — the composition that runs the engine as the
+reference's ingest loop does (per-book ingest -> process -> persist,
+``apps/queue/src/queues/book/worker.ts:11-47``), but batch, resumable and
+content-deduplicated across increments.
+
+One increment = one crawl segment's ``.warc.gz`` files:
+
+    read_warc (streaming per-file parse)
+      -> extraction_pipeline (the flagship byte-identical extractor)
+      -> incremental_{exact,minhash}_dedup vs the persisted bucket state
+         (ops/incremental.py: committed-marker visibility, replay)
+      -> per-ingest parquet partition under the corpus root
+
+Idempotence contract: an increment whose dedup marker is committed AND
+whose corpus partition exists is a NO-OP (safe rerun after a crash at
+any point: the dedup state commit is atomic, and the corpus partition
+is rewritten from the committed replay if the crash hit between commit
+and write).  Each increment's output lives in its own directory
+(``ingest=<id>/``), so failed runs never corrupt earlier increments and
+``read_corpus`` is a plain recursive parquet read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..schemas import DOC_OUT_SCHEMA
+from ..ops.incremental import (
+    committed_ingests,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+)
+from ..sources.warc import read_warc
+from .extraction import extraction_pipeline
+
+
+def _ingest_out_dir(corpus_dir: str, ingest_id: str) -> str:
+    return os.path.join(corpus_dir, f"ingest={ingest_id}")
+
+
+def ingest_crawl_increment(
+    warc_paths: list[str] | str,
+    corpus_dir: str,
+    state_dir: str,
+    *,
+    ingest_id: str,
+    dedup: str = "exact",
+    minhash_threshold: float = 0.8,
+) -> dict:
+    """Process one crawl increment end to end; returns a summary dict
+    ``{"ingest_id", "n_docs", "n_survivors", "out_dir", "replayed"}``.
+
+    ``dedup="exact"`` drops documents whose extracted text already
+    exists in ANY committed increment (or earlier in this one);
+    ``"minhash"`` additionally blocks near-duplicates (banded MinHash
+    vs the persisted band-bucket state)."""
+    out_dir = _ingest_out_dir(corpus_dir, ingest_id)
+    already = ingest_id in committed_ingests(state_dir)
+    if already and glob.glob(os.path.join(out_dir, "*.parquet")):
+        n = rd.read_parquet(out_dir).count()
+        return {
+            "ingest_id": ingest_id,
+            "n_docs": None,
+            "n_survivors": int(n),
+            "out_dir": out_dir,
+            "replayed": True,
+        }
+
+    if dedup not in ("exact", "minhash"):
+        raise ValueError(f"dedup must be 'exact' or 'minhash', got {dedup!r}")
+    if already:
+        # crash hit between the dedup commit and the corpus write: the
+        # dedup replay is a pure read of the committed survivors
+        # (ops/incremental.py contract) — skip re-extraction entirely
+        docs = rd.from_items([{"url": "", "extracted_text": ""}])
+        n_docs = None
+    else:
+        docs = extraction_pipeline(read_warc(warc_paths))
+        # consumed by dedup AND (via survivors) the write: pin once so
+        # the WARC parse + extraction doesn't re-execute per consumer
+        docs = docs.materialize()
+        n_docs = int(docs.count())
+    if dedup == "exact":
+        survivors = incremental_exact_dedup(
+            docs, "extracted_text", "url", state_dir, ingest_id=ingest_id
+        )
+    else:
+        survivors = incremental_minhash_dedup(
+            docs, "extracted_text", "url", state_dir,
+            ingest_id=ingest_id, threshold=minhash_threshold,
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.unlink(stale)  # partial write from a crashed prior attempt
+
+    def enforce_schema(b) -> "pa.Table":
+        # pin every fragment to the declared doc schema: a block whose
+        # list column is all-null would otherwise write Arrow `null`
+        # type and poison the union read of the corpus; list cells
+        # arrive as numpy objects (the dedup thaw), so the Arrow list
+        # arrays are built explicitly (Ray's tensor-extension casting
+        # rejects variable-length object columns)
+        arrays, names = [], []
+        for f in DOC_OUT_SCHEMA:
+            col = b[f.name]
+            if pa.types.is_list(f.type):
+                vals = [None if v is None else list(v) for v in col]
+                arrays.append(pa.array(vals, type=f.type))
+            else:
+                arrays.append(pa.array(col.tolist(), type=f.type))
+            names.append(f.name)
+        for extra in b.columns:
+            if extra not in names:
+                arrays.append(pa.array(b[extra].tolist()))
+                names.append(extra)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    survivors = survivors.map_batches(
+        enforce_schema, batch_format="pandas"
+    ).materialize()
+    survivors.write_parquet(out_dir)
+    return {
+        "ingest_id": ingest_id,
+        "n_docs": n_docs,
+        "n_survivors": int(survivors.count()),
+        "out_dir": out_dir,
+        "replayed": already,
+    }
+
+
+def read_corpus(corpus_dir: str) -> rd.Dataset:
+    """All committed increments as one Dataset (per-ingest partitions)."""
+    files = sorted(glob.glob(os.path.join(corpus_dir, "ingest=*", "*.parquet")))
+    if not files:
+        raise ValueError(f"read_corpus: no increments under {corpus_dir}")
+    return rd.read_parquet(files)

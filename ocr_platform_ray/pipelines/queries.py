@@ -3804,6 +3804,61 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_crawl_increments(sf_dir: str) -> pd.DataFrame:
+    """Continuous-ingestion composition (pipelines/crawl.py): two WARC
+    crawl increments with 50% url overlap flow through read_warc ->
+    extraction -> incremental exact dedup -> per-ingest corpus
+    partitions.  Rows-only (container parse + stateful dedup); the
+    in-query asserts pin recrawl suppression, corpus uniqueness, and
+    replay identity (TestCrawlIngestPipeline pins the rest)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from ..corpus import make_pages_rows
+    from ..schemas import PAGES_SCHEMA
+    from ..sources.warc import write_pages_warc
+    from .crawl import ingest_crawl_increment, read_corpus
+
+    base = tempfile.mkdtemp(prefix="ocr_ray_crawl_q_")
+    try:
+        def shards(name, idxs):
+            rows = list(make_pages_rows(idxs))
+            cols = {n: [r[n] for r in rows] for n in PAGES_SCHEMA.names}
+            t = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pa.array([""] * len(t), pa.string()),
+            )
+            return write_pages_warc(f"{base}/{name}", t, urls_per_shard=4)
+
+        corpus, state = f"{base}/corpus", f"{base}/state"
+        r1 = ingest_crawl_increment(
+            shards("w1", range(0, 12)), corpus, state, ingest_id="day1"
+        )
+        r2 = ingest_crawl_increment(
+            shards("w2", range(6, 18)), corpus, state, ingest_id="day2"
+        )
+        assert r2["n_survivors"] <= 6, "recrawled urls must dedup"
+        total = read_corpus(corpus).to_pandas()
+        assert total["url"].is_unique
+        assert len(total) == r1["n_survivors"] + r2["n_survivors"]
+        r1b = ingest_crawl_increment(
+            shards("w1", range(0, 12)), corpus, state, ingest_id="day1"
+        )
+        assert r1b["replayed"] and r1b["n_survivors"] == r1["n_survivors"]
+        return pd.DataFrame(
+            {
+                "ingest_id": ["day1", "day2"],
+                "n_docs": [r1["n_docs"], r2["n_docs"]],
+                "n_survivors": [r1["n_survivors"], r2["n_survivors"]],
+            }
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_doc_sliding_windows(sf_dir: str) -> pd.DataFrame:
     """Overlapping token-window chunking (ops/chunks.py::
     sliding_token_windows, size=40 stride=20 — 50% overlap).  FULL SQL
@@ -4518,6 +4573,10 @@ QUERIES = {
     "orders_footer_stats": q_orders_footer_stats,
     "script_ratio_docs": q_script_ratio_docs,
     "doc_sliding_windows": q_doc_sliding_windows,
+    # no-oracle (container parse + stateful incremental dedup; recrawl
+    # suppression, uniqueness and replay identity asserted in-query,
+    # pinned by TestCrawlIngestPipeline)
+    "crawl_increments": q_crawl_increments,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -843,3 +843,77 @@ class TestSlidingWindows:
         pd.testing.assert_frame_equal(outs[0], outs[1])
         with pytest.raises(ValueError, match="stride"):
             sliding_token_windows(rd.from_pandas(df), "text", "id", size=3, stride=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlIngestPipeline:
+    def _warc_shards(self, tmp_path, name, url_indices):
+        import pyarrow as pa
+
+        from ocr_platform_ray.corpus import make_pages_rows
+        from ocr_platform_ray.schemas import PAGES_SCHEMA
+        from ocr_platform_ray.sources.warc import write_pages_warc
+
+        rows = list(make_pages_rows(url_indices))
+        cols = {n: [r[n] for r in rows] for n in PAGES_SCHEMA.names}
+        t = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+        # WARC carries no prior text; clear it like the route contract
+        t = t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pa.array([""] * len(t), pa.string()),
+        )
+        return write_pages_warc(str(tmp_path / name), t, urls_per_shard=4)
+
+    def test_two_increments_dedup_and_replay(self, tmp_path):
+        from ocr_platform_ray.pipelines.crawl import (
+            ingest_crawl_increment,
+            read_corpus,
+        )
+
+        corpus = str(tmp_path / "corpus")
+        state = str(tmp_path / "state")
+        day1 = self._warc_shards(tmp_path, "w1", range(0, 10))
+        # overlap: urls 5-9 recrawled with IDENTICAL content
+        day2 = self._warc_shards(tmp_path, "w2", range(5, 15))
+
+        r1 = ingest_crawl_increment(day1, corpus, state, ingest_id="day1")
+        assert not r1["replayed"] and r1["n_docs"] == 10
+        r2 = ingest_crawl_increment(day2, corpus, state, ingest_id="day2")
+        assert r2["n_docs"] == 10
+        # recrawled urls dedup against day1's committed state
+        assert r2["n_survivors"] <= 5
+        total = read_corpus(corpus).to_pandas()
+        assert len(total) == r1["n_survivors"] + r2["n_survivors"]
+        assert total["url"].is_unique
+
+        # replay: a rerun of a committed increment is a no-op read
+        r1b = ingest_crawl_increment(day1, corpus, state, ingest_id="day1")
+        assert r1b["replayed"] and r1b["n_survivors"] == r1["n_survivors"]
+
+    def test_crash_between_commit_and_write_recovers(self, tmp_path):
+        import glob
+        import os
+
+        from ocr_platform_ray.pipelines.crawl import ingest_crawl_increment
+
+        corpus = str(tmp_path / "c")
+        state = str(tmp_path / "s")
+        day1 = self._warc_shards(tmp_path, "w1", range(0, 8))
+        r1 = ingest_crawl_increment(day1, corpus, state, ingest_id="d1")
+        # simulate the crash window: dedup committed, corpus partition gone
+        for f in glob.glob(os.path.join(r1["out_dir"], "*.parquet")):
+            os.unlink(f)
+        r1b = ingest_crawl_increment(day1, corpus, state, ingest_id="d1")
+        assert r1b["replayed"] and r1b["n_survivors"] == r1["n_survivors"]
+        assert glob.glob(os.path.join(r1["out_dir"], "*.parquet"))
+
+    def test_bad_dedup_mode(self, tmp_path):
+        from ocr_platform_ray.pipelines.crawl import ingest_crawl_increment
+
+        day1 = self._warc_shards(tmp_path, "w1", range(0, 3))
+        with pytest.raises(ValueError, match="dedup"):
+            ingest_crawl_increment(
+                day1, str(tmp_path / "c"), str(tmp_path / "s"),
+                ingest_id="x", dedup="nope",
+            )
