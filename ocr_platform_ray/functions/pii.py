@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textscan import flat_finditer
+
 # (name, RE2 pattern, placeholder) — patterns valid verbatim in DuckDB
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
@@ -85,40 +87,39 @@ def redact_cards_batch(
     b: pd.DataFrame, *, text_col: str = "text", out_col: str = "redacted_text"
 ) -> pd.DataFrame:
     """One compiled-regex pass over the batch's concatenated text finds
-    candidates (the _shingle_hashes_batch rule); the per-MATCH Luhn loop
-    is candidate-sized, not corpus-sized; only rows holding a VALID card
-    do string surgery.  Emits ``n_card_candidates`` / ``n_cards`` per
-    row."""
+    candidates (the shared ``functions/textscan`` flat scan); the
+    per-MATCH Luhn loop is candidate-sized, not corpus-sized; surgery is
+    MATCH-OFFSET-based (a plain str.replace would also rewrite the PAN
+    where it occurs as a substring of a longer, unmatched digit run).
+    Emits ``n_card_candidates`` / ``n_cards`` per row."""
     import re as _re
 
     global _CARD_RE
     if _CARD_RE is None:
         _CARD_RE = _re.compile(CARD_RE_PATTERN)
     texts = b[text_col].astype(str).tolist()
-    sep = "\x00"
-    flat = sep.join(texts)
-    starts = np.zeros(len(texts), dtype=np.int64)
-    if len(texts) > 1:
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-        starts[1:] = np.cumsum(lens[:-1] + 1)
     n_cand = np.zeros(len(texts), dtype="int64")
     n_valid = np.zeros(len(texts), dtype="int64")
-    per_row: dict[int, list[str]] = {}
-    for m in _CARD_RE.finditer(flat):
-        row = int(np.searchsorted(starts, m.start(), side="right") - 1)
+    # row -> [(start, end)] in ORIGINAL row-relative offsets, match order
+    per_row: dict[int, list[tuple[int, int]]] = {}
+    for row, m, rstart in flat_finditer(_CARD_RE, texts, "\x00"):
         digits = m.group(0).replace(" ", "").replace("-", "")
         if not (13 <= len(digits) <= 19):
             continue
         n_cand[row] += 1
         if luhn_valid(digits):
             n_valid[row] += 1
-            per_row.setdefault(row, []).append(m.group(0))
+            per_row.setdefault(row, []).append((m.start() - rstart, m.end() - rstart))
     out_texts = list(texts)
-    for row, matches in per_row.items():
-        t = out_texts[row]
-        for s in matches:
-            t = t.replace(s, "<CARD>")
-        out_texts[row] = t
+    for row, spans in per_row.items():
+        t = texts[row]
+        pieces, last = [], 0
+        for s, e in spans:  # finditer order: non-overlapping, ascending
+            pieces.append(t[last:s])
+            pieces.append("<CARD>")
+            last = e
+        pieces.append(t[last:])
+        out_texts[row] = "".join(pieces)
     out = b.copy()
     out[out_col] = out_texts
     out["n_card_candidates"] = n_cand

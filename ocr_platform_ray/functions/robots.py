@@ -34,7 +34,9 @@ import ray.data as rd
 
 from ..state.broadcast import cached_get
 
-_HOST_RE = re.compile(r"^[a-z]+://([^/]+)", re.IGNORECASE)
+# host capture EXCLUDES ':?#' (functions/url.py's convention): a url with
+# an explicit port or a query-only path must still hit its host's rules
+_HOST_RE = re.compile(r"^[a-z]+://([^/:?#]+)", re.IGNORECASE)
 _PATH_RE = re.compile(r"^[a-z]+://[^/]*(/[^#?]*)?", re.IGNORECASE)
 
 
@@ -45,9 +47,12 @@ def parse_robots_rules(
 
     RFC 9309 group selection: collect rules from the group(s) whose
     ``User-agent`` token case-insensitively equals ``agent``; fall back
-    to the ``*`` group(s) when no named group matched.  Consecutive
-    User-agent lines share one group.  Rules with ``*``/``$`` wildcards
-    or empty Disallow values are dropped (documented limitation)."""
+    to the ``*`` group(s) ONLY when no named group EXISTS — a named
+    group whose rules were all dropped (empty Disallow, wildcards) or
+    that has no rules at all still governs and means allow-all, exactly
+    as the spec reads it.  Consecutive User-agent lines share one
+    group.  Rules with ``*``/``$`` wildcards or empty Disallow values
+    are dropped (documented limitation)."""
     named: list[tuple[bool, str]] = []
     star: list[tuple[bool, str]] = []
     cur_agents: list[str] = []
@@ -65,6 +70,10 @@ def parse_robots_rules(
                 cur_agents = []
                 in_group_body = False
             cur_agents.append(val.lower())
+            if val.lower() == agent.lower():
+                # group EXISTENCE selects it, independent of whether any
+                # of its rules survive the parse
+                saw_named = True
             continue
         if key not in ("allow", "disallow"):
             continue
@@ -75,12 +84,9 @@ def parse_robots_rules(
             continue
         if key == "disallow" and val == "":
             continue  # empty Disallow = allow-all (no rule)
-        applies_named = agent.lower() in cur_agents
-        applies_star = "*" in cur_agents
-        if applies_named:
-            saw_named = True
+        if agent.lower() in cur_agents:
             named.append((key == "allow", val))
-        elif applies_star:
+        elif "*" in cur_agents:
             star.append((key == "allow", val))
     return named if saw_named else star
 
@@ -112,7 +118,7 @@ def robots_filter(
     if isinstance(robots, rd.Dataset):
         robots = robots.to_pandas()
     rules_by_host = {
-        str(h): parse_robots_rules(str(t), agent=agent)
+        str(h).lower(): parse_robots_rules(str(t), agent=agent)
         for h, t in zip(robots["host"], robots["robots_txt"])
     }
     rules_ref = ray.put(rules_by_host)
@@ -127,7 +133,7 @@ def robots_filter(
         rules = cached_get(rules_ref)
         b = b.reset_index(drop=True)  # positional group indices below
         urls = b[url_col].astype(str)
-        hosts = urls.str.extract(_HOST_RE, expand=False).fillna("")
+        hosts = urls.str.extract(_HOST_RE, expand=False).fillna("").str.lower()
         paths = urls.str.extract(_PATH_RE, expand=False).fillna("/")
         paths = paths.where(paths != "", "/")
         keep = np.ones(len(b), dtype=bool)

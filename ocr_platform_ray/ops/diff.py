@@ -72,8 +72,10 @@ def snapshot_diff(
     ``compare_cols`` define row identity for the changed/unchanged split;
     equality is via the 64-bit vectorized content hash (the exact_dedup
     contract — deterministic across processes, collision odds ~2^-64).
-    Keys must be unique per snapshot (a duplicated key is a data error
-    this op surfaces with a ValueError inside the join task)."""
+    Keys must be unique per snapshot; duplicate detection is
+    BEST-EFFORT (per classify batch — a bucket's join output can be
+    re-batched, so duplicates straddling a batch boundary emit multiple
+    diff rows for that key instead of raising)."""
     if isinstance(compare_cols, str):
         compare_cols = [compare_cols]
     o = _hash_projection(old, key_col, compare_cols, "__h_old")

@@ -33,6 +33,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from ..functions.textscan import flat_finditer
 from .dedup import dup_clusters_distributed
 from .relational import auto_group_agg
 
@@ -167,29 +168,22 @@ def pagerank(
 
 _HREF_DQ = re.compile(r'href\s*=\s*"([^"]*)"', re.IGNORECASE)
 _HREF_SQ = re.compile(r"href\s*=\s*'([^']*)'", re.IGNORECASE)
-_SCHEME_HOST = re.compile(r"^[a-z]+://([^/]+)", re.IGNORECASE)
-_PROTO_REL_HOST = re.compile(r"^//([^/]+)")
+_SCHEME_HOST = re.compile(r"^[a-z]+://([^/:?#]+)", re.IGNORECASE)
+_PROTO_REL_HOST = re.compile(r"^//([^/:?#]+)")
 # a closing " and ' before the row separator: an unbalanced quote in one
 # page's html can never extend a match across the row boundary
 _ROW_SEP = "\"'\x00\"'"
 
 
 def _flat_findall(rx: "re.Pattern", htmls: pd.Series) -> tuple[np.ndarray, list[str]]:
-    """ONE compiled-regex pass over the batch's concatenated html (the
-    _shingle_hashes_batch rule — no per-row re loop): returns (row index
-    per match, matched group values)."""
-    parts = htmls.tolist()
-    flat = _ROW_SEP.join(parts)
-    starts = np.zeros(len(parts), dtype=np.int64)
-    if len(parts) > 1:
-        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
-        starts[1:] = np.cumsum(lens[:-1] + len(_ROW_SEP))
+    """ONE compiled-regex pass over the batch's concatenated html via the
+    shared flat scan (``functions/textscan`` — same kernel as the card
+    redactor): returns (row index per match, matched group values)."""
     rows, vals = [], []
-    for m in rx.finditer(flat):
-        rows.append(m.start())
+    for row, m, _ in flat_finditer(rx, htmls.tolist(), _ROW_SEP):
+        rows.append(row)
         vals.append(m.group(1))
-    row_idx = np.searchsorted(starts, np.asarray(rows, dtype=np.int64), side="right") - 1
-    return row_idx, vals
+    return np.asarray(rows, dtype=np.int64), vals
 
 
 def extract_host_links(

@@ -13,11 +13,13 @@ One increment = one crawl segment's ``.warc.gz`` files:
       -> per-ingest parquet partition under the corpus root
 
 Idempotence contract: an increment whose dedup marker is committed AND
-whose corpus partition exists is a NO-OP (safe rerun after a crash at
-any point: the dedup state commit is atomic, and the corpus partition
-is rewritten from the committed replay if the crash hit between commit
-and write).  Each increment's output lives in its own directory
-(``ingest=<id>/``), so failed runs never corrupt earlier increments and
+whose corpus partition directory exists is a NO-OP.  The partition is
+published by ONE atomic directory rename (fragments write to
+``ingest=<id>.tmp`` first), so a crash at ANY point leaves either no
+partition (the rerun rewrites it from the committed dedup replay,
+without re-extraction) or a complete one — a partially-written
+partition can never be observed.  Each increment's output lives in its
+own directory, so failed runs never corrupt earlier increments and
 ``read_corpus`` is a plain recursive parquet read.
 """
 
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import pyarrow as pa
 import ray.data as rd
@@ -61,8 +64,12 @@ def ingest_crawl_increment(
     vs the persisted band-bucket state)."""
     out_dir = _ingest_out_dir(corpus_dir, ingest_id)
     already = ingest_id in committed_ingests(state_dir)
-    if already and glob.glob(os.path.join(out_dir, "*.parquet")):
-        n = rd.read_parquet(out_dir).count()
+    # the partition directory is published by ONE atomic rename below,
+    # so its existence means the partition is COMPLETE — a fragment-count
+    # check would wrongly accept a partially-written directory
+    if already and os.path.isdir(out_dir):
+        files = glob.glob(os.path.join(out_dir, "*.parquet"))
+        n = rd.read_parquet(files).count() if files else 0
         return {
             "ingest_id": ingest_id,
             "n_docs": None,
@@ -95,9 +102,10 @@ def ingest_crawl_increment(
             ingest_id=ingest_id, threshold=minhash_threshold,
         )
 
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in glob.glob(os.path.join(out_dir, "*.parquet")):
-        os.unlink(stale)  # partial write from a crashed prior attempt
+    tmp_dir = out_dir + ".tmp"
+    for stale in (tmp_dir, out_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)  # partial write from a crashed attempt
 
     def enforce_schema(b) -> "pa.Table":
         # pin every fragment to the declared doc schema: a block whose
@@ -124,7 +132,11 @@ def ingest_crawl_increment(
     survivors = survivors.map_batches(
         enforce_schema, batch_format="pandas"
     ).materialize()
-    survivors.write_parquet(out_dir)
+    os.makedirs(tmp_dir, exist_ok=True)  # zero-survivor increments too
+    survivors.write_parquet(tmp_dir)
+    # atomic publish: a SIGKILL during write_parquet leaves only the tmp
+    # dir, which the next run clears — out_dir can never be partial
+    os.rename(tmp_dir, out_dir)
     return {
         "ingest_id": ingest_id,
         "n_docs": n_docs,

@@ -4141,6 +4141,10 @@ def q_tpch_q19_disjunctive(sf_dir: str) -> pd.DataFrame:
     joined = broadcast_hash_join(li, part, "l_partkey", how="inner")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # schema-less empty block (the union-schema hazard) must short-
+        # circuit BEFORE any column access
+        if len(b) == 0 or "rev_c" not in b.columns:
+            return pd.DataFrame({"rev_c": [0]})
         keep = np.zeros(len(b), dtype=bool)
         for brand, _, _, qlo, qhi in branches:
             keep |= (
@@ -4148,8 +4152,6 @@ def q_tpch_q19_disjunctive(sf_dir: str) -> pd.DataFrame:
                 & (b["l_quantity"] >= qlo)
                 & (b["l_quantity"] <= qhi)
             ).to_numpy()
-        if len(b) == 0 or "rev_c" not in b.columns:
-            return pd.DataFrame({"rev_c": [0]})
         return pd.DataFrame({"rev_c": [int(b.loc[keep, "rev_c"].sum())]})
 
     parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
@@ -4288,8 +4290,9 @@ def q_host_links(sf_dir: str) -> pd.DataFrame:
 def q_nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
     """UAX #15 canonical normalization (functions/unicode.py): documents
     text augmented with decomposed sequences (e + combining acute, u +
-    combining diaeresis) and NFC-normalized via the vectorized Arrow
-    kernel.  FULL SQL oracle: DuckDB nfc_normalize over the identical
+    combining diaeresis) and NFC-normalized via unicodedata (the
+    Arrow utf8_normalize kernel is deliberately unused — it fails to
+    recompose on the pinned pyarrow; see functions/unicode.py).  FULL SQL oracle: DuckDB nfc_normalize over the identical
     augmentation (both engines implement UAX #15 — composed output and
     codepoint lengths must agree exactly)."""
     from ..functions.unicode import unicode_normalize
@@ -4321,7 +4324,6 @@ def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     route on the same content (WARC carries no prior-text column, so both
     routes run with ``text`` cleared)."""
     import hashlib
-    import os as _os
     import tempfile
 
     import pyarrow as pa
@@ -4334,11 +4336,17 @@ def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     t = t.set_column(
         t.schema.get_field_index("text"), "text", pa.array([""] * len(t), pa.string())
     )
-    out_dir = _os.path.join(tempfile.gettempdir(), "ocr_ray_warc_fixture_40")
-    paths = write_pages_warc(out_dir, t, urls_per_shard=8)
+    # per-run private tempdir: a fixed shared path would let two
+    # concurrent runs race on the same .tmp files before os.replace
+    out_dir = tempfile.mkdtemp(prefix="ocr_ray_warc_fixture_")
+    try:
+        paths = write_pages_warc(out_dir, t, urls_per_shard=8)
+        direct = extraction_pipeline(rd.from_arrow(t)).to_pandas()
+        via_warc = extraction_pipeline(read_warc(paths)).to_pandas()
+    finally:
+        import shutil as _shutil
 
-    direct = extraction_pipeline(rd.from_arrow(t)).to_pandas()
-    via_warc = extraction_pipeline(read_warc(paths)).to_pandas()
+        _shutil.rmtree(out_dir, ignore_errors=True)
     direct = direct.sort_values("url").reset_index(drop=True)
     via_warc = via_warc.sort_values("url").reset_index(drop=True)
     assert list(direct["url"]) == list(via_warc["url"]), "WARC route lost/added urls"
@@ -5759,12 +5767,12 @@ ORACLE_SQL = {
         "SELECT url, unnest(regexp_extract_all(html, 'href\\s*=\\s*\"([^\"]*)\"', 1)) AS l FROM pages "
         "UNION ALL "
         "SELECT url, unnest(regexp_extract_all(html, 'href\\s*=\\s*''([^'']*)''', 1)) AS l FROM pages), "
-        "cls AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host, "
+        "cls AS (SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS src_host, "
         "CASE WHEN lower(l) LIKE 'http://%' OR lower(l) LIKE 'https://%' "
-        "THEN regexp_extract(l, '^[a-z]+://([^/]+)', 1) "
-        "WHEN l LIKE '//%' THEN regexp_extract(l, '^//([^/]+)', 1) "
+        "THEN regexp_extract(l, '^[a-z]+://([^/:?#]+)', 1) "
+        "WHEN l LIKE '//%' THEN regexp_extract(l, '^//([^/:?#]+)', 1) "
         "WHEN lower(l) LIKE '#%' OR lower(l) LIKE 'mailto:%' OR lower(l) LIKE 'javascript:%' THEN NULL "
-        "ELSE regexp_extract(url, '^[a-z]+://([^/]+)', 1) END AS dst_host FROM links) "
+        "ELSE regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) END AS dst_host FROM links) "
         "SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
         "WHERE dst_host IS NOT NULL AND dst_host <> '' GROUP BY src_host, dst_host"
     ),

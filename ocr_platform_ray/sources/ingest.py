@@ -171,6 +171,44 @@ def partition_pages_by_url(
     return sorted(manifest["path"])
 
 
+
+
+def _footer_stats_record(meta, columns: list[str]) -> dict:
+    """One file's footer scan (pure function of the metadata object —
+    unit-testable without parquet fixtures): {"n_rows", "ok", per-column
+    min/max/nulls}.  ok=False on any stats gap: missing column,
+    possibly-truncated string stats, absent min/max, or a writer that
+    omitted null counts (legal per the spec) — the caller's contract is
+    exact-or-None."""
+    idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+    rec: dict = {"n_rows": meta.num_rows, "ok": True}
+    for c in columns:
+        if c not in idx:
+            rec["ok"] = False
+            break
+        phys = meta.schema.column(idx[c]).physical_type
+        if phys == "BYTE_ARRAY" and "DECIMAL" not in str(
+            meta.schema.column(idx[c]).logical_type
+        ):
+            rec["ok"] = False  # possibly-truncated string stats
+            break
+        lo = hi = None
+        nulls = 0
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max or st.null_count is None:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+            nulls += st.null_count
+        if lo is None:
+            rec["ok"] = False
+            break
+        rec[f"{c}_min"], rec[f"{c}_max"], rec[f"{c}_nulls"] = lo, hi, nulls
+    return rec
+
+
 def parquet_stats_agg(
     path: str | list[str], columns: list[str]
 ) -> pd.DataFrame | None:
@@ -200,37 +238,12 @@ def parquet_stats_agg(
         raise ValueError("parquet_stats_agg: no input files")
 
     def footer_partial(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for p in b["path"]:
-            meta = pq_.ParquetFile(p).metadata
-            idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
-            rec: dict = {"n_rows": meta.num_rows, "ok": True}
-            for c in columns:
-                if c not in idx:
-                    rec["ok"] = False
-                    break
-                phys = meta.schema.column(idx[c]).physical_type
-                if phys == "BYTE_ARRAY" and "DECIMAL" not in str(
-                    meta.schema.column(idx[c]).logical_type
-                ):
-                    rec["ok"] = False  # possibly-truncated string stats
-                    break
-                lo = hi = None
-                nulls = 0
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx[c]).statistics
-                    if st is None or not st.has_min_max:
-                        lo = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                    nulls += st.null_count or 0
-                if lo is None:
-                    rec["ok"] = False
-                    break
-                rec[f"{c}_min"], rec[f"{c}_max"], rec[f"{c}_nulls"] = lo, hi, nulls
-            rows.append(rec)
-        return pd.DataFrame(rows)
+        return pd.DataFrame(
+            [
+                _footer_stats_record(pq_.ParquetFile(p).metadata, columns)
+                for p in b["path"]
+            ]
+        )
 
     parts = (
         rd_.from_items([{"path": p} for p in paths])

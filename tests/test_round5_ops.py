@@ -894,6 +894,7 @@ class TestCrawlIngestPipeline:
     def test_crash_between_commit_and_write_recovers(self, tmp_path):
         import glob
         import os
+        import shutil
 
         from ocr_platform_ray.pipelines.crawl import ingest_crawl_increment
 
@@ -901,12 +902,21 @@ class TestCrawlIngestPipeline:
         state = str(tmp_path / "s")
         day1 = self._warc_shards(tmp_path, "w1", range(0, 8))
         r1 = ingest_crawl_increment(day1, corpus, state, ingest_id="d1")
-        # simulate the crash window: dedup committed, corpus partition gone
-        for f in glob.glob(os.path.join(r1["out_dir"], "*.parquet")):
-            os.unlink(f)
+        # crash window A: dedup committed, partition rename never ran —
+        # only a partial tmp dir exists
+        shutil.rmtree(r1["out_dir"])
+        partial = r1["out_dir"] + ".tmp"
+        os.makedirs(partial)
+        open(os.path.join(partial, "junk.parquet"), "wb").close()
         r1b = ingest_crawl_increment(day1, corpus, state, ingest_id="d1")
         assert r1b["replayed"] and r1b["n_survivors"] == r1["n_survivors"]
+        assert os.path.isdir(r1["out_dir"]) and not os.path.isdir(partial)
         assert glob.glob(os.path.join(r1["out_dir"], "*.parquet"))
+        # crash window B impossible by construction: the partition dir
+        # appears via ONE rename, so existing == complete — the rerun's
+        # early return reads it
+        r1c = ingest_crawl_increment(day1, corpus, state, ingest_id="d1")
+        assert r1c["replayed"] and r1c["n_survivors"] == r1["n_survivors"]
 
     def test_bad_dedup_mode(self, tmp_path):
         from ocr_platform_ray.pipelines.crawl import ingest_crawl_increment
@@ -917,3 +927,97 @@ class TestCrawlIngestPipeline:
                 day1, str(tmp_path / "c"), str(tmp_path / "s"),
                 ingest_id="x", dedup="nope",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS5b:
+    def test_robots_named_group_with_dropped_rules_still_governs(self):
+        from ocr_platform_ray.functions.robots import parse_robots_rules
+
+        txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+        # mybot's own group governs (empty Disallow = allow all) — no
+        # fallback to the * group
+        assert parse_robots_rules(txt, agent="mybot") == []
+        assert parse_robots_rules(txt, agent="other") == [(False, "/")]
+        # a named group with only wildcard rules also still governs
+        txt2 = "User-agent: mybot\nDisallow: /*.pdf$\n\nUser-agent: *\nDisallow: /\n"
+        assert parse_robots_rules(txt2, agent="mybot") == []
+
+    def test_robots_host_with_port_and_case(self):
+        from ocr_platform_ray.functions.robots import robots_filter
+
+        pages = pd.DataFrame(
+            {
+                "url": [
+                    "https://gov.example:443/private/x",
+                    "HTTPS://GOV.EXAMPLE/private/y",
+                ]
+            }
+        )
+        robots = pd.DataFrame(
+            {"host": ["gov.example"], "robots_txt": ["User-agent: *\nDisallow: /private/\n"]}
+        )
+        kept = robots_filter(rd.from_pandas(pages), robots).to_pandas()
+        assert len(kept) == 0  # port / case variants still hit the rules
+
+    def test_card_substring_of_longer_run_not_corrupted(self):
+        from ocr_platform_ray.functions.pii import redact_cards_batch
+
+        df = pd.DataFrame(
+            {"text": ["Card: 4111 1111 1111 1111. Ref 94111 1111 1111 11115 end"]}
+        )
+        out = redact_cards_batch(df)
+        assert out["redacted_text"][0] == (
+            "Card: <CARD>. Ref 94111 1111 1111 11115 end"
+        )
+        assert out["n_cards"][0] == 1
+
+    def test_stats_missing_null_count_refuses(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.sources.ingest import _footer_stats_record
+
+        pq.write_table(pa.table({"i": [1, 2]}), str(tmp_path / "a.parquet"))
+        real_meta = pq.ParquetFile(str(tmp_path / "a.parquet")).metadata
+
+        class FakeStats:
+            has_min_max = True
+            min, max = 1, 2
+            null_count = None  # writer omitted null counts (legal)
+
+        class FakeCol:
+            statistics = FakeStats()
+
+        class FakeRG:
+            def column(self, i):
+                return FakeCol()
+
+        class FakeMeta:
+            num_rows = 2
+            num_row_groups = 1
+            num_columns = real_meta.num_columns
+            schema = real_meta.schema
+
+            def row_group(self, i):
+                return FakeRG()
+
+        rec = _footer_stats_record(FakeMeta(), ["i"])
+        assert rec["ok"] is False  # exact-or-None: no silent nulls=0
+
+        class GoodStats(FakeStats):
+            null_count = 1
+
+        class GoodCol:
+            statistics = GoodStats()
+
+        class GoodRG:
+            def column(self, i):
+                return GoodCol()
+
+        class GoodMeta(FakeMeta):
+            def row_group(self, i):
+                return GoodRG()
+
+        rec = _footer_stats_record(GoodMeta(), ["i"])
+        assert rec["ok"] and rec["i_nulls"] == 1
