@@ -129,6 +129,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     cs.add_argument("--state-dir", required=True)
 
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="process one crawl increment: WARC files -> extraction -> "
+        "incremental dedup vs persisted state -> corpus partition "
+        "(idempotent; crash-safe atomic publish)",
+    )
+    iw.add_argument("--warc", required=True, help="WARC file or directory")
+    iw.add_argument("--corpus", required=True)
+    iw.add_argument("--state", required=True)
+    iw.add_argument("--ingest-id", required=True)
+    iw.add_argument("--dedup", choices=["exact", "minhash"], default="exact")
+
     cp = sub.add_parser(
         "compact",
         help="bin-pack a directory's small parquet fragments into "
@@ -281,6 +293,14 @@ def main(argv: list[str] | None = None) -> int:
                 for f in _g.glob(f"{args.output}/*.parquet")
             )
             print(json.dumps({"pages": n, "output": args.output, "scale": args.scale}))
+        elif args.cmd == "ingest-warc":
+            from .pipelines.crawl import ingest_crawl_increment
+
+            res = ingest_crawl_increment(
+                args.warc, args.corpus, args.state,
+                ingest_id=args.ingest_id, dedup=args.dedup,
+            )
+            print(json.dumps(res))
         elif args.cmd == "compact":
             from .ops.layout import compact_parquet_dir
 
