@@ -183,6 +183,13 @@ def run_once() -> dict:
         "weighted_doc_sample",
         "tpch_q18_large_orders",
         "clustered_merge_join_revenue",
+        # round-4 session-5 additions
+        "crawl_snapshot_diff",
+        "host_links",
+        "script_ratio_docs",
+        "tpch_q7_volume",
+        "robots_filtered_urls",
+        "card_pii_stats",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "--gopher", action="store_true", help="Gopher rule bundle before dedup"
     )
     cu.add_argument(
+        "--fix-text", action="store_true",
+        help="Unicode repair after extraction (mojibake + NFC)",
+    )
+    cu.add_argument(
+        "--c4", action="store_true", help="C4 line+page cleaning rules"
+    )
+    cu.add_argument(
         "--scale-routes",
         action="store_true",
         help="force every dedup stage onto its fully distributed route",
@@ -248,6 +255,8 @@ def main(argv: list[str] | None = None) -> int:
                 pages_in,
                 partitioned_input=args.partitioned,
                 min_tokens=args.min_tokens,
+                fix_text=args.fix_text,
+                c4=args.c4,
                 gopher=args.gopher,
                 near_dup_threshold=args.near_dup_threshold,
                 strip_boilerplate=args.strip_boilerplate,

@@ -35,7 +35,8 @@ import codecs
 import re
 import unicodedata
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _FORMS = ("NFC", "NFKC", "NFD", "NFKD")
@@ -62,15 +63,23 @@ def unicode_normalize(
         raise ValueError(f"form must be one of {_FORMS}, got {form!r}")
     target = out_col or col
 
-    def norm(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out[target] = [
-            v if unicodedata.is_normalized(form, v) else unicodedata.normalize(form, v)
-            for v in b[col].astype(str)
+    def norm(t: pa.Table) -> pa.Table:
+        # pyarrow-native: only the string column is touched — a pandas
+        # round-trip would also convert unrelated list/tensor columns
+        # (null-bearing page_numbers blocks fail that conversion)
+        vals = t.column(col).to_pylist()
+        out = [
+            v
+            if v is None or unicodedata.is_normalized(form, v)
+            else unicodedata.normalize(form, v)
+            for v in vals
         ]
-        return out
+        arr = pa.array(out, pa.string())
+        if target in t.column_names:
+            return t.set_column(t.column_names.index(target), target, arr)
+        return t.append_column(target, arr)
 
-    return ds.map_batches(norm, batch_format="pandas")
+    return ds.map_batches(norm, batch_format="pyarrow")
 
 
 def _cp1252_latin1_fallback(exc: UnicodeError):
@@ -123,16 +132,38 @@ def fix_mojibake(
     ``flag_col``, a boolean column records which rows were modified."""
     target = out_col or col
 
-    def fix(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        s = b[col].astype(str)
-        hit = s.str.contains(MOJIBAKE_RE)
-        vals = s.copy()
-        if hit.any():
-            vals.loc[hit] = [_repair_one(v) for v in s.loc[hit]]
-        out[target] = vals
+    def fix(t: pa.Table) -> pa.Table:
+        src = t.column(col)
+        # ONE vectorized RE2 detection kernel; clean batches short-circuit
+        hits = pc.fill_null(
+            pc.match_substring_regex(src, pattern=MOJIBAKE_RE.pattern), False
+        ).to_pylist()
+        if not any(hits):
+            out = t
+            if target not in t.column_names:
+                out = out.append_column(target, src)
+            elif target != col:
+                out = out.set_column(out.column_names.index(target), target, src)
+            if flag_col is not None:
+                out = out.append_column(
+                    flag_col, pa.array([False] * len(t), pa.bool_())
+                )
+            return out
+        vals = src.to_pylist()
+        changed = [False] * len(vals)
+        for i, (v, h) in enumerate(zip(vals, hits)):
+            if h and v is not None:
+                r = _repair_one(v)
+                if r != v:
+                    vals[i] = r
+                    changed[i] = True
+        arr = pa.array(vals, pa.string())
+        if target in t.column_names:
+            out = t.set_column(t.column_names.index(target), target, arr)
+        else:
+            out = t.append_column(target, arr)
         if flag_col is not None:
-            out[flag_col] = (vals != s).to_numpy()
+            out = out.append_column(flag_col, pa.array(changed, pa.bool_()))
         return out
 
-    return ds.map_batches(fix, batch_format="pandas")
+    return ds.map_batches(fix, batch_format="pyarrow")

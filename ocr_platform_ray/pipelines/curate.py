@@ -25,6 +25,8 @@ from ..ops.dedup import (
     minhash_lsh_duplicates,
     strip_repeated_paragraphs,
 )
+from ..functions.unicode import fix_mojibake, unicode_normalize
+from ..ops.c4 import c4_clean
 from ..ops.spans import strip_duplicated_spans
 from ..state.manifest import checkpoint_dataset, checkpoint_lookup
 from ..ops.textstats import (
@@ -76,6 +78,9 @@ def curate_corpus(
     partitioned_input: bool = False,
     near_dup_threshold: float = 0.9,
     min_tokens: int = 10,
+    fix_text: bool = False,
+    c4: bool = False,
+    c4_blocklist: tuple = (),
     gopher: bool = False,
     gopher_thresholds: dict | None = None,
     strip_boilerplate: bool = False,
@@ -89,6 +94,17 @@ def curate_corpus(
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
     split, n_dups (exact-dup group size).
+
+    ``fix_text=True`` inserts the Unicode repair pass straight after
+    extraction (functions/unicode.py: mojibake encode-roundtrip repair,
+    then NFC) — text already clean and NFC round-trips byte-identically
+    (tested), so the stage is a no-op on healthy corpora.
+
+    ``c4=True`` applies the published C4 cleaning rules (Raffel 2020
+    §2.2, ops/c4.py) after the basic quality gate: failing pages drop,
+    surviving documents' ``extracted_text`` is REBUILT from the
+    retained lines (``total_words`` keeps the pre-clean extraction
+    count — lineage into the extractor, not the cleaned text).
 
     ``gopher=True`` inserts the published Gopher rule bundle
     (ops.textstats.gopher_quality_gate, Rae 2021 A1.1) after the basic
@@ -133,7 +149,47 @@ def curate_corpus(
     corpus version — stage params are recorded and checked, input
     identity is the caller's contract (same as run_with_manifest)."""
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
+    if fix_text:
+        docs = fix_mojibake(docs, "extracted_text")
+        docs = unicode_normalize(docs, "extracted_text", form="NFC")
     docs = quality_gate(docs, min_tokens=min_tokens)
+    if c4:
+        docs = c4_clean(
+            docs, "extracted_text", blocklist=c4_blocklist, filter_rows=True
+        )
+
+        def c4_swap(t) -> pd.DataFrame:
+            # emit a PANDAS block (the chain's block format): Ray's
+            # tensor-extension arrow->pandas conversion fails on the
+            # variable-length page_numbers/page_offsets columns, so the
+            # list columns are rebuilt as object-ndarray cells by hand
+            # (the thaw_list_columns cell convention) and everything
+            # downstream (exact_dedup etc.) sees the same pandas shape
+            # the default chain produces
+            import numpy as _np
+            import pyarrow as _pa
+
+            drop = {"c4_text", "c4_n_lines_kept", "c4_n_sentences", "c4_pass"}
+            cols: dict = {}
+            for f in t.schema:
+                if f.name in drop:
+                    continue
+                col = t.column(f.name)
+                if f.name == "extracted_text":
+                    cols[f.name] = t.column("c4_text").to_pandas()
+                elif _pa.types.is_list(f.type) or "Tensor" in type(f.type).__name__:
+                    cols[f.name] = pd.Series(
+                        [
+                            None if v is None else _np.asarray(v)
+                            for v in col.to_pylist()
+                        ],
+                        dtype=object,
+                    )
+                else:
+                    cols[f.name] = col.to_pandas()
+            return pd.DataFrame(cols)
+
+        docs = docs.map_batches(c4_swap, batch_format="pyarrow")
     if gopher:
         # the published Gopher rule bundle as an extra document gate
         # (RefinedWeb ordering: rules before dedup).  Signal columns are
@@ -158,6 +214,11 @@ def curate_corpus(
     # With checkpoint_dir the pin is a durable parquet commit instead.
     stage_params = {
         "min_tokens": min_tokens,
+        "fix_text": fix_text,
+        "c4": c4,
+        # list, not tuple: checkpoint params round-trip through JSON and
+        # a tuple would never equal its stored list form (identity break)
+        "c4_blocklist": list(c4_blocklist),
         "gopher": gopher,
         "gopher_thresholds": gopher_thresholds,
         "strip_boilerplate": strip_boilerplate,

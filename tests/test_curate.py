@@ -189,3 +189,105 @@ class TestCurateGopherStage:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(same, base)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateTextStages:
+    def test_fix_text_noop_on_clean_corpus(self):
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(60))
+        base = (
+            curate_corpus(pages).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        fixed = (
+            curate_corpus(pages, fix_text=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        # corpus text is already valid NFC with no mojibake signatures ->
+        # the repair stage is a byte-identical no-op
+        pd.testing.assert_frame_equal(fixed, base)
+
+    def test_fix_text_repairs_planted_mojibake(self):
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        # mojibake whose bytes SURVIVE extraction (no control chars —
+        # the extractor strips C1 controls, which would break the
+        # encode-roundtrip and correctly leave the row untouched)
+        bad = "the naÃ¯ve cafÃ© review â€“ first impressions matter here " * 5
+        html = f"<html><body><p>{bad}</p></body></html>".encode("utf-8")
+        pages = rd.from_items(
+            [
+                {
+                    "url": "https://m.example/1",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": html,
+                    "text": "",
+                    "lang": "en",
+                }
+            ]
+        )
+        out = curate_corpus(pages, fix_text=True).to_pandas()
+        assert len(out) == 1
+        t = out["extracted_text"][0]
+        assert "naïve café review – first" in t
+        assert "Ã" not in t and "â€" not in t
+
+    def _sentence_pages(self, n=40):
+        import random
+
+        vocab = (
+            "archive ledger harbor meadow copper signal lantern orchard "
+            "timber quarry compass saddle anvil barley cedar falcon granite "
+            "hollow ivory juniper kestrel marble nectar obsidian prairie"
+        ).split()
+        rows = []
+        for i in range(n):
+            rng = random.Random(1000 + i)
+            sents = [
+                " ".join(rng.choice(vocab) for _ in range(12)).capitalize() + "."
+                for _ in range(5)
+            ]
+            if i % 10 == 0:  # page rule: a '{' inside a KEPT line
+                sents.append("A curly { brace hides in this long sentence today.")
+            html = "<html><body>" + "".join(
+                f"<p>{x}</p>" for x in sents
+            ) + "</body></html>"
+            rows.append(
+                {
+                    "url": f"https://c4.example/{i:04d}",
+                    "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    "html": html.encode("utf-8"),
+                    "text": "",
+                    "lang": "en",
+                }
+            )
+        return rd.from_items(rows)
+
+    def test_c4_stage_filters_and_rewrites(self):
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = self._sentence_pages(40)
+        base = (
+            curate_corpus(pages).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        cleaned = (
+            curate_corpus(pages, c4=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(cleaned.columns) == list(base.columns)
+        # exactly the brace pages drop (page rule); the rest survive
+        want_dropped = {f"https://c4.example/{i:04d}" for i in range(0, 40, 10)}
+        assert set(base["url"]) - set(cleaned["url"]) == want_dropped
+        assert len(cleaned) == len(base) - len(want_dropped)
+        assert not cleaned["extracted_text"].str.contains("{", regex=False).any()
+        # line rule: every retained line ends in terminal punctuation
+        for t in cleaned["extracted_text"].head(10):
+            for line in t.split("\n"):
+                if line:
+                    assert line.rstrip()[-1] in ".!?\"'"
