@@ -102,7 +102,7 @@ from .sketch import (  # noqa: F401
     sketch_quantile,
 )
 from .search import bm25_topk  # noqa: F401
-from .cluster import kmeans_fit, semdedup  # noqa: F401
+from .cluster import kmeans_fit, pca_fit, pca_transform, semdedup  # noqa: F401
 from .profile import (  # noqa: F401
     dataset_profile,
     grouped_corr,

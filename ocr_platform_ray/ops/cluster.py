@@ -252,3 +252,104 @@ def semdedup(
         .groupby("__shard")
         .map_groups(per_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (embedding dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def pca_fit(
+    ds: rd.Dataset,
+    *,
+    emb_col: str = "embedding",
+    k: int = 2,
+) -> dict:
+    """Principal components of an embedding column — the dimensionality
+    -reduction step before ANN/clustering when raw dims are wasteful
+    (e.g. 768 -> 64 before IVF; the classic covariance-eigen route).
+
+    Scale shape: ONE map pass emits fixed-size (n, Σx, XᵀX) moment
+    partials per batch (the grouped_moments pattern — d + d² floats per
+    block regardless of rows); the driver reduce and the d×d eigen
+    decomposition are dimension-sized, never corpus-sized.  Float sums
+    accumulate in block order, so components are reproducible to ~1e-12
+    but not bit-stable across block structures (the pagerank float
+    rule; tests compare at rtol).  Deterministic sign: each component's
+    largest-|entry| coordinate is made positive.
+
+    Returns {"mean": (d,), "components": (k, d) row-orthonormal,
+    "explained_variance": (k,), "n": int}."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype=object),
+                                 "xtx": pd.Series(dtype=object)})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b[emb_col]])
+        return pd.DataFrame(
+            {
+                "n": [len(m)],
+                "s": [m.sum(axis=0).tobytes()],
+                "xtx": [(m.T @ m).ravel().tobytes()],
+            }
+        )
+
+    parts = (
+        ds.select_columns([emb_col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0 or int(parts["n"].sum()) < 2:
+        raise ValueError("pca_fit: need at least 2 vectors")
+    n = int(parts["n"].sum())
+    s = None
+    xtx = None
+    for sb, xb in zip(parts["s"], parts["xtx"]):
+        sv = np.frombuffer(sb, dtype=np.float64)
+        xv = np.frombuffer(xb, dtype=np.float64)
+        s = sv.copy() if s is None else s + sv
+        xtx = xv.copy() if xtx is None else xtx + xv
+    d = len(s)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    mean = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|entry| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": np.maximum(evals[order], 0.0),
+        "n": n,
+    }
+
+
+def pca_transform(
+    ds: rd.Dataset,
+    model: dict,
+    *,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Project the embedding column onto the fitted components — MAP-ONLY
+    (model broadcast once via ray.put, one matmul per batch)."""
+    ref = ray.put((np.asarray(model["mean"]), np.asarray(model["components"])))
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        if len(b) == 0:
+            out[out_col] = pd.Series(dtype=object)
+            return out
+        mean, comps = cached_get(ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b[emb_col]])
+        z = (m - mean) @ comps.T
+        out[out_col] = list(z)
+        return out
+
+    return ds.map_batches(proj, batch_format="pandas")

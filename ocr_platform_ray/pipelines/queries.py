@@ -3804,6 +3804,33 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_embedding_pca_top2(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA over the embeddings table (ops/cluster.py::
+    pca_fit — ONE fixed-size moment-partial pass, dimension-sized driver
+    eigen) projected to the top-2 components.  Rows-only (float eigen —
+    no SQL analogue); in-query asserts pin orthonormality, variance
+    ordering, and projected-variance == explained-variance; numpy
+    equivalence pinned by TestPca."""
+    from ..ops.cluster import pca_fit, pca_transform
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(emb, k=2)
+    out = pca_transform(emb, model).to_pandas()
+    Z = np.stack(out["pca"].to_numpy())
+    ev = model["explained_variance"]
+    assert ev[0] >= ev[1] >= 0.0
+    assert np.allclose(Z.var(axis=0, ddof=1), ev, rtol=1e-6)
+    C = model["components"]
+    assert np.allclose(C @ C.T, np.eye(2), atol=1e-8)
+    return pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype("int64"),
+            "p1": np.round(Z[:, 0], 6),
+            "p2": np.round(Z[:, 1], 6),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 def q_crawl_increments(sf_dir: str) -> pd.DataFrame:
     """Continuous-ingestion composition (pipelines/crawl.py): two WARC
     crawl increments with 50% url overlap flow through read_warc ->
@@ -4585,6 +4612,9 @@ QUERIES = {
     # suppression, uniqueness and replay identity asserted in-query,
     # pinned by TestCrawlIngestPipeline)
     "crawl_increments": q_crawl_increments,
+    # no-oracle (float eigen; orthonormality + variance invariants
+    # asserted in-query, numpy equivalence pinned by TestPca)
+    "embedding_pca_top2": q_embedding_pca_top2,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -1021,3 +1021,77 @@ class TestReviewFixesS5b:
 
         rec = _footer_stats_record(GoodMeta(), ["i"])
         assert rec["ok"] and rec["i_nulls"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPca:
+    def _vecs(self, n=300, d=8, seed=11):
+        rng = np.random.RandomState(seed)
+        # anisotropic cloud: two dominant directions
+        base = rng.randn(n, d) * np.array([5.0, 3.0] + [0.5] * (d - 2))
+        q, _ = np.linalg.qr(rng.randn(d, d))
+        return pd.DataFrame(
+            {"vec_id": np.arange(n, dtype="int64"), "embedding": list(base @ q)}
+        )
+
+    def _numpy_ref(self, X, k):
+        mean = X.mean(axis=0)
+        cov = np.cov(X, rowvar=False, ddof=1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:k]
+        comps = evecs[:, order].T
+        for i in range(len(comps)):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        return mean, comps, evals[order]
+
+    def test_matches_numpy_reference(self):
+        from ocr_platform_ray.ops.cluster import pca_fit
+
+        df = self._vecs()
+        X = np.stack(df["embedding"].to_numpy())
+        model = pca_fit(rd.from_pandas(df).repartition(5), k=3)
+        mean, comps, evals = self._numpy_ref(X, 3)
+        np.testing.assert_allclose(model["mean"], mean, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(model["components"], comps, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(
+            model["explained_variance"], evals, rtol=1e-9
+        )
+        # orthonormal rows, variance descending
+        np.testing.assert_allclose(
+            model["components"] @ model["components"].T, np.eye(3), atol=1e-10
+        )
+        ev = model["explained_variance"]
+        assert (np.diff(ev) <= 1e-12).all()
+
+    def test_block_structure_rtol_and_transform(self):
+        from ocr_platform_ray.ops.cluster import pca_fit, pca_transform
+
+        df = self._vecs(n=200)
+        m1 = pca_fit(rd.from_pandas(df).repartition(1), k=2)
+        m7 = pca_fit(rd.from_pandas(df).repartition(7), k=2)
+        np.testing.assert_allclose(m1["components"], m7["components"], rtol=1e-8)
+        out = (
+            pca_transform(rd.from_pandas(df), m1)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        Z = np.stack(out["pca"].to_numpy())
+        X = np.stack(df["embedding"].to_numpy())
+        want = (X - m1["mean"]) @ m1["components"].T
+        np.testing.assert_allclose(Z, want, rtol=1e-10, atol=1e-12)
+        # projected variance per axis == explained variance
+        np.testing.assert_allclose(
+            Z.var(axis=0, ddof=1), m1["explained_variance"], rtol=1e-9
+        )
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.cluster import pca_fit
+
+        df = self._vecs(n=5, d=4)
+        with pytest.raises(ValueError, match="k must"):
+            pca_fit(rd.from_pandas(df), k=9)
+        with pytest.raises(ValueError, match="at least 2"):
+            pca_fit(rd.from_pandas(df.iloc[:1]), k=1)
