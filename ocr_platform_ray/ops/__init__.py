@@ -141,3 +141,4 @@ from .upsert import (  # noqa: F401
 )
 from .graph import connected_components, pagerank  # noqa: F401
 from .diff import diff_summary, snapshot_diff  # noqa: F401
+from .validate import check_expectations, enforce_expectations  # noqa: F401

@@ -3804,6 +3804,36 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_orders_expectations(sf_dir: str) -> pd.DataFrame:
+    """Data-expectation report (ops/validate.py): six content rules over
+    orders — uniqueness (clean and violated), range, enum membership,
+    regex shape, null-ness — with exact violation counts and the MINIMUM
+    violating value as the deterministic example.  FULL SQL oracle."""
+    from ..ops.validate import check_expectations
+
+    orders = _t(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus", "o_orderdate"],
+    )
+    rules = [
+        {"column": "o_orderkey", "rule": "unique"},
+        {"column": "o_custkey", "rule": "unique"},
+        {"column": "o_custkey", "rule": "in_range", "lo": 0, "hi": 100},
+        {
+            "column": "o_orderpriority",
+            "rule": "in_set",
+            "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"],
+        },
+        {"column": "o_orderstatus", "rule": "matches", "pattern": "[OF]"},
+        {"column": "o_orderdate", "rule": "not_null"},
+    ]
+    out = check_expectations(orders, rules)
+    out.insert(0, "rule_idx", np.arange(1, len(rules) + 1, dtype="int64"))
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out
+
+
 def q_embedding_pca_top2(sf_dir: str) -> pd.DataFrame:
     """Distributed PCA over the embeddings table (ops/cluster.py::
     pca_fit — ONE fixed-size moment-partial pass, dimension-sized driver
@@ -4615,6 +4645,7 @@ QUERIES = {
     # no-oracle (float eigen; orthonormality + variance invariants
     # asserted in-query, numpy equivalence pinned by TestPca)
     "embedding_pca_top2": q_embedding_pca_top2,
+    "orders_expectations": q_orders_expectations,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5769,6 +5800,39 @@ ORACLE_SQL = {
         "AS revenue FROM lineitem "
         "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "orders_expectations": (
+        "SELECT * FROM ("
+        "SELECT 1 AS rule_idx, 'o_orderkey' AS \"column\", 'unique' AS rule, "
+        "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations, "
+        "CAST((SELECT MIN(k) FROM (SELECT o_orderkey AS k FROM orders "
+        "GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS VARCHAR) AS example FROM orders "
+        "UNION ALL "
+        "SELECT 2, 'o_custkey', 'unique', "
+        "CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT), "
+        "CAST((SELECT MIN(k) FROM (SELECT o_custkey AS k FROM orders "
+        "GROUP BY o_custkey HAVING COUNT(*) > 1)) AS VARCHAR) FROM orders "
+        "UNION ALL "
+        "SELECT 3, 'o_custkey', 'in_range', "
+        "CAST(COUNT(*) FILTER (o_custkey < 0 OR o_custkey > 100) AS BIGINT), "
+        "CAST(MIN(CASE WHEN o_custkey < 0 OR o_custkey > 100 THEN o_custkey END) "
+        "AS VARCHAR) FROM orders "
+        "UNION ALL "
+        "SELECT 4, 'o_orderpriority', 'in_set', "
+        "CAST(COUNT(*) FILTER (o_orderpriority NOT IN "
+        "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED')) AS BIGINT), "
+        "MIN(CASE WHEN o_orderpriority NOT IN "
+        "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED') "
+        "THEN o_orderpriority END) FROM orders "
+        "UNION ALL "
+        "SELECT 5, 'o_orderstatus', 'matches', "
+        "CAST(COUNT(*) FILTER (NOT regexp_full_match(o_orderstatus, '[OF]')) AS BIGINT), "
+        "MIN(CASE WHEN NOT regexp_full_match(o_orderstatus, '[OF]') "
+        "THEN o_orderstatus END) FROM orders "
+        "UNION ALL "
+        "SELECT 6, 'o_orderdate', 'not_null', "
+        "CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT), NULL FROM orders"
+        ") ORDER BY rule_idx"
     ),
     "crawl_snapshot_diff": (
         # the two snapshots are pure functions of the documents table; the

@@ -1698,6 +1698,7 @@ class TestTailQueryOracles:
             "orders_footer_stats",
             "script_ratio_docs",
             "doc_sliding_windows",
+            "orders_expectations",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

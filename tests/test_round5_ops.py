@@ -1095,3 +1095,62 @@ class TestPca:
             pca_fit(rd.from_pandas(df), k=9)
         with pytest.raises(ValueError, match="at least 2"):
             pca_fit(rd.from_pandas(df.iloc[:1]), k=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExpectations:
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "id": [1, 2, 2, 3, 4, 4, 4],
+                "score": [0.5, 1.5, None, -0.2, 0.9, 0.1, 2.0],
+                "code": ["AB", "XY", "A1", None, "CD", "EF", "GH"],
+                "kind": ["a", "b", "a", "c", "a", "z", "b"],
+            }
+        )
+
+    def test_report_matches_hand_truth(self):
+        from ocr_platform_ray.ops.validate import check_expectations
+
+        rules = [
+            {"column": "id", "rule": "unique"},
+            {"column": "score", "rule": "not_null"},
+            {"column": "score", "rule": "in_range", "lo": 0.0, "hi": 1.0},
+            {"column": "code", "rule": "matches", "pattern": "[A-Z]{2}"},
+            {"column": "kind", "rule": "in_set", "values": ["a", "b", "c"]},
+        ]
+        rep = check_expectations(rd.from_pandas(self._df()).repartition(3), rules)
+        got = list(
+            zip(rep["column"], rep["rule"], rep["n_violations"], rep["example"])
+        )
+        assert got == [
+            ("id", "unique", 3, "2"),         # one extra 2, two extra 4s
+            ("score", "not_null", 1, None),
+            ("score", "in_range", 3, "-0.2"),  # -0.2, 1.5, 2.0 -> min
+            ("code", "matches", 1, "A1"),
+            ("kind", "in_set", 1, "z"),
+        ]
+
+    def test_block_independence_and_enforce(self):
+        from ocr_platform_ray.ops.validate import (
+            check_expectations,
+            enforce_expectations,
+        )
+
+        rules = [{"column": "id", "rule": "unique"}]
+        r1 = check_expectations(rd.from_pandas(self._df()).repartition(1), rules)
+        r7 = check_expectations(rd.from_pandas(self._df()).repartition(7), rules)
+        pd.testing.assert_frame_equal(r1, r7)
+        with pytest.raises(ValueError, match="expectations violated"):
+            enforce_expectations(rd.from_pandas(self._df()), rules)
+        clean = pd.DataFrame({"id": [1, 2, 3]})
+        rep = enforce_expectations(rd.from_pandas(clean), rules)
+        assert rep["n_violations"].tolist() == [0]
+
+    def test_unknown_rule_rejected(self):
+        from ocr_platform_ray.ops.validate import check_expectations
+
+        with pytest.raises(ValueError, match="unknown rule"):
+            check_expectations(
+                rd.from_pandas(self._df()), [{"column": "id", "rule": "positive"}]
+            )
