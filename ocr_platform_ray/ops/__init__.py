@@ -121,6 +121,9 @@ from .incremental import (  # noqa: F401
     incremental_minhash_dedup,
 )
 from .layout import (  # noqa: F401
+    bloom_lookup_plan,
+    bloom_pruned_lookup,
+    build_bloom_manifest,
     cluster_write,
     compact_parquet_dir,
     cluster_write_str,

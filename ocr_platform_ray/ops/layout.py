@@ -655,3 +655,107 @@ def compact_parquet_dir(
             for f in g:
                 os.unlink(f)
     return written
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom indexes (equality-predicate pruning)
+# ---------------------------------------------------------------------------
+# The point-lookup sibling of the zone maps above: zone maps prune RANGE
+# predicates on clustered layouts; a per-file Bloom bitmap prunes
+# EQUALITY predicates on ANY layout (the Delta/Iceberg file-skipping
+# index idea, built from the public Bloom construction the span-dedup
+# stage already vendors).  One-sided: a file the bitmap rejects
+# provably lacks the key; accepted files still run the exact filter, so
+# lookups are exact at any false-positive rate.
+
+def build_bloom_manifest(
+    in_dir: str,
+    key_col: str,
+    *,
+    m_bits_per_file: int = 1 << 17,
+) -> pd.DataFrame:
+    """One Bloom bitmap per parquet file over ``key_col`` (keys hashed
+    with the house _sha64 so build and probe agree for any dtype).
+    One Ray task per file reads ONLY the key column; the manifest
+    (file, m_bits, bits) persists as ``bloom_<key_col>.parquet`` next to
+    the data (atomic publish).  Returns the manifest frame."""
+    from .dedup import _sha64
+    from .spans import _bloom_indices
+
+    files = sorted(
+        f for f in os.listdir(in_dir)
+        if f.endswith(".parquet") and not f.startswith(("zonemap", "bloom_"))
+    )
+    if not files:
+        raise ValueError(f"build_bloom_manifest: no parquet files in {in_dir}")
+    n_words = (max(m_bits_per_file, 64) + 63) // 64
+    m_bits = n_words * 64
+
+    def per_file(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fname in b["file"]:
+            keys = pq.read_table(
+                os.path.join(in_dir, fname), columns=[key_col]
+            ).column(key_col).to_pandas()
+            bits = np.zeros(n_words, dtype=np.uint64)
+            gh = _sha64(keys.to_numpy()).view(np.int64)
+            for idx in _bloom_indices(gh, m_bits):
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+            rows.append({"file": fname, "m_bits": m_bits, "bits": bits.tobytes()})
+        return pd.DataFrame(rows)
+
+    manifest = (
+        rd.from_items([{"file": f} for f in files])
+        .map_batches(per_file, batch_size=8, batch_format="pandas")
+        .to_pandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+    out = os.path.join(in_dir, f"bloom_{key_col}.parquet")
+    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False), out + ".tmp")
+    os.replace(out + ".tmp", out)
+    return manifest
+
+
+def bloom_lookup_plan(in_dir: str, key_col: str, keys) -> tuple[list[str], int]:
+    """Driver-side file pruning: (candidate files, total files).  A file
+    is a candidate iff its bitmap accepts ANY probe key."""
+    from .dedup import _sha64
+    from .spans import _bloom_test
+
+    man = pq.read_table(os.path.join(in_dir, f"bloom_{key_col}.parquet")).to_pandas()
+    gh = _sha64(np.asarray(list(keys), dtype=object)).view(np.int64)
+    cands = [
+        fname
+        for fname, raw in zip(man["file"], man["bits"])
+        if bool(_bloom_test(np.frombuffer(raw, dtype=np.uint64), gh).any())
+    ]
+    return cands, len(man)
+
+
+def bloom_pruned_lookup(
+    in_dir: str, key_col: str, keys, *, columns: list[str] | None = None
+) -> rd.Dataset:
+    """Exact point lookup: open ONLY Bloom-accepted files, then the
+    exact ``isin`` filter map-side (false positives resolve here, so the
+    result is exact at any fp rate).  Zero-candidate plans return a
+    typed-empty Dataset from the first file's schema."""
+    cands, _ = bloom_lookup_plan(in_dir, key_col, keys)
+    key_set = set(keys)
+    if not cands:
+        any_file = sorted(
+            f for f in os.listdir(in_dir)
+            if f.endswith(".parquet") and not f.startswith(("zonemap", "bloom_"))
+        )[0]
+        empty = pq.read_table(os.path.join(in_dir, any_file), columns=columns).slice(0, 0)
+        return rd.from_arrow(empty)
+    ds = rd.read_parquet(
+        [os.path.join(in_dir, f) for f in cands], columns=columns
+    )
+    return ds.map_batches(
+        lambda b: b[b[key_col].isin(key_set)], batch_format="pandas"
+    )

@@ -3804,6 +3804,40 @@ def q_embedding_unnest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bloom_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """File-level Bloom point lookups (ops/layout.py): orders laid out
+    hash-partitioned on o_custkey (orderkeys scattered — zone maps
+    can't help an equality probe), a per-file Bloom manifest built on
+    o_orderkey, then five point lookups open ONLY accepted files.  The
+    in-query assert pins real skipping; FULL SQL oracle (WHERE IN) pins
+    exactness at any false-positive rate."""
+    import shutil
+    import tempfile
+
+    from ..ops.layout import bloom_lookup_plan, bloom_pruned_lookup, build_bloom_manifest
+    from ..ops.upsert import write_merge_target
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    keys = [11, 222, 333, 444, 1055]
+    base = tempfile.mkdtemp(prefix="ocr_ray_bloom_q_")
+    try:
+        write_merge_target(orders, base, "o_custkey", n_partitions=16)
+        build_bloom_manifest(base, "o_orderkey")
+        cands, total = bloom_lookup_plan(base, "o_orderkey", keys)
+        assert len(cands) < total, "bloom manifest skipped nothing"
+        out = bloom_pruned_lookup(base, "o_orderkey", keys).to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return (
+        out[["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
 def q_orders_expectations(sf_dir: str) -> pd.DataFrame:
     """Data-expectation report (ops/validate.py): six content rules over
     orders — uniqueness (clean and violated), range, enum membership,
@@ -4646,6 +4680,7 @@ QUERIES = {
     # asserted in-query, numpy equivalence pinned by TestPca)
     "embedding_pca_top2": q_embedding_pca_top2,
     "orders_expectations": q_orders_expectations,
+    "bloom_point_lookup": q_bloom_point_lookup,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -5800,6 +5835,10 @@ ORACLE_SQL = {
         "AS revenue FROM lineitem "
         "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    "bloom_point_lookup": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey IN (11, 222, 333, 444, 1055)"
     ),
     "orders_expectations": (
         "SELECT * FROM ("

@@ -1699,6 +1699,7 @@ class TestTailQueryOracles:
             "script_ratio_docs",
             "doc_sliding_windows",
             "orders_expectations",
+            "bloom_point_lookup",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
