@@ -4458,6 +4458,429 @@ def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q5 / Q8 / Q12 / Q17 / Q21 (session-6 join-pipeline compositions;
+# predicates adapted to the reduced fixture schema — no partsupp table, no
+# l_shipmode/l_commitdate/l_receiptdate — while keeping each query's join
+# topology and aggregate shape)
+# ===========================================================================
+def q_tpch_q5_local_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from lineitems
+    whose SUPPLIER and CUSTOMER share a nation inside one region, orders
+    within a date window.  Dims (nation ⋈ region) resolve driver-side;
+    the fact stream takes one broadcast join (supplier side), one
+    size-aware join (orders side), and the same-nation equality filters
+    map-side — raw lineitems never ride a shuffle un-reduced.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join, broadcast_hash_join
+    from ..sources.ingest import read_dim_pandas
+
+    nat = read_dim_pandas(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_dim_pandas(f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"])
+    nr = nat.merge(
+        reg[reg["r_name"] == "EUROPE"], left_on="n_regionkey", right_on="r_regionkey"
+    )
+    keys = set(nr["n_nationkey"])
+    names = dict(zip(nr["n_nationkey"], nr["n_name"]))
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b[b["s_nationkey"].isin(keys)].rename(
+            columns={"s_suppkey": "l_suppkey"}
+        ),
+        batch_format="pandas",
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_nationkey"].isin(keys)].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)][
+            ["o_orderkey", "o_custkey"]
+        ],
+        batch_format="pandas",
+    )
+    orders = auto_join(orders, cust, "o_custkey", how="inner").map_batches(
+        lambda b: b[["o_orderkey", "c_nationkey"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        )
+        if len(b) and "o_orderkey" in b.columns
+        else pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "c_nationkey": pd.Series([], dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_c": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pandas")
+    li = broadcast_hash_join(li, supp, "l_suppkey", how="inner")
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "s_nationkey" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "rev_c": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b[b["s_nationkey"] == b["c_nationkey"]]  # the local-supplier filter
+        return b.groupby("s_nationkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["s_nationkey"],
+        {"rev_c": ("rev_c", "sum")},
+    )
+    out = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    out["n_name"] = out["s_nationkey"].map(names)
+    out["revenue"] = out["rev_c"].astype("float64") / 100.0
+    return (
+        out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
+
+
+def q_tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 (national market share): for PROMO-type parts sold to
+    customers in one region over two years, the share of revenue supplied
+    by one target nation, per order year.  Part prune + supplier lookup
+    are broadcast joins; the orders side (date filter + region-customer
+    semi) goes through one size-aware join; the share is a ratio of two
+    integer-cents sums so both engines divide identical integers.  Full
+    SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join, broadcast_hash_join
+    from ..sources.ingest import read_dim_pandas
+
+    target_nation = 19
+    nat = read_dim_pandas(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_regionkey"])
+    reg = read_dim_pandas(f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"])
+    keys = set(
+        nat.merge(
+            reg[reg["r_name"] == "AMERICA"],
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )["n_nationkey"]
+    )
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b[b["p_type"] == "PROMO"][["p_partkey"]].rename(
+            columns={"p_partkey": "l_partkey"}
+        ),
+        batch_format="pandas",
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_suppkey": "l_suppkey"}),
+        batch_format="pandas",
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_nationkey"].isin(keys)][["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-12-31")
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] <= hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_year": b["o_orderdate"].dt.year.astype("int64"),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pandas"
+    )
+    orders = auto_join(orders, cust, "o_custkey", how="inner").map_batches(
+        lambda b: b[["o_orderkey", "o_year"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        )
+        if len(b) and "o_orderkey" in b.columns
+        else pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "o_year": pd.Series([], dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_c": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+            }
+        )
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pandas")
+    li = broadcast_hash_join(li, part, "l_partkey", how="inner")
+    li = broadcast_hash_join(li, supp, "l_suppkey", how="inner")
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_year" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series([], dtype="int64"),
+                    "target_c": pd.Series([], dtype="int64"),
+                    "total_c": pd.Series([], dtype="int64"),
+                }
+            )
+        t = pd.DataFrame(
+            {
+                "o_year": b["o_year"],
+                "target_c": np.where(
+                    b["s_nationkey"].to_numpy() == target_nation, b["rev_c"], 0
+                ),
+                "total_c": b["rev_c"],
+            }
+        )
+        return t.groupby("o_year", as_index=False).agg(
+            target_c=("target_c", "sum"), total_c=("total_c", "sum")
+        )
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_year"],
+        {"target_c": ("target_c", "sum"), "total_c": ("total_c", "sum")},
+    )
+    out = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    out["mkt_share"] = _round_half_away(
+        out["target_c"].astype("float64") / out["total_c"].astype("float64"), 6
+    )
+    return out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(drop=True)
+
+
+def q_tpch_q12_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 (shipping-mode priority counts) adapted to this schema
+    (no l_shipmode/l_commitdate/l_receiptdate): lineitems shipped more
+    than 60 days after their order date, counted per l_linestatus split
+    into high- vs low-priority orders.  One size-aware fact-fact join
+    (orders projected to three columns first), the lateness predicate and
+    the CASE counts vectorized map-side, two-group driver finish.  Full
+    SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+
+    late_by = pd.Timedelta(days=60)
+    high = {"1-URGENT", "2-HIGH"}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_orderdate" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "l_linestatus": pd.Series([], dtype="object"),
+                    "high_line_count": pd.Series([], dtype="int64"),
+                    "low_line_count": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b[b["l_shipdate"] > b["o_orderdate"] + late_by]
+        is_high = b["o_orderpriority"].isin(high).to_numpy()
+        t = pd.DataFrame(
+            {
+                "l_linestatus": b["l_linestatus"],
+                "high_line_count": is_high.astype("int64"),
+                "low_line_count": (~is_high).astype("int64"),
+            }
+        )
+        return t.groupby("l_linestatus", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"),
+        )
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_linestatus"],
+        {
+            "high_line_count": ("high_line_count", "sum"),
+            "low_line_count": ("low_line_count", "sum"),
+        },
+    )
+    out = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q_tpch_q17_small_quantity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if one brand's orders below 20% of that part's average quantity
+    were not taken.  The correlated scalar subquery (per-part average)
+    becomes pass 1: a per-part (sum, count) combiner over the
+    brand-pruned lineitems finishing size-aware — part-dimension-sized by
+    construction; the comparison is the integer cross-product
+    q_c·5·nq < sq_c (no float average, so both engines compare identical
+    integers); pass 2 re-scans brand lineitems map-only against the
+    broadcast per-part table and reduces one scalar.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg
+    from ..sources.ingest import read_dim_pandas
+
+    brand_keys = frozenset(
+        read_dim_pandas(f"{sf_dir}/part.parquet", ["p_partkey", "p_brand"])
+        .query("p_brand == 'Brand#11'")["p_partkey"]
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_partkey"].isin(brand_keys)]
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"],
+                "q_c": _cents(b["l_quantity"]),
+                "price_c": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def part_stats(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_partkey", as_index=False).agg(
+            sq=("q_c", "sum"), nq=("q_c", "size")
+        )
+
+    stats = auto_group_agg(
+        _t(sf_dir, "lineitem", cols)
+        .map_batches(li_prep, batch_format="pandas")
+        .map_batches(part_stats, batch_format="pandas"),
+        ["l_partkey"],
+        {"sq": ("sq", "sum"), "nq": ("nq", "sum")},
+    )
+    stats = stats if isinstance(stats, pd.DataFrame) else stats.to_pandas()
+    sq = dict(zip(stats["l_partkey"], stats["sq"].astype("int64")))
+    nq = dict(zip(stats["l_partkey"], stats["nq"].astype("int64")))
+
+    def small_sum(b: pd.DataFrame) -> pd.DataFrame:
+        b = li_prep(b)
+        if len(b) == 0:
+            return pd.DataFrame({"price_c": [0]})
+        sq_a = b["l_partkey"].map(sq).to_numpy(dtype="int64")
+        nq_a = b["l_partkey"].map(nq).to_numpy(dtype="int64")
+        keep = b["q_c"].to_numpy() * 5 * nq_a < sq_a
+        return pd.DataFrame({"price_c": [int(b.loc[keep, "price_c"].sum())]})
+
+    parts = (
+        _t(sf_dir, "lineitem", cols)
+        .map_batches(small_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    total_c = int(parts["price_c"].sum())
+    return pd.DataFrame(
+        {"avg_yearly": _round_half_away(pd.Series([total_c / 100.0 / 7.0]), 4)}
+    )
+
+
+def q_tpch_q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted (late :=
+    shipped > 90 days after order date; no nation filter — the fixture
+    has 10-100 suppliers): for finished ('F') orders with lineitems from
+    more than one supplier where EXACTLY ONE supplier shipped late, count
+    blamed orders per supplier.  The EXISTS / NOT EXISTS pair becomes one
+    per-order aggregate: a (l_orderkey, l_suppkey, late) distinct-pair
+    combiner feeds ONE bounded hash-shard exchange on l_orderkey whose
+    per-shard pass re-dedupes pairs and reduces each order to
+    (n_suppliers, n_late_suppliers, blamed) — supplier counts are then
+    dimension-sized and finish on the driver.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import _hash_labels, auto_join
+    from ..sources.ingest import read_dim_pandas
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b[b["o_orderstatus"] == "F"][["o_orderkey", "o_orderdate"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+    late_by = pd.Timedelta(days=90)
+    n_shards = 64
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_orderdate" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "late": pd.Series([], dtype="int64"),
+                    "__shard": pd.Series([], dtype="int64"),
+                }
+            )
+        t = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "late": (b["l_shipdate"] > b["o_orderdate"] + late_by).astype("int64"),
+            }
+        )
+        t = t.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            late=("late", "max")
+        )
+        t["__shard"] = _hash_labels(t, ["l_orderkey"], n_shards).astype("int64")
+        return t
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # re-dedupe pairs across batches (all of an order's partials are
+        # in this shard), then reduce each order
+        pairs = g.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            late=("late", "max")
+        )
+        per = pairs.groupby("l_orderkey").agg(
+            ns=("l_suppkey", "size"), nl=("late", "sum")
+        )
+        blamed = pairs[pairs["late"] == 1].set_index("l_orderkey")["l_suppkey"]
+        per = per[(per["ns"] > 1) & (per["nl"] == 1)]
+        out = blamed.loc[blamed.index.isin(per.index)]
+        return pd.DataFrame({"l_suppkey": out.to_numpy()})
+
+    blamed = (
+        joined.map_batches(pair_partial, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = blamed.groupby("l_suppkey", as_index=False).size()
+    supp = read_dim_pandas(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"])
+    out = counts.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.rename(columns={"size": "numwait"})[["s_name", "numwait"]]
+    out["numwait"] = out["numwait"].astype("int64")
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+# ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
 # Ordering contract: the driver runs only the FIRST 50 entries
@@ -4681,6 +5104,13 @@ QUERIES = {
     "embedding_pca_top2": q_embedding_pca_top2,
     "orders_expectations": q_orders_expectations,
     "bloom_point_lookup": q_bloom_point_lookup,
+    # round-4 session-6 tail additions (all SQL-oracled in
+    # TestTailQueryOracles)
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q12_late_shipments": q_tpch_q12_late_shipments,
+    "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6043,6 +6473,70 @@ ORACLE_SQL = {
         "nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber') AS text_nfc, "
         "CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber')) AS BIGINT) "
         "AS n_chars_nfc FROM documents"
+    ),
+    "tpch_q5_local_supplier": (
+        "WITH nr AS (SELECT n_nationkey, n_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE') "
+        "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+        "* 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nr ON s_nationkey = nr.n_nationkey "
+        "WHERE c_nationkey = s_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
+    ),
+    "tpch_q8_market_share": (
+        "WITH nr AS (SELECT n_nationkey FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'), "
+        "rev AS (SELECT year(o_orderdate) AS o_year, s_nationkey, "
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nr ON c_nationkey = nr.n_nationkey "
+        "WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' "
+        "AND TIMESTAMP '1997-12-31') "
+        "SELECT o_year, ROUND(CAST(SUM(CASE WHEN s_nationkey = 19 THEN rev_c "
+        "ELSE 0 END) AS DOUBLE) / SUM(rev_c), 6) AS mkt_share "
+        "FROM rev GROUP BY o_year"
+    ),
+    "tpch_q12_late_shipments": (
+        "SELECT l_linestatus, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "GROUP BY l_linestatus"
+    ),
+    "tpch_q17_small_quantity": (
+        "WITH li AS (SELECT l_partkey, "
+        "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q_c, "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "AND p_brand = 'Brand#11'), "
+        "a AS (SELECT l_partkey, SUM(q_c) AS sq, COUNT(*) AS nq "
+        "FROM li GROUP BY l_partkey) "
+        "SELECT ROUND(CAST(SUM(price_c) AS DOUBLE) / 100 / 7, 4) AS avg_yearly "
+        "FROM li JOIN a USING (l_partkey) WHERE li.q_c * 5 * a.nq < a.sq"
+    ),
+    "tpch_q21_waiting_suppliers": (
+        "WITH lo AS (SELECT l_orderkey, l_suppkey, "
+        "(l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderstatus = 'F'), "
+        "per AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns, "
+        "COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl, "
+        "MAX(CASE WHEN late THEN l_suppkey END) AS late_supp "
+        "FROM lo GROUP BY l_orderkey) "
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+        "FROM per JOIN supplier ON late_supp = s_suppkey "
+        "WHERE ns > 1 AND nl = 1 GROUP BY s_name"
     ),
     # rows-only (no SQL equivalent): minhash_dup_pairs, simhash_signatures,
     # doc_fingerprints, langid_pred, knn_lsh_top10, extract_docs,

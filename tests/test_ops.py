@@ -1700,6 +1700,11 @@ class TestTailQueryOracles:
             "doc_sliding_windows",
             "orders_expectations",
             "bloom_point_lookup",
+            "tpch_q5_local_supplier",
+            "tpch_q8_market_share",
+            "tpch_q12_late_shipments",
+            "tpch_q17_small_quantity",
+            "tpch_q21_waiting_suppliers",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
