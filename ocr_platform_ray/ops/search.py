@@ -20,13 +20,18 @@ Raw tokens never cross an exchange; there are ZERO all-to-all shuffles.
 
 from __future__ import annotations
 
+import glob
+import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from .relational import _hash_labels
 
 
 def _query_terms(query: str) -> list[str]:
@@ -135,6 +140,200 @@ def bm25_topk(
         return pd.DataFrame(
             {id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
+    return (
+        pruned.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — partition-pruned lexical search
+# ---------------------------------------------------------------------------
+# The lexical sibling of the IVF-PQ layout in ops/similarity.py: the build
+# pass hash-partitions postings by TOKEN so a search opens only the
+# ``shard=N/`` parquet directories holding its query terms' postings — at
+# a 10^12-document corpus the read cost is per-term posting lists, never a
+# corpus scan.  Postings denormalize the document length (8 bytes/row) so
+# scoring needs NO join back to a corpus-sized doc-length table.
+
+
+def _term_shards(terms: list[str], n_shards: int) -> list[int]:
+    """Shard id per term via THE house label hash (_hash_labels), so the
+    query side always agrees with the build side."""
+    df = pd.DataFrame({"token": pd.Series(terms, dtype="object")})
+    return _hash_labels(df, ["token"], n_shards).astype(int).tolist()
+
+
+def build_bm25_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> dict:
+    """Build a persisted token-hash-partitioned inverted index.
+
+    Layout: ``shard=N/*.parquet`` with rows (token, doc_id, tf, dl) —
+    one row per distinct (token, document) pair, document length
+    denormalized in — plus ``stats.json`` (n_docs, sum_dl, n_shards),
+    written LAST as the atomic commit marker (a reader that finds no
+    stats.json treats the index as absent, so a killed build is
+    invisible; rebuilding over the same dir republishes the marker).
+
+    Scale shape: tokenization and (token, doc) tf-counting are one
+    vectorized pass per batch (a document lives in exactly one row, so a
+    pair's tf is complete within its batch — postings need no cross-batch
+    merge); the only exchange is the shard write itself.  Corpus stats
+    reduce from fixed-size per-batch partials."""
+    import shutil
+
+    tmp_stats = os.path.join(out_dir, "stats.json.tmp")
+    final_stats = os.path.join(out_dir, "stats.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(final_stats):
+        os.remove(final_stats)  # invalidate any previous generation first
+    for d in glob.glob(os.path.join(out_dir, "shard=*")):
+        shutil.rmtree(d)  # stale postings must not survive into the rebuild
+
+    def postings(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_pandas().to_numpy(dtype=object)
+        offs = toks.offsets.to_numpy().astype(np.int64) - toks.offsets[0].as_py()
+        dl = offs[1:] - offs[:-1]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+        t = pd.DataFrame({"token": flat, "__di": doc_idx})
+        t = t[t["token"] != ""]
+        g = t.groupby(["__di", "token"], as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "token": g["token"],
+                "doc_id": ids[g["__di"].to_numpy()],
+                "tf": g["size"].astype("int64"),
+                "dl": dl[g["__di"].to_numpy()].astype("int64"),
+            }
+        )
+        out["shard"] = _hash_labels(out, ["token"], n_shards).astype("int64")
+        return out
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"n": [len(batch)], "sum_dl": [int(n_tok.sum())]})
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    stats = {
+        "n_docs": int(st["n"].sum()) if "n" in st.columns else 0,
+        "sum_dl": int(st["sum_dl"].sum()) if "sum_dl" in st.columns else 0,
+        "n_shards": int(n_shards),
+        "id_col": id_col,
+    }
+    with open(tmp_stats, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp_stats, final_stats)  # atomic publish
+    return stats
+
+
+def bm25_search_index(
+    index_dir: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """Top-k BM25 over a persisted inverted index, reading ONLY the
+    ``shard=N/`` directories that can hold the query's terms (partition
+    pruning — the point of the layout).  Scoring matches ``bm25_topk``
+    exactly: identical idf / avgdl arithmetic, and each document's
+    per-term contributions are summed in QUERY-TERM ORDER inside one
+    doc-hash shard (every contribution of a doc colocates there), so the
+    float result is bit-identical to the full-scan path
+    (equivalence-tested in TestBm25Index)."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    id_col = stats.get("id_col", "doc_id")
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+    terms = _query_terms(query)
+    if not terms or stats["n_docs"] == 0:
+        return empty
+    n_docs, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    shards = sorted(set(_term_shards(terms, stats["n_shards"])))
+    files = [
+        f
+        for s in shards
+        for f in sorted(glob.glob(os.path.join(index_dir, f"shard={s}", "*.parquet")))
+    ]
+    if not files:
+        return empty
+    term_j = {t: j for j, t in enumerate(terms)}
+    term_arr = pa.array(terms, pa.string())
+    # arrow-side filter keeps zero-row blocks string-typed (a pandas
+    # object-dtype empty block trips Ray's block size estimator)
+    post = rd.read_parquet(files, columns=["token", id_col, "tf", "dl"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("token"), value_set=term_arr)),
+        batch_format="pyarrow",
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "size"])
+
+    # pass 1: df per term (posting rows per term = docs containing it)
+    dfc = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    if "token" not in dfc.columns or dfc.empty:
+        return empty
+    dfc = dfc.groupby("token")["size"].sum()
+    idf = np.zeros(len(terms), dtype=np.float64)
+    for t, j in term_j.items():
+        df_t = int(dfc.get(t, 0))
+        idf[j] = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    n_doc_shards = 64
+
+    def contrib(t: pd.DataFrame) -> pd.DataFrame:
+        j = t["token"].map(term_j).to_numpy(dtype=np.int64)
+        tf = t["tf"].to_numpy(dtype=np.float64)
+        dl = t["dl"].to_numpy(dtype=np.float64)
+        denom_tail = k1 * (1.0 - b + b * dl / avgdl)
+        out = pd.DataFrame(
+            {
+                id_col: t[id_col],
+                "__j": j,
+                "__c": idf[j] * tf / np.maximum(tf + denom_tail, 1e-300),
+            }
+        )
+        out["__shard"] = _hash_labels(out, [id_col], n_doc_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "__j"], kind="stable")
+        s = g.groupby(id_col, as_index=False, sort=True).agg(score=("__c", "sum"))
+        s = s[s["score"] > 0.0]
+        return s.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    pruned = (
+        post.map_batches(contrib, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if pruned.empty:
+        return empty
     return (
         pruned.sort_values(["score", id_col], ascending=[False, True])
         .head(k)

@@ -4457,6 +4457,30 @@ def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 via the PERSISTED token-hash-partitioned inverted index
+    (ops/search.py::build_bm25_index): postings land in ``shard=N/``
+    parquet by token hash, the search opens only the query terms' shard
+    directories (partition-pruned reads — the IVF-PQ idea on the lexical
+    side), and scoring is bit-identical to the full-scan bm25_topk
+    (equivalence-tested in TestBm25Index).  Same query string and SQL
+    oracle as bm25_top10."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..ops.search import bm25_search_index, build_bm25_index
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    idx = _tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        build_bm25_index(ds, idx, id_col="doc_id", text_col="text")
+        out = bm25_search_index(idx, "table scan merge window", k=10)
+    finally:
+        _shutil.rmtree(idx, ignore_errors=True)
+    out["score"] = _round_half_away(out["score"], 6)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
 # ===========================================================================
 # TPC-H Q5 / Q8 / Q12 / Q17 / Q21 (session-6 join-pipeline compositions;
 # predicates adapted to the reduced fixture schema — no partsupp table, no
@@ -5111,6 +5135,7 @@ QUERIES = {
     "tpch_q12_late_shipments": q_tpch_q12_late_shipments,
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
     "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "bm25_indexed_top10": q_bm25_indexed_top10,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6545,3 +6570,7 @@ ORACLE_SQL = {
     # pytest equality in TestC4SpanDedup), warc_extract_docs (container
     # format parse; parquet-route byte-identity asserted in-query)
 }
+
+# the indexed route is bit-identical to the full scan (TestBm25Index), so
+# it carries the same oracle text
+ORACLE_SQL["bm25_indexed_top10"] = ORACLE_SQL["bm25_top10"]

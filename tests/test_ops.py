@@ -1705,6 +1705,7 @@ class TestTailQueryOracles:
             "tpch_q12_late_shipments",
             "tpch_q17_small_quantity",
             "tpch_q21_waiting_suppliers",
+            "bm25_indexed_top10",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

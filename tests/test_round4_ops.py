@@ -2084,3 +2084,97 @@ class TestFullyDuplicateIncrement:
             "text", "doc_id", sd, ingest_id="day3",
         )
         assert s3.count() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25Index:
+    """Persisted token-hash-partitioned inverted index: bit-identical to
+    the full-scan bm25_topk, reads only the query terms' shards, atomic
+    publish, idempotent rebuild."""
+
+    def _docs(self, n=60, seed=3):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(40)] + ["table", "scan", "merge", "window"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(5, 30)))
+            for _ in range(n)
+        ]
+        return pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+
+    def test_bit_identical_to_full_scan(self, tmp_path):
+        from ocr_platform_ray.ops.search import (
+            bm25_search_index, bm25_topk, build_bm25_index,
+        )
+
+        df = self._docs()
+        ds = rd.from_pandas(df).repartition(5)
+        build_bm25_index(ds, str(tmp_path / "idx"))
+        for q in ["table scan merge window", "w1 w2", "scan", "zzz missing"]:
+            got = bm25_search_index(str(tmp_path / "idx"), q, k=10)
+            want = bm25_topk(ds, q, k=10)
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_build_block_structure_independent(self, tmp_path):
+        from ocr_platform_ray.ops.search import bm25_search_index, build_bm25_index
+
+        df = self._docs()
+        for i, parts in enumerate((1, 7)):
+            build_bm25_index(
+                rd.from_pandas(df).repartition(parts), str(tmp_path / f"i{i}")
+            )
+        a = bm25_search_index(str(tmp_path / "i0"), "table scan w3", k=10)
+        b = bm25_search_index(str(tmp_path / "i1"), "table scan w3", k=10)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_partition_pruning_reads_only_query_shards(self, tmp_path):
+        """Deleting every shard the query does NOT hash to must not
+        change the result — proof the search never opens them."""
+        import shutil
+
+        from ocr_platform_ray.ops.search import (
+            _query_terms, _term_shards, bm25_search_index, build_bm25_index,
+        )
+
+        df = self._docs()
+        idx = str(tmp_path / "idx")
+        build_bm25_index(rd.from_pandas(df), idx, n_shards=16)
+        q = "table merge"
+        want = bm25_search_index(idx, q, k=10)
+        keep = set(_term_shards(_query_terms(q), 16))
+        removed = 0
+        for d in (tmp_path / "idx").glob("shard=*"):
+            if int(d.name.split("=")[1]) not in keep:
+                shutil.rmtree(d)
+                removed += 1
+        assert removed > 0  # the prune is real
+        got = bm25_search_index(idx, q, k=10)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_rebuild_idempotent_and_empty_cases(self, tmp_path):
+        from ocr_platform_ray.ops.search import (
+            bm25_search_index, bm25_topk, build_bm25_index,
+        )
+
+        df = self._docs(20)
+        ds = rd.from_pandas(df)
+        idx = str(tmp_path / "idx")
+        s1 = build_bm25_index(ds, idx)
+        s2 = build_bm25_index(ds, idx)  # rebuild over the same dir
+        assert s1 == s2
+        got = bm25_search_index(idx, "table scan", k=5)
+        pd.testing.assert_frame_equal(got, bm25_topk(ds, "table scan", k=5))
+        assert len(bm25_search_index(idx, "   ")) == 0
+        assert len(bm25_search_index(idx, "qqq_zzz")) == 0
+
+    def test_torn_build_invisible(self, tmp_path):
+        """A build that died before the stats.json publish must read as
+        index-absent, never as a half-index."""
+        import os
+
+        from ocr_platform_ray.ops.search import bm25_search_index, build_bm25_index
+
+        idx = str(tmp_path / "idx")
+        build_bm25_index(rd.from_pandas(self._docs(10)), idx)
+        os.remove(os.path.join(idx, "stats.json"))  # simulate pre-publish crash
+        with pytest.raises(FileNotFoundError):
+            bm25_search_index(idx, "table")
