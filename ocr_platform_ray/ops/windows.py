@@ -630,3 +630,116 @@ def grouped_share(
         return out
 
     return ds.map_batches(add_share, batch_format="pandas")
+
+
+def funnel_match(
+    ds: rd.Dataset,
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: pd.Timedelta | None = None,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Ordered-sequence (funnel) matching per key — the
+    MATCH_RECOGNIZE-shaped analytic the events suite lacked: for the step
+    types ``steps = [s1, s2, ...]``, a key's stage-k time is the EARLIEST
+    event of type ``s_k`` STRICTLY AFTER its stage-(k-1) time (first-touch
+    greedy, the standard product-analytics funnel rule); with ``within``,
+    every step must also land within ``within`` of the stage-1 time.
+    Returns one row per key that reached stage >= 1:
+    ``(key, stage, t_first, t_stage)`` where ``t_stage`` is the completed
+    final stage's time.
+
+    Strictly-after semantics make the result deterministic without a
+    tiebreaker: equal timestamps cannot chain, so the match is a pure
+    function of the (key, type, ts) multiset (block/input-order
+    independent, SQL-mirrorable — full oracle on the event_funnel query).
+
+    Scale shape: only rows whose type is one of ``steps`` ride the ONE
+    bounded ``hash(key) % n_shards`` exchange, projected to three columns;
+    each shard then runs len(steps) vectorized merge+min passes (no
+    per-key Python).  The per-step event times themselves are needed for
+    the after-chain, so no earlier reduction is possible without changing
+    semantics."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_set = set(steps)
+    if len(step_set) != len(steps):
+        raise ValueError("steps must be distinct event types")
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b[type_col].isin(step_set)][[key_col, ts_col, type_col]].copy()
+        out["__shard"] = (
+            pd.util.hash_array(out[key_col].to_numpy()) % n_shards
+        ).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # stage 1: earliest s1 per key
+        cur = (
+            g[g[type_col] == steps[0]]
+            .groupby(key_col, as_index=False)[ts_col]
+            .min()
+            .rename(columns={ts_col: "__t"})
+        )
+        if cur.empty:
+            # typed empty keeps per-block schemas consistent across shards
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=g[key_col].dtype),
+                    "stage": pd.Series(dtype="int64"),
+                    "t_first": pd.Series(dtype=g[ts_col].dtype),
+                    "t_stage": pd.Series(dtype=g[ts_col].dtype),
+                }
+            )
+        cur["stage"] = np.int64(1)
+        cur["t_first"] = cur["__t"]
+        deadline = (
+            cur.set_index(key_col)["t_first"] + within if within is not None else None
+        )
+        for k, step in enumerate(steps[1:], start=2):
+            # only the frontier — users who completed stage k-1 — may
+            # attempt step k (a user who missed a step is frozen; later
+            # step types must not let them skip ahead)
+            frontier = cur[cur["stage"] == k - 1]
+            if frontier.empty:
+                break
+            ev = g[g[type_col] == step][[key_col, ts_col]].merge(
+                frontier[[key_col, "__t"]], on=key_col, how="inner"
+            )
+            ev = ev[ev[ts_col] > ev["__t"]]
+            if within is not None and not ev.empty:
+                dl = deadline.reindex(ev[key_col]).to_numpy()
+                ev = ev[ev[ts_col].to_numpy() <= dl]
+            nxt = ev.groupby(key_col, as_index=False)[ts_col].min().rename(
+                columns={ts_col: "__tn"}
+            )
+            cur = cur.merge(nxt, on=key_col, how="left")
+            hit = cur["__tn"].notna() & (cur["stage"] == k - 1)
+            cur.loc[hit, "__t"] = cur.loc[hit, "__tn"]
+            cur.loc[hit, "stage"] = np.int64(k)
+            cur = cur.drop(columns="__tn")
+        out = cur.rename(columns={"__t": "t_stage"})[
+            [key_col, "stage", "t_first", "t_stage"]
+        ]
+        out["stage"] = out["stage"].astype("int64")
+        return out
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    matched = sharded.groupby("__shard").map_groups(per_shard, batch_format="pandas")
+    if as_dataset:
+        return matched
+    out = matched.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="int64"),
+                "stage": pd.Series(dtype="int64"),
+                "t_first": pd.Series(dtype="datetime64[us]"),
+                "t_stage": pd.Series(dtype="datetime64[us]"),
+            }
+        )
+    return out.sort_values(key_col).reset_index(drop=True)

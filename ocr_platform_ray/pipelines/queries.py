@@ -4457,6 +4457,27 @@ def q_warc_extract_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Funnel / ordered-sequence match (MATCH_RECOGNIZE-lite) over the
+    events stream: view -> click -> purchase, each step strictly after
+    the previous and all within 12 hours of the first view (first-touch
+    greedy — the standard product-analytics funnel).  One bounded
+    key-hash exchange carrying only the step-typed rows; per-shard
+    vectorized merge+min chain.  Full SQL oracle (three chained
+    min-after CTEs) in TestTailQueryOracles."""
+    from ..ops.windows import funnel_match
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_match(
+        ds,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        within=pd.Timedelta(hours=12),
+    )
+
+
 def q_bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     """BM25 via the PERSISTED token-hash-partitioned inverted index
     (ops/search.py::build_bm25_index): postings land in ``shard=N/``
@@ -5136,6 +5157,7 @@ QUERIES = {
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
     "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "bm25_indexed_top10": q_bm25_indexed_top10,
+    "event_funnel": q_event_funnel,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6549,6 +6571,22 @@ ORACLE_SQL = {
         "FROM li GROUP BY l_partkey) "
         "SELECT ROUND(CAST(SUM(price_c) AS DOUBLE) / 100 / 7, 4) AS avg_yearly "
         "FROM li JOIN a USING (l_partkey) WHERE li.q_c * 5 * a.nq < a.sq"
+    ),
+    "event_funnel": (
+        "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 12 HOUR "
+        "GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        "JOIN s2 USING (user_id) JOIN s1 USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 "
+        "AND e.ts <= s1.t1 + INTERVAL 12 HOUR GROUP BY e.user_id) "
+        "SELECT s1.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+        "WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage, "
+        "t1 AS t_first, COALESCE(t3, t2, t1) AS t_stage "
+        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
     ),
     "tpch_q21_waiting_suppliers": (
         "WITH lo AS (SELECT l_orderkey, l_suppkey, "

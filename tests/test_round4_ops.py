@@ -2178,3 +2178,118 @@ class TestBm25Index:
         os.remove(os.path.join(idx, "stats.json"))  # simulate pre-publish crash
         with pytest.raises(FileNotFoundError):
             bm25_search_index(idx, "table")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelMatch:
+    """Ordered-sequence funnel: first-touch greedy, strictly-after
+    chaining, optional within-deadline — naive-reference equality and
+    block independence."""
+
+    def _naive(self, df, steps, within=None):
+        rows = []
+        for key, g in df.groupby("user_id"):
+            t = None
+            first = None
+            stage = 0
+            for step in steps:
+                ev = g[g["event_type"] == step]
+                if t is not None:
+                    ev = ev[ev["ts"] > t]
+                if within is not None and first is not None:
+                    ev = ev[ev["ts"] <= first + within]
+                if ev.empty:
+                    break
+                t = ev["ts"].min()
+                stage += 1
+                if first is None:
+                    first = t
+            if stage:
+                rows.append((key, stage, first, t))
+        return (
+            pd.DataFrame(rows, columns=["user_id", "stage", "t_first", "t_stage"])
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    def _events(self, seed=7, n=400, users=12):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "user_id": rng.randint(0, users, n).astype("int64"),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+                "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+            }
+        )
+
+    def test_matches_naive_with_and_without_window(self):
+        from ocr_platform_ray.ops.windows import funnel_match
+
+        df = self._events()
+        steps = ["view", "click", "purchase"]
+        for within in (None, pd.Timedelta(hours=6)):
+            got = funnel_match(
+                rd.from_pandas(df).repartition(5), steps, within=within
+            )
+            want = self._naive(df, steps, within)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # discriminating fixture: not everyone converts under the window
+        tight = funnel_match(rd.from_pandas(df), steps, within=pd.Timedelta(hours=6))
+        assert set(tight["stage"]) >= {1, 2}
+
+    def test_strictly_after_equal_ts_cannot_chain(self):
+        from ocr_platform_ray.ops.windows import funnel_match
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 2],
+                "ts": [t0, t0, t0, t0 + pd.Timedelta(seconds=1)],
+                "event_type": ["view", "click", "view", "click"],
+            }
+        )
+        got = funnel_match(rd.from_pandas(df), ["view", "click"])
+        by = got.set_index("user_id")["stage"]
+        assert by[1] == 1  # simultaneous click does not count
+        assert by[2] == 2
+
+    def test_within_deadline_inclusive_boundary(self):
+        from ocr_platform_ray.ops.windows import funnel_match
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 2],
+                "ts": [t0, t0 + pd.Timedelta(hours=1), t0, t0 + pd.Timedelta(hours=1, seconds=1)],
+                "event_type": ["view", "click"] * 2,
+            }
+        )
+        got = funnel_match(
+            rd.from_pandas(df), ["view", "click"], within=pd.Timedelta(hours=1)
+        )
+        by = got.set_index("user_id")["stage"]
+        assert by[1] == 2  # exactly at deadline counts (<=)
+        assert by[2] == 1
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.windows import funnel_match
+
+        df = self._events(seed=13)
+        steps = ["view", "click", "purchase"]
+        outs = [
+            funnel_match(rd.from_pandas(df).repartition(p), steps)
+            for p in (1, 9)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_empty_and_validation(self):
+        from ocr_platform_ray.ops.windows import funnel_match
+
+        df = self._events(seed=1, n=50)
+        none_match = funnel_match(rd.from_pandas(df), ["nonexistent_type"])
+        assert len(none_match) == 0
+        with pytest.raises(ValueError):
+            funnel_match(rd.from_pandas(df), [])
+        with pytest.raises(ValueError):
+            funnel_match(rd.from_pandas(df), ["view", "view"])
