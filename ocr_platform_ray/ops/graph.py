@@ -162,6 +162,106 @@ def pagerank(
     return ranks.reset_index(drop=True)
 
 
+def hits(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_iter: int = 20,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, the classic
+    mutual-reinforcement pair next to PageRank):
+
+        a'(v) = Σ_{u->v} h(u)   then L2-normalize
+        h'(u) = Σ_{u->v} a'(v)  then L2-normalize
+
+    Parallel edges count once per occurrence; self-loops are legal.
+    Returns (node, hub, authority) for every node in either column,
+    each score vector L2-normalized (all-zero vectors — no edges —
+    stay zero).
+
+    Scale shape = ``pagerank``'s: per half-iteration the current score
+    Series broadcasts once (`ray.put`) and ONE map pass over the
+    (src, dst) projection emits combiner rows into a size-aware grouped
+    finish — two exchanges per iteration, which IS the distributed cost
+    of HITS.  Float sums follow the lm_perplexity float rule (rtol
+    reproducible, not bit-stable across block structures)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    proj = edges.map_batches(
+        lambda b: b[[src_col, dst_col]], batch_format="pandas"
+    ).materialize()  # consumed 2x per iteration + the node pass
+
+    def stack(b: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate([b[src_col].to_numpy(), b[dst_col].to_numpy()])
+        )
+        return pd.DataFrame({"node": vals})
+
+    nodes = auto_group_agg(
+        proj.map_batches(stack, batch_format="pandas"),
+        ["node"],
+        {"__one": ("node", "count")},
+        n_shards=n_shards,
+    )
+    if not isinstance(nodes, pd.DataFrame):
+        nodes = nodes.to_pandas()
+    nodes = nodes[["node"]].sort_values("node").reset_index(drop=True)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="object"),
+                "hub": pd.Series(dtype="float64"),
+                "authority": pd.Series(dtype="float64"),
+            }
+        )
+
+    def _half_step(scores: pd.Series, from_col: str, to_col: str) -> pd.Series:
+        """One propagation: out(v) = Σ_{edge} scores[edge.from] grouped
+        by edge.to, L2-normalized over all nodes."""
+        ref = ray.put(scores)
+
+        def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            # plain ray.get, NOT cached_get: scores change every half-
+            # iteration and _GET_CACHE never evicts
+            w = b[from_col].map(ray.get(_ref))
+            sub = pd.DataFrame({"node": b[to_col], "c": w}).dropna()
+            return sub.groupby("node", as_index=False).agg(c=("c", "sum"))
+
+        summed = auto_group_agg(
+            proj.map_batches(partial, batch_format="pandas"),
+            ["node"],
+            {"c": ("c", "sum")},
+            n_shards=n_shards,
+        )
+        if not isinstance(summed, pd.DataFrame):
+            summed = summed.to_pandas()
+        out = (
+            nodes.merge(summed, on="node", how="left")["c"]
+            .fillna(0.0)
+            .to_numpy(dtype="float64")
+        )
+        norm = float(np.sqrt((out * out).sum()))
+        if norm > 0.0:
+            out = out / norm
+        return pd.Series(out, index=nodes["node"].to_numpy())
+
+    hub = pd.Series(1.0 / float(np.sqrt(n)), index=nodes["node"].to_numpy())
+    authority = hub
+    for _ in range(n_iter):
+        authority = _half_step(hub, src_col, dst_col)
+        hub = _half_step(authority, dst_col, src_col)
+    return pd.DataFrame(
+        {
+            "node": nodes["node"].to_numpy(),
+            "hub": hub.to_numpy(),
+            "authority": authority.to_numpy(),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Link extraction: raw pages -> host-level edge table
 # ---------------------------------------------------------------------------

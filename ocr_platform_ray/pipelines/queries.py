@@ -3361,6 +3361,33 @@ def q_link_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_link_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the same synthesized doc link graph as
+    link_pagerank (`ops/graph.hits` — Kleinberg mutual reinforcement;
+    two broadcast+combiner exchanges per iteration).  Rows-only (float
+    power iteration; numpy-reference rtol equality in TestHits); L2
+    normalization and the hub doc's top authority asserted in-query."""
+    from ..ops.graph import hits
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        succ = pd.DataFrame({"src": ids, "dst": (ids * 7 + 3) % 1000})
+        hub = pd.DataFrame({"src": ids[ids % 10 == 0], "dst": 0})
+        return pd.concat([succ, hub], ignore_index=True)
+
+    out = hits(docs.map_batches(links, batch_format="pandas"), n_iter=8)
+    for c in ("hub", "authority"):
+        nrm = float(np.sqrt((out[c].to_numpy() ** 2).sum()))
+        assert abs(nrm - 1.0) < 1e-9, f"{c} vector not L2-normalized: {nrm}"
+    top = out.sort_values("authority", ascending=False)["node"].iloc[0]
+    assert top == 0, f"hub doc should be the top authority, got {top}"
+    out = out.rename(columns={"node": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5158,6 +5185,9 @@ QUERIES = {
     "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "bm25_indexed_top10": q_bm25_indexed_top10,
     "event_funnel": q_event_funnel,
+    # no-oracle (float power iteration; numpy-reference rtol in TestHits,
+    # L2 norms + top authority asserted in-query)
+    "link_hits": q_link_hits,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

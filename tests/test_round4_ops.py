@@ -2293,3 +2293,61 @@ class TestFunnelMatch:
             funnel_match(rd.from_pandas(df), [])
         with pytest.raises(ValueError):
             funnel_match(rd.from_pandas(df), ["view", "view"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHits:
+    """HITS hubs/authorities: numpy power-iteration equality, star-graph
+    shape, parallel-edge multiplicity, empty input, validation."""
+
+    def _numpy_hits(self, e, n_iter):
+        nodes = np.sort(np.unique(np.concatenate([e["src"], e["dst"]])))
+        idx = {v: i for i, v in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in zip(e["src"], e["dst"]):
+            A[idx[s], idx[d]] += 1
+        h = np.ones(len(nodes)) / np.sqrt(len(nodes))
+        a = h
+        for _ in range(n_iter):
+            a = A.T @ h
+            n = np.linalg.norm(a)
+            a = a / n if n > 0 else a
+            h = A @ a
+            n = np.linalg.norm(h)
+            h = h / n if n > 0 else h
+        return nodes, h, a
+
+    def test_matches_numpy_reference_with_parallel_edges(self):
+        from ocr_platform_ray.ops.graph import hits
+
+        rng = np.random.RandomState(4)
+        e = pd.DataFrame(
+            {"src": rng.randint(0, 12, 80), "dst": rng.randint(0, 12, 80)}
+        )
+        for parts in (1, 4):
+            got = hits(rd.from_pandas(e).repartition(parts), n_iter=15)
+            nodes, h, a = self._numpy_hits(e, 15)
+            assert list(got["node"]) == list(nodes)
+            np.testing.assert_allclose(got["hub"].to_numpy(), h, rtol=1e-9)
+            np.testing.assert_allclose(got["authority"].to_numpy(), a, rtol=1e-9)
+
+    def test_star_graph_roles(self):
+        from ocr_platform_ray.ops.graph import hits
+
+        e = pd.DataFrame({"src": [1, 2, 3, 4, 5], "dst": [0] * 5})
+        got = hits(rd.from_pandas(e), n_iter=10).set_index("node")
+        assert got["authority"].idxmax() == 0
+        assert got.loc[0, "hub"] == 0.0
+        np.testing.assert_allclose(
+            got.loc[[1, 2, 3, 4, 5], "hub"].to_numpy(), 1 / np.sqrt(5)
+        )
+
+    def test_empty_and_validation(self):
+        from ocr_platform_ray.ops.graph import hits
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        )
+        assert len(hits(empty)) == 0
+        with pytest.raises(ValueError):
+            hits(empty, n_iter=0)
