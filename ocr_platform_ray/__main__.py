@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         "--gopher", action="store_true", help="Gopher rule bundle before dedup"
     )
     cu.add_argument(
+        "--url-filter", action="store_true",
+        help="RefinedWeb URL filter before extraction (blocklist + word score)",
+    )
+    cu.add_argument("--url-threshold", type=int, default=100)
+    cu.add_argument(
         "--fix-text", action="store_true",
         help="Unicode repair after extraction (mojibake + NFC)",
     )
@@ -255,6 +260,8 @@ def main(argv: list[str] | None = None) -> int:
                 pages_in,
                 partitioned_input=args.partitioned,
                 min_tokens=args.min_tokens,
+                url_filter=args.url_filter,
+                url_threshold=args.url_threshold,
                 fix_text=args.fix_text,
                 c4=args.c4,
                 gopher=args.gopher,

@@ -26,6 +26,7 @@ from ..ops.dedup import (
     strip_repeated_paragraphs,
 )
 from ..functions.unicode import fix_mojibake, unicode_normalize
+from ..functions.url import DEFAULT_URL_BLOCKLIST, url_quality_filter
 from ..ops.c4 import c4_clean
 from ..ops.spans import strip_duplicated_spans
 from ..state.manifest import checkpoint_dataset, checkpoint_lookup
@@ -78,6 +79,9 @@ def curate_corpus(
     partitioned_input: bool = False,
     near_dup_threshold: float = 0.9,
     min_tokens: int = 10,
+    url_filter: bool = False,
+    url_blocklist: frozenset[str] | set[str] | None = None,
+    url_threshold: int = 100,
     fix_text: bool = False,
     c4: bool = False,
     c4_blocklist: tuple = (),
@@ -94,6 +98,13 @@ def curate_corpus(
     """The full chain.  Returns curated docs with columns:
     url, extracted_text, n_pages, total_words, quality signals, pred_lang,
     split, n_dups (exact-dup group size).
+
+    ``url_filter=True`` prepends the RefinedWeb URL filter (Penedo 2023
+    §3.1.2, functions/url.py: domain blocklist + soft banned-word score)
+    BEFORE extraction — the published ordering, and the cheapest possible
+    drop point: a blocked page never costs a parse.  ``url_blocklist`` /
+    ``url_threshold`` tune it; the audit score column is dropped so the
+    chain's schema is unchanged.
 
     ``fix_text=True`` inserts the Unicode repair pass straight after
     extraction (functions/unicode.py: mojibake encode-roundtrip repair,
@@ -148,6 +159,21 @@ def curate_corpus(
     dying with the object store.  Use a fresh directory per input
     corpus version — stage params are recorded and checked, input
     identity is the caller's contract (same as run_with_manifest)."""
+    if url_filter:
+        # RefinedWeb §3.1.2 ordering: URL filtering comes FIRST — before
+        # any extraction compute is spent on a page.  Map-only row filter
+        # inside each block, so the partitioned route's file-aligned
+        # precondition holds (a url's pages share one score and drop or
+        # stay together).  url_score is dropped to keep the pages schema
+        # — and therefore the whole chain's output schema — unchanged.
+        bl = (
+            DEFAULT_URL_BLOCKLIST
+            if url_blocklist is None
+            else frozenset(url_blocklist)
+        )
+        pages = url_quality_filter(
+            pages, "url", threshold=url_threshold, blocklist=bl
+        ).drop_columns(["url_score"])
     docs = extraction_pipeline(pages, partitioned_input=partitioned_input)
     if fix_text:
         docs = fix_mojibake(docs, "extracted_text")
@@ -214,6 +240,9 @@ def curate_corpus(
     # With checkpoint_dir the pin is a durable parquet commit instead.
     stage_params = {
         "min_tokens": min_tokens,
+        "url_filter": url_filter,
+        "url_blocklist": sorted(url_blocklist) if url_blocklist else None,
+        "url_threshold": url_threshold,
         "fix_text": fix_text,
         "c4": c4,
         # list, not tuple: checkpoint params round-trip through JSON and

@@ -291,3 +291,57 @@ class TestCurateTextStages:
             for line in t.split("\n"):
                 if line:
                     assert line.rstrip()[-1] in ".!?\"'"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateUrlFilter:
+    def test_noop_on_clean_corpus_and_drops_blocked(self):
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(40))
+        base = (
+            curate_corpus(pages).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        # corpus urls are corpus.example with zero-score paths -> the
+        # stage is a byte-identical no-op
+        same = (
+            curate_corpus(pages, url_filter=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(same, base)
+        # blocklisting the corpus host drops EVERYTHING before extraction
+        none = curate_corpus(
+            pages, url_filter=True, url_blocklist={"corpus.example"}
+        ).to_pandas()
+        assert len(none) == 0
+
+    def test_blocked_urls_drop_before_extraction(self):
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        import random
+
+        vocab = (
+            "archive ledger harbor meadow copper signal lantern orchard "
+            "timber quarry compass saddle anvil barley cedar falcon"
+        ).split()
+        rows = []
+        for i, host in enumerate(["ok.example"] * 6 + ["freebet-casino.com"] * 3):
+            rng = random.Random(500 + i)  # distinct text: no dedup stage fires
+            body = " ".join(rng.choice(vocab) for _ in range(40))
+            rows.append(
+                {
+                    "url": f"https://{host}/p{i}",
+                    "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    "html": f"<html><body><p>{body}</p></body></html>".encode(),
+                    "text": "",
+                    "lang": "en",
+                }
+            )
+        out = curate_corpus(
+            rd.from_items(rows), min_tokens=5, url_filter=True
+        ).to_pandas()
+        assert len(out) == 6
+        assert not out["url"].str.contains("freebet-casino").any()
