@@ -1257,3 +1257,49 @@ def _cosine_pairs_exact(
     if pairs.empty:
         return _cos_pairs_empty()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int = 64,
+    *,
+    fn_weight: float = 0.5,
+) -> dict:
+    """MinHash-LSH banding planner (the MMDS ch.3 construction): choose
+    (bands b, rows r) with b·r = num_perm minimizing the weighted false
+    positive + false negative area of the S-curve
+    P(candidate | jaccard s) = 1 - (1 - s^r)^b around ``threshold``.
+
+    FP area = ∫_0^t P(s) ds, FN area = ∫_t^1 (1 - P(s)) ds (trapezoid on
+    a fixed grid — deterministic).  ``fn_weight`` > 0.5 biases toward
+    recall (dedup pipelines usually prefer catching near-dups and letting
+    the signature verify step discard false candidates).
+
+    Returns {"bands", "rows", "threshold_est", "fp_area", "fn_area"} where
+    threshold_est = (1/b)^(1/r), the curve's inflection estimate.  Feed
+    ``bands`` straight into ``minhash_lsh_duplicates``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    s = np.linspace(0.0, 1.0, 501)
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - s**r) ** b
+        below = s <= threshold
+        fp = float(np.trapz(p[below], s[below]))
+        fn = float(np.trapz(1.0 - p[~below], s[~below]))
+        err = (1.0 - fn_weight) * fp + fn_weight * fn
+        cand = {
+            "bands": b,
+            "rows": r,
+            "threshold_est": (1.0 / b) ** (1.0 / r),
+            "fp_area": fp,
+            "fn_area": fn,
+        }
+        if best is None or err < best[0]:
+            best = (err, cand)
+    return best[1]

@@ -2351,3 +2351,33 @@ class TestHits:
         assert len(hits(empty)) == 0
         with pytest.raises(ValueError):
             hits(empty, n_iter=0)
+
+
+class TestLshPlan:
+    def test_plan_tracks_threshold_and_composes(self):
+        from ocr_platform_ray.ops.dedup import lsh_plan
+
+        prev_est = 0.0
+        for t in (0.3, 0.5, 0.7, 0.9):
+            plan = lsh_plan(t)
+            assert plan["bands"] * plan["rows"] == 64
+            # inflection estimate tracks the requested threshold
+            assert abs(plan["threshold_est"] - t) < 0.25
+            assert plan["threshold_est"] >= prev_est  # monotone in t
+            prev_est = plan["threshold_est"]
+
+    def test_recall_bias_adds_bands(self):
+        from ocr_platform_ray.ops.dedup import lsh_plan
+
+        neutral = lsh_plan(0.8, fn_weight=0.5)
+        recall = lsh_plan(0.8, fn_weight=0.95)
+        assert recall["bands"] >= neutral["bands"]
+        assert recall["fn_area"] <= neutral["fn_area"]
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.dedup import lsh_plan
+
+        with pytest.raises(ValueError):
+            lsh_plan(0.0)
+        with pytest.raises(ValueError):
+            lsh_plan(0.5, num_perm=1)
