@@ -4923,7 +4923,9 @@ def q_tpch_q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         # re-dedupe pairs across batches (all of an order's partials are
-        # in this shard), then reduce each order
+        # in this shard), reduce each order, then count blames PER
+        # SUPPLIER in-shard — the driver sees <= n_shards x n_suppliers
+        # partial rows, never the order-count-sized blamed list
         pairs = g.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
             late=("late", "max")
         )
@@ -4933,15 +4935,19 @@ def q_tpch_q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         blamed = pairs[pairs["late"] == 1].set_index("l_orderkey")["l_suppkey"]
         per = per[(per["ns"] > 1) & (per["nl"] == 1)]
         out = blamed.loc[blamed.index.isin(per.index)]
-        return pd.DataFrame({"l_suppkey": out.to_numpy()})
+        return (
+            pd.DataFrame({"l_suppkey": out.to_numpy()})
+            .groupby("l_suppkey", as_index=False)
+            .size()
+        )
 
-    blamed = (
+    partials = (
         joined.map_batches(pair_partial, batch_format="pandas")
         .groupby("__shard")
         .map_groups(per_shard, batch_format="pandas")
         .to_pandas()
     )
-    counts = blamed.groupby("l_suppkey", as_index=False).size()
+    counts = partials.groupby("l_suppkey", as_index=False).agg(size=("size", "sum"))
     supp = read_dim_pandas(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"])
     out = counts.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
     out = out.rename(columns={"size": "numwait"})[["s_name", "numwait"]]
