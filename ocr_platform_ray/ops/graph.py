@@ -35,7 +35,7 @@ import ray.data as rd
 
 from ..functions.textscan import flat_finditer
 from .dedup import dup_clusters_distributed
-from .relational import auto_group_agg
+from .relational import _hash_labels, auto_group_agg, bucketed_hash_join
 
 
 def connected_components(
@@ -359,3 +359,143 @@ def extract_host_links(
         partials, ["src_host", "dst_host"], {"n_links": ("n", "sum")}, finish=finish
     )
     return out
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_shards: int = 64,
+    deg_threshold_rows: int = 2_000_000,
+) -> int:
+    """Exact triangle count of the undirected simple graph induced by
+    ``edges``: self-loops drop, duplicate and reversed edges collapse.
+    The classic link-graph cohesion statistic (clustering coefficient's
+    numerator) next to `pagerank`/`hits`; node ids must be orderable.
+
+    Degree-oriented node-iterator (Schank & Wagner 2005): each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher, bounding every vertex's out-neighborhood by O(sqrt(m))
+    — the skew control that keeps the wedge self-join safe on power-law
+    web graphs where a hub's raw neighborhood is corpus-sized.
+
+    Scale shape: ONE tuple-hash exchange dedupes the canonical edge
+    list (in-batch drop_duplicates combiner first); degrees come from a
+    (node, n) combiner into the size-aware finish (`auto_group_agg` —
+    driver+broadcast when the node table is dim-sized, bucketed degree
+    joins past the probe); wedges are generated per u-shard with a
+    vectorized self-merge (per-shard transient memory is the shard's
+    wedge count, <= m*sqrt(m)/n_shards after orientation) and
+    pre-counted per closing pair (the combiner), and the closing-edge
+    check is one bucketed inner join against the edge set on the
+    canonical pair.  Only scalar partial sums land on the driver.  The
+    edge projection (two id columns) is materialized once because three
+    passes consume it (degrees, wedges, closing join)."""
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, d = b[src_col].to_numpy(), b[dst_col].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        out = pd.DataFrame(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d)}
+        ).drop_duplicates()
+        out["__shard"] = _hash_labels(out, ["a", "b"], n_shards).astype("int64")
+        return out
+
+    e = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas"
+        )
+        .materialize()
+    )
+    if e.count() == 0:
+        # an empty Dataset has no schema — the joins below can't plan
+        return 0
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([b["a"], b["b"]], ignore_index=True).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    deg = auto_group_agg(
+        e.map_batches(deg_partial, batch_format="pandas"),
+        ["node"],
+        {"deg": ("n", "sum")},
+        driver_threshold_rows=deg_threshold_rows,
+        n_shards=n_shards,
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            out = pd.DataFrame({"u": b["a"], "v": b["b"]})
+        else:
+            a_first = (b["da"].to_numpy() < b["db"].to_numpy()) | (
+                (b["da"].to_numpy() == b["db"].to_numpy())
+                & (b["a"].to_numpy() < b["b"].to_numpy())
+            )
+            out = pd.DataFrame(
+                {
+                    "u": np.where(a_first, b["a"], b["b"]),
+                    "v": np.where(a_first, b["b"], b["a"]),
+                }
+            )
+        out["__shard"] = _hash_labels(out, ["u"], n_shards).astype("int64")
+        return out
+
+    if isinstance(deg, pd.DataFrame):
+        # dim-sized node table: broadcast once, degree lookup map-side
+        dref = ray.put(deg.set_index("node")["deg"])
+
+        def add_deg(b: pd.DataFrame, _dref=dref) -> pd.DataFrame:
+            dm = ray.get(_dref)
+            out = b.copy()
+            out["da"] = b["a"].map(dm).to_numpy()
+            out["db"] = b["b"].map(dm).to_numpy()
+            return orient(out)
+
+        oriented = e.map_batches(add_deg, batch_format="pandas")
+    else:
+        da = deg.map_batches(
+            lambda b: b.rename(columns={"node": "a", "deg": "da"}),
+            batch_format="pandas",
+        )
+        db = deg.map_batches(
+            lambda b: b.rename(columns={"node": "b", "deg": "db"}),
+            batch_format="pandas",
+        )
+        j = bucketed_hash_join(e, da, on="a", n_buckets=n_shards)
+        j = bucketed_hash_join(j, db, on="b", n_buckets=n_shards)
+        oriented = j.map_batches(orient, batch_format="pandas")
+
+    def wedge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[["u", "v"]]
+        m = f.merge(f, on="u")
+        m = m[m["v_x"].to_numpy() < m["v_y"].to_numpy()]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=f["v"].dtype),
+                    "b": pd.Series([], dtype=f["v"].dtype),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        # v_x < v_y is already the canonical (min, max) id order of E
+        out = (
+            pd.DataFrame({"a": m["v_x"].to_numpy(), "b": m["v_y"].to_numpy()})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    wedges = oriented.groupby("__shard").map_groups(
+        wedge_counts, batch_format="pandas"
+    )
+    closed = bucketed_hash_join(wedges, e, on=["a", "b"], n_buckets=n_shards)
+    parts = closed.map_batches(
+        lambda b: pd.DataFrame({"s": [np.int64(b["n"].sum()) if len(b) else np.int64(0)]}),
+        batch_format="pandas",
+    ).to_pandas()
+    return int(parts["s"].sum()) if len(parts) else 0

@@ -3388,6 +3388,32 @@ def q_link_hits(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_link_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over a synthesized doc link graph
+    (`ops/graph.triangle_count` — degree-oriented wedge join: Schank &
+    Wagner 2005; the clustering-coefficient numerator next to
+    pagerank/hits).  The ring-with-chords graph (i -> i+1, i -> i+2 mod
+    1000) closes one triangle per consecutive residue triple; edge
+    synthesis is pure integer arithmetic so the oracle mirrors it
+    exactly.  Full SQL three-way self-join oracle in
+    TestTailQueryOracles."""
+    from ..ops.graph import triangle_count
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy() % 1000
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids, ids]),
+                "dst": np.concatenate([(ids + 1) % 1000, (ids + 2) % 1000]),
+            }
+        )
+
+    n = triangle_count(docs.map_batches(links, batch_format="pandas"))
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5194,6 +5220,8 @@ QUERIES = {
     # no-oracle (float power iteration; numpy-reference rtol in TestHits,
     # L2 norms + top authority asserted in-query)
     "link_hits": q_link_hits,
+    # round-4 session-7 tail additions (SQL-oracled in TestTailQueryOracles)
+    "link_triangles": q_link_triangles,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6648,3 +6676,22 @@ ORACLE_SQL = {
 # the indexed route is bit-identical to the full scan (TestBm25Index), so
 # it carries the same oracle text
 ORACLE_SQL["bm25_indexed_top10"] = ORACLE_SQL["bm25_top10"]
+
+# Triangle count: the edge synthesis (ring + chords mod 1000) is integer
+# arithmetic, so the canonical-distinct edge set and the three-way
+# self-join mirror ops/graph.triangle_count exactly — for triangle
+# {x<y<z} the join picks e1=(x,y), e2=(x,z), e3=(y,z) exactly once.
+ORACLE_SQL["link_triangles"] = (
+    "WITH links AS ("
+    "SELECT doc_id % 1000 AS src, (doc_id + 1) % 1000 AS dst FROM documents "
+    "UNION ALL "
+    "SELECT doc_id % 1000, (doc_id + 2) % 1000 FROM documents"
+    "), e AS ("
+    "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM links WHERE src <> dst"
+    ") "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+)

@@ -1707,6 +1707,7 @@ class TestTailQueryOracles:
             "tpch_q21_waiting_suppliers",
             "bm25_indexed_top10",
             "event_funnel",
+            "link_triangles",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

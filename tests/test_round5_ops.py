@@ -1231,3 +1231,90 @@ class TestBloomFileIndex:
         # drops columns — the probe_head contract — so assert on schema)
         assert miss_ds.count() == 0
         assert miss_ds.schema().names == ["u"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCount:
+    """Round-4 session-7: exact triangle counting (ops/graph.py::
+    triangle_count, degree-oriented wedge join)."""
+
+    @staticmethod
+    def _brute(pairs) -> int:
+        E = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+        adj: dict = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        # per-edge common neighbors sums each triangle three times
+        return sum(len(adj[a] & adj[b]) for a, b in E) // 3
+
+    def _pairs(self, n_nodes=40, n_edges=300, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        # reversed duplicates + self loops must collapse / drop
+        return pairs + [(d, s) for s, d in pairs[:50]] + [(5, 5), (7, 7)]
+
+    def test_matches_brute_force_both_degree_routes(self):
+        from ocr_platform_ray.ops.graph import triangle_count
+
+        pairs = self._pairs()
+        want = self._brute(pairs)
+        ds = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"]))
+        assert triangle_count(ds) == want  # broadcast-degree route
+        # force the bucketed-degree-join route past the probe
+        assert triangle_count(ds, deg_threshold_rows=3) == want
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.graph import triangle_count
+
+        pairs = self._pairs(seed=11)
+        want = self._brute(pairs)
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        for nb in (1, 7, 23):
+            assert triangle_count(rd.from_pandas(df).repartition(nb)) == want
+
+    def test_known_graphs_and_string_ids(self):
+        import itertools
+
+        from ocr_platform_ray.ops.graph import triangle_count
+
+        k4 = pd.DataFrame(
+            list(itertools.combinations(range(4), 2)), columns=["src", "dst"]
+        )
+        assert triangle_count(rd.from_pandas(k4)) == 4
+        ring = pd.DataFrame(
+            {"src": list(range(6)) * 2,
+             "dst": [(i + 1) % 6 for i in range(6)] + [(i + 2) % 6 for i in range(6)]}
+        )
+        # 6 consecutive-triple triangles + the two all-chord triangles
+        # (0-2-4 and 1-3-5)
+        assert triangle_count(rd.from_pandas(ring)) == 8
+        pairs = self._pairs(seed=3)
+        sp = pd.DataFrame(
+            [("h%d" % s, "h%d" % d) for s, d in pairs], columns=["src", "dst"]
+        )
+        assert triangle_count(rd.from_pandas(sp).repartition(5)) == self._brute(pairs)
+
+    def test_empty_and_triangle_free(self):
+        from ocr_platform_ray.ops.graph import triangle_count
+
+        emp = rd.from_pandas(
+            pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"),
+                 "dst": pd.Series([], dtype="int64")}
+            )
+        )
+        assert triangle_count(emp) == 0
+        # self-loops only
+        sl = rd.from_pandas(pd.DataFrame({"src": [1, 2, 3], "dst": [1, 2, 3]}))
+        assert triangle_count(sl) == 0
+        # a tree (star) has no triangles
+        star = rd.from_pandas(
+            pd.DataFrame({"src": [0] * 8, "dst": list(range(1, 9))})
+        )
+        assert triangle_count(star) == 0
