@@ -3414,6 +3414,43 @@ def q_link_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 
+def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
+    """JSONL source + sink roundtrip (`sources/jsonl.py` — the LLM-data
+    interchange format next to parquet/WARC): documents write to
+    gzipped JSONL shards (one per block, content-keyed idempotent
+    names, atomic publish) and read back through pyarrow's NDJSON
+    parser; the per-source doc-count / char-sum aggregate over the
+    ROUNDTRIPPED data must equal SQL over the original parquet — the
+    oracle checks write+read fidelity, not just the reduce.  Full SQL
+    oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.jsonl import read_jsonl, write_jsonl_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory(prefix="jsonl_docs_") as td:
+        files = write_jsonl_dataset(docs, td, compress=True)
+        assert files, "JSONL sink wrote no shards"
+        back = read_jsonl(files, columns=["text", "source"])
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("source", as_index=False)
+            .agg(n_docs=("l", "size"), sum_len=("l", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["source"],
+            {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_len"] = out["sum_len"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5222,6 +5259,7 @@ QUERIES = {
     "link_hits": q_link_hits,
     # round-4 session-7 tail additions (SQL-oracled in TestTailQueryOracles)
     "link_triangles": q_link_triangles,
+    "jsonl_docs": q_jsonl_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6694,4 +6732,13 @@ ORACLE_SQL["link_triangles"] = (
     "FROM e e1 "
     "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
     "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+)
+
+# JSONL roundtrip: the aggregate runs over write->read roundtripped data,
+# the oracle over the original parquet — equality proves sink+source
+# fidelity (length() and pandas str.len both count code points).
+ORACLE_SQL["jsonl_docs"] = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len "
+    "FROM documents GROUP BY source"
 )

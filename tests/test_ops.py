@@ -1708,6 +1708,7 @@ class TestTailQueryOracles:
             "bm25_indexed_top10",
             "event_funnel",
             "link_triangles",
+            "jsonl_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -1318,3 +1318,77 @@ class TestTriangleCount:
             pd.DataFrame({"src": [0] * 8, "dst": list(range(1, 9))})
         )
         assert triangle_count(star) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlSource:
+    """Round-4 session-7: JSONL source + sink (sources/jsonl.py)."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype="int64"),
+                "text": [
+                    "plain", "héllo wörld", "line\nbreak\ttab",
+                    None, 'quotes "and" \\slashes\\', "emoji ☕",
+                ],
+                "score": [1.5, 2.0, -0.25, 0.0, 3.75, 1e-3],
+                "tags": [["a", "b"], [], ["c"], ["d", "e", "f"], [], ["g"]],
+            }
+        )
+
+    def test_roundtrip_values_exact(self, tmp_path):
+        from ocr_platform_ray.sources.jsonl import read_jsonl, write_jsonl_dataset
+
+        df = self._df()
+        files = write_jsonl_dataset(
+            rd.from_pandas(df).repartition(3), str(tmp_path)
+        )
+        assert len(files) == 3
+        back = (
+            read_jsonl(files)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = df.copy()
+        want["tags"] = want["tags"].map(list)
+        back["tags"] = back["tags"].map(list)
+        pd.testing.assert_frame_equal(back[want.columns.tolist()], want)
+
+    def test_gzip_equals_plain_and_idempotent(self, tmp_path):
+        from ocr_platform_ray.sources.jsonl import read_jsonl, write_jsonl_dataset
+
+        df = self._df()
+        d1, d2 = str(tmp_path / "gz"), str(tmp_path / "plain")
+        f_gz = write_jsonl_dataset(rd.from_pandas(df), d1, compress=True)
+        f_pl = write_jsonl_dataset(rd.from_pandas(df), d2)
+        assert all(p.endswith(".jsonl.gz") for p in f_gz)
+        a = read_jsonl(f_gz).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = read_jsonl(f_pl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        a["tags"], b["tags"] = a["tags"].map(list), b["tags"].map(list)
+        pd.testing.assert_frame_equal(a, b)
+        # idempotent rerun: same names, same bytes
+        import hashlib, os
+        before = {
+            p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in f_gz
+        }
+        f_again = write_jsonl_dataset(rd.from_pandas(df), d1, compress=True)
+        assert f_again == f_gz
+        assert sorted(os.listdir(d1)) == sorted(os.path.basename(p) for p in f_gz)
+        after = {
+            p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in f_gz
+        }
+        assert before == after
+
+    def test_columns_projection_and_empty_block(self, tmp_path):
+        from ocr_platform_ray.sources.jsonl import read_jsonl, write_jsonl_dataset
+
+        df = self._df()
+        files = write_jsonl_dataset(rd.from_pandas(df), str(tmp_path))
+        back = read_jsonl(files, columns=["doc_id", "score"])
+        assert back.schema().names == ["doc_id", "score"]
+        assert back.count() == len(df)
+        # an empty Dataset writes no shards and doesn't crash
+        empty = rd.from_pandas(df.head(0))
+        assert write_jsonl_dataset(empty, str(tmp_path / "e")) == []
