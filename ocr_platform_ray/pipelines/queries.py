@@ -3451,6 +3451,51 @@ def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate removal (`ops/boilerplate.extract_main_content` —
+    the jusText/boilerpipe block classifier between crawl HTML and
+    document text; map-only Arrow RE2 kernels): documents wrap into
+    synthesized pages (link-dense nav + one escaped ``<p>`` content
+    block + footer), the extractor must drop exactly the chrome and
+    return the text intact — so kept-block counts and main-text word
+    counts are pure functions of the raw text the SQL oracle mirrors.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.boilerplate import extract_main_content
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def pagegen(b: pd.DataFrame) -> pd.DataFrame:
+        esc = (
+            b["text"]
+            .fillna("")
+            .str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+        )
+        html = (
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a>'
+            ' <a href="/c">Contact</a></nav><p>'
+            + esc
+            + '</p><footer>© 2024 <a href="/t">Terms</a></footer></body></html>'
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
+
+    pages = docs.map_batches(pagegen, batch_format="pandas")
+    out = extract_main_content(pages).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_blocks_kept": b["n_blocks_kept"].astype("int64"),
+                "main_words": b["main_text"]
+                .str.count(r"\S+")
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5260,6 +5305,7 @@ QUERIES = {
     # round-4 session-7 tail additions (SQL-oracled in TestTailQueryOracles)
     "link_triangles": q_link_triangles,
     "jsonl_docs": q_jsonl_docs,
+    "main_content_docs": q_main_content_docs,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6741,4 +6787,18 @@ ORACLE_SQL["jsonl_docs"] = (
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len "
     "FROM documents GROUP BY source"
+)
+
+# Main-content extraction: the synthesized page's chrome (3-word nav at
+# link density ~1, footer likewise) always fails the block rule and the
+# escaped one-paragraph content block roundtrips exactly, so kept-block
+# count and main-text words are pure functions of the raw text.
+ORACLE_SQL["main_content_docs"] = (
+    "WITH w AS (SELECT doc_id, CAST(len(list_filter("
+    "regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '')) "
+    "AS BIGINT) AS tw FROM documents) "
+    "SELECT doc_id, "
+    "CAST(CASE WHEN tw >= 10 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks_kept, "
+    "CAST(CASE WHEN tw >= 10 THEN tw ELSE 0 END AS BIGINT) AS main_words "
+    "FROM w"
 )

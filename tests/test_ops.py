@@ -1709,6 +1709,7 @@ class TestTailQueryOracles:
             "event_funnel",
             "link_triangles",
             "jsonl_docs",
+            "main_content_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

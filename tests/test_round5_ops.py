@@ -1392,3 +1392,138 @@ class TestJsonlSource:
         # an empty Dataset writes no shards and doesn't crash
         empty = rd.from_pandas(df.head(0))
         assert write_jsonl_dataset(empty, str(tmp_path / "e")) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBoilerplate:
+    """Round-4 session-7: HTML main-content extraction
+    (ops/boilerplate.py — jusText/boilerpipe block rule)."""
+
+    @staticmethod
+    def _naive(html, min_words=10, mld=0.33):
+        """Independent Python-re mirror of the published rule."""
+        import re as _re
+
+        from ocr_platform_ray.ops.boilerplate import _ENTITIES
+
+        if html is None:
+            html = ""
+        if isinstance(html, (bytes, bytearray)):
+            html = html.decode("utf-8")
+        for pat, fl in (
+            (r"<script\b[^>]*>.*?</script>", _re.I | _re.S),
+            (r"<style\b[^>]*>.*?</style>", _re.I | _re.S),
+            (r"<!--.*?-->", _re.S),
+        ):
+            html = _re.sub(pat, " ", html, flags=fl)
+        block_tag = _re.compile(
+            r"</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section"
+            r"|article|header|footer|nav|aside|blockquote|pre|form|main)"
+            r"\b[^>]*>|<br\s*/?>",
+            _re.I,
+        )
+
+        def strip(s):
+            s = _re.sub(r"<[^>]*>", " ", s, flags=_re.S)
+            for ent, rep in _ENTITIES:
+                s = s.replace(ent, rep)
+            return _re.sub(r"\s+", " ", s).strip()
+
+        kept, nb = [], 0
+        for blk in block_tag.split(html):
+            t = strip(blk)
+            la = len(t)
+            noa = strip(
+                _re.sub(r"<a\b[^>]*>.*?</a>", " ", blk, flags=_re.I | _re.S)
+            )
+            ld = max(la - len(noa), 0) / max(la, 1)
+            w = len(_re.findall(r"\S+", t))
+            if la > 0:
+                nb += 1
+                if w >= min_words and ld <= mld:
+                    kept.append(t)
+        return "\n\n".join(kept), nb, len(kept)
+
+    def _corpus(self, n=30, seed=13):
+        import random
+
+        rng = random.Random(seed)
+        chrome = [
+            '<nav><a href="/">Home</a> <a href="/x">Docs</a> <a href="/y">Blog</a></nav>',
+            '<footer>© 2024 Example <a href="/tos">Terms</a></footer>',
+            '<ul><li><a href="/1">one</a></li><li><a href="/2">two</a></li></ul>',
+            "<header><h1>Site</h1></header>",
+        ]
+        prose = [
+            "<p>The quick brown fox jumps over the lazy dog while fifteen "
+            "other animals watch from a distance in the golden meadow.</p>",
+            "<div>Genuine article content with an inline <a href=\"/ref\">"
+            "citation link</a> embedded inside a long enough paragraph to "
+            "stay well under the link density ceiling overall.</div>",
+            "<p>Entities like &amp; and &lt;tags&gt; and &quot;quotes&quot; "
+            "appear here together with plenty of ordinary filler words to "
+            "pass the minimum.</p>",
+            "<p>Short.</p>",
+            '<script>var nav = "<p>fake block inside script</p>";</script>',
+            "<!-- hidden comment with many many words that must never be "
+            "counted as content here -->",
+        ]
+        pages = []
+        for i in range(n):
+            parts = [rng.choice(chrome) for _ in range(rng.randrange(3))]
+            parts += [rng.choice(prose) for _ in range(rng.randrange(1, 4))]
+            rng.shuffle(parts)
+            pages.append("<html><body>" + "".join(parts) + "</body></html>")
+        pages.append(None)
+        pages.append("")
+        return pd.DataFrame(
+            {"pid": np.arange(len(pages), dtype="int64"), "html": pages}
+        )
+
+    def test_matches_naive_reference_and_blocks(self):
+        from ocr_platform_ray.ops.boilerplate import extract_main_content
+
+        df = self._corpus()
+        want = [self._naive(h) for h in df["html"]]
+        for nb in (1, 5):
+            got = (
+                extract_main_content(rd.from_pandas(df).repartition(nb))
+                .to_pandas()
+                .sort_values("pid")
+                .reset_index(drop=True)
+            )
+            assert got["main_text"].tolist() == [w[0] for w in want]
+            assert got["n_blocks"].tolist() == [w[1] for w in want]
+            assert got["n_blocks_kept"].tolist() == [w[2] for w in want]
+
+    def test_chrome_dropped_content_kept(self):
+        from ocr_platform_ray.ops.boilerplate import extract_main_content
+
+        df = self._corpus(n=12, seed=4)
+        got = extract_main_content(rd.from_pandas(df)).to_pandas()
+        joined = "\n".join(got["main_text"])
+        assert "Home" not in joined and "Terms" not in joined
+        assert "fake block inside script" not in joined
+        assert "hidden comment" not in joined
+        assert "quick brown fox" in joined
+        # the inline-citation paragraph survives (low link density)
+        assert "citation link" in joined
+
+    def test_bytes_html_and_params(self):
+        from ocr_platform_ray.ops.boilerplate import extract_main_content
+
+        df = self._corpus(n=8, seed=9).dropna().reset_index(drop=True)
+        raw = df.copy()
+        df["html"] = df["html"].str.encode("utf-8")
+        got_b = extract_main_content(rd.from_pandas(df)).to_pandas()
+        got_s = extract_main_content(rd.from_pandas(raw)).to_pandas()
+        assert got_b["main_text"].tolist() == got_s["main_text"].tolist()
+        # min_words=1, mld=1.0 keeps every non-empty block
+        loose = extract_main_content(
+            rd.from_pandas(raw), min_words=1, max_link_density=1.0
+        ).to_pandas()
+        assert (loose["n_blocks_kept"] == loose["n_blocks"]).all()
+        with pytest.raises(ValueError, match="min_words"):
+            extract_main_content(rd.from_pandas(raw), min_words=0)
+        with pytest.raises(ValueError, match="link_density"):
+            extract_main_content(rd.from_pandas(raw), max_link_density=1.5)
