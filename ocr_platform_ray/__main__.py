@@ -152,6 +152,11 @@ def main(argv: list[str] | None = None) -> int:
     iw.add_argument("--state", required=True)
     iw.add_argument("--ingest-id", required=True)
     iw.add_argument("--dedup", choices=["exact", "minhash"], default="exact")
+    iw.add_argument(
+        "--extractor", choices=["flagship", "main_content"], default="flagship",
+        help="flagship = multi-page byte-identical extraction; "
+        "main_content = raw-HTML boilerplate removal (one capture = one doc)",
+    )
 
     cp = sub.add_parser(
         "compact",
@@ -315,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
             res = ingest_crawl_increment(
                 args.warc, args.corpus, args.state,
                 ingest_id=args.ingest_id, dedup=args.dedup,
+                extractor=args.extractor,
             )
             print(json.dumps(res))
         elif args.cmd == "compact":

@@ -29,10 +29,13 @@ import glob
 import os
 import shutil
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 from ..schemas import DOC_OUT_SCHEMA
+from ..ops.boilerplate import extract_main_content
 from ..ops.incremental import (
     committed_ingests,
     incremental_exact_dedup,
@@ -40,6 +43,32 @@ from ..ops.incremental import (
 )
 from ..sources.warc import read_warc
 from .extraction import extraction_pipeline
+
+
+def _main_content_docs(pages: rd.Dataset) -> rd.Dataset:
+    """Raw-HTML crawl route: one WARC response = one single-page document
+    (the Common-Crawl capture model); boilerplate drops via
+    `ops/boilerplate.extract_main_content` and the result lands in the
+    same DOC_OUT_SCHEMA as the flagship extractor, so dedup, the corpus
+    layout and `read_corpus` are route-independent.  Multi-page urls
+    belong to the flagship route (it reassembles by url)."""
+    ext = extract_main_content(pages, html_col="html")
+
+    def to_docs(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["main_text"].fillna("")
+        return pd.DataFrame(
+            {
+                "url": b["url"],
+                "extracted_text": txt,
+                "n_pages": np.int64(1),
+                "total_words": txt.str.count(r"\S+").astype("int64"),
+                "page_numbers": [[1]] * len(b),
+                "n_failed_pages": np.int64(0),
+                "page_offsets": [[0]] * len(b),
+            }
+        )
+
+    return ext.map_batches(to_docs, batch_format="pandas")
 
 
 def _ingest_out_dir(corpus_dir: str, ingest_id: str) -> str:
@@ -54,6 +83,7 @@ def ingest_crawl_increment(
     ingest_id: str,
     dedup: str = "exact",
     minhash_threshold: float = 0.8,
+    extractor: str = "flagship",
 ) -> dict:
     """Process one crawl increment end to end; returns a summary dict
     ``{"ingest_id", "n_docs", "n_survivors", "out_dir", "replayed"}``.
@@ -61,7 +91,13 @@ def ingest_crawl_increment(
     ``dedup="exact"`` drops documents whose extracted text already
     exists in ANY committed increment (or earlier in this one);
     ``"minhash"`` additionally blocks near-duplicates (banded MinHash
-    vs the persisted band-bucket state)."""
+    vs the persisted band-bucket state).
+
+    ``extractor="flagship"`` runs the byte-identical multi-page
+    extraction pipeline (the engine's native page markup);
+    ``"main_content"`` treats each response as one raw-HTML capture and
+    extracts its main content through the jusText/boilerpipe block rule
+    (`ops/boilerplate.py`) — the Common-Crawl-shaped route."""
     out_dir = _ingest_out_dir(corpus_dir, ingest_id)
     already = ingest_id in committed_ingests(state_dir)
     # the partition directory is published by ONE atomic rename below,
@@ -80,6 +116,10 @@ def ingest_crawl_increment(
 
     if dedup not in ("exact", "minhash"):
         raise ValueError(f"dedup must be 'exact' or 'minhash', got {dedup!r}")
+    if extractor not in ("flagship", "main_content"):
+        raise ValueError(
+            f"extractor must be 'flagship' or 'main_content', got {extractor!r}"
+        )
     if already:
         # crash hit between the dedup commit and the corpus write: the
         # dedup replay is a pure read of the committed survivors
@@ -87,7 +127,14 @@ def ingest_crawl_increment(
         docs = rd.from_items([{"url": "", "extracted_text": ""}])
         n_docs = None
     else:
-        docs = extraction_pipeline(read_warc(warc_paths))
+        if extractor == "flagship":
+            docs = extraction_pipeline(read_warc(warc_paths))
+        else:
+            # revisit records carry no payload — the raw-HTML route
+            # reads responses only
+            docs = _main_content_docs(
+                read_warc(warc_paths, record_types=("response",))
+            )
         # consumed by dedup AND (via survivors) the write: pin once so
         # the WARC parse + extraction doesn't re-execute per consumer
         docs = docs.materialize()

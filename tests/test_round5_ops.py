@@ -1527,3 +1527,92 @@ class TestBoilerplate:
             extract_main_content(rd.from_pandas(raw), min_words=0)
         with pytest.raises(ValueError, match="link_density"):
             extract_main_content(rd.from_pandas(raw), max_link_density=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlMainContent:
+    """Round-4 session-7: raw-HTML crawl route (extractor="main_content"
+    in pipelines/crawl.ingest_crawl_increment)."""
+
+    _PROSE = (
+        "Paragraph number {i} of genuine page prose, long enough to clear "
+        "the ten word minimum for a content block easily."
+    )
+
+    def _warc_html(self, tmp_path, name, idxs):
+        import datetime
+
+        import pyarrow as pa
+
+        from ocr_platform_ray.schemas import PAGES_SCHEMA
+        from ocr_platform_ray.sources.warc import write_pages_warc
+
+        rows = []
+        for i in idxs:
+            html = (
+                '<html><body><nav><a href="/">Home</a> <a href="/a">About</a>'
+                ' <a href="/c">More</a></nav>'
+                f"<p>{self._PROSE.format(i=i)}</p>"
+                '<footer>© 2024 <a href="/t">Terms</a></footer></body></html>'
+            )
+            rows.append(
+                {
+                    "url": f"https://site.example/page/{i}",
+                    "warc_ts": datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+                    "html": html.encode("utf-8"),
+                    "text": "",
+                    "lang": "en",
+                }
+            )
+        cols = {n: [r[n] for r in rows] for n in PAGES_SCHEMA.names}
+        t = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+        return write_pages_warc(str(tmp_path / name), t, urls_per_shard=3)
+
+    def test_ingest_extracts_main_content_and_dedups(self, tmp_path):
+        from ocr_platform_ray.pipelines.crawl import (
+            ingest_crawl_increment,
+            read_corpus,
+        )
+
+        corpus, state = str(tmp_path / "c"), str(tmp_path / "s")
+        day1 = self._warc_html(tmp_path, "w1", range(0, 8))
+        r1 = ingest_crawl_increment(
+            day1, corpus, state, ingest_id="d1", extractor="main_content"
+        )
+        assert r1["n_docs"] == 8 and r1["n_survivors"] == 8
+        docs = read_corpus(corpus).to_pandas().sort_values("url")
+        # chrome dropped, prose intact, DOC_OUT invariants hold
+        assert (docs["extracted_text"].str.contains("genuine page prose")).all()
+        joined = "\n".join(docs["extracted_text"])
+        assert "Home" not in joined and "Terms" not in joined
+        assert (docs["n_pages"] == 1).all()
+        assert (
+            docs["total_words"]
+            == docs["extracted_text"].str.count(r"\S+")
+        ).all()
+
+        # day2 recrawls 4-7 (identical prose) + 4 new pages: the
+        # recrawls dedup against day1's committed state
+        day2 = self._warc_html(tmp_path, "w2", range(4, 12))
+        r2 = ingest_crawl_increment(
+            day2, corpus, state, ingest_id="d2", extractor="main_content"
+        )
+        assert r2["n_docs"] == 8 and r2["n_survivors"] == 4
+        total = read_corpus(corpus).to_pandas()
+        assert len(total) == 12 and total["url"].is_unique
+
+        # replay is a pure read
+        r1b = ingest_crawl_increment(
+            day1, corpus, state, ingest_id="d1", extractor="main_content"
+        )
+        assert r1b["replayed"] and r1b["n_survivors"] == 8
+
+    def test_bad_extractor(self, tmp_path):
+        from ocr_platform_ray.pipelines.crawl import ingest_crawl_increment
+
+        day1 = self._warc_html(tmp_path, "w1", range(0, 2))
+        with pytest.raises(ValueError, match="extractor"):
+            ingest_crawl_increment(
+                day1, str(tmp_path / "c"), str(tmp_path / "s"),
+                ingest_id="x", extractor="nope",
+            )
