@@ -3496,6 +3496,42 @@ def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_incremental_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Incremental aggregate maintenance (`ops/aggstate.py` — the
+    materialized-view upkeep of a continuously-ingested corpus): events
+    arrive as TWO increments (split by event_id parity) folded into a
+    persisted per-type aggregate table; one increment replays to prove
+    the exactly-once guard; the final table must equal one plain GROUP
+    BY over all events — which is exactly the SQL oracle.  Sums use
+    integer cents (the exact-hash contract).  Full SQL oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.aggstate import incremental_agg_into, read_agg_target
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: b.assign(value_c=_cents(b["value"])), batch_format="pandas"
+    )
+    aggs = {
+        "n_events": ("event_id", "count"),
+        "sum_value_c": ("value_c", "sum"),
+        "min_event_id": ("event_id", "min"),
+        "max_event_id": ("event_id", "max"),
+    }
+    with tempfile.TemporaryDirectory(prefix="aggstate_q_") as td:
+        inc1 = ev.filter(lambda r: r["event_id"] % 2 == 0)
+        inc2 = ev.filter(lambda r: r["event_id"] % 2 == 1)
+        incremental_agg_into(td, inc1, ["event_type"], aggs, ingest_id="inc1")
+        incremental_agg_into(td, inc2, ["event_type"], aggs, ingest_id="inc2")
+        # exactly-once: replaying a committed ingest changes nothing
+        rep = incremental_agg_into(td, inc1, ["event_type"], aggs, ingest_id="inc1")
+        assert (rep["status"] == "skipped").all(), "replay must be a no-op"
+        out = read_agg_target(td).to_pandas()
+    out["sum_value"] = out["sum_value_c"].astype("float64") / 100.0
+    out = out.drop(columns="sum_value_c")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5306,6 +5342,7 @@ QUERIES = {
     "link_triangles": q_link_triangles,
     "jsonl_docs": q_jsonl_docs,
     "main_content_docs": q_main_content_docs,
+    "incremental_event_stats": q_incremental_event_stats,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6801,4 +6838,17 @@ ORACLE_SQL["main_content_docs"] = (
     "CAST(CASE WHEN tw >= 10 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks_kept, "
     "CAST(CASE WHEN tw >= 10 THEN tw ELSE 0 END AS BIGINT) AS main_words "
     "FROM w"
+)
+
+# Incremental aggregate maintenance: after both increments fold in, the
+# persisted table must equal one plain GROUP BY over all events (cents
+# mirror for the money sum).
+ORACLE_SQL["incremental_event_stats"] = (
+    "SELECT event_type, "
+    "CAST(COUNT(event_id) AS BIGINT) AS n_events, "
+    "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
+    "CAST(MAX(event_id) AS BIGINT) AS max_event_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+    "AS sum_value "
+    "FROM events GROUP BY event_type"
 )

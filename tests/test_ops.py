@@ -1710,6 +1710,7 @@ class TestTailQueryOracles:
             "link_triangles",
             "jsonl_docs",
             "main_content_docs",
+            "incremental_event_stats",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

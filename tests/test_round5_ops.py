@@ -1616,3 +1616,124 @@ class TestCrawlMainContent:
                 day1, str(tmp_path / "c"), str(tmp_path / "s"),
                 ingest_id="x", extractor="nope",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalAgg:
+    """Round-4 session-7: incremental aggregate maintenance
+    (ops/aggstate.py — partition-atomic exactly-once fold)."""
+
+    def _events(self, lo, hi, seed=3):
+        rng = np.random.RandomState(seed)
+        n = hi - lo
+        return pd.DataFrame(
+            {
+                "k": [f"type{(i * 7) % 5}" for i in range(lo, hi)],
+                "sub": np.arange(lo, hi, dtype="int64") % 3,
+                "v": rng.randint(0, 1000, n).astype("int64"),
+                "eid": np.arange(lo, hi, dtype="int64"),
+            }
+        )
+
+    _AGGS = {
+        "n": ("eid", "count"),
+        "sv": ("v", "sum"),
+        "mn": ("v", "min"),
+        "mx": ("v", "max"),
+    }
+
+    def _truth(self, df, keys):
+        return (
+            df.groupby(keys, as_index=False)
+            .agg(n=("eid", "count"), sv=("v", "sum"), mn=("v", "min"), mx=("v", "max"))
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+
+    def _read(self, td, keys):
+        from ocr_platform_ray.ops.aggstate import read_agg_target
+
+        return (
+            read_agg_target(td)
+            .to_pandas()
+            .sort_values(keys)
+            .reset_index(drop=True)[[*keys, "n", "sv", "mn", "mx"]]
+        )
+
+    def test_increments_equal_one_shot_composite_keys(self, tmp_path):
+        from ocr_platform_ray.ops.aggstate import incremental_agg_into
+
+        td = str(tmp_path / "t")
+        d1, d2, d3 = self._events(0, 400), self._events(400, 650), self._events(650, 900)
+        keys = ["k", "sub"]
+        for i, d in enumerate((d1, d2, d3)):
+            rep = incremental_agg_into(
+                td, rd.from_pandas(d).repartition(3), keys, self._AGGS,
+                ingest_id=f"i{i}", n_partitions=8,
+            )
+            assert (rep["status"] == "applied").all()
+        want = self._truth(pd.concat([d1, d2, d3]), keys)
+        pd.testing.assert_frame_equal(self._read(td, keys), want, check_dtype=False)
+
+    def test_replay_skips_and_crash_window_converges(self, tmp_path):
+        import shutil
+
+        from ocr_platform_ray.ops.aggstate import incremental_agg_into
+
+        td = str(tmp_path / "t")
+        keys = ["k"]
+        d1, d2 = self._events(0, 300), self._events(300, 600)
+        incremental_agg_into(td, rd.from_pandas(d1), keys, self._AGGS,
+                             ingest_id="a", n_partitions=4)
+        snap = str(tmp_path / "snap")
+        shutil.copytree(td, snap)
+        incremental_agg_into(td, rd.from_pandas(d2), keys, self._AGGS,
+                             ingest_id="b")
+        done = self._read(td, keys)
+        # replay of a committed ingest: all partitions skip, table unchanged
+        rep = incremental_agg_into(td, rd.from_pandas(d2), keys, self._AGGS,
+                                   ingest_id="b")
+        assert (rep["status"] == "skipped").all()
+        pd.testing.assert_frame_equal(self._read(td, keys), done)
+        # crash mid-ingest b: one partition reverted to its pre-b bytes
+        # (the others keep b applied) — the rerun applies ONLY that one
+        import os
+        parts = sorted(p for p in os.listdir(td) if p.startswith("part_"))
+        shutil.copy(os.path.join(snap, parts[0]), os.path.join(td, parts[0]))
+        rep2 = incremental_agg_into(td, rd.from_pandas(d2), keys, self._AGGS,
+                                    ingest_id="b")
+        by = dict(zip(rep2["partition"].astype(int), rep2["status"]))
+        assert by[int(parts[0].split("_")[1].split(".")[0])] == "applied"
+        assert list(rep2["status"]).count("applied") == 1
+        pd.testing.assert_frame_equal(self._read(td, keys), done)
+        want = self._truth(pd.concat([d1, d2]), keys)
+        pd.testing.assert_frame_equal(done, want, check_dtype=False)
+
+    def test_layout_pin_and_validation(self, tmp_path):
+        from ocr_platform_ray.ops.aggstate import (
+            incremental_agg_into,
+            read_agg_target,
+        )
+
+        td = str(tmp_path / "t")
+        d = self._events(0, 100)
+        incremental_agg_into(td, rd.from_pandas(d), ["k"], self._AGGS,
+                             ingest_id="a", n_partitions=4)
+        with pytest.raises(ValueError, match="keys"):
+            incremental_agg_into(td, rd.from_pandas(d), ["sub"], self._AGGS,
+                                 ingest_id="b")
+        with pytest.raises(ValueError, match="aggs"):
+            incremental_agg_into(td, rd.from_pandas(d), ["k"],
+                                 {"n": ("eid", "count")}, ingest_id="b")
+        # n_partitions pinned: a different request routes identically
+        rep = incremental_agg_into(td, rd.from_pandas(d), ["k"], self._AGGS,
+                                   ingest_id="a", n_partitions=64)
+        assert (rep["status"] == "skipped").all()
+        with pytest.raises(ValueError, match="mergeable"):
+            incremental_agg_into(td, rd.from_pandas(d), ["k"],
+                                 {"m": ("v", "median")}, ingest_id="c")
+        with pytest.raises(ValueError, match="ingest_id"):
+            incremental_agg_into(td, rd.from_pandas(d), ["k"], self._AGGS,
+                                 ingest_id="a/b")
+        with pytest.raises(ValueError, match="no partitions"):
+            read_agg_target(str(tmp_path / "nope"))
