@@ -3532,6 +3532,95 @@ def q_incremental_event_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_approx_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped HLL distinct-count (`ops/sketch.approx_distinct_by` —
+    per-batch register partials, one key-shard exchange, max-merge).
+    Rows-only (probabilistic estimate; error bounds pinned by the
+    round-3 sketch tests); the <= 5 % relative error vs the EXACT
+    per-group distinct (computed distributed, in-query) is asserted
+    here at p=12."""
+    from ..ops.relational import auto_group_agg
+    from ..ops.sketch import approx_distinct_by
+
+    from ..ops.relational import _hash_labels
+
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+    got = approx_distinct_by(ev, "event_type", "user_id")
+
+    # exact reference: distinct (type, user) pairs via one tuple-hash
+    # exchange (in-batch dedup combiner first), then a small count
+    def dedup_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.drop_duplicates().copy()
+        out["__shard"] = _hash_labels(out, ["event_type", "user_id"], 32).astype(
+            "int64"
+        )
+        return out
+
+    pairs = (
+        ev.map_batches(dedup_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: g[["event_type", "user_id"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda b: b.groupby("event_type", as_index=False).agg(
+                nu=("user_id", "size")
+            ),
+            batch_format="pandas",
+        )
+    )
+    exact = auto_group_agg(pairs, ["event_type"], {"nu": ("nu", "sum")})
+    if not isinstance(exact, pd.DataFrame):
+        exact = exact.to_pandas()
+    m = got.merge(exact, on="event_type")
+    rel = (m["approx_distinct"] - m["nu"]).abs() / m["nu"].clip(lower=1)
+    assert (rel <= 0.05).all(), f"HLL error above 5%: {m}"
+    got["approx_distinct"] = got["approx_distinct"].astype("int64")
+    return got
+
+
+def q_csv_events(sf_dir: str) -> pd.DataFrame:
+    """CSV source + sink roundtrip (`ray.data.write_csv`/`read_csv` —
+    the third interchange format next to parquet and JSONL): events
+    write to CSV shards and read back; the per-type count / cents-sum
+    aggregate over the ROUNDTRIPPED data must equal SQL over the
+    original parquet.  Full SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        # cents BEFORE the roundtrip: CSV is decimal text, so floats
+        # roundtrip exactly only as integers
+        lambda b: pd.DataFrame(
+            {"event_type": b["event_type"], "value_c": _cents(b["value"])}
+        ),
+        batch_format="pandas",
+    )
+    with tempfile.TemporaryDirectory(prefix="csv_events_") as td:
+        ev.write_csv(td)
+        back = rd.read_csv(td)
+        partials = back.map_batches(
+            lambda b: b.groupby("event_type", as_index=False).agg(
+                n_events=("value_c", "size"), sum_c=("value_c", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["event_type"],
+            {"n_events": ("n_events", "sum"), "sum_c": ("sum_c", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_c"].astype("float64") / 100.0
+    return (
+        out.drop(columns="sum_c").sort_values("event_type").reset_index(drop=True)
+    )
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5343,6 +5432,11 @@ QUERIES = {
     "jsonl_docs": q_jsonl_docs,
     "main_content_docs": q_main_content_docs,
     "incremental_event_stats": q_incremental_event_stats,
+    "csv_events": q_csv_events,
+    # rows-only (probabilistic HLL estimate; <=5% error vs the exact
+    # distributed distinct asserted in-query; bounds pinned by the
+    # round-3 sketch tests)
+    "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so
@@ -6848,6 +6942,15 @@ ORACLE_SQL["incremental_event_stats"] = (
     "CAST(COUNT(event_id) AS BIGINT) AS n_events, "
     "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
     "CAST(MAX(event_id) AS BIGINT) AS max_event_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+    "AS sum_value "
+    "FROM events GROUP BY event_type"
+)
+
+# CSV roundtrip: the aggregate runs over write->read roundtripped integer
+# cents, the oracle over the original parquet.
+ORACLE_SQL["csv_events"] = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
     "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
     "AS sum_value "
     "FROM events GROUP BY event_type"

@@ -1711,6 +1711,7 @@ class TestTailQueryOracles:
             "jsonl_docs",
             "main_content_docs",
             "incremental_event_stats",
+            "csv_events",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
