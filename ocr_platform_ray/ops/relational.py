@@ -1721,20 +1721,33 @@ def dataset_set_op(
     cols: list[str],
     op: str,
     *,
+    bag: bool = False,
     n_shards: int = 64,
 ) -> rd.Dataset:
-    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over
-    arbitrary column tuples.  Both sides project to ``cols`` and
-    dedupe IN BATCH (the combiner), a side tag rides a single
-    hash-shard exchange on the full tuple (both blocks carry the
+    """SQL ``INTERSECT`` / ``EXCEPT`` over arbitrary column tuples —
+    distinct set semantics by default, ``bag=True`` for the ``ALL``
+    (multiset) forms: intersect-all keeps min(count_a, count_b) copies
+    of each tuple, except-all keeps max(count_a - count_b, 0).
+
+    Both sides project to ``cols`` and collapse IN BATCH (the combiner
+    — distinct mode dedupes, bag mode pre-counts), a side tag rides a
+    single hash-shard exchange on the full tuple (both blocks carry the
     identical projected schema, so one-sided shards are safe), and each
-    shard resolves presence with one vectorized indicator merge."""
+    shard resolves presence with one vectorized indicator merge (counts
+    merge + np.repeat in bag mode)."""
     if op not in ("intersect", "except"):
         raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
 
     def prep(side: int):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[cols].drop_duplicates().copy()
+            if bag:
+                out = batch.groupby(cols, as_index=False).size().rename(
+                    columns={"size": "__n"}
+                )
+                out["__n"] = out["__n"].astype("int64")
+            else:
+                out = batch[cols].drop_duplicates().copy()
+                out["__n"] = np.int64(1)
             out["__side"] = np.int64(side)
             out["__shard"] = _hash_labels(out, cols, n_shards).astype("int64")
             return out
@@ -1742,11 +1755,17 @@ def dataset_set_op(
         return f
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, cols].drop_duplicates()
-        r = g.loc[g["__side"] == 1, cols].drop_duplicates()
-        m = l.merge(r, on=cols, how="left", indicator=True)
-        want = "both" if op == "intersect" else "left_only"
-        return m.loc[m["_merge"] == want, cols]
+        l = g.loc[g["__side"] == 0].groupby(cols, as_index=False)["__n"].sum()
+        r = g.loc[g["__side"] == 1].groupby(cols, as_index=False)["__n"].sum()
+        if not bag:
+            m = l[cols].merge(r[cols], on=cols, how="left", indicator=True)
+            want = "both" if op == "intersect" else "left_only"
+            return m.loc[m["_merge"] == want, cols]
+        m = l.merge(r, on=cols, how="left", suffixes=("_a", "_b"))
+        nb = m["__n_b"].fillna(0).astype("int64").to_numpy()
+        na = m["__n_a"].to_numpy()
+        reps = np.minimum(na, nb) if op == "intersect" else np.maximum(na - nb, 0)
+        return m.loc[m.index.repeat(reps), cols].reset_index(drop=True)
 
     u = a.map_batches(prep(0), batch_format="pandas").union(
         b.map_batches(prep(1), batch_format="pandas")

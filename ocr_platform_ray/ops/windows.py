@@ -444,19 +444,24 @@ def grouped_cumsum(
     value_col: str,
     carry_cols: list[str] | None = None,
     out_col: str = "running",
+    how: str = "sum",
     n_shards: int = 64,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
-    """Running total per key (``SUM(v) OVER (PARTITION BY key ORDER BY
-    o, tie ROWS UNBOUNDED PRECEDING)``) — cumulative spend, tokens seen
-    so far, inventory level.  ``tie_col`` makes the accumulation order
-    total, so the result is deterministic under any block structure;
-    for an exact SQL mirror run it on INTEGER values (the repo's
-    cents/microseconds convention) — float running sums are
-    order-EXECUTION-dependent in any engine.
+    """Running aggregate per key (``SUM/MIN/MAX(v) OVER (PARTITION BY
+    key ORDER BY o, tie ROWS UNBOUNDED PRECEDING)``) — cumulative
+    spend, running high-watermark, best-so-far.  ``tie_col`` makes the
+    accumulation order total, so the result is deterministic under any
+    block structure; for an exact SQL mirror run SUM on INTEGER values
+    (the repo's cents/microseconds convention) — float running sums are
+    order-EXECUTION-dependent in any engine (min/max are exact on any
+    dtype: they select, never add).
 
     Scale shape: ONE bounded hash-shard exchange, then a single
-    vectorized sort + cython ``groupby().cumsum`` per shard."""
+    vectorized sort + cython ``groupby().cum{sum,min,max}`` per shard."""
+    cum_fns = {"sum": "cumsum", "min": "cummin", "max": "cummax"}
+    if how not in cum_fns:
+        raise ValueError(f"how must be one of {sorted(cum_fns)}, got {how!r}")
     keep = list(dict.fromkeys([*key_cols, order_col, tie_col, value_col,
                                *(carry_cols or [])]))
 
@@ -464,7 +469,9 @@ def grouped_cumsum(
         g = g.drop(columns="__shard").sort_values(
             [*key_cols, order_col, tie_col], kind="mergesort"
         )
-        g[out_col] = g.groupby(key_cols, sort=False)[value_col].cumsum()
+        g[out_col] = getattr(
+            g.groupby(key_cols, sort=False)[value_col], cum_fns[how]
+        )()
         return g
 
     return _keyed_window(

@@ -794,6 +794,32 @@ def q_custkey_set_ops(sf_dir: str) -> pd.DataFrame:
     return out[["op", "custkey"]].sort_values(["op", "custkey"]).reset_index(drop=True)
 
 
+def q_custkey_multiset_ops(sf_dir: str) -> pd.DataFrame:
+    """SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` (bag semantics —
+    `dataset_set_op(bag=True)`, count combiner + one tuple-hash
+    exchange + np.repeat per shard): order custkeys (multiplicity =
+    order count) against the customer table (each key once) — except-all
+    yields each customer's beyond-first orders, intersect-all each
+    ordering customer exactly once.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import dataset_set_op
+
+    a = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "custkey"}), batch_format="pandas"
+    )
+    c = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "custkey"}), batch_format="pandas"
+    )
+    frames = []
+    for op in ("intersect", "except"):
+        part = dataset_set_op(a, c, ["custkey"], op, bag=True).to_pandas()
+        part["op"] = op
+        frames.append(part)
+    out = pd.concat(frames, ignore_index=True)
+    out["custkey"] = out["custkey"].astype("int64")
+    return out[["op", "custkey"]].sort_values(["op", "custkey"]).reset_index(drop=True)
+
+
 def q_stratified_k_sample(sf_dir: str) -> pd.DataFrame:
     """Exact-k-per-group deterministic sampling (the fixed-count dual of
     the fraction-based stratified_sample): 3 docs per language by the
@@ -2919,6 +2945,25 @@ def q_running_value_by_user(sf_dir: str) -> pd.DataFrame:
     )
     out["running_value"] = out["running"].astype("float64") / 100.0
     return out[["user_id", "ts", "event_id", "running_value"]]
+
+
+def q_running_max_value_by_user(sf_dir: str) -> pd.DataFrame:
+    """Running high-watermark window (`ops/windows.grouped_cumsum`
+    ``how="max"``): each user's best-so-far event value in (ts,
+    event_id) order — selection, not addition, so exact on any dtype.
+    Full SQL ``MAX() OVER (... ROWS UNBOUNDED PRECEDING)`` oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_cumsum
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        lambda b: b.assign(cents=_cents(b["value"])), batch_format="pandas"
+    )
+    out = grouped_cumsum(
+        ev, key_cols=["user_id"], order_col="ts", tie_col="event_id",
+        value_col="cents", how="max",
+    )
+    out["peak_value"] = out["running"].astype("float64") / 100.0
+    return out[["user_id", "ts", "event_id", "peak_value"]]
 
 
 def q_rolling3_value_by_user(sf_dir: str) -> pd.DataFrame:
@@ -5433,6 +5478,8 @@ QUERIES = {
     "main_content_docs": q_main_content_docs,
     "incremental_event_stats": q_incremental_event_stats,
     "csv_events": q_csv_events,
+    "running_max_value_by_user": q_running_max_value_by_user,
+    "custkey_multiset_ops": q_custkey_multiset_ops,
     # rows-only (probabilistic HLL estimate; <=5% error vs the exact
     # distributed distinct asserted in-query; bounds pinned by the
     # round-3 sketch tests)
@@ -6954,4 +7001,24 @@ ORACLE_SQL["csv_events"] = (
     "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
     "AS sum_value "
     "FROM events GROUP BY event_type"
+)
+
+# Running max: selection window, exact at any dtype (cents kept for the
+# shared display convention).
+ORACLE_SQL["running_max_value_by_user"] = (
+    "SELECT user_id, ts, event_id, "
+    "CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS peak_value "
+    "FROM events"
+)
+
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL mirrored literally.
+ORACLE_SQL["custkey_multiset_ops"] = (
+    "WITH i AS (SELECT o_custkey AS custkey FROM orders "
+    "INTERSECT ALL SELECT c_custkey FROM customer), "
+    "e AS (SELECT o_custkey AS custkey FROM orders "
+    "EXCEPT ALL SELECT c_custkey FROM customer) "
+    "SELECT 'intersect' AS op, custkey FROM i "
+    "UNION ALL SELECT 'except' AS op, custkey FROM e"
 )

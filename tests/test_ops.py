@@ -1712,6 +1712,8 @@ class TestTailQueryOracles:
             "main_content_docs",
             "incremental_event_stats",
             "csv_events",
+            "running_max_value_by_user",
+            "custkey_multiset_ops",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

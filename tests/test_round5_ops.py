@@ -1737,3 +1737,68 @@ class TestIncrementalAgg:
                                  ingest_id="a/b")
         with pytest.raises(ValueError, match="no partitions"):
             read_agg_target(str(tmp_path / "nope"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBagSetOpsAndRunningMax:
+    """Round-4 session-7: dataset_set_op(bag=True) and
+    grouped_cumsum(how=min/max)."""
+
+    def test_bag_set_ops_match_pandas_truth(self):
+        from collections import Counter
+
+        from ocr_platform_ray.ops.relational import dataset_set_op
+
+        rng = np.random.RandomState(11)
+        a = pd.DataFrame({"k": rng.randint(0, 20, 300), "s": "x"})
+        b = pd.DataFrame({"k": rng.randint(0, 25, 200), "s": "x"})
+        ca, cb = Counter(a["k"]), Counter(b["k"])
+        for op, rule in (
+            ("intersect", lambda x: min(ca[x], cb[x])),
+            ("except", lambda x: max(ca[x] - cb[x], 0)),
+        ):
+            for nb in (1, 7):
+                got = dataset_set_op(
+                    rd.from_pandas(a).repartition(nb),
+                    rd.from_pandas(b).repartition(max(1, 8 - nb)),
+                    ["k", "s"],
+                    op,
+                    bag=True,
+                ).to_pandas()
+                want = Counter({x: rule(x) for x in ca if rule(x) > 0})
+                assert Counter(got["k"]) == +want, (op, nb)
+        # distinct mode unchanged: still set semantics
+        d = dataset_set_op(
+            rd.from_pandas(a), rd.from_pandas(b), ["k", "s"], "intersect"
+        ).to_pandas()
+        assert d["k"].is_unique
+        assert set(d["k"]) == {x for x in ca if cb[x] > 0}
+
+    def test_running_min_max_match_pandas(self):
+        from ocr_platform_ray.ops.windows import grouped_cumsum
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "u": rng.randint(0, 9, 400),
+                "o": rng.randint(0, 50, 400),
+                "t": np.arange(400, dtype="int64"),
+                "v": rng.randint(-100, 100, 400).astype("int64"),
+            }
+        )
+        ref = df.sort_values(["u", "o", "t"])
+        for how, fn in (("max", "cummax"), ("min", "cummin")):
+            for nb in (1, 6):
+                got = grouped_cumsum(
+                    rd.from_pandas(df).repartition(nb),
+                    key_cols=["u"], order_col="o", tie_col="t",
+                    value_col="v", how=how,
+                )
+                got = got.sort_values(["u", "o", "t"]).reset_index(drop=True)
+                want = getattr(ref.groupby("u")["v"], fn)().reset_index(drop=True)
+                assert got["running"].tolist() == want.tolist(), (how, nb)
+        with pytest.raises(ValueError, match="how"):
+            grouped_cumsum(
+                rd.from_pandas(df), key_cols=["u"], order_col="o",
+                tie_col="t", value_col="v", how="avg",
+            )
