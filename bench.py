@@ -190,6 +190,13 @@ def run_once() -> dict:
         "tpch_q7_volume",
         "robots_filtered_urls",
         "card_pii_stats",
+        # round-4 session-6/7 additions
+        "bm25_indexed_top10",
+        "event_funnel",
+        "link_triangles",
+        "main_content_docs",
+        "incremental_event_stats",
+        "jsonl_docs",
     ):
         extra_times[name] = _best_of(2, name)
 

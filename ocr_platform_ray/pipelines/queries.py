@@ -3564,8 +3564,14 @@ def q_incremental_event_stats(sf_dir: str) -> pd.DataFrame:
         "max_event_id": ("event_id", "max"),
     }
     with tempfile.TemporaryDirectory(prefix="aggstate_q_") as td:
-        inc1 = ev.filter(lambda r: r["event_id"] % 2 == 0)
-        inc2 = ev.filter(lambda r: r["event_id"] % 2 == 1)
+        # vectorized parity split (a row-fn filter would be the per-row
+        # Python hot-path smell)
+        inc1 = ev.map_batches(
+            lambda b: b[b["event_id"] % 2 == 0], batch_format="pandas"
+        )
+        inc2 = ev.map_batches(
+            lambda b: b[b["event_id"] % 2 == 1], batch_format="pandas"
+        )
         incremental_agg_into(td, inc1, ["event_type"], aggs, ingest_id="inc1")
         incremental_agg_into(td, inc2, ["event_type"], aggs, ingest_id="inc2")
         # exactly-once: replaying a committed ingest changes nothing
