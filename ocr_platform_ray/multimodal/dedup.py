@@ -1,0 +1,95 @@
+"""Perceptual image deduplication — the multimodal twin of the text
+near-dup family: decoded images hash to a 64-bit dHash (difference
+hash: area-averaged 9x8 grayscale grid, horizontal gradient signs) and
+near-duplicates surface through the banded hamming machinery
+(`ops/dedup.fingerprint_near_dup_pairs`, Manku 2007 pigeonhole — a
+re-encoded / lightly-noised / slightly-resized copy flips few gradient
+signs, so it lands within a small hamming radius of its original,
+while the band exchange keeps candidates bucketed, never all-pairs).
+
+dHash over aHash (the feature extractor's mean-threshold ``phash``
+column): the mean threshold is global, so uniform brightness shifts
+flip many bits at once; gradient SIGNS are brightness-invariant.  Area
+averaging (integral via ``np.add.reduceat`` twice) rather than
+nearest-sampling makes the grid robust to per-pixel noise — each cell
+averages hundreds of pixels.
+
+Scale shape: the hash stage is map-only over the decoded-pixels column
+(the multimodal actor-stage convention — images are heavy payloads in
+small batches); only (id, 8-byte hash) rides the band exchange.  Raw
+pixels never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..ops.dedup import fingerprint_near_dup_pairs
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of one decoded image (h, w, 3) or (h, w):
+    grayscale -> area-average to a 9x8 grid -> bit (r, c) = cell[r, c] >
+    cell[r, c+1], packed row-major little-endian."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    # area averaging: reduceat over nearly-equal row/col segments
+    rb = (np.arange(8, dtype=np.int64) * h) // 8
+    cb = (np.arange(9, dtype=np.int64) * w) // 9
+    sums = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
+    rc = np.diff(np.concatenate([rb, [h]]))[:, None]
+    cc = np.diff(np.concatenate([cb, [w]]))[None, :]
+    cells = sums / (rc * cc)
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint8).ravel()
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+class AddDHash:
+    """Actor-pool stage: decoded ``pixels`` column -> ``dhash`` int64."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = batch.column("pixels").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out = np.zeros(len(pixels), dtype=np.uint64)
+        for i, (p, w, h) in enumerate(zip(pixels, ws, hs)):
+            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+            out[i] = dhash64(img)
+        return batch.append_column(
+            "dhash", pa.array(out.astype(np.int64), pa.int64())
+        )
+
+
+def add_dhash(ds: rd.Dataset, *, concurrency=(1, 8), batch_size: int = 32) -> rd.Dataset:
+    """Append a 64-bit perceptual dHash to a decoded-images Dataset
+    (the `decode_images` output schema)."""
+    return ds.map_batches(
+        AddDHash, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_near_dup_pairs(
+    ds: rd.Dataset,
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    **kwargs,
+) -> pd.DataFrame | rd.Dataset:
+    """Near-duplicate image pairs of a decoded-images Dataset:
+    ``add_dhash`` then banded hamming pairs (complete recall at
+    hamming <= n_bands - 1; see `fingerprint_near_dup_pairs` for the
+    exchange shape and skew control).  Returns (id_a, id_b, hamming)."""
+    hashed = add_dhash(ds).map_batches(
+        lambda b: b.select([id_col, "dhash"]), batch_format="pyarrow"
+    )
+    return fingerprint_near_dup_pairs(
+        hashed, "dhash", id_col,
+        max_hamming=max_hamming, n_bands=n_bands, **kwargs,
+    )

@@ -627,6 +627,16 @@ def simhash_near_dup_pairs(
     if as_dataset:
         return deduped
     out = deduped.to_pandas()
+    if out.shape[1] == 0:
+        # an empty Dataset to_pandas()-es COLUMNLESS (the probe_head
+        # contract) — return the typed empty instead
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -1303,3 +1313,148 @@ def lsh_plan(
         if best is None or err < best[0]:
             best = (err, cand)
     return best[1]
+
+
+def fingerprint_near_dup_pairs(
+    ds: rd.Dataset,
+    fp_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_posting: int = 1000,
+    pairs_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Banded hamming near-duplicate pairs over ANY 64-bit fingerprint
+    column (image dHash/aHash, audio codes, rolling-hash digests — the
+    Manku 2007 pigeonhole generalized beyond text SimHash, which keeps
+    its own behavior-pinned 16-bit banding in `simhash_near_dup_pairs`):
+    the fingerprint splits into ``n_bands`` disjoint ``64 // n_bands``-bit
+    bands; hamming distance <= n_bands - 1 forces at least one identical
+    band, so band-equality candidates have COMPLETE recall at that
+    radius.  Returns ``(id_a, id_b, hamming)`` for pairs at XOR-popcount
+    distance <= ``max_hamming`` sharing a non-skew band bucket.
+
+    Scale shape = the SimHash route's (candidates and verification FUSE:
+    the 8-byte fingerprint rides the band exchange, each shard verifies
+    its own candidates with one vectorized self-merge + XOR popcount;
+    ``max_posting`` drops degenerate buckets before the merge; the
+    cross-band pair dedupe finishes size-aware)."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs 0 <= max_hamming <= n_bands-1 "
+            f"= {n_bands - 1}, got {max_hamming}"
+        )
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].iloc[:0],
+                    "fp": pd.Series(dtype="uint64"),
+                    "bi": pd.Series(dtype="int64"),
+                    "bv": pd.Series(dtype="int64"),
+                }
+            )
+        fp = b[fp_col].to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                id_col: np.tile(b[id_col].to_numpy(), n_bands),
+                "fp": np.tile(fp, n_bands),
+                "bi": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+                "bv": np.concatenate(
+                    [
+                        ((fp >> np.uint64(width * bi)) & mask).astype(np.int64)
+                        for bi in range(n_bands)
+                    ]
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        key = out["bv"].to_numpy(dtype=np.uint64) * np.uint64(n_bands) + out[
+            "bi"
+        ].to_numpy(dtype=np.uint64)
+        out["__shard"] = (key % n_shards).astype("int64")
+        return out
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": g[id_col].iloc[:0],
+                "id_b": g[id_col].iloc[:0],
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+        g = g.drop(columns="__shard", errors="ignore")
+        sizes = g.groupby(["bi", "bv"])[id_col].transform("size")
+        g = g[sizes <= max_posting]
+        if g.empty:
+            return empty
+        m = g.merge(g, on=["bi", "bv"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        x = m["fp_a"].to_numpy(dtype=np.uint64) ^ m["fp_b"].to_numpy(
+            dtype=np.uint64
+        )
+        m = m.assign(hamming=_popcount64(x))
+        m = m[m["hamming"] <= max_hamming]
+        out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]].rename(
+            columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    from .relational import probe_head, sharded_group_agg
+
+    head = probe_head(exploded, pairs_threshold_rows)
+    if head is not None:
+        pairs = (
+            shard_pairs(head)
+            if head.shape[1] > 0
+            else pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        )
+        pairs = pairs.drop_duplicates(["id_a", "id_b"])
+        pairs["hamming"] = pairs["hamming"].astype("int64")
+        pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return rd.from_pandas(pairs) if as_dataset else pairs
+    cand = (
+        exploded.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )
+    deduped = sharded_group_agg(
+        cand, ["id_a", "id_b"], {"hamming": ("hamming", "min")},
+        n_shards=n_shards,
+    )
+    if as_dataset:
+        return deduped
+    out = deduped.to_pandas()
+    if out.shape[1] == 0:
+        # an empty Dataset to_pandas()-es COLUMNLESS (the probe_head
+        # contract) — return the typed empty instead
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -3672,6 +3672,54 @@ def q_csv_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_image_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Perceptual image dedup (`multimodal/dedup.py` — dHash over the
+    real PNG decode, banded hamming pairs via
+    `ops/dedup.fingerprint_near_dup_pairs`): planted exact and
+    noised copies of coarse-grid base images must ALL pair with their
+    originals (exact copies at hamming 0) and never across bases —
+    asserted in-query.  Rows-only (pixel hashing has no SQL analogue;
+    brute-force equality pinned by TestImageNearDup)."""
+    import pyarrow as pa
+
+    from ..multimodal import decode_images
+    from ..multimodal.codecs import encode_png
+    from ..multimodal.decode import IMAGE_SCHEMA
+    from ..multimodal.dedup import image_near_dup_pairs
+
+    rng = np.random.RandomState(42)
+    rows = []
+    for s in range(12):
+        r = np.random.RandomState(3000 + s)
+        coarse = r.randint(0, 256, (9, 12), dtype=np.uint8)
+        img = np.kron(coarse, np.ones((9, 9), np.uint8))[:72, :96]
+        img = np.stack([img, np.roll(img, 3, 1), img[::-1]], axis=2)
+        rows.append((f"b{s:02d}", img))
+        rows.append((f"c{s:02d}", img.copy()))
+        noise = rng.randint(-4, 5, img.shape).astype(np.int16)
+        rows.append(
+            (f"n{s:02d}", np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8))
+        )
+    t = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.string()),
+            "payload": pa.array([encode_png(r[1]) for r in rows], pa.binary()),
+            "mime": pa.array(["image/png"] * len(rows), pa.string()),
+            "width": pa.array([r[1].shape[1] for r in rows], pa.int32()),
+            "height": pa.array([r[1].shape[0] for r in rows], pa.int32()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+    pairs = image_near_dup_pairs(decode_images(rd.from_arrow(t)))
+    got = {(a, b): int(h) for a, b, h in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])}
+    for s in range(12):
+        assert got.get((f"b{s:02d}", f"c{s:02d}")) == 0, f"exact copy {s} missed"
+        assert (f"b{s:02d}", f"n{s:02d}") in got, f"noised copy {s} missed"
+    assert all(a[1:] == b[1:] for a, b in got), f"cross-base pair: {got}"
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5490,6 +5538,10 @@ QUERIES = {
     # distributed distinct asserted in-query; bounds pinned by the
     # round-3 sketch tests)
     "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
+    # rows-only (pixel hashing; planted copy recall + cross-base
+    # isolation asserted in-query, brute-force equality pinned by
+    # TestImageNearDup)
+    "image_near_dups": q_image_near_dups,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

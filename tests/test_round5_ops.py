@@ -1802,3 +1802,148 @@ class TestBagSetOpsAndRunningMax:
                 rd.from_pandas(df), key_cols=["u"], order_col="o",
                 tie_col="t", value_col="v", how="avg",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImageNearDup:
+    """Round-4 session-7: perceptual image dedup (multimodal/dedup.py
+    dHash + ops/dedup.fingerprint_near_dup_pairs banded hamming)."""
+
+    @staticmethod
+    def _base(seed, w=96, h=72):
+        # upsampled random coarse grid: distinct seeds -> very different
+        # gradient-sign structure (unlike smooth analytic patterns, which
+        # dHash deliberately maps together)
+        r = np.random.RandomState(seed)
+        coarse = r.randint(0, 256, (9, 12), dtype=np.uint8)
+        img = np.kron(coarse, np.ones((h // 9 + 1, w // 12 + 1), np.uint8))[:h, :w]
+        return np.stack([img, np.roll(img, 3, 1), img[::-1]], axis=2)
+
+    def _table(self, rows):
+        import pyarrow as pa
+
+        from ocr_platform_ray.multimodal.codecs import encode_png
+        from ocr_platform_ray.multimodal.decode import IMAGE_SCHEMA
+
+        return pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.string()),
+                "payload": pa.array([encode_png(r[1]) for r in rows], pa.binary()),
+                "mime": pa.array(["image/png"] * len(rows), pa.string()),
+                "width": pa.array([r[1].shape[1] for r in rows], pa.int32()),
+                "height": pa.array([r[1].shape[0] for r in rows], pa.int32()),
+            },
+            schema=IMAGE_SCHEMA,
+        )
+
+    def test_copies_found_distinct_not(self):
+        from ocr_platform_ray.multimodal.decode import decode_images
+        from ocr_platform_ray.multimodal.dedup import image_near_dup_pairs
+
+        rng = np.random.RandomState(1)
+        rows = []
+        for s in range(10):
+            img = self._base(s)
+            rows.append((f"b{s}", img))
+            rows.append((f"c{s}", img.copy()))  # exact copy
+            noise = rng.randint(-4, 5, img.shape).astype(np.int16)
+            rows.append(
+                (f"n{s}", np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8))
+            )
+        ds = decode_images(rd.from_arrow(self._table(rows)))
+        pairs = image_near_dup_pairs(ds, max_hamming=6, n_bands=8)
+        got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        for s in range(10):
+            assert (f"b{s}", f"c{s}") in got, f"exact copy {s} missed"
+            assert (f"b{s}", f"n{s}") in got, f"noised copy {s} missed"
+        # no cross-base pairs
+        for a, b in got:
+            assert a[1:] == b[1:], f"cross-base pair {a},{b}"
+        # exact copies at hamming 0
+        h0 = {
+            (a, b)
+            for a, b, h in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])
+            if h == 0
+        }
+        assert all((f"b{s}", f"c{s}") in h0 for s in range(10))
+
+    def test_matches_brute_force_and_routes(self):
+        from ocr_platform_ray.multimodal.decode import decode_images
+        from ocr_platform_ray.multimodal.dedup import add_dhash, dhash64
+
+        rows = [(f"i{s:02d}", self._base(s, 64, 48)) for s in range(12)]
+        ds = decode_images(rd.from_arrow(self._table(rows)))
+        hashed = add_dhash(ds).to_pandas().sort_values("media_id")
+        # stage hash == direct function of the pixels
+        want = [dhash64(r[1]) for r in rows]
+        got = [int(np.uint64(h)) for h in hashed["dhash"]]
+        assert got == want
+        # banded pairs == brute force at the pigeonhole radius, both routes
+        from ocr_platform_ray.ops.dedup import _popcount64, fingerprint_near_dup_pairs
+
+        fp = np.array(want, dtype=np.uint64)
+        ids = [r[0] for r in rows]
+        truth = set()
+        for i in range(len(ids)):
+            x = fp[i] ^ fp[i + 1:]
+            hm = _popcount64(x)
+            for j, h in enumerate(hm):
+                if h <= 7:
+                    truth.add((ids[i], ids[i + 1 + j], int(h)))
+        # plant explicit close fingerprints so the truth set is non-empty
+        # on every radius (random grids rarely land within hamming 7)
+        ids = ids + ["p00", "p01", "p02"]
+        fp = np.concatenate(
+            [fp, [fp[0] ^ np.uint64(1), fp[0] ^ np.uint64(0b1011),
+                  np.uint64(0x0123456789ABCDEF)]]
+        ).astype(np.uint64)
+        truth = set()
+        for i in range(len(ids)):
+            x = fp[i] ^ fp[i + 1:]
+            hm = _popcount64(x)
+            for j, h in enumerate(hm):
+                if h <= 7:
+                    truth.add((ids[i], ids[i + 1 + j], int(h)))
+        assert truth, "fixture must contain close pairs"
+        hds = rd.from_pandas(
+            pd.DataFrame({"media_id": ids, "dhash": fp.astype(np.int64)})
+        )
+        for thr in (2_000_000, 0):  # driver route, exchange route
+            pairs = fingerprint_near_dup_pairs(
+                hds.repartition(3), "dhash", "media_id",
+                max_hamming=7, n_bands=8, pairs_threshold_rows=thr,
+            )
+            if not isinstance(pairs, pd.DataFrame):
+                pairs = pairs.to_pandas()
+            got_p = {
+                (a, b, int(h))
+                for a, b, h in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])
+            }
+            assert got_p == truth, f"thr={thr}"
+
+    def test_dhash_invariances_and_validation(self):
+        from ocr_platform_ray.multimodal.dedup import dhash64
+        from ocr_platform_ray.ops.dedup import _popcount64, fingerprint_near_dup_pairs
+
+        img = self._base(3)
+        h0 = dhash64(img)
+        # brightness shift: gradient signs unchanged (the aHash failure mode)
+        bright = np.clip(img.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+        assert dhash64(bright) == h0
+        # mild rescale: area averaging keeps the grid stable
+        half = img[::2, ::2]
+        d = _popcount64(
+            np.array([np.uint64(h0) ^ np.uint64(dhash64(half))], dtype=np.uint64)
+        )[0]
+        assert d <= 6, f"rescale moved hash by {d}"
+        # grayscale-encoded copy hashes identically? (gray = channel mean
+        # of a gray-stacked image)
+        gray3 = np.stack([img.mean(2).astype(np.uint8)] * 3, axis=2)
+        assert isinstance(dhash64(gray3), int)
+        hds = rd.from_pandas(pd.DataFrame({"media_id": ["a"], "dhash": [1]}))
+        with pytest.raises(ValueError, match="divide"):
+            fingerprint_near_dup_pairs(hds, "dhash", "media_id", n_bands=5)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            fingerprint_near_dup_pairs(
+                hds, "dhash", "media_id", max_hamming=8, n_bands=8
+            )
