@@ -93,3 +93,88 @@ def image_near_dup_pairs(
         hashed, "dhash", id_col,
         max_hamming=max_hamming, n_bands=n_bands, **kwargs,
     )
+
+
+def afp64(pcm: np.ndarray, frame_len: int = 2048, hop: int = 1024) -> int:
+    """64-bit spectral fingerprint of one PCM clip (chromaprint-style
+    reduction): frame -> rfft magnitudes -> average into an (8 time x 9
+    LOG-SPACED frequency band) grid -> bit (t, f) = grid[t, f] >
+    grid[t, f+1], packed row-major little-endian.  Gradient SIGNS are
+    gain-invariant (a volume change scales every magnitude), and each
+    cell averages many (frame, bin) values, so light noise flips few
+    bits.  Bands are log-spaced (DC skipped) because real signals are
+    lowpass-ish: linear bands pile all energy into band 0 and leave the
+    rest comparing noise floors — measured 0-2 noise-copy bits and
+    >= 11 cross-clip bits on broadband fixtures vs collisions with
+    linear bands.  Clips shorter than one frame hash to 0."""
+    x = np.asarray(pcm, dtype=np.float64)
+    n_frames = 1 + (len(x) - frame_len) // hop if len(x) >= frame_len else 0
+    if n_frames <= 0:
+        return 0
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx], axis=1))  # (n_frames, bins)
+    bins = spec.shape[1]
+    tb = (np.arange(8, dtype=np.int64) * n_frames) // 8
+    fb = np.unique(np.round(np.geomspace(1, bins - 1, 10)).astype(np.int64))[:9]
+    sums = np.add.reduceat(np.add.reduceat(spec, tb, axis=0), fb, axis=1)
+    tc = np.diff(np.concatenate([tb, [n_frames]]))[:, None]
+    fc = np.diff(np.concatenate([fb, [bins]]))[None, :]
+    cells = sums / (tc * fc)
+    if cells.shape[1] < 9:
+        # degenerate frame_len: fewer than 9 distinct band edges — pad
+        # by repeating the last band (stable, still deterministic)
+        cells = np.pad(cells, ((0, 0), (0, 9 - cells.shape[1])), mode="edge")
+    bits = (cells[:, :-1] > cells[:, 1:]).astype(np.uint8).ravel()
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+class AddAudioFingerprint:
+    """Actor-pool stage: decoded ``pcm`` column -> ``afp`` int64."""
+
+    def __init__(self, frame_len: int = 2048, hop: int = 1024):
+        self.frame_len, self.hop = frame_len, hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pcms = batch.column("pcm").to_pylist()
+        out = np.zeros(len(pcms), dtype=np.uint64)
+        for i, raw in enumerate(pcms):
+            x = np.frombuffer(raw, dtype=np.float32)
+            out[i] = afp64(x, self.frame_len, self.hop)
+        return batch.append_column(
+            "afp", pa.array(out.astype(np.int64), pa.int64())
+        )
+
+
+def add_audio_fingerprint(
+    ds: rd.Dataset, *, frame_len: int = 2048, hop: int = 1024,
+    concurrency=(1, 8), batch_size: int = 16,
+) -> rd.Dataset:
+    """Append a 64-bit spectral fingerprint to a decoded-audio Dataset
+    (the `decode_audio` output schema)."""
+    return ds.map_batches(
+        AddAudioFingerprint,
+        fn_constructor_args=(frame_len, hop),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_near_dup_pairs(
+    ds: rd.Dataset,
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    **kwargs,
+) -> pd.DataFrame | rd.Dataset:
+    """Near-duplicate audio pairs of a decoded-audio Dataset:
+    `add_audio_fingerprint` then the same banded hamming machinery as
+    the image route.  Returns (id_a, id_b, hamming)."""
+    hashed = add_audio_fingerprint(ds).map_batches(
+        lambda b: b.select([id_col, "afp"]), batch_format="pyarrow"
+    )
+    return fingerprint_near_dup_pairs(
+        hashed, "afp", id_col,
+        max_hamming=max_hamming, n_bands=n_bands, **kwargs,
+    )

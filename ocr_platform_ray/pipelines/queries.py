@@ -3720,6 +3720,53 @@ def q_image_near_dups(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_audio_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Spectral audio dedup (`multimodal/dedup.py::afp64` — log-band
+    spectral gradient fingerprint over the real WAV decode, banded
+    hamming pairs): planted re-encoded, gain-changed and lightly-noised
+    copies of broadband clips must ALL pair with their originals and
+    never across clips — asserted in-query.  Rows-only (FFT hashing has
+    no SQL analogue; function/stage equality + gain invariance pinned
+    by TestAudioNearDup)."""
+    import pyarrow as pa
+
+    from ..multimodal.audio import AUDIO_SCHEMA, decode_audio
+    from ..multimodal.codecs import encode_wav
+    from ..multimodal.dedup import audio_near_dup_pairs
+
+    sr = 16000
+    rng = np.random.RandomState(11)
+    rows = []
+    for s in range(10):
+        r = np.random.RandomState(4000 + s)
+        n = sr
+        x = np.convolve(r.randn(n), np.hanning(r.randint(5, 60)), mode="same")
+        t = np.arange(n) / sr
+        for f in r.choice(np.arange(200, 4000, 50), 3, replace=False):
+            x += (0.5 + r.rand()) * np.std(x) * np.sin(2 * np.pi * f * t)
+        x = x / np.abs(x).max() * 0.8
+        rows.append((f"b{s}", x))
+        rows.append((f"g{s}", x * 0.5))
+        rows.append((f"n{s}", x + 0.01 * rng.randn(n)))
+    t = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.string()),
+            "payload": pa.array([encode_wav(r[1], sr) for r in rows], pa.binary()),
+            "sample_rate": pa.array([sr] * len(rows), pa.int32()),
+            "n_samples": pa.array([len(r[1]) for r in rows], pa.int64()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+    pairs = audio_near_dup_pairs(decode_audio(rd.from_arrow(t)))
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for s in range(10):
+        assert (f"b{s}", f"g{s}") in got, f"gain copy {s} missed"
+        assert (f"b{s}", f"n{s}") in got, f"noised copy {s} missed"
+    assert all(a[1:] == b[1:] for a, b in got), f"cross-clip pair: {got}"
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5542,6 +5589,9 @@ QUERIES = {
     # isolation asserted in-query, brute-force equality pinned by
     # TestImageNearDup)
     "image_near_dups": q_image_near_dups,
+    # rows-only (FFT hashing; planted gain/noise copy recall asserted
+    # in-query, pinned by TestAudioNearDup)
+    "audio_near_dups": q_audio_near_dups,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

@@ -1947,3 +1947,83 @@ class TestImageNearDup:
             fingerprint_near_dup_pairs(
                 hds, "dhash", "media_id", max_hamming=8, n_bands=8
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioNearDup:
+    """Round-4 session-7: spectral audio fingerprint dedup
+    (multimodal/dedup.py afp64 + banded hamming pairs)."""
+
+    @staticmethod
+    def _clip(seed, sr=16000, secs=1.0):
+        # broadband (smoothed noise + tones): perceptual audio hashes are
+        # designed for broadband signals — a pure-tone clip's spectrum is
+        # ~zero almost everywhere and band-gradient signs degenerate
+        r = np.random.RandomState(seed)
+        n = int(sr * secs)
+        x = np.convolve(r.randn(n), np.hanning(r.randint(5, 60)), mode="same")
+        t = np.arange(n) / sr
+        for f in r.choice(np.arange(200, 4000, 50), 3, replace=False):
+            x += (0.5 + r.rand()) * np.std(x) * np.sin(2 * np.pi * f * t)
+        return (x / np.abs(x).max() * 0.8).astype(np.float64)
+
+    def _table(self, rows, sr=16000):
+        import pyarrow as pa
+
+        from ocr_platform_ray.multimodal.audio import AUDIO_SCHEMA
+        from ocr_platform_ray.multimodal.codecs import encode_wav
+
+        return pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.string()),
+                "payload": pa.array(
+                    [encode_wav(r[1], sr) for r in rows], pa.binary()
+                ),
+                "sample_rate": pa.array([sr] * len(rows), pa.int32()),
+                "n_samples": pa.array([len(r[1]) for r in rows], pa.int64()),
+            },
+            schema=AUDIO_SCHEMA,
+        )
+
+    def test_copies_and_gain_found_distinct_not(self):
+        from ocr_platform_ray.multimodal.audio import decode_audio
+        from ocr_platform_ray.multimodal.dedup import audio_near_dup_pairs
+
+        rng = np.random.RandomState(2)
+        rows = []
+        for s in range(8):
+            x = self._clip(s)
+            rows.append((f"b{s}", x))
+            rows.append((f"c{s}", x.copy()))            # exact re-encode
+            rows.append((f"g{s}", x * 0.5))             # gain change
+            rows.append((f"n{s}", x + 0.01 * rng.randn(len(x))))  # light noise
+        ds = decode_audio(rd.from_arrow(self._table(rows)))
+        pairs = audio_near_dup_pairs(ds, max_hamming=6, n_bands=8)
+        got = {(a, b): int(h) for a, b, h in zip(pairs["id_a"], pairs["id_b"], pairs["hamming"])}
+        for s in range(8):
+            assert got.get((f"b{s}", f"c{s}")) == 0, f"re-encode {s} missed"
+            assert (f"b{s}", f"g{s}") in got, f"gain copy {s} missed"
+            assert (f"b{s}", f"n{s}") in got, f"noised copy {s} missed"
+        for a, b in got:
+            assert a[1:] == b[1:], f"cross-clip pair {a},{b}"
+
+    def test_stage_matches_function_and_short_clip(self):
+        from ocr_platform_ray.multimodal.audio import decode_audio
+        from ocr_platform_ray.multimodal.dedup import add_audio_fingerprint, afp64
+
+        rows = [(f"i{s}", self._clip(s + 50)) for s in range(5)]
+        rows.append(("tiny", np.zeros(100)))  # < one frame -> hash 0
+        ds = decode_audio(rd.from_arrow(self._table(rows)))
+        got = add_audio_fingerprint(ds).to_pandas().set_index("media_id")["afp"]
+        for mid, x in rows:
+            # the stage hashes the DECODED float32 pcm (16-bit quantized)
+            q = np.round(np.clip(x, -1, 1) * 32767) / 32767.0
+            want = afp64(q.astype(np.float32))
+            assert int(np.uint64(got[mid])) == want, mid
+        assert int(got["tiny"]) == 0
+
+    def test_gain_invariance_of_hash(self):
+        from ocr_platform_ray.multimodal.dedup import afp64
+
+        x = self._clip(9)
+        assert afp64(x) == afp64(x * 0.25) == afp64(x * 2.0)
