@@ -178,3 +178,84 @@ def audio_near_dup_pairs(
         hashed, "afp", id_col,
         max_hamming=max_hamming, n_bands=n_bands, **kwargs,
     )
+
+
+def video_near_dup_pairs(
+    ds: rd.Dataset,
+    id_col: str = "media_id",
+    *,
+    every_n: int = 10,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    min_match_frac: float = 0.8,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Near-duplicate video pairs: sample every Nth frame
+    (`decode.sample_frames`), dHash each sampled frame, find per-SLOT
+    frame matches (``within_col="frame_idx"`` — only frames at the same
+    timestamp slot are candidates, the aligned-copy model), and keep
+    video pairs whose matched-slot fraction >= ``min_match_frac`` of the
+    longer video's sampled frames.  Returns (id_a, id_b, n_matched,
+    match_frac).
+
+    Scale shape: frames hash map-side (pixels never shuffle); the slot
+    exchange carries (video_id, slot, 8-byte hash); the per-pair match
+    counts and per-video frame counts reduce through the size-aware
+    finish.  The result is video-pair-sized (report output)."""
+    from ..ops.relational import auto_group_agg
+    from .decode import sample_frames
+
+    frames = sample_frames(ds, every_n)
+    hashed = add_dhash(frames).map_batches(
+        lambda b: b.select([id_col, "frame_idx", "dhash"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by the pair pass AND the per-video counts
+
+    pairs = fingerprint_near_dup_pairs(
+        hashed, "dhash", id_col,
+        max_hamming=max_hamming, n_bands=n_bands,
+        within_col="frame_idx", n_shards=n_shards, as_dataset=True,
+    )
+    matched = auto_group_agg(
+        pairs.map_batches(
+            lambda b: b.groupby(["id_a", "id_b"], as_index=False).agg(
+                n_matched=("hamming", "size")
+            ),
+            batch_format="pandas",
+        ),
+        ["id_a", "id_b"],
+        {"n_matched": ("n_matched", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(matched, pd.DataFrame):
+        matched = matched.to_pandas()
+    counts = auto_group_agg(
+        hashed.map_batches(
+            lambda b: b.groupby(id_col, as_index=False).agg(
+                n_frames=("frame_idx", "size")
+            ),
+            batch_format="pandas",
+        ),
+        [id_col],
+        {"n_frames": ("n_frames", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(counts, pd.DataFrame):
+        counts = counts.to_pandas()
+    if matched.empty or matched.shape[1] == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="object"),
+                "id_b": pd.Series(dtype="object"),
+                "n_matched": pd.Series(dtype="int64"),
+                "match_frac": pd.Series(dtype="float64"),
+            }
+        )
+    cmap = counts.set_index(id_col)["n_frames"]
+    denom = np.maximum(
+        matched["id_a"].map(cmap).to_numpy(), matched["id_b"].map(cmap).to_numpy()
+    )
+    matched["match_frac"] = matched["n_matched"].to_numpy() / denom
+    matched["n_matched"] = matched["n_matched"].astype("int64")
+    out = matched[matched["match_frac"] >= min_match_frac]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

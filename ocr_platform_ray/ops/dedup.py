@@ -1325,6 +1325,7 @@ def fingerprint_near_dup_pairs(
     max_posting: int = 1000,
     pairs_threshold_rows: int = 2_000_000,
     n_shards: int = 64,
+    within_col: str | None = None,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
     """Banded hamming near-duplicate pairs over ANY 64-bit fingerprint
@@ -1336,6 +1337,13 @@ def fingerprint_near_dup_pairs(
     band, so band-equality candidates have COMPLETE recall at that
     radius.  Returns ``(id_a, id_b, hamming)`` for pairs at XOR-popcount
     distance <= ``max_hamming`` sharing a non-skew band bucket.
+
+    ``within_col`` restricts candidates to rows sharing that column's
+    value (aligned video frame slots, per-language text, per-source
+    partitions) — the group value joins the band key, so cross-group
+    pairs never form and never cost candidate volume; the output then
+    carries the group value as a third key column (one row per
+    (id_a, id_b, group)), so per-group matches count separately.
 
     Scale shape = the SimHash route's (candidates and verification FUSE:
     the 8-byte fingerprint rides the band exchange, each shard verifies
@@ -1351,11 +1359,12 @@ def fingerprint_near_dup_pairs(
         )
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
+    bucket_cols = ["bi", "bv"] + (["wc"] if within_col else [])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         if n == 0:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: b[id_col].iloc[:0],
                     "fp": pd.Series(dtype="uint64"),
@@ -1363,8 +1372,11 @@ def fingerprint_near_dup_pairs(
                     "bv": pd.Series(dtype="int64"),
                 }
             )
+            if within_col:
+                out["wc"] = b[within_col].iloc[:0]
+            return out
         fp = b[fp_col].to_numpy().astype(np.uint64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: np.tile(b[id_col].to_numpy(), n_bands),
                 "fp": np.tile(fp, n_bands),
@@ -1377,6 +1389,9 @@ def fingerprint_near_dup_pairs(
                 ),
             }
         )
+        if within_col:
+            out["wc"] = np.tile(b[within_col].to_numpy(), n_bands)
+        return out
 
     exploded = ds.map_batches(explode, batch_format="pandas")
 
@@ -1385,6 +1400,10 @@ def fingerprint_near_dup_pairs(
         key = out["bv"].to_numpy(dtype=np.uint64) * np.uint64(n_bands) + out[
             "bi"
         ].to_numpy(dtype=np.uint64)
+        if within_col:
+            key = key * np.uint64(0x9E3779B97F4A7C15) ^ pd.util.hash_array(
+                out["wc"].to_numpy()
+            )
         out["__shard"] = (key % n_shards).astype("int64")
         return out
 
@@ -1396,12 +1415,14 @@ def fingerprint_near_dup_pairs(
                 "hamming": pd.Series(dtype="int64"),
             }
         )
+        if within_col:
+            empty["wc"] = g["wc"].iloc[:0]
         g = g.drop(columns="__shard", errors="ignore")
-        sizes = g.groupby(["bi", "bv"])[id_col].transform("size")
+        sizes = g.groupby(bucket_cols)[id_col].transform("size")
         g = g[sizes <= max_posting]
         if g.empty:
             return empty
-        m = g.merge(g, on=["bi", "bv"], suffixes=("_a", "_b"))
+        m = g.merge(g, on=bucket_cols, suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if m.empty:
             return empty
@@ -1410,12 +1431,24 @@ def fingerprint_near_dup_pairs(
         )
         m = m.assign(hamming=_popcount64(x))
         m = m[m["hamming"] <= max_hamming]
-        out = m[[f"{id_col}_a", f"{id_col}_b", "hamming"]].rename(
+        cols = [f"{id_col}_a", f"{id_col}_b"] + (["wc"] if within_col else [])
+        out = m[cols + ["hamming"]].rename(
             columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
         )
-        return out.drop_duplicates(["id_a", "id_b"])
+        return out.drop_duplicates(["id_a", "id_b"] + (["wc"] if within_col else []))
 
     from .relational import probe_head, sharded_group_agg
+
+    pair_keys = ["id_a", "id_b"] + (["wc"] if within_col else [])
+
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
+        pairs["hamming"] = pairs["hamming"].astype("int64")
+        if within_col:
+            pairs = pairs.rename(columns={"wc": within_col})
+        order = ["id_a", "id_b"] + ([within_col] if within_col else [])
+        return pairs.sort_values(order).reset_index(drop=True)[
+            order + ["hamming"]
+        ]
 
     head = probe_head(exploded, pairs_threshold_rows)
     if head is not None:
@@ -1427,12 +1460,11 @@ def fingerprint_near_dup_pairs(
                     "id_a": pd.Series(dtype="int64"),
                     "id_b": pd.Series(dtype="int64"),
                     "hamming": pd.Series(dtype="int64"),
+                    **({"wc": pd.Series(dtype="object")} if within_col else {}),
                 }
             )
         )
-        pairs = pairs.drop_duplicates(["id_a", "id_b"])
-        pairs["hamming"] = pairs["hamming"].astype("int64")
-        pairs = pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pairs = finalize(pairs.drop_duplicates(pair_keys))
         return rd.from_pandas(pairs) if as_dataset else pairs
     cand = (
         exploded.map_batches(add_shard, batch_format="pandas")
@@ -1440,10 +1472,15 @@ def fingerprint_near_dup_pairs(
         .map_groups(shard_pairs, batch_format="pandas")
     )
     deduped = sharded_group_agg(
-        cand, ["id_a", "id_b"], {"hamming": ("hamming", "min")},
+        cand, pair_keys, {"hamming": ("hamming", "min")},
         n_shards=n_shards,
     )
     if as_dataset:
+        if within_col:
+            deduped = deduped.map_batches(
+                lambda b: b.rename(columns={"wc": within_col}),
+                batch_format="pandas",
+            )
         return deduped
     out = deduped.to_pandas()
     if out.shape[1] == 0:
@@ -1454,7 +1491,7 @@ def fingerprint_near_dup_pairs(
                 "id_a": pd.Series(dtype="object"),
                 "id_b": pd.Series(dtype="object"),
                 "hamming": pd.Series(dtype="int64"),
+                **({"wc": pd.Series(dtype="object")} if within_col else {}),
             }
         )
-    out["hamming"] = out["hamming"].astype("int64")
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return finalize(out)

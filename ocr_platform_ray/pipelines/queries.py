@@ -3767,6 +3767,57 @@ def q_audio_near_dups(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_video_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Video near-dup (`multimodal/dedup.video_near_dup_pairs` — frame
+    sampling + per-SLOT dHash matching via the fingerprint op's
+    ``within_col``; match fraction over the longer video's sampled
+    frames): a planted exact copy and a noised copy must pair with the
+    original at match_frac 1.0, a half-overlap clip must fall below the
+    0.8 bar, and slot-shifted identical frames must never match —
+    asserted in-query.  Rows-only (pinned by TestVideoNearDup)."""
+    import pyarrow as pa
+
+    from ..multimodal.codecs import encode_png_seq
+    from ..multimodal.dedup import video_near_dup_pairs
+
+    def frame(seed, h=36, w=48):
+        r = np.random.RandomState(seed)
+        coarse = r.randint(0, 256, (9, 12), dtype=np.uint8)
+        img = np.kron(coarse, np.ones((5, 5), np.uint8))[:h, :w]
+        return np.stack([img, img, img], axis=2)
+
+    rng = np.random.RandomState(3)
+    base = [frame(500 + i) for i in range(8)]
+    other = [frame(600 + i) for i in range(8)]
+    noised = [
+        np.clip(f.astype(np.int16) + rng.randint(-4, 5, f.shape), 0, 255).astype(np.uint8)
+        for f in base
+    ]
+    clips = [
+        ("orig", base),
+        ("copy", [f.copy() for f in base]),
+        ("noisy", noised),
+        ("half", base[:4] + other[:4]),
+        ("other", other),
+        ("shifted", base[4:] + base[:4]),
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array([c[0] for c in clips], pa.string()),
+            "payload": pa.array([encode_png_seq(c[1]) for c in clips], pa.binary()),
+            "n_frames": pa.array([0] * len(clips), pa.int64()),
+        }
+    )
+    out = video_near_dup_pairs(rd.from_arrow(t), every_n=1, min_match_frac=0.8)
+    got = {(a, b): f for a, b, f in zip(out["id_a"], out["id_b"], out["match_frac"])}
+    assert got.get(("copy", "orig")) == 1.0, got
+    assert got.get(("noisy", "orig")) == 1.0, got
+    assert ("half", "orig") not in got and ("orig", "other") not in got
+    assert not any("shifted" in p for pair in got for p in pair), got
+    out["n_matched"] = out["n_matched"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_zorder_box_scan(sf_dir: str) -> pd.DataFrame:
     """Z-order 2-D data skipping (`ops/layout.zorder_write` /
     `zorder_pruned_read`): lineitem clustered on (extendedprice,
@@ -5592,6 +5643,9 @@ QUERIES = {
     # rows-only (FFT hashing; planted gain/noise copy recall asserted
     # in-query, pinned by TestAudioNearDup)
     "audio_near_dups": q_audio_near_dups,
+    # rows-only (frame hashing; copy recall + slot alignment asserted
+    # in-query, pinned by TestVideoNearDup)
+    "video_near_dups": q_video_near_dups,
 }
 
 # Julian-day + hijri-year arithmetic as SQL (positive operands only, so

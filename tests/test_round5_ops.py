@@ -2027,3 +2027,78 @@ class TestAudioNearDup:
 
         x = self._clip(9)
         assert afp64(x) == afp64(x * 0.25) == afp64(x * 2.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVideoNearDup:
+    """Round-4 session-7: video near-dup (frame sampling + per-slot
+    dHash matching via within_col)."""
+
+    @staticmethod
+    def _frame(seed, h=36, w=48):
+        r = np.random.RandomState(seed)
+        coarse = r.randint(0, 256, (9, 12), dtype=np.uint8)
+        img = np.kron(coarse, np.ones((5, 5), np.uint8))[:h, :w]
+        return np.stack([img, img, img], axis=2)
+
+    def _table(self, clips):
+        import pyarrow as pa
+
+        from ocr_platform_ray.multimodal.codecs import encode_png_seq
+
+        return pa.table(
+            {
+                "media_id": pa.array([c[0] for c in clips], pa.string()),
+                "payload": pa.array(
+                    [encode_png_seq(c[1]) for c in clips], pa.binary()
+                ),
+                "n_frames": pa.array([0] * len(clips), pa.int64()),
+            }
+        )
+
+    def test_copies_partials_and_slot_alignment(self):
+        from ocr_platform_ray.multimodal.dedup import video_near_dup_pairs
+
+        base = [self._frame(100 + i) for i in range(8)]
+        other = [self._frame(200 + i) for i in range(8)]
+        rng = np.random.RandomState(0)
+        noised = [
+            np.clip(f.astype(np.int16) + rng.randint(-4, 5, f.shape), 0, 255).astype(np.uint8)
+            for f in base
+        ]
+        clips = [
+            ("orig", base),
+            ("copy", [f.copy() for f in base]),
+            ("noisy", noised),
+            ("half", base[:4] + other[:4]),     # 50% same slots
+            ("other", other),                   # disjoint content
+            ("shifted", base[4:] + base[:4]),   # same frames, WRONG slots
+        ]
+        out = video_near_dup_pairs(
+            rd.from_arrow(self._table(clips)), every_n=1, min_match_frac=0.8
+        )
+        got = {(a, b): f for a, b, f in zip(out["id_a"], out["id_b"], out["match_frac"])}
+        assert got.get(("copy", "orig")) == 1.0
+        assert got.get(("noisy", "orig")) == 1.0
+        assert ("half", "orig") not in got            # 0.5 < 0.8
+        assert ("orig", "other") not in got and ("other", "orig") not in got
+        # slot alignment: identical frames at different slots never match
+        assert not any("shifted" in p for p in got), got
+        # lowered threshold admits the half-copy at exactly 0.5
+        out2 = video_near_dup_pairs(
+            rd.from_arrow(self._table(clips)), every_n=1, min_match_frac=0.4
+        )
+        got2 = {(a, b): f for a, b, f in zip(out2["id_a"], out2["id_b"], out2["match_frac"])}
+        assert got2.get(("half", "orig")) == 0.5
+
+    def test_empty_and_sampling(self):
+        from ocr_platform_ray.multimodal.dedup import video_near_dup_pairs
+
+        a = [self._frame(300 + i) for i in range(9)]
+        b = [self._frame(400 + i) for i in range(9)]
+        clips = [("a", a), ("b", b)]
+        out = video_near_dup_pairs(
+            rd.from_arrow(self._table(clips)), every_n=3, min_match_frac=0.5
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["id_a", "id_b", "n_matched", "match_frac"]
