@@ -158,6 +158,19 @@ def main(argv: list[str] | None = None) -> int:
         "main_content = raw-HTML boilerplate removal (one capture = one doc)",
     )
 
+    lp = sub.add_parser(
+        "lsh-probe",
+        help="measured MinHash-LSH recall/precision on a deterministic "
+        "corpus sample (tune threshold/bands before a full dedup run)",
+    )
+    lp.add_argument("--input", required=True, help="parquet file or directory")
+    lp.add_argument("--text-col", default="text")
+    lp.add_argument("--id-col", default="doc_id")
+    lp.add_argument("--threshold", type=float, default=0.8)
+    lp.add_argument("--sample-n", type=int, default=512)
+    lp.add_argument("--num-perm", type=int, default=64)
+    lp.add_argument("--bands", type=int, default=16)
+
     cp = sub.add_parser(
         "compact",
         help="bin-pack a directory's small parquet fragments into "
@@ -321,6 +334,18 @@ def main(argv: list[str] | None = None) -> int:
                 args.warc, args.corpus, args.state,
                 ingest_id=args.ingest_id, dedup=args.dedup,
                 extractor=args.extractor,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "lsh-probe":
+            import ray.data as rd
+
+            from .ops.dedup import minhash_recall_probe
+
+            res = minhash_recall_probe(
+                rd.read_parquet(args.input),
+                args.text_col, args.id_col,
+                threshold=args.threshold, sample_n=args.sample_n,
+                num_perm=args.num_perm, bands=args.bands,
             )
             print(json.dumps(res))
         elif args.cmd == "compact":

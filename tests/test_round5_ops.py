@@ -2102,3 +2102,56 @@ class TestVideoNearDup:
         )
         assert len(out) == 0
         assert list(out.columns) == ["id_a", "id_b", "n_matched", "match_frac"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashRecallProbe:
+    """Round-4 session-7: measured LSH quality probe
+    (ops/dedup.minhash_recall_probe)."""
+
+    def _corpus(self, n_base=40, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        words = [f"w{k}" for k in range(300)]
+        rows = []
+        for i in range(n_base):
+            toks = [rng.choice(words) for _ in range(60)]
+            rows.append((f"d{i:03d}", " ".join(toks)))
+            # high-jaccard near-dup: change 2/60 tokens
+            nd = list(toks)
+            for p in rng.sample(range(60), 2):
+                nd[p] = rng.choice(words)
+            rows.append((f"d{i:03d}x", " ".join(nd)))
+        return pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+
+    def test_planted_near_dups_high_recall_and_deterministic(self):
+        from ocr_platform_ray.ops.dedup import minhash_recall_probe
+
+        df = self._corpus()
+        ds = rd.from_pandas(df).repartition(4)
+        r1 = minhash_recall_probe(
+            ds, "text", "doc_id", threshold=0.75, sample_n=100, seed=3
+        )
+        assert r1["sample_n"] == 80  # corpus smaller than sample_n -> all
+        assert r1["n_truth_pairs"] >= 20  # planted pairs land in the sample
+        assert r1["recall"] is not None and r1["recall"] >= 0.85
+        assert r1["precision"] is not None and r1["precision"] >= 0.85
+        # deterministic: same dict on a different block structure
+        r2 = minhash_recall_probe(
+            rd.from_pandas(df).repartition(9), "text", "doc_id",
+            threshold=0.75, sample_n=100, seed=3,
+        )
+        assert r1 == r2
+
+    def test_sampling_and_validation(self):
+        from ocr_platform_ray.ops.dedup import minhash_recall_probe
+
+        df = self._corpus(n_base=30, seed=9)
+        ds = rd.from_pandas(df)
+        r = minhash_recall_probe(ds, "text", "doc_id", sample_n=20, seed=1)
+        assert r["sample_n"] == 20
+        with pytest.raises(ValueError, match="bands"):
+            minhash_recall_probe(ds, "text", "doc_id", bands=7)
+        with pytest.raises(ValueError, match="sample_n"):
+            minhash_recall_probe(ds, "text", "doc_id", sample_n=1)
