@@ -22,6 +22,8 @@ pixels never shuffle.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -38,6 +40,10 @@ def dhash64(img: np.ndarray) -> int:
     if g.ndim == 3:
         g = g.mean(axis=2)
     h, w = g.shape
+    if h < 8 or w < 9:
+        # duplicate reduceat boundaries would yield zero-width cells
+        # (inf/nan comparisons — a silently degenerate hash)
+        raise ValueError(f"image {h}x{w} smaller than the 9x8 hash grid")
     # area averaging: reduceat over nearly-equal row/col segments
     rb = (np.arange(8, dtype=np.int64) * h) // 8
     cb = (np.arange(9, dtype=np.int64) * w) // 9
@@ -49,8 +55,17 @@ def dhash64(img: np.ndarray) -> int:
     return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
 
 
+def _exact_hash64(raw: bytes) -> int:
+    """Exact-identity fallback fingerprint for payloads too small for a
+    perceptual grid: byte-identical inputs pair (hamming 0), everything
+    else is far apart — tiny thumbnails must never all collide into one
+    perceptual bucket."""
+    return int.from_bytes(hashlib.sha1(raw).digest()[:8], "big")
+
+
 class AddDHash:
-    """Actor-pool stage: decoded ``pixels`` column -> ``dhash`` int64."""
+    """Actor-pool stage: decoded ``pixels`` column -> ``dhash`` int64.
+    Images below the 9x8 grid fall back to the exact-identity hash."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = batch.column("pixels").to_pylist()
@@ -58,8 +73,11 @@ class AddDHash:
         hs = batch.column("height").to_pylist()
         out = np.zeros(len(pixels), dtype=np.uint64)
         for i, (p, w, h) in enumerate(zip(pixels, ws, hs)):
-            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
-            out[i] = dhash64(img)
+            if h >= 8 and w >= 9:
+                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+                out[i] = dhash64(img)
+            else:
+                out[i] = _exact_hash64(p)
         return batch.append_column(
             "dhash", pa.array(out.astype(np.int64), pa.int64())
         )
@@ -107,6 +125,8 @@ def afp64(pcm: np.ndarray, frame_len: int = 2048, hop: int = 1024) -> int:
     rest comparing noise floors — measured 0-2 noise-copy bits and
     >= 11 cross-clip bits on broadband fixtures vs collisions with
     linear bands.  Clips shorter than one frame hash to 0."""
+    if frame_len < 2 or hop < 1:
+        raise ValueError(f"need frame_len >= 2 and hop >= 1, got {frame_len}/{hop}")
     x = np.asarray(pcm, dtype=np.float64)
     n_frames = 1 + (len(x) - frame_len) // hop if len(x) >= frame_len else 0
     if n_frames <= 0:
@@ -139,7 +159,12 @@ class AddAudioFingerprint:
         out = np.zeros(len(pcms), dtype=np.uint64)
         for i, raw in enumerate(pcms):
             x = np.frombuffer(raw, dtype=np.float32)
-            out[i] = afp64(x, self.frame_len, self.hop)
+            if len(x) >= self.frame_len:
+                out[i] = afp64(x, self.frame_len, self.hop)
+            else:
+                # sub-frame clip: exact-identity fallback — hash-0 for
+                # every short clip would pair them all as "dups"
+                out[i] = _exact_hash64(raw)
         return batch.append_column(
             "afp", pa.array(out.astype(np.int64), pa.int64())
         )

@@ -111,7 +111,10 @@ def incremental_agg_into(
     n_partitions = _pin_layout(target_dir, list(keys), aggs, n_partitions)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.groupby(list(keys), as_index=False).agg(
+        # dropna=False: SQL GROUP BY keeps the NULL group — silently
+        # dropping null-keyed rows is exactly the view drift this
+        # module exists to prevent
+        out = b.groupby(list(keys), as_index=False, dropna=False).agg(
             **{a: (src, how) for a, (src, how) in aggs.items()}
         )
         out["__part"] = _hash_labels(out, list(keys), n_partitions).astype("int64")
@@ -139,7 +142,7 @@ def incremental_agg_into(
         # merges bit-reproducible too
         inc = g[order].sort_values(order).reset_index(drop=True)
         merged = inc if cur is None else pd.concat([cur, inc], ignore_index=True)
-        merged = merged.groupby(list(keys), as_index=False).agg(
+        merged = merged.groupby(list(keys), as_index=False, dropna=False).agg(
             **{a: (a, _MERGE_HOW[how]) for a, (_, how) in aggs.items()}
         )
         merged = merged.sort_values(list(keys)).reset_index(drop=True)
@@ -163,6 +166,16 @@ def incremental_agg_into(
         .map_groups(apply_part, batch_format="pandas")
         .to_pandas()
     )
+    if report.shape[1] == 0:
+        # empty delta: zero partition groups -> columnless empty frame
+        # (the probe_head contract) — return the typed empty report
+        report = pd.DataFrame(
+            {
+                "partition": pd.Series(dtype="int64"),
+                "status": pd.Series(dtype="object"),
+                "n_keys": pd.Series(dtype="int64"),
+            }
+        )
     return report.sort_values("partition").reset_index(drop=True)
 
 

@@ -1741,7 +1741,7 @@ def dataset_set_op(
     def prep(side: int):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             if bag:
-                out = batch.groupby(cols, as_index=False).size().rename(
+                out = batch.groupby(cols, as_index=False, dropna=False).size().rename(
                     columns={"size": "__n"}
                 )
                 out["__n"] = out["__n"].astype("int64")
@@ -1755,8 +1755,11 @@ def dataset_set_op(
         return f
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0].groupby(cols, as_index=False)["__n"].sum()
-        r = g.loc[g["__side"] == 1].groupby(cols, as_index=False)["__n"].sum()
+        # dropna=False: NULL-keyed tuples are legal set members (the old
+        # drop_duplicates+merge path matched NaN keys; groupby's default
+        # dropna=True would silently lose them)
+        l = g.loc[g["__side"] == 0].groupby(cols, as_index=False, dropna=False)["__n"].sum()
+        r = g.loc[g["__side"] == 1].groupby(cols, as_index=False, dropna=False)["__n"].sum()
         if not bag:
             m = l[cols].merge(r[cols], on=cols, how="left", indicator=True)
             want = "both" if op == "intersect" else "left_only"

@@ -3525,19 +3525,24 @@ def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
         )
         return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
 
-    pages = docs.map_batches(pagegen, batch_format="pandas")
-    out = extract_main_content(pages).map_batches(
-        lambda b: pd.DataFrame(
+    def words(b):
+        # the extractor's own RE2 kernel (NOT pandas' Python-Unicode
+        # \S) so word semantics match the keep rule and the oracle on
+        # any whitespace class
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(b.column("main_text"), pattern=r"\S+")
+        return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "n_blocks_kept": b["n_blocks_kept"].astype("int64"),
-                "main_words": b["main_text"]
-                .str.count(r"\S+")
-                .astype("int64"),
+                "doc_id": b.column("doc_id"),
+                "n_blocks_kept": b.column("n_blocks_kept"),
+                "main_words": pc.cast(n, pa.int64()),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    pages = docs.map_batches(pagegen, batch_format="pandas")
+    out = extract_main_content(pages).map_batches(words, batch_format="pyarrow")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

@@ -55,7 +55,15 @@ def write_jsonl_dataset(
     writes its own file — partitioned, no driver funnel).  Names are
     keyed by the serialized content's sha1, so a rerun of the same
     input overwrites the same files byte-identically (idempotent sink);
-    publish is atomic (tmp + ``os.replace``).  Returns the file list."""
+    publish is atomic (tmp + ``os.replace``).  Returns the file list.
+
+    Two directory-consistency guarantees on top of the per-file ones:
+    byte-identical input BLOCKS would silently collapse into one shard
+    (rows lost on a directory read) — detected and raised with a
+    repartition hint; and shards from a previous run over DIFFERENT
+    input are removed after this run's files are all published, so a
+    directory read sees exactly this run's rows (stale-mixed-with-fresh
+    is otherwise unobservable)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(b: pd.DataFrame) -> pd.DataFrame:
@@ -78,6 +86,17 @@ def write_jsonl_dataset(
         return pd.DataFrame({"path": [path]})
 
     out = ds.map_batches(write_block, batch_format="pandas")
-    return sorted(
+    paths = [
         p for b in out.iter_batches(batch_format="pandas") for p in b["path"]
-    )
+    ]
+    if len(paths) != len(set(paths)):
+        raise ValueError(
+            "write_jsonl_dataset: two byte-identical input blocks mapped to "
+            "the same content-keyed shard (rows would be lost on a directory "
+            "read) — repartition the input or add a distinguishing column"
+        )
+    keep = set(os.path.basename(p) for p in paths)
+    for f in os.listdir(out_dir):  # stale shards from a previous run
+        if f.startswith("part-") and (f.endswith(".jsonl") or f.endswith(".jsonl.gz")) and f not in keep:
+            os.unlink(os.path.join(out_dir, f))
+    return sorted(paths)

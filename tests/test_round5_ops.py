@@ -2012,15 +2012,19 @@ class TestAudioNearDup:
         from ocr_platform_ray.multimodal.dedup import add_audio_fingerprint, afp64
 
         rows = [(f"i{s}", self._clip(s + 50)) for s in range(5)]
-        rows.append(("tiny", np.zeros(100)))  # < one frame -> hash 0
+        rows.append(("tiny", np.zeros(100)))  # < one frame -> exact fallback
         ds = decode_audio(rd.from_arrow(self._table(rows)))
         got = add_audio_fingerprint(ds).to_pandas().set_index("media_id")["afp"]
-        for mid, x in rows:
+        for mid, x in rows[:-1]:
             # the stage hashes the DECODED float32 pcm (16-bit quantized)
             q = np.round(np.clip(x, -1, 1) * 32767) / 32767.0
             want = afp64(q.astype(np.float32))
             assert int(np.uint64(got[mid])) == want, mid
-        assert int(got["tiny"]) == 0
+        # sub-frame clips take the exact-identity fallback, not hash 0
+        from ocr_platform_ray.multimodal.dedup import _exact_hash64
+
+        q = (np.round(np.zeros(100) * 32767) / 32767.0).astype(np.float32)
+        assert int(np.uint64(got["tiny"])) == _exact_hash64(q.tobytes())
 
     def test_gain_invariance_of_hash(self):
         from ocr_platform_ray.multimodal.dedup import afp64
@@ -2155,3 +2159,111 @@ class TestMinhashRecallProbe:
             minhash_recall_probe(ds, "text", "doc_id", bands=7)
         with pytest.raises(ValueError, match="sample_n"):
             minhash_recall_probe(ds, "text", "doc_id", sample_n=1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS7:
+    """Regression pins for the session-7 self-review findings."""
+
+    def test_set_op_null_keys_kept(self):
+        from ocr_platform_ray.ops.relational import dataset_set_op
+
+        a = pd.DataFrame({"k": [1.0, np.nan, np.nan, 2.0]})
+        b = pd.DataFrame({"k": [np.nan, 3.0]})
+        inter = dataset_set_op(
+            rd.from_pandas(a), rd.from_pandas(b), ["k"], "intersect"
+        ).to_pandas()
+        assert inter["k"].isna().sum() == 1  # the NaN tuple survives
+        bag = dataset_set_op(
+            rd.from_pandas(a), rd.from_pandas(b), ["k"], "except", bag=True
+        ).to_pandas()
+        # except-all: two NaNs minus one NaN leaves one
+        assert bag["k"].isna().sum() == 1
+        assert sorted(bag["k"].dropna()) == [1.0, 2.0]
+
+    def test_incremental_agg_empty_delta_and_null_keys(self, tmp_path):
+        from ocr_platform_ray.ops.aggstate import (
+            incremental_agg_into,
+            read_agg_target,
+        )
+
+        td = str(tmp_path / "t")
+        aggs = {"n": ("v", "count"), "s": ("v", "sum")}
+        empty = rd.from_pandas(
+            pd.DataFrame({"k": pd.Series(dtype="object"),
+                          "v": pd.Series(dtype="int64")})
+        )
+        rep = incremental_agg_into(td, empty, ["k"], aggs, ingest_id="e")
+        assert len(rep) == 0
+        assert list(rep.columns) == ["partition", "status", "n_keys"]
+        d = pd.DataFrame({"k": ["a", None, None], "v": [1, 2, 3]})
+        incremental_agg_into(td, rd.from_pandas(d), ["k"], aggs, ingest_id="i")
+        got = read_agg_target(td).to_pandas()
+        null_row = got[got["k"].isna()]
+        assert len(null_row) == 1 and int(null_row["s"].iloc[0]) == 5
+
+    def test_jsonl_duplicate_block_raises_and_stale_cleanup(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.sources.jsonl import write_jsonl_dataset
+
+        df = pd.DataFrame({"a": [1, 2]})
+        # two byte-identical blocks -> loud error, not silent row loss
+        dup = rd.from_pandas(df).union(rd.from_pandas(df))
+        with pytest.raises(ValueError, match="byte-identical"):
+            write_jsonl_dataset(dup, str(tmp_path / "d"))
+        # stale shards from a previous run over different input vanish
+        out = str(tmp_path / "s")
+        first = write_jsonl_dataset(rd.from_pandas(df), out)
+        second = write_jsonl_dataset(
+            rd.from_pandas(pd.DataFrame({"a": [3, 4]})), out
+        )
+        names = sorted(os.listdir(out))
+        assert names == sorted(os.path.basename(p) for p in second)
+        assert os.path.basename(first[0]) not in names
+
+    def test_tiny_media_fallback_hashes(self):
+        from ocr_platform_ray.multimodal.dedup import (
+            AddAudioFingerprint,
+            AddDHash,
+            _exact_hash64,
+            afp64,
+            dhash64,
+        )
+        import pyarrow as pa
+
+        with pytest.raises(ValueError, match="9x8"):
+            dhash64(np.zeros((5, 5, 3), np.uint8))
+        with pytest.raises(ValueError, match="frame_len"):
+            afp64(np.zeros(100), frame_len=1)
+        # tiny image: exact-identity fallback, distinct bytes differ
+        t = pa.table(
+            {
+                "media_id": pa.array(["a", "b"]),
+                "width": pa.array([5, 5], pa.int32()),
+                "height": pa.array([5, 5], pa.int32()),
+                "pixels": pa.array(
+                    [np.full(75, 1, np.uint8).tobytes(),
+                     np.full(75, 2, np.uint8).tobytes()],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = AddDHash()(t)
+        h = out.column("dhash").to_pylist()
+        assert h[0] != h[1]
+        assert int(np.uint64(h[0])) == _exact_hash64(np.full(75, 1, np.uint8).tobytes())
+        # sub-frame clip likewise
+        ta = pa.table(
+            {
+                "media_id": pa.array(["x", "y"]),
+                "pcm": pa.array(
+                    [np.zeros(10, np.float32).tobytes(),
+                     np.ones(10, np.float32).tobytes()],
+                    pa.binary(),
+                ),
+            }
+        )
+        oa = AddAudioFingerprint()(ta)
+        ha = oa.column("afp").to_pylist()
+        assert ha[0] != ha[1]
