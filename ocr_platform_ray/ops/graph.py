@@ -361,6 +361,108 @@ def extract_host_links(
     return out
 
 
+# Anchor + text in ONE match: the SQL-mirrorable subset — anchors whose
+# inner content holds no nested element (RE2 both engines; non-greedy
+# attribute skip, text capped at the first '<').
+_A_TEXT_DQ = re.compile(
+    r'<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', re.IGNORECASE
+)
+_A_TEXT_SQ = re.compile(
+    r"<a\s[^>]*?href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>", re.IGNORECASE
+)
+# explicit ASCII whitespace class — Python's \s is unicode-wide, RE2's is
+# not; the explicit class makes the two engines agree (the main_content
+# lesson from the session-7 review)
+_WS_RUN = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def extract_anchor_texts(
+    pages: rd.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    finish: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Anchor-TEXT extraction over raw pages -> ``(dst_host, anchor,
+    n_links)`` — the classic anchor-text corpus (every destination's
+    incoming link descriptions), the retrieval-training complement of
+    `extract_host_links`' edge table: anchor text is an independent
+    human-written summary of the TARGET page, the signal behind
+    query-document pairs mined from crawls.
+
+    Matching rule (the SQL-mirrorable subset): ``<a ... href="...">text
+    </a>`` where the inner text holds no nested element; text
+    whitespace-collapses (explicit ASCII class, both engines) and empty
+    anchors drop.  Host resolution follows `extract_host_links`
+    (absolute / protocol-relative -> target host, fragment / mailto: /
+    javascript: -> dropped, relative -> the page's own host).
+
+    Scale shape: MAP-ONLY extraction — one compiled pass per quote
+    style over the batch's concatenated html, vectorized
+    classification, per-batch (dst_host, anchor) combiner partials into
+    the size-aware grouped finish.  Raw html never rides an exchange."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "dst_host": pd.Series([], dtype=object),
+                "anchor": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        htmls = b[html_col]
+        sample = htmls.dropna()
+        if len(sample) and isinstance(sample.iloc[0], (bytes, bytearray)):
+            htmls = htmls.str.decode("utf-8", errors="replace")
+        htmls = htmls.fillna("").astype(str)
+        src_hosts = (
+            b[url_col].astype(str).str.extract(_SCHEME_HOST, expand=False).fillna("")
+        )
+        frames = []
+        for rx in (_A_TEXT_DQ, _A_TEXT_SQ):
+            rows, hrefs, texts = [], [], []
+            for row, m, _ in flat_finditer(rx, htmls.tolist(), _ROW_SEP):
+                rows.append(row)
+                hrefs.append(m.group(1))
+                texts.append(m.group(2))
+            if not hrefs:
+                continue
+            links = pd.Series(hrefs, dtype=object)
+            # strip SPACES only (post-collapse the edges are single
+            # spaces) — Python's bare strip() is unicode-wide, SQL's
+            # trim is not; the explicit char set keeps engines agreeing
+            anchor = (
+                pd.Series(texts, dtype=object)
+                .str.replace(_WS_RUN, " ", regex=True)
+                .str.strip(" ")
+            )
+            src = src_hosts.to_numpy()[np.asarray(rows, dtype=np.int64)]
+            low = links.str.lower()
+            is_abs = low.str.startswith(("http://", "https://"))
+            is_proto = links.str.startswith("//")
+            is_drop = low.str.startswith(("#", "mailto:", "javascript:"))
+            dst = pd.Series(src.copy(), dtype=object)  # relative -> own host
+            dst[is_abs] = links[is_abs].str.extract(_SCHEME_HOST, expand=False)
+            dst[is_proto] = links[is_proto].str.extract(_PROTO_REL_HOST, expand=False)
+            dst[is_drop] = None
+            keep = dst.notna() & (dst != "") & (anchor != "")
+            frames.append(
+                pd.DataFrame({"dst_host": dst[keep], "anchor": anchor[keep]})
+            )
+        if not frames:
+            return empty
+        allm = pd.concat(frames, ignore_index=True)
+        out = allm.groupby(["dst_host", "anchor"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = pages.map_batches(partial, batch_format="pandas")
+    return auto_group_agg(
+        partials, ["dst_host", "anchor"], {"n_links": ("n", "sum")}, finish=finish
+    )
+
+
 def triangle_count(
     edges: rd.Dataset,
     src_col: str = "src",

@@ -3677,6 +3677,99 @@ def q_csv_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ipc_docs(sf_dir: str) -> pd.DataFrame:
+    """Arrow IPC (Feather v2) source + sink roundtrip
+    (`sources/columnar.py` — the zero-conversion Arrow wire format next
+    to parquet/JSONL/CSV/WARC): documents write to zstd IPC shards (one
+    per block, content-keyed idempotent names, atomic publish) and read
+    back WITH column projection at the read (IPC is seekable); the
+    per-lang doc-count / char-sum aggregate over the ROUNDTRIPPED data
+    must equal SQL over the original parquet — the oracle checks
+    write+read fidelity, not just the reduce.  Full SQL oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.columnar import read_ipc, write_ipc_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory(prefix="ipc_docs_") as td:
+        files = write_ipc_dataset(docs, td)
+        assert files, "IPC sink wrote no shards"
+        back = read_ipc(files, columns=["text", "lang"])
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("lang", as_index=False)
+            .agg(n_docs=("l", "size"), sum_len=("l", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["lang"],
+            {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_len"] = out["sum_len"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_orc_events(sf_dir: str) -> pd.DataFrame:
+    """ORC source + sink roundtrip (`sources/columnar.py` — the other
+    big columnar lake format): events (timestamps + floats as integer
+    cents) write to ORC shards and read back with projection; the
+    per-type count / min-max id / cents-sum aggregate over the
+    ROUNDTRIPPED data must equal SQL over the original parquet.  Full
+    SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.columnar import read_orc, write_orc_dataset
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_c": _cents(b["value"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    with tempfile.TemporaryDirectory(prefix="orc_events_") as td:
+        files = write_orc_dataset(ev, td)
+        assert files, "ORC sink wrote no shards"
+        back = read_orc(td, columns=["event_id", "event_type", "value_c"])
+        partials = back.map_batches(
+            lambda b: b.groupby("event_type", as_index=False).agg(
+                n_events=("event_id", "size"),
+                min_event_id=("event_id", "min"),
+                max_event_id=("event_id", "max"),
+                sum_c=("value_c", "sum"),
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["event_type"],
+            {
+                "n_events": ("n_events", "sum"),
+                "min_event_id": ("min_event_id", "min"),
+                "max_event_id": ("max_event_id", "max"),
+                "sum_c": ("sum_c", "sum"),
+            },
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    for c in ("n_events", "min_event_id", "max_event_id"):
+        out[c] = out[c].astype("int64")
+    out["sum_value"] = out["sum_c"].astype("float64") / 100.0
+    return (
+        out.drop(columns="sum_c").sort_values("event_type").reset_index(drop=True)
+    )
+
+
 def q_image_near_dups(sf_dir: str) -> pd.DataFrame:
     """Perceptual image dedup (`multimodal/dedup.py` — dHash over the
     real PNG decode, banded hamming pairs via
@@ -4840,6 +4933,57 @@ def q_host_links(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
+def q_anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text corpus extraction (ops/graph.py::extract_anchor_texts):
+    synthetic link-bearing pages (a pure function of doc_id, reproduced
+    verbatim in the SQL oracle) -> the (dst_host, anchor, n_links)
+    incoming-description table — the retrieval-training signal mined
+    from crawls.  Exercises both quote styles, whitespace collapse,
+    relative/mailto/empty-anchor and nested-markup cases.  FULL SQL
+    oracle: two regexp_extract_all passes (href + text groups, zipped
+    positionally by unnest) + host classification mirror."""
+    from ..ops.graph import extract_anchor_texts
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64")
+        url = "https://h" + (i % 13).astype(str) + ".example/p/" + i.astype(str)
+        html = (
+            '<html><body><a href="https://h'
+            + ((i * 3 + 1) % 17).astype(str)
+            + '.example/a">Guide to topic '
+            + ((i * 7) % 23).astype(str)
+            + "</a>"
+        )
+        html = html + np.where(
+            i % 4 == 0,
+            "<a href='//h"
+            + ((i * 5 + 2) % 17).astype(str)
+            + ".example/b'>  spaced\t anchor "
+            + (i % 5).astype(str)
+            + "  </a>",
+            "",
+        )
+        html = html + np.where(i % 3 == 0, '<a href="/local/page">local link</a>', "")
+        html = html + np.where(i % 6 == 0, '<a href="mailto:a@b.c">mail me</a>', "")
+        html = html + np.where(
+            i % 5 == 0, '<a href="https://h1.example/e"></a>', ""
+        )
+        html = html + np.where(
+            i % 7 == 0, '<a href="https://h2.example/n"><b>bold</b></a>', ""
+        )
+        html = html + "</body></html>"
+        return pd.DataFrame({"url": url, "html": html})
+
+    pages = docs.map_batches(mk_pages, batch_format="pandas")
+    out = extract_anchor_texts(pages)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["n_links"] = out["n_links"].astype("int64")
+    return out.sort_values(["dst_host", "anchor"]).reset_index(drop=True)
+
+
 def q_nfc_normalized_docs(sf_dir: str) -> pd.DataFrame:
     """UAX #15 canonical normalization (functions/unicode.py): documents
     text augmented with decomposed sequences (e + combining acute, u +
@@ -5637,6 +5781,9 @@ QUERIES = {
     "csv_events": q_csv_events,
     "running_max_value_by_user": q_running_max_value_by_user,
     "custkey_multiset_ops": q_custkey_multiset_ops,
+    # round-4 session-8 tail additions (SQL-oracled in TestTailQueryOracles)
+    "ipc_docs": q_ipc_docs,
+    "orc_events": q_orc_events,
     # rows-only (probabilistic HLL estimate; <=5% error vs the exact
     # distributed distinct asserted in-query; bounds pinned by the
     # round-3 sketch tests)
@@ -7178,6 +7325,27 @@ ORACLE_SQL["running_max_value_by_user"] = (
     "(PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS peak_value "
     "FROM events"
+)
+
+# Arrow IPC roundtrip: the aggregate runs over write->read roundtripped
+# data (with read-time projection), the oracle over the original parquet —
+# equality proves sink+source fidelity (length() and pandas str.len both
+# count code points).
+ORACLE_SQL["ipc_docs"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len "
+    "FROM documents GROUP BY lang"
+)
+
+# ORC roundtrip: integer cents before the roundtrip (shared convention),
+# min/max ids exercise ORC's integer streams end to end.
+ORACLE_SQL["orc_events"] = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
+    "CAST(MAX(event_id) AS BIGINT) AS max_event_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+    "AS sum_value "
+    "FROM events GROUP BY event_type"
 )
 
 # Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL mirrored literally.

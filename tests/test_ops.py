@@ -1714,6 +1714,8 @@ class TestTailQueryOracles:
             "csv_events",
             "running_max_value_by_user",
             "custkey_multiset_ops",
+            "ipc_docs",
+            "orc_events",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -2267,3 +2267,75 @@ class TestReviewFixesS7:
         oa = AddAudioFingerprint()(ta)
         ha = oa.column("afp").to_pylist()
         assert ha[0] != ha[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestColumnarSources:
+    """Round-4 session-8: Arrow IPC + ORC source/sink
+    (sources/columnar.py)."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype="int64"),
+                "text": [
+                    "plain", "héllo wörld", "line\nbreak\ttab",
+                    None, 'quotes "and" \\slashes\\', "emoji ☕",
+                ],
+                "score": [1.5, 2.0, -0.25, 0.0, 3.75, 1e-3],
+                "vec": [list(np.arange(3, dtype="float64") + i) for i in range(6)],
+            }
+        )
+
+    @pytest.mark.parametrize("fmt", ["ipc", "orc"])
+    def test_roundtrip_values_exact_and_idempotent(self, tmp_path, fmt):
+        import hashlib
+        import os
+
+        from ocr_platform_ray.sources import columnar
+
+        read = getattr(columnar, f"read_{fmt}")
+        write = getattr(columnar, f"write_{fmt}_dataset")
+        df = self._df()
+        out = str(tmp_path / fmt)
+        files = write(rd.from_pandas(df).repartition(3), out)
+        assert len(files) == 3
+        back = read(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = df.copy()
+        want["vec"] = want["vec"].map(list)
+        back["vec"] = back["vec"].map(list)
+        pd.testing.assert_frame_equal(back[want.columns.tolist()], want)
+        # idempotent rerun: same names, same bytes, no extra shards
+        before = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        again = write(rd.from_pandas(df).repartition(3), out)
+        assert again == files
+        assert sorted(os.listdir(out)) == sorted(os.path.basename(p) for p in files)
+        after = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        assert before == after
+
+    @pytest.mark.parametrize("fmt", ["ipc", "orc"])
+    def test_projection_stale_cleanup_empty_and_collision(self, tmp_path, fmt):
+        from ocr_platform_ray.sources import columnar
+
+        read = getattr(columnar, f"read_{fmt}")
+        write = getattr(columnar, f"write_{fmt}_dataset")
+        df = self._df()
+        out = str(tmp_path / fmt)
+        write(rd.from_pandas(df).repartition(2), out)
+        # projection happens at the read
+        back = read(out, columns=["doc_id", "score"])
+        assert back.schema().names == ["doc_id", "score"]
+        assert back.count() == len(df)
+        # a rerun over DIFFERENT input removes the previous run's shards:
+        # a directory read sees exactly the new rows
+        df2 = df.head(4).assign(score=lambda x: x.score + 1)
+        write(rd.from_pandas(df2), out)
+        again = read(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(again) == 4
+        assert (again["score"].to_numpy() == df2["score"].to_numpy()).all()
+        # empty dataset -> no shards, no crash
+        assert write(rd.from_pandas(df.head(0)), str(tmp_path / f"{fmt}_e")) == []
+        # two byte-identical blocks would collapse into one shard -> loud error
+        dup = rd.from_pandas(df).union(rd.from_pandas(df))
+        with pytest.raises(ValueError, match="content-keyed"):
+            write(dup, str(tmp_path / f"{fmt}_dup"))
