@@ -90,7 +90,9 @@ def add_text_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def add_repetition_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
+def add_repetition_stats(
+    ds: rd.Dataset, text_col: str, *, ignore_empty_lines: bool = False
+) -> rd.Dataset:
     """Gopher-style within-document repetition signals (Rae et al. 2021's
     quality filters, the training-data staple the cross-document chunk
     dedup doesn't cover): per row append
@@ -100,6 +102,15 @@ def add_repetition_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
       dup_line_frac      — (n_lines - n_distinct_lines) / n_lines
       mean_word_len      — mean character length over words split on
                            ``[ \\n]`` (empties dropped)
+
+    ``ignore_empty_lines=True`` drops zero-length segments from the
+    line counts BEFORE the distinct/dup math — the rule's published
+    intent is repeated CONTENT lines, and with empties kept any
+    document of >= 3 blank-line-separated paragraphs carries enough
+    duplicate ""s to fail Gopher's 0.30 cutoff on its own (measured:
+    clean 6-paragraph prose scored dup_line_frac 0.364).  The gate
+    (`gopher_quality_gate`) sets it; the default keeps the documented
+    raw-signal semantics.
 
     Fully vectorized: Arrow split kernels; per-row distinct counts come
     from ONE flat hash call + a lexsort boundary count (no per-row
@@ -120,12 +131,17 @@ def add_repetition_stats(ds: rd.Dataset, text_col: str) -> rd.Dataset:
         offs = lines.offsets.to_numpy().astype(np.int64) - lines.offsets[0].as_py()
         counts = offs[1:] - offs[:-1]
         flat = lines.flatten()
+        row_ids = np.repeat(np.arange(n), counts)
+        if ignore_empty_lines and len(flat):
+            keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+            flat = flat.filter(pa.array(keep))
+            row_ids = row_ids[keep]
+            counts = np.bincount(row_ids, minlength=n).astype(np.int64)
         h = (
             pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
             if len(flat)
             else np.empty(0, dtype=np.uint64)
         )
-        row_ids = np.repeat(np.arange(n), counts)
         n_distinct = np.zeros(n, dtype=np.int64)
         if len(h):
             order = np.lexsort((h, row_ids))
@@ -566,7 +582,12 @@ def gopher_quality_gate(
     t = dict(GOPHER_THRESHOLDS)
     if thresholds:
         t.update(thresholds)
-    staged = add_repetition_stats(add_gopher_stats(ds, text_col), text_col)
+    # dup_line_frac over NON-EMPTY lines: the rule targets repeated
+    # content lines; with empties kept, blank paragraph separators alone
+    # fail any >=3-paragraph document (see add_repetition_stats)
+    staged = add_repetition_stats(
+        add_gopher_stats(ds, text_col), text_col, ignore_empty_lines=True
+    )
 
     def gate(batch: pa.Table) -> pa.Table:
         def col(name):
@@ -685,6 +706,48 @@ SCRIPT_CLASSES: list[tuple[str, list[tuple[int, int]]]] = [
     ("cyrillic", [(0x0400, 0x04FF)]),
     ("cjk", [(0x4E00, 0x9FFF)]),
 ]
+
+
+def add_char_entropy(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-doc character-level Shannon entropy (bits/char) +
+    distinct-codepoint count — the two ends both signal junk: near-zero
+    entropy is padding/repetition (``aaaa…``, keyboard mashing on one
+    row), unusually high entropy is base64/binary/encrypted blobs that
+    survived extraction.  A standard cheap companion to the
+    compression-ratio signal (`add_compression_ratio`) — entropy is the
+    zero-pass lower bound the compressor approaches.
+
+    Fully vectorized, MAP-ONLY: the batch's texts decode to ONE uint32
+    codepoint array (the `add_script_ratios` utf-32 reinterpret), per-
+    (doc, codepoint) counts come from one ``np.unique`` over a fused
+    ``row·0x110000 + cp`` key, and per-doc Σ c·log2(c) / distinct
+    counts each collapse with one ``bincount``.  Entropy uses the exact
+    identity  H = log2(L) − (Σ c·log2 c)/L  (no per-char probability
+    array is ever built)."""
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        n = len(b)
+        texts = b[text_col].fillna("").astype(str)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        if n == 0 or int(lens.sum()) == 0:
+            out["char_entropy"] = np.zeros(n, dtype="float64")
+            out["n_distinct_chars"] = np.zeros(n, dtype="int64")
+            return out
+        flat = "".join(texts.tolist())
+        cps = np.frombuffer(flat.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uk, counts = np.unique(row_id * 0x110000 + cps, return_counts=True)
+        docs = uk // 0x110000
+        seg = np.bincount(docs, weights=counts * np.log2(counts), minlength=n)
+        ent = np.zeros(n, dtype="float64")
+        nz = lens > 0
+        ent[nz] = np.log2(lens[nz]) - seg[nz] / lens[nz]
+        out["char_entropy"] = ent
+        out["n_distinct_chars"] = np.bincount(docs, minlength=n).astype("int64")
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
 
 
 def add_script_ratios(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:

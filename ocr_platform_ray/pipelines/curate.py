@@ -39,6 +39,35 @@ from ..ops.textstats import (
 from .extraction import extraction_pipeline
 
 
+def _pandas_block(t, drop: frozenset = frozenset(), swap: dict | None = None):
+    """Arrow block -> PANDAS block for the curation chain: Ray's
+    tensor-extension arrow->pandas conversion fails on null-bearing
+    variable-length list columns (page_numbers/page_offsets), so list
+    cells are rebuilt as object-ndarray cells by hand (the
+    thaw_list_columns convention).  ``drop`` removes stage-internal
+    columns; ``swap`` maps output column -> source column (e.g. the C4
+    rewritten text)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    swap = swap or {}
+    cols: dict = {}
+    for f in t.schema:
+        if f.name in drop:
+            continue
+        col = t.column(f.name)
+        if f.name in swap:
+            cols[f.name] = t.column(swap[f.name]).to_pandas()
+        elif _pa.types.is_list(f.type) or "Tensor" in type(f.type).__name__:
+            cols[f.name] = pd.Series(
+                [None if v is None else _np.asarray(v) for v in col.to_pylist()],
+                dtype=object,
+            )
+        else:
+            cols[f.name] = col.to_pandas()
+    return pd.DataFrame(cols)
+
+
 def quality_gate(
     docs: rd.Dataset,
     *,
@@ -71,6 +100,47 @@ def assign_split(docs: rd.Dataset, *, key_col: str = "url") -> rd.Dataset:
         return out
 
     return docs.map_batches(add, batch_format="pandas")
+
+
+# Published curation recipes as flag bundles over the one chain.  Each maps
+# a paper's pipeline onto curate_corpus stages IN THE PAPER'S ORDER (the
+# chain already encodes the orderings: url-filter before extraction,
+# rules before dedup, span cuts after doc dedup):
+#   c4          Raffel 2020 §2.2 — the line/page heuristics only.
+#   gopher      Rae 2021 A1.1 — the quality-rule bundle only.
+#   fineweb     Penedo 2024 (arXiv:2406.17557) — URL filter, text fix,
+#               Gopher quality + repetition rules, C4 rules, fuzzy dedup
+#               (the chain's minhash stage).
+#   refinedweb  Penedo 2023 (arXiv:2306.01116) — URL filter, text fix,
+#               Gopher rules, cross-doc boilerplate line removal, exact +
+#               fuzzy dedup, ExactSubstr span cuts.
+CURATION_RECIPES: dict[str, dict] = {
+    "c4": {"c4": True},
+    "gopher": {"gopher": True},
+    "fineweb": {"url_filter": True, "fix_text": True, "gopher": True, "c4": True},
+    "refinedweb": {
+        "url_filter": True,
+        "fix_text": True,
+        "gopher": True,
+        "strip_boilerplate": True,
+        "cut_dup_spans": True,
+    },
+}
+
+
+def curate_recipe(pages: rd.Dataset, recipe: str, **overrides) -> rd.Dataset:
+    """Run `curate_corpus` under a PUBLISHED recipe's flag bundle
+    (see CURATION_RECIPES).  ``overrides`` merge on top (e.g.
+    ``scale_routes=True``, thresholds, ``checkpoint_dir``), so a recipe
+    is a starting point, not a cage.  Equivalence to the explicit-flag
+    call is tested byte-identically."""
+    if recipe not in CURATION_RECIPES:
+        raise ValueError(
+            f"unknown curation recipe {recipe!r}; have {sorted(CURATION_RECIPES)}"
+        )
+    kwargs = dict(CURATION_RECIPES[recipe])
+    kwargs.update(overrides)
+    return curate_corpus(pages, **kwargs)
 
 
 def curate_corpus(
@@ -185,45 +255,33 @@ def curate_corpus(
         )
 
         def c4_swap(t) -> pd.DataFrame:
-            # emit a PANDAS block (the chain's block format): Ray's
-            # tensor-extension arrow->pandas conversion fails on the
-            # variable-length page_numbers/page_offsets columns, so the
-            # list columns are rebuilt as object-ndarray cells by hand
-            # (the thaw_list_columns cell convention) and everything
-            # downstream (exact_dedup etc.) sees the same pandas shape
-            # the default chain produces
-            import numpy as _np
-            import pyarrow as _pa
-
-            drop = {"c4_text", "c4_n_lines_kept", "c4_n_sentences", "c4_pass"}
-            cols: dict = {}
-            for f in t.schema:
-                if f.name in drop:
-                    continue
-                col = t.column(f.name)
-                if f.name == "extracted_text":
-                    cols[f.name] = t.column("c4_text").to_pandas()
-                elif _pa.types.is_list(f.type) or "Tensor" in type(f.type).__name__:
-                    cols[f.name] = pd.Series(
-                        [
-                            None if v is None else _np.asarray(v)
-                            for v in col.to_pylist()
-                        ],
-                        dtype=object,
-                    )
-                else:
-                    cols[f.name] = col.to_pandas()
-            return pd.DataFrame(cols)
+            # emit a PANDAS block (the chain's block format) with the C4
+            # rewritten text swapped in — see _pandas_block
+            return _pandas_block(
+                t,
+                drop=frozenset(
+                    {"c4_text", "c4_n_lines_kept", "c4_n_sentences", "c4_pass"}
+                ),
+                swap={"extracted_text": "c4_text"},
+            )
 
         docs = docs.map_batches(c4_swap, batch_format="pyarrow")
     if gopher:
         # the published Gopher rule bundle as an extra document gate
         # (RefinedWeb ordering: rules before dedup).  Signal columns are
         # dropped after filtering so the chain's output schema is
-        # identical with the stage on or off.
+        # identical with the stage on or off; the block goes back to
+        # PANDAS via _pandas_block so downstream pandas stages (the
+        # boilerplate explode) never hit the tensor-extension null
+        # conversion.
         docs = gopher_quality_gate(
             docs, "extracted_text", thresholds=gopher_thresholds, filter_rows=True
-        ).drop_columns(GOPHER_SIGNAL_COLS)
+        )
+
+        def gopher_drop(t) -> pd.DataFrame:
+            return _pandas_block(t, drop=frozenset(GOPHER_SIGNAL_COLS))
+
+        docs = docs.map_batches(gopher_drop, batch_format="pyarrow")
     if strip_boilerplate:
         # line granularity: extracted_text joins headers with '\n' and
         # pages with the form-feed separator, so a '\n\n' chunk would glue

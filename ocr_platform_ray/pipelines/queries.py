@@ -4933,6 +4933,78 @@ def q_host_links(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
+def q_text_embed_knn(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hashed-n-gram text embeddings (ops/embed.py —
+    feature hashing, map-only, bitwise block-independent) composed with
+    the exact ANN probe (ops/similarity.knn_brute_force): three probe
+    documents get a small text mutation, embed through the SAME
+    operator, and must retrieve their source document as the top-1
+    neighbor (asserted in-query) — text -> embedding -> search without
+    an external model.  Rows-only driver check; operator pinned by
+    TestHashedEmbed."""
+    from ..ops.embed import hashed_ngram_embed
+    from ..ops.similarity import knn_brute_force
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    emb = hashed_ngram_embed(docs, "text", dim=128)
+
+    def probe_mask(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["doc_id"] % 37 == 0) & (b["text"].fillna("").str.len() >= 80)
+        return b[keep]
+
+    probes = (
+        docs.map_batches(probe_mask, batch_format="pandas")
+        .limit(3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(probes) == 3, "fixture too small for text_embed_knn probes"
+    mutated = probes.copy()
+    mutated["text"] = mutated["text"] + " appended probe suffix"
+    import ray.data as _rd
+
+    qv = (
+        hashed_ngram_embed(_rd.from_pandas(mutated), "text", dim=128)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qmat = np.stack(qv["embedding"].to_numpy())
+    hits = knn_brute_force(emb, qmat, id_col="doc_id", k=1)
+    hits = hits.sort_values("query_idx").reset_index(drop=True)
+    src = probes["doc_id"].to_numpy()
+    got = hits["doc_id"].to_numpy()
+    assert (got == src).all(), f"probe retrieval failed: {got} vs {src}"
+    out = pd.DataFrame(
+        {
+            "probe_doc_id": src.astype("int64"),
+            "hit_doc_id": got.astype("int64"),
+            "cosine": _round_half_away(hits["cosine"], 4),
+        }
+    )
+    return out
+
+
+def q_char_entropy_docs(sf_dir: str) -> pd.DataFrame:
+    """Character-entropy quality signal (ops/textstats.py::
+    add_char_entropy — map-only, one utf-32 reinterpret + np.unique per
+    batch): per-doc Shannon entropy (bits/char, ROUND 4 for the float
+    contract — both engines compute H = log2(L) − Σc·log2(c)/L on
+    identical integer counts) and distinct-codepoint count.  FULL SQL
+    oracle: DuckDB regexp_extract_all('(?s).') codepoint unnest +
+    GROUP BY mirror."""
+    from ..ops.textstats import add_char_entropy
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = add_char_entropy(docs).to_pandas()
+    out["char_entropy"] = _round_half_away(out["char_entropy"], 4)
+    return (
+        out[["doc_id", "n_distinct_chars", "char_entropy"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_anchor_texts(sf_dir: str) -> pd.DataFrame:
     """Anchor-text corpus extraction (ops/graph.py::extract_anchor_texts):
     synthetic link-bearing pages (a pure function of doc_id, reproduced
@@ -5784,6 +5856,11 @@ QUERIES = {
     # round-4 session-8 tail additions (SQL-oracled in TestTailQueryOracles)
     "ipc_docs": q_ipc_docs,
     "orc_events": q_orc_events,
+    "anchor_texts": q_anchor_texts,
+    "char_entropy_docs": q_char_entropy_docs,
+    # rows-only (deterministic hashed embeddings; top-1 source retrieval
+    # asserted in-query, operator pinned by TestHashedEmbed)
+    "text_embed_knn": q_text_embed_knn,
     # rows-only (probabilistic HLL estimate; <=5% error vs the exact
     # distributed distinct asserted in-query; bounds pinned by the
     # round-3 sketch tests)
@@ -6397,8 +6474,12 @@ ORACLE_SQL = {
             for w in ("the", "be", "to", "of", "and", "that", "have", "with")
         )
         + " AS BIGINT) AS n_required_words, "
-        "CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) "
-        "/ GREATEST(len(lines), 1) AS dlf "
+        # dup-line fraction over NON-EMPTY lines (repeated content lines,
+        # not blank paragraph separators) — mirrors
+        # add_repetition_stats(ignore_empty_lines=True) in the gate
+        "CAST(len(list_filter(lines, l -> l <> '')) "
+        "- len(list_distinct(list_filter(lines, l -> l <> ''))) AS DOUBLE) "
+        "/ GREATEST(len(list_filter(lines, l -> l <> '')), 1) AS dlf "
         "FROM base) "
         "SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len_ws, "
         "ROUND(swr, 6) AS symbol_word_ratio, ROUND(blf, 6) AS bullet_line_frac, "
@@ -7325,6 +7406,62 @@ ORACLE_SQL["running_max_value_by_user"] = (
     "(PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS peak_value "
     "FROM events"
+)
+
+# Anchor-text corpus: the link-bearing pages are a pure function of doc_id
+# (mirrored from q_anchor_texts); extraction = TWO regexp_extract_all
+# passes per quote style (href group 1, text group 2 — positional
+# multi-unnest zips them), whitespace collapse with the explicit ASCII
+# class both engines share, host classification per the op's rules.
+_ANCHOR_PAGES = (
+    "SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url, "
+    "'<html><body><a href=\"https://h' || CAST((doc_id*3+1) % 17 AS VARCHAR) || '.example/a\">Guide to topic ' || CAST((doc_id*7) % 23 AS VARCHAR) || '</a>' "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '<a href=''//h' || CAST((doc_id*5+2) % 17 AS VARCHAR) || '.example/b''>  spaced' || chr(9) || ' anchor ' || CAST(doc_id % 5 AS VARCHAR) || '  </a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '<a href=\"/local/page\">local link</a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 6 = 0 THEN '<a href=\"mailto:a@b.c\">mail me</a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '<a href=\"https://h1.example/e\"></a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '<a href=\"https://h2.example/n\"><b>bold</b></a>' ELSE '' END "
+    "|| '</body></html>' AS html FROM documents"
+)
+ORACLE_SQL["anchor_texts"] = (
+    f"WITH pages AS ({_ANCHOR_PAGES}), "
+    "m AS ("
+    "SELECT url, "
+    "unnest(regexp_extract_all(html, '<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>', 1)) AS href, "
+    "unnest(regexp_extract_all(html, '<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>', 2)) AS txt "
+    "FROM pages "
+    "UNION ALL "
+    "SELECT url, "
+    "unnest(regexp_extract_all(html, '<a\\s[^>]*?href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>', 1)) AS href, "
+    "unnest(regexp_extract_all(html, '<a\\s[^>]*?href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>', 2)) AS txt "
+    "FROM pages), "
+    "cls AS (SELECT "
+    "CASE WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%' "
+    "THEN regexp_extract(href, '^[a-zA-Z]+://([^/:?#]+)', 1) "
+    "WHEN href LIKE '//%' THEN regexp_extract(href, '^//([^/:?#]+)', 1) "
+    "WHEN lower(href) LIKE '#%' OR lower(href) LIKE 'mailto:%' OR lower(href) LIKE 'javascript:%' THEN NULL "
+    "ELSE regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1) END AS dst_host, "
+    "trim(regexp_replace(txt, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ') AS anchor "
+    "FROM m) "
+    "SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
+    "WHERE dst_host IS NOT NULL AND dst_host <> '' AND anchor <> '' "
+    "GROUP BY dst_host, anchor"
+)
+
+# Character entropy: identical integer per-(doc, codepoint) counts on both
+# engines ('(?s).' matches one codepoint incl. newlines; utf-32 reinterpret
+# on the Ray side), identical closed form H = log2(L) - sum(c*log2 c)/L,
+# ROUND 4 absorbs the summation-order ULP.
+ORACLE_SQL["char_entropy_docs"] = (
+    "WITH c AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '(?s).')) AS ch "
+    "FROM documents), "
+    "f AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS cnt FROM c GROUP BY doc_id, ch), "
+    "a AS (SELECT doc_id, SUM(cnt) AS n, CAST(COUNT(*) AS BIGINT) AS nd, "
+    "SUM(cnt * log2(cnt)) AS s FROM f GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(a.nd, 0) AS n_distinct_chars, "
+    "ROUND(CAST(CASE WHEN a.n > 0 THEN log2(a.n) - a.s / a.n ELSE 0 END AS DOUBLE), 4) "
+    "AS char_entropy "
+    "FROM documents d LEFT JOIN a USING (doc_id)"
 )
 
 # Arrow IPC roundtrip: the aggregate runs over write->read roundtripped

@@ -1716,6 +1716,8 @@ class TestTailQueryOracles:
             "custkey_multiset_ops",
             "ipc_docs",
             "orc_events",
+            "anchor_texts",
+            "char_entropy_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

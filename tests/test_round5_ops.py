@@ -2339,3 +2339,287 @@ class TestColumnarSources:
         dup = rd.from_pandas(df).union(rd.from_pandas(df))
         with pytest.raises(ValueError, match="content-keyed"):
             write(dup, str(tmp_path / f"{fmt}_dup"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnchorTexts:
+    """Round-4 session-8: anchor-text corpus extraction
+    (ops/graph.py::extract_anchor_texts)."""
+
+    def _pages(self):
+        return pd.DataFrame(
+            {
+                "url": [
+                    "https://a.example/1",
+                    "https://b.example/2",
+                    "https://c.example/3",
+                    "https://d.example/4",
+                    "https://e.example/5",
+                ],
+                "html": [
+                    '<a href="https://x.example/p">Great   article</a>'
+                    "<a href='//y.example/q'>\tanother  one </a>",
+                    '<a class="z" href="/rel">relative link</a>'
+                    '<a href="mailto:a@b.c">mail</a><a href="#top">frag</a>',
+                    # unbalanced quote: must not extend into the next row
+                    '<a href="https://x.example/broken>no close',
+                    '<a href="https://x.example/p">Great   article</a>'
+                    '<a href="https://z.example/r"><b>nested markup</b></a>'
+                    '<a href="https://z.example/r"></a>',
+                    "",
+                ],
+            }
+        )
+
+    def _naive(self, df):
+        import re as _re
+        from collections import Counter
+
+        pats = [
+            _re.compile(r'<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', _re.I),
+            _re.compile(r"<a\s[^>]*?href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>", _re.I),
+        ]
+        host = _re.compile(r"^[a-z]+://([^/:?#]+)", _re.I)
+        c = Counter()
+        for _, row in df.iterrows():
+            h = row["html"]
+            if isinstance(h, (bytes, bytearray)):
+                h = h.decode("utf-8", errors="replace")
+            src = host.match(row["url"]).group(1)
+            for pat in pats:
+                for m in pat.finditer(h or ""):
+                    link, txt = m.group(1), m.group(2)
+                    low = link.lower()
+                    if low.startswith(("http://", "https://")):
+                        dst = host.match(link).group(1)
+                    elif link.startswith("//"):
+                        dst = _re.match(r"^//([^/:?#]+)", link).group(1)
+                    elif low.startswith(("#", "mailto:", "javascript:")):
+                        continue
+                    else:
+                        dst = src
+                    anchor = _re.sub(r"[ \t\r\n\f\v]+", " ", txt).strip(" ")
+                    if anchor and dst:
+                        c[(dst, anchor)] += 1
+        return (
+            pd.DataFrame(
+                [(d, a, n) for (d, a), n in c.items()],
+                columns=["dst_host", "anchor", "n_links"],
+            )
+            .sort_values(["dst_host", "anchor"])
+            .reset_index(drop=True)
+        )
+
+    def _run(self, df, nb=1):
+        from ocr_platform_ray.ops.graph import extract_anchor_texts
+
+        out = extract_anchor_texts(rd.from_pandas(df).repartition(nb))
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        out["n_links"] = out["n_links"].astype("int64")
+        return out.sort_values(["dst_host", "anchor"]).reset_index(drop=True)
+
+    def test_matches_naive_reference(self):
+        df = self._pages()
+        got = self._run(df)
+        want = self._naive(df)
+        pd.testing.assert_frame_equal(got, want)
+        # spot invariants: whitespace collapsed, nested/empty/mailto dropped
+        assert ("x.example", "Great article") in set(
+            zip(got["dst_host"], got["anchor"])
+        )
+        assert int(got.loc[got["anchor"] == "Great article", "n_links"].iloc[0]) == 2
+        assert "nested markup" not in set(got["anchor"])
+        assert "mail" not in set(got["anchor"])
+
+    def test_block_independence_and_bytes(self):
+        df = self._pages()
+        a = self._run(df, nb=1)
+        b = self._run(df, nb=5)
+        pd.testing.assert_frame_equal(a, b)
+        enc = df.assign(html=df["html"].map(lambda s: s.encode("utf-8")))
+        c = self._run(enc, nb=3)
+        pd.testing.assert_frame_equal(a, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCharEntropy:
+    """Round-4 session-8: character-entropy quality signal
+    (ops/textstats.py::add_char_entropy)."""
+
+    def _naive(self, t):
+        import math
+        from collections import Counter
+
+        if not t:
+            return 0.0, 0
+        c = Counter(t)
+        L = len(t)
+        h = -sum((k / L) * math.log2(k / L) for k in c.values())
+        return h, len(c)
+
+    def test_matches_naive_and_edges(self):
+        from ocr_platform_ray.ops.textstats import add_char_entropy
+
+        texts = [
+            "", "a", "aaaaaaa", "abab", "the quick brown fox",
+            "héllo ☕ wörld\nsecond line", "0123456789" * 3,
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        out = (
+            add_char_entropy(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            h, nd = self._naive(t)
+            assert abs(out["char_entropy"][i] - h) < 1e-12, t
+            assert out["n_distinct_chars"][i] == nd, t
+        # ordering invariant: repetition < prose
+        assert out["char_entropy"][2] == 0.0
+        assert out["char_entropy"][2] < out["char_entropy"][4]
+
+    def test_block_independence_and_null(self):
+        from ocr_platform_ray.ops.textstats import add_char_entropy
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(8),
+                "text": ["xy" * i for i in range(7)] + [None],
+            }
+        )
+        a = add_char_entropy(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+        b = (
+            add_char_entropy(rd.from_pandas(df).repartition(5))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+        assert a["char_entropy"].iloc[-1] == 0.0
+        assert a["n_distinct_chars"].iloc[-1] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherEmptyLineRule:
+    """Round-4 session-8: dup_line_frac over NON-EMPTY lines in the
+    Gopher gate — blank paragraph separators are not repeated content
+    (with empties kept, any >=3-paragraph document failed the 0.30
+    cutoff on separator lines alone)."""
+
+    def _prose(self, n_paras=6):
+        para = (
+            "The archive and the ledger sit with the harbor meadow copper "
+            "signal lantern orchard timber quarry compass saddle anvil."
+        )
+        # distinct paragraphs (suffix differs), blank-line separated
+        return "\n\n".join(f"{para} Variant {i} closes it." for i in range(n_paras))
+
+    def test_paragraph_prose_passes_gate(self):
+        from ocr_platform_ray.ops.textstats import gopher_quality_gate
+
+        df = pd.DataFrame({"doc_id": [0], "text": [self._prose()]})
+        out = gopher_quality_gate(rd.from_pandas(df), "text").to_pandas()
+        assert float(out["dup_line_frac"][0]) == 0.0
+        assert bool(out["gopher_pass"][0])
+
+    def test_repeated_content_lines_still_fail(self):
+        from ocr_platform_ray.ops.textstats import gopher_quality_gate
+
+        line = "the same content line that we have typed out again here now"
+        df = pd.DataFrame({"doc_id": [0], "text": ["\n\n".join([line] * 20)]})
+        out = gopher_quality_gate(rd.from_pandas(df), "text").to_pandas()
+        assert float(out["dup_line_frac"][0]) > 0.3
+        assert not bool(out["gopher_pass"][0])
+
+    def test_raw_signal_default_unchanged(self):
+        from ocr_platform_ray.ops.textstats import add_repetition_stats
+
+        t = "a\n\nb\n\nc"
+        df = pd.DataFrame({"doc_id": [0], "text": [t]})
+        raw = add_repetition_stats(rd.from_pandas(df), "text").to_pandas()
+        # default keeps empties: 5 lines, 4 distinct ("" collapses)
+        assert int(raw["n_lines"][0]) == 5
+        assert int(raw["n_distinct_lines"][0]) == 4
+        ne = add_repetition_stats(
+            rd.from_pandas(df), "text", ignore_empty_lines=True
+        ).to_pandas()
+        assert int(ne["n_lines"][0]) == 3
+        assert int(ne["n_distinct_lines"][0]) == 3
+        assert float(ne["dup_line_frac"][0]) == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashedEmbed:
+    """Round-4 session-8: hashed char-n-gram embeddings (ops/embed.py)."""
+
+    def _df(self):
+        base = "the quick brown fox jumps over the lazy dog near the river bank "
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype="int64"),
+                "text": [
+                    base * 4,
+                    base * 4 + "with one extra clause.",
+                    "completely unrelated quantum chromodynamics lattice results",
+                    "ab",          # shorter than n=3 -> zero vector
+                    "",            # empty -> zero vector
+                    None,          # null -> zero vector
+                ],
+            }
+        )
+
+    def _mat(self, nb=1, **kw):
+        from ocr_platform_ray.ops.embed import hashed_ngram_embed
+
+        out = (
+            hashed_ngram_embed(rd.from_pandas(self._df()).repartition(nb), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return np.stack(out["embedding"].to_numpy())
+
+    def test_norms_similarity_order_and_block_independence(self):
+        V = self._mat()
+        norms = np.linalg.norm(V, axis=1)
+        assert np.allclose(norms[:3], 1.0)
+        assert (norms[3:] == 0.0).all()
+        near = float(V[0] @ V[1])
+        unrel = float(V[0] @ V[2])
+        assert near > 0.9 and unrel < 0.5 and near > unrel
+        V2 = self._mat(nb=5)
+        assert np.array_equal(V, V2)  # bitwise — integer accumulation
+
+    def test_seed_dim_sensitivity_and_validation(self):
+        from ocr_platform_ray.ops.embed import hashed_ngram_embed
+
+        a = self._mat(seed=1)
+        b = self._mat(seed=2)
+        assert not np.array_equal(a[0], b[0])
+        c = self._mat(dim=64)
+        assert c.shape[1] == 64
+        with pytest.raises(ValueError, match="dim >= 2"):
+            hashed_ngram_embed(rd.from_pandas(self._df()), dim=1)
+
+    def test_knn_composition_retrieves_source(self):
+        from ocr_platform_ray.ops.embed import hashed_ngram_embed
+        from ocr_platform_ray.ops.similarity import knn_brute_force
+
+        rng = np.random.RandomState(3)
+        vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        texts = [
+            " ".join(rng.choice(vocab, 40)) + f" doc {i} marker" for i in range(20)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(20, dtype="int64"), "text": texts})
+        emb = hashed_ngram_embed(rd.from_pandas(df).repartition(3), "text")
+        probe = df.head(3).copy()
+        probe["text"] = probe["text"] + " tiny mutation"
+        qv = hashed_ngram_embed(rd.from_pandas(probe), "text").to_pandas()
+        qv = qv.sort_values("doc_id")
+        hits = knn_brute_force(
+            emb, np.stack(qv["embedding"].to_numpy()), id_col="doc_id", k=1
+        ).sort_values("query_idx")
+        assert (hits["doc_id"].to_numpy() == probe["doc_id"].to_numpy()).all()
