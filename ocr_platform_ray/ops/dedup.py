@@ -864,6 +864,106 @@ def strip_repeated_paragraphs(
     return ds.map_batches(strip, batch_format="pandas")
 
 
+def bloom_strip_repeated_paragraphs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n\n",
+    min_words: int = 3,
+    min_docs: int = 2,
+    m_bits: int = 1 << 24,
+) -> rd.Dataset:
+    """Fixed-memory approximate `strip_repeated_paragraphs` — the
+    Dolma/CCNet counting-Bloom route (Soldaini et al. 2024 use the plain
+    Bloom form): ZERO exchanges, no corpus-proportional state anywhere.
+
+    Pass A streams one ``m_bits``-counter partial per block to the
+    driver (np.bincount per probe, clipped to ``min_docs``, shipped as
+    uint8 = m_bits bytes/block); partials merge by saturating add —
+    ``min(cap, a+b)`` is associative and commutative, so the merged
+    counters are block-structure independent TO THE BIT.  Each counter
+    is >= the true distinct-doc count of every paragraph hashing to it
+    (within-doc dedup is in-row exact), so thresholding at ``min_docs``
+    and packing to a bitmap gives a probe structure that can NEVER miss
+    a truly repeated paragraph; false positives over-strip at the
+    counting-Bloom rate ~(k·n/m)^k (k=4) — size ``m_bits`` >= ~100x the
+    distinct-paragraph count to make that negligible.  Pass B strips
+    map-only against the broadcast bitmap (`ops.spans._bloom_test`, the
+    same k-probe layout as the span-dedup Bloom route).
+
+    Exact-route equivalence (large ``m_bits``) and the never-miss
+    superset property are pytest-pinned."""
+    from .spans import _bloom_indices, _bloom_test
+
+    if min_docs < 2 or min_docs > 200:
+        raise ValueError("bloom_strip_repeated_paragraphs: need 2 <= min_docs <= 200")
+    n_words = (max(m_bits, 64) + 63) // 64
+    m_bits = n_words * 64
+
+    def para_hashes(b: pd.DataFrame) -> tuple[list, list, np.ndarray]:
+        """(per-row paragraph lists, flat stripped texts, flat hashes)."""
+        para_lists = [text.split(sep) for text in b[text_col]]
+        flat = [p.strip() for paras in para_lists for p in paras]
+        hashes = (
+            _sha64(flat).view(np.int64) if flat else np.empty(0, dtype=np.int64)
+        )
+        return para_lists, flat, hashes
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        para_lists, flat, hashes = para_hashes(b)
+        # the gate + within-doc dedup the exact route applies: a counted
+        # paragraph is (>= min_words) and counts once per document
+        rows = np.repeat(np.arange(len(para_lists)), [len(p) for p in para_lists])
+        ok = np.fromiter(
+            (len(p.split()) >= min_words for p in flat), dtype=bool, count=len(flat)
+        )
+        df = pd.DataFrame({"r": rows[ok], "h": hashes[ok]}).drop_duplicates()
+        gh = df["h"].to_numpy(dtype=np.int64)
+        # scattered in-place adds — no per-probe m-sized temporaries
+        acc = np.zeros(m_bits, dtype=np.int64)
+        for idx in _bloom_indices(gh, m_bits):
+            np.add.at(acc, idx.astype(np.int64), 1)
+        return pd.DataFrame(
+            {"counts": [np.minimum(acc, min_docs).astype(np.uint8).tobytes()]}
+        )
+
+    acc = np.zeros(m_bits, dtype=np.int64)
+    for batch in ds.map_batches(count_partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for raw in batch["counts"]:
+            acc = np.minimum(acc + np.frombuffer(raw, dtype=np.uint8), min_docs)
+    hot = acc >= min_docs
+    bits = np.zeros(n_words, dtype=np.uint64)
+    pos = np.nonzero(hot)[0].astype(np.uint64)
+    np.bitwise_or.at(
+        bits, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+    )
+    bits_ref = ray.put(bits)
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        bm = cached_get(bits_ref)
+        out = b.copy()
+        para_lists, flat, hashes = para_hashes(b)
+        dup = _bloom_test(bm, hashes) if len(hashes) else np.zeros(0, dtype=bool)
+        new_texts = []
+        pos = 0
+        for paras in para_lists:
+            keep = []
+            for p in paras:
+                sp, is_dup = flat[pos], dup[pos]
+                pos += 1
+                if len(sp.split()) >= min_words and is_dup:
+                    continue
+                keep.append(p)
+            new_texts.append(sep.join(keep))
+        out[text_col] = new_texts
+        return out
+
+    return ds.map_batches(strip, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Duplicate-cluster resolution (pairs -> clusters -> representatives)
 # --------------------------------------------------------------------------

@@ -339,3 +339,83 @@ def bm25_search_index(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def top_tfidf_terms(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+    method: str = "auto",
+) -> rd.Dataset | pd.DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction
+    / document-summarization statistic (and the feature behind sparse
+    retrieval embeddings): score(t, d) = tf(t, d) · ln(N / df(t)),
+    deterministic tie-break (score DESC, token ASC) so the ranking is
+    total and SQL-mirrorable.
+
+    Scale shape: a composition of the house primitives, no new exchange
+    machinery — per-batch (id, token, tf) combiner partials (tf is
+    in-row exact, no cross-block merge needed), the mergeable
+    `token_document_frequency` reduce for df, one size-aware join
+    (token-keyed: broadcast while the vocabulary fits, bucketed
+    exchange past it), a map-side score, and `grouped_top_k`'s
+    local-prune finish (k rows per (doc, batch) leave each task).
+    Tokenization is single-space split with empties kept — identical to
+    token_document_frequency and the BM25 projection."""
+    from .relational import auto_join, grouped_top_k
+    from .textstats import token_document_frequency
+
+    if k < 1:
+        raise ValueError("top_tfidf_terms: k must be >= 1")
+    docs = ds
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int64"),
+                "tfidf": pd.Series([], dtype="float64"),
+                "rk": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            b[[id_col, text_col]]
+            .assign(token=b[text_col].str.split(" "))
+            .explode("token")[[id_col, "token"]]
+        )
+        out = pairs.groupby([id_col, "token"], as_index=False).size()
+        return out.rename(columns={"size": "tf"})
+
+    tf = docs.map_batches(tf_partial, batch_format="pandas")
+    df_tab = token_document_frequency(
+        docs, id_col=id_col, text_col=text_col, min_df=min_df
+    )
+    if isinstance(df_tab, pd.DataFrame):
+        df_tab = rd.from_pandas(df_tab)
+    joined = auto_join(
+        tf,
+        df_tab,
+        "token",
+        broadcast_threshold_rows=(
+            0 if method == "bucketed" else 2_000_000
+        ),
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, "token", "tf"]].copy()
+        # the exact expression the SQL oracle repeats: tf * ln(N / df)
+        out["tfidf"] = out["tf"].to_numpy(dtype="float64") * np.log(
+            float(n_docs) / b["df"].to_numpy(dtype="float64")
+        )
+        return out
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_top_k(
+        scored, [id_col], "tfidf", k, descending=True, tie_col="token"
+    )

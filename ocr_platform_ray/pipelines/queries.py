@@ -291,6 +291,31 @@ def q_strip_repeated_paragraphs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bloom_strip_paragraphs(sf_dir: str) -> pd.DataFrame:
+    """Fixed-memory counting-Bloom paragraph strip (ops/dedup.py::
+    bloom_strip_repeated_paragraphs — ZERO exchanges, m-byte partials,
+    saturating-add merge): at the sized m_bits the fixture has no false
+    positives, so the result must equal the exact exchange route
+    byte-for-byte (asserted in-query) and carries the SAME full SQL
+    oracle as strip_repeated_paragraphs."""
+    from ..ops.dedup import bloom_strip_repeated_paragraphs, strip_repeated_paragraphs
+
+    stripped = bloom_strip_repeated_paragraphs(
+        _with_footers(sf_dir), "text", "doc_id", min_docs=10, m_bits=1 << 24
+    ).to_pandas()
+    exact = strip_repeated_paragraphs(
+        _with_footers(sf_dir), "text", "doc_id", min_docs=10
+    ).to_pandas()
+    g = stripped.sort_values("doc_id").reset_index(drop=True)
+    e = exact.sort_values("doc_id").reset_index(drop=True)
+    assert (g["text"].to_numpy() == e["text"].to_numpy()).all(), (
+        "bloom route diverged from exact route (FP at this m_bits?)"
+    )
+    out = g[["doc_id"]].copy()
+    out["n_chars_stripped"] = g["text"].str.len().astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Training-sequence packing: concatenate every document's pretokenizer
     stream in doc_id order and assign each doc the 512-token training
@@ -4933,6 +4958,28 @@ def q_host_links(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
+def q_doc_top_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF keywords (ops/search.py::
+    top_tfidf_terms — tf combiner + mergeable df reduce + size-aware
+    token join + grouped_top_k local prune; total order via the token
+    tiebreak).  FULL SQL oracle: ROW_NUMBER window over the identical
+    tf · ln(N/df) expression."""
+    from ..ops.search import top_tfidf_terms
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = top_tfidf_terms(docs, k=3)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["tfidf"] = _round_half_away(out["tfidf"], 6)
+    out["tf"] = out["tf"].astype("int64")
+    out["rk"] = out["rk"].astype("int64")
+    return (
+        out[["doc_id", "token", "tf", "tfidf", "rk"]]
+        .sort_values(["doc_id", "rk"])
+        .reset_index(drop=True)
+    )
+
+
 def q_text_embed_knn(sf_dir: str) -> pd.DataFrame:
     """Deterministic hashed-n-gram text embeddings (ops/embed.py —
     feature hashing, map-only, bitwise block-independent) composed with
@@ -5858,6 +5905,8 @@ QUERIES = {
     "orc_events": q_orc_events,
     "anchor_texts": q_anchor_texts,
     "char_entropy_docs": q_char_entropy_docs,
+    "doc_top_tfidf": q_doc_top_tfidf,
+    "bloom_strip_paragraphs": q_bloom_strip_paragraphs,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,
@@ -6082,6 +6131,9 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "repeated_paragraphs": _REPEATED_PARAS_SQL,
     "strip_repeated_paragraphs": _STRIP_PARAS_SQL,
+    # bloom route == exact route at the sized m_bits (asserted in-query),
+    # so it carries the identical full oracle
+    "bloom_strip_paragraphs": _STRIP_PARAS_SQL,
     # money sums use exact integer cents (FLOOR(x*100+0.5)) so parallel
     # partial sums agree bit-for-bit with DuckDB's sequential sum
     "colocated_orders_join": (
@@ -7446,6 +7498,25 @@ ORACLE_SQL["anchor_texts"] = (
     "SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n_links FROM cls "
     "WHERE dst_host IS NOT NULL AND dst_host <> '' AND anchor <> '' "
     "GROUP BY dst_host, anchor"
+)
+
+# Top-k TF-IDF keywords: identical integer (tf, df, N) on both engines,
+# identical score expression tf * ln(N / df) (the bm25 ln-bit-identity
+# precedent), ordering total via the token tiebreak; output score ROUND 6.
+ORACLE_SQL["doc_top_tfidf"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok "
+    "GROUP BY doc_id, token), "
+    "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token), "
+    "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+    "CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS score "
+    "FROM tf JOIN df USING (token) CROSS JOIN n), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, token ASC) AS rk FROM s) "
+    "SELECT doc_id, token, tf, ROUND(score, 6) AS tfidf, CAST(rk AS BIGINT) AS rk "
+    "FROM r WHERE rk <= 3"
 )
 
 # Character entropy: identical integer per-(doc, codepoint) counts on both

@@ -1718,6 +1718,8 @@ class TestTailQueryOracles:
             "orc_events",
             "anchor_texts",
             "char_entropy_docs",
+            "doc_top_tfidf",
+            "bloom_strip_paragraphs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -2623,3 +2623,171 @@ class TestHashedEmbed:
             emb, np.stack(qv["embedding"].to_numpy()), id_col="doc_id", k=1
         ).sort_values("query_idx")
         assert (hits["doc_id"].to_numpy() == probe["doc_id"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopTfidf:
+    """Round-4 session-8: per-doc top-k TF-IDF keywords
+    (ops/search.py::top_tfidf_terms)."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype="int64"),
+                "text": [
+                    "apple apple banana cherry",
+                    "banana banana banana date",
+                    "cherry date elder apple",
+                    "fig fig fig fig common common",
+                    "common word here",
+                ],
+            }
+        )
+
+    def _naive(self, df, k):
+        import math
+        from collections import Counter
+
+        N = len(df)
+        dfs = Counter()
+        tfs = {}
+        for _, r in df.iterrows():
+            toks = r["text"].split(" ")
+            tfs[r["doc_id"]] = Counter(toks)
+            dfs.update(set(toks))
+        rows = []
+        for did, c in tfs.items():
+            scored = sorted(
+                ((tf * math.log(N / dfs[t]), t, tf) for t, tf in c.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            for i, (s, t, tf) in enumerate(scored, 1):
+                rows.append((did, t, tf, s, i))
+        return (
+            pd.DataFrame(rows, columns=["doc_id", "token", "tf", "tfidf", "rk"])
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+
+    def _run(self, df, k=2, nb=1, **kw):
+        from ocr_platform_ray.ops.search import top_tfidf_terms
+
+        out = top_tfidf_terms(rd.from_pandas(df).repartition(nb), k=k, **kw)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        out["tf"] = out["tf"].astype("int64")
+        out["rk"] = out["rk"].astype("int64")
+        return (
+            out[["doc_id", "token", "tf", "tfidf", "rk"]]
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+
+    def test_matches_naive_reference_and_routes(self):
+        df = self._df()
+        want = self._naive(df, 2)
+        got = self._run(df, k=2)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # bucketed join route + multi-block: identical
+        got2 = self._run(df, k=2, nb=4, method="bucketed")
+        pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+    def test_min_df_and_validation_and_empty(self):
+        from ocr_platform_ray.ops.search import top_tfidf_terms
+
+        df = self._df()
+        # min_df=2 drops singleton tokens from scoring entirely
+        got = self._run(df, k=3, min_df=2)
+        assert "elder" not in set(got["token"])
+        assert "here" not in set(got["token"])
+        with pytest.raises(ValueError, match="k must be"):
+            top_tfidf_terms(rd.from_pandas(df), k=0)
+        empty = top_tfidf_terms(rd.from_pandas(df.head(0)), k=2)
+        assert isinstance(empty, pd.DataFrame) and len(empty) == 0
+        assert list(empty.columns) == ["doc_id", "token", "tf", "tfidf", "rk"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomStripParagraphs:
+    """Round-4 session-8: fixed-memory counting-Bloom paragraph strip
+    (ops/dedup.py::bloom_strip_repeated_paragraphs)."""
+
+    def _df(self, n=30):
+        rng = np.random.RandomState(11)
+        vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+        boiler = "subscribe to our newsletter for updates today"
+        texts = []
+        for i in range(n):
+            paras = [
+                " ".join(rng.choice(vocab, 8)) + f" unique {i} {j}"
+                for j in range(3)
+            ]
+            if i % 2 == 0:
+                paras.insert(1, boiler)  # repeated across 15 docs
+            if i % 5 == 0:
+                paras.append("short one")  # below min_words -> never stripped
+            texts.append("\n\n".join(paras))
+        return pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+
+    def _run(self, df, nb=1, **kw):
+        from ocr_platform_ray.ops.dedup import bloom_strip_repeated_paragraphs
+
+        return (
+            bloom_strip_repeated_paragraphs(
+                rd.from_pandas(df).repartition(nb), "text", "doc_id", **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_equals_exact_route_at_large_m(self):
+        from ocr_platform_ray.ops.dedup import strip_repeated_paragraphs
+
+        df = self._df()
+        got = self._run(df, nb=4, m_bits=1 << 20)
+        want = (
+            strip_repeated_paragraphs(
+                rd.from_pandas(df).repartition(4), "text", "doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # the boilerplate is gone, the short paragraph survived
+        assert not got["text"].str.contains("subscribe to our").any()
+        assert got["text"].str.contains("short one").any()
+
+    def test_block_structure_independent_bitwise(self):
+        df = self._df()
+        a = self._run(df, nb=1, m_bits=1 << 18)
+        b = self._run(df, nb=7, m_bits=1 << 18)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_never_misses_superset_at_tiny_m(self):
+        from ocr_platform_ray.ops.dedup import strip_repeated_paragraphs
+
+        df = self._df()
+        approx = self._run(df, nb=3, m_bits=256)  # FP-heavy on purpose
+        exact = (
+            strip_repeated_paragraphs(rd.from_pandas(df), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for a, e in zip(approx["text"], exact["text"]):
+            # approx keeps a SUBSET of the exact route's paragraphs:
+            # FPs only strip extra, a true repeat is never missed
+            # (drop the "" a fully-stripped doc's join produces)
+            a_set = {p for p in a.split("\n\n") if p}
+            e_set = {p for p in e.split("\n\n") if p}
+            assert a_set <= e_set
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.dedup import bloom_strip_repeated_paragraphs
+
+        with pytest.raises(ValueError, match="min_docs"):
+            bloom_strip_repeated_paragraphs(
+                rd.from_pandas(self._df()), "text", "doc_id", min_docs=1
+            )
