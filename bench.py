@@ -197,6 +197,14 @@ def run_once() -> dict:
         "main_content_docs",
         "incremental_event_stats",
         "jsonl_docs",
+        # round-4 session-8 additions
+        "ipc_docs",
+        "orc_events",
+        "anchor_texts",
+        "char_entropy_docs",
+        "doc_top_tfidf",
+        "bloom_strip_paragraphs",
+        "text_embed_knn",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -184,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
         help="remove fragments after every output committed",
     )
 
+    cv = sub.add_parser(
+        "convert",
+        help="convert a table between interchange formats "
+        "(parquet/jsonl/csv/ipc/orc in, +warc/wet read-only; "
+        "extension-dispatched unless --from/--to given)",
+    )
+    cv.add_argument("--input", required=True)
+    cv.add_argument("--output", required=True)
+    cv.add_argument("--from", dest="from_fmt", default=None)
+    cv.add_argument("--to", dest="to_fmt", default="parquet")
+    cv.add_argument("--columns", nargs="*", default=None)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -358,6 +370,20 @@ def main(argv: list[str] | None = None) -> int:
                 delete_inputs=args.delete_inputs,
             )
             print(json.dumps({"files_written": len(written)}))
+        elif args.cmd == "convert":
+            from .sources.auto import detect_format, read_auto, write_auto
+
+            src_fmt = args.from_fmt or detect_format(args.input)
+            ds = read_auto(args.input, fmt=src_fmt, columns=args.columns)
+            import os as _os
+
+            _os.makedirs(args.output, exist_ok=True)
+            n_files = write_auto(ds, args.output, args.to_fmt)
+            print(
+                json.dumps(
+                    {"from": src_fmt, "to": args.to_fmt, "files_written": n_files}
+                )
+            )
         elif args.cmd == "compact-state":
             from .ops.incremental import compact_bucket_state
 

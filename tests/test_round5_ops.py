@@ -2791,3 +2791,58 @@ class TestBloomStripParagraphs:
             bloom_strip_repeated_paragraphs(
                 rd.from_pandas(self._df()), "text", "doc_id", min_docs=1
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadAuto:
+    """Round-4 session-8: format-dispatching read/write
+    (sources/auto.py) behind the `convert` CLI."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "k": np.arange(8, dtype="int64"),
+                "s": [f"row {i}" for i in range(8)],
+            }
+        )
+
+    def test_detect_and_roundtrip_all_writable_formats(self, tmp_path):
+        from ocr_platform_ray.sources.auto import (
+            detect_format,
+            read_auto,
+            write_auto,
+        )
+
+        df = self._df()
+        for fmt in ("parquet", "jsonl", "csv", "ipc", "orc"):
+            out = str(tmp_path / fmt)
+            import os
+
+            os.makedirs(out, exist_ok=True)
+            n = write_auto(rd.from_pandas(df), out, fmt)
+            assert n >= 1
+            assert detect_format(out) == fmt
+            back = (
+                read_auto(out)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(back[["k", "s"]], df, check_dtype=False)
+            # column projection through the dispatcher
+            proj = read_auto(out, columns=["k"])
+            assert proj.schema().names == ["k"]
+
+    def test_majority_vote_and_errors(self, tmp_path):
+        from ocr_platform_ray.sources.auto import detect_format, write_auto
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        (d / "a.orc").write_bytes(b"")
+        (d / "b.jsonl").write_bytes(b"")
+        (d / "c.jsonl").write_bytes(b"")
+        assert detect_format(str(d)) == "jsonl"
+        with pytest.raises(ValueError, match="no recognized"):
+            detect_format(str(tmp_path))  # only the 'mixed' dir inside
+        with pytest.raises(ValueError, match="unknown format"):
+            write_auto(rd.from_pandas(self._df()), str(tmp_path), "warc")
