@@ -920,20 +920,37 @@ def bloom_strip_repeated_paragraphs(
         )
         df = pd.DataFrame({"r": rows[ok], "h": hashes[ok]}).drop_duplicates()
         gh = df["h"].to_numpy(dtype=np.int64)
-        # scattered in-place adds — no per-probe m-sized temporaries
-        acc = np.zeros(m_bits, dtype=np.int64)
+        # scattered in-place adds — no per-probe m-sized temporaries.
+        # The m-sized alloc is this stage's dominant cost (int64 was 8x
+        # the footprint), so use the narrowest dtype that PROVABLY can't
+        # wrap: one position receives at most the batch's total probe
+        # count (k layers x len(gh) adds of 1), so uint16 is exact
+        # whenever that total fits — true for every real m; tiny-m test
+        # corpora that exceed it fall back to uint32 (never-miss is a
+        # guarantee, not a probability).
+        dtype = np.uint16 if 4 * len(gh) < 65535 else np.uint32
+        acc = np.zeros(m_bits, dtype=dtype)
         for idx in _bloom_indices(gh, m_bits):
             np.add.at(acc, idx.astype(np.int64), 1)
-        return pd.DataFrame(
-            {"counts": [np.minimum(acc, min_docs).astype(np.uint8).tobytes()]}
-        )
+        np.minimum(acc, min_docs, out=acc)  # in-place: no second m-temp
+        return pd.DataFrame({"counts": [acc.astype(np.uint8).tobytes()]})
 
-    acc = np.zeros(m_bits, dtype=np.int64)
-    for batch in ds.map_batches(count_partial, batch_format="pandas").iter_batches(
-        batch_format="pandas"
-    ):
+    # Driver merge in-place with NO per-partial clip: each partial is
+    # already clipped at min_docs, and min(a+b, cap) >= cap iff
+    # a+b >= cap, so the escaping bitmap is identical either way —
+    # int32 sums can't wrap below ~10M partials.  (This host page-faults
+    # fresh allocations pathologically slowly, so every avoided m-sized
+    # temporary is a measured win.)
+    acc = np.zeros(m_bits, dtype=np.int32)
+    # large batch_size bundles blocks into fewer count tasks — each
+    # partial costs an m-counter alloc + an m-byte ship, so fewer,
+    # fuller partials are strictly better (the corpus pass itself is
+    # row-bounded either way)
+    for batch in ds.map_batches(
+        count_partial, batch_format="pandas", batch_size=16384
+    ).iter_batches(batch_format="pandas"):
         for raw in batch["counts"]:
-            acc = np.minimum(acc + np.frombuffer(raw, dtype=np.uint8), min_docs)
+            np.add(acc, np.frombuffer(raw, dtype=np.uint8), out=acc)
     hot = acc >= min_docs
     bits = np.zeros(n_words, dtype=np.uint64)
     pos = np.nonzero(hot)[0].astype(np.uint64)

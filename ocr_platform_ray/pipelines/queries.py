@@ -301,7 +301,10 @@ def q_bloom_strip_paragraphs(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import bloom_strip_repeated_paragraphs, strip_repeated_paragraphs
 
     stripped = bloom_strip_repeated_paragraphs(
-        _with_footers(sf_dir), "text", "doc_id", min_docs=10, m_bits=1 << 24
+        # m = 2^21 >> 100x the fixture's distinct-paragraph count; hot
+        # positions are only the >=min_docs footers, so a false positive
+        # needs a 4/4 hot-position collision — probability ~(1e-4)^4
+        _with_footers(sf_dir), "text", "doc_id", min_docs=10, m_bits=1 << 21
     ).to_pandas()
     exact = strip_repeated_paragraphs(
         _with_footers(sf_dir), "text", "doc_id", min_docs=10
