@@ -3524,6 +3524,49 @@ def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_tfrecord_docs(sf_dir: str) -> pd.DataFrame:
+    """TFRecord source + sink roundtrip (`sources/tfrecord.py` — the
+    tf.train.Example container of TF/JAX input pipelines, framing and
+    protobuf both from the public specs, CRCs lane-vectorized across
+    records): documents write to TFRecord shards (one per block,
+    content-keyed idempotent names, masked-CRC32C framing) and read
+    back with CRC verification; the per-lang doc-count / char-sum /
+    id-sum aggregate over the ROUNDTRIPPED data must equal SQL over the
+    original parquet — write+read fidelity for both string and int64
+    features, not just the reduce.  Full SQL oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.tfrecord import read_tfrecord, write_tfrecord_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    with tempfile.TemporaryDirectory(prefix="tfrecord_docs_") as td:
+        files = write_tfrecord_dataset(docs, td)
+        assert files, "TFRecord sink wrote no shards"
+        back = read_tfrecord(files, columns=["doc_id", "text", "lang"])
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("lang", as_index=False)
+            .agg(n_docs=("l", "size"), sum_len=("l", "sum"), sum_ids=("doc_id", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["lang"],
+            {
+                "n_docs": ("n_docs", "sum"),
+                "sum_len": ("sum_len", "sum"),
+                "sum_ids": ("sum_ids", "sum"),
+            },
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    for c in ("n_docs", "sum_len", "sum_ids"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
     """Boilerplate removal (`ops/boilerplate.extract_main_content` —
     the jusText/boilerpipe block classifier between crawl HTML and
@@ -5910,6 +5953,8 @@ QUERIES = {
     "char_entropy_docs": q_char_entropy_docs,
     "doc_top_tfidf": q_doc_top_tfidf,
     "bloom_strip_paragraphs": q_bloom_strip_paragraphs,
+    # round-4 session-9 tail additions (SQL-oracled in TestTailQueryOracles)
+    "tfrecord_docs": q_tfrecord_docs,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,
@@ -7415,6 +7460,16 @@ ORACLE_SQL["jsonl_docs"] = (
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len "
     "FROM documents GROUP BY source"
+)
+
+# TFRecord roundtrip: same fidelity contract as jsonl_docs — the Ray
+# aggregate runs over data that went through tf.train.Example encode +
+# masked-CRC framing and back; the id sum exercises int64 features.
+ORACLE_SQL["tfrecord_docs"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+    "FROM documents GROUP BY lang"
 )
 
 # Main-content extraction: the synthesized page's chrome (3-word nav at

@@ -12,6 +12,7 @@ Formats and their extensions:
     csv       .csv
     ipc       .arrow  .feather  .ipc
     orc       .orc
+    tfrecord  .tfrecord  .tfrecord.gz  .tfrecords
     warc      .warc  .warc.gz   (read-only here; pages-table schema)
     wet       .wet   .wet.gz    (read: conversion records)
 
@@ -29,6 +30,7 @@ import ray.data as rd
 
 from .columnar import read_ipc, read_orc, write_ipc_dataset, write_orc_dataset
 from .jsonl import read_jsonl, write_jsonl_dataset
+from .tfrecord import read_tfrecord, write_tfrecord_dataset
 from .warc import read_warc, read_wet
 
 _EXT_FORMAT = [
@@ -37,12 +39,13 @@ _EXT_FORMAT = [
     ((".csv",), "csv"),
     ((".arrow", ".feather", ".ipc"), "ipc"),
     ((".orc",), "orc"),
+    ((".tfrecord", ".tfrecord.gz", ".tfrecords"), "tfrecord"),
     ((".warc", ".warc.gz"), "warc"),
     ((".wet", ".wet.gz"), "wet"),
 ]
 
 READ_FORMATS = tuple(f for _, f in _EXT_FORMAT)
-WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc")
+WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord")
 
 
 def detect_format(path: str) -> str:
@@ -82,6 +85,8 @@ def read_auto(
         return read_ipc(path, columns=columns)
     if fmt == "orc":
         return read_orc(path, columns=columns)
+    if fmt == "tfrecord":
+        return read_tfrecord(path, columns=columns)
     if fmt in ("warc", "wet"):
         ds = read_warc(path) if fmt == "warc" else read_wet(path)
         return ds.select_columns(columns) if columns else ds
@@ -103,4 +108,6 @@ def write_auto(ds: rd.Dataset, out_dir: str, fmt: str) -> int:
         return len(write_ipc_dataset(ds, out_dir))
     if fmt == "orc":
         return len(write_orc_dataset(ds, out_dir))
+    if fmt == "tfrecord":
+        return len(write_tfrecord_dataset(ds, out_dir))
     raise ValueError(f"write_auto: unknown format {fmt!r} (have {WRITE_FORMATS})")

@@ -1720,6 +1720,7 @@ class TestTailQueryOracles:
             "char_entropy_docs",
             "doc_top_tfidf",
             "bloom_strip_paragraphs",
+            "tfrecord_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

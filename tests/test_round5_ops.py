@@ -2846,3 +2846,176 @@ class TestReadAuto:
             detect_format(str(tmp_path))  # only the 'mixed' dir inside
         with pytest.raises(ValueError, match="unknown format"):
             write_auto(rd.from_pandas(self._df()), str(tmp_path), "warc")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfrecordSource:
+    """Round-4 session-9: TFRecord source/sink (sources/tfrecord.py) —
+    framing + tf.train.Example from the public specs, lane-vectorized
+    CRC-32C."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype="int64"),
+                "text": [
+                    "plain", "héllo wörld", "line\nbreak\ttab", "",
+                    'quotes "and" \\slashes\\', "emoji ☕", "x" * 3000, "tail",
+                ],
+                "score": np.array(
+                    [1.5, 2.0, -0.25, 0.0, 3.75, 0.001953125, -8.0, 64.5],
+                    dtype="float64",  # all float32-representable
+                ),
+                "neg": np.array([0, -1, -(2**40), 2**62, 5, -5, 1, -1], "int64"),
+                "tags": [[1, 2], [3], [], [4, 5, 6], [7], [8], [9], [2**35]],
+                "vec": [
+                    np.arange(3, dtype="float32") + i for i in range(8)
+                ],
+                "blob": [bytes([i, 255 - i, 0, 10]) for i in range(8)],
+            }
+        )
+
+    def test_crc32c_kats_and_batch_equals_scalar(self):
+        import random
+
+        from ocr_platform_ray.sources.tfrecord import crc32c, crc32c_batch, _mask_crc
+
+        # the published CRC-32C check value, + empty string
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+        # masking formula (record_writer.h): spot value computed by hand
+        assert int(_mask_crc(0)) == 0xA282EAD8
+        rng = random.Random(7)
+        payloads = [
+            bytes(rng.randrange(256) for _ in range(n))
+            for n in [0, 1, 2, 7, 8, 63, 64, 65, 300, 4096, 5000, 1, 0]
+        ]
+        got = crc32c_batch(payloads)
+        want = np.array([crc32c(p) for p in payloads], dtype=np.uint32)
+        assert (got == want).all()
+
+    def test_example_wire_format_pinned(self):
+        """Byte-pin a tiny Example so encoder drift (field numbers, tag
+        bytes, packing) is loud — decodable by any protobuf runtime."""
+        from ocr_platform_ray.sources.tfrecord import _encode_rows, parse_example
+
+        df = pd.DataFrame({"a": np.array([5], "int64")})
+        (rec,) = _encode_rows(df)
+        # Example{1: Features{1: entry{1: "a", 2: Feature{3: Int64List{1: [5]}}}}}
+        assert rec == (
+            b"\x0a\x0c"  # Example.features (field 1, LEN), len 12
+            b"\x0a\x0a"  # Features.feature map entry, len 10
+            b"\x0a\x01a"  # entry key (field 1): "a"
+            b"\x12\x05"  # entry value (field 2): Feature, len 5
+            b"\x1a\x03"  # Feature.int64_list (field 3), len 3
+            b"\x0a\x01\x05"  # Int64List.value packed (field 1): [5]
+        )
+        assert parse_example(rec) == {"a": ("int64", [5])}
+        # negative int64 must be 10-byte two's-complement varint
+        (rec2,) = _encode_rows(pd.DataFrame({"a": np.array([-1], "int64")}))
+        assert parse_example(rec2) == {"a": ("int64", [-1])}
+        assert b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01" in rec2
+
+    def test_roundtrip_values_exact_and_idempotent(self, tmp_path):
+        import hashlib
+        import os
+
+        from ocr_platform_ray.sources.tfrecord import (
+            read_tfrecord,
+            write_tfrecord_dataset,
+        )
+
+        df = self._df()
+        out = str(tmp_path / "tfr")
+        files = write_tfrecord_dataset(rd.from_pandas(df).repartition(3), out)
+        assert len(files) == 3
+        back = (
+            read_tfrecord(out, binary_cols={"blob"}, list_cols={"tags", "vec"})
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert back["text"].tolist() == df["text"].tolist()
+        assert back["neg"].tolist() == df["neg"].tolist()
+        assert back["blob"].tolist() == df["blob"].tolist()
+        assert [list(map(int, t)) for t in back["tags"]] == df["tags"].tolist()
+        # float features are float32 by definition — exact for
+        # float32-representable doubles, exact for float32 vectors
+        assert back["score"].tolist() == df["score"].tolist()
+        for got, want in zip(back["vec"], df["vec"]):
+            assert np.asarray(got, dtype="float32").tolist() == want.tolist()
+        # idempotent rerun: same names, same bytes, no extra shards
+        before = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        again = write_tfrecord_dataset(rd.from_pandas(df).repartition(3), out)
+        assert again == files
+        assert sorted(os.listdir(out)) == sorted(os.path.basename(p) for p in files)
+        after = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        assert before == after
+
+    def test_gzip_nulls_projection_and_stale_cleanup(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.sources.tfrecord import (
+            read_tfrecord,
+            write_tfrecord_dataset,
+        )
+
+        df = self._df()
+        df.loc[2, "text"] = None  # null -> feature omitted -> None back
+        out = str(tmp_path / "gz")
+        write_tfrecord_dataset(rd.from_pandas(df).repartition(2), out, compress=True)
+        assert all(f.endswith(".tfrecord.gz") for f in os.listdir(out))
+        back = (
+            read_tfrecord(out, binary_cols={"blob"}, list_cols={"tags", "vec"})
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert back["text"][2] is None and back["text"][1] == "héllo wörld"
+        # projection prunes features right after parse
+        proj = read_tfrecord(out, columns=["doc_id", "text"]).to_pandas()
+        assert sorted(proj.columns) == ["doc_id", "text"]
+        # stale shards from a different input are removed post-publish
+        files2 = write_tfrecord_dataset(
+            rd.from_pandas(df.head(4)).repartition(2), out, compress=True
+        )
+        assert sorted(os.listdir(out)) == sorted(os.path.basename(p) for p in files2)
+
+    def test_corrupt_crc_and_truncation_raise(self, tmp_path):
+        from ocr_platform_ray.sources.tfrecord import (
+            read_tfrecord,
+            write_tfrecord_dataset,
+        )
+
+        df = self._df()[["doc_id", "text"]]
+        out = str(tmp_path / "bad")
+        (path,) = write_tfrecord_dataset(rd.from_pandas(df), out)
+        raw = bytearray(open(path, "rb").read())
+        raw[20] ^= 0xFF  # flip a payload byte
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(Exception, match="CRC mismatch"):
+            read_tfrecord(path).to_pandas()
+        # verify_crc=False tolerates it (the flipped byte lands in some
+        # record's payload; the frame lengths are intact)
+        open(path, "wb").write(bytes(raw[:-2]))
+        with pytest.raises(Exception, match="truncated"):
+            read_tfrecord(path, verify_crc=False).to_pandas()
+
+    def test_block_independence(self):
+        from ocr_platform_ray.sources.tfrecord import _encode_rows
+
+        df = self._df()
+        whole = _encode_rows(df)
+        split = _encode_rows(df.head(3)) + _encode_rows(df.tail(5))
+        assert whole == split  # records are a pure per-row function
+
+    def test_auto_dispatch(self, tmp_path):
+        from ocr_platform_ray.sources.auto import detect_format, read_auto, write_auto
+
+        df = self._df()[["doc_id", "text"]]
+        out = str(tmp_path / "auto")
+        n = write_auto(rd.from_pandas(df).repartition(2), out, "tfrecord")
+        assert n == 2
+        assert detect_format(out) == "tfrecord"
+        back = read_auto(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert back["text"].tolist() == df["text"].tolist()
