@@ -3567,6 +3567,47 @@ def q_tfrecord_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_avro_docs(sf_dir: str) -> pd.DataFrame:
+    """Avro Object Container File roundtrip (`sources/avro.py` — the
+    Hadoop/Kafka row format, container framing + zigzag binary encoding
+    entirely from the Apache Avro spec, deflate codec): documents write
+    to OCF shards (one per block, content-derived sync markers =
+    idempotent names) and read back through sync-verified streaming
+    parse tasks; the per-source doc-count / char-sum / id-sum aggregate
+    over the ROUNDTRIPPED data must equal SQL over the original parquet.
+    Full SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.avro import read_avro, write_avro_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    with tempfile.TemporaryDirectory(prefix="avro_docs_") as td:
+        files = write_avro_dataset(docs, td, codec="deflate")
+        assert files, "Avro sink wrote no shards"
+        back = read_avro(files, columns=["doc_id", "text", "source"])
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("source", as_index=False)
+            .agg(n_docs=("l", "size"), sum_len=("l", "sum"), sum_ids=("doc_id", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["source"],
+            {
+                "n_docs": ("n_docs", "sum"),
+                "sum_len": ("sum_len", "sum"),
+                "sum_ids": ("sum_ids", "sum"),
+            },
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    for c in ("n_docs", "sum_len", "sum_ids"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
     """Boilerplate removal (`ops/boilerplate.extract_main_content` —
     the jusText/boilerpipe block classifier between crawl HTML and
@@ -5955,6 +5996,7 @@ QUERIES = {
     "bloom_strip_paragraphs": q_bloom_strip_paragraphs,
     # round-4 session-9 tail additions (SQL-oracled in TestTailQueryOracles)
     "tfrecord_docs": q_tfrecord_docs,
+    "avro_docs": q_avro_docs,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,
@@ -7470,6 +7512,15 @@ ORACLE_SQL["tfrecord_docs"] = (
     "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len, "
     "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
     "FROM documents GROUP BY lang"
+)
+
+# Avro OCF roundtrip: same fidelity contract, grouped by source (the
+# data crossed zigzag varints + deflate blocks + sync-verified framing).
+ORACLE_SQL["avro_docs"] = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+    "FROM documents GROUP BY source"
 )
 
 # Main-content extraction: the synthesized page's chrome (3-word nav at

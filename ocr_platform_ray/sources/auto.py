@@ -13,6 +13,7 @@ Formats and their extensions:
     ipc       .arrow  .feather  .ipc
     orc       .orc
     tfrecord  .tfrecord  .tfrecord.gz  .tfrecords
+    avro      .avro
     warc      .warc  .warc.gz   (read-only here; pages-table schema)
     wet       .wet   .wet.gz    (read: conversion records)
 
@@ -28,6 +29,7 @@ import os
 
 import ray.data as rd
 
+from .avro import read_avro, write_avro_dataset
 from .columnar import read_ipc, read_orc, write_ipc_dataset, write_orc_dataset
 from .jsonl import read_jsonl, write_jsonl_dataset
 from .tfrecord import read_tfrecord, write_tfrecord_dataset
@@ -40,12 +42,13 @@ _EXT_FORMAT = [
     ((".arrow", ".feather", ".ipc"), "ipc"),
     ((".orc",), "orc"),
     ((".tfrecord", ".tfrecord.gz", ".tfrecords"), "tfrecord"),
+    ((".avro",), "avro"),
     ((".warc", ".warc.gz"), "warc"),
     ((".wet", ".wet.gz"), "wet"),
 ]
 
 READ_FORMATS = tuple(f for _, f in _EXT_FORMAT)
-WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord")
+WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord", "avro")
 
 
 def detect_format(path: str) -> str:
@@ -87,6 +90,8 @@ def read_auto(
         return read_orc(path, columns=columns)
     if fmt == "tfrecord":
         return read_tfrecord(path, columns=columns)
+    if fmt == "avro":
+        return read_avro(path, columns=columns)
     if fmt in ("warc", "wet"):
         ds = read_warc(path) if fmt == "warc" else read_wet(path)
         return ds.select_columns(columns) if columns else ds
@@ -110,4 +115,6 @@ def write_auto(ds: rd.Dataset, out_dir: str, fmt: str) -> int:
         return len(write_orc_dataset(ds, out_dir))
     if fmt == "tfrecord":
         return len(write_tfrecord_dataset(ds, out_dir))
+    if fmt == "avro":
+        return len(write_avro_dataset(ds, out_dir))
     raise ValueError(f"write_auto: unknown format {fmt!r} (have {WRITE_FORMATS})")

@@ -1721,6 +1721,7 @@ class TestTailQueryOracles:
             "doc_top_tfidf",
             "bloom_strip_paragraphs",
             "tfrecord_docs",
+            "avro_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

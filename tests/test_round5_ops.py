@@ -3019,3 +3019,130 @@ class TestTfrecordSource:
         assert detect_format(out) == "tfrecord"
         back = read_auto(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert back["text"].tolist() == df["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAvroSource:
+    """Round-4 session-9: Avro Object Container File source/sink
+    (sources/avro.py) — container framing, zigzag binary encoding and
+    the deflate codec from the Apache Avro spec."""
+
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(8, dtype="int64"),
+                "text": [
+                    "plain", "héllo wörld", "line\nbreak\ttab", "",
+                    'quotes "and" \\slashes\\', "emoji ☕", "x" * 3000, "tail",
+                ],
+                "score": [1.5, 2.0, -0.25, 0.0, 3.75, 1e-300, -8.0, 64.5],
+                "neg": np.array([0, -1, -(2**62), 2**62, 5, -5, 1, -1], "int64"),
+                "tags": [[1, 2], [3], [], [4, 5, 6], [7], [8], [9], [2**35]],
+                "vec": [np.arange(3, dtype="float64") + i for i in range(8)],
+                "blob": [bytes([i, 255 - i, 0, 10]) for i in range(8)],
+            }
+        )
+
+    def test_zigzag_spec_examples(self):
+        from ocr_platform_ray.sources.avro import _read_zigzag, _zigzag
+
+        # the value table printed in the Avro spec §Binary Encoding
+        for v, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                        (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                        (64, b"\x80\x01")]:
+            assert _zigzag(v) == want
+            assert _read_zigzag(want, 0) == (v, len(want))
+
+    def test_container_layout_pinned(self):
+        """Magic, metadata keys, and sync-verified block framing are
+        exactly the OCF spec — pinned on a one-record file."""
+        from ocr_platform_ray.sources.avro import (
+            _column_plan, _encode_rows, _schema_json, build_container,
+            parse_container,
+        )
+        import json
+
+        df = pd.DataFrame({"a": np.array([5], "int64")})
+        plan = _column_plan(df)
+        buf = build_container(_encode_rows(df, plan), _schema_json(plan))
+        assert buf[:4] == b"Obj\x01"
+        # record value: union branch 1 + zigzag(5) — exactly two bytes
+        blocks = list(parse_container(buf))
+        assert len(blocks) == 1
+        raw, cnt, rplan = blocks[0]
+        assert cnt == 1 and raw == b"\x02\x0a"
+        sch = json.loads(_schema_json(plan))
+        assert sch["fields"] == [{"name": "a", "type": ["null", "long"]}]
+        # sync marker mismatch is loud
+        bad = bytearray(buf)
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="sync-marker"):
+            list(parse_container(bytes(bad)))
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip_values_exact_and_idempotent(self, tmp_path, codec):
+        import hashlib
+        import os
+
+        from ocr_platform_ray.sources.avro import read_avro, write_avro_dataset
+
+        df = self._df()
+        df.loc[2, "text"] = None  # null -> union branch 0
+        out = str(tmp_path / codec)
+        files = write_avro_dataset(
+            rd.from_pandas(df).repartition(3), out, codec=codec
+        )
+        assert len(files) == 3
+        back = (
+            read_avro(out)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert back["text"].tolist() == df["text"].tolist()
+        assert back["neg"].tolist() == df["neg"].tolist()
+        assert back["score"].tolist() == df["score"].tolist()  # doubles exact
+        assert back["blob"].tolist() == df["blob"].tolist()
+        assert [list(map(int, t)) for t in back["tags"]] == df["tags"].tolist()
+        for got, want in zip(back["vec"], df["vec"]):
+            assert list(got) == want.tolist()
+        before = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        again = write_avro_dataset(rd.from_pandas(df).repartition(3), out, codec=codec)
+        assert again == files
+        assert sorted(os.listdir(out)) == sorted(os.path.basename(p) for p in files)
+        after = {p: hashlib.sha1(open(p, "rb").read()).hexdigest() for p in files}
+        assert before == after
+
+    def test_projection_stale_cleanup_and_bad_magic(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.sources.avro import read_avro, write_avro_dataset
+
+        df = self._df()[["doc_id", "text", "score"]]
+        out = str(tmp_path / "a")
+        write_avro_dataset(rd.from_pandas(df).repartition(2), out)
+        proj = read_avro(out, columns=["doc_id", "text"]).to_pandas()
+        assert sorted(proj.columns) == ["doc_id", "text"]
+        files2 = write_avro_dataset(rd.from_pandas(df.head(3)).repartition(2), out)
+        assert sorted(os.listdir(out)) == sorted(os.path.basename(p) for p in files2)
+        bad = str(tmp_path / "bad.avro")
+        open(bad, "wb").write(b"nope" + b"\x00" * 64)
+        with pytest.raises(Exception, match="bad magic"):
+            read_avro(bad).to_pandas()
+
+    def test_block_independence_and_auto_dispatch(self, tmp_path):
+        from ocr_platform_ray.sources.auto import detect_format, read_auto, write_auto
+        from ocr_platform_ray.sources.avro import _column_plan, _encode_rows
+
+        df = self._df()
+        plan = _column_plan(df)
+        whole = _encode_rows(df, plan)
+        split = _encode_rows(df.head(3), plan) + _encode_rows(df.tail(5), plan)
+        assert whole == split
+        d = df[["doc_id", "text"]]
+        out = str(tmp_path / "auto")
+        n = write_auto(rd.from_pandas(d).repartition(2), out, "avro")
+        assert n == 2
+        assert detect_format(out) == "avro"
+        back = read_auto(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert back["text"].tolist() == d["text"].tolist()
