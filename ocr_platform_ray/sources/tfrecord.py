@@ -65,20 +65,6 @@ def _make_table() -> np.ndarray:
 
 _TABLE = _make_table()
 _INIT = 0xFFFFFFFF
-# longest zero-walk kept resident; extended on demand (module-level cache
-# is per-process — workers rebuild it lazily, never ship it)
-_ZERO_WALK = [np.uint32(_INIT)]
-
-
-def _zero_walk(n: int) -> np.ndarray:
-    """``z[r] = register after r zero bytes from init`` for r in [0, n]
-    — the per-record ``L^r(init)`` correction for left-padded lanes.
-    One table lookup per step, cached across calls."""
-    tab = _TABLE
-    while len(_ZERO_WALK) <= n:
-        z = _ZERO_WALK[-1]
-        _ZERO_WALK.append((z >> np.uint32(8)) ^ tab[z & np.uint32(0xFF)])
-    return np.asarray(_ZERO_WALK[: n + 1], dtype=np.uint32)
 
 
 def crc32c(data: bytes) -> int:
@@ -91,46 +77,123 @@ def crc32c(data: bytes) -> int:
     return c ^ 0xFFFFFFFF
 
 
-def crc32c_batch(payloads: list[bytes]) -> np.ndarray:
-    """CRC-32C of every payload, vectorized across payloads.
+# The CRC step with byte b is affine: reg' = L(reg) ^ T[b] with
+# L(reg) = (reg >> 8) ^ T[reg & 0xFF] GF(2)-linear.  So "advance a
+# register by n zero bytes" is the linear operator L^n, representable
+# for any n as four 256-entry byte-slice tables; operators for n = 2^k
+# build by doubling (apply M_{2^(k-1)} to its own 32 basis images) —
+# per-process lazy caches, never shipped.
+_ADV_TABLES: dict[int, tuple] = {}
+_ADV_BASIS: dict[int, np.ndarray] = {}
 
-    Records right-align into a (rows, max_len) uint8 lane matrix; a
-    zero register is a fixed point of zero bytes, so the left padding
-    is free, and the true init contribution ``L^len(init)`` is XORed
-    back from the shared zero-walk.  Lanes process in length-sorted
-    chunks (~16 MB pad area each) so length skew can't blow the matrix
-    up.  Returns uint32."""
-    n = len(payloads)
-    out = np.zeros(n, dtype=np.uint32)
-    if n == 0:
-        return out
-    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
-    z = _zero_walk(int(lens.max()))
-    order = np.argsort(lens, kind="stable")
-    tab = _TABLE
-    start = 0
-    while start < n:
-        # grow the chunk until its (rows x chunk_max) area hits the cap
-        stop, area_cap = start + 1, 16 << 20
-        while stop < n and (stop + 1 - start) * int(lens[order[stop]]) <= area_cap:
-            stop += 1
-        idx = order[start:stop]
-        chunk_max = int(lens[idx[-1]])
-        if chunk_max == 0:
-            start = stop
-            continue  # crc(b"") = 0 = init ^ xorout, already in `out`
-        mat = np.zeros((len(idx), chunk_max), dtype=np.uint8)
-        for row, i in enumerate(idx):
-            p = payloads[i]
-            if p:
-                mat[row, chunk_max - len(p) :] = np.frombuffer(p, dtype=np.uint8)
-        reg = np.zeros(len(idx), dtype=np.uint32)
-        for j in range(chunk_max):
-            reg = (reg >> np.uint32(8)) ^ tab[(reg ^ mat[:, j]) & np.uint32(0xFF)]
-        out[idx] = z[lens[idx]] ^ reg ^ np.uint32(0xFFFFFFFF)
-        start = stop
-    # zero-length payloads: crc = init ^ xorout... = 0? init ^ xorout = 0.
+
+def _apply_tables(ts, reg: np.ndarray) -> np.ndarray:
+    return (
+        ts[0][reg & np.uint32(0xFF)]
+        ^ ts[1][(reg >> np.uint32(8)) & np.uint32(0xFF)]
+        ^ ts[2][(reg >> np.uint32(16)) & np.uint32(0xFF)]
+        ^ ts[3][reg >> np.uint32(24)]
+    )
+
+
+def _tables_from_basis(basis: np.ndarray) -> tuple:
+    ts = []
+    for k in range(4):
+        t = np.zeros(256, dtype=np.uint32)
+        for v in range(1, 256):
+            low = v & -v
+            t[v] = t[v ^ low] ^ basis[8 * k + low.bit_length() - 1]
+        ts.append(t)
+    return tuple(ts)
+
+
+def _advance_tables(log2n: int) -> tuple:
+    """Byte-slice tables for L^(2^log2n) (advance by 2^log2n zero bytes)."""
+    if log2n in _ADV_TABLES:
+        return _ADV_TABLES[log2n]
+    if log2n == 0:
+        tab = _TABLE
+        basis = np.empty(32, dtype=np.uint32)
+        for bit in range(32):
+            reg = np.uint32(1 << bit)
+            basis[bit] = (reg >> np.uint32(8)) ^ tab[reg & np.uint32(0xFF)]
+    else:
+        prev = _advance_tables(log2n - 1)
+        basis = _apply_tables(prev, _ADV_BASIS[log2n - 1])  # M∘M
+    _ADV_BASIS[log2n] = basis
+    ts = _tables_from_basis(basis)
+    _ADV_TABLES[log2n] = ts
+    return ts
+
+
+def _advance_by(reg: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """reg[i] advanced by lens[i] zero bytes — O(log max_len) masked
+    table applications, vectorized across lanes."""
+    out = np.asarray(reg, dtype=np.uint32).copy()
+    m = int(lens.max()) if len(lens) else 0
+    k = 0
+    while (1 << k) <= m:
+        sel = ((lens >> k) & 1).astype(bool)
+        if sel.any():
+            out[sel] = _apply_tables(_advance_tables(k), out[sel])
+        k += 1
     return out
+
+
+def crc32c_batch(payloads: list[bytes]) -> np.ndarray:
+    """CRC-32C of every payload, vectorized across payloads at any
+    record-count/record-length mix.
+
+    Two-level lanes: each record splits into S-byte pieces (the FIRST
+    piece short and left-zero-padded — leading zeros are the identity
+    on a zero register), every piece is a lane of one (pieces, S)
+    matrix, so the byte loop is S steps over total_bytes/S-wide vectors
+    REGARDLESS of how few records there are.  Piece registers then fold
+    per record with the advance-by-S operator (right-aligned in the
+    piece dimension — zero pieces are again free), and the init term
+    ``L^len(init)`` is restored per record by binary advance.  Returns
+    uint32."""
+    n = len(payloads)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    init = np.full(n, _INIT, dtype=np.uint32)
+    if max_len == 0:
+        return _advance_by(init, lens) ^ np.uint32(0xFFFFFFFF)
+    log2s = min(8, max(3, int(max_len - 1).bit_length()))
+    seg = 1 << log2s
+    n_pieces = (lens + seg - 1) // seg
+    max_pieces = int(n_pieces.max())
+    total_pieces = int(n_pieces.sum())
+    starts = np.concatenate([[0], np.cumsum(n_pieces)[:-1]]).astype(np.int64)
+    mat = np.zeros((total_pieces, seg), dtype=np.uint8)
+    for i in range(n):
+        p = payloads[i]
+        if not p:
+            continue
+        arr = np.frombuffer(p, dtype=np.uint8)
+        head = int(lens[i] % seg) or seg
+        r0 = int(starts[i])
+        mat[r0, seg - head :] = arr[:head]
+        rest = arr[head:]
+        if rest.size:
+            mat[r0 + 1 : r0 + int(n_pieces[i])] = rest.reshape(-1, seg)
+    tab = _TABLE
+    reg = np.zeros(total_pieces, dtype=np.uint32)
+    for j in range(seg):
+        reg = (reg >> np.uint32(8)) ^ tab[(reg ^ mat[:, j]) & np.uint32(0xFF)]
+    # right-aligned per-record piece registers, folded with advance-by-S
+    pr = np.zeros((n, max_pieces), dtype=np.uint32)
+    rows = np.repeat(np.arange(n), n_pieces)
+    offs = np.arange(total_pieces) - np.repeat(starts, n_pieces)
+    cols = max_pieces - np.repeat(n_pieces, n_pieces) + offs
+    pr[rows, cols] = reg
+    adv = _advance_tables(log2s)
+    acc = np.zeros(n, dtype=np.uint32)
+    for t in range(max_pieces):
+        acc = _apply_tables(adv, acc) ^ pr[:, t]
+    return _advance_by(init, lens) ^ acc ^ np.uint32(0xFFFFFFFF)
 
 
 def _mask_crc(crc: np.ndarray | int):
