@@ -205,6 +205,10 @@ def run_once() -> dict:
         "doc_top_tfidf",
         "bloom_strip_paragraphs",
         "text_embed_knn",
+        # round-4 session-9 additions
+        "tfrecord_docs",
+        "avro_docs",
+        "langid_trained",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -3608,6 +3608,75 @@ def q_avro_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_langid_trained(sf_dir: str) -> pd.DataFrame:
+    """Trained fastText-style language ID (`ops/softmax.py` — multiclass
+    softmax over hashed char-n-gram embeddings, the supervised Joulin
+    2016 model; map-only embed + fixed-size gradient partials, vectors
+    never move).  The fixture's lang column is uncorrelated with its
+    text, so the evidence corpus plants four deterministic script
+    variants of the real documents (latin / word-reversed latin / greek
+    / cyrillic — 'rev' shares latin's script, so the model must learn
+    n-gram ORDER, not just codepoint ranges), trains on even doc_ids
+    and predicts the held-out odd half: per-lang accuracy returned,
+    overall accuracy >= 0.99 asserted in-query.  Rows-only (model
+    weights aren't SQL); machinery pinned by TestSoftmaxLangid."""
+    from ..ops.softmax import langid_fit, langid_predict
+
+    greek = str.maketrans(
+        {chr(c): chr(c - ord("a") + 0x3B1) for c in range(ord("a"), ord("z") + 1)}
+    )
+    cyr = str.maketrans(
+        {chr(c): chr(c - ord("a") + 0x430) for c in range(ord("a"), ord("z") + 1)}
+    )
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        lang_idx = (ids >> 1) % 4
+        texts = b["text"].fillna("").str.lower().tolist()
+        out_text, out_lang = [], []
+        for t, li in zip(texts, lang_idx):
+            if li == 0:
+                out_text.append(t)
+                out_lang.append("lat")
+            elif li == 1:
+                out_text.append(" ".join(w[::-1] for w in t.split()))
+                out_lang.append("rev")
+            elif li == 2:
+                out_text.append(t.translate(greek))
+                out_lang.append("el")
+            else:
+                out_text.append(t.translate(cyr))
+                out_lang.append("ru")
+        return pd.DataFrame(
+            {"doc_id": ids, "text": out_text, "lang": out_lang}
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pandas"
+    )
+    def half(parity: int):
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == parity]
+
+        return docs.map_batches(pick, batch_format="pandas")
+
+    train, test = half(0), half(1)
+    model = langid_fit(train, n_iters=40)
+    got = langid_predict(test, "text", model).to_pandas()
+    per = (
+        got.assign(ok=(got["lang_pred"] == got["lang"]).astype("int64"))
+        .groupby("lang", as_index=False)
+        .agg(n_docs=("ok", "size"), n_correct=("ok", "sum"))
+    )
+    assert per["n_correct"].sum() >= 0.99 * per["n_docs"].sum(), (
+        "trained langid under 99% held-out accuracy"
+    )
+    assert set(per["lang"]) == {"lat", "rev", "el", "ru"}
+    per["n_docs"] = per["n_docs"].astype("int64")
+    per["n_correct"] = per["n_correct"].astype("int64")
+    return per.sort_values("lang").reset_index(drop=True)
+
+
 def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
     """Boilerplate removal (`ops/boilerplate.extract_main_content` —
     the jusText/boilerpipe block classifier between crawl HTML and
@@ -5997,6 +6066,10 @@ QUERIES = {
     # round-4 session-9 tail additions (SQL-oracled in TestTailQueryOracles)
     "tfrecord_docs": q_tfrecord_docs,
     "avro_docs": q_avro_docs,
+    # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
+    # planted script variants asserted in-query, pinned by
+    # TestSoftmaxLangid)
+    "langid_trained": q_langid_trained,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,

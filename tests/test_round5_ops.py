@@ -3146,3 +3146,136 @@ class TestAvroSource:
         assert detect_format(out) == "avro"
         back = read_auto(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert back["text"].tolist() == d["text"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSoftmaxLangid:
+    """Round-4 session-9: multiclass softmax over embedding columns +
+    the trained fastText-style language identifier composed from it
+    (ops/softmax.py)."""
+
+    def _blobs(self, n=300, dim=8, seed=0):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(3, dim) * 3
+        X = np.vstack([centers[i] + rng.randn(n, dim) for i in range(3)])
+        y = np.repeat(["a", "b", "c"], n)
+        return pd.DataFrame({"v": list(X), "y": y})
+
+    def _script_corpus(self, n_groups=100):
+        import random
+
+        words = ["the", "quick", "brown", "fox", "jumps", "data",
+                 "pipeline", "batch", "query", "join"]
+        langs = ["lat", "rev", "el", "ru"]
+
+        def mk(lang, i):
+            rnd = random.Random(i * 7 + langs.index(lang))
+            text = " ".join(rnd.choice(words) for _ in range(40))
+            if lang == "rev":
+                text = " ".join(w[::-1] for w in text.split())
+            elif lang == "el":
+                text = "".join(
+                    chr(ord(c) + 0x3B1 - ord("a")) if "a" <= c <= "z" else c
+                    for c in text
+                )
+            elif lang == "ru":
+                text = "".join(
+                    chr(ord(c) + 0x430 - ord("a")) if "a" <= c <= "z" else c
+                    for c in text
+                )
+            return text
+
+        return pd.DataFrame(
+            [
+                {"grp": i, "text": mk(l, i), "lang": l}
+                for i in range(n_groups)
+                for l in langs
+            ]
+        )
+
+    def test_blob_separation_and_confidence(self):
+        from ocr_platform_ray.ops.softmax import softmax_fit, softmax_predict
+
+        df = self._blobs()
+        tr, te = df.iloc[::2], df.iloc[1::2]
+        cls, w = softmax_fit(rd.from_pandas(tr).repartition(4), "v", "y", n_iters=40)
+        assert cls == ["a", "b", "c"] and w.shape == (9, 3)
+        pred = softmax_predict(
+            rd.from_pandas(te).repartition(3), "v", cls, w,
+            out_col="p", conf_col="c",
+        ).to_pandas()
+        assert (pred["p"] == pred["y"]).mean() > 0.97
+        assert ((pred["c"] > 1 / 3) & (pred["c"] <= 1.0)).all()
+
+    def test_rerun_bit_identical_and_prediction_block_independent(self):
+        from ocr_platform_ray.ops.softmax import softmax_fit, softmax_predict
+
+        df = self._blobs(n=120)
+        tr = df.iloc[::2]
+        # both routes: reruns are bit-identical (content-sorted reduce /
+        # canonical row sort) even though Ray reorders block delivery
+        for method in ("distributed", "driver"):
+            cls1, w1 = softmax_fit(
+                rd.from_pandas(tr).repartition(4), "v", "y",
+                n_iters=25, method=method,
+            )
+            cls2, w2 = softmax_fit(
+                rd.from_pandas(tr).repartition(4), "v", "y",
+                n_iters=25, method=method,
+            )
+            assert cls1 == cls2 and (w1 == w2).all()
+        # routes agree on predictions (weights may differ in ULPs)
+        _, wd = softmax_fit(
+            rd.from_pandas(tr).repartition(4), "v", "y",
+            n_iters=25, method="distributed",
+        )
+        te_ds = rd.from_pandas(df.iloc[1::2])
+        pa = softmax_predict(te_ds, "v", cls1, w1).to_pandas()["predicted"]
+        pb = softmax_predict(te_ds, "v", cls1, wd).to_pandas()["predicted"]
+        assert (pa == pb).all()
+        te = df.iloc[1::2]
+        a = (
+            softmax_predict(rd.from_pandas(te).repartition(1), "v", cls1, w1)
+            .to_pandas()["predicted"].tolist()
+        )
+        b = (
+            softmax_predict(rd.from_pandas(te).repartition(7), "v", cls1, w1)
+            .to_pandas()["predicted"].tolist()
+        )
+        assert a == b  # map-only scoring is a pure per-row function
+
+    def test_langid_heldout_including_same_script(self):
+        from ocr_platform_ray.ops.softmax import langid_fit, langid_predict
+
+        corpus = self._script_corpus()
+        train = corpus[corpus.grp % 2 == 0]
+        test = corpus[corpus.grp % 2 == 1]
+        model = langid_fit(rd.from_pandas(train).repartition(4), n_iters=40)
+        got = langid_predict(
+            rd.from_pandas(test).repartition(3), "text", model, conf_col="conf"
+        ).to_pandas()
+        acc = (got["lang_pred"] == got["lang"]).mean()
+        assert acc == 1.0, f"held-out accuracy {acc}"
+        # 'rev' shares latin's codepoint range with 'lat' — perfect
+        # accuracy there proves n-gram ORDER is learned, not just script
+        rev = got[got["lang"] == "rev"]
+        assert (rev["lang_pred"] == "rev").all() and len(rev) > 0
+        assert "conf" in got and (got["conf"] > 0.25).all()
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.softmax import softmax_fit, softmax_predict
+
+        df = self._blobs(n=20)
+        with pytest.raises(ValueError, match="need >= 2 classes"):
+            softmax_fit(
+                rd.from_pandas(df.assign(y="same")), "v", "y", n_iters=1
+            )
+        with pytest.raises(ValueError, match="empty training set"):
+            softmax_fit(rd.from_pandas(df.head(0)), "v", "y", n_iters=1)
+        cls, w = softmax_fit(rd.from_pandas(df), "v", "y", n_iters=2)
+        with pytest.raises(ValueError, match="inconsistent"):
+            softmax_predict(rd.from_pandas(df), "v", cls[:2], w)
+        with pytest.raises(Exception, match="vector of shape"):
+            bad = df.copy()
+            bad["v"] = [x[:4] for x in bad["v"]]
+            softmax_predict(rd.from_pandas(bad), "v", cls, w).to_pandas()
