@@ -209,6 +209,7 @@ def run_once() -> dict:
         "tfrecord_docs",
         "avro_docs",
         "langid_trained",
+        "leakage_free_split",
     ):
         extra_times[name] = _best_of(2, name)
 

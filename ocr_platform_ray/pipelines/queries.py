@@ -3677,6 +3677,49 @@ def q_langid_trained(sf_dir: str) -> pd.DataFrame:
     return per.sort_values("lang").reset_index(drop=True)
 
 
+def q_leakage_free_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free train/val/test split (`ops/split.py` — near-dup
+    CLUSTERS land wholly on one side, the Lee 2021 §6 train/test
+    contamination treatment; MinHash pairs -> size-aware cluster
+    resolution -> map-only seeded draw on the cluster id).  Plants a
+    near-copy (one appended word) of every 4th document under a fresh
+    id; in-query asserts ZERO planted pairs straddle splits and the
+    split sizes track the requested fractions.  Rows-only (MinHash
+    isn't SQL); both cluster routes + string ids pinned by
+    TestLeakageFreeSplit."""
+    from ..ops.split import leakage_free_split
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        near = b[b["doc_id"] % 4 == 0].copy()
+        near["doc_id"] = near["doc_id"] + 100_000_000
+        near["text"] = near["text"].fillna("") + " leakagetail"
+        return pd.concat([b, near], ignore_index=True)
+
+    corpus = docs.map_batches(plant, batch_format="pandas")
+    out = leakage_free_split(
+        corpus, "text", "doc_id", seed=11, clusters="auto"
+    ).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    orig = [i for i in m.index if i < 100_000_000 and i % 4 == 0]
+    leaks = sum(m[i] != m[i + 100_000_000] for i in orig)
+    assert leaks == 0, f"{leaks} near-dup pairs straddle splits"
+    per = (
+        out.groupby("split", as_index=False)
+        .agg(n_docs=("doc_id", "size"))
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    frac = per["n_docs"] / per["n_docs"].sum()
+    want = {"test": 0.05, "train": 0.90, "val": 0.05}
+    assert all(abs(f - want[s]) < 0.03 for s, f in zip(per["split"], frac)), (
+        f"split fractions off: {dict(zip(per['split'], frac.round(3)))}"
+    )
+    per["n_docs"] = per["n_docs"].astype("int64")
+    return per
+
+
 def q_main_content_docs(sf_dir: str) -> pd.DataFrame:
     """Boilerplate removal (`ops/boilerplate.extract_main_content` —
     the jusText/boilerpipe block classifier between crawl HTML and
@@ -6070,6 +6113,9 @@ QUERIES = {
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
     "langid_trained": q_langid_trained,
+    # rows-only (MinHash isn't SQL; zero planted-pair leaks + fraction
+    # tracking asserted in-query, pinned by TestLeakageFreeSplit)
+    "leakage_free_split": q_leakage_free_split,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,

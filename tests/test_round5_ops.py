@@ -3279,3 +3279,97 @@ class TestSoftmaxLangid:
             bad = df.copy()
             bad["v"] = [x[:4] for x in bad["v"]]
             softmax_predict(rd.from_pandas(bad), "v", cls, w).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeakageFreeSplit:
+    """Round-4 session-9: leakage-free dataset splitting (ops/split.py)
+    — near-dup clusters never straddle train/val/test."""
+
+    def _corpus(self, n_base=400, n_dups=120):
+        rng = np.random.RandomState(3)
+        words = ["alpha", "beta", "gamma", "delta", "eps",
+                 "zeta", "eta", "theta", "iota", "kappa"]
+        base = [" ".join(rng.choice(words, 30)) for _ in range(n_base)]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+        rows += [
+            {"doc_id": 1000 + i, "text": base[i] + " tail"} for i in range(n_dups)
+        ]
+        return pd.DataFrame(rows)
+
+    @pytest.mark.parametrize("route", ["driver", "distributed"])
+    def test_no_leaks_and_fractions(self, route):
+        from ocr_platform_ray.ops.split import leakage_free_split
+
+        df = self._corpus()
+        out = leakage_free_split(
+            rd.from_pandas(df).repartition(5), "text", "doc_id",
+            seed=7, clusters=route,
+        ).to_pandas()
+        assert sorted(out.columns) == ["doc_id", "split", "text"]
+        assert len(out) == len(df)
+        m = out.set_index("doc_id")["split"]
+        assert all(m[i] == m[1000 + i] for i in range(120))  # zero leaks
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac.get("train", 0) - 0.9) < 0.06
+        assert set(out["split"]) <= {"train", "val", "test"}
+
+    def test_routes_identical_and_block_independent(self):
+        from ocr_platform_ray.ops.split import leakage_free_split
+
+        df = self._corpus(n_base=150, n_dups=50)
+        runs = []
+        for route, parts in (("driver", 4), ("distributed", 4), ("driver", 11)):
+            out = leakage_free_split(
+                rd.from_pandas(df).repartition(parts), "text", "doc_id",
+                seed=5, clusters=route,
+            ).to_pandas().sort_values("doc_id")
+            runs.append(out["split"].to_numpy())
+        # same cluster ids -> same draw: routes AND block structures agree
+        assert (runs[0] == runs[1]).all() and (runs[0] == runs[2]).all()
+
+    def test_string_ids_and_external_pairs(self):
+        from ocr_platform_ray.ops.split import leakage_free_split
+
+        df = self._corpus(n_base=100, n_dups=0)
+        df["doc_id"] = [f"u{i}" for i in range(len(df))]
+        # external pair source: chain u0-u1-u2 plus u50-u51
+        pairs = pd.DataFrame(
+            {"id_a": ["u0", "u1", "u50"], "id_b": ["u1", "u2", "u51"]}
+        )
+        out = leakage_free_split(
+            rd.from_pandas(df).repartition(3), "text", "doc_id",
+            seed=2, pairs=pairs,
+        ).to_pandas()
+        m = out.set_index("doc_id")["split"]
+        assert m["u0"] == m["u1"] == m["u2"]
+        assert m["u50"] == m["u51"]
+
+    def test_seed_sensitivity_and_custom_fractions(self):
+        from ocr_platform_ray.ops.split import leakage_free_split
+
+        df = self._corpus(n_base=300, n_dups=0)
+        ds = rd.from_pandas(df)
+        a = leakage_free_split(ds, "text", "doc_id", seed=1).to_pandas()
+        b = leakage_free_split(ds, "text", "doc_id", seed=2).to_pandas()
+        assert (a.sort_values("doc_id")["split"].to_numpy()
+                != b.sort_values("doc_id")["split"].to_numpy()).any()
+        c = leakage_free_split(
+            ds, "text", "doc_id", seed=1,
+            fractions={"fit": 0.5, "holdout": 0.5},
+        ).to_pandas()
+        frac = c["split"].value_counts(normalize=True)
+        assert set(c["split"]) <= {"fit", "holdout"}
+        assert abs(frac.get("fit", 0) - 0.5) < 0.1
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.split import leakage_free_split
+
+        ds = rd.from_pandas(self._corpus(n_base=10, n_dups=0))
+        with pytest.raises(ValueError, match="sum to 1"):
+            leakage_free_split(ds, "text", "doc_id",
+                               fractions={"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match=">= 2 splits"):
+            leakage_free_split(ds, "text", "doc_id", fractions={"a": 1.0})
+        with pytest.raises(ValueError, match="unknown clusters route"):
+            leakage_free_split(ds, "text", "doc_id", clusters="nope")
