@@ -601,3 +601,113 @@ def triangle_count(
         batch_format="pandas",
     ).to_pandas()
     return int(parts["s"].sum()) if len(parts) else 0
+
+
+def kcore_subgraph(
+    edges: rd.Dataset,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_shards: int = 64,
+    survivor_threshold_rows: int = 2_000_000,
+    max_rounds: int = 10_000,
+) -> rd.Dataset:
+    """Maximal subgraph in which every vertex has degree >= ``k`` — the
+    k-core (Seidman 1983), by distributed peeling (Matula & Beck 1983:
+    repeatedly delete sub-k vertices until none remain).  The cohesion
+    filter next to `pagerank`/`hits`/`triangle_count`: crawl-graph
+    pipelines peel to kill spam farms and orphan chains before ranking.
+    Operates on the undirected simple graph (self-loops drop, duplicate
+    and reversed edges collapse — the `triangle_count` canonicalization,
+    ONE tuple-hash exchange).
+
+    Scale shape per round: degrees come from an in-batch endpoint
+    value_counts combiner into the size-aware `auto_group_agg` finish;
+    surviving vertices either broadcast as one set (when the survivor
+    table fit the driver probe — both endpoints filter in ONE map pass)
+    or drop losers via the bucketed semi-join exchange on each endpoint.
+    Convergence is one edge count per round: a round that deletes no
+    edge changes no degree, so the peel is complete.  Rounds = the peel
+    depth of the graph (small for web graphs; a path graph is the
+    O(n/k) worst case).  Returns the canonical k-core edge Dataset with
+    the input column names.
+
+    The naive-peel equality, planted-core recovery and both survivor
+    routes are pytest-pinned (`TestKcore`)."""
+    from .relational import semi_join
+
+    if k < 1:
+        raise ValueError("kcore_subgraph: need k >= 1")
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, d = b[src_col].to_numpy(), b[dst_col].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        out = pd.DataFrame(
+            {src_col: np.minimum(s, d), dst_col: np.maximum(s, d)}
+        ).drop_duplicates()
+        out["__shard"] = _hash_labels(out, [src_col, dst_col], n_shards).astype(
+            "int64"
+        )
+        return out
+
+    e = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: g[[src_col, dst_col]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_edges = e.count()
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return e
+
+        def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = pd.concat([b[src_col], b[dst_col]], ignore_index=True).value_counts()
+            return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+        deg = auto_group_agg(
+            e.map_batches(deg_partial, batch_format="pandas"),
+            ["node"],
+            {"deg": ("n", "sum")},
+            driver_threshold_rows=survivor_threshold_rows,
+            n_shards=n_shards,
+        )
+        if isinstance(deg, pd.DataFrame):
+            alive = deg.loc[deg["deg"] >= k, "node"]
+            aref = ray.put(frozenset(alive))
+
+            def keep_alive(b: pd.DataFrame, _aref=aref) -> pd.DataFrame:
+                # plain ray.get: the ref is per ROUND — the never-evicting
+                # broadcast cache would pin every round's set (the
+                # pagerank per-iteration-weights rule)
+                alive_set = ray.get(_aref)
+                m = (
+                    b[src_col].isin(alive_set).to_numpy()
+                    & b[dst_col].isin(alive_set).to_numpy()
+                )
+                return b[m]
+
+            e2 = e.map_batches(keep_alive, batch_format="pandas").materialize()
+        else:
+            alive_ds = deg.map_batches(
+                lambda b: b.loc[b["deg"] >= k, ["node"]], batch_format="pandas"
+            )
+            e2 = e
+            for col in (src_col, dst_col):
+                keys = alive_ds.map_batches(
+                    lambda b, _c=col: b.rename(columns={"node": _c}),
+                    batch_format="pandas",
+                )
+                e2 = semi_join(e2, keys, col, method="bucketed", n_buckets=n_shards)
+            e2 = e2.materialize()
+        n2 = e2.count()
+        if n2 == n_edges:
+            return e2
+        e, n_edges = e2, n2
+    raise RuntimeError(f"kcore_subgraph: no fixpoint in {max_rounds} rounds")

@@ -123,10 +123,18 @@ def leakage_free_split(
             out = b.copy()
             lut = cached_get(ref)
             ids = b[id_col]
-            cl = np.asarray(
-                [lut.get(i, i) for i in ids], dtype=object
+            mapped = ids.map(lut)
+            cl = mapped.where(mapped.notna(), ids)
+            # Series.map leaves NaN for unpaired ids, upcasting int
+            # labels to float — restore the id dtype so both cluster
+            # routes hash IDENTICAL values
+            if pd.api.types.is_integer_dtype(ids.dtype) and not (
+                pd.api.types.is_integer_dtype(cl.dtype)
+            ):
+                cl = cl.astype(ids.dtype)
+            out[split_col] = _split_from_cluster(
+                cl.to_numpy(dtype=object), fractions, seed
             )
-            out[split_col] = _split_from_cluster(cl, fractions, seed)
             return out
 
         return docs.map_batches(assign, batch_format="pandas")

@@ -3487,6 +3487,70 @@ def q_link_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
 
+def q_link_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core of a synthesized doc link graph (`ops/graph.kcore_subgraph`
+    — Seidman 1983 cohesion filter by distributed peeling; per round an
+    endpoint-count combiner into the size-aware finish plus a survivor
+    filter).  The graph is a 1000-node ring (every vertex degree 2) with
+    chords among the first 50 nodes: at k=3 the pure ring vertices peel
+    first, their removal then strips chord endpoints below k — a real
+    multi-round recursive peel.  Edge synthesis is integer arithmetic,
+    so the query re-runs the reference peel in pandas and asserts SET
+    EQUALITY with the distributed result (plus the min-degree >= k
+    invariant).  Rows-only (iterative deletion isn't monotone SQL);
+    machinery pinned by TestKcore."""
+    from collections import Counter
+
+    from ..ops.graph import kcore_subgraph
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy() % 1000
+        chord_src = ids[ids < 50]
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids, chord_src]),
+                "dst": np.concatenate([(ids + 1) % 1000, (chord_src + 5) % 50]),
+            }
+        )
+
+    edges = docs.map_batches(links, batch_format="pandas")
+    core = kcore_subgraph(edges, 3).to_pandas()
+    got = sorted(zip(core["src"], core["dst"]))
+
+    # reference peel on the identical arithmetic (graph is <= 1050 edges
+    # by construction at any sf — the in-query oracle rule)
+    all_ids = np.unique(_t(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"] % 1000)
+    ref = {(min(i, (i + 1) % 1000), max(i, (i + 1) % 1000)) for i in all_ids}
+    ref |= {
+        (min(i, (i + 5) % 50), max(i, (i + 5) % 50)) for i in all_ids if i < 50
+    }
+    ref = {(a, b) for a, b in ref if a != b}
+    while True:
+        deg: Counter = Counter()
+        for a, b in ref:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {v for v, d in deg.items() if d >= 3}
+        new = {(a, b) for a, b in ref if a in alive and b in alive}
+        if new == ref:
+            break
+        ref = new
+    assert got == sorted(ref), "distributed k-core != reference peel"
+    deg = Counter()
+    for a, b in got:
+        deg[a] += 1
+        deg[b] += 1
+    assert (not deg) or min(deg.values()) >= 3
+    return pd.DataFrame(
+        {
+            "n_core_edges": pd.Series([len(got)], dtype="int64"),
+            "n_core_vertices": pd.Series([len(deg)], dtype="int64"),
+        }
+    )
+
+
 def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
     """JSONL source + sink roundtrip (`sources/jsonl.py` — the LLM-data
     interchange format next to parquet/WARC): documents write to
@@ -6116,6 +6180,9 @@ QUERIES = {
     # rows-only (MinHash isn't SQL; zero planted-pair leaks + fraction
     # tracking asserted in-query, pinned by TestLeakageFreeSplit)
     "leakage_free_split": q_leakage_free_split,
+    # rows-only (iterative peel isn't monotone SQL; reference-peel SET
+    # EQUALITY asserted in-query, machinery pinned by TestKcore)
+    "link_kcore": q_link_kcore,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,

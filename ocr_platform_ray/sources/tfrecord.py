@@ -414,7 +414,7 @@ def _encode_rows(b: pd.DataFrame) -> list[bytes]:
     """One tf.train.Example per row.  Null values OMIT the feature (the
     tf.Example convention); readers fill missing keys with None/NaN."""
     plan = _column_plan(b)
-    cols = {c: b[c].to_numpy() if b[c].dtype != object else b[c].to_numpy() for c, _, _ in plan}
+    cols = {c: b[c].to_numpy() for c, _, _ in plan}
     nulls = {c: b[c].isna().to_numpy() for c, _, _ in plan}
     keys = {c: c.encode("utf-8") for c, _, _ in plan}
     records: list[bytes] = []

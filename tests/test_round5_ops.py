@@ -3373,3 +3373,79 @@ class TestLeakageFreeSplit:
             leakage_free_split(ds, "text", "doc_id", fractions={"a": 1.0})
         with pytest.raises(ValueError, match="unknown clusters route"):
             leakage_free_split(ds, "text", "doc_id", clusters="nope")
+
+
+def _naive_kcore(pairs, k):
+    """Reference peel over canonical undirected simple edges."""
+    from collections import Counter
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {v for v, d in deg.items() if d >= k}
+        new = {(a, b) for a, b in edges if a in alive and b in alive}
+        if new == edges:
+            return sorted(edges)
+        edges = new
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKcore:
+    """Round-4 session-9: k-core subgraph by distributed peeling
+    (ops/graph.py::kcore_subgraph)."""
+
+    def _got(self, df, k, **kw):
+        from ocr_platform_ray.ops.graph import kcore_subgraph
+
+        out = kcore_subgraph(
+            rd.from_pandas(df).repartition(4), k, **kw
+        ).to_pandas()
+        return sorted(zip(out["src"], out["dst"]))
+
+    def test_naive_equality_random_graph_both_routes(self):
+        rng = np.random.RandomState(11)
+        a = rng.randint(0, 120, 600)
+        b = rng.randint(0, 120, 600)
+        df = pd.DataFrame({"src": a, "dst": b})
+        want = _naive_kcore(zip(a, b), 3)
+        assert self._got(df, 3) == want
+        # force the bucketed survivor route
+        assert self._got(df, 3, survivor_threshold_rows=0) == want
+
+    def test_planted_core_and_deep_peel(self):
+        # K6 clique (5-core) + a 30-node pendant chain hanging off node 0:
+        # at k=2 the chain peels END-FIRST over many rounds (the deep-peel
+        # case); at k=3 only the clique survives
+        clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        chain = [(100 + i, 100 + i + 1) for i in range(30)] + [(0, 100)]
+        df = pd.DataFrame(clique + chain, columns=["src", "dst"])
+        assert self._got(df, 3) == sorted(clique)
+        assert self._got(df, 2) == _naive_kcore(clique + chain, 2) == sorted(clique)
+        # ring: every vertex degree 2 -> survives k=2 whole, empties at 3
+        ring = [(i, (i + 1) % 50) for i in range(50)]
+        rdf = pd.DataFrame(ring, columns=["src", "dst"])
+        assert len(self._got(rdf, 2)) == 50
+        assert self._got(rdf, 3) == []
+
+    def test_canonicalization_and_string_ids(self):
+        # self-loops, duplicates and reversed edges collapse before the peel
+        df = pd.DataFrame(
+            {
+                "src": ["a", "b", "a", "c", "c", "b", "a"],
+                "dst": ["b", "a", "b", "c", "a", "c", "c"],
+            }
+        )
+        got = self._got(df, 2)
+        assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+    def test_empty_and_validation(self):
+        from ocr_platform_ray.ops.graph import kcore_subgraph
+
+        df = pd.DataFrame({"src": [1], "dst": [1]})  # only a self-loop
+        out = kcore_subgraph(rd.from_pandas(df), 2).to_pandas()
+        assert len(out) == 0
+        with pytest.raises(ValueError, match="need k >= 1"):
+            kcore_subgraph(rd.from_pandas(df), 0)
