@@ -210,6 +210,7 @@ def run_once() -> dict:
         "avro_docs",
         "langid_trained",
         "leakage_free_split",
+        "link_kcore",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -635,7 +635,7 @@ def kcore_subgraph(
 
     The naive-peel equality, planted-core recovery and both survivor
     routes are pytest-pinned (`TestKcore`)."""
-    from .relational import semi_join
+    from .relational import _typed_empty, semi_join
 
     if k < 1:
         raise ValueError("kcore_subgraph: need k >= 1")
@@ -662,10 +662,17 @@ def kcore_subgraph(
         .materialize()
     )
     n_edges = e.count()
+    # an emptied core exits with a TYPED schema (schema() stays
+    # (src, dst)-typed; note Ray's to_pandas() on ANY empty Dataset
+    # returns a columnless frame — the probe_head house rule — so
+    # consumers check shape[1])
+    empty = _typed_empty(
+        (e if n_edges else edges).schema(), [src_col, dst_col]
+    )
 
     for _ in range(max_rounds):
         if n_edges == 0:
-            return e
+            return rd.from_pandas(empty)
 
         def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
             vc = pd.concat([b[src_col], b[dst_col]], ignore_index=True).value_counts()

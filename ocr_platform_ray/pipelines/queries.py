@@ -3517,7 +3517,9 @@ def q_link_kcore(sf_dir: str) -> pd.DataFrame:
 
     edges = docs.map_batches(links, batch_format="pandas")
     core = kcore_subgraph(edges, 3).to_pandas()
-    got = sorted(zip(core["src"], core["dst"]))
+    got = (
+        sorted(zip(core["src"], core["dst"])) if core.shape[1] else []
+    )  # empty Datasets to_pandas columnless (the probe_head house rule)
 
     # reference peel on the identical arithmetic (graph is <= 1050 edges
     # by construction at any sf — the in-query oracle rule)

@@ -3400,9 +3400,11 @@ class TestKcore:
     def _got(self, df, k, **kw):
         from ocr_platform_ray.ops.graph import kcore_subgraph
 
-        out = kcore_subgraph(
-            rd.from_pandas(df).repartition(4), k, **kw
-        ).to_pandas()
+        res = kcore_subgraph(rd.from_pandas(df).repartition(4), k, **kw)
+        assert res.schema().names == ["src", "dst"]  # typed even when empty
+        out = res.to_pandas()
+        if out.shape[1] == 0:  # the house empty-Dataset to_pandas quirk
+            return []
         return sorted(zip(out["src"], out["dst"]))
 
     def test_naive_equality_random_graph_both_routes(self):
