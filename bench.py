@@ -211,6 +211,8 @@ def run_once() -> dict:
         "langid_trained",
         "leakage_free_split",
         "link_kcore",
+        "readability_docs",
+        "rag_passage_search",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -786,3 +786,54 @@ def add_script_ratios(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return out
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def add_readability(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-doc readability pair — Flesch reading ease (Flesch 1948) and
+    Flesch-Kincaid grade level (Kincaid et al. 1975), the published
+    formulas verbatim:
+
+        ease  = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+        grade = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59
+
+    with the standard machine approximations: words = ``\\S+`` runs,
+    sentences = ``[.!?]+`` runs (clamped to >= 1 when the doc has
+    words), syllables = ``[aeiouyAEIOUY]+`` vowel-group runs.  Training
+    pipelines bucket on these as a cheap fluency/complexity signal next
+    to the Gopher stats.
+
+    MAP-ONLY, three RE2 Arrow kernels per batch (one per count), float
+    arithmetic in the exact published operand order — DuckDB's regex
+    engine is RE2 too, so a SQL oracle mirrors every count and both
+    formulas bit-for-bit.  Zero-word docs emit 0.0 for both scores."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        texts = pa.array(b[text_col].fillna("").astype(str), pa.string())
+        w = pc.count_substring_regex(texts, pattern=r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        s = pc.count_substring_regex(texts, pattern=r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        y = pc.count_substring_regex(
+            texts, pattern=r"[aeiouyAEIOUY]+"
+        ).to_numpy(zero_copy_only=False).astype("int64")
+        sc = np.maximum(s, 1).astype("float64")
+        wf = w.astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ease = 206.835 - 1.015 * (wf / sc) - 84.6 * (y / wf)
+            grade = 0.39 * (wf / sc) + 11.8 * (y / wf) - 15.59
+        zero = w == 0
+        ease[zero] = 0.0
+        grade[zero] = 0.0
+        out["n_words"] = w
+        out["n_sentences"] = s
+        out["n_syllables"] = y
+        out["flesch_ease"] = ease
+        out["fk_grade"] = grade
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")

@@ -3553,6 +3553,69 @@ def q_link_kcore(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_readability_docs(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (`ops/textstats.add_readability` — the published formulas over three
+    RE2 count kernels, map-only).  Full SQL oracle: identical
+    regexp_extract_all counts and the identical float expressions in
+    TestTailQueryOracles (ROUND 4 both sides absorbs the last ULP of
+    engine division)."""
+    from ..ops.textstats import add_readability
+
+    out = add_readability(
+        _t(sf_dir, "documents", ["doc_id", "text"])
+    ).to_pandas()
+    res = out[["doc_id", "n_words", "n_sentences", "n_syllables"]].copy()
+    res["flesch_ease"] = out["flesch_ease"].round(4)
+    res["fk_grade"] = out["fk_grade"].round(4)
+    for c in ("n_words", "n_sentences", "n_syllables"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rag_passage_search(sf_dir: str) -> pd.DataFrame:
+    """RAG corpus ingestion end-to-end (`pipelines/rag.py`: overlapping
+    passage chunking -> hashed-n-gram passage embeddings -> persisted
+    IVF-PQ index with partition-pruned searches).  Probes are perturbed
+    mid-document snippets of every 10th document; top-1 retrieval must
+    point back to the source document for >= 90% of probes (asserted
+    in-query — the text_embed_knn precedent).  Rows-only (ANN + hashing
+    aren't SQL); machinery pinned by TestRagPipeline and the IVF-PQ /
+    chunking / embedding test classes."""
+    import tempfile
+
+    from .rag import build_passage_index, search_passages
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    dp = docs.to_pandas().sort_values("doc_id")
+    probes, truth = [], []
+    step = max(1, len(dp) // 20)  # ~20 probes at any sf
+    for _, row in dp.iloc[::step].iterrows():
+        toks = str(row["text"] or "").split()
+        if len(toks) < 12:
+            continue
+        mid = toks[len(toks) // 3 : len(toks) // 3 + 20]
+        mid[2] = "zzz"  # a RAG query is never verbatim
+        probes.append(" ".join(mid))
+        truth.append(str(row["doc_id"]))
+        if len(probes) >= 20:
+            break
+    assert len(probes) >= 5, "fixture documents too short for probes"
+    with tempfile.TemporaryDirectory(prefix="rag_idx_") as td:
+        n_passages = build_passage_index(docs, td)
+        res = search_passages(td, probes, k=3)
+    top1 = res[res["rank"] == 1].sort_values("query_idx")
+    hits = int((top1["doc_id"].to_numpy() == np.asarray(truth)).sum())
+    assert hits >= 0.9 * len(probes), f"top-1 recall {hits}/{len(probes)}"
+    return pd.DataFrame(
+        {
+            "n_passages": pd.Series([n_passages], dtype="int64"),
+            "n_probes": pd.Series([len(probes)], dtype="int64"),
+            "n_top1_hits": pd.Series([hits], dtype="int64"),
+        }
+    )
+
+
 def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
     """JSONL source + sink roundtrip (`sources/jsonl.py` — the LLM-data
     interchange format next to parquet/WARC): documents write to
@@ -6175,6 +6238,7 @@ QUERIES = {
     # round-4 session-9 tail additions (SQL-oracled in TestTailQueryOracles)
     "tfrecord_docs": q_tfrecord_docs,
     "avro_docs": q_avro_docs,
+    "readability_docs": q_readability_docs,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -6185,6 +6249,9 @@ QUERIES = {
     # rows-only (iterative peel isn't monotone SQL; reference-peel SET
     # EQUALITY asserted in-query, machinery pinned by TestKcore)
     "link_kcore": q_link_kcore,
+    # rows-only (ANN + hashing aren't SQL; >= 90% top-1 source retrieval
+    # asserted in-query, pinned by TestRagPipeline)
+    "rag_passage_search": q_rag_passage_search,
     # rows-only (deterministic hashed embeddings; top-1 source retrieval
     # asserted in-query, operator pinned by TestHashedEmbed)
     "text_embed_knn": q_text_embed_knn,
@@ -7700,6 +7767,25 @@ ORACLE_SQL["tfrecord_docs"] = (
     "CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_len, "
     "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
     "FROM documents GROUP BY lang"
+)
+
+# Readability: identical RE2 counts (words/sentence-runs/vowel-group
+# runs) and the published Flesch / Flesch-Kincaid expressions in the
+# identical operand order; ROUND 4 both sides absorbs the division ULP.
+ORACLE_SQL["readability_docs"] = (
+    "WITH c AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_words, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT) AS n_sentences, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables "
+    "FROM documents) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "ROUND(CASE WHEN n_words = 0 THEN 0.0 ELSE "
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1)) "
+    "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END, 4) AS flesch_ease, "
+    "ROUND(CASE WHEN n_words = 0 THEN 0.0 ELSE "
+    "0.39 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1)) "
+    "+ 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END, 4) AS fk_grade "
+    "FROM c"
 )
 
 # Avro OCF roundtrip: same fidelity contract, grouped by source (the

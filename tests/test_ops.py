@@ -1722,6 +1722,7 @@ class TestTailQueryOracles:
             "bloom_strip_paragraphs",
             "tfrecord_docs",
             "avro_docs",
+            "readability_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

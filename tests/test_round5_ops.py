@@ -3451,3 +3451,150 @@ class TestKcore:
         assert len(out) == 0
         with pytest.raises(ValueError, match="need k >= 1"):
             kcore_subgraph(rd.from_pandas(df), 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadability:
+    """Round-4 session-9: Flesch / Flesch-Kincaid readability signals
+    (ops/textstats.py::add_readability)."""
+
+    def test_known_values_and_edges(self):
+        from ocr_platform_ray.ops.textstats import add_readability
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "The cat sat. The dog ran!",  # 6 words, 2 sentences
+                    "no terminal punctuation here",  # clamp sentences to 1
+                    "",  # zero words -> both scores 0
+                    None,  # null == empty
+                ],
+            }
+        )
+        out = (
+            add_readability(rd.from_pandas(df).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_words"].tolist() == [6, 4, 0, 0]
+        assert out["n_sentences"].tolist() == [2, 0, 0, 0]
+        # vowel runs: The(1)+cat(1)+sat(1)+The(1)+dog(1)+ran(1) = 6
+        assert out["n_syllables"][0] == 6
+        ease0 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        grade0 = 0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59
+        assert out["flesch_ease"][0] == ease0
+        assert out["fk_grade"][0] == grade0
+        # clamped sentences: w/s uses 1
+        ease1 = 206.835 - 1.015 * 4.0 - 84.6 * (out["n_syllables"][1] / 4.0)
+        assert out["flesch_ease"][1] == ease1
+        assert out["flesch_ease"][2] == 0.0 and out["fk_grade"][3] == 0.0
+
+    def test_block_independence(self):
+        from ocr_platform_ray.ops.textstats import add_readability
+
+        texts = ["Simple words read easily. Yes!"] * 3 + [
+            "Polysyllabic constructions notwithstanding, comprehensibility deteriorates."
+        ] * 3
+        df = pd.DataFrame({"doc_id": range(6), "text": texts})
+        a = add_readability(rd.from_pandas(df).repartition(1)).to_pandas()
+        b = add_readability(rd.from_pandas(df).repartition(5)).to_pandas()
+        cols = ["flesch_ease", "fk_grade", "n_syllables"]
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id")[cols].reset_index(drop=True),
+            b.sort_values("doc_id")[cols].reset_index(drop=True),
+        )
+        # harder prose scores lower ease / higher grade
+        assert a["flesch_ease"][0] > a["flesch_ease"][5]
+        assert a["fk_grade"][0] < a["fk_grade"][5]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRagPipeline:
+    """Round-4 session-9: RAG passage-index composition
+    (pipelines/rag.py)."""
+
+    def _docs(self, n=60, seed=4):
+        rng = np.random.RandomState(seed)
+        words = ["engine", "stream", "vector", "index", "shard", "batch",
+                 "query", "merge", "scan", "filter", "window", "probe"]
+
+        def doc(i):
+            toks = list(rng.choice(words, 80))
+            # weave doc-specific tokens through (every 7th position) so
+            # passages are distinguishable — a shared 12-word vocabulary
+            # alone makes every doc's char-n-gram profile near-identical
+            toks[::7] = [f"m{i}z{j}" for j in range(len(toks[::7]))]
+            return " ".join(toks)
+
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "text": [doc(i) for i in range(n)],
+            }
+        )
+
+    def test_build_search_and_provenance(self, tmp_path):
+        from ocr_platform_ray.pipelines.rag import (
+            build_passage_index,
+            search_passages,
+        )
+
+        df = self._docs()
+        idx = str(tmp_path / "idx")
+        n = build_passage_index(rd.from_pandas(df).repartition(4), idx)
+        # window 32 / stride 16 over 80 tokens -> ceil windows per doc
+        assert n > len(df)
+        probes = []
+        for i in range(10):
+            toks = df["text"][i].split()
+            mid = toks[20:44]
+            mid[1] = "zzz"
+            probes.append(" ".join(mid))
+        res = search_passages(idx, probes, k=3)
+        assert list(res.columns) == [
+            "query_idx", "rank", "score", "doc_id", "win_idx", "win_text",
+        ]
+        top1 = res[res["rank"] == 1].sort_values("query_idx")
+        assert (top1["doc_id"].to_numpy() == [str(i) for i in range(10)]).all()
+        # the returned passage text really is the retrieved window
+        for _, r in top1.iterrows():
+            assert r["win_text"] in df["text"][int(r["doc_id"])]
+        # ranks are 1..k per query, scores non-increasing
+        for _, g in res.groupby("query_idx"):
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+            assert (np.diff(g["score"]) <= 1e-12).all()
+
+    def test_meta_governs_search_and_missing_meta_raises(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.pipelines.rag import (
+            build_passage_index,
+            search_passages,
+        )
+
+        df = self._docs(n=30)
+        idx = str(tmp_path / "idx2")
+        build_passage_index(
+            rd.from_pandas(df), idx, dim=64, n=2, seed=9, n_cells=4, m=8
+        )
+        res = search_passages(idx, [df["text"][3]], k=2)
+        assert str(res[res["rank"] == 1]["doc_id"].iloc[0]) == "3"
+        os.unlink(os.path.join(idx, "rag_meta.json"))
+        with pytest.raises(FileNotFoundError):
+            search_passages(idx, ["anything"])
+
+    def test_string_doc_ids_with_hash_chars(self, tmp_path):
+        from ocr_platform_ray.pipelines.rag import (
+            build_passage_index,
+            search_passages,
+        )
+
+        df = self._docs(n=12)
+        df["doc_id"] = [f"u#{i}" for i in range(12)]  # '#' inside the id
+        idx = str(tmp_path / "idx3")
+        build_passage_index(rd.from_pandas(df), idx, n_cells=4)
+        res = search_passages(idx, [df["text"][5]], k=1)
+        assert res["doc_id"].iloc[0] == "u#5"  # rsplit keeps the id whole
+        assert res["win_idx"].dtype.kind == "i"
