@@ -213,6 +213,7 @@ def run_once() -> dict:
         "link_kcore",
         "readability_docs",
         "rag_passage_search",
+        "bm25_incremental_top10",
     ):
         extra_times[name] = _best_of(2, name)
 

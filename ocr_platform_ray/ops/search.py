@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .relational import _hash_labels
+from .similarity import _index_units
 
 
 def _query_terms(query: str) -> list[str]:
@@ -164,6 +165,52 @@ def _term_shards(terms: list[str], n_shards: int) -> list[int]:
     return _hash_labels(df, ["token"], n_shards).astype(int).tolist()
 
 
+def _postings_fn(id_col: str, text_col: str, n_shards: int):
+    """Batch -> (token, id, tf, dl, shard) posting rows.  A document
+    lives in exactly one row, so a pair's tf is complete within its
+    batch — postings need no cross-batch merge."""
+
+    def postings(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_pandas().to_numpy(dtype=object)
+        offs = toks.offsets.to_numpy().astype(np.int64) - toks.offsets[0].as_py()
+        dl = offs[1:] - offs[:-1]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+        t = pd.DataFrame({"token": flat, "__di": doc_idx})
+        t = t[t["token"] != ""]
+        g = t.groupby(["__di", "token"], as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "token": g["token"],
+                id_col: ids[g["__di"].to_numpy()],
+                "tf": g["size"].astype("int64"),
+                "dl": dl[g["__di"].to_numpy()].astype("int64"),
+            }
+        )
+        out["shard"] = _hash_labels(out, ["token"], n_shards).astype("int64")
+        return out
+
+    return postings
+
+
+def _stats_fn(text_col: str):
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"n": [len(batch)], "sum_dl": [int(n_tok.sum())]})
+
+    return stats_partial
+
+
 def build_bm25_index(
     ds: rd.Dataset,
     out_dir: str,
@@ -196,45 +243,11 @@ def build_bm25_index(
     for d in glob.glob(os.path.join(out_dir, "shard=*")):
         shutil.rmtree(d)  # stale postings must not survive into the rebuild
 
-    def postings(batch: pa.Table) -> pd.DataFrame:
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten().to_pandas().to_numpy(dtype=object)
-        offs = toks.offsets.to_numpy().astype(np.int64) - toks.offsets[0].as_py()
-        dl = offs[1:] - offs[:-1]
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
-        t = pd.DataFrame({"token": flat, "__di": doc_idx})
-        t = t[t["token"] != ""]
-        g = t.groupby(["__di", "token"], as_index=False).size()
-        out = pd.DataFrame(
-            {
-                "token": g["token"],
-                "doc_id": ids[g["__di"].to_numpy()],
-                "tf": g["size"].astype("int64"),
-                "dl": dl[g["__di"].to_numpy()].astype("int64"),
-            }
-        )
-        out["shard"] = _hash_labels(out, ["token"], n_shards).astype("int64")
-        return out
+    ds.map_batches(
+        _postings_fn(id_col, text_col, n_shards), batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["shard"])
 
-    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["shard"]
-    )
-
-    def stats_partial(batch: pa.Table) -> pd.DataFrame:
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern(pc.utf8_lower(col), pattern=" ")
-        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        return pd.DataFrame({"n": [len(batch)], "sum_dl": [int(n_tok.sum())]})
-
-    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    st = ds.map_batches(_stats_fn(text_col), batch_format="pyarrow").to_pandas()
     stats = {
         "n_docs": int(st["n"].sum()) if "n" in st.columns else 0,
         "sum_dl": int(st["sum_dl"].sum()) if "sum_dl" in st.columns else 0,
@@ -281,6 +294,30 @@ def bm25_search_index(
     ]
     if not files:
         return empty
+    return _score_posting_files(
+        files, terms, n_docs=n_docs, avgdl=avgdl, id_col=id_col, k=k, k1=k1, b=b
+    )
+
+
+def _score_posting_files(
+    files: list[str],
+    terms: list[str],
+    *,
+    n_docs: int,
+    avgdl: float,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """The shared posting-file scoring core (full-index and incremental
+    searches both call it, so their floats are bit-identical given the
+    same posting rows and stats): arrow-side term filter, df reduce,
+    per-doc contributions summed in QUERY-TERM ORDER inside one doc-hash
+    shard, local-prune top-k."""
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
     term_j = {t: j for j, t in enumerate(terms)}
     term_arr = pa.array(terms, pa.string())
     # arrow-side filter keeps zero-row blocks string-typed (a pandas
@@ -418,4 +455,172 @@ def top_tfidf_terms(
     scored = joined.map_batches(score, batch_format="pandas")
     return grouped_top_k(
         scored, [id_col], "tfidf", k, descending=True, tie_col="token"
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental index maintenance (the lexical sibling of
+# ops/similarity.index_new_partitions)
+# --------------------------------------------------------------------------
+def bm25_index_new_partitions(
+    src_dir: str,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> dict:
+    """Incrementally maintain a persisted BM25 inverted index off a
+    source directory: each call (re)indexes exactly the source units
+    that are NEW or CHANGED since the last call (fingerprints from
+    `_index_units` — `run_with_manifest` outputs and plain parquet dirs
+    both work) and skips the rest.
+
+    Layout: ``parts/<unit>@<fp8>/shard=N/*.parquet`` — the unit's
+    postings subtree is GENERATION-NAMED by its fingerprint hash, and
+    the per-unit manifest (``_manifest/<unit>.json``, atomic
+    ``os.replace``) records {generation, n_docs, sum_dl}; a reader opens
+    exactly the generations its manifests name, so neither a torn build
+    (subtree without manifest) nor a redo window (new subtree, old
+    manifest -> reader still uses the OLD complete generation) is ever
+    observable.  Old generations are removed after the manifest swap.
+    Global stats (N, avgdl) are the sum of committed unit stats — df is
+    per-term posting-row counts, which add across units because a doc
+    lives in exactly one unit.
+
+    ``config.json`` pins (n_shards, id_col, text_col) on first call and
+    rejects drift — postings sharded under different configs would
+    silently miss query terms."""
+    import shutil
+
+    units = _index_units(src_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    cpath = os.path.join(index_dir, "config.json")
+    cfg = {"n_shards": int(n_shards), "id_col": id_col, "text_col": text_col}
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            have = json.load(f)
+        if have != cfg:
+            raise ValueError(
+                f"bm25_index_new_partitions: config drift {have} != {cfg} — "
+                "build a fresh index directory"
+            )
+    else:
+        with open(cpath + ".tmp", "w") as f:
+            json.dump(cfg, f, sort_keys=True)
+        os.replace(cpath + ".tmp", cpath)
+
+    man_dir = os.path.join(index_dir, "_manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    done: dict[str, str] = {}
+    for p in glob.glob(os.path.join(man_dir, "*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            done[m["unit"]] = m["fingerprint"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    new = [(n, fs, fp) for n, fs, fp in units if done.get(n) != fp]
+
+    import hashlib as _hashlib
+
+    rows = 0
+    for name, files, fp in new:
+        gen = _hashlib.sha1(fp.encode()).hexdigest()[:8]
+        ds = rd.read_parquet(files, columns=[id_col, text_col])
+        dest = os.path.join(index_dir, "parts", f"{name}@{gen}")
+        tmp = dest + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        ds.map_batches(
+            _postings_fn(id_col, text_col, n_shards), batch_format="pyarrow"
+        ).write_parquet(tmp, partition_cols=["shard"])
+        st = ds.map_batches(_stats_fn(text_col), batch_format="pyarrow").to_pandas()
+        n_docs = int(st["n"].sum()) if "n" in st.columns else 0
+        sum_dl = int(st["sum_dl"].sum()) if "sum_dl" in st.columns else 0
+        if os.path.exists(dest):  # same generation rebuilt (idempotent rerun)
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+        mpath = os.path.join(man_dir, name + ".json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "unit": name,
+                    "fingerprint": fp,
+                    "generation": gen,
+                    "n_docs": n_docs,
+                    "sum_dl": sum_dl,
+                },
+                f,
+                sort_keys=True,
+            )
+        os.replace(mpath + ".tmp", mpath)  # commit — readers switch here
+        rows += n_docs
+        # drop superseded generations now that the manifest points away
+        for old in glob.glob(os.path.join(index_dir, "parts", f"{name}@*")):
+            if os.path.basename(old) != f"{name}@{gen}":
+                shutil.rmtree(old)
+    return {
+        "units": len(units),
+        "indexed": len(new),
+        "skipped": len(units) - len(new),
+        "docs_indexed": rows,
+    }
+
+
+def bm25_search_incremental(
+    index_dir: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """Top-k BM25 over an incrementally-maintained index: global stats
+    sum over the COMMITTED unit manifests, and only the committed
+    generations' query-term shard directories open (partition pruning in
+    both dimensions).  Scoring runs the same `_score_posting_files` core
+    as the one-shot index, so for identical corpus content the result is
+    bit-identical to `build_bm25_index` + `bm25_search_index`
+    (equivalence-tested)."""
+    with open(os.path.join(index_dir, "config.json")) as f:
+        cfg = json.load(f)
+    id_col, n_shards = cfg["id_col"], cfg["n_shards"]
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
+    mans = []
+    for p in sorted(glob.glob(os.path.join(index_dir, "_manifest", "*.json"))):
+        try:
+            with open(p) as f:
+                mans.append(json.load(f))
+        except (json.JSONDecodeError, KeyError):
+            continue
+    terms = _query_terms(query)
+    n_docs = sum(m["n_docs"] for m in mans)
+    if not terms or not mans or n_docs == 0:
+        return empty
+    avgdl = sum(m["sum_dl"] for m in mans) / n_docs
+    shards = sorted(set(_term_shards(terms, n_shards)))
+    files = [
+        f
+        for m in mans
+        for s in shards
+        for f in sorted(
+            glob.glob(
+                os.path.join(
+                    index_dir,
+                    "parts",
+                    f"{m['unit']}@{m['generation']}",
+                    f"shard={s}",
+                    "*.parquet",
+                )
+            )
+        )
+    ]
+    if not files:
+        return empty
+    return _score_posting_files(
+        files, terms, n_docs=n_docs, avgdl=avgdl, id_col=id_col, k=k, k1=k1, b=b
     )

@@ -5555,6 +5555,51 @@ def q_bm25_indexed_top10(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]].reset_index(drop=True)
 
 
+def q_bm25_incremental_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 via the INCREMENTALLY-maintained inverted index
+    (ops/search.py::bm25_index_new_partitions): the documents table
+    splits into two source units indexed by two separate calls (the
+    second call must skip the first unit — asserted in-query), global
+    stats sum over committed unit manifests, and the search opens only
+    the committed generations' query-term shards.  Scoring shares
+    `_score_posting_files` with the one-shot index, so the result is
+    bit-identical to the full scan — same query string and SQL oracle
+    as bm25_top10."""
+    import os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..ops.search import bm25_index_new_partitions, bm25_search_incremental
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    root = _tempfile.mkdtemp(prefix="bm25_inc_")
+    try:
+        src, idx = os.path.join(root, "src"), os.path.join(root, "idx")
+        os.makedirs(src)
+        for unit in (0, 1):
+            ds.map_batches(
+                lambda b, _u=unit: b[b["doc_id"] % 2 == _u],
+                batch_format="pandas",
+            ).repartition(1).write_parquet(os.path.join(src, f"unit{unit}.d"))
+            # one parquet file per unit dir -> flatten to plain files
+        flat = []
+        for unit in (0, 1):
+            d = os.path.join(src, f"unit{unit}.d")
+            (f,) = [x for x in sorted(os.listdir(d)) if x.endswith(".parquet")]
+            os.replace(os.path.join(d, f), os.path.join(src, f"unit{unit}.parquet"))
+            os.rmdir(d)
+            flat.append(f"unit{unit}.parquet")
+        r1 = bm25_index_new_partitions(src, idx)
+        assert r1["indexed"] == 2, r1
+        r2 = bm25_index_new_partitions(src, idx)
+        assert r2["indexed"] == 0 and r2["skipped"] == 2, r2
+        out = bm25_search_incremental(idx, "table scan merge window", k=10)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    out["score"] = _round_half_away(out["score"], 6)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
 # ===========================================================================
 # TPC-H Q5 / Q8 / Q12 / Q17 / Q21 (session-6 join-pipeline compositions;
 # predicates adapted to the reduced fixture schema — no partsupp table, no
@@ -6216,6 +6261,7 @@ QUERIES = {
     "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
     "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "bm25_indexed_top10": q_bm25_indexed_top10,
+    "bm25_incremental_top10": q_bm25_incremental_top10,
     "event_funnel": q_event_funnel,
     # no-oracle (float power iteration; numpy-reference rtol in TestHits,
     # L2 norms + top authority asserted in-query)
@@ -7730,6 +7776,7 @@ ORACLE_SQL = {
 # the indexed route is bit-identical to the full scan (TestBm25Index), so
 # it carries the same oracle text
 ORACLE_SQL["bm25_indexed_top10"] = ORACLE_SQL["bm25_top10"]
+ORACLE_SQL["bm25_incremental_top10"] = ORACLE_SQL["bm25_top10"]
 
 # Triangle count: the edge synthesis (ring + chords mod 1000) is integer
 # arithmetic, so the canonical-distinct edge set and the three-way

@@ -1706,6 +1706,7 @@ class TestTailQueryOracles:
             "tpch_q17_small_quantity",
             "tpch_q21_waiting_suppliers",
             "bm25_indexed_top10",
+            "bm25_incremental_top10",
             "event_funnel",
             "link_triangles",
             "jsonl_docs",

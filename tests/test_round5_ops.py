@@ -3598,3 +3598,107 @@ class TestRagPipeline:
         res = search_passages(idx, [df["text"][5]], k=1)
         assert res["doc_id"].iloc[0] == "u#5"  # rsplit keeps the id whole
         assert res["win_idx"].dtype.kind == "i"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25Incremental:
+    """Round-4 session-9: incremental BM25 index maintenance
+    (ops/search.py::bm25_index_new_partitions / bm25_search_incremental)."""
+
+    def _write_unit(self, dirpath, name, docs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs], pa.string()),
+                }
+            ),
+            str(dirpath / f"{name}.parquet"),
+        )
+
+    def _docs(self):
+        a = [(0, "ray data streams batches"), (1, "arrow batches fly fast"),
+             (2, "spark also streams data")]
+        b = [(10, "bm25 ranks lexical matches"), (11, "ranks and data and ranks"),
+             (12, "nothing relevant here")]
+        return a, b
+
+    def test_incremental_equals_oneshot_and_skips(self, tmp_path):
+        from ocr_platform_ray.ops.search import (
+            bm25_index_new_partitions,
+            bm25_search_incremental,
+            build_bm25_index,
+            bm25_search_index,
+        )
+
+        a, b = self._docs()
+        src = tmp_path / "src"
+        src.mkdir()
+        self._write_unit(src, "u1", a)
+        rep = bm25_index_new_partitions(str(src), str(tmp_path / "idx"))
+        assert rep["indexed"] == 1 and rep["docs_indexed"] == 3
+        self._write_unit(src, "u2", b)
+        rep = bm25_index_new_partitions(str(src), str(tmp_path / "idx"))
+        assert rep["indexed"] == 1 and rep["skipped"] == 1
+        # third call: nothing new
+        rep = bm25_index_new_partitions(str(src), str(tmp_path / "idx"))
+        assert rep["indexed"] == 0 and rep["skipped"] == 2
+
+        # one-shot over ALL docs must match bit-for-bit
+        all_docs = pd.DataFrame(a + b, columns=["doc_id", "text"])
+        build_bm25_index(
+            rd.from_pandas(all_docs), str(tmp_path / "full"), n_shards=32
+        )
+        for q in ("data ranks", "batches", "ranks ranks lexical", "zzz"):
+            inc = bm25_search_incremental(str(tmp_path / "idx"), q, k=5)
+            full = bm25_search_index(str(tmp_path / "full"), q, k=5)
+            pd.testing.assert_frame_equal(
+                inc.reset_index(drop=True), full.reset_index(drop=True)
+            )
+
+    def test_redo_replaces_generation_and_torn_unit_invisible(self, tmp_path):
+        import glob as g
+        import os
+
+        from ocr_platform_ray.ops.search import (
+            bm25_index_new_partitions,
+            bm25_search_incremental,
+        )
+
+        a, b = self._docs()
+        src = tmp_path / "src"
+        src.mkdir()
+        self._write_unit(src, "u1", a)
+        self._write_unit(src, "u2", b)
+        idx = str(tmp_path / "idx")
+        bm25_index_new_partitions(str(src), idx)
+        assert len(bm25_search_incremental(idx, "ranks", k=5)) == 2
+        # redo: u2's content changes (and with it the file size fingerprint)
+        self._write_unit(
+            src, "u2", [(10, "totally different now indeed"), (11, "ranks once")]
+        )
+        rep = bm25_index_new_partitions(str(src), idx)
+        assert rep["indexed"] == 1 and rep["skipped"] == 1
+        res = bm25_search_incremental(idx, "ranks", k=5)
+        assert res["doc_id"].tolist() == [11]
+        # exactly one generation per unit survives
+        assert len(g.glob(os.path.join(idx, "parts", "u2@*"))) == 1
+        # a unit whose manifest is gone (torn build) is invisible
+        os.unlink(os.path.join(idx, "_manifest", "u2.json"))
+        res = bm25_search_incremental(idx, "ranks data", k=5)
+        assert set(res["doc_id"]) <= {0, 1, 2}
+
+    def test_config_drift_rejected(self, tmp_path):
+        from ocr_platform_ray.ops.search import bm25_index_new_partitions
+
+        a, _ = self._docs()
+        src = tmp_path / "src"
+        src.mkdir()
+        self._write_unit(src, "u1", a)
+        idx = str(tmp_path / "idx")
+        bm25_index_new_partitions(str(src), idx, n_shards=16)
+        with pytest.raises(ValueError, match="config drift"):
+            bm25_index_new_partitions(str(src), idx, n_shards=32)
