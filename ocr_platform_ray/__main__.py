@@ -196,6 +196,44 @@ def main(argv: list[str] | None = None) -> int:
     cv.add_argument("--to", dest="to_fmt", default="parquet")
     cv.add_argument("--columns", nargs="*", default=None)
 
+    rb = sub.add_parser(
+        "rag-build",
+        help="chunk + embed a documents table into a persisted two-stage "
+        "RAG passage index (IVF-PQ candidates + text sidecar)",
+    )
+    rb.add_argument("--input", required=True, help="parquet file or directory")
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--text-col", default="text")
+    rb.add_argument("--id-col", default="doc_id")
+    rb.add_argument("--window", type=int, default=32)
+    rb.add_argument("--stride", type=int, default=16)
+
+    rs = sub.add_parser(
+        "rag-search",
+        help="two-stage top-k passage search over a rag-build index",
+    )
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--query", required=True)
+    rs.add_argument("-k", type=int, default=5)
+
+    bi = sub.add_parser(
+        "bm25-index",
+        help="incrementally (re)index NEW/CHANGED source units into a "
+        "persisted BM25 inverted index",
+    )
+    bi.add_argument("--src", required=True, help="source parquet directory")
+    bi.add_argument("--index", required=True)
+    bi.add_argument("--text-col", default="text")
+    bi.add_argument("--id-col", default="doc_id")
+
+    bs = sub.add_parser(
+        "bm25-search",
+        help="top-k BM25 over an incrementally-maintained index",
+    )
+    bs.add_argument("--index", required=True)
+    bs.add_argument("--query", required=True)
+    bs.add_argument("-k", type=int, default=10)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -384,6 +422,37 @@ def main(argv: list[str] | None = None) -> int:
                     {"from": src_fmt, "to": args.to_fmt, "files_written": n_files}
                 )
             )
+        elif args.cmd == "rag-build":
+            import ray.data as rdata
+
+            from .pipelines.rag import build_passage_index
+
+            n = build_passage_index(
+                rdata.read_parquet(args.input),
+                args.index,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                window=args.window,
+                stride=args.stride,
+            )
+            print(json.dumps({"passages_indexed": n}))
+        elif args.cmd == "rag-search":
+            from .pipelines.rag import search_passages
+
+            res = search_passages(args.index, [args.query], k=args.k)
+            print(res.to_string(index=False))
+        elif args.cmd == "bm25-index":
+            from .ops.search import bm25_index_new_partitions
+
+            rep = bm25_index_new_partitions(
+                args.src, args.index, id_col=args.id_col, text_col=args.text_col
+            )
+            print(json.dumps(rep))
+        elif args.cmd == "bm25-search":
+            from .ops.search import bm25_search_incremental
+
+            res = bm25_search_incremental(args.index, args.query, k=args.k)
+            print(res.to_string(index=False))
         elif args.cmd == "compact-state":
             from .ops.incremental import compact_bucket_state
 
