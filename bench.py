@@ -214,6 +214,7 @@ def run_once() -> dict:
         "readability_docs",
         "rag_passage_search",
         "bm25_incremental_top10",
+        "link_clustering",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -463,6 +463,100 @@ def extract_anchor_texts(
     )
 
 
+def _canon_simple_edges(
+    edges: rd.Dataset, src_col: str, dst_col: str, n_shards: int
+) -> rd.Dataset:
+    """Canonical undirected simple edge set (a < b): self-loops drop,
+    duplicate and reversed edges collapse — in-batch drop_duplicates
+    combiner, then ONE tuple-hash exchange.  Materialized (the callers
+    consume it several times)."""
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s, d = b[src_col].to_numpy(), b[dst_col].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        out = pd.DataFrame(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d)}
+        ).drop_duplicates()
+        out["__shard"] = _hash_labels(out, ["a", "b"], n_shards).astype("int64")
+        return out
+
+    return (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas"
+        )
+        .materialize()
+    )
+
+
+def _edge_degrees(e: rd.Dataset, n_shards: int, deg_threshold_rows: int):
+    """(node, deg) over a canonical edge set — endpoint value_counts
+    combiner into the size-aware finish (pandas below the probe,
+    Dataset past it)."""
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([b["a"], b["b"]], ignore_index=True).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    return auto_group_agg(
+        e.map_batches(deg_partial, batch_format="pandas"),
+        ["node"],
+        {"deg": ("n", "sum")},
+        driver_threshold_rows=deg_threshold_rows,
+        n_shards=n_shards,
+    )
+
+
+def _orient_edges(e: rd.Dataset, deg, n_shards: int) -> rd.Dataset:
+    """Degree-oriented edges (Schank & Wagner 2005): u -> v from the
+    lower-(degree, id) endpoint, bounding out-neighborhoods by
+    O(sqrt(m)); u-sharded for the wedge self-merge.  ``deg`` may be the
+    driver frame (broadcast lookup) or a Dataset (two bucketed joins)."""
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            out = pd.DataFrame({"u": b["a"], "v": b["b"]})
+        else:
+            a_first = (b["da"].to_numpy() < b["db"].to_numpy()) | (
+                (b["da"].to_numpy() == b["db"].to_numpy())
+                & (b["a"].to_numpy() < b["b"].to_numpy())
+            )
+            out = pd.DataFrame(
+                {
+                    "u": np.where(a_first, b["a"], b["b"]),
+                    "v": np.where(a_first, b["b"], b["a"]),
+                }
+            )
+        out["__shard"] = _hash_labels(out, ["u"], n_shards).astype("int64")
+        return out
+
+    if isinstance(deg, pd.DataFrame):
+        # dim-sized node table: broadcast once, degree lookup map-side
+        dref = ray.put(deg.set_index("node")["deg"])
+
+        def add_deg(b: pd.DataFrame, _dref=dref) -> pd.DataFrame:
+            dm = ray.get(_dref)
+            out = b.copy()
+            out["da"] = b["a"].map(dm).to_numpy()
+            out["db"] = b["b"].map(dm).to_numpy()
+            return orient(out)
+
+        return e.map_batches(add_deg, batch_format="pandas")
+    da = deg.map_batches(
+        lambda b: b.rename(columns={"node": "a", "deg": "da"}),
+        batch_format="pandas",
+    )
+    db = deg.map_batches(
+        lambda b: b.rename(columns={"node": "b", "deg": "db"}),
+        batch_format="pandas",
+    )
+    j = bucketed_hash_join(e, da, on="a", n_buckets=n_shards)
+    j = bucketed_hash_join(j, db, on="b", n_buckets=n_shards)
+    return j.map_batches(orient, batch_format="pandas")
+
+
 def triangle_count(
     edges: rd.Dataset,
     src_col: str = "src",
@@ -494,81 +588,13 @@ def triangle_count(
     canonical pair.  Only scalar partial sums land on the driver.  The
     edge projection (two id columns) is materialized once because three
     passes consume it (degrees, wedges, closing join)."""
-    def canon(b: pd.DataFrame) -> pd.DataFrame:
-        s, d = b[src_col].to_numpy(), b[dst_col].to_numpy()
-        keep = s != d
-        s, d = s[keep], d[keep]
-        out = pd.DataFrame(
-            {"a": np.minimum(s, d), "b": np.maximum(s, d)}
-        ).drop_duplicates()
-        out["__shard"] = _hash_labels(out, ["a", "b"], n_shards).astype("int64")
-        return out
-
-    e = (
-        edges.map_batches(canon, batch_format="pandas")
-        .groupby("__shard")
-        .map_groups(
-            lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas"
-        )
-        .materialize()
-    )
+    e = _canon_simple_edges(edges, src_col, dst_col, n_shards)
     if e.count() == 0:
         # an empty Dataset has no schema — the joins below can't plan
         return 0
+    deg = _edge_degrees(e, n_shards, deg_threshold_rows)
 
-    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
-        vc = pd.concat([b["a"], b["b"]], ignore_index=True).value_counts()
-        return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-    deg = auto_group_agg(
-        e.map_batches(deg_partial, batch_format="pandas"),
-        ["node"],
-        {"deg": ("n", "sum")},
-        driver_threshold_rows=deg_threshold_rows,
-        n_shards=n_shards,
-    )
-
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            out = pd.DataFrame({"u": b["a"], "v": b["b"]})
-        else:
-            a_first = (b["da"].to_numpy() < b["db"].to_numpy()) | (
-                (b["da"].to_numpy() == b["db"].to_numpy())
-                & (b["a"].to_numpy() < b["b"].to_numpy())
-            )
-            out = pd.DataFrame(
-                {
-                    "u": np.where(a_first, b["a"], b["b"]),
-                    "v": np.where(a_first, b["b"], b["a"]),
-                }
-            )
-        out["__shard"] = _hash_labels(out, ["u"], n_shards).astype("int64")
-        return out
-
-    if isinstance(deg, pd.DataFrame):
-        # dim-sized node table: broadcast once, degree lookup map-side
-        dref = ray.put(deg.set_index("node")["deg"])
-
-        def add_deg(b: pd.DataFrame, _dref=dref) -> pd.DataFrame:
-            dm = ray.get(_dref)
-            out = b.copy()
-            out["da"] = b["a"].map(dm).to_numpy()
-            out["db"] = b["b"].map(dm).to_numpy()
-            return orient(out)
-
-        oriented = e.map_batches(add_deg, batch_format="pandas")
-    else:
-        da = deg.map_batches(
-            lambda b: b.rename(columns={"node": "a", "deg": "da"}),
-            batch_format="pandas",
-        )
-        db = deg.map_batches(
-            lambda b: b.rename(columns={"node": "b", "deg": "db"}),
-            batch_format="pandas",
-        )
-        j = bucketed_hash_join(e, da, on="a", n_buckets=n_shards)
-        j = bucketed_hash_join(j, db, on="b", n_buckets=n_shards)
-        oriented = j.map_batches(orient, batch_format="pandas")
+    oriented = _orient_edges(e, deg, n_shards)
 
     def wedge_counts(g: pd.DataFrame) -> pd.DataFrame:
         f = g[["u", "v"]]
@@ -718,3 +744,87 @@ def kcore_subgraph(
             return e2
         e, n_edges = e2, n2
     raise RuntimeError(f"kcore_subgraph: no fixpoint in {max_rounds} rounds")
+
+
+def clustering_coefficient(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_shards: int = 64,
+    deg_threshold_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    over the undirected simple graph:
+
+        cc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1)),   cc = 0 for deg < 2
+
+    where T(v) = triangles containing v — the per-node refinement of
+    `triangle_count` (spam-farm detection reads high cc at low rank;
+    crawl-graph pipelines ship it next to the centrality columns).
+
+    Scale shape: the shared `_canon_simple_edges` / `_edge_degrees` /
+    `_orient_edges` stages, then the wedge self-merge KEEPS its apex
+    (rows (a, b, u) instead of pre-counted pairs — the per-node
+    attribution needs all three corners), one bucketed closing join
+    against the edge set, and per-node triangle counts from a
+    three-endpoint value_counts combiner into the size-aware finish.
+    Exchange volume = oriented wedge rows, O(m*sqrt(m)) after the
+    degree orientation.  Returns a node-sized pandas report (the
+    `pagerank` output contract): (node, deg, triangles, cc) — cc is an
+    exact ratio of integers, so it is bit-stable across block
+    structures."""
+    e = _canon_simple_edges(edges, src_col, dst_col, n_shards)
+    if e.count() == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="object"),
+                "deg": pd.Series(dtype="int64"),
+                "triangles": pd.Series(dtype="int64"),
+                "cc": pd.Series(dtype="float64"),
+            }
+        )
+    deg = _edge_degrees(e, n_shards, deg_threshold_rows)
+    oriented = _orient_edges(e, deg, n_shards)
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[["u", "v"]]
+        m = f.merge(f, on="u")
+        m = m[m["v_x"].to_numpy() < m["v_y"].to_numpy()]
+        return pd.DataFrame(
+            {"a": m["v_x"].to_numpy(), "b": m["v_y"].to_numpy(), "u": m["u"].to_numpy()}
+        )
+
+    wedges = oriented.groupby("__shard").map_groups(
+        wedge_rows, batch_format="pandas"
+    )
+    closed = bucketed_hash_join(wedges, e, on=["a", "b"], n_buckets=n_shards)
+
+    def tri_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat(
+            [b["a"], b["b"], b["u"]], ignore_index=True
+        ).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    tri = auto_group_agg(
+        closed.map_batches(tri_partial, batch_format="pandas"),
+        ["node"],
+        {"triangles": ("n", "sum")},
+        driver_threshold_rows=deg_threshold_rows,
+        n_shards=n_shards,
+    )
+    deg_df = deg if isinstance(deg, pd.DataFrame) else deg.to_pandas()
+    tri_df = tri if isinstance(tri, pd.DataFrame) else tri.to_pandas()
+    if tri_df.shape[1] == 0:  # no triangles at all (empty to_pandas quirk)
+        tri_df = pd.DataFrame({"node": pd.Series(dtype=deg_df["node"].dtype),
+                               "triangles": pd.Series(dtype="int64")})
+    out = deg_df.merge(tri_df, on="node", how="left")
+    out["triangles"] = out["triangles"].fillna(0).astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    d = out["deg"].to_numpy(dtype="float64")
+    t = out["triangles"].to_numpy(dtype="float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = 2.0 * t / (d * (d - 1.0))
+    cc[out["deg"].to_numpy() < 2] = 0.0
+    out["cc"] = cc
+    return out.sort_values("node").reset_index(drop=True)

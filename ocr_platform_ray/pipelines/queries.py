@@ -3566,8 +3566,8 @@ def q_readability_docs(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["doc_id", "text"])
     ).to_pandas()
     res = out[["doc_id", "n_words", "n_sentences", "n_syllables"]].copy()
-    res["flesch_ease"] = out["flesch_ease"].round(4)
-    res["fk_grade"] = out["fk_grade"].round(4)
+    res["flesch_ease"] = _round_half_away(out["flesch_ease"], 4)
+    res["fk_grade"] = _round_half_away(out["fk_grade"], 4)
     for c in ("n_words", "n_sentences", "n_syllables"):
         res[c] = res[c].astype("int64")
     return res.sort_values("doc_id").reset_index(drop=True)
@@ -3614,6 +3614,33 @@ def q_rag_passage_search(sf_dir: str) -> pd.DataFrame:
             "n_top1_hits": pd.Series([hits], dtype="int64"),
         }
     )
+
+
+def q_link_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient over the synthesized
+    ring-with-chords link graph (`ops/graph.clustering_coefficient` —
+    Watts & Strogatz 1998; the wedge self-merge keeps its apex so each
+    closed wedge attributes its triangle to all three corners).  cc is
+    an exact ratio of integers, so the FULL SQL oracle mirrors the
+    identical three-way self-join + per-corner counts + the identical
+    float expression (ROUND 6 both sides) in TestTailQueryOracles."""
+    from ..ops.graph import clustering_coefficient
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy() % 1000
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids, ids]),
+                "dst": np.concatenate([(ids + 1) % 1000, (ids + 2) % 1000]),
+            }
+        )
+
+    out = clustering_coefficient(docs.map_batches(links, batch_format="pandas"))
+    out["cc"] = _round_half_away(out["cc"], 6)
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
@@ -6285,6 +6312,7 @@ QUERIES = {
     "tfrecord_docs": q_tfrecord_docs,
     "avro_docs": q_avro_docs,
     "readability_docs": q_readability_docs,
+    "link_clustering": q_link_clustering,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -7795,6 +7823,37 @@ ORACLE_SQL["link_triangles"] = (
     "FROM e e1 "
     "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
     "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+)
+
+# Per-node clustering coefficient: same edge synthesis as link_triangles,
+# per-corner triangle counts from the identical three-way self-join, and
+# the identical float expression 2.0*t/(d*(d-1.0)); ROUND 6 both sides.
+ORACLE_SQL["link_clustering"] = (
+    "WITH links AS ("
+    "SELECT doc_id % 1000 AS src, (doc_id + 1) % 1000 AS dst FROM documents "
+    "UNION ALL "
+    "SELECT doc_id % 1000, (doc_id + 2) % 1000 FROM documents"
+    "), e AS ("
+    "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM links WHERE src <> dst"
+    "), deg AS ("
+    "SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM "
+    "(SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node"
+    "), tri AS ("
+    "SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+    "FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    "), tc AS ("
+    "SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
+    "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY node"
+    ") "
+    "SELECT d.node, d.deg, CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles, "
+    "ROUND(CASE WHEN d.deg >= 2 THEN "
+    "2.0 * coalesce(tc.triangles, 0) / (d.deg * (d.deg - 1.0)) "
+    "ELSE 0.0 END, 6) AS cc "
+    "FROM deg d LEFT JOIN tc USING (node)"
 )
 
 # JSONL roundtrip: the aggregate runs over write->read roundtripped data,

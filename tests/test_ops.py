@@ -1724,6 +1724,7 @@ class TestTailQueryOracles:
             "tfrecord_docs",
             "avro_docs",
             "readability_docs",
+            "link_clustering",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

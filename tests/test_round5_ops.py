@@ -3702,3 +3702,76 @@ class TestBm25Incremental:
         bm25_index_new_partitions(str(src), idx, n_shards=16)
         with pytest.raises(ValueError, match="config drift"):
             bm25_index_new_partitions(str(src), idx, n_shards=32)
+
+
+def _naive_cc(pairs):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    rows = []
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(len(adj[x] & nb) for x in nb) // 2
+        rows.append((v, d, t, (2.0 * t / (d * (d - 1.0))) if d >= 2 else 0.0))
+    return (
+        pd.DataFrame(rows, columns=["node", "deg", "triangles", "cc"])
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusteringCoefficient:
+    """Round-4 session-9: per-node local clustering coefficient
+    (ops/graph.py::clustering_coefficient)."""
+
+    def _got(self, df, **kw):
+        from ocr_platform_ray.ops.graph import clustering_coefficient
+
+        return clustering_coefficient(rd.from_pandas(df).repartition(4), **kw)
+
+    def test_naive_equality_random_graph_both_routes(self):
+        rng = np.random.RandomState(6)
+        pairs = list(zip(rng.randint(0, 80, 400), rng.randint(0, 80, 400)))
+        df = pd.DataFrame(pairs, columns=["src", "dst"])
+        want = _naive_cc(pairs)
+        got = self._got(df)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        got2 = self._got(df, deg_threshold_rows=0)  # bucketed degree route
+        pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+    def test_known_shapes(self):
+        # K4: every node cc = 1; star: hub and leaves cc = 0;
+        # triangle with a pendant: pendant 0, apex 1/3, others 1
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        got = self._got(pd.DataFrame(k4, columns=["src", "dst"]))
+        assert (got["cc"] == 1.0).all() and (got["triangles"] == 3).all()
+        star = [(0, i) for i in range(1, 6)]
+        got = self._got(pd.DataFrame(star, columns=["src", "dst"]))
+        assert (got["cc"] == 0.0).all()
+        tri_pendant = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        got = self._got(
+            pd.DataFrame(tri_pendant, columns=["src", "dst"])
+        ).set_index("node")
+        assert got.loc[4, "cc"] == 0.0
+        assert got.loc[3, "cc"] == pytest.approx(1 / 3)
+        assert got.loc[1, "cc"] == 1.0 and got.loc[2, "cc"] == 1.0
+
+    def test_string_ids_dups_and_empty(self):
+        df = pd.DataFrame(
+            {"src": ["x", "y", "z", "x", "x"], "dst": ["y", "z", "x", "y", "x"]}
+        )
+        got = self._got(df).set_index("node")
+        assert (got["cc"] == 1.0).all()
+        from ocr_platform_ray.ops.graph import clustering_coefficient
+
+        empty = clustering_coefficient(
+            rd.from_pandas(pd.DataFrame({"src": [7], "dst": [7]}))
+        )
+        assert len(empty) == 0 and list(empty.columns) == [
+            "node", "deg", "triangles", "cc",
+        ]
