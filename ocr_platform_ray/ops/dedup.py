@@ -894,7 +894,7 @@ def bloom_strip_repeated_paragraphs(
 
     Exact-route equivalence (large ``m_bits``) and the never-miss
     superset property are pytest-pinned."""
-    from .spans import _bloom_indices, _bloom_test
+    from .spans import _BLOOM_K, _bloom_indices, _bloom_test
 
     if min_docs < 2 or min_docs > 200:
         raise ValueError("bloom_strip_repeated_paragraphs: need 2 <= min_docs <= 200")
@@ -928,7 +928,7 @@ def bloom_strip_repeated_paragraphs(
         # whenever that total fits — true for every real m; tiny-m test
         # corpora that exceed it fall back to uint32 (never-miss is a
         # guarantee, not a probability).
-        dtype = np.uint16 if 4 * len(gh) < 65535 else np.uint32
+        dtype = np.uint16 if _BLOOM_K * len(gh) < 65535 else np.uint32
         acc = np.zeros(m_bits, dtype=dtype)
         for idx in _bloom_indices(gh, m_bits):
             np.add.at(acc, idx.astype(np.int64), 1)

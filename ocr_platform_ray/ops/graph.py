@@ -666,51 +666,31 @@ def kcore_subgraph(
     if k < 1:
         raise ValueError("kcore_subgraph: need k >= 1")
 
-    def canon(b: pd.DataFrame) -> pd.DataFrame:
-        s, d = b[src_col].to_numpy(), b[dst_col].to_numpy()
-        keep = s != d
-        s, d = s[keep], d[keep]
-        out = pd.DataFrame(
-            {src_col: np.minimum(s, d), dst_col: np.maximum(s, d)}
-        ).drop_duplicates()
-        out["__shard"] = _hash_labels(out, [src_col, dst_col], n_shards).astype(
-            "int64"
-        )
-        return out
-
-    e = (
-        edges.map_batches(canon, batch_format="pandas")
-        .groupby("__shard")
-        .map_groups(
-            lambda g: g[[src_col, dst_col]].drop_duplicates(),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+    e = _canon_simple_edges(edges, src_col, dst_col, n_shards)
     n_edges = e.count()
     # an emptied core exits with a TYPED schema (schema() stays
     # (src, dst)-typed; note Ray's to_pandas() on ANY empty Dataset
     # returns a columnless frame — the probe_head house rule — so
-    # consumers check shape[1])
+    # consumers check shape[1]).  The peel runs on the canonical (a, b)
+    # columns (the shared-helper contract); exits rename back.
     empty = _typed_empty(
-        (e if n_edges else edges).schema(), [src_col, dst_col]
+        (e if n_edges else edges).schema(),
+        ["a", "b"] if n_edges else [src_col, dst_col],
     )
+    empty.columns = [src_col, dst_col]
+
+    def _restore(ds_ab: rd.Dataset) -> rd.Dataset:
+        if (src_col, dst_col) == ("a", "b"):
+            return ds_ab
+        return ds_ab.map_batches(
+            lambda b: b.rename(columns={"a": src_col, "b": dst_col}),
+            batch_format="pandas",
+        )
 
     for _ in range(max_rounds):
         if n_edges == 0:
             return rd.from_pandas(empty)
-
-        def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
-            vc = pd.concat([b[src_col], b[dst_col]], ignore_index=True).value_counts()
-            return pd.DataFrame({"node": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-        deg = auto_group_agg(
-            e.map_batches(deg_partial, batch_format="pandas"),
-            ["node"],
-            {"deg": ("n", "sum")},
-            driver_threshold_rows=survivor_threshold_rows,
-            n_shards=n_shards,
-        )
+        deg = _edge_degrees(e, n_shards, survivor_threshold_rows)
         if isinstance(deg, pd.DataFrame):
             alive = deg.loc[deg["deg"] >= k, "node"]
             aref = ray.put(frozenset(alive))
@@ -721,8 +701,8 @@ def kcore_subgraph(
                 # pagerank per-iteration-weights rule)
                 alive_set = ray.get(_aref)
                 m = (
-                    b[src_col].isin(alive_set).to_numpy()
-                    & b[dst_col].isin(alive_set).to_numpy()
+                    b["a"].isin(alive_set).to_numpy()
+                    & b["b"].isin(alive_set).to_numpy()
                 )
                 return b[m]
 
@@ -732,7 +712,7 @@ def kcore_subgraph(
                 lambda b: b.loc[b["deg"] >= k, ["node"]], batch_format="pandas"
             )
             e2 = e
-            for col in (src_col, dst_col):
+            for col in ("a", "b"):
                 keys = alive_ds.map_batches(
                     lambda b, _c=col: b.rename(columns={"node": _c}),
                     batch_format="pandas",
@@ -741,7 +721,7 @@ def kcore_subgraph(
             e2 = e2.materialize()
         n2 = e2.count()
         if n2 == n_edges:
-            return e2
+            return _restore(e2)
         e, n_edges = e2, n2
     raise RuntimeError(f"kcore_subgraph: no fixpoint in {max_rounds} rounds")
 

@@ -512,15 +512,27 @@ def bm25_index_new_partitions(
 
     man_dir = os.path.join(index_dir, "_manifest")
     os.makedirs(man_dir, exist_ok=True)
-    done: dict[str, str] = {}
+    done: dict[str, dict] = {}
     for p in glob.glob(os.path.join(man_dir, "*.json")):
         try:
             with open(p) as f:
                 m = json.load(f)
-            done[m["unit"]] = m["fingerprint"]
+            done[m["unit"]] = m
         except (json.JSONDecodeError, KeyError):
             continue
-    new = [(n, fs, fp) for n, fs, fp in units if done.get(n) != fp]
+
+    def _committed(name: str, fp: str) -> bool:
+        m = done.get(name)
+        if m is None or m["fingerprint"] != fp:
+            return False
+        # a manifest whose generation subtree is gone (partial restore,
+        # manual cleanup) must re-index, not be skipped forever while its
+        # stats keep inflating N/avgdl (the index_new_partitions guard)
+        return os.path.isdir(
+            os.path.join(index_dir, "parts", f"{name}@{m['generation']}")
+        )
+
+    new = [(n, fs, fp) for n, fs, fp in units if not _committed(n, fp)]
 
     import hashlib as _hashlib
 

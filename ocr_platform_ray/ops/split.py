@@ -100,7 +100,9 @@ def leakage_free_split(
             bands=bands,
             shingle_k=shingle_k,
             threshold=threshold,
-            as_dataset=clusters == "distributed",
+            # a pandas return would decide the route BEFORE the probe —
+            # auto must see a Dataset to be able to stay distributed
+            as_dataset=clusters != "driver",
         )
 
     if clusters == "auto":
@@ -112,6 +114,24 @@ def leakage_free_split(
                 pairs, clusters = head, "driver"
             else:
                 clusters = "distributed"
+
+    if clusters == "distributed" and isinstance(pairs, pd.DataFrame):
+        # caller-supplied pandas pair frames route like any other source
+        if len(pairs):
+            pairs = rd.from_pandas(pairs)
+
+    if clusters == "distributed" and isinstance(pairs, rd.Dataset):
+        # materialize before the emptiness check so the LSH lineage runs
+        # once, not once for the count and again for the label exchange
+        pairs = pairs.materialize()
+
+    if clusters == "distributed" and (
+        isinstance(pairs, pd.DataFrame) or pairs.count() == 0
+    ):
+        # zero near-dups: a map-derived empty Dataset has no schema for
+        # the label exchange to plan over — degrade to the documented
+        # singleton-cluster hash split (identical output by definition)
+        clusters, pairs = "driver", pd.DataFrame({"id_a": [], "id_b": []})
 
     if clusters == "driver":
         if not isinstance(pairs, pd.DataFrame):

@@ -44,6 +44,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ._infer import infer_column_plan
+
 _MAGIC = b"Obj\x01"
 
 
@@ -93,44 +95,17 @@ _PRIMS = {"long", "double", "string", "bytes"}
 
 
 def _column_plan(b: pd.DataFrame) -> list[tuple[str, str, bool]]:
-    """[(column, avro primitive, is_array)] — same inference rules as the
-    TFRecord sink (dtype first, then first non-null value)."""
-    plan: list[tuple[str, str, bool]] = []
-    for col in sorted(b.columns):
-        s = b[col]
-        if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
-            plan.append((col, "long", False))
-        elif pd.api.types.is_float_dtype(s):
-            plan.append((col, "double", False))
-        else:
-            nonnull = s[s.notna()] if s.dtype == object else s
-            if len(nonnull) == 0:
-                raise ValueError(
-                    f"write_avro: column {col!r} has no non-null value in a "
-                    "block — no type evidence (drop it or fill it)"
-                )
-            v = nonnull.iloc[0]
-            if isinstance(v, str):
-                plan.append((col, "string", False))
-            elif isinstance(v, (bytes, bytearray)):
-                plan.append((col, "bytes", False))
-            elif isinstance(v, (list, np.ndarray)):
-                inner = np.asarray(v)
-                if inner.dtype.kind in "iub":
-                    plan.append((col, "long", True))
-                elif inner.dtype.kind == "f":
-                    plan.append((col, "double", True))
-                else:
-                    v0 = v[0]
-                    plan.append(
-                        (col, "bytes" if isinstance(v0, (bytes, bytearray)) else "string", True)
-                    )
-            else:
-                raise ValueError(
-                    f"write_avro: column {col!r} has unsupported value type "
-                    f"{type(v).__name__}"
-                )
-    return plan
+    """[(column, avro primitive, is_list)] — the shared sink inference
+    (`sources/_infer.py`) mapped onto Avro primitives: int -> long,
+    float -> double, str -> string, bytes -> bytes."""
+    kind_map = {"int": "long", "float": "double", "str": "string", "bytes": "bytes"}
+    try:
+        return [
+            (col, kind_map[kind], is_list)
+            for col, kind, is_list in infer_column_plan(b)
+        ]
+    except ValueError as e:
+        raise ValueError(f"write_avro: {e}") from None
 
 
 def _schema_json(plan: list[tuple[str, str, bool]]) -> str:

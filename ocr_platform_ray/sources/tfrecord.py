@@ -47,6 +47,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ._infer import infer_column_plan
+
 # --------------------------------------------------------------------------
 # CRC-32C (Castagnoli) — reflected table, lane-vectorized batch form
 # --------------------------------------------------------------------------
@@ -373,41 +375,18 @@ def parse_example(buf: bytes) -> dict[str, tuple[str, list]]:
 # column <-> feature mapping
 # --------------------------------------------------------------------------
 def _column_plan(b: pd.DataFrame) -> list[tuple[str, str, bool]]:
-    """[(column, kind, is_list)] from dtypes + first non-null value.
-    All-null object columns raise (no kind evidence)."""
-    plan: list[tuple[str, str, bool]] = []
-    for col in sorted(b.columns):
-        s = b[col]
-        if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
-            plan.append((col, "int64", False))
-        elif pd.api.types.is_float_dtype(s):
-            plan.append((col, "float", False))
-        else:
-            nonnull = s[s.notna()] if s.dtype == object else s
-            if len(nonnull) == 0:
-                raise ValueError(
-                    f"write_tfrecord: column {col!r} has no non-null value in a "
-                    "block — no feature kind evidence (drop it or fill it)"
-                )
-            v = nonnull.iloc[0]
-            if isinstance(v, str):
-                plan.append((col, "bytes", False))
-            elif isinstance(v, (bytes, bytearray)):
-                plan.append((col, "bytes", False))
-            elif isinstance(v, (list, np.ndarray)):
-                inner = np.asarray(v)
-                if inner.dtype.kind in "iub":
-                    plan.append((col, "int64", True))
-                elif inner.dtype.kind == "f":
-                    plan.append((col, "float", True))
-                else:
-                    plan.append((col, "bytes", True))
-            else:
-                raise ValueError(
-                    f"write_tfrecord: column {col!r} has unsupported value "
-                    f"type {type(v).__name__}"
-                )
-    return plan
+    """[(column, tf kind, is_list)] — the shared sink inference
+    (`sources/_infer.py`) mapped onto tf.Example kinds: int -> int64,
+    float -> float, str/bytes -> bytes (BytesList carries both; encode
+    UTF-8s strings per value)."""
+    kind_map = {"int": "int64", "float": "float", "str": "bytes", "bytes": "bytes"}
+    try:
+        return [
+            (col, kind_map[kind], is_list)
+            for col, kind, is_list in infer_column_plan(b)
+        ]
+    except ValueError as e:
+        raise ValueError(f"write_tfrecord: {e}") from None
 
 
 def _encode_rows(b: pd.DataFrame) -> list[bytes]:
@@ -542,27 +521,41 @@ def write_tfrecord_dataset(
     return sorted(paths)
 
 
-def _rows_to_frame(
+def _file_layout(
     rows: list[dict[str, tuple[str, list]]],
     *,
     columns: list[str] | None,
-    binary_cols: set[str],
     list_cols: frozenset[str],
-) -> pd.DataFrame:
-    keys: list[str] = []
-    seen = set()
+) -> tuple[list[str], frozenset[str]]:
+    """(ordered keys, list-layout keys) decided over ALL of a file's rows
+    — per-yield inference let a column silently flip scalar/list across
+    batch boundaries (and a projected column vanish from all-null
+    batches); every yield of a file now shares one layout.  With
+    ``columns`` given, every requested column emits even when the file
+    never carries it (None-filled) — block schemas stay stable."""
+    seen: set[str] = set()
     for r in rows:
-        for k in r:
-            if k not in seen:
-                seen.add(k)
-                keys.append(k)
-    keys.sort()
-    if columns is not None:
-        keys = [k for k in columns if k in seen]
+        seen.update(r)
+    keys = list(columns) if columns is not None else sorted(seen)
+    multi = {
+        k
+        for k in keys
+        if k in list_cols or any(k in r and len(r[k][1]) != 1 for r in rows)
+    }
+    return keys, frozenset(multi)
+
+
+def _rows_to_frame(
+    rows: list[dict[str, tuple[str, list]]],
+    *,
+    keys: list[str],
+    list_keys: frozenset[str],
+    binary_cols: set[str],
+) -> pd.DataFrame:
     data: dict[str, list] = {}
     for k in keys:
         vals: list = []
-        is_list = k in list_cols or any(k in r and len(r[k][1]) != 1 for r in rows)
+        is_list = k in list_keys
         for r in rows:
             if k not in r:
                 vals.append(None)
@@ -601,10 +594,17 @@ def read_tfrecord(
     """Read TFRecord files of tf.train.Examples into a Dataset — one
     streaming parse task per file (the WARC source shape), bounded
     ``batch_rows`` yields.  ``columns`` prunes features right after
-    parse; ``binary_cols`` names bytes features to keep as ``bytes``
-    (others decode UTF-8).  Scalar vs list layout is inferred per batch:
-    a key whose every record holds exactly one value is a scalar column.
-    Gzip is inferred from the ``.gz`` extension."""
+    parse (and every requested column emits even when a file lacks it —
+    None-filled, so block schemas stay stable); ``binary_cols`` names
+    bytes features to keep as ``bytes`` (others decode UTF-8).  Scalar
+    vs list layout is decided consistently over each WHOLE file: a key
+    is a list column if ``list_cols`` declares it or any record in the
+    file holds != 1 values (a file of all-singleton lists without a
+    declaration still reads as scalars — TFRecord carries no schema,
+    exactly TF's own ``VarLenFeature`` spec requirement).  The file's
+    rows are held in memory for that decision — files are block-sized
+    from this module's own sink; the raw buffer is already fully read
+    either way.  Gzip is inferred from the ``.gz`` extension."""
     if isinstance(paths, str):
         paths = (
             sorted(
@@ -633,15 +633,13 @@ def read_tfrecord(
                 if want is not None:
                     ex = {k: v for k, v in ex.items() if k in want}
                 rows.append(ex)
-                if len(rows) >= batch_rows:
+            keys, list_keys = _file_layout(rows, columns=columns, list_cols=lset)
+            for i in range(0, max(len(rows), 1), batch_rows):
+                chunk = rows[i : i + batch_rows]
+                if chunk:
                     yield _rows_to_frame(
-                        rows, columns=columns, binary_cols=bset, list_cols=lset
+                        chunk, keys=keys, list_keys=list_keys, binary_cols=bset
                     )
-                    rows = []
-            if rows:
-                yield _rows_to_frame(
-                    rows, columns=columns, binary_cols=bset, list_cols=lset
-                )
 
     files = rd.from_items([{"path": p} for p in paths])
     return files.map_batches(parse, batch_size=1, batch_format="pandas")

@@ -3691,6 +3691,31 @@ class TestBm25Incremental:
         res = bm25_search_incremental(idx, "ranks data", k=5)
         assert set(res["doc_id"]) <= {0, 1, 2}
 
+    def test_lost_generation_dir_reindexes(self, tmp_path):
+        import glob as g
+        import os
+        import shutil
+
+        from ocr_platform_ray.ops.search import (
+            bm25_index_new_partitions,
+            bm25_search_incremental,
+        )
+
+        a, b = self._docs()
+        src = tmp_path / "src"
+        src.mkdir()
+        self._write_unit(src, "u1", a)
+        self._write_unit(src, "u2", b)
+        idx = str(tmp_path / "idx")
+        bm25_index_new_partitions(str(src), idx)
+        # lose u2's generation subtree but keep its manifest
+        (gen_dir,) = g.glob(os.path.join(idx, "parts", "u2@*"))
+        shutil.rmtree(gen_dir)
+        rep = bm25_index_new_partitions(str(src), idx)
+        assert rep["indexed"] == 1 and rep["skipped"] == 1  # u2 re-indexed
+        res = bm25_search_incremental(idx, "ranks", k=5)
+        assert set(res["doc_id"]) == {10, 11}
+
     def test_config_drift_rejected(self, tmp_path):
         from ocr_platform_ray.ops.search import bm25_index_new_partitions
 
