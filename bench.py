@@ -215,6 +215,7 @@ def run_once() -> dict:
         "rag_passage_search",
         "bm25_incremental_top10",
         "link_clustering",
+        "token_drift_en_rest",
     ):
         extra_times[name] = _best_of(2, name)
 

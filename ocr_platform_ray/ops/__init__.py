@@ -142,6 +142,22 @@ from .upsert import (  # noqa: F401
     versioned_write_target,
     write_merge_target,
 )
-from .graph import connected_components, pagerank  # noqa: F401
+from .graph import (  # noqa: F401
+    clustering_coefficient,
+    connected_components,
+    extract_anchor_texts,
+    extract_host_links,
+    hits,
+    kcore_subgraph,
+    pagerank,
+    triangle_count,
+)
+from .softmax import (  # noqa: F401
+    langid_fit,
+    langid_predict,
+    softmax_fit,
+    softmax_predict,
+)
+from .split import leakage_free_split  # noqa: F401
 from .diff import diff_summary, snapshot_diff  # noqa: F401
 from .validate import check_expectations, enforce_expectations  # noqa: F401

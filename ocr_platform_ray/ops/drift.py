@@ -1,0 +1,146 @@
+"""Corpus drift measurement — token-distribution divergence between two
+corpora (crawl snapshot vs snapshot, source vs source, train vs eval):
+the monitoring signal that tells a pipeline operator the data CHANGED
+before a model does.  Jensen-Shannon divergence over exact unigram
+distributions (Lin 1991), reported per token so the answer is
+actionable ("which tokens moved") and not just a scalar.
+
+Scale shape: per-corpus token counts from in-batch value_counts
+combiners into the size-aware `auto_group_agg` finish; the two count
+tables meet in ONE size-aware join (driver merge while the vocabulary
+fits the probe, bucketed full-outer exchange past it); every per-token
+divergence term is then a pure function of (n_a, n_b, tot_a, tot_b) —
+map-only, order-free, and therefore SQL-mirrorable to the bit (the
+global sum is the only order-dependent float, computed driver-side for
+the scalar report).
+
+Tokenization is the BM25 rule (lower, split on single spaces) so a SQL
+oracle can mirror every count exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .relational import auto_group_agg, bucketed_hash_join
+
+
+def _token_counts(ds: rd.Dataset, text_col: str, n_shards: int):
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
+            pattern=" ",
+        )
+        flat = toks.flatten().to_pandas()
+        vc = flat[flat != ""].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    return auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"],
+        {"n": ("n", "sum")},
+        n_shards=n_shards,
+    )
+
+
+def _js_terms(
+    n_a: np.ndarray, n_b: np.ndarray, tot_a: float, tot_b: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(p_a, p_b, per-token JS term), with 0·log(0) = 0.  Terms are in
+    bits (log2); their sum is JSD(A, B) ∈ [0, 1]."""
+    p_a = n_a / tot_a
+    p_b = n_b / tot_b
+    m = 0.5 * (p_a + p_b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(p_a > 0, 0.5 * p_a * np.log2(p_a / m), 0.0)
+        tb = np.where(p_b > 0, 0.5 * p_b * np.log2(p_b / m), 0.0)
+    return p_a, p_b, ta + tb
+
+
+def token_divergence(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    text_col: str = "text",
+    *,
+    n_shards: int = 32,
+) -> pd.DataFrame | rd.Dataset:
+    """Per-token drift table between two corpora: (token, n_a, n_b,
+    js_term) over the union vocabulary, js_term ≥ 0 and
+    Σ js_term = JSD(A, B) in bits.  Returns pandas when both count
+    tables fit the size probe (one driver outer merge), else a Dataset
+    from the bucketed full-outer exchange."""
+    ca = _token_counts(a, text_col, n_shards)
+    cb = _token_counts(b, text_col, n_shards)
+    tot = {}
+    for name, c in (("a", ca), ("b", cb)):
+        if isinstance(c, pd.DataFrame):
+            tot[name] = int(c["n"].sum()) if len(c) else 0
+        else:
+            parts = c.map_batches(
+                lambda t: pd.DataFrame({"s": [int(t["n"].sum()) if len(t) else 0]}),
+                batch_format="pandas",
+            ).to_pandas()
+            tot[name] = int(parts["s"].sum()) if len(parts) else 0
+    if tot["a"] == 0 or tot["b"] == 0:
+        raise ValueError("token_divergence: both corpora need at least one token")
+
+    if isinstance(ca, pd.DataFrame) and isinstance(cb, pd.DataFrame):
+        j = ca.merge(cb, on="token", how="outer", suffixes=("_a", "_b"))
+        n_a = j["n_a"].fillna(0).to_numpy(dtype=np.float64)
+        n_b = j["n_b"].fillna(0).to_numpy(dtype=np.float64)
+        _, _, term = _js_terms(n_a, n_b, tot["a"], tot["b"])
+        out = pd.DataFrame(
+            {
+                "token": j["token"],
+                "n_a": n_a.astype("int64"),
+                "n_b": n_b.astype("int64"),
+                "js_term": term,
+            }
+        )
+        return out.sort_values("token").reset_index(drop=True)
+
+    to_ds = lambda c: rd.from_pandas(c) if isinstance(c, pd.DataFrame) else c  # noqa: E731
+    ca_ds = to_ds(ca).map_batches(
+        lambda t: t.rename(columns={"n": "n_a"}), batch_format="pandas"
+    )
+    cb_ds = to_ds(cb).map_batches(
+        lambda t: t.rename(columns={"n": "n_b"}), batch_format="pandas"
+    )
+    joined = bucketed_hash_join(ca_ds, cb_ds, on="token", how="outer", n_buckets=n_shards)
+    tot_a, tot_b = float(tot["a"]), float(tot["b"])
+
+    def finish(t: pd.DataFrame) -> pd.DataFrame:
+        n_a = t["n_a"].fillna(0).to_numpy(dtype=np.float64) if "n_a" in t else np.zeros(len(t))
+        n_b = t["n_b"].fillna(0).to_numpy(dtype=np.float64) if "n_b" in t else np.zeros(len(t))
+        _, _, term = _js_terms(n_a, n_b, tot_a, tot_b)
+        return pd.DataFrame(
+            {
+                "token": t["token"],
+                "n_a": n_a.astype("int64"),
+                "n_b": n_b.astype("int64"),
+                "js_term": term,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def js_divergence(
+    a: rd.Dataset, b: rd.Dataset, text_col: str = "text", *, n_shards: int = 32
+) -> float:
+    """Scalar Jensen-Shannon divergence (bits, in [0, 1]) between two
+    corpora's unigram distributions — the drift dashboard number.  The
+    per-token table's sum, reduced in token-sorted order on the driver
+    route for run-to-run stability."""
+    t = token_divergence(a, b, text_col, n_shards=n_shards)
+    if isinstance(t, pd.DataFrame):
+        return float(t["js_term"].sum())
+    parts = t.map_batches(
+        lambda x: pd.DataFrame({"s": [float(x["js_term"].sum()) if len(x) else 0.0]}),
+        batch_format="pandas",
+    ).to_pandas()
+    return float(parts["s"].sum()) if len(parts) else 0.0

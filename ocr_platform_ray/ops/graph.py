@@ -69,11 +69,19 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     n_shards: int = 64,
+    personalization: dict | None = None,
 ) -> pd.DataFrame:
-    """PageRank over a directed edge list (uniform teleport, dangling
-    mass redistributed uniformly — the standard formulation):
+    """PageRank over a directed edge list (dangling mass redistributed
+    to the teleport distribution — the standard formulation):
 
-        r'(v) = (1-d)/N + d * (Σ_{u->v} r(u)/outdeg(u) + dangling/N)
+        r'(v) = (1-d)*p(v) + d * (Σ_{u->v} r(u)/outdeg(u) + dangling*p(v))
+
+    with p uniform by default.  ``personalization`` = {node: weight}
+    gives PERSONALIZED PageRank — teleports land only on the seed set
+    (weights normalize; nodes absent from the dict get p = 0).  With a
+    trusted seed set this is exactly TrustRank (Gyöngyi et al. 2004),
+    the published crawl-graph spam-demotion treatment: pages reachable
+    only from outside the trust neighborhood starve.
 
     Parallel edges count once per occurrence (weight by multiplicity);
     self-loops are legal.  Returns (node, rank) for every node
@@ -84,6 +92,13 @@ def pagerank(
     compose the final iteration with ``write_parquet`` instead."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if personalization is not None:
+        total = float(sum(personalization.values()))
+        if not personalization or total <= 0 or min(personalization.values()) < 0:
+            raise ValueError(
+                "pagerank: personalization needs non-negative weights with a "
+                "positive sum"
+            )
     proj = edges.map_batches(
         lambda b: b[[src_col, dst_col]], batch_format="pandas"
     ).materialize()  # consumed once per iteration + degree/node passes
@@ -122,7 +137,21 @@ def pagerank(
     if not isinstance(deg, pd.DataFrame):
         deg = deg.to_pandas()
 
-    ranks = nodes.assign(rank=1.0 / n)
+    if personalization is None:
+        p_vec = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        total = float(sum(personalization.values()))
+        p_vec = (
+            nodes["node"].map(personalization).fillna(0.0).to_numpy(dtype=np.float64)
+            / total
+        )
+        if p_vec.sum() <= 0:
+            raise ValueError(
+                "pagerank: no personalization seed appears in the graph"
+            )
+        p_vec = p_vec / p_vec.sum()  # seeds outside the graph renormalize away
+
+    ranks = nodes.assign(rank=p_vec)
     for _ in range(n_iter):
         rd_tab = ranks.merge(deg, left_on="node", right_on=src_col, how="left")
         dangling = float(rd_tab.loc[rd_tab["outdeg"].isna(), "rank"].sum())
@@ -155,7 +184,7 @@ def pagerank(
         if not isinstance(summed, pd.DataFrame):
             summed = summed.to_pandas()
         merged = nodes.merge(summed, left_on="node", right_on=dst_col, how="left")
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = ((1.0 - damping) + damping * dangling) * p_vec
         ranks = nodes.assign(
             rank=base + damping * merged["c"].fillna(0.0).to_numpy()
         )

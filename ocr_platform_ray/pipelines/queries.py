@@ -3643,6 +3643,36 @@ def q_link_clustering(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_token_drift_en_rest(sf_dir: str) -> pd.DataFrame:
+    """Corpus drift: per-token Jensen-Shannon divergence terms between
+    the English documents and everything else (`ops/drift.py` —
+    value_counts combiners into size-aware finishes, ONE size-aware
+    outer join; each term is a pure order-free function of the four
+    counts, so the FULL SQL oracle mirrors every float to the bit).
+    Top-20 drivers by (term DESC, token ASC); ROUND 6 both sides."""
+    from ..ops.drift import token_divergence
+
+    def side(keep_en: bool):
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["lang"] == "en"
+            return b[m if keep_en else ~m]
+
+        return _t(sf_dir, "documents", ["text", "lang"]).map_batches(
+            pick, batch_format="pandas"
+        )
+
+    t = token_divergence(side(True), side(False), "text")
+    if not isinstance(t, pd.DataFrame):
+        t = t.to_pandas()
+    t = t.sort_values(
+        ["js_term", "token"], ascending=[False, True]
+    ).head(20).reset_index(drop=True)
+    t["js_term"] = _round_half_away(t["js_term"], 6)
+    for c in ("n_a", "n_b"):
+        t[c] = t[c].astype("int64")
+    return t
+
+
 def q_jsonl_docs(sf_dir: str) -> pd.DataFrame:
     """JSONL source + sink roundtrip (`sources/jsonl.py` — the LLM-data
     interchange format next to parquet/WARC): documents write to
@@ -6313,6 +6343,7 @@ QUERIES = {
     "avro_docs": q_avro_docs,
     "readability_docs": q_readability_docs,
     "link_clustering": q_link_clustering,
+    "token_drift_en_rest": q_token_drift_en_rest,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -7854,6 +7885,34 @@ ORACLE_SQL["link_clustering"] = (
     "2.0 * coalesce(tc.triangles, 0) / (d.deg * (d.deg - 1.0)) "
     "ELSE 0.0 END, 6) AS cc "
     "FROM deg d LEFT JOIN tc USING (node)"
+)
+
+# Token drift: identical tokenization (lower + single-space split, ''
+# dropped) and the identical JS-term float expression in the identical
+# operand order — each term is order-free, so the mirror is bit-exact;
+# selection uses the full-precision term in both engines, ROUND 6 after.
+ORACLE_SQL["token_drift_en_rest"] = (
+    "WITH ta AS (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token "
+    "FROM documents WHERE lang = 'en'), "
+    "tb AS (SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS token "
+    "FROM documents WHERE lang <> 'en'), "
+    "ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_a FROM ta "
+    "WHERE token <> '' GROUP BY token), "
+    "cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_b FROM tb "
+    "WHERE token <> '' GROUP BY token), "
+    "tot AS (SELECT CAST((SELECT SUM(n_a) FROM ca) AS DOUBLE) AS sa, "
+    "CAST((SELECT SUM(n_b) FROM cb) AS DOUBLE) AS sb), "
+    "j AS (SELECT coalesce(ca.token, cb.token) AS token, "
+    "coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b "
+    "FROM ca FULL OUTER JOIN cb USING (token)), "
+    "t AS (SELECT token, n_a, n_b, "
+    "(CASE WHEN n_a > 0 THEN 0.5 * (n_a / sa) * "
+    "log2((n_a / sa) / (0.5 * (n_a / sa + n_b / sb))) ELSE 0.0 END) + "
+    "(CASE WHEN n_b > 0 THEN 0.5 * (n_b / sb) * "
+    "log2((n_b / sb) / (0.5 * (n_a / sa + n_b / sb))) ELSE 0.0 END) AS term "
+    "FROM j, tot) "
+    "SELECT token, n_a, n_b, ROUND(term, 6) AS js_term "
+    "FROM t ORDER BY term DESC, token LIMIT 20"
 )
 
 # JSONL roundtrip: the aggregate runs over write->read roundtripped data,

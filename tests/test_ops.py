@@ -1725,6 +1725,7 @@ class TestTailQueryOracles:
             "avro_docs",
             "readability_docs",
             "link_clustering",
+            "token_drift_en_rest",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -3800,3 +3800,133 @@ class TestClusteringCoefficient:
         assert len(empty) == 0 and list(empty.columns) == [
             "node", "deg", "triangles", "cc",
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPersonalizedPagerank:
+    """Round-4 session-9: personalization / TrustRank teleport in
+    pagerank (ops/graph.py)."""
+
+    def _numpy_ppr(self, edges, nodes, p, d=0.85, it=20):
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        out = np.zeros((n, n))
+        deg = np.zeros(n)
+        for a, b in edges:
+            deg[idx[a]] += 1
+        for a, b in edges:
+            out[idx[b], idx[a]] += 1.0 / deg[idx[a]]
+        r = p.copy()
+        for _ in range(it):
+            dangling = r[deg == 0].sum()
+            r = (1 - d) * p + d * (out @ r + dangling * p)
+        return r
+
+    def test_matches_numpy_and_seeds_dominate(self):
+        from ocr_platform_ray.ops.graph import pagerank
+
+        rng = np.random.RandomState(2)
+        edges = list(zip(rng.randint(0, 30, 150), rng.randint(0, 30, 150)))
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        seeds = {3: 2.0, 7: 1.0}
+        got = pagerank(
+            rd.from_pandas(df).repartition(3), personalization=seeds
+        ).sort_values("node")
+        nodes = got["node"].tolist()
+        p = np.array([seeds.get(v, 0.0) for v in nodes], dtype=float)
+        p /= p.sum()
+        want = self._numpy_ppr(edges, nodes, p)
+        np.testing.assert_allclose(got["rank"].to_numpy(), want, rtol=1e-9)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+        # a node unreachable from the seeds gets (almost) no rank: add an
+        # isolated pair far from the seed neighborhood
+        df2 = pd.concat(
+            [df, pd.DataFrame({"src": [100], "dst": [101]})], ignore_index=True
+        )
+        got2 = pagerank(rd.from_pandas(df2), personalization=seeds).set_index("node")
+        assert got2.loc[101, "rank"] < 1e-12  # teleports never land there
+
+    def test_uniform_default_unchanged_and_validation(self):
+        from ocr_platform_ray.ops.graph import pagerank
+
+        df = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+        a = pagerank(rd.from_pandas(df))
+        b = pagerank(rd.from_pandas(df), personalization={0: 1, 1: 1, 2: 1})
+        np.testing.assert_allclose(
+            a.sort_values("node")["rank"], b.sort_values("node")["rank"], rtol=1e-12
+        )
+        with pytest.raises(ValueError, match="non-negative weights"):
+            pagerank(rd.from_pandas(df), personalization={})
+        with pytest.raises(ValueError, match="non-negative weights"):
+            pagerank(rd.from_pandas(df), personalization={0: -1.0, 1: 2.0})
+        with pytest.raises(ValueError, match="no personalization seed"):
+            pagerank(rd.from_pandas(df), personalization={99: 1.0})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenDivergence:
+    """Round-4 session-9: corpus drift via Jensen-Shannon token
+    divergence (ops/drift.py)."""
+
+    def _ds(self, texts):
+        return rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+
+    def test_identity_disjoint_and_naive_equality(self):
+        from collections import Counter
+
+        from ocr_platform_ray.ops.drift import js_divergence, token_divergence
+
+        a_texts = ["the cat sat", "the dog ran", "cat cat"]
+        c_texts = ["totally different words here", "nothing shared at all"]
+        assert js_divergence(self._ds(a_texts), self._ds(a_texts)) == 0.0
+        assert js_divergence(self._ds(a_texts), self._ds(c_texts)) == 1.0
+
+        def dist(texts):
+            cnt = Counter(w for t in texts for w in t.lower().split(" ") if w)
+            tot = sum(cnt.values())
+            return {k: v / tot for k, v in cnt.items()}
+
+        b_texts = ["the cat sat twice", "a dog"]
+        pa_, pb_ = dist(a_texts), dist(b_texts)
+        want = 0.0
+        for w in set(pa_) | set(pb_):
+            x, y = pa_.get(w, 0.0), pb_.get(w, 0.0)
+            m = 0.5 * (x + y)
+            if x:
+                want += 0.5 * x * np.log2(x / m)
+            if y:
+                want += 0.5 * y * np.log2(y / m)
+        got = js_divergence(self._ds(a_texts), self._ds(b_texts))
+        assert got == pytest.approx(want, rel=1e-12)
+        assert 0.0 < got < 1.0
+        t = token_divergence(self._ds(a_texts), self._ds(b_texts))
+        assert (t["js_term"].to_numpy() >= 0).all()
+        assert t["js_term"].sum() == pytest.approx(want, rel=1e-12)
+
+    def test_bucketed_route_equals_driver_and_validation(self):
+        from ocr_platform_ray.ops.drift import token_divergence
+
+        a = ["alpha beta gamma delta"] * 5 + ["epsilon zeta"]
+        b = ["alpha beta", "eta theta iota"]
+        drv = token_divergence(self._ds(a), self._ds(b))
+        # force the exchange route by making the probe threshold tiny
+        from ocr_platform_ray.ops import drift as D
+        from ocr_platform_ray.ops.relational import auto_group_agg
+
+        def tiny_agg(ds, keys, aggs, **kw):
+            kw["driver_threshold_rows"] = 0
+            return auto_group_agg(ds, keys, aggs, **kw)
+
+        orig = D.auto_group_agg
+        D.auto_group_agg = tiny_agg
+        try:
+            exch = token_divergence(self._ds(a), self._ds(b))
+        finally:
+            D.auto_group_agg = orig
+        if not isinstance(exch, pd.DataFrame):
+            exch = exch.to_pandas()
+        drv_s = drv.sort_values("token").reset_index(drop=True)
+        exch_s = exch.sort_values("token").reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv_s, exch_s[drv_s.columns], check_dtype=False)
+        with pytest.raises(ValueError, match="at least one token"):
+            token_divergence(self._ds([""]), self._ds(b))
