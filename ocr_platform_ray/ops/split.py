@@ -136,6 +136,10 @@ def leakage_free_split(
     if clusters == "driver":
         if not isinstance(pairs, pd.DataFrame):
             pairs = pairs.to_pandas()
+        if pairs.shape[1] == 0 or len(pairs) == 0:
+            # a no-dup probe lands here COLUMNLESS (an empty Dataset
+            # to_pandas()-es without columns — the probe_head house rule)
+            pairs = pd.DataFrame({"id_a": [], "id_b": []})
         lab = dup_clusters(pairs)
         ref = ray.put(dict(zip(lab["id"], lab["cluster_id"])))
 
