@@ -234,6 +234,16 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--query", required=True)
     bs.add_argument("-k", type=int, default=10)
 
+    dr = sub.add_parser(
+        "drift",
+        help="Jensen-Shannon token divergence between two corpora "
+        "(crawl snapshots, sources, splits) + top drifting tokens",
+    )
+    dr.add_argument("--a", required=True, help="parquet file or directory")
+    dr.add_argument("--b", required=True)
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--top", type=int, default=15)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -422,6 +432,24 @@ def main(argv: list[str] | None = None) -> int:
                     {"from": src_fmt, "to": args.to_fmt, "files_written": n_files}
                 )
             )
+        elif args.cmd == "drift":
+            import ray.data as rdata
+
+            from .ops.drift import token_divergence
+
+            t = token_divergence(
+                rdata.read_parquet(args.a),
+                rdata.read_parquet(args.b),
+                args.text_col,
+            )
+            if not isinstance(t, __import__("pandas").DataFrame):
+                t = t.to_pandas()
+            js = float(t["js_term"].sum())
+            top = t.sort_values(
+                ["js_term", "token"], ascending=[False, True]
+            ).head(args.top)
+            print(json.dumps({"js_divergence_bits": round(js, 6)}))
+            print(top.to_string(index=False))
         elif args.cmd == "rag-build":
             import ray.data as rdata
 
