@@ -6086,6 +6086,375 @@ def q_tpch_q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _derived_partsupp(sf_dir: str) -> pd.DataFrame:
+    """Derived ``partsupp`` dimension — the fixture has no partsupp table,
+    and TPC-H Q2/Q9/Q11/Q16/Q20 need one, so both engines derive the
+    IDENTICAL table from lineitem: per (l_partkey, l_suppkey),
+    ``cost_c`` = MIN(cents(l_extendedprice)) (cheapest observed line, the
+    supply-cost stand-in) and ``avail_c`` = MAX(cents(l_quantity)) (peak
+    single-shipment quantity, the avail-qty stand-in).  Min/max over exact
+    integer cents are order-free, so the parallel derivation equals
+    DuckDB's sequential one bit for bit.
+
+    One combiner pass over lineitem into the size-aware finish.  The
+    result is |parts|x|suppliers| bounded — a dimension by construction —
+    so consumers treat it dim-side (the J5 broadcast rule); past the
+    2M-row threshold ``auto_group_agg`` already returns the exchange-route
+    Dataset and a consumer would switch its joins bucketed."""
+    from ..ops.relational import auto_group_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "ps_partkey": b["l_partkey"],
+                "ps_suppkey": b["l_suppkey"],
+                "cost_c": _cents(b["l_extendedprice"]),
+                "qty_c": _cents(b["l_quantity"]),
+            }
+        )
+        return t.groupby(["ps_partkey", "ps_suppkey"], as_index=False).agg(
+            cost_c=("cost_c", "min"), avail_c=("qty_c", "max")
+        )
+
+    ps = auto_group_agg(
+        _t(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        ).map_batches(partial, batch_format="pandas"),
+        ["ps_partkey", "ps_suppkey"],
+        {"cost_c": ("cost_c", "min"), "avail_c": ("avail_c", "max")},
+    )
+    ps = ps if isinstance(ps, pd.DataFrame) else ps.to_pandas()
+    ps["ps_partkey"] = ps["ps_partkey"].astype("int64")
+    ps["ps_suppkey"] = ps["ps_suppkey"].astype("int64")
+    return ps
+
+
+def _region_suppliers(sf_dir: str, r_name: str) -> pd.DataFrame:
+    """Suppliers in one region with their nation name — three dimension
+    merges, zero Ray executions (read_dim_pandas footers)."""
+    from ..sources.ingest import read_dim_pandas
+
+    supp = read_dim_pandas(
+        f"{sf_dir}/supplier.parquet",
+        ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    nat = read_dim_pandas(f"{sf_dir}/nation.parquet")
+    reg = read_dim_pandas(f"{sf_dir}/region.parquet")
+    es = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    return es[es["r_name"] == r_name][
+        ["s_suppkey", "s_name", "s_acctbal", "n_name"]
+    ]
+
+
+def q_tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the fixture (partsupp
+    derived — ``_derived_partsupp``; no p_mfgr column; region ASIA;
+    part filter p_size 10-30 + p_type PROMO): for each qualifying part,
+    the region's suppliers whose supply cost equals that part's regional
+    minimum.  The correlated MIN subquery becomes one vectorized
+    ``transform('min')`` over the derived dimension — the only fact-scale
+    work is the partsupp reduce itself.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..sources.ingest import read_dim_pandas
+
+    ps = _derived_partsupp(sf_dir)
+    es = _region_suppliers(sf_dir, "ASIA")
+    part = read_dim_pandas(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_brand", "p_size", "p_type"]
+    )
+    pp = part[(part["p_size"].between(10, 30)) & (part["p_type"] == "PROMO")]
+    j = ps.merge(es, left_on="ps_suppkey", right_on="s_suppkey").merge(
+        pp[["p_partkey", "p_brand"]], left_on="ps_partkey", right_on="p_partkey"
+    )
+    j = j[j["cost_c"] == j.groupby("ps_partkey")["cost_c"].transform("min")]
+    out = pd.DataFrame(
+        {
+            "s_acctbal": j["s_acctbal"].to_numpy(),
+            "s_name": j["s_name"].to_numpy(),
+            "n_name": j["n_name"].to_numpy(),
+            "p_partkey": j["ps_partkey"].to_numpy(dtype="int64"),
+            "p_brand": j["p_brand"].to_numpy(),
+            # int cents -> CAST(c AS DOUBLE)/100: the identical IEEE op on
+            # the identical integer on both engines (no rounding needed)
+            "ps_supplycost": j["cost_c"].to_numpy(dtype="int64") / 100.0,
+        }
+    )
+    return out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+def q_tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted (late := shipped more
+    than 30 days after the order date — the fixture has no
+    commit/receipt dates): orders placed in 1996Q1 with at least one late
+    lineitem, counted per priority.  The EXISTS becomes q21's shape: the
+    date+priority projection rides ONE ``auto_join``, a per-batch
+    distinct-(order, priority) combiner caps the exchange payload, one
+    bounded hash-shard exchange re-dedupes and counts per priority
+    in-shard, and the driver sums <= n_shards x 5 partial rows.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.relational import _hash_labels, auto_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+    late_by = pd.Timedelta(days=30)
+    n_shards = 64
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_orderdate" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "o_orderpriority": pd.Series([], dtype="object"),
+                    "__shard": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b[b["l_shipdate"] > b["o_orderdate"] + late_by]
+        t = b[["l_orderkey", "o_orderpriority"]].drop_duplicates()
+        t = t.copy()
+        t["__shard"] = _hash_labels(t, ["l_orderkey"], n_shards).astype("int64")
+        return t
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[["l_orderkey", "o_orderpriority"]].drop_duplicates()
+        return pairs.groupby("o_orderpriority", as_index=False).size()
+
+    partials = (
+        joined.map_batches(pair_partial, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.groupby("o_orderpriority", as_index=False).agg(
+        order_count=("size", "sum")
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_tpch_q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 (product-type profit) adapted (parts whose name contains
+    'widget'; supply cost from the derived partsupp): profit per supplier
+    nation per order year.  Amount stays in integer 1e-4-dollar units
+    end to end (``rev_c*100 - cost_c*qty_c``) so the parallel sum is
+    exact; order dates arrive through ONE ``auto_join``; the per-batch
+    cost lookup is a vectorized merge against the broadcast derived
+    dimension; a (nation, year) combiner feeds the size-aware finish.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg, auto_join
+    from ..sources.ingest import read_dim_pandas
+
+    ps = _derived_partsupp(sf_dir)[["ps_partkey", "ps_suppkey", "cost_c"]]
+    part = read_dim_pandas(f"{sf_dir}/part.parquet", ["p_partkey", "p_name"])
+    keys = frozenset(part[part["p_name"].str.contains("widget")]["p_partkey"])
+    supp = read_dim_pandas(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_nationkey"])
+    nat = read_dim_pandas(f"{sf_dir}/nation.parquet", ["n_nationkey", "n_name"])
+    s2n = dict(
+        zip(
+            supp["s_suppkey"],
+            supp["s_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))),
+        )
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    li = _t(
+        sf_dir,
+        "lineitem",
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        ],
+    )
+    joined = auto_join(li, orders, "l_orderkey", how="inner")
+    empty = pd.DataFrame(
+        {
+            "nation": pd.Series([], dtype="object"),
+            "o_year": pd.Series([], dtype="int64"),
+            "amount_e4": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_orderdate" not in b.columns:
+            return empty.copy()
+        b = b[b["l_partkey"].isin(keys)]
+        if len(b) == 0:
+            return empty.copy()
+        m = b.merge(
+            ps, left_on=["l_partkey", "l_suppkey"], right_on=["ps_partkey", "ps_suppkey"]
+        )
+        t = pd.DataFrame(
+            {
+                "nation": m["l_suppkey"].map(s2n),
+                "o_year": m["o_orderdate"].dt.year.astype("int64"),
+                "amount_e4": _cents(m["l_extendedprice"] * (1 - m["l_discount"]))
+                * 100
+                - m["cost_c"].to_numpy(dtype="int64") * _cents(m["l_quantity"]),
+            }
+        )
+        return t.groupby(["nation", "o_year"], as_index=False).agg(
+            amount_e4=("amount_e4", "sum")
+        )
+
+    agg = auto_group_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["nation", "o_year"],
+        {"amount_e4": ("amount_e4", "sum")},
+    )
+    agg = agg if isinstance(agg, pd.DataFrame) else agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "nation": agg["nation"],
+            "o_year": agg["o_year"].astype("int64"),
+            "profit": agg["amount_e4"].astype("int64") / 10000.0,
+        }
+    )
+    return out.sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+
+def q_tpch_q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 (important stock identification) adapted (derived
+    partsupp; suppliers in region ASIA; importance := a part's stock
+    value exceeds 2x the mean per-part share, kept as the exact integer
+    cross-product ``value_e4 * n_parts > 2 * total_e4`` so there is no
+    float threshold boundary).  Everything after the distributed partsupp
+    derivation is dimension-sized.  Full SQL oracle in
+    TestTailQueryOracles."""
+    ps = _derived_partsupp(sf_dir)
+    es = frozenset(_region_suppliers(sf_dir, "ASIA")["s_suppkey"])
+    v = ps[ps["ps_suppkey"].isin(es)].copy()
+    v["value_e4"] = v["cost_c"].to_numpy(dtype="int64") * v["avail_c"].to_numpy(
+        dtype="int64"
+    )
+    v = v.groupby("ps_partkey", as_index=False).agg(value_e4=("value_e4", "sum"))
+    tot, c = int(v["value_e4"].sum()), len(v)
+    v = v[v["value_e4"] * c > 2 * tot]
+    out = pd.DataFrame(
+        {
+            "ps_partkey": v["ps_partkey"].to_numpy(dtype="int64"),
+            "stock_value": v["value_e4"].to_numpy(dtype="int64") / 10000.0,
+        }
+    )
+    return out.sort_values(
+        ["stock_value", "ps_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q_tpch_q16_supplier_relationship(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted (derived partsupp;
+    the reference's comment-based complaint exclusion becomes the
+    fixture-expressible s_acctbal < 2000 low-standing rule): distinct
+    supplier count per (brand, type, size) for parts outside Brand#5 /
+    PROMO in the 9-size set.  Dimension-sided after the derivation.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..sources.ingest import read_dim_pandas
+
+    ps = _derived_partsupp(sf_dir)
+    supp = read_dim_pandas(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_acctbal"])
+    excluded = frozenset(supp[supp["s_acctbal"] < 2000]["s_suppkey"])
+    part = read_dim_pandas(
+        f"{sf_dir}/part.parquet", ["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    sizes = {1, 4, 7, 10, 13, 16, 19, 22, 25}
+    pp = part[
+        (part["p_brand"] != "Brand#5")
+        & (part["p_type"] != "PROMO")
+        & (part["p_size"].isin(sizes))
+    ]
+    j = ps[~ps["ps_suppkey"].isin(excluded)].merge(
+        pp, left_on="ps_partkey", right_on="p_partkey"
+    )
+    out = j.groupby(["p_brand", "p_type", "p_size"], as_index=False).agg(
+        supplier_cnt=("ps_suppkey", "nunique")
+    )
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+def q_tpch_q20_promotion_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted (derived partsupp:
+    avail := peak single-shipment quantity; promotable := a (supplier,
+    part) pair whose peak shipment exceeds 1.5x its total 1996-shipped
+    quantity — ``2*avail_c > 3*qty96_c`` exact integers; parts named
+    'cold *').  The 1996 quantity reduce is a per-pair combiner over the
+    year-pruned lineitems into the size-aware finish; the rest is
+    dimension merges.  Output is (s_name, p_partkey) pairs — the fixture
+    has O(10) suppliers, so a distinct-supplier output would be trivially
+    saturated.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg
+    from ..sources.ingest import read_dim_pandas
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def shipped_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        t = pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "qty96_c": _cents(b["l_quantity"]),
+            }
+        )
+        return t.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            qty96_c=("qty96_c", "sum")
+        )
+
+    shipped = auto_group_agg(
+        _t(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        ).map_batches(shipped_partial, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        {"qty96_c": ("qty96_c", "sum")},
+    )
+    shipped = shipped if isinstance(shipped, pd.DataFrame) else shipped.to_pandas()
+    ps = _derived_partsupp(sf_dir)
+    part = read_dim_pandas(f"{sf_dir}/part.parquet", ["p_partkey", "p_name"])
+    cold = frozenset(part[part["p_name"].str.startswith("cold")]["p_partkey"])
+    supp = read_dim_pandas(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"])
+    j = ps[ps["ps_partkey"].isin(cold)].merge(
+        shipped,
+        left_on=["ps_partkey", "ps_suppkey"],
+        right_on=["l_partkey", "l_suppkey"],
+    )
+    j = j[
+        2 * j["avail_c"].to_numpy(dtype="int64")
+        > 3 * j["qty96_c"].to_numpy(dtype="int64")
+    ]
+    j = j.merge(supp, left_on="ps_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame(
+        {
+            "s_name": j["s_name"].to_numpy(),
+            "p_partkey": j["ps_partkey"].to_numpy(dtype="int64"),
+        }
+    )
+    return out.sort_values(["s_name", "p_partkey"]).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6344,6 +6713,15 @@ QUERIES = {
     "readability_docs": q_readability_docs,
     "link_clustering": q_link_clustering,
     "token_drift_en_rest": q_token_drift_en_rest,
+    # round-4 session-10 tail additions (the remaining TPC-H queries, all
+    # SQL-oracled in TestTailQueryOracles; partsupp derived identically
+    # on both engines — see _derived_partsupp)
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_relationship": q_tpch_q16_supplier_relationship,
+    "tpch_q20_promotion_parts": q_tpch_q20_promotion_parts,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8112,4 +8490,92 @@ ORACLE_SQL["custkey_multiset_ops"] = (
     "EXCEPT ALL SELECT c_custkey FROM customer) "
     "SELECT 'intersect' AS op, custkey FROM i "
     "UNION ALL SELECT 'except' AS op, custkey FROM e"
+)
+
+# The remaining TPC-H queries (Q2/Q4/Q9/Q11/Q16/Q20) — the fixture has no
+# partsupp table, so BOTH engines derive the identical one from lineitem
+# (min/max over exact integer cents are order-free; see
+# _derived_partsupp).  Shared CTE, verbatim in each oracle:
+_PS_CTE = (
+    "ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
+    "MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_c, "
+    "MAX(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS avail_c "
+    "FROM lineitem GROUP BY 1, 2)"
+)
+
+ORACLE_SQL["tpch_q2_min_cost_supplier"] = (
+    "WITH " + _PS_CTE + ", "
+    "es AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+    "pp AS (SELECT p_partkey, p_brand FROM part "
+    "WHERE p_size BETWEEN 10 AND 30 AND p_type = 'PROMO'), "
+    "j AS (SELECT * FROM ps JOIN es ON ps_suppkey = s_suppkey "
+    "JOIN pp ON ps_partkey = p_partkey), "
+    "m AS (SELECT ps_partkey AS pk, MIN(cost_c) AS mc FROM j GROUP BY 1) "
+    "SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand, "
+    "CAST(cost_c AS DOUBLE) / 100 AS ps_supplycost "
+    "FROM j JOIN m ON ps_partkey = pk AND cost_c = mc"
+)
+
+ORACLE_SQL["tpch_q4_order_priority"] = (
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+    "GROUP BY o_orderpriority"
+)
+
+ORACLE_SQL["tpch_q9_product_profit"] = (
+    "WITH " + _PS_CTE + ", "
+    "li AS (SELECT l_partkey, l_suppkey, l_orderkey, "
+    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c, "
+    "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_name LIKE '%widget%') "
+    "SELECT n_name AS nation, "
+    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(SUM(rev_c * 100 - cost_c * qty_c) AS DOUBLE) / 10000 AS profit "
+    "FROM li JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2"
+)
+
+ORACLE_SQL["tpch_q11_important_stock"] = (
+    "WITH " + _PS_CTE + ", "
+    "es AS (SELECT s_suppkey FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+    "v AS (SELECT ps_partkey, SUM(cost_c * avail_c) AS value_e4 "
+    "FROM ps JOIN es ON ps_suppkey = s_suppkey GROUP BY 1), "
+    "tot AS (SELECT SUM(value_e4) AS t, COUNT(*) AS c FROM v) "
+    "SELECT ps_partkey, CAST(value_e4 AS DOUBLE) / 10000 AS stock_value "
+    "FROM v, tot WHERE value_e4 * c > 2 * t"
+)
+
+ORACLE_SQL["tpch_q16_supplier_relationship"] = (
+    "WITH " + _PS_CTE + " "
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM ps JOIN part ON ps_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+    "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25) "
+    "AND ps_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000) "
+    "GROUP BY 1, 2, 3"
+)
+
+ORACLE_SQL["tpch_q20_promotion_parts"] = (
+    "WITH " + _PS_CTE + ", "
+    "shipped AS (SELECT l_partkey, l_suppkey, "
+    "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty96_c "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2) "
+    "SELECT s_name, ps_partkey AS p_partkey FROM ps "
+    "JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
+    "JOIN part ON ps_partkey = p_partkey "
+    "JOIN supplier ON ps_suppkey = s_suppkey "
+    "WHERE p_name LIKE 'cold%' AND 2 * avail_c > 3 * qty96_c"
 )

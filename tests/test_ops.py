@@ -1726,6 +1726,12 @@ class TestTailQueryOracles:
             "readability_docs",
             "link_clustering",
             "token_drift_en_rest",
+            "tpch_q2_min_cost_supplier",
+            "tpch_q4_order_priority",
+            "tpch_q9_product_profit",
+            "tpch_q11_important_stock",
+            "tpch_q16_supplier_relationship",
+            "tpch_q20_promotion_parts",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):
