@@ -161,3 +161,9 @@ from .softmax import (  # noqa: F401
 from .split import leakage_free_split  # noqa: F401
 from .diff import diff_summary, snapshot_diff  # noqa: F401
 from .validate import check_expectations, enforce_expectations  # noqa: F401
+from .eval import (  # noqa: F401
+    calibration_buckets,
+    confusion_matrix,
+    pr_curve,
+    roc_auc,
+)

@@ -1,0 +1,256 @@
+"""Distributed model-evaluation signals over scored datasets — the
+measurement half of the classifier ops (`ops/classifier.py` quality
+filter, `ops/softmax.py` langid): confusion matrix, precision/recall
+threshold sweep (PR curve), ROC points + AUC, and calibration
+(reliability) buckets.
+
+Scale shape: every op reduces the corpus to a FIXED-SIZE integer summary
+map-side — per-batch (cell / score-bucket) count combiners into the
+size-aware `auto_group_agg` finish — and computes the float curve
+driver-side from those few integers.  Nothing sorts the full score
+column: the threshold sweep discretizes scores into ``n_buckets``
+half-open bins (the standard histogram trick for ROC/PR at scale — e.g.
+Tensorflow's thresholded AUC), so curves are exact for the binned
+thresholds and every bin count is an exact integer.
+
+AUC uses the tie-aware Mann-Whitney identity (equivalent to the
+trapezoidal rule over the bucket-grouped ROC): with P positives and N
+negatives,
+
+    2·P·N·AUC  =  Σ_k  pos_k · (2·cum_neg_below_k + neg_k)
+
+— an exact int64 numerator, so the single final division makes ``auc``
+bit-identical between engines (the `_cents` precedent).  All other curve
+fields are likewise pure functions of integer counts, SQL-mirrorable to
+the bit via window cumsums over the same bins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relational import auto_group_agg
+
+
+def confusion_matrix(
+    ds: rd.Dataset,
+    label_col: str,
+    pred_col: str,
+    *,
+    n_shards: int = 32,
+) -> pd.DataFrame | rd.Dataset:
+    """Multiclass confusion matrix: one row per observed (label, pred)
+    pair with its count.  A per-batch value_counts combiner caps the
+    exchange at |classes|² rows per batch; the finish is size-aware
+    (driver groupby while the partials fit — |classes|²-bounded by
+    construction — else the hash-shard exchange)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            b[[label_col, pred_col]]
+            .groupby([label_col, pred_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    out = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [label_col, pred_col],
+        {"n": ("n", "sum")},
+        n_shards=n_shards,
+    )
+    if isinstance(out, pd.DataFrame):
+        out = out.sort_values([label_col, pred_col]).reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _binary_labels(b: pd.Series, label_col: str) -> np.ndarray:
+    y = b.to_numpy()
+    if y.dtype == bool:
+        return y.astype("int64")
+    y = y.astype("int64", copy=False)
+    bad = (y != 0) & (y != 1)
+    if bad.any():
+        raise ValueError(
+            f"eval: binary ops need a bool/0-1 '{label_col}' column "
+            f"(got value {b.to_numpy()[bad][0]!r})"
+        )
+    return y
+
+
+def _bucket_counts(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    n_buckets: int,
+    lo: float,
+    hi: float,
+    *,
+    score_scale: float = 0.0,
+) -> pd.DataFrame:
+    """Per-bucket (n_pos, n_neg[, score_u]) integer counts — the one
+    distributed pass every curve op shares.  Bucket k covers
+    ``[lo + k·w, lo + (k+1)·w)`` with ``w = (hi-lo)/n_buckets``; scores
+    outside [lo, hi) clip into the edge buckets, so the histogram is
+    total.  ``score_scale > 0`` additionally accumulates
+    ``Σ round(score·scale)`` per bucket (exact fixed-point units for
+    calibration's mean score)."""
+    if n_buckets < 2:
+        raise ValueError("eval: n_buckets must be >= 2")
+    if not hi > lo:
+        raise ValueError("eval: need hi > lo")
+    w = (hi - lo) / n_buckets
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            cols = {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_pos": pd.Series([], dtype="int64"),
+                "n_neg": pd.Series([], dtype="int64"),
+            }
+            if score_scale > 0:
+                cols["score_u"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        y = _binary_labels(b[label_col], label_col)
+        s = b[score_col].to_numpy(dtype=np.float64)
+        k = np.clip(np.floor((s - lo) / w).astype("int64"), 0, n_buckets - 1)
+        # one bincount over the fused (bucket, label) key — no Python loop
+        fused = np.bincount(k * 2 + y, minlength=n_buckets * 2)
+        cols = {
+            "bucket": np.arange(n_buckets, dtype="int64"),
+            "n_pos": fused[1::2].astype("int64"),
+            "n_neg": fused[0::2].astype("int64"),
+        }
+        if score_scale > 0:
+            u = np.floor(s * score_scale + 0.5).astype("int64")
+            acc = np.zeros(n_buckets, dtype="int64")
+            np.add.at(acc, k, u)
+            cols["score_u"] = acc
+        t = pd.DataFrame(cols)
+        return t[(t["n_pos"] > 0) | (t["n_neg"] > 0)]
+
+    aggs = {"n_pos": ("n_pos", "sum"), "n_neg": ("n_neg", "sum")}
+    if score_scale > 0:
+        aggs["score_u"] = ("score_u", "sum")
+    out = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["bucket"], aggs
+    )
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    # densify: every op below wants all n_buckets rows (cumsums over gaps)
+    full = pd.DataFrame({"bucket": np.arange(n_buckets, dtype="int64")})
+    out = full.merge(out, on="bucket", how="left").fillna(0)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def pr_curve(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 100,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> pd.DataFrame:
+    """Precision/recall sweep: one row per bucket threshold
+    ``t_k = lo + k·(hi-lo)/n_buckets`` (predict positive when
+    ``score >= t_k``, i.e. the score fell in bucket k or above —
+    exact for binned scores): (threshold, tp, fp, fn, precision,
+    recall).  tp/fp/fn are exact int64; precision/recall are single
+    divisions of those ints, so both engines produce bit-identical
+    doubles."""
+    h = _bucket_counts(ds, score_col, label_col, n_buckets, lo, hi)
+    pos, neg = h["n_pos"].to_numpy(), h["n_neg"].to_numpy()
+    p_tot, n_tot = int(pos.sum()), int(neg.sum())
+    if p_tot == 0:
+        raise ValueError("pr_curve: no positive labels")
+    tp = p_tot - np.concatenate(([0], np.cumsum(pos)[:-1]))  # pos in bucket >= k
+    fp = n_tot - np.concatenate(([0], np.cumsum(neg)[:-1]))
+    fn = p_tot - tp
+    w = (hi - lo) / n_buckets
+    denom = tp + fp
+    precision = np.where(denom > 0, tp / np.maximum(denom, 1), 1.0)
+    return pd.DataFrame(
+        {
+            "bucket": h["bucket"],
+            "threshold": lo + h["bucket"].to_numpy() * w,
+            "tp": tp.astype("int64"),
+            "fp": fp.astype("int64"),
+            "fn": fn.astype("int64"),
+            "precision": precision,
+            "recall": tp / p_tot,
+        }
+    )
+
+
+def roc_auc(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 100,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> tuple[pd.DataFrame, float]:
+    """ROC points (one per bucket threshold, fpr/tpr as exact integer
+    ratios) and the tie-aware Mann-Whitney AUC — identical to the
+    trapezoidal rule over the bucket-grouped ROC.  The AUC numerator
+    ``Σ pos_k·(2·cum_neg_below_k + neg_k)`` stays int64; the one final
+    division by ``2·P·N`` makes the float bit-identical across engines
+    and block structures."""
+    h = _bucket_counts(ds, score_col, label_col, n_buckets, lo, hi)
+    pos, neg = h["n_pos"].to_numpy(), h["n_neg"].to_numpy()
+    p_tot, n_tot = int(pos.sum()), int(neg.sum())
+    if p_tot == 0 or n_tot == 0:
+        raise ValueError("roc_auc: need at least one positive and one negative")
+    tp = p_tot - np.concatenate(([0], np.cumsum(pos)[:-1]))
+    fp = n_tot - np.concatenate(([0], np.cumsum(neg)[:-1]))
+    w = (hi - lo) / n_buckets
+    points = pd.DataFrame(
+        {
+            "bucket": h["bucket"],
+            "threshold": lo + h["bucket"].to_numpy() * w,
+            "tpr": tp / p_tot,
+            "fpr": fp / n_tot,
+        }
+    )
+    cum_neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    num = int((pos * (2 * cum_neg_below + neg)).sum())
+    return points, num / (2 * p_tot * n_tot)
+
+
+def calibration_buckets(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> pd.DataFrame:
+    """Reliability diagram: per score bucket, (n, mean_score, frac_pos).
+    The mean score is exact — per-bucket sums accumulate in fixed-point
+    micro-units (``round(score·1e6)``, the `_cents` pattern), so the
+    parallel sum is associative and both engines divide the identical
+    integers.  Empty buckets are dropped (a reliability diagram has no
+    value there)."""
+    h = _bucket_counts(
+        ds, score_col, label_col, n_buckets, lo, hi, score_scale=1e6
+    )
+    n = (h["n_pos"] + h["n_neg"]).to_numpy(dtype="int64")
+    keep = n > 0
+    h, n = h[keep], n[keep]
+    return pd.DataFrame(
+        {
+            "bucket": h["bucket"].to_numpy(dtype="int64"),
+            "n": n.astype("int64"),
+            "mean_score": h["score_u"].to_numpy(dtype="int64") / 1e6 / n,
+            "frac_pos": h["n_pos"].to_numpy(dtype="int64") / n,
+        }
+    ).reset_index(drop=True)

@@ -6455,6 +6455,93 @@ def q_tpch_q20_promotion_parts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["s_name", "p_partkey"]).reset_index(drop=True)
 
 
+def _order_scores(sf_dir: str) -> rd.Dataset:
+    """Orders as a scored binary-classification set: score = total price,
+    label = finished status — the fixture-expressible stand-in for a
+    quality-classifier output column."""
+    return _t(sf_dir, "orders", ["o_totalprice", "o_orderstatus"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "score": b["o_totalprice"],
+                "label": (b["o_orderstatus"] == "F").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_order_status_confusion(sf_dir: str) -> pd.DataFrame:
+    """Multiclass confusion matrix (ops/eval.confusion_matrix): actual
+    order status vs a price-rule prediction.  Per-batch pair-count
+    combiner into the size-aware finish — the exchange payload is
+    |classes|² per batch.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.eval import confusion_matrix
+
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "pred": np.where(
+                    b["o_totalprice"] >= 300_000,
+                    "F",
+                    np.where(b["o_totalprice"] >= 150_000, "O", "P"),
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    cm = confusion_matrix(ds, "o_orderstatus", "pred")
+    cm = cm if isinstance(cm, pd.DataFrame) else cm.to_pandas()
+    cm["n"] = cm["n"].astype("int64")
+    return cm.sort_values(["o_orderstatus", "pred"]).reset_index(drop=True)
+
+
+def q_order_score_pr(sf_dir: str) -> pd.DataFrame:
+    """Precision/recall threshold sweep (ops/eval.pr_curve) over the
+    scored orders, 20 x $25k score bins: exact int64 tp/fp/fn per
+    threshold; precision/recall are single divisions of those ints so
+    both engines produce bit-identical doubles.  Full SQL oracle (window
+    cumsums over the identical bins) in TestTailQueryOracles."""
+    from ..ops.eval import pr_curve
+
+    return pr_curve(
+        _order_scores(sf_dir), "score", "label", n_buckets=20, lo=0.0, hi=500_000.0
+    )
+
+
+def q_order_score_auc(sf_dir: str) -> pd.DataFrame:
+    """Tie-aware Mann-Whitney AUC (ops/eval.roc_auc) over the scored
+    orders — the numerator stays int64 (Σ pos_k·(2·cum_neg_below+neg_k)),
+    one final division, so the float is bit-identical across engines and
+    block structures.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.eval import roc_auc
+
+    _, auc = roc_auc(
+        _order_scores(sf_dir), "score", "label", n_buckets=20, lo=0.0, hi=500_000.0
+    )
+    return pd.DataFrame({"auc": [auc]})
+
+
+def q_order_score_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram (ops/eval.calibration_buckets) over the scored
+    orders with scores normalized to [0, 1): per bucket, n / mean_score /
+    frac_pos.  Mean scores accumulate in exact fixed-point micro-units
+    (the `_cents` pattern) so the parallel sum equals DuckDB's.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.eval import calibration_buckets
+
+    ds = _t(sf_dir, "orders", ["o_totalprice", "o_orderstatus"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "score": b["o_totalprice"] / 500_000.0,
+                "label": (b["o_orderstatus"] == "F").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return calibration_buckets(ds, "score", "label", n_buckets=10, lo=0.0, hi=1.0)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6722,6 +6809,12 @@ QUERIES = {
     "tpch_q11_important_stock": q_tpch_q11_important_stock,
     "tpch_q16_supplier_relationship": q_tpch_q16_supplier_relationship,
     "tpch_q20_promotion_parts": q_tpch_q20_promotion_parts,
+    # round-4 session-10 tail additions (distributed model-eval family,
+    # all SQL-oracled in TestTailQueryOracles)
+    "order_status_confusion": q_order_status_confusion,
+    "order_score_pr": q_order_score_pr,
+    "order_score_auc": q_order_score_auc,
+    "order_score_calibration": q_order_score_calibration,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8578,4 +8671,64 @@ ORACLE_SQL["tpch_q20_promotion_parts"] = (
     "JOIN part ON ps_partkey = p_partkey "
     "JOIN supplier ON ps_suppkey = s_suppkey "
     "WHERE p_name LIKE 'cold%' AND 2 * avail_c > 3 * qty96_c"
+)
+
+# Distributed model-eval family (ops/eval.py) over the scored orders.
+# Shared binning CTE: bucket = clip(floor(score / width), 0, n-1) — the
+# identical double ops both engines run (width = (hi-lo)/n exactly).
+_EVAL_HIST_CTE = (
+    "s AS (SELECT o_totalprice AS score, "
+    "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+    "b AS (SELECT LEAST(GREATEST(CAST(FLOOR(score / 25000.0) AS BIGINT), 0), 19) "
+    "AS bucket, y FROM s), "
+    "h0 AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS n_pos, "
+    "CAST(SUM(1 - y) AS BIGINT) AS n_neg FROM b GROUP BY 1), "
+    "h AS (SELECT r.bucket, COALESCE(n_pos, 0) AS n_pos, "
+    "COALESCE(n_neg, 0) AS n_neg "
+    "FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(20)) r "
+    "LEFT JOIN h0 ON r.bucket = h0.bucket), "
+    "c AS (SELECT bucket, n_pos, n_neg, "
+    "CAST(SUM(n_pos) OVER (ORDER BY bucket "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp, "
+    "CAST(SUM(n_neg) OVER (ORDER BY bucket "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS fp, "
+    "CAST(COALESCE(SUM(n_neg) OVER (ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS cum_neg_below, "
+    "CAST((SELECT SUM(y) FROM s) AS BIGINT) AS p_tot, "
+    "CAST((SELECT SUM(1 - y) FROM s) AS BIGINT) AS n_tot FROM h)"
+)
+
+ORACLE_SQL["order_status_confusion"] = (
+    "SELECT o_orderstatus, "
+    "CASE WHEN o_totalprice >= 300000 THEN 'F' "
+    "WHEN o_totalprice >= 150000 THEN 'O' ELSE 'P' END AS pred, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2"
+)
+
+ORACLE_SQL["order_score_pr"] = (
+    "WITH " + _EVAL_HIST_CTE + " "
+    "SELECT bucket, bucket * 25000.0 AS threshold, tp, fp, "
+    "p_tot - tp AS fn, "
+    "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) "
+    "ELSE 1.0 END AS precision, "
+    "CAST(tp AS DOUBLE) / p_tot AS recall FROM c"
+)
+
+ORACLE_SQL["order_score_auc"] = (
+    "WITH " + _EVAL_HIST_CTE + " "
+    "SELECT CAST(SUM(n_pos * (2 * cum_neg_below + n_neg)) AS DOUBLE) / "
+    "(2 * ANY_VALUE(p_tot) * ANY_VALUE(n_tot)) AS auc FROM c"
+)
+
+ORACLE_SQL["order_score_calibration"] = (
+    "WITH s AS (SELECT o_totalprice / 500000.0 AS score, "
+    "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders), "
+    "b AS (SELECT LEAST(GREATEST(CAST(FLOOR(score / 0.1) AS BIGINT), 0), 9) "
+    "AS bucket, y, "
+    "CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS score_u FROM s) "
+    "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(score_u) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_score, "
+    "CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos "
+    "FROM b GROUP BY bucket"
 )

@@ -1732,6 +1732,10 @@ class TestTailQueryOracles:
             "tpch_q11_important_stock",
             "tpch_q16_supplier_relationship",
             "tpch_q20_promotion_parts",
+            "order_status_confusion",
+            "order_score_pr",
+            "order_score_auc",
+            "order_score_calibration",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

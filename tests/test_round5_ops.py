@@ -3930,3 +3930,156 @@ class TestTokenDivergence:
         pd.testing.assert_frame_equal(drv_s, exch_s[drv_s.columns], check_dtype=False)
         with pytest.raises(ValueError, match="at least one token"):
             token_divergence(self._ds([""]), self._ds(b))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEvalOps:
+    """ops/eval.py — confusion matrix, PR sweep, tie-aware AUC,
+    calibration buckets: naive-reference equality, bit-level block
+    independence, edge/validation paths."""
+
+    def _scored(self, n=4000, seed=3):
+        rng = np.random.RandomState(seed)
+        y = (rng.rand(n) < 0.4).astype("int64")
+        s = np.clip(0.3 * y + 0.5 * rng.rand(n), 0.0, 0.999999)
+        return pd.DataFrame({"label": y, "score": s})
+
+    def test_confusion_matrix_matches_pandas(self):
+        from ocr_platform_ray.ops.eval import confusion_matrix
+
+        df = self._scored()
+        df["pred"] = np.where(df["score"] > 0.5, "pos", "neg")
+        df["truth"] = np.where(df["label"] == 1, "pos", "neg")
+        want = (
+            df.groupby(["truth", "pred"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["truth", "pred"])
+            .reset_index(drop=True)
+        )
+        for parts in (1, 9):
+            got = confusion_matrix(
+                rd.from_pandas(df).repartition(parts), "truth", "pred"
+            )
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            got = got.sort_values(["truth", "pred"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_pr_curve_matches_naive_and_block_independent(self):
+        from ocr_platform_ray.ops.eval import pr_curve
+
+        df = self._scored()
+        nb = 50
+        w = 1.0 / nb
+        k = np.clip(
+            np.floor(df["score"].to_numpy() / w).astype(int), 0, nb - 1
+        )
+        y = df["label"].to_numpy()
+        outs = []
+        for parts in (1, 7):
+            got = pr_curve(
+                rd.from_pandas(df).repartition(parts),
+                "score",
+                "label",
+                n_buckets=nb,
+            )
+            outs.append(got)
+            for kk in (0, 13, 27, nb - 1):
+                mask = k >= kk
+                tp = int((y[mask] == 1).sum())
+                fp = int((y[mask] == 0).sum())
+                row = got[got["bucket"] == kk].iloc[0]
+                assert (int(row.tp), int(row.fp)) == (tp, fp)
+                assert int(row.fn) == int((y == 1).sum()) - tp
+                assert row.precision == tp / (tp + fp) if tp + fp else 1.0
+                assert row.recall == tp / int((y == 1).sum())
+        # bit-identical across block structures (all-int provenance)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_auc_matches_tie_aware_mann_whitney(self):
+        from ocr_platform_ray.ops.eval import roc_auc
+
+        df = self._scored()
+        nb = 40
+        k = np.clip(
+            np.floor(df["score"].to_numpy() * nb).astype(int), 0, nb - 1
+        )
+        y = df["label"].to_numpy()
+        pos_k, neg_k = k[y == 1], k[y == 0]
+        num = 0
+        for kk in range(nb):
+            p_here = int((pos_k == kk).sum())
+            num += p_here * (
+                2 * int((neg_k < kk).sum()) + int((neg_k == kk).sum())
+            )
+        want = num / (2 * len(pos_k) * len(neg_k))
+        for parts in (1, 6):
+            pts, auc = roc_auc(
+                rd.from_pandas(df).repartition(parts),
+                "score",
+                "label",
+                n_buckets=nb,
+            )
+            assert auc == want  # exact: integer numerator, one division
+            assert pts["tpr"].iloc[0] == 1.0 and pts["fpr"].iloc[0] == 1.0
+        # a better classifier separates more: perfect split -> auc == 1
+        perfect = pd.DataFrame(
+            {
+                "label": [0] * 50 + [1] * 50,
+                "score": [0.1] * 50 + [0.9] * 50,
+            }
+        )
+        _, a1 = roc_auc(rd.from_pandas(perfect), "score", "label", n_buckets=10)
+        assert a1 == 1.0
+
+    def test_calibration_buckets_exact(self):
+        from ocr_platform_ray.ops.eval import calibration_buckets
+
+        df = self._scored(n=2000, seed=9)
+        got = calibration_buckets(
+            rd.from_pandas(df).repartition(5), "score", "label", n_buckets=10
+        )
+        k = np.clip(
+            np.floor(df["score"].to_numpy() / 0.1).astype(int), 0, 9
+        )
+        u = np.floor(df["score"].to_numpy() * 1e6 + 0.5).astype("int64")
+        for _, row in got.iterrows():
+            m = k == int(row.bucket)
+            assert int(row.n) == int(m.sum())
+            assert row.mean_score == int(u[m].sum()) / 1e6 / int(m.sum())
+            assert row.frac_pos == int(df["label"].to_numpy()[m].sum()) / int(
+                m.sum()
+            )
+        # a calibrated-by-construction score: frac_pos rises with bucket
+        assert got["frac_pos"].iloc[-1] > got["frac_pos"].iloc[0]
+
+    def test_validation_errors(self):
+        from ocr_platform_ray.ops.eval import pr_curve, roc_auc
+
+        bad = pd.DataFrame({"label": [0, 2, 1], "score": [0.1, 0.5, 0.9]})
+        with pytest.raises(Exception, match="0-1"):
+            pr_curve(rd.from_pandas(bad), "score", "label", n_buckets=4)
+        allneg = pd.DataFrame({"label": [0, 0], "score": [0.1, 0.2]})
+        with pytest.raises(ValueError, match="positive"):
+            roc_auc(rd.from_pandas(allneg), "score", "label", n_buckets=4)
+        good = pd.DataFrame({"label": [0, 1], "score": [0.1, 0.2]})
+        with pytest.raises(ValueError, match="n_buckets"):
+            pr_curve(rd.from_pandas(good), "score", "label", n_buckets=1)
+        with pytest.raises(ValueError, match="hi > lo"):
+            pr_curve(
+                rd.from_pandas(good), "score", "label", n_buckets=4, lo=1.0, hi=0.0
+            )
+
+    def test_scores_outside_range_clip_into_edge_buckets(self):
+        from ocr_platform_ray.ops.eval import pr_curve
+
+        df = pd.DataFrame(
+            {"label": [1, 0, 1, 0], "score": [-5.0, -1.0, 9.0, 0.5]}
+        )
+        got = pr_curve(rd.from_pandas(df), "score", "label", n_buckets=4)
+        # every row lands in a bucket: threshold 0 predicts all positive
+        assert int(got[got.bucket == 0].iloc[0].tp) == 2
+        assert int(got[got.bucket == 0].iloc[0].fp) == 2
+        # the 9.0 clips into the top bucket
+        assert int(got[got.bucket == 3].iloc[0].tp) == 1
