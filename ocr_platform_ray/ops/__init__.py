@@ -167,3 +167,4 @@ from .eval import (  # noqa: F401
     pr_curve,
     roc_auc,
 )
+from .pareto import pareto_frontier  # noqa: F401

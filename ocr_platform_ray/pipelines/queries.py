@@ -6542,6 +6542,26 @@ def q_order_score_calibration(sf_dir: str) -> pd.DataFrame:
     return calibration_buckets(ds, "score", "label", n_buckets=10, lo=0.0, hi=1.0)
 
 
+def q_pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of orders (ops/pareto.pareto_frontier): maximize
+    total price, minimize order date — the "priciest-earliest"
+    non-dominated set, duplicates surviving.  Per-batch frontier
+    combiners (frontier-of-union = frontier-of-frontiers) into the
+    size-aware finish.  Full SQL oracle (NOT EXISTS dominator) in
+    TestTailQueryOracles."""
+    from ..ops.pareto import pareto_frontier
+
+    out = pareto_frontier(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]),
+        ["o_totalprice", "o_orderdate"],
+        ["max", "min"],
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "o_totalprice", "o_orderdate"]].sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6815,6 +6835,9 @@ QUERIES = {
     "order_score_pr": q_order_score_pr,
     "order_score_auc": q_order_score_auc,
     "order_score_calibration": q_order_score_calibration,
+    # round-4 session-10 tail addition (multi-objective selection,
+    # SQL-oracled in TestTailQueryOracles)
+    "pareto_orders": q_pareto_orders,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8731,4 +8754,16 @@ ORACLE_SQL["order_score_calibration"] = (
     "CAST(SUM(score_u) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_score, "
     "CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos "
     "FROM b GROUP BY bucket"
+)
+
+# Pareto frontier: the NOT-EXISTS-dominator definition — duplicates of a
+# frontier point survive (neither dominates the other), exactly the
+# operator's tie rule.
+ORACLE_SQL["pareto_orders"] = (
+    "SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate FROM orders a "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders b "
+    "WHERE b.o_totalprice >= a.o_totalprice "
+    "AND b.o_orderdate <= a.o_orderdate "
+    "AND (b.o_totalprice > a.o_totalprice "
+    "OR b.o_orderdate < a.o_orderdate))"
 )

@@ -1736,6 +1736,7 @@ class TestTailQueryOracles:
             "order_score_pr",
             "order_score_auc",
             "order_score_calibration",
+            "pareto_orders",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -4083,3 +4083,77 @@ class TestEvalOps:
         assert int(got[got.bucket == 0].iloc[0].fp) == 2
         # the 9.0 clips into the top bucket
         assert int(got[got.bucket == 3].iloc[0].tp) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParetoFrontier:
+    """ops/pareto.py — naive O(n²) dominance equality on both kernel
+    paths (2-objective sorted scan, k>=3 chunked matrix), duplicate and
+    tie survival, mixed directions, block independence, validation."""
+
+    @staticmethod
+    def _naive(df, objs, dirs):
+        m = np.column_stack(
+            [
+                df[c].to_numpy(float) * (1 if d == "max" else -1)
+                for c, d in zip(objs, dirs)
+            ]
+        )
+        keep = np.ones(len(m), dtype=bool)
+        for i in range(len(m)):
+            for j in range(len(m)):
+                if i != j and (m[j] >= m[i]).all() and (m[j] > m[i]).any():
+                    keep[i] = False
+                    break
+        return df[keep]
+
+    @pytest.mark.parametrize("k", [2, 3])
+    def test_matches_naive_with_duplicates(self, k):
+        from ocr_platform_ray.ops.pareto import pareto_frontier
+
+        rng = np.random.RandomState(11 + k)
+        objs = [f"o{i}" for i in range(k)]
+        # small integer domain forces duplicate points AND per-objective
+        # ties — the hard tie cases for the sorted-scan path
+        df = pd.DataFrame(
+            rng.randint(0, 10, size=(350, k)).astype(float), columns=objs
+        )
+        df["id"] = np.arange(350)
+        dirs = ["max"] * (k - 1) + ["min"]
+        want = self._naive(df, objs, dirs)
+        want = want.sort_values([*objs, "id"]).reset_index(drop=True)
+        outs = []
+        for parts in (1, 8):
+            got = pareto_frontier(rd.from_pandas(df).repartition(parts), objs, dirs)
+            got = got.sort_values([*objs, "id"]).reset_index(drop=True)
+            assert got["id"].tolist() == want["id"].tolist()
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_identical_points_all_survive(self):
+        from ocr_platform_ray.ops.pareto import pareto_frontier
+
+        df = pd.DataFrame({"a": [3.0] * 25, "b": [7.0] * 25, "id": range(25)})
+        got = pareto_frontier(rd.from_pandas(df).repartition(4), ["a", "b"])
+        assert len(got) == 25
+
+    def test_single_dominant_point(self):
+        from ocr_platform_ray.ops.pareto import pareto_frontier
+
+        df = pd.DataFrame(
+            {"a": [1.0, 2.0, 9.0, 3.0], "b": [1.0, 2.0, 9.0, 3.0]}
+        )
+        got = pareto_frontier(rd.from_pandas(df), ["a", "b"])
+        assert got[["a", "b"]].values.tolist() == [[9.0, 9.0]]
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.pareto import pareto_frontier
+
+        df = pd.DataFrame({"a": [1.0], "b": [2.0]})
+        with pytest.raises(ValueError, match="two objectives"):
+            pareto_frontier(rd.from_pandas(df), ["a"])
+        with pytest.raises(ValueError, match="max.*min|'max'/'min'"):
+            pareto_frontier(rd.from_pandas(df), ["a", "b"], ["max", "up"])
+        bad = pd.DataFrame({"a": [1.0, np.nan], "b": [2.0, 3.0]})
+        with pytest.raises(Exception, match="NaN"):
+            pareto_frontier(rd.from_pandas(bad), ["a", "b"])
