@@ -107,6 +107,7 @@ from .profile import (  # noqa: F401
     dataset_profile,
     grouped_corr,
     grouped_histogram,
+    grouped_linreg,
     grouped_moments,
     key_skew_profile,
 )

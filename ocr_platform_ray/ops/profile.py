@@ -214,6 +214,45 @@ def grouped_corr(
     size-aware finish; values never move.  Degenerate groups (n < 2 or a
     zero-variance side) get NaN corr, matching SQL NULL."""
     gcols = list(group_cols)
+    reduced = _cross_moment_sums(
+        ds, x_col, y_col, gcols, x_scale, y_scale,
+        driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+    )
+    n = reduced["n"].to_numpy(dtype="float64")
+    sx = reduced["sx"].to_numpy(dtype="float64")
+    sy = reduced["sy"].to_numpy(dtype="float64")
+    sxy = reduced["sxy"].to_numpy(dtype="float64")
+    sxx = reduced["sxx"].to_numpy(dtype="float64")
+    syy = reduced["syy"].to_numpy(dtype="float64")
+    out = reduced[gcols].copy()
+    out["n"] = reduced["n"].astype("int64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = sxy - sx * sy / n
+        out["covar_xy"] = np.where(
+            n > 1.0, num / (n - 1.0) / float(x_scale * y_scale), np.nan
+        )
+        den = np.sqrt(sxx - sx * sx / n) * np.sqrt(syy - sy * sy / n)
+        corr = num / den
+        out["corr_xy"] = np.where((n > 1.0) & (den > 0.0), corr, np.nan)
+    return out.sort_values(gcols).reset_index(drop=True)
+
+
+def _cross_moment_sums(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    gcols: list[str],
+    x_scale: int,
+    y_scale: int,
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """The shared per-group sufficient-statistic reduce behind
+    `grouped_corr` and `grouped_linreg`: exact int64 (n, Σx, Σy, Σxy,
+    Σx², Σy²) over ``round(v · scale)`` values — one fixed-width combiner
+    row per (group, batch), size-aware finish, per-batch 2³¹ value guard
+    and a complete post-reduce n·max² overflow check."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         x = _scaled_int(b[x_col].to_numpy(), x_scale)
@@ -257,6 +296,41 @@ def grouped_corr(
                 f"(n={n_}, max|x·scale|={ax}, max|y·scale|={ay}); "
                 "reduce the scales"
             )
+    return reduced
+
+
+def grouped_linreg(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    *,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group ordinary-least-squares fit (the SQL REGR_SLOPE /
+    REGR_INTERCEPT / R² family) over the `grouped_corr`
+    sufficient-statistic contract — the regression runs over the SCALED
+    integer values (``round(v · scale)``), so every sum is exact and the
+    final doubles repeat a SQL mirror's expression verbatim::
+
+        num       = Σxy − Σx·Σy/n          denx = Σxx − Σx²/n
+        deny      = Σyy − Σy²/n
+        slope     = num / denx · (x_scale / y_scale)   [original units]
+        intercept = (Σy − num/denx·Σx) / n / y_scale
+        r2        = num·num / (denx·deny)
+
+    Degenerate groups (n < 2, zero x-variance; zero y-variance for r2)
+    get NaN, matching SQL NULL.  Same scale shape and overflow guards as
+    `grouped_corr`: one fixed-width combiner row per (group, batch),
+    values never move."""
+    gcols = list(group_cols)
+    reduced = _cross_moment_sums(
+        ds, x_col, y_col, gcols, x_scale, y_scale,
+        driver_threshold_rows=driver_threshold_rows, n_shards=n_shards,
+    )
     n = reduced["n"].to_numpy(dtype="float64")
     sx = reduced["sx"].to_numpy(dtype="float64")
     sy = reduced["sy"].to_numpy(dtype="float64")
@@ -265,14 +339,17 @@ def grouped_corr(
     syy = reduced["syy"].to_numpy(dtype="float64")
     out = reduced[gcols].copy()
     out["n"] = reduced["n"].astype("int64")
+    factor = float(x_scale) / float(y_scale)
     with np.errstate(invalid="ignore", divide="ignore"):
         num = sxy - sx * sy / n
-        out["covar_xy"] = np.where(
-            n > 1.0, num / (n - 1.0) / float(x_scale * y_scale), np.nan
+        denx = sxx - sx * sx / n
+        deny = syy - sy * sy / n
+        ok = (n > 1.0) & (denx > 0.0)
+        out["slope"] = np.where(ok, num / denx * factor, np.nan)
+        out["intercept"] = np.where(
+            ok, (sy - num / denx * sx) / n / float(y_scale), np.nan
         )
-        den = np.sqrt(sxx - sx * sx / n) * np.sqrt(syy - sy * sy / n)
-        corr = num / den
-        out["corr_xy"] = np.where((n > 1.0) & (den > 0.0), corr, np.nan)
+        out["r2"] = np.where(ok & (deny > 0.0), num * num / (denx * deny), np.nan)
     return out.sort_values(gcols).reset_index(drop=True)
 
 

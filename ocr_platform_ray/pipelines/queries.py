@@ -6562,6 +6562,21 @@ def q_pareto_orders(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_price_qty_linreg_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS regression (`ops/profile.grouped_linreg` — the SQL
+    REGR_SLOPE/REGR_INTERCEPT/R² family): extendedprice vs quantity per
+    returnflag, exact integer sufficient statistics, final doubles
+    identical to the SQL mirror's expression.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.profile import grouped_linreg
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_linreg(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"], x_scale=100, y_scale=1
+    )
+    return out[["l_returnflag", "n", "slope", "intercept", "r2"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6838,6 +6853,9 @@ QUERIES = {
     # round-4 session-10 tail addition (multi-objective selection,
     # SQL-oracled in TestTailQueryOracles)
     "pareto_orders": q_pareto_orders,
+    # round-4 session-10 tail addition (grouped OLS, SQL-oracled in
+    # TestTailQueryOracles)
+    "price_qty_linreg_by_flag": q_price_qty_linreg_by_flag,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8766,4 +8784,29 @@ ORACLE_SQL["pareto_orders"] = (
     "AND b.o_orderdate <= a.o_orderdate "
     "AND (b.o_totalprice > a.o_totalprice "
     "OR b.o_orderdate < a.o_orderdate))"
+)
+
+# Grouped OLS: the identical sufficient-statistic expression as
+# ops/profile.grouped_linreg — exact int sums cast to double once, then
+# the verbatim slope/intercept/r2 formulas (not DuckDB's regr_* functions,
+# whose float accumulation order differs).
+ORACLE_SQL["price_qty_linreg_by_flag"] = (
+    "WITH s AS (SELECT l_returnflag, "
+    "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x, "
+    "CAST(FLOOR(l_extendedprice * 1 + 0.5) AS BIGINT) AS y FROM lineitem), "
+    "a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+    "CAST(SUM(x * y) AS DOUBLE) AS sxy, "
+    "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+    "CAST(SUM(y * y) AS DOUBLE) AS syy FROM s GROUP BY 1), "
+    "b AS (SELECT l_returnflag, n, sx, sy, "
+    "(sxy - sx * sy / n) AS num, (sxx - sx * sx / n) AS denx, "
+    "(syy - sy * sy / n) AS deny FROM a) "
+    "SELECT l_returnflag, n, "
+    "CASE WHEN n > 1 AND denx > 0 THEN num / denx * (100.0 / 1.0) "
+    "ELSE NULL END AS slope, "
+    "CASE WHEN n > 1 AND denx > 0 THEN (sy - num / denx * sx) / n / 1.0 "
+    "ELSE NULL END AS intercept, "
+    "CASE WHEN n > 1 AND denx > 0 AND deny > 0 "
+    "THEN num * num / (denx * deny) ELSE NULL END AS r2 FROM b"
 )

@@ -1737,6 +1737,7 @@ class TestTailQueryOracles:
             "order_score_auc",
             "order_score_calibration",
             "pareto_orders",
+            "price_qty_linreg_by_flag",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -4157,3 +4157,79 @@ class TestParetoFrontier:
         bad = pd.DataFrame({"a": [1.0, np.nan], "b": [2.0, 3.0]})
         with pytest.raises(Exception, match="NaN"):
             pareto_frontier(rd.from_pandas(bad), ["a", "b"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedLinreg:
+    """ops/profile.grouped_linreg — numpy polyfit agreement over the
+    scaled values, bit-level block independence, degenerate-group NULLs,
+    overflow guard."""
+
+    def test_matches_polyfit_on_scaled_values(self):
+        from ocr_platform_ray.ops.profile import grouped_linreg
+
+        rng = np.random.RandomState(21)
+        g = rng.choice(["a", "b", "c"], size=900)
+        x = rng.uniform(0, 50, size=900)
+        y = 3.5 * x + 10 + rng.normal(0, 5, size=900)
+        df = pd.DataFrame({"g": g, "x": x, "y": y})
+        got = grouped_linreg(
+            rd.from_pandas(df).repartition(6), "x", "y", ["g"],
+            x_scale=100, y_scale=100,
+        )
+        for _, row in got.iterrows():
+            sub = df[df["g"] == row["g"]]
+            xs = np.floor(np.abs(sub["x"]) * 100 + 0.5) * np.sign(sub["x"])
+            ys = np.floor(np.abs(sub["y"]) * 100 + 0.5) * np.sign(sub["y"])
+            slope_s, intercept_s = np.polyfit(xs, ys, 1)
+            assert row["slope"] == pytest.approx(slope_s * 100 / 100, rel=1e-9)
+            assert row["intercept"] == pytest.approx(intercept_s / 100, rel=1e-9)
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert row["r2"] == pytest.approx(r * r, rel=1e-9)
+            assert int(row["n"]) == len(sub)
+
+    def test_block_independent_to_the_bit(self):
+        from ocr_platform_ray.ops.profile import grouped_linreg
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["p", "q"], size=500),
+                "x": rng.uniform(0, 40, size=500),
+                "y": rng.uniform(0, 900, size=500),
+            }
+        )
+        outs = [
+            grouped_linreg(
+                rd.from_pandas(df).repartition(p), "x", "y", ["g"],
+                x_scale=100, y_scale=10,
+            )
+            for p in (1, 9)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_degenerate_groups_nan(self):
+        from ocr_platform_ray.ops.profile import grouped_linreg
+
+        df = pd.DataFrame(
+            {
+                "g": ["solo", "flat", "flat", "flat", "ok", "ok", "ok"],
+                "x": [1.0, 5.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+                "y": [1.0, 1.0, 2.0, 3.0, 2.0, 4.0, 6.0],
+            }
+        )
+        got = grouped_linreg(rd.from_pandas(df), "x", "y", ["g"]).set_index("g")
+        assert np.isnan(got.loc["solo", "slope"])  # n < 2
+        assert np.isnan(got.loc["flat", "slope"])  # zero x-variance
+        assert got.loc["ok", "slope"] == pytest.approx(2.0)
+        assert got.loc["ok", "intercept"] == pytest.approx(0.0, abs=1e-9)
+        assert got.loc["ok", "r2"] == pytest.approx(1.0)
+
+    def test_overflow_guard_raises(self):
+        from ocr_platform_ray.ops.profile import grouped_linreg
+
+        df = pd.DataFrame(
+            {"g": ["a", "a"], "x": [1.0, 2.0], "y": [3e9, 3e9]}
+        )
+        with pytest.raises(Exception, match="2\\^31|domain"):
+            grouped_linreg(rd.from_pandas(df), "x", "y", ["g"], y_scale=100)
