@@ -169,3 +169,4 @@ from .eval import (  # noqa: F401
     roc_auc,
 )
 from .pareto import pareto_frontier  # noqa: F401
+from .markov import grouped_transitions  # noqa: F401

@@ -6577,6 +6577,19 @@ def q_price_qty_linreg_by_flag(sf_dir: str) -> pd.DataFrame:
     return out[["l_returnflag", "n", "slope", "intercept", "r2"]]
 
 
+def q_event_transition_probs(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over user event timelines
+    (`ops/markov.grouped_transitions`): how often each event type is
+    immediately followed by each other type within a user's (ts,
+    event_id)-ordered sequence, with row-normalized probabilities —
+    exact int64 counts, single-division doubles.  Full SQL LEAD-window
+    oracle in TestTailQueryOracles."""
+    from ..ops.markov import grouped_transitions
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return grouped_transitions(ev, ["user_id"], "event_type", ["ts", "event_id"])
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6856,6 +6869,9 @@ QUERIES = {
     # round-4 session-10 tail addition (grouped OLS, SQL-oracled in
     # TestTailQueryOracles)
     "price_qty_linreg_by_flag": q_price_qty_linreg_by_flag,
+    # round-4 session-10 tail addition (Markov transitions, SQL-oracled
+    # in TestTailQueryOracles)
+    "event_transition_probs": q_event_transition_probs,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8809,4 +8825,19 @@ ORACLE_SQL["price_qty_linreg_by_flag"] = (
     "ELSE NULL END AS intercept, "
     "CASE WHEN n > 1 AND denx > 0 AND deny > 0 "
     "THEN num * num / (denx * deny) ELSE NULL END AS r2 FROM b"
+)
+
+# Markov transitions: LEAD window over non-null states per user; prob is
+# the identical single division of exact int64 counts on both engines.
+ORACLE_SQL["event_transition_probs"] = (
+    "WITH e AS (SELECT user_id, event_type, ts, event_id FROM events "
+    "WHERE event_type IS NOT NULL), "
+    "s AS (SELECT event_type AS from_state, "
+    "LEAD(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS to_state FROM e), "
+    "c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2) "
+    "SELECT from_state, to_state, n, "
+    "CAST(n AS DOUBLE) / CAST(SUM(n) OVER "
+    "(PARTITION BY from_state) AS BIGINT) AS prob FROM c"
 )

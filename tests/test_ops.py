@@ -1738,6 +1738,7 @@ class TestTailQueryOracles:
             "order_score_calibration",
             "pareto_orders",
             "price_qty_linreg_by_flag",
+            "event_transition_probs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -4233,3 +4233,96 @@ class TestGroupedLinreg:
         )
         with pytest.raises(Exception, match="2\\^31|domain"):
             grouped_linreg(rd.from_pandas(df), "x", "y", ["g"], y_scale=100)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTransitions:
+    """ops/markov.py — naive per-key pandas reference equality,
+    null-state closure, probability row-normalization, block
+    independence, string keys."""
+
+    def _events(self, n=600, seed=13, nulls=False):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, size=n).astype("int64"),
+                "state": rng.choice(["a", "b", "c", "d"], size=n),
+                "t": rng.permutation(n).astype("int64"),
+            }
+        )
+        if nulls:
+            df.loc[df.index % 11 == 0, "state"] = None
+        return df
+
+    @staticmethod
+    def _naive(df):
+        rows = []
+        for _, g in df[df["state"].notna()].groupby("k"):
+            s = g.sort_values("t")["state"].tolist()
+            rows += list(zip(s[:-1], s[1:]))
+        out = (
+            pd.DataFrame(rows, columns=["from_state", "to_state"])
+            .groupby(["from_state", "to_state"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        tot = out.groupby("from_state")["n"].transform("sum")
+        out["prob"] = out["n"].astype("int64").to_numpy() / tot.astype(
+            "int64"
+        ).to_numpy()
+        return out.sort_values(["from_state", "to_state"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("nulls", [False, True])
+    def test_matches_naive(self, nulls):
+        from ocr_platform_ray.ops.markov import grouped_transitions
+
+        df = self._events(nulls=nulls)
+        want = self._naive(df)
+        outs = []
+        for parts in (1, 7):
+            got = grouped_transitions(
+                rd.from_pandas(df).repartition(parts), ["k"], "state", ["t"]
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+
+    def test_prob_rows_normalize(self):
+        from ocr_platform_ray.ops.markov import grouped_transitions
+
+        got = grouped_transitions(
+            rd.from_pandas(self._events(seed=5)), ["k"], "state", ["t"]
+        )
+        sums = got.groupby("from_state")["prob"].sum()
+        assert np.allclose(sums.to_numpy(), 1.0)
+
+    def test_string_keys_and_singletons(self):
+        from ocr_platform_ray.ops.markov import grouped_transitions
+
+        df = pd.DataFrame(
+            {
+                "k": ["u1", "u1", "u1", "u2", "u3"],
+                "state": ["x", "y", "x", "z", "z"],
+                "t": [1, 2, 3, 1, 1],
+            }
+        )
+        got = grouped_transitions(
+            rd.from_pandas(df).repartition(3), ["k"], "state", ["t"],
+            with_prob=False,
+        )
+        # u2/u3 are singletons (no pairs); u1 contributes x->y, y->x
+        assert got[["from_state", "to_state"]].values.tolist() == [
+            ["x", "y"],
+            ["y", "x"],
+        ]
+        assert got["n"].tolist() == [1, 1]
+
+    def test_empty_and_all_null(self):
+        from ocr_platform_ray.ops.markov import grouped_transitions
+
+        df = pd.DataFrame(
+            {"k": [1, 1], "state": [None, None], "t": [1, 2]}
+        )
+        got = grouped_transitions(rd.from_pandas(df), ["k"], "state", ["t"])
+        assert len(got) == 0
+        assert list(got.columns) == ["from_state", "to_state", "n", "prob"]
