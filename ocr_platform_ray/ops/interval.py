@@ -210,3 +210,74 @@ def interval_join(
         return bucket_combiner(out) if bucket_combiner is not None else out
 
     return p.union(i).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def coalesce_intervals(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    gap: int | float = 0,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Merge overlapping-or-touching intervals per key (the SQL
+    gaps-and-islands pattern): ``[1,5] [4,8] [8,10] [20,25]`` becomes
+    ``[1,10] [20,25]``.  The interval-normalization step behind session
+    stitching, crawl-window consolidation, span-annotation merging and
+    downtime accounting.
+
+    Two intervals merge when the later one starts at or before the
+    running maximum end + ``gap`` (``gap=0`` merges touching intervals;
+    a positive gap bridges holes up to that size — both inclusive,
+    matching the window-cummax SQL formulation ``start > prev_max + gap``
+    starts a new island).  Output: one row per island with
+    (key..., start=min start, end=max end, n_merged).
+
+    Scale shape: ONE bounded ``hash(key) % n_shards`` exchange co-locates
+    each key's intervals (`_keyed_window`), then a single vectorized pass
+    per shard — mergesort by (key, start, end), per-key running-max end
+    via cython ``groupby().cummax`` shifted one row, island ids by
+    boolean cumsum, island aggregation by one vectorized groupby.  No
+    per-key or per-island Python; block-structure independent because
+    islands are a pure function of the sorted multiset."""
+    from .windows import _keyed_window
+
+    keep = list(dict.fromkeys([*key_cols, start_col, end_col]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, start_col, end_col], kind="mergesort"
+        ).reset_index(drop=True)
+        gb = g.groupby(key_cols, sort=False)
+        # running max end per key, shifted: what this row must exceed to
+        # start a new island (datetime64 cummax/shift stay in ns exact)
+        prev_max = gb[end_col].cummax().groupby(
+            gb.ngroup().to_numpy(), sort=False
+        ).shift(1)
+        starts = g[start_col]
+        if gap:
+            bound = prev_max + (
+                pd.Timedelta(gap) if starts.dtype.kind == "M" else gap
+            )
+        else:
+            bound = prev_max
+        new_island = prev_max.isna().to_numpy() | (
+            starts.to_numpy() > bound.to_numpy()
+        )
+        g["__island"] = np.cumsum(new_island)
+        out = g.groupby([*key_cols, "__island"], as_index=False, sort=False).agg(
+            **{
+                start_col: (start_col, "min"),
+                end_col: (end_col, "max"),
+                "n_merged": (end_col, "size"),
+            }
+        )
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return out.drop(columns="__island")
+
+    return _keyed_window(
+        ds, key_cols, keep, per_shard, n_shards, as_dataset,
+        [*key_cols, start_col, end_col],
+    )

@@ -750,3 +750,51 @@ def funnel_match(
             }
         )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_fill(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    value_cols: list[str],
+    direction: str = "ffill",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Per-key ordered NULL fill — SQL's gap-filling window
+    ``LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY o, tie
+    ROWS UNBOUNDED PRECEDING)`` (``direction="ffill"``, last observation
+    carried forward) or its FIRST_VALUE/FOLLOWING mirror
+    (``direction="bfill"``).  The sensor/telemetry/sparse-attribute
+    repair step: rows keep their position, only NULLs in ``value_cols``
+    are replaced by the nearest non-NULL value earlier (later) in the
+    key's timeline; leading (trailing) NULLs with no donor stay NULL,
+    exactly like SQL.
+
+    ``tie_col`` makes the order total, so the fill is deterministic and
+    block-structure independent.
+
+    Scale shape: ONE bounded ``hash(key) % n_shards`` exchange
+    co-locates each key's rows (`_keyed_window`), then a single
+    vectorized pass per shard — mergesort by (key, order, tie) and one
+    cython ``groupby().ffill/bfill`` per shard.  No per-key Python."""
+    if direction not in ("ffill", "bfill"):
+        raise ValueError(
+            f"direction must be 'ffill' or 'bfill', got {direction!r}"
+        )
+    keep = list(dict.fromkeys([*key_cols, order_col, tie_col, *value_cols]))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, order_col, tie_col], kind="mergesort"
+        )
+        gb = g.groupby(key_cols, sort=False)[value_cols]
+        g[value_cols] = gb.ffill() if direction == "ffill" else gb.bfill()
+        return g
+
+    return _keyed_window(
+        ds, key_cols, keep, per_shard, n_shards, as_dataset,
+        [*key_cols, order_col, tie_col],
+    )

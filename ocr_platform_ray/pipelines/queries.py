@@ -6590,6 +6590,90 @@ def q_event_transition_probs(sf_dir: str) -> pd.DataFrame:
     return grouped_transitions(ev, ["user_id"], "event_type", ["ts", "event_id"])
 
 
+def q_user_activity_windows(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands interval coalescing (`ops/interval.
+    coalesce_intervals`): each event opens a 30-minute activity window;
+    overlapping-or-touching windows per user merge into activity
+    sessions — ONE bounded hash-shard exchange, then a single vectorized
+    cummax/cumsum pass per shard.  Exact integer microseconds so the
+    window-cummax SQL mirror hashes identically.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.interval import coalesce_intervals
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    w_us = 30 * 60 * 1_000_000
+
+    def to_iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "start_us": s, "end_us": s + w_us}
+        )
+
+    out = coalesce_intervals(
+        ev.map_batches(to_iv, batch_format="pandas"),
+        key_cols=["user_id"], start_col="start_us", end_col="end_us",
+    )
+    return out[["user_id", "start_us", "end_us", "n_merged"]]
+
+
+def q_event_value_fill(sf_dir: str) -> pd.DataFrame:
+    """Per-key ordered NULL gap-filling (`ops/windows.grouped_fill` —
+    SQL's ``LAST_VALUE(v IGNORE NULLS) OVER (... ROWS UNBOUNDED
+    PRECEDING)``): every 5th event's value is masked NULL, then carried
+    forward from the user's nearest earlier reading; leading NULLs stay
+    NULL.  Values are copied, never computed — exact float equality.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.windows import grouped_fill
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b.loc[(b["event_id"] % 5 == 0).to_numpy(), "value"] = np.nan
+        return b
+
+    out = grouped_fill(
+        ev.map_batches(mask, batch_format="pandas"),
+        key_cols=["user_id"], order_col="ts", tie_col="event_id",
+        value_cols=["value"],
+    )
+    return (
+        out[["event_id", "user_id", "value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_link_bfs_reach(sf_dir: str) -> pd.DataFrame:
+    """Minimum hop distance from a seed node over a synthesized doc link
+    graph (`ops/graph.bfs_distances` — SQL's ``WITH RECURSIVE``
+    shortest unweighted path; the "within k hops of trusted domains"
+    crawl selection, exact): ring (+1) and chord (+7) edges over
+    doc_id % 1000, BFS from node 0.  Per round the frontier broadcasts
+    once and one combiner map pass emits distinct successors — the edge
+    projection never moves.  Edge synthesis is pure integer arithmetic,
+    so a recursive-CTE oracle mirrors it exactly.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.graph import bfs_distances
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy() % 1000
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids, ids]),
+                "dst": np.concatenate([(ids + 1) % 1000, (ids + 7) % 1000]),
+            }
+        )
+
+    out = bfs_distances(
+        docs.map_batches(links, batch_format="pandas"), [0], max_hops=30
+    )
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6872,6 +6956,12 @@ QUERIES = {
     # round-4 session-10 tail addition (Markov transitions, SQL-oracled
     # in TestTailQueryOracles)
     "event_transition_probs": q_event_transition_probs,
+    # round-4 session-11 tail additions (gaps-and-islands coalescing,
+    # window gap-filling, recursive-CTE BFS — all SQL-oracled in
+    # TestTailQueryOracles)
+    "user_activity_windows": q_user_activity_windows,
+    "event_value_fill": q_event_value_fill,
+    "link_bfs_reach": q_link_bfs_reach,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8840,4 +8930,48 @@ ORACLE_SQL["event_transition_probs"] = (
     "SELECT from_state, to_state, n, "
     "CAST(n AS DOUBLE) / CAST(SUM(n) OVER "
     "(PARTITION BY from_state) AS BIGINT) AS prob FROM c"
+)
+
+# Gaps-and-islands: the window-cummax mirror of coalesce_intervals —
+# prev_max over (start, end)-ordered rows, island starts where
+# start > prev_max, islands aggregated.  Exact integer microseconds.
+ORACLE_SQL["user_activity_windows"] = (
+    "WITH i AS (SELECT user_id, epoch_us(ts) AS s, "
+    "epoch_us(ts) + 1800000000 AS e FROM events), "
+    "w AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "AS prev_max FROM i), "
+    "f AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL "
+    "OR s > prev_max THEN 1 ELSE 0 END AS ni FROM w), "
+    "g AS (SELECT user_id, s, e, SUM(ni) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM f) "
+    "SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n_merged FROM g GROUP BY user_id, island"
+)
+
+# Grouped NULL fill: LAST_VALUE IGNORE NULLS over the identical masked
+# column — values copied, never computed, so floats hash exactly.
+ORACLE_SQL["event_value_fill"] = (
+    "WITH v AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value "
+    "FROM events) "
+    "SELECT event_id, user_id, LAST_VALUE(value IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS value FROM v"
+)
+
+# BFS: recursive CTE enumerating (node, dist) pairs up to the same
+# max_hops bound; MIN(dist) per node IS the breadth-first distance.
+# Edge synthesis repeats q_link_bfs_reach's integer arithmetic.
+ORACLE_SQL["link_bfs_reach"] = (
+    "WITH RECURSIVE e AS ("
+    "SELECT doc_id % 1000 AS src, (doc_id % 1000 + 1) % 1000 AS dst "
+    "FROM documents UNION ALL "
+    "SELECT doc_id % 1000, (doc_id % 1000 + 7) % 1000 FROM documents), "
+    "d(node, dist) AS ("
+    "SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+    "UNION "
+    "SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node "
+    "WHERE d.dist < 30) "
+    "SELECT node, MIN(dist) AS dist FROM d GROUP BY node"
 )

@@ -1739,6 +1739,9 @@ class TestTailQueryOracles:
             "pareto_orders",
             "price_qty_linreg_by_flag",
             "event_transition_probs",
+            "user_activity_windows",
+            "event_value_fill",
+            "link_bfs_reach",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

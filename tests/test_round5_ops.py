@@ -4326,3 +4326,290 @@ class TestGroupedTransitions:
         got = grouped_transitions(rd.from_pandas(df), ["k"], "state", ["t"])
         assert len(got) == 0
         assert list(got.columns) == ["from_state", "to_state", "n", "prob"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBfsDistances:
+    """ops/graph.bfs_distances — naive BFS reference equality (directed
+    and undirected), seed semantics, max_hops bound, unreachable
+    exclusion, string ids, block independence, validation."""
+
+    def _edges(self, n=400, seed=7):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "src": rng.randint(0, 120, size=n).astype("int64"),
+                "dst": rng.randint(0, 120, size=n).astype("int64"),
+            }
+        )
+
+    @staticmethod
+    def _naive(edges, seeds, directed, max_hops):
+        adj = {}
+        for s, d in zip(edges["src"], edges["dst"]):
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+        dist = {s: 0 for s in seeds}
+        frontier = list(dict.fromkeys(seeds))
+        for h in range(max_hops):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h + 1
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        return (
+            pd.DataFrame({"node": list(dist), "dist": list(dist.values())})
+            .astype({"dist": "int64"})
+            .sort_values(["dist", "node"])
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("directed", [True, False])
+    def test_matches_naive(self, directed):
+        from ocr_platform_ray.ops.graph import bfs_distances
+
+        edges = self._edges()
+        want = self._naive(edges, [3, 77], directed, 30)
+        outs = []
+        for parts in (1, 6):
+            got = bfs_distances(
+                rd.from_pandas(edges).repartition(parts),
+                [3, 77],
+                directed=directed,
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_max_hops_and_unreachable(self):
+        from ocr_platform_ray.ops.graph import bfs_distances
+
+        # 0->1->2->3 chain plus an island edge 10->11: nothing past
+        # max_hops, island never reached, seed present even if not in
+        # the edge list
+        edges = pd.DataFrame(
+            {"src": [0, 1, 2, 10], "dst": [1, 2, 3, 11]}
+        )
+        got = bfs_distances(rd.from_pandas(edges), [0], max_hops=2)
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 1, 2: 2}
+        lone = bfs_distances(rd.from_pandas(edges), [99], max_hops=5)
+        assert dict(zip(lone["node"], lone["dist"])) == {99: 0}
+
+    def test_string_ids(self):
+        from ocr_platform_ray.ops.graph import bfs_distances
+
+        edges = pd.DataFrame(
+            {"src": ["a", "b", "b"], "dst": ["b", "c", "a"]}
+        )
+        got = bfs_distances(rd.from_pandas(edges), ["a"])
+        assert dict(zip(got["node"], got["dist"])) == {"a": 0, "b": 1, "c": 2}
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.graph import bfs_distances
+
+        edges = rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+        with pytest.raises(ValueError, match="empty seed"):
+            bfs_distances(edges, [])
+        with pytest.raises(ValueError, match="max_hops"):
+            bfs_distances(edges, [1], max_hops=-1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCoalesceIntervals:
+    """ops/interval.coalesce_intervals — naive per-key merge reference
+    equality, touching/gap semantics, datetime intervals, block
+    independence, as_dataset route."""
+
+    def _intervals(self, n=500, seed=11):
+        rng = np.random.RandomState(seed)
+        s = rng.randint(0, 5000, size=n).astype("int64")
+        return pd.DataFrame(
+            {
+                "k": rng.randint(0, 25, size=n).astype("int64"),
+                "s": s,
+                "e": s + rng.randint(1, 200, size=n).astype("int64"),
+            }
+        )
+
+    @staticmethod
+    def _naive(df, gap=0):
+        rows = []
+        for k, g in df.groupby("k"):
+            cur = None
+            for _, r in g.sort_values(["s", "e"]).iterrows():
+                if cur is None or r["s"] > cur[1] + gap:
+                    if cur is not None:
+                        rows.append((k, *cur))
+                    cur = [r["s"], r["e"], 1]
+                else:
+                    cur[1] = max(cur[1], r["e"])
+                    cur[2] += 1
+            if cur is not None:
+                rows.append((k, *cur))
+        return (
+            pd.DataFrame(rows, columns=["k", "s", "e", "n_merged"])
+            .astype({"n_merged": "int64"})
+            .sort_values(["k", "s", "e"])
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("gap", [0, 25])
+    def test_matches_naive(self, gap):
+        from ocr_platform_ray.ops.interval import coalesce_intervals
+
+        df = self._intervals()
+        want = self._naive(df, gap=gap)
+        outs = []
+        for parts in (1, 7):
+            got = coalesce_intervals(
+                rd.from_pandas(df).repartition(parts),
+                key_cols=["k"], start_col="s", end_col="e", gap=gap,
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_touching_merge_and_positive_gap(self):
+        from ocr_platform_ray.ops.interval import coalesce_intervals
+
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1],
+                "s": [0, 10, 13, 40],
+                "e": [10, 12, 20, 50],
+            }
+        )
+        got = coalesce_intervals(
+            rd.from_pandas(df), key_cols=["k"], start_col="s", end_col="e"
+        )
+        # [0,10] touches [10,12] (start == running end merges); [13,20]
+        # starts past 12; [40,50] alone
+        assert got[["s", "e", "n_merged"]].values.tolist() == [
+            [0, 12, 2], [13, 20, 1], [40, 50, 1],
+        ]
+        bridged = coalesce_intervals(
+            rd.from_pandas(df), key_cols=["k"], start_col="s", end_col="e",
+            gap=1,
+        )
+        assert bridged[["s", "e", "n_merged"]].values.tolist() == [
+            [0, 20, 3], [40, 50, 1],
+        ]
+
+    def test_datetime_intervals(self):
+        from ocr_platform_ray.ops.interval import coalesce_intervals
+
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "k": ["u", "u", "v"],
+                "s": [base, base + pd.Timedelta("45min"), base],
+                "e": [
+                    base + pd.Timedelta("30min"),
+                    base + pd.Timedelta("90min"),
+                    base + pd.Timedelta("10min"),
+                ],
+            }
+        )
+        got = coalesce_intervals(
+            rd.from_pandas(df), key_cols=["k"], start_col="s", end_col="e",
+            gap="20min",
+        )
+        # the 15-minute hole bridges under gap=20min
+        assert got["n_merged"].tolist() == [2, 1]
+        assert got.loc[0, "e"] == base + pd.Timedelta("90min")
+
+    def test_as_dataset_route(self):
+        from ocr_platform_ray.ops.interval import coalesce_intervals
+
+        df = self._intervals(n=80)
+        got = coalesce_intervals(
+            rd.from_pandas(df), key_cols=["k"], start_col="s", end_col="e",
+            as_dataset=True,
+        )
+        assert isinstance(got, rd.Dataset)
+        got = got.to_pandas().sort_values(["k", "s", "e"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, self._naive(df), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedFill:
+    """ops/windows.grouped_fill — pandas groupby ffill/bfill reference
+    equality, leading/trailing NULL semantics, multi-column fill, block
+    independence, validation."""
+
+    def _frame(self, n=600, seed=3):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 30, size=n).astype("int64"),
+                "o": rng.permutation(n).astype("int64"),
+                "tie": np.arange(n, dtype="int64"),
+                "v": rng.randn(n),
+                "w": rng.choice(["x", "y", "z"], size=n).astype(object),
+            }
+        )
+        df.loc[df.index % 3 == 0, "v"] = np.nan
+        df.loc[df.index % 4 == 1, "w"] = None
+        return df
+
+    @staticmethod
+    def _naive(df, direction):
+        g = df.sort_values(["k", "o", "tie"]).reset_index(drop=True)
+        gb = g.groupby("k", sort=False)[["v", "w"]]
+        g[["v", "w"]] = gb.ffill() if direction == "ffill" else gb.bfill()
+        return g
+
+    @pytest.mark.parametrize("direction", ["ffill", "bfill"])
+    def test_matches_pandas(self, direction):
+        from ocr_platform_ray.ops.windows import grouped_fill
+
+        df = self._frame()
+        want = self._naive(df, direction)
+        outs = []
+        for parts in (1, 8):
+            got = grouped_fill(
+                rd.from_pandas(df).repartition(parts),
+                key_cols=["k"], order_col="o", tie_col="tie",
+                value_cols=["v", "w"], direction=direction,
+            )
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), want, check_dtype=False
+            )
+            outs.append(got.reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_leading_nulls_stay_null(self):
+        from ocr_platform_ray.ops.windows import grouped_fill
+
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2],
+                "o": [1, 2, 3, 1, 2],
+                "tie": [0, 1, 2, 3, 4],
+                "v": [np.nan, 5.0, np.nan, np.nan, np.nan],
+            }
+        )
+        got = grouped_fill(
+            rd.from_pandas(df), key_cols=["k"], order_col="o",
+            tie_col="tie", value_cols=["v"],
+        ).reset_index(drop=True)
+        assert np.isnan(got.loc[0, "v"])          # no donor before
+        assert got.loc[2, "v"] == 5.0             # carried forward
+        assert got.loc[3:, "v"].isna().all()      # key 2 never fills
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.windows import grouped_fill
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"k": [1], "o": [1], "tie": [0], "v": [1.0]})
+        )
+        with pytest.raises(ValueError, match="direction"):
+            grouped_fill(
+                ds, key_cols=["k"], order_col="o", tie_col="tie",
+                value_cols=["v"], direction="sideways",
+            )
