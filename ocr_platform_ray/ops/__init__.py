@@ -170,3 +170,7 @@ from .eval import (  # noqa: F401
 )
 from .pareto import pareto_frontier  # noqa: F401
 from .markov import grouped_transitions  # noqa: F401
+from .cohort import cohort_retention  # noqa: F401
+from .assoc import pair_cooccurrence  # noqa: F401
+from .colloc import pmi_bigrams  # noqa: F401
+from .frontier import politeness_order  # noqa: F401

@@ -6674,6 +6674,79 @@ def q_link_bfs_reach(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (`ops/cohort.cohort_retention`): users
+    bucket into the day of their first event; each (cohort, offset)
+    cell counts DISTINCT users from that cohort active that many days
+    later.  Three size-aware reduces + one size-aware join, exact int64
+    day indices — a MIN/JOIN/COUNT-DISTINCT SQL mirror hashes
+    identically.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.cohort import cohort_retention
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, key_col="user_id", ts_col="ts")
+
+
+def q_event_pair_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association mining (`ops/assoc.pair_cooccurrence`):
+    baskets = users, items = the DISTINCT event types each user fired;
+    every co-occurring pair gets exact counts plus support and lift.
+    One basket-hash exchange + one size-aware reduce; the float
+    expressions repeat the SQL mirror operand-for-operand.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.assoc import pair_cooccurrence
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    return pair_cooccurrence(ev, basket_col="user_id", item_col="event_type")
+
+
+def q_doc_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """PMI collocations over the documents corpus
+    (`ops/colloc.pmi_bigrams` — Church & Hanks 1990): adjacent-token
+    bigrams occurring >= 25 times ranked by pointwise mutual
+    information against token independence.  One tokenize pass into one
+    size-aware count reduce; ln() over exact int64 counts in the SQL
+    mirror's operand order (the bm25 ln-bit-identity precedent), ROUND
+    6 both sides.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.colloc import pmi_bigrams
+
+    docs = _t(sf_dir, "documents", ["text"])
+    out = pmi_bigrams(docs, text_col="text", min_count=25)
+    out["pmi"] = _round_half_away(out["pmi"], 6)
+    return out
+
+
+def q_crawl_frontier_order(sf_dir: str) -> pd.DataFrame:
+    """Politeness-interleaved crawl-frontier ordering
+    (`ops/frontier.politeness_order`): URLs synthesized from documents
+    (host = doc_id % 37) rank within host by n_chars priority, then the
+    global fetch position round-robins across hosts — the two-level
+    ROW_NUMBER window computed WITHOUT a global sort (two bounded
+    keyed exchanges + a broadcast host-count prefix table).  All int64;
+    full SQL oracle in TestTailQueryOracles."""
+    from ..ops.frontier import politeness_order
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def urls(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "host": np.char.add("h", (ids % 37).astype(str)),
+                "url": np.char.add("u", ids.astype(str)),
+                "pri": b["n_chars"].to_numpy(dtype="int64"),
+            }
+        )
+
+    out = politeness_order(
+        docs.map_batches(urls, batch_format="pandas"),
+        host_col="host",
+        priority_col="pri",
+        tie_cols=["url"],
+    )
+    return out[["host", "url", "pri", "r", "pos"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -6962,6 +7035,13 @@ QUERIES = {
     "user_activity_windows": q_user_activity_windows,
     "event_value_fill": q_event_value_fill,
     "link_bfs_reach": q_link_bfs_reach,
+    # round-4 session-11 tail additions, batch 2 (cohort retention,
+    # association lift, PMI collocations, crawl-frontier interleave —
+    # all SQL-oracled in TestTailQueryOracles)
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "event_pair_lift": q_event_pair_lift,
+    "doc_pmi_bigrams": q_doc_pmi_bigrams,
+    "crawl_frontier_order": q_crawl_frontier_order,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -8974,4 +9054,75 @@ ORACLE_SQL["link_bfs_reach"] = (
     "SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node "
     "WHERE d.dist < 30) "
     "SELECT node, MIN(dist) AS dist FROM d GROUP BY node"
+)
+
+# Cohort retention: first-day MIN per user, day offsets by integer floor
+# division of epoch microseconds, exact COUNT(DISTINCT) cells.
+ORACLE_SQL["user_retention_cohorts"] = (
+    "WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d "
+    "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "f AS (SELECT user_id, MIN(d) AS cohort FROM p GROUP BY user_id) "
+    'SELECT f.cohort, p.d - f.cohort AS "offset", '
+    "CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_keys "
+    "FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1, 2"
+)
+
+# Pair co-occurrence: DISTINCT (basket, item) set semantics, canonical
+# a<b self-join, and support/lift expressions repeated operand-for-
+# operand by ops/assoc.pair_cooccurrence.
+ORACLE_SQL["event_pair_lift"] = (
+    "WITH b AS (SELECT DISTINCT user_id, event_type FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+    "n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nb FROM b), "
+    "c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni "
+    "FROM b GROUP BY 1), "
+    "p AS (SELECT x.event_type AS item_a, y.event_type AS item_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pair FROM b x JOIN b y "
+    "ON x.user_id = y.user_id AND x.event_type < y.event_type "
+    "GROUP BY 1, 2) "
+    "SELECT p.item_a, p.item_b, p.n_pair, ca.ni AS n_a, cb.ni AS n_b, "
+    "CAST(p.n_pair AS DOUBLE) / n.nb AS support, "
+    "CAST(p.n_pair AS DOUBLE) * n.nb / (CAST(ca.ni AS DOUBLE) * cb.ni) "
+    "AS lift FROM p CROSS JOIN n "
+    "JOIN c ca ON ca.event_type = p.item_a "
+    "JOIN c cb ON cb.event_type = p.item_b"
+)
+
+# PMI collocations: the corpus' oracled tokenization (lower + split on
+# single spaces, empties dropped), adjacency over re-numbered kept
+# tokens, and ln() over the identical double expression; ROUND 6 both
+# sides absorbs the ln ULP.
+ORACLE_SQL["doc_pmi_bigrams"] = (
+    "WITH raw AS (SELECT doc_id, "
+    "unnest(string_split(lower(text), ' ')) AS tok, "
+    "generate_subscripts(string_split(lower(text), ' '), 1) AS pos "
+    "FROM documents), "
+    "t AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+    "s AS (SELECT doc_id, tok, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS rn FROM t), "
+    "bg AS (SELECT a.tok AS x, b.tok AS y, "
+    "CAST(COUNT(*) AS BIGINT) AS n_xy FROM s a JOIN s b "
+    "ON a.doc_id = b.doc_id AND b.rn = a.rn + 1 GROUP BY 1, 2), "
+    "u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+    "tots AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_tok, "
+    "(SELECT CAST(COALESCE(SUM(n_xy), 0) AS BIGINT) FROM bg) AS n_big) "
+    "SELECT bg.x, bg.y, bg.n_xy, ux.n AS n_x, uy.n AS n_y, "
+    "ROUND(LN(CAST(bg.n_xy AS DOUBLE) * tots.n_tok * tots.n_tok / "
+    "(CAST(tots.n_big AS DOUBLE) * ux.n * uy.n)), 6) AS pmi "
+    "FROM bg CROSS JOIN tots "
+    "JOIN u ux ON ux.tok = bg.x JOIN u uy ON uy.tok = bg.y "
+    "WHERE bg.n_xy >= 25"
+)
+
+# Crawl-frontier politeness interleave: the two-level ROW_NUMBER window
+# ops/frontier.politeness_order decomposes into exchanges + a prefix
+# table; synthesis is pure integer/string arithmetic.
+ORACLE_SQL["crawl_frontier_order"] = (
+    "WITH f AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host, "
+    "'u' || CAST(doc_id AS VARCHAR) AS url, n_chars AS pri "
+    "FROM documents), "
+    "r AS (SELECT host, url, pri, ROW_NUMBER() OVER "
+    "(PARTITION BY host ORDER BY pri DESC, url) AS r FROM f) "
+    "SELECT host, url, pri, r, "
+    "ROW_NUMBER() OVER (ORDER BY r, host) AS pos FROM r"
 )

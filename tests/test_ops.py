@@ -1742,6 +1742,10 @@ class TestTailQueryOracles:
             "user_activity_windows",
             "event_value_fill",
             "link_bfs_reach",
+            "user_retention_cohorts",
+            "event_pair_lift",
+            "doc_pmi_bigrams",
+            "crawl_frontier_order",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

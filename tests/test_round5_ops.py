@@ -4613,3 +4613,422 @@ class TestGroupedFill:
                 ds, key_cols=["k"], order_col="o", tie_col="tie",
                 value_cols=["v"], direction="sideways",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortRetention:
+    """ops/cohort.py — naive pandas reference equality, null dropping,
+    offset-0 = cohort size, block independence, empty input,
+    validation."""
+
+    _DAY = 86_400_000_000
+
+    def _events(self, n=800, seed=11, nulls=False):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, 60, size=n).astype("int64"),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 40 * 24, size=n), unit="h"),
+            }
+        )
+        if nulls:
+            df.loc[df.index % 13 == 0, "user_id"] = None
+            df.loc[df.index % 17 == 0, "ts"] = pd.NaT
+        return df
+
+    def _naive(self, df):
+        p = df.dropna().copy()
+        p["d"] = (
+            p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // self._DAY
+        )
+        first = p.groupby("user_id")["d"].transform("min")
+        p["cohort"] = first
+        p["offset"] = p["d"] - first
+        cells = p[["cohort", "offset", "user_id"]].drop_duplicates()
+        out = (
+            cells.groupby(["cohort", "offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_keys"})
+            .astype({"cohort": "int64", "offset": "int64", "n_keys": "int64"})
+        )
+        return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("nulls", [False, True])
+    def test_matches_naive(self, nulls):
+        from ocr_platform_ray.ops.cohort import cohort_retention
+
+        df = self._events(nulls=nulls)
+        want = self._naive(df)
+        outs = []
+        for parts in (1, 7):
+            got = cohort_retention(
+                rd.from_pandas(df).repartition(parts),
+                key_col="user_id",
+                ts_col="ts",
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+
+    def test_offset_zero_is_cohort_size(self):
+        from ocr_platform_ray.ops.cohort import cohort_retention
+
+        df = self._events(seed=3)
+        got = cohort_retention(
+            rd.from_pandas(df), key_col="user_id", ts_col="ts"
+        )
+        # every user appears in their own cohort at offset 0, and no
+        # later offset can exceed the cohort size
+        z = got[got["offset"] == 0].set_index("cohort")["n_keys"]
+        first = (
+            df.assign(
+                d=df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                // self._DAY
+            )
+            .groupby("user_id")["d"]
+            .min()
+        )
+        want = first.value_counts().sort_index()
+        assert z.sort_index().tolist() == want.tolist()
+        mx = got.groupby("cohort")["n_keys"].max()
+        assert (mx <= z.reindex(mx.index)).all()
+
+    def test_empty_and_validation(self):
+        from ocr_platform_ray.ops.cohort import cohort_retention
+
+        empty = self._events(n=4).iloc[:0]
+        got = cohort_retention(
+            rd.from_pandas(empty), key_col="user_id", ts_col="ts"
+        )
+        assert len(got) == 0
+        assert list(got.columns) == ["cohort", "offset", "n_keys"]
+        with pytest.raises(ValueError, match="period_us"):
+            cohort_retention(
+                rd.from_pandas(self._events(n=8)),
+                key_col="user_id",
+                ts_col="ts",
+                period_us=0,
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPairCooccurrence:
+    """ops/assoc.py — naive itertools reference equality (counts,
+    support, lift), duplicate-row collapse, min_pair_count, the
+    max_items_per_basket skew cap, block independence, validation."""
+
+    def _rows(self, n=900, seed=23):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "basket": rng.randint(0, 80, size=n).astype("int64"),
+                "item": rng.choice(list("abcdefg"), size=n),
+            }
+        )
+
+    @staticmethod
+    def _naive(df, min_pair_count=1, cap=None):
+        from itertools import combinations
+
+        b = df.dropna().drop_duplicates()
+        n_total = b["basket"].nunique()
+        item_n = b.groupby("item").size()
+        pairs = {}
+        for _, g in b.groupby("basket"):
+            items = sorted(g["item"])
+            if cap is not None and len(items) > cap:
+                continue
+            for x, y in combinations(items, 2):
+                pairs[(x, y)] = pairs.get((x, y), 0) + 1
+        rows = []
+        for (x, y), n in sorted(pairs.items()):
+            if n < min_pair_count:
+                continue
+            na, nb = int(item_n[x]), int(item_n[y])
+            rows.append(
+                {
+                    "item_a": x,
+                    "item_b": y,
+                    "n_pair": n,
+                    "n_a": na,
+                    "n_b": nb,
+                    "support": float(n) / np.float64(n_total),
+                    "lift": (float(n) * np.float64(n_total))
+                    / (np.float64(na) * np.float64(nb)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_matches_naive(self):
+        from ocr_platform_ray.ops.assoc import pair_cooccurrence
+
+        df = self._rows()
+        want = self._naive(df)
+        outs = []
+        for parts in (1, 9):
+            got = pair_cooccurrence(
+                rd.from_pandas(df).repartition(parts),
+                basket_col="basket",
+                item_col="item",
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_duplicates_collapse_and_min_count(self):
+        from ocr_platform_ray.ops.assoc import pair_cooccurrence
+
+        df = self._rows(n=300, seed=5)
+        dup = pd.concat([df, df, df], ignore_index=True)  # set semantics
+        a = pair_cooccurrence(
+            rd.from_pandas(df), basket_col="basket", item_col="item"
+        )
+        b = pair_cooccurrence(
+            rd.from_pandas(dup), basket_col="basket", item_col="item"
+        )
+        pd.testing.assert_frame_equal(a, b)
+        m = pair_cooccurrence(
+            rd.from_pandas(df),
+            basket_col="basket",
+            item_col="item",
+            min_pair_count=10,
+        )
+        want = self._naive(df, min_pair_count=10)
+        pd.testing.assert_frame_equal(m, want, check_dtype=False)
+        assert (m["n_pair"] >= 10).all()
+
+    def test_max_items_cap(self):
+        from ocr_platform_ray.ops.assoc import pair_cooccurrence
+
+        df = self._rows(n=600, seed=9)
+        got = pair_cooccurrence(
+            rd.from_pandas(df).repartition(5),
+            basket_col="basket",
+            item_col="item",
+            max_items_per_basket=4,
+        )
+        want = self._naive(df, cap=4)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # marginals/N still count capped baskets: support unchanged for
+        # a pair also present without the cap
+        full = pair_cooccurrence(
+            rd.from_pandas(df), basket_col="basket", item_col="item"
+        )
+        joint = got.merge(full, on=["item_a", "item_b"], suffixes=("_c", "_f"))
+        assert (joint["n_a_c"] == joint["n_a_f"]).all()
+        with pytest.raises(ValueError, match="max_items_per_basket"):
+            pair_cooccurrence(
+                rd.from_pandas(df),
+                basket_col="basket",
+                item_col="item",
+                max_items_per_basket=1,
+            )
+
+    def test_empty(self):
+        from ocr_platform_ray.ops.assoc import pair_cooccurrence
+
+        got = pair_cooccurrence(
+            rd.from_pandas(self._rows(n=6).iloc[:0]),
+            basket_col="basket",
+            item_col="item",
+        )
+        assert len(got) == 0
+        assert list(got.columns) == [
+            "item_a", "item_b", "n_pair", "n_a", "n_b", "support", "lift",
+        ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPmiBigrams:
+    """ops/colloc.py — naive Python reference equality (tokenization,
+    adjacency over kept tokens, exact counts, the ln expression),
+    multi-space adjacency rule, min_count, block independence, empty
+    corpus, validation."""
+
+    def _docs(self, n=120, seed=7):
+        rng = np.random.RandomState(seed)
+        vocab = ["alpha", "beta", "gamma", "delta", "Epsilon", "zeta"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+            for _ in range(n)
+        ]
+        texts[0] = "alpha  beta   alpha beta"  # multi-space adjacency
+        texts[1] = ""  # empty doc
+        return pd.DataFrame({"text": texts})
+
+    @staticmethod
+    def _naive(df, min_count):
+        import math
+        from collections import Counter
+
+        uni, bi = Counter(), Counter()
+        n_tok = n_big = 0
+        for t in df["text"].fillna(""):
+            toks = [w for w in t.lower().split(" ") if w != ""]
+            uni.update(toks)
+            n_tok += len(toks)
+            for x, y in zip(toks[:-1], toks[1:]):
+                bi[(x, y)] += 1
+                n_big += 1
+        rows = []
+        for (x, y), n in sorted(bi.items()):
+            if n < min_count:
+                continue
+            pmi = math.log(
+                (float(n) * n_tok * n_tok)
+                / (float(n_big) * uni[x] * uni[y])
+            )
+            rows.append(
+                {
+                    "x": x, "y": y, "n_xy": n,
+                    "n_x": uni[x], "n_y": uni[y], "pmi": pmi,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_matches_naive(self):
+        from ocr_platform_ray.ops.colloc import pmi_bigrams
+
+        df = self._docs()
+        want = self._naive(df, min_count=3)
+        outs = []
+        for parts in (1, 8):
+            got = pmi_bigrams(
+                rd.from_pandas(df).repartition(parts),
+                text_col="text",
+                min_count=3,
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+
+    def test_multispace_adjacency_and_lowering(self):
+        from ocr_platform_ray.ops.colloc import pmi_bigrams
+
+        df = pd.DataFrame({"text": ["Word  pair", "word pair", "word pair"]})
+        got = pmi_bigrams(rd.from_pandas(df), min_count=1)
+        # empties dropped BEFORE pairing: the double space still yields
+        # the (word, pair) bigram; 'Word' lowers into the same token
+        assert got.loc[
+            (got["x"] == "word") & (got["y"] == "pair"), "n_xy"
+        ].tolist() == [3]
+
+    def test_empty_and_validation(self):
+        from ocr_platform_ray.ops.colloc import pmi_bigrams
+
+        got = pmi_bigrams(
+            rd.from_pandas(pd.DataFrame({"text": ["", "   ", None]})),
+            min_count=1,
+        )
+        assert len(got) == 0
+        assert list(got.columns) == ["x", "y", "n_xy", "n_x", "n_y", "pmi"]
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_bigrams(
+                rd.from_pandas(pd.DataFrame({"text": ["a b"]})), min_count=0
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPolitenessOrder:
+    """ops/frontier.py — two-level ROW_NUMBER ground truth, round-robin
+    prefix property, ascending priority, block independence, null-host
+    drop, as_dataset route, validation."""
+
+    def _urls(self, n=500, seed=31, hosts=23):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "host": np.char.add(
+                    "h", rng.randint(0, hosts, size=n).astype(str)
+                ),
+                "url": np.char.add("u", np.arange(n).astype(str)),
+                "pri": rng.randint(0, 9, size=n).astype("int64"),
+            }
+        )
+
+    @staticmethod
+    def _naive(df, descending=True):
+        g = df.sort_values(
+            ["host", "pri", "url"], ascending=[True, not descending, True],
+            kind="mergesort",
+        ).copy()
+        g["r"] = (g.groupby("host", sort=False).cumcount() + 1).astype("int64")
+        g = g.sort_values(["r", "host"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["pos"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["host", "url", "pri", "r", "pos"]].reset_index(drop=True)
+
+    @pytest.mark.parametrize("descending", [True, False])
+    def test_matches_two_level_window(self, descending):
+        from ocr_platform_ray.ops.frontier import politeness_order
+
+        df = self._urls()
+        want = self._naive(df, descending=descending)
+        outs = []
+        for parts in (1, 7):
+            got = politeness_order(
+                rd.from_pandas(df).repartition(parts),
+                host_col="host",
+                priority_col="pri",
+                tie_cols=["url"],
+                descending=descending,
+            )
+            pd.testing.assert_frame_equal(
+                got[["host", "url", "pri", "r", "pos"]], want,
+                check_dtype=False,
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_round_robin_prefix(self):
+        from ocr_platform_ray.ops.frontier import politeness_order
+
+        df = self._urls(seed=2, hosts=11)
+        got = politeness_order(
+            rd.from_pandas(df), host_col="host", priority_col="pri",
+            tie_cols=["url"],
+        )
+        n_hosts = df["host"].nunique()
+        head = got[got["pos"] <= n_hosts]
+        # the first pass touches every host exactly once, with its top URL
+        assert sorted(head["host"]) == sorted(df["host"].unique())
+        assert (head["r"] == 1).all()
+
+    def test_null_hosts_drop_and_as_dataset(self):
+        from ocr_platform_ray.ops.frontier import politeness_order
+
+        df = self._urls(n=60, seed=4).astype({"host": "object"})
+        df.loc[df.index % 5 == 0, "host"] = None
+        want = self._naive(df.dropna(subset=["host"]))
+        res = politeness_order(
+            rd.from_pandas(df), host_col="host", priority_col="pri",
+            tie_cols=["url"], as_dataset=True,
+        )
+        assert isinstance(res, rd.Dataset)
+        got = (
+            res.to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)[["host", "url", "pri", "r", "pos"]]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_validation_and_empty(self):
+        from ocr_platform_ray.ops.frontier import politeness_order
+
+        df = self._urls(n=8)
+        with pytest.raises(ValueError, match="tie_cols"):
+            politeness_order(
+                rd.from_pandas(df), host_col="host", priority_col="pri",
+                tie_cols=[],
+            )
+        df2 = df.astype({"host": "object"})
+        df2["host"] = None
+        got = politeness_order(
+            rd.from_pandas(df2), host_col="host", priority_col="pri",
+            tie_cols=["url"],
+        )
+        assert len(got) == 0
+        assert "pos" in got.columns
