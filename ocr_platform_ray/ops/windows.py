@@ -798,3 +798,167 @@ def grouped_fill(
         ds, key_cols, keep, per_shard, n_shards, as_dataset,
         [*key_cols, order_col, tie_col],
     )
+
+
+def grouped_decay_window(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    weights: list[float],
+    normalize: bool = True,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+    out_col: str = "decay",
+) -> pd.DataFrame | rd.Dataset:
+    """Trailing decay-weighted window score — the recency-weighted
+    activity signal (crawl-source freshness, user engagement decay,
+    telemetry smoothing): for each row, ``Σ_j w_j · value(lag j)``
+    over its key's (order, tie) timeline, optionally normalized by the
+    weights actually present (the truncated-EWMA form — ``weights =
+    [1, a, a², …]``).  Missing lags (partition head) and NULL values
+    contribute neither value nor weight, exactly SQL's
+    ``COALESCE(w_j * LAG(value, j) OVER win, 0)`` with a matching CASE
+    in the denominator — the float arithmetic repeats that expression
+    operand-for-operand (left-associated additions), so a LAG-chain SQL
+    mirror produces bit-identical doubles.
+
+    Scale shape: ONE bounded ``hash(key) % n_shards`` exchange (the
+    `grouped_shift` scaffold), then per shard one vectorized pass — a
+    mergesort and len(weights) shifted adds; no per-key Python."""
+    if not weights:
+        raise ValueError("weights must name at least one coefficient")
+    keep = list(dict.fromkeys([*key_cols, order_col, tie_col, value_col]))
+    w = [float(x) for x in weights]
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*key_cols, order_col, tie_col], kind="mergesort"
+        ).reset_index(drop=True)
+        x = g[value_col].to_numpy(dtype="float64")
+        gid = g.groupby(key_cols, sort=False).ngroup().to_numpy()
+        n = len(g)
+        num = w[0] * x
+        valid0 = ~np.isnan(x)
+        num = np.where(valid0, num, 0.0)
+        den = np.where(valid0, w[0], 0.0)
+        for j, wj in enumerate(w[1:], start=1):
+            if j >= n:
+                break
+            xs = np.concatenate([np.full(j, np.nan), x[:-j]])
+            same = np.concatenate([np.zeros(j, bool), gid[j:] == gid[:-j]])
+            valid = same & ~np.isnan(xs)
+            num = num + np.where(valid, wj * xs, 0.0)
+            den = den + np.where(valid, wj, 0.0)
+        g[out_col] = num / den if normalize else num
+        return g
+
+    return _keyed_window(
+        ds, key_cols, keep, per_shard, n_shards, as_dataset,
+        [*key_cols, order_col, tie_col],
+    )
+
+
+def global_row_number(
+    ds: rd.Dataset,
+    *,
+    order_cols: list[str],
+    columns: list[str] | None = None,
+    n_buckets: int = 64,
+    sketch_k: int = 512,
+    as_dataset: bool = False,
+    out_col: str = "rn",
+) -> pd.DataFrame | rd.Dataset:
+    """Distributed total-order ``ROW_NUMBER() OVER (ORDER BY ...)`` —
+    a 1-based global position WITHOUT a single-node sort: cutoffs on
+    the leading order column come from one mergeable quantile-sketch
+    reduce, rows range-partition by those cutoffs (equal leading values
+    always co-locate, so the tuple order never straddles buckets), a
+    per-bucket count reduce gives the driver a bucket-dim prefix table,
+    and ONE range exchange sorts each bucket locally and adds its
+    offset.  Exactly the layout writer's range-exchange shape plus the
+    politeness-order offset trick.
+
+    ``order_cols`` must form a TOTAL order (include a unique tiebreaker)
+    and the leading column must be numeric (the sketch's domain —
+    string leading keys take the `cluster_write_str` sample approach).
+    NULLs in the leading column sort last (DuckDB's ASC default).
+    ``columns`` projects what rides the exchange (default: everything).
+    """
+    from .layout import _cutoffs_from_sketch
+
+    ocols = list(order_cols)
+    if not ocols:
+        raise ValueError("order_cols must name at least one column")
+    lead = ocols[0]
+    keep = (
+        list(dict.fromkeys([*ocols, *(columns or [])]))
+        if columns is not None
+        else None
+    )
+
+    proj = (
+        ds.map_batches(lambda b: b[keep], batch_format="pandas")
+        if keep is not None
+        else ds
+    ).materialize()  # consumed by the sketch, the count reduce, the exchange
+
+    cutoffs = _cutoffs_from_sketch(
+        proj.map_batches(
+            lambda b: b[[lead]].dropna(), batch_format="pandas"
+        ),
+        lead,
+        n_buckets,
+        sketch_k,
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b[lead].to_numpy(dtype="float64")
+        bk = np.searchsorted(cutoffs, v, side="right").astype("int64")
+        bk[np.isnan(v)] = len(cutoffs)  # NULLS LAST
+        b["__bucket"] = bk
+        return b
+
+    counts = auto_group_agg(
+        proj.map_batches(
+            lambda b: add_bucket(b)
+            .groupby("__bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            batch_format="pandas",
+        ),
+        ["__bucket"],
+        {"c": ("c", "sum")},
+    )
+    if not isinstance(counts, pd.DataFrame):
+        counts = counts.to_pandas()
+    offsets = np.zeros(len(cutoffs) + 2, dtype="int64")
+    if counts.shape[1] > 0 and len(counts):
+        per = np.zeros(len(cutoffs) + 1, dtype="int64")
+        per[counts["__bucket"].to_numpy(dtype="int64")] = counts[
+            "c"
+        ].to_numpy(dtype="int64")
+        offsets[1:] = np.cumsum(per)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket").sort_values(
+            ocols, kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+        g[out_col] = offsets[bk] + np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    res = (
+        proj.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    if as_dataset:
+        return res
+    out = res.to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values(out_col, kind="mergesort").reset_index(drop=True)

@@ -6747,6 +6747,44 @@ def q_crawl_frontier_order(sf_dir: str) -> pd.DataFrame:
     return out[["host", "url", "pri", "r", "pos"]]
 
 
+def q_event_value_decay(sf_dir: str) -> pd.DataFrame:
+    """Trailing decay-weighted value score per user
+    (`ops/windows.grouped_decay_window` — the truncated-EWMA recency
+    signal, weights 1/0.5/0.25/0.125 over the last four readings): one
+    bounded keyed exchange + a vectorized LAG-chain per shard, float
+    arithmetic repeating the SQL mirror operand-for-operand.  Full SQL
+    oracle in TestTailQueryOracles."""
+    from ..ops.windows import grouped_decay_window
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_decay_window(
+        ev,
+        key_cols=["user_id"],
+        order_col="ts",
+        tie_col="event_id",
+        value_col="value",
+        weights=[1.0, 0.5, 0.25, 0.125],
+    )
+    return (
+        out[["event_id", "user_id", "decay"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_global_rownum(sf_dir: str) -> pd.DataFrame:
+    """Distributed global ROW_NUMBER over (o_totalprice, o_orderkey)
+    (`ops/windows.global_row_number`): quantile-sketch range cutoffs +
+    a bucket-count prefix table turn the global total order into ONE
+    range exchange with per-bucket local sorts — no single-node sort.
+    Exact int64 positions; full SQL oracle in TestTailQueryOracles."""
+    from ..ops.windows import global_row_number
+
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = global_row_number(od, order_cols=["o_totalprice", "o_orderkey"])
+    return out[["o_orderkey", "o_totalprice", "rn"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7042,6 +7080,8 @@ QUERIES = {
     "event_pair_lift": q_event_pair_lift,
     "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "crawl_frontier_order": q_crawl_frontier_order,
+    "event_value_decay": q_event_value_decay,
+    "orders_global_rownum": q_orders_global_rownum,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9117,6 +9157,30 @@ ORACLE_SQL["doc_pmi_bigrams"] = (
 # Crawl-frontier politeness interleave: the two-level ROW_NUMBER window
 # ops/frontier.politeness_order decomposes into exchanges + a prefix
 # table; synthesis is pure integer/string arithmetic.
+# Decay window: the LAG-chain mirror of grouped_decay_window — every
+# numerator/denominator term COALESCEd exactly as the op masks it,
+# additions left-associated in the same order.
+ORACLE_SQL["event_value_decay"] = (
+    "WITH w AS (SELECT user_id, event_id, value, "
+    "LAG(value, 1) OVER win AS l1, LAG(value, 2) OVER win AS l2, "
+    "LAG(value, 3) OVER win AS l3 FROM events "
+    "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_id, user_id, "
+    "(COALESCE(1.0 * value, 0) + COALESCE(0.5 * l1, 0) "
+    "+ COALESCE(0.25 * l2, 0) + COALESCE(0.125 * l3, 0)) / "
+    "(CASE WHEN value IS NULL THEN 0 ELSE 1.0 END "
+    "+ CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END "
+    "+ CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END "
+    "+ CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END) AS decay FROM w"
+)
+
+# Global ROW_NUMBER: the one-window mirror of global_row_number's
+# range-exchange + prefix-offset decomposition.
+ORACLE_SQL["orders_global_rownum"] = (
+    "SELECT o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+    "(ORDER BY o_totalprice, o_orderkey) AS rn FROM orders"
+)
+
 ORACLE_SQL["crawl_frontier_order"] = (
     "WITH f AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host, "
     "'u' || CAST(doc_id AS VARCHAR) AS url, n_chars AS pri "

@@ -1746,6 +1746,8 @@ class TestTailQueryOracles:
             "event_pair_lift",
             "doc_pmi_bigrams",
             "crawl_frontier_order",
+            "event_value_decay",
+            "orders_global_rownum",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

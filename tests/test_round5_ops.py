@@ -5032,3 +5032,173 @@ class TestPolitenessOrder:
         )
         assert len(got) == 0
         assert "pos" in got.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedDecayWindow:
+    """ops/windows.grouped_decay_window — naive per-key LAG-chain
+    reference equality (incl. NULL values), normalize=False,
+    block independence, validation."""
+
+    def _events(self, n=500, seed=17, nulls=False):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 30, size=n).astype("int64"),
+                "o": rng.permutation(n).astype("int64"),
+                "tie": np.arange(n, dtype="int64"),
+                "v": rng.uniform(0, 100, size=n),
+            }
+        )
+        if nulls:
+            df.loc[df.index % 7 == 0, "v"] = np.nan
+        return df
+
+    @staticmethod
+    def _naive(df, weights, normalize=True):
+        rows = []
+        for _, g in df.groupby("k"):
+            g = g.sort_values(["o", "tie"])
+            v = g["v"].tolist()
+            for i in range(len(v)):
+                num, den = 0.0, 0.0
+                for j, w in enumerate(weights):
+                    if i - j < 0:
+                        continue
+                    x = v[i - j]
+                    if x == x:  # not NaN
+                        num = num + w * x
+                        den = den + w
+                rows.append(
+                    {
+                        "k": g["k"].iloc[i],
+                        "o": g["o"].iloc[i],
+                        "tie": g["tie"].iloc[i],
+                        "decay": (num / den if den else np.nan)
+                        if normalize
+                        else num,
+                    }
+                )
+        return (
+            pd.DataFrame(rows)
+            .sort_values(["k", "o", "tie"])
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("nulls", [False, True])
+    def test_matches_naive(self, nulls):
+        from ocr_platform_ray.ops.windows import grouped_decay_window
+
+        df = self._events(nulls=nulls)
+        w = [1.0, 0.5, 0.25, 0.125]
+        want = self._naive(df, w)
+        outs = []
+        for parts in (1, 6):
+            got = grouped_decay_window(
+                rd.from_pandas(df).repartition(parts),
+                key_cols=["k"], order_col="o", tie_col="tie",
+                value_col="v", weights=w,
+            )
+            pd.testing.assert_frame_equal(
+                got[["k", "o", "tie", "decay"]], want, check_dtype=False
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+
+    def test_unnormalized_and_validation(self):
+        from ocr_platform_ray.ops.windows import grouped_decay_window
+
+        df = self._events(n=120, seed=3)
+        w = [2.0, 1.0]
+        got = grouped_decay_window(
+            rd.from_pandas(df), key_cols=["k"], order_col="o",
+            tie_col="tie", value_col="v", weights=w, normalize=False,
+        )
+        want = self._naive(df, w, normalize=False)
+        pd.testing.assert_frame_equal(
+            got[["k", "o", "tie", "decay"]], want, check_dtype=False
+        )
+        with pytest.raises(ValueError, match="weights"):
+            grouped_decay_window(
+                rd.from_pandas(df), key_cols=["k"], order_col="o",
+                tie_col="tie", value_col="v", weights=[],
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRowNumber:
+    """ops/windows.global_row_number — single-sort ground truth, heavy
+    duplicate leading values across cutoffs, NaN-last rule, projection,
+    block independence, as_dataset, validation."""
+
+    def _rows(self, n=700, seed=41, dups=False):
+        rng = np.random.RandomState(seed)
+        lead = (
+            rng.randint(0, 9, size=n).astype("float64")
+            if dups
+            else rng.uniform(0, 1000, size=n)
+        )
+        return pd.DataFrame(
+            {
+                "price": lead,
+                "key": rng.permutation(n).astype("int64"),
+                "extra": rng.randint(0, 5, size=n).astype("int64"),
+            }
+        )
+
+    @staticmethod
+    def _naive(df):
+        out = df.sort_values(
+            ["price", "key"], kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+        out["rn"] = np.arange(1, len(out) + 1, dtype="int64")
+        return out
+
+    @pytest.mark.parametrize("dups", [False, True])
+    def test_matches_single_sort(self, dups):
+        from ocr_platform_ray.ops.windows import global_row_number
+
+        df = self._rows(dups=dups)
+        want = self._naive(df)
+        outs = []
+        for parts in (1, 8):
+            got = global_row_number(
+                rd.from_pandas(df).repartition(parts),
+                order_cols=["price", "key"],
+                n_buckets=7,
+            )
+            pd.testing.assert_frame_equal(
+                got[["price", "key", "extra", "rn"]],
+                want[["price", "key", "extra", "rn"]],
+                check_dtype=False,
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_nan_last_projection_and_as_dataset(self):
+        from ocr_platform_ray.ops.windows import global_row_number
+
+        df = self._rows(n=90, seed=2)
+        df.loc[df.index % 10 == 0, "price"] = np.nan
+        want = self._naive(df)
+        res = global_row_number(
+            rd.from_pandas(df),
+            order_cols=["price", "key"],
+            columns=["price", "key"],  # 'extra' must not ride the exchange
+            n_buckets=5,
+            as_dataset=True,
+        )
+        assert isinstance(res, rd.Dataset)
+        got = res.to_pandas().sort_values("rn").reset_index(drop=True)
+        assert list(got.columns) == ["price", "key", "rn"]
+        pd.testing.assert_frame_equal(
+            got, want[["price", "key", "rn"]], check_dtype=False
+        )
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.windows import global_row_number
+
+        with pytest.raises(ValueError, match="order_cols"):
+            global_row_number(
+                rd.from_pandas(self._rows(n=8)), order_cols=[]
+            )
