@@ -14,9 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
-from .relational import auto_group_agg
+from .relational import auto_group_agg, grouped_percentile_exact
 
 
 def _render(v) -> str | None:
@@ -439,7 +440,7 @@ def key_skew_profile(
     ``recommendation``: "broadcast-hot-keys" when the hottest key holds
     > ``hot_fraction`` of all rows (the ``skew_join``/salting regime),
     else "hash-partition" (uniform enough for the standard exchange)."""
-    from .relational import auto_group_agg
+    from .relational import auto_group_agg, grouped_percentile_exact
     from .sketch import heavy_hitters
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -496,3 +497,156 @@ def key_skew_profile(
         "broadcast-hot-keys" if result["max_fraction"] > hot_fraction else "hash-partition"
     )
     return result
+
+
+def welch_t_test(
+    ds: "rd.Dataset",
+    value_col: str,
+    variant_col: str,
+    variant_a,
+    variant_b,
+    group_cols: list[str] | None = None,
+    *,
+    scale: int = 100,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t statistic (the A/B
+    experiment readout) per group: for each ``group_cols`` cell, compare
+    ``value_col`` between rows where ``variant_col`` equals
+    ``variant_a`` vs ``variant_b``.
+
+    Rides `grouped_moments`' exact scaled-integer contract — n, Σv, Σv²
+    per (group, variant) through the size-aware finish — so the final
+    doubles (mean, var, then t and the Welch–Satterthwaite df) are each
+    single IEEE expressions a SQL mirror repeats verbatim::
+
+        se²  = var_a/n_a + var_b/n_b
+        t    = (mean_a − mean_b) / sqrt(se²)
+        df   = se²·se² / ((var_a/n_a)²/(n_a−1) + (var_b/n_b)²/(n_b−1))
+
+    Groups missing a variant, or where either side has < 2 rows, are
+    dropped (SQL's inner join + n > 1 predicate).  Output is group-dim
+    sized (the report contract)."""
+    gcols = list(group_cols or [])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b[variant_col].isin([variant_a, variant_b])]
+        return out[[*gcols, variant_col, value_col]]
+
+    m = grouped_moments(
+        ds.map_batches(keep, batch_format="pandas"),
+        value_col,
+        [*gcols, variant_col],
+        scale=scale,
+        n_shards=n_shards,
+    )
+    m = m[m["n"] > 1]
+    a = m[m[variant_col] == variant_a].drop(columns=variant_col)
+    b = m[m[variant_col] == variant_b].drop(columns=variant_col)
+    if gcols:
+        j = a.merge(b, on=gcols, suffixes=("_a", "_b"))
+    else:
+        a = a.assign(__k=0)
+        b = b.assign(__k=0)
+        j = a.merge(b, on="__k", suffixes=("_a", "_b")).drop(columns="__k")
+    cols = [*gcols, "n_a", "n_b", "mean_a", "mean_b", "t", "df"]
+    if len(j) == 0:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "mean_a": pd.Series([], dtype="float64"),
+                "mean_b": pd.Series([], dtype="float64"),
+                "t": pd.Series([], dtype="float64"),
+                "df": pd.Series([], dtype="float64"),
+            }
+        )
+    na = j["n_a"].to_numpy(dtype="float64")
+    nb = j["n_b"].to_numpy(dtype="float64")
+    va = j["var_v_a"].to_numpy(dtype="float64") / na
+    vb = j["var_v_b"].to_numpy(dtype="float64") / nb
+    se2 = va + vb
+    j = j.rename(columns={"mean_v_a": "mean_a", "mean_v_b": "mean_b"})
+    # each line one SQL-mirrorable IEEE expression
+    j["t"] = (
+        j["mean_a"].to_numpy(dtype="float64")
+        - j["mean_b"].to_numpy(dtype="float64")
+    ) / np.sqrt(se2)
+    j["df"] = (se2 * se2) / (
+        (va * va) / (na - 1.0) + (vb * vb) / (nb - 1.0)
+    )
+    out = j[cols].copy()
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    sort = gcols if gcols else ["t"]
+    return out.sort_values(sort).reset_index(drop=True)
+
+
+def grouped_mad_outliers(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 3.0,
+    keep_cols: list[str] | None = None,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Robust per-group outlier detection by median absolute deviation:
+    a row is an outlier when ``|v − median| > k · MAD`` with both the
+    median and the MAD selected by the exact ``quantile_disc`` position
+    rule (``max(1, ceil(0.5·m))``) — position selection makes both
+    statistics exact data values, so the flag is a pure comparison of
+    identically-derived doubles and a ROW_NUMBER SQL mirror matches
+    bit-for-bit.  The robust alternative to z-scores for heavy-tailed
+    quality signals (a few giant documents cannot drag the threshold).
+
+    Scale shape: two `grouped_percentile_exact` passes (one keyed
+    exchange each — same skew caveat: prefer the sketch route for a
+    dominant group), with the group-dim (median, MAD) tables broadcast
+    (`ray.put`) into map-only deviation/flag passes.  Returns the
+    outlier rows with their group's median and MAD attached."""
+    gcols = list(group_cols)
+    carry = list(dict.fromkeys([*(keep_cols or []), *gcols, value_col]))
+
+    proj = ds.map_batches(
+        lambda b: b[carry].dropna(subset=[*gcols, value_col]),
+        batch_format="pandas",
+    ).materialize()  # consumed by both percentile passes + the flag pass
+
+    med = grouped_percentile_exact(proj, gcols, value_col, [0.5],
+                                   n_shards=n_shards)
+    med = med.rename(columns={value_col: "med"}).drop(columns="q")
+    med_ref = ray.put(med)
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(ray.get(med_ref), on=gcols)
+        m["__d"] = np.abs(
+            m[value_col].to_numpy(dtype="float64")
+            - m["med"].to_numpy(dtype="float64")
+        )
+        return m
+
+    mad = grouped_percentile_exact(
+        proj.map_batches(absdev, batch_format="pandas"), gcols, "__d", [0.5],
+        n_shards=n_shards,
+    )
+    mad = mad.rename(columns={"__d": "mad"}).drop(columns="q")
+    mad_ref = ray.put(mad)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m = absdev(b).merge(ray.get(mad_ref), on=gcols)
+        return m[m["__d"].to_numpy() > k * m["mad"].to_numpy()].drop(
+            columns="__d"
+        )
+
+    out = proj.map_batches(flag, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in carry},
+                "med": pd.Series([], dtype="float64"),
+                "mad": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values([*gcols, value_col]).reset_index(drop=True)

@@ -6785,6 +6785,52 @@ def q_orders_global_rownum(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderkey", "o_totalprice", "rn"]]
 
 
+def q_value_ab_welch(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test per day-of-week
+    (`ops/profile.welch_t_test` — the A/B experiment readout): click vs
+    view event values compared within each dow cell, all statistics
+    from exact scaled-integer moment sums, t and the Welch–Satterthwaite
+    df each a single mirrored IEEE expression.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.profile import welch_t_test
+
+    ev = _t(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86400000000
+        ) % 7
+        return pd.DataFrame(
+            {"dow": d, "event_type": b["event_type"], "value": b["value"]}
+        )
+
+    return welch_t_test(
+        ev.map_batches(add_dow, batch_format="pandas"),
+        "value",
+        "event_type",
+        "click",
+        "view",
+        ["dow"],
+    )
+
+
+def q_value_outliers_by_type(sf_dir: str) -> pd.DataFrame:
+    """Robust MAD outlier detection per event type
+    (`ops/profile.grouped_mad_outliers`): rows where |value − median| >
+    1.8·MAD, both statistics selected by the exact quantile_disc
+    position rule so every double is a data value and the flag is a
+    pure comparison — a ROW_NUMBER SQL mirror matches bit-for-bit.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_mad_outliers
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_mad_outliers(
+        ev, ["event_type"], "value", k=1.8, keep_cols=["event_id"]
+    )
+    return out[["event_id", "event_type", "value", "med", "mad"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7082,6 +7128,8 @@ QUERIES = {
     "crawl_frontier_order": q_crawl_frontier_order,
     "event_value_decay": q_event_value_decay,
     "orders_global_rownum": q_orders_global_rownum,
+    "value_ab_welch": q_value_ab_welch,
+    "value_outliers_by_type": q_value_outliers_by_type,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9172,6 +9220,58 @@ ORACLE_SQL["event_value_decay"] = (
     "+ CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END "
     "+ CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END "
     "+ CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END) AS decay FROM w"
+)
+
+# Welch t-test: the value_stddev_by_type integer-cents moment mirror
+# per (dow, variant), n>1 gate, then t / df each repeating the op's
+# IEEE expression verbatim (va+vb recomputed in SQL = same operands,
+# bit-identical).
+ORACLE_SQL["value_ab_welch"] = (
+    "WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, "
+    "event_type, CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+    "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS v FROM events "
+    "WHERE event_type IN ('click', 'view')), "
+    "a AS (SELECT dow, event_type, COUNT(*) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS s2 "
+    "FROM c GROUP BY 1, 2), "
+    "e AS (SELECT dow, event_type, n, "
+    "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_v, "
+    "((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / "
+    "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS var_v "
+    "FROM a WHERE n > 1), "
+    "j AS (SELECT x.dow, x.n AS n_a, y.n AS n_b, "
+    "x.mean_v AS mean_a, y.mean_v AS mean_b, "
+    "x.var_v / CAST(x.n AS DOUBLE) AS va, "
+    "y.var_v / CAST(y.n AS DOUBLE) AS vb, "
+    "CAST(x.n AS DOUBLE) AS naf, CAST(y.n AS DOUBLE) AS nbf "
+    "FROM e x JOIN e y ON x.dow = y.dow "
+    "AND x.event_type = 'click' AND y.event_type = 'view') "
+    "SELECT dow, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+    "mean_a, mean_b, (mean_a - mean_b) / SQRT(va + vb) AS t, "
+    "((va + vb) * (va + vb)) / "
+    "((va * va) / (naf - 1.0) + (vb * vb) / (nbf - 1.0)) AS df FROM j"
+)
+
+# MAD outliers: median and MAD both by the quantile_disc position rule
+# (the value_percentiles_by_type mirror), deviations/threshold pure
+# comparisons of identically-derived doubles.
+ORACLE_SQL["value_outliers_by_type"] = (
+    "WITH v AS (SELECT event_id, event_type, value FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+    "m AS (SELECT event_type, value AS med FROM ("
+    "SELECT event_type, value, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY value) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS m FROM v) "
+    "WHERE rn = GREATEST(1, CEIL(0.5 * m))), "
+    "d AS (SELECT v.event_id, v.event_type, v.value, m.med, "
+    "ABS(v.value - m.med) AS dd FROM v JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, dd AS mad FROM ("
+    "SELECT event_type, dd, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY dd) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS m FROM d) "
+    "WHERE rn = GREATEST(1, CEIL(0.5 * m))) "
+    "SELECT d.event_id, d.event_type, d.value, d.med, md.mad "
+    "FROM d JOIN md USING (event_type) WHERE d.dd > 1.8 * md.mad"
 )
 
 # Global ROW_NUMBER: the one-window mirror of global_row_number's

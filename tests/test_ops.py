@@ -1748,6 +1748,8 @@ class TestTailQueryOracles:
             "crawl_frontier_order",
             "event_value_decay",
             "orders_global_rownum",
+            "value_ab_welch",
+            "value_outliers_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

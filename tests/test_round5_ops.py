@@ -5202,3 +5202,168 @@ class TestGlobalRowNumber:
             global_row_number(
                 rd.from_pandas(self._rows(n=8)), order_cols=[]
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWelchTTest:
+    """ops/profile.welch_t_test — textbook-formula reference (rtol),
+    missing-variant / n<2 drop, global (ungrouped) route, block
+    independence, empty result."""
+
+    def _rows(self, n=800, seed=19, shift=20.0):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 5, size=n).astype("int64"),
+                "variant": rng.choice(["A", "B", "C"], size=n),
+                "v": rng.uniform(0, 50, size=n),
+            }
+        )
+        df.loc[df["variant"] == "A", "v"] += shift
+        return df
+
+    @staticmethod
+    def _naive(df, gcols):
+        rows = []
+        cents = lambda s: np.floor(np.abs(s) * 100 + 0.5) * np.sign(s) / 100
+        df = df.assign(v=cents(df["v"].to_numpy()))
+        groups = df.groupby(gcols) if gcols else [((), df)]
+        for key, g in groups:
+            a = g.loc[g["variant"] == "A", "v"]
+            b = g.loc[g["variant"] == "B", "v"]
+            if len(a) < 2 or len(b) < 2:
+                continue
+            va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+            t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+            dof = (va + vb) ** 2 / (
+                va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+            )
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append(
+                {
+                    **dict(zip(gcols, key)),
+                    "n_a": len(a), "n_b": len(b),
+                    "mean_a": a.mean(), "mean_b": b.mean(),
+                    "t": t, "df": dof,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_matches_textbook(self):
+        from ocr_platform_ray.ops.profile import welch_t_test
+
+        df = self._rows()
+        want = self._naive(df, ["g"])
+        outs = []
+        for parts in (1, 6):
+            got = welch_t_test(
+                rd.from_pandas(df).repartition(parts), "v", "variant",
+                "A", "B", ["g"],
+            )
+            assert got["g"].tolist() == want["g"].tolist()
+            for c in ("n_a", "n_b"):
+                assert got[c].tolist() == want[c].tolist()
+            for c in ("mean_a", "mean_b", "t", "df"):
+                np.testing.assert_allclose(
+                    got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9
+                )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+        # the planted +5 shift must read as a clearly positive t
+        assert (got["t"] > 3).all()
+
+    def test_global_route_and_drops(self):
+        from ocr_platform_ray.ops.profile import welch_t_test
+
+        df = self._rows(n=300, seed=7)
+        got = welch_t_test(rd.from_pandas(df), "v", "variant", "A", "B")
+        want = self._naive(df, [])
+        assert len(got) == 1
+        np.testing.assert_allclose(
+            got["t"].to_numpy(), want["t"].to_numpy(), rtol=1e-9
+        )
+        # a variant value absent from the data -> empty typed result
+        miss = welch_t_test(rd.from_pandas(df), "v", "variant", "A", "Z")
+        assert len(miss) == 0
+        assert list(miss.columns) == [
+            "n_a", "n_b", "mean_a", "mean_b", "t", "df",
+        ]
+        # n < 2 on one side drops the group
+        tiny = df[df["variant"] == "B"].iloc[:1]
+        one = pd.concat([df[df["variant"] == "A"], tiny], ignore_index=True)
+        assert len(welch_t_test(rd.from_pandas(one), "v", "variant",
+                                "A", "B")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMadOutliers:
+    """ops/profile.grouped_mad_outliers — position-rule naive reference
+    equality, k sensitivity, null dropping, block independence, empty
+    result."""
+
+    def _rows(self, n=400, seed=29):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "g": rng.choice(["x", "y", "z"], size=n),
+                "v": rng.normal(50, 5, size=n),
+            }
+        )
+        df.loc[df.index % 40 == 0, "v"] += 100  # planted outliers
+        return df
+
+    @staticmethod
+    def _naive(df, k):
+        import math
+
+        rows = []
+        for g, grp in df.dropna().groupby("g"):
+            vs = np.sort(grp["v"].to_numpy())
+            med = vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+            dd = np.abs(grp["v"].to_numpy(dtype="float64") - med)
+            mad = np.sort(dd)[max(1, math.ceil(0.5 * len(dd))) - 1]
+            m = dd > k * mad
+            sub = grp[m].copy()
+            sub["med"], sub["mad"] = med, mad
+            rows.append(sub)
+        out = pd.concat(rows, ignore_index=True)
+        return out.sort_values(["g", "v"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("k", [3.0, 1.5])
+    def test_matches_naive(self, k):
+        from ocr_platform_ray.ops.profile import grouped_mad_outliers
+
+        df = self._rows()
+        want = self._naive(df, k)[["id", "g", "v", "med", "mad"]]
+        outs = []
+        for parts in (1, 7):
+            got = grouped_mad_outliers(
+                rd.from_pandas(df).repartition(parts), ["g"], "v",
+                k=k, keep_cols=["id"],
+            )
+            pd.testing.assert_frame_equal(
+                got[["id", "g", "v", "med", "mad"]], want, check_dtype=False
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert len(got) > 0  # the planted spikes surface
+
+    def test_nulls_and_empty(self):
+        from ocr_platform_ray.ops.profile import grouped_mad_outliers
+
+        df = self._rows(n=120, seed=3)
+        df.loc[df.index % 9 == 0, "v"] = np.nan
+        want = self._naive(df, 3.0)[["id", "g", "v", "med", "mad"]]
+        got = grouped_mad_outliers(
+            rd.from_pandas(df), ["g"], "v", k=3.0, keep_cols=["id"]
+        )
+        pd.testing.assert_frame_equal(
+            got[["id", "g", "v", "med", "mad"]], want, check_dtype=False
+        )
+        tight = df.assign(v=1.0)  # zero MAD, zero deviations -> no rows
+        out = grouped_mad_outliers(
+            rd.from_pandas(tight), ["g"], "v", keep_cols=["id"]
+        )
+        assert len(out) == 0
+        assert "mad" in out.columns
