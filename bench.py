@@ -216,6 +216,20 @@ def run_once() -> dict:
         "bm25_incremental_top10",
         "link_clustering",
         "token_drift_en_rest",
+        # round-4 session-10/11 additions
+        "pareto_orders",
+        "event_transition_probs",
+        "user_activity_windows",
+        "event_value_fill",
+        "link_bfs_reach",
+        "user_retention_cohorts",
+        "event_pair_lift",
+        "doc_pmi_bigrams",
+        "crawl_frontier_order",
+        "event_value_decay",
+        "orders_global_rownum",
+        "value_ab_welch",
+        "value_outliers_by_type",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -650,3 +650,88 @@ def grouped_mad_outliers(
             }
         )
     return out.sort_values([*gcols, value_col]).reset_index(drop=True)
+
+
+def grouped_scale(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    *,
+    method: str = "zscore",
+    scale: int = 100,
+    keep_cols: list[str] | None = None,
+    out_col: str = "scaled",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Per-group feature scaling — the ML-preprocessing normalization
+    pass: ``method="zscore"`` maps v to ``(v − mean)/stddev`` with the
+    moments from `grouped_moments`' exact scaled-integer contract;
+    ``method="minmax"`` maps to ``(v − min)/(max − min)`` with exact
+    selected extrema.  Degenerate groups (stddev 0 / max == min / n < 2)
+    yield NULL, matching the SQL CASE gate.  Every double is one
+    mirrored IEEE expression over identically-derived operands, so a
+    moments-CTE SQL oracle hashes identically.
+
+    Scale shape: one combiner reduce for the group-dim statistics table
+    (the report contract), broadcast via ``ray.put`` into a map-only
+    transform — the values themselves never move."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"method must be 'zscore' or 'minmax', got {method}")
+    gcols = list(group_cols)
+    carry = list(dict.fromkeys([*(keep_cols or []), *gcols, value_col]))
+
+    proj = ds.map_batches(
+        lambda b: b[carry].dropna(subset=[*gcols, value_col]),
+        batch_format="pandas",
+    ).materialize()  # consumed by the stats reduce AND the transform
+
+    if method == "zscore":
+        m = grouped_moments(proj, value_col, gcols, scale=scale,
+                            n_shards=n_shards)
+        stats = m[[*gcols, "mean_v", "stddev_v"]]
+    else:
+        red = auto_group_agg(
+            proj.map_batches(
+                lambda b: b.groupby(gcols, as_index=False)[value_col].agg(
+                    mn="min", mx="max"
+                ),
+                batch_format="pandas",
+            ),
+            gcols,
+            {"mn": ("mn", "min"), "mx": ("mx", "max")},
+            n_shards=n_shards,
+        )
+        stats = red if isinstance(red, pd.DataFrame) else red.to_pandas()
+    stats_ref = ray.put(stats)
+
+    def transform(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(ray.get(stats_ref), on=gcols)
+        v = m[value_col].to_numpy(dtype="float64")
+        if method == "zscore":
+            sd = m["stddev_v"].to_numpy(dtype="float64")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (v - m["mean_v"].to_numpy(dtype="float64")) / sd
+            m[out_col] = np.where(sd > 0, z, np.nan)
+            m = m.drop(columns=["mean_v", "stddev_v"])
+        else:
+            mn = m["mn"].to_numpy(dtype="float64")
+            mx = m["mx"].to_numpy(dtype="float64")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (v - mn) / (mx - mn)
+            m[out_col] = np.where(mx > mn, z, np.nan)
+            m = m.drop(columns=["mn", "mx"])
+        return m
+
+    res = proj.map_batches(transform, batch_format="pandas")
+    if as_dataset:
+        return res
+    out = res.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in carry},
+                out_col: pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values([*gcols, value_col]).reset_index(drop=True)

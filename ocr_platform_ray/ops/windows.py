@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relational import _typed_empty, auto_group_agg
+from .relational import _hash_labels, _typed_empty, auto_group_agg
 
 
 def _normalize_finish(reduced, *, as_dataset: bool, sort_keys: list[str]):
@@ -962,3 +962,80 @@ def global_row_number(
     if len(out) == 0:
         return out
     return out.sort_values(out_col, kind="mergesort").reset_index(drop=True)
+
+
+def densify_buckets(
+    ds: rd.Dataset,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    bucket_us: int,
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Gap-filled dense time buckets — the series-densification step
+    behind monitoring/seasonality pipelines (a bucket with no events
+    must exist WITH n=0, or downstream rates/alerts silently skip it):
+    per key, every bucket between that key's first and last activity,
+    with exact event counts and zeros for the gaps.  Exactly SQL's
+    ``generate_series(min, max)`` LEFT JOIN counts COALESCE 0.
+
+    Scale shape: counts pre-combine per batch to (key, bucket, n)
+    partials — the raw events never move — and ONE bounded
+    ``hash(key) % n_shards`` exchange co-locates each key's partials;
+    per shard one vectorized pass sums partials, expands every key's
+    [min, max] bucket range (np.repeat + cumulative arange), and
+    left-merges the counts.  Output is (keys × their spans)-sized by
+    definition; NULL keys/timestamps drop."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    gcols = list(key_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[*gcols, ts_col]].dropna()
+        p = (
+            b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            // bucket_us
+        )
+        sub = b[gcols].copy()
+        sub["bucket"] = p
+        out = sub.groupby([*gcols, "bucket"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype("int64")
+        out["__shard"] = _hash_labels(out, gcols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard")
+        c = g.groupby([*gcols, "bucket"], as_index=False)["n"].sum()
+        r = c.groupby(gcols)["bucket"].agg(mn="min", mx="max").reset_index()
+        spans = (r["mx"] - r["mn"] + 1).to_numpy(dtype="int64")
+        total = int(spans.sum())
+        idx = np.repeat(np.arange(len(r), dtype="int64"), spans)
+        starts = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        # 0..span-1 within each key, fully vectorized
+        within = np.arange(total, dtype="int64") - np.repeat(starts, spans)
+        dense = r.iloc[idx][gcols].reset_index(drop=True)
+        dense["bucket"] = r["mn"].to_numpy(dtype="int64")[idx] + within
+        out = dense.merge(c, on=[*gcols, "bucket"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        return out
+
+    res = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+    )
+    if as_dataset:
+        return res
+    out = res.to_pandas()
+    if len(out) == 0 or out.shape[1] == 0:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "bucket": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values([*gcols, "bucket"]).reset_index(drop=True)

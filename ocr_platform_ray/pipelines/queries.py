@@ -6831,6 +6831,35 @@ def q_value_outliers_by_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "med", "mad"]]
 
 
+def q_events_hourly_dense(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled dense hourly series per event type
+    (`ops/windows.densify_buckets`): every hour between a type's first
+    and last event exists, zeros included — the densification step
+    monitoring/seasonality pipelines need so silent buckets don't skip.
+    Counts pre-combine per batch; one bounded keyed exchange; exact
+    int64.  Full generate_series SQL oracle in TestTailQueryOracles."""
+    from ..ops.windows import densify_buckets
+
+    ev = _t(sf_dir, "events", ["event_type", "ts"])
+    return densify_buckets(
+        ev, key_cols=["event_type"], ts_col="ts", bucket_us=3_600_000_000
+    )
+
+
+def q_value_zscore_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score standardization (`ops/profile.grouped_scale`):
+    the ML-preprocessing pass, moments from the exact integer-cents
+    contract broadcast into a map-only transform — values never move.
+    Full moments-CTE SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_scale
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_scale(
+        ev, ["event_type"], "value", keep_cols=["event_id"]
+    )
+    return out[["event_id", "event_type", "value", "scaled"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7130,6 +7159,8 @@ QUERIES = {
     "orders_global_rownum": q_orders_global_rownum,
     "value_ab_welch": q_value_ab_welch,
     "value_outliers_by_type": q_value_outliers_by_type,
+    "events_hourly_dense": q_events_hourly_dense,
+    "value_zscore_by_type": q_value_zscore_by_type,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9272,6 +9303,42 @@ ORACLE_SQL["value_outliers_by_type"] = (
     "WHERE rn = GREATEST(1, CEIL(0.5 * m))) "
     "SELECT d.event_id, d.event_type, d.value, d.med, md.mad "
     "FROM d JOIN md USING (event_type) WHERE d.dd > 1.8 * md.mad"
+)
+
+# Densified hourly series: generate_series over each key's [min, max]
+# hour span LEFT JOIN the exact counts, COALESCE 0 — the
+# densify_buckets contract verbatim.
+ORACLE_SQL["events_hourly_dense"] = (
+    "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), "
+    "r AS (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx "
+    "FROM c GROUP BY 1), "
+    "g AS (SELECT event_type, UNNEST(generate_series(mn, mx)) AS b "
+    "FROM r) "
+    "SELECT g.event_type, g.b AS bucket, COALESCE(c.n, 0) AS n "
+    "FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b"
+)
+
+# Z-score standardization: the value_stddev_by_type moments CTE joined
+# back onto the raw rows; (value - mean)/stddev over identically-derived
+# doubles, NULL-gated on stddev > 0.
+ORACLE_SQL["value_zscore_by_type"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+    "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS v FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+    "a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+    "CAST(SUM(v * v) AS BIGINT) AS s2 FROM c GROUP BY event_type), "
+    "e AS (SELECT event_type, "
+    "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_v, "
+    "CASE WHEN n > 1 THEN SQRT(((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * "
+    "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) "
+    "/ 10000.0) END AS sd FROM a) "
+    "SELECT ev.event_id, ev.event_type, ev.value, "
+    "CASE WHEN e.sd > 0 THEN (ev.value - e.mean_v) / e.sd END AS scaled "
+    "FROM events ev JOIN e USING (event_type) "
+    "WHERE ev.event_type IS NOT NULL AND ev.value IS NOT NULL"
 )
 
 # Global ROW_NUMBER: the one-window mirror of global_row_number's

@@ -1750,6 +1750,8 @@ class TestTailQueryOracles:
             "orders_global_rownum",
             "value_ab_welch",
             "value_outliers_by_type",
+            "events_hourly_dense",
+            "value_zscore_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

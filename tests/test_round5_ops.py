@@ -5367,3 +5367,164 @@ class TestMadOutliers:
         )
         assert len(out) == 0
         assert "mad" in out.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDensifyBuckets:
+    """ops/windows.densify_buckets — generate_series ground truth, gap
+    zeros, per-key spans, null dropping, block independence,
+    validation."""
+
+    def _events(self, n=300, seed=37):
+        rng = np.random.RandomState(seed)
+        # sparse hours so real gaps exist
+        hours = rng.choice(np.arange(0, 200, 7), size=n)
+        return pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], size=n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(hours, unit="h"),
+            }
+        )
+
+    @staticmethod
+    def _naive(df, bucket_us):
+        p = df.dropna().copy()
+        p["b"] = (
+            p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // bucket_us
+        )
+        rows = []
+        for k, g in p.groupby("k"):
+            c = g.groupby("b").size()
+            for b in range(int(c.index.min()), int(c.index.max()) + 1):
+                rows.append({"k": k, "bucket": b, "n": int(c.get(b, 0))})
+        return pd.DataFrame(rows)
+
+    def test_matches_generate_series(self):
+        from ocr_platform_ray.ops.windows import densify_buckets
+
+        df = self._events()
+        h = 3_600_000_000
+        want = self._naive(df, h)
+        outs = []
+        for parts in (1, 6):
+            got = densify_buckets(
+                rd.from_pandas(df).repartition(parts),
+                key_cols=["k"], ts_col="ts", bucket_us=h,
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert (got["n"] == 0).any()  # real gaps exist and are zero-filled
+
+    def test_nulls_empty_and_validation(self):
+        from ocr_platform_ray.ops.windows import densify_buckets
+
+        df = self._events(n=60, seed=5)
+        df.loc[df.index % 7 == 0, "ts"] = pd.NaT
+        df["k"] = df["k"].astype("object")
+        df.loc[df.index % 11 == 0, "k"] = None
+        want = self._naive(df, 3_600_000_000)
+        got = densify_buckets(
+            rd.from_pandas(df), key_cols=["k"], ts_col="ts",
+            bucket_us=3_600_000_000,
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        empty = densify_buckets(
+            rd.from_pandas(df.iloc[:0]), key_cols=["k"], ts_col="ts",
+            bucket_us=3_600_000_000,
+        )
+        assert len(empty) == 0
+        with pytest.raises(ValueError, match="bucket_us"):
+            densify_buckets(
+                rd.from_pandas(df), key_cols=["k"], ts_col="ts", bucket_us=0
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedScale:
+    """ops/profile.grouped_scale — z-score and min-max vs pandas
+    reference (cents-rounded moments for zscore), degenerate-group
+    NULLs, block independence, as_dataset, validation."""
+
+    def _rows(self, n=400, seed=43):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "g": rng.choice(["x", "y", "z"], size=n),
+                "v": rng.uniform(-20, 80, size=n),
+            }
+        )
+
+    def test_zscore_matches_reference(self):
+        from ocr_platform_ray.ops.profile import grouped_scale
+
+        df = self._rows()
+        cents = np.floor(np.abs(df["v"]) * 100 + 0.5) * np.sign(df["v"])
+        ref = df.assign(c=cents)
+        stats = ref.groupby("g")["c"].agg(["mean", "std"])
+        want = df.copy()
+        want["scaled"] = (
+            df["v"].to_numpy()
+            - (stats["mean"] / 100.0).reindex(df["g"]).to_numpy()
+        ) / (stats["std"] / 100.0).reindex(df["g"]).to_numpy()
+        want = want.sort_values(["g", "v"]).reset_index(drop=True)
+        outs = []
+        for parts in (1, 7):
+            got = grouped_scale(
+                rd.from_pandas(df).repartition(parts), ["g"], "v",
+                keep_cols=["id"],
+            )
+            np.testing.assert_allclose(
+                got["scaled"].to_numpy(), want["scaled"].to_numpy(),
+                rtol=1e-9,
+            )
+            assert got["id"].tolist() == want["id"].tolist()
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+        # z-scores per group: mean ~ 0, std ~ 1
+        zs = got.groupby("g")["scaled"]
+        assert np.allclose(zs.mean().to_numpy(), 0.0, atol=1e-3)
+        assert np.allclose(zs.std().to_numpy(), 1.0, atol=1e-3)
+
+    def test_minmax_and_degenerate(self):
+        from ocr_platform_ray.ops.profile import grouped_scale
+
+        df = self._rows(n=200, seed=3)
+        got = grouped_scale(
+            rd.from_pandas(df), ["g"], "v", method="minmax",
+            keep_cols=["id"],
+        )
+        stats = df.groupby("g")["v"].agg(["min", "max"])
+        want = (
+            df["v"].to_numpy()
+            - stats["min"].reindex(df["g"]).to_numpy()
+        ) / (
+            stats["max"].reindex(df["g"]).to_numpy()
+            - stats["min"].reindex(df["g"]).to_numpy()
+        )
+        got_by_id = got.set_index("id")["scaled"].reindex(df["id"])
+        np.testing.assert_allclose(got_by_id.to_numpy(), want, rtol=1e-12)
+        assert got["scaled"].between(0, 1).all()
+        # constant group -> NULL scaled on both methods
+        const = df.assign(v=5.0)
+        for m in ("zscore", "minmax"):
+            out = grouped_scale(
+                rd.from_pandas(const), ["g"], "v", method=m, keep_cols=["id"]
+            )
+            assert out["scaled"].isna().all()
+        with pytest.raises(ValueError, match="method"):
+            grouped_scale(rd.from_pandas(df), ["g"], "v", method="robust")
+
+    def test_as_dataset(self):
+        from ocr_platform_ray.ops.profile import grouped_scale
+
+        df = self._rows(n=80, seed=9)
+        res = grouped_scale(
+            rd.from_pandas(df), ["g"], "v", keep_cols=["id"],
+            as_dataset=True,
+        )
+        assert isinstance(res, rd.Dataset)
+        assert res.count() == len(df)
