@@ -63,7 +63,7 @@ from .shuffle import (  # noqa: F401
     weighted_sample_k,
 )
 from .decontam import contamination_counts  # noqa: F401
-from .interval import interval_join  # noqa: F401
+from .interval import coalesce_intervals, interval_join  # noqa: F401
 from .similarity import (  # noqa: F401
     build_ivf_index,
     build_ivf_pq_index,
@@ -79,7 +79,11 @@ from .similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from .windows import (  # noqa: F401
+    densify_buckets,
+    global_row_number,
     grouped_cumsum,
+    grouped_decay_window,
+    grouped_fill,
     grouped_ntile,
     grouped_rank,
     grouped_rolling_agg,
@@ -108,8 +112,11 @@ from .profile import (  # noqa: F401
     grouped_corr,
     grouped_histogram,
     grouped_linreg,
+    grouped_mad_outliers,
     grouped_moments,
+    grouped_scale,
     key_skew_profile,
+    welch_t_test,
 )
 from .c4 import c4_clean, c4_span_dedup  # noqa: F401
 from .dsir import dsir_fit, dsir_log_weights, dsir_resample  # noqa: F401
@@ -144,6 +151,7 @@ from .upsert import (  # noqa: F401
     write_merge_target,
 )
 from .graph import (  # noqa: F401
+    bfs_distances,
     clustering_coefficient,
     connected_components,
     extract_anchor_texts,
@@ -174,3 +182,4 @@ from .cohort import cohort_retention  # noqa: F401
 from .assoc import pair_cooccurrence  # noqa: F401
 from .colloc import pmi_bigrams  # noqa: F401
 from .frontier import politeness_order  # noqa: F401
+from .golden import golden_record  # noqa: F401

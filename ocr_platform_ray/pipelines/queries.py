@@ -6860,6 +6860,76 @@ def q_value_zscore_by_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "scaled"]]
 
 
+def q_user_golden_record(sf_dir: str) -> pd.DataFrame:
+    """Survivorship merge per user (`ops/golden.golden_record` — the
+    MDM golden record): every fourth value and every fifth event_type
+    masked NULL, then each user's record carries the LATEST non-null of
+    each column (values copied, never computed).  One keyed exchange +
+    one cython groupby().last per shard.  Full FIRST...FILTER SQL oracle
+    in TestTailQueryOracles."""
+    from ..ops.golden import golden_record
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
+                               "value"])
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b.loc[(b["event_id"] % 4 == 0).to_numpy(), "value"] = np.nan
+        b["event_type"] = b["event_type"].astype("object")
+        b.loc[(b["event_id"] % 5 == 0).to_numpy(), "event_type"] = None
+        return b
+
+    out = golden_record(
+        ev.map_batches(mask, batch_format="pandas"),
+        key_cols=["user_id"],
+        order_col="ts",
+        tie_col="event_id",
+        value_cols=["value", "event_type"],
+    )
+    return out[["user_id", "value", "event_type", "n_rows"]].rename(
+        columns={"value": "last_value", "event_type": "last_type"}
+    )
+
+
+def q_events_wow_change(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week event-count deltas per type — the
+    period-over-period monitoring readout composed from the house
+    pieces: per-batch count combiners into the size-aware finish, then
+    the LAG delta on the report-dim (type × week) table.  delta/pct are
+    the SQL expressions verbatim.  Full LAG SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.relational import auto_group_agg
+
+    ev = _t(sf_dir, "events", ["event_type", "ts"])
+    wk = 7 * 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // wk
+        )
+        out = pd.DataFrame({"event_type": b["event_type"], "week": w})
+        return (
+            out.groupby(["event_type", "week"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    red = auto_group_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "week"],
+        {"n": ("n", "sum")},
+    )
+    df = red if isinstance(red, pd.DataFrame) else red.to_pandas()
+    df = df.sort_values(["event_type", "week"]).reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    prev = df.groupby("event_type")["n"].shift(1)
+    nf = df["n"].to_numpy(dtype="float64")
+    pf = prev.to_numpy(dtype="float64")
+    df["delta"] = nf - pf  # NaN on each type's first week, like LAG
+    df["pct_change"] = (nf - pf) / pf
+    return df
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7161,6 +7231,8 @@ QUERIES = {
     "value_outliers_by_type": q_value_outliers_by_type,
     "events_hourly_dense": q_events_hourly_dense,
     "value_zscore_by_type": q_value_zscore_by_type,
+    "user_golden_record": q_user_golden_record,
+    "events_wow_change": q_events_wow_change,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9339,6 +9411,35 @@ ORACLE_SQL["value_zscore_by_type"] = (
     "CASE WHEN e.sd > 0 THEN (ev.value - e.mean_v) / e.sd END AS scaled "
     "FROM events ev JOIN e USING (event_type) "
     "WHERE ev.event_type IS NOT NULL AND ev.value IS NOT NULL"
+)
+
+# Golden record: FIRST(col ORDER BY ... DESC) FILTER non-null per
+# column — pandas groupby().last() IS this survivorship rule; values
+# copied, never computed.
+ORACLE_SQL["user_golden_record"] = (
+    "WITH m AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS value, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS et "
+    "FROM events) "
+    "SELECT user_id, "
+    "FIRST(value ORDER BY ts DESC, event_id DESC) "
+    "FILTER (WHERE value IS NOT NULL) AS last_value, "
+    "FIRST(et ORDER BY ts DESC, event_id DESC) "
+    "FILTER (WHERE et IS NOT NULL) AS last_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows FROM m GROUP BY user_id"
+)
+
+# Week-over-week deltas: LAG over the exact weekly counts; delta/pct
+# repeat the repo's float expressions (nullable BIGINT deltas surface
+# as doubles in both engines' frames).
+ORACLE_SQL["events_wow_change"] = (
+    "WITH c AS (SELECT event_type, epoch_us(ts) // 604800000000 AS week, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+    "SELECT event_type, week, n, "
+    "n - LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS delta, "
+    "(CAST(n AS DOUBLE) - LAG(n) OVER "
+    "(PARTITION BY event_type ORDER BY week)) / LAG(n) OVER "
+    "(PARTITION BY event_type ORDER BY week) AS pct_change FROM c"
 )
 
 # Global ROW_NUMBER: the one-window mirror of global_row_number's

@@ -1752,6 +1752,8 @@ class TestTailQueryOracles:
             "value_outliers_by_type",
             "events_hourly_dense",
             "value_zscore_by_type",
+            "user_golden_record",
+            "events_wow_change",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

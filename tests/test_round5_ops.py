@@ -5528,3 +5528,87 @@ class TestGroupedScale:
         )
         assert isinstance(res, rd.Dataset)
         assert res.count() == len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGoldenRecord:
+    """ops/golden.golden_record — naive survivorship reference (latest
+    non-null per column), all-null columns, NULL keys, block
+    independence, as_dataset, validation."""
+
+    def _rows(self, n=400, seed=47):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, size=n).astype("int64"),
+                "o": rng.permutation(n).astype("int64"),
+                "tie": np.arange(n, dtype="int64"),
+                "a": rng.uniform(0, 10, size=n),
+                "b": rng.choice(list("pqrs"), size=n).astype("object"),
+            }
+        )
+        df.loc[df.index % 3 == 0, "a"] = np.nan
+        df.loc[df.index % 4 == 0, "b"] = None
+        return df
+
+    @staticmethod
+    def _naive(df):
+        rows = []
+        for k, g in df.groupby("k", dropna=False):
+            g = g.sort_values(["o", "tie"])
+            rec = {"k": k, "n_rows": len(g)}
+            for c in ("a", "b"):
+                nn = g[g[c].notna()]
+                rec[c] = nn[c].iloc[-1] if len(nn) else None
+            rows.append(rec)
+        return (
+            pd.DataFrame(rows)[["k", "a", "b", "n_rows"]]
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_naive(self):
+        from ocr_platform_ray.ops.golden import golden_record
+
+        df = self._rows()
+        want = self._naive(df)
+        outs = []
+        for parts in (1, 7):
+            got = golden_record(
+                rd.from_pandas(df).repartition(parts),
+                key_cols=["k"], order_col="o", tie_col="tie",
+                value_cols=["a", "b"],
+            )
+            pd.testing.assert_frame_equal(
+                got[["k", "a", "b", "n_rows"]], want, check_dtype=False
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_all_null_column_and_validation(self):
+        from ocr_platform_ray.ops.golden import golden_record
+
+        df = self._rows(n=60, seed=3)
+        df["a"] = np.nan  # never observed anywhere
+        got = golden_record(
+            rd.from_pandas(df), key_cols=["k"], order_col="o",
+            tie_col="tie", value_cols=["a", "b"],
+        )
+        assert got["a"].isna().all()
+        assert (got["n_rows"] >= 1).all()
+        with pytest.raises(ValueError, match="value_cols"):
+            golden_record(
+                rd.from_pandas(df), key_cols=["k"], order_col="o",
+                tie_col="tie", value_cols=[],
+            )
+
+    def test_as_dataset(self):
+        from ocr_platform_ray.ops.golden import golden_record
+
+        df = self._rows(n=80, seed=9)
+        res = golden_record(
+            rd.from_pandas(df), key_cols=["k"], order_col="o",
+            tie_col="tie", value_cols=["a"], as_dataset=True,
+        )
+        assert isinstance(res, rd.Dataset)
+        assert res.count() == df["k"].nunique()
