@@ -17,7 +17,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .relational import auto_group_agg, grouped_percentile_exact
+from .relational import _hash_labels, auto_group_agg, grouped_percentile_exact
 
 
 def _render(v) -> str | None:
@@ -735,3 +735,109 @@ def grouped_scale(
             }
         )
     return out.sort_values([*gcols, value_col]).reset_index(drop=True)
+
+
+def grouped_autocorr(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str],
+    *,
+    order_col: str,
+    tie_col: str,
+    lag: int = 1,
+    value_scale: int = 100,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group lag-``k`` autocorrelation — the time-series
+    seasonality/persistence readout: Pearson corr between each key's
+    ordered value series and itself shifted by ``lag`` positions (SQL's
+    ``CORR(v, LAG(v, k) OVER (PARTITION BY key ORDER BY order, tie))``)
+    under the repo's exact scaled-integer moment contract, so the final
+    doubles repeat the SQL expression verbatim and hash-match.
+
+    NULL values drop BEFORE pairing (the lag walks the key's non-null
+    timeline); keys with fewer than ``lag + 2`` observations or a
+    zero-variance side get NaN acf, matching SQL NULL.
+
+    Scale shape: ONE bounded ``hash(key) % n_shards`` exchange co-locates
+    each key's rows (the keyed-window scaffold); per shard a single
+    mergesort + cython ``groupby().shift(lag)`` forms the pairs and the
+    per-key exact int64 (n, Σx, Σy, Σxy, Σx², Σy²) — each key lives in
+    exactly one shard, so the shard output is already final per key and
+    only the key-dim moment table reaches the driver."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    gcols = list(group_cols)
+    keep = list(dict.fromkeys([*gcols, order_col, tie_col, value_col]))
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        out = out[out[value_col].notna()]
+        out["__shard"] = _hash_labels(out, gcols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*gcols, order_col, tie_col], kind="mergesort"
+        )
+        x = _scaled_int(g[value_col].to_numpy(), value_scale)
+        if len(x) and int(np.abs(x).max()) >= (1 << 31):
+            raise ValueError(
+                f"scaled |{value_col}| exceeds the 2^31 exact-sum domain"
+            )
+        g = g.assign(__x=x)
+        y = g.groupby(gcols, sort=False, dropna=False)["__x"].shift(lag)
+        m = y.notna().to_numpy()
+        sub = g[m]
+        xv = sub["__x"].to_numpy()
+        yv = y.to_numpy()[m].astype("int64")
+        p = sub[gcols].copy()
+        p["__x"], p["__y"] = xv, yv
+        p["__xy"], p["__xx"], p["__yy"] = xv * yv, xv * xv, yv * yv
+        p["__ax"] = np.abs(xv)
+        out = p.groupby(gcols, as_index=False, dropna=False).agg(
+            n=("__x", "size"),
+            sx=("__x", "sum"),
+            sy=("__y", "sum"),
+            sxy=("__xy", "sum"),
+            sxx=("__xx", "sum"),
+            syy=("__yy", "sum"),
+            mx=("__ax", "max"),
+        )
+        return out
+
+    reduced = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(reduced) == 0 or "n" not in reduced.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n_pairs": pd.Series([], dtype="int64"),
+                "acf": pd.Series([], dtype="float64"),
+            }
+        )
+    for _, r in reduced.iterrows():
+        n_, ax = int(r["n"]), int(r["mx"])
+        if n_ * ax * ax >= (1 << 63):
+            raise ValueError(
+                f"autocorr moment domain exceeded for a {gcols} group "
+                f"(n={n_}, max|v·scale|={ax}); reduce value_scale"
+            )
+    n = reduced["n"].to_numpy(dtype="float64")
+    sx = reduced["sx"].to_numpy(dtype="float64")
+    sy = reduced["sy"].to_numpy(dtype="float64")
+    sxy = reduced["sxy"].to_numpy(dtype="float64")
+    sxx = reduced["sxx"].to_numpy(dtype="float64")
+    syy = reduced["syy"].to_numpy(dtype="float64")
+    out = reduced[gcols].copy()
+    out["n_pairs"] = reduced["n"].astype("int64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = sxy - sx * sy / n
+        den = np.sqrt(sxx - sx * sx / n) * np.sqrt(syy - sy * sy / n)
+        acf = num / den
+        out["acf"] = np.where((n > 1.0) & (den > 0.0), acf, np.nan)
+    return out.sort_values(gcols).reset_index(drop=True)

@@ -6930,6 +6930,59 @@ def q_events_wow_change(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_token_chi2_en(sf_dir: str) -> pd.DataFrame:
+    """Top-30 tokens most associated with lang='en' by the χ²
+    document-presence contingency (`ops/selection.token_chi2` — MRS IIR
+    §13.5.2 term selection).  Per-batch distinct-containment combiners
+    into the size-aware finish; χ² is one IEEE expression over four
+    exact int64 counts, so the full SQL oracle matches to the bit
+    (ROUND 6 both sides).  Oracle in TestTailQueryOracles."""
+    from ..ops.selection import token_chi2
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = token_chi2(docs, class_col="lang", class_value="en", k=30)
+    out["chi2"] = _round_half_away(out["chi2"], 6)
+    return out
+
+
+def q_value_autocorr_by_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user lag-1 autocorrelation of value over the (ts, event_id)
+    timeline (`ops/profile.grouped_autocorr` — the exact scaled-integer
+    moment contract over LAG-paired values).  One keyed exchange + a
+    cython shift per shard; the final doubles repeat the SQL CORR
+    expression verbatim.  Full LAG+moments SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.profile import grouped_autocorr
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return grouped_autocorr(
+        ev,
+        "value",
+        ["user_id"],
+        order_col="ts",
+        tie_col="event_id",
+        lag=1,
+    )
+
+
+def q_nb_lang_predict(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language prediction (`ops/nb.py` — the
+    count-exact classifier: the model IS two integer count tables, so
+    training AND per-document log-posterior scoring are SQL-mirrorable).
+    Train on documents (lang as label), score the same corpus; pred =
+    argmax class with ties to the smallest label, score = winning log
+    posterior (ROUND 2 both sides — term sums add in token position
+    order, SUM(term ORDER BY pos) in the mirror).  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.nb import nb_fit, nb_predict
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = nb_fit(docs, text_col="text", label_col="lang")
+    out = nb_predict(docs, model, id_col="doc_id", text_col="text", alpha=1.0)
+    out["score"] = _round_half_away(out["score"], 2)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7233,6 +7286,9 @@ QUERIES = {
     "value_zscore_by_type": q_value_zscore_by_type,
     "user_golden_record": q_user_golden_record,
     "events_wow_change": q_events_wow_change,
+    "token_chi2_en": q_token_chi2_en,
+    "value_autocorr_by_user": q_value_autocorr_by_user,
+    "nb_lang_predict": q_nb_lang_predict,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9457,4 +9513,107 @@ ORACLE_SQL["crawl_frontier_order"] = (
     "(PARTITION BY host ORDER BY pri DESC, url) AS r FROM f) "
     "SELECT host, url, pri, r, "
     "ROW_NUMBER() OVER (ORDER BY r, host) AS pos FROM r"
+)
+
+# χ² token–class association: document-level DISTINCT containment per
+# token on each side of the lang='en' split; χ² = N(ad−bc)²/(marginal
+# product) — one IEEE expression over four exact BIGINT counts, operand
+# order mirrored; zero-marginal tokens dropped on both sides.  Ties rank
+# by ascending token.
+ORACLE_SQL["token_chi2_en"] = (
+    "WITH d AS (SELECT doc_id, (lang = 'en') AS inc, "
+    "string_split(lower(text), ' ') AS toks FROM documents), "
+    "t AS (SELECT doc_id, inc, unnest(toks) AS token FROM d), "
+    "u AS (SELECT DISTINCT doc_id, inc, token FROM t WHERE token <> ''), "
+    "c AS (SELECT token, "
+    "CAST(SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT) AS df_in, "
+    "CAST(SUM(CASE WHEN inc THEN 0 ELSE 1 END) AS BIGINT) AS df_out "
+    "FROM u GROUP BY token), "
+    "tot AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+    "AS DOUBLE) AS n_class, "
+    "CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) "
+    "AS n_rest FROM documents), "
+    "s AS (SELECT token, df_in, df_out, "
+    "(n_class + n_rest) * ((CAST(df_in AS DOUBLE) * (n_rest - "
+    "CAST(df_out AS DOUBLE)) - CAST(df_out AS DOUBLE) * (n_class - "
+    "CAST(df_in AS DOUBLE))) * (CAST(df_in AS DOUBLE) * (n_rest - "
+    "CAST(df_out AS DOUBLE)) - CAST(df_out AS DOUBLE) * (n_class - "
+    "CAST(df_in AS DOUBLE)))) / ((CAST(df_in AS DOUBLE) + "
+    "CAST(df_out AS DOUBLE)) * ((n_class - CAST(df_in AS DOUBLE)) + "
+    "(n_rest - CAST(df_out AS DOUBLE))) * (CAST(df_in AS DOUBLE) + "
+    "(n_class - CAST(df_in AS DOUBLE))) * (CAST(df_out AS DOUBLE) + "
+    "(n_rest - CAST(df_out AS DOUBLE)))) AS chi2, "
+    "(CAST(df_in AS DOUBLE) + CAST(df_out AS DOUBLE)) * ((n_class - "
+    "CAST(df_in AS DOUBLE)) + (n_rest - CAST(df_out AS DOUBLE))) * "
+    "(CAST(df_in AS DOUBLE) + (n_class - CAST(df_in AS DOUBLE))) * "
+    "(CAST(df_out AS DOUBLE) + (n_rest - CAST(df_out AS DOUBLE))) "
+    "AS denom FROM c, tot) "
+    "SELECT token, ROUND(chi2, 6) AS chi2, df_in, df_out FROM s "
+    "WHERE denom > 0 ORDER BY chi2 DESC, token LIMIT 30"
+)
+
+# Lag-1 autocorrelation per user: LAG over the non-null (ts, event_id)
+# value timeline, then the exact integer-cents moment CTE; the acf
+# expression repeats grouped_autocorr's float operand order verbatim.
+ORACLE_SQL["value_autocorr_by_user"] = (
+    "WITH v AS (SELECT user_id, ts, event_id, "
+    "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+    "ELSE -FLOOR(-value * 100 + 0.5) END AS BIGINT) AS x FROM events "
+    "WHERE value IS NOT NULL), "
+    "p AS (SELECT user_id, x, LAG(x, 1) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS y FROM v), "
+    "q AS (SELECT user_id, x, y FROM p WHERE y IS NOT NULL), "
+    "a AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, "
+    "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+    "CAST(SUM(y * y) AS BIGINT) AS syy FROM q GROUP BY user_id) "
+    "SELECT user_id, CAST(n AS BIGINT) AS n_pairs, "
+    "CASE WHEN n > 1 AND SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * "
+    "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * "
+    "SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) > 0 THEN "
+    "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) / "
+    "(SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+    "/ CAST(n AS DOUBLE)) * "
+    "SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) "
+    "/ CAST(n AS DOUBLE))) END AS acf FROM a"
+)
+
+# Multinomial NB language prediction: exact (label, token) occurrence
+# counts + label doc/token totals + corpus V; per-(doc, class) score =
+# ln(prior) + SUM(ln((COALESCE(n,0)+1.0)/denom) ORDER BY pos) — the term
+# sum adds in token position order exactly as the Ray side's reduceat;
+# argmax via ROW_NUMBER (score DESC, label ASC), score ROUND 2.
+ORACLE_SQL["nb_lang_predict"] = (
+    "WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') "
+    "AS toks FROM documents), "
+    "t0 AS (SELECT doc_id, lang, unnest(toks) AS token, "
+    "generate_subscripts(toks, 1) AS pos FROM d), "
+    "t AS (SELECT * FROM t0 WHERE token <> ''), "
+    "c AS (SELECT lang AS label, token, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM t GROUP BY 1, 2), "
+    "lab AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "ltok AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_tokens "
+    "FROM t GROUP BY lang), "
+    "v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM t), "
+    "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "cls AS (SELECT lab.label, "
+    "ln(CAST(lab.n_docs AS DOUBLE) / nn.n) AS ln_prior, "
+    "CAST(COALESCE(ltok.n_tokens, 0) AS DOUBLE) + 1.0 * v.v AS denom "
+    "FROM lab LEFT JOIN ltok USING (label) CROSS JOIN v CROSS JOIN nn), "
+    "terms AS (SELECT t.doc_id, t.pos, cls.label, cls.ln_prior, "
+    "ln((CAST(COALESCE(c.n, 0) AS DOUBLE) + 1.0) / cls.denom) AS term "
+    "FROM t CROSS JOIN cls LEFT JOIN c "
+    "ON c.label = cls.label AND c.token = t.token), "
+    "agg AS (SELECT doc_id, label, ANY_VALUE(ln_prior) AS ln_prior, "
+    "SUM(term ORDER BY pos) AS s FROM terms GROUP BY doc_id, label), "
+    "sc AS (SELECT d2.doc_id, cls.label, "
+    "cls.ln_prior + COALESCE(a.s, 0.0) AS score "
+    "FROM (SELECT doc_id FROM documents) d2 CROSS JOIN cls "
+    "LEFT JOIN agg a ON a.doc_id = d2.doc_id AND a.label = cls.label) "
+    "SELECT doc_id, label AS pred, ROUND(score, 2) AS score FROM sc "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, label) = 1"
 )

@@ -1754,6 +1754,9 @@ class TestTailQueryOracles:
             "value_zscore_by_type",
             "user_golden_record",
             "events_wow_change",
+            "token_chi2_en",
+            "value_autocorr_by_user",
+            "nb_lang_predict",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

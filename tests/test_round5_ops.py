@@ -5612,3 +5612,309 @@ class TestGoldenRecord:
         )
         assert isinstance(res, rd.Dataset)
         assert res.count() == df["k"].nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenChi2:
+    """χ² token–class association (`ops/selection.token_chi2`)."""
+
+    def _corpus(self):
+        # 'alpha'/'beta' discriminate classes; 'the' is everywhere;
+        # 'rare' appears once outside the class.
+        rows = []
+        for i in range(40):
+            inc = i < 20
+            w = "alpha" if inc else "beta"
+            rows.append(
+                {
+                    "doc_id": i,
+                    "lang": "en" if inc else "de",
+                    # duplicate the discriminative token — containment must
+                    # still count the doc once
+                    "text": f"the {w} {w} common tail" + (" rare" if i == 39 else ""),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def _naive(self, df, k=50):
+        import math
+
+        n_class = int((df["lang"] == "en").sum())
+        n_rest = len(df) - n_class
+        contain = {}
+        for _, r in df.iterrows():
+            toks = {t for t in r["text"].lower().split(" ") if t}
+            for t in toks:
+                a, b = contain.get(t, (0, 0))
+                if r["lang"] == "en":
+                    contain[t] = (a + 1, b)
+                else:
+                    contain[t] = (a, b + 1)
+        out = []
+        for t, (a, b) in contain.items():
+            c, d = n_class - a, n_rest - b
+            denom = (a + b) * (c + d) * (a + c) * (b + d)
+            if denom <= 0:
+                continue
+            n = n_class + n_rest
+            out.append((t, n * (a * d - b * c) ** 2 / denom, a, b))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    def test_matches_naive_and_ranks_planted_tokens_first(self):
+        from ocr_platform_ray.ops.selection import token_chi2
+
+        df = self._corpus()
+        got = token_chi2(
+            rd.from_pandas(df), class_col="lang", class_value="en", k=50
+        )
+        want = self._naive(df)
+        assert list(got["token"]) == [t for t, *_ in want]
+        np.testing.assert_allclose(
+            got["chi2"].to_numpy(), [x for _, x, *_ in want], rtol=1e-12
+        )
+        # the two perfectly-discriminative tokens outrank everything
+        assert set(got["token"].head(2)) == {"alpha", "beta"}
+        # 'the' (in every doc) has a zero marginal -> dropped
+        assert "the" not in set(got["token"])
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.selection import token_chi2
+
+        df = self._corpus()
+        outs = [
+            token_chi2(
+                rd.from_pandas(df).repartition(nb),
+                class_col="lang",
+                class_value="en",
+                k=10,
+            )
+            for nb in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_empty_and_missing_class(self):
+        from ocr_platform_ray.ops.selection import token_chi2
+
+        df = self._corpus()
+        # class value absent -> every token has a zero class marginal
+        got = token_chi2(
+            rd.from_pandas(df), class_col="lang", class_value="fr", k=10
+        )
+        assert len(got) == 0
+        empty = df.head(0)
+        got2 = token_chi2(
+            rd.from_pandas(empty), class_col="lang", class_value="en"
+        )
+        assert len(got2) == 0
+        assert list(got2.columns) == ["token", "chi2", "df_in", "df_out"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedAutocorr:
+    """Exact per-group lag-k autocorrelation (`ops/profile.grouped_autocorr`)."""
+
+    def _rows(self, n=400, seed=11):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 12, n),
+                "o": rng.permutation(n),
+                "tie": np.arange(n, dtype="int64"),
+                "v": np.round(rng.randn(n).cumsum() + 50, 2),
+            }
+        )
+        # plant NULLs: they must drop BEFORE pairing
+        df.loc[df.index % 7 == 0, "v"] = np.nan
+        return df
+
+    def _naive(self, df, lag):
+        rows = []
+        for k, g in df[df["v"].notna()].groupby("k"):
+            g = g.sort_values(["o", "tie"], kind="mergesort")
+            x = np.floor(np.abs(g["v"].to_numpy()) * 100 + 0.5) * np.sign(
+                g["v"].to_numpy()
+            )
+            x = x.astype("int64")
+            if len(x) <= lag:
+                continue
+            xe, ye = x[lag:].astype(float), x[:-lag].astype(float)
+            n = float(len(xe))
+            num = (xe * ye).sum() - xe.sum() * ye.sum() / n
+            den = np.sqrt((xe * xe).sum() - xe.sum() ** 2 / n) * np.sqrt(
+                (ye * ye).sum() - ye.sum() ** 2 / n
+            )
+            acf = num / den if (n > 1 and den > 0) else np.nan
+            rows.append({"k": k, "n_pairs": int(n), "acf": acf})
+        return pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+
+    @pytest.mark.parametrize("lag", [1, 3])
+    def test_matches_naive(self, lag):
+        from ocr_platform_ray.ops.profile import grouped_autocorr
+
+        df = self._rows()
+        got = grouped_autocorr(
+            rd.from_pandas(df), "v", ["k"], order_col="o", tie_col="tie",
+            lag=lag,
+        )
+        want = self._naive(df, lag)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False, rtol=1e-12
+        )
+
+    def test_block_structure_independent_bitwise(self):
+        from ocr_platform_ray.ops.profile import grouped_autocorr
+
+        df = self._rows(seed=3)
+        outs = [
+            grouped_autocorr(
+                rd.from_pandas(df).repartition(nb), "v", ["k"],
+                order_col="o", tie_col="tie",
+            )
+            for nb in (1, 9)
+        ]
+        a, b = outs[0]["acf"].to_numpy(), outs[1]["acf"].to_numpy()
+        m = ~np.isnan(a)
+        assert (a[m] == b[m]).all() and (np.isnan(a) == np.isnan(b)).all()
+
+    def test_degenerate_groups_and_validation(self):
+        from ocr_platform_ray.ops.profile import grouped_autocorr
+
+        # constant series -> zero variance -> NaN; single row -> no pair
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "o": [0, 1, 2, 0],
+                "tie": [0, 1, 2, 3],
+                "v": [5.0, 5.0, 5.0, 9.0],
+            }
+        )
+        got = grouped_autocorr(
+            rd.from_pandas(df), "v", ["k"], order_col="o", tie_col="tie"
+        )
+        assert list(got["k"]) == [1]
+        assert np.isnan(got["acf"]).all()
+        with pytest.raises(ValueError, match="lag"):
+            grouped_autocorr(
+                rd.from_pandas(df), "v", ["k"], order_col="o",
+                tie_col="tie", lag=0,
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNaiveBayes:
+    """Multinomial NB (`ops/nb.py`) — the count-exact classifier."""
+
+    def _corpus(self):
+        rows = []
+        for i in range(30):
+            rows.append({"doc_id": i, "lang": "en", "text": "the cat sat on the mat"})
+        for i in range(30, 50):
+            rows.append({"doc_id": i, "lang": "de", "text": "die katze sass auf der matte"})
+        return pd.DataFrame(rows)
+
+    def _naive_score(self, model_df, doc_tokens, label, alpha=1.0):
+        import math
+
+        counts, n_docs, n_tok, v, n = model_df
+        prior = math.log(n_docs[label] / n)
+        denom = n_tok.get(label, 0) + alpha * v
+        s = prior
+        for t in doc_tokens:
+            s += math.log((counts.get((label, t), 0) + alpha) / denom)
+        return s
+
+    def test_matches_hand_rolled_reference(self):
+        from ocr_platform_ray.ops.nb import nb_fit, nb_predict
+
+        df = self._corpus()
+        model = nb_fit(rd.from_pandas(df), text_col="text", label_col="lang")
+        got = nb_predict(rd.from_pandas(df), model, id_col="doc_id")
+        counts, n_tok = {}, {}
+        for _, r in df.iterrows():
+            toks = [t for t in r["text"].lower().split(" ") if t]
+            n_tok[r["lang"]] = n_tok.get(r["lang"], 0) + len(toks)
+            for t in toks:
+                counts[(r["lang"], t)] = counts.get((r["lang"], t), 0) + 1
+        n_docs = df["lang"].value_counts().to_dict()
+        v = len({t for (_, t) in counts})
+        mdl = (counts, n_docs, n_tok, v, len(df))
+        for _, r in df.iterrows():
+            toks = [t for t in r["text"].lower().split(" ") if t]
+            want = max(
+                sorted(n_docs),
+                key=lambda lb: (self._naive_score(mdl, toks, lb), ),
+            )
+            # max with sorted + key keeps FIRST max -> smallest label tie
+            scores = {lb: self._naive_score(mdl, toks, lb) for lb in sorted(n_docs)}
+            best = max(scores.values())
+            want = min(lb for lb, s in scores.items() if s == best)
+            row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+            assert row["pred"] == want
+            np.testing.assert_allclose(row["score"], best, rtol=1e-12)
+
+    def test_held_out_and_unseen_token_smoothing(self):
+        from ocr_platform_ray.ops.nb import nb_fit, nb_predict
+
+        df = self._corpus()
+        model = nb_fit(rd.from_pandas(df), text_col="text", label_col="lang")
+        test = pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": ["the cat unseenword", "die katze unbekannt"],
+            }
+        )
+        got = nb_predict(rd.from_pandas(test), model, id_col="doc_id")
+        assert list(got["pred"]) == ["en", "de"]
+        assert np.isfinite(got["score"]).all()  # smoothing covers unseen
+
+    def test_block_structure_independent_bitwise(self):
+        from ocr_platform_ray.ops.nb import nb_fit, nb_predict
+
+        rng = np.random.RandomState(7)
+        words = [f"w{i}" for i in range(40)]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(120),
+                "lang": rng.choice(["a", "b", "c"], 120),
+                "text": [
+                    " ".join(rng.choice(words, rng.randint(3, 25)))
+                    for _ in range(120)
+                ],
+            }
+        )
+        models = [
+            nb_fit(rd.from_pandas(df).repartition(nb), text_col="text", label_col="lang")
+            for nb in (1, 9)
+        ]
+        assert (models[0]["cond"] == models[1]["cond"]).all()
+        outs = [
+            nb_predict(
+                rd.from_pandas(df).repartition(nb), models[0], id_col="doc_id"
+            )
+            for nb in (1, 9)
+        ]
+        assert (outs[0]["score"].to_numpy() == outs[1]["score"].to_numpy()).all()
+        assert (outs[0]["pred"] == outs[1]["pred"]).all()
+
+    def test_min_count_pruning_and_validation(self):
+        from ocr_platform_ray.ops.nb import nb_fit, nb_predict
+
+        df = self._corpus()
+        full = nb_fit(rd.from_pandas(df), text_col="text", label_col="lang")
+        pruned = nb_fit(
+            rd.from_pandas(df), text_col="text", label_col="lang",
+            min_count=25,
+        )
+        # V and totals unchanged by pruning; vocab shrinks
+        assert pruned["v"] == full["v"]
+        assert len(pruned["vocab"]) < len(full["vocab"])
+        assert (
+            pruned["n_tokens_per_class"] == full["n_tokens_per_class"]
+        ).all()
+        got = nb_predict(rd.from_pandas(df), pruned, id_col="doc_id")
+        assert set(got["pred"]) <= {"en", "de"}
+        with pytest.raises(ValueError, match="alpha"):
+            nb_predict(rd.from_pandas(df), full, id_col="doc_id", alpha=0.0)
+        with pytest.raises(ValueError, match="empty"):
+            nb_fit(rd.from_pandas(df.head(0)), text_col="text", label_col="lang")
