@@ -6983,6 +6983,49 @@ def q_nb_lang_predict(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_sqlite_events(sf_dir: str) -> pd.DataFrame:
+    """SQLite source + sink roundtrip (`sources/sqlite_io.py` — the
+    embedded-database interchange format; content-keyed per-block shards,
+    rowid-range parallel reads).  Events roundtrip through a shard
+    directory — REAL is IEEE double and timestamps ride the
+    ``_opr_schema`` side table as epoch microseconds, so floats AND
+    timestamps roundtrip exactly — then the per-type count / cents-sum /
+    ts-extrema aggregate must equal SQL over the original parquet.  Full
+    SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.sqlite_io import read_sqlite, write_sqlite_dataset
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    with tempfile.TemporaryDirectory(prefix="sqlite_events_") as td:
+        write_sqlite_dataset(ev, td)
+        back = read_sqlite(td, columns=["ts", "event_type", "value"])
+        partials = back.map_batches(
+            lambda b: pd.DataFrame(
+                {"event_type": b["event_type"], "c": _cents(b["value"]),
+                 "ts": b["ts"]}
+            ).groupby("event_type", as_index=False).agg(
+                n_events=("c", "size"), sum_c=("c", "sum"),
+                min_ts=("ts", "min"), max_ts=("ts", "max"),
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["event_type"],
+            {"n_events": ("n_events", "sum"), "sum_c": ("sum_c", "sum"),
+             "min_ts": ("min_ts", "min"), "max_ts": ("max_ts", "max")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_c"].astype("float64") / 100.0
+    return (
+        out.drop(columns="sum_c").sort_values("event_type").reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7289,6 +7332,7 @@ QUERIES = {
     "token_chi2_en": q_token_chi2_en,
     "value_autocorr_by_user": q_value_autocorr_by_user,
     "nb_lang_predict": q_nb_lang_predict,
+    "sqlite_events": q_sqlite_events,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9616,4 +9660,15 @@ ORACLE_SQL["nb_lang_predict"] = (
     "SELECT doc_id, label AS pred, ROUND(score, 2) AS score FROM sc "
     "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
     "ORDER BY score DESC, label) = 1"
+)
+
+# SQLite roundtrip: REAL is IEEE double and ts rides as epoch us, so the
+# aggregate over roundtripped data must equal SQL over the original
+# parquet exactly (the csv_events contract plus timestamp extrema).
+ORACLE_SQL["sqlite_events"] = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "MIN(ts) AS min_ts, MAX(ts) AS max_ts, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+    "AS sum_value "
+    "FROM events GROUP BY event_type"
 )

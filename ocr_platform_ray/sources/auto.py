@@ -14,6 +14,7 @@ Formats and their extensions:
     orc       .orc
     tfrecord  .tfrecord  .tfrecord.gz  .tfrecords
     avro      .avro
+    sqlite    .sqlite  .db
     warc      .warc  .warc.gz   (read-only here; pages-table schema)
     wet       .wet   .wet.gz    (read: conversion records)
 
@@ -32,6 +33,7 @@ import ray.data as rd
 from .avro import read_avro, write_avro_dataset
 from .columnar import read_ipc, read_orc, write_ipc_dataset, write_orc_dataset
 from .jsonl import read_jsonl, write_jsonl_dataset
+from .sqlite_io import read_sqlite, write_sqlite_dataset
 from .tfrecord import read_tfrecord, write_tfrecord_dataset
 from .warc import read_warc, read_wet
 
@@ -43,12 +45,13 @@ _EXT_FORMAT = [
     ((".orc",), "orc"),
     ((".tfrecord", ".tfrecord.gz", ".tfrecords"), "tfrecord"),
     ((".avro",), "avro"),
+    ((".sqlite", ".db"), "sqlite"),
     ((".warc", ".warc.gz"), "warc"),
     ((".wet", ".wet.gz"), "wet"),
 ]
 
 READ_FORMATS = tuple(f for _, f in _EXT_FORMAT)
-WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord", "avro")
+WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord", "avro", "sqlite")
 
 
 def detect_format(path: str) -> str:
@@ -92,6 +95,8 @@ def read_auto(
         return read_tfrecord(path, columns=columns)
     if fmt == "avro":
         return read_avro(path, columns=columns)
+    if fmt == "sqlite":
+        return read_sqlite(path, columns=columns)
     if fmt in ("warc", "wet"):
         ds = read_warc(path) if fmt == "warc" else read_wet(path)
         return ds.select_columns(columns) if columns else ds
@@ -117,4 +122,6 @@ def write_auto(ds: rd.Dataset, out_dir: str, fmt: str) -> int:
         return len(write_tfrecord_dataset(ds, out_dir))
     if fmt == "avro":
         return len(write_avro_dataset(ds, out_dir))
+    if fmt == "sqlite":
+        return len(write_sqlite_dataset(ds, out_dir))
     raise ValueError(f"write_auto: unknown format {fmt!r} (have {WRITE_FORMATS})")

@@ -1757,6 +1757,7 @@ class TestTailQueryOracles:
             "token_chi2_en",
             "value_autocorr_by_user",
             "nb_lang_predict",
+            "sqlite_events",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -5918,3 +5918,152 @@ class TestNaiveBayes:
             nb_predict(rd.from_pandas(df), full, id_col="doc_id", alpha=0.0)
         with pytest.raises(ValueError, match="empty"):
             nb_fit(rd.from_pandas(df.head(0)), text_col="text", label_col="lang")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSqliteSource:
+    """SQLite source/sink (`sources/sqlite_io.py`)."""
+
+    def _frame(self):
+        return pd.DataFrame(
+            {
+                "i": np.array([1, -(2**62), 3, 4], dtype="int64"),
+                "f": [1.5, np.nan, -2.25, 1e300],
+                "s": ["a", None, "héllo wörld", ""],
+                "b": [b"\x00\xff", None, b"raw", b""],
+                "flag": pd.Series([True, False, None, True], dtype="object"),
+                "ts": pd.to_datetime(
+                    ["2024-01-01 12:34:56.789123", None,
+                     "1969-12-31 23:59:59.000001", "2030-06-01 00:00:00.5"]
+                ),
+            }
+        )
+
+    def test_value_exact_roundtrip(self, tmp_path):
+        from ocr_platform_ray.sources.sqlite_io import (
+            read_sqlite, write_sqlite_dataset,
+        )
+
+        df = self._frame()
+        d = str(tmp_path / "db")
+        paths = write_sqlite_dataset(rd.from_pandas(df), d)
+        assert len(paths) == 1 and paths[0].endswith(".sqlite")
+        back = read_sqlite(d).to_pandas()
+        assert list(back.columns) == list(df.columns)  # order pinned
+        back = back.sort_values("i").reset_index(drop=True)
+        want = df.sort_values("i").reset_index(drop=True)
+        assert back["i"].tolist() == want["i"].tolist()
+        np.testing.assert_array_equal(
+            back["f"].to_numpy(), want["f"].to_numpy()
+        )  # NaN stored as NULL, returns NaN; 1e300 exact
+        assert back["s"].where(back["s"].notna(), None).tolist() == \
+            want["s"].tolist()
+        assert back["b"].where(back["b"].notna(), None).tolist() == \
+            want["b"].tolist()
+        assert back["flag"].where(back["flag"].notna(), None).tolist() == \
+            want["flag"].tolist()
+        pd.testing.assert_series_equal(
+            back["ts"].astype("datetime64[ns]"),
+            want["ts"].astype("datetime64[ns]"),
+            check_dtype=False,
+        )
+
+    def test_idempotent_rerun_and_stale_cleanup(self, tmp_path):
+        from ocr_platform_ray.sources.sqlite_io import write_sqlite_dataset
+
+        df = self._frame()
+        d = str(tmp_path / "db")
+        p1 = write_sqlite_dataset(rd.from_pandas(df), d)
+        bytes1 = open(p1[0], "rb").read()
+        p2 = write_sqlite_dataset(rd.from_pandas(df), d)
+        assert p1 == p2 and open(p2[0], "rb").read() == bytes1
+        # different input -> old shard removed after publish
+        p3 = write_sqlite_dataset(rd.from_pandas(df.head(2)), d)
+        import os
+        assert sorted(os.listdir(d)) == [os.path.basename(p3[0])]
+
+    def test_rowid_range_parallel_single_file(self, tmp_path):
+        from ocr_platform_ray.sources.sqlite_io import (
+            read_sqlite, write_sqlite_dataset,
+        )
+
+        df = pd.DataFrame(
+            {"k": np.arange(1000, dtype="int64"),
+             "v": np.random.RandomState(0).randn(1000)}
+        )
+        d = str(tmp_path / "one")
+        paths = write_sqlite_dataset(rd.from_pandas(df), d)
+        assert len(paths) == 1
+        ds = read_sqlite(paths[0], rows_per_task=128)
+        assert ds.count() == 1000
+        # ranges tile exactly; block order follows execution order, so
+        # compare sorted; within each range block rowid order holds
+        blocks = list(ds.iter_batches(batch_size=None, batch_format="pandas"))
+        assert all(np.all(np.diff(b["k"].to_numpy()) > 0) for b in blocks)
+        assert max(len(b) for b in blocks) <= 128
+        back = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        assert back["k"].tolist() == df["k"].tolist()
+        np.testing.assert_array_equal(back["v"].to_numpy(), df["v"].to_numpy())
+
+    def test_projection_and_plan_errors(self, tmp_path):
+        from ocr_platform_ray.sources.sqlite_io import (
+            read_sqlite, write_sqlite_dataset,
+        )
+
+        df = self._frame()
+        d = str(tmp_path / "db")
+        write_sqlite_dataset(rd.from_pandas(df), d)
+        back = read_sqlite(d, columns=["s", "i"]).to_pandas()
+        assert list(back.columns) == ["s", "i"]
+        with pytest.raises(ValueError, match="missing columns"):
+            read_sqlite(d, columns=["nope"])
+        # mixed-schema directory raises at plan time
+        write_sqlite_dataset(
+            rd.from_pandas(pd.DataFrame({"other": [1]})),
+            str(tmp_path / "db2"),
+        )
+        import shutil, os
+        for f in os.listdir(str(tmp_path / "db2")):
+            shutil.copy(str(tmp_path / "db2" / f), os.path.join(d, f))
+        with pytest.raises(ValueError, match="mixed-schema"):
+            read_sqlite(d)
+
+    def test_foreign_db_by_affinity_and_missing_table(self, tmp_path):
+        import sqlite3
+
+        from ocr_platform_ray.sources.sqlite_io import read_sqlite
+
+        p = str(tmp_path / "foreign.sqlite")
+        con = sqlite3.connect(p)
+        con.execute(
+            "CREATE TABLE data (id INTEGER, name TEXT, score REAL, blob BLOB)"
+        )
+        con.executemany(
+            "INSERT INTO data VALUES (?, ?, ?, ?)",
+            [(1, "x", 0.5, b"z"), (2, None, None, None)],
+        )
+        con.commit(); con.close()
+        back = read_sqlite(p).to_pandas()
+        assert back["id"].tolist() == [1, 2]
+        assert back["name"].where(back["name"].notna(), None).tolist() == ["x", None]
+        with pytest.raises(ValueError, match="no table"):
+            read_sqlite(p, table="missing")
+
+    def test_auto_dispatch_and_unsupported_types(self, tmp_path):
+        from ocr_platform_ray.sources.auto import (
+            detect_format, read_auto, write_auto,
+        )
+        from ocr_platform_ray.sources.sqlite_io import write_sqlite_dataset
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        d = str(tmp_path / "auto")
+        n = write_auto(rd.from_pandas(df), d, "sqlite")
+        assert n == 1 and detect_format(d) == "sqlite"
+        back = read_auto(d).to_pandas()
+        assert back["a"].tolist() == [1, 2]
+        # nested values are a loud error, not silent text
+        with pytest.raises((ValueError, Exception)):
+            write_sqlite_dataset(
+                rd.from_pandas(pd.DataFrame({"lst": [[1, 2], [3]]})),
+                str(tmp_path / "bad"),
+            )
