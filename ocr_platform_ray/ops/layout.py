@@ -759,3 +759,192 @@ def bloom_pruned_lookup(
     return ds.map_batches(
         lambda b: b[b[key_col].isin(key_set)], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partitioned layout — categorical data skipping
+# ---------------------------------------------------------------------------
+# The third member of the layout family: range zones (`cluster_write`) and
+# Z-order boxes skip on ORDERED predicates; Hive partitioning
+# (``col=value/`` directories, the layout Spark/Hive/Trino write and every
+# lakehouse reads) skips on CATEGORICAL equality — a scan for one
+# (event_type, day) opens exactly one directory out of thousands.  The
+# write is MAP-ONLY (one file per (partition, input block), content-keyed
+# like the JSONL sink — no exchange: at 100 TB the partition column is
+# usually already the natural block key, and a shuffle would move every
+# byte to save file count); the read is driver-side directory planning +
+# `read_parquet` on the matching files with the partition columns restored
+# from the path (they are not stored in the files, the Hive contract).
+
+_HIVE_META = "_hive_meta.json"
+
+
+def _hive_seg(col: str, v) -> str:
+    from urllib.parse import quote
+
+    return f"{col}={quote(str(v), safe='')}"
+
+
+def hive_write(
+    ds: rd.Dataset,
+    partition_cols: list[str],
+    out_dir: str,
+) -> pd.DataFrame:
+    """Write ``ds`` Hive-partitioned on ``partition_cols`` (int or string
+    values; NULL partitions raise — the Hive ``__HIVE_DEFAULT_PARTITION__``
+    convention is lossy).  One parquet file per (partition, input block),
+    content-keyed + atomically published; the meta marker commits last, so
+    readers never see a torn layout.  Stale files from a previous run are
+    removed after publish (the JSONL sink's directory contract).  Returns
+    the manifest (file, n_rows)."""
+    import hashlib
+    import json
+
+    pcols = list(partition_cols)
+    if not pcols:
+        raise ValueError("hive_write: partition_cols must be non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if len(b) == 0:
+            return pd.DataFrame({"file": pd.Series([], dtype=object),
+                                 "n_rows": pd.Series([], dtype="int64")})
+        for c in pcols:
+            if b[c].isna().any():
+                raise ValueError(f"hive_write: NULL in partition column {c!r}")
+        for key, g in b.groupby(pcols, sort=True):
+            key = key if isinstance(key, tuple) else (key,)
+            segs = [_hive_seg(c, v) for c, v in zip(pcols, key)]
+            body = g.drop(columns=pcols)
+            d = os.path.join(out_dir, *segs)
+            os.makedirs(d, exist_ok=True)
+            buf = pa.BufferOutputStream()
+            pq.write_table(pa.Table.from_pandas(body, preserve_index=False), buf)
+            payload = buf.getvalue().to_pybytes()
+            name = f"part-{hashlib.sha1(payload).hexdigest()[:16]}.parquet"
+            path = os.path.join(d, name)
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            rows.append({"file": os.path.join(*segs, name), "n_rows": len(g)})
+        return pd.DataFrame(rows)
+
+    raw = ds.map_batches(write_block, batch_format="pandas").to_pandas()
+    if len(raw) == 0 or "file" not in raw.columns:
+        raise ValueError("hive_write: input dataset is empty")
+    files = raw["file"].tolist()
+    if len(files) != len(set(files)):
+        raise ValueError(
+            "hive_write: two byte-identical (partition, block) slices mapped "
+            "to the same content-keyed file — repartition the input"
+        )
+    # dtype kinds for exact path->column restore
+    sch = ds.schema()
+    names, types = list(sch.names), list(sch.types)
+    kinds = {}
+    for c in pcols:
+        t = str(types[names.index(c)])
+        kinds[c] = "int" if t.startswith(("int", "uint")) else "str"
+    keep = set(files)
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.startswith("part-") and n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), out_dir)
+                if rel not in keep:
+                    os.unlink(os.path.join(root, n))
+    meta = {"partition_cols": pcols, "kinds": kinds, "n_files": len(files)}
+    tmp = os.path.join(out_dir, _HIVE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _HIVE_META))
+    return raw.sort_values("file").reset_index(drop=True)
+
+
+def hive_plan(out_dir: str, filters: dict) -> tuple[list[str], int, dict]:
+    """(matching relative files, total file count, meta).  ``filters``
+    maps partition column -> value or list of values; unfiltered levels
+    match everything."""
+    import json
+    from urllib.parse import unquote
+
+    mp = os.path.join(out_dir, _HIVE_META)
+    if not os.path.exists(mp):
+        raise ValueError(f"hive_plan: no committed layout at {out_dir}")
+    meta = json.load(open(mp))
+    pcols = meta["partition_cols"]
+    unknown = set(filters) - set(pcols)
+    if unknown:
+        raise ValueError(f"hive_plan: non-partition filter columns {sorted(unknown)}")
+    want = {
+        c: {str(v) for v in (vs if isinstance(vs, (list, tuple, set)) else [vs])}
+        for c, vs in filters.items()
+    }
+    matches, total = [], 0
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if not (n.startswith("part-") and n.endswith(".parquet")):
+                continue
+            total += 1
+            rel = os.path.relpath(os.path.join(root, n), out_dir)
+            segs = rel.split(os.sep)[:-1]
+            vals = {}
+            for s in segs:
+                c, _, v = s.partition("=")
+                vals[c] = unquote(v)
+            if all(vals.get(c) in vs for c, vs in want.items()):
+                matches.append(rel)
+    return sorted(matches), total, meta
+
+
+def hive_pruned_read(
+    out_dir: str,
+    filters: dict,
+    *,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, int, int]:
+    """Partition-pruned scan: open ONLY the ``col=value`` directories the
+    equality filters select, restore the partition columns from the path
+    (exact — the meta records int vs str).  Returns
+    ``(dataset, files_opened, total_files)`` so callers can assert the
+    skip ratio."""
+    from urllib.parse import unquote
+
+    files, total, meta = hive_plan(out_dir, filters)
+    pcols = meta["partition_cols"]
+    kinds = meta["kinds"]
+    if not files:
+        raise ValueError("hive_pruned_read: no partition matches the filters")
+    out_cols = None if columns is None else [c for c in columns if c not in pcols]
+    # one read per partition DIRECTORY (all its files share the values)
+    by_part: dict[tuple, list[str]] = {}
+    for rel in files:
+        segs = tuple(rel.split(os.sep)[:-1])
+        by_part.setdefault(segs, []).append(os.path.join(out_dir, rel))
+
+    def attach(vals):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c, v in vals.items():
+                if columns is None or c in columns:
+                    b[c] = v
+            return b
+
+        return fn
+
+    dss = []
+    for segs, paths in sorted(by_part.items()):
+        vals = {}
+        for seg in segs:
+            c, _, v = seg.partition("=")
+            vals[c] = int(unquote(v)) if kinds.get(c) == "int" else unquote(v)
+        dss.append(
+            rd.read_parquet(sorted(paths), columns=out_cols).map_batches(
+                attach(vals), batch_format="pandas"
+            )
+        )
+    ds = dss[0]
+    for other in dss[1:]:
+        ds = ds.union(other)
+    return ds, len(files), total

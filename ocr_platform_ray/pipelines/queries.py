@@ -7026,6 +7026,58 @@ def q_sqlite_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_events_hive_scan(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned layout + categorical partition pruning
+    (`ops/layout.hive_write`/`hive_pruned_read` — the ``col=value/``
+    directory contract Spark/Hive/Trino write): events land partitioned
+    by (event_type, dow); the scan for one (type, day) opens ONLY that
+    directory's files — the skip is asserted in-query — and the per-user
+    count/cents aggregate over the pruned read must equal the SQL filter
+    over the original parquet.  Full SQL oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.layout import hive_pruned_read, hive_write
+    from ..ops.relational import auto_group_agg
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                               "value"])
+
+    def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b["dow"] = (us // 86_400_000_000) % 7
+        return b
+
+    with tempfile.TemporaryDirectory(prefix="hive_events_") as td:
+        hive_write(ev.map_batches(add_dow, batch_format="pandas"),
+                   ["event_type", "dow"], td)
+        back, opened, total = hive_pruned_read(
+            td, {"event_type": "click", "dow": 3},
+            columns=["user_id", "value"],
+        )
+        assert opened < total, "partition pruning must skip files"
+        partials = back.map_batches(
+            lambda b: pd.DataFrame(
+                {"user_id": b["user_id"], "c": _cents(b["value"])}
+            ).groupby("user_id", as_index=False).agg(
+                n_events=("c", "size"), sum_c=("c", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials, ["user_id"],
+            {"n_events": ("n_events", "sum"), "sum_c": ("sum_c", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_c"].astype("float64") / 100.0
+    return (
+        out.drop(columns="sum_c").sort_values("user_id").reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7333,6 +7385,7 @@ QUERIES = {
     "value_autocorr_by_user": q_value_autocorr_by_user,
     "nb_lang_predict": q_nb_lang_predict,
     "sqlite_events": q_sqlite_events,
+    "events_hive_scan": q_events_hive_scan,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9671,4 +9724,16 @@ ORACLE_SQL["sqlite_events"] = (
     "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
     "AS sum_value "
     "FROM events GROUP BY event_type"
+)
+
+# Hive partition scan: the (event_type, dow) equality filter mirrored as
+# a WHERE over the original parquet; dow arithmetic is engine-neutral
+# integer epoch-us division.
+ORACLE_SQL["events_hive_scan"] = (
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 "
+    "AS sum_value FROM events "
+    "WHERE event_type = 'click' "
+    "AND (epoch_us(ts) // 86400000000) % 7 = 3 "
+    "GROUP BY user_id"
 )

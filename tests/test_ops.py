@@ -1758,6 +1758,7 @@ class TestTailQueryOracles:
             "value_autocorr_by_user",
             "nb_lang_predict",
             "sqlite_events",
+            "events_hive_scan",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -6067,3 +6067,92 @@ class TestSqliteSource:
                 rd.from_pandas(pd.DataFrame({"lst": [[1, 2], [3]]})),
                 str(tmp_path / "bad"),
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHiveLayout:
+    """Hive-style partitioned layout (`ops/layout.hive_write` /
+    `hive_pruned_read`)."""
+
+    def _frame(self, n=300, seed=2):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "t": rng.choice(["a", "b", "c or d?"], n),  # needs quoting
+                "d": rng.randint(0, 4, n).astype("int64"),
+                "v": rng.randn(n),
+                "id": np.arange(n, dtype="int64"),
+            }
+        )
+
+    def test_roundtrip_and_pruning_exact(self, tmp_path):
+        from ocr_platform_ray.ops.layout import hive_pruned_read, hive_write
+
+        df = self._frame()
+        d = str(tmp_path / "h")
+        man = hive_write(rd.from_pandas(df), ["t", "d"], d)
+        assert man["n_rows"].sum() == len(df)
+        # full read (no filters) restores everything, partition dtypes exact
+        full, opened, total = hive_pruned_read(d, {})
+        assert opened == total
+        back = full.to_pandas().sort_values("id").reset_index(drop=True)
+        want = df.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            back[["t", "d", "v", "id"]], want, check_dtype=False
+        )
+        assert back["d"].dtype.kind == "i"  # int restored from the path
+        # pruned scan: only the one partition's files open; rows exact
+        sub, opened, total = hive_pruned_read(d, {"t": "c or d?", "d": 2})
+        assert opened < total
+        got = sub.to_pandas().sort_values("id").reset_index(drop=True)
+        exp = want[(want["t"] == "c or d?") & (want["d"] == 2)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["t", "d", "v", "id"]], exp, check_dtype=False)
+
+    def test_list_filters_projection_idempotence_stale(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.ops.layout import (
+            hive_plan, hive_pruned_read, hive_write,
+        )
+
+        df = self._frame(seed=5)
+        d = str(tmp_path / "h")
+        hive_write(rd.from_pandas(df), ["t"], d)
+        files1, total1, _ = hive_plan(d, {})
+        # idempotent rerun: identical file set
+        hive_write(rd.from_pandas(df), ["t"], d)
+        files2, total2, _ = hive_plan(d, {})
+        assert files1 == files2 and total1 == total2
+        # different input -> stale files removed
+        hive_write(rd.from_pandas(df[df["t"] != "b"]), ["t"], d)
+        files3, _, _ = hive_plan(d, {})
+        assert not any(f.startswith("t=b") for f in files3)
+        assert all(os.path.exists(os.path.join(d, f)) for f in files3)
+        # value-list filter + projection (partition col restored on demand)
+        hive_write(rd.from_pandas(df), ["t"], d)
+        ds, opened, total = hive_pruned_read(
+            d, {"t": ["a", "b"]}, columns=["t", "id"]
+        )
+        got = ds.to_pandas()
+        assert sorted(got.columns) == ["id", "t"]
+        assert set(got["t"]) == {"a", "b"}
+        assert len(got) == int((df["t"] != "c or d?").sum())
+
+    def test_errors(self, tmp_path):
+        from ocr_platform_ray.ops.layout import hive_plan, hive_pruned_read, hive_write
+
+        df = self._frame()
+        d = str(tmp_path / "h")
+        with pytest.raises(ValueError, match="non-empty"):
+            hive_write(rd.from_pandas(df), [], d)
+        dfn = df.copy()
+        dfn.loc[0, "t"] = None
+        with pytest.raises(Exception, match="NULL"):
+            hive_write(rd.from_pandas(dfn), ["t"], str(tmp_path / "h2"))
+        with pytest.raises(ValueError, match="no committed layout"):
+            hive_plan(str(tmp_path / "missing"), {})
+        hive_write(rd.from_pandas(df), ["t"], d)
+        with pytest.raises(ValueError, match="non-partition"):
+            hive_plan(d, {"v": 1.0})
+        with pytest.raises(ValueError, match="no partition matches"):
+            hive_pruned_read(d, {"t": "zzz"})
