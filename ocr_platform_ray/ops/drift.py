@@ -144,3 +144,86 @@ def js_divergence(
         batch_format="pandas",
     ).to_pandas()
     return float(parts["s"].sum()) if len(parts) else 0.0
+
+
+def cusum_changepoint(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Per-group CUSUM change-point over the bucketed event-rate series
+    (Page 1954's cumulative-sum chart in its retrospective single-pass
+    form — the "when did this source's volume shift" monitoring readout
+    next to the JS token drift and WoW deltas): with bucket counts
+    n_1..n_K in time order, the statistic at k is
+
+        D_k = | S_k − (k / K) · S_K |        S_k = Σ_{i≤k} n_i
+
+    — the maximum-deviation-from-proportionality form; the change point
+    is the k maximizing D_k (ties to the earliest bucket).  D_k is one
+    IEEE expression over exact int64 prefix sums and positions, so a
+    window-function SQL oracle hashes identically.
+
+    Scale shape: per-batch (group, bucket) count combiners into the
+    size-aware `auto_group_agg` finish; the CUSUM scan runs over the
+    report-dim (group × bucket) count table — the events themselves
+    never move, and the time dimension bounds the table (the
+    `events_hourly` contract).  NULL groups/timestamps drop."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[group_col, ts_col]].dropna()
+        us = sub[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame(
+            {group_col: sub[group_col], "bucket": us // bucket_us}
+        )
+        return (
+            out.groupby([group_col, "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    red = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "bucket"],
+        {"n": ("n", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    if len(red) == 0 or "bucket" not in red.columns:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series(dtype="object"),
+                "cp_bucket": pd.Series(dtype="int64"),
+                "cusum": pd.Series(dtype="float64"),
+                "n_buckets": pd.Series(dtype="int64"),
+                "total": pd.Series(dtype="int64"),
+            }
+        )
+    red = red.sort_values([group_col, "bucket"]).reset_index(drop=True)
+    red["n"] = red["n"].astype("int64")
+    rows = []
+    for g, grp in red.groupby(group_col, sort=True):
+        n = grp["n"].to_numpy()
+        sk = np.cumsum(n).astype("float64")
+        kk = np.arange(1, len(n) + 1, dtype="float64")
+        K = float(len(n))
+        tot = sk[-1]
+        d = np.abs(sk - (kk / K) * tot)
+        best = int(np.argmax(d))  # first max = earliest bucket
+        rows.append(
+            {
+                group_col: g,
+                "cp_bucket": int(grp["bucket"].iloc[best]),
+                "cusum": float(d[best]),
+                "n_buckets": len(n),
+                "total": int(sk[-1]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["n_buckets"] = out["n_buckets"].astype("int64")
+    out["total"] = out["total"].astype("int64")
+    return out

@@ -841,3 +841,69 @@ def grouped_autocorr(
         acf = num / den
         out["acf"] = np.where((n > 1.0) & (den > 0.0), acf, np.nan)
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_winsorize(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    *,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    keep_cols: list[str] | None = None,
+    out_col: str = "winsorized",
+    n_shards: int = 64,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Per-group winsorization — the outlier-robust preprocessing
+    complement of `grouped_scale`: clip each value into
+    ``[quantile_disc(q_lo), quantile_disc(q_hi)]`` of its group.  Both
+    cutoffs come from `ops/relational.grouped_percentile_exact`'s
+    position rule (``max(1, ceil(q·m))``), so they are DATA VALUES —
+    the clipped result is a pure selection, never a computed float, and
+    a ROW_NUMBER-position SQL oracle hashes identically.
+
+    Scale shape: two grouped-percentile exchanges produce the group-dim
+    cutoff table, broadcast via ``ray.put`` into a map-only clip — the
+    values themselves never move (the `grouped_scale` shape).  NULL
+    values / NULL group keys drop (the SQL mirror's WHERE)."""
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError("need 0 <= q_lo <= q_hi <= 1")
+    gcols = list(group_cols)
+    carry = list(dict.fromkeys([*(keep_cols or []), *gcols, value_col]))
+
+    proj = ds.map_batches(
+        lambda b: b[carry].dropna(subset=[*gcols, value_col]),
+        batch_format="pandas",
+    ).materialize()
+    cuts = grouped_percentile_exact(
+        proj, gcols, value_col, [q_lo, q_hi], n_shards=n_shards
+    )
+    lo = cuts[cuts["q"] == q_lo].set_index(gcols)[value_col]
+    hi = cuts[cuts["q"] == q_hi].set_index(gcols)[value_col]
+    table = pd.DataFrame({"lo": lo, "hi": hi}).reset_index()
+    handle = ray.put(table)
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(handle)
+        m = b.merge(t, on=gcols, how="left")
+        v = m[value_col].to_numpy(dtype="float64")
+        out = np.minimum(
+            np.maximum(v, m["lo"].to_numpy(dtype="float64")),
+            m["hi"].to_numpy(dtype="float64"),
+        )
+        m[out_col] = out
+        return m.drop(columns=["lo", "hi"])
+
+    res = proj.map_batches(clip, batch_format="pandas")
+    if as_dataset:
+        return res
+    out = res.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in carry},
+                out_col: pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values([*gcols, value_col]).reset_index(drop=True)

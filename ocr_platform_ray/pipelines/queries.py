@@ -7078,6 +7078,35 @@ def q_events_hive_scan(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_rate_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Per-type CUSUM change point over the hourly event-rate series
+    (`ops/drift.cusum_changepoint` — Page 1954 retrospective form): the
+    bucket maximizing |S_k − (k/K)·S_K| over exact integer prefix sums.
+    Count combiners into the size-aware finish; the scan runs on the
+    report-dim table.  Full window-function SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.drift import cusum_changepoint
+
+    ev = _t(sf_dir, "events", ["event_type", "ts"])
+    return cusum_changepoint(ev, group_col="event_type", ts_col="ts")
+
+
+def q_value_winsor_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type winsorized values (`ops/profile.grouped_winsorize`): clip
+    into [quantile_disc(0.05), quantile_disc(0.95)] of the type — both
+    cutoffs selected by the exact position rule, so every output is a
+    copied data value.  Two percentile exchanges + a broadcast map-only
+    clip.  Full ROW_NUMBER-position SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_winsorize
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_winsorize(
+        ev, ["event_type"], "value", q_lo=0.05, q_hi=0.95,
+        keep_cols=["event_id"],
+    )
+    return out[["event_id", "event_type", "value", "winsorized"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7386,6 +7415,8 @@ QUERIES = {
     "nb_lang_predict": q_nb_lang_predict,
     "sqlite_events": q_sqlite_events,
     "events_hive_scan": q_events_hive_scan,
+    "event_rate_changepoint": q_event_rate_changepoint,
+    "value_winsor_by_type": q_value_winsor_by_type,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9736,4 +9767,43 @@ ORACLE_SQL["events_hive_scan"] = (
     "WHERE event_type = 'click' "
     "AND (epoch_us(ts) // 86400000000) % 7 = 3 "
     "GROUP BY user_id"
+)
+
+# CUSUM change point: window prefix sums over exact hourly counts; the
+# deviation expression repeats cusum_changepoint's operand order; ties
+# to the earliest bucket.
+ORACLE_SQL["event_rate_changepoint"] = (
+    "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), "
+    "o AS (SELECT event_type, b, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS k, "
+    "SUM(n) OVER (PARTITION BY event_type ORDER BY b) AS sk, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS kk, "
+    "SUM(n) OVER (PARTITION BY event_type) AS tot FROM c), "
+    "d AS (SELECT event_type, b, "
+    "ABS(CAST(sk AS DOUBLE) - (CAST(k AS DOUBLE) / CAST(kk AS DOUBLE)) "
+    "* CAST(tot AS DOUBLE)) AS cusum, kk, tot FROM o) "
+    "SELECT event_type, b AS cp_bucket, cusum, "
+    "CAST(kk AS BIGINT) AS n_buckets, CAST(tot AS BIGINT) AS total "
+    "FROM d QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+    "ORDER BY cusum DESC, b) = 1"
+)
+
+# Winsorization: both cutoffs by the quantile_disc position rule
+# (the value_percentiles_by_type mirror); the clip is LEAST/GREATEST
+# over copied data values.
+ORACLE_SQL["value_winsor_by_type"] = (
+    "WITH v AS (SELECT event_id, event_type, value FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+    "r AS (SELECT event_type, value, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY value) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS m FROM v), "
+    "lo AS (SELECT event_type, value AS lo FROM r "
+    "WHERE rn = GREATEST(1, CEIL(0.05 * m))), "
+    "hi AS (SELECT event_type, value AS hi FROM r "
+    "WHERE rn = GREATEST(1, CEIL(0.95 * m))) "
+    "SELECT v.event_id, v.event_type, v.value, "
+    "LEAST(GREATEST(v.value, lo.lo), hi.hi) AS winsorized "
+    "FROM v JOIN lo USING (event_type) JOIN hi USING (event_type)"
 )

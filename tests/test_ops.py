@@ -1759,6 +1759,8 @@ class TestTailQueryOracles:
             "nb_lang_predict",
             "sqlite_events",
             "events_hive_scan",
+            "event_rate_changepoint",
+            "value_winsor_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

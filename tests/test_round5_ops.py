@@ -6156,3 +6156,118 @@ class TestHiveLayout:
             hive_plan(d, {"v": 1.0})
         with pytest.raises(ValueError, match="no partition matches"):
             hive_pruned_read(d, {"t": "zzz"})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCusumChangepoint:
+    """Retrospective CUSUM change point (`ops/drift.cusum_changepoint`)."""
+
+    def test_planted_rate_shift_recovered(self):
+        from ocr_platform_ray.ops.drift import cusum_changepoint
+
+        # 2/hour for 50 hours, then 20/hour for 50 hours -> cp at hour 49
+        rows = []
+        for h in range(100):
+            for i in range(2 if h < 50 else 20):
+                rows.append(
+                    {"g": "x", "ts": pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(hours=h, seconds=i)}
+                )
+        got = cusum_changepoint(
+            rd.from_pandas(pd.DataFrame(rows)), group_col="g", ts_col="ts"
+        )
+        base = int(
+            pd.Timestamp("2024-01-01").value // 1000 // 3_600_000_000
+        )
+        assert got.iloc[0]["cp_bucket"] == base + 49
+        assert got.iloc[0]["n_buckets"] == 100
+        assert got.iloc[0]["total"] == 2 * 50 + 20 * 50
+
+    def test_matches_naive_and_block_independent(self):
+        from ocr_platform_ray.ops.drift import cusum_changepoint
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b"], 600),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 72 * 3600, 600), unit="s"),
+            }
+        )
+        outs = []
+        for nb in (1, 7):
+            outs.append(
+                cusum_changepoint(
+                    rd.from_pandas(df).repartition(nb), group_col="g",
+                    ts_col="ts",
+                )
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # naive reference
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        cnt = (
+            pd.DataFrame({"g": df["g"], "b": us // 3_600_000_000})
+            .groupby(["g", "b"]).size().reset_index(name="n")
+        )
+        for g, grp in cnt.groupby("g"):
+            grp = grp.sort_values("b")
+            n = grp["n"].to_numpy(dtype=float)
+            sk = np.cumsum(n)
+            kk = np.arange(1, len(n) + 1, dtype=float)
+            d = np.abs(sk - (kk / len(n)) * sk[-1])
+            row = outs[0][outs[0]["g"] == g].iloc[0]
+            assert row["cp_bucket"] == grp["b"].to_numpy()[np.argmax(d)]
+            assert row["cusum"] == d.max()
+
+    def test_empty(self):
+        from ocr_platform_ray.ops.drift import cusum_changepoint
+
+        df = pd.DataFrame({"g": pd.Series(dtype="object"),
+                           "ts": pd.Series(dtype="datetime64[us]")})
+        got = cusum_changepoint(rd.from_pandas(df), group_col="g", ts_col="ts")
+        assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedWinsorize:
+    """Per-group winsorization (`ops/profile.grouped_winsorize`)."""
+
+    def test_matches_position_rule_reference(self):
+        from ocr_platform_ray.ops.profile import grouped_winsorize
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 400),
+                "id": np.arange(400, dtype="int64"),
+                "v": np.round(rng.randn(400) * 40, 2),
+            }
+        )
+        df.loc[df.index % 11 == 0, "v"] = np.nan  # dropped like the SQL WHERE
+        got = grouped_winsorize(
+            rd.from_pandas(df), ["k"], "v", q_lo=0.1, q_hi=0.9,
+            keep_cols=["id"],
+        )
+        sub = df[df["v"].notna()]
+        for k, grp in sub.groupby("k"):
+            vs = np.sort(grp["v"].to_numpy())
+            m = len(vs)
+            lo = vs[max(1, int(np.ceil(0.1 * m))) - 1]
+            hi = vs[max(1, int(np.ceil(0.9 * m))) - 1]
+            want = np.minimum(np.maximum(grp["v"].to_numpy(), lo), hi)
+            gg = got[got["k"] == k].set_index("id").loc[grp["id"]]
+            np.testing.assert_array_equal(gg["winsorized"].to_numpy(), want)
+        # clipped values are copied data values from within the group
+        assert set(got["winsorized"]) <= set(sub["v"])
+        assert len(got) == len(sub)
+
+    def test_extreme_qs_and_validation(self):
+        from ocr_platform_ray.ops.profile import grouped_winsorize
+
+        df = pd.DataFrame({"k": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        got = grouped_winsorize(rd.from_pandas(df), ["k"], "v", q_lo=0.0, q_hi=1.0)
+        np.testing.assert_array_equal(
+            got["winsorized"].to_numpy(), df["v"].sort_values().to_numpy()
+        )
+        with pytest.raises(ValueError, match="q_lo"):
+            grouped_winsorize(rd.from_pandas(df), ["k"], "v", q_lo=0.9, q_hi=0.1)
