@@ -230,6 +230,14 @@ def run_once() -> dict:
         "orders_global_rownum",
         "value_ab_welch",
         "value_outliers_by_type",
+        # round-4 session-12 additions
+        "token_chi2_en",
+        "value_autocorr_by_user",
+        "nb_lang_predict",
+        "sqlite_events",
+        "events_hive_scan",
+        "event_rate_changepoint",
+        "value_winsor_by_type",
     ):
         extra_times[name] = _best_of(2, name)
 
