@@ -468,3 +468,46 @@ def count_min_query(cm: dict, values) -> np.ndarray:
         [cm["m"][i][rows[i].astype(np.int64)] for i in range(cm["depth"])]
     )
     return ests.min(axis=0)
+
+
+def hll_registers_for(ds: rd.Dataset, col: str, *, p: int = 12) -> np.ndarray:
+    """Merged HLL register array for one dataset/column — the reusable
+    half of `approx_distinct` (map-only fixed-size partials, streaming
+    driver max-merge; the accumulator never grows)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"regs": [_hll_registers(b[col], p).tobytes()]})
+
+    acc = np.zeros(1 << p, dtype=np.uint8)
+    for batch in ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for raw in batch["regs"]:
+            np.maximum(acc, np.frombuffer(raw, dtype=np.uint8), out=acc)
+    return acc
+
+
+def hll_set_estimates(
+    ds_a: rd.Dataset, ds_b: rd.Dataset, col: str, *, p: int = 12
+) -> dict:
+    """Approximate distinct-set relations between two corpora WITHOUT
+    co-locating them (audience overlap, crawl-snapshot key overlap):
+    register-wise max of two HLLs is EXACTLY the HLL of the union (same
+    hash, max is idempotent/commutative), so |A∪B| carries the plain
+    single-sketch error (~1.04/√m); |A∩B| = |A| + |B| − |A∪B|
+    (inclusion–exclusion, clamped at 0 — errors compound, the documented
+    trade) and Jaccard follows.  Zero exchanges; two register arrays
+    meet on the driver."""
+    ra = hll_registers_for(ds_a, col, p=p)
+    rb = hll_registers_for(ds_b, col, p=p)
+    est_a = _hll_estimate(ra)
+    est_b = _hll_estimate(rb)
+    est_u = _hll_estimate(np.maximum(ra, rb))
+    inter = max(0.0, est_a + est_b - est_u)
+    return {
+        "n_a": est_a,
+        "n_b": est_b,
+        "n_union": est_u,
+        "n_intersect": inter,
+        "jaccard": (inter / est_u) if est_u > 0 else 0.0,
+    }

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from .profile import _scaled_int
 from .relational import auto_group_agg
 
 _KINDS = ("not_null", "unique", "in_range", "matches", "in_set")
@@ -141,3 +142,60 @@ def enforce_expectations(ds: rd.Dataset, rules: list[dict]) -> pd.DataFrame:
             "expectations violated:\n" + bad.to_string(index=False)
         )
     return report
+
+
+def benford_audit(
+    ds: "rd.Dataset",
+    value_col: str,
+    *,
+    scale: int = 100,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Benford first-significant-digit audit (Newcomb 1881 / Benford 1938
+    — the fabricated-data / unit-mixing screen a financial or telemetry
+    ingest runs): observed counts of the leading digit of
+    ``round(v · scale)`` for positive values vs the Benford expectation
+    ``N · ln(1 + 1/d)/ln(10)``, with the per-digit χ² term.  The digit
+    comes from the INTEGER's decimal string (exact and engine-neutral —
+    no float log10 edge cases); expected/term are single IEEE
+    expressions over exact int64 counts, so a generate_series SQL oracle
+    hashes identically.  All nine digits report (zero-observation digits
+    included).
+
+    Scale shape: per-batch digit-count combiners into the size-aware
+    finish; the audit runs on the 9-row report table."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = _scaled_int(b[value_col].dropna().to_numpy(), scale)
+        v = v[v > 0]
+        if v.size == 0:
+            return pd.DataFrame(
+                {"digit": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        first = pd.Series(v).astype(str).str[0].astype("int64")
+        vc = first.value_counts()
+        return pd.DataFrame(
+            {"digit": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    red = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"],
+        {"n": ("n", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    full = pd.DataFrame({"digit": np.arange(1, 10, dtype="int64")})
+    out = full.merge(red, on="digit", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    total = float(out["n"].sum())
+    d = out["digit"].to_numpy(dtype="float64")
+    expected = total * (np.log(1.0 + 1.0 / d) / np.log(10.0))
+    obs = out["n"].to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        term = (obs - expected) * (obs - expected) / expected
+    out["expected"] = expected
+    out["chi2_term"] = np.where(total > 0, term, np.nan)
+    return out.reset_index(drop=True)

@@ -7107,6 +7107,58 @@ def q_value_winsor_by_type(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "event_type", "value", "winsorized"]]
 
 
+def q_orders_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over order totals
+    (`ops/validate.benford_audit` — the fabricated-data / unit-mixing
+    screen): leading digit of the exact integer cents vs the Benford
+    expectation, per-digit χ² term; digit from the integer's decimal
+    string (engine-neutral), expected/term single IEEE expressions.
+    Full generate_series SQL oracle in TestTailQueryOracles."""
+    from ..ops.validate import benford_audit
+
+    orders = _t(sf_dir, "orders", ["o_totalprice"])
+    out = benford_audit(orders, "o_totalprice")
+    # ROUND 6 both sides: DuckDB's optimizer reassociates the recomputed
+    # inline expression by a few ulps (measured ~1e-11 relative)
+    out["expected"] = _round_half_away(out["expected"], 6)
+    out["chi2_term"] = _round_half_away(out["chi2_term"], 6)
+    return out
+
+
+def q_user_overlap_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-user overlap between click and view events
+    (`ops/sketch.hll_set_estimates` — register-max union is EXACTLY the
+    union's HLL; intersection by inclusion–exclusion).  Zero exchanges;
+    two register arrays meet on the driver.  Rows-only: each estimate is
+    asserted within 5 % of the exact distributed answer in-query
+    (union/|A|/|B| carry the single-sketch bound; the intersection
+    inherits the compounded bound on this high-overlap pair)."""
+    from ..ops.relational import distinct_sorted
+    from ..ops.sketch import hll_set_estimates
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    est = hll_set_estimates(clicks, views, "user_id", p=14)
+
+    def exact_distinct(ds):
+        return len(distinct_sorted(ds, "user_id"))
+
+    na, nb = exact_distinct(clicks), exact_distinct(views)
+    both = _t(sf_dir, "events", ["user_id", "event_type"]).filter(
+        expr="event_type == 'click' or event_type == 'view'"
+    )
+    nu = exact_distinct(both)
+    ni = na + nb - nu
+    for got, want in ((est["n_a"], na), (est["n_b"], nb),
+                      (est["n_union"], nu), (est["n_intersect"], ni)):
+        assert want == 0 or abs(got - want) / want <= 0.05, (got, want)
+    return pd.DataFrame(
+        [{"n_a": est["n_a"], "n_b": est["n_b"], "n_union": est["n_union"],
+          "n_intersect": est["n_intersect"], "jaccard": est["jaccard"]}]
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7417,6 +7469,11 @@ QUERIES = {
     "events_hive_scan": q_events_hive_scan,
     "event_rate_changepoint": q_event_rate_changepoint,
     "value_winsor_by_type": q_value_winsor_by_type,
+    "orders_benford": q_orders_benford,
+    # rows-only (sketch estimates; <=5% error vs the exact distributed
+    # distinct counts asserted in-query, register-merge exactness and
+    # error bounds pinned by TestHllSetEstimates)
+    "user_overlap_hll": q_user_overlap_hll,
     # rows-only (model weights aren't SQL; held-out accuracy >= 0.99 on
     # planted script variants asserted in-query, pinned by
     # TestSoftmaxLangid)
@@ -9806,4 +9863,25 @@ ORACLE_SQL["value_winsor_by_type"] = (
     "SELECT v.event_id, v.event_type, v.value, "
     "LEAST(GREATEST(v.value, lo.lo), hi.hi) AS winsorized "
     "FROM v JOIN lo USING (event_type) JOIN hi USING (event_type)"
+)
+
+# Benford audit: leading digit of the exact integer cents via the
+# decimal string; expected/term repeat benford_audit's expressions over
+# exact counts; all nine digits via generate_series LEFT JOIN.
+ORACLE_SQL["orders_benford"] = (
+    "WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+    "AS v FROM orders WHERE o_totalprice IS NOT NULL), "
+    "o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) "
+    "AS digit, CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE v > 0 "
+    "GROUP BY 1), "
+    "g AS (SELECT UNNEST(generate_series(1, 9)) AS digit), "
+    "j AS (SELECT g.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n "
+    "FROM g LEFT JOIN o USING (digit)), "
+    "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM j), "
+    "e AS (SELECT j.digit, j.n, "
+    "t.total * (LN(1.0 + 1.0 / CAST(j.digit AS DOUBLE)) / LN(10.0)) "
+    "AS expected FROM j, t) "
+    "SELECT digit, n, ROUND(expected, 6) AS expected, "
+    "ROUND((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) "
+    "/ expected, 6) AS chi2_term FROM e"
 )

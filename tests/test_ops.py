@@ -1761,6 +1761,7 @@ class TestTailQueryOracles:
             "events_hive_scan",
             "event_rate_changepoint",
             "value_winsor_by_type",
+            "orders_benford",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -6271,3 +6271,102 @@ class TestGroupedWinsorize:
         )
         with pytest.raises(ValueError, match="q_lo"):
             grouped_winsorize(rd.from_pandas(df), ["k"], "v", q_lo=0.9, q_hi=0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHllSetEstimates:
+    """HLL set-operation estimates (`ops/sketch.hll_set_estimates`)."""
+
+    def test_register_max_is_union_sketch_exactly(self):
+        from ocr_platform_ray.ops.sketch import hll_registers_for
+
+        a = pd.DataFrame({"k": np.arange(0, 6000, dtype="int64")})
+        b = pd.DataFrame({"k": np.arange(4000, 9000, dtype="int64")})
+        u = pd.concat([a, b], ignore_index=True)
+        ra = hll_registers_for(rd.from_pandas(a), "k", p=12)
+        rb = hll_registers_for(rd.from_pandas(b), "k", p=12)
+        ru = hll_registers_for(rd.from_pandas(u), "k", p=12)
+        np.testing.assert_array_equal(np.maximum(ra, rb), ru)
+
+    def test_estimates_within_bounds(self):
+        from ocr_platform_ray.ops.sketch import hll_set_estimates
+
+        # |A|=6000, |B|=5000, overlap 2000 -> union 9000
+        a = pd.DataFrame({"k": np.arange(0, 6000, dtype="int64")})
+        b = pd.DataFrame({"k": np.arange(4000, 9000, dtype="int64")})
+        est = hll_set_estimates(
+            rd.from_pandas(a).repartition(5), rd.from_pandas(b), "k", p=14
+        )
+        # single-sketch bound ~1.04/sqrt(2^14) ≈ 0.8%; assert 3%
+        assert abs(est["n_a"] - 6000) / 6000 < 0.03
+        assert abs(est["n_b"] - 5000) / 5000 < 0.03
+        assert abs(est["n_union"] - 9000) / 9000 < 0.03
+        # intersection compounds three errors; assert 15% on 2000
+        assert abs(est["n_intersect"] - 2000) / 2000 < 0.15
+        true_j = 2000 / 9000
+        assert abs(est["jaccard"] - true_j) < 0.05
+
+    def test_disjoint_clamps_nonnegative(self):
+        from ocr_platform_ray.ops.sketch import hll_set_estimates
+
+        a = pd.DataFrame({"k": np.arange(0, 3000, dtype="int64")})
+        b = pd.DataFrame({"k": np.arange(50000, 53000, dtype="int64")})
+        est = hll_set_estimates(rd.from_pandas(a), rd.from_pandas(b), "k", p=13)
+        assert est["n_intersect"] >= 0.0
+        assert est["n_intersect"] / 3000 < 0.06  # near-zero overlap
+        assert est["jaccard"] < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBenfordAudit:
+    """Benford first-digit audit (`ops/validate.benford_audit`)."""
+
+    def test_benford_distributed_data_passes_uniform_fails(self):
+        from ocr_platform_ray.ops.validate import benford_audit
+
+        rng = np.random.RandomState(0)
+        # log-uniform spanning 5 decades -> Benford-distributed
+        benford = pd.DataFrame({"v": 10 ** (rng.rand(20000) * 5 - 2)})
+        got_b = benford_audit(rd.from_pandas(benford), "v")
+        # uniform on [1.0, 1.9) -> every leading cents digit is 1
+        uniform = pd.DataFrame({"v": rng.rand(20000) * 0.9 + 1.0})
+        got_u = benford_audit(rd.from_pandas(uniform), "v")
+        assert got_b["chi2_term"].sum() < got_u["chi2_term"].sum() / 50
+        assert list(got_b["digit"]) == list(range(1, 10))
+        assert got_u.loc[got_u["digit"] == 1, "n"].iloc[0] == 20000
+
+    def test_matches_naive_counts_and_block_independent(self):
+        from ocr_platform_ray.ops.validate import benford_audit
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"v": np.round(rng.lognormal(3, 2, 500), 2)})
+        df.loc[df.index % 17 == 0, "v"] = np.nan   # dropped
+        df.loc[df.index % 23 == 0, "v"] = 0.0      # non-positive dropped
+        outs = [
+            benford_audit(rd.from_pandas(df).repartition(nb), "v")
+            for nb in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        cents = np.floor(df["v"].dropna().to_numpy() * 100 + 0.5).astype("int64")
+        cents = cents[cents > 0]
+        from collections import Counter
+        cnt = Counter(int(str(c)[0]) for c in cents)
+        for d in range(1, 10):
+            assert outs[0].loc[outs[0]["digit"] == d, "n"].iloc[0] == cnt.get(d, 0)
+        # expected follows the published law over the kept total
+        tot = len(cents)
+        np.testing.assert_allclose(
+            outs[0]["expected"].to_numpy(),
+            tot * np.log10(1 + 1 / np.arange(1, 10)),
+            rtol=1e-12,
+        )
+
+    def test_empty(self):
+        from ocr_platform_ray.ops.validate import benford_audit
+
+        got = benford_audit(
+            rd.from_pandas(pd.DataFrame({"v": pd.Series(dtype="float64")})), "v"
+        )
+        assert list(got["digit"]) == list(range(1, 10))
+        assert (got["n"] == 0).all()
+        assert got["chi2_term"].isna().all()
