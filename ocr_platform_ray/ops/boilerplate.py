@@ -39,7 +39,9 @@ binary_join); no per-row Python anywhere.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 DEFAULT_MIN_WORDS = 10
@@ -162,3 +164,73 @@ def extract_main_content(
         return out
 
     return pages.map_batches(extract, batch_format="pyarrow")
+
+
+_META_PATTERNS = {
+    "title": [r"(?is)<title[^>]*>(?P<v>.*?)</title>"],
+    "description": [
+        r"(?is)<meta\s[^>]*name\s*=\s*[\"']description[\"'][^>]*"
+        r"content\s*=\s*[\"'](?P<v>[^\"']*)[\"']",
+        r"(?is)<meta\s[^>]*content\s*=\s*[\"'](?P<v>[^\"']*)[\"']"
+        r"[^>]*name\s*=\s*[\"']description[\"']",
+    ],
+    "canonical": [
+        r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+        r"href\s*=\s*[\"'](?P<v>[^\"']*)[\"']",
+        r"(?is)<link\s[^>]*href\s*=\s*[\"'](?P<v>[^\"']*)[\"']"
+        r"[^>]*rel\s*=\s*[\"']canonical[\"']",
+    ],
+}
+
+
+def extract_html_meta(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    fields: tuple = ("title", "description", "canonical"),
+) -> rd.Dataset:
+    """Page-metadata extraction — the head-tag signals a crawl pipeline
+    mines BEFORE body extraction (title for retrieval/display, canonical
+    link for URL dedup, meta description as a quality/summary signal):
+    first ``<title>``, first ``<meta name="description" content>``
+    (either attribute order), first ``<link rel="canonical" href>``
+    (either order).  Values are RAW (no entity unescape — the consumer
+    chooses); a missing tag yields NULL.
+
+    Map-only: one RE2 kernel (``pc.extract_regex``) per (field, variant)
+    per batch — the first-match rule IS the kernel's semantics, and the
+    primary attribute order is exactly DuckDB ``regexp_extract`` group 1,
+    so a SQL oracle mirrors it pattern-for-pattern.  Bytes html decodes
+    as UTF-8 with replacement."""
+    for f in fields:
+        if f not in _META_PATTERNS:
+            raise ValueError(f"unknown field {f!r} (have {sorted(_META_PATTERNS)})")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch.column(html_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            s = pd.Series(col.to_pandas()).map(
+                lambda v: None if v is None else bytes(v).decode("utf-8", "replace")
+            )
+            col = pa.array(s, pa.string())
+        col = pc.fill_null(col, "")
+        out = {id_col: batch.column(id_col)}
+        for f in fields:
+            best = None
+            for pat in _META_PATTERNS[f]:
+                st = pc.extract_regex(col, pattern=pat)
+                # the child array carries "" garbage where the parent
+                # struct is null (no match) — mask by the STRUCT validity
+                vals = pc.if_else(
+                    pc.is_valid(st), st.field("v"), pa.nulls(len(col), pa.string())
+                )
+                best = vals if best is None else pc.if_else(
+                    pc.is_valid(best), best, vals
+                )
+            out[f] = best
+        return pa.table(out)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

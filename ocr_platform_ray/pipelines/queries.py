@@ -7159,6 +7159,47 @@ def q_user_overlap_hll(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_html_meta_docs(sf_dir: str) -> pd.DataFrame:
+    """Head-metadata extraction (`ops/boilerplate.extract_html_meta` —
+    title / meta-description / canonical link, the signals a crawl mines
+    before body extraction): documents wrap into synthesized pages whose
+    head tags are pure functions of the row (a fifth of pages MISSING
+    the canonical tag — NULL must surface), the extractor's RE2 kernels
+    must recover them exactly as the SQL regexp_extract mirror.  Full
+    SQL oracle in TestTailQueryOracles."""
+    from ..ops.boilerplate import extract_html_meta
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def pagegen(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype(str)
+        title = "Doc " + ids + ": " + b["lang"].fillna("")
+        canon = "https://example.org/" + b["lang"].fillna("") + "/" + ids
+        esc = (
+            b["text"].fillna("").str[:200]
+            .str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+        )
+        link = np.where(
+            (b["doc_id"] % 5 == 0).to_numpy(),
+            "",
+            '<link rel="canonical" href="' + canon + '">',
+        )
+        html = (
+            "<html><head><title>" + title + "</title>"
+            '<meta name="description" content="' + b["source"].fillna("")
+            + '">' + pd.Series(link, index=b.index)
+            + "</head><body><p>" + esc + "</p></body></html>"
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
+
+    out = extract_html_meta(
+        docs.map_batches(pagegen, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7470,6 +7511,7 @@ QUERIES = {
     "event_rate_changepoint": q_event_rate_changepoint,
     "value_winsor_by_type": q_value_winsor_by_type,
     "orders_benford": q_orders_benford,
+    "html_meta_docs": q_html_meta_docs,
     # rows-only (sketch estimates; <=5% error vs the exact distributed
     # distinct counts asserted in-query, register-merge exactness and
     # error bounds pinned by TestHllSetEstimates)
@@ -9884,4 +9926,31 @@ ORACLE_SQL["orders_benford"] = (
     "SELECT digit, n, ROUND(expected, 6) AS expected, "
     "ROUND((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) "
     "/ expected, 6) AS chi2_term FROM e"
+)
+
+# Head-metadata extraction: page synthesis mirrored as string concat,
+# then the extractor's primary patterns as regexp_extract group 1
+# (RE2 both engines); the missing canonical fifth yields NULL.
+ORACLE_SQL["html_meta_docs"] = (
+    "WITH pages AS (SELECT doc_id, "
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ': ' || "
+    "COALESCE(lang, '') || '</title>' || "
+    "'<meta name=\"description\" content=\"' || COALESCE(source, '') || "
+    "'\">' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '' ELSE "
+    "'<link rel=\"canonical\" href=\"https://example.org/' || "
+    "COALESCE(lang, '') || '/' || CAST(doc_id AS VARCHAR) || '\">' END || "
+    "'</head><body><p>' || replace(replace(replace("
+    "substr(COALESCE(text, ''), 1, 200), '&', '&amp;'), '<', '&lt;'), "
+    "'>', '&gt;') || '</p></body></html>' AS html FROM documents) "
+    "SELECT doc_id, "
+    "NULLIF(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), "
+    "'') AS title, "
+    "NULLIF(regexp_extract(html, "
+    "'(?is)<meta\\s[^>]*name\\s*=\\s*[\"'']description[\"''][^>]*"
+    "content\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1), '') AS description, "
+    "NULLIF(regexp_extract(html, "
+    "'(?is)<link\\s[^>]*rel\\s*=\\s*[\"'']canonical[\"''][^>]*"
+    "href\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1), '') AS canonical "
+    "FROM pages"
 )

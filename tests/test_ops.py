@@ -1762,6 +1762,7 @@ class TestTailQueryOracles:
             "event_rate_changepoint",
             "value_winsor_by_type",
             "orders_benford",
+            "html_meta_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -6370,3 +6370,76 @@ class TestBenfordAudit:
         assert list(got["digit"]) == list(range(1, 10))
         assert (got["n"] == 0).all()
         assert got["chi2_term"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractHtmlMeta:
+    """Head-metadata extraction (`ops/boilerplate.extract_html_meta`)."""
+
+    def test_messy_variants(self):
+        from ocr_platform_ray.ops.boilerplate import extract_html_meta
+
+        pages = [
+            # canonical attribute order, double quotes
+            ('<head><title>A</title><meta name="description" content="d1">'
+             '<link rel="canonical" href="https://x/a"></head>'),
+            # reversed attribute order + single quotes + uppercase tags
+            ("<HEAD><TITLE lang='en'>B</TITLE>"
+             "<META content='d2' name='description'>"
+             "<LINK href='https://x/b' rel='canonical'></HEAD>"),
+            # multiline title, first-match rule over two titles
+            ("<title>C\nline2</title><title>ignored</title>"),
+            # nothing present
+            ("<body><p>no head</p></body>"),
+            # extra attributes between the interesting ones
+            ('<meta data-x="1" name="description" data-y="2" '
+             'content="d5"><link type="text/html" rel="canonical" '
+             'media="all" href="https://x/e">'),
+        ]
+        df = pd.DataFrame({"doc_id": range(5), "html": pages})
+        got = (
+            extract_html_meta(rd.from_pandas(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["title"].tolist() == ["A", "B", "C\nline2", None, None]
+        assert got["description"].tolist() == ["d1", "d2", None, None, "d5"]
+        assert got["canonical"].tolist() == [
+            "https://x/a", "https://x/b", None, None, "https://x/e"
+        ]
+
+    def test_bytes_html_and_null_and_validation(self):
+        from ocr_platform_ray.ops.boilerplate import extract_html_meta
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "html": [b"<title>bin\xc3\xa9</title>", None],
+            }
+        )
+        got = (
+            extract_html_meta(rd.from_pandas(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["title"].tolist() == ["biné", None]
+        with pytest.raises(ValueError, match="unknown field"):
+            extract_html_meta(rd.from_pandas(df), fields=("favicon",))
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.boilerplate import extract_html_meta
+
+        rng = np.random.RandomState(1)
+        df = pd.DataFrame(
+            {
+                "doc_id": range(60),
+                "html": [
+                    f"<title>t{i}</title>" if i % 3 else "<p>none</p>"
+                    for i in range(60)
+                ],
+            }
+        )
+        outs = [
+            extract_html_meta(rd.from_pandas(df).repartition(nb))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for nb in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
