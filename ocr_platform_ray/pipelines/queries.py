@@ -7200,6 +7200,67 @@ def q_html_meta_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_customer_linkage_fs(sf_dir: str) -> pd.DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (`ops/linkage.py` —
+    EM over exact agreement-pattern counts, Winkler's grouped-EM scale
+    shape): every customer gets a deterministic dirty twin (name case
+    flipped; segment corrupted for a third), candidate pairs = each
+    record vs its own twin (true matches) and vs the NEXT record's twin
+    (non-matches); the unsupervised fit must separate them — asserted
+    in-query (posterior > 0.9 on every true pair, < 0.1 on every false
+    pair).  Rows-only (EM weights aren't SQL); pinned by
+    TestFsLinkage."""
+    from ..ops.linkage import fs_fit, fs_score
+
+    cust = _t(
+        sf_dir, "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    ).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+    def twin(row_df: pd.DataFrame) -> pd.DataFrame:
+        t = row_df.copy()
+        t["c_name"] = t["c_name"].str.upper()  # still equal casefolded
+        corrupt = (t["c_custkey"] % 3 == 0).to_numpy()
+        t.loc[corrupt, "c_mktsegment"] = "CORRUPTED"
+        return t
+
+    tw = twin(cust)
+    nxt = tw.iloc[(np.arange(len(tw)) + 1) % len(tw)].reset_index(drop=True)
+
+    def agree(a: pd.DataFrame, b: pd.DataFrame, label: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": label,
+                "a_key": a["c_custkey"].to_numpy(),
+                "b_key": b["c_custkey"].to_numpy(),
+                "name_eq": (
+                    a["c_name"].str.lower().to_numpy()
+                    == b["c_name"].str.lower().to_numpy()
+                ),
+                "nation_eq": (
+                    a["c_nationkey"].to_numpy() == b["c_nationkey"].to_numpy()
+                ),
+                "seg_eq": (
+                    a["c_mktsegment"].to_numpy()
+                    == b["c_mktsegment"].to_numpy()
+                ),
+            }
+        )
+
+    pairs = pd.concat(
+        [agree(cust, tw, "match"), agree(cust, nxt, "nonmatch")],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(pairs).repartition(8)
+    model = fs_fit(ds, ["name_eq", "nation_eq", "seg_eq"])
+    scored = fs_score(ds, model, keep_cols=["kind", "a_key", "b_key"])
+    post_m = scored.loc[scored["kind"] == "match", "posterior"]
+    post_n = scored.loc[scored["kind"] == "nonmatch", "posterior"]
+    assert (post_m > 0.9).all(), "true pairs must score as matches"
+    assert (post_n < 0.1).all(), "false pairs must score as non-matches"
+    return scored.sort_values(["kind", "a_key"]).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7512,6 +7573,10 @@ QUERIES = {
     "value_winsor_by_type": q_value_winsor_by_type,
     "orders_benford": q_orders_benford,
     "html_meta_docs": q_html_meta_docs,
+    # rows-only (EM-learned m/u weights aren't SQL; full separation of
+    # planted true/false pairs asserted in-query, parameter recovery +
+    # bit-reproducibility pinned by TestFsLinkage)
+    "customer_linkage_fs": q_customer_linkage_fs,
     # rows-only (sketch estimates; <=5% error vs the exact distributed
     # distinct counts asserted in-query, register-merge exactness and
     # error bounds pinned by TestHllSetEstimates)

@@ -6443,3 +6443,63 @@ class TestExtractHtmlMeta:
             for nb in (1, 7)
         ]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFsLinkage:
+    """Fellegi–Sunter record linkage (`ops/linkage.py`)."""
+
+    def _pairs(self, n=4000, seed=0, p=0.2,
+               m=(0.95, 0.9, 0.85), u=(0.05, 0.2, 0.3)):
+        rng = np.random.RandomState(seed)
+        is_match = rng.rand(n) < p
+        cols = {}
+        for j in range(3):
+            agree = np.where(
+                is_match, rng.rand(n) < m[j], rng.rand(n) < u[j]
+            )
+            cols[f"f{j}"] = agree
+        df = pd.DataFrame(cols)
+        df["truth"] = is_match
+        return df
+
+    def test_em_recovers_generative_parameters(self):
+        from ocr_platform_ray.ops.linkage import fs_fit
+
+        df = self._pairs(n=60000, seed=3)
+        model = fs_fit(rd.from_pandas(df), ["f0", "f1", "f2"])
+        np.testing.assert_allclose(model["p"], 0.2, atol=0.03)
+        np.testing.assert_allclose(model["m"], [0.95, 0.9, 0.85], atol=0.05)
+        np.testing.assert_allclose(model["u"], [0.05, 0.2, 0.3], atol=0.05)
+
+    def test_fit_bit_reproducible_across_blocks_and_scoring(self):
+        from ocr_platform_ray.ops.linkage import fs_fit, fs_score
+
+        df = self._pairs(n=8000, seed=7)
+        models = [
+            fs_fit(rd.from_pandas(df).repartition(nb), ["f0", "f1", "f2"])
+            for nb in (1, 9)
+        ]
+        assert models[0]["p"] == models[1]["p"]
+        assert (models[0]["m"] == models[1]["m"]).all()
+        assert (models[0]["u"] == models[1]["u"]).all()
+        scored = fs_score(
+            rd.from_pandas(df), models[0], keep_cols=["truth"]
+        )
+        # weight is monotone in agreements; all-agree > all-disagree
+        all_agree = scored[scored[["f0", "f1", "f2"]].all(axis=1)]["weight"]
+        none_agree = scored[~scored[["f0", "f1", "f2"]].any(axis=1)]["weight"]
+        assert all_agree.min() > none_agree.max()
+        # posterior separates the generative truth reasonably
+        auc_pos = scored.loc[scored["truth"], "posterior"].mean()
+        auc_neg = scored.loc[~scored["truth"], "posterior"].mean()
+        assert auc_pos > 0.65 and auc_neg < 0.15
+
+    def test_validation(self):
+        from ocr_platform_ray.ops.linkage import fs_fit
+
+        df = self._pairs(n=10)
+        with pytest.raises(ValueError, match="non-empty"):
+            fs_fit(rd.from_pandas(df), [])
+        with pytest.raises(ValueError, match="no candidate pairs"):
+            fs_fit(rd.from_pandas(df.head(0)), ["f0"])
