@@ -238,6 +238,10 @@ def run_once() -> dict:
         "events_hive_scan",
         "event_rate_changepoint",
         "value_winsor_by_type",
+        "orders_benford",
+        "html_meta_docs",
+        "customer_linkage_fs",
+        "user_overlap_hll",
     ):
         extra_times[name] = _best_of(2, name)
 

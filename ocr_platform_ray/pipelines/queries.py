@@ -7261,6 +7261,18 @@ def q_customer_linkage_fs(sf_dir: str) -> pd.DataFrame:
     return scored.sort_values(["kind", "a_key"]).reset_index(drop=True)
 
 
+def q_value_gini_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type Gini concentration of event values
+    (`ops/profile.grouped_gini` — the inequality/dominance readout):
+    2·Σ i·x / (n·Σx) − (n+1)/n over exact int64 rank·cents sums (ties
+    commute).  One keyed exchange + one mergesort per shard.  Full
+    ROW_NUMBER SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_gini
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    return grouped_gini(ev, ["event_type"], "value")
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7573,6 +7585,7 @@ QUERIES = {
     "value_winsor_by_type": q_value_winsor_by_type,
     "orders_benford": q_orders_benford,
     "html_meta_docs": q_html_meta_docs,
+    "value_gini_by_type": q_value_gini_by_type,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10018,4 +10031,20 @@ ORACLE_SQL["html_meta_docs"] = (
     "'(?is)<link\\s[^>]*rel\\s*=\\s*[\"'']canonical[\"''][^>]*"
     "href\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1), '') AS canonical "
     "FROM pages"
+)
+
+# Gini concentration: ROW_NUMBER rank x exact cents; the final double
+# repeats grouped_gini's expression verbatim; zero-sum/single-row NULL.
+ORACLE_SQL["value_gini_by_type"] = (
+    "WITH c AS (SELECT event_type, "
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+    "r AS (SELECT event_type, x, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY x) AS rn FROM c), "
+    "a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, "
+    "CAST(SUM(rn * x) AS BIGINT) AS srx FROM r GROUP BY event_type) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, "
+    "CASE WHEN sx > 0 AND n > 1 THEN "
+    "(2.0 * CAST(srx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END AS gini FROM a"
 )

@@ -1763,6 +1763,7 @@ class TestTailQueryOracles:
             "value_winsor_by_type",
             "orders_benford",
             "html_meta_docs",
+            "value_gini_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

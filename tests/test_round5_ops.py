@@ -6503,3 +6503,55 @@ class TestFsLinkage:
             fs_fit(rd.from_pandas(df), [])
         with pytest.raises(ValueError, match="no candidate pairs"):
             fs_fit(rd.from_pandas(df.head(0)), ["f0"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedGini:
+    """Exact per-group Gini concentration (`ops/profile.grouped_gini`)."""
+
+    def test_known_values_and_naive(self):
+        from ocr_platform_ray.ops.profile import grouped_gini
+
+        # perfectly equal -> 0; one-holder -> (n-1)/n
+        df = pd.DataFrame(
+            {
+                "k": ["eq"] * 4 + ["one"] * 4 + ["mix"] * 5,
+                "v": [5.0] * 4 + [0.0, 0.0, 0.0, 8.0]
+                + [1.0, 2.0, 3.0, 4.0, 10.0],
+            }
+        )
+        got = grouped_gini(rd.from_pandas(df), ["k"], "v")
+        res = dict(zip(got["k"], got["gini"]))
+        assert res["eq"] == 0.0
+        np.testing.assert_allclose(res["one"], 3 / 4, rtol=1e-12)
+        # naive rank formula on mix
+        x = np.sort(np.array([100, 200, 300, 400, 1000], dtype="int64"))
+        rn = np.arange(1, 6)
+        want = 2.0 * (rn * x).sum() / (5.0 * x.sum()) - 6.0 / 5.0
+        np.testing.assert_allclose(res["mix"], want, rtol=1e-14)
+
+    def test_block_independence_ties_and_edges(self):
+        from ocr_platform_ray.ops.profile import grouped_gini
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], 500),
+                # heavy ties: rank assignment among equals must not matter
+                "v": rng.choice([0.0, 1.0, 1.0, 2.5, 9.0], 500),
+            }
+        )
+        outs = [
+            grouped_gini(rd.from_pandas(df).repartition(nb), ["k"], "v")
+            for nb in (1, 9)
+        ]
+        assert (outs[0]["gini"].to_numpy() == outs[1]["gini"].to_numpy()).all()
+        # zero-sum and single-row groups -> NULL; negatives raise
+        z = pd.DataFrame({"k": ["z", "z", "s"], "v": [0.0, 0.0, 3.0]})
+        got = grouped_gini(rd.from_pandas(z), ["k"], "v")
+        assert got["gini"].isna().all()
+        with pytest.raises(Exception, match="negative"):
+            grouped_gini(
+                rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [-1.0]})),
+                ["k"], "v",
+            )
