@@ -1039,3 +1039,72 @@ def densify_buckets(
             }
         )
     return out.sort_values([*gcols, "bucket"]).reset_index(drop=True)
+
+
+def grouped_max_streak(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    *,
+    ts_col: str,
+    bucket_us: int = 86_400_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Longest consecutive-bucket activity streak per key (the retention
+    "longest daily streak" readout) — the gaps-and-islands rank trick:
+    over each key's DISTINCT active buckets in order, ``bucket − rank``
+    is constant exactly within a consecutive run, so the answer is the
+    max run size per key.  All integers; a ROW_NUMBER SQL oracle matches
+    exactly.
+
+    Scale shape: per-batch distinct (key, bucket) combiners shrink the
+    exchange to the activity grid, ONE bounded keyed exchange co-locates
+    each key's buckets, one vectorized sort + diff-cumsum pass per shard;
+    only the key-dim result reaches the driver.  NULL keys/timestamps
+    drop."""
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[*gcols, ts_col]].dropna()
+        us = sub[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        out = sub[gcols].copy()
+        out["__b"] = us // bucket_us
+        return out.drop_duplicates()
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        b["__shard"] = _hash_labels(b, gcols, n_shards).astype("int64")
+        return b
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").drop_duplicates().sort_values(
+            [*gcols, "__b"], kind="mergesort"
+        )
+        key_change = (
+            g[gcols].ne(g[gcols].shift()).any(axis=1).to_numpy()
+        )
+        b = g["__b"].to_numpy()
+        new_run = key_change | np.concatenate([[True], np.diff(b) != 1])
+        run_id = np.cumsum(new_run)
+        g = g.assign(__run=run_id)
+        runs = g.groupby([*gcols, "__run"], sort=False).size()
+        out = runs.groupby(level=list(range(len(gcols)))).max().rename(
+            "max_streak"
+        ).reset_index()
+        out["max_streak"] = out["max_streak"].astype("int64")
+        return out
+
+    res = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(res) == 0 or "max_streak" not in res.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "max_streak": pd.Series([], dtype="int64"),
+            }
+        )
+    return res.sort_values(gcols).reset_index(drop=True)

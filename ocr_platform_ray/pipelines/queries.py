@@ -7273,6 +7273,48 @@ def q_value_gini_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_gini(ev, ["event_type"], "value")
 
 
+def q_event_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar-field extraction over the events `props` column
+    (`functions/jsonfield.json_scalar_field` — one RE2 kernel per batch,
+    zero per-row Python; the WAT/telemetry scan shape), then a per-type
+    exact integer aggregate over the extracted field.  Full
+    json_extract SQL oracle in TestTailQueryOracles."""
+    from ..functions.jsonfield import json_scalar_field
+    from ..ops.relational import auto_group_agg
+
+    ev = _t(sf_dir, "events", ["event_type", "props"])
+    ext = json_scalar_field(ev, "props", "k", kind="int")
+    partials = ext.map_batches(
+        lambda b: b.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        ),
+        batch_format="pandas",
+    )
+    out = auto_group_agg(
+        partials, ["event_type"],
+        {"n": ("n", "sum"), "sum_k": ("sum_k", "sum"),
+         "min_k": ("min_k", "min"), "max_k": ("max_k", "max")},
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_daily_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user
+    (`ops/windows.grouped_max_streak` — the gaps-and-islands rank trick
+    over distinct active days; distinct combiners shrink the exchange to
+    the activity grid).  Full ROW_NUMBER SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.windows import grouped_max_streak
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return grouped_max_streak(ev, ["user_id"], ts_col="ts")
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7586,6 +7628,8 @@ QUERIES = {
     "orders_benford": q_orders_benford,
     "html_meta_docs": q_html_meta_docs,
     "value_gini_by_type": q_value_gini_by_type,
+    "event_props_stats": q_event_props_stats,
+    "user_daily_streak": q_user_daily_streak,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10047,4 +10091,27 @@ ORACLE_SQL["value_gini_by_type"] = (
     "CASE WHEN sx > 0 AND n > 1 THEN "
     "(2.0 * CAST(srx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) "
     "- (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END AS gini FROM a"
+)
+
+# JSON field extraction: the RE2 kernel's contract must agree with real
+# json_extract on the flat props shape — the oracle proves it on data.
+ORACLE_SQL["event_props_stats"] = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k, "
+    "CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k "
+    "FROM events GROUP BY event_type"
+)
+
+# Longest streak: the classic bucket − ROW_NUMBER island key over each
+# user's distinct active days.
+ORACLE_SQL["user_daily_streak"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // 86400000000 AS b FROM events "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "r AS (SELECT user_id, b, b - ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY b) AS grp FROM d), "
+    "c AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2) "
+    "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM c "
+    "GROUP BY user_id"
 )

@@ -1764,6 +1764,8 @@ class TestTailQueryOracles:
             "orders_benford",
             "html_meta_docs",
             "value_gini_by_type",
+            "event_props_stats",
+            "user_daily_streak",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

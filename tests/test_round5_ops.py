@@ -6555,3 +6555,107 @@ class TestGroupedGini:
                 rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [-1.0]})),
                 ["k"], "v",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonScalarField:
+    """RE2 JSON field extraction (`functions/jsonfield.py`)."""
+
+    def test_kinds_and_agreement_with_real_parser(self):
+        import json
+
+        from ocr_platform_ray.functions.jsonfield import json_scalar_field
+
+        rows = [
+            '{"a": 5, "s": "x y", "f": -2.5e3, "b": true}',
+            '{"s": "", "a": -17, "b": false, "f": 0.125}',
+            '{"other": 1}',
+            None,
+        ]
+        df = pd.DataFrame({"id": range(4), "j": rows})
+        ds = rd.from_pandas(df)
+        ds = json_scalar_field(ds, "j", "a", kind="int")
+        ds = json_scalar_field(ds, "j", "s", kind="str")
+        ds = json_scalar_field(ds, "j", "f", kind="float")
+        ds = json_scalar_field(ds, "j", "b", kind="bool", out_col="bb")
+        got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+        for i, r in enumerate(rows):
+            parsed = json.loads(r) if r else {}
+            for col, key in (("a", "a"), ("s", "s"), ("f", "f"), ("bb", "b")):
+                want = parsed.get(key)
+                v = got.loc[i, col]
+                if want is None:
+                    assert pd.isna(v)
+                else:
+                    assert v == want
+
+    def test_key_collision_and_validation(self):
+        from ocr_platform_ray.functions.jsonfield import json_scalar_field
+
+        # 'k' must not match 'kk'
+        df = pd.DataFrame({"id": [0], "j": ['{"kk": 1, "k": 2}']})
+        got = json_scalar_field(
+            rd.from_pandas(df), "j", "kk", kind="int"
+        ).to_pandas()
+        assert got["kk"].iloc[0] == 1
+        with pytest.raises(ValueError, match="kind"):
+            json_scalar_field(rd.from_pandas(df), "j", "k", kind="list")
+        with pytest.raises(ValueError, match="key"):
+            json_scalar_field(rd.from_pandas(df), "j", 'a"b', kind="int")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedMaxStreak:
+    """Longest consecutive-bucket streak (`ops/windows.grouped_max_streak`)."""
+
+    def test_matches_naive_and_block_independent(self):
+        from ocr_platform_ray.ops.windows import grouped_max_streak
+
+        rng = np.random.RandomState(6)
+        rows = []
+        for u in range(10):
+            days = np.unique(rng.randint(0, 40, rng.randint(1, 25)))
+            for d in days:
+                # several events within the day — distinctness matters
+                for h in rng.randint(0, 24, 2):
+                    rows.append(
+                        {"u": u, "ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=int(d), hours=int(h))}
+                    )
+        df = pd.DataFrame(rows)
+        outs = [
+            grouped_max_streak(
+                rd.from_pandas(df).repartition(nb), ["u"], ts_col="ts"
+            )
+            for nb in (1, 9)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+        def naive(days):
+            days = sorted(set(days))
+            best = cur = 1
+            for a, b in zip(days, days[1:]):
+                cur = cur + 1 if b == a + 1 else 1
+                best = max(best, cur)
+            return best
+
+        base = pd.Timestamp("2024-01-01")
+        for u, grp in df.groupby("u"):
+            days = ((grp["ts"] - base).dt.days).tolist()
+            want = naive(days)
+            assert (
+                outs[0].loc[outs[0]["u"] == u, "max_streak"].iloc[0] == want
+            )
+
+    def test_single_day_and_empty(self):
+        from ocr_platform_ray.ops.windows import grouped_max_streak
+
+        df = pd.DataFrame(
+            {"u": [1], "ts": [pd.Timestamp("2024-03-03 12:00:00")]}
+        )
+        got = grouped_max_streak(rd.from_pandas(df), ["u"], ts_col="ts")
+        assert got["max_streak"].tolist() == [1]
+        got2 = grouped_max_streak(
+            rd.from_pandas(df.head(0)), ["u"], ts_col="ts"
+        )
+        assert len(got2) == 0
