@@ -992,3 +992,95 @@ def grouped_gini(
         gini = (2.0 * srx) / (n * sx) - (n + 1.0) / n
     out["gini"] = np.where((sx > 0) & (n > 1), gini, np.nan)
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_cat_entropy(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    cat_col: str,
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Per-key Shannon entropy of a categorical distribution (bits) —
+    the behavior-diversity / source-mix readout (how varied is a user's
+    event mix, how concentrated a host's document types):
+
+        H(key) = − Σ_cat (n/N) · log2(n/N)
+
+    over EXACT (key, cat) int64 counts, with the category terms summed
+    in category-ascending order (np.add.reduceat — sequential, matching
+    SQL ``SUM(term ORDER BY cat)``; ROUND 6 in an oracle absorbs the
+    engines' grouped-accumulator ulps).  Also reports ``n_cats`` and
+    ``n`` (both exact).
+
+    Scale shape: per-batch (key, cat) count combiners into the
+    size-aware finish; the entropy pass runs vectorized over the
+    (key × cat) count table — one more bounded keyed exchange past the
+    driver threshold, never the raw rows."""
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[*gcols, cat_col]].dropna()
+        out = sub.groupby([*gcols, cat_col], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    red = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [*gcols, cat_col],
+        {"n": ("n", "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "n" not in df.columns:
+            return pd.DataFrame(
+                {
+                    **{c: pd.Series([], dtype="object") for c in gcols},
+                    "n": pd.Series([], dtype="int64"),
+                    "n_cats": pd.Series([], dtype="int64"),
+                    "entropy": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.sort_values([*gcols, cat_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        key_change = df[gcols].ne(df[gcols].shift()).any(axis=1).to_numpy()
+        key_change[0] = True
+        starts = np.flatnonzero(key_change)
+        n = df["n"].to_numpy(dtype="float64")
+        cums = np.concatenate([[0], np.cumsum(df["n"].to_numpy())])
+        bounds = np.concatenate([starts, [len(df)]])
+        totals_per_key = cums[bounds[1:]] - cums[bounds[:-1]]
+        tot_expanded = np.repeat(totals_per_key, np.diff(bounds))
+        p = n / tot_expanded
+        term = -(p * np.log2(p))
+        h = np.add.reduceat(term, starts)
+        out = df.loc[starts, gcols].reset_index(drop=True)
+        out["n"] = totals_per_key.astype("int64")
+        out["n_cats"] = np.diff(bounds).astype("int64")
+        out["entropy"] = h
+        return out
+
+    if isinstance(red, pd.DataFrame):
+        return finish(red).sort_values(gcols).reset_index(drop=True)
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = _hash_labels(b, gcols, n_shards).astype("int64")
+        return b
+
+    out = (
+        red.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: finish(g.drop(columns="__shard")), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    if len(out) == 0 or "entropy" not in out.columns:
+        return finish(pd.DataFrame())
+    return out.sort_values(gcols).reset_index(drop=True)

@@ -7315,6 +7315,20 @@ def q_user_daily_streak(sf_dir: str) -> pd.DataFrame:
     return grouped_max_streak(ev, ["user_id"], ts_col="ts")
 
 
+def q_user_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (`ops/profile.grouped_cat_entropy` — the behavior-diversity
+    readout): exact (user, type) counts, terms summed in type order,
+    ROUND 6 both sides.  Full ordered-SUM SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.profile import grouped_cat_entropy
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    out = grouped_cat_entropy(ev, ["user_id"], "event_type")
+    out["entropy"] = _round_half_away(out["entropy"], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7630,6 +7644,7 @@ QUERIES = {
     "value_gini_by_type": q_value_gini_by_type,
     "event_props_stats": q_event_props_stats,
     "user_daily_streak": q_user_daily_streak,
+    "user_type_entropy": q_user_type_entropy,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10114,4 +10129,25 @@ ORACLE_SQL["user_daily_streak"] = (
     "c AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2) "
     "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM c "
     "GROUP BY user_id"
+)
+
+# Categorical entropy: exact (user, type) counts; term = -(n/N)·log2(n/N)
+# summed ORDER BY type (matching reduceat's sequential order); ROUND 6
+# absorbs the engines' grouped-accumulator ulps.
+ORACLE_SQL["user_type_entropy"] = (
+    "WITH c AS (SELECT user_id, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT user_id, CAST(SUM(n) AS DOUBLE) AS tot, "
+    "CAST(SUM(n) AS BIGINT) AS ni, CAST(COUNT(*) AS BIGINT) AS n_cats "
+    "FROM c GROUP BY user_id), "
+    "e AS (SELECT c.user_id, c.event_type, "
+    "-((CAST(c.n AS DOUBLE) / t.tot) * "
+    "log2(CAST(c.n AS DOUBLE) / t.tot)) AS term "
+    "FROM c JOIN t USING (user_id)), "
+    "h AS (SELECT user_id, SUM(term ORDER BY event_type) AS hh "
+    "FROM e GROUP BY user_id) "
+    "SELECT t.user_id, t.ni AS n, t.n_cats, ROUND(h.hh, 6) AS entropy "
+    "FROM t JOIN h USING (user_id)"
 )

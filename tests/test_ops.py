@@ -1766,6 +1766,7 @@ class TestTailQueryOracles:
             "value_gini_by_type",
             "event_props_stats",
             "user_daily_streak",
+            "user_type_entropy",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -6659,3 +6659,58 @@ class TestGroupedMaxStreak:
             rd.from_pandas(df.head(0)), ["u"], ts_col="ts"
         )
         assert len(got2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCatEntropy:
+    """Per-key categorical entropy (`ops/profile.grouped_cat_entropy`)."""
+
+    def test_known_values_and_naive(self):
+        from ocr_platform_ray.ops.profile import grouped_cat_entropy
+
+        df = pd.DataFrame(
+            {
+                "k": ["uni"] * 4 + ["one"] * 3 + ["mix"] * 6,
+                "c": ["a", "b", "c", "d"] + ["x"] * 3
+                + ["a", "a", "a", "b", "b", "c"],
+            }
+        )
+        got = grouped_cat_entropy(rd.from_pandas(df), ["k"], "c")
+        res = dict(zip(got["k"], got["entropy"]))
+        np.testing.assert_allclose(res["uni"], 2.0, rtol=1e-12)  # log2(4)
+        assert res["one"] == 0.0
+        p = np.array([3, 2, 1]) / 6.0
+        np.testing.assert_allclose(
+            res["mix"], -(p * np.log2(p)).sum(), rtol=1e-12
+        )
+        assert dict(zip(got["k"], got["n_cats"])) == {
+            "uni": 4, "one": 1, "mix": 3
+        }
+
+    def test_block_independence_and_exchange_route(self):
+        from ocr_platform_ray.ops.profile import grouped_cat_entropy
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20, 800),
+                "c": rng.choice(list("abcdef"), 800),
+            }
+        )
+        outs = [
+            grouped_cat_entropy(
+                rd.from_pandas(df).repartition(nb), ["k"], "c"
+            )
+            for nb in (1, 9)
+        ]
+        assert (
+            outs[0]["entropy"].to_numpy() == outs[1]["entropy"].to_numpy()
+        ).all()
+        # exchange route (tiny threshold) must equal the driver route
+        ex = grouped_cat_entropy(
+            rd.from_pandas(df), ["k"], "c", driver_threshold_rows=1
+        )
+        assert (
+            ex["entropy"].to_numpy() == outs[0]["entropy"].to_numpy()
+        ).all()
+        assert (ex["n"].to_numpy() == outs[0]["n"].to_numpy()).all()
