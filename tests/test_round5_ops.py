@@ -6714,3 +6714,42 @@ class TestGroupedCatEntropy:
             ex["entropy"].to_numpy() == outs[0]["entropy"].to_numpy()
         ).all()
         assert (ex["n"].to_numpy() == outs[0]["n"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCmJoinSize:
+    """CM-sketch join-cardinality estimate (`ops/sketch.count_min_join_size`)."""
+
+    def test_never_underestimates_and_bound(self):
+        from ocr_platform_ray.ops.sketch import (
+            count_min_build, count_min_join_size,
+        )
+
+        rng = np.random.RandomState(0)
+        # zipf-ish keys on both sides, real overlap
+        a = pd.DataFrame({"k": rng.zipf(1.6, 30000) % 500})
+        b = pd.DataFrame({"k": rng.zipf(1.6, 20000) % 300})
+        ca = count_min_build(rd.from_pandas(a), "k", width=4096, depth=4)
+        cb = count_min_build(rd.from_pandas(b), "k", width=4096, depth=4)
+        est = count_min_join_size(ca, cb)
+        va = a["k"].value_counts()
+        vb = b["k"].value_counts()
+        truth = int(
+            sum(int(va[k]) * int(vb[k]) for k in va.index if k in vb.index)
+        )
+        assert est >= truth  # collisions only add
+        slack = (np.e / 4096) * len(a) * len(b)
+        assert est <= truth + slack
+        # and the estimate is actually informative on this data
+        assert est <= truth * 1.2 + slack / 10
+
+    def test_shape_mismatch_raises(self):
+        from ocr_platform_ray.ops.sketch import (
+            count_min_build, count_min_join_size,
+        )
+
+        df = pd.DataFrame({"k": [1, 2, 3]})
+        ca = count_min_build(rd.from_pandas(df), "k", width=1024, depth=4)
+        cb = count_min_build(rd.from_pandas(df), "k", width=2048, depth=4)
+        with pytest.raises(ValueError, match="shapes differ"):
+            count_min_join_size(ca, cb)
