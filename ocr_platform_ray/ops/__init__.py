@@ -82,6 +82,7 @@ from .windows import (  # noqa: F401
     densify_buckets,
     global_row_number,
     grouped_cumsum,
+    grouped_max_streak,
     grouped_decay_window,
     grouped_fill,
     grouped_ntile,
@@ -98,7 +99,9 @@ from .sketch import (  # noqa: F401
     approx_distinct,
     approx_distinct_by,
     count_min_build,
+    count_min_join_size,
     count_min_query,
+    hll_set_estimates,
     grouped_quantile_sketch,
     heavy_hitters,
     merge_sketches,
@@ -109,12 +112,16 @@ from .search import bm25_topk  # noqa: F401
 from .cluster import kmeans_fit, pca_fit, pca_transform, semdedup  # noqa: F401
 from .profile import (  # noqa: F401
     dataset_profile,
+    grouped_autocorr,
+    grouped_cat_entropy,
     grouped_corr,
+    grouped_gini,
     grouped_histogram,
     grouped_linreg,
     grouped_mad_outliers,
     grouped_moments,
     grouped_scale,
+    grouped_winsorize,
     key_skew_profile,
     welch_t_test,
 )
@@ -136,6 +143,9 @@ from .layout import (  # noqa: F401
     compact_parquet_dir,
     cluster_write_str,
     clustered_merge_join,
+    hive_plan,
+    hive_pruned_read,
+    hive_write,
     prefix_pruned_read,
     pruned_read,
     zorder_pruned_read,
@@ -169,7 +179,8 @@ from .softmax import (  # noqa: F401
 )
 from .split import leakage_free_split  # noqa: F401
 from .diff import diff_summary, snapshot_diff  # noqa: F401
-from .validate import check_expectations, enforce_expectations  # noqa: F401
+from .drift import cusum_changepoint, js_divergence, token_divergence  # noqa: F401
+from .validate import benford_audit, check_expectations, enforce_expectations  # noqa: F401
 from .eval import (  # noqa: F401
     calibration_buckets,
     confusion_matrix,
@@ -183,3 +194,6 @@ from .assoc import pair_cooccurrence  # noqa: F401
 from .colloc import pmi_bigrams  # noqa: F401
 from .frontier import politeness_order  # noqa: F401
 from .golden import golden_record  # noqa: F401
+from .selection import token_chi2  # noqa: F401
+from .nb import nb_fit, nb_predict  # noqa: F401
+from .linkage import fs_fit, fs_score  # noqa: F401
