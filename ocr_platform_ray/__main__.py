@@ -244,6 +244,17 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--text-col", default="text")
     dr.add_argument("--top", type=int, default=15)
 
+    au = sub.add_parser(
+        "audit",
+        help="data-quality audit over a parquet table: one-pass column "
+        "profile + Benford first-digit screen on a numeric column",
+    )
+    au.add_argument("--input", required=True, help="parquet file or directory")
+    au.add_argument("--value-col", default=None,
+                    help="numeric column for the Benford screen (optional)")
+    au.add_argument("--columns", nargs="*", default=None,
+                    help="columns to profile (default: all)")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -450,6 +461,30 @@ def main(argv: list[str] | None = None) -> int:
             ).head(args.top)
             print(json.dumps({"js_divergence_bits": round(js, 6)}))
             print(top.to_string(index=False))
+        elif args.cmd == "audit":
+            import ray.data as rdata
+
+            from .ops.profile import dataset_profile
+            from .ops.validate import benford_audit
+
+            ds = rdata.read_parquet(args.input)
+            cols = args.columns or list(ds.schema().names)
+            prof = dataset_profile(ds, cols)
+            print(prof.to_string(index=False))
+            if args.value_col:
+                ben = benford_audit(ds, args.value_col)
+                chi2 = float(ben["chi2_term"].sum())
+                print(
+                    json.dumps(
+                        {
+                            "benford_chi2": round(chi2, 4),
+                            "benford_n": int(ben["n"].sum()),
+                            # chi2(8 dof) 0.001 critical value — the
+                            # published screen threshold
+                            "benford_suspicious": bool(chi2 > 26.12),
+                        }
+                    )
+                )
         elif args.cmd == "rag-build":
             import ray.data as rdata
 
