@@ -100,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         help="Unicode repair after extraction (mojibake + NFC)",
     )
     cu.add_argument(
+        "--line-dedup", action="store_true",
+        help="RefinedWeb line-wise correction (within-doc duplicate lines)",
+    )
+    cu.add_argument(
         "--c4", action="store_true", help="C4 line+page cleaning rules"
     )
     cu.add_argument(
@@ -352,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
                 url_filter=args.url_filter,
                 url_threshold=args.url_threshold,
                 fix_text=args.fix_text,
+                line_dedup=args.line_dedup,
                 c4=args.c4,
                 gopher=args.gopher,
                 near_dup_threshold=args.near_dup_threshold,

@@ -648,45 +648,69 @@ def add_compression_ratio(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def dedup_doc_lines(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+def dedup_lines_array(col, *, ignore_empty: bool = False):
+    """Array-level kernel behind `dedup_doc_lines`: a string Array ->
+    the same strings with each line's later in-document repeats removed
+    (``ignore_empty=True`` always keeps blank separator lines).  Exposed
+    so pipeline stages holding PANDAS blocks (the curation chain's
+    tensor-extension workaround) can run the identical kernel without an
+    arrow-batch conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lines = pc.split_pattern(col, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    offs = lines.offsets.to_numpy().astype(np.int64) - lines.offsets[0].as_py()
+    n_per_row = offs[1:] - offs[:-1]
+    row_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_per_row)
+    # exact first-occurrence mask (duplicated() hashes internally but
+    # verifies on collision — no false drops)
+    flat_py = flat.to_pylist()
+    keep = ~pd.DataFrame(
+        {"r": row_idx, "s": flat_py}
+    ).duplicated().to_numpy()
+    if ignore_empty:
+        # structural blank lines always survive (the Gopher
+        # empty-line lesson: treating separators as content destroys
+        # every multi-paragraph document)
+        keep |= np.fromiter(
+            (x == "" for x in flat_py), dtype=bool, count=len(flat_py)
+        )
+    k_c = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    kept_per_row = k_c[offs[1:]] - k_c[offs[:-1]]
+    new_offs = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+    kept_lists = pa.ListArray.from_arrays(
+        pa.array(new_offs), flat.filter(pa.array(keep))
+    )
+    return pc.binary_join(kept_lists, "\n")
+
+
+def dedup_doc_lines(
+    ds: rd.Dataset, text_col: str = "text", *, ignore_empty: bool = False
+) -> rd.Dataset:
     """WITHIN-document duplicate-line removal (the RefinedWeb-style
     line-wise correction; the ACTION form of the `dup_line_frac` signal,
     and the within-doc counterpart of the cross-document
     `strip_repeated_paragraphs`): keep each line's FIRST occurrence in
-    its document, drop later repeats, rejoin with ``\\n``.
+    its document, drop later repeats, rejoin with ``\\n``
+    (``ignore_empty=True`` keeps every blank separator line).
 
-    Map-only and fully vectorized: one flat hash call over every line of
-    the batch, first-occurrence mask per (row, line) via pandas
-    duplicated on the (row_idx, hash) pair, rebuild with
-    ``pc.binary_join``.  Exactly SQL-mirrorable (unnest +
+    Map-only and fully vectorized (`dedup_lines_array`): one flat hash
+    call over every line of the batch, first-occurrence mask per
+    (row, line) via pandas duplicated on the (row_idx, hash) pair,
+    rebuild with ``pc.binary_join``.  Exactly SQL-mirrorable (unnest +
     generate_subscripts + row_number) — the oracled ``dedup_doc_lines``
     query."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def clean(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lines = pc.split_pattern(col, pattern="\n")
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        flat = lines.flatten()
-        offs = lines.offsets.to_numpy().astype(np.int64) - lines.offsets[0].as_py()
-        n_per_row = offs[1:] - offs[:-1]
-        row_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_per_row)
-        # exact first-occurrence mask (duplicated() hashes internally but
-        # verifies on collision — no false drops)
-        keep = ~pd.DataFrame(
-            {"r": row_idx, "s": flat.to_pylist()}
-        ).duplicated().to_numpy()
-        k_c = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
-        kept_per_row = k_c[offs[1:]] - k_c[offs[:-1]]
-        new_offs = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
-        kept_lists = pa.ListArray.from_arrays(
-            pa.array(new_offs), flat.filter(pa.array(keep))
+        out_col = dedup_lines_array(
+            batch.column(text_col), ignore_empty=ignore_empty
         )
-        out_col = pc.binary_join(kept_lists, "\n")
         i = batch.schema.get_field_index(text_col)
         return batch.set_column(i, text_col, out_col)
 

@@ -34,6 +34,7 @@ from ..ops.textstats import (
     GOPHER_SIGNAL_COLS,
     LangId,
     add_text_stats,
+    dedup_lines_array,
     gopher_quality_gate,
 )
 from .extraction import extraction_pipeline
@@ -121,6 +122,7 @@ CURATION_RECIPES: dict[str, dict] = {
     "refinedweb": {
         "url_filter": True,
         "fix_text": True,
+        "line_dedup": True,
         "gopher": True,
         "strip_boilerplate": True,
         "cut_dup_spans": True,
@@ -153,6 +155,7 @@ def curate_corpus(
     url_blocklist: frozenset[str] | set[str] | None = None,
     url_threshold: int = 100,
     fix_text: bool = False,
+    line_dedup: bool = False,
     c4: bool = False,
     c4_blocklist: tuple = (),
     gopher: bool = False,
@@ -180,6 +183,13 @@ def curate_corpus(
     extraction (functions/unicode.py: mojibake encode-roundtrip repair,
     then NFC) — text already clean and NFC round-trips byte-identically
     (tested), so the stage is a no-op on healthy corpora.
+
+    ``line_dedup=True`` inserts the RefinedWeb line-wise correction
+    (ops.textstats.dedup_doc_lines) after the text repair and BEFORE the
+    quality gates — the published repetition-removal-first ordering;
+    each NON-EMPTY line keeps its first in-document occurrence (blank
+    separator lines always survive — the Gopher empty-line lesson), so
+    duplicate-free documents round-trip byte-identically.
 
     ``c4=True`` applies the published C4 cleaning rules (Raffel 2020
     §2.2, ops/c4.py) after the basic quality gate: failing pages drop,
@@ -248,6 +258,26 @@ def curate_corpus(
     if fix_text:
         docs = fix_mojibake(docs, "extracted_text")
         docs = unicode_normalize(docs, "extracted_text", form="NFC")
+    if line_dedup:
+        # RefinedWeb line-wise correction (repetition removal BEFORE the
+        # quality filters, the published ordering): each line keeps its
+        # first in-document occurrence.  Map-only; the block goes back to
+        # PANDAS so downstream pandas stages never hit the
+        # tensor-extension null conversion (the c4/gopher precedent).
+        def line_clean(t):
+            # arrow in, arrow OUT: set_column keeps the page columns
+            # plain list<int> (exactly the extraction output's block
+            # shape, which every downstream stage already consumes) —
+            # a pandas detour here would rebuild them as object-ndarray
+            # cells and Ray's block builder would re-type them with the
+            # tensor extension, whose null arrow->pandas path crashes
+            new = dedup_lines_array(
+                t.column("extracted_text"), ignore_empty=True
+            )
+            i = t.schema.get_field_index("extracted_text")
+            return t.set_column(i, "extracted_text", new)
+
+        docs = docs.map_batches(line_clean, batch_format="pyarrow")
     docs = quality_gate(docs, min_tokens=min_tokens)
     if c4:
         docs = c4_clean(
@@ -302,6 +332,7 @@ def curate_corpus(
         "url_blocklist": sorted(url_blocklist) if url_blocklist else None,
         "url_threshold": url_threshold,
         "fix_text": fix_text,
+        "line_dedup": line_dedup,
         "c4": c4,
         # list, not tuple: checkpoint params round-trip through JSON and
         # a tuple would never equal its stored list form (identity break)

@@ -403,6 +403,7 @@ class TestCurateRecipes:
                 dict(
                     url_filter=True,
                     fix_text=True,
+                    line_dedup=True,
                     gopher=True,
                     strip_boilerplate=True,
                     cut_dup_spans=True,
@@ -436,3 +437,82 @@ class TestCurateRecipes:
             pages, "fineweb", url_blocklist={"recipes.example"}
         ).to_pandas()
         assert len(none) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateLineDedup:
+    """RefinedWeb line-wise correction in the flagship chain
+    (`curate_corpus(line_dedup=True)`)."""
+
+    def test_invariants_on_real_corpus(self):
+        from ocr_platform_ray.corpus import make_pages_table
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        pages = rd.from_arrow(make_pages_table(60))
+        base = (
+            curate_corpus(pages).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        ld = (
+            curate_corpus(pages, line_dedup=True)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        assert list(ld["url"]) == list(base["url"])
+        n_changed = 0
+        for u, t_base, t_ld in zip(base["url"], base["extracted_text"],
+                                   ld["extracted_text"]):
+            lines = t_base.split("\n")
+            seen, want = set(), []
+            for x in lines:
+                if x == "" or x not in seen:
+                    want.append(x)
+                if x != "":
+                    seen.add(x)
+            # the stage result IS first-occurrence-with-blanks-kept,
+            # applied to the exact base text
+            assert t_ld == "\n".join(want), u
+            # docs with no intra-doc duplicate lines round-trip
+            # byte-identically
+            if t_ld != t_base:
+                n_changed += 1
+            else:
+                assert len([x for x in lines if x]) == len(seen)
+        # the corpus genuinely exercises both cases
+        assert 0 < n_changed < len(base)
+
+    def test_planted_duplicate_lines_removed_through_chain(self):
+        from ocr_platform_ray.pipelines.curate import curate_corpus
+
+        uniq = [
+            "the first unique line carries its own words here",
+            "a second distinct line with different content follows",
+            "the third line closes out this small test document",
+        ]
+        dup = "subscribe to our newsletter for updates every day"
+        paras = [uniq[0], dup, uniq[1], dup, uniq[2], dup]
+        html = "<html><body>" + "".join(
+            f"<p>{x}</p>" for x in paras
+        ) + "</body></html>"
+        pages = rd.from_items(
+            [
+                {
+                    "url": "https://ld.example/1",
+                    "warc_ts": pd.Timestamp("2024-01-01"),
+                    "html": html.encode("utf-8"),
+                    "text": "",
+                    "lang": "en",
+                }
+            ]
+        )
+        out = curate_corpus(pages, line_dedup=True).to_pandas()
+        assert len(out) == 1
+        t = out["extracted_text"][0]
+        assert t.count(dup) == 1  # later repeats dropped
+        for u in uniq:
+            assert t.count(u) == 1  # untouched content intact
+        # order preserved: dup's first occurrence stays between lines 1/2
+        assert t.index(uniq[0]) < t.index(dup) < t.index(uniq[1])
+
+    def test_recipe_includes_line_dedup(self):
+        from ocr_platform_ray.pipelines.curate import CURATION_RECIPES
+
+        assert CURATION_RECIPES["refinedweb"]["line_dedup"] is True
