@@ -26,7 +26,10 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 _VALUE_PATTERNS = {
-    "int": r"(?P<v>-?\d+)",
+    # int matches the FULL numeric token (float syntax) and casts to
+    # int64 afterwards, so "k": 12.5 under kind="int" raises loudly
+    # instead of silently truncating at the decimal point
+    "int": r"(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)",
     "float": r"(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)",
     "str": r'"(?P<v>[^"\\]*)"',
     "bool": r"(?P<v>true|false)",

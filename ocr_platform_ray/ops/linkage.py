@@ -160,4 +160,13 @@ def fs_score(
     if as_dataset:
         return res
     out = res.to_pandas()
+    if len(out) == 0 or "weight" not in out.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series(dtype="object") for c in keep},
+                **{c: pd.Series(dtype="bool") for c in cols},
+                "weight": pd.Series(dtype="float64"),
+                "posterior": pd.Series(dtype="float64"),
+            }
+        )
     return out.reset_index(drop=True)

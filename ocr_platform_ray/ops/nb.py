@@ -151,14 +151,20 @@ def nb_predict(
     classes = model["classes"]
     n_f = float(model["n_docs"])
     ln_prior = np.log(model["n_docs_per_class"].astype("float64") / n_f)
-    denom = model["n_tokens_per_class"].astype("float64") + alpha * float(
-        model["v"]
-    )
+    # V = 0 (token-free training corpus) would zero the denominator and
+    # blow ln() to +inf; with no vocabulary every token is uninformative,
+    # so the unseen term collapses to 0 and scores are the priors alone
+    v_eff = float(model["v"]) if model["v"] > 0 else 1.0
+    denom = model["n_tokens_per_class"].astype("float64") + alpha * v_eff
     # (C, V) ln term matrix + per-class unseen-token term
     ln_cond = np.log(
         (model["cond"].astype("float64") + alpha) / denom[:, None]
     )
-    ln_unseen = np.log(alpha / denom)
+    ln_unseen = (
+        np.log(alpha / denom)
+        if model["v"] > 0
+        else np.zeros(len(classes), dtype="float64")
+    )
     handle = ray.put(
         {
             "vocab": model["vocab"],
@@ -182,9 +188,13 @@ def nb_predict(
         starts = koffs[:-1][nonempty]
         scores = np.tile(m["ln_prior"], (n_docs_b, 1))
         for c in range(len(m["classes"])):
-            terms = np.where(
-                idx >= 0, m["ln_cond"][c][np.maximum(idx, 0)], m["ln_unseen"][c]
-            )
+            lc = m["ln_cond"][c]
+            if lc.size:
+                terms = np.where(
+                    idx >= 0, lc[np.maximum(idx, 0)], m["ln_unseen"][c]
+                )
+            else:  # empty vocabulary: every token is unseen
+                terms = np.full(len(idx), m["ln_unseen"][c])
             if len(terms) and nonempty.any():
                 scores[nonempty, c] = m["ln_prior"][c] + np.add.reduceat(
                     terms, starts

@@ -6753,3 +6753,45 @@ class TestCmJoinSize:
         cb = count_min_build(rd.from_pandas(df), "k", width=2048, depth=4)
         with pytest.raises(ValueError, match="shapes differ"):
             count_min_join_size(ca, cb)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS12:
+    """Session-12 self-review regression pins."""
+
+    def test_nb_token_free_training_corpus(self):
+        from ocr_platform_ray.ops.nb import nb_fit, nb_predict
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "lang": ["a", "a", "b"], "text": ["", " ", ""]}
+        )
+        model = nb_fit(rd.from_pandas(df), text_col="text", label_col="lang")
+        assert model["v"] == 0
+        test = pd.DataFrame({"doc_id": [9], "text": ["some new words"]})
+        got = nb_predict(rd.from_pandas(test), model, id_col="doc_id")
+        # no vocabulary -> priors decide; majority class 'a' wins finitely
+        assert got["pred"].iloc[0] == "a"
+        assert np.isfinite(got["score"]).all()
+
+    def test_fs_score_empty_input_typed(self):
+        from ocr_platform_ray.ops.linkage import fs_fit, fs_score
+
+        df = pd.DataFrame({"f0": [True, False] * 20, "f1": [True] * 40})
+        model = fs_fit(rd.from_pandas(df), ["f0", "f1"])
+        got = fs_score(rd.from_pandas(df.head(0)), model)
+        assert list(got.columns) == ["f0", "f1", "weight", "posterior"]
+        assert len(got) == 0 and got["weight"].dtype == "float64"
+
+    def test_json_int_kind_rejects_float_value_loudly(self):
+        from ocr_platform_ray.functions.jsonfield import json_scalar_field
+
+        df = pd.DataFrame({"j": ['{"k": 12.5}']})
+        with pytest.raises(Exception):  # arrow cast error, not silent 12
+            json_scalar_field(
+                rd.from_pandas(df), "j", "k", kind="int"
+            ).to_pandas()
+        ok = json_scalar_field(
+            rd.from_pandas(pd.DataFrame({"j": ['{"k": -7}']})), "j", "k",
+            kind="int",
+        ).to_pandas()
+        assert ok["k"].iloc[0] == -7
