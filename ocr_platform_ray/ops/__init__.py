@@ -35,6 +35,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_duplicates,
     simhash_buckets,
     simhash_near_dup_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
     dup_clusters,

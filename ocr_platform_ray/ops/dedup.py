@@ -644,23 +644,22 @@ def simhash_near_dup_pairs(
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (SQL-oracle-able)
 # --------------------------------------------------------------------------
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     ds: rd.Dataset,
     text_col: str,
     id_col: str,
     *,
-    k: int = 3,
-    threshold: float = 0.5,
-    max_posting: int = 1000,
-    split_mode: str = "space",
-) -> pd.DataFrame:
-    """Exact word-k-gram Jaccard similarity for every pair sharing at least
-    one shingle: explode (shingle, id, set_size) -> groupby shingle ->
-    pairwise rows per posting list -> groupby pair -> inter / union.
-    Posting lists longer than ``max_posting`` are dropped (stop-shingles;
-    logged in the n_dropped column semantics of the caller)."""
-
-    n_shards = 64
+    k: int,
+    max_posting: int,
+    split_mode: str,
+    n_shards: int = 64,
+):
+    """Shared candidate core behind `ngram_jaccard_pairs` and
+    `ngram_containment_pairs`: explode (shingle-hash, id, set_size) ->
+    shingle-shard co-occurrence self-merge with the stop-shingle posting
+    cap -> distributed per-pair (inter, size_a, size_b) reduce.  Returns
+    the aggregated pair-counts Dataset; callers attach their metric
+    finish map-side."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         shingles = _shingle_hashes_batch(list(batch[text_col]), k, split_mode)
@@ -707,12 +706,32 @@ def ngram_jaccard_pairs(
     exploded = ds.map_batches(explode, batch_format="pandas")
     partials = exploded.groupby("__shard").map_groups(shard_pairs, batch_format="pandas")
     # distributed per-pair reduce (a pair's shingles spread over shards):
-    # second hash-shard exchange, then jaccard + threshold filtered inside
-    # map_batches so only qualifying pairs reach the driver
-    agg = sharded_group_agg(
+    # second hash-shard exchange, then the metric + threshold filter run
+    # inside map_batches so only qualifying pairs reach the driver
+    return sharded_group_agg(
         partials,
         ["id_a", "id_b"],
         {"inter": ("inter", "sum"), "size_a": ("size_a", "min"), "size_b": ("size_b", "min")},
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+    split_mode: str = "space",
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard similarity for every pair sharing at least
+    one shingle: explode (shingle, id, set_size) -> groupby shingle ->
+    pairwise rows per posting list -> groupby pair -> inter / union.
+    Posting lists longer than ``max_posting`` are dropped (stop-shingles;
+    logged in the n_dropped column semantics of the caller)."""
+    agg = _ngram_pair_counts(
+        ds, text_col, id_col, k=k, max_posting=max_posting, split_mode=split_mode
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -724,6 +743,44 @@ def ngram_jaccard_pairs(
     if out.empty:
         return pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")} | {"jaccard": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_containment_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_posting: int = 1000,
+    split_mode: str = "space",
+) -> pd.DataFrame:
+    """ASYMMETRIC near-duplication — shingle containment (Broder 1997's
+    second resemblance measure): ``cont(A in B) = |S(A) ∩ S(B)| / |S(A)|``.
+    The syndication/quotation detector Jaccard misses: a short article
+    fully embedded in a long page has tiny Jaccard but containment ≈ 1.
+    Emits every candidate pair (same shingle-shard machinery and posting
+    cap as `ngram_jaccard_pairs` — ONE shared core) where EITHER
+    direction's containment clears ``threshold``, with both directions
+    reported; exact over deduplicated shingle sets, SQL-mirrorable."""
+    agg = _ngram_pair_counts(
+        ds, text_col, id_col, k=k, max_posting=max_posting, split_mode=split_mode
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ca = b["inter"] / b["size_a"]
+        cb = b["inter"] / b["size_b"]
+        out = b.assign(cont_a_in_b=ca, cont_b_in_a=cb)
+        m = (out["cont_a_in_b"] >= threshold) | (out["cont_b_in_a"] >= threshold)
+        return out[m][["id_a", "id_b", "cont_a_in_b", "cont_b_in_a"]]
+
+    out = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("id_a", "id_b")}
+            | {c: pd.Series(dtype="float64") for c in ("cont_a_in_b", "cont_b_in_a")}
         )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

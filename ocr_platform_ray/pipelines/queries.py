@@ -7329,6 +7329,25 @@ def q_user_type_entropy(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric shingle containment (Broder 1997's second resemblance
+    measure; `ops/dedup.ngram_containment_pairs` — the syndication /
+    quotation detector Jaccard misses): pairs where either direction's
+    |S(A)∩S(B)|/|S(A)| clears 0.6, both directions reported.  Shares the
+    jaccard pair core (one shingle-shard exchange + one pair reduce).
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.dedup import ngram_containment_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_containment_pairs(ds, "text", "doc_id", k=3, threshold=0.6)
+    out = out.copy()
+    out["cont_a_in_b"] = _round_half_away(out["cont_a_in_b"], 4)
+    out["cont_b_in_a"] = _round_half_away(out["cont_b_in_a"], 4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7645,6 +7664,7 @@ QUERIES = {
     "event_props_stats": q_event_props_stats,
     "user_daily_streak": q_user_daily_streak,
     "user_type_entropy": q_user_type_entropy,
+    "containment_pairs": q_containment_pairs,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10151,3 +10171,42 @@ ORACLE_SQL["user_type_entropy"] = (
     "SELECT t.user_id, t.ni AS n, t.n_cats, ROUND(h.hh, 6) AS entropy "
     "FROM t JOIN h USING (user_id)"
 )
+
+# Containment pairs: the jaccard oracle's CTEs with the asymmetric
+# finish — n/size per direction, either direction clearing 0.6.
+ORACLE_SQL["containment_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), short AS (
+  SELECT doc_id, text AS g FROM documents
+  WHERE len(string_split(text, ' ')) < 3
+), allg AS (
+  SELECT * FROM grams UNION ALL SELECT * FROM short
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM allg GROUP BY doc_id
+), posting AS (
+  SELECT g FROM allg GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 1000
+), inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM allg x
+  JOIN posting p ON p.g = x.g
+  JOIN allg y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 4) AS cont_a_in_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.sz, 4) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.6
+   OR CAST(n_inter AS DOUBLE) / sb.sz >= 0.6
+"""

@@ -1767,6 +1767,7 @@ class TestTailQueryOracles:
             "event_props_stats",
             "user_daily_streak",
             "user_type_entropy",
+            "containment_pairs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

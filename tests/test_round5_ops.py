@@ -6795,3 +6795,83 @@ class TestReviewFixesS12:
             kind="int",
         ).to_pandas()
         assert ok["k"].iloc[0] == -7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentPairs:
+    """Asymmetric shingle containment (`ops/dedup.ngram_containment_pairs`)."""
+
+    def test_embedded_doc_found_where_jaccard_misses(self):
+        from ocr_platform_ray.ops.dedup import (
+            ngram_containment_pairs, ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        long = (
+            "one two three four five six seven eight nine ten "
+            + short
+            + " eleven twelve thirteen fourteen fifteen sixteen seventeen "
+            "eighteen nineteen twenty twentyone twentytwo twentythree"
+        )
+        other = "completely different words nothing shared at all here now"
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [short, long, other]}
+        )
+        cont = ngram_containment_pairs(
+            rd.from_pandas(df), "text", "doc_id", threshold=0.9
+        )
+        assert len(cont) == 1
+        row = cont.iloc[0]
+        assert (row["id_a"], row["id_b"]) == (1, 2)
+        assert row["cont_a_in_b"] == 1.0  # short fully embedded
+        assert row["cont_b_in_a"] < 0.3
+        # symmetric jaccard misses it at any comparable threshold
+        jac = ngram_jaccard_pairs(
+            rd.from_pandas(df), "text", "doc_id", threshold=0.5
+        )
+        assert len(jac) == 0
+
+    def test_matches_naive_and_block_independent(self):
+        from ocr_platform_ray.ops.dedup import ngram_containment_pairs
+
+        rng = np.random.RandomState(8)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, rng.randint(5, 40))) for _ in range(50)]
+        texts[7] = texts[3] + " extra tail words here"   # planted containment
+        df = pd.DataFrame({"doc_id": range(50), "text": texts})
+
+        def shingles(t):
+            toks = t.split(" ")
+            if len(toks) < 3:
+                return {t} if t else set()
+            return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+
+        want = []
+        ss = [shingles(t) for t in texts]
+        # the posting cap drops stop-shingles shared by > max docs
+        from collections import Counter
+        post = Counter(g for s in ss for g in s)
+        kept = {g for g, c in post.items() if 2 <= c <= 1000}
+        for a in range(50):
+            for b in range(a + 1, 50):
+                inter = len({g for g in (ss[a] & ss[b]) if g in kept})
+                if not inter:
+                    continue
+                ca, cb = inter / len(ss[a]), inter / len(ss[b])
+                if ca >= 0.7 or cb >= 0.7:
+                    want.append((a, b, round(ca, 6), round(cb, 6)))
+        outs = [
+            ngram_containment_pairs(
+                rd.from_pandas(df).repartition(nb), "text", "doc_id",
+                threshold=0.7,
+            )
+            for nb in (1, 7)
+        ]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = [
+            (int(r.id_a), int(r.id_b), round(r.cont_a_in_b, 6),
+             round(r.cont_b_in_a, 6))
+            for r in outs[0].itertuples()
+        ]
+        assert sorted(got) == sorted(want)
+        assert (3, 7) in {(a, b) for a, b, *_ in got}
