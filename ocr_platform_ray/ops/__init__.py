@@ -122,6 +122,7 @@ from .profile import (  # noqa: F401
     grouped_mad_outliers,
     grouped_moments,
     grouped_scale,
+    grouped_trimmed_mean,
     grouped_winsorize,
     key_skew_profile,
     welch_t_test,

@@ -1084,3 +1084,92 @@ def grouped_cat_entropy(
     if len(out) == 0 or "entropy" not in out.columns:
         return finish(pd.DataFrame())
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_trimmed_mean(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    *,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    scale: int = 100,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group TRIMMED mean — the robust central-tendency
+    readout next to `grouped_winsorize` (winsorize clips outliers to the
+    cutoffs; trimming DROPS them): mean of the values inside
+    ``[quantile_disc(q_lo), quantile_disc(q_hi)]``, cutoffs by the exact
+    position rule, the in-range sum exact int64 over scaled cents so the
+    final double is one mirrored IEEE division.  Reports ``n`` (group
+    rows), ``n_kept`` and ``trimmed_mean`` (NaN for empty-kept groups —
+    impossible with q_lo <= q_hi since the cutoffs are data values, but
+    kept as the SQL NULL contract).
+
+    Scale shape: two `grouped_percentile_exact` keyed exchanges for the
+    cutoff table, broadcast via ``ray.put`` into per-batch masked-sum
+    combiners, size-aware finish — values never move after the
+    percentile pass."""
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError("need 0 <= q_lo <= q_hi <= 1")
+    gcols = list(group_cols)
+    keep = list(dict.fromkeys([*gcols, value_col]))
+
+    proj = ds.map_batches(
+        lambda b: b[keep].dropna(subset=[*gcols, value_col]),
+        batch_format="pandas",
+    ).materialize()
+    cuts = grouped_percentile_exact(
+        proj, gcols, value_col, [q_lo, q_hi], n_shards=n_shards
+    )
+    lo = cuts[cuts["q"] == q_lo].set_index(gcols)[value_col]
+    hi = cuts[cuts["q"] == q_hi].set_index(gcols)[value_col]
+    table = pd.DataFrame({"lo": lo, "hi": hi}).reset_index()
+    handle = ray.put(table)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(handle)
+        m = b.merge(t, on=gcols, how="left")
+        v = m[value_col].to_numpy(dtype="float64")
+        x = _scaled_int(v, scale)
+        if len(x) and int(np.abs(x).max()) >= (1 << 31):
+            raise ValueError(
+                f"scaled |{value_col}| exceeds the 2^31 exact-sum domain"
+            )
+        inr = (v >= m["lo"].to_numpy(dtype="float64")) & (
+            v <= m["hi"].to_numpy(dtype="float64")
+        )
+        sub = m[gcols].copy()
+        sub["__n"] = 1
+        sub["__k"] = inr.astype("int64")
+        sub["__s"] = np.where(inr, x, 0)
+        return sub.groupby(gcols, as_index=False).agg(
+            n=("__n", "sum"), n_kept=("__k", "sum"), s=("__s", "sum")
+        )
+
+    red = auto_group_agg(
+        proj.map_batches(partial, batch_format="pandas"),
+        gcols,
+        {"n": ("n", "sum"), "n_kept": ("n_kept", "sum"), "s": ("s", "sum")},
+        n_shards=n_shards,
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    if len(red) == 0 or "n" not in red.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "trimmed_mean": pd.Series([], dtype="float64"),
+            }
+        )
+    out = red[gcols].copy()
+    out["n"] = red["n"].astype("int64")
+    out["n_kept"] = red["n_kept"].astype("int64")
+    s = red["s"].to_numpy(dtype="float64")
+    k = red["n_kept"].to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tm = (s / k) / float(scale)
+    out["trimmed_mean"] = np.where(k > 0, tm, np.nan)
+    return out.sort_values(gcols).reset_index(drop=True)

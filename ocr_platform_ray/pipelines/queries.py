@@ -7348,6 +7348,21 @@ def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_value_trimmed_mean_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type trimmed mean of event values
+    (`ops/profile.grouped_trimmed_mean`): mean inside
+    [quantile_disc(0.05), quantile_disc(0.95)] — cutoffs by the exact
+    position rule, the in-range sum exact integer cents, the final
+    double one mirrored division.  Full ROW_NUMBER-position SQL oracle
+    in TestTailQueryOracles."""
+    from ..ops.profile import grouped_trimmed_mean
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    return grouped_trimmed_mean(
+        ev, ["event_type"], "value", q_lo=0.05, q_hi=0.95
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7665,6 +7680,7 @@ QUERIES = {
     "user_daily_streak": q_user_daily_streak,
     "user_type_entropy": q_user_type_entropy,
     "containment_pairs": q_containment_pairs,
+    "value_trimmed_mean_by_type": q_value_trimmed_mean_by_type,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10210,3 +10226,29 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.6
    OR CAST(n_inter AS DOUBLE) / sb.sz >= 0.6
 """
+
+# Trimmed mean: the value_winsor_by_type percentile CTEs, then exact
+# integer-cents sum over the in-range values and one mirrored division.
+ORACLE_SQL["value_trimmed_mean_by_type"] = (
+    "WITH v AS (SELECT event_type, value FROM events "
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL), "
+    "r AS (SELECT event_type, value, ROW_NUMBER() OVER "
+    "(PARTITION BY event_type ORDER BY value) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS m FROM v), "
+    "lo AS (SELECT event_type, value AS lo FROM r "
+    "WHERE rn = GREATEST(1, CEIL(0.05 * m))), "
+    "hi AS (SELECT event_type, value AS hi FROM r "
+    "WHERE rn = GREATEST(1, CEIL(0.95 * m))), "
+    "a AS (SELECT v.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN v.value >= lo.lo AND v.value <= hi.hi "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(SUM(CASE WHEN v.value >= lo.lo AND v.value <= hi.hi THEN "
+    "CAST(CASE WHEN v.value >= 0 THEN FLOOR(v.value * 100 + 0.5) "
+    "ELSE -FLOOR(-v.value * 100 + 0.5) END AS BIGINT) ELSE 0 END) "
+    "AS BIGINT) AS s "
+    "FROM v JOIN lo USING (event_type) JOIN hi USING (event_type) "
+    "GROUP BY v.event_type) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, n_kept, "
+    "CASE WHEN n_kept > 0 THEN (CAST(s AS DOUBLE) / "
+    "CAST(n_kept AS DOUBLE)) / 100.0 END AS trimmed_mean FROM a"
+)

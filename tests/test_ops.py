@@ -1768,6 +1768,7 @@ class TestTailQueryOracles:
             "user_daily_streak",
             "user_type_entropy",
             "containment_pairs",
+            "value_trimmed_mean_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

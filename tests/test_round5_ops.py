@@ -6875,3 +6875,73 @@ class TestContainmentPairs:
         ]
         assert sorted(got) == sorted(want)
         assert (3, 7) in {(a, b) for a, b, *_ in got}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTrimmedMean:
+    """Exact per-group trimmed mean (`ops/profile.grouped_trimmed_mean`)."""
+
+    def test_matches_position_rule_reference(self):
+        from ocr_platform_ray.ops.profile import grouped_trimmed_mean
+
+        rng = np.random.RandomState(12)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 500),
+                "v": np.round(rng.randn(500) * 50 + 10, 2),
+            }
+        )
+        df.loc[df.index % 13 == 0, "v"] = np.nan
+        got = grouped_trimmed_mean(
+            rd.from_pandas(df), ["k"], "v", q_lo=0.1, q_hi=0.9
+        )
+        sub = df[df["v"].notna()]
+        for k, grp in sub.groupby("k"):
+            vs = np.sort(grp["v"].to_numpy())
+            m = len(vs)
+            lo = vs[max(1, int(np.ceil(0.1 * m))) - 1]
+            hi = vs[max(1, int(np.ceil(0.9 * m))) - 1]
+            inr = grp["v"].to_numpy()
+            inr = inr[(inr >= lo) & (inr <= hi)]
+            cents = np.copysign(
+                np.floor(np.abs(inr) * 100 + 0.5), inr
+            ).astype("int64")
+            want = (cents.sum() / len(inr)) / 100.0
+            row = got[got["k"] == k].iloc[0]
+            assert row["n"] == len(grp) and row["n_kept"] == len(inr)
+            assert row["trimmed_mean"] == want  # bitwise: same expression
+        # trimming is robust: a planted spike moves the plain mean, not this
+        spiked = df.copy()
+        spiked.loc[spiked.index[:2], "v"] = 1e6
+        g2 = grouped_trimmed_mean(
+            rd.from_pandas(spiked.dropna()), ["k"], "v", q_lo=0.1, q_hi=0.9,
+            scale=100,
+        )
+        assert np.isfinite(g2["trimmed_mean"]).all()
+        assert g2["trimmed_mean"].abs().max() < 1000
+
+    def test_block_independence_and_full_range(self):
+        from ocr_platform_ray.ops.profile import grouped_trimmed_mean
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {"k": rng.choice(["x", "y"], 300), "v": np.round(rng.rand(300), 2)}
+        )
+        outs = [
+            grouped_trimmed_mean(rd.from_pandas(df).repartition(nb), ["k"], "v")
+            for nb in (1, 9)
+        ]
+        assert (
+            outs[0]["trimmed_mean"].to_numpy()
+            == outs[1]["trimmed_mean"].to_numpy()
+        ).all()
+        # q in {0, 1} keeps everything: trimmed mean == exact cents mean
+        full = grouped_trimmed_mean(
+            rd.from_pandas(df), ["k"], "v", q_lo=0.0, q_hi=1.0
+        )
+        for k, grp in df.groupby("k"):
+            cents = np.floor(grp["v"].to_numpy() * 100 + 0.5).astype("int64")
+            want = (cents.sum() / len(grp)) / 100.0
+            assert full[full["k"] == k]["trimmed_mean"].iloc[0] == want
+        with pytest.raises(ValueError, match="q_lo"):
+            grouped_trimmed_mean(rd.from_pandas(df), ["k"], "v", q_lo=0.9, q_hi=0.1)
