@@ -259,6 +259,15 @@ def main(argv: list[str] | None = None) -> int:
     au.add_argument("--columns", nargs="*", default=None,
                     help="columns to profile (default: all)")
 
+    ex = sub.add_parser(
+        "explain",
+        help="run a registered query under the route observer and print "
+        "every size-aware planner decision (broadcast vs exchange, "
+        "driver vs distributed) plus the result row count",
+    )
+    ex.add_argument("--query", required=True, help="queries() registry name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -490,6 +499,22 @@ def main(argv: list[str] | None = None) -> int:
                         }
                     )
                 )
+        elif args.cmd == "explain":
+            from .ops.relational import explain_routes
+            from .pipelines.queries import QUERIES
+
+            if args.query not in QUERIES:
+                raise SystemExit(
+                    f"unknown query {args.query!r}; "
+                    f"{len(QUERIES)} registered (see pipelines/queries.py)"
+                )
+            with explain_routes() as routes:
+                res = QUERIES[args.query](args.sf_dir)
+            n = len(res) if hasattr(res, "__len__") else res.count()
+            print(json.dumps({"query": args.query, "rows": int(n),
+                              "n_decisions": len(routes)}))
+            for r in routes:
+                print(json.dumps(r, default=str))
         elif args.cmd == "rag-build":
             import ray.data as rdata
 
