@@ -789,6 +789,8 @@ def hive_write(
     ds: rd.Dataset,
     partition_cols: list[str],
     out_dir: str,
+    *,
+    max_partitions_per_block: int = 4096,
 ) -> pd.DataFrame:
     """Write ``ds`` Hive-partitioned on ``partition_cols`` (int or string
     values; NULL partitions raise — the Hive ``__HIVE_DEFAULT_PARTITION__``
@@ -813,6 +815,14 @@ def hive_write(
         for c in pcols:
             if b[c].isna().any():
                 raise ValueError(f"hive_write: NULL in partition column {c!r}")
+        n_parts = len(b[pcols].drop_duplicates())
+        if n_parts > max_partitions_per_block:
+            raise ValueError(
+                f"hive_write: {n_parts} distinct partitions in one block "
+                f"(> {max_partitions_per_block}) — a near-unique partition "
+                "column explodes into per-row files; partition on a "
+                "coarser key or use the range/z-order layouts"
+            )
         for key, g in b.groupby(pcols, sort=True):
             key = key if isinstance(key, tuple) else (key,)
             segs = [_hive_seg(c, v) for c, v in zip(pcols, key)]

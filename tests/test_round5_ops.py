@@ -6945,3 +6945,59 @@ class TestGroupedTrimmedMean:
             assert full[full["k"] == k]["trimmed_mean"].iloc[0] == want
         with pytest.raises(ValueError, match="q_lo"):
             grouped_trimmed_mean(rd.from_pandas(df), ["k"], "v", q_lo=0.9, q_hi=0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParquetSalvage:
+    """Corrupt-file salvage reader (`sources/ingest.read_parquet_salvage`)."""
+
+    def test_skips_corrupt_reports_and_quarantines(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.sources.ingest import read_parquet_salvage
+
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(3):
+            pq.write_table(
+                pa.table({"a": list(range(i * 10, i * 10 + 10))}),
+                str(d / f"f{i}.parquet"),
+            )
+        # truncate one file mid-footer; plant one non-parquet file
+        raw = (d / "f1.parquet").read_bytes()
+        (d / "f1.parquet").write_bytes(raw[: len(raw) // 2])
+        (d / "f3.parquet").write_bytes(b"not parquet at all")
+        q = str(tmp_path / "quarantine")
+        ds, report = read_parquet_salvage(str(d), quarantine_dir=q)
+        assert ds.count() == 20  # the two healthy files
+        assert sorted(report["status"]) == ["corrupt", "corrupt", "ok", "ok"]
+        import os
+        assert sorted(os.listdir(q)) == ["f1.parquet", "f3.parquet"]
+        # the input dir is clean now -> a plain read succeeds
+        import ray.data as rdd
+        assert rdd.read_parquet(str(d)).count() == 20
+
+    def test_all_corrupt_raises_and_no_files_raises(self, tmp_path):
+        from ocr_platform_ray.sources.ingest import read_parquet_salvage
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "x.parquet").write_bytes(b"junk")
+        with pytest.raises(ValueError, match="all 1 files corrupt"):
+            read_parquet_salvage(str(d))
+        with pytest.raises(ValueError, match="no input files"):
+            read_parquet_salvage([])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHivePartitionGuard:
+    def test_partition_explosion_raises(self, tmp_path):
+        from ocr_platform_ray.ops.layout import hive_write
+
+        df = pd.DataFrame({"k": np.arange(500), "v": np.arange(500)})
+        with pytest.raises(Exception, match="distinct partitions"):
+            hive_write(
+                rd.from_pandas(df), ["k"], str(tmp_path / "h"),
+                max_partitions_per_block=100,
+            )
