@@ -242,6 +242,12 @@ def run_once() -> dict:
         "html_meta_docs",
         "customer_linkage_fs",
         "user_overlap_hll",
+        "value_gini_by_type",
+        "event_props_stats",
+        "user_daily_streak",
+        "user_type_entropy",
+        "containment_pairs",
+        "value_trimmed_mean_by_type",
     ):
         extra_times[name] = _best_of(2, name)
 

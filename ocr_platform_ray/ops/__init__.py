@@ -154,6 +154,7 @@ from .layout import (  # noqa: F401
     zorder_write,
 )
 from .upsert import (  # noqa: F401
+    delete_keys,
     merge_into,
     read_merge_target,
     vacuum_versions,

@@ -448,3 +448,77 @@ def vacuum_versions(target_dir: str, *, keep_last: int = 2) -> dict:
     for tag in drop:
         os.remove(_manifest_path(target_dir, tag))
     return {"dropped_versions": sorted(drop), "deleted_files": sorted(deleted)}
+
+
+def delete_keys(
+    target_dir: str,
+    keys: rd.Dataset | pd.DataFrame,
+    key_col: str,
+    *,
+    n_partitions: int = 64,
+) -> pd.DataFrame:
+    """DELETE by key from a `write_merge_target` layout — the compliance
+    primitive (GDPR/CCPA erasure, takedown propagation) next to the
+    upsert: only the partitions whose hash range contains a requested
+    key are rewritten (atomic per-file replace; a partition emptied by
+    the delete keeps a ZERO-ROW typed file, so the layout's partition
+    map never goes ambiguous); every other file's bytes are untouched.
+    Deleting an absent key is a no-op — the operation is idempotent by
+    construction (a rerun finds nothing left to drop and rewrites
+    byte-identically).
+
+    Scale shape: ONE hash-shard exchange on the (tiny) key set; each
+    partition task reads its own file, anti-filters, rewrites.  Returns
+    the per-partition report (partition, rows before, deleted)."""
+    if os.path.exists(os.path.join(target_dir, "_versions")):
+        raise ValueError(
+            f"{target_dir!r} is a VERSIONED target; delete via "
+            "versioned_merge_into with a tombstone scheme"
+        )
+    if isinstance(keys, pd.DataFrame):
+        keys = rd.from_pandas(keys[[key_col]])
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col]].drop_duplicates().copy()
+        out["__part"] = _partition_of(out[key_col].to_numpy(), n_partitions)
+        return out
+
+    def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["__part"].iloc[0])
+        path = _part_path(target_dir, k)
+        if not os.path.exists(path):
+            return pd.DataFrame({"part": [k], "n_before": [0], "n_deleted": [0]})
+        cur = pq.read_table(path).to_pandas()
+        drop = set(g[key_col].to_numpy())
+        kept = cur[~cur[key_col].isin(drop)]
+        if len(kept) != len(cur):
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.Table.from_pandas(kept, preserve_index=False), tmp
+            )
+            os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "part": [k],
+                "n_before": [len(cur)],
+                "n_deleted": [len(cur) - len(kept)],
+            }
+        )
+
+    rep = (
+        keys.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(apply_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(rep) == 0 or "part" not in rep.columns:
+        return pd.DataFrame(
+            {
+                "part": pd.Series(dtype="int64"),
+                "n_before": pd.Series(dtype="int64"),
+                "n_deleted": pd.Series(dtype="int64"),
+            }
+        )
+    for c in rep.columns:
+        rep[c] = rep[c].astype("int64")
+    return rep.sort_values("part").reset_index(drop=True)

@@ -7363,6 +7363,55 @@ def q_value_trimmed_mean_by_type(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_orders_delete_keys(sf_dir: str) -> pd.DataFrame:
+    """Key-deletion over a partitioned merge target
+    (`ops/upsert.delete_keys` — the GDPR/takedown erasure primitive):
+    orders land in a hash-partitioned target, every seventh orderkey is
+    deleted (only its partitions rewrite; a rerun deletes zero — the
+    idempotence is asserted in-query), and the surviving per-status
+    aggregate must equal the SQL anti-filter over the original parquet.
+    Full SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..ops.upsert import delete_keys, read_merge_target, write_merge_target
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    with tempfile.TemporaryDirectory(prefix="delete_keys_") as td:
+        write_merge_target(orders, td, "o_orderkey", n_partitions=16)
+        victims = orders.map_batches(
+            lambda b: b[(b["o_orderkey"] % 7 == 3)][["o_orderkey"]],
+            batch_format="pandas",
+        )
+        rep = delete_keys(td, victims, "o_orderkey", n_partitions=16)
+        assert int(rep["n_deleted"].sum()) > 0
+        rep2 = delete_keys(td, victims, "o_orderkey", n_partitions=16)
+        assert int(rep2["n_deleted"].sum()) == 0, "delete must be idempotent"
+        back = read_merge_target(td, columns=["o_orderstatus", "o_totalprice"])
+        partials = back.map_batches(
+            lambda b: pd.DataFrame(
+                {"o_orderstatus": b["o_orderstatus"],
+                 "c": _cents(b["o_totalprice"])}
+            ).groupby("o_orderstatus", as_index=False).agg(
+                n_orders=("c", "size"), sum_c=("c", "sum")
+            ),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials, ["o_orderstatus"],
+            {"n_orders": ("n_orders", "sum"), "sum_c": ("sum_c", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_c"].astype("float64") / 100.0
+    return (
+        out.drop(columns="sum_c").sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7681,6 +7730,7 @@ QUERIES = {
     "user_type_entropy": q_user_type_entropy,
     "containment_pairs": q_containment_pairs,
     "value_trimmed_mean_by_type": q_value_trimmed_mean_by_type,
+    "orders_delete_keys": q_orders_delete_keys,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10251,4 +10301,12 @@ ORACLE_SQL["value_trimmed_mean_by_type"] = (
     "SELECT event_type, CAST(n AS BIGINT) AS n, n_kept, "
     "CASE WHEN n_kept > 0 THEN (CAST(s AS DOUBLE) / "
     "CAST(n_kept AS DOUBLE)) / 100.0 END AS trimmed_mean FROM a"
+)
+
+# Key deletion: the surviving aggregate mirrors the anti-filter.
+ORACLE_SQL["orders_delete_keys"] = (
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 100 AS sum_price FROM orders "
+    "WHERE NOT (o_orderkey % 7 = 3) GROUP BY o_orderstatus"
 )

@@ -1769,6 +1769,7 @@ class TestTailQueryOracles:
             "user_type_entropy",
             "containment_pairs",
             "value_trimmed_mean_by_type",
+            "orders_delete_keys",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -7001,3 +7001,68 @@ class TestHivePartitionGuard:
                 rd.from_pandas(df), ["k"], str(tmp_path / "h"),
                 max_partitions_per_block=100,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeleteKeys:
+    """GDPR key deletion over the merge target (`ops/upsert.delete_keys`)."""
+
+    def _target(self, tmp_path, n=200):
+        from ocr_platform_ray.ops.upsert import write_merge_target
+
+        df = pd.DataFrame(
+            {"k": np.arange(n, dtype="int64"),
+             "v": np.random.RandomState(0).randn(n)}
+        )
+        d = str(tmp_path / "t")
+        write_merge_target(rd.from_pandas(df), d, "k", n_partitions=8)
+        return d, df
+
+    def test_deletes_only_touched_partitions_untouched_bytes_identical(
+        self, tmp_path
+    ):
+        import os
+
+        from ocr_platform_ray.ops.upsert import delete_keys, read_merge_target
+
+        d, df = self._target(tmp_path)
+        before = {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        }
+        victims = pd.DataFrame({"k": [3, 77, 150]})
+        rep = delete_keys(d, victims, "k", n_partitions=8)
+        assert int(rep["n_deleted"].sum()) == 3
+        after = {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        }
+        touched = {f for f in before if before[f] != after[f]}
+        assert 1 <= len(touched) <= 3  # only victim partitions rewrote
+        back = read_merge_target(d).to_pandas()
+        assert set(back["k"]) == set(df["k"]) - {3, 77, 150}
+
+    def test_idempotent_absent_keys_and_emptied_partition(self, tmp_path):
+        from ocr_platform_ray.ops.upsert import delete_keys, read_merge_target
+
+        d, df = self._target(tmp_path, n=16)
+        # delete EVERYTHING: every partition empties but stays typed
+        rep = delete_keys(d, df[["k"]], "k", n_partitions=8)
+        assert int(rep["n_deleted"].sum()) == 16
+        back = read_merge_target(d).to_pandas()
+        assert len(back) == 0
+        # absent keys: clean no-op report
+        rep2 = delete_keys(
+            d, pd.DataFrame({"k": [9999]}), "k", n_partitions=8
+        )
+        assert int(rep2["n_deleted"].sum()) == 0
+
+    def test_versioned_target_rejected(self, tmp_path):
+        import os
+
+        from ocr_platform_ray.ops.upsert import delete_keys
+
+        d = str(tmp_path / "vt")
+        os.makedirs(os.path.join(d, "_versions"))
+        with pytest.raises(ValueError, match="VERSIONED"):
+            delete_keys(d, pd.DataFrame({"k": [1]}), "k")
