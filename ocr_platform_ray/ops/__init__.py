@@ -148,6 +148,7 @@ from .layout import (  # noqa: F401
     hive_plan,
     hive_pruned_read,
     hive_write,
+    similarity_ordered_write,
     prefix_pruned_read,
     pruned_read,
     zorder_pruned_read,

@@ -451,29 +451,34 @@ def minhash_lsh_duplicates(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+def _simhash64_batch(texts) -> np.ndarray:
+    """uint64 SimHash per text — batch-vectorized: hash EVERY token of
+    the batch in one call, build one (n_tokens, 64) bit matrix, reduce
+    per row with np.add.reduceat over the flattened token boundaries —
+    no per-document numpy re-dispatch (was ~0.2 ms/doc of overhead)."""
+    tok_lists = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    out_h = np.zeros(len(tok_lists), dtype=np.uint64)
+    flat = [w for ts in tok_lists for w in ts]
+    if flat:
+        th = _sha64(flat)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        signed = 2 * bits - 1
+        nz = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+        sums = np.add.reduceat(signed, starts, axis=0)
+        packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
+        out_h[nz] = packed.view(np.uint64).ravel()
+    return out_h
+
+
 def simhash_buckets(ds: rd.Dataset, text_col: str, id_col: str, *, n_bands: int = 4) -> rd.Dataset:
     """64-bit SimHash per row + its 16-bit band keys.  Near-dups share at
     least one band value when hamming distance <= n_bands - 1 (pigeonhole);
     downstream: groupby a band column = candidate buckets, no all-pairs."""
 
     def sim(batch: pd.DataFrame) -> pd.DataFrame:
-        # batch-vectorized: hash EVERY token of the batch in one call,
-        # build one (n_tokens, 64) bit matrix, reduce per row with
-        # np.add.reduceat over the flattened token boundaries — no
-        # per-document numpy re-dispatch (was ~0.2 ms/doc of overhead)
-        tok_lists = [t.split() for t in batch[text_col]]
-        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        out_h = np.zeros(len(batch), dtype=np.uint64)
-        flat = [w for ts in tok_lists for w in ts]
-        if flat:
-            th = _sha64(flat)
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            signed = 2 * bits - 1
-            nz = counts > 0
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
-            sums = np.add.reduceat(signed, starts, axis=0)
-            packed = np.packbits((sums > 0).astype(np.uint8), axis=1, bitorder="little")
-            out_h[nz] = packed.view(np.uint64).ravel()
+        out_h = _simhash64_batch(list(batch[text_col]))
         res = pd.DataFrame({id_col: batch[id_col].to_numpy(), "simhash": out_h})
         for b in range(n_bands):
             res[f"band{b}"] = (out_h >> np.uint64(b * 16)) & np.uint64(0xFFFF)

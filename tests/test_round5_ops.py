@@ -7066,3 +7066,71 @@ class TestDeleteKeys:
         os.makedirs(os.path.join(d, "_versions"))
         with pytest.raises(ValueError, match="VERSIONED"):
             delete_keys(d, pd.DataFrame({"k": [1]}), "k")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarityOrderedWrite:
+    """Compression-locality layout (`ops/layout.similarity_ordered_write`)."""
+
+    def _corpus(self, n_families=150, per=10, seed=3):
+        # the corpus must EXCEED the zstd match window (~512 KB at the
+        # parquet default level) — below it the codec sees every
+        # duplicate regardless of position and ordering cannot matter
+        # (measured: 240 KB corpus -> 4 % gain; 3.6 MB -> 2.5x)
+        rng = np.random.RandomState(seed)
+        vocab = [f"tok{i:04d}" for i in range(4000)]
+        rows = []
+        i = 0
+        for f in range(n_families):
+            base = " ".join(rng.choice(vocab, 150))
+            for j in range(per):
+                words = base.split(" ")
+                # small mutation per member: near-dup family
+                for _ in range(3):
+                    words[rng.randint(len(words))] = str(rng.choice(vocab))
+                rows.append({"doc_id": i, "text": " ".join(words)})
+                i += 1
+        df = pd.DataFrame(rows)
+        return df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    def test_orders_families_adjacent_and_shrinks_storage(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_platform_ray.ops.layout import similarity_ordered_write
+
+        df = self._corpus()
+        d = str(tmp_path / "sim")
+        zm = similarity_ordered_write(
+            rd.from_pandas(df).repartition(6), "text", d, n_files=4
+        )
+        ordered_bytes = int(zm["n_bytes"].sum())
+        # baseline: the SAME rows in shuffled order, same codec
+        base = str(tmp_path / "shuf.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), base,
+            compression="zstd",
+        )
+        shuffled_bytes = os.path.getsize(base)
+        assert ordered_bytes < 0.8 * shuffled_bytes, (
+            ordered_bytes, shuffled_bytes
+        )
+        # lossless: every row survives exactly once
+        files = [os.path.join(d, f) for f in zm["file"]]
+        back = (
+            rd.read_parquet(files, columns=["doc_id", "text"]).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        want = df.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[["doc_id", "text"]], want)
+
+    def test_empty_raises(self, tmp_path):
+        from ocr_platform_ray.ops.layout import similarity_ordered_write
+
+        with pytest.raises(ValueError, match="empty"):
+            similarity_ordered_write(
+                rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []})),
+                "text", str(tmp_path / "e"),
+            )
