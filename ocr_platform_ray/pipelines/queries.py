@@ -7412,6 +7412,34 @@ def q_orders_delete_keys(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_training_mix_chunks(sf_dir: str) -> pd.DataFrame:
+    """The one-call training-mixture composition
+    (`pipelines/mixture.prepare_training_mix`): en docs upweighted 2×,
+    every source token-budgeted, seeded epoch order, 512-token packing.
+    Rows-only (the stage chain is pinned by TestPrepareTrainingMix's
+    naive-reference equality); the packing invariant — chunk ids tile
+    the selected token stream — is asserted in-query."""
+    from ..pipelines.mixture import prepare_training_mix
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        lambda b: b.rename(columns={"lang": "source"}), batch_format="pandas"
+    )
+    ch = prepare_training_mix(
+        docs,
+        weights={"en": 2.0, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
+        budgets={"en": 20_000, "de": None, "fr": None, "es": None,
+                 "zh": None},
+        seed=11,
+        chunk_tokens=512,
+    )
+    out = ch.to_pandas().sort_values("chunk_id").reset_index(drop=True)
+    assert (out["chunk_id"].to_numpy() == np.arange(len(out))).all(), (
+        "chunk ids must tile the packed stream densely"
+    )
+    assert int(out["n_items"].sum()) > 0
+    return out[["chunk_id", "n_items"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7731,6 +7759,10 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "value_trimmed_mean_by_type": q_value_trimmed_mean_by_type,
     "orders_delete_keys": q_orders_delete_keys,
+    # rows-only (the mixture chain isn't one SQL expression; packing
+    # density asserted in-query, stage semantics pinned by
+    # TestPrepareTrainingMix's naive-reference equality)
+    "training_mix_chunks": q_training_mix_chunks,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)

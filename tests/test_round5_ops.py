@@ -7134,3 +7134,113 @@ class TestSimilarityOrderedWrite:
                 rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []})),
                 "text", str(tmp_path / "e"),
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrepareTrainingMix:
+    """One-call mixture composition (`pipelines/mixture.py`)."""
+
+    def _docs(self, n=240, seed=0):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "source": np.where(np.arange(n) % 3 == 0, "web", "books"),
+                "text": [
+                    " ".join(rng.choice(["aa", "bb", "cc", "dd"],
+                                        rng.randint(5, 40)))
+                    for _ in range(n)
+                ],
+            }
+        )
+
+    def test_deterministic_across_block_structures(self):
+        from ocr_platform_ray.pipelines.mixture import prepare_training_mix
+
+        docs = self._docs()
+        outs = []
+        for nb in (1, 7):
+            ch = prepare_training_mix(
+                rd.from_pandas(docs).repartition(nb),
+                weights={"web": 2.5, "books": 1.0},
+                budgets={"web": 700, "books": 2000},
+                seed=5, chunk_tokens=100,
+            )
+            outs.append(
+                ch.to_pandas().sort_values("chunk_id").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_budget_and_weight_semantics_match_naive(self):
+        from ocr_platform_ray.ops.shuffle import shuffle_hash
+        from ocr_platform_ray.pipelines.mixture import prepare_training_mix
+
+        docs = self._docs(seed=2)
+        weights = {"web": 2.5, "books": 1.0}
+        budgets = {"web": 600, "books": None}
+        ch = prepare_training_mix(
+            rd.from_pandas(docs), weights=weights, budgets=budgets,
+            seed=9, chunk_tokens=100,
+        ).to_pandas()
+        # naive reference: copies, mix keys, budget fill, chunk count
+        toks = docs["text"].str.split().str.len().to_numpy()
+        rows = []
+        sk0 = shuffle_hash(docs["doc_id"].to_numpy(dtype="int64"), 9)
+        for i, (d, s, t) in enumerate(zip(docs["doc_id"], docs["source"], toks)):
+            w = weights[s]
+            copies = int(np.floor(w)) + int(
+                sk0[i] < np.floor((w - np.floor(w)) * float(1 << 32))
+            )
+            for c in range(copies):
+                rows.append({"mix_key": int(d) * 8 + c, "source": s, "t": int(t)})
+        mixed = pd.DataFrame(rows)
+        mixed["sk_budget"] = shuffle_hash(
+            mixed["mix_key"].to_numpy(dtype="int64"), 9
+        )
+        kept = []
+        for s, grp in mixed.groupby("source"):
+            grp = grp.sort_values("sk_budget")
+            cum = grp["t"].cumsum()
+            b = budgets[s]
+            keep = grp if b is None else grp[cum <= b]
+            kept.append(keep)
+        kept = pd.concat(kept)
+        total_tokens = int(kept["t"].sum())
+        # web's budget respected exactly by the naive rule
+        assert int(kept[kept["source"] == "web"]["t"].sum()) <= 600
+        # chunk ids tile the selected token stream
+        assert int(ch["chunk_id"].max()) == (total_tokens - 1) // 100
+        assert int(ch["n_items"].sum()) == len(kept)
+        # the 2.5x weight produced 2 or 3 copies per web doc
+        cp = mixed.groupby(mixed["mix_key"] // 8).size()
+        web_ids = set(docs.loc[docs["source"] == "web", "doc_id"])
+        assert set(cp[cp.index.isin(web_ids)].unique()) <= {2, 3}
+        assert 2.2 < cp[cp.index.isin(web_ids)].mean() < 2.8
+
+    def test_tfrecord_write_and_validation(self, tmp_path):
+        from ocr_platform_ray.pipelines.mixture import prepare_training_mix
+        from ocr_platform_ray.sources.tfrecord import read_tfrecord
+
+        docs = self._docs(n=60)
+        ch, files = prepare_training_mix(
+            rd.from_pandas(docs), weights={"web": 1.0, "books": 1.0},
+            seed=1, chunk_tokens=64, out_dir=str(tmp_path / "tfr"),
+        )
+        want = ch.to_pandas().sort_values("chunk_id").reset_index(drop=True)
+        back = (
+            read_tfrecord(str(tmp_path / "tfr"), binary_cols=["chunk_text"])
+            .to_pandas().sort_values("chunk_id").reset_index(drop=True)
+        )
+        assert len(back) == len(want)
+        assert [
+            t.decode("utf-8") for t in back["chunk_text"]
+        ] == want["chunk_text"].tolist()
+        with pytest.raises(ValueError, match="weights"):
+            prepare_training_mix(
+                rd.from_pandas(docs), weights={"web": 9.0, "books": 1.0}
+            )
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            prepare_training_mix(
+                rd.from_pandas(docs), weights={"web": 1.0, "books": 1.0},
+                chunk_tokens=0,
+            )
