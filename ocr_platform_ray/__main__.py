@@ -268,6 +268,23 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True, help="queries() registry name")
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
+    mx = sub.add_parser(
+        "mix",
+        help="assemble a training mixture: source weights, token budgets, "
+        "seeded epoch packing, TFRecord output",
+    )
+    mx.add_argument("--input", required=True, help="parquet docs table")
+    mx.add_argument("--out-dir", required=True)
+    mx.add_argument("--weights", nargs="+", required=True,
+                    metavar="SOURCE=W")
+    mx.add_argument("--budgets", nargs="*", default=None,
+                    metavar="SOURCE=TOKENS")
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--chunk-tokens", type=int, default=1024)
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--source-col", default="source")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -515,6 +532,36 @@ def main(argv: list[str] | None = None) -> int:
                               "n_decisions": len(routes)}))
             for r in routes:
                 print(json.dumps(r, default=str))
+        elif args.cmd == "mix":
+            import ray.data as rdata
+
+            from .pipelines.mixture import prepare_training_mix
+
+            weights = {
+                k: float(v)
+                for k, v in (w.split("=", 1) for w in args.weights)
+            }
+            budgets = None
+            if args.budgets:
+                budgets = {
+                    k: (None if v.lower() == "none" else int(v))
+                    for k, v in (b.split("=", 1) for b in args.budgets)
+                }
+                for src in weights:
+                    budgets.setdefault(src, None)
+            ch, files = prepare_training_mix(
+                rdata.read_parquet(args.input),
+                weights=weights,
+                budgets=budgets,
+                seed=args.seed,
+                chunk_tokens=args.chunk_tokens,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                source_col=args.source_col,
+                out_dir=args.out_dir,
+            )
+            n = ch.count()
+            print(json.dumps({"chunks": int(n), "files_written": len(files)}))
         elif args.cmd == "rag-build":
             import ray.data as rdata
 
