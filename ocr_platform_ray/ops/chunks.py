@@ -16,6 +16,7 @@ by (group, order) and a per-group join whose cost is the output bytes
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -30,11 +31,15 @@ def grouped_ordered_concat(
     text_col: str,
     sep: str = "\n",
     out_col: str = "chunk_text",
+    offsets_col: str | None = None,
     n_shards: int = 64,
 ) -> rd.Dataset:
     """Per group: items sorted by ``order_col`` and joined with ``sep``.
     Output: ``(group_col, n_items, out_col)``.  ``order_col`` must be
-    unique within a group (packing positions are)."""
+    unique within a group (packing positions are).  ``offsets_col``
+    additionally emits each item's CHARACTER start offset inside the
+    joined text (int64 list) — the document-boundary record attention /
+    loss masking needs downstream of packing."""
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
         out = b[[group_col, order_col, text_col]].copy()
@@ -43,9 +48,20 @@ def grouped_ordered_concat(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, order_col], kind="stable")
-        return g.groupby(group_col, as_index=False).agg(
-            n_items=(text_col, "size"), **{out_col: (text_col, sep.join)}
-        )
+        aggs = dict(n_items=(text_col, "size"), **{out_col: (text_col, sep.join)})
+        if offsets_col is not None:
+            sl = len(sep)
+
+            def offs(texts) -> np.ndarray:
+                lens = np.fromiter(
+                    (len(t) for t in texts), dtype="int64", count=len(texts)
+                )
+                return np.concatenate(
+                    [[0], np.cumsum(lens[:-1] + sl)]
+                ).astype("int64")
+
+            aggs[offsets_col] = (text_col, offs)
+        return g.groupby(group_col, as_index=False).agg(**aggs)
 
     return (
         ds.map_batches(add_shard, batch_format="pandas")

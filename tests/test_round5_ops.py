@@ -7244,3 +7244,41 @@ class TestPrepareTrainingMix:
                 rd.from_pandas(docs), weights={"web": 1.0, "books": 1.0},
                 chunk_tokens=0,
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkOffsets:
+    """Document-boundary offsets in packed chunks
+    (`grouped_ordered_concat(offsets_col=)`)."""
+
+    def test_offsets_recover_each_document(self):
+        from ocr_platform_ray.ops.chunks import grouped_ordered_concat
+
+        df = pd.DataFrame(
+            {
+                "chunk": [0, 0, 0, 1, 1],
+                "pos": [2, 0, 1, 1, 0],
+                "text": ["bbb", "a", "cc", "yyyy", "x"],
+            }
+        )
+        got = (
+            grouped_ordered_concat(
+                rd.from_pandas(df), group_col="chunk", order_col="pos",
+                text_col="text", sep="|", offsets_col="doc_offsets",
+            )
+            .to_pandas().sort_values("chunk").reset_index(drop=True)
+        )
+        assert got["chunk_text"].tolist() == ["a|cc|bbb", "x|yyyy"]
+        for _, r in got.iterrows():
+            parts_by_pos = r["chunk_text"].split("|")
+            offs = list(r["doc_offsets"])
+            assert offs[0] == 0
+            # each recorded offset slices out exactly its document
+            for o, pt in zip(offs, parts_by_pos):
+                assert r["chunk_text"][o:o + len(pt)] == pt
+        # without the flag the schema is unchanged
+        plain = grouped_ordered_concat(
+            rd.from_pandas(df), group_col="chunk", order_col="pos",
+            text_col="text",
+        ).to_pandas()
+        assert "doc_offsets" not in plain.columns
