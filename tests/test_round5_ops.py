@@ -7282,3 +7282,66 @@ class TestChunkOffsets:
             text_col="text",
         ).to_pandas()
         assert "doc_offsets" not in plain.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMlmMask:
+    """Deterministic BERT-style MLM corruption (`ops/augment.mlm_mask`)."""
+
+    def _docs(self, n=200, seed=1):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(500)]
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "text": [
+                    " ".join(rng.choice(vocab, rng.randint(20, 120)))
+                    for _ in range(n)
+                ],
+            }
+        )
+
+    def test_published_ratios_and_labels(self):
+        from ocr_platform_ray.ops.augment import mlm_mask
+
+        df = self._docs()
+        got = mlm_mask(rd.from_pandas(df), seed=4).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        n_tok = n_sel = n_masked = n_changed_unmasked = 0
+        for _, r in got.iterrows():
+            orig = r["text"].lower().split(" ")
+            out = r["masked_text"].split(" ")
+            assert len(orig) == len(out)  # token-aligned corruption
+            sel = set(int(p) for p in r["mask_positions"])
+            n_tok += len(orig)
+            n_sel += len(sel)
+            for i, (a, b) in enumerate(zip(orig, out)):
+                if b == "[MASK]":
+                    assert i in sel  # masks only at labeled positions
+                    n_masked += 1
+                elif a != b:
+                    assert i in sel  # random replacement also labeled
+                    n_changed_unmasked += 1
+        assert 0.13 < n_sel / n_tok < 0.17          # ~15% selection
+        assert 0.75 < n_masked / n_sel < 0.85       # ~80% [MASK]
+        assert 0.05 < n_changed_unmasked / n_sel < 0.16  # <= ~10% random
+        # (the 10% keep-unchanged branch is the remainder: labeled,
+        # yet neither masked nor replaced)
+
+    def test_deterministic_and_seed_sensitive(self):
+        from ocr_platform_ray.ops.augment import mlm_mask
+
+        df = self._docs(seed=7)
+        outs = [
+            mlm_mask(rd.from_pandas(df).repartition(nb), seed=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for nb in (1, 9)
+        ]
+        assert outs[0]["masked_text"].tolist() == outs[1]["masked_text"].tolist()
+        other = (
+            mlm_mask(rd.from_pandas(df), seed=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert other["masked_text"].tolist() != outs[0]["masked_text"].tolist()
+        with pytest.raises(ValueError, match="mask_rate"):
+            mlm_mask(rd.from_pandas(df), mask_rate=1.5)
