@@ -201,4 +201,4 @@ from .golden import golden_record  # noqa: F401
 from .selection import token_chi2  # noqa: F401
 from .nb import nb_fit, nb_predict  # noqa: F401
 from .linkage import fs_fit, fs_score  # noqa: F401
-from .augment import mlm_mask  # noqa: F401
+from .augment import mlm_mask, t5_span_corrupt  # noqa: F401

@@ -7345,3 +7345,79 @@ class TestMlmMask:
         assert other["masked_text"].tolist() != outs[0]["masked_text"].tolist()
         with pytest.raises(ValueError, match="mask_rate"):
             mlm_mask(rd.from_pandas(df), mask_rate=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestT5SpanCorrupt:
+    """T5 span corruption (`ops/augment.t5_span_corrupt`)."""
+
+    def _docs(self, n=150, seed=5):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(400)]
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "text": [
+                    " ".join(rng.choice(vocab, rng.randint(15, 90)))
+                    for _ in range(n)
+                ],
+            }
+        )
+
+    def test_interleaving_recovers_original_exactly(self):
+        from ocr_platform_ray.ops.augment import t5_span_corrupt
+
+        df = self._docs()
+        got = (
+            t5_span_corrupt(rd.from_pandas(df), seed=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        import re
+
+        n_corrupted_tokens = n_tokens = n_spans = 0
+        for _, r in got.iterrows():
+            orig = r["text"].lower()
+            inp = r["corrupted_text"].split(" ")
+            tgt = r["target_text"].split(" ") if r["target_text"] else []
+            # parse target into {sentinel: [tokens]}
+            spans, cur = {}, None
+            for t in tgt:
+                if re.fullmatch(r"<extra_id_\d+>", t):
+                    cur = t
+                    spans[cur] = []
+                else:
+                    spans[cur].append(t)
+            rebuilt = []
+            for t in inp:
+                if re.fullmatch(r"<extra_id_\d+>", t):
+                    rebuilt.extend(spans[t])
+                else:
+                    rebuilt.append(t)
+            assert " ".join(rebuilt) == orig
+            # sentinels are consecutive from 0 and agree across sides
+            sents_in = [t for t in inp if t.startswith("<extra_id_")]
+            assert sents_in == [f"<extra_id_{k}>" for k in range(len(sents_in))]
+            assert list(spans) == sents_in
+            assert all(len(v) >= 1 for v in spans.values())
+            n_spans += len(sents_in)
+            n_tokens += len(orig.split(" "))
+            n_corrupted_tokens += sum(len(v) for v in spans.values())
+        # published knobs: ~15% of tokens corrupted, mean span ~3 (clipped)
+        assert 0.10 < n_corrupted_tokens / n_tokens < 0.20
+        assert 2.0 < n_corrupted_tokens / max(n_spans, 1) < 4.5
+
+    def test_block_independent_and_validation(self):
+        from ocr_platform_ray.ops.augment import t5_span_corrupt
+
+        df = self._docs(seed=9)
+        outs = [
+            t5_span_corrupt(rd.from_pandas(df).repartition(nb), seed=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for nb in (1, 8)
+        ]
+        assert outs[0]["corrupted_text"].tolist() == outs[1]["corrupted_text"].tolist()
+        assert outs[0]["target_text"].tolist() == outs[1]["target_text"].tolist()
+        with pytest.raises(ValueError, match="corrupt_rate"):
+            t5_span_corrupt(rd.from_pandas(df), corrupt_rate=0.0)
+        with pytest.raises(ValueError, match="mean_span_len"):
+            t5_span_corrupt(rd.from_pandas(df), mean_span_len=9, max_span_len=8)
