@@ -7440,6 +7440,38 @@ def q_training_mix_chunks(sf_dir: str) -> pd.DataFrame:
     return out[["chunk_id", "n_items"]]
 
 
+def q_t5_corrupted_docs(sf_dir: str) -> pd.DataFrame:
+    """T5 span corruption over documents (`ops/augment.t5_span_corrupt`).
+    Rows-only; the defining invariant — interleaving the sentinel input
+    with the target spans recovers the ORIGINAL text exactly — is
+    asserted in-query for every document (pinned in depth by
+    TestT5SpanCorrupt; mlm_mask by TestMlmMask)."""
+    import re
+
+    from ..ops.augment import t5_span_corrupt
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        t5_span_corrupt(docs, seed=13)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    sent = re.compile(r"<extra_id_\d+>")
+    for _, r in out.iterrows():
+        spans, cur = {}, None
+        for t in (r["target_text"].split(" ") if r["target_text"] else []):
+            if sent.fullmatch(t):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r["corrupted_text"].split(" "):
+            rebuilt.extend(spans[t]) if sent.fullmatch(t) else rebuilt.append(t)
+        assert " ".join(rebuilt) == r["text"].lower(), r["doc_id"]
+    out["n_sentinels"] = out["corrupted_text"].str.count("<extra_id_")
+    return out[["doc_id", "n_sentinels"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7763,6 +7795,10 @@ QUERIES = {
     # density asserted in-query, stage semantics pinned by
     # TestPrepareTrainingMix's naive-reference equality)
     "training_mix_chunks": q_training_mix_chunks,
+    # rows-only (seeded corruption isn't SQL; exact interleaving
+    # reconstruction asserted in-query per document, pinned by
+    # TestT5SpanCorrupt / TestMlmMask)
+    "t5_corrupted_docs": q_t5_corrupted_docs,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
