@@ -187,6 +187,7 @@ from .drift import cusum_changepoint, js_divergence, token_divergence  # noqa: F
 from .validate import benford_audit, check_expectations, enforce_expectations  # noqa: F401
 from .eval import (  # noqa: F401
     calibration_buckets,
+    cohens_kappa,
     confusion_matrix,
     pr_curve,
     roc_auc,

@@ -254,3 +254,42 @@ def calibration_buckets(
             "frac_pos": h["n_pos"].to_numpy(dtype="int64") / n,
         }
     ).reset_index(drop=True)
+
+
+def cohens_kappa(
+    ds: rd.Dataset,
+    label_col: str,
+    pred_col: str,
+    *,
+    n_shards: int = 32,
+) -> dict:
+    """Cohen's κ (Cohen 1960 — chance-corrected inter-rater agreement,
+    the annotation-quality readout next to the confusion/PR/AUC family):
+
+        κ = (p_o − p_e) / (1 − p_e)
+        p_o = Σ_i n_ii / N        p_e = Σ_i (row_i · col_i) / N²
+
+    over the EXACT integer confusion counts (`confusion_matrix`'s
+    combiner reduce — the values never move), with every double one
+    mirrored IEEE expression over int64 sums, so a SQL oracle hashes
+    identically.  Returns {kappa, p_o, p_e, n}; perfect-chance
+    degeneracy (p_e == 1: both raters constant) yields NaN κ, SQL's
+    NULL."""
+    cm = confusion_matrix(ds, label_col, pred_col, n_shards=n_shards)
+    if not isinstance(cm, pd.DataFrame):
+        cm = cm.to_pandas()
+    if len(cm) == 0:
+        return {"kappa": float("nan"), "p_o": float("nan"),
+                "p_e": float("nan"), "n": 0}
+    n = float(cm["n"].sum())
+    diag = float(cm.loc[cm[label_col] == cm[pred_col], "n"].sum())
+    rows = cm.groupby(label_col)["n"].sum()
+    cols = cm.groupby(pred_col)["n"].sum()
+    classes = sorted(set(rows.index) | set(cols.index))
+    pe_num = 0.0
+    for c in classes:  # class-dim loop; ascending order both engines
+        pe_num += float(int(rows.get(c, 0)) * int(cols.get(c, 0)))
+    p_o = diag / n
+    p_e = pe_num / (n * n)
+    kappa = (p_o - p_e) / (1.0 - p_e) if p_e < 1.0 else float("nan")
+    return {"kappa": kappa, "p_o": p_o, "p_e": p_e, "n": int(n)}

@@ -7472,6 +7472,29 @@ def q_t5_corrupted_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_sentinels"]]
 
 
+def q_event_type_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's κ between event_type and a deterministically-degraded
+    second rater (every fourth event relabeled 'click') —
+    `ops/eval.cohens_kappa` over exact confusion counts; every double a
+    mirrored expression over int64 sums (the class-product partial sums
+    stay exact integers, so SQL's unordered SUM agrees bitwise).  Full
+    SQL oracle in TestTailQueryOracles."""
+    from ..ops.eval import cohens_kappa
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type"])
+
+    def raters(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b["event_type"].notna()]
+        bb = np.where(
+            (sub["event_id"] % 4 == 0).to_numpy(), "click",
+            sub["event_type"].to_numpy(),
+        )
+        return pd.DataFrame({"a": sub["event_type"].to_numpy(), "b": bb})
+
+    res = cohens_kappa(ev.map_batches(raters, batch_format="pandas"), "a", "b")
+    return pd.DataFrame([res])[["kappa", "p_o", "p_e", "n"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7799,6 +7822,7 @@ QUERIES = {
     # reconstruction asserted in-query per document, pinned by
     # TestT5SpanCorrupt / TestMlmMask)
     "t5_corrupted_docs": q_t5_corrupted_docs,
+    "event_type_kappa": q_event_type_kappa,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10377,4 +10401,29 @@ ORACLE_SQL["orders_delete_keys"] = (
     "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) "
     "/ 100 AS sum_price FROM orders "
     "WHERE NOT (o_orderkey % 7 = 3) GROUP BY o_orderstatus"
+)
+
+# Cohen's kappa: exact confusion counts; p_o/p_e/kappa repeat
+# cohens_kappa's expressions (class-product partials are exact ints —
+# unordered SUM safe).
+ORACLE_SQL["event_type_kappa"] = (
+    "WITH m AS (SELECT event_type AS a, "
+    "CASE WHEN event_id % 4 = 0 THEN 'click' ELSE event_type END AS b "
+    "FROM events WHERE event_type IS NOT NULL), "
+    "c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn, "
+    "CAST(SUM(n) AS BIGINT) AS ni FROM c), "
+    "d AS (SELECT CAST(COALESCE(SUM(n) FILTER (WHERE a = b), 0) AS DOUBLE) "
+    "AS diag FROM c), "
+    "r AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY a), "
+    "co AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY b), "
+    "pe AS (SELECT CAST(SUM(CAST(COALESCE(r.rn, 0) * COALESCE(co.cn, 0) "
+    "AS DOUBLE)) AS DOUBLE) AS pe_num "
+    "FROM r FULL JOIN co USING (cls)) "
+    "SELECT CASE WHEN pe.pe_num / (tot.nn * tot.nn) < 1.0 THEN "
+    "(d.diag / tot.nn - pe.pe_num / (tot.nn * tot.nn)) "
+    "/ (1.0 - pe.pe_num / (tot.nn * tot.nn)) END AS kappa, "
+    "d.diag / tot.nn AS p_o, "
+    "pe.pe_num / (tot.nn * tot.nn) AS p_e, tot.ni AS n "
+    "FROM tot, d, pe"
 )

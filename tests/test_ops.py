@@ -1770,6 +1770,7 @@ class TestTailQueryOracles:
             "containment_pairs",
             "value_trimmed_mean_by_type",
             "orders_delete_keys",
+            "event_type_kappa",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -7421,3 +7421,47 @@ class TestT5SpanCorrupt:
             t5_span_corrupt(rd.from_pandas(df), corrupt_rate=0.0)
         with pytest.raises(ValueError, match="mean_span_len"):
             t5_span_corrupt(rd.from_pandas(df), mean_span_len=9, max_span_len=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohensKappa:
+    """Chance-corrected agreement (`ops/eval.cohens_kappa`)."""
+
+    def test_known_values(self):
+        from ocr_platform_ray.ops.eval import cohens_kappa
+
+        # perfect agreement
+        df = pd.DataFrame({"a": ["x", "y"] * 50, "b": ["x", "y"] * 50})
+        assert cohens_kappa(rd.from_pandas(df), "a", "b")["kappa"] == 1.0
+        # textbook 2x2: [[20, 5], [10, 15]]
+        rows = (
+            [("p", "p")] * 20 + [("p", "n")] * 5
+            + [("n", "p")] * 10 + [("n", "n")] * 15
+        )
+        df2 = pd.DataFrame(rows, columns=["a", "b"])
+        got = cohens_kappa(rd.from_pandas(df2), "a", "b")
+        p_o = 35 / 50
+        p_e = (25 * 30 + 25 * 20) / 2500
+        np.testing.assert_allclose(
+            got["kappa"], (p_o - p_e) / (1 - p_e), rtol=1e-15
+        )
+        # constant raters -> p_e == 1 -> NaN
+        df3 = pd.DataFrame({"a": ["x"] * 10, "b": ["x"] * 10})
+        assert np.isnan(cohens_kappa(rd.from_pandas(df3), "a", "b")["kappa"])
+
+    def test_independent_raters_near_zero_and_block_independent(self):
+        from ocr_platform_ray.ops.eval import cohens_kappa
+
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z"], 6000),
+                "b": rng.choice(["x", "y", "z"], 6000),
+            }
+        )
+        outs = [
+            cohens_kappa(rd.from_pandas(df).repartition(nb), "a", "b")
+            for nb in (1, 9)
+        ]
+        assert outs[0] == outs[1]  # bit-identical dict
+        assert abs(outs[0]["kappa"]) < 0.05
