@@ -285,6 +285,15 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--text-col", default="text")
     mx.add_argument("--source-col", default="source")
 
+    cd = sub.add_parser(
+        "card",
+        help="dataset card (datasheet): rows, column profile, token "
+        "volume, language mix, exact-duplicate rate as one JSON",
+    )
+    cd.add_argument("--input", required=True, help="parquet file or directory")
+    cd.add_argument("--text-col", default="text")
+    cd.add_argument("--lang-col", default="lang")
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -532,6 +541,19 @@ def main(argv: list[str] | None = None) -> int:
                               "n_decisions": len(routes)}))
             for r in routes:
                 print(json.dumps(r, default=str))
+        elif args.cmd == "card":
+            import ray.data as rdata
+
+            from .ops.card import dataset_card
+
+            ds = rdata.read_parquet(args.input)
+            names = set(ds.schema().names)
+            card = dataset_card(
+                ds,
+                text_col=args.text_col if args.text_col in names else None,
+                lang_col=args.lang_col if args.lang_col in names else None,
+            )
+            print(json.dumps(card, default=str, indent=1))
         elif args.cmd == "mix":
             import ray.data as rdata
 

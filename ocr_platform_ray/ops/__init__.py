@@ -203,3 +203,4 @@ from .selection import token_chi2  # noqa: F401
 from .nb import nb_fit, nb_predict  # noqa: F401
 from .linkage import fs_fit, fs_score  # noqa: F401
 from .augment import mlm_mask, t5_span_corrupt  # noqa: F401
+from .card import dataset_card  # noqa: F401

@@ -7465,3 +7465,42 @@ class TestCohensKappa:
         ]
         assert outs[0] == outs[1]  # bit-identical dict
         assert abs(outs[0]["kappa"]) < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetCard:
+    """Datasheet assembly (`ops/card.dataset_card`)."""
+
+    def test_card_facts_exact(self):
+        from ocr_platform_ray.ops.card import dataset_card
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(60, dtype="int64"),
+                "lang": ["en"] * 40 + ["de"] * 20,
+                "text": [f"doc {i % 50} has four tokens" for i in range(60)],
+            }
+        )
+        card = dataset_card(rd.from_pandas(df).repartition(5))
+        assert card["n_rows"] == 60
+        assert card["languages"] == {"en": 40, "de": 20}
+        assert card["n_tokens"] == 60 * 5
+        # ids 50..59 duplicate texts 0..9 -> 50 distinct, 10 dup rows
+        assert card["n_distinct_texts"] == 50
+        np.testing.assert_allclose(card["dup_rate"], 10 / 60)
+        cols = {c["col"] for c in card["columns"]}
+        assert cols == {"doc_id", "lang", "text"}
+
+    def test_sections_skippable_and_exchange_route(self):
+        from ocr_platform_ray.ops.card import dataset_card
+
+        df = pd.DataFrame({"k": np.arange(30, dtype="int64")})
+        card = dataset_card(rd.from_pandas(df), text_col=None, lang_col=None)
+        assert "n_tokens" not in card and "languages" not in card
+        assert card["n_rows"] == 30
+        # duplicated text block: distinct vs total exact
+        df2 = pd.DataFrame(
+            {"text": [f"t {i}" for i in range(40)] * 2, "lang": ["x"] * 80}
+        )
+        a = dataset_card(rd.from_pandas(df2))
+        assert a["n_distinct_texts"] == 40 and a["dup_rate"] == 0.5
