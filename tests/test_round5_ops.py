@@ -7504,3 +7504,71 @@ class TestDatasetCard:
         )
         a = dataset_card(rd.from_pandas(df2))
         assert a["n_distinct_texts"] == 40 and a["dup_rate"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullStackWarcToTfrecord:
+    """The engine's whole story in one pass: WARC crawl increment ->
+    incremental-dedup corpus -> curation signals -> training mixture ->
+    TFRecord shards, every stage the tested operator."""
+
+    def test_end_to_end(self, tmp_path):
+        import pyarrow as pa
+
+        from ocr_platform_ray.corpus import make_pages_rows
+        from ocr_platform_ray.pipelines.crawl import (
+            ingest_crawl_increment, read_corpus,
+        )
+        from ocr_platform_ray.pipelines.mixture import prepare_training_mix
+        from ocr_platform_ray.schemas import PAGES_SCHEMA
+        from ocr_platform_ray.sources.tfrecord import read_tfrecord
+        from ocr_platform_ray.sources.warc import write_pages_warc
+
+        # 1) a crawl increment as real WARC shards
+        rows = list(make_pages_rows(range(0, 12)))
+        cols = {n: [r[n] for r in rows] for n in PAGES_SCHEMA.names}
+        t = pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array([""] * len(t), pa.string()),
+        )
+        shards = write_pages_warc(str(tmp_path / "w"), t, urls_per_shard=4)
+
+        # 2) ingest: extract + dedup vs persisted state + corpus commit
+        corpus = str(tmp_path / "corpus")
+        r = ingest_crawl_increment(
+            shards, corpus, str(tmp_path / "state"), ingest_id="day1"
+        )
+        assert r["n_survivors"] > 0
+
+        # 3) corpus -> mixture input (dense int ids; lang as source)
+        docs = read_corpus(corpus).to_pandas()
+        assert docs["url"].is_unique
+        mix_in = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(docs), dtype="int64"),
+                "source": ["web"] * len(docs),
+                "text": docs["extracted_text"].tolist(),
+            }
+        )
+
+        # 4) mixture -> packed chunks -> TFRecord
+        ch, files = prepare_training_mix(
+            rd.from_pandas(mix_in), weights={"web": 1.0}, seed=3,
+            chunk_tokens=256, out_dir=str(tmp_path / "tfr"),
+        )
+        chunks = ch.to_pandas()
+        assert len(chunks) > 0
+        back = read_tfrecord(
+            str(tmp_path / "tfr"), binary_cols=["chunk_text"]
+        ).to_pandas()
+        assert len(back) == len(chunks)
+        # every document's (lowered) text is findable in the chunk stream
+        stream = "\n".join(
+            t.decode("utf-8")
+            for t in back.sort_values("chunk_id")["chunk_text"]
+        )
+        n_found = sum(
+            1 for txt in mix_in["text"] if txt[:60] in stream
+        )
+        assert n_found == len(mix_in)
