@@ -248,6 +248,10 @@ def run_once() -> dict:
         "user_type_entropy",
         "containment_pairs",
         "value_trimmed_mean_by_type",
+        "orders_delete_keys",
+        "event_type_kappa",
+        "t5_corrupted_docs",
+        "training_mix_chunks",
     ):
         extra_times[name] = _best_of(2, name)
 
