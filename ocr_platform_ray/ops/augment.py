@@ -201,10 +201,17 @@ def t5_span_corrupt(
             doc_base = np.repeat(cpad[offs[:-1]], counts)
             open_in_doc = cpad[1:] - doc_base - 1  # ordinal where span_open
         flat_np = np.asarray(flat.to_pylist(), dtype=object)
+        n_sent = 100  # the T5 vocabulary ships 100 sentinels
+        if span_open.any() and int(open_in_doc[span_open].max()) >= n_sent:
+            raise ValueError(
+                "t5_span_corrupt: a document opened more than "
+                f"{n_sent} spans — chunk long documents first "
+                "(sliding_token_windows / prepare_training_mix)"
+            )
         sentinels = np.array(
-            [f"<extra_id_{k}>" for k in range(64)], dtype=object
+            [f"<extra_id_{k}>" for k in range(n_sent)], dtype=object
         )
-        sent_of = sentinels[np.minimum(np.maximum(open_in_doc, 0), 63)]
+        sent_of = sentinels[np.clip(open_in_doc, 0, n_sent - 1)]
         # INPUT: uncovered tokens keep their text; span-open positions
         # carry the sentinel; other covered positions drop
         in_keep = ~covered | span_open

@@ -7572,3 +7572,18 @@ class TestFullStackWarcToTfrecord:
             1 for txt in mix_in["text"] if txt[:60] in stream
         )
         assert n_found == len(mix_in)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestT5SentinelGuard:
+    def test_span_overflow_raises(self):
+        from ocr_platform_ray.ops.augment import t5_span_corrupt
+
+        # a very long doc: expected spans ~ 0.5*len/1 ≈ 3000 >> 100
+        df = pd.DataFrame(
+            {"doc_id": [0], "text": [" ".join(["w"] * 20000)]}
+        )
+        with pytest.raises(Exception, match="spans"):
+            t5_span_corrupt(
+                rd.from_pandas(df), corrupt_rate=0.5, mean_span_len=1
+            ).to_pandas()
