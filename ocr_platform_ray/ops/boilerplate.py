@@ -234,3 +234,97 @@ def extract_html_meta(
         return pa.table(out)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def split_sections(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    levels: str = "12",
+) -> rd.Dataset:
+    """Heading-based document sectioning — the chapter/section
+    segmentation step between extraction and chunking (the reference's
+    book-structuring heuristics generalized to crawl HTML): split each
+    page at its ``<h1>``/``<h2>`` (``levels``-configurable) headings into
+    ``(id, section_idx, heading, section_text)`` rows — section 0 is the
+    pre-heading preamble (NULL heading) when non-empty.
+
+    MAP-ONLY and fully vectorized: heading OPEN tags rewrite to a \\x01
+    sentinel and CLOSE tags to \\x02 with two RE2 ``replace_substring_regex``
+    passes, one ``split_pattern`` explodes sections, and heading/body
+    separate on the first \\x02 — every step an Arrow kernel over the
+    flattened section list, and every step mirrorable in SQL
+    (regexp_replace + string_split + substring arithmetic), so the
+    oracle is exact.  Remaining tags inside sections are NOT stripped
+    (compose with `extract_main_content` for that)."""
+    if not levels or any(c not in "123456" for c in levels):
+        raise ValueError("levels must be a non-empty subset of '123456'")
+    cls = f"[{levels}]"
+    open_pat = rf"(?is)<h{cls}[^>]*>"
+    close_pat = rf"(?is)</h{cls}\s*>"
+
+    def split(batch: pa.Table) -> pa.Table:
+        col = batch.column(html_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            s = pd.Series(col.to_pandas()).map(
+                lambda v: None if v is None else bytes(v).decode("utf-8", "replace")
+            )
+            col = pa.array(s, pa.string())
+        col = pc.fill_null(col, "")
+        marked = pc.replace_substring_regex(col, pattern=open_pat, replacement="\x01")
+        marked = pc.replace_substring_regex(
+            marked, pattern=close_pat, replacement="\x02"
+        )
+        parts = pc.split_pattern(marked, pattern="\x01")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        offs = parts.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        counts = offs[1:] - offs[:-1]
+        row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        sec_idx = (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+        )
+        # the first piece is the preamble (no heading); later pieces are
+        # "heading\x02body" — split at the FIRST \x02 (a malformed
+        # heading with no close tag becomes an all-heading section)
+        is_preamble = sec_idx == 0
+        # heading/body separate at the FIRST \x02 — CHARACTER semantics
+        # (str.find), exactly DuckDB strpos/substr arithmetic; a
+        # per-SECTION pass (sections, not tokens — bounded small)
+        flat_py = flat.to_pylist()
+        heads, bodies = [], []
+        for i, piece in enumerate(flat_py):
+            if is_preamble[i]:
+                heads.append(None)
+                bodies.append(piece)
+                continue
+            cut = piece.find("\x02")
+            if cut < 0:  # malformed heading with no close tag
+                heads.append(piece)
+                bodies.append("")
+            else:
+                heads.append(piece[:cut])
+                bodies.append(piece[cut + 1:])
+        keep = ~(is_preamble & (np.array([len(x.strip()) for x in bodies]) == 0))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[row_idx]
+        out = pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "section_idx": pa.array(sec_idx[keep], pa.int64()),
+                "heading": pa.array(
+                    [h for h, k in zip(heads, keep) if k], pa.string()
+                ),
+                "section_text": pa.array(
+                    [b for b, k in zip(bodies, keep) if k], pa.string()
+                ),
+            }
+        )
+        return out
+
+    return ds.map_batches(split, batch_format="pyarrow")

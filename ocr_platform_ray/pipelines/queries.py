@@ -7495,6 +7495,51 @@ def q_event_type_kappa(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([res])[["kappa", "p_o", "p_e", "n"]]
 
 
+def q_doc_sections(sf_dir: str) -> pd.DataFrame:
+    """Heading-based sectioning (`ops/boilerplate.split_sections` — the
+    chapter/section segmentation between extraction and chunking):
+    documents wrap into pages with an intro paragraph, an ``<h1>`` and,
+    for every third doc, an ``<h2>`` subsection; the splitter must
+    recover (section_idx, heading, section length) exactly as the SQL
+    sentinel-arithmetic mirror.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.boilerplate import split_sections
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pagegen(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype(str)
+        esc = (
+            b["text"].fillna("").str[:80]
+            .str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+        )
+        sub = np.where(
+            (b["doc_id"] % 3 == 0).to_numpy(),
+            '<h2 class="s">Sub ' + ids + "</h2><p>details here</p>",
+            "",
+        )
+        html = (
+            "<html><body><p>intro " + esc + "</p>"
+            "<h1>Title " + ids + ": " + b["lang"].fillna("") + "</h1>"
+            "<p>main body for " + ids + "</p>"
+            + pd.Series(sub, index=b.index)
+            + "</body></html>"
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
+
+    out = (
+        split_sections(docs.map_batches(pagegen, batch_format="pandas"))
+        .to_pandas()
+    )
+    out["sec_chars"] = out["section_text"].str.len().astype("int64")
+    return (
+        out[["doc_id", "section_idx", "heading", "sec_chars"]]
+        .sort_values(["doc_id", "section_idx"]).reset_index(drop=True)
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7823,6 +7868,7 @@ QUERIES = {
     # TestT5SpanCorrupt / TestMlmMask)
     "t5_corrupted_docs": q_t5_corrupted_docs,
     "event_type_kappa": q_event_type_kappa,
+    "doc_sections": q_doc_sections,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)
@@ -10426,4 +10472,39 @@ ORACLE_SQL["event_type_kappa"] = (
     "d.diag / tot.nn AS p_o, "
     "pe.pe_num / (tot.nn * tot.nn) AS p_e, tot.ni AS n "
     "FROM tot, d, pe"
+)
+
+# Heading sectioning: the sentinel arithmetic mirrored — open tags to
+# chr(1), close tags to chr(2), split + strpos/substr (character
+# semantics both engines); preamble keeps NULL heading.
+ORACLE_SQL["doc_sections"] = (
+    "WITH pages AS (SELECT doc_id, "
+    "'<html><body><p>intro ' || replace(replace(replace("
+    "substr(COALESCE(text, ''), 1, 80), '&', '&amp;'), '<', '&lt;'), "
+    "'>', '&gt;') || '</p>' || "
+    "'<h1>Title ' || CAST(doc_id AS VARCHAR) || ': ' || "
+    "COALESCE(lang, '') || '</h1>' || "
+    "'<p>main body for ' || CAST(doc_id AS VARCHAR) || '</p>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<h2 class=\"s\">Sub ' || CAST(doc_id AS VARCHAR) || "
+    "'</h2><p>details here</p>' ELSE '' END || '</body></html>' AS html "
+    "FROM documents), "
+    "marked AS (SELECT doc_id, regexp_replace(regexp_replace(html, "
+    "'(?is)<h[12][^>]*>', chr(1), 'g'), '(?is)</h[12]\\s*>', chr(2), 'g') "
+    "AS m FROM pages), "
+    "parts AS (SELECT doc_id, "
+    "unnest(string_split(m, chr(1))) AS piece, "
+    "generate_subscripts(string_split(m, chr(1)), 1) - 1 AS section_idx "
+    "FROM marked), "
+    "sp AS (SELECT doc_id, section_idx, piece, "
+    "strpos(piece, chr(2)) AS cut FROM parts), "
+    "sec AS (SELECT doc_id, section_idx, "
+    "CASE WHEN section_idx = 0 THEN NULL "
+    "WHEN cut > 0 THEN substr(piece, 1, cut - 1) ELSE piece END AS heading, "
+    "CASE WHEN section_idx = 0 THEN piece "
+    "WHEN cut > 0 THEN substr(piece, cut + 1) ELSE '' END AS body "
+    "FROM sp) "
+    "SELECT doc_id, section_idx, heading, "
+    "CAST(length(body) AS BIGINT) AS sec_chars FROM sec "
+    "WHERE NOT (section_idx = 0 AND NOT regexp_matches(body, '\\S'))"
 )

@@ -1771,6 +1771,7 @@ class TestTailQueryOracles:
             "value_trimmed_mean_by_type",
             "orders_delete_keys",
             "event_type_kappa",
+            "doc_sections",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

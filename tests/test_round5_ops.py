@@ -7587,3 +7587,57 @@ class TestT5SentinelGuard:
             t5_span_corrupt(
                 rd.from_pandas(df), corrupt_rate=0.5, mean_span_len=1
             ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplitSections:
+    """Heading-based sectioning (`ops/boilerplate.split_sections`)."""
+
+    def test_structure_and_edge_cases(self):
+        from ocr_platform_ray.ops.boilerplate import split_sections
+
+        pages = [
+            # preamble + two sections, attributes + mixed case
+            ('before <H1 id="a">One</H1> first body '
+             "<h2>Two</h2> second body"),
+            # no headings at all -> single preamble section
+            "just a flat page with no structure",
+            # heading first (empty preamble drops)
+            "<h1>Lead</h1>tail text",
+            # malformed: open tag with no close -> all-heading section
+            "x <h1>unclosed heading only",
+            # levels respected: h3 is NOT a split point by default
+            "pre <h3>minor</h3> same section",
+        ]
+        df = pd.DataFrame({"doc_id": range(5), "html": pages})
+        got = (
+            split_sections(rd.from_pandas(df))
+            .to_pandas().sort_values(["doc_id", "section_idx"])
+            .reset_index(drop=True)
+        )
+        g0 = got[got["doc_id"] == 0]
+        assert g0["heading"].tolist() == [None, "One", "Two"]
+        assert g0.iloc[0]["section_text"] == "before "
+        assert g0.iloc[1]["section_text"].strip() == "first body"
+        assert g0.iloc[2]["section_text"] == " second body"
+        g1 = got[got["doc_id"] == 1]
+        assert len(g1) == 1 and g1.iloc[0]["heading"] is None
+        g2 = got[got["doc_id"] == 2]
+        assert g2["heading"].tolist() == ["Lead"]
+        assert g2.iloc[0]["section_text"] == "tail text"
+        g3 = got[got["doc_id"] == 3]
+        assert g3["heading"].tolist() == [None, "unclosed heading only"]
+        g4 = got[got["doc_id"] == 4]
+        assert len(g4) == 1 and "minor" in g4.iloc[0]["section_text"]
+
+    def test_levels_bytes_and_validation(self):
+        from ocr_platform_ray.ops.boilerplate import split_sections
+
+        df = pd.DataFrame(
+            {"doc_id": [0], "html": ["a <h3>hé</h3> ünïcode body".encode()]}
+        )
+        got = split_sections(rd.from_pandas(df), levels="3").to_pandas()
+        assert got["heading"].tolist() == [None, "hé"]
+        assert got["section_text"].tolist()[1] == " ünïcode body"
+        with pytest.raises(ValueError, match="levels"):
+            split_sections(rd.from_pandas(df), levels="x")
