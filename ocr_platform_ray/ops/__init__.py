@@ -204,3 +204,8 @@ from .nb import nb_fit, nb_predict  # noqa: F401
 from .linkage import fs_fit, fs_score  # noqa: F401
 from .augment import mlm_mask, t5_span_corrupt  # noqa: F401
 from .card import dataset_card  # noqa: F401
+from .boilerplate import (  # noqa: F401
+    extract_html_meta,
+    extract_main_content,
+    split_sections,
+)
