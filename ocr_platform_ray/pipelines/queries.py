@@ -7540,6 +7540,68 @@ def q_doc_sections(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pdf_chapter_outline(sf_dir: str) -> pd.DataFrame:
+    """PDF outline (bookmark) extraction (`stages/pdf.pdf_outline` —
+    ISO 32000-1 §12.3.3, the chapter structure the reference's
+    page-to-chapter segmentation reads): deterministic multi-chapter
+    PDFs built per document row, outlines parsed back DISTRIBUTED
+    (map-only over the blob column).  Rows-only; the exact expected
+    (level, title, page) table is asserted in-query — the fixture IS
+    the oracle (pinned by TestPdfOutline incl. objstm layouts)."""
+    from ..sources.pdfgen import make_pdf
+    from ..stages.pdf import pdf_outline
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"]).filter(
+        expr="doc_id < 40"
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, lang in zip(b["doc_id"], b["lang"]):
+            n_ch = 2 + int(d) % 3
+            pages, outline = [], []
+            for c in range(n_ch):
+                outline.append((1, f"Chapter {c} of {d} ({lang})", len(pages)))
+                pages.append(
+                    [{"text": f"doc {d} ch {c}", "x": 72, "y": 90, "size": 12}]
+                )
+                if c == 0:
+                    outline.append((2, f"Intro {d}", len(pages)))
+                    pages.append(
+                        [{"text": f"intro {d}", "x": 72, "y": 90, "size": 11}]
+                    )
+            rows.append(
+                {"doc_id": int(d), "lang": lang,
+                 "blob": make_pdf(pages, outline=outline)}
+            )
+        return pd.DataFrame(rows)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for d, blob in zip(b["doc_id"], b["blob"]):
+            for e in pdf_outline(bytes(blob)):
+                out.append({"doc_id": int(d), **e})
+        return pd.DataFrame(
+            out, columns=["doc_id", "level", "title", "page_index"]
+        )
+
+    got = (
+        docs.map_batches(build, batch_format="pandas")
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "page_index"]).reset_index(drop=True)
+    )
+    # the fixture is the oracle: every doc's outline must round-trip
+    for d, grp in got.groupby("doc_id"):
+        n_ch = 2 + int(d) % 3
+        assert len(grp) == n_ch + 1, d
+        assert grp["title"].iloc[0].startswith("Chapter 0"), d
+        assert (grp["level"] == 1).sum() == n_ch
+        assert grp["page_index"].tolist() == list(range(n_ch + 1))
+    assert got["doc_id"].nunique() == 40
+    return got
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7869,6 +7931,9 @@ QUERIES = {
     "t5_corrupted_docs": q_t5_corrupted_docs,
     "event_type_kappa": q_event_type_kappa,
     "doc_sections": q_doc_sections,
+    # rows-only (the PDF fixture IS the oracle — exact outline
+    # roundtrip asserted in-query; pinned by TestPdfOutline)
+    "pdf_chapter_outline": q_pdf_chapter_outline,
     # rows-only (EM-learned m/u weights aren't SQL; full separation of
     # planted true/false pairs asserted in-query, parameter recovery +
     # bit-reproducibility pinned by TestFsLinkage)

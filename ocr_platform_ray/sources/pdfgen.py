@@ -330,6 +330,7 @@ def make_pdf(
     use_rle: bool = False,
     ascii_wrap: str | None = None,
     dct_image: bool = False,
+    outline: list[tuple[int, str, int]] | None = None,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
     ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
@@ -475,7 +476,57 @@ def make_pdf(
         + b" ".join(f"{k} 0 R".encode() for k in kids)
         + b"] >>",
     )
-    catalog = b.add(b"<< /Type /Catalog /Pages " + str(pages_root).encode() + b" 0 R >>")
+    outline_ref = b""
+    if outline:
+        # /Outlines tree from (level, title, page_idx) rows — levels
+        # nest by the nearest shallower predecessor (ISO 32000-1 §12.3.3)
+        o_root = b.add(b"")
+        item_ids = [b.add(b"") for _ in outline]
+        parents: list[int] = []
+        for i, (lv, _t, _p) in enumerate(outline):
+            par = o_root
+            for j in range(i - 1, -1, -1):
+                if outline[j][0] == lv - 1:
+                    par = item_ids[j]
+                    break
+                if outline[j][0] < lv - 1:
+                    break
+            parents.append(par)
+        for i, (lv, title, pidx) in enumerate(outline):
+            sibs = [k for k in range(len(outline)) if parents[k] == parents[i]]
+            at = sibs.index(i)
+            prev_r = (
+                f"/Prev {item_ids[sibs[at-1]]} 0 R ".encode() if at > 0 else b""
+            )
+            next_r = (
+                f"/Next {item_ids[sibs[at+1]]} 0 R ".encode()
+                if at + 1 < len(sibs) else b""
+            )
+            children = [k for k in range(len(outline)) if parents[k] == item_ids[i]]
+            kid_r = (
+                f"/First {item_ids[children[0]]} 0 R /Last "
+                f"{item_ids[children[-1]]} 0 R /Count {len(children)} ".encode()
+                if children else b""
+            )
+            b.set(
+                item_ids[i],
+                b"<< /Title (" + _esc(title) + b") /Parent "
+                + str(parents[i]).encode() + b" 0 R /Dest ["
+                + str(kids[pidx]).encode() + b" 0 R /Fit] "
+                + prev_r + next_r + kid_r + b">>",
+            )
+        top = [k for k in range(len(outline)) if parents[k] == o_root]
+        b.set(
+            o_root,
+            b"<< /Type /Outlines /First " + str(item_ids[top[0]]).encode()
+            + b" 0 R /Last " + str(item_ids[top[-1]]).encode()
+            + b" 0 R /Count " + str(len(outline)).encode() + b" >>",
+        )
+        outline_ref = b" /Outlines " + str(o_root).encode() + b" 0 R"
+    catalog = b.add(
+        b"<< /Type /Catalog /Pages " + str(pages_root).encode() + b" 0 R"
+        + outline_ref + b" >>"
+    )
     return b.render(catalog, use_objstm=use_objstm)
 
 

@@ -1070,3 +1070,81 @@ def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, s
             boxes.append((x0, ty, x1, by, role, text))
         out.append(boxes)
     return out
+
+
+def _pdf_text_string(v) -> str | None:
+    """PDF text-string decode (ISO 32000-1 §7.9.2.2): UTF-16BE when the
+    BOM leads, PDFDocEncoding (latin-1 superset — close enough for the
+    printable range) otherwise."""
+    if isinstance(v, bytes):
+        if v[:2] == b"\xfe\xff":
+            try:
+                return v[2:].decode("utf-16-be")
+            except UnicodeDecodeError:
+                return v[2:].decode("utf-16-be", "replace")
+        return v.decode("latin-1")
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def pdf_outline(data: bytes) -> list[dict]:
+    """Document outline (bookmarks) — the chapter structure a
+    multi-volume book carries in metadata (ISO 32000-1 §12.3.3; the
+    reference's page-to-chapter segmentation reads the same tree via
+    its PDF library): ``[{level, title, page_index}]`` in reading
+    order.  Destinations resolve through both the direct ``/Dest``
+    array and the ``/A`` GoTo action; items whose destination page
+    cannot be resolved report ``page_index = None``.  Broken or absent
+    outline trees yield ``[]`` (never a raise — the M5 salvage rule)."""
+    objects = scan_objects(data)
+    pages = _pages_in_order(objects)
+    index_of = {id(p): i for i, p in enumerate(pages)}
+    # Ref -> page dict identity (pages resolve to the same dict objects)
+    out: list[dict] = []
+
+    def page_index(dest) -> int | None:
+        dest = _resolve(dest, objects)
+        if isinstance(dest, dict):  # named-destination dict {D: [...]}
+            dest = _resolve(dest.get("D"), objects)
+        if isinstance(dest, list) and dest:
+            pg = _resolve(dest[0], objects)
+            return index_of.get(id(pg))
+        return None
+
+    def walk(node, level: int, seen: set) -> None:
+        node = _resolve(node, objects)
+        while isinstance(node, dict) and len(out) < 10000:
+            if id(node) in seen:  # cycle guard
+                return
+            seen.add(id(node))
+            title = _pdf_text_string(node.get("Title"))
+            dest = node.get("Dest")
+            if dest is None:
+                act = _resolve(node.get("A"), objects)
+                if isinstance(act, dict):
+                    dest = act.get("D")
+            if title is not None:
+                out.append(
+                    {
+                        "level": level,
+                        "title": title,
+                        "page_index": page_index(dest),
+                    }
+                )
+            if node.get("First") is not None:
+                walk(node.get("First"), level + 1, seen)
+            node = _resolve(node.get("Next"), objects)
+
+    try:
+        roots = [
+            v for v, _ in objects.values()
+            if isinstance(v, dict) and v.get("Type") == "Catalog"
+        ]
+        for root in roots:
+            ol = _resolve(root.get("Outlines"), objects)
+            if isinstance(ol, dict):
+                walk(ol.get("First"), 1, set())
+    except (ValueError, TypeError, KeyError, RecursionError):
+        return []
+    return out

@@ -661,3 +661,69 @@ class TestCodecProperties:
         from ocr_platform_ray.stages.pdf import _lzw_decode
 
         assert _lzw_decode(lzw_compress(blob)) == blob
+
+
+class TestPdfOutline:
+    """Document outline extraction (`stages/pdf.pdf_outline`)."""
+
+    def _pages(self, n):
+        return [
+            [{"text": f"Page {i} body text", "x": 72, "y": 100, "size": 12}]
+            for i in range(n)
+        ]
+
+    def test_nested_outline_roundtrip(self):
+        from ocr_platform_ray.sources.pdfgen import make_pdf
+        from ocr_platform_ray.stages.pdf import pdf_outline
+
+        outline = [
+            (1, "Chapter 1", 0),
+            (2, "Section 1.1 (intro)", 1),
+            (2, "Section 1.2", 2),
+            (1, "Chapter 2", 3),
+            (2, "Section 2.1", 4),
+            (3, "Sub 2.1.1", 5),
+        ]
+        pdf = make_pdf(self._pages(6), outline=outline)
+        got = pdf_outline(pdf)
+        assert [(g["level"], g["title"], g["page_index"]) for g in got] == [
+            (1, "Chapter 1", 0),
+            (2, "Section 1.1 (intro)", 1),
+            (2, "Section 1.2", 2),
+            (1, "Chapter 2", 3),
+            (2, "Section 2.1", 4),
+            (3, "Sub 2.1.1", 5),
+        ]
+        # extraction over the same bytes is untouched by the outline
+        from ocr_platform_ray.stages.pdf import pdf_page_count
+
+        assert pdf_page_count(pdf) == 6
+
+    def test_no_outline_and_broken_tree(self):
+        from ocr_platform_ray.sources.pdfgen import make_pdf
+        from ocr_platform_ray.stages.pdf import pdf_outline
+
+        plain = make_pdf(self._pages(2))
+        assert pdf_outline(plain) == []
+        # a merely RENAMED root still salvages (items intact)...
+        witho = make_pdf(self._pages(2), outline=[(1, "A", 0)])
+        renamed = witho.replace(b"/Type /Outlines", b"/Type /Broken")
+        assert [g["title"] for g in pdf_outline(renamed)] == ["A"]
+        # ...but a dangling root reference yields [] (never a raise)
+        import re
+
+        dangling = re.sub(
+            rb"/Outlines \d+ 0 R", b"/Outlines 9999 0 R", witho
+        )
+        assert pdf_outline(dangling) == []
+
+    def test_compressed_and_objstm_layouts(self):
+        from ocr_platform_ray.sources.pdfgen import make_pdf
+        from ocr_platform_ray.stages.pdf import pdf_outline
+
+        outline = [(1, "Only chapter", 1)]
+        for kw in ({"compress": True}, {"use_objstm": True}):
+            pdf = make_pdf(self._pages(3), outline=outline, **kw)
+            got = pdf_outline(pdf)
+            assert [(g["level"], g["title"], g["page_index"]) for g in got] \
+                == [(1, "Only chapter", 1)], kw
