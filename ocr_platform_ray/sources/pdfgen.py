@@ -204,7 +204,8 @@ class _PdfBuilder:
         d = b"<< " + filt + dict_extra + b"/Length " + str(len(data)).encode() + b" >>"
         return self.add(d + b"\nstream\n" + data + b"\nendstream")
 
-    def render(self, root: int, *, use_objstm: bool = False) -> bytes:
+    def render(self, root: int, *, use_objstm: bool = False,
+               info: int | None = None) -> bytes:
         """Serialize with a classic xref table, or (use_objstm) pack every
         non-stream object into an /ObjStm and point to it from an
         xref-stream (no predictor) — both public-spec layouts."""
@@ -220,12 +221,15 @@ class _PdfBuilder:
             out += b"0000000000 65535 f \n"
             for n in range(1, size):
                 out += f"{offsets.get(n, 0):010d} 00000 n \n".encode()
+            info_r = (
+                b" /Info " + str(info).encode() + b" 0 R" if info else b""
+            )
             out += (
                 b"trailer\n<< /Size "
                 + str(size).encode()
                 + b" /Root "
                 + str(root).encode()
-                + b" 0 R >>\nstartxref\n"
+                + b" 0 R" + info_r + b" >>\nstartxref\n"
                 + str(xref_at).encode()
                 + b"\n%%EOF\n"
             )
@@ -331,6 +335,7 @@ def make_pdf(
     ascii_wrap: str | None = None,
     dct_image: bool = False,
     outline: list[tuple[int, str, int]] | None = None,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Build a real multi-page PDF.  Each page is a list of text items:
     ``{"text": str, "x": float, "y": float (TOP-DOWN), "size": float,
@@ -527,7 +532,13 @@ def make_pdf(
         b"<< /Type /Catalog /Pages " + str(pages_root).encode() + b" 0 R"
         + outline_ref + b" >>"
     )
-    return b.render(catalog, use_objstm=use_objstm)
+    info_obj = None
+    if info:
+        body = b"<<"
+        for k, v in info.items():
+            body += b" /" + k.encode("ascii") + b" (" + _esc(v) + b")"
+        info_obj = b.add(body + b" >>")
+    return b.render(catalog, use_objstm=use_objstm, info=info_obj)
 
 
 def make_article_pdf(

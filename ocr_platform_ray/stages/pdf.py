@@ -1148,3 +1148,33 @@ def pdf_outline(data: bytes) -> list[dict]:
     except (ValueError, TypeError, KeyError, RecursionError):
         return []
     return out
+
+
+_INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+
+
+def pdf_info(data: bytes) -> dict:
+    """Document Info dictionary (ISO 32000-1 §14.3.3 — Title / Author /
+    Subject / Keywords / Producer / CreationDate, the catalog metadata
+    the reference's record normalizer ingests): resolved via the LAST
+    trailer's ``/Info`` reference (incremental updates supersede), text
+    strings decoded per §7.9.2.2.  Absent or broken → ``{}`` (the M5
+    salvage rule)."""
+    m = None
+    for m in _INFO_RE.finditer(data):
+        pass
+    if m is None:
+        return {}
+    try:
+        objects = scan_objects(data)
+        v, _ = objects.get(int(m.group(1)), (None, None))
+        if not isinstance(v, dict):
+            return {}
+        out = {}
+        for k, raw in v.items():
+            s = _pdf_text_string(raw)
+            if s is not None:
+                out[k] = s
+        return out
+    except (ValueError, TypeError, KeyError):
+        return {}

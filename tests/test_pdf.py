@@ -727,3 +727,41 @@ class TestPdfOutline:
             got = pdf_outline(pdf)
             assert [(g["level"], g["title"], g["page_index"]) for g in got] \
                 == [(1, "Only chapter", 1)], kw
+
+
+class TestPdfInfo:
+    """Info-dictionary metadata (`stages/pdf.pdf_info`)."""
+
+    def test_roundtrip_and_salvage(self):
+        from ocr_platform_ray.sources.pdfgen import make_pdf
+        from ocr_platform_ray.stages.pdf import pdf_info
+
+        pages = [[{"text": "body", "x": 72, "y": 100, "size": 12}]]
+        pdf = make_pdf(
+            pages,
+            info={
+                "Title": "A (Parenthetical) Title",
+                "Author": "Jane Q. Author",
+                "Producer": "pdfgen",
+                "CreationDate": "D:20240101120000Z",
+            },
+        )
+        got = pdf_info(pdf)
+        assert got["Title"] == "A (Parenthetical) Title"
+        assert got["Author"] == "Jane Q. Author"
+        assert got["CreationDate"] == "D:20240101120000Z"
+        # no Info -> {}
+        assert pdf_info(make_pdf(pages)) == {}
+        # dangling Info ref -> {}
+        import re
+
+        broken = re.sub(rb"/Info \d+ 0 R", b"/Info 9999 0 R", pdf)
+        assert pdf_info(broken) == {}
+        # outline + info coexist
+        both = make_pdf(
+            pages * 2, outline=[(1, "C1", 0)], info={"Title": "T"}
+        )
+        from ocr_platform_ray.stages.pdf import pdf_outline
+
+        assert pdf_info(both)["Title"] == "T"
+        assert [o["title"] for o in pdf_outline(both)] == ["C1"]
