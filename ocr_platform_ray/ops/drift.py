@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .relational import auto_group_agg, bucketed_hash_join
+from .relational import _hash_labels, auto_group_agg, bucketed_hash_join
 
 
 def _token_counts(ds: rd.Dataset, text_col: str, n_shards: int):
@@ -227,3 +227,179 @@ def cusum_changepoint(
     out["n_buckets"] = out["n_buckets"].astype("int64")
     out["total"] = out["total"].astype("int64")
     return out
+
+
+def _pair_index(local: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-key ordered pairs (i, j) with i < j, fully vectorized
+    across every key in a shard at once: ``local`` is each row's 0-based
+    position inside its key (rows key-contiguous), ``offsets`` each row's
+    key start.  Row r contributes ``local[r]`` pairs in which it is the
+    LATER element j; the earlier elements i are the segment
+    ``[offset[r], offset[r] + local[r])``.  Returns (i_rows, j_rows) as
+    global row indices — the flat-segmented-arange trick (`_shingle
+    hashes` / pair_cooccurrence family), no per-key Python."""
+    counts = local.astype("int64")
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, dtype="int64")
+        return e, e
+    j_rows = np.repeat(np.arange(len(local), dtype="int64"), counts)
+    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype="int64") - np.repeat(seg_starts, counts)
+    i_rows = within + np.repeat(offsets.astype("int64"), counts)
+    return i_rows, j_rows
+
+
+def grouped_trend(
+    ds: rd.Dataset,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    order_col: str,
+    tie_col: str,
+    n_shards: int = 64,
+    max_rows_per_group: int = 20_000,
+) -> pd.DataFrame:
+    """Per-group Mann–Kendall monotone-trend test + Theil–Sen robust
+    slope (Mann 1945 / Kendall 1975; Theil 1950 / Sen 1968) — the
+    distribution-free "is this series drifting" readout next to the
+    CUSUM change point: over each key's ``(order, tie)``-ordered value
+    timeline,
+
+        S       = Σ_{i<j} sign(v_j − v_i)                (exact int)
+        Var(S)  = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 (tie-corrected)
+        z       = (S − 1)/√Var  if S > 0, (S + 1)/√Var if S < 0, else 0
+        sen     = median of (v_j − v_i)/(o_j − o_i) over o_j ≠ o_i pairs
+
+    S and the variance numerator are pure INTEGER functions of the value
+    multiset and order (sign() is an exact double comparison — no
+    scaling, no accumulation), so they are block-structure independent
+    and SQL-mirrorable to the bit; z is one mirrored IEEE expression;
+    the Sen median uses the exact ``quantile_cont`` lerp (the
+    `grouped_percentile_exact` two-products form) over pair slopes that
+    are each a single IEEE division of raw doubles — also bit-exact
+    against a self-join SQL oracle.
+
+    Scale shape: ONE bounded ``hash(group) % n_shards`` exchange
+    co-locates each key (the keyed-window scaffold); per shard the
+    i<j pair index is built in one flat-segmented-arange pass across
+    ALL keys at once (no per-key Python) and reduced to a key-dim
+    (n, S, tie-term, sen) table — only that reaches the driver.  The
+    pairwise expansion is inherently O(n_k²) per key (exactly what the
+    statistic is), so ``max_rows_per_group`` raises loudly on keys past
+    the documented bound — at corpus scale, bucket the timeline first
+    (e.g. daily means) like every published MK-at-scale treatment.
+    NULL values/orders drop; keys with n < 2 get NaN z and sen.
+
+    A ``datetime64`` order column converts to integer microseconds
+    (slope = value per microsecond), mirroring SQL ``epoch_us``."""
+    gcols = list(group_cols)
+    keep = list(dict.fromkeys([*gcols, order_col, tie_col, value_col]))
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keep].copy()
+        out = out[out[value_col].notna() & out[order_col].notna()]
+        if pd.api.types.is_datetime64_any_dtype(out[order_col]):
+            out[order_col] = (
+                out[order_col].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+        out["__shard"] = _hash_labels(out, gcols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard").sort_values(
+            [*gcols, order_col, tie_col], kind="mergesort"
+        ).reset_index(drop=True)
+        grp = g.groupby(gcols, sort=False, dropna=False)
+        local = grp.cumcount().to_numpy(dtype="int64")
+        sizes = grp[value_col].transform("size").to_numpy(dtype="int64")
+        if len(sizes) and int(sizes.max()) > max_rows_per_group:
+            raise ValueError(
+                f"grouped_trend: a {gcols} group has {int(sizes.max())} rows "
+                f"(max_rows_per_group={max_rows_per_group}); the MK pair "
+                "expansion is O(n²) per key — pre-bucket the timeline "
+                "(e.g. daily means) before the trend test"
+            )
+        offsets = np.arange(len(g), dtype="int64") - local
+        i_rows, j_rows = _pair_index(local, offsets)
+        v = g[value_col].to_numpy(dtype="float64")
+        o = g[order_col].to_numpy(dtype="float64")
+        dv = v[j_rows] - v[i_rows]
+        sgn = np.sign(dv).astype("int64")
+        dt = o[j_rows] - o[i_rows]
+        # per-pair key = the j row's key labels (i is the same key)
+        pk = g.loc[j_rows, gcols].reset_index(drop=True) if len(j_rows) else g.iloc[:0][gcols]
+        pk = pk.copy()
+        pk["__s"] = sgn
+        s_tab = pk.groupby(gcols, as_index=False, dropna=False)["__s"].sum()
+        # tie correction: value-count table per key (ties are EXACT double
+        # equality, the same comparison sign() performed)
+        vc = g.assign(__v=v).groupby([*gcols, "__v"], as_index=False, dropna=False).size()
+        t = vc["size"].to_numpy(dtype="int64")
+        vc["__tt"] = t * (t - 1) * (2 * t + 5)
+        tie_tab = vc.groupby(gcols, as_index=False, dropna=False)["__tt"].sum()
+        # Theil–Sen: slopes over dt != 0 pairs, exact quantile_cont median
+        mask = dt != 0.0
+        sl_keys = pk.loc[mask, gcols].reset_index(drop=True)
+        sl = pd.DataFrame(sl_keys)
+        sl["__slope"] = dv[mask] / dt[mask]
+        sl = sl.sort_values([*gcols, "__slope"], kind="mergesort").reset_index(drop=True)
+        sgrp = sl.groupby(gcols, sort=False, dropna=False)
+        srn = sgrp.cumcount().to_numpy(dtype="float64")
+        sm = sgrp["__slope"].transform("size").to_numpy(dtype="float64")
+        if len(sl):
+            pos = 0.5 * (sm - 1.0)
+            lo = np.floor(pos)
+            sel = sl[srn == lo].copy()
+            hi = sl.loc[
+                srn == np.minimum(lo + 1.0, sm - 1.0), "__slope"
+            ].to_numpy(dtype="float64")
+            vlo = sel["__slope"].to_numpy(dtype="float64")
+            frac = (pos - lo)[srn == lo]
+            sel["sen_slope"] = vlo * (1.0 - frac) + frac * hi
+            sen_tab = sel[[*gcols, "sen_slope"]]
+        else:
+            sen_tab = pd.DataFrame({**{c: pd.Series(dtype=g[c].dtype) for c in gcols},
+                                    "sen_slope": pd.Series(dtype="float64")})
+        n_tab = grp.size().reset_index(name="n")
+        out = n_tab.merge(s_tab, on=gcols, how="left").merge(
+            tie_tab, on=gcols, how="left"
+        ).merge(sen_tab, on=gcols, how="left")
+        out["__s"] = out["__s"].fillna(0).astype("int64")
+        out["__tt"] = out["__tt"].fillna(0).astype("int64")
+        return out
+
+    reduced = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(reduced) == 0 or "n" not in reduced.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "var_s": pd.Series([], dtype="float64"),
+                "z": pd.Series([], dtype="float64"),
+                "sen_slope": pd.Series([], dtype="float64"),
+            }
+        )
+    n = reduced["n"].to_numpy(dtype="int64")
+    s = reduced["__s"].to_numpy(dtype="int64")
+    tt = reduced["__tt"].to_numpy(dtype="int64")
+    out = reduced[gcols].copy()
+    out["n"] = n
+    out["s"] = s
+    var_num = (n * (n - 1) * (2 * n + 5) - tt).astype("float64")
+    var_s = var_num / 18.0
+    out["var_s"] = var_s
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt(var_s)
+        z = np.where(
+            s > 0, (s - 1.0) / sd, np.where(s < 0, (s + 1.0) / sd, 0.0)
+        )
+    out["z"] = np.where(var_s > 0.0, z, np.nan)
+    out["sen_slope"] = reduced["sen_slope"].to_numpy(dtype="float64")
+    return out.sort_values(gcols).reset_index(drop=True)

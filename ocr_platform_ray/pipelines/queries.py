@@ -7602,6 +7602,24 @@ def q_pdf_chapter_outline(sf_dir: str) -> pd.DataFrame:
     return got
 
 
+def q_value_trend_by_user(sf_dir: str) -> pd.DataFrame:
+    """Mann–Kendall trend + Theil–Sen slope per user over the
+    (ts, event_id)-ordered value timeline (`ops/drift.grouped_trend` —
+    S and the tie-corrected variance numerator are exact integers, z one
+    mirrored IEEE expression, the Sen median the exact quantile_cont
+    lerp over single-division pair slopes).  One keyed exchange; the
+    O(n²) pair expansion runs vectorized across all keys per shard.
+    Users with a single observation drop (no pairs on either side).
+    Full self-join SQL oracle in TestTailQueryOracles."""
+    from ..ops.drift import grouped_trend
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_trend(
+        ev, "value", ["user_id"], order_col="ts", tie_col="event_id"
+    )
+    return out[out["n"] >= 2].reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7931,6 +7949,7 @@ QUERIES = {
     "t5_corrupted_docs": q_t5_corrupted_docs,
     "event_type_kappa": q_event_type_kappa,
     "doc_sections": q_doc_sections,
+    "value_trend_by_user": q_value_trend_by_user,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10572,4 +10591,42 @@ ORACLE_SQL["doc_sections"] = (
     "SELECT doc_id, section_idx, heading, "
     "CAST(length(body) AS BIGINT) AS sec_chars FROM sec "
     "WHERE NOT (section_idx = 0 AND NOT regexp_matches(body, '\\S'))"
+)
+
+# Mann–Kendall + Theil–Sen per user: i<j pairs in (ts, event_id) order
+# via a self-join; S = SUM(SIGN(dv)) exact BIGINT, tie term from per-
+# (user, value) counts, var = CAST(num AS DOUBLE)/18, z the verbatim
+# CASE expression, sen = quantile_cont(slope, 0.5) (the verified
+# two-products lerp) over single-division pair slopes on epoch_us.
+ORACLE_SQL["value_trend_by_user"] = (
+    "WITH e AS (SELECT user_id, ts, event_id, value FROM events "
+    "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+    "p AS (SELECT a.user_id, "
+    "CAST(SIGN(b.value - a.value) AS BIGINT) AS sgn, "
+    "b.value - a.value AS dv, "
+    "epoch_us(b.ts) - epoch_us(a.ts) AS dt "
+    "FROM e a JOIN e b ON a.user_id = b.user_id "
+    "AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))), "
+    "s AS (SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS s FROM p "
+    "GROUP BY user_id), "
+    "vc AS (SELECT user_id, value, CAST(COUNT(*) AS BIGINT) AS t "
+    "FROM e GROUP BY user_id, value), "
+    "tt AS (SELECT user_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) "
+    "AS tt FROM vc GROUP BY user_id), "
+    "nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM e "
+    "GROUP BY user_id), "
+    "sen AS (SELECT user_id, quantile_cont(dv / CAST(dt AS DOUBLE), 0.5) "
+    "AS sen_slope FROM p WHERE dt <> 0 GROUP BY user_id) "
+    "SELECT nn.user_id, nn.n, s.s, "
+    "CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tt AS DOUBLE) / 18 "
+    "AS var_s, "
+    "CASE WHEN CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tt AS DOUBLE) "
+    "/ 18 > 0 THEN (CASE WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1) / "
+    "SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tt AS DOUBLE) / 18) "
+    "WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1) / "
+    "SQRT(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tt AS DOUBLE) / 18) "
+    "ELSE 0.0 END) END AS z, "
+    "sen.sen_slope "
+    "FROM nn JOIN s USING (user_id) JOIN tt USING (user_id) "
+    "LEFT JOIN sen USING (user_id) WHERE nn.n >= 2"
 )

@@ -1772,6 +1772,7 @@ class TestTailQueryOracles:
             "orders_delete_keys",
             "event_type_kappa",
             "doc_sections",
+            "value_trend_by_user",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

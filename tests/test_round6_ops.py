@@ -1,0 +1,162 @@
+"""Round-4 session-13 operator tests: trend statistics, distribution
+drift, higher-moment profiling, generation-eval metrics, graph link
+prediction, retrieval fusion, XML interchange, corpus-law fits."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _reblock(df: pd.DataFrame, n: int) -> rd.Dataset:
+    """Union of n uneven slices — block-structure-independence probe."""
+    cuts = np.linspace(0, len(df), n + 1).astype(int)
+    parts = [rd.from_pandas(df.iloc[a:b]) for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTrend:
+    def _df(self, seed=0, n=400, nan_frac=0.05):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                "ts": rng.randint(0, 10_000, n).astype("int64"),
+                "id": np.arange(n, dtype="int64"),
+                "v": np.round(
+                    rng.randn(n).cumsum() + rng.choice([0, 0.5], n), 1
+                ),
+            }
+        )
+        df.loc[rng.choice(n, int(n * nan_frac), replace=False), "v"] = np.nan
+        return df
+
+    def _naive(self, df):
+        rows = []
+        for k, g in df.dropna(subset=["v"]).groupby("k"):
+            g = g.sort_values(["ts", "id"], kind="mergesort")
+            v = g["v"].to_numpy()
+            o = g["ts"].to_numpy(dtype="float64")
+            nn = len(v)
+            S = 0
+            slopes = []
+            for i in range(nn):
+                for j in range(i + 1, nn):
+                    S += int(np.sign(v[j] - v[i]))
+                    if o[j] != o[i]:
+                        slopes.append((v[j] - v[i]) / (o[j] - o[i]))
+            vc = pd.Series(v).value_counts()
+            tt = int(sum(t * (t - 1) * (2 * t + 5) for t in vc))
+            var = (nn * (nn - 1) * (2 * nn + 5) - tt) / 18.0
+            if var > 0:
+                z = (
+                    (S - 1) / math.sqrt(var)
+                    if S > 0
+                    else ((S + 1) / math.sqrt(var) if S < 0 else 0.0)
+                )
+            else:
+                z = np.nan
+            if slopes:
+                s = np.sort(np.array(slopes))
+                m = len(s)
+                pos = 0.5 * (m - 1)
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                sen = s[lo] * (1.0 - frac) + frac * s[min(lo + 1, m - 1)]
+            else:
+                sen = np.nan
+            rows.append(
+                dict(k=k, n=nn, s=S, var_s=var, z=z, sen_slope=sen)
+            )
+        return pd.DataFrame(rows).sort_values("k").reset_index(drop=True)
+
+    def test_matches_naive_bitwise(self):
+        from ocr_platform_ray.ops.drift import grouped_trend
+
+        df = self._df()
+        got = grouped_trend(
+            rd.from_pandas(df), "v", ["k"], order_col="ts", tie_col="id"
+        )
+        want = self._naive(df)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        for c in ("z", "sen_slope", "var_s"):
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.drift import grouped_trend
+
+        df = self._df(seed=3)
+        one = grouped_trend(
+            rd.from_pandas(df), "v", ["k"], order_col="ts", tie_col="id"
+        )
+        many = grouped_trend(
+            _reblock(df.sample(frac=1.0, random_state=7), 7),
+            "v",
+            ["k"],
+            order_col="ts",
+            tie_col="id",
+        )
+        pd.testing.assert_frame_equal(one, many)
+        for c in ("z", "sen_slope", "var_s"):
+            a, b = one[c].to_numpy(), many[c].to_numpy()
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+    def test_datetime_order_and_edges(self):
+        from ocr_platform_ray.ops.drift import grouped_trend
+
+        # monotone-up key, all-tied key, singleton key; datetime order
+        df = pd.DataFrame(
+            {
+                "k": ["up"] * 5 + ["tie"] * 4 + ["one"],
+                "ts": pd.to_datetime(
+                    [f"2024-01-0{i}" for i in range(1, 6)]
+                    + [f"2024-02-0{i}" for i in range(1, 5)]
+                    + ["2024-03-01"]
+                ),
+                "id": np.arange(10, dtype="int64"),
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0] + [7.0] * 4 + [9.0],
+            }
+        )
+        got = grouped_trend(
+            rd.from_pandas(df), "v", ["k"], order_col="ts", tie_col="id"
+        ).set_index("k")
+        assert got.loc["up", "s"] == 10  # all 10 pairs concordant
+        # Sen slope for "up": 1.0 per day = 1/86.4e9 per microsecond
+        assert got.loc["up", "sen_slope"] == pytest.approx(1.0 / 86_400e6)
+        assert got.loc["tie", "s"] == 0
+        assert np.isnan(got.loc["tie", "z"])  # var = 0 from full ties
+        assert np.isnan(got.loc["one", "z"])
+        assert np.isnan(got.loc["one", "sen_slope"])
+
+    def test_max_rows_per_group_raises(self):
+        from ocr_platform_ray.ops.drift import grouped_trend
+
+        df = self._df(seed=1, n=60, nan_frac=0.0)
+        with pytest.raises(ValueError, match="max_rows_per_group"):
+            grouped_trend(
+                rd.from_pandas(df),
+                "v",
+                ["k"],
+                order_col="ts",
+                tie_col="id",
+                max_rows_per_group=10,
+            )
+
+    def test_empty_input_typed(self):
+        from ocr_platform_ray.ops.drift import grouped_trend
+
+        df = self._df(seed=2).iloc[:0]
+        got = grouped_trend(
+            rd.from_pandas(df), "v", ["k"], order_col="ts", tie_col="id"
+        )
+        assert len(got) == 0
+        assert list(got.columns) == ["k", "n", "s", "var_s", "z", "sen_slope"]
+        assert got["s"].dtype == np.int64
+        assert got["z"].dtype == np.float64
