@@ -403,3 +403,100 @@ def grouped_trend(
     out["z"] = np.where(var_s > 0.0, z, np.nan)
     out["sen_slope"] = reduced["sen_slope"].to_numpy(dtype="float64")
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def ks_two_sample(
+    ds: rd.Dataset,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    group_cols: list[str],
+    *,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Exact per-group two-sample Kolmogorov–Smirnov statistic — the
+    distribution-level drift readout next to the token JS divergence and
+    the mean-level Welch test: for each group cell,
+
+        D = max_x | F_a(x) − F_b(x) |
+
+    over the two sides' empirical CDFs.  Evaluated EXACTLY as integers:
+    with per-distinct-value cumulative counts c_a, c_b and side totals
+    n_a, n_b, the numerator max |c_a·n_b − c_b·n_a| is an exact int64
+    max (cumulative counts include all tied peers — the CDF's right-
+    continuous value), and D is ONE final double division — so a
+    window-function SQL oracle hashes identically, and the result is
+    block-structure independent by construction.
+
+    Scale shape: per-batch (group, value, side) count combiners shrink
+    the exchange to the distinct-value grid, ONE bounded
+    ``hash(group) % n_shards`` exchange co-locates each group's grid,
+    and a single vectorized sort + cumsum pass per shard emits the
+    key-dim (n_a, n_b, d) table.  NULL values drop; groups missing
+    either side drop (the SQL inner-join semantics)."""
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[*gcols, side_col, value_col]]
+        sub = sub[sub[value_col].notna() & sub[side_col].isin([side_a, side_b])]
+        if len(sub) == 0:
+            out = sub[gcols].copy()
+            out["__v"] = pd.Series(dtype="float64")
+            out["da"] = pd.Series(dtype="int64")
+            out["db"] = pd.Series(dtype="int64")
+            out["__shard"] = pd.Series(dtype="int64")
+            return out
+        isa = (sub[side_col] == side_a).to_numpy()
+        out = sub[gcols].copy()
+        out["__v"] = sub[value_col].to_numpy(dtype="float64")
+        out["da"] = isa.astype("int64")
+        out["db"] = (~isa).astype("int64")
+        out = out.groupby([*gcols, "__v"], as_index=False, dropna=False).agg(
+            da=("da", "sum"), db=("db", "sum")
+        )
+        out["__shard"] = _hash_labels(out, gcols, n_shards).astype("int64")
+        return out
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # merge cross-batch partials for the same (group, value) first
+        g = g.drop(columns="__shard").groupby(
+            [*gcols, "__v"], as_index=False, dropna=False
+        ).agg(da=("da", "sum"), db=("db", "sum"))
+        g = g.sort_values([*gcols, "__v"], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(gcols, sort=False, dropna=False)
+        ca = grp["da"].cumsum().to_numpy(dtype="int64")
+        cb = grp["db"].cumsum().to_numpy(dtype="int64")
+        na = grp["da"].transform("sum").to_numpy(dtype="int64")
+        nb = grp["db"].transform("sum").to_numpy(dtype="int64")
+        num = np.abs(ca * nb - cb * na)
+        out = g[gcols].copy()
+        out["__num"] = num
+        out["__na"], out["__nb"] = na, nb
+        red = out.groupby(gcols, as_index=False, dropna=False).agg(
+            num=("__num", "max"), n_a=("__na", "max"), n_b=("__nb", "max")
+        )
+        return red[(red["n_a"] > 0) & (red["n_b"] > 0)]
+
+    reduced = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(reduced) == 0 or "num" not in reduced.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "d": pd.Series([], dtype="float64"),
+            }
+        )
+    out = reduced[gcols].copy()
+    out["n_a"] = reduced["n_a"].astype("int64")
+    out["n_b"] = reduced["n_b"].astype("int64")
+    out["d"] = reduced["num"].to_numpy(dtype="float64") / (
+        reduced["n_a"].to_numpy("int64") * reduced["n_b"].to_numpy("int64")
+    ).astype("float64")
+    return out.sort_values(gcols).reset_index(drop=True)

@@ -7620,6 +7620,37 @@ def q_value_trend_by_user(sf_dir: str) -> pd.DataFrame:
     return out[out["n"] >= 2].reset_index(drop=True)
 
 
+def q_value_ks_by_dow(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D per day-of-week
+    (`ops/drift.ks_two_sample` — the distribution-level drift readout):
+    click vs view value CDFs compared within each dow cell; the
+    numerator max |c_a·n_b − c_b·n_a| is an exact int64 over the
+    distinct-value grid, D one final double division — a window-cumsum
+    SQL oracle hashes identically.  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.drift import ks_two_sample
+
+    ev = _t(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86400000000
+        ) % 7
+        return pd.DataFrame(
+            {"dow": d, "event_type": b["event_type"], "value": b["value"]}
+        )
+
+    return ks_two_sample(
+        ev.map_batches(add_dow, batch_format="pandas"),
+        "value",
+        "event_type",
+        "click",
+        "view",
+        ["dow"],
+    )
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7950,6 +7981,7 @@ QUERIES = {
     "event_type_kappa": q_event_type_kappa,
     "doc_sections": q_doc_sections,
     "value_trend_by_user": q_value_trend_by_user,
+    "value_ks_by_dow": q_value_ks_by_dow,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10629,4 +10661,28 @@ ORACLE_SQL["value_trend_by_user"] = (
     "sen.sen_slope "
     "FROM nn JOIN s USING (user_id) JOIN tt USING (user_id) "
     "LEFT JOIN sen USING (user_id) WHERE nn.n >= 2"
+)
+
+# KS two-sample per dow: per-(dow, value) side counts, window cumsums in
+# value order (cumulative counts include tied peers = right-continuous
+# ECDF), exact integer numerator max, ONE final double division.
+ORACLE_SQL["value_ks_by_dow"] = (
+    "WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, "
+    "event_type, value FROM events WHERE value IS NOT NULL "
+    "AND event_type IN ('click', 'view')), "
+    "c AS (SELECT dow, value, "
+    "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS da, "
+    "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS db FROM e GROUP BY dow, value), "
+    "w AS (SELECT dow, value, "
+    "SUM(da) OVER (PARTITION BY dow ORDER BY value) AS ca, "
+    "SUM(db) OVER (PARTITION BY dow ORDER BY value) AS cb, "
+    "SUM(da) OVER (PARTITION BY dow) AS na, "
+    "SUM(db) OVER (PARTITION BY dow) AS nb FROM c) "
+    "SELECT dow, CAST(MAX(na) AS BIGINT) AS n_a, "
+    "CAST(MAX(nb) AS BIGINT) AS n_b, "
+    "CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) / "
+    "CAST(MAX(na) * MAX(nb) AS DOUBLE) AS d "
+    "FROM w GROUP BY dow HAVING MAX(na) > 0 AND MAX(nb) > 0"
 )

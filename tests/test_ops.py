@@ -1773,6 +1773,7 @@ class TestTailQueryOracles:
             "event_type_kappa",
             "doc_sections",
             "value_trend_by_user",
+            "value_ks_by_dow",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -160,3 +160,95 @@ class TestGroupedTrend:
         assert list(got.columns) == ["k", "n", "s", "var_s", "z", "sen_slope"]
         assert got["s"].dtype == np.int64
         assert got["z"].dtype == np.float64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKsTwoSample:
+    def _df(self, seed=0, n=600):
+        rng = np.random.RandomState(seed)
+        side = rng.choice(["x", "y", "other"], n, p=[0.4, 0.4, 0.2])
+        v = np.where(
+            side == "y", rng.randn(n) * 1.3 + 0.4, rng.randn(n)
+        ).round(1)  # rounding forces cross-side ties
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["p", "q"], n),
+                "side": side,
+                "v": v,
+            }
+        )
+        df.loc[rng.choice(n, 25, replace=False), "v"] = np.nan
+        return df
+
+    def _naive(self, df):
+        rows = []
+        for g, grp in df.dropna(subset=["v"]).groupby("g"):
+            a = np.sort(grp.loc[grp["side"] == "x", "v"].to_numpy())
+            b = np.sort(grp.loc[grp["side"] == "y", "v"].to_numpy())
+            if len(a) == 0 or len(b) == 0:
+                continue
+            xs = np.unique(np.concatenate([a, b]))
+            ca = np.searchsorted(a, xs, side="right")
+            cb = np.searchsorted(b, xs, side="right")
+            num = np.abs(ca.astype("int64") * len(b) - cb.astype("int64") * len(a))
+            rows.append(
+                dict(
+                    g=g,
+                    n_a=len(a),
+                    n_b=len(b),
+                    d=float(num.max()) / float(len(a) * len(b)),
+                )
+            )
+        return pd.DataFrame(rows).sort_values("g").reset_index(drop=True)
+
+    def test_matches_naive_bitwise(self):
+        from ocr_platform_ray.ops.drift import ks_two_sample
+
+        df = self._df()
+        got = ks_two_sample(rd.from_pandas(df), "v", "side", "x", "y", ["g"])
+        want = self._naive(df)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["d"].to_numpy() == want["d"].to_numpy()).all()
+
+    def test_identical_sides_zero_and_disjoint_one(self):
+        from ocr_platform_ray.ops.drift import ks_two_sample
+
+        v = np.arange(50, dtype="float64")
+        df = pd.DataFrame(
+            {
+                "g": ["same"] * 100 + ["apart"] * 100,
+                "side": (["x"] * 50 + ["y"] * 50) * 2,
+                "v": np.concatenate([v, v, v, v + 1000.0]),
+            }
+        )
+        got = ks_two_sample(
+            rd.from_pandas(df), "v", "side", "x", "y", ["g"]
+        ).set_index("g")
+        assert got.loc["same", "d"] == 0.0
+        assert got.loc["apart", "d"] == 1.0
+
+    def test_block_structure_independent_and_missing_side(self):
+        from ocr_platform_ray.ops.drift import ks_two_sample
+
+        df = self._df(seed=4)
+        # one group entirely missing side y -> must drop
+        df.loc[(df["g"] == "q") & (df["side"] == "y"), "side"] = "other"
+        one = ks_two_sample(rd.from_pandas(df), "v", "side", "x", "y", ["g"])
+        many = ks_two_sample(
+            _reblock(df.sample(frac=1.0, random_state=3), 6),
+            "v",
+            "side",
+            "x",
+            "y",
+            ["g"],
+        )
+        pd.testing.assert_frame_equal(one, many)
+        assert one["g"].tolist() == ["p"]
+
+    def test_empty_typed(self):
+        from ocr_platform_ray.ops.drift import ks_two_sample
+
+        df = self._df().iloc[:0]
+        got = ks_two_sample(rd.from_pandas(df), "v", "side", "x", "y", ["g"])
+        assert len(got) == 0
+        assert list(got.columns) == ["g", "n_a", "n_b", "d"]
