@@ -1173,3 +1173,111 @@ def grouped_trimmed_mean(
         tm = (s / k) / float(scale)
     out["trimmed_mean"] = np.where(k > 0, tm, np.nan)
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_skewkurt(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str],
+    *,
+    scale: int = 100,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """EXACT per-group skewness and excess kurtosis — the tail-shape
+    profile next to `grouped_moments`' dispersion: the population-moment
+    forms
+
+        skew = m₃ / m₂^1.5          kurt = m₄ / m₂² − 3
+
+    computed from exact integer power sums of ``round(v·scale)``.  The
+    third/fourth power sums overflow int64 long before real corpus
+    sizes, so each per-value x³/x⁴ splits into TWO int64 limbs
+    (``hi = x^k // 2³¹``, ``lo = x^k mod 2³¹`` — floor semantics keep
+    lo non-negative for negative x³); limb sums are plain mergeable
+    int64 aggregates through the size-aware finish, and the driver
+    reassembles exact arbitrary-precision Python integers
+    ``S_k = Σhi·2³¹ + Σlo`` on the report-dim table.  The central-
+    moment numerators are then exact integers::
+
+        A2 = n·S2 − S1²
+        A3 = n²·S3 − 3n·S2·S1 + 2·S1³
+        A4 = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3·S1⁴
+
+    and skew = A3/A2^1.5, kurt = A4/A2² − 3 are each ONE final IEEE
+    expression over the correctly-rounded doubles of exact integers —
+    block-structure independent to the bit and mirrorable by a SQL
+    oracle that carries the same sums in HUGEINT (the oracle is exact
+    while n²·S3 / n³·S4 / S1⁴ fit int128 — comfortably true at test
+    scales; the engine side is unbounded Python int).
+
+    Domain bound (asserted per batch): |round(v·scale)| ≤ 55108 so x⁴
+    fits int64 per value — e.g. |v| ≤ 551 at the default cent scale;
+    lower ``scale`` for wider ranges.  Per-group NaN when n < 2 or
+    zero variance (SQL NULL).  Scale shape: one fixed-width combiner
+    row per (group, batch), values never move."""
+    gcols = list(group_cols)
+    LIMB = 1 << 31
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = _scaled_int(b[value_col].to_numpy(), scale)
+        if len(x) and int(np.abs(x).max()) > 55108:
+            raise ValueError(
+                f"scaled |{value_col}| exceeds the 55108 fourth-power "
+                "int64 domain; reduce `scale`"
+            )
+        x2 = x * x
+        x3 = x2 * x
+        x4 = x2 * x2
+        sub = b[gcols].copy()
+        sub["__n"] = np.int64(1)
+        sub["__s1"] = x
+        sub["__s2"] = x2
+        sub["__s3h"] = x3 // LIMB
+        sub["__s3l"] = x3 - (x3 // LIMB) * LIMB
+        sub["__s4h"] = x4 // LIMB
+        sub["__s4l"] = x4 - (x4 // LIMB) * LIMB
+        return sub.groupby(gcols, as_index=False).agg(
+            n=("__n", "sum"), s1=("__s1", "sum"), s2=("__s2", "sum"),
+            s3h=("__s3h", "sum"), s3l=("__s3l", "sum"),
+            s4h=("__s4h", "sum"), s4l=("__s4l", "sum"),
+        )
+
+    reduced = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        gcols,
+        {c: (c, "sum") for c in ("n", "s1", "s2", "s3h", "s3l", "s4h", "s4l")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(reduced, pd.DataFrame):
+        reduced = reduced.to_pandas()
+    if len(reduced) == 0 or "n" not in reduced.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n": pd.Series([], dtype="int64"),
+                "skew_v": pd.Series([], dtype="float64"),
+                "kurt_v": pd.Series([], dtype="float64"),
+            }
+        )
+    rows_skew, rows_kurt = [], []
+    for _, r in reduced.iterrows():
+        n_, s1 = int(r["n"]), int(r["s1"])
+        s2 = int(r["s2"])
+        s3 = int(r["s3h"]) * LIMB + int(r["s3l"])
+        s4 = int(r["s4h"]) * LIMB + int(r["s4l"])
+        a2 = n_ * s2 - s1 * s1
+        a3 = n_ * n_ * s3 - 3 * n_ * s2 * s1 + 2 * s1**3
+        a4 = n_**3 * s4 - 4 * n_ * n_ * s3 * s1 + 6 * n_ * s2 * s1 * s1 - 3 * s1**4
+        if n_ >= 2 and a2 > 0:
+            rows_skew.append(float(a3) / float(a2) ** 1.5)
+            rows_kurt.append(float(a4) / (float(a2) * float(a2)) - 3.0)
+        else:
+            rows_skew.append(np.nan)
+            rows_kurt.append(np.nan)
+    out = reduced[gcols].copy()
+    out["n"] = reduced["n"].astype("int64")
+    out["skew_v"] = np.asarray(rows_skew, dtype="float64")
+    out["kurt_v"] = np.asarray(rows_kurt, dtype="float64")
+    return out.sort_values(gcols).reset_index(drop=True)

@@ -7651,6 +7651,19 @@ def q_value_ks_by_dow(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_value_skewkurt_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type skewness + excess kurtosis
+    (`ops/profile.grouped_skewkurt` — third/fourth power sums carried as
+    TWO int64 limbs through the size-aware finish, central-moment
+    numerators reassembled as exact Python integers, skew/kurt each one
+    final IEEE expression).  The SQL oracle carries the same sums in
+    HUGEINT — bitwise equal.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.profile import grouped_skewkurt
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    return grouped_skewkurt(ev, "value", ["event_type"])
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7982,6 +7995,7 @@ QUERIES = {
     "doc_sections": q_doc_sections,
     "value_trend_by_user": q_value_trend_by_user,
     "value_ks_by_dow": q_value_ks_by_dow,
+    "value_skewkurt_by_type": q_value_skewkurt_by_type,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10685,4 +10699,28 @@ ORACLE_SQL["value_ks_by_dow"] = (
     "CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE) / "
     "CAST(MAX(na) * MAX(nb) AS DOUBLE) AS d "
     "FROM w GROUP BY dow HAVING MAX(na) > 0 AND MAX(nb) > 0"
+)
+
+# Skew/kurt per event type: HUGEINT power sums mirror the engine's
+# two-limb exact integers; A2/A3/A4 in HUGEINT, final doubles verbatim
+# (POWER(x, 1.5) probe-verified bitwise against Python's **1.5).
+ORACLE_SQL["value_skewkurt_by_type"] = (
+    "WITH v AS (SELECT event_type, "
+    "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
+    "ELSE -FLOOR(-value * 100 + 0.5) END AS HUGEINT) AS x FROM events "
+    "WHERE value IS NOT NULL), "
+    "a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * x * x) AS s3, "
+    "SUM(x * x * x * x) AS s4 FROM v GROUP BY event_type), "
+    "c AS (SELECT event_type, n, "
+    "n * s2 - s1 * s1 AS a2, "
+    "n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS a3, "
+    "n * n * n * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1 "
+    "- 3 * s1 * s1 * s1 * s1 AS a4 FROM a) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, "
+    "CASE WHEN n >= 2 AND a2 > 0 THEN "
+    "CAST(a3 AS DOUBLE) / POWER(CAST(a2 AS DOUBLE), 1.5) END AS skew_v, "
+    "CASE WHEN n >= 2 AND a2 > 0 THEN "
+    "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0 "
+    "END AS kurt_v FROM c"
 )

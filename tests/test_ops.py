@@ -1774,6 +1774,7 @@ class TestTailQueryOracles:
             "doc_sections",
             "value_trend_by_user",
             "value_ks_by_dow",
+            "value_skewkurt_by_type",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

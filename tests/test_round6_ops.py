@@ -252,3 +252,89 @@ class TestKsTwoSample:
         got = ks_two_sample(rd.from_pandas(df), "v", "side", "x", "y", ["g"])
         assert len(got) == 0
         assert list(got.columns) == ["g", "n_a", "n_b", "d"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedSkewKurt:
+    def _df(self, seed=0, n=900):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], n),
+                "v": np.round(rng.lognormal(1.2, 0.7, n) - rng.rand(n), 2),
+            }
+        )
+
+    def _naive_exact(self, df):
+        rows = []
+        for g, grp in df.dropna(subset=["v"]).groupby("g"):
+            x = [
+                int(np.copysign(np.floor(abs(v) * 100 + 0.5), v))
+                for v in grp["v"]
+            ]
+            n = len(x)
+            s1, s2 = sum(x), sum(t * t for t in x)
+            s3, s4 = sum(t**3 for t in x), sum(t**4 for t in x)
+            a2 = n * s2 - s1 * s1
+            a3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3
+            a4 = n**3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1 - 3 * s1**4
+            rows.append(
+                dict(
+                    g=g,
+                    n=n,
+                    skew_v=float(a3) / float(a2) ** 1.5,
+                    kurt_v=float(a4) / (float(a2) * float(a2)) - 3.0,
+                )
+            )
+        return pd.DataFrame(rows).sort_values("g").reset_index(drop=True)
+
+    def test_matches_exact_integer_reference_bitwise(self):
+        from ocr_platform_ray.ops.profile import grouped_skewkurt
+
+        df = self._df()
+        got = grouped_skewkurt(rd.from_pandas(df), "v", ["g"])
+        want = self._naive_exact(df)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        for c in ("skew_v", "kurt_v"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_agrees_with_float_moment_formulas(self):
+        from ocr_platform_ray.ops.profile import grouped_skewkurt
+
+        df = self._df(seed=5)
+        got = grouped_skewkurt(rd.from_pandas(df), "v", ["g"])
+        for g, grp in df.groupby("g"):
+            x = np.round(grp["v"].to_numpy() * 100) / 100.0
+            m = x.mean()
+            m2 = ((x - m) ** 2).mean()
+            sk = ((x - m) ** 3).mean() / m2**1.5
+            ku = ((x - m) ** 4).mean() / m2**2 - 3.0
+            row = got[got["g"] == g].iloc[0]
+            assert row["skew_v"] == pytest.approx(sk, rel=1e-9)
+            assert row["kurt_v"] == pytest.approx(ku, rel=1e-9)
+
+    def test_block_structure_bitwise(self):
+        from ocr_platform_ray.ops.profile import grouped_skewkurt
+
+        df = self._df(seed=2)
+        one = grouped_skewkurt(rd.from_pandas(df), "v", ["g"])
+        many = grouped_skewkurt(
+            _reblock(df.sample(frac=1.0, random_state=11), 9), "v", ["g"]
+        )
+        for c in ("skew_v", "kurt_v"):
+            assert (one[c].to_numpy() == many[c].to_numpy()).all(), c
+
+    def test_degenerate_groups_and_domain(self):
+        from ocr_platform_ray.ops.profile import grouped_skewkurt
+
+        df = pd.DataFrame(
+            {"g": ["one", "flat", "flat", "flat"], "v": [3.0, 7.0, 7.0, 7.0]}
+        )
+        got = grouped_skewkurt(rd.from_pandas(df), "v", ["g"]).set_index("g")
+        assert np.isnan(got.loc["one", "skew_v"])
+        assert np.isnan(got.loc["flat", "kurt_v"])  # zero variance
+        big = pd.DataFrame({"g": ["x", "x"], "v": [600.0, 601.0]})
+        with pytest.raises(Exception, match="fourth-power"):
+            grouped_skewkurt(rd.from_pandas(big), "v", ["g"], scale=100)
+        ok = grouped_skewkurt(rd.from_pandas(big), "v", ["g"], scale=10)
+        assert len(ok) == 1
