@@ -27,6 +27,8 @@ the bit via window cumsums over the same bins.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -293,3 +295,176 @@ def cohens_kappa(
     p_e = pe_num / (n * n)
     kappa = (p_o - p_e) / (1.0 - p_e) if p_e < 1.0 else float("nan")
     return {"kappa": kappa, "p_o": p_o, "p_e": p_e, "n": int(n)}
+
+
+def _ngram_frame(
+    texts: pd.Series, n: int
+) -> pd.DataFrame:
+    """(row_idx, gram, c) n-gram count triples for a batch of texts under
+    the corpus tokenization (lower, split on single spaces, empties
+    dropped — the PMI/BM25 renumbered-adjacency rule), built in ONE flat
+    pass: tokens flatten across the batch, n-grams join with ' ' via a
+    shifted-slice zip (tokens cannot contain spaces, so the join is
+    injective), rows whose window crosses a doc boundary masked out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(
+        pc.utf8_lower(pa.array(texts.fillna(""), pa.string())), pattern=" "
+    )
+    flat = np.asarray(toks.flatten(), dtype=object)
+    lens = np.asarray(pc.list_value_length(toks), dtype="int64")
+    doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+    keep = flat != ""
+    flat, doc_of = flat[keep], doc_of[keep]
+    if len(flat) == 0 or n > len(flat):
+        return pd.DataFrame(
+            {"row_idx": pd.Series(dtype="int64"),
+             "gram": pd.Series(dtype="object"),
+             "c": pd.Series(dtype="int64")}
+        )
+    m = len(flat) - n + 1
+    grams = flat[:m].copy()
+    for k in range(1, n):
+        grams = np.char.add(
+            np.char.add(grams.astype(object).astype("U"), " "),
+            flat[k : m + k].astype("U"),
+        ).astype(object)
+    ok = doc_of[:m] == doc_of[n - 1 :]
+    df = pd.DataFrame({"row_idx": doc_of[:m][ok], "gram": grams[ok]})
+    return df.groupby(["row_idx", "gram"], as_index=False).size().rename(
+        columns={"size": "c"}
+    )
+
+
+def _clipped_counts(
+    b: pd.DataFrame, cand_col: str, ref_col: str, n: int
+) -> tuple[int, int, int]:
+    """(Σ clipped matches, Σ candidate n-grams, Σ reference n-grams)
+    over one batch — exact integers from a per-doc multiset-intersection
+    merge on STRING grams (no hashing, no collisions)."""
+    cg = _ngram_frame(b[cand_col], n)
+    rg = _ngram_frame(b[ref_col], n)
+    tot_c = int(cg["c"].sum()) if len(cg) else 0
+    tot_r = int(rg["c"].sum()) if len(rg) else 0
+    if tot_c == 0 or tot_r == 0:
+        return 0, tot_c, tot_r
+    j = cg.merge(rg, on=["row_idx", "gram"], how="inner", suffixes=("_c", "_r"))
+    matched = int(np.minimum(j["c_c"], j["c_r"]).sum()) if len(j) else 0
+    return matched, tot_c, tot_r
+
+
+def bleu_corpus(
+    ds: rd.Dataset,
+    cand_col: str,
+    ref_col: str,
+    *,
+    max_n: int = 4,
+) -> pd.DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) of a candidate column
+    against a single-reference column — the generation-eval metric next
+    to the classifier family's confusion/PR/AUC: modified (clipped)
+    n-gram precisions p_1..p_max_n pooled over the corpus, brevity
+    penalty from total lengths, geometric mean::
+
+        BLEU = BP · exp( Σ_n ln p_n / max_n )     BP = min(1, e^{1−r/c})
+
+    Every pooled numerator/denominator is an exact int64 from per-batch
+    clipped-count combiners (string grams, per-doc multiset
+    intersection — one pandas merge per (batch, n), no per-row Python);
+    the finish is a fixed-width (2·max_n + 2)-integer reduce, so the
+    floats are each ONE mirrored IEEE expression over exact integers —
+    SQL-mirrorable to the bit (list-comprehension n-grams +
+    LEAST(cc, cr) sums).  BLEU = 0 when any p_n = 0 (the standard
+    smoothing-free convention); NULL p_n when a level has no candidate
+    n-grams.  Map-only; nothing but the integer summary moves."""
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for n in range(1, max_n + 1):
+            m, tc, tr = _clipped_counts(b, cand_col, ref_col, n)
+            row[f"m{n}"], row[f"t{n}"] = m, tc
+            if n == 1:
+                row["c_len"], row["r_len"] = tc, tr
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    tot = parts.sum() if len(parts) else None
+    out = {"c_len": int(tot["c_len"]) if tot is not None else 0,
+           "r_len": int(tot["r_len"]) if tot is not None else 0}
+    log_sum, zero, seen = 0.0, False, 0
+    for n in range(1, max_n + 1):
+        m = int(tot[f"m{n}"]) if tot is not None else 0
+        t = int(tot[f"t{n}"]) if tot is not None else 0
+        p = float(m) / float(t) if t > 0 else np.nan
+        out[f"p{n}"] = p
+        if t > 0:
+            seen += 1
+            if m == 0:
+                zero = True
+            else:
+                log_sum += math.log(p)
+    c, r = out["c_len"], out["r_len"]
+    # math.exp / math.log, NOT np.exp: numpy's SIMD exp rounds one ulp
+    # off libm at some inputs (probe: exp(-1.0)) — SQL engines use libm
+    bp = 1.0 if c >= r else math.exp(1.0 - float(r) / float(c)) if c > 0 else 0.0
+    out["bp"] = bp
+    if c == 0 or zero or seen < max_n:
+        out["bleu"] = 0.0 if c > 0 else np.nan
+    else:
+        out["bleu"] = bp * math.exp(log_sum / float(max_n))
+    cols = ["c_len", "r_len", *[f"p{n}" for n in range(1, max_n + 1)], "bp", "bleu"]
+    return pd.DataFrame([{k: out[k] for k in cols}])
+
+
+def rouge_n(
+    ds: rd.Dataset,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    *,
+    n: int = 2,
+) -> pd.DataFrame:
+    """Per-document ROUGE-N (Lin 2004): clipped n-gram matches against
+    the reference with recall (the ROUGE headline), precision and F1 —
+    each a single IEEE expression over exact per-doc integers, so a SQL
+    oracle with the same list-comprehension n-grams hashes identically.
+    Map-only (per-doc counts never leave their batch); the corpus mean
+    is the caller's one-line reduce."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cg = _ngram_frame(b[cand_col], n)
+        rg = _ngram_frame(b[ref_col], n)
+        base = pd.DataFrame({"row_idx": np.arange(len(b), dtype="int64")})
+        tc = cg.groupby("row_idx")["c"].sum() if len(cg) else pd.Series(dtype="int64")
+        tr = rg.groupby("row_idx")["c"].sum() if len(rg) else pd.Series(dtype="int64")
+        j = cg.merge(rg, on=["row_idx", "gram"], suffixes=("_c", "_r")) if len(cg) and len(rg) else None
+        if j is not None and len(j):
+            j["__m"] = np.minimum(j["c_c"], j["c_r"])
+            mm = j.groupby("row_idx")["__m"].sum()
+        else:
+            mm = pd.Series(dtype="int64")
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()})
+        out["matches"] = base["row_idx"].map(mm).fillna(0).astype("int64").to_numpy()
+        out["cand_n"] = base["row_idx"].map(tc).fillna(0).astype("int64").to_numpy()
+        out["ref_n"] = base["row_idx"].map(tr).fillna(0).astype("int64").to_numpy()
+        m = out["matches"].to_numpy(dtype="float64")
+        cn = out["cand_n"].to_numpy(dtype="float64")
+        rn = out["ref_n"].to_numpy(dtype="float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prec = np.where(cn > 0, m / cn, np.nan)
+            rec = np.where(rn > 0, m / rn, np.nan)
+            f1 = np.where(
+                (cn > 0) & (rn > 0) & (prec + rec > 0),
+                2.0 * prec * rec / (prec + rec),
+                np.where((cn > 0) & (rn > 0), 0.0, np.nan),
+            )
+        out["rouge_p"], out["rouge_r"], out["rouge_f1"] = prec, rec, f1
+        return out
+
+    res = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+    return res.sort_values(id_col).reset_index(drop=True)

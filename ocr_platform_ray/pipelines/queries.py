@@ -7664,6 +7664,56 @@ def q_value_skewkurt_by_type(sf_dir: str) -> pd.DataFrame:
     return grouped_skewkurt(ev, "value", ["event_type"])
 
 
+def _bleu_pairs(sf_dir: str) -> rd.Dataset:
+    """Deterministic candidate/reference pairs for the generation-eval
+    queries: candidate = the doc's first-10-raw-token prefix prepended
+    to the full text (duplicated prefix grams overflow the reference
+    counts, so the CLIPPING rule actually bites), reference = the text
+    itself.  Built with Arrow list kernels; the SQL mirror repeats the
+    identical slice-and-concat."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        txt = pa.array(b["text"].fillna(""), pa.string())
+        toks = pc.split_pattern(txt, pattern=" ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 10), " ")
+        cand = pc.binary_join_element_wise(prefix, txt, " ")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "cand": cand.to_pandas().to_numpy(dtype=object),
+                "ref": b["text"].to_numpy(),
+            }
+        )
+
+    return docs.map_batches(build, batch_format="pandas")
+
+
+def q_docs_bleu(sf_dir: str) -> pd.DataFrame:
+    """Corpus BLEU (Papineni 2002, `ops/eval.bleu_corpus`) of the
+    prefix-duplicated candidate against the original text: pooled
+    clipped n-gram precisions p1..p4 from exact int64 combiner sums,
+    brevity penalty and the geometric mean each one mirrored IEEE
+    expression.  Full list-comprehension SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.eval import bleu_corpus
+
+    return bleu_corpus(_bleu_pairs(sf_dir), "cand", "ref", max_n=4)
+
+
+def q_docs_rouge2(sf_dir: str) -> pd.DataFrame:
+    """Per-document ROUGE-2 (Lin 2004, `ops/eval.rouge_n`) of the same
+    candidate construction: clipped bigram matches, precision / recall /
+    F1 per doc — exact integers plus single mirrored float expressions,
+    map-only.  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.eval import rouge_n
+
+    return rouge_n(_bleu_pairs(sf_dir), "doc_id", "cand", "ref", n=2)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -7996,6 +8046,8 @@ QUERIES = {
     "value_trend_by_user": q_value_trend_by_user,
     "value_ks_by_dow": q_value_ks_by_dow,
     "value_skewkurt_by_type": q_value_skewkurt_by_type,
+    "docs_bleu": q_docs_bleu,
+    "docs_rouge2": q_docs_rouge2,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10723,4 +10775,99 @@ ORACLE_SQL["value_skewkurt_by_type"] = (
     "CASE WHEN n >= 2 AND a2 > 0 THEN "
     "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0 "
     "END AS kurt_v FROM c"
+)
+
+# Corpus BLEU: identical candidate construction (raw-token [1:10] prefix
+# || ' ' || text), list-comprehension n-grams over the filtered lowered
+# tokens, clipped LEAST sums per (doc, n), pooled exact integers, then
+# the verbatim bp/geometric-mean expression (ln sum in n order).
+_BLEU_TOK_CTE = (
+    "WITH base AS (SELECT doc_id, text, "
+    "array_to_string(string_split(text, ' ')[1:10], ' ') || ' ' || text "
+    "AS cand FROM documents), "
+    "tok AS (SELECT doc_id, "
+    "list_filter(string_split(lower(cand), ' '), t -> t <> '') AS lc, "
+    "list_filter(string_split(lower(text), ' '), t -> t <> '') AS lr "
+    "FROM base), "
+)
+ORACLE_SQL["docs_bleu"] = (
+    _BLEU_TOK_CTE +
+    "ns AS (SELECT unnest(generate_series(1, 4)) AS n), "
+    "cg AS (SELECT doc_id, n, unnest(list_transform("
+    "generate_series(1, greatest(len(lc) - n + 1, 0)), "
+    "i -> array_to_string(lc[i:i+n-1], ' '))) AS gram "
+    "FROM tok CROSS JOIN ns), "
+    "rg AS (SELECT doc_id, n, unnest(list_transform("
+    "generate_series(1, greatest(len(lr) - n + 1, 0)), "
+    "i -> array_to_string(lr[i:i+n-1], ' '))) AS gram "
+    "FROM tok CROSS JOIN ns), "
+    "cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM cg GROUP BY doc_id, n, gram), "
+    "rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM rg GROUP BY doc_id, n, gram), "
+    "mm AS (SELECT cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS m "
+    "FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n "
+    "AND cc.gram = rc.gram GROUP BY cc.n), "
+    "tt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS t FROM cc GROUP BY n), "
+    "pv AS (SELECT tt.n, COALESCE(mm.m, 0) AS m, tt.t, "
+    "CAST(COALESCE(mm.m, 0) AS DOUBLE) / CAST(tt.t AS DOUBLE) AS p "
+    "FROM tt LEFT JOIN mm USING (n)), "
+    "lens AS (SELECT CAST(SUM(len(lc)) AS BIGINT) AS c_len, "
+    "CAST(SUM(len(lr)) AS BIGINT) AS r_len FROM tok), "
+    "wide AS (SELECT MAX(CASE WHEN n = 1 THEN p END) AS p1, "
+    "MAX(CASE WHEN n = 2 THEN p END) AS p2, "
+    "MAX(CASE WHEN n = 3 THEN p END) AS p3, "
+    "MAX(CASE WHEN n = 4 THEN p END) AS p4, "
+    "CAST(MIN(m) AS BIGINT) AS min_m, CAST(COUNT(*) AS BIGINT) AS seen "
+    "FROM pv) "
+    "SELECT lens.c_len, lens.r_len, wide.p1, wide.p2, wide.p3, wide.p4, "
+    "CASE WHEN lens.c_len >= lens.r_len THEN 1.0 "
+    "ELSE EXP(1.0 - CAST(lens.r_len AS DOUBLE) / CAST(lens.c_len AS DOUBLE)) "
+    "END AS bp, "
+    "CASE WHEN wide.min_m = 0 OR wide.seen < 4 THEN 0.0 "
+    "ELSE (CASE WHEN lens.c_len >= lens.r_len THEN 1.0 "
+    "ELSE EXP(1.0 - CAST(lens.r_len AS DOUBLE) / CAST(lens.c_len AS DOUBLE)) "
+    "END) * EXP((ln(wide.p1) + ln(wide.p2) + ln(wide.p3) + ln(wide.p4)) "
+    "/ 4.0) END AS bleu "
+    "FROM lens CROSS JOIN wide"
+)
+
+# Per-doc ROUGE-2: clipped bigram LEAST sums per doc, precision /
+# recall / F1 verbatim float expressions (2*p*r/(p+r) left-assoc).
+ORACLE_SQL["docs_rouge2"] = (
+    _BLEU_TOK_CTE +
+    "cg AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(lc) - 1, 0)), "
+    "i -> array_to_string(lc[i:i+1], ' '))) AS gram FROM tok), "
+    "rg AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(lr) - 1, 0)), "
+    "i -> array_to_string(lr[i:i+1], ' '))) AS gram FROM tok), "
+    "cc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM cg GROUP BY doc_id, gram), "
+    "rc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM rg GROUP BY doc_id, gram), "
+    "mm AS (SELECT cc.doc_id, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS m "
+    "FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram "
+    "GROUP BY cc.doc_id), "
+    "tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM cc "
+    "GROUP BY doc_id), "
+    "tr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM rc "
+    "GROUP BY doc_id), "
+    "j AS (SELECT tok.doc_id, COALESCE(mm.m, 0) AS matches, "
+    "COALESCE(tc.t, 0) AS cand_n, COALESCE(tr.t, 0) AS ref_n "
+    "FROM tok LEFT JOIN mm USING (doc_id) LEFT JOIN tc USING (doc_id) "
+    "LEFT JOIN tr USING (doc_id)) "
+    "SELECT doc_id, matches, cand_n, ref_n, "
+    "CASE WHEN cand_n > 0 THEN CAST(matches AS DOUBLE) / "
+    "CAST(cand_n AS DOUBLE) END AS rouge_p, "
+    "CASE WHEN ref_n > 0 THEN CAST(matches AS DOUBLE) / "
+    "CAST(ref_n AS DOUBLE) END AS rouge_r, "
+    "CASE WHEN cand_n > 0 AND ref_n > 0 THEN "
+    "CASE WHEN CAST(matches AS DOUBLE) / CAST(cand_n AS DOUBLE) + "
+    "CAST(matches AS DOUBLE) / CAST(ref_n AS DOUBLE) > 0 THEN "
+    "2.0 * (CAST(matches AS DOUBLE) / CAST(cand_n AS DOUBLE)) * "
+    "(CAST(matches AS DOUBLE) / CAST(ref_n AS DOUBLE)) / "
+    "(CAST(matches AS DOUBLE) / CAST(cand_n AS DOUBLE) + "
+    "CAST(matches AS DOUBLE) / CAST(ref_n AS DOUBLE)) ELSE 0.0 END "
+    "END AS rouge_f1 FROM j"
 )

@@ -1775,6 +1775,8 @@ class TestTailQueryOracles:
             "value_trend_by_user",
             "value_ks_by_dow",
             "value_skewkurt_by_type",
+            "docs_bleu",
+            "docs_rouge2",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

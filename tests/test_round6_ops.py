@@ -338,3 +338,133 @@ class TestGroupedSkewKurt:
             grouped_skewkurt(rd.from_pandas(big), "v", ["g"], scale=100)
         ok = grouped_skewkurt(rd.from_pandas(big), "v", ["g"], scale=10)
         assert len(ok) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBleuRouge:
+    def _pairs(self, seed=0, n=60):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(50)]
+        refs = [" ".join(rng.choice(vocab, rng.randint(5, 40))) for _ in range(n)]
+
+        def corrupt(t):
+            out = []
+            for w in t.split():
+                r = rng.rand()
+                if r < 0.1:
+                    continue
+                out.append(w)
+                if r > 0.9:
+                    out.append(w)
+            return " ".join(out) if out else "w0"
+
+        return pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64"),
+                "cand": [corrupt(t) for t in refs],
+                "ref": refs,
+            }
+        )
+
+    @staticmethod
+    def _toks(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    @staticmethod
+    def _ngrams(ts, n):
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    def _naive_bleu(self, df, max_n=4):
+        from collections import Counter
+
+        tot_m = [0] * max_n
+        tot_t = [0] * max_n
+        clen = rlen = 0
+        for c, r in zip(df["cand"], df["ref"]):
+            tc, tr = self._toks(c), self._toks(r)
+            clen += len(tc)
+            rlen += len(tr)
+            for n in range(1, max_n + 1):
+                cc, rc = Counter(self._ngrams(tc, n)), Counter(self._ngrams(tr, n))
+                tot_m[n - 1] += sum(min(v, rc[g]) for g, v in cc.items())
+                tot_t[n - 1] += sum(cc.values())
+        ps = [m / t if t else np.nan for m, t in zip(tot_m, tot_t)]
+        bp = 1.0 if clen >= rlen else math.exp(1 - rlen / clen)
+        if any(m == 0 for m in tot_m) or any(t == 0 for t in tot_t):
+            bleu = 0.0
+        else:
+            ls = 0.0
+            for p in ps:
+                ls += math.log(p)
+            bleu = bp * math.exp(ls / max_n)
+        return ps, bp, bleu, clen, rlen
+
+    def test_bleu_matches_naive_bitwise(self):
+        from ocr_platform_ray.ops.eval import bleu_corpus
+
+        df = self._pairs()
+        got = bleu_corpus(rd.from_pandas(df), "cand", "ref", max_n=4).iloc[0]
+        ps, bp, bleu, clen, rlen = self._naive_bleu(df)
+        assert got["c_len"] == clen and got["r_len"] == rlen
+        for i in range(4):
+            assert got[f"p{i+1}"] == ps[i]
+        assert got["bp"] == bp and got["bleu"] == bleu
+
+    def test_clipping_bites_and_zero_gram_level(self):
+        from ocr_platform_ray.ops.eval import bleu_corpus
+
+        # "the the the the" vs "the cat": clipped p1 = 1/4 (the classic
+        # Papineni clipping example), p2 = 0 -> BLEU = 0
+        df = pd.DataFrame({"cand": ["the the the the"], "ref": ["the cat"]})
+        got = bleu_corpus(rd.from_pandas(df), "cand", "ref", max_n=2).iloc[0]
+        assert got["p1"] == 0.25
+        assert got["p2"] == 0.0
+        assert got["bleu"] == 0.0
+
+    def test_brevity_penalty(self):
+        from ocr_platform_ray.ops.eval import bleu_corpus
+
+        df = pd.DataFrame({"cand": ["a b"], "ref": ["a b c d"]})
+        got = bleu_corpus(rd.from_pandas(df), "cand", "ref", max_n=1).iloc[0]
+        assert got["bp"] == math.exp(1 - 4 / 2)
+        assert got["bleu"] == got["bp"] * 1.0  # p1 = 1
+
+    def test_bleu_block_structure_bitwise(self):
+        from ocr_platform_ray.ops.eval import bleu_corpus
+
+        df = self._pairs(seed=5)
+        one = bleu_corpus(rd.from_pandas(df), "cand", "ref")
+        many = bleu_corpus(
+            _reblock(df.sample(frac=1.0, random_state=2), 7), "cand", "ref"
+        )
+        assert (one.to_numpy() == many.to_numpy()).all()
+
+    def test_rouge_matches_naive(self):
+        from collections import Counter
+
+        from ocr_platform_ray.ops.eval import rouge_n
+
+        df = self._pairs(seed=3)
+        got = rouge_n(rd.from_pandas(df), "id", "cand", "ref", n=2)
+        for i in [0, 11, 37, 59]:
+            tc = self._toks(df.loc[df["id"] == i, "cand"].iloc[0])
+            tr = self._toks(df.loc[df["id"] == i, "ref"].iloc[0])
+            cc, rc = Counter(self._ngrams(tc, 2)), Counter(self._ngrams(tr, 2))
+            m = sum(min(v, rc[g]) for g, v in cc.items())
+            row = got[got["id"] == i].iloc[0]
+            assert row["matches"] == m
+            assert row["cand_n"] == sum(cc.values())
+            assert row["ref_n"] == sum(rc.values())
+            if sum(rc.values()):
+                assert row["rouge_r"] == m / sum(rc.values())
+
+    def test_rouge_short_doc_nulls(self):
+        from ocr_platform_ray.ops.eval import rouge_n
+
+        df = pd.DataFrame(
+            {"id": [0, 1], "cand": ["one", "a b"], "ref": ["two words", "x"]}
+        )
+        got = rouge_n(rd.from_pandas(df), "id", "cand", "ref", n=2).set_index("id")
+        assert np.isnan(got.loc[0, "rouge_p"])  # no candidate bigrams
+        assert got.loc[0, "ref_n"] == 1
+        assert np.isnan(got.loc[1, "rouge_r"])  # no reference bigrams
