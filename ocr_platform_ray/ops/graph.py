@@ -26,6 +26,7 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -924,3 +925,209 @@ def bfs_distances(
         {"node": list(dist.keys()), "dist": np.fromiter(dist.values(), dtype="int64")}
     )
     return out.sort_values(["dist", "node"]).reset_index(drop=True)
+
+
+def link_prediction_scores(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_shards: int = 64,
+    deg_threshold_rows: int = 2_000_000,
+    max_center_degree: int = 10_000,
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
+    """Common-neighbors + Adamic–Adar link prediction (Liben-Nowell &
+    Kleinberg 2003; Adamic & Adar 2003) — "which pages/entities are
+    likely to link next", the predictive readout over the same crawl
+    graph pagerank/HITS rank: for every NON-adjacent pair (u, v) at
+    distance 2 in the undirected simple graph,
+
+        cn(u,v) = |N(u) ∩ N(v)|          (exact int64)
+        aa(u,v) = Σ_{w ∈ N(u)∩N(v)} 1 / ln(deg(w))
+
+    with the aa terms reduced per pair in ascending-``w`` order over
+    libm logs (np.log rounds off libm — a unique-degree lookup keeps
+    every term bit-identical to SQL ``ln``).  The segment reduce is
+    ``np.add.reduceat``, whose accumulation can differ from a strictly
+    sequential SQL ``SUM(term ORDER BY w)`` by one ulp on ≥3-term pairs
+    (probed) — mirrors ROUND both sides (the grouped_cat_entropy
+    precedent); cn is exact int64 regardless.  The result is
+    block-structure independent (each pair's terms are co-located and
+    reduced once).  Wedge centers need deg ≥ 2, so ln(deg) > 0.
+
+    Scale shape: the triangle machinery's canonical edge set + size-
+    aware degree reduce; adjacency explodes BOTH directions, wedges
+    generate per center-shard with a vectorized self-merge, and the
+    (u, v, w, deg_w) triples meet the tagged edge set in ONE
+    (u, v)-hash exchange where existing edges are dropped and each
+    pair's terms — co-located whole by construction — reduce with one
+    lexsort + reduceat pass.  ``max_center_degree`` caps the per-center
+    wedge blowup (the `max_posting` skew rule): mega-hub centers are
+    SKIPPED — documented under-count; their 1/ln(deg) weight is the
+    smallest in the graph and distance-2-via-megahub pairs are noise
+    predictions by construction.  The same cap must appear in any SQL
+    mirror."""
+    e = _canon_simple_edges(edges, src_col, dst_col, n_shards)
+    if e.count() == 0:
+        out = pd.DataFrame(
+            {
+                "u": pd.Series(dtype="object"),
+                "v": pd.Series(dtype="object"),
+                "cn": pd.Series(dtype="int64"),
+                "aa": pd.Series(dtype="float64"),
+            }
+        )
+        return rd.from_pandas(out) if as_dataset else out
+    deg = _edge_degrees(e, n_shards, deg_threshold_rows)
+
+    # adjacency (w = center, x = neighbor), both directions, w-sharded
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "w": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+                "x": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+            }
+        )
+        out["__shard"] = _hash_labels(out, ["w"], n_shards).astype("int64")
+        return out
+
+    adj = e.map_batches(explode, batch_format="pandas")
+
+    if isinstance(deg, pd.DataFrame):
+        dref = ray.put(deg.set_index("node")["deg"])
+
+        def wedges(g: pd.DataFrame, _dref=dref) -> pd.DataFrame:
+            dm = ray.get(_dref)
+            g = g.drop(columns="__shard")
+            g = g.assign(dw=g["w"].map(dm).to_numpy())
+            g = g[g["dw"] <= max_center_degree]
+            m = g.merge(g[["w", "x"]], on="w")
+            m = m[m["x_x"].to_numpy() < m["x_y"].to_numpy()]
+            out = pd.DataFrame(
+                {
+                    "u": m["x_x"].to_numpy(),
+                    "v": m["x_y"].to_numpy(),
+                    "w": m["w"].to_numpy(),
+                    "dw": m["dw"].to_numpy(),
+                }
+            )
+            out["__shard"] = _hash_labels(out, ["u", "v"], n_shards).astype(
+                "int64"
+            )
+            return out
+
+        trip = adj.groupby("__shard").map_groups(wedges, batch_format="pandas")
+    else:
+        dws = deg.map_batches(
+            lambda b: b.rename(columns={"node": "w", "deg": "dw"}),
+            batch_format="pandas",
+        )
+        adj_deg = bucketed_hash_join(
+            adj.map_batches(
+                lambda b: b.drop(columns="__shard"), batch_format="pandas"
+            ),
+            dws,
+            on="w",
+            n_buckets=n_shards,
+        )
+
+        def reshard_w(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["dw"] <= max_center_degree].copy()
+            b["__shard"] = _hash_labels(b, ["w"], n_shards).astype("int64")
+            return b
+
+        def wedges_ds(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns="__shard")
+            m = g.merge(g[["w", "x"]], on="w")
+            m = m[m["x_x"].to_numpy() < m["x_y"].to_numpy()]
+            out = pd.DataFrame(
+                {
+                    "u": m["x_x"].to_numpy(),
+                    "v": m["x_y"].to_numpy(),
+                    "w": m["w"].to_numpy(),
+                    "dw": m["dw"].to_numpy(),
+                }
+            )
+            out["__shard"] = _hash_labels(out, ["u", "v"], n_shards).astype(
+                "int64"
+            )
+            return out
+
+        trip = (
+            adj_deg.map_batches(reshard_w, batch_format="pandas")
+            .groupby("__shard")
+            .map_groups(wedges_ds, batch_format="pandas")
+        )
+
+    # tag existing edges into the SAME (u, v) exchange so adjacency
+    # filtering needs no separate join
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": b["a"].to_numpy(),
+                "v": b["b"].to_numpy(),
+                "w": b["a"].to_numpy(),  # placeholder, ignored
+                "dw": np.full(len(b), -1, dtype="int64"),  # edge marker
+            }
+        )
+        out["__shard"] = _hash_labels(out, ["u", "v"], n_shards).astype("int64")
+        return out
+
+    tagged = trip.union(e.map_batches(tag_edges, batch_format="pandas"))
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard")
+        is_edge = g["dw"].to_numpy() == -1
+        if is_edge.any():
+            bad = g.loc[is_edge, ["u", "v"]].drop_duplicates()
+            g = g.merge(bad, on=["u", "v"], how="left", indicator=True)
+            g = g[g["_merge"] == "left_only"].drop(columns="_merge")
+        g = g[g["dw"].to_numpy() != -1]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(dtype=g["u"].dtype if len(g.columns) else "object"),
+                    "v": pd.Series(dtype=g["v"].dtype if len(g.columns) else "object"),
+                    "cn": pd.Series(dtype="int64"),
+                    "aa": pd.Series(dtype="float64"),
+                }
+            )
+        g = g.sort_values(["u", "v", "w"], kind="mergesort").reset_index(drop=True)
+        # libm ln via a unique-degree lookup, NOT np.log: numpy's SIMD
+        # log rounds one ulp off libm on many inputs (ln(3) already) and
+        # SQL engines use libm; degrees are dim-sized so the exact table
+        # is cheap
+        dwv = g["dw"].to_numpy(dtype="float64")
+        uq = np.unique(dwv)
+        lut = np.array([math.log(x) for x in uq], dtype="float64")
+        term = 1.0 / lut[np.searchsorted(uq, dwv)]
+        grp = g.groupby(["u", "v"], sort=False)
+        starts = np.concatenate(([0], np.cumsum(grp.size().to_numpy())[:-1]))
+        aa = np.add.reduceat(term, starts)
+        first = g.iloc[starts]
+        return pd.DataFrame(
+            {
+                "u": first["u"].to_numpy(),
+                "v": first["v"].to_numpy(),
+                "cn": grp.size().to_numpy().astype("int64"),
+                "aa": aa,
+            }
+        )
+
+    scores = tagged.groupby("__shard").map_groups(
+        reduce_pairs, batch_format="pandas"
+    )
+    if as_dataset:
+        return scores
+    out = scores.to_pandas()
+    if len(out) == 0 or "cn" not in out.columns:
+        return pd.DataFrame(
+            {
+                "u": pd.Series(dtype="object"),
+                "v": pd.Series(dtype="object"),
+                "cn": pd.Series(dtype="int64"),
+                "aa": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["u", "v"]).reset_index(drop=True)

@@ -7714,6 +7714,34 @@ def q_docs_rouge2(sf_dir: str) -> pd.DataFrame:
     return rouge_n(_bleu_pairs(sf_dir), "doc_id", "cand", "ref", n=2)
 
 
+def q_link_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Common-neighbors + Adamic–Adar link prediction over a synthesized
+    doc link graph (`ops/graph.link_prediction_scores` — wedge self-merge
+    per center shard, one (u, v)-hash exchange where existing edges drop
+    and each pair's 1/ln(deg) terms reduce co-located).  Edges i → (7i)
+    mod 500 give varied degrees; aa ROUND 6 both sides (the reduceat
+    accumulator ulp).  Full three-way self-join SQL oracle in
+    TestTailQueryOracles."""
+    from ..ops.graph import link_prediction_scores
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy() % 500
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([ids, ids]),
+                "dst": np.concatenate([(ids * 7) % 500, (ids + 1) % 500]),
+            }
+        )
+
+    out = link_prediction_scores(
+        docs.map_batches(links, batch_format="pandas"), "src", "dst"
+    )
+    out["aa"] = _round_half_away(out["aa"], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8048,6 +8076,7 @@ QUERIES = {
     "value_skewkurt_by_type": q_value_skewkurt_by_type,
     "docs_bleu": q_docs_bleu,
     "docs_rouge2": q_docs_rouge2,
+    "link_adamic_adar": q_link_adamic_adar,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10870,4 +10899,25 @@ ORACLE_SQL["docs_rouge2"] = (
     "(CAST(matches AS DOUBLE) / CAST(cand_n AS DOUBLE) + "
     "CAST(matches AS DOUBLE) / CAST(ref_n AS DOUBLE)) ELSE 0.0 END "
     "END AS rouge_f1 FROM j"
+)
+
+# Adamic–Adar / common neighbors: identical edge arithmetic, canonical
+# LEAST/GREATEST dedup, wedge self-join with the same degree cap,
+# NOT-EXISTS adjacency filter, ordered ln sum ROUND 6 (reduceat ulp).
+ORACLE_SQL["link_adamic_adar"] = (
+    "WITH ids AS (SELECT DISTINCT doc_id % 500 AS i FROM documents), "
+    "raw AS (SELECT i AS s, (i * 7) % 500 AS d FROM ids "
+    "UNION ALL SELECT i, (i + 1) % 500 FROM ids), "
+    "e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+    "FROM raw WHERE s <> d), "
+    "adj AS (SELECT a AS w, b AS x FROM e UNION ALL SELECT b, a FROM e), "
+    "deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dw FROM adj GROUP BY w), "
+    "wed AS (SELECT a1.x AS u, a2.x AS v, a1.w, deg.dw "
+    "FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x "
+    "JOIN deg ON deg.w = a1.w WHERE deg.dw <= 10000), "
+    "ne AS (SELECT u, v, w, dw FROM wed WHERE NOT EXISTS "
+    "(SELECT 1 FROM e WHERE e.a = wed.u AND e.b = wed.v)) "
+    "SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, "
+    "ROUND(SUM(1.0 / ln(CAST(dw AS DOUBLE)) ORDER BY w), 6) AS aa "
+    "FROM ne GROUP BY u, v"
 )

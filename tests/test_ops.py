@@ -1777,6 +1777,7 @@ class TestTailQueryOracles:
             "value_skewkurt_by_type",
             "docs_bleu",
             "docs_rouge2",
+            "link_adamic_adar",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -468,3 +468,103 @@ class TestBleuRouge:
         assert np.isnan(got.loc[0, "rouge_p"])  # no candidate bigrams
         assert got.loc[0, "ref_n"] == 1
         assert np.isnan(got.loc[1, "rouge_r"])  # no reference bigrams
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkPrediction:
+    def _edges(self, seed=0, n_nodes=60, n_edges=150):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "src": rng.randint(0, n_nodes, n_edges),
+                "dst": rng.randint(0, n_nodes, n_edges),
+            }
+        )
+
+    def _naive(self, df):
+        E = set()
+        for s, d in zip(df["src"], df["dst"]):
+            if s != d:
+                E.add((min(s, d), max(s, d)))
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {k: len(v) for k, v in adj.items()}
+        rows = []
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if (u, v) in E:
+                    continue
+                common = sorted(adj[u] & adj[v])
+                if not common:
+                    continue
+                aa = 0.0
+                for w in common:
+                    aa += 1.0 / math.log(deg[w])
+                rows.append(dict(u=u, v=v, cn=len(common), aa=aa))
+        return pd.DataFrame(rows).sort_values(["u", "v"]).reset_index(drop=True)
+
+    def test_matches_naive_both_degree_routes(self):
+        from ocr_platform_ray.ops.graph import link_prediction_scores
+
+        df = self._edges()
+        want = self._naive(df)
+        for thr in (2_000_000, 0):  # driver-broadcast vs Dataset degrees
+            got = link_prediction_scores(
+                rd.from_pandas(df), "src", "dst", deg_threshold_rows=thr
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            np.testing.assert_allclose(
+                got["aa"].to_numpy(), want["aa"].to_numpy(), rtol=1e-12
+            )
+
+    def test_path_graph_planted(self):
+        from ocr_platform_ray.ops.graph import link_prediction_scores
+
+        # path 0-1-2: only candidate pair (0, 2) via center 1 (deg 2)
+        df = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+        got = link_prediction_scores(rd.from_pandas(df), "src", "dst")
+        assert len(got) == 1
+        assert (got.iloc[0]["u"], got.iloc[0]["v"], got.iloc[0]["cn"]) == (0, 2, 1)
+        assert got.iloc[0]["aa"] == 1.0 / math.log(2.0)
+
+    def test_center_degree_cap_skips_hub(self):
+        from ocr_platform_ray.ops.graph import link_prediction_scores
+
+        # star: hub 0 connects 1..9; plus an edge 1-2 making deg(1)=deg(2)=2
+        df = pd.DataFrame(
+            {"src": [0] * 9 + [1], "dst": list(range(1, 10)) + [2]}
+        )
+        full = link_prediction_scores(rd.from_pandas(df), "src", "dst")
+        # cap below the hub degree: only wedges via centers 1 and 2 remain
+        capped = link_prediction_scores(
+            rd.from_pandas(df), "src", "dst", max_center_degree=5
+        )
+        assert len(full) > len(capped)
+        # centers 1, 2 (deg 2) give candidate pairs (0,2)? 0-2 is an edge;
+        # via center 1: (0,2) edge, via center 2: (0,1) edge -> none survive
+        assert len(capped) == 0
+
+    def test_string_ids_and_block_independence(self):
+        from ocr_platform_ray.ops.graph import link_prediction_scores
+
+        df = self._edges(seed=7)
+        sdf = pd.DataFrame(
+            {"src": [f"h{x}" for x in df["src"]], "dst": [f"h{x}" for x in df["dst"]]}
+        )
+        one = link_prediction_scores(rd.from_pandas(sdf), "src", "dst")
+        many = link_prediction_scores(
+            _reblock(sdf.sample(frac=1.0, random_state=5), 6), "src", "dst"
+        )
+        pd.testing.assert_frame_equal(one, many)
+        assert (one["aa"].to_numpy() == many["aa"].to_numpy()).all()
+
+    def test_empty(self):
+        from ocr_platform_ray.ops.graph import link_prediction_scores
+
+        df = pd.DataFrame({"src": [5], "dst": [5]})  # only a self-loop
+        got = link_prediction_scores(rd.from_pandas(df), "src", "dst")
+        assert len(got) == 0
+        assert list(got.columns) == ["u", "v", "cn", "aa"]
