@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .relational import _hash_labels
+from .relational import _hash_labels, bucketed_hash_join
 from .similarity import _index_units
 
 
@@ -636,3 +636,74 @@ def bm25_search_incremental(
     return _score_posting_files(
         files, terms, n_docs=n_docs, avgdl=avgdl, id_col=id_col, k=k, k1=k1, b=b
     )
+
+
+def rrf_fuse(
+    a: "pd.DataFrame | rd.Dataset",
+    b: "pd.DataFrame | rd.Dataset",
+    *,
+    on: list[str],
+    rank_col: str = "rk",
+    k: int = 60,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttner 2009) of two
+    ranked result lists — the standard hybrid-retrieval combiner for a
+    lexical ranking (BM25) and a second ranking (dense ANN, tf, recency)
+    over the same key space::
+
+        rrf(d) = Σ_lists d∈list  1 / (k + rank_d)        (k = 60)
+
+    ``on`` is the identity (``[doc_id]``, or ``[query_id, doc_id]`` for
+    a whole query corpus fused in one call); each input holds one row
+    per key with its 1-based ``rank_col``.  The score is the fixed
+    two-term expression ``coalesce(1/(k+rk_a), 0) + coalesce(1/(k+rk_b),
+    0)`` — left-associated, one term per list, so it is bit-identical to
+    a SQL mirror and to any block structure.  Ties (equal fused score)
+    order by ``on`` ascending in the returned frame.
+
+    Scale shape: rank lists are top-k tables — report-dim by
+    construction — so two pandas inputs fuse with one driver outer
+    merge; Dataset inputs (per-query corpus fusion) route through ONE
+    bucketed full-outer hash exchange on ``on`` and reduce map-side.
+    Nothing rescores the corpus: fusion sees only ranks."""
+    keys = list(on)
+
+    def finish(m: pd.DataFrame) -> pd.DataFrame:
+        ra = m["__rk_a"].to_numpy(dtype="float64")
+        rb = m["__rk_b"].to_numpy(dtype="float64")
+        ta = np.where(np.isnan(ra), 0.0, 1.0 / (float(k) + ra))
+        tb = np.where(np.isnan(rb), 0.0, 1.0 / (float(k) + rb))
+        out = m[keys].copy()
+        out["rrf_score"] = ta + tb
+        out["in_a"] = (~np.isnan(ra)).astype("int64")
+        out["in_b"] = (~np.isnan(rb)).astype("int64")
+        return out
+
+    if isinstance(a, pd.DataFrame) and isinstance(b, pd.DataFrame):
+        aa = a[keys + [rank_col]].rename(columns={rank_col: "__rk_a"})
+        bb = b[keys + [rank_col]].rename(columns={rank_col: "__rk_b"})
+        m = aa.merge(bb, on=keys, how="outer")
+        out = finish(m)
+    else:
+        to_ds = (lambda x: rd.from_pandas(x) if isinstance(x, pd.DataFrame) else x)
+        aa = to_ds(a).map_batches(
+            lambda t: t[keys + [rank_col]].rename(columns={rank_col: "__rk_a"}),
+            batch_format="pandas",
+        )
+        bb = to_ds(b).map_batches(
+            lambda t: t[keys + [rank_col]].rename(columns={rank_col: "__rk_b"}),
+            batch_format="pandas",
+        )
+        j = bucketed_hash_join(aa, bb, on=keys, how="outer", n_buckets=n_buckets)
+
+        def fin_batch(t: pd.DataFrame) -> pd.DataFrame:
+            for c in ("__rk_a", "__rk_b"):
+                if c not in t.columns:
+                    t = t.assign(**{c: np.nan})
+            return finish(t)
+
+        out = j.map_batches(fin_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(
+        ["rrf_score", *keys], ascending=[False] + [True] * len(keys)
+    ).reset_index(drop=True)

@@ -7742,6 +7742,47 @@ def q_link_adamic_adar(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists over the documents
+    corpus (`ops/search.rrf_fuse` — Cormack 2009, k=60): list A = BM25
+    top-20 for the fixed query (the oracled `bm25_topk`), list B = raw
+    query-term-frequency top-20 (no idf/length norm — a deliberately
+    different lexical view).  Fusion sees only ranks; the fused score is
+    the fixed two-term coalesce expression, bitwise SQL-mirrorable.
+    Full SQL oracle in TestTailQueryOracles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.search import bm25_topk, rrf_fuse
+
+    terms = ("table", "scan", "merge", "window")
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    a = bm25_topk(ds, " ".join(terms), id_col="doc_id", text_col="text", k=20)
+    a["rk"] = np.arange(1, len(a) + 1, dtype="int64")
+
+    def tf_prune(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(b["text"].fillna(""), pa.string())),
+            pattern=" ",
+        )
+        flat = np.asarray(toks.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
+        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        tf = np.zeros(len(b), dtype="int64")
+        for t in terms:
+            np.add.at(tf, doc_of[flat == t], 1)
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "tf": tf})
+        out = out[out["tf"] > 0]
+        return out.sort_values(["tf", "doc_id"], ascending=[False, True]).head(20)
+
+    bt = ds.map_batches(tf_prune, batch_format="pandas").to_pandas()
+    bt = bt.sort_values(["tf", "doc_id"], ascending=[False, True]).head(20)
+    bt["rk"] = np.arange(1, len(bt) + 1, dtype="int64")
+
+    fused = rrf_fuse(a, bt, on=["doc_id"], rank_col="rk", k=60)
+    return fused.head(10).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8077,6 +8118,7 @@ QUERIES = {
     "docs_bleu": q_docs_bleu,
     "docs_rouge2": q_docs_rouge2,
     "link_adamic_adar": q_link_adamic_adar,
+    "hybrid_rrf_top10": q_hybrid_rrf_top10,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -10920,4 +10962,48 @@ ORACLE_SQL["link_adamic_adar"] = (
     "SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, "
     "ROUND(SUM(1.0 / ln(CAST(dw AS DOUBLE)) ORDER BY w), 6) AS aa "
     "FROM ne GROUP BY u, v"
+)
+
+# RRF fusion: the bm25_top10 scoring CTE (same terms, same operand
+# order) ranked to 20, a tf-count second ranker, full outer join,
+# fixed coalesce expression, top 10 by (score DESC, doc_id).
+ORACLE_SQL["hybrid_rrf_top10"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl, "
+    + ", ".join(
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t = '{term}')) AS DOUBLE) AS tf_{j}"
+        for j, term in enumerate(("table", "scan", "merge", "window"))
+    )
+    + " FROM documents), "
+    "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+    "SUM(dl) / COUNT(*) AS avgdl, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{j}"
+        for j in range(4)
+    )
+    + " FROM tok), "
+    "scored AS (SELECT doc_id, "
+    + " + ".join(
+        f"ln(1 + (n - df_{j} + 0.5) / (df_{j} + 0.5)) * tf_{j} "
+        f"/ (tf_{j} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for j in range(4)
+    )
+    + " AS score FROM tok, stats), "
+    "ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY score DESC, doc_id) AS BIGINT) AS rka FROM scored "
+    "WHERE score > 0 QUALIFY rka <= 20), "
+    "tfr AS (SELECT doc_id, CAST(tf_0 + tf_1 + tf_2 + tf_3 AS BIGINT) "
+    "AS tf FROM tok WHERE tf_0 + tf_1 + tf_2 + tf_3 > 0), "
+    "rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY tf DESC, doc_id) AS BIGINT) AS rkb FROM tfr "
+    "QUALIFY rkb <= 20), "
+    "f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, "
+    "COALESCE(1.0 / (60 + ra.rka), 0.0) + "
+    "COALESCE(1.0 / (60 + rb.rkb), 0.0) AS rrf_score, "
+    "CAST(CASE WHEN ra.rka IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_a, "
+    "CAST(CASE WHEN rb.rkb IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_b "
+    "FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id) "
+    "SELECT doc_id, rrf_score, in_a, in_b FROM f "
+    "ORDER BY rrf_score DESC, doc_id LIMIT 10"
 )

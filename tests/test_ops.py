@@ -1778,6 +1778,7 @@ class TestTailQueryOracles:
             "docs_bleu",
             "docs_rouge2",
             "link_adamic_adar",
+            "hybrid_rrf_top10",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

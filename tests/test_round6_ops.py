@@ -568,3 +568,55 @@ class TestLinkPrediction:
         got = link_prediction_scores(rd.from_pandas(df), "src", "dst")
         assert len(got) == 0
         assert list(got.columns) == ["u", "v", "cn", "aa"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRrfFuse:
+    def _lists(self):
+        a = pd.DataFrame({"doc_id": [1, 2, 3, 4], "rk": [1, 2, 3, 4]})
+        b = pd.DataFrame({"doc_id": [3, 5, 1], "rk": [1, 2, 3]})
+        return a, b
+
+    def test_fixed_expression_and_membership(self):
+        from ocr_platform_ray.ops.search import rrf_fuse
+
+        a, b = self._lists()
+        got = rrf_fuse(a, b, on=["doc_id"], k=60).set_index("doc_id")
+        assert got.loc[1, "rrf_score"] == 1.0 / 61 + 1.0 / 63
+        assert got.loc[3, "rrf_score"] == 1.0 / 63 + 1.0 / 61
+        assert got.loc[5, "rrf_score"] == 1.0 / 62
+        assert got.loc[2, "rrf_score"] == 1.0 / 62
+        assert (got.loc[5, "in_a"], got.loc[5, "in_b"]) == (0, 1)
+        assert (got.loc[2, "in_a"], got.loc[2, "in_b"]) == (1, 0)
+        # union of both lists, no dupes
+        assert sorted(got.index) == [1, 2, 3, 4, 5]
+
+    def test_rank_order_and_ties(self):
+        from ocr_platform_ray.ops.search import rrf_fuse
+
+        a, b = self._lists()
+        got = rrf_fuse(a, b, on=["doc_id"], k=60)
+        # scores descending; equal scores (docs 2 and 5 both 1/62) break
+        # by doc_id ascending
+        s = got["rrf_score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+        tie = got[got["rrf_score"] == 1.0 / 62]["doc_id"].tolist()
+        assert tie == [2, 5]
+
+    def test_dataset_route_equals_pandas_and_query_corpus(self):
+        from ocr_platform_ray.ops.search import rrf_fuse
+
+        rng = np.random.RandomState(0)
+        rows_a, rows_b = [], []
+        for q in range(5):
+            docs = rng.permutation(50)[:20]
+            rows_a += [{"q": q, "doc_id": int(d), "rk": i + 1} for i, d in enumerate(docs)]
+            docs = rng.permutation(50)[:20]
+            rows_b += [{"q": q, "doc_id": int(d), "rk": i + 1} for i, d in enumerate(docs)]
+        a, b = pd.DataFrame(rows_a), pd.DataFrame(rows_b)
+        drv = rrf_fuse(a, b, on=["q", "doc_id"])
+        ds = rrf_fuse(
+            rd.from_pandas(a), rd.from_pandas(b), on=["q", "doc_id"]
+        )
+        pd.testing.assert_frame_equal(drv, ds, check_dtype=False)
+        assert (drv["rrf_score"].to_numpy() == ds["rrf_score"].to_numpy()).all()
