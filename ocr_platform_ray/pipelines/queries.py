@@ -7783,6 +7783,119 @@ def q_hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     return fused.head(10).reset_index(drop=True)
 
 
+def q_xml_docs(sf_dir: str) -> pd.DataFrame:
+    """XML source + sink roundtrip (`sources/xml_io.py` — the remaining
+    row-framed interchange format, JSONL's directory contract: content-
+    keyed idempotent shards, atomic publish, schema attribute pinning
+    exact dtypes): documents write to gzipped XML shards and parse back;
+    the per-lang doc-count / char-sum aggregate over the ROUNDTRIPPED
+    data must equal SQL over the original parquet — write+read fidelity
+    through escaping, not just the reduce.  Full SQL oracle in
+    TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.xml_io import read_xml, write_xml_dataset
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory(prefix="xml_docs_") as td:
+        files = write_xml_dataset(docs, td, compress=True)
+        assert files, "XML sink wrote no shards"
+        back = read_xml(files, columns=["text", "lang", "n_chars"])
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("lang", as_index=False)
+            .agg(n_docs=("l", "size"), sum_len=("l", "sum"),
+                 sum_chars=("n_chars", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["lang"],
+            {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum"),
+             "sum_chars": ("sum_chars", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    for c in ("n_docs", "sum_len", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_wiki_dump_docs(sf_dir: str) -> pd.DataFrame:
+    """Foreign-XML (MediaWiki-dump-shaped) ingestion
+    (`sources/xml_io.read_xml(record_tag=...)` — the namespace-blind
+    nested-path parse that reads the public wiki exports): each block of
+    documents renders into one ``<mediawiki><page>…`` dump file with
+    escaped text, the dump parses back through the foreign route, and
+    the per-lang page-count / text-length aggregate must equal SQL over
+    the original parquet.  Full SQL oracle in TestTailQueryOracles."""
+    import tempfile
+
+    from ..ops.relational import auto_group_agg
+    from ..sources.xml_io import _esc, read_xml
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def render(b: pd.DataFrame, td: str) -> pd.DataFrame:
+        import hashlib
+        import os
+
+        t = _esc(b["text"].fillna("").astype(object).astype(str))
+        la = _esc(b["lang"].fillna("").astype(object).astype(str))
+        pages = (
+            "  <page><title>doc "
+            + b["doc_id"].astype("int64").astype(str)
+            + "</title><lang>"
+            + la.to_numpy(dtype=object)
+            + "</lang><revision><id>1</id><text>"
+            + t.to_numpy(dtype=object)
+            + "</text></revision></page>"
+        )
+        payload = (
+            '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">\n'
+            + "\n".join(pages.tolist())
+            + "\n</mediawiki>\n"
+        ).encode("utf-8")
+        key = hashlib.sha1(payload).hexdigest()[:16]
+        path = os.path.join(td, f"dump-{key}.xml")
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path]})
+
+    with tempfile.TemporaryDirectory(prefix="wiki_dump_") as td:
+        paths = (
+            docs.map_batches(
+                lambda b, _td=td: render(b, _td), batch_format="pandas"
+            )
+            .to_pandas()["path"]
+            .tolist()
+        )
+        back = read_xml(
+            sorted(paths),
+            record_tag="page",
+            fields={"lang": "lang", "text": "revision/text"},
+        )
+        partials = back.map_batches(
+            lambda b: b.assign(l=b["text"].fillna("").str.len())
+            .groupby("lang", as_index=False)
+            .agg(n_pages=("l", "size"), sum_len=("l", "sum")),
+            batch_format="pandas",
+        )
+        out = auto_group_agg(
+            partials,
+            ["lang"],
+            {"n_pages": ("n_pages", "sum"), "sum_len": ("sum_len", "sum")},
+        )
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["sum_len"] = out["sum_len"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8119,6 +8232,8 @@ QUERIES = {
     "docs_rouge2": q_docs_rouge2,
     "link_adamic_adar": q_link_adamic_adar,
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
+    "xml_docs": q_xml_docs,
+    "wiki_dump_docs": q_wiki_dump_docs,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11006,4 +11121,20 @@ ORACLE_SQL["hybrid_rrf_top10"] = (
     "FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id) "
     "SELECT doc_id, rrf_score, in_a, in_b FROM f "
     "ORDER BY rrf_score DESC, doc_id LIMIT 10"
+)
+
+# XML roundtrip: the reduce over write->read data vs the original rows.
+ORACLE_SQL["xml_docs"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(text)) AS BIGINT) AS sum_len, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY lang"
+)
+
+# Foreign wiki-dump route: escaped render -> namespace-blind nested
+# parse must restore text verbatim.
+ORACLE_SQL["wiki_dump_docs"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+    "CAST(SUM(length(text)) AS BIGINT) AS sum_len "
+    "FROM documents GROUP BY lang"
 )

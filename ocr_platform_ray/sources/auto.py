@@ -15,6 +15,7 @@ Formats and their extensions:
     tfrecord  .tfrecord  .tfrecord.gz  .tfrecords
     avro      .avro
     sqlite    .sqlite  .db
+    xml       .xml  .xml.gz
     warc      .warc  .warc.gz   (read-only here; pages-table schema)
     wet       .wet   .wet.gz    (read: conversion records)
 
@@ -36,6 +37,7 @@ from .jsonl import read_jsonl, write_jsonl_dataset
 from .sqlite_io import read_sqlite, write_sqlite_dataset
 from .tfrecord import read_tfrecord, write_tfrecord_dataset
 from .warc import read_warc, read_wet
+from .xml_io import read_xml, write_xml_dataset
 
 _EXT_FORMAT = [
     ((".parquet",), "parquet"),
@@ -46,12 +48,16 @@ _EXT_FORMAT = [
     ((".tfrecord", ".tfrecord.gz", ".tfrecords"), "tfrecord"),
     ((".avro",), "avro"),
     ((".sqlite", ".db"), "sqlite"),
+    ((".xml", ".xml.gz"), "xml"),
     ((".warc", ".warc.gz"), "warc"),
     ((".wet", ".wet.gz"), "wet"),
 ]
 
 READ_FORMATS = tuple(f for _, f in _EXT_FORMAT)
-WRITE_FORMATS = ("parquet", "jsonl", "csv", "ipc", "orc", "tfrecord", "avro", "sqlite")
+WRITE_FORMATS = (
+    "parquet", "jsonl", "csv", "ipc", "orc", "tfrecord", "avro", "sqlite",
+    "xml",
+)
 
 
 def detect_format(path: str) -> str:
@@ -97,6 +103,8 @@ def read_auto(
         return read_avro(path, columns=columns)
     if fmt == "sqlite":
         return read_sqlite(path, columns=columns)
+    if fmt == "xml":
+        return read_xml(path, columns=columns)
     if fmt in ("warc", "wet"):
         ds = read_warc(path) if fmt == "warc" else read_wet(path)
         return ds.select_columns(columns) if columns else ds
@@ -124,4 +132,6 @@ def write_auto(ds: rd.Dataset, out_dir: str, fmt: str) -> int:
         return len(write_avro_dataset(ds, out_dir))
     if fmt == "sqlite":
         return len(write_sqlite_dataset(ds, out_dir))
+    if fmt == "xml":
+        return len(write_xml_dataset(ds, out_dir))
     raise ValueError(f"write_auto: unknown format {fmt!r} (have {WRITE_FORMATS})")

@@ -1779,6 +1779,8 @@ class TestTailQueryOracles:
             "docs_rouge2",
             "link_adamic_adar",
             "hybrid_rrf_top10",
+            "xml_docs",
+            "wiki_dump_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -620,3 +620,129 @@ class TestRrfFuse:
         )
         pd.testing.assert_frame_equal(drv, ds, check_dtype=False)
         assert (drv["rrf_score"].to_numpy() == ds["rrf_score"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestXmlSource:
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "i": np.array([1, -9223372036854775807, 42], dtype="int64"),
+                "f": [0.1, -1e300, float("nan")],
+                "b": [True, False, True],
+                "t": pd.Series(
+                    np.array(
+                        [
+                            "2024-01-01T12:34:56.789012",
+                            "1970-01-01T00:00:00.000000",
+                            "2030-06-15T23:59:59.000000",
+                        ],
+                        dtype="datetime64[us]",
+                    )
+                ),
+                "s": ['hello <world> & "stuff"', "unicode: héllo 漢字", None],
+            }
+        )
+
+    def test_roundtrip_exact_and_idempotent(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml, write_xml_dataset
+
+        df = self._df()
+        files = write_xml_dataset(rd.from_pandas(df), str(tmp_path))
+        back = read_xml(files).to_pandas()[df.columns.tolist()]
+        pd.testing.assert_frame_equal(
+            back.reset_index(drop=True), df.reset_index(drop=True),
+            check_dtype=False,
+        )
+        # float exactness to the bit (repr shortest-roundtrip)
+        assert np.array_equal(
+            back["f"].to_numpy(), df["f"].to_numpy(), equal_nan=True
+        )
+        bytes1 = {f: open(f, "rb").read() for f in files}
+        files2 = write_xml_dataset(rd.from_pandas(df), str(tmp_path))
+        assert files == files2
+        assert all(open(f, "rb").read() == bytes1[f] for f in files)
+
+    def test_gzip_equals_plain_and_stale_cleanup(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml, write_xml_dataset
+
+        df = self._df()
+        d1, d2 = str(tmp_path / "p"), str(tmp_path / "g")
+        write_xml_dataset(rd.from_pandas(df), d1)
+        write_xml_dataset(rd.from_pandas(df), d2, compress=True)
+        a = read_xml(d1).to_pandas().sort_values("i").reset_index(drop=True)
+        b = read_xml(d2).to_pandas().sort_values("i").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # stale shard from "another run" is removed after publish
+        import os
+
+        stale = os.path.join(d1, "part-deadbeef.xml")
+        open(stale, "w").write("<records schema='i:int'></records>")
+        write_xml_dataset(rd.from_pandas(df), d1)
+        assert not os.path.exists(stale)
+
+    def test_projection_and_nulls(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml, write_xml_dataset
+
+        df = pd.DataFrame(
+            {
+                "a": pd.array([1, None, 3], dtype="Int64"),
+                "s": ["x", "y", "z"],
+            }
+        )
+        files = write_xml_dataset(rd.from_pandas(df), str(tmp_path))
+        back = read_xml(files, columns=["a"]).to_pandas()
+        assert list(back.columns) == ["a"]
+        assert back["a"].isna().sum() == 1
+        assert back["a"].dropna().astype("int64").tolist() == [1, 3]
+
+    def test_list_column_raises(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import write_xml_dataset
+
+        df = pd.DataFrame({"l": [[1, 2], [3]]})
+        with pytest.raises(Exception, match="scalars only"):
+            write_xml_dataset(rd.from_pandas(df), str(tmp_path))
+
+    def test_foreign_wiki_dump(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml
+
+        wiki = (
+            b'<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">\n'
+            b"<page><title>Foo</title><ns>0</ns>"
+            b"<revision><id>1</id><text>body of foo</text></revision></page>\n"
+            b"<page><title>Bar &amp; &lt;Baz&gt;</title>"
+            b"<revision><id>2</id><text>body of bar</text></revision></page>\n"
+            b"<page><title>NoText</title><revision><id>3</id></revision>"
+            b"</page>\n</mediawiki>"
+        )
+        p = tmp_path / "dump.xml"
+        p.write_bytes(wiki)
+        got = read_xml(
+            [str(p)],
+            record_tag="page",
+            fields={"title": "title", "text": "revision/text"},
+        ).to_pandas()
+        assert got["title"].tolist() == ["Foo", "Bar & <Baz>", "NoText"]
+        assert got["text"].tolist()[:2] == ["body of foo", "body of bar"]
+        assert got["text"].isna().tolist() == [False, False, True]
+
+    def test_foreign_default_fields(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml
+
+        xml = b"<r><item><k>a</k><v>1</v></item><item><k>b</k><v>2</v></item></r>"
+        p = tmp_path / "d.xml"
+        p.write_bytes(xml)
+        got = read_xml([str(p)], record_tag="item").to_pandas()
+        assert sorted(got.columns) == ["k", "v"]
+        assert got["k"].tolist() == ["a", "b"]
+
+    def test_auto_dispatch(self, tmp_path):
+        from ocr_platform_ray.sources.auto import detect_format, read_auto, write_auto
+
+        df = pd.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+        d = str(tmp_path / "x")
+        n = write_auto(rd.from_pandas(df), d, "xml")
+        assert n >= 1
+        assert detect_format(d) == "xml"
+        back = read_auto(d).to_pandas().sort_values("a").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[["a", "s"]], df, check_dtype=False)
