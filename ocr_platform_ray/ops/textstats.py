@@ -861,3 +861,108 @@ def add_readability(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return out
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def zipf_fit(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    *,
+    top_k: int = 1000,
+    n_shards: int = 32,
+    driver_threshold_rows: int = 2_000_000,
+) -> pd.DataFrame:
+    """Zipf rank–frequency fit over the corpus vocabulary (Zipf 1949 —
+    the corpus-statistics health check: natural language tracks
+    freq ∝ rank^s with s ≈ −1; a fit far off −1 flags boilerplate
+    floods, template spam or tokenizer damage): OLS of ln(freq) on
+    ln(rank) over the ``top_k`` most frequent tokens, rank by
+    (count DESC, token) — a deterministic total order.
+
+    Scale shape: the corpus-wide work is exactly ONE token-count reduce
+    (in-batch value_counts combiners into the size-aware
+    `auto_group_agg` finish); the exchange route local-prunes each
+    block to its own top-k before the driver sees anything, so at most
+    ``n_blocks · top_k`` candidate rows ever land driver-side (the
+    bm25 local-prune rule — a block's rank-k'th count lower-bounds the
+    global k'th).  The regression runs on the k-dim table with libm
+    logs and STRICTLY SEQUENTIAL sums in rank order; DuckDB's ordered
+    SUM re-associates by ~1e-13 (the Benford/entropy house note), so
+    mirrors ROUND the outputs.
+
+    Returns one row: k, n1 (top token's count), slope, intercept, r2."""
+    import math
+
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
+            pattern=" ",
+        )
+        flat = toks.flatten().to_pandas()
+        vc = flat[flat != ""].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    from .relational import auto_group_agg
+
+    counts = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"],
+        {"n": ("n", "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(counts, pd.DataFrame):
+        pruned = counts.map_batches(
+            lambda b: b.sort_values(
+                ["n", "token"], ascending=[False, True]
+            ).head(top_k),
+            batch_format="pandas",
+        ).to_pandas()
+        counts = pruned
+    if len(counts) == 0 or "n" not in counts.columns:
+        return pd.DataFrame(
+            {
+                "k": pd.Series([0], dtype="int64"),
+                "n1": pd.Series([0], dtype="int64"),
+                "slope": pd.Series([np.nan]),
+                "intercept": pd.Series([np.nan]),
+                "r2": pd.Series([np.nan]),
+            }
+        )
+    top = (
+        counts.sort_values(["n", "token"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    k = len(top)
+    ns = top["n"].to_numpy(dtype="int64")
+    sx = sy = sxy = sxx = syy = 0.0
+    for r in range(k):  # sequential, rank ascending — the mirrored order
+        x = math.log(float(r + 1))
+        y = math.log(float(ns[r]))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    kn = float(k)
+    den = kn * sxx - sx * sx
+    num = kn * sxy - sx * sy
+    slope = num / den if den != 0.0 else np.nan
+    intercept = (sy - slope * sx) / kn if den != 0.0 else np.nan
+    deny = kn * syy - sy * sy
+    r2 = (num * num) / (den * deny) if den != 0.0 and deny != 0.0 else np.nan
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "n1": pd.Series([int(ns[0])], dtype="int64"),
+            "slope": pd.Series([slope], dtype="float64"),
+            "intercept": pd.Series([intercept], dtype="float64"),
+            "r2": pd.Series([r2], dtype="float64"),
+        }
+    )

@@ -7896,6 +7896,21 @@ def q_wiki_dump_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_token_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Zipf rank–frequency fit over the documents vocabulary
+    (`ops/textstats.zipf_fit` — ONE token-count reduce, exchange-route
+    local prune, k-dim OLS of ln(freq) on ln(rank) with sequential libm
+    sums).  slope/intercept/r2 ROUND 6 both sides (DuckDB's ordered SUM
+    re-associates ~1e-13).  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.textstats import zipf_fit
+
+    docs = _t(sf_dir, "documents", ["text"])
+    out = zipf_fit(docs, "text", top_k=500)
+    for c in ("slope", "intercept", "r2"):
+        out[c] = _round_half_away(out[c], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8234,6 +8249,7 @@ QUERIES = {
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "xml_docs": q_xml_docs,
     "wiki_dump_docs": q_wiki_dump_docs,
+    "token_zipf_fit": q_token_zipf_fit,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11137,4 +11153,30 @@ ORACLE_SQL["wiki_dump_docs"] = (
     "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages, "
     "CAST(SUM(length(text)) AS BIGINT) AS sum_len "
     "FROM documents GROUP BY lang"
+)
+
+# Zipf fit: identical tokenization and rank order, ordered ln sums,
+# the verbatim OLS expressions, ROUND 6 (ordered-SUM reassociation).
+ORACLE_SQL["token_zipf_fit"] = (
+    "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token "
+    "FROM documents), "
+    "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+    "WHERE token <> '' GROUP BY token), "
+    "r AS (SELECT token, n, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY n DESC, token) AS BIGINT) AS rk FROM c QUALIFY rk <= 500), "
+    "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kn, "
+    "CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n1, "
+    "CAST(COUNT(*) AS BIGINT) AS k, "
+    "SUM(ln(CAST(rk AS DOUBLE)) ORDER BY rk) AS sx, "
+    "SUM(ln(CAST(n AS DOUBLE)) ORDER BY rk) AS sy, "
+    "SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rk) AS sxy, "
+    "SUM(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) ORDER BY rk) AS sxx, "
+    "SUM(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY rk) AS syy "
+    "FROM r) "
+    "SELECT k, n1, "
+    "ROUND((kn * sxy - sx * sy) / (kn * sxx - sx * sx), 6) AS slope, "
+    "ROUND((sy - ((kn * sxy - sx * sy) / (kn * sxx - sx * sx)) * sx) / kn, 6) "
+    "AS intercept, "
+    "ROUND(((kn * sxy - sx * sy) * (kn * sxy - sx * sy)) / "
+    "((kn * sxx - sx * sx) * (kn * syy - sy * sy)), 6) AS r2 FROM s"
 )

@@ -1781,6 +1781,7 @@ class TestTailQueryOracles:
             "hybrid_rrf_top10",
             "xml_docs",
             "wiki_dump_docs",
+            "token_zipf_fit",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

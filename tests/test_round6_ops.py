@@ -746,3 +746,65 @@ class TestXmlSource:
         assert detect_format(d) == "xml"
         back = read_auto(d).to_pandas().sort_values("a").reset_index(drop=True)
         pd.testing.assert_frame_equal(back[["a", "s"]], df, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZipfFit:
+    def _corpus(self, zipfian=True, n_types=200, seed=0):
+        rng = np.random.RandomState(seed)
+        words = []
+        for r in range(1, n_types + 1):
+            c = max(1, int(round(3000 / r))) if zipfian else 15
+            words += [f"w{r:04d}"] * c
+        rng.shuffle(words)
+        docs = [" ".join(words[i : i + 50]) for i in range(0, len(words), 50)]
+        return pd.DataFrame({"text": docs})
+
+    def test_planted_zipf_recovers_slope(self):
+        from ocr_platform_ray.ops.textstats import zipf_fit
+
+        got = zipf_fit(
+            rd.from_pandas(self._corpus(zipfian=True)), "text", top_k=150
+        ).iloc[0]
+        assert got["k"] == 150
+        assert -1.1 < got["slope"] < -0.9
+        assert got["r2"] > 0.99
+        flat = zipf_fit(
+            rd.from_pandas(self._corpus(zipfian=False)), "text", top_k=150
+        ).iloc[0]
+        assert abs(flat["slope"]) < 0.05  # uniform corpus: no law
+
+    def test_matches_polyfit(self):
+        from ocr_platform_ray.ops.textstats import zipf_fit
+
+        df = self._corpus(zipfian=True, n_types=80)
+        got = zipf_fit(rd.from_pandas(df), "text", top_k=60).iloc[0]
+        toks = " ".join(df["text"]).split()
+        vc = pd.Series(toks).value_counts()
+        top = vc.sort_index().sort_values(
+            ascending=False, kind="mergesort"
+        ).head(60)
+        y = np.log(top.to_numpy(dtype="float64"))
+        x = np.log(np.arange(1, 61, dtype="float64"))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got["slope"] == pytest.approx(slope, rel=1e-9)
+        assert got["intercept"] == pytest.approx(intercept, rel=1e-9)
+
+    def test_exchange_route_equals_driver(self):
+        from ocr_platform_ray.ops.textstats import zipf_fit
+
+        df = self._corpus(zipfian=True, n_types=120, seed=3)
+        drv = zipf_fit(rd.from_pandas(df), "text", top_k=100)
+        exch = zipf_fit(
+            rd.from_pandas(df), "text", top_k=100, driver_threshold_rows=0
+        )
+        pd.testing.assert_frame_equal(drv, exch)
+        assert (drv["slope"].to_numpy() == exch["slope"].to_numpy()).all()
+
+    def test_empty_corpus(self):
+        from ocr_platform_ray.ops.textstats import zipf_fit
+
+        got = zipf_fit(
+            rd.from_pandas(pd.DataFrame({"text": ["", "  "]})), "text"
+        ).iloc[0]
+        assert got["k"] == 0 and np.isnan(got["slope"])
