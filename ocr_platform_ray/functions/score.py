@@ -57,3 +57,64 @@ def command_score(target: str, query: str) -> float:
     if not query:
         return SCORE_CONTINUE
     return rec(0, 0)
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    """Jaro similarity (Jaro 1989) — the record-linkage string metric
+    under `ops/linkage.py`'s agreement patterns: match window
+    floor(max/2)−1, transpositions counted over matched order, the
+    classic (m/|a| + m/|b| + (m−t)/m)/3."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    b_taken = [False] * lb
+    a_match = []
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_taken[j] and b[j] == ca:
+                b_taken[j] = True
+                a_match.append(ca)
+                break
+    m = len(a_match)
+    if m == 0:
+        return 0.0
+    b_match = [b[j] for j in range(lb) if b_taken[j]]
+    t = sum(1 for x, y in zip(a_match, b_match) if x != y) // 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, *, prefix_weight: float = 0.1,
+                 boost_threshold: float = 0.7) -> float:
+    """Jaro–Winkler (Winkler 1990): the Jaro score boosted by the
+    common prefix (≤ 4 chars, weight 0.1) when it exceeds the 0.7
+    boost threshold — the US-Census name-matching convention DuckDB's
+    ``jaro_winkler_similarity`` implements, used as the oracle."""
+    j = jaro_similarity(a, b)
+    if j <= boost_threshold:
+        return j
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * prefix_weight * (1.0 - j)
+
+
+def jaro_winkler_batch(a, b) -> "np.ndarray":
+    """Vectorized wrapper over candidate-pair arrays (pairs are
+    blocking-bounded and dim-sized by the fuzzy/linkage contract; the
+    per-pair scan is O(len·window) python like the reference scorer)."""
+    import numpy as np
+
+    out = np.empty(len(a), dtype="float64")
+    for i, (x, y) in enumerate(zip(a, b)):
+        out[i] = jaro_winkler(
+            x if isinstance(x, str) else "", y if isinstance(y, str) else ""
+        )
+    return out

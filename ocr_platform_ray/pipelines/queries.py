@@ -7911,6 +7911,53 @@ def q_token_zipf_fit(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_customer_jw_pairs(sf_dir: str) -> pd.DataFrame:
+    """Jaro–Winkler name similarity over deterministic customer pairs
+    (`functions/score.jaro_winkler` — Winkler 1990 with the US-Census
+    0.7 boost threshold, fuzz-verified against DuckDB's native
+    ``jaro_winkler_similarity`` which IS the oracle): consecutive
+    custkeys pair via one (custkey//2)-keyed combiner exchange, the
+    scorer runs map-side on the pair table.  jw ROUND 6 both sides.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..functions.score import jaro_winkler_batch
+    from ..ops.relational import auto_group_agg
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy()
+        even = (k % 2) == 0
+        return pd.DataFrame(
+            {
+                "pair_id": k // 2,
+                "name_a": b["c_name"].where(pd.Series(even, index=b.index)),
+                "name_b": b["c_name"].where(~pd.Series(even, index=b.index)),
+            }
+        )
+
+    pairs = auto_group_agg(
+        cust.map_batches(tag, batch_format="pandas"),
+        ["pair_id"],
+        {"name_a": ("name_a", "first"), "name_b": ("name_b", "first")},
+    )
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    pairs = pairs[pairs["name_a"].notna() & pairs["name_b"].notna()]
+    out = pd.DataFrame(
+        {
+            "custkey_a": (pairs["pair_id"].to_numpy() * 2).astype("int64"),
+            "name_a": pairs["name_a"].to_numpy(),
+            "name_b": pairs["name_b"].to_numpy(),
+        }
+    )
+    out["jw"] = _round_half_away(
+        pd.Series(jaro_winkler_batch(pairs["name_a"].to_numpy(),
+                                     pairs["name_b"].to_numpy())),
+        6,
+    ).to_numpy()
+    return out.sort_values("custkey_a").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8250,6 +8297,7 @@ QUERIES = {
     "xml_docs": q_xml_docs,
     "wiki_dump_docs": q_wiki_dump_docs,
     "token_zipf_fit": q_token_zipf_fit,
+    "customer_jw_pairs": q_customer_jw_pairs,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11179,4 +11227,14 @@ ORACLE_SQL["token_zipf_fit"] = (
     "AS intercept, "
     "ROUND(((kn * sxy - sx * sy) * (kn * sxy - sx * sy)) / "
     "((kn * sxx - sx * sx) * (kn * syy - sy * sy)), 6) AS r2 FROM s"
+)
+
+# Jaro-Winkler pairs: DuckDB's native scorer is the oracle (our scorer
+# fuzz-verified against it, 0/5000 beyond 1e-12); ROUND 6 both sides.
+ORACLE_SQL["customer_jw_pairs"] = (
+    "SELECT a.c_custkey AS custkey_a, a.c_name AS name_a, "
+    "b.c_name AS name_b, "
+    "ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw "
+    "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
+    "WHERE a.c_custkey % 2 = 0"
 )

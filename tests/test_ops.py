@@ -1782,6 +1782,7 @@ class TestTailQueryOracles:
             "xml_docs",
             "wiki_dump_docs",
             "token_zipf_fit",
+            "customer_jw_pairs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -808,3 +808,57 @@ class TestZipfFit:
             rd.from_pandas(pd.DataFrame({"text": ["", "  "]})), "text"
         ).iloc[0]
         assert got["k"] == 0 and np.isnan(got["slope"])
+
+
+class TestJaroWinkler:
+    def test_textbook_values(self):
+        from ocr_platform_ray.functions.score import jaro_similarity, jaro_winkler
+
+        assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(
+            0.9611111111111111
+        )
+        assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(
+            0.8133333333333332
+        )
+        assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84)
+        assert jaro_similarity("CRATE", "TRACE") == pytest.approx(
+            0.7333333333333334
+        )
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("", "abc") == 0.0
+        assert jaro_winkler("x", "y") == 0.0
+
+    def test_boost_threshold_gate(self):
+        from ocr_platform_ray.functions.score import jaro_similarity, jaro_winkler
+
+        # shared 3-char prefix but low jaro: boost must NOT apply <= 0.7
+        a, b = "abcqqqqqqqqq", "abczzzzzzzzzzzzzz"
+        j = jaro_similarity(a, b)
+        if j <= 0.7:
+            assert jaro_winkler(a, b) == j
+
+    def test_fuzz_against_duckdb(self):
+        import random
+
+        import duckdb
+
+        from ocr_platform_ray.functions.score import jaro_winkler
+
+        rng = random.Random(7)
+        con = duckdb.connect()
+        for _ in range(800):
+            a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 10)))
+            b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 10)))
+            want = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+    def test_batch_wrapper_none_safe(self):
+        from ocr_platform_ray.functions.score import jaro_winkler_batch
+
+        out = jaro_winkler_batch(
+            np.array(["abc", None, "xy"], dtype=object),
+            np.array(["abd", "abc", None], dtype=object),
+        )
+        assert out[0] > 0.8 and out[1] == 0.0 and out[2] == 0.0
