@@ -966,3 +966,175 @@ def zipf_fit(
             "r2": pd.Series([r2], dtype="float64"),
         }
     )
+
+
+def heaps_fit(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_shards: int = 32,
+    min_checkpoint: int = 8,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan 1960 —
+    V(n) ≈ K·n^β, the companion corpus-statistics check to `zipf_fit`:
+    natural text grows vocabulary at β ≈ 0.4–0.6; template floods
+    flatten it, OCR noise inflates it): V(n) = distinct tokens among
+    the first ``n`` tokens of the corpus in ``id_col`` order, evaluated
+    at power-of-two checkpoints (plus N), then OLS of ln V on ln n.
+
+    V(n) needs NO sequential scan: each token's FIRST global position
+    is ``min over docs (doc_start + first local position)``, where
+    per-(doc, token) first positions come from one tokenize pass (docs
+    are whole within their batch, so the in-batch min is final) and
+    doc starts come from `ops/pack.range_prefix_sum` (the packer's
+    two-pass ordered prefix sum — no global sort).  One bucketed join
+    on doc id, one token-keyed min reduce, then checkpoint counts from
+    fixed-width searchsorted combiners — the vocabulary table never
+    lands anywhere whole.  A window-cumsum SQL oracle mirrors every
+    count exactly; the OLS is the `zipf_fit` sequential-libm form
+    (mirrors ROUND — ordered-SUM reassociation).
+
+    Returns ``(fit, curve)``: fit = one row (n_total, v_total, beta,
+    ln_k, r2); curve = (n, v) at the checkpoints."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pack import range_prefix_sum
+    from .relational import auto_group_agg, bucketed_hash_join
+
+    def doc_lens(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
+            pattern=" ",
+        )
+        flat = np.asarray(toks.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
+        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        keep = flat != ""
+        nlen = np.bincount(doc_of[keep], minlength=len(b)).astype("int64")
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "n_toks": nlen})
+
+    def first_local(b: pd.DataFrame) -> pd.DataFrame:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
+            pattern=" ",
+        )
+        flat = np.asarray(toks.flatten(), dtype=object)
+        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
+        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=b[id_col].dtype),
+                 "token": pd.Series(dtype=object),
+                 "lpos": pd.Series(dtype="int64")}
+            )
+        counts = np.bincount(doc_of, minlength=len(b)).astype("int64")
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        lpos = np.arange(len(flat), dtype="int64") - starts[doc_of]
+        df = pd.DataFrame(
+            {id_col: b[id_col].to_numpy()[doc_of], "token": flat, "lpos": lpos}
+        )
+        # docs are whole within the batch -> this min is final per doc
+        return df.groupby([id_col, "token"], as_index=False)["lpos"].min()
+
+    offs = range_prefix_sum(
+        ds.map_batches(doc_lens, batch_format="pandas"),
+        id_col,
+        "n_toks",
+        n_shards=n_shards,
+        out_col="start",
+    ).materialize()
+    tot_parts = offs.map_batches(
+        lambda b: pd.DataFrame({"s": [int(b["n_toks"].sum()) if len(b) else 0]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_total = int(tot_parts["s"].sum()) if len(tot_parts) else 0
+    if n_total == 0:
+        fit = pd.DataFrame(
+            {"n_total": pd.Series([0], dtype="int64"),
+             "v_total": pd.Series([0], dtype="int64"),
+             "beta": [np.nan], "ln_k": [np.nan], "r2": [np.nan]}
+        )
+        return fit, pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                  "v": pd.Series(dtype="int64")})
+
+    firsts = ds.map_batches(first_local, batch_format="pandas")
+    joined = bucketed_hash_join(
+        firsts,
+        offs.map_batches(lambda b: b[[id_col, "start"]], batch_format="pandas"),
+        on=id_col,
+        n_buckets=n_shards,
+    )
+
+    def gpos(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"token": b["token"],
+             "fp": b["start"].to_numpy(dtype="int64")
+             + b["lpos"].to_numpy(dtype="int64")}
+        )
+        return out
+
+    first_pos = auto_group_agg(
+        joined.map_batches(gpos, batch_format="pandas"),
+        ["token"],
+        {"fp": ("fp", "min")},
+        n_shards=n_shards,
+    )
+
+    cps = []
+    c = int(min_checkpoint)
+    while c < n_total:
+        cps.append(c)
+        c *= 2
+    cps.append(n_total)
+    cp_arr = np.asarray(cps, dtype="int64")
+
+    def cp_counts(b: pd.DataFrame) -> pd.DataFrame:
+        fp = np.sort(b["fp"].to_numpy(dtype="int64"))
+        v = np.searchsorted(fp, cp_arr, side="left")  # fp < n
+        return pd.DataFrame({"j": np.arange(len(cps), dtype="int64"), "v": v})
+
+    if isinstance(first_pos, pd.DataFrame):
+        fp = np.sort(first_pos["fp"].to_numpy(dtype="int64"))
+        vcounts = np.searchsorted(fp, cp_arr, side="left").astype("int64")
+    else:
+        parts = first_pos.map_batches(cp_counts, batch_format="pandas").to_pandas()
+        vcounts = (
+            parts.groupby("j")["v"].sum().reindex(range(len(cps)), fill_value=0)
+            .to_numpy(dtype="int64")
+        )
+    curve = pd.DataFrame({"n": cp_arr, "v": vcounts})
+    sx = sy = sxy = sxx = syy = 0.0
+    k = 0
+    for n_c, v_c in zip(cp_arr, vcounts):
+        if v_c <= 0:
+            continue
+        k += 1
+        x, y = math.log(float(n_c)), math.log(float(v_c))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+        syy += y * y
+    kn = float(k)
+    den = kn * sxx - sx * sx
+    num = kn * sxy - sx * sy
+    beta = num / den if k >= 2 and den != 0.0 else np.nan
+    ln_k = (sy - beta * sx) / kn if k >= 2 and den != 0.0 else np.nan
+    deny = kn * syy - sy * sy
+    r2 = (num * num) / (den * deny) if k >= 2 and den != 0.0 and deny != 0.0 else np.nan
+    fit = pd.DataFrame(
+        {
+            "n_total": pd.Series([n_total], dtype="int64"),
+            "v_total": pd.Series([int(vcounts[-1])], dtype="int64"),
+            "beta": pd.Series([beta], dtype="float64"),
+            "ln_k": pd.Series([ln_k], dtype="float64"),
+            "r2": pd.Series([r2], dtype="float64"),
+        }
+    )
+    return fit, curve

@@ -7958,6 +7958,22 @@ def q_customer_jw_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("custkey_a").reset_index(drop=True)
 
 
+def q_heaps_vocab_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth fit over the documents corpus
+    (`ops/textstats.heaps_fit` — V(n) by first-global-position counting:
+    per-doc first positions + the packer's ordered prefix sum + one
+    token-min reduce, NO sequential scan; OLS at power-of-two
+    checkpoints).  beta/ln_k/r2 ROUND 6 both sides.  Full window-cumsum
+    SQL oracle in TestTailQueryOracles."""
+    from ..ops.textstats import heaps_fit
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    fit, _curve = heaps_fit(docs, "doc_id", "text")
+    for c in ("beta", "ln_k", "r2"):
+        fit[c] = _round_half_away(fit[c], 6)
+    return fit
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8298,6 +8314,7 @@ QUERIES = {
     "wiki_dump_docs": q_wiki_dump_docs,
     "token_zipf_fit": q_token_zipf_fit,
     "customer_jw_pairs": q_customer_jw_pairs,
+    "heaps_vocab_fit": q_heaps_vocab_fit,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11237,4 +11254,45 @@ ORACLE_SQL["customer_jw_pairs"] = (
     "ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw "
     "FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 "
     "WHERE a.c_custkey % 2 = 0"
+)
+
+# Heaps fit: renumbered local positions (the PMI adjacency rule), doc
+# offsets by window cumsum, per-token MIN global first position,
+# power-of-two checkpoints, ordered-sum OLS ROUND 6.
+ORACLE_SQL["heaps_vocab_fit"] = (
+    "WITH t0 AS (SELECT doc_id, "
+    "unnest(string_split(lower(text), ' ')) AS token, "
+    "generate_subscripts(string_split(lower(text), ' '), 1) AS pos "
+    "FROM documents), "
+    "t AS (SELECT doc_id, token, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS lpos "
+    "FROM t0 WHERE token <> ''), "
+    "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+    "GROUP BY doc_id), "
+    "offs AS (SELECT doc_id, SUM(n) OVER (ORDER BY doc_id) - n AS start "
+    "FROM dl), "
+    "fp AS (SELECT token, MIN(o.start + t.lpos) AS fp FROM t "
+    "JOIN offs o USING (doc_id) GROUP BY token), "
+    "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM dl), "
+    "js AS (SELECT unnest(generate_series(3, 62)) AS j), "
+    "cp AS (SELECT CAST(power(2, j) AS BIGINT) AS n FROM js, tot "
+    "WHERE CAST(power(2, j) AS BIGINT) < nn "
+    "UNION SELECT nn FROM tot), "
+    "v AS (SELECT cp.n, CAST((SELECT COUNT(*) FROM fp "
+    "WHERE fp.fp < cp.n) AS BIGINT) AS v FROM cp), "
+    "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kn, "
+    "SUM(ln(CAST(n AS DOUBLE)) ORDER BY n) AS sx, "
+    "SUM(ln(CAST(v AS DOUBLE)) ORDER BY n) AS sy, "
+    "SUM(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE)) ORDER BY n) AS sxy, "
+    "SUM(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)) ORDER BY n) AS sxx, "
+    "SUM(ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE)) ORDER BY n) AS syy "
+    "FROM v WHERE v > 0) "
+    "SELECT tot.nn AS n_total, "
+    "(SELECT v FROM v WHERE v.n = tot.nn) AS v_total, "
+    "ROUND((kn * sxy - sx * sy) / (kn * sxx - sx * sx), 6) AS beta, "
+    "ROUND((sy - ((kn * sxy - sx * sy) / (kn * sxx - sx * sx)) * sx) / kn, "
+    "6) AS ln_k, "
+    "ROUND(((kn * sxy - sx * sy) * (kn * sxy - sx * sy)) / "
+    "((kn * sxx - sx * sx) * (kn * syy - sy * sy)), 6) AS r2 "
+    "FROM s, tot"
 )

@@ -1783,6 +1783,7 @@ class TestTailQueryOracles:
             "wiki_dump_docs",
             "token_zipf_fit",
             "customer_jw_pairs",
+            "heaps_vocab_fit",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -862,3 +862,55 @@ class TestJaroWinkler:
             np.array(["abd", "abc", None], dtype=object),
         )
         assert out[0] > 0.8 and out[1] == 0.0 and out[2] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeapsFit:
+    def _corpus(self, seed=0, n=20000, doc_len=40):
+        rng = np.random.RandomState(seed)
+        toks = [f"w{int(rng.zipf(1.3))}" for _ in range(n)]
+        docs = [" ".join(toks[i : i + doc_len]) for i in range(0, n, doc_len)]
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype="int64"), "text": docs}
+        )
+
+    def test_curve_equals_sequential_reference(self):
+        from ocr_platform_ray.ops.textstats import heaps_fit
+
+        df = self._corpus()
+        fit, curve = heaps_fit(rd.from_pandas(df), "doc_id", "text")
+        stream = [w for d in df["text"] for w in d.split()]
+        want = [len(set(stream[:n])) for n in curve["n"]]
+        assert curve["v"].tolist() == want
+        assert fit["n_total"].iloc[0] == len(stream)
+        assert fit["v_total"].iloc[0] == len(set(stream))
+        assert 0.3 < fit["beta"].iloc[0] < 0.95
+        assert fit["r2"].iloc[0] > 0.98
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.textstats import heaps_fit
+
+        df = self._corpus(seed=3, n=6000)
+        one_fit, one_curve = heaps_fit(rd.from_pandas(df), "doc_id", "text")
+        # doc ORDER is by doc_id, not block order — shuffle blocks freely
+        many_fit, many_curve = heaps_fit(
+            _reblock(df.sample(frac=1.0, random_state=5), 7), "doc_id", "text"
+        )
+        pd.testing.assert_frame_equal(one_curve, many_curve)
+        assert (
+            one_fit["beta"].iloc[0] == many_fit["beta"].iloc[0]
+        )
+
+    def test_empty_and_monotone(self):
+        from ocr_platform_ray.ops.textstats import heaps_fit
+
+        fit, curve = heaps_fit(
+            rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [""]})),
+            "doc_id",
+            "text",
+        )
+        assert fit["n_total"].iloc[0] == 0 and np.isnan(fit["beta"].iloc[0])
+        df = self._corpus(seed=9, n=4000)
+        _, curve = heaps_fit(rd.from_pandas(df), "doc_id", "text")
+        v = curve["v"].to_numpy()
+        assert (v[1:] >= v[:-1]).all()
