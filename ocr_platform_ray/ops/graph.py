@@ -1131,3 +1131,103 @@ def link_prediction_scores(
             }
         )
     return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def label_propagation_communities(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iters: int = 20,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) — the near-linear community pass over the
+    crawl graph next to pagerank/HITS/k-core (host clusters, mirror
+    farms, link rings): every node starts as its own label and each
+    round adopts the most frequent label among its neighbors (ties →
+    smallest label; a node with no better-supported label keeps its
+    own), until no label changes or ``max_iters``.
+
+    Deterministic by construction: the synchronous update with the
+    (count DESC, label ASC) argmax is a pure function of the round's
+    label table, so results are independent of block structure and
+    input order (unlike the paper's random-order asynchronous variant).
+    Synchronous LPA can oscillate on bipartite-ish structures — the
+    standard caveat — which ``max_iters`` bounds; the returned
+    ``converged`` flag reports it.
+
+    Scale shape (the pagerank contract): the label table is node-dim
+    and driver-resident, broadcast once per round (``ray.put``); each
+    round is ONE map pass over the both-directions edge projection
+    emitting (node, neighbor-label) count partials into the size-aware
+    finish.  O(iters) executions — LPA's distributed floor.  Returns
+    (node, community) with ``community`` = the label (a member node
+    id), plus ``converged`` on the frame's attrs."""
+    e = _canon_simple_edges(edges, src_col, dst_col, n_shards)
+    if e.count() == 0:
+        out = pd.DataFrame(
+            {"node": pd.Series(dtype="object"),
+             "community": pd.Series(dtype="object")}
+        )
+        out.attrs["converged"] = True
+        return out
+    adj = e.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+                "nbr": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    nodes = auto_group_agg(
+        adj.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].unique()}).assign(one=1),
+            batch_format="pandas",
+        ),
+        ["node"],
+        {"one": ("one", "max")},
+    )
+    if not isinstance(nodes, pd.DataFrame):
+        nodes = nodes.to_pandas()
+    labels = pd.Series(nodes["node"].to_numpy(), index=nodes["node"].to_numpy())
+    converged = False
+    for _ in range(max_iters):
+        lref = ray.put(labels)
+
+        def count_partial(b: pd.DataFrame, _lref=lref) -> pd.DataFrame:
+            lm = ray.get(_lref)
+            out = pd.DataFrame(
+                {"node": b["node"].to_numpy(),
+                 "lab": lm.loc[b["nbr"].to_numpy()].to_numpy()}
+            )
+            g = out.groupby(["node", "lab"], as_index=False).size()
+            g["n"] = g["size"].astype("int64")
+            return g[["node", "lab", "n"]]
+
+        red = auto_group_agg(
+            adj.map_batches(count_partial, batch_format="pandas"),
+            ["node", "lab"],
+            {"n": ("n", "sum")},
+        )
+        if not isinstance(red, pd.DataFrame):
+            red = red.to_pandas()
+        red = red.sort_values(
+            ["node", "n", "lab"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        best = red.drop_duplicates("node", keep="first")
+        new = pd.Series(best["lab"].to_numpy(), index=best["node"].to_numpy())
+        new = new.reindex(labels.index)
+        keep_mask = new.isna()
+        new[keep_mask] = labels[keep_mask]
+        if (new.to_numpy() == labels.to_numpy()).all():
+            converged = True
+            break
+        labels = new
+    out = pd.DataFrame(
+        {"node": labels.index.to_numpy(), "community": labels.to_numpy()}
+    ).sort_values("node").reset_index(drop=True)
+    out.attrs["converged"] = converged
+    return out

@@ -7974,6 +7974,46 @@ def q_heaps_vocab_fit(sf_dir: str) -> pd.DataFrame:
     return fit
 
 
+def q_link_communities(sf_dir: str) -> pd.DataFrame:
+    """Label-propagation community detection over a planted clique graph
+    (`ops/graph.label_propagation_communities` — Raghavan 2007 in the
+    deterministic synchronous form, the pagerank per-round scale shape).
+    Six 10-cliques with single bridge edges; rows-only — exact clique
+    recovery (each clique one label, six distinct labels) asserted
+    in-query; machinery pinned by TestLabelPropagation."""
+    from ..ops.graph import label_propagation_communities
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy() % 60
+        base = (i // 10) * 10
+        off = i - base
+        rows = []
+        for d in range(1, 10):  # all within-clique pairs (i, i+d)
+            m = off + d < 10
+            rows.append(pd.DataFrame({"src": i[m], "dst": i[m] + d}))
+        bridges = pd.DataFrame(
+            {"src": [9, 19, 29, 39, 49], "dst": [10, 20, 30, 40, 50]}
+        )
+        return pd.concat(rows + [bridges], ignore_index=True)
+
+    out = label_propagation_communities(
+        docs.map_batches(links, batch_format="pandas"), "src", "dst"
+    )
+    assert out.attrs["converged"], "LPA did not converge on the clique graph"
+    comm = out.set_index("node")["community"]
+    labs = set()
+    for c in range(6):
+        members = set(comm.loc[list(range(c * 10, c * 10 + 10))])
+        assert len(members) == 1, f"clique {c} split: {members}"
+        labs |= members
+    assert len(labs) == 6, f"cliques merged: {labs}"
+    out["community"] = out["community"].astype("int64")
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8315,6 +8355,10 @@ QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "customer_jw_pairs": q_customer_jw_pairs,
     "heaps_vocab_fit": q_heaps_vocab_fit,
+    # rows-only (iterative label propagation isn't monotone SQL; exact
+    # planted-clique recovery asserted in-query, pinned by
+    # TestLabelPropagation)
+    "link_communities": q_link_communities,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

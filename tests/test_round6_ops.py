@@ -914,3 +914,68 @@ class TestHeapsFit:
         _, curve = heaps_fit(rd.from_pandas(df), "doc_id", "text")
         v = curve["v"].to_numpy()
         assert (v[1:] >= v[:-1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelPropagation:
+    def _cliques(self, k=3, size=10, bridge=True):
+        rows = []
+        for c in range(k):
+            lo = c * 100
+            rows += [
+                (lo + i, lo + j)
+                for i in range(size)
+                for j in range(i + 1, size)
+            ]
+        if bridge:
+            rows += [(c * 100 + size - 1, (c + 1) * 100) for c in range(k - 1)]
+        return pd.DataFrame(rows, columns=["src", "dst"])
+
+    def test_planted_cliques_recovered(self):
+        from ocr_platform_ray.ops.graph import label_propagation_communities
+
+        df = self._cliques()
+        out = label_propagation_communities(rd.from_pandas(df), "src", "dst")
+        assert out.attrs["converged"]
+        comm = out.set_index("node")["community"]
+        labs = set()
+        for c in range(3):
+            members = set(comm.loc[[c * 100 + i for i in range(10)]])
+            assert len(members) == 1
+            labs |= members
+        assert len(labs) == 3
+
+    def test_deterministic_across_block_structures(self):
+        from ocr_platform_ray.ops.graph import label_propagation_communities
+
+        df = self._cliques(k=4, size=8)
+        one = label_propagation_communities(rd.from_pandas(df), "src", "dst")
+        many = label_propagation_communities(
+            _reblock(df.sample(frac=1.0, random_state=3), 5), "src", "dst"
+        )
+        pd.testing.assert_frame_equal(one, many)
+
+    def test_single_clique_one_community(self):
+        from ocr_platform_ray.ops.graph import label_propagation_communities
+
+        df = self._cliques(k=1, bridge=False)
+        out = label_propagation_communities(rd.from_pandas(df), "src", "dst")
+        assert out["community"].nunique() == 1
+        assert len(out) == 10
+
+    def test_empty_graph(self):
+        from ocr_platform_ray.ops.graph import label_propagation_communities
+
+        df = pd.DataFrame({"src": [1], "dst": [1]})  # self-loop only
+        out = label_propagation_communities(rd.from_pandas(df), "src", "dst")
+        assert len(out) == 0 and out.attrs["converged"]
+
+    def test_max_iters_flag(self):
+        from ocr_platform_ray.ops.graph import label_propagation_communities
+
+        df = self._cliques(k=2)
+        out = label_propagation_communities(
+            rd.from_pandas(df), "src", "dst", max_iters=1
+        )
+        # one round cannot stabilize a fresh labeling of 10-cliques
+        assert out.attrs["converged"] is False
