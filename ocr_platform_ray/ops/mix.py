@@ -246,3 +246,140 @@ def temperature_sample(
         return b[sk.astype("float64") < lut[inv]]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def ipf_balance(
+    ds: rd.Dataset,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    max_iters: int = 200,
+    tol: float = 1e-10,
+) -> tuple[rd.Dataset, pd.DataFrame]:
+    """Two-marginal corpus balancing by iterative proportional fitting
+    (Deming & Stephan 1940 raking — the mixture step ONE set of source
+    weights can't express: hit a target LANGUAGE distribution and a
+    target SOURCE distribution simultaneously): IPF fits per-cell keep
+    rates p(r, c) = a_r·b_c on the (row × col) count matrix so the
+    EXPECTED sample matches both target marginals exactly, scaled to
+    the largest downsample-only realization (max rate = 1 — no row is
+    ever duplicated); the draw is then map-only via the deterministic
+    salted-id uniform (``pd.util.hash_array`` — the house rule: never
+    derive lanes from the affine shuffle_hash).
+
+    Infeasible targets (positive target mass on an empty row/column)
+    raise; non-convergence within ``max_iters`` raises (IPF converges
+    whenever the targets are consistent with the support — Csiszár
+    1975).  Scale shape: ONE (row, col) count reduce (cell-dim table on
+    the driver, the temperature_sample contract), dim-sized IPF
+    iterations driver-side, and a map-only filter — payloads never
+    move.  Returns (sampled Dataset, the cell plan with counts, rates
+    and expected kept rows)."""
+    rt = {k: float(v) for k, v in row_targets.items()}
+    ct = {k: float(v) for k, v in col_targets.items()}
+    for name, t in (("row", rt), ("col", ct)):
+        s = sum(t.values())
+        if not t or abs(s - 1.0) > 1e-9:
+            raise ValueError(f"{name}_targets must sum to 1 (got {s})")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[[row_col, col_col]].groupby(
+            [row_col, col_col], as_index=False
+        ).size()
+        g["n"] = g["size"].astype("int64")
+        return g[[row_col, col_col, "n"]]
+
+    red = auto_group_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        [row_col, col_col],
+        {"n": ("n", "sum")},
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    if len(red) == 0:
+        raise ValueError("ipf_balance: empty input")
+    rows = sorted(rt)
+    cols = sorted(ct)
+    have_r = set(red[row_col])
+    have_c = set(red[col_col])
+    for r in rows:
+        if rt[r] > 0 and r not in have_r:
+            raise ValueError(f"ipf_balance: target mass on empty row {r!r}")
+    for c in cols:
+        if ct[c] > 0 and c not in have_c:
+            raise ValueError(f"ipf_balance: target mass on empty col {c!r}")
+    ri = {r: i for i, r in enumerate(rows)}
+    ci = {c: j for j, c in enumerate(cols)}
+    C = np.zeros((len(rows), len(cols)), dtype="float64")
+    for _, rec in red.iterrows():
+        if rec[row_col] in ri and rec[col_col] in ci:
+            C[ri[rec[row_col]], ci[rec[col_col]]] = float(rec["n"])
+    r_tgt = np.array([rt[r] for r in rows])
+    c_tgt = np.array([ct[c] for c in cols])
+    # IPF on the weighted matrix W = C * rates; start at the raw counts
+    a = np.ones(len(rows))
+    b = np.ones(len(cols))
+    for _ in range(max_iters):
+        W = C * np.outer(a, b)
+        tot = W.sum()
+        rs = W.sum(axis=1) / tot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = a * np.where(rs > 0, r_tgt / rs, 1.0)
+        W = C * np.outer(a, b)
+        tot = W.sum()
+        cs = W.sum(axis=0) / tot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = b * np.where(cs > 0, c_tgt / cs, 1.0)
+        W = C * np.outer(a, b)
+        tot = W.sum()
+        err = max(
+            np.abs(W.sum(axis=1) / tot - r_tgt).max(),
+            np.abs(W.sum(axis=0) / tot - c_tgt).max(),
+        )
+        if err < tol:
+            break
+    else:
+        raise ValueError(
+            f"ipf_balance: no convergence in {max_iters} iterations "
+            f"(residual {err:.2e}) — targets may be inconsistent with "
+            "the support"
+        )
+    rates = np.outer(a, b)
+    with np.errstate(invalid="ignore"):
+        rates = np.where(C > 0, rates, 0.0)
+    mx = rates.max()
+    if mx <= 0:
+        raise ValueError("ipf_balance: degenerate zero rates")
+    rates = rates / mx  # maximal downsample-only realization
+    plan = pd.DataFrame(
+        [
+            {
+                row_col: r,
+                col_col: c,
+                "n": int(C[ri[r], ci[c]]),
+                "rate": float(rates[ri[r], ci[c]]),
+                "expect_kept": float(C[ri[r], ci[c]] * rates[ri[r], ci[c]]),
+            }
+            for r in rows
+            for c in cols
+            if C[ri[r], ci[c]] > 0
+        ]
+    )
+    rref = ray.put(plan[[row_col, col_col, "rate"]])
+
+    def keep(batch: pd.DataFrame, _rref=rref) -> pd.DataFrame:
+        pf = cached_get(_rref)
+        m = batch[[row_col, col_col]].merge(pf, on=[row_col, col_col], how="left")
+        p = m["rate"].fillna(0.0).to_numpy(dtype="float64")
+        h = pd.util.hash_array(batch[id_col].to_numpy())
+        u = (
+            pd.util.hash_array(h + np.uint64(seed)).astype("float64")
+            / float(2**64)
+        )
+        return batch[u < p]
+
+    return ds.map_batches(keep, batch_format="pandas"), plan

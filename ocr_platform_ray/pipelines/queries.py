@@ -8014,6 +8014,54 @@ def q_link_communities(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_balanced_mix_docs(sf_dir: str) -> pd.DataFrame:
+    """Two-marginal IPF-raked corpus balance (`ops/mix.ipf_balance` —
+    Deming & Stephan 1940: per-cell keep rates a_r·b_c fitted so the
+    expected sample hits a target LANGUAGE marginal and a target
+    SOURCE-bucket marginal simultaneously; one cell-count reduce +
+    map-only salted-hash draw).  Rows-only — the plan's expected
+    marginals are asserted EXACT in-query and the realized sample's
+    within sampling tolerance; machinery pinned by TestIpfBalance."""
+    from ..ops.mix import ipf_balance
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        num = b["source"].str.extract(r"(\d+)$")[0].fillna("0").astype(int)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "src_bucket": np.where(num % 2 == 0, "even", "odd"),
+            }
+        )
+
+    rt = {"en": 0.3, "fr": 0.2, "de": 0.2, "es": 0.15, "zh": 0.15}
+    ct = {"even": 0.55, "odd": 0.45}
+    sampled, plan = ipf_balance(
+        docs.map_batches(bucket, batch_format="pandas"),
+        "lang",
+        "src_bucket",
+        rt,
+        ct,
+        id_col="doc_id",
+        seed=11,
+    )
+    tot = plan["expect_kept"].sum()
+    rm = plan.groupby("lang")["expect_kept"].sum() / tot
+    cm = plan.groupby("src_bucket")["expect_kept"].sum() / tot
+    assert max(abs(rm[k] - v) for k, v in rt.items()) < 1e-8, rm.to_dict()
+    assert max(abs(cm[k] - v) for k, v in ct.items()) < 1e-8, cm.to_dict()
+    assert plan["rate"].max() <= 1.0 + 1e-12
+    out = sampled.to_pandas()
+    assert out["doc_id"].is_unique and len(out) > 0
+    ar = out["lang"].value_counts(normalize=True)
+    ac = out["src_bucket"].value_counts(normalize=True)
+    assert max(abs(ar.get(k, 0.0) - v) for k, v in rt.items()) < 0.12
+    assert max(abs(ac.get(k, 0.0) - v) for k, v in ct.items()) < 0.12
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8359,6 +8407,10 @@ QUERIES = {
     # planted-clique recovery asserted in-query, pinned by
     # TestLabelPropagation)
     "link_communities": q_link_communities,
+    # rows-only (IPF iterations aren't SQL; EXACT expected-marginal
+    # equality + realized-sample tolerance asserted in-query, pinned by
+    # TestIpfBalance)
+    "balanced_mix_docs": q_balanced_mix_docs,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

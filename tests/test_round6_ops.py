@@ -979,3 +979,86 @@ class TestLabelPropagation:
         )
         # one round cannot stabilize a fresh labeling of 10-cliques
         assert out.attrs["converged"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIpfBalance:
+    def _df(self, seed=0, n=30000):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "lang": rng.choice(["en", "fr", "de"], n, p=[0.7, 0.2, 0.1]),
+                "source": rng.choice(["web", "books"], n, p=[0.85, 0.15]),
+            }
+        )
+
+    def test_expected_marginals_exact(self):
+        from ocr_platform_ray.ops.mix import ipf_balance
+
+        rt = {"en": 0.5, "fr": 0.3, "de": 0.2}
+        ct = {"web": 0.6, "books": 0.4}
+        _, plan = ipf_balance(
+            rd.from_pandas(self._df()), "lang", "source", rt, ct
+        )
+        tot = plan["expect_kept"].sum()
+        rm = plan.groupby("lang")["expect_kept"].sum() / tot
+        cm = plan.groupby("source")["expect_kept"].sum() / tot
+        assert max(abs(rm[k] - v) for k, v in rt.items()) < 1e-8
+        assert max(abs(cm[k] - v) for k, v in ct.items()) < 1e-8
+        assert plan["rate"].max() == pytest.approx(1.0)
+        assert (plan["rate"] >= 0).all()
+
+    def test_realized_sample_and_determinism(self):
+        from ocr_platform_ray.ops.mix import ipf_balance
+
+        df = self._df(seed=2)
+        rt = {"en": 0.4, "fr": 0.35, "de": 0.25}
+        ct = {"web": 0.5, "books": 0.5}
+        s1, _ = ipf_balance(
+            rd.from_pandas(df), "lang", "source", rt, ct, seed=3
+        )
+        out1 = s1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        s2, _ = ipf_balance(
+            _reblock(df.sample(frac=1.0, random_state=5), 6),
+            "lang", "source", rt, ct, seed=3,
+        )
+        out2 = s2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out1, out2)  # block independent
+        ar = out1["lang"].value_counts(normalize=True)
+        assert max(abs(ar[k] - v) for k, v in rt.items()) < 0.05
+        # different seed -> different draw
+        s3, _ = ipf_balance(
+            rd.from_pandas(df), "lang", "source", rt, ct, seed=4
+        )
+        assert not s3.to_pandas()["doc_id"].equals(out1["doc_id"])
+
+    def test_subset_property(self):
+        from ocr_platform_ray.ops.mix import ipf_balance
+
+        df = self._df(seed=7, n=5000)
+        s, _ = ipf_balance(
+            rd.from_pandas(df),
+            "lang",
+            "source",
+            {"en": 0.4, "fr": 0.3, "de": 0.3},
+            {"web": 0.6, "books": 0.4},
+        )
+        out = s.to_pandas()
+        assert out["doc_id"].isin(df["doc_id"]).all()
+        assert out["doc_id"].is_unique
+
+    def test_infeasible_and_validation(self):
+        from ocr_platform_ray.ops.mix import ipf_balance
+
+        df = self._df(n=1000)
+        with pytest.raises(Exception, match="empty row"):
+            ipf_balance(
+                rd.from_pandas(df), "lang", "source",
+                {"en": 0.5, "xx": 0.5}, {"web": 0.5, "books": 0.5},
+            )
+        with pytest.raises(Exception, match="sum to 1"):
+            ipf_balance(
+                rd.from_pandas(df), "lang", "source",
+                {"en": 0.5}, {"web": 0.5, "books": 0.5},
+            )
