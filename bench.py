@@ -252,6 +252,21 @@ def run_once() -> dict:
         "event_type_kappa",
         "t5_corrupted_docs",
         "training_mix_chunks",
+        # round-4 session-13 additions
+        "value_trend_by_user",
+        "value_ks_by_dow",
+        "value_skewkurt_by_type",
+        "docs_bleu",
+        "docs_rouge2",
+        "link_adamic_adar",
+        "hybrid_rrf_top10",
+        "xml_docs",
+        "wiki_dump_docs",
+        "token_zipf_fit",
+        "customer_jw_pairs",
+        "heaps_vocab_fit",
+        "link_communities",
+        "balanced_mix_docs",
     ):
         extra_times[name] = _best_of(2, name)
 

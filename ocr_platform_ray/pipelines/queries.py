@@ -8062,6 +8062,55 @@ def q_balanced_mix_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_part_soundex_blocks(sf_dir: str) -> pd.DataFrame:
+    """Soundex phonetic blocking over part names
+    (`functions/phonetic.soundex_batch` — the NARA coding as a fixed
+    translate+regexp chain, classic-vector-pinned, every step a pandas
+    C string kernel): key each part's first name word, then block
+    sizes (parts per key, distinct words per key) via count combiners.
+    The oracle repeats the IDENTICAL chain in SQL (per-digit run
+    collapse — RE2 has no backreferences).  Full SQL oracle in
+    TestTailQueryOracles."""
+    from ..functions.phonetic import soundex_batch
+    from ..ops.relational import auto_group_agg
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["p_name"].fillna("").str.extract(r"^(\S+)")[0].fillna("")
+        return pd.DataFrame({"sdx": soundex_batch(w), "word": w})
+
+    keyed = parts.map_batches(key, batch_format="pandas")
+    n_parts = auto_group_agg(
+        keyed.map_batches(
+            lambda b: b.groupby("sdx", as_index=False).size().rename(
+                columns={"size": "n"}
+            ),
+            batch_format="pandas",
+        ),
+        ["sdx"],
+        {"n_parts": ("n", "sum")},
+    )
+    pairs = auto_group_agg(
+        keyed.map_batches(
+            lambda b: b.drop_duplicates().assign(one=1), batch_format="pandas"
+        ),
+        ["sdx", "word"],
+        {"one": ("one", "max")},
+    )
+    if not isinstance(n_parts, pd.DataFrame):
+        n_parts = n_parts.to_pandas()
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    words = pairs.groupby("sdx", as_index=False).size().rename(
+        columns={"size": "n_words"}
+    )
+    out = n_parts.merge(words, on="sdx")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.sort_values("sdx").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8411,6 +8460,7 @@ QUERIES = {
     # equality + realized-sample tolerance asserted in-query, pinned by
     # TestIpfBalance)
     "balanced_mix_docs": q_balanced_mix_docs,
+    "part_soundex_blocks": q_part_soundex_blocks,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11391,4 +11441,29 @@ ORACLE_SQL["heaps_vocab_fit"] = (
     "ROUND(((kn * sxy - sx * sy) * (kn * sxy - sx * sy)) / "
     "((kn * sxx - sx * sx) * (kn * syy - sy * sy)), 6) AS r2 "
     "FROM s, tot"
+)
+
+# Soundex blocks: the identical translate+regexp chain (per-digit run
+# collapse — RE2 backreference-free) over the first p_name word.
+_SDX_COLL = "coded"
+for _d in "0123456":
+    _SDX_COLL = (
+        f"regexp_replace({_SDX_COLL}, '{_d}{_d}+', '{_d}', 'g')"
+    )
+ORACLE_SQL["part_soundex_blocks"] = (
+    "WITH w AS (SELECT COALESCE(regexp_extract(p_name, '^(\\S+)', 1), '') "
+    "AS word FROM part), "
+    "u AS (SELECT word, upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) "
+    "AS up FROM w), "
+    "t AS (SELECT word, up, substr(up, 1, 1) || "
+    "regexp_replace(substr(up, 2), '[HW]', '', 'g') AS hw FROM u), "
+    "c AS (SELECT word, up, translate(hw, "
+    "'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556') AS coded "
+    "FROM t), "
+    "k AS (SELECT word, up, " + _SDX_COLL + " AS coll FROM c), "
+    "sx AS (SELECT word, CASE WHEN up = '' THEN '' ELSE "
+    "substr(up, 1, 1) || substr(replace(substr(coll, 2), '0', '') "
+    "|| '000', 1, 3) END AS sdx FROM k) "
+    "SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+    "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words FROM sx GROUP BY sdx"
 )

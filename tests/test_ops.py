@@ -1784,6 +1784,7 @@ class TestTailQueryOracles:
             "token_zipf_fit",
             "customer_jw_pairs",
             "heaps_vocab_fit",
+            "part_soundex_blocks",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -1062,3 +1062,44 @@ class TestIpfBalance:
                 rd.from_pandas(df), "lang", "source",
                 {"en": 0.5}, {"web": 0.5, "books": 0.5},
             )
+
+
+class TestSoundex:
+    VECS = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "": "", "123": "",
+        "O'Brien": "O165",
+    }
+
+    def test_classic_vectors_scalar_and_batch(self):
+        from ocr_platform_ray.functions.phonetic import soundex, soundex_batch
+
+        for k, v in self.VECS.items():
+            assert soundex(k) == v, k
+        got = soundex_batch(pd.Series(list(self.VECS)))
+        assert got.tolist() == list(self.VECS.values())
+
+    def test_batch_equals_scalar_fuzz(self):
+        import random
+
+        from ocr_platform_ray.functions.phonetic import soundex, soundex_batch
+
+        rng = random.Random(3)
+        names = [
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyzHW '")
+                for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(500)
+        ]
+        got = soundex_batch(pd.Series(names)).tolist()
+        assert got == [soundex(n) for n in names]
+
+    def test_blocking_property(self):
+        from ocr_platform_ray.functions.phonetic import soundex
+
+        assert soundex("Smith") == soundex("Smyth")
+        assert soundex("Robert") == soundex("Rupert")
+        assert soundex("Robert") != soundex("Jackson")
