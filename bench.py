@@ -267,6 +267,8 @@ def run_once() -> dict:
         "heaps_vocab_fit",
         "link_communities",
         "balanced_mix_docs",
+        "part_soundex_blocks",
+        "lang_source_assoc",
     ):
         extra_times[name] = _best_of(2, name)
 

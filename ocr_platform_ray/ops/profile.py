@@ -1281,3 +1281,88 @@ def grouped_skewkurt(
     out["skew_v"] = np.asarray(rows_skew, dtype="float64")
     out["kurt_v"] = np.asarray(rows_kurt, dtype="float64")
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def cat_association(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    *,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Association profile between two categorical columns — mutual
+    information, marginal entropies, χ² and Cramér's V in ONE pass (the
+    "are these columns redundant / is lang independent of source"
+    dataset-audit readout next to `grouped_cat_entropy` and the χ²
+    token selection):
+
+        MI   = Σ_xy p_xy · log2( p_xy / (p_x · p_y) )      (bits)
+        χ²   = Σ_xy (n_xy − e_xy)² / e_xy,  e_xy = n_x·n_y/n
+             = n + Σ_observed ((n_xy − e)²/e − e)
+               (the zero cells contribute exactly their expectation, so
+               the full R×C sum folds into the observed-cell sum — the
+               sparse-contingency identity both engines use)
+        V    = sqrt( χ² / (n · (min(R, C) − 1)) )
+
+    All inputs are the exact int64 contingency counts from one (x, y)
+    combiner reduce (cell-dim table on the driver — the
+    temperature_sample contract); each term is a pure function of
+    (n_xy, n_x, n_y, n) summed in (x, y) cell order, so a SQL oracle
+    mirrors every expression — ROUND both sides (the ordered-SUM
+    reassociation note).  NULL in either column drops (SQL inner
+    semantics).  Degenerate single-level columns: MI/χ² = 0, V NULL."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[x_col, y_col]].dropna()
+        g = sub.groupby([x_col, y_col], as_index=False).size()
+        g["n"] = g["size"].astype("int64")
+        return g[[x_col, y_col, "n"]]
+
+    red = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [x_col, y_col],
+        {"n": ("n", "sum")},
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    if len(red) == 0 or "n" not in red.columns:
+        return pd.DataFrame(
+            {"n": pd.Series([0], dtype="int64"),
+             "mi_bits": [np.nan], "h_x": [np.nan], "h_y": [np.nan],
+             "chi2": [np.nan], "cramers_v": [np.nan]}
+        )
+    red = red.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
+    n_tot = int(red["n"].sum())
+    nx = red.groupby(x_col)["n"].sum()
+    ny = red.groupby(y_col)["n"].sum()
+    nf = float(n_tot)
+    mi, chi2 = 0.0, nf
+    for _, r in red.iterrows():  # cell-dim, (x, y) order — mirrored
+        nxy = float(int(r["n"]))
+        nxv = float(int(nx[r[x_col]]))
+        nyv = float(int(ny[r[y_col]]))
+        mi += (nxy / nf) * math.log2(nxy * nf / (nxv * nyv))
+        e = nxv * nyv / nf
+        chi2 += (nxy - e) * (nxy - e) / e - e
+    hx = hy = 0.0
+    for v in nx.sort_index():  # category order — mirrored
+        hx += -(float(v) / nf) * math.log2(float(v) / nf)
+    for v in ny.sort_index():
+        hy += -(float(v) / nf) * math.log2(float(v) / nf)
+    r_, c_ = len(nx), len(ny)
+    k = min(r_, c_) - 1
+    v = math.sqrt(chi2 / (nf * k)) if k > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n_tot], dtype="int64"),
+            "mi_bits": pd.Series([mi], dtype="float64"),
+            "h_x": pd.Series([hx], dtype="float64"),
+            "h_y": pd.Series([hy], dtype="float64"),
+            "chi2": pd.Series([chi2], dtype="float64"),
+            "cramers_v": pd.Series([v], dtype="float64"),
+        }
+    )

@@ -8111,6 +8111,22 @@ def q_part_soundex_blocks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("sdx").reset_index(drop=True)
 
 
+def q_lang_source_assoc(sf_dir: str) -> pd.DataFrame:
+    """Categorical association profile between documents.lang and
+    documents.source (`ops/profile.cat_association` — mutual
+    information, marginal entropies, χ² and Cramér's V from ONE exact
+    contingency reduce; every term a pure function of four counts in
+    mirrored cell order).  Floats ROUND 6 both sides.  Full SQL oracle
+    in TestTailQueryOracles."""
+    from ..ops.profile import cat_association
+
+    docs = _t(sf_dir, "documents", ["lang", "source"])
+    out = cat_association(docs, "lang", "source")
+    for c in ("mi_bits", "h_x", "h_y", "chi2", "cramers_v"):
+        out[c] = _round_half_away(out[c], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8461,6 +8477,7 @@ QUERIES = {
     # TestIpfBalance)
     "balanced_mix_docs": q_balanced_mix_docs,
     "part_soundex_blocks": q_part_soundex_blocks,
+    "lang_source_assoc": q_lang_source_assoc,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11466,4 +11483,41 @@ ORACLE_SQL["part_soundex_blocks"] = (
     "|| '000', 1, 3) END AS sdx FROM k) "
     "SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_parts, "
     "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words FROM sx GROUP BY sdx"
+)
+
+# lang x source association: exact contingency counts, every float a
+# mirrored expression over (n_xy, n_x, n_y, n) in cell/category order,
+# ROUND 6 (ordered-SUM reassociation).
+ORACLE_SQL["lang_source_assoc"] = (
+    "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+    "GROUP BY lang, source), "
+    "nx AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nx FROM c GROUP BY lang), "
+    "ny AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ny FROM c "
+    "GROUP BY source), "
+    "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nf, "
+    "CAST(SUM(n) AS BIGINT) AS n FROM c), "
+    "mi AS (SELECT SUM((CAST(c.n AS DOUBLE) / nf) * "
+    "log2(CAST(c.n AS DOUBLE) * nf / (CAST(nx.nx AS DOUBLE) * "
+    "CAST(ny.ny AS DOUBLE))) ORDER BY c.lang, c.source) AS mi_bits, "
+    "nf + SUM((CAST(c.n AS DOUBLE) - CAST(nx.nx AS DOUBLE) * "
+    "CAST(ny.ny AS DOUBLE) / nf) * (CAST(c.n AS DOUBLE) - "
+    "CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE) / nf) / "
+    "(CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE) / nf) - "
+    "CAST(nx.nx AS DOUBLE) * CAST(ny.ny AS DOUBLE) / nf "
+    "ORDER BY c.lang, c.source) AS chi2 "
+    "FROM c JOIN nx USING (lang) JOIN ny USING (source) CROSS JOIN tot "
+    "GROUP BY nf), "
+    "hx AS (SELECT SUM(-(CAST(nx AS DOUBLE) / nf) * "
+    "log2(CAST(nx AS DOUBLE) / nf) ORDER BY lang) AS h_x, "
+    "CAST(COUNT(*) AS BIGINT) AS r FROM nx CROSS JOIN tot), "
+    "hy AS (SELECT SUM(-(CAST(ny AS DOUBLE) / nf) * "
+    "log2(CAST(ny AS DOUBLE) / nf) ORDER BY source) AS h_y, "
+    "CAST(COUNT(*) AS BIGINT) AS cc FROM ny CROSS JOIN tot) "
+    "SELECT tot.n, ROUND(mi.mi_bits, 6) AS mi_bits, "
+    "ROUND(hx.h_x, 6) AS h_x, ROUND(hy.h_y, 6) AS h_y, "
+    "ROUND(mi.chi2, 6) AS chi2, "
+    "CASE WHEN LEAST(hx.r, hy.cc) > 1 THEN "
+    "ROUND(SQRT(mi.chi2 / (tot.nf * (LEAST(hx.r, hy.cc) - 1))), 6) END "
+    "AS cramers_v FROM tot, mi, hx, hy"
 )

@@ -1785,6 +1785,7 @@ class TestTailQueryOracles:
             "customer_jw_pairs",
             "heaps_vocab_fit",
             "part_soundex_blocks",
+            "lang_source_assoc",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

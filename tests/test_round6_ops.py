@@ -1103,3 +1103,72 @@ class TestSoundex:
         assert soundex("Smith") == soundex("Smyth")
         assert soundex("Robert") == soundex("Rupert")
         assert soundex("Robert") != soundex("Jackson")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCatAssociation:
+    def test_perfect_dependence_and_independence(self):
+        from ocr_platform_ray.ops.profile import cat_association
+
+        rng = np.random.RandomState(0)
+        x = rng.choice(["a", "b", "c", "d"], 8000)
+        dep = pd.DataFrame({"x": x, "y": pd.Series(x).str.upper()})
+        got = cat_association(rd.from_pandas(dep), "x", "y").iloc[0]
+        assert got["mi_bits"] == pytest.approx(got["h_x"], rel=1e-9)
+        assert got["cramers_v"] == pytest.approx(1.0, rel=1e-9)
+        ind = pd.DataFrame(
+            {"x": x, "y": rng.choice(["p", "q"], 8000)}
+        )
+        got2 = cat_association(rd.from_pandas(ind), "x", "y").iloc[0]
+        assert abs(got2["mi_bits"]) < 0.01
+        assert got2["cramers_v"] < 0.05
+
+    def test_matches_naive_counts(self):
+        import math
+
+        from ocr_platform_ray.ops.profile import cat_association
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame(
+            {
+                "x": rng.choice(["a", "b", "c"], 500),
+                "y": rng.choice(["u", "v"], 500),
+            }
+        )
+        df.loc[rng.choice(500, 30, replace=False), "x"] = None
+        got = cat_association(rd.from_pandas(df), "x", "y").iloc[0]
+        sub = df.dropna()
+        ct = sub.groupby(["x", "y"]).size()
+        n = len(sub)
+        nx = sub.groupby("x").size()
+        ny = sub.groupby("y").size()
+        mi, chi2 = 0.0, float(n)
+        for (xv, yv), c in ct.sort_index().items():
+            mi += (c / n) * math.log2(c * n / (nx[xv] * ny[yv]))
+            e = nx[xv] * ny[yv] / n
+            chi2 += (c - e) ** 2 / e - e
+        assert got["n"] == n
+        assert got["mi_bits"] == pytest.approx(mi, rel=1e-12)
+        assert got["chi2"] == pytest.approx(chi2, rel=1e-12)
+        v = math.sqrt(chi2 / (n * 1))
+        assert got["cramers_v"] == pytest.approx(v, rel=1e-12)
+
+    def test_block_independent_and_degenerate(self):
+        from ocr_platform_ray.ops.profile import cat_association
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "x": rng.choice(["a", "b"], 600),
+                "y": rng.choice(["u", "v", "w"], 600),
+            }
+        )
+        one = cat_association(rd.from_pandas(df), "x", "y")
+        many = cat_association(
+            _reblock(df.sample(frac=1.0, random_state=1), 5), "x", "y"
+        )
+        assert (one.to_numpy() == many.to_numpy()).all()
+        deg = pd.DataFrame({"x": ["a"] * 10, "y": ["u"] * 10})
+        got = cat_association(rd.from_pandas(deg), "x", "y").iloc[0]
+        assert got["mi_bits"] == 0.0 and got["chi2"] == 0.0
+        assert np.isnan(got["cramers_v"])
