@@ -269,6 +269,7 @@ def run_once() -> dict:
         "balanced_mix_docs",
         "part_soundex_blocks",
         "lang_source_assoc",
+        "order_score_isotonic",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -468,3 +468,65 @@ def rouge_n(
 
     res = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
     return res.sort_values(id_col).reset_index(drop=True)
+
+
+def isotonic_calibration(
+    ds: rd.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 100,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> pd.DataFrame:
+    """Isotonic score calibration by pool-adjacent-violators (Ayer et
+    al. 1955 PAV; Zadrozny & Elkan 2002 for classifier scores) — the
+    monotone step-function fit that turns a ranker's raw scores into
+    probabilities, completing the eval family next to the reliability
+    diagram: the corpus reduces to per-bucket exact integer (n_pos, n)
+    counts (the `calibration_buckets` combiner — fixed-point score
+    sums), and PAV runs on the bucket-dim table: walk buckets in score
+    order, pooling any adjacent pair that violates monotonicity into a
+    weighted block until the block rates are nondecreasing.  The fit is
+    the exact isotonic weighted-least-squares solution over the bucket
+    grid; pooled rates are ratios of exact int64 sums, so the result is
+    block-structure independent to the bit.
+
+    Returns per non-empty bucket: bucket, n, pos, mean_score,
+    raw_rate, calibrated_p (nondecreasing; Σ calibrated_p·n =
+    Σ pos exactly — PAV preserves the total)."""
+    h = _bucket_counts(
+        ds, score_col, label_col, n_buckets, lo, hi, score_scale=1e6
+    )
+    n = (h["n_pos"] + h["n_neg"]).to_numpy(dtype="int64")
+    keep = n > 0
+    h, n = h[keep], n[keep]
+    h = h.sort_values("bucket").reset_index(drop=True)
+    n = (h["n_pos"] + h["n_neg"]).to_numpy(dtype="int64")
+    pos = h["n_pos"].to_numpy(dtype="int64")
+    # PAV over (pos, n) blocks — exact integer pooling
+    blocks: list[list[int]] = []  # [pos_sum, n_sum, count_of_buckets]
+    for p, m in zip(pos, n):
+        blocks.append([int(p), int(m), 1])
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            b1 = blocks.pop()
+            blocks[-1][0] += b1[0]
+            blocks[-1][1] += b1[1]
+            blocks[-1][2] += b1[2]
+    cal = np.empty(len(n), dtype="float64")
+    i = 0
+    for p_sum, n_sum, cnt in blocks:
+        cal[i : i + cnt] = float(p_sum) / float(n_sum)
+        i += cnt
+    return pd.DataFrame(
+        {
+            "bucket": h["bucket"].to_numpy(dtype="int64"),
+            "n": n.astype("int64"),
+            "pos": pos.astype("int64"),
+            "mean_score": h["score_u"].to_numpy(dtype="int64") / 1e6 / n,
+            "raw_rate": pos / n,
+            "calibrated_p": cal,
+        }
+    )

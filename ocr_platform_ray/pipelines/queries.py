@@ -8127,6 +8127,46 @@ def q_lang_source_assoc(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_order_score_isotonic(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAV) score calibration over the scored orders
+    (`ops/eval.isotonic_calibration` — exact integer bucket pooling, the
+    bucket-grid isotonic-WLS optimum).  Rows-only (PAV is iterative
+    pooling, not monotone SQL); the monotonicity, exact
+    total-preservation and never-worse-than-raw SSE invariants are
+    asserted in-query; machinery pinned by TestIsotonicCalibration."""
+    from ..ops.eval import isotonic_calibration
+
+    ds = _t(sf_dir, "orders", ["o_totalprice", "o_orderstatus"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "score": b["o_totalprice"] / 500_000.0,
+                "label": (b["o_orderstatus"] == "F").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = isotonic_calibration(ds, "score", "label", n_buckets=20)
+    cal = out["calibrated_p"].to_numpy()
+    assert (np.diff(cal) >= -1e-15).all(), "isotonic fit not monotone"
+    assert (
+        abs(float((out["calibrated_p"] * out["n"]).sum()) - float(out["pos"].sum()))
+        < 1e-6
+    ), "PAV lost total positive mass"
+    w = out["n"].to_numpy(dtype="float64")
+    raw = out["raw_rate"].to_numpy()
+    sse_iso = float((w * (cal - raw) ** 2).sum())
+    # the isotonic fit is the weighted-L2 projection: its SSE to the raw
+    # rates can never exceed that of ANY monotone curve; the constant
+    # overall rate is one such curve
+    const = float(out["pos"].sum()) / float(out["n"].sum())
+    sse_const = float((w * (const - raw) ** 2).sum())
+    assert sse_iso <= sse_const + 1e-9
+    out["mean_score"] = _round_half_away(out["mean_score"], 6)
+    out["raw_rate"] = _round_half_away(out["raw_rate"], 6)
+    out["calibrated_p"] = _round_half_away(out["calibrated_p"], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8478,6 +8518,10 @@ QUERIES = {
     "balanced_mix_docs": q_balanced_mix_docs,
     "part_soundex_blocks": q_part_soundex_blocks,
     "lang_source_assoc": q_lang_source_assoc,
+    # rows-only (PAV pooling isn't monotone SQL; monotonicity, exact
+    # total preservation and projection-optimality asserted in-query,
+    # pinned by TestIsotonicCalibration)
+    "order_score_isotonic": q_order_score_isotonic,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

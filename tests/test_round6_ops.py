@@ -1172,3 +1172,95 @@ class TestCatAssociation:
         got = cat_association(rd.from_pandas(deg), "x", "y").iloc[0]
         assert got["mi_bits"] == 0.0 and got["chi2"] == 0.0
         assert np.isnan(got["cramers_v"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIsotonicCalibration:
+    def _scored(self, seed=0, n=20000):
+        rng = np.random.RandomState(seed)
+        score = rng.rand(n)
+        label = (
+            rng.rand(n) < np.clip(score + rng.randn(n) * 0.3, 0, 1)
+        ).astype("int64")
+        return pd.DataFrame({"score": score, "label": label})
+
+    def test_pav_reference_and_invariants(self):
+        from ocr_platform_ray.ops.eval import isotonic_calibration
+
+        df = self._scored()
+        out = isotonic_calibration(
+            rd.from_pandas(df), "score", "label", n_buckets=50
+        )
+        cal = out["calibrated_p"].to_numpy()
+        assert (np.diff(cal) >= -1e-15).all()
+        assert (
+            abs((out["calibrated_p"] * out["n"]).sum() - out["pos"].sum())
+            < 1e-6
+        )
+        # textbook PAV over the same bucket table
+        blocks = []
+        for p, m in zip(out["pos"], out["n"]):
+            blocks.append([float(p), float(m), 1])
+            while len(blocks) >= 2 and (
+                blocks[-2][0] / blocks[-2][1]
+                >= blocks[-1][0] / blocks[-1][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        ref = []
+        for p, m, c in blocks:
+            ref += [p / m] * int(c)
+        assert np.allclose(ref, cal, rtol=1e-12)
+
+    def test_already_monotone_is_identity(self):
+        from ocr_platform_ray.ops.eval import isotonic_calibration
+
+        # strictly increasing bucket rates: PAV must not pool anything
+        rows = []
+        for b in range(10):
+            rate = 0.05 + 0.09 * b
+            for i in range(400):
+                rows.append(
+                    {"score": (b + 0.5) / 10.0, "label": int(i < rate * 400)}
+                )
+        df = pd.DataFrame(rows)
+        out = isotonic_calibration(
+            rd.from_pandas(df), "score", "label", n_buckets=10
+        )
+        assert np.allclose(
+            out["calibrated_p"].to_numpy(), out["raw_rate"].to_numpy()
+        )
+
+    def test_reversed_scores_pool_to_constant(self):
+        from ocr_platform_ray.ops.eval import isotonic_calibration
+
+        # rates strictly DECREASING in score: full pooling to one block
+        rows = []
+        for b in range(5):
+            rate = 0.9 - 0.2 * b
+            for i in range(200):
+                rows.append(
+                    {"score": (b + 0.5) / 5.0, "label": int(i < rate * 200)}
+                )
+        df = pd.DataFrame(rows)
+        out = isotonic_calibration(
+            rd.from_pandas(df), "score", "label", n_buckets=5
+        )
+        assert out["calibrated_p"].nunique() == 1
+        assert out["calibrated_p"].iloc[0] == pytest.approx(
+            out["pos"].sum() / out["n"].sum()
+        )
+
+    def test_block_structure_bitwise(self):
+        from ocr_platform_ray.ops.eval import isotonic_calibration
+
+        df = self._scored(seed=5)
+        one = isotonic_calibration(rd.from_pandas(df), "score", "label")
+        many = isotonic_calibration(
+            _reblock(df.sample(frac=1.0, random_state=2), 7), "score", "label"
+        )
+        assert (
+            one["calibrated_p"].to_numpy() == many["calibrated_p"].to_numpy()
+        ).all()
