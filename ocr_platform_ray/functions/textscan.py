@@ -30,3 +30,26 @@ def flat_finditer(rx: "re.Pattern", texts: list[str], sep: str):
     for m in rx.finditer(flat):
         row = int(np.searchsorted(starts, m.start(), side="right") - 1)
         yield row, m, int(starts[row])
+
+
+def flat_tokens_nonempty(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat lowered tokens, per-token row index) under THE corpus
+    tokenization rule (lower, split on single spaces, empties dropped —
+    the PMI/BM25 renumbered-adjacency contract every SQL oracle
+    mirrors).  One Arrow pass; the ONE copy of this flatten — the
+    eval n-gram builder, the zipf/heaps corpus-law fits and ad-hoc
+    query scans all consume it, so a tokenization change cannot split
+    the engines."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(
+        pc.utf8_lower(pa.array(pd.Series(texts).fillna(""), pa.string())),
+        pattern=" ",
+    )
+    flat = np.asarray(toks.flatten(), dtype=object)
+    lens = np.asarray(pc.list_value_length(toks), dtype="int64")
+    doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+    keep = flat != ""
+    return flat[keep], doc_of[keep]

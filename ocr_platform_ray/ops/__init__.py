@@ -209,3 +209,13 @@ from .boilerplate import (  # noqa: F401
     extract_main_content,
     split_sections,
 )
+from .drift import grouped_trend, ks_two_sample  # noqa: F401
+from .profile import cat_association, grouped_skewkurt  # noqa: F401
+from .eval import bleu_corpus, isotonic_calibration, rouge_n  # noqa: F401
+from .graph import (  # noqa: F401
+    label_propagation_communities,
+    link_prediction_scores,
+)
+from .search import rrf_fuse  # noqa: F401
+from .textstats import heaps_fit, zipf_fit  # noqa: F401
+from .mix import ipf_balance  # noqa: F401

@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..functions.textscan import flat_tokens_nonempty
 from .relational import auto_group_agg
 
 
@@ -301,22 +302,12 @@ def _ngram_frame(
     texts: pd.Series, n: int
 ) -> pd.DataFrame:
     """(row_idx, gram, c) n-gram count triples for a batch of texts under
-    the corpus tokenization (lower, split on single spaces, empties
-    dropped — the PMI/BM25 renumbered-adjacency rule), built in ONE flat
-    pass: tokens flatten across the batch, n-grams join with ' ' via a
-    shifted-slice zip (tokens cannot contain spaces, so the join is
-    injective), rows whose window crosses a doc boundary masked out."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    toks = pc.split_pattern(
-        pc.utf8_lower(pa.array(texts.fillna(""), pa.string())), pattern=" "
-    )
-    flat = np.asarray(toks.flatten(), dtype=object)
-    lens = np.asarray(pc.list_value_length(toks), dtype="int64")
-    doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
-    keep = flat != ""
-    flat, doc_of = flat[keep], doc_of[keep]
+    the corpus tokenization (`functions/textscan.flat_tokens_nonempty` —
+    the PMI/BM25 renumbered-adjacency rule), built in ONE flat pass:
+    n-grams join with ' ' via a shifted-slice zip (tokens cannot contain
+    spaces, so the join is injective), rows whose window crosses a doc
+    boundary masked out."""
+    flat, doc_of = flat_tokens_nonempty(texts)
     if len(flat) == 0 or n > len(flat):
         return pd.DataFrame(
             {"row_idx": pd.Series(dtype="int64"),

@@ -1220,6 +1220,8 @@ def grouped_skewkurt(
     LIMB = 1 << 31
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[value_col].notna()]  # NULLs drop (the oracle's WHERE);
+        # a NaN would also cast to INT64_MIN and wrap the |x| check
         x = _scaled_int(b[value_col].to_numpy(), scale)
         if len(x) and int(np.abs(x).max()) > 55108:
             raise ValueError(

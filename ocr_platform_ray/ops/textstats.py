@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..functions.textscan import flat_tokens_nonempty
+
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be with for on at by from as that this it".split()
 )
@@ -896,15 +898,8 @@ def zipf_fit(
         raise ValueError("top_k must be >= 2")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(
-            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
-            pattern=" ",
-        )
-        flat = toks.flatten().to_pandas()
-        vc = flat[flat != ""].value_counts()
+        flat, _ = flat_tokens_nonempty(b[text_col])
+        vc = pd.Series(flat).value_counts()
         return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy()})
 
     from .relational import auto_group_agg
@@ -999,34 +994,16 @@ def heaps_fit(
     ln_k, r2); curve = (n, v) at the checkpoints."""
     import math
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from .pack import range_prefix_sum
     from .relational import auto_group_agg, bucketed_hash_join
 
     def doc_lens(b: pd.DataFrame) -> pd.DataFrame:
-        toks = pc.split_pattern(
-            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
-            pattern=" ",
-        )
-        flat = np.asarray(toks.flatten(), dtype=object)
-        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
-        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
-        keep = flat != ""
-        nlen = np.bincount(doc_of[keep], minlength=len(b)).astype("int64")
+        _, doc_of = flat_tokens_nonempty(b[text_col])
+        nlen = np.bincount(doc_of, minlength=len(b)).astype("int64")
         return pd.DataFrame({id_col: b[id_col].to_numpy(), "n_toks": nlen})
 
     def first_local(b: pd.DataFrame) -> pd.DataFrame:
-        toks = pc.split_pattern(
-            pc.utf8_lower(pa.array(b[text_col].fillna(""), pa.string())),
-            pattern=" ",
-        )
-        flat = np.asarray(toks.flatten(), dtype=object)
-        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
-        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
-        keep = flat != ""
-        flat, doc_of = flat[keep], doc_of[keep]
+        flat, doc_of = flat_tokens_nonempty(b[text_col])
         if len(flat) == 0:
             return pd.DataFrame(
                 {id_col: pd.Series(dtype=b[id_col].dtype),

@@ -7633,6 +7633,7 @@ def q_value_ks_by_dow(sf_dir: str) -> pd.DataFrame:
     ev = _t(sf_dir, "events", ["event_type", "value", "ts"])
 
     def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ts"].notna()]  # NaT would alias into a real dow bucket
         d = (
             b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
             // 86400000000
@@ -7750,9 +7751,7 @@ def q_hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     different lexical view).  Fusion sees only ranks; the fused score is
     the fixed two-term coalesce expression, bitwise SQL-mirrorable.
     Full SQL oracle in TestTailQueryOracles."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    from ..functions.textscan import flat_tokens_nonempty
     from ..ops.search import bm25_topk, rrf_fuse
 
     terms = ("table", "scan", "merge", "window")
@@ -7761,13 +7760,7 @@ def q_hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     a["rk"] = np.arange(1, len(a) + 1, dtype="int64")
 
     def tf_prune(b: pd.DataFrame) -> pd.DataFrame:
-        toks = pc.split_pattern(
-            pc.utf8_lower(pa.array(b["text"].fillna(""), pa.string())),
-            pattern=" ",
-        )
-        flat = np.asarray(toks.flatten(), dtype=object)
-        lens = np.asarray(pc.list_value_length(toks), dtype="int64")
-        doc_of = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        flat, doc_of = flat_tokens_nonempty(b["text"])
         tf = np.zeros(len(b), dtype="int64")
         for t in terms:
             np.add.at(tf, doc_of[flat == t], 1)

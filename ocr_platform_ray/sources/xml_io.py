@@ -32,6 +32,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import os
+import re
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -41,17 +42,29 @@ import ray.data as rd
 _KINDS = ("int", "float", "bool", "ts", "str")
 
 
+_ILLEGAL_XML = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def _esc(s: pd.Series) -> pd.Series:
-    """XML content escaping, vectorized (& first, then the brackets)."""
+    """XML content escaping, vectorized (& first, then brackets; \r as
+    a character reference — a literal \r is silently normalized to \n
+    by every conforming parser, breaking the byte roundtrip).  C0
+    control characters other than \t \n \r are ILLEGAL in XML 1.0
+    even as references — loud raise (use parquet/Avro for binary-ish
+    text)."""
+    bad = s.str.contains(_ILLEGAL_XML, regex=True, na=False)
+    if bool(bad.any()):
+        raise ValueError(
+            "write_xml_dataset: string value contains a C0 control "
+            "character XML 1.0 cannot carry (even as a reference) — "
+            "use parquet or Avro for this column"
+        )
     return (
         s.str.replace("&", "&amp;", regex=False)
         .str.replace("<", "&lt;", regex=False)
         .str.replace(">", "&gt;", regex=False)
+        .str.replace("\r", "&#13;", regex=False)
     )
-
-
-def _unesc(v: str) -> str:
-    return v.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
 
 def _column_kind(s: pd.Series, col: str) -> str:
@@ -91,13 +104,14 @@ def _render_column(s: pd.Series, kind: str) -> pd.Series:
         )
         return pd.Series(vals, index=s.index)
     if kind == "float":
-        # str(float) is repr — shortest roundtrip, exact on re-parse
-        out = s.astype(object).where(s.notna(), None)
+        # repr(float(v)) — shortest roundtrip, exact on re-parse, and
+        # stable across numpy versions (numpy 2 reprs scalars as
+        # 'np.float64(0.5)')
         mask = s.notna().to_numpy()
         vals = np.empty(len(s), dtype=object)
-        vals[mask] = np.vectorize(repr, otypes=[object])(
-            s.to_numpy(dtype="float64")[mask]
-        )
+        vals[mask] = [
+            repr(float(v)) for v in s.to_numpy(dtype="float64")[mask]
+        ]
         return pd.Series(vals, index=s.index)
     if kind == "ts":
         # integer microseconds since epoch: exact, parser-ambiguity-free

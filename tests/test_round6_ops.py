@@ -1264,3 +1264,64 @@ class TestIsotonicCalibration:
         assert (
             one["calibrated_p"].to_numpy() == many["calibrated_p"].to_numpy()
         ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixesS13:
+    def test_skewkurt_null_values_drop(self):
+        from ocr_platform_ray.ops.profile import grouped_skewkurt
+
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame(
+            {"g": rng.choice(["a", "b"], 300), "v": rng.lognormal(1, 0.5, 300)}
+        )
+        dfn = df.copy()
+        # inject NaNs: result must equal the dropna corpus, not wrap
+        extra = pd.DataFrame({"g": ["a", "b", "a"], "v": [np.nan] * 3})
+        got = grouped_skewkurt(
+            rd.from_pandas(pd.concat([dfn, extra], ignore_index=True)),
+            "v",
+            ["g"],
+        )
+        want = grouped_skewkurt(rd.from_pandas(df), "v", ["g"])
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["skew_v"].to_numpy() == want["skew_v"].to_numpy()).all()
+
+    def test_xml_carriage_return_roundtrips_and_controls_raise(self, tmp_path):
+        from ocr_platform_ray.sources.xml_io import read_xml, write_xml_dataset
+
+        df = pd.DataFrame({"i": [1, 2], "s": ["a\rb", "line1\r\nline2"]})
+        files = write_xml_dataset(rd.from_pandas(df), str(tmp_path / "cr"))
+        back = read_xml(files).to_pandas().sort_values("i")
+        assert back["s"].tolist() == ["a\rb", "line1\r\nline2"]
+        bad = pd.DataFrame({"i": [1], "s": ["has \x08 backspace"]})
+        with pytest.raises(Exception, match="control"):
+            write_xml_dataset(rd.from_pandas(bad), str(tmp_path / "bad"))
+
+    def test_new_ops_exported(self):
+        from ocr_platform_ray import ops
+
+        for name in (
+            "grouped_trend", "ks_two_sample", "grouped_skewkurt",
+            "cat_association", "bleu_corpus", "rouge_n",
+            "isotonic_calibration", "label_propagation_communities",
+            "link_prediction_scores", "rrf_fuse", "heaps_fit", "zipf_fit",
+            "ipf_balance",
+        ):
+            assert hasattr(ops, name), name
+
+    def test_shared_tokenizer_engine_unchanged(self):
+        # the flat_tokens_nonempty refactor must not move any oracle:
+        # spot-check the BLEU pipeline against the Counter reference
+        from collections import Counter
+
+        from ocr_platform_ray.ops.eval import bleu_corpus
+
+        df = pd.DataFrame(
+            {"cand": ["a  b c", "x y"], "ref": ["a b c d", "x z"]}
+        )
+        got = bleu_corpus(rd.from_pandas(df), "cand", "ref", max_n=2).iloc[0]
+        # double space collapses: cand tokens = [a,b,c] + [x,y]
+        assert got["c_len"] == 5 and got["r_len"] == 6
+        cc = Counter(["a b", "b c"]) + Counter(["x y"])
+        assert got["p2"] == 2 / 3  # 'a b','b c' match, 'x y' doesn't
