@@ -293,6 +293,11 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--input", required=True, help="parquet file or directory")
     cd.add_argument("--text-col", default="text")
     cd.add_argument("--lang-col", default="lang")
+    cd.add_argument(
+        "--corpus-laws", action="store_true",
+        help="add the Zipf-slope / Heaps-exponent statistical-health section",
+    )
+    cd.add_argument("--id-col", default="doc_id")
 
     args = p.parse_args(argv)
     ray = _ray_session()
@@ -499,7 +504,30 @@ def main(argv: list[str] | None = None) -> int:
             top = t.sort_values(
                 ["js_term", "token"], ascending=[False, True]
             ).head(args.top)
-            print(json.dumps({"js_divergence_bits": round(js, 6)}))
+            # distribution-level drift: exact KS over doc LENGTHS
+            from .ops.drift import ks_two_sample
+
+            def _len_side(path, side):
+                return rdata.read_parquet(path).map_batches(
+                    lambda b, _s=side: __import__("pandas").DataFrame(
+                        {
+                            "g": "all",
+                            "side": _s,
+                            "v": b[args.text_col].fillna("").str.len()
+                            .astype("float64"),
+                        }
+                    ),
+                    batch_format="pandas",
+                )
+            ks = ks_two_sample(
+                _len_side(args.a, "a").union(_len_side(args.b, "b")),
+                "v", "side", "a", "b", ["g"],
+            )
+            d = float(ks["d"].iloc[0]) if len(ks) else None
+            print(json.dumps({
+                "js_divergence_bits": round(js, 6),
+                "doc_length_ks_d": None if d is None else round(d, 6),
+            }))
             print(top.to_string(index=False))
         elif args.cmd == "audit":
             import ray.data as rdata
@@ -552,6 +580,8 @@ def main(argv: list[str] | None = None) -> int:
                 ds,
                 text_col=args.text_col if args.text_col in names else None,
                 lang_col=args.lang_col if args.lang_col in names else None,
+                corpus_laws=args.corpus_laws,
+                id_col=args.id_col if args.id_col in names else None,
             )
             print(json.dumps(card, default=str, indent=1))
         elif args.cmd == "mix":

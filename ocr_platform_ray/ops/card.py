@@ -27,11 +27,19 @@ def dataset_card(
     text_col: str | None = "text",
     lang_col: str | None = "lang",
     profile_cols: list[str] | None = None,
+    corpus_laws: bool = False,
+    id_col: str | None = None,
     n_shards: int = 64,
 ) -> dict:
     """Assemble the card: ``{n_rows, columns: [profile rows], n_tokens,
     languages: {lang: rows}, dup_rate, n_distinct_texts}``.  ``text_col``
-    / ``lang_col`` = None skip those sections (non-text tables)."""
+    / ``lang_col`` = None skip those sections (non-text tables).
+
+    ``corpus_laws=True`` adds the statistical-health section: the Zipf
+    rank-frequency slope/r² (`ops/textstats.zipf_fit` — natural text
+    tracks slope ≈ −1) and, when ``id_col`` names an integer document
+    id, the Heaps vocabulary-growth exponent
+    (`ops/textstats.heaps_fit` — β ≈ 0.4–0.6 for natural text)."""
     names = list(ds.schema().names)
     cols = profile_cols or names
     prof = dataset_profile(ds, cols)
@@ -116,4 +124,21 @@ def dataset_card(
         card["dup_rate"] = (
             (total - distinct) / total if total else 0.0
         )
+    if corpus_laws and text_col is not None and text_col in names:
+        from ..ops.textstats import heaps_fit, zipf_fit
+
+        z = zipf_fit(ds, text_col, n_shards=n_shards).iloc[0]
+        laws = {
+            "zipf_slope": None if pd.isna(z["slope"]) else round(float(z["slope"]), 4),
+            "zipf_r2": None if pd.isna(z["r2"]) else round(float(z["r2"]), 4),
+            "zipf_top_k": int(z["k"]),
+        }
+        if id_col is not None and id_col in names:
+            h, _ = heaps_fit(ds, id_col, text_col, n_shards=n_shards)
+            hb = h.iloc[0]
+            laws["heaps_beta"] = (
+                None if pd.isna(hb["beta"]) else round(float(hb["beta"]), 4)
+            )
+            laws["vocab_size"] = int(hb["v_total"])
+        card["corpus_laws"] = laws
     return card
