@@ -270,6 +270,7 @@ def run_once() -> dict:
         "part_soundex_blocks",
         "lang_source_assoc",
         "order_score_isotonic",
+        "hard_negatives_top3",
     ):
         extra_times[name] = _best_of(2, name)
 

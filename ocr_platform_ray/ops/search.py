@@ -707,3 +707,147 @@ def rrf_fuse(
     return out.sort_values(
         ["rrf_score", *keys], ascending=[False] + [True] * len(keys)
     ).reset_index(drop=True)
+
+
+def bm25_multi_topk(
+    ds: rd.Dataset,
+    queries: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """Top-k BM25 for a WHOLE query set in ONE corpus scan — the batch
+    form of `bm25_topk` (scoring q queries one at a time costs q scans;
+    the union-term projection + per-batch multi-score pass costs one):
+    the projection carries the union of all queries' terms, the df/N/
+    avgdl stats reduce once, and each batch emits a local-pruned top-k
+    PER QUERY — ≤ |queries|·k candidate rows leave any batch.  Scores
+    are bit-identical to per-query `bm25_topk` (same idf table, same
+    term-order sum).  Returns (query_id, id, score, rk) with ties
+    ranked by ascending id."""
+    qids = sorted(queries)
+    per_q_terms = {q: _query_terms(queries[q]) for q in qids}
+    union_terms: dict[str, None] = {}
+    for q in qids:
+        for t in per_q_terms[q]:
+            union_terms.setdefault(t, None)
+    terms = list(union_terms)
+    if not terms:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "rk": pd.Series(dtype="int64")}
+        )
+    proj = bm25_project(ds, terms, id_col=id_col, text_col=text_col).materialize()
+    tf_cols = [f"tf_{j}" for j in range(len(terms))]
+
+    def partial(bdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(bdf)), "sum_dl": bdf["dl"].to_numpy().sum()}
+        for c in tf_cols:
+            row[f"df_{c}"] = np.int64((bdf[c].to_numpy() > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = proj.map_batches(partial, batch_format="pandas").to_pandas()
+    n_docs = int(stats["n"].sum()) if "n" in stats.columns else 0
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "rk": pd.Series(dtype="int64")}
+        )
+    avgdl = float(stats["sum_dl"].sum()) / n_docs
+    idf = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, df in (
+            (terms[j], int(stats[f"df_{c}"].sum()))
+            for j, c in enumerate(tf_cols)
+        )
+    }
+    tidx = {t: j for j, t in enumerate(terms)}
+
+    def score_prune(bdf: pd.DataFrame) -> pd.DataFrame:
+        dl = bdf["dl"].to_numpy().astype(np.float64)
+        denom_tail = k1 * (1.0 - b + b * dl / avgdl)
+        outs = []
+        for q in qids:
+            score = np.zeros(len(bdf), dtype=np.float64)
+            for t in per_q_terms[q]:  # the query's own term order
+                tf = bdf[f"tf_{tidx[t]}"].to_numpy().astype(np.float64)
+                score += idf[t] * tf / np.maximum(tf + denom_tail, 1e-300)
+            sub = pd.DataFrame(
+                {"query_id": q, id_col: bdf[id_col], "score": score}
+            )
+            sub = sub[sub["score"] > 0.0]
+            outs.append(
+                sub.sort_values(
+                    ["score", id_col], ascending=[False, True]
+                ).head(k)
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+
+    pruned = proj.map_batches(score_prune, batch_format="pandas").to_pandas()
+    if pruned.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="object"),
+             id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"),
+             "rk": pd.Series(dtype="int64")}
+        )
+    out = (
+        pruned.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rk"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out
+
+
+def mine_hard_negatives(
+    ds: rd.Dataset,
+    pairs: pd.DataFrame,
+    *,
+    query_col: str = "query_text",
+    qid_col: str = "query_id",
+    pos_col: str = "pos_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_neg: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25 hard-negative mining (the DPR/contriever training-data
+    recipe — Karpukhin 2020 §4.2: for each (query, positive) pair, the
+    top-ranked NON-positive documents are the hard negatives a dense
+    retriever trains against): one `bm25_multi_topk` scan retrieves
+    k = n_neg + |positives| per query, the query's own positives drop,
+    and the first ``n_neg`` survivors emit with their retrieval rank.
+    Returns (query_id, pos_id, doc_id, neg_rank, score)."""
+    qids = pairs[qid_col].tolist()
+    if len(set(qids)) != len(qids):
+        raise ValueError("mine_hard_negatives: duplicate query ids")
+    queries = dict(zip(pairs[qid_col], pairs[query_col]))
+    ranked = bm25_multi_topk(
+        ds, queries, id_col=id_col, text_col=text_col,
+        k=n_neg + 1, k1=k1, b=b,
+    )
+    pos = dict(zip(pairs[qid_col], pairs[pos_col]))
+    ranked["__pos"] = ranked["query_id"].map(pos)
+    neg = ranked[ranked[id_col] != ranked["__pos"]].copy()
+    neg = neg.groupby("query_id", sort=False).head(n_neg)
+    neg["neg_rank"] = neg.groupby("query_id", sort=False).cumcount() + 1
+    neg["pos_id"] = neg["__pos"]
+    return neg[
+        ["query_id", "pos_id", id_col, "neg_rank", "score"]
+    ].reset_index(drop=True)

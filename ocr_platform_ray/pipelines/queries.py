@@ -8160,6 +8160,40 @@ def q_order_score_isotonic(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_HN_QUERIES = {
+    "q1": "table scan merge window",
+    "q2": "hash join index",
+    "q3": "vector stream sort",
+}
+
+
+def q_hard_negatives_top3(sf_dir: str) -> pd.DataFrame:
+    """BM25 hard-negative mining for a three-query batch
+    (`ops/search.mine_hard_negatives` over `bm25_multi_topk` — the DPR
+    recipe: positives = each query's rank-1 document, negatives = the
+    next three ranks, all from ONE union-term corpus scan that is
+    bit-identical to per-query `bm25_topk`).  Full SQL oracle (one
+    scoring CTE per query, FIRST_VALUE positive, ROW_NUMBER ranks) in
+    TestTailQueryOracles."""
+    from ..ops.search import bm25_multi_topk, mine_hard_negatives
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    top1 = bm25_multi_topk(ds, _HN_QUERIES, k=1)
+    pairs = pd.DataFrame(
+        {
+            "query_id": sorted(_HN_QUERIES),
+            "query_text": [_HN_QUERIES[q] for q in sorted(_HN_QUERIES)],
+            "pos_id": [
+                top1[top1["query_id"] == q]["doc_id"].iloc[0]
+                for q in sorted(_HN_QUERIES)
+            ],
+        }
+    )
+    neg = mine_hard_negatives(ds, pairs, n_neg=3)
+    neg["score"] = _round_half_away(neg["score"], 6)
+    return neg.reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8515,6 +8549,7 @@ QUERIES = {
     # total preservation and projection-optimality asserted in-query,
     # pinned by TestIsotonicCalibration)
     "order_score_isotonic": q_order_score_isotonic,
+    "hard_negatives_top3": q_hard_negatives_top3,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11557,4 +11592,54 @@ ORACLE_SQL["lang_source_assoc"] = (
     "CASE WHEN LEAST(hx.r, hy.cc) > 1 THEN "
     "ROUND(SQRT(mi.chi2 / (tot.nf * (LEAST(hx.r, hy.cc) - 1))), 6) END "
     "AS cramers_v FROM tot, mi, hx, hy"
+)
+
+# Hard negatives: the bm25 scoring CTE per query (identical idf/tf
+# expressions and term order), FIRST_VALUE positive, ranks 2..4.
+def _hn_block(qid: str, terms: list[str]) -> str:
+    tok = (
+        "SELECT doc_id, "
+        "CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl, "
+        + ", ".join(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t = '{t}')) AS DOUBLE) AS tf_{j}"
+            for j, t in enumerate(terms)
+        )
+        + " FROM documents"
+    )
+    stats = (
+        "SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            f"AS df_{j}"
+            for j in range(len(terms))
+        )
+        + f" FROM tok_{qid}"
+    )
+    score = " + ".join(
+        f"ln(1 + (n - df_{j} + 0.5) / (df_{j} + 0.5)) * tf_{j} "
+        f"/ (tf_{j} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        for j in range(len(terms))
+    )
+    return (
+        f"tok_{qid} AS ({tok}), st_{qid} AS ({stats}), "
+        f"sc_{qid} AS (SELECT doc_id, {score} AS score "
+        f"FROM tok_{qid}, st_{qid}), "
+        f"rk_{qid} AS (SELECT '{qid}' AS query_id, doc_id, score, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) "
+        "AS rn, FIRST_VALUE(doc_id) OVER (ORDER BY score DESC, doc_id) "
+        f"AS pos_id FROM sc_{qid} WHERE score > 0)"
+    )
+
+
+ORACLE_SQL["hard_negatives_top3"] = (
+    "WITH "
+    + ", ".join(
+        _hn_block(q, [t for t in dict.fromkeys(_HN_QUERIES[q].split(" ")) if t])
+        for q in sorted(_HN_QUERIES)
+    )
+    + " SELECT query_id, pos_id, doc_id, CAST(rn - 1 AS BIGINT) AS neg_rank, "
+    "ROUND(score, 6) AS score FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM rk_{q}" for q in sorted(_HN_QUERIES))
+    + ") WHERE rn BETWEEN 2 AND 4"
 )

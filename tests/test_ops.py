@@ -1786,6 +1786,7 @@ class TestTailQueryOracles:
             "heaps_vocab_fit",
             "part_soundex_blocks",
             "lang_source_assoc",
+            "hard_negatives_top3",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

@@ -1348,3 +1348,86 @@ class TestCardCorpusLaws:
         # default off
         card3 = dataset_card(ds)
         assert "corpus_laws" not in card3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25MultiAndNegatives:
+    def _corpus(self):
+        return rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+
+    def test_multi_equals_per_query_bitwise(self):
+        from ocr_platform_ray.ops.search import bm25_multi_topk, bm25_topk
+
+        qs = {
+            "q1": "table scan merge window",
+            "q2": "hash join index",
+            "q3": "vector stream sort",
+        }
+        multi = bm25_multi_topk(self._corpus(), qs, k=10)
+        for q, text in qs.items():
+            single = bm25_topk(self._corpus(), text, k=10)
+            sub = multi[multi["query_id"] == q].reset_index(drop=True)
+            assert sub["doc_id"].tolist() == single["doc_id"].tolist(), q
+            assert (
+                sub["score"].to_numpy() == single["score"].to_numpy()
+            ).all(), q
+            assert sub["rk"].tolist() == list(range(1, len(sub) + 1))
+
+    def test_hard_negatives_exclude_positive(self):
+        from ocr_platform_ray.ops.search import (
+            bm25_multi_topk,
+            mine_hard_negatives,
+        )
+
+        qs = {"a": "table scan", "b": "hash join"}
+        top = bm25_multi_topk(self._corpus(), qs, k=2)
+        pairs = pd.DataFrame(
+            {
+                "query_id": ["a", "b"],
+                "query_text": [qs["a"], qs["b"]],
+                "pos_id": [
+                    top[top["query_id"] == q]["doc_id"].iloc[0]
+                    for q in ("a", "b")
+                ],
+            }
+        )
+        neg = mine_hard_negatives(self._corpus(), pairs, n_neg=4)
+        assert (neg.groupby("query_id").size() == 4).all()
+        assert not (neg["doc_id"] == neg["pos_id"]).any()
+        # negatives are the NEXT ranks: scores non-increasing per query
+        for _, g in neg.groupby("query_id"):
+            s = g.sort_values("neg_rank")["score"].to_numpy()
+            assert (s[:-1] >= s[1:]).all()
+
+    def test_positive_mid_list_is_skipped(self):
+        from ocr_platform_ray.ops.search import (
+            bm25_multi_topk,
+            mine_hard_negatives,
+        )
+
+        qs = {"a": "table scan merge"}
+        top = bm25_multi_topk(self._corpus(), qs, k=3)
+        mid = top["doc_id"].iloc[1]  # rank-2 doc as the positive
+        pairs = pd.DataFrame(
+            {"query_id": ["a"], "query_text": [qs["a"]], "pos_id": [mid]}
+        )
+        neg = mine_hard_negatives(self._corpus(), pairs, n_neg=3)
+        assert mid not in set(neg["doc_id"])
+        assert len(neg) == 3
+
+    def test_empty_query_set_and_dup_qids(self):
+        from ocr_platform_ray.ops.search import (
+            bm25_multi_topk,
+            mine_hard_negatives,
+        )
+
+        out = bm25_multi_topk(self._corpus(), {}, k=5)
+        assert len(out) == 0
+        pairs = pd.DataFrame(
+            {"query_id": ["a", "a"], "query_text": ["x", "y"], "pos_id": [1, 2]}
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            mine_hard_negatives(self._corpus(), pairs)
