@@ -7658,11 +7658,14 @@ def q_value_skewkurt_by_type(sf_dir: str) -> pd.DataFrame:
     TWO int64 limbs through the size-aware finish, central-moment
     numerators reassembled as exact Python integers, skew/kurt each one
     final IEEE expression).  The SQL oracle carries the same sums in
-    HUGEINT — bitwise equal.  Full SQL oracle in TestTailQueryOracles."""
+    HUGEINT — bitwise equal.  scale=10: sf0.1 values reach ~5000 and
+    the fourth-power int64 domain caps |v·scale| at 55108 (skew/kurt
+    are scale-invariant beyond the 0.1-unit rounding both engines
+    share).  Full SQL oracle in TestTailQueryOracles."""
     from ..ops.profile import grouped_skewkurt
 
     ev = _t(sf_dir, "events", ["event_type", "value"])
-    return grouped_skewkurt(ev, "value", ["event_type"])
+    return grouped_skewkurt(ev, "value", ["event_type"], scale=10)
 
 
 def _bleu_pairs(sf_dir: str) -> rd.Dataset:
@@ -11260,8 +11263,8 @@ ORACLE_SQL["value_ks_by_dow"] = (
 # (POWER(x, 1.5) probe-verified bitwise against Python's **1.5).
 ORACLE_SQL["value_skewkurt_by_type"] = (
     "WITH v AS (SELECT event_type, "
-    "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 100 + 0.5) "
-    "ELSE -FLOOR(-value * 100 + 0.5) END AS HUGEINT) AS x FROM events "
+    "CAST(CASE WHEN value >= 0 THEN FLOOR(value * 10 + 0.5) "
+    "ELSE -FLOOR(-value * 10 + 0.5) END AS HUGEINT) AS x FROM events "
     "WHERE value IS NOT NULL), "
     "a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
     "SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * x * x) AS s3, "
