@@ -298,16 +298,16 @@ def cohens_kappa(
     return {"kappa": kappa, "p_o": p_o, "p_e": p_e, "n": int(n)}
 
 
-def _ngram_frame(
-    texts: pd.Series, n: int
+def _ngram_from_flat(
+    flat: np.ndarray, doc_of: np.ndarray, n: int
 ) -> pd.DataFrame:
-    """(row_idx, gram, c) n-gram count triples for a batch of texts under
-    the corpus tokenization (`functions/textscan.flat_tokens_nonempty` —
-    the PMI/BM25 renumbered-adjacency rule), built in ONE flat pass:
-    n-grams join with ' ' via a shifted-slice zip (tokens cannot contain
-    spaces, so the join is injective), rows whose window crosses a doc
-    boundary masked out."""
-    flat, doc_of = flat_tokens_nonempty(texts)
+    """(row_idx, gram, c) n-gram count triples from an already-flattened
+    token stream (`functions/textscan.flat_tokens_nonempty` — the
+    PMI/BM25 renumbered-adjacency rule): n-grams join with ' ' via a
+    shifted-slice zip (tokens cannot contain spaces, so the join is
+    injective), rows whose window crosses a doc boundary masked out.
+    Callers tokenize ONCE per batch and reuse the stream across every
+    n level (bleu's 1..4)."""
     if len(flat) == 0 or n > len(flat):
         return pd.DataFrame(
             {"row_idx": pd.Series(dtype="int64"),
@@ -328,14 +328,20 @@ def _ngram_frame(
     )
 
 
-def _clipped_counts(
-    b: pd.DataFrame, cand_col: str, ref_col: str, n: int
+def _ngram_frame(texts: pd.Series, n: int) -> pd.DataFrame:
+    flat, doc_of = flat_tokens_nonempty(texts)
+    return _ngram_from_flat(flat, doc_of, n)
+
+
+def _clipped_counts_flat(
+    cand, ref, n: int
 ) -> tuple[int, int, int]:
     """(Σ clipped matches, Σ candidate n-grams, Σ reference n-grams)
     over one batch — exact integers from a per-doc multiset-intersection
-    merge on STRING grams (no hashing, no collisions)."""
-    cg = _ngram_frame(b[cand_col], n)
-    rg = _ngram_frame(b[ref_col], n)
+    merge on STRING grams (no hashing, no collisions).  ``cand``/``ref``
+    are (flat, doc_of) streams tokenized once per batch."""
+    cg = _ngram_from_flat(*cand, n)
+    rg = _ngram_from_flat(*ref, n)
     tot_c = int(cg["c"].sum()) if len(cg) else 0
     tot_r = int(rg["c"].sum()) if len(rg) else 0
     if tot_c == 0 or tot_r == 0:
@@ -373,9 +379,11 @@ def bleu_corpus(
         raise ValueError("max_n must be >= 1")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cand = flat_tokens_nonempty(b[cand_col])
+        ref = flat_tokens_nonempty(b[ref_col])
         row = {}
         for n in range(1, max_n + 1):
-            m, tc, tr = _clipped_counts(b, cand_col, ref_col, n)
+            m, tc, tr = _clipped_counts_flat(cand, ref, n)
             row[f"m{n}"], row[f"t{n}"] = m, tc
             if n == 1:
                 row["c_len"], row["r_len"] = tc, tr
