@@ -271,6 +271,7 @@ def run_once() -> dict:
         "lang_source_assoc",
         "order_score_isotonic",
         "hard_negatives_top3",
+        "part_entity_resolution",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -219,3 +219,4 @@ from .graph import (  # noqa: F401
 from .search import rrf_fuse  # noqa: F401
 from .textstats import heaps_fit, zipf_fit  # noqa: F401
 from .mix import ipf_balance  # noqa: F401
+from .er import resolve_entities  # noqa: F401

@@ -8197,6 +8197,54 @@ def q_hard_negatives_top3(sf_dir: str) -> pd.DataFrame:
     return neg.reset_index(drop=True)
 
 
+def q_part_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution over part names with planted dirty
+    twins (`ops/er.resolve_entities` — Soundex blocking → in-block
+    Jaro–Winkler pairs → connected components): every part whose key is
+    divisible by 5 gains a vowel-typo twin (vowels code to 0, so the
+    twin stays in its original's block).  Rows-only; asserted in-query:
+    every twin resolves to its ORIGINAL's entity, exact-duplicate names
+    share one entity, and the result replays identically.  Machinery
+    pinned by TestEntityResolution."""
+    from ..ops.er import resolve_entities
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def with_twins(b: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {"id": b["p_partkey"].astype("int64"),
+             "name": b["p_name"].fillna("")}
+        )
+        tw = b[b["p_partkey"] % 5 == 0]
+        twins = pd.DataFrame(
+            {
+                "id": tw["p_partkey"].astype("int64") + 1_000_000,
+                # vowel typo PAST the first character: soundex keeps the
+                # first letter verbatim, so the twin stays in-block
+                "name": tw["p_name"].fillna("").str[:1]
+                + tw["p_name"].fillna("").str[1:].str.replace(
+                    "o", "u", n=1, regex=False
+                ),
+            }
+        )
+        return pd.concat([base, twins], ignore_index=True)
+
+    recs = parts.map_batches(with_twins, batch_format="pandas")
+    out = resolve_entities(recs, "id", "name", threshold=0.85)
+    ent = out.set_index("id")["entity_id"]
+    # twins join their originals
+    names = parts.to_pandas()
+    for _, r in names[names["p_partkey"] % 5 == 0].iterrows():
+        k = int(r["p_partkey"])
+        assert ent[k + 1_000_000] == ent[k], (k, r["p_name"])
+    # exact-duplicate names share one entity
+    dup = names.groupby("p_name")["p_partkey"].apply(list)
+    for nm, ks in dup.items():
+        es = {ent[int(k)] for k in ks}
+        assert len(es) == 1, (nm, es)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8553,6 +8601,9 @@ QUERIES = {
     # pinned by TestIsotonicCalibration)
     "order_score_isotonic": q_order_score_isotonic,
     "hard_negatives_top3": q_hard_negatives_top3,
+    # rows-only (iterative clustering isn't SQL; twin-joins-original and
+    # exact-dup-merge asserted in-query, pinned by TestEntityResolution)
+    "part_entity_resolution": q_part_entity_resolution,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

@@ -1431,3 +1431,77 @@ class TestBm25MultiAndNegatives:
         )
         with pytest.raises(ValueError, match="duplicate"):
             mine_hard_negatives(self._corpus(), pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEntityResolution:
+    def _records(self):
+        base = [
+            "Jonathan Smith", "Katherine Brown", "Michael Johnson",
+            "Elizabeth Davis", "Christopher Wilson", "Alexandra Moore",
+        ]
+        rows, truth, rid = [], {}, 0
+        for i, nm in enumerate(base):
+            # vowel typos keep the Soundex block (vowels code to 0)
+            for v in (nm, nm.replace("a", "e", 1), nm.replace("o", "u", 1)):
+                rows.append({"id": rid, "name": v})
+                truth[rid] = i
+                rid += 1
+        for j, nm in enumerate(
+            ["Quentin Xylophone", "Bartholomew Fig", "Ursula Kraken",
+             "Wendell Pomegranate"]
+        ):
+            rows.append({"id": rid, "name": nm})
+            truth[rid] = 100 + j
+            rid += 1
+        return pd.DataFrame(rows), truth
+
+    def test_planted_twins_cluster_and_distinct_stay_apart(self):
+        from ocr_platform_ray.ops.er import resolve_entities
+
+        df, truth = self._records()
+        out = resolve_entities(rd.from_pandas(df), "id", "name", threshold=0.85)
+        assert set(out["id"]) == set(df["id"])
+        ent = out.set_index("id")["entity_id"]
+        groups = {}
+        for r, t in truth.items():
+            groups.setdefault(t, set()).add(ent[r])
+        # recall: every truth group resolves to ONE entity id
+        assert all(len(e) == 1 for e in groups.values()), groups
+        # precision: distinct truth groups get distinct entity ids
+        ids = [next(iter(e)) for e in groups.values()]
+        assert len(set(ids)) == len(groups)
+        # entity id = min member record id
+        for t, e in groups.items():
+            members = [r for r, tt in truth.items() if tt == t]
+            assert next(iter(e)) == min(members)
+
+    def test_block_structure_independent(self):
+        from ocr_platform_ray.ops.er import resolve_entities
+
+        df, _ = self._records()
+        one = resolve_entities(rd.from_pandas(df), "id", "name")
+        many = resolve_entities(
+            _reblock(df.sample(frac=1.0, random_state=3), 5), "id", "name"
+        )
+        pd.testing.assert_frame_equal(one, many)
+
+    def test_letterless_names_isolate(self):
+        from ocr_platform_ray.ops.er import resolve_entities
+
+        df = pd.DataFrame(
+            {"id": [1, 2, 3], "name": ["123", "456", "Alice Jones"]}
+        )
+        out = resolve_entities(rd.from_pandas(df), "id", "name")
+        assert out.set_index("id")["entity_id"].tolist() == [1, 2, 3]
+
+    def test_block_size_guard(self):
+        from ocr_platform_ray.ops.er import resolve_entities
+
+        df = pd.DataFrame(
+            {"id": range(30), "name": ["Smith Co"] * 30}
+        )
+        with pytest.raises(Exception, match="max_block_size"):
+            resolve_entities(
+                rd.from_pandas(df), "id", "name", max_block_size=10
+            )
