@@ -272,6 +272,7 @@ def run_once() -> dict:
         "order_score_isotonic",
         "hard_negatives_top3",
         "part_entity_resolution",
+        "doc_topic_segments",
     ):
         extra_times[name] = _best_of(2, name)
 

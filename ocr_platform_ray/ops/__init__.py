@@ -208,6 +208,7 @@ from .boilerplate import (  # noqa: F401
     extract_html_meta,
     extract_main_content,
     split_sections,
+    text_tiling,
 )
 from .drift import grouped_trend, ks_two_sample  # noqa: F401
 from .profile import cat_association, grouped_skewkurt  # noqa: F401

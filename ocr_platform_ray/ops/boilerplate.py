@@ -328,3 +328,92 @@ def split_sections(
         return out
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+def text_tiling(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 20,
+    k: int = 6,
+    cutoff_sd: float = 0.5,
+) -> rd.Dataset:
+    """TextTiling topic segmentation (Hearst 1997, Computational
+    Linguistics 23(1)) — subtopic boundaries for long-document chunking
+    at TOPIC shifts instead of the fixed windows `sliding_token_windows`
+    cuts: tokens group into ``w``-token pseudo-sentences; each gap gets
+    the cosine similarity of the ``k``-block bags before/after; the
+    depth score at a gap is (left-peak − sim) + (right-peak − sim) and
+    boundaries fall where depth exceeds Hearst's μ − σ/2-family cutoff
+    (here μ + ``cutoff_sd``·σ over the doc's own gaps — the paper's
+    "liberal" vs "conservative" knob).
+
+    Map-only: every doc's gap loop is a handful of numpy block-bag
+    cosines (gaps = tokens/w per doc — bounded per document, the
+    per-record parse shape of the WARC/PDF sources); nothing exchanges.
+    Emits one row per segment: (id, seg_idx, start_tok, end_tok,
+    n_tokens, seg_text)."""
+    if w < 2 or k < 1:
+        raise ValueError("w must be >= 2 and k >= 1")
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, text in zip(b[id_col], b[text_col]):
+            toks = [t for t in str(text or "").lower().split(" ") if t]
+            n = len(toks)
+            if n == 0:
+                continue
+            n_blocks = (n + w - 1) // w
+            if n_blocks < 2 * k + 1:
+                rows.append(
+                    {id_col: rid, "seg_idx": 0, "start_tok": 0,
+                     "end_tok": n, "n_tokens": n,
+                     "seg_text": " ".join(toks)}
+                )
+                continue
+            vocab = {}
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+            mat = np.zeros((n_blocks, len(vocab)), dtype="float64")
+            for i, t in enumerate(toks):
+                mat[i // w, vocab[t]] += 1.0
+            # gap g sits between blocks g and g+1
+            sims = np.empty(n_blocks - 1, dtype="float64")
+            for g in range(n_blocks - 1):
+                lo = max(0, g - k + 1)
+                hi = min(n_blocks, g + 1 + k)
+                left = mat[lo : g + 1].sum(axis=0)
+                right = mat[g + 1 : hi].sum(axis=0)
+                denom = np.sqrt((left * left).sum()) * np.sqrt(
+                    (right * right).sum()
+                )
+                sims[g] = (left * right).sum() / denom if denom > 0 else 0.0
+            depth = np.zeros_like(sims)
+            for g in range(len(sims)):
+                l = g
+                while l > 0 and sims[l - 1] >= sims[l]:
+                    l -= 1
+                r = g
+                while r < len(sims) - 1 and sims[r + 1] >= sims[r]:
+                    r += 1
+                depth[g] = (sims[l] - sims[g]) + (sims[r] - sims[g])
+            cut = depth.mean() + cutoff_sd * depth.std()
+            bounds = [
+                (g + 1) * w
+                for g in range(len(depth))
+                if depth[g] > cut and depth[g] > 0
+            ]
+            starts = [0] + bounds
+            ends = bounds + [n]
+            for si, (a, e) in enumerate(zip(starts, ends)):
+                rows.append(
+                    {id_col: rid, "seg_idx": si, "start_tok": a,
+                     "end_tok": e, "n_tokens": e - a,
+                     "seg_text": " ".join(toks[a:e])}
+                )
+        cols = [id_col, "seg_idx", "start_tok", "end_tok", "n_tokens", "seg_text"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return ds.map_batches(per_batch, batch_format="pandas")

@@ -8245,6 +8245,56 @@ def q_part_entity_resolution(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_doc_topic_segments(sf_dir: str) -> pd.DataFrame:
+    """TextTiling topic segmentation (Hearst 1997,
+    `ops/boilerplate.text_tiling`) over synthesized two-topic documents:
+    each real doc's text concatenates with a disjoint-vocabulary second
+    half, and the detected boundary must land within one pseudo-sentence
+    (w tokens) of the true junction for ≥ 90 % of docs — asserted
+    in-query.  Rows-only (valley detection is iterative); machinery
+    pinned by TestTextTiling."""
+    from ..ops.boilerplate import text_tiling
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 200"
+    )
+
+    def two_topic(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        # second topic: the same token stream remapped to a disjoint
+        # vocabulary (suffixing every token); both topics repeated 4x
+        # so short fixture docs still span enough pseudo-sentences
+        second = t.str.split().map(
+            lambda ws: " ".join(w + "qq" for w in ws)
+        )
+        first4 = (t + " ").str.repeat(4).str.strip()
+        second4 = (second + " ").str.repeat(4).str.strip()
+        junction = (4 * t.str.split().str.len()).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": first4 + " " + second4,
+                "junction": junction,
+            }
+        )
+
+    built = docs.map_batches(two_topic, batch_format="pandas")
+    segs = text_tiling(built, "doc_id", "text", w=10, k=4).to_pandas()
+    truth = built.to_pandas()[["doc_id", "junction"]]
+    hits = 0
+    for _, r in truth.iterrows():
+        bounds = (
+            segs[segs["doc_id"] == r["doc_id"]]
+            .sort_values("seg_idx")["start_tok"].tolist()[1:]
+        )
+        if any(abs(b - int(r["junction"])) <= 10 for b in bounds):
+            hits += 1
+    assert hits >= int(0.9 * len(truth)), (hits, len(truth))
+    return segs.drop(columns=["seg_text"]).sort_values(
+        ["doc_id", "seg_idx"]
+    ).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8604,6 +8654,9 @@ QUERIES = {
     # rows-only (iterative clustering isn't SQL; twin-joins-original and
     # exact-dup-merge asserted in-query, pinned by TestEntityResolution)
     "part_entity_resolution": q_part_entity_resolution,
+    # rows-only (valley detection is iterative; >=90% planted-boundary
+    # recovery asserted in-query, pinned by TestTextTiling)
+    "doc_topic_segments": q_doc_topic_segments,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

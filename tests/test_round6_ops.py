@@ -1505,3 +1505,79 @@ class TestEntityResolution:
             resolve_entities(
                 rd.from_pandas(df), "id", "name", max_block_size=10
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextTiling:
+    def _two_topic(self, seed=0, n=30):
+        rng = np.random.RandomState(seed)
+        va = [f"alpha{i}" for i in range(30)]
+        vb = [f"beta{i}" for i in range(30)]
+        docs = []
+        for d in range(n):
+            na, nb = rng.randint(300, 500), rng.randint(300, 500)
+            docs.append(
+                {
+                    "doc_id": d,
+                    "text": " ".join(
+                        list(rng.choice(va, na)) + list(rng.choice(vb, nb))
+                    ),
+                    "junction": na,
+                }
+            )
+        return pd.DataFrame(docs)
+
+    def test_planted_topic_shift_recovered(self):
+        from ocr_platform_ray.ops.boilerplate import text_tiling
+
+        df = self._two_topic()
+        out = text_tiling(
+            rd.from_pandas(df), "doc_id", "text", w=20, k=6
+        ).to_pandas()
+        hits = 0
+        for d in range(len(df)):
+            bounds = (
+                out[out["doc_id"] == d].sort_values("seg_idx")["start_tok"]
+                .tolist()[1:]
+            )
+            if any(abs(b - df.loc[d, "junction"]) <= 20 for b in bounds):
+                hits += 1
+        assert hits >= int(0.9 * len(df))
+
+    def test_reconstruction_and_offsets(self):
+        from ocr_platform_ray.ops.boilerplate import text_tiling
+
+        df = self._two_topic(seed=3, n=5)
+        out = text_tiling(rd.from_pandas(df), "doc_id", "text").to_pandas()
+        for d in range(5):
+            segs = out[out["doc_id"] == d].sort_values("seg_idx")
+            toks = [t for t in df.loc[d, "text"].lower().split(" ") if t]
+            assert " ".join(segs["seg_text"]) == " ".join(toks)
+            assert segs["start_tok"].iloc[0] == 0
+            assert segs["end_tok"].iloc[-1] == len(toks)
+            assert (
+                segs["start_tok"].iloc[1:].to_numpy()
+                == segs["end_tok"].iloc[:-1].to_numpy()
+            ).all()
+            assert (
+                segs["n_tokens"]
+                == segs["end_tok"] - segs["start_tok"]
+            ).all()
+
+    def test_short_doc_single_segment_and_determinism(self):
+        from ocr_platform_ray.ops.boilerplate import text_tiling
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["just a few words here", ""]}
+        )
+        out = text_tiling(rd.from_pandas(df)).to_pandas()
+        assert len(out[out["doc_id"] == 0]) == 1
+        assert len(out[out["doc_id"] == 1]) == 0  # empty doc drops
+        big = self._two_topic(seed=5, n=10)
+        one = text_tiling(rd.from_pandas(big)).to_pandas().sort_values(
+            ["doc_id", "seg_idx"]
+        ).reset_index(drop=True)
+        two = text_tiling(_reblock(big, 4)).to_pandas().sort_values(
+            ["doc_id", "seg_idx"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(one, two)
