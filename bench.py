@@ -273,6 +273,7 @@ def run_once() -> dict:
         "hard_negatives_top3",
         "part_entity_resolution",
         "doc_topic_segments",
+        "stemmed_token_counts",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -8295,6 +8295,55 @@ def q_doc_topic_segments(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_stemmed_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Porter-stemmed vocabulary counts (`functions/stem.porter_stem` —
+    the 1980 suffix-stripping rules, paper-vector-pinned; stems applied
+    through a per-batch DISTINCT-token lookup so the rule walk is
+    vocabulary-sized, then one (stem, n, surfaces) reduce).  Rows-only
+    (Porter isn't SQL); token-count CONSERVATION vs the raw corpus is
+    asserted in-query; rules pinned by TestPorterStemmer."""
+    from ..functions.textscan import flat_tokens_nonempty
+    from ..functions.stem import porter_stem_batch
+    from ..ops.relational import auto_group_agg
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = flat_tokens_nonempty(b["text"])
+        s = pd.Series(flat, dtype=object)
+        stems = porter_stem_batch(s)
+        g = pd.DataFrame({"stem": stems, "surface": s}).groupby(
+            ["stem", "surface"], as_index=False
+        ).size()
+        g["n"] = g["size"].astype("int64")
+        return g[["stem", "surface", "n"]]
+
+    red = auto_group_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["stem", "surface"],
+        {"n": ("n", "sum")},
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    out = red.groupby("stem", as_index=False).agg(
+        n_tokens=("n", "sum"), n_surfaces=("surface", "nunique")
+    )
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_surfaces"] = out["n_surfaces"].astype("int64")
+    # conservation: stemming moves tokens between buckets, never loses
+    import duckdb
+
+    tot = duckdb.connect().execute(
+        "SELECT CAST(SUM(len(list_filter(string_split(lower(text), ' '), "
+        "t -> t <> ''))) AS BIGINT) FROM read_parquet(?)",
+        [f"{sf_dir}/documents.parquet"],
+    ).fetchone()[0]
+    assert int(out["n_tokens"].sum()) == int(tot), (
+        int(out["n_tokens"].sum()), int(tot)
+    )
+    return out.sort_values("stem").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8657,6 +8706,9 @@ QUERIES = {
     # rows-only (valley detection is iterative; >=90% planted-boundary
     # recovery asserted in-query, pinned by TestTextTiling)
     "doc_topic_segments": q_doc_topic_segments,
+    # rows-only (Porter isn't SQL; token-count conservation asserted
+    # in-query, rules pinned by TestPorterStemmer)
+    "stemmed_token_counts": q_stemmed_token_counts,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

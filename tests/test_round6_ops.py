@@ -1581,3 +1581,70 @@ class TestTextTiling:
             ["doc_id", "seg_idx"]
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(one, two)
+
+
+class TestPorterStemmer:
+    # the paper's rule examples, run through the FULL pipeline (the two
+    # step-3-local examples electriciti/electrical continue to 'electr'
+    # via step 4, as every canonical implementation does)
+    VECS = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "conformabli": "conform",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+        "connect": "connect", "connected": "connect",
+        "connecting": "connect", "connection": "connect",
+        "connections": "connect",
+    }
+
+    def test_paper_vectors(self):
+        from ocr_platform_ray.functions.stem import porter_stem
+
+        bad = {
+            k: (porter_stem(k), v)
+            for k, v in self.VECS.items()
+            if porter_stem(k) != v
+        }
+        assert not bad, bad
+
+    def test_batch_equals_scalar_and_conflation(self):
+        from ocr_platform_ray.functions.stem import (
+            porter_stem,
+            porter_stem_batch,
+        )
+
+        words = list(self.VECS) * 3 + ["", "x", "123", None]
+        got = porter_stem_batch(pd.Series(words, dtype=object))
+        for w, g in zip(words, got):
+            assert g == porter_stem(w or ""), w
+        # the conflation property the stemmer exists for
+        fam = {porter_stem(w) for w in
+               ("connect", "connected", "connecting", "connection")}
+        assert len(fam) == 1
