@@ -274,6 +274,8 @@ def run_once() -> dict:
         "part_entity_resolution",
         "doc_topic_segments",
         "stemmed_token_counts",
+        "ql_top10",
+        "user_survival_curve",
     ):
         extra_times[name] = _best_of(2, name)
 

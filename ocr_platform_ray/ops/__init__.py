@@ -221,3 +221,5 @@ from .search import rrf_fuse  # noqa: F401
 from .textstats import heaps_fit, zipf_fit  # noqa: F401
 from .mix import ipf_balance  # noqa: F401
 from .er import resolve_entities  # noqa: F401
+from .search import bm25_multi_topk, mine_hard_negatives, ql_topk  # noqa: F401
+from .survival import kaplan_meier  # noqa: F401

@@ -851,3 +851,85 @@ def mine_hard_negatives(
     return neg[
         ["query_id", "pos_id", id_col, "neg_rank", "score"]
     ].reset_index(drop=True)
+
+
+def ql_topk(
+    ds: rd.Dataset,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    mu: float = 2000.0,
+) -> pd.DataFrame:
+    """Top-k documents by Dirichlet-smoothed query likelihood (Ponte &
+    Croft 1998 / Zhai & Lafferty 2001 — the language-modeling ranker
+    next to BM25, a genuinely different lexical view for `rrf_fuse`)::
+
+        score(d) = Σ_t ln( (tf_t,d + μ·cf_t/|C|) / (dl_d + μ) )
+
+    with cf the corpus term frequency and |C| the corpus token total
+    (dl counts every split segment, the bm25 projection's convention).
+    Smoothing scores EVERY document (absent terms still contribute), so
+    ranking needs no score>0 filter; ties rank by ascending id.
+
+    Scale shape = `bm25_topk`: one (id, dl, tf…) projection
+    (materialized — stats + scoring both read it), one fixed-width
+    stats reduce (Σdl, Σtf_t), and a map-only scoring pass with a
+    per-batch local top-k prune.  Term sums add in query-term order;
+    mirrors ROUND scores (array ln — the documented np.log/libm ulp)."""
+    terms = _query_terms(query)
+    if not terms:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    proj = bm25_project(ds, terms, id_col=id_col, text_col=text_col).materialize()
+    tf_cols = [f"tf_{j}" for j in range(len(terms))]
+
+    def partial(bdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"sum_dl": bdf["dl"].to_numpy().sum()}
+        for c in tf_cols:
+            row[f"cf_{c}"] = np.int64(bdf[c].to_numpy().sum())
+        return pd.DataFrame([row])
+
+    stats = proj.map_batches(partial, batch_format="pandas").to_pandas()
+    if "sum_dl" not in stats.columns or not len(stats):
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    c_total = float(stats["sum_dl"].sum())
+    if c_total <= 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    p_c = np.array(
+        [float(stats[f"cf_{c}"].sum()) / c_total for c in tf_cols],
+        dtype=np.float64,
+    )
+
+    def score_prune(bdf: pd.DataFrame) -> pd.DataFrame:
+        dl = bdf["dl"].to_numpy().astype(np.float64)
+        denom = dl + mu
+        score = np.zeros(len(bdf), dtype=np.float64)
+        for j, c in enumerate(tf_cols):
+            tf = bdf[c].to_numpy().astype(np.float64)
+            score += np.log((tf + mu * p_c[j]) / denom)
+        out = pd.DataFrame({id_col: bdf[id_col], "score": score})
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+
+    pruned = proj.map_batches(score_prune, batch_format="pandas").to_pandas()
+    if pruned.empty:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+    return (
+        pruned.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -8344,6 +8344,64 @@ def q_stemmed_token_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("stem").reset_index(drop=True)
 
 
+def q_ql_top10(sf_dir: str) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (`ops/search.ql_topk` — Zhai & Lafferty 2001, the language-modeling
+    ranker next to BM25: Σ ln((tf + μ·cf/|C|)/(dl + μ)) in query-term
+    order; every doc scores, local-prune top-k).  score ROUND 6 both
+    sides (array ln).  Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.search import ql_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ql_topk(ds, "table scan merge window", k=10, mu=2000.0)
+    out["score"] = _round_half_away(out["score"], 6)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
+def q_user_survival_curve(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier user-lifetime curve (`ops/survival.kaplan_meier` —
+    censoring-aware retention: a user whose last event falls inside the
+    final day of the observation window is CENSORED, not churned):
+    duration = whole hours between the user's first and last events;
+    the curve's n_risk/d/censored are exact integer window counts and
+    surv mirrors EXP(SUM(ln(1 − d/n)) OVER (ORDER BY t)) — ROUND 6.
+    Full SQL oracle in TestTailQueryOracles."""
+    from ..ops.survival import kaplan_meier
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def durations(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"u": b["user_id"], "ts": us}).groupby(
+            "u", as_index=False
+        ).agg(first=("ts", "min"), last=("ts", "max"))
+        return g
+
+    from ..ops.relational import auto_group_agg
+
+    per_user = auto_group_agg(
+        ev.map_batches(durations, batch_format="pandas"),
+        ["u"],
+        {"first": ("first", "min"), "last": ("last", "max")},
+    )
+    if not isinstance(per_user, pd.DataFrame):
+        per_user = per_user.to_pandas()
+    horizon = int(per_user["last"].max())
+    rows = pd.DataFrame(
+        {
+            "dur_h": ((per_user["last"] - per_user["first"]) // 3_600_000_000)
+            .astype("int64"),
+            "observed": (
+                per_user["last"] < horizon - 86_400_000_000
+            ).astype("int64"),
+        }
+    )
+    out = kaplan_meier(rd.from_pandas(rows), "dur_h", "observed")
+    out["surv"] = _round_half_away(out["surv"], 6)
+    out["t"] = out["t"].astype("int64")
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8709,6 +8767,8 @@ QUERIES = {
     # rows-only (Porter isn't SQL; token-count conservation asserted
     # in-query, rules pinned by TestPorterStemmer)
     "stemmed_token_counts": q_stemmed_token_counts,
+    "ql_top10": q_ql_top10,
+    "user_survival_curve": q_user_survival_curve,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11801,4 +11861,51 @@ ORACLE_SQL["hard_negatives_top3"] = (
     "ROUND(score, 6) AS score FROM ("
     + " UNION ALL ".join(f"SELECT * FROM rk_{q}" for q in sorted(_HN_QUERIES))
     + ") WHERE rn BETWEEN 2 AND 4"
+)
+
+# Query likelihood (Dirichlet mu=2000): identical tf/dl projection and
+# term-order ln sum; every doc scores; ROUND 6.
+ORACLE_SQL["ql_top10"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl, "
+    + ", ".join(
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t = '{term}')) AS DOUBLE) AS tf_{j}"
+        for j, term in enumerate(("table", "scan", "merge", "window"))
+    )
+    + " FROM documents), "
+    "stats AS (SELECT SUM(dl) AS ct, "
+    + ", ".join(f"SUM(tf_{j}) AS cf_{j}" for j in range(4))
+    + " FROM tok), "
+    "scored AS (SELECT doc_id, "
+    + " + ".join(
+        f"ln((tf_{j} + 2000.0 * (cf_{j} / ct)) / (dl + 2000.0))"
+        for j in range(4)
+    )
+    + " AS score FROM tok, stats) "
+    "SELECT doc_id, ROUND(score, 6) AS score FROM scored "
+    "ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+# Kaplan-Meier over per-user event-span hours with 24h-edge censoring:
+# exact integer risk sets via window cumsums, surv = EXP(SUM(ln ORDER
+# BY t)) ROUND 6.
+ORACLE_SQL["user_survival_curve"] = (
+    "WITH pu AS (SELECT user_id, epoch_us(MIN(ts)) AS f, "
+    "epoch_us(MAX(ts)) AS l FROM events GROUP BY user_id), "
+    "hz AS (SELECT MAX(l) AS h FROM pu), "
+    "r AS (SELECT (l - f) // 3600000000 AS t, "
+    "CASE WHEN l < h - 86400000000 THEN 1 ELSE 0 END AS ev "
+    "FROM pu, hz), "
+    "g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY t), "
+    "w AS (SELECT t, d, n, "
+    "CAST((SELECT SUM(n) FROM g) - "
+    "COALESCE(SUM(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM g) "
+    "SELECT CAST(t AS BIGINT) AS t, n_risk, d, "
+    "CAST(n - d AS BIGINT) AS censored, "
+    "ROUND(EXP(SUM(CASE WHEN d > 0 THEN "
+    "ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END) "
+    "OVER (ORDER BY t)), 6) AS surv FROM w ORDER BY t"
 )

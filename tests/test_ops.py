@@ -1787,6 +1787,8 @@ class TestTailQueryOracles:
             "part_soundex_blocks",
             "lang_source_assoc",
             "hard_negatives_top3",
+            "ql_top10",
+            "user_survival_curve",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

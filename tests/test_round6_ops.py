@@ -1648,3 +1648,86 @@ class TestPorterStemmer:
         fam = {porter_stem(w) for w in
                ("connect", "connected", "connecting", "connection")}
         assert len(fam) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQlAndKaplanMeier:
+    def test_ql_beats_reference_and_ranks(self):
+        import math
+
+        from ocr_platform_ray.ops.search import ql_topk
+
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        got = ql_topk(ds, "table scan", k=5, mu=500.0)
+        # naive reference over the full corpus
+        df = ds.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        dl = toks.str.len().astype(float)
+        ct = float(dl.sum())
+        scores = []
+        for terms in (["table", "scan"],):
+            cf = {t: float(sum(x.count(t) for x in toks)) for t in terms}
+            for i, row in enumerate(toks):
+                s = 0.0
+                for t in terms:
+                    s += math.log(
+                        (row.count(t) + 500.0 * (cf[t] / ct))
+                        / (dl.iloc[i] + 500.0)
+                    )
+                scores.append((df["doc_id"].iloc[i], s))
+        ref = (
+            pd.DataFrame(scores, columns=["doc_id", "score"])
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(5)
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), ref["score"].to_numpy(), rtol=1e-12
+        )
+
+    def test_km_textbook_freireich(self):
+        from ocr_platform_ray.ops.survival import kaplan_meier
+
+        df = pd.DataFrame(
+            {
+                "dur": [6, 6, 6, 7, 10, 13, 16, 22, 23, 6, 9, 10, 11, 17,
+                        19, 20, 25, 32, 32, 34, 35],
+                "ev": [1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+                       0, 0, 0, 0],
+            }
+        )
+        out = kaplan_meier(rd.from_pandas(df), "dur", "ev")
+        s = out.set_index("t")["surv"]
+        assert s[6] == pytest.approx(18 / 21)
+        assert s[7] == pytest.approx((18 / 21) * (16 / 17))
+        assert s[13] == pytest.approx(0.690196, abs=1e-6)
+        assert s[23] == pytest.approx(0.448179, abs=1e-6)
+        # censored-only times keep the previous level
+        assert s[25] == s[23] and s[35] == s[23]
+        # risk set is monotone decreasing
+        assert (np.diff(out["n_risk"].to_numpy()) < 0).all()
+
+    def test_km_all_events_and_block_independence(self):
+        from ocr_platform_ray.ops.survival import kaplan_meier
+
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame(
+            {
+                "dur": rng.randint(1, 40, 500),
+                "ev": rng.randint(0, 2, 500),
+            }
+        )
+        one = kaplan_meier(rd.from_pandas(df), "dur", "ev")
+        many = kaplan_meier(
+            _reblock(df.sample(frac=1.0, random_state=2), 6), "dur", "ev"
+        )
+        pd.testing.assert_frame_equal(one, many)
+        assert (one["surv"].to_numpy() == many["surv"].to_numpy()).all()
+        # no censoring, everyone dies at the last time -> curve reaches 0
+        dead = pd.DataFrame({"dur": [1, 2, 3], "ev": [1, 1, 1]})
+        out = kaplan_meier(rd.from_pandas(dead), "dur", "ev")
+        assert out["surv"].iloc[-1] == 0.0
