@@ -276,6 +276,7 @@ def run_once() -> dict:
         "stemmed_token_counts",
         "ql_top10",
         "user_survival_curve",
+        "folded_docs",
     ):
         extra_times[name] = _best_of(2, name)
 

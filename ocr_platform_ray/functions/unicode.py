@@ -167,3 +167,32 @@ def fix_mojibake(
         return out
 
     return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def fold_diacritics(s: "pd.Series") -> "pd.Series":
+    """Accent folding: NFD-decompose and drop combining marks (category
+    Mn) — the search-normalization fold (café→cafe, Ångström→Angstrom)
+    that deliberately does NOT transliterate base letters (ł, ß and
+    ligatures survive, exactly DuckDB's ``strip_accents`` — probe-
+    verified equal, which makes it SQL-oracle-able).
+
+    Vectorized via the flat-string rule: the batch joins on NUL (NFD
+    can't produce or consume it), normalizes in ONE C call, drops Mn
+    codepoints with a unique-codepoint category LUT over the utf-32
+    view, and splits back."""
+    import numpy as np
+    import pandas as pd
+    import unicodedata
+
+    vals = s.fillna("").astype(str).tolist()
+    flat = "\x00".join(vals)
+    nfd = unicodedata.normalize("NFD", flat)
+    arr = np.frombuffer(nfd.encode("utf-32-le"), dtype="uint32")
+    uq = np.unique(arr)
+    keep_lut = np.array(
+        [unicodedata.category(chr(int(c))) != "Mn" for c in uq], dtype=bool
+    )
+    keep = keep_lut[np.searchsorted(uq, arr)]
+    out = arr[keep].tobytes().decode("utf-32-le")
+    folded = out.split("\x00")
+    return pd.Series(folded, index=s.index, dtype=object)

@@ -8402,6 +8402,43 @@ def q_user_survival_curve(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_folded_docs(sf_dir: str) -> pd.DataFrame:
+    """Accent folding (`functions/unicode.fold_diacritics` — NFD +
+    drop-Mn, probe-verified ≡ DuckDB ``strip_accents``): every 'a' in
+    the text is accented to 'á' first (the fixture is ASCII), then the
+    fold must restore it; per-lang count + summed folded length over
+    the roundtripped column.  Full strip_accents SQL oracle in
+    TestTailQueryOracles."""
+    from ..functions.unicode import fold_diacritics
+    from ..ops.relational import auto_group_agg
+
+    docs = _t(sf_dir, "documents", ["text", "lang"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        accented = b["text"].fillna("").str.replace("a", "á", regex=False)
+        folded = fold_diacritics(accented)
+        return pd.DataFrame(
+            {"lang": b["lang"],
+             "l": folded.str.len().astype("int64"),
+             "same": (folded == b["text"].fillna("")).astype("int64")}
+        ).groupby("lang", as_index=False).agg(
+            n_docs=("l", "size"), sum_len=("l", "sum"),
+            n_restored=("same", "sum"),
+        )
+
+    out = auto_group_agg(
+        docs.map_batches(fold, batch_format="pandas"),
+        ["lang"],
+        {"n_docs": ("n_docs", "sum"), "sum_len": ("sum_len", "sum"),
+         "n_restored": ("n_restored", "sum")},
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    for c in ("n_docs", "sum_len", "n_restored"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8769,6 +8806,7 @@ QUERIES = {
     "stemmed_token_counts": q_stemmed_token_counts,
     "ql_top10": q_ql_top10,
     "user_survival_curve": q_user_survival_curve,
+    "folded_docs": q_folded_docs,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,
@@ -11908,4 +11946,15 @@ ORACLE_SQL["user_survival_curve"] = (
     "ROUND(EXP(SUM(CASE WHEN d > 0 THEN "
     "ln(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END) "
     "OVER (ORDER BY t)), 6) AS surv FROM w ORDER BY t"
+)
+
+# Accent folding: strip_accents over the accented text must restore it.
+ORACLE_SQL["folded_docs"] = (
+    "WITH f AS (SELECT lang, "
+    "strip_accents(replace(text, 'a', chr(225))) AS folded, text "
+    "FROM documents) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(length(folded)) AS BIGINT) AS sum_len, "
+    "CAST(SUM(CASE WHEN folded = text THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_restored FROM f GROUP BY lang"
 )

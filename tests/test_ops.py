@@ -1789,6 +1789,7 @@ class TestTailQueryOracles:
             "hard_negatives_top3",
             "ql_top10",
             "user_survival_curve",
+            "folded_docs",
         ],
     )
     def test_tail_oracles_match_duckdb(self, name):

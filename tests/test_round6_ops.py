@@ -1731,3 +1731,33 @@ class TestQlAndKaplanMeier:
         dead = pd.DataFrame({"dur": [1, 2, 3], "ev": [1, 1, 1]})
         out = kaplan_meier(rd.from_pandas(dead), "dur", "ev")
         assert out["surv"].iloc[-1] == 0.0
+
+
+class TestFoldDiacritics:
+    def test_matches_duckdb_strip_accents_fuzz(self):
+        import random
+
+        import duckdb
+
+        from ocr_platform_ray.functions.unicode import fold_diacritics
+
+        pool = "aeiouáéíóúàèäöüñçłßÅ漢字 xyź̈"
+        rng = random.Random(5)
+        vals = [
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 15)))
+            for _ in range(300)
+        ] + ["héllo", "naïve café", "Ångström", "łódź", "straße", ""]
+        got = fold_diacritics(pd.Series(vals, dtype=object))
+        con = duckdb.connect()
+        for v, g in zip(vals, got):
+            want = con.execute("select strip_accents(?)", [v]).fetchone()[0]
+            assert g == want, (v, g, want)
+
+    def test_idempotent_and_null_safe(self):
+        from ocr_platform_ray.functions.unicode import fold_diacritics
+
+        s = pd.Series(["café", None, "plain"], dtype=object)
+        once = fold_diacritics(s)
+        twice = fold_diacritics(once)
+        assert once.tolist() == ["cafe", "", "plain"]
+        assert twice.tolist() == once.tolist()
