@@ -277,6 +277,7 @@ def run_once() -> dict:
         "ql_top10",
         "user_survival_curve",
         "folded_docs",
+        "doc_cdc_chunks",
     ):
         extra_times[name] = _best_of(2, name)
 

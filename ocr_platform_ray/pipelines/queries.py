@@ -8439,6 +8439,71 @@ def q_folded_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_doc_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking over synthesized large blobs
+    (`ops/cdc.content_defined_chunks` — Rabin-boundary segmentation:
+    chunk hashes survive a mid-blob edit where fixed-size chunking
+    loses the whole suffix): each doc's text repeats to ~60 KB; docs
+    with key % 4 == 0 also get a MUTANT twin with bytes inserted at the
+    middle.  Rows-only; asserted in-query: exact coverage/contiguity
+    per blob and ≥ 70 % chunk-hash overlap between every mutant and its
+    original.  Machinery pinned by TestContentDefinedChunks."""
+    from ..ops.cdc import content_defined_chunks
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 80"
+    )
+
+    def blobs(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        rows = []
+        for rid, text in zip(b["doc_id"], b["text"]):
+            # counter-mode SHA expansion keyed by the doc text: 60 KB of
+            # deterministic content with UNIQUE windows (a *periodic*
+            # blob is intrinsically CDC-degenerate — identical windows
+            # share one boundary decision; that is the algorithm's
+            # content-defined contract, not a defect, but it makes a
+            # useless fixture)
+            key = (text or "").encode("utf-8")
+            blob = b"".join(
+                hashlib.sha256(key + i.to_bytes(4, "little")).digest()
+                for i in range(60_000 // 32)
+            )
+            rows.append({"doc_id": int(rid), "blob": blob})
+            if int(rid) % 4 == 0:
+                mid = len(blob) // 2
+                rows.append(
+                    {
+                        "doc_id": int(rid) + 1_000_000,
+                        "blob": blob[:mid] + b"[EDITED-SPAN]" * 4 + blob[mid:],
+                    }
+                )
+        return pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    built = docs.map_batches(blobs, batch_format="pandas")
+    out = content_defined_chunks(
+        built, "doc_id", "blob", min_size=1024, avg_size=4096,
+        max_size=16384,
+    ).to_pandas()
+    # coverage + contiguity per blob
+    for rid, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert g["start"].iloc[0] == 0
+        assert (
+            g["start"].iloc[1:].to_numpy()
+            == (g["start"] + g["length"]).iloc[:-1].to_numpy()
+        ).all(), rid
+    # mutant resilience
+    ids = set(out["doc_id"])
+    for rid in sorted(i for i in ids if i >= 1_000_000):
+        orig = rid - 1_000_000
+        ha = set(out[out["doc_id"] == orig]["chunk_hash"])
+        hb = set(out[out["doc_id"] == rid]["chunk_hash"])
+        assert len(ha & hb) / max(1, len(ha)) >= 0.7, rid
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8807,6 +8872,10 @@ QUERIES = {
     "ql_top10": q_ql_top10,
     "user_survival_curve": q_user_survival_curve,
     "folded_docs": q_folded_docs,
+    # rows-only (rolling-hash boundaries aren't SQL; coverage/contiguity
+    # + mutant chunk-hash overlap asserted in-query, pinned by
+    # TestContentDefinedChunks)
+    "doc_cdc_chunks": q_doc_cdc_chunks,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

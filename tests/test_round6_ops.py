@@ -1761,3 +1761,79 @@ class TestFoldDiacritics:
         twice = fold_diacritics(once)
         assert once.tolist() == ["cafe", "", "plain"]
         assert twice.tolist() == once.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContentDefinedChunks:
+    def _blobs(self, seed=0, n=200_000):
+        rng = np.random.RandomState(seed)
+        blob = rng.bytes(n)
+        mut = blob[:n // 2] + b"INSERTED-EDIT" * 8 + blob[n // 2:]
+        return blob, mut
+
+    def test_coverage_contiguity_and_resilience(self):
+        import hashlib
+
+        from ocr_platform_ray.ops.cdc import content_defined_chunks
+
+        blob, mut = self._blobs()
+        df = pd.DataFrame({"doc_id": [0, 1], "blob": [blob, mut]})
+        out = content_defined_chunks(
+            rd.from_pandas(df), "doc_id", "blob"
+        ).to_pandas()
+        for rid, total in ((0, len(blob)), (1, len(mut))):
+            g = out[out["doc_id"] == rid].sort_values("chunk_idx")
+            assert g["length"].sum() == total
+            assert g["start"].iloc[0] == 0
+            assert (
+                g["start"].iloc[1:].to_numpy()
+                == (g["start"] + g["length"]).iloc[:-1].to_numpy()
+            ).all()
+        ha = set(out[out["doc_id"] == 0]["chunk_hash"])
+        hb = set(out[out["doc_id"] == 1]["chunk_hash"])
+        cdc_overlap = len(ha & hb) / len(ha)
+        assert cdc_overlap > 0.7
+
+        def fixed(d, sz=8192):
+            return {
+                hashlib.sha1(d[i : i + sz]).hexdigest()
+                for i in range(0, len(d), sz)
+            }
+
+        fixed_overlap = len(fixed(blob) & fixed(mut)) / len(fixed(blob))
+        assert cdc_overlap > fixed_overlap + 0.2
+
+    def test_size_bounds_and_determinism(self):
+        from ocr_platform_ray.ops.cdc import content_defined_chunks
+
+        blob, _ = self._blobs(seed=3)
+        df = pd.DataFrame({"doc_id": [0], "blob": [blob]})
+        out = content_defined_chunks(
+            rd.from_pandas(df),
+            "doc_id",
+            "blob",
+            min_size=1024,
+            avg_size=4096,
+            max_size=16384,
+        ).to_pandas()
+        lens = out["length"].to_numpy()
+        assert (lens[:-1] >= 1024).all()  # all but the tail respect min
+        assert (lens <= 16384).all()
+        two = content_defined_chunks(
+            rd.from_pandas(df), "doc_id", "blob",
+            min_size=1024, avg_size=4096, max_size=16384,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(out, two)
+
+    def test_str_payload_empty_and_validation(self):
+        from ocr_platform_ray.ops.cdc import content_defined_chunks
+
+        df = pd.DataFrame({"doc_id": [0, 1], "blob": ["héllo wörld" * 500, ""]})
+        out = content_defined_chunks(rd.from_pandas(df), "doc_id", "blob").to_pandas()
+        g = out[out["doc_id"] == 0]
+        assert g["length"].sum() == len(("héllo wörld" * 500).encode("utf-8"))
+        assert len(out[out["doc_id"] == 1]) == 0
+        with pytest.raises(ValueError, match="power of two"):
+            content_defined_chunks(
+                rd.from_pandas(df), "doc_id", "blob", avg_size=3000
+            )
