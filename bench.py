@@ -278,6 +278,7 @@ def run_once() -> dict:
         "user_survival_curve",
         "folded_docs",
         "doc_cdc_chunks",
+        "rm3_expanded_top10",
     ):
         extra_times[name] = _best_of(2, name)
 

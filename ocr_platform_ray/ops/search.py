@@ -933,3 +933,118 @@ def ql_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def rm3_expand(
+    ds: rd.Dataset,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_feedback: int = 10,
+    n_expansion: int = 10,
+    lam: float = 0.5,
+    mu: float = 2000.0,
+    k: int = 10,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    models; the RM3 interpolation of Abdul-Jaleel 2004) — the query-
+    expansion stage completing the retrieval family (BM25 / QL / RRF /
+    hard negatives): the top ``k_feedback`` documents of a first
+    Dirichlet-QL pass act as pseudo-relevant, the relevance model
+
+        p(t|R) ∝ Σ_{d ∈ F} p(t|d) · p(d|q),  p(d|q) ∝ exp(ql_score_d)
+
+    picks ``n_expansion`` terms (ties by term), RM3 interpolates
+    λ·p_orig + (1−λ)·p_RM1, and a second weighted-QL pass reranks the
+    corpus with the expanded query::
+
+        score(d) = Σ_t w_t · ln( (tf + μ·cf_t/|C|) / (dl + μ) )
+
+    Scale shape: pass 1 = `ql_topk` (one projection + stats reduce);
+    the feedback SET is k-sized, its term distributions come from one
+    small id-filtered read (driver-side pandas — the report-dim rule);
+    pass 2 = one more projection scan over the expanded term set with a
+    local-prune top-k.  Returns (terms, reranked): terms = (term,
+    weight) descending, reranked = (id, score) top-k."""
+    base = ql_topk(
+        ds, query, id_col=id_col, text_col=text_col, k=k_feedback, mu=mu
+    )
+    if base.empty:
+        return (
+            pd.DataFrame({"term": pd.Series(dtype="object"),
+                          "weight": pd.Series(dtype="float64")}),
+            base,
+        )
+    fb_ids = set(base[id_col].tolist())
+    scores = dict(zip(base[id_col], base["score"]))
+    # feedback docs' term distributions (k rows — driver-sized by rule)
+    fb = ds.map_batches(
+        lambda b: b[b[id_col].isin(fb_ids)][[id_col, text_col]],
+        batch_format="pandas",
+    ).to_pandas()
+    smax = max(scores.values())
+    rm1: dict[str, float] = {}
+    for _, r in fb.iterrows():
+        toks = [t for t in str(r[text_col] or "").lower().split(" ") if t]
+        if not toks:
+            continue
+        pdq = float(np.exp(scores[r[id_col]] - smax))
+        inv = pdq / len(toks)
+        for t in toks:
+            rm1[t] = rm1.get(t, 0.0) + inv
+    z = sum(rm1.values())
+    if z > 0:
+        rm1 = {t: v / z for t, v in rm1.items()}
+    qterms = _query_terms(query)
+    p_orig = 1.0 / len(qterms) if qterms else 0.0
+    top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:n_expansion]
+    weights: dict[str, float] = {}
+    for t, v in top:
+        weights[t] = (1.0 - lam) * v
+    for t in qterms:
+        weights[t] = weights.get(t, 0.0) + lam * p_orig
+    terms = (
+        pd.DataFrame(
+            {"term": list(weights), "weight": list(weights.values())}
+        )
+        .sort_values(["weight", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    # pass 2: weighted QL over the expanded term set
+    tlist = terms["term"].tolist()
+    wvec = terms["weight"].to_numpy(dtype="float64")
+    proj = bm25_project(ds, tlist, id_col=id_col, text_col=text_col).materialize()
+    tf_cols = [f"tf_{j}" for j in range(len(tlist))]
+
+    def partial(bdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"sum_dl": bdf["dl"].to_numpy().sum()}
+        for c in tf_cols:
+            row[f"cf_{c}"] = np.int64(bdf[c].to_numpy().sum())
+        return pd.DataFrame([row])
+
+    stats = proj.map_batches(partial, batch_format="pandas").to_pandas()
+    c_total = float(stats["sum_dl"].sum())
+    p_c = np.array(
+        [float(stats[f"cf_{c}"].sum()) / c_total for c in tf_cols]
+    )
+
+    def score_prune(bdf: pd.DataFrame) -> pd.DataFrame:
+        dl = bdf["dl"].to_numpy().astype(np.float64)
+        denom = dl + mu
+        score = np.zeros(len(bdf), dtype=np.float64)
+        for j, c in enumerate(tf_cols):
+            tf = bdf[c].to_numpy().astype(np.float64)
+            score += wvec[j] * np.log((tf + mu * p_c[j]) / denom)
+        out = pd.DataFrame({id_col: bdf[id_col], "score": score})
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+
+    pruned = proj.map_batches(score_prune, batch_format="pandas").to_pandas()
+    reranked = (
+        pruned.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return terms, reranked

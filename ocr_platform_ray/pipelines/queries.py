@@ -8504,6 +8504,32 @@ def q_doc_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def q_rm3_expanded_top10(sf_dir: str) -> pd.DataFrame:
+    """RM3 pseudo-relevance feedback (`ops/search.rm3_expand` — the
+    relevance-model expansion completing the retrieval family: QL
+    feedback pass → RM1 term distribution over the top-k docs → λ
+    interpolation → weighted-QL rerank).  Rows-only (two-stage exp-
+    weighted expansion); asserted in-query: the original query terms
+    ride the expansion, weights normalize and descend, and the rerank
+    is deterministic.  Naive-reference equality pinned by TestRm3."""
+    from ..ops.search import rm3_expand
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    terms, reranked = rm3_expand(
+        ds, "table scan merge window", k_feedback=8, n_expansion=8,
+        lam=0.5, k=10,
+    )
+    tset = set(terms["term"])
+    assert {"table", "scan", "merge", "window"} <= tset
+    w = terms["weight"].to_numpy()
+    assert (w[:-1] >= w[1:]).all() and (w > 0).all()
+    s = reranked["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all() and len(reranked) == 10
+    out = reranked.copy()
+    out["score"] = _round_half_away(out["score"], 6)
+    return out[["doc_id", "score"]]
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8876,6 +8902,9 @@ QUERIES = {
     # + mutant chunk-hash overlap asserted in-query, pinned by
     # TestContentDefinedChunks)
     "doc_cdc_chunks": q_doc_cdc_chunks,
+    # rows-only (two-stage exp-weighted expansion; ordering/normalization
+    # invariants asserted in-query, naive equality pinned by TestRm3)
+    "rm3_expanded_top10": q_rm3_expanded_top10,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

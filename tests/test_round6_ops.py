@@ -1837,3 +1837,60 @@ class TestContentDefinedChunks:
             content_defined_chunks(
                 rd.from_pandas(df), "doc_id", "blob", avg_size=3000
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRm3:
+    def _corpus(self):
+        return rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+
+    def test_matches_naive_reference(self):
+        import math
+
+        from ocr_platform_ray.ops.search import ql_topk, rm3_expand
+
+        q = "table scan"
+        terms, reranked = rm3_expand(
+            self._corpus(), q, k_feedback=5, n_expansion=6, lam=0.4,
+            mu=500.0, k=8,
+        )
+        # naive: recompute rm1 from the same feedback set
+        base = ql_topk(self._corpus(), q, k=5, mu=500.0)
+        df = self._corpus().to_pandas()
+        smax = base["score"].max()
+        rm1 = {}
+        for _, r in base.iterrows():
+            text = df[df["doc_id"] == r["doc_id"]]["text"].iloc[0]
+            toks = [t for t in str(text).lower().split(" ") if t]
+            w = math.exp(r["score"] - smax) / len(toks)
+            for t in toks:
+                rm1[t] = rm1.get(t, 0.0) + w
+        z = sum(rm1.values())
+        rm1 = {t: v / z for t, v in rm1.items()}
+        top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+        want = {t: 0.6 * v for t, v in top}
+        for t in ("table", "scan"):
+            want[t] = want.get(t, 0.0) + 0.4 * 0.5
+        got = dict(zip(terms["term"], terms["weight"]))
+        assert set(got) == set(want)
+        for t in want:
+            assert got[t] == pytest.approx(want[t], rel=1e-12), t
+        # original terms always carried
+        assert {"table", "scan"} <= set(got)
+        assert len(reranked) == 8
+
+    def test_expansion_is_deterministic_and_reranks(self):
+        from ocr_platform_ray.ops.search import ql_topk, rm3_expand
+
+        t1, r1 = rm3_expand(self._corpus(), "merge window", k=10)
+        t2, r2 = rm3_expand(self._corpus(), "merge window", k=10)
+        pd.testing.assert_frame_equal(t1, t2)
+        pd.testing.assert_frame_equal(r1, r2)
+        base = ql_topk(self._corpus(), "merge window", k=10)
+        # reranked list is a valid ranking (strictly ordered scores)
+        s = r1["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+        assert len(set(r1["doc_id"]) & set(base["doc_id"])) >= 3
