@@ -279,6 +279,7 @@ def run_once() -> dict:
         "folded_docs",
         "doc_cdc_chunks",
         "rm3_expanded_top10",
+        "value_mean_ci_by_type",
     ):
         extra_times[name] = _best_of(2, name)
 

@@ -225,3 +225,4 @@ from .search import bm25_multi_topk, mine_hard_negatives, ql_topk  # noqa: F401
 from .survival import kaplan_meier  # noqa: F401
 from .cdc import content_defined_chunks  # noqa: F401
 from .search import rm3_expand  # noqa: F401
+from .profile import grouped_bootstrap_ci  # noqa: F401

@@ -1368,3 +1368,118 @@ def cat_association(
             "cramers_v": pd.Series([v], dtype="float64"),
         }
     )
+
+
+def grouped_bootstrap_ci(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str],
+    *,
+    id_col: str,
+    n_replicas: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+    driver_threshold_rows: int = 2_000_000,
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN by the
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams" — Google's streaming rendering of Efron
+    1979: resampling n-out-of-n ≈ giving every row an independent
+    Poisson(1) weight per replica, which needs NO co-location and NO
+    row count up front): each batch draws its rows' weights for all
+    ``n_replicas`` replicas from deterministic salted-hash uniforms
+    (per-replica salts through ``pd.util.hash_array`` — the house rule:
+    never derive lanes from the affine shuffle_hash) and emits one
+    fixed-width combiner row per group per batch — (Σw·v, Σw) per
+    replica plus the exact n/Σv — so the exchange payload is
+    2·n_replicas + 2 numbers per (group, batch) and the values never
+    move.  The driver finishes percentile endpoints over each group's
+    replica means (the percentile-bootstrap interval).
+
+    Poisson(1) weights are inverted from the uniforms by the CDF table
+    (k ≤ 8 covers 1 − 1e-6 of the mass; the tail clamps).  Deterministic
+    for a fixed (corpus, seed) under ANY block structure: a row's
+    weights depend only on its ``id_col`` hash and the replica index
+    (keying on the VALUE would hand tied rows identical draws and bias
+    the resample — ids are the independence carrier).  Replica sums are
+    float accumulations, so results reproduce to ~1e-12 across block
+    structures but are not bit-stable (the pagerank/lm float rule —
+    tests compare at rtol; the exact ``mean_v`` is bit-stable only
+    through its separate exact-count path)."""
+    import math
+
+    gcols = list(group_cols)
+    if n_replicas < 10:
+        raise ValueError("n_replicas must be >= 10")
+    # Poisson(1) inverse-CDF thresholds for k = 0..8
+    cum, acc, fact = [], 0.0, 1.0
+    for k in range(9):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cum.append(acc)
+    cdf = np.array(cum, dtype="float64")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b[value_col].notna()]
+        v = sub[value_col].to_numpy(dtype="float64")
+        h = pd.util.hash_array(
+            pd.util.hash_array(sub[id_col].to_numpy()).astype("uint64")
+            + np.uint64(seed)
+        )
+        cols = {c: sub[c].to_numpy() for c in gcols}
+        cols["__n"] = np.ones(len(sub), dtype="int64")
+        cols["__s"] = v
+        # one (rows x replicas) uniform matrix, built column-block-wise
+        for r in range(n_replicas):
+            u = (
+                pd.util.hash_array(h + np.uint64(1000003 * (r + 1)))
+                .astype("float64")
+                / float(2**64)
+            )
+            w = np.searchsorted(cdf, u).astype("float64")  # Poisson(1)
+            cols[f"__wv{r}"] = w * v
+            cols[f"__w{r}"] = w
+        out = pd.DataFrame(cols)  # one construction — no fragmentation
+        aggs = {"n": ("__n", "sum"), "s": ("__s", "sum")}
+        aggs.update({f"wv{r}": (f"__wv{r}", "sum") for r in range(n_replicas)})
+        aggs.update({f"w{r}": (f"__w{r}", "sum") for r in range(n_replicas)})
+        return out.groupby(gcols, as_index=False).agg(**aggs)
+
+    spec = {"n": ("n", "sum"), "s": ("s", "sum")}
+    spec.update({f"wv{r}": (f"wv{r}", "sum") for r in range(n_replicas)})
+    spec.update({f"w{r}": (f"w{r}", "sum") for r in range(n_replicas)})
+    red = auto_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        gcols,
+        spec,
+        driver_threshold_rows=driver_threshold_rows,
+        n_shards=n_shards,
+    )
+    if not isinstance(red, pd.DataFrame):
+        red = red.to_pandas()
+    if len(red) == 0 or "n" not in red.columns:
+        return pd.DataFrame(
+            {
+                **{c: pd.Series([], dtype="object") for c in gcols},
+                "n": pd.Series([], dtype="int64"),
+                "mean_v": pd.Series([], dtype="float64"),
+                "ci_lo": pd.Series([], dtype="float64"),
+                "ci_hi": pd.Series([], dtype="float64"),
+            }
+        )
+    wv = red[[f"wv{r}" for r in range(n_replicas)]].to_numpy(dtype="float64")
+    w = red[[f"w{r}" for r in range(n_replicas)]].to_numpy(dtype="float64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = np.where(w > 0, wv / w, np.nan)
+    lo = np.nanquantile(means, alpha / 2.0, axis=1)
+    hi = np.nanquantile(means, 1.0 - alpha / 2.0, axis=1)
+    out = red[gcols].copy()
+    out["n"] = red["n"].astype("int64")
+    out["mean_v"] = red["s"].to_numpy(dtype="float64") / red["n"].to_numpy(
+        dtype="float64"
+    )
+    out["ci_lo"] = lo
+    out["ci_hi"] = hi
+    return out.sort_values(gcols).reset_index(drop=True)

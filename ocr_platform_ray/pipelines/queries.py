@@ -8530,6 +8530,43 @@ def q_rm3_expanded_top10(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def q_value_mean_ci_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type bootstrap CI for the mean value
+    (`ops/profile.grouped_bootstrap_ci` — the Poisson bootstrap,
+    Chamandy 2012: per-replica Poisson(1) weights from salted-id
+    hashes, one fixed-width combiner row per group-batch, percentile
+    endpoints driver-side).  Rows-only (hashed resampling isn't SQL);
+    asserted in-query: every exact mean lies inside its interval and
+    the exact means equal the plain grouped means; coverage/width
+    properties pinned by TestBootstrapCi."""
+    from ..ops.profile import grouped_bootstrap_ci
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_bootstrap_ci(
+        ev, "value", ["event_type"], id_col="event_id",
+        n_replicas=200, seed=7,
+    )
+    assert (
+        (out["ci_lo"] <= out["mean_v"]) & (out["mean_v"] <= out["ci_hi"])
+    ).all()
+    assert (out["ci_hi"] > out["ci_lo"]).all()
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT event_type, AVG(value) AS m FROM read_parquet(?) "
+        "WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type",
+        [f"{sf_dir}/events.parquet"],
+    ).df()
+    np.testing.assert_allclose(
+        out.sort_values("event_type")["mean_v"].to_numpy(),
+        want["m"].to_numpy(),
+        rtol=1e-9,
+    )
+    for c in ("mean_v", "ci_lo", "ci_hi"):
+        out[c] = _round_half_away(out[c], 6)
+    return out
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8905,6 +8942,9 @@ QUERIES = {
     # rows-only (two-stage exp-weighted expansion; ordering/normalization
     # invariants asserted in-query, naive equality pinned by TestRm3)
     "rm3_expanded_top10": q_rm3_expanded_top10,
+    # rows-only (hashed resampling isn't SQL; exact-mean containment +
+    # grouped-mean equality asserted in-query, pinned by TestBootstrapCi)
+    "value_mean_ci_by_type": q_value_mean_ci_by_type,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

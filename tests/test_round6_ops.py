@@ -1894,3 +1894,81 @@ class TestRm3:
         s = r1["score"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
         assert len(set(r1["doc_id"]) & set(base["doc_id"])) >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBootstrapCi:
+    def _df(self, seed=0, groups=40, n_per=400):
+        rng = np.random.RandomState(seed)
+        n = groups * n_per
+        return pd.DataFrame(
+            {
+                "g": np.repeat(np.arange(groups), n_per),
+                "id": np.arange(n, dtype="int64"),
+                "v": rng.exponential(5.0, n),
+            }
+        )
+
+    def test_coverage_and_width(self):
+        from ocr_platform_ray.ops.profile import grouped_bootstrap_ci
+
+        df = self._df()
+        out = grouped_bootstrap_ci(
+            rd.from_pandas(df), "v", ["g"], id_col="id",
+            n_replicas=200, seed=3,
+        )
+        cover = ((out["ci_lo"] <= 5.0) & (5.0 <= out["ci_hi"])).mean()
+        assert cover >= 0.85  # nominal 95% on 40 groups
+        assert (
+            (out["ci_lo"] <= out["mean_v"]) & (out["mean_v"] <= out["ci_hi"])
+        ).all()
+        small = grouped_bootstrap_ci(
+            rd.from_pandas(df[df["id"] % 4 == 0]), "v", ["g"],
+            id_col="id", n_replicas=200, seed=3,
+        )
+        assert (
+            (small["ci_hi"] - small["ci_lo"]).mean()
+            > (out["ci_hi"] - out["ci_lo"]).mean() * 1.5
+        )
+
+    def test_block_structure_bitwise_and_seed(self):
+        from ocr_platform_ray.ops.profile import grouped_bootstrap_ci
+
+        df = self._df(seed=2, groups=6, n_per=200)
+        one = grouped_bootstrap_ci(
+            rd.from_pandas(df), "v", ["g"], id_col="id", n_replicas=50
+        )
+        many = grouped_bootstrap_ci(
+            _reblock(df.sample(frac=1.0, random_state=5), 7),
+            "v", ["g"], id_col="id", n_replicas=50,
+        )
+        # float replica sums: the pagerank/lm rtol rule, not bitwise
+        np.testing.assert_allclose(
+            one["ci_lo"].to_numpy(), many["ci_lo"].to_numpy(), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            one["ci_hi"].to_numpy(), many["ci_hi"].to_numpy(), rtol=1e-9
+        )
+        other = grouped_bootstrap_ci(
+            rd.from_pandas(df), "v", ["g"], id_col="id", n_replicas=50,
+            seed=9,
+        )
+        assert not (
+            one["ci_lo"].to_numpy() == other["ci_lo"].to_numpy()
+        ).all()
+
+    def test_exact_mean_and_validation(self):
+        from ocr_platform_ray.ops.profile import grouped_bootstrap_ci
+
+        df = self._df(seed=4, groups=3, n_per=100)
+        out = grouped_bootstrap_ci(
+            rd.from_pandas(df), "v", ["g"], id_col="id", n_replicas=40
+        )
+        want = df.groupby("g")["v"].mean()
+        np.testing.assert_allclose(
+            out.set_index("g")["mean_v"], want, rtol=1e-12
+        )
+        with pytest.raises(ValueError, match="n_replicas"):
+            grouped_bootstrap_ci(
+                rd.from_pandas(df), "v", ["g"], id_col="id", n_replicas=5
+            )
