@@ -280,6 +280,7 @@ def run_once() -> dict:
         "doc_cdc_chunks",
         "rm3_expanded_top10",
         "value_mean_ci_by_type",
+        "cumulative_users_by_day",
     ):
         extra_times[name] = _best_of(2, name)
 

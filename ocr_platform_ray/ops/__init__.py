@@ -226,3 +226,4 @@ from .survival import kaplan_meier  # noqa: F401
 from .cdc import content_defined_chunks  # noqa: F401
 from .search import rm3_expand  # noqa: F401
 from .profile import grouped_bootstrap_ci  # noqa: F401
+from .sketch import hll_cumulative_distinct  # noqa: F401

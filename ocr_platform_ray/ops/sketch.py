@@ -531,3 +531,89 @@ def count_min_join_size(cm_a: dict, cm_b: dict) -> int:
         axis=1
     )
     return int(prods.min())
+
+
+def hll_cumulative_distinct(
+    ds: rd.Dataset,
+    ts_col: str,
+    key_col: str,
+    *,
+    bucket_us: int = 86_400_000_000,
+    p: int = 12,
+    n_shards: int = 32,
+) -> pd.DataFrame:
+    """Cumulative distinct keys over time — "total unique users ever
+    seen, by day" without co-locating anything: per (bucket) the batch
+    combiners emit one fixed-size HLL register partial; buckets merge
+    by elementwise max through the size-aware finish; and because
+    register-max IS sketch union EXACTLY (the `hll_set_estimates`
+    property), a running max over buckets in time order yields the
+    sketch of the UNION of everything up to each bucket — the
+    cumulative-distinct curve from one pass, 2^p bytes per bucket.
+
+    Returns (bucket, est_in_bucket, est_cumulative) with the standard
+    ±~1.04/√2^p relative error.  NULL keys/timestamps drop."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[[ts_col, key_col]].dropna()
+        if not len(sub):
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "regs": pd.Series(dtype=object)}
+            )
+        us = sub[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        sub = sub.assign(__b=us // bucket_us)
+        rows = []
+        for bk, g in sub.groupby("__b"):
+            rows.append(
+                {"bucket": int(bk),
+                 "regs": _hll_registers(g[key_col], p).tobytes()}
+            )
+        return pd.DataFrame(rows, columns=["bucket", "regs"])
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bk, gg in g.groupby("bucket"):
+            acc = np.zeros(1 << p, dtype=np.uint8)
+            for blob in gg["regs"]:
+                np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+            out.append({"bucket": int(bk), "regs": acc.tobytes()})
+        return pd.DataFrame(out, columns=["bucket", "regs"])
+
+    from .relational import _hash_labels
+
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shard"] = _hash_labels(b, ["bucket"], n_shards).astype("int64")
+        return b
+
+    merged = (
+        parts.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: merge_shard(g.drop(columns="__shard")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if len(merged) == 0:
+        return pd.DataFrame(
+            {"bucket": pd.Series(dtype="int64"),
+             "est_in_bucket": pd.Series(dtype="float64"),
+             "est_cumulative": pd.Series(dtype="float64")}
+        )
+    merged = merged.sort_values("bucket").reset_index(drop=True)
+    acc = np.zeros(1 << p, dtype=np.uint8)
+    in_b, cum = [], []
+    for blob in merged["regs"]:
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        in_b.append(_hll_estimate(regs))
+        np.maximum(acc, regs, out=acc)
+        cum.append(_hll_estimate(acc))
+    return pd.DataFrame(
+        {"bucket": merged["bucket"].astype("int64"),
+         "est_in_bucket": np.asarray(in_b),
+         "est_cumulative": np.asarray(cum)}
+    )

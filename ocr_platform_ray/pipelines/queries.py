@@ -8567,6 +8567,44 @@ def q_value_mean_ci_by_type(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_cumulative_users_by_day(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct users by day
+    (`ops/sketch.hll_cumulative_distinct` — register-max IS sketch
+    union, so one fixed-size partial per (bucket, batch) yields the
+    whole growth curve).  Rows-only (probabilistic); asserted in-query:
+    every cumulative estimate within 5 % of the exact distributed
+    answer and the curve is monotone; machinery pinned by
+    TestHllCumulativeDistinct."""
+    import duckdb
+
+    from ..ops.sketch import hll_cumulative_distinct
+
+    ev = _t(sf_dir, "events", ["ts", "user_id"])
+    out = hll_cumulative_distinct(
+        ev, "ts", "user_id", bucket_us=86_400_000_000
+    )
+    exact = duckdb.connect().execute(
+        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS b, user_id "
+        "FROM read_parquet(?) WHERE ts IS NOT NULL), "
+        "f AS (SELECT user_id, MIN(b) AS fb FROM e GROUP BY user_id), "
+        "g AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY fb), "
+        "d AS (SELECT DISTINCT b FROM e) "
+        "SELECT d.b, CAST(SUM(g.n) AS BIGINT) AS cum FROM d "
+        "LEFT JOIN g ON g.fb <= d.b GROUP BY d.b ORDER BY d.b",
+        [f"{sf_dir}/events.parquet"],
+    ).df()
+    got = out.sort_values("bucket").reset_index(drop=True)
+    assert got["bucket"].tolist() == exact["b"].tolist()
+    rel = np.abs(
+        got["est_cumulative"].to_numpy() / exact["cum"].to_numpy() - 1
+    )
+    assert rel.max() < 0.05, rel.max()
+    assert (np.diff(got["est_cumulative"].to_numpy()) >= -1e-9).all()
+    got["est_in_bucket"] = _round_half_away(got["est_in_bucket"], 2)
+    got["est_cumulative"] = _round_half_away(got["est_cumulative"], 2)
+    return got
+
+
 # ===========================================================================
 # Registry + SQL oracles
 # ===========================================================================
@@ -8945,6 +8983,10 @@ QUERIES = {
     # rows-only (hashed resampling isn't SQL; exact-mean containment +
     # grouped-mean equality asserted in-query, pinned by TestBootstrapCi)
     "value_mean_ci_by_type": q_value_mean_ci_by_type,
+    # rows-only (probabilistic; <=5% error vs the exact distributed
+    # curve + monotonicity asserted in-query, pinned by
+    # TestHllCumulativeDistinct)
+    "cumulative_users_by_day": q_cumulative_users_by_day,
     # rows-only (the PDF fixture IS the oracle — exact outline
     # roundtrip asserted in-query; pinned by TestPdfOutline)
     "pdf_chapter_outline": q_pdf_chapter_outline,

@@ -1972,3 +1972,50 @@ class TestBootstrapCi:
             grouped_bootstrap_ci(
                 rd.from_pandas(df), "v", ["g"], id_col="id", n_replicas=5
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHllCumulativeDistinct:
+    def _events(self, seed=0, n=50_000, users=20_000, days=30):
+        rng = np.random.RandomState(seed)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, days * 86400, n), unit="s"
+        )
+        return pd.DataFrame({"ts": ts, "u": rng.zipf(1.5, n) % users})
+
+    def _exact(self, df):
+        b = (df["ts"].astype("int64") // 1000) // 86_400_000_000
+        seen, out = set(), []
+        for bk in sorted(b.unique()):
+            seen |= set(df[b == bk]["u"])
+            out.append(len(seen))
+        return np.array(out, dtype="float64")
+
+    def test_error_bound_and_monotone(self):
+        from ocr_platform_ray.ops.sketch import hll_cumulative_distinct
+
+        df = self._events()
+        out = hll_cumulative_distinct(rd.from_pandas(df), "ts", "u")
+        exact = self._exact(df)
+        err = np.abs(out["est_cumulative"].to_numpy() / exact - 1)
+        assert err.max() < 0.05
+        assert (np.diff(out["est_cumulative"].to_numpy()) >= -1e-9).all()
+        # per-bucket estimates bound the cumulative from below
+        assert (
+            out["est_in_bucket"].to_numpy()
+            <= out["est_cumulative"].to_numpy() + 1e-9
+        ).all()
+
+    def test_block_independent_and_empty(self):
+        from ocr_platform_ray.ops.sketch import hll_cumulative_distinct
+
+        df = self._events(seed=3, n=8000, users=2000, days=10)
+        one = hll_cumulative_distinct(rd.from_pandas(df), "ts", "u")
+        many = hll_cumulative_distinct(
+            _reblock(df.sample(frac=1.0, random_state=4), 6), "ts", "u"
+        )
+        pd.testing.assert_frame_equal(one, many)  # register max = union
+        empty = hll_cumulative_distinct(
+            rd.from_pandas(df.iloc[:0]), "ts", "u"
+        )
+        assert len(empty) == 0
