@@ -5,7 +5,15 @@ pages corpus (built once under /tmp, reused across runs and parallelism
 levels).  Also times a representative slice of the query suite over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-  python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py             # one run at $RAY_GRAFT_CPUS (default 32):
+                              # headline extraction + tracked-12 slice ONLY
+                              # (fits the per-round driver time budget)
+  python bench.py --extras    # ALSO time the full informational extras
+                              # list (or BENCH_EXTRAS=1); each extra is
+                              # best-of-2 and the loop stops emitting new
+                              # timings once $BENCH_EXTRAS_BUDGET_S
+                              # (default 900) of extras wall has elapsed —
+                              # whatever completed is reported.
   python bench.py --scaling   # fresh processes at 8 and 32 CPUs on the
                               # same input; reports throughputs + efficiency
 """
@@ -143,10 +151,16 @@ def run_once() -> dict:
     for name in BENCH_QUERIES:
         q_times[name] = _best_of(3, name)
 
-    # round-2/3 operator additions, best-of-2 (informational — separate
-    # from the tracked queries_total_s series; single-shot readings were
-    # dominated by host-load noise on this shared sandbox)
+    # Informational extras (124 queries, best-of-2) are OFF by default:
+    # round 4's driver bench timed out (rc 124) because the default run
+    # grew to ~284 query executions.  The builder records extras in
+    # BASELINE.md via `--extras`; the driver's default run stays on the
+    # headline + tracked-12 contract and finishes in minutes.
     extra_times: dict[str, float] = {}
+    run_extras = "--extras" in sys.argv or os.environ.get("BENCH_EXTRAS")
+    extras_budget = float(os.environ.get("BENCH_EXTRAS_BUDGET_S", "900"))
+    extras_t0 = time.monotonic()
+    extras_truncated = False
     for name in (
         "revenue_by_nation",
         "fuzzy_join_typos",
@@ -282,6 +296,11 @@ def run_once() -> dict:
         "value_mean_ci_by_type",
         "cumulative_users_by_day",
     ):
+        if not run_extras:
+            break
+        if time.monotonic() - extras_t0 > extras_budget:
+            extras_truncated = True
+            break
         extra_times[name] = _best_of(2, name)
 
     ray.shutdown()
@@ -297,6 +316,7 @@ def run_once() -> dict:
         "queries": q_times,
         "queries_total_s": round(sum(q_times.values()), 3),
         "extra_queries": extra_times,
+        "extras_truncated": extras_truncated,
         "sf": sf,
         "num_cpus": NUM_CPUS,
     }
