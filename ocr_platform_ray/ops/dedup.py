@@ -1120,6 +1120,13 @@ def dup_clusters_distributed(
         )
 
     edges = pairs.map_batches(explode, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        # a zero-row pair list has no vertices to label; downstream
+        # exchanges on a block-less dataset have no schema to plan with
+        empty = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+        )
+        return rd.from_pandas(empty) if as_dataset else empty
     # initial labels: label(v) = min neighbor-or-self id per vertex
     def init_labels(b: pd.DataFrame) -> pd.DataFrame:
         lab = np.minimum(b["src"].to_numpy(), b["dst"].to_numpy())

@@ -1438,7 +1438,9 @@ def grouped_bootstrap_ci(
                 .astype("float64")
                 / float(2**64)
             )
-            w = np.searchsorted(cdf, u).astype("float64")  # Poisson(1)
+            # Poisson(1); uniforms beyond the last CDF entry (~1e-6 of
+            # draws) clamp to k=8, as the docstring promises
+            w = np.minimum(np.searchsorted(cdf, u), 8).astype("float64")
             cols[f"__wv{r}"] = w * v
             cols[f"__w{r}"] = w
         out = pd.DataFrame(cols)  # one construction — no fragmentation

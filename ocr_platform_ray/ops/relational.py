@@ -100,7 +100,12 @@ def _pd_dtype(typ) -> str:
     """Arrow type -> pandas dtype name (object for anything exotic)."""
     if not isinstance(typ, pa.DataType):
         return "object"
-    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+    if pa.types.is_timestamp(typ):
+        # Ray pandas blocks keep the Arrow unit (parquet timestamps read
+        # as datetime64[us]); matching it keeps padded/typed-empty rows
+        # from upcasting the real side's column in an exchange concat
+        return f"datetime64[{typ.unit}]"
+    if pa.types.is_date(typ):
         return "datetime64[ns]"
     if pa.types.is_integer(typ):
         return np.dtype(typ.to_pandas_dtype()).name
@@ -114,6 +119,33 @@ def _pd_dtype(typ) -> str:
 def _typed_empty(schema: "pa.Schema", cols: list[str]) -> pd.DataFrame:
     types = dict(zip(schema.names, schema.types))
     return pd.DataFrame({c: pd.Series(dtype=_pd_dtype(types.get(c))) for c in cols})
+
+
+def _pad_typed(df: pd.DataFrame, pads: dict[str, str]) -> pd.DataFrame:
+    """Add each column in ``pads`` (name -> pandas dtype) filled with a
+    TYPED sentinel (0 / NaN / NaT / False / None) the receiver never
+    reads.  Union-exchange sides padded this way share ONE block schema,
+    so the sort concat never outer-joins differing schemas (no int->float
+    upcast, no executor schema-mismatch warnings) and per-bucket reduces
+    always see every column.  Mutates and returns ``df``."""
+    n = len(df)
+    for c, dt in pads.items():
+        if dt == "object":
+            df[c] = pd.Series([None] * n, index=df.index, dtype="object")
+        elif dt.startswith("datetime"):
+            unit = dt[dt.index("[") + 1 : -1] if "[" in dt else "ns"
+            df[c] = pd.Series(
+                np.full(n, np.datetime64("NaT", unit)), index=df.index
+            )
+        else:
+            df[c] = pd.Series(np.zeros(n, dtype=np.dtype(dt)), index=df.index)
+    return df
+
+
+def _pad_plan(schema: "pa.Schema", cols) -> dict[str, str]:
+    """The ``_pad_typed`` spec for ``cols`` of an Arrow schema."""
+    types = dict(zip(schema.names, schema.types))
+    return {c: _pd_dtype(types.get(c)) for c in cols}
 
 
 def _restore_dtypes(df: pd.DataFrame, targets: dict[str, str]) -> pd.DataFrame:
@@ -216,33 +248,66 @@ def bucketed_hash_join(
     Partitioning assumption: a single bucket's rows fit in a worker's heap;
     for skewed keys raise ``n_buckets`` or salt the hot key upstream."""
     keys = [on] if isinstance(on, str) else list(on)
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None or rsch is None:
+        # a side that executed to ZERO blocks (its upstream exchange
+        # absorbed every empty partition — see _rayfix.py) has no schema
+        # to plan with.  An inner join with a block-less side is empty;
+        # the schema-less side's columns can't be reconstructed, so the
+        # KNOWN side's limit(0) stands in (downstream map stages skip
+        # empty input either way).  Outer joins would need the missing
+        # column names — surface that loudly instead of guessing.
+        if how != "inner":
+            raise ValueError(
+                "bucketed_hash_join: a join side has no blocks and no "
+                f"schema; cannot plan how={how!r} without its column "
+                "names — guard the caller with an emptiness check"
+            )
+        return (right if lsch is None else left).limit(0)
+    lcols = lsch.names
+    rcols = rsch.names
     overlap = (set(lcols) & set(rcols)) - set(keys)
-    # static column lists + dtype targets: a bucket holding only one side's
-    # rows must still produce the full merged schema (column inference via
-    # dropna silently dropped key columns for one-sided buckets and any
-    # legitimately all-NA column)
+    # the right side's overlap columns are renamed r_* BEFORE the union
+    # and each side is PADDED with the other side's columns as typed
+    # sentinels (_pad_typed), so both sides ship ONE identical block
+    # schema through the exchange: no outer-join concat (keeps int64
+    # int64), no missing-column defense in the reduce, and no executor
+    # schema-mismatch warnings
+    rename = {c: right_prefix + c for c in overlap}
+    r_cols = [rename.get(c, c) for c in rcols]  # right side, post-rename
+    union_cols = lcols + [c for c in r_cols if c not in lcols]
     ltargets = _restore_targets(left.schema(), set(lcols))
-    rtargets = _restore_targets(right.schema(), set(rcols))
-
-    l = _with_bucket(left, keys, n_buckets, "l")
-    r = _with_bucket(right, keys, n_buckets, "r")
-
+    rtargets = {
+        rename.get(c, c): dt
+        for c, dt in _restore_targets(right.schema(), set(rcols)).items()
+    }
     lschema, rschema = left.schema(), right.schema()
+    lpads = {
+        rename.get(c, c): dt
+        for c, dt in _pad_plan(rschema, rcols).items()
+        if rename.get(c, c) not in lcols
+    }
+    rpads = {
+        c: dt for c, dt in _pad_plan(lschema, lcols).items() if c not in r_cols
+    }
 
-    def _side(g: pd.DataFrame, side: str, cols: list[str], targets, schema) -> pd.DataFrame:
-        # a bucket fed only one side's blocks arrives without the other
-        # side's columns (the union keeps per-block schemas) -> empty side
-        mask = g["__side"] == side
-        if not mask.any() or any(c not in g.columns for c in cols):
-            return _typed_empty(schema, cols)
-        return _restore_dtypes(g.loc[mask, cols].copy(), targets)
+    def tag(ds: rd.Dataset, side: str, rn: dict, pads: dict) -> rd.Dataset:
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.rename(columns=rn) if rn else batch.copy()
+            out = _pad_typed(out, pads)[union_cols].copy()
+            out["__bucket"] = _hash_labels(out, keys, n_buckets)
+            out["__side"] = side
+            return out
+
+        return ds.map_batches(add, batch_format="pandas")
+
+    l = tag(left, "l", {}, lpads)
+    r = tag(right, "r", rename, rpads)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = _side(g, "l", lcols, ltargets, lschema)
-        rg = _side(g, "r", rcols, rtargets, rschema)
-        rg = rg.rename(columns={c: right_prefix + c for c in overlap})
+        lmask = (g["__side"] == "l").to_numpy()
+        lg = _restore_dtypes(g.loc[lmask, lcols].copy(), ltargets)
+        rg = _restore_dtypes(g.loc[~lmask, keys + [c for c in r_cols if c not in keys]].copy(), rtargets)
         return lg.merge(rg, on=keys, how=how)
 
     u = l.union(r)
@@ -516,12 +581,22 @@ def _semi_anti_bucketed(
     Correct because every occurrence of a key value (both sides) lands in
     the same bucket; a bucket fed no key-side blocks has an empty key set
     (semi keeps nothing, anti keeps everything)."""
-    dcols = ds.schema().names
-    dtargets = _restore_targets(ds.schema(), set(dcols))
     dschema = ds.schema()
+    ksch = keys.schema()
+    if dschema is None:
+        return ds  # block-less data side: nothing to keep OR drop
+    if ksch is None:
+        # block-less key side: semi keeps nothing, anti keeps everything
+        return ds.limit(0) if keep_in else ds
+    dcols = dschema.names
+    dtargets = _restore_targets(dschema, set(dcols))
+    # padded union (one block schema both sides — see _pad_typed)
+    kpad = _pad_plan(ksch, [on])
+    union_cols = dcols + ["__k"]
+    dpads = _pad_plan(dschema, dcols)
 
     def tag_data(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
+        out = _pad_typed(b.copy(), {"__k": kpad[on]})[union_cols].copy()
         out["__bucket"] = (pd.util.hash_array(b[on].to_numpy()) % n_buckets).astype("int64")
         out["__side"] = "l"
         return out
@@ -530,6 +605,7 @@ def _semi_anti_bucketed(
         # in-batch dedup combiner: the exchange moves distinct keys per batch
         out = b[[on]].drop_duplicates().rename(columns={on: "__k"})
         out["__bucket"] = (pd.util.hash_array(out["__k"].to_numpy()) % n_buckets).astype("int64")
+        out = _pad_typed(out, dpads)[union_cols + ["__bucket"]].copy()
         out["__side"] = "r"
         return out
 
@@ -537,11 +613,9 @@ def _semi_anti_bucketed(
     r = keys.select_columns([on]).map_batches(tag_keys, batch_format="pandas")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["__side"] == "l"
-        if not lmask.any() or any(c not in g.columns for c in dcols):
-            return _typed_empty(dschema, dcols)
+        lmask = (g["__side"] == "l").to_numpy()
         lg = _restore_dtypes(g.loc[lmask, dcols].copy(), dtargets)
-        kvals = g.loc[g["__side"] == "r", "__k"] if "__k" in g.columns else pd.Series([], dtype="object")
+        kvals = g.loc[~lmask, "__k"]
         mask = lg[on].isin(set(kvals))
         return lg[mask if keep_in else ~mask]
 

@@ -8371,6 +8371,9 @@ def q_user_survival_curve(sf_dir: str) -> pd.DataFrame:
     ev = _t(sf_dir, "events", ["user_id", "ts"])
 
     def durations(b: pd.DataFrame) -> pd.DataFrame:
+        # NaT would int64-cast to INT64_MIN and corrupt the min/max; the
+        # SQL oracle's MIN/MAX skip NULLs — drop them (house convention)
+        b = b[~b["ts"].isna()]
         us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         g = pd.DataFrame({"u": b["user_id"], "ts": us}).groupby(
             "u", as_index=False
@@ -11674,6 +11677,7 @@ ORACLE_SQL["value_trend_by_user"] = (
 ORACLE_SQL["value_ks_by_dow"] = (
     "WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, "
     "event_type, value FROM events WHERE value IS NOT NULL "
+    "AND ts IS NOT NULL "  # engine drops NaT rows; mirror it
     "AND event_type IN ('click', 'view')), "
     "c AS (SELECT dow, value, "
     "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) "

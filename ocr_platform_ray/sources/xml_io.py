@@ -132,6 +132,22 @@ def write_xml_dataset(
     contract (content-keyed idempotent names, atomic publish, collision
     raise, stale cleanup).  Returns the published file list."""
     os.makedirs(out_dir, exist_ok=True)
+    schema = ds.schema()
+    if schema is not None:
+        # column names become element tags and schema-attr entries; an
+        # XML-invalid name (':', whitespace, quotes, …) would write
+        # malformed shards or break the read side's `item.split(':')`
+        bad = [
+            c
+            for c in schema.names
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", c)
+        ]
+        if bad:
+            raise ValueError(
+                "write_xml_dataset: column names must match "
+                f"[A-Za-z_][A-Za-z0-9_.-]* to be valid XML tags; got {bad!r} "
+                "— rename the columns before writing"
+            )
 
     def write_block(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
