@@ -36,7 +36,15 @@ import ray.data as rd
 
 from ..functions.textscan import flat_finditer
 from .dedup import dup_clusters_distributed
-from .relational import _hash_labels, auto_group_agg, bucketed_hash_join
+from .relational import (
+    _hash_labels,
+    anti_join,
+    auto_group_agg,
+    bucketed_hash_join,
+    probe_head,
+    semi_join,
+    sharded_group_agg,
+)
 
 
 def connected_components(
@@ -71,7 +79,9 @@ def pagerank(
     n_iter: int = 20,
     n_shards: int = 64,
     personalization: dict | None = None,
-) -> pd.DataFrame:
+    route: str = "auto",
+    driver_threshold_rows: int = 2_000_000,
+) -> pd.DataFrame | rd.Dataset:
     """PageRank over a directed edge list (dangling mass redistributed
     to the teleport distribution — the standard formulation):
 
@@ -88,11 +98,23 @@ def pagerank(
     self-loops are legal.  Returns (node, rank) for every node
     appearing in either column; ranks sum to 1.
 
-    The rank table is returned as pandas — node-count-sized, the same
-    contract as the other rank/report outputs; at true corpus scale
-    compose the final iteration with ``write_parquet`` instead."""
+    The rank table is returned as pandas on the DRIVER route —
+    node-count-sized, the report-output contract.  ``route`` picks the
+    state residency: "driver" (the measured-fastest small-graph path),
+    "dataset" (ranks ride the bucketed exchange as a Dataset end-to-end
+    — nothing vertex-sized ever lands on the driver or the object store
+    as one object; the `dup_clusters_distributed(as_dataset=True)`
+    treatment, for 10^9-vertex crawl graphs), or "auto" (default): the
+    node table's size-aware distinct finish doubles as the probe — when
+    the vertex set fits ``driver_threshold_rows`` the probe already IS
+    the node table and the driver route costs nothing extra, else the
+    dataset route is planned.  The dataset route returns a (node, rank)
+    Dataset (unordered; ranks rtol-equivalent to the driver route — the
+    float-association rule)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if route not in ("auto", "driver", "dataset"):
+        raise ValueError(f"pagerank: unknown route {route!r}")
     if personalization is not None:
         total = float(sum(personalization.values()))
         if not personalization or total <= 0 or min(personalization.values()) < 0:
@@ -112,13 +134,26 @@ def pagerank(
         )
         return pd.DataFrame({"node": vals})
 
+    if route == "dataset":
+        return _pagerank_dataset(
+            proj, stack, src_col, dst_col, damping, n_iter, n_shards,
+            personalization,
+        )
     nodes = auto_group_agg(
         proj.map_batches(stack, batch_format="pandas"),
         ["node"],
         {"__one": ("node", "count")},
         n_shards=n_shards,
+        driver_threshold_rows=driver_threshold_rows,
     )
     if not isinstance(nodes, pd.DataFrame):
+        if route == "auto":
+            # vertex set larger than the driver contract: ranks must
+            # ride the exchange
+            return _pagerank_dataset(
+                proj, stack, src_col, dst_col, damping, n_iter, n_shards,
+                personalization,
+            )
         nodes = nodes.to_pandas()
     nodes = nodes[["node"]].sort_values("node").reset_index(drop=True)
     n = len(nodes)
@@ -190,6 +225,163 @@ def pagerank(
             rank=base + damping * merged["c"].fillna(0.0).to_numpy()
         )
     return ranks.reset_index(drop=True)
+
+
+def _pagerank_dataset(
+    proj: rd.Dataset,
+    stack,
+    src_col: str,
+    dst_col: str,
+    damping: float,
+    n_iter: int,
+    n_shards: int,
+    personalization: dict | None,
+) -> rd.Dataset:
+    """PageRank with the rank table as a DATASET end-to-end — the
+    `dup_clusters_distributed(as_dataset=True)` treatment for vertex
+    sets that outgrow one machine (round-4 verdict item #3).
+
+    Per iteration: ranks join out-degrees through the bucketed exchange
+    (dangling mass = one float partial per block), the weighted rank
+    joins the EDGE projection on src (edges re-exchange per round, the
+    same shape as the label-propagation loop), per-batch (dst, c)
+    combiner rows collapse in a hash-shard reduce, and the new rank
+    table materializes — nothing vertex- or edge-sized ever lands on
+    the driver.  Semantics identical to the driver route (dangling
+    redistribution, multiplicity-weighted parallel edges,
+    personalization renormalized over present seeds); float association
+    differs, so ranks agree at rtol, not bitwise."""
+    from .relational import bucketed_hash_join, sharded_group_agg
+
+    nodes = (
+        sharded_group_agg(
+            proj.map_batches(stack, batch_format="pandas"),
+            ["node"],
+            {"__one": ("node", "count")},
+            n_shards=n_shards,
+        )
+        .map_batches(lambda b: b[["node"]], batch_format="pandas")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series(dtype="object"), "rank": pd.Series(dtype="float64")}
+            )
+        )
+
+    deg = (
+        sharded_group_agg(
+            proj.map_batches(
+                lambda b: b.groupby(src_col, as_index=False).agg(
+                    outdeg=(src_col, "size")
+                ),
+                batch_format="pandas",
+            ),
+            [src_col],
+            {"outdeg": ("outdeg", "sum")},
+            n_shards=n_shards,
+        )
+        .map_batches(
+            lambda b: b.rename(columns={src_col: "node"}), batch_format="pandas"
+        )
+        .materialize()
+    )
+
+    def _scalar_sum(ds: rd.Dataset, col: str) -> float:
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [float(b[col].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return float(parts["s"].sum()) if len(parts) else 0.0
+
+    if personalization is None:
+        inv_n = 1.0 / n
+
+        def with_p(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b["node"], "p": inv_n})
+
+        nodes_p = nodes.map_batches(with_p, batch_format="pandas").materialize()
+    else:
+        total = float(sum(personalization.values()))
+        pref = ray.put(dict(personalization))
+
+        def raw_p(b: pd.DataFrame, _pref=pref) -> pd.DataFrame:
+            raw = b["node"].map(ray.get(_pref)).fillna(0.0) / total
+            return pd.DataFrame({"node": b["node"], "p": raw.to_numpy()})
+
+        raw = nodes.map_batches(raw_p, batch_format="pandas").materialize()
+        mass = _scalar_sum(raw, "p")
+        if mass <= 0:
+            raise ValueError("pagerank: no personalization seed appears in the graph")
+
+        def renorm(b: pd.DataFrame, _m=mass) -> pd.DataFrame:
+            out = b.copy()
+            out["p"] = out["p"] / _m
+            return out
+
+        nodes_p = raw.map_batches(renorm, batch_format="pandas").materialize()
+
+    ranks = nodes_p.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "p": b["p"], "rank": b["p"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(n_iter):
+        j = bucketed_hash_join(
+            ranks, deg, on="node", how="left", n_buckets=n_shards
+        ).materialize()
+
+        def dang_part(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"s": [float(b.loc[b["outdeg"].isna(), "rank"].sum())]}
+            )
+
+        dparts = j.map_batches(dang_part, batch_format="pandas").to_pandas()
+        dangling = float(dparts["s"].sum()) if len(dparts) else 0.0
+
+        def weights(b: pd.DataFrame) -> pd.DataFrame:
+            sub = b[b["outdeg"].notna()]
+            return pd.DataFrame(
+                {
+                    src_col: sub["node"],
+                    "__w": (sub["rank"] / sub["outdeg"]).to_numpy(),
+                }
+            )
+
+        wsrc = j.map_batches(weights, batch_format="pandas")
+        ej = bucketed_hash_join(proj, wsrc, on=src_col, how="inner", n_buckets=n_shards)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            sub = pd.DataFrame({"node": b[dst_col], "c": b["__w"]})
+            return sub.groupby("node", as_index=False).agg(c=("c", "sum"))
+
+        summed = sharded_group_agg(
+            ej.map_batches(contrib, batch_format="pandas"),
+            ["node"],
+            {"c": ("c", "sum")},
+            n_shards=n_shards,
+        )
+        nj = bucketed_hash_join(
+            nodes_p, summed, on="node", how="left", n_buckets=n_shards
+        )
+
+        def update(b: pd.DataFrame, _d=dangling) -> pd.DataFrame:
+            base = ((1.0 - damping) + damping * _d) * b["p"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "p": b["p"],
+                    "rank": base + damping * b["c"].fillna(0.0).to_numpy(),
+                }
+            )
+
+        ranks = nj.map_batches(update, batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda b: b[["node", "rank"]], batch_format="pandas"
+    )
 
 
 def hits(
@@ -849,7 +1041,9 @@ def bfs_distances(
     directed: bool = True,
     max_hops: int = 30,
     n_shards: int = 64,
-) -> pd.DataFrame:
+    route: str = "auto",
+    driver_threshold_rows: int = 2_000_000,
+) -> pd.DataFrame | rd.Dataset:
     """Minimum hop distance from a seed set — breadth-first frontier
     expansion over a (src, dst) edge Dataset (the crawl-graph "within k
     hops of the trusted domains" selection TrustRank approximates, here
@@ -868,13 +1062,26 @@ def bfs_distances(
     candidates are then anti-joined against the visited table
     driver-side.  O(diameter) executions — BFS's distributed floor; the
     per-round exchange payload is the frontier's successor-id set, never
-    the edges.  The visited/dist table is node-sized and driver-resident
-    by contract (the pagerank report-output rule; a vertex set that
-    outgrows one machine needs the label-table-as-Dataset treatment
-    `dup_clusters_distributed(as_dataset=True)` proves out).
+    the edges.
+
+    ``route``: "driver" holds the visited/dist table on the driver (the
+    report-output contract, fastest below the threshold); "dataset"
+    keeps visited AND frontier as Datasets — successors come from a
+    bucketed semi-join of the edges against the frontier, new nodes
+    from a bucketed anti-join against the visited table, so nothing
+    vertex-sized ever lands on the driver (the
+    `dup_clusters_distributed(as_dataset=True)` treatment, round-4
+    verdict item #3) and the result is a (node, dist) Dataset
+    (unordered, values exactly equal to the driver route's);
+    "auto" (default) probes the materialized edge projection with
+    ``limit(threshold+1)`` — an edge list that fits
+    ``driver_threshold_rows`` bounds the vertex set, so the driver
+    route is safe; past it the dataset route is planned.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if route not in ("auto", "driver", "dataset"):
+        raise ValueError(f"bfs_distances: unknown route {route!r}")
     seeds = list(dict.fromkeys(seeds))
     if not seeds:
         raise ValueError("bfs_distances: empty seed set")
@@ -883,6 +1090,13 @@ def bfs_distances(
     proj = edges.map_batches(
         lambda b: b[cols].dropna(), batch_format="pandas"
     ).materialize()  # consumed once per round
+    if route == "dataset" or (
+        route == "auto"
+        and probe_head(proj, driver_threshold_rows) is None
+    ):
+        return _bfs_dataset(
+            proj, seeds, src_col, dst_col, directed, max_hops, n_shards
+        )
 
     dist: dict = {s: 0 for s in seeds}
     frontier = set(seeds)
@@ -925,6 +1139,75 @@ def bfs_distances(
         {"node": list(dist.keys()), "dist": np.fromiter(dist.values(), dtype="int64")}
     )
     return out.sort_values(["dist", "node"]).reset_index(drop=True)
+
+
+def _bfs_dataset(
+    proj: rd.Dataset,
+    seeds: list,
+    src_col: str,
+    dst_col: str,
+    directed: bool,
+    max_hops: int,
+    n_shards: int,
+) -> rd.Dataset:
+    """BFS with visited/frontier as DATASETS riding the bucketed
+    exchange (round-4 verdict item #3): per round the edge projection
+    semi-joins against the frontier (bucketed — the frontier never
+    lands on the driver), each matching batch emits its distinct
+    successors as combiner rows into a hash-shard distinct, and the
+    bucketed anti-join against the visited table yields the new
+    frontier.  The only driver-visible value per round is one int (the
+    new-frontier count, the convergence check).  Distances are exactly
+    the driver route's."""
+    visited = rd.from_pandas(
+        pd.DataFrame({"node": pd.Series(seeds), "dist": np.int64(0)})
+    ).materialize()
+    frontier = visited
+
+    def distinct_nodes(parts: rd.Dataset) -> rd.Dataset:
+        return sharded_group_agg(
+            parts, ["node"], {"__one": ("node", "count")}, n_shards=n_shards
+        ).map_batches(lambda b: b[["node"]], batch_format="pandas")
+
+    for h in range(max_hops):
+        f_src = frontier.map_batches(
+            lambda b: b[["node"]].rename(columns={"node": src_col}),
+            batch_format="pandas",
+        )
+        succ = semi_join(
+            proj, f_src, src_col, method="bucketed", n_buckets=n_shards
+        ).map_batches(
+            lambda b: pd.DataFrame({"node": pd.unique(b[dst_col])}),
+            batch_format="pandas",
+        )
+        if not directed:
+            f_dst = frontier.map_batches(
+                lambda b: b[["node"]].rename(columns={"node": dst_col}),
+                batch_format="pandas",
+            )
+            rev = semi_join(
+                proj, f_dst, dst_col, method="bucketed", n_buckets=n_shards
+            ).map_batches(
+                lambda b: pd.DataFrame({"node": pd.unique(b[src_col])}),
+                batch_format="pandas",
+            )
+            succ = succ.union(rev)
+        cand = distinct_nodes(succ)
+        new = (
+            anti_join(cand, visited, "node", method="bucketed", n_buckets=n_shards)
+            .map_batches(
+                lambda b, _d=np.int64(h + 1): pd.DataFrame(
+                    {"node": b["node"], "dist": _d}
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited
 
 
 def link_prediction_scores(
