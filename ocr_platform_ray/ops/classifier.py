@@ -72,9 +72,22 @@ def logreg_fit(
     n_iters: int = 20,
     lr: float = 2.0,
     l2: float = 1e-6,
+    fit_rows: int | None = None,
 ) -> np.ndarray:
     """Train on a positive (keep) and negative (drop) seed corpus.
-    Returns the (buckets + 1,) weight vector (last entry = bias)."""
+    Returns the (buckets + 1,) weight vector (last entry = bias).
+
+    ``fit_rows=None`` (default) is full-batch GD over the whole corpus
+    — one gradient pass per iteration, the exact route tests pin.
+    ``fit_rows=N`` is the SAMPLED-FIT route (round-4 verdict item #4;
+    fastText-style filters train on seed samples): a deterministic
+    per-row hash gate keeps ~N rows (stable under any block structure
+    or parallelism — no RNG state), the sample is featurized ONCE, and
+    all n_iters GD steps run locally on the cached (flat, counts, y)
+    arrays — corpus passes drop from n_iters to 1, and the hash pass
+    (the measured cost) runs once instead of n_iters times.
+    Bit-reproducible: the gate is content-hash-deterministic and rows
+    sort canonically before the gradient accumulates."""
 
     def lab(y: int):
         def add(b: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +103,46 @@ def logreg_fit(
     labeled = labeled.materialize()
     n_total = labeled.count()
     w = np.zeros(buckets + 1, dtype=np.float64)
+
+    if fit_rows is not None and n_total > 0:
+        if n_total > fit_rows:
+            # deterministic content-hash gate (the stratified_sample
+            # pattern): keep a row iff hash(text, salt) / 2^64 < frac
+            # (float compare — np.uint64(int) overflows past 2^63)
+            frac = min(1.0, fit_rows / n_total)
+
+            def gate(b: pd.DataFrame) -> pd.DataFrame:
+                h = pd.util.hash_array(
+                    b["__text"].to_numpy(dtype=object), hash_key="logreg-fit-16byt"
+                )
+                return b[h.astype(np.float64) / float(2**64) < frac]
+
+            sample = labeled.map_batches(gate, batch_format="pandas").to_pandas()
+        else:
+            sample = labeled.to_pandas()
+        if len(sample) == 0:
+            return w
+        # canonical row order (Ray block order is not deterministic)
+        sample = sample.sort_values(
+            ["__y", "__text"], kind="mergesort"
+        ).reset_index(drop=True)
+        texts = list(sample["__text"])
+        y = sample["__y"].to_numpy(dtype=np.float64)
+        flat, counts = _gram_buckets_batch(texts, buckets)  # hash pass: ONCE
+        n = len(sample)
+        nz = counts > 0
+        for _ in range(n_iters):
+            p = _scores_from_buckets(flat, counts, w)
+            err = p - y
+            g = np.zeros(buckets + 1, dtype=np.float64)
+            if flat.size:
+                per_gram = np.repeat(err[nz] / counts[nz], counts[nz])
+                np.add.at(g, flat, per_gram)
+            g[-1] = err.sum()
+            g /= n
+            g[:-1] += l2 * w[:-1]
+            w = w - lr * g
+        return w
 
     for _ in range(n_iters):
         ref = ray.put(w)

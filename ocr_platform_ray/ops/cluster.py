@@ -41,11 +41,15 @@ def _init_centroids(
     else:
         sampled = ds
     sample = _as_matrix(sampled.to_pandas()[emb_col])
+    return _farthest_point_init(sample, k, seed)
+
+
+def _farthest_point_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Greedy farthest-point init (deterministic k-means++ flavor): a
+    plain random draw can seed two centroids inside one tight cluster,
+    which Lloyd cannot escape."""
     rng = np.random.RandomState(seed)
     kk = min(k, len(sample))
-    # greedy farthest-point init (deterministic k-means++ flavor): a
-    # plain random draw can seed two centroids inside one tight cluster,
-    # which Lloyd cannot escape
     first = int(rng.randint(len(sample)))
     chosen = [first]
     best_sim = sample @ sample[first]
@@ -54,6 +58,25 @@ def _init_centroids(
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, sample @ sample[nxt])
     return sample[chosen].copy()
+
+
+def _lloyd_local(m: np.ndarray, cent: np.ndarray, n_iters: int) -> np.ndarray:
+    """Lloyd iterations over an in-memory sample matrix — same update
+    rule as the distributed pass (argmax assignment, ties to the lowest
+    cluster id, empty clusters keep their centroid, spherical
+    renormalize)."""
+    kk = len(cent)
+    for _ in range(n_iters):
+        a = np.argmax(m @ cent.T, axis=1)
+        counts = np.bincount(a, minlength=kk)
+        sums = np.zeros((kk, m.shape[1]), dtype=np.float64)
+        np.add.at(sums, a, m)
+        new = cent.copy()
+        nz = counts > 0
+        norms = np.maximum(np.linalg.norm(sums[nz], axis=1), 1e-12)
+        new[nz] = sums[nz] / norms[:, None]
+        cent = new
+    return cent
 
 
 def kmeans_fit(
@@ -65,12 +88,61 @@ def kmeans_fit(
     seed: int = 23,
     init: np.ndarray | None = None,
     sample_limit: int = 20000,
+    fit_rows: int | None = None,
 ) -> np.ndarray:
-    """Spherical k-means (cosine / inner product on normalized vectors)
-    over the FULL dataset — unlike train_ivf_centroids' sample-side
-    training, every Lloyd iteration assigns every row.  Deterministic:
-    seeded init, fixed iteration count, ties to the lowest cluster id
-    (np.argmax).  Returns the (k, dim) centroid matrix."""
+    """Spherical k-means (cosine / inner product on normalized vectors).
+    Deterministic: seeded init, fixed iteration count, ties to the
+    lowest cluster id (np.argmax).  Returns the (k, dim) centroid
+    matrix.
+
+    ``fit_rows=None`` (default) runs every Lloyd iteration over the FULL
+    dataset — n_iters map passes with fixed-size (cluster, count, vsum)
+    partials, the exact route tests pin.  ``fit_rows=N`` is the
+    SAMPLED-FIT route (round-4 verdict item #4; the SemDeDup paper
+    itself fits centroids on a sample): ONE seeded sample pass pulls at
+    most N vectors, and the Lloyd iterations run locally on that matrix
+    — corpus passes drop from n_iters to 1 regardless of n_iters.
+    Centroids differ from the full fit only through sampling (same
+    update rule); downstream assignment stays full + map-only either
+    way."""
+    if fit_rows is not None:
+        n_total = ds.count()
+        if n_total > fit_rows:
+            # deterministic content-hash gate (the logreg_fit/
+            # stratified_sample pattern): keep a vector iff
+            # hash(bytes, seed-salt) < frac * 2^64 — stable under ANY
+            # block structure or parallelism, unlike random_sample's
+            # per-block RNG
+            frac = min(1.0, (1.5 * fit_rows) / n_total)
+            salt = f"kmeansfit{seed:07d}"[:16].ljust(16, "x")
+
+            def gate(b: pd.DataFrame) -> pd.DataFrame:
+                key = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64).tobytes()
+                        for v in b[emb_col]
+                    ],
+                    dtype=object,
+                )
+                h = pd.util.hash_array(key, hash_key=salt)
+                # float compare (np.uint64(int) overflows past 2^63)
+                keep = h.astype(np.float64) / float(2**64) < frac
+                out = b[keep].copy()
+                out["__h"] = h[keep]
+                return out
+
+            sample = ds.map_batches(gate, batch_format="pandas").to_pandas()
+            # canonical order (Ray block order is run-dependent), bounded
+            sample = sample.sort_values("__h", kind="mergesort").head(fit_rows)
+        else:
+            sample = ds.to_pandas()
+        m = _as_matrix(sample[emb_col])
+        cent = (
+            np.asarray(init, dtype=np.float64)
+            if init is not None
+            else _farthest_point_init(m[:sample_limit], k, seed)
+        )
+        return _lloyd_local(m, cent, n_iters)
     cent = (
         np.asarray(init, dtype=np.float64)
         if init is not None
@@ -191,16 +263,32 @@ def semdedup(
     seed: int = 23,
     centroids: np.ndarray | None = None,
     n_shards: int = 32,
+    fit_rows: int | None = None,
+    max_cluster_rows: int = 100_000,
 ) -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023): embedding near-dup removal where the
     quadratic pairwise step is confined to k-means clusters.  Returns
     (id, cluster, centroid_sim) for the KEPT rows: per duplicate
     component (cosine > threshold, within-cluster), the row farthest
     from its centroid survives — the paper's keep-low-centroid-similarity
-    rule, deterministic via the (centroid_sim, id) order."""
+    rule, deterministic via the (centroid_sim, id) order.
+
+    ``fit_rows`` selects the SAMPLED centroid fit (`kmeans_fit`
+    docstring — the paper itself fits on a sample; corpus passes drop
+    from n_iters to 1).  ``max_cluster_rows`` bounds the per-cluster
+    G x G pairwise: a cluster larger than the cap is split into
+    deterministic id-ordered sub-blocks resolved independently — memory
+    stays <= cap² per task on ANY skew (a degenerate centroid can
+    otherwise attract a corpus-sized cluster); dups straddling two
+    sub-blocks of one giant cluster are missed, the standard bounded-
+    memory trade the cap documents (raise k so clusters stay under the
+    cap when full within-cluster recall matters)."""
+    if max_cluster_rows < 1:
+        raise ValueError("max_cluster_rows must be >= 1")
     if centroids is None:
         centroids = kmeans_fit(
-            ds, emb_col=emb_col, k=k, n_iters=n_iters, seed=seed
+            ds, emb_col=emb_col, k=k, n_iters=n_iters, seed=seed,
+            fit_rows=fit_rows,
         )
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
@@ -232,11 +320,21 @@ def semdedup(
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, grp in g.groupby("cluster"):
-            ids = grp[id_col].to_numpy()
-            m = np.stack([np.asarray(v) for v in grp["__vec"]])
-            csim = grp["centroid_sim"].to_numpy()
-            kept = _resolve_cluster(ids, m, csim, threshold)
-            outs.append(grp.iloc[kept][[id_col, "cluster", "centroid_sim"]])
+            if len(grp) > max_cluster_rows:
+                # giant-cluster guard: deterministic id-ordered sub-blocks
+                grp = grp.sort_values(id_col, kind="mergesort")
+                chunks = [
+                    grp.iloc[i : i + max_cluster_rows]
+                    for i in range(0, len(grp), max_cluster_rows)
+                ]
+            else:
+                chunks = [grp]
+            for sub in chunks:
+                ids = sub[id_col].to_numpy()
+                m = np.stack([np.asarray(v) for v in sub["__vec"]])
+                csim = sub["centroid_sim"].to_numpy()
+                kept = _resolve_cluster(ids, m, csim, threshold)
+                outs.append(sub.iloc[kept][[id_col, "cluster", "centroid_sim"]])
         if not outs:
             return pd.DataFrame(
                 {

@@ -2250,8 +2250,12 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
         )
 
     ds = base.union(base.map_batches(copies, batch_format="pandas"))
+    # sampled centroid fit (the paper's own recipe): corpus passes drop
+    # from n_iters to 1; the planted-copy invariant is centroid-free
+    # (copies normalize bitwise-identical -> same cluster, cosine 1.0)
     kept = semdedup(
-        ds, emb_col="embedding", id_col="vec_id", threshold=0.97, k=8, n_iters=5
+        ds, emb_col="embedding", id_col="vec_id", threshold=0.97, k=8,
+        n_iters=5, fit_rows=20_000,
     ).to_pandas()
     if (kept["vec_id"] >= 100000).any():
         raise AssertionError("a planted copy survived semdedup")
@@ -2413,7 +2417,9 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
 
     pos = half(lambda i: (i < 250) & (i % 5 != 0))
     neg = half(lambda i: (i < 250) & (i % 5 == 0))
-    w = logreg_fit(pos, neg, "text", n_iters=20)
+    # sampled-fit route: the seed set collects once, featurizes once,
+    # and all 20 GD steps run locally (corpus passes 20 -> 1)
+    w = logreg_fit(pos, neg, "text", n_iters=20, fit_rows=50_000)
     scored = logreg_score(docs, "text", w).to_pandas()
     unseen = scored[scored["doc_id"] >= 250]
     lo = unseen[unseen["doc_id"] % 5 == 0]["quality_score"]
