@@ -384,22 +384,12 @@ def index_new_partitions(
     index directory).  ``knn_ivf_persisted`` probes the incremental
     layout with the same cell pruning.  Composes with
     ``state.manifest.run_with_manifest`` outputs directly."""
-    import glob as _glob
-    import json as _json
     import os
-    import shutil
 
     units = _index_units(src_dir)
     man_dir = os.path.join(index_dir, "_manifest")
     os.makedirs(man_dir, exist_ok=True)
-    done: dict[str, str] = {}
-    for p in _glob.glob(os.path.join(man_dir, "*.json")):
-        try:
-            with open(p) as f:
-                m = _json.load(f)
-            done[m["unit"]] = m["fingerprint"]
-        except (_json.JSONDecodeError, KeyError):
-            continue
+    done = _read_index_manifest(man_dir)
     new = [
         (name, files, fp)
         for name, files, fp in units
@@ -424,35 +414,162 @@ def index_new_partitions(
     rows = 0
     for name, files, fp in new:
         ds = rd.read_parquet(files, columns=[id_col, emb_col])
-        assigned = _assign_cells(ds, centroids, emb_col)
-        dest = os.path.join(index_dir, "parts", name)
-        tmp = dest + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        assigned.write_parquet(tmp, partition_cols=["cell"])
-        if os.path.exists(dest):  # redo: replace the old subtree
-            old = dest + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            os.rename(dest, old)
-            os.rename(tmp, dest)
-            shutil.rmtree(old)
-        else:
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.rename(tmp, dest)
-        # rows counted from fragment metadata (no data read)
-        import pyarrow.parquet as pq
-
-        unit_rows = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True)
+        rows += _publish_unit(
+            index_dir, name, fp, _assign_cells(ds, centroids, emb_col)
         )
-        rows += unit_rows
-        mpath = os.path.join(man_dir, name + ".json")
-        with open(mpath + ".tmp", "w") as f:
-            _json.dump({"unit": name, "fingerprint": fp, "rows": unit_rows}, f)
-        os.replace(mpath + ".tmp", mpath)
+    return {
+        "units": len(units),
+        "indexed": len(new),
+        "skipped": len(units) - len(new),
+        "rows_indexed": rows,
+    }
+
+
+def _read_index_manifest(man_dir: str) -> dict[str, str]:
+    """unit -> fingerprint map from an index manifest directory."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    done: dict[str, str] = {}
+    for p in _glob.glob(os.path.join(man_dir, "*.json")):
+        try:
+            with open(p) as f:
+                m = _json.load(f)
+            done[m["unit"]] = m["fingerprint"]
+        except (_json.JSONDecodeError, KeyError):
+            continue
+    return done
+
+
+def _publish_unit(
+    index_dir: str, name: str, fp: str, assigned: rd.Dataset
+) -> int:
+    """Atomically (re)publish one source unit's cell-partitioned subtree
+    under ``<index_dir>/parts/<name>/`` and commit its manifest entry.
+    Returns the unit's indexed row count (from fragment metadata)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    dest = os.path.join(index_dir, "parts", name)
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    assigned.write_parquet(tmp, partition_cols=["cell"])
+    if os.path.exists(dest):  # redo: replace the old subtree
+        old = dest + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old)
+    else:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(tmp, dest)
+    unit_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True)
+    )
+    man_dir = os.path.join(index_dir, "_manifest")
+    mpath = os.path.join(man_dir, name + ".json")
+    with open(mpath + ".tmp", "w") as f:
+        _json.dump({"unit": name, "fingerprint": fp, "rows": unit_rows}, f)
+    os.replace(mpath + ".tmp", mpath)
+    return unit_rows
+
+
+def index_new_partitions_pq(
+    src_dir: str,
+    index_dir: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 256,
+) -> dict:
+    """Incremental maintenance for the flagship IVF-PQ layout (round-4
+    verdict item #5) — `index_new_partitions`'s fingerprint-skip
+    machinery composed with `build_ivf_pq_index`'s cell-partitioned
+    PQ-code subtrees: each call assigns-and-encodes exactly the source
+    partitions that are NEW or CHANGED since the last call (redo'd
+    partitions re-encode; the fingerprint comes from the source's own
+    manifest when present) and atomically publishes one
+    ``<index_dir>/parts/<unit>/cell=N/`` subtree of (id, pq_code,
+    cell_id) rows per unit.  Raw vectors are still never stored.
+
+    Coarse centroids AND PQ codebooks train once on the first call and
+    FREEZE (the IVF discipline extended to the quantizer: recoding old
+    cells under new codebooks would invalidate every committed ADC
+    score; retrain = fresh index directory).  ``knn_ivf_pq`` probes the
+    incremental layout with the same cell pruning as the single-build
+    one (both glob patterns)."""
+    import os
+
+    units = _index_units(src_dir)
+    man_dir = os.path.join(index_dir, "_manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    done = _read_index_manifest(man_dir)
+    new = [
+        (name, files, fp)
+        for name, files, fp in units
+        if done.get(name) != fp
+        or not os.path.isdir(os.path.join(index_dir, "parts", name))
+    ]
+
+    cpath = os.path.join(index_dir, "centroids.npy")
+    bpath = os.path.join(index_dir, "codebooks.npy")
+    if os.path.exists(cpath) and os.path.exists(bpath):
+        centroids = np.load(cpath)
+        codebooks = np.load(bpath)
+    else:
+        if not units:
+            raise ValueError(
+                f"index_new_partitions_pq: no source units in {src_dir}"
+            )
+        all_files = [f for _, files, _ in units for f in files]
+        base = rd.read_parquet(all_files, columns=[id_col, emb_col])
+        centroids = train_ivf_centroids(base, emb_col=emb_col, n_cells=n_cells)
+        codebooks = train_pq(base, emb_col=emb_col, m=m, n_codes=n_codes)
+        np.save(cpath, centroids)
+        np.save(bpath, codebooks)
+
+    ref = ray.put((centroids, np.ascontiguousarray(codebooks)))
+
+    def assign_encode(batch: pd.DataFrame) -> pd.DataFrame:
+        cent, books = cached_get(ref)
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].iloc[:0],
+                    "pq_code": pd.Series(dtype="object"),
+                    "cell_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                }
+            )
+        mat = _as_matrix(batch[emb_col])
+        cells = np.argmax(np.round(mat @ cent.T, 12), axis=1).astype(np.int64)
+        codes = _pq_codes(mat, books)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "pq_code": [r.tobytes() for r in codes],
+                "cell_id": cells,
+                "cell": cells,
+            }
+        )
+
+    rows = 0
+    for name, files, fp in new:
+        ds = rd.read_parquet(files, columns=[id_col, emb_col])
+        rows += _publish_unit(
+            index_dir, name, fp, ds.map_batches(assign_encode, batch_format="pandas")
+        )
     return {
         "units": len(units),
         "indexed": len(new),
@@ -847,7 +964,13 @@ def knn_ivf_pq(
     files = [
         f
         for c in probe_cells
-        for f in sorted(_glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+        for pat in (
+            os.path.join(index_dir, f"cell={c}", "*.parquet"),
+            # incremental layout (index_new_partitions_pq): one subtree
+            # per source partition, same cell pruning
+            os.path.join(index_dir, "parts", "*", f"cell={c}", "*.parquet"),
+        )
+        for f in sorted(_glob.glob(pat))
     ]
     if not files:
         return pd.DataFrame({"query_idx": [], id_col: [], "adc_ip": []})
