@@ -38,7 +38,9 @@ BENCH_URLS = int(os.environ.get("BENCH_URLS", "24000"))
 # strictly slower: 96->2.15s, 192->3.15s, 381->5.98s, 32->1.84s).
 # Includes the real-PDF url class (bump the version on generator change).
 # v4: PDF writer variants extended with LZWDecode + DCT-image pages.
-CORPUS_DIR = f"/tmp/ocr_bench_corpus_v4_{BENCH_URLS}"
+# v5: scanned (image-only) url class added — extraction goes through the
+# deterministic template-match recognizer for url_idx % 12 == 9.
+CORPUS_DIR = f"/tmp/ocr_bench_corpus_v5_{BENCH_URLS}"
 
 # queries worth timing (mix of shuffle-heavy, join, dedup, vector)
 BENCH_QUERIES = [

@@ -64,12 +64,29 @@ URL_CP1252 = 6         # page 0 declares windows-1252 (charset-sniff path)
 # non-Latin text travels through a PDF).
 URL_REALPDF_MOD = 12
 URL_REALPDF_REM = 8
+# Recurring class: SCANNED (image-only) PDFs — every url with
+# url_idx % 12 == 9.  Pages carry NO text operators, only a full-page
+# grayscale raster of the article layout; extraction goes through the
+# deterministic template-match recognizer (stages/ocr.py).  Content is
+# UPPERCASE English (the small-caps fixture font collapses case, and the
+# byte-identity invariant needs exact pixel round-trips).
+URL_SCANNED_MOD = 12
+URL_SCANNED_REM = 9
 
 FAKEPDF_MAGIC = b"%FAKEPDF\n"
+
+# placed AFTER the constants above: scangen -> stages.raster -> stages
+# package -> extract -> (back into this half-initialized module) needs
+# FAKEPDF_MAGIC to exist already — see the import-order NOTE at the top
+from .sources.scangen import make_scanned_article  # noqa: E402
 
 
 def is_realpdf_url(url_idx: int) -> bool:
     return url_idx % URL_REALPDF_MOD == URL_REALPDF_REM
+
+
+def is_scanned_url(url_idx: int) -> bool:
+    return url_idx % URL_SCANNED_MOD == URL_SCANNED_REM
 
 
 def url_for(url_idx: int) -> str:
@@ -152,6 +169,23 @@ def page_payload(url_idx: int, page_idx: int, seed: int = SEED) -> tuple[bytes, 
             "<p>Price: 10€ at the café</p></body></html>"
         )
         return html.encode("cp1252"), _words(rng, vocab, 8), lang
+    if is_scanned_url(url_idx):
+        # image-only PDF (the scanned-book shape): no text operators,
+        # extraction must go through the deterministic recognizer.  The
+        # zero-flagged invariant is pinned by tests against the text twin.
+        paras = [
+            _words(rng, _EN_WORDS, rng.randint(10, 18)).upper()
+            for _ in range(rng.randint(1, 3))
+        ]
+        pdf = make_scanned_article(
+            f"CHAPTER {page_idx + 1}",
+            paras,
+            page_number=page_idx + 1 if rng.random() < 0.7 else None,
+            footnote=("1. " + _words(rng, _EN_WORDS, 6).upper())
+            if rng.random() < 0.6
+            else None,
+        )
+        return pdf, _words(rng, _EN_WORDS, 10), "en"
     if is_realpdf_url(url_idx):
         # genuine PDF byte stream (stages/pdf.py parses it): one article
         # page per row, writer variant alternating by page index; Arabic

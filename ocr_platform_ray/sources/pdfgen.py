@@ -541,26 +541,17 @@ def make_pdf(
     return b.render(catalog, use_objstm=use_objstm, info=info_obj)
 
 
-def make_article_pdf(
+def article_items(
     title: str,
     paragraphs: list[str],
     *,
     page_number: int | None = None,
     footnote: str | None = None,
-    use_objstm: bool = False,
-    use_tm: bool = False,
-    use_cid: bool = False,
-    use_form_xobj: bool = False,
-    use_lzw: bool = False,
-    use_rle: bool = False,
-    ascii_wrap: str | None = None,
-    dct_image: bool = False,
-    compress: bool = True,
-) -> bytes:
-    """One-page article layout: heading (large font), body paragraphs
-    (12 pt, wrapped at 80 chars), optional small-font footnote at the
-    bottom and a centered page number — the shapes the role classifier
-    (heading / para / footnote / pageno) must recover."""
+) -> list[dict]:
+    """The article layout as positioned text items — shared by the text
+    writer (`make_article_pdf`) and the scanned-image writer
+    (`sources/scangen.py`), so a scanned page and its text twin carry
+    the same geometry."""
     items = [{"text": title, "x": 72, "y": 60, "size": 21}]
     y = 110
     for i, p in enumerate(paragraphs):
@@ -581,6 +572,32 @@ def make_article_pdf(
         items.append({"text": footnote, "x": 72, "y": 705, "size": 8})
     if page_number is not None:
         items.append({"text": str(page_number), "x": 300, "y": 745, "size": 9})
+    return items
+
+
+def make_article_pdf(
+    title: str,
+    paragraphs: list[str],
+    *,
+    page_number: int | None = None,
+    footnote: str | None = None,
+    use_objstm: bool = False,
+    use_tm: bool = False,
+    use_cid: bool = False,
+    use_form_xobj: bool = False,
+    use_lzw: bool = False,
+    use_rle: bool = False,
+    ascii_wrap: str | None = None,
+    dct_image: bool = False,
+    compress: bool = True,
+) -> bytes:
+    """One-page article layout: heading (large font), body paragraphs
+    (12 pt, wrapped at 80 chars), optional small-font footnote at the
+    bottom and a centered page number — the shapes the role classifier
+    (heading / para / footnote / pageno) must recover."""
+    items = article_items(
+        title, paragraphs, page_number=page_number, footnote=footnote
+    )
     return make_pdf(
         [items], use_objstm=use_objstm, use_tm=use_tm, use_cid=use_cid,
         use_form_xobj=use_form_xobj, use_lzw=use_lzw, use_rle=use_rle,

@@ -42,7 +42,10 @@ import hashlib
 import re
 import zlib
 
+import numpy as np
+
 from .aes import aes_cbc_decrypt, aes_cbc_encrypt, pkcs7_unpad
+from .ocr import recognize_pixels
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b"\x00\t\n\x0c\r "
@@ -989,6 +992,61 @@ def _media_height(page: dict, objects: dict) -> float:
     return 792.0
 
 
+def _media_width(page: dict, objects: dict) -> float:
+    mb = _resolve(page.get("MediaBox"), objects)
+    if isinstance(mb, list) and len(mb) == 4:
+        try:
+            return float(mb[2]) - float(mb[0])
+        except (TypeError, ValueError):
+            pass
+    return 612.0
+
+
+def _ocr_image_runs(page: dict, objects: dict, h: float, w: float) -> list:
+    """Deterministic recognition for IMAGE-ONLY pages (the reference's
+    OCR path, apps/queue/src/lib/ocr.ts:77-122, made deterministic):
+    when a page shows no text at all, decode its full-page grayscale
+    image XObjects (8-bit /DeviceGray with a supported filter — the
+    scanned-book fixture shape) and template-match the pixels against
+    the rasterizer's own glyph atlas (stages/ocr.py).  Returns
+    synthesized TextRuns feeding the SAME line-merge / XY-cut / segment
+    path as parsed text, so a scanned page and its text twin extract
+    byte-identically.  Non-decodable images (DCT/JPX/CCITT) yield no
+    runs — the page salvages as flagged-empty exactly as before."""
+    res = _resolve(page.get("Resources"), objects)
+    xo = _resolve(res.get("XObject"), objects) if isinstance(res, dict) else None
+    if not isinstance(xo, dict):
+        return []
+    runs = []
+    for _name, ref in sorted(xo.items()):
+        if not isinstance(ref, Ref):
+            continue
+        val, sdata = objects.get(ref.num, (None, None))
+        if (
+            not isinstance(val, dict)
+            or sdata is None
+            or val.get("Subtype") != "Image"
+            or val.get("ColorSpace") != "DeviceGray"
+            or val.get("BitsPerComponent") != 8
+        ):
+            continue
+        try:
+            width, height = int(val["Width"]), int(val["Height"])
+        except (KeyError, TypeError, ValueError):
+            continue
+        if width <= 0 or height <= 0 or len(sdata) < width * height:
+            continue
+        px = np.frombuffer(sdata[: width * height], dtype=np.uint8).reshape(
+            height, width
+        )
+        # contract: the scanned image paints the full page (cm = page
+        # box), so pixel->point scale is the width ratio
+        scale = width / max(w, 1.0)
+        for x_pt, ty_pt, size_pt, text in recognize_pixels(px, scale=scale):
+            runs.append(TextRun(x_pt, h - ty_pt - size_pt, size_pt, text))
+    return runs
+
+
 def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, str, str]]]:
     """Parse a PDF -> per page, a list of (x0, y0_top_down, x1, y1, role,
     text) boxes ready for the XY-cut path: runs grouped into lines, lines
@@ -1008,6 +1066,10 @@ def pdf_page_boxes(data: bytes) -> list[list[tuple[float, float, float, float, s
             decoders,
             xobjects=_page_xobjects(page, objects, decoders),
         )
+        if not runs:
+            # image-only (scanned) page: deterministic template-match
+            # recognition over its grayscale image XObjects
+            runs = _ocr_image_runs(page, objects, h, _media_width(page, objects))
         # flip to top-down y (XY-cut sorts top-to-bottom ascending y)
         lines: dict[tuple[float, float], list[TextRun]] = {}
         for r in runs:
