@@ -8,6 +8,7 @@ order-insensitive value-hash agrees."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -17,6 +18,30 @@ import ray.data as rd
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+_ORACLE_SIDECAR_DIR = "/tmp/ocr_oracle_sidecars"
+
+
+def _write_oracle_sidecar(df: pd.DataFrame, name: str) -> str:
+    """The PARTIAL-ORACLE bridge (round 5, verdict item #7): a query
+    writes one of its computed INTERMEDIATES (a near-dup pair list, a
+    gated prefix table) to a fixed scratch path, and its ORACLE_SQL
+    recomputes the remaining relational logic from that file in DuckDB
+    (``read_parquet`` on the absolute path — DuckDB reads files from SQL
+    directly).  The driver runs the Ray query before its oracle, so the
+    sidecar is always the current run's.  What the oracle then verifies
+    INDEPENDENTLY: everything downstream of the sidecar (winner
+    selection, connected components via recursive CTE, anti-joins,
+    projections); what stays carried: the sidecar content itself, which
+    is pinned by goldens/pytest instead (extraction shas, minhash
+    equivalence tests)."""
+    os.makedirs(_ORACLE_SIDECAR_DIR, exist_ok=True)
+    path = os.path.join(_ORACLE_SIDECAR_DIR, name + ".parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
 
 
 def _round_half_away(s: pd.Series, n: int) -> pd.Series:
@@ -231,12 +256,20 @@ def q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
 def q_near_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
-    keep the min-id representative per cluster (rows-only: cluster
-    resolution is iterative, not SQL-expressible)."""
+    keep the min-id representative per cluster.  PARTIAL SQL oracle
+    (round 5): the pair list rides a sidecar parquet and DuckDB
+    recomputes the cluster resolution INDEPENDENTLY — transitive closure
+    via recursive CTE, min-member representative, anti-join of the
+    non-representative members against the documents view.  Minhash pair
+    generation itself stays pytest-pinned (signature equivalence tests);
+    everything downstream of the pairs is SQL-verified."""
     from ..ops.dedup import dedup_keep_representatives, minhash_lsh_duplicates
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_duplicates(ds, "text", "doc_id", threshold=0.9)
+    _write_oracle_sidecar(
+        pairs[["id_a", "id_b"]].astype("int64"), "near_dedup_pairs"
+    )
     kept = dedup_keep_representatives(ds, pairs, "doc_id").to_pandas()
     return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
@@ -1997,14 +2030,42 @@ def q_video_frame_features(sf_dir: str) -> pd.DataFrame:
 
 def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     """Full curation chain over the synthetic pages corpus: extract ->
-    quality gate -> exact + near dedup -> split (rows-only; composition of
-    individually-oracled stages)."""
+    quality gate -> exact + near dedup -> split.  PARTIAL SQL oracle
+    (round 5): the query recomputes its own gated prefix (byte-stable
+    extraction + gate, golden-pinned) and the near-dup pair list
+    (pytest-pinned minhash) into sidecar parquets; DuckDB then
+    INDEPENDENTLY recomputes exact dedup (min-url winner + n_dups per
+    distinct text), connected-component cluster resolution (recursive
+    CTE), the representative keep rule, and the final projection — the
+    verdict-suggested gate+dedup-prefix recompute."""
     from ..corpus import make_pages_table
-    from .curate import curate_corpus
+    from ..ops.dedup import exact_dedup, minhash_lsh_duplicates
+    from .curate import assign_split, curate_corpus, quality_gate
+    from .extraction import extraction_pipeline
 
     pages = rd.from_arrow(make_pages_table(60))
     out = curate_corpus(pages, min_tokens=5).to_pandas()
     out = out[["url", "n_pages", "total_words", "pred_lang", "split", "n_dups"]]
+
+    # oracle sidecars: the chain's own prefix, recomputed (extraction is
+    # byte-stable, so this equals the chain's internal intermediate)
+    gated = assign_split(
+        quality_gate(
+            extraction_pipeline(rd.from_arrow(make_pages_table(60))),
+            min_tokens=5,
+        )
+    )
+    gated_df = gated.to_pandas()[
+        ["url", "extracted_text", "n_pages", "total_words", "pred_lang", "split"]
+    ]
+    _write_oracle_sidecar(gated_df, "curate_gated")
+    deduped = exact_dedup(
+        rd.from_pandas(gated_df[["url", "extracted_text"]]),
+        "extracted_text",
+        "url",
+    )
+    pairs = minhash_lsh_duplicates(deduped, "extracted_text", "url", threshold=0.9)
+    _write_oracle_sidecar(pairs[["id_a", "id_b"]].astype(str), "curate_pairs")
     return out.sort_values("url").reset_index(drop=True)
 
 
@@ -12147,4 +12208,51 @@ ORACLE_SQL["folded_docs"] = (
     "CAST(SUM(length(folded)) AS BIGINT) AS sum_len, "
     "CAST(SUM(CASE WHEN folded = text THEN 1 ELSE 0 END) AS BIGINT) "
     "AS n_restored FROM f GROUP BY lang"
+)
+
+# ---------------------------------------------------------------------------
+# Round-5 partial oracles (verdict item #7): sidecar-bridged SQL recompute
+# of everything downstream of a pytest-pinned intermediate — see
+# _write_oracle_sidecar.
+# ---------------------------------------------------------------------------
+# near_dedup_docs: DuckDB recomputes CLUSTER RESOLUTION from the minhash
+# pair list — symmetric closure via recursive CTE, cluster label = min
+# reachable member, keep exactly the label row per cluster plus every
+# unclustered document.
+ORACLE_SQL["near_dedup_docs"] = (
+    "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM "
+    "read_parquet('/tmp/ocr_oracle_sidecars/near_dedup_pairs.parquet')), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+    "cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster "
+    "FROM reach GROUP BY a) "
+    "SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id "
+    "WHERE cl.doc_id IS NULL OR cl.cluster = d.doc_id ORDER BY d.doc_id"
+)
+
+# curate_corpus: DuckDB recomputes the gate+dedup suffix from the gated
+# prefix sidecar — exact dedup = min-url winner + n_dups per distinct
+# extracted_text; near-dup cluster resolution = recursive-CTE components
+# over the pair sidecar with the min-member representative kept.
+ORACLE_SQL["curate_corpus"] = (
+    "WITH RECURSIVE g AS (SELECT * FROM "
+    "read_parquet('/tmp/ocr_oracle_sidecars/curate_gated.parquet')), "
+    "wtab AS (SELECT extracted_text, MIN(url) AS wurl, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups FROM g GROUP BY extracted_text), "
+    "ded AS (SELECT g.url, g.n_pages, g.total_words, g.pred_lang, "
+    "g.split, w.n_dups FROM g JOIN wtab w "
+    "ON g.extracted_text = w.extracted_text AND g.url = w.wurl), "
+    "pairs AS (SELECT id_a, id_b FROM "
+    "read_parquet('/tmp/ocr_oracle_sidecars/curate_pairs.parquet')), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+    "cl AS (SELECT a AS url, LEAST(a, MIN(b)) AS cluster "
+    "FROM reach GROUP BY a) "
+    "SELECT d.url, d.n_pages, d.total_words, d.pred_lang, d.split, "
+    "d.n_dups FROM ded d LEFT JOIN cl ON d.url = cl.url "
+    "WHERE cl.url IS NULL OR cl.cluster = d.url ORDER BY d.url"
 )
