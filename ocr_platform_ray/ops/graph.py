@@ -391,7 +391,9 @@ def hits(
     *,
     n_iter: int = 20,
     n_shards: int = 64,
-) -> pd.DataFrame:
+    route: str = "auto",
+    driver_threshold_rows: int = 2_000_000,
+) -> pd.DataFrame | rd.Dataset:
     """HITS hubs-and-authorities (Kleinberg 1999, the classic
     mutual-reinforcement pair next to PageRank):
 
@@ -408,9 +410,19 @@ def hits(
     (src, dst) projection emits combiner rows into a size-aware grouped
     finish — two exchanges per iteration, which IS the distributed cost
     of HITS.  Float sums follow the lm_perplexity float rule (rtol
-    reproducible, not bit-stable across block structures)."""
+    reproducible, not bit-stable across block structures).
+
+    ``route`` follows the `pagerank` contract: "driver" (node-sized
+    score Series on the driver, the report-output default below the
+    threshold), "dataset" (hub/authority tables as Datasets riding the
+    bucketed exchange — `_hits_dataset`; returns a (node, hub,
+    authority) Dataset, unordered, rtol-equivalent), or "auto"
+    (default): the node table's size-aware distinct finish doubles as
+    the probe."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if route not in ("auto", "driver", "dataset"):
+        raise ValueError(f"hits: unknown route {route!r}")
     proj = edges.map_batches(
         lambda b: b[[src_col, dst_col]], batch_format="pandas"
     ).materialize()  # consumed 2x per iteration + the node pass
@@ -421,13 +433,18 @@ def hits(
         )
         return pd.DataFrame({"node": vals})
 
+    if route == "dataset":
+        return _hits_dataset(proj, stack, src_col, dst_col, n_iter, n_shards)
     nodes = auto_group_agg(
         proj.map_batches(stack, batch_format="pandas"),
         ["node"],
         {"__one": ("node", "count")},
         n_shards=n_shards,
+        driver_threshold_rows=driver_threshold_rows,
     )
     if not isinstance(nodes, pd.DataFrame):
+        if route == "auto":
+            return _hits_dataset(proj, stack, src_col, dst_col, n_iter, n_shards)
         nodes = nodes.to_pandas()
     nodes = nodes[["node"]].sort_values("node").reset_index(drop=True)
     n = len(nodes)
@@ -481,6 +498,117 @@ def hits(
             "hub": hub.to_numpy(),
             "authority": authority.to_numpy(),
         }
+    )
+
+
+def _hits_dataset(
+    proj: rd.Dataset,
+    stack,
+    src_col: str,
+    dst_col: str,
+    n_iter: int,
+    n_shards: int,
+) -> rd.Dataset:
+    """HITS with the score tables as DATASETS end-to-end (the
+    `_pagerank_dataset` treatment): per half-iteration the current score
+    table joins the edge projection through the bucketed exchange, each
+    matching batch emits (to, c) combiner rows into a hash-shard reduce,
+    and the L2 norm is one float partial per block — nothing vertex-
+    sized ever lands on the driver.  Scores are rtol-equivalent to the
+    driver route's (float association differs)."""
+    from .relational import bucketed_hash_join, sharded_group_agg
+
+    nodes = (
+        sharded_group_agg(
+            proj.map_batches(stack, batch_format="pandas"),
+            ["node"],
+            {"__one": ("node", "count")},
+            n_shards=n_shards,
+        )
+        .map_batches(lambda b: b[["node"]], batch_format="pandas")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="object"),
+                    "hub": pd.Series(dtype="float64"),
+                    "authority": pd.Series(dtype="float64"),
+                }
+            )
+        )
+
+    def _sq_sum(ds: rd.Dataset, col: str) -> float:
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [float((b[col] ** 2).sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return float(parts["s"].sum()) if len(parts) else 0.0
+
+    def _half_step_ds(scores: rd.Dataset, from_col: str, to_col: str) -> rd.Dataset:
+        keyed = scores.map_batches(
+            lambda b, _f=from_col: b[["node", "score"]].rename(
+                columns={"node": _f}
+            ),
+            batch_format="pandas",
+        )
+        ej = bucketed_hash_join(proj, keyed, on=from_col, how="inner", n_buckets=n_shards)
+
+        def contrib(b: pd.DataFrame, _t=to_col) -> pd.DataFrame:
+            sub = pd.DataFrame({"node": b[_t], "c": b["score"]})
+            return sub.groupby("node", as_index=False).agg(c=("c", "sum"))
+
+        summed = sharded_group_agg(
+            ej.map_batches(contrib, batch_format="pandas"),
+            ["node"],
+            {"c": ("c", "sum")},
+            n_shards=n_shards,
+        )
+        joined = bucketed_hash_join(
+            nodes, summed, on="node", how="left", n_buckets=n_shards
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "score": b["c"].fillna(0.0).to_numpy()}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        norm = float(np.sqrt(_sq_sum(joined, "score")))
+        if norm <= 0.0:
+            return joined
+
+        def renorm(b: pd.DataFrame, _n=norm) -> pd.DataFrame:
+            out = b.copy()
+            out["score"] = out["score"] / _n
+            return out
+
+        return joined.map_batches(renorm, batch_format="pandas").materialize()
+
+    init = 1.0 / float(np.sqrt(n))
+    hub = nodes.map_batches(
+        lambda b, _i=init: pd.DataFrame({"node": b["node"], "score": _i}),
+        batch_format="pandas",
+    ).materialize()
+    authority = hub
+    for _ in range(n_iter):
+        authority = _half_step_ds(hub, src_col, dst_col)
+        hub = _half_step_ds(authority, dst_col, src_col)
+
+    merged = bucketed_hash_join(
+        hub.map_batches(
+            lambda b: b.rename(columns={"score": "hub"}), batch_format="pandas"
+        ),
+        authority.map_batches(
+            lambda b: b.rename(columns={"score": "authority"}),
+            batch_format="pandas",
+        ),
+        on="node",
+        how="inner",
+        n_buckets=n_shards,
+    )
+    return merged.map_batches(
+        lambda b: b[["node", "hub", "authority"]], batch_format="pandas"
     )
 
 

@@ -1370,9 +1370,13 @@ def auto_group_agg(
             # empty Dataset probes to a COLUMNLESS frame (probe_head
             # contract) — groupby would KeyError; return a named empty
             return pd.DataFrame({c: pd.Series(dtype="object") for c in [*keys, *aggs]})
-        return df.groupby(keys, as_index=False).agg(
-            **{alias: (src, how) for alias, (src, how) in aggs.items()}
-        )
+        # per-alias series into ONE frame construction: pandas named agg
+        # inserts result columns one by one, which emits a fragmented-
+        # DataFrame PerformanceWarning on wide agg specs (the
+        # bootstrap-CI path has 2*n_replicas aliases)
+        gb = df.groupby(keys)
+        out = pd.DataFrame({a: gb[src].agg(how) for a, (src, how) in aggs.items()})
+        return out.reset_index()
     return sharded_group_agg(ds, keys, aggs, n_shards=n_shards)
 
 

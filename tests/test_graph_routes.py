@@ -102,3 +102,28 @@ class TestBfsRoutes:
         assert isinstance(auto, rd.Dataset)
         small = bfs_distances(_edges(GRAPH), [1], route="auto")
         assert isinstance(small, pd.DataFrame)
+
+
+class TestHitsRoutes:
+    def test_dataset_route_matches_driver(self, ray_session):
+        from ocr_platform_ray.ops.graph import hits
+
+        drv = hits(_edges(GRAPH), n_iter=10, route="driver")
+        ds = hits(_edges(GRAPH), n_iter=10, route="dataset", n_shards=8)
+        assert isinstance(ds, rd.Dataset)
+        got = ds.to_pandas().sort_values("node").reset_index(drop=True)
+        got["node"] = got["node"].astype("int64")
+        merged = drv.merge(got, on="node", suffixes=("_drv", "_ds"))
+        assert len(merged) == len(drv) == len(got)
+        np.testing.assert_allclose(merged["hub_drv"], merged["hub_ds"], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            merged["authority_drv"], merged["authority_ds"], rtol=1e-9, atol=1e-12
+        )
+
+    def test_auto_probe(self, ray_session):
+        from ocr_platform_ray.ops.graph import hits
+
+        out = hits(_edges(GRAPH), n_iter=2, route="auto", driver_threshold_rows=4)
+        assert isinstance(out, rd.Dataset)
+        small = hits(_edges(GRAPH), n_iter=2, route="auto")
+        assert isinstance(small, pd.DataFrame)
