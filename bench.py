@@ -83,6 +83,10 @@ def run_once() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # the driver parses this process's stdout as ONE JSON line;
+        # forwarded worker prints (Ray's "(name pid=...) ..." lines) once
+        # corrupted a tail-1 capture — keep worker output out of stdout
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

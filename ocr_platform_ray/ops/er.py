@@ -12,6 +12,15 @@ form):
    (`functions/phonetic.soundex_batch`) — sound-alike names co-locate,
    everything else never meets (the Fellegi–Sunter candidate-generation
    rule; Soundex IS the blocking key the US Census used it for).
+   ``length_block=True`` (default) composes a SECOND blocking key, the
+   exact name length — standard multi-key blocking (Christen 2012): a
+   low-cardinality phonetic key alone degenerates on template-generated
+   corpora (TPC-H part names draw from ~92 words → 48 Soundex codes over
+   20k rows → 9.4M in-block pairs measured at sf0.1; length co-keying
+   cuts that ~30×).  The trade, documented: insertion/deletion variants
+   stop being candidates (substitution typos — the planted-twin class —
+   keep their length and still match); pass ``length_block=False`` for
+   the single-key behavior.
 2. **Pairs** per block-shard: ONE ``hash(block) % n_shards`` exchange
    co-locates each block; an in-shard self-merge emits (a < b by id)
    candidate pairs.  ``max_block_size`` raises loudly on degenerate
@@ -46,6 +55,7 @@ def resolve_entities(
     threshold: float = 0.88,
     n_shards: int = 64,
     max_block_size: int = 5_000,
+    length_block: bool = True,
 ) -> pd.DataFrame:
     """(id, entity_id) for every input record; see the module doc for
     the stage-by-stage scale shape."""
@@ -54,14 +64,20 @@ def resolve_entities(
 
     def block(b: pd.DataFrame) -> pd.DataFrame:
         w = b[name_col].fillna("").astype(str).str.extract(r"^(\S+)")[0]
+        names = b[name_col].fillna("").astype(str)
+        blk = soundex_batch(w.fillna(""))
+        if length_block:
+            # second blocking key (module doc): same phonetic code AND
+            # same exact length — substitution variants stay candidates
+            blk = blk + ":" + names.str.len().astype(str)
         out = pd.DataFrame(
             {
                 "id": b[id_col].to_numpy(),
-                "name": b[name_col].fillna("").astype(str).to_numpy(),
-                "blk": soundex_batch(w.fillna("")),
+                "name": names.to_numpy(),
+                "blk": blk.to_numpy(),
             }
         )
-        out = out[out["blk"] != ""]
+        out = out[~out["blk"].str.startswith(":") & (out["blk"] != "")]
         out["__shard"] = _hash_labels(out, ["blk"], n_shards).astype("int64")
         return out
 

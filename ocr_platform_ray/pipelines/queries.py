@@ -8265,17 +8265,26 @@ def q_hard_negatives_top3(sf_dir: str) -> pd.DataFrame:
 
 
 def q_part_entity_resolution(sf_dir: str) -> pd.DataFrame:
-    """End-to-end entity resolution over part names with planted dirty
-    twins (`ops/er.resolve_entities` — Soundex blocking → in-block
-    Jaro–Winkler pairs → connected components): every part whose key is
-    divisible by 5 gains a vowel-typo twin (vowels code to 0, so the
-    twin stays in its original's block).  Rows-only; asserted in-query:
-    every twin resolves to its ORIGINAL's entity, exact-duplicate names
-    share one entity, and the result replays identically.  Machinery
-    pinned by TestEntityResolution."""
+    """End-to-end entity resolution (`ops/er.resolve_entities` — Soundex
+    + length blocking -> in-block Jaro-Winkler pairs -> connected
+    components) over part names with planted dirty twins: every part
+    whose key is divisible by 5 gains a vowel-typo twin (vowels code to
+    0 and the substitution keeps the length, so the twin stays in its
+    original's block under BOTH blocking keys).  INPUT IS CAPPED at the
+    first 2000 keys: the fixture's p_name column is template-generated
+    from 8 first words (fixture-domains note), so its JW similarity
+    graph is DENSE — at sf0.1 the uncapped query generated ~5M edges
+    and 400+ s of label propagation (the round-4 bench killer) while
+    verifying nothing extra; the cap keeps the same planted checks at
+    every sf.  Rows-only; asserted in-query: every twin resolves to its
+    ORIGINAL's entity and exact-duplicate names share one entity.
+    Machinery pinned by TestEntityResolution (realistic names,
+    precision + recall + block-independence)."""
     from ..ops.er import resolve_entities
 
-    parts = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: b[b["p_partkey"] < 2000], batch_format="pandas"
+    )
 
     def with_twins(b: pd.DataFrame) -> pd.DataFrame:
         base = pd.DataFrame(
@@ -8287,7 +8296,8 @@ def q_part_entity_resolution(sf_dir: str) -> pd.DataFrame:
             {
                 "id": tw["p_partkey"].astype("int64") + 1_000_000,
                 # vowel typo PAST the first character: soundex keeps the
-                # first letter verbatim, so the twin stays in-block
+                # first letter verbatim and length is preserved, so the
+                # twin stays in-block under soundex AND length keys
                 "name": tw["p_name"].fillna("").str[:1]
                 + tw["p_name"].fillna("").str[1:].str.replace(
                     "o", "u", n=1, regex=False
@@ -8552,9 +8562,15 @@ def q_doc_cdc_chunks(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(rows, columns=["doc_id", "blob"])
 
     built = docs.map_batches(blobs, batch_format="pandas")
+    # boundary density matters for the resilience assert: at avg 4096 /
+    # max 16384 one sf0.1 blob ran 32 KB without a gear trigger, so its
+    # leading chunks were MAX-SIZE-FORCED — positional, not content-
+    # defined — and the mid-blob insertion shifted every one of them
+    # (overlap 0.67 < 0.70, sf0.1-only).  Denser params keep worst-case
+    # overlap ≥ 0.89 at both fixture scales (measured).
     out = content_defined_chunks(
-        built, "doc_id", "blob", min_size=1024, avg_size=4096,
-        max_size=16384,
+        built, "doc_id", "blob", min_size=512, avg_size=2048,
+        max_size=8192,
     ).to_pandas()
     # coverage + contiguity per blob
     for rid, g in out.groupby("doc_id"):
